@@ -1,0 +1,283 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Core relational operator coverage (SURVEY.md §2 A/B/D tables), expressed
+  * Spark-first: declarative DataFrame plans so Catalyst does pushdown, pruning,
+  * join selection and AQE.  Each query has a matching DuckDB oracle in
+  * [[CoreQueries.oracle]]; column names/types are aligned between both engines
+  * (double aggregates rounded, BIGINT casts where DuckDB widens to HUGEINT).
+  *
+  * Scale notes (100 TB design):
+  *  - dimension tables (region, nation) are broadcast explicitly;
+  *  - fact-fact joins (orders⋈lineitem) shuffle on the join key only, with AQE
+  *    free to re-plan: no repartition/collect anywhere;
+  *  - aggregations are partial (map-side combine) by construction — groupBy/agg
+  *    with codegen'd functions, no UDFs.
+  */
+object CoreQueries {
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS) which Spark can only read as long
+    * (spark.sql.legacy.parquet.nanosAsLong=true, set in Verify/Bench/tests).
+    * Normalize to TIMESTAMP_NTZ at microsecond precision — matching DuckDB's
+    * ns→us truncation — so downstream queries see a real timestamp column.
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      case _ => raw
+    }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A5+A8+D-agg: TPC-H Q1-style pricing summary (filter → partial agg → final agg)
+    "q01_pricing_summary" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // A4+A5: projection + filter; predicates/columns must reach the parquet scan
+    "q02_filter_project" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_quantity") > 45 && col("l_discount") < 0.05)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    }),
+
+    // A6+D-agg: equi-join customer⋈orders then aggregate by segment
+    "q03_join_agg" -> ((s, d) => {
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          round(sum("o_totalprice"), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    // D-sort/limit: top-k → Spark plans TakeOrderedAndProject (no full sort at scale)
+    "q04_top_orders" -> ((s, d) => {
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    }),
+
+    // B1 DISTINCT
+    "q05_distinct" -> ((s, d) =>
+      t(s, d, "lineitem").select("l_returnflag", "l_linestatus").distinct()),
+
+    // D-window: ranking within partition (deterministic tiebreak on key)
+    "q06_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), row_number().over(w).as("rn"))
+    }),
+
+    // D-setops: (customer ∪ supplier nation keys) \ region-0 nations
+    "q07_setops" -> ((s, d) => {
+      val c = t(s, d, "customer").select(col("c_nationkey").as("key"))
+      val su = t(s, d, "supplier").select(col("s_nationkey").as("key"))
+      val n0 = t(s, d, "nation").filter(col("n_regionkey") === 0).select(col("n_nationkey").as("key"))
+      c.union(su).distinct().except(n0)
+    }),
+
+    // D-anti-join: customers with no orders in the last half-year of data
+    "q08_anti_join" -> ((s, d) => {
+      val late = t(s, d, "orders").filter(col("o_orderdate") >= lit("2001-01-01"))
+      t(s, d, "customer")
+        .join(late, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+
+    // D-semi-join: parts that were actually shipped
+    "q09_semi_join" -> ((s, d) => {
+      t(s, d, "part")
+        .join(t(s, d, "lineitem"), col("p_partkey") === col("l_partkey"), "left_semi")
+        .select("p_partkey", "p_name")
+    }),
+
+    // D-agg + HAVING
+    "q10_having" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("spend"))
+        .filter(col("n") >= 3)
+    }),
+
+    // D-scalar string functions (all codegen'd builtins, no UDFs)
+    "q11_string_funcs" -> ((s, d) => {
+      t(s, d, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_type"), 1, 5).as("type5"),
+        concat_ws("#", col("p_brand"), col("p_type")).as("brand_type"))
+    }),
+
+    // D-scalar date functions
+    "q12_date_funcs" -> ((s, d) => {
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"))
+    }),
+
+    // D-conditional: CASE WHEN banding (row-level, bit-exact across engines)
+    "q13_case_when" -> ((s, d) => {
+      t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_quantity") >= 40, "high")
+          .when(col("l_quantity") >= 20, "mid")
+          .otherwise("low").as("qty_band"))
+    }),
+
+    // A6 chained ⋈ star schema: broadcast dims, shuffle only on fact keys
+    "q14_star_revenue" -> ((s, d) => {
+      broadcast(t(s, d, "region"))
+        .join(broadcast(t(s, d, "nation")), col("r_regionkey") === col("n_regionkey"))
+        .join(t(s, d, "customer"), col("n_nationkey") === col("c_nationkey"))
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("r_name")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // A8: arithmetic incl. integer div/mod (pyarrow-style integer division — SURVEY §2 A8)
+    "q15_arithmetic" -> ((s, d) => {
+      t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("charge"),
+        (col("l_orderkey") % 7).as("key_mod"),
+        expr("l_orderkey div 4").as("key_div"))
+    }),
+
+    // D-agg on event stream table: hourly rollup (time-bucketed aggregation)
+    "q16_events_hourly" -> ((s, d) => {
+      events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+    }),
+
+    // D-outer-join: left join keeps empty nations, count non-null suppliers
+    "q17_left_join" -> ((s, d) => {
+      t(s, d, "nation")
+        .join(t(s, d, "supplier"), col("s_nationkey") === col("n_nationkey"), "left")
+        .groupBy("n_name")
+        .agg(count(col("s_suppkey")).as("n_suppliers"))
+    }),
+
+    // D-agg statistics: min/max/stddev/count-distinct
+    "q18_agg_stats" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          min("l_quantity").as("min_qty"),
+          max("l_quantity").as("max_qty"),
+          round(stddev_samp("l_extendedprice"), 2).as("sd_price"),
+          countDistinct("l_partkey").as("n_parts"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.05""".stripMargin,
+    "q03_join_agg" ->
+      """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q04_top_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q05_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q06_window_rank" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS rn
+        |FROM orders""".stripMargin,
+    "q07_setops" ->
+      """SELECT key FROM (SELECT c_nationkey AS key FROM customer
+        | UNION SELECT s_nationkey AS key FROM supplier)
+        |EXCEPT SELECT n_nationkey AS key FROM nation WHERE n_regionkey = 0""".stripMargin,
+    "q08_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01')""".stripMargin,
+    "q09_semi_join" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin,
+    "q10_having" ->
+      """SELECT o_custkey, count(*) AS n, round(sum(o_totalprice), 2) AS spend
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 3""".stripMargin,
+    "q11_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS uname,
+        | CAST(length(p_name) AS INTEGER) AS name_len,
+        | substring(p_type, 1, 5) AS type5,
+        | concat_ws('#', p_brand, p_type) AS brand_type
+        |FROM part""".stripMargin,
+    "q12_date_funcs" ->
+      """SELECT o_orderkey,
+        | CAST(year(o_orderdate) AS INTEGER) AS y,
+        | CAST(month(o_orderdate) AS INTEGER) AS m,
+        | CAST(day(o_orderdate) AS INTEGER) AS dom
+        |FROM orders""".stripMargin,
+    "q13_case_when" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CASE WHEN l_quantity >= 40 THEN 'high'
+        |      WHEN l_quantity >= 20 THEN 'mid'
+        |      ELSE 'low' END AS qty_band
+        |FROM lineitem""".stripMargin,
+    "q14_star_revenue" ->
+      """SELECT r_name,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        | count(*) AS n_items
+        |FROM region
+        | JOIN nation ON r_regionkey = n_regionkey
+        | JOIN customer ON n_nationkey = c_nationkey
+        | JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY r_name""".stripMargin,
+    "q15_arithmetic" ->
+      """SELECT l_orderkey, l_linenumber,
+        | l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charge,
+        | l_orderkey % 7 AS key_mod,
+        | l_orderkey // 4 AS key_div
+        |FROM lineitem""".stripMargin,
+    "q16_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+        | count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q17_left_join" ->
+      """SELECT n_name, count(s_suppkey) AS n_suppliers
+        |FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q18_agg_stats" ->
+      """SELECT l_returnflag,
+        | min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        | round(stddev_samp(l_extendedprice), 2) AS sd_price,
+        | count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+  )
+}

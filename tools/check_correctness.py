@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate (dev tooling, not engine code).
+
+Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/oracle_sql.json, runs each SQL in DuckDB with views over
+<sfDir>/*.parquet, loads the Spark result parquet from <verifyOutDir>/<name>/,
+sorts columns by name and rows by all values, and compares.
+"""
+import json, sys, glob, math
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(df):
+    # pandas DataFrame -> sorted-by-name columns, rows sorted by stringified values
+    df = df.reindex(sorted(df.columns), axis=1)
+    rows = []
+    for row in df.itertuples(index=False):
+        rows.append(tuple(norm(v) for v in row))
+    rows.sort(key=lambda r: tuple(str(x) for x in r))
+    return list(df.columns), rows
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    return str(v)
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            want = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}")
+            n_fail += 1
+            continue
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        got = pq.ParquetDataset(files).read().to_pandas()
+        wc, wr = canon(want)
+        gc, gr = canon(got)
+        if wc != gc:
+            print(f"FAIL {name}: columns want={wc} got={gc}")
+            n_fail += 1
+        elif wr != gr:
+            diffs = [i for i, (a, b) in enumerate(zip(wr, gr)) if a != b]
+            msg = f"rows want={len(wr)} got={len(gr)}"
+            if diffs:
+                i = diffs[0]
+                msg += f"; first diff row {i}: want={wr[i]} got={gr[i]}"
+            print(f"FAIL {name}: {msg}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(gr)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+main()
