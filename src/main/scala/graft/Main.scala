@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.dtl.{Engine, FilesystemExporter, FilesystemImporter}
+import java.nio.file.{Files, Paths}
+
+/** CLI mirroring the reference's `dtl script.dtl --input-dir D --output-dir D`
+  * (/root/reference/src/dtl/main.py:9-46). Reads the script from a file or
+  * stdin ("-"), resolves IMPORT/EXPORT names under the given directories.
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    var script: Option[String] = None
+    var inputDir: Option[String] = None
+    var outputDir: Option[String] = None
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--input-dir" => inputDir = Some(args(i + 1)); i += 2
+        case "--output-dir" => outputDir = Some(args(i + 1)); i += 2
+        case "--trace-dir" => i += 2 // accepted for CLI parity; tracing TBD
+        case other => script = Some(other); i += 1
+      }
+    }
+    val source = script match {
+      case Some("-") | None => scala.io.Source.stdin.mkString
+      case Some(path) => new String(Files.readAllBytes(Paths.get(path)), "UTF-8")
+    }
+    val in = inputDir.getOrElse { System.err.println("missing --input-dir"); sys.exit(2) }
+    val out = outputDir.getOrElse { System.err.println("missing --output-dir"); sys.exit(2) }
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors).toString)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName("graft-dtl")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      new Engine(spark).run(source, new FilesystemImporter(spark, in), new FilesystemExporter(out))
+    } finally spark.stop()
+  }
+}

@@ -1,0 +1,58 @@
+package graft.dtl
+
+/** DTL abstract syntax. Mirrors the shape of the reference AST
+  * (/root/reference/src/dtl/nodes.py) with the additions the reference parsed
+  * or intended but never finished: comparisons, boolean operators, unary
+  * minus, JOIN USING, DISTINCT [CONSECUTIVE], GROUP [CONSECUTIVE] BY
+  * (SURVEY.md §2 B1-B7).
+  */
+object Ast {
+  final case class Pos(line: Int, col: Int)
+
+  sealed trait Expr { def pos: Pos }
+  final case class BoolLit(value: Boolean, pos: Pos) extends Expr
+  final case class IntLit(value: Long, pos: Pos) extends Expr
+  final case class FloatLit(value: Double, pos: Pos) extends Expr
+  final case class StringLit(value: String, pos: Pos) extends Expr
+  final case class ColumnRef(table: Option[String], name: String, pos: Pos) extends Expr
+  final case class FuncCall(name: String, args: List[Expr], pos: Pos) extends Expr
+  final case class Binary(op: String, left: Expr, right: Expr, pos: Pos) extends Expr
+  final case class Unary(op: String, operand: Expr, pos: Pos) extends Expr
+
+  sealed trait Binding
+  final case class WildcardBinding(pos: Pos) extends Binding
+  final case class ExprBinding(expr: Expr, alias: Option[String]) extends Binding
+
+  sealed trait JoinConstraint
+  final case class JoinOn(predicate: Expr) extends JoinConstraint
+  final case class JoinUsing(columns: List[String]) extends JoinConstraint
+
+  /** A FROM/JOIN source: either a named table or a parenthesized
+    * sub-expression, optionally aliased.
+    */
+  final case class TableBinding(source: TableExpr, alias: Option[String])
+  final case class JoinClause(table: TableBinding, constraint: JoinConstraint, pos: Pos)
+
+  sealed trait DistinctMode
+  case object NoDistinct extends DistinctMode
+  case object DistinctRows extends DistinctMode
+  case object DistinctConsecutive extends DistinctMode
+
+  final case class GroupBy(consecutive: Boolean, keys: List[Expr])
+
+  sealed trait TableExpr { def pos: Pos }
+  final case class ImportExpr(location: String, pos: Pos) extends TableExpr
+  final case class TableRef(name: String, pos: Pos) extends TableExpr
+  final case class SelectExpr(
+      distinct: DistinctMode,
+      bindings: List[Binding],
+      from: TableBinding,
+      joins: List[JoinClause],
+      where: Option[Expr],
+      groupBy: Option[GroupBy],
+      pos: Pos) extends TableExpr
+
+  sealed trait Statement { def pos: Pos }
+  final case class WithStmt(name: String, body: TableExpr, pos: Pos) extends Statement
+  final case class ExportStmt(body: TableExpr, location: String, pos: Pos) extends Statement
+}

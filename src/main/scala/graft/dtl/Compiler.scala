@@ -1,0 +1,387 @@
+package graft.dtl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{EvalMode, IntegralDivide}
+import scala.collection.mutable
+import Ast._
+import DType._
+
+/** Compiles DTL ASTs to Spark DataFrames.
+  *
+  * Design (SURVEY.md §1.4/§3): the reference's per-column array-expression DAG
+  * collapses to Catalyst `Column` expressions inside one DataFrame plan; shape
+  * consistency is implicit; the cartesian+mask join machinery
+  * (/root/reference/src/dtl/ast_to_ir.py:470-590) becomes a single
+  * `df.join(right, predicate)` and Catalyst's join selection replaces the
+  * reference's planned-but-unbuilt equi-join rewrite (ir.py:221-297).
+  *
+  * Name resolution replicates the reference scope model
+  * (ast_to_ir.py:117-142): every scope column carries a set of namespaces;
+  * unqualified lookup scans scope order (left table shadows right), qualified
+  * lookup matches the table namespace. Internally every column gets a unique
+  * generated name so self-joins and duplicate output names never hit Spark's
+  * ambiguity rules; user-visible names only materialize at projection/export.
+  *
+  * Strictness replicates ast_to_ir.py:235-337: operands must have identical
+  * DTL dtypes (no implicit coercion — our analyzer rejects before Spark could
+  * coerce), integer literals are INT64, and INT÷INT is pyarrow-style
+  * truncating integer division (mapped to Catalyst IntegralDivide).
+  */
+final class Compiler(
+    importer: Importer,
+    registry: FunctionRegistry,
+    needsOrder: Boolean) {
+
+  final case class SCol(name: String, internal: String,
+      namespaces: Set[Option[String]], dtype: DType)
+  /** A compiled table: DataFrame over internal column names, the visible
+    * scope, and hidden order columns (present only when the script uses
+    * consecutive operators — zero overhead otherwise).
+    */
+  final case class CTable(df: DataFrame, cols: List[SCol], ordCols: List[String])
+
+  private val counter = new java.util.concurrent.atomic.AtomicLong()
+  private def fresh(prefix: String = "c"): String = s"__${prefix}${counter.incrementAndGet()}"
+
+  private def resolve(scope: List[SCol], table: Option[String], name: String, pos: Pos): SCol =
+    scope.find(c => c.name == name && c.namespaces.contains(table)).getOrElse {
+      val q = table.map(_ + ".").getOrElse("")
+      throw DtlError(s"could not find $q$name", pos.line, pos.col)
+    }
+
+  // ---------------------------------------------------------------- expressions
+
+  def compileExpr(expr: Expr, scope: List[SCol]): TypedCol = expr match {
+    case BoolLit(v, _) => TypedCol(lit(v), TBool)
+    case IntLit(v, _) => TypedCol(lit(v), TInt64)
+    case FloatLit(v, _) => TypedCol(lit(v), TDouble)
+    case StringLit(v, _) => TypedCol(lit(v), TText)
+    case ColumnRef(table, name, pos) =>
+      val c = resolve(scope, table, name, pos)
+      TypedCol(col(c.internal), c.dtype)
+    case FuncCall(name, args, pos) =>
+      registry.scalars.get(name) match {
+        case Some(fn) => fn(args.map(compileExpr(_, scope)), pos)
+        case None if registry.aggregates.contains(name) =>
+          throw DtlError(s"aggregate function '$name' is only allowed in a grouped SELECT", pos.line, pos.col)
+        case None => throw DtlError(s"unknown function '$name'", pos.line, pos.col)
+      }
+    case Unary("not", e, pos) =>
+      val t = compileExpr(e, scope)
+      if (t.dtype != TBool) typeErr(pos, s"NOT expects BOOL, got ${t.dtype.name}")
+      TypedCol(!t.col, TBool)
+    case Unary("neg", e, pos) =>
+      val t = compileExpr(e, scope)
+      if (!isNumeric(t.dtype)) typeErr(pos, s"unary - expects a numeric operand, got ${t.dtype.name}")
+      TypedCol(negate(t.col), t.dtype)
+    case Unary(op, _, pos) => throw DtlError(s"unknown unary operator '$op'", pos.line, pos.col)
+    case Binary(op, le, re, pos) =>
+      val l = compileExpr(le, scope)
+      val r = compileExpr(re, scope)
+      compileBinary(op, l, r, pos)
+  }
+
+  private def typeErr(pos: Pos, msg: String): Nothing =
+    throw DtlError(s"Type error: $msg", pos.line, pos.col)
+
+  private def compileBinary(op: String, l: TypedCol, r: TypedCol, pos: Pos): TypedCol = op match {
+    case "+" | "-" | "*" | "/" | "%" =>
+      if (l.dtype != r.dtype)
+        typeErr(pos, s"'$op' operands must have the same type, got ${l.dtype.name} and ${r.dtype.name}")
+      if (!isNumeric(l.dtype))
+        typeErr(pos, s"'$op' expects numeric operands, got ${l.dtype.name}")
+      val c = op match {
+        case "+" => l.col + r.col
+        case "-" => l.col - r.col
+        case "*" => l.col * r.col
+        case "%" => l.col % r.col
+        case "/" =>
+          if (l.dtype == TDouble) l.col / r.col
+          else integerDivide(l.col, r.col, l.dtype) // pyarrow semantics: INT/INT truncates
+      }
+      TypedCol(c, l.dtype)
+    case "=" | "!=" =>
+      if (l.dtype != r.dtype)
+        typeErr(pos, s"'$op' operands must have the same type, got ${l.dtype.name} and ${r.dtype.name}")
+      if (l.dtype.isInstanceOf[TExt]) typeErr(pos, s"'$op' is not defined for ${l.dtype.name}")
+      TypedCol(if (op == "=") l.col === r.col else l.col =!= r.col, TBool)
+    case "<" | "<=" | ">" | ">=" =>
+      if (l.dtype != r.dtype)
+        typeErr(pos, s"'$op' operands must have the same type, got ${l.dtype.name} and ${r.dtype.name}")
+      if (!isOrderable(l.dtype)) typeErr(pos, s"'$op' is not defined for ${l.dtype.name}")
+      val c = op match {
+        case "<" => l.col < r.col
+        case "<=" => l.col <= r.col
+        case ">" => l.col > r.col
+        case ">=" => l.col >= r.col
+      }
+      TypedCol(c, TBool)
+    case "and" | "or" =>
+      if (l.dtype != TBool || r.dtype != TBool)
+        typeErr(pos, s"'$op' expects BOOL operands, got ${l.dtype.name} and ${r.dtype.name}")
+      TypedCol(if (op == "and") l.col && r.col else l.col || r.col, TBool)
+    case other => throw DtlError(s"unknown operator '$other'", pos.line, pos.col)
+  }
+
+  /** pyarrow divide on integer inputs truncates toward zero (eval.py:215-224
+    * dispatches to pac.divide). Catalyst's IntegralDivide is the codegen'd
+    * equivalent; result widens to long, so narrow back for INT32.
+    */
+  private def integerDivide(l: Column, r: Column, dtype: DType): Column = {
+    val div = GraftColumnBridge.column(
+      IntegralDivide(GraftColumnBridge.expression(l), GraftColumnBridge.expression(r), EvalMode.LEGACY))
+    if (dtype == TInt32) div.cast("int") else div
+  }
+
+  // ---------------------------------------------------------------- tables
+
+  def compileTable(te: TableExpr, env: collection.Map[String, CTable]): CTable = te match {
+    case ImportExpr(location, _) =>
+      val df = importer.importTable(location)
+      val cols = df.schema.fields.toList.map { f =>
+        SCol(f.name, fresh(), Set(None), DType.fromSpark(f.dataType))
+      }
+      val ord = if (needsOrder) List(fresh("ord")) else Nil
+      val proj = cols.map(c => col(c.name).as(c.internal)) ++
+        ord.map(o => monotonically_increasing_id().as(o))
+      CTable(df.select(proj: _*), cols, ord)
+    case TableRef(name, pos) =>
+      val t = env.getOrElse(name, throw DtlError(s"unknown table '$name'", pos.line, pos.col))
+      refresh(t) // fresh internals so self-joins never collide
+    case sel: SelectExpr => compileSelect(sel, env)
+  }
+
+  /** Re-alias every internal column so two uses of the same stored table get
+    * disjoint names (the projection is collapsed away by Catalyst).
+    */
+  private def refresh(t: CTable): CTable = {
+    val renames = t.cols.map(c => c -> fresh())
+    val ords = t.ordCols.map(o => o -> fresh("ord"))
+    val proj = renames.map { case (c, n) => col(c.internal).as(n) } ++
+      ords.map { case (o, n) => col(o).as(n) }
+    CTable(
+      t.df.select(proj: _*),
+      renames.map { case (c, n) => c.copy(internal = n) },
+      ords.map(_._2))
+  }
+
+  private def bindingName(tb: TableBinding): Option[String] =
+    tb.alias.orElse(tb.source match {
+      case TableRef(n, _) => Some(n)
+      case _ => None // reference: table_expression_name defaults to "" (ast_to_ir.py:341-347)
+    })
+
+  private def compileSelect(sel: SelectExpr, env: collection.Map[String, CTable]): CTable = {
+    // FROM: source columns become visible under {None, <name>, ...} (ast_to_ir.py:444-468)
+    val src = compileTable(sel.from.source, env)
+    val srcName = bindingName(sel.from)
+    var df = src.df
+    var scope = src.cols.map(c => c.copy(namespaces = c.namespaces + None ++ srcName.map(Some(_))))
+    var ordCols = src.ordCols
+
+    // JOINs: right columns appended after left (left-wins unqualified shadowing,
+    // ast_to_ir.py:499-526); the raw ON predicate goes straight to Catalyst,
+    // which extracts equi-keys (replacing the reference's cartesian+mask plan).
+    for (jc <- sel.joins) {
+      val right = compileTable(jc.table.source, env)
+      val joinName = bindingName(jc.table)
+      val rightScope = right.cols.map(c => c.copy(namespaces = c.namespaces ++ joinName.map(Some(_))))
+      val combined = scope ++ rightScope
+      val condition = jc.constraint match {
+        case JoinOn(pred) =>
+          val p = compileExpr(pred, combined)
+          if (p.dtype != TBool)
+            typeErr(jc.pos, s"JOIN ON predicate must be BOOL, got ${p.dtype.name}")
+          p.col
+        case JoinUsing(names) =>
+          names.map { n =>
+            val lc = resolve(scope, None, n, jc.pos)
+            val rc = resolve(rightScope, None, n, jc.pos)
+            if (lc.dtype != rc.dtype)
+              typeErr(jc.pos, s"USING($n) column types differ: ${lc.dtype.name} vs ${rc.dtype.name}")
+            col(lc.internal) === col(rc.internal)
+          }.reduce(_ && _)
+      }
+      df = df.join(right.df, condition, "inner")
+      scope = combined
+      ordCols = ordCols ++ right.ordCols
+    }
+
+    // WHERE: boolean mask; null-predicate rows dropped (identical to pac.filter)
+    for (pred <- sel.where) {
+      val p = compileExpr(pred, scope)
+      if (p.dtype != TBool) typeErr(sel.pos, s"WHERE predicate must be BOOL, got ${p.dtype.name}")
+      df = df.filter(p.col)
+    }
+
+    sel.groupBy match {
+      case Some(gb) => compileGroupedProjection(sel, gb, df, scope, ordCols)
+      case None =>
+        val out = projectBindings(sel, scope)
+        val projected = df.select(out.map { case (name @ _, internal, tc) =>
+          tc.col.as(internal)
+        } ++ ordCols.map(col): _*)
+        val cols = out.map { case (name, internal, tc) => SCol(name, internal, Set(None), tc.dtype) }
+        applyDistinct(sel, CTable(projected, cols, ordCols))
+    }
+  }
+
+  /** Expand bindings against the scope and apply the reference's dict-dedup:
+    * position of first occurrence, expression of last
+    * (ast_to_ir.py:622-628 — Python dict insert-order semantics).
+    */
+  private def projectBindings(sel: SelectExpr, scope: List[SCol]): List[(String, String, TypedCol)] = {
+    val byName = mutable.LinkedHashMap.empty[String, TypedCol]
+    for (binding <- sel.bindings) binding match {
+      case WildcardBinding(_) =>
+        for (c <- scope) byName(c.name) = TypedCol(col(c.internal), c.dtype)
+      case ExprBinding(e, alias) =>
+        val name = alias.getOrElse(e match {
+          case ColumnRef(_, n, _) => n
+          case other =>
+            throw DtlError("no name could be derived for expression; add AS <name>",
+              other.pos.line, other.pos.col)
+        })
+        byName(name) = compileExpr(e, scope)
+    }
+    byName.toList.map { case (name, tc) => (name, fresh(), tc) }
+  }
+
+  /** GROUP [CONSECUTIVE] BY (reference parses but raises NotImplementedError,
+    * ast_to_ir.py:619-620; SURVEY.md §2 B3). Semantics defined here:
+    * non-aggregate bindings must structurally match a group key; aggregate
+    * calls apply over each group. Plain GROUP BY maps to a shuffle-partial
+    * hash aggregate; CONSECUTIVE assigns run-ids over the hidden order column
+    * first (change-point detection via lag+sum window) then groups by run.
+    */
+  private def compileGroupedProjection(
+      sel: SelectExpr, gb: GroupBy, df0: DataFrame,
+      scope: List[SCol], ordCols: List[String]): CTable = {
+    var df = df0
+    val keyExprs = gb.keys.map(k => (k, compileExpr(k, scope)))
+    val keyInternals = keyExprs.map(_ => fresh("k"))
+
+    val stripped = keyExprs.map { case (k, _) => strip(k) }
+    def keyIndexOf(e: Expr): Option[Int] = {
+      val s = strip(e)
+      val i = stripped.indexOf(s)
+      if (i >= 0) Some(i) else None
+    }
+
+    // materialize key columns (and run-ids for CONSECUTIVE) before grouping
+    val withKeys = df.select(
+      (col("*") +: keyExprs.zip(keyInternals).map { case ((_, tc), n) => tc.col.as(n) }): _*)
+    df = withKeys
+
+    val runCol: Option[String] = if (gb.consecutive) {
+      if (ordCols.isEmpty)
+        throw DtlError("GROUP CONSECUTIVE BY requires a defined row order " +
+          "(source rows must flow directly from imports)", sel.pos.line, sel.pos.col)
+      import org.apache.spark.sql.expressions.Window
+      // Change-point detection over the global row order. NOTE: single-partition
+      // window — consecutive semantics are inherently sequential; documented
+      // scale limit (SURVEY.md §7 risk 2).
+      val w = Window.orderBy(ordCols.map(col): _*)
+      val changed = keyInternals.map(k =>
+        (lag(col(k), 1).over(w) =!= col(k)) || lag(col(k), 1).over(w).isNull)
+        .reduce(_ || _)
+      val run = fresh("run")
+      df = df.withColumn(run, sum(when(changed, 1L).otherwise(0L))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      Some(run)
+    } else None
+
+    val groupCols = keyInternals.map(col) ++ runCol.map(col)
+    val grouped = df.groupBy(groupCols: _*)
+
+    // classify bindings: aggregate call vs group-key reference
+    val out = mutable.LinkedHashMap.empty[String, (TypedCol, Boolean)] // (expr, isKey)
+    for (binding <- sel.bindings) binding match {
+      case WildcardBinding(p) =>
+        throw DtlError("SELECT * is not allowed with GROUP BY", p.line, p.col)
+      case ExprBinding(e, alias) =>
+        val name = alias.getOrElse(e match {
+          case ColumnRef(_, n, _) => n
+          case other => throw DtlError(
+            "no name could be derived for expression; add AS <name>", other.pos.line, other.pos.col)
+        })
+        e match {
+          case FuncCall(fn, args, p) if registry.aggregates.contains(fn) =>
+            val compiled = registry.aggregates(fn)(args.map(compileExpr(_, scope)), p)
+            out(name) = (compiled, false)
+          case _ =>
+            keyIndexOf(e) match {
+              case Some(i) =>
+                out(name) = (TypedCol(col(keyInternals(i)), keyExprs(i)._2.dtype), true)
+              case None => throw DtlError(
+                "expression in grouped SELECT must be an aggregate or match a GROUP BY key",
+                e.pos.line, e.pos.col)
+            }
+        }
+    }
+    if (out.isEmpty) throw DtlError("grouped SELECT needs at least one column", sel.pos.line, sel.pos.col)
+
+    val aggExprs = out.toList.map { case (name @ _, (tc, isKey)) =>
+      val internal = fresh()
+      (name, internal, tc, isKey)
+    }
+    val keyPart = aggExprs.filter(_._4).map { case (_, internal, tc, _) => tc.col.as(internal) }
+    val aggPart = aggExprs.filterNot(_._4).map { case (_, internal, tc, _) => tc.col.as(internal) }
+    // groupBy(keys).agg(...) needs at least one aggregate; synthesize a dropped one
+    val aggList = if (aggPart.isEmpty) List(count(lit(1)).as(fresh("drop"))) else aggPart
+    var result = grouped.agg(aggList.head, aggList.tail: _*)
+    // project to output order: keys come from the grouping columns
+    val outProj = aggExprs.map { case (_, internal, tc, isKey) =>
+      if (isKey) tc.col.as(internal) else col(internal)
+    }
+    result = result.select(outProj: _*)
+    val cols = aggExprs.map { case (name, internal, tc, _) => SCol(name, internal, Set(None), tc.dtype) }
+    applyDistinct(sel, CTable(result, cols, Nil))
+  }
+
+  /** DISTINCT / DISTINCT CONSECUTIVE (reference parses then silently ignores —
+    * SURVEY.md §2 B1/B2; intended semantics from nodes.py:169-173).
+    */
+  private def applyDistinct(sel: SelectExpr, t: CTable): CTable = sel.distinct match {
+    case NoDistinct => t
+    case DistinctRows =>
+      val visible = t.cols.map(_.internal)
+      if (t.ordCols.isEmpty) t.copy(df = t.df.dropDuplicates(visible))
+      else {
+        // preserve first-occurrence order so downstream consecutive ops stay legal
+        val aggs = t.ordCols.map(o => min(col(o)).as(o))
+        val deduped = t.df.groupBy(visible.map(col): _*).agg(aggs.head, aggs.tail: _*)
+        t.copy(df = deduped)
+      }
+    case DistinctConsecutive =>
+      if (t.ordCols.isEmpty)
+        throw DtlError("DISTINCT CONSECUTIVE requires a defined row order " +
+          "(source rows must flow directly from imports)", sel.pos.line, sel.pos.col)
+      import org.apache.spark.sql.expressions.Window
+      // sequential by nature: single-partition window (documented scale limit)
+      val w = Window.orderBy(t.ordCols.map(col): _*)
+      val visible = t.cols.map(_.internal)
+      val sameAsPrev = visible.map(c => lag(col(c), 1).over(w) <=> col(c)).reduce(_ && _)
+      val keep = fresh("keep")
+      val filtered = t.df.withColumn(keep, !sameAsPrev).filter(col(keep)).drop(keep)
+      t.copy(df = filtered)
+  }
+
+  /** Strip positions for structural comparison of GROUP BY keys vs bindings. */
+  private def strip(e: Expr): Any = e match {
+    case BoolLit(v, _) => ("b", v)
+    case IntLit(v, _) => ("i", v)
+    case FloatLit(v, _) => ("f", v)
+    case StringLit(v, _) => ("s", v)
+    case ColumnRef(t, n, _) => ("c", t, n)
+    case FuncCall(n, args, _) => ("fn", n, args.map(strip))
+    case Binary(op, l, r, _) => ("bin", op, strip(l), strip(r))
+    case Unary(op, o, _) => ("un", op, strip(o))
+  }
+
+  /** User-facing DataFrame: internal names → output names, hidden columns dropped. */
+  def materialize(t: CTable): DataFrame =
+    t.df.select(t.cols.map(c => col(c.internal).as(c.name)): _*)
+}

@@ -1,0 +1,55 @@
+package graft.dtl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.mutable
+import Ast._
+
+/** DTL engine entry points, mirroring the reference's
+  * `dtl.run(source, importer, exporter, tracer)` (eval.py:447-543) and
+  * `dtl.run_simple(source, inputs)` (eval.py:546-554).
+  *
+  * Unlike the reference's eager sequential interpreter, compilation here only
+  * *declares* lazy DataFrame plans; Spark materializes them at EXPORT, with
+  * Catalyst CSE/pushdown/join-selection replacing the reference's TODO
+  * optimizer slots (eval.py:469-474).
+  */
+final class Engine(
+    val spark: SparkSession,
+    val registry: FunctionRegistry = FunctionRegistry.default) {
+
+  def run(source: String, importer: Importer, exporter: Exporter): Unit = {
+    val stmts = Parser.parse(source)
+    val compiler = new Compiler(importer, registry, needsOrder = usesConsecutive(stmts))
+    val env = mutable.Map.empty[String, compiler.CTable]
+    for (stmt <- stmts) stmt match {
+      case WithStmt(name, body, _) =>
+        env(name) = compiler.compileTable(body, env)
+      case ExportStmt(body, location, _) =>
+        exporter.exportTable(location, compiler.materialize(compiler.compileTable(body, env)))
+    }
+  }
+
+  /** Test/embedding surface: named input DataFrames in, exported DataFrames out. */
+  def runSimple(source: String, inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
+    val exporter = new InMemoryExporter
+    run(source, new InMemoryImporter(inputs), exporter)
+    exporter.results
+  }
+
+  /** Consecutive operators need a hidden row-order column threaded from
+    * imports; scan the AST so everything else pays zero overhead.
+    */
+  private def usesConsecutive(stmts: List[Statement]): Boolean = {
+    def inTable(te: TableExpr): Boolean = te match {
+      case s: SelectExpr =>
+        s.distinct == DistinctConsecutive ||
+          s.groupBy.exists(_.consecutive) ||
+          inTable(s.from.source) || s.joins.exists(j => inTable(j.table.source))
+      case _ => false
+    }
+    stmts.exists {
+      case WithStmt(_, body, _) => inTable(body)
+      case ExportStmt(body, _, _) => inTable(body)
+    }
+  }
+}

@@ -1,0 +1,152 @@
+package graft.dtl
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import DType._
+import Ast.Pos
+
+/** A column expression paired with its DTL static type. */
+final case class TypedCol(col: Column, dtype: DType)
+
+/** Name-dispatched function registry — the extension point the reference
+  * seeds with only `add` (/root/reference/src/dtl/ast_to_ir.py:195-222).
+  * Scalar functions map to codegen'd Spark builtins (never UDFs); aggregate
+  * functions power GROUP BY (which the reference parses but never compiles —
+  * SURVEY.md §2 B3 — and whose grammar has no aggregates at all, so this set
+  * is our §7.4 extension).
+  */
+final class FunctionRegistry(
+    val scalars: Map[String, (List[TypedCol], Pos) => TypedCol],
+    val aggregates: Map[String, (List[TypedCol], Pos) => TypedCol]) {
+  def withScalar(name: String)(fn: (List[TypedCol], Pos) => TypedCol): FunctionRegistry =
+    new FunctionRegistry(scalars + (name -> fn), aggregates)
+}
+
+object FunctionRegistry {
+  private def fail(pos: Pos, msg: String) = throw DtlError(s"Type error: $msg", pos.line, pos.col)
+
+  private def arity(name: String, n: Int)(
+      fn: (List[TypedCol], Pos) => TypedCol): (String, (List[TypedCol], Pos) => TypedCol) =
+    name -> { (args: List[TypedCol], pos: Pos) =>
+      if (args.length != n) fail(pos, s"$name expects $n argument(s), got ${args.length}")
+      fn(args, pos)
+    }
+
+  private def numeric1(name: String)(fn: TypedCol => TypedCol) =
+    arity(name, 1) { (args, pos) =>
+      if (!isNumeric(args.head.dtype)) fail(pos, s"$name expects a numeric argument")
+      fn(args.head)
+    }
+
+  private def text1(name: String, out: DType = TText)(fn: Column => Column) =
+    arity(name, 1) { (args, pos) =>
+      if (args.head.dtype != TText) fail(pos, s"$name expects a TEXT argument")
+      TypedCol(fn(args.head.col), out)
+    }
+
+  private def temporal1(name: String)(fn: Column => Column) =
+    arity(name, 1) { (args, pos) =>
+      if (args.head.dtype != TTimestamp && args.head.dtype != TDate)
+        fail(pos, s"$name expects a TIMESTAMP or DATE argument")
+      TypedCol(fn(args.head.col), TInt32)
+    }
+
+  val defaultScalars: Map[String, (List[TypedCol], Pos) => TypedCol] = Map(
+    // the one function the reference implements (ast_to_ir.py:202)
+    arity("add", 2) { (args, pos) =>
+      val List(a, b) = args
+      if (a.dtype != b.dtype || !isNumeric(a.dtype))
+        fail(pos, s"add expects two arguments of the same numeric type, got ${a.dtype.name} and ${b.dtype.name}")
+      TypedCol(a.col + b.col, a.dtype)
+    },
+    numeric1("abs")(a => TypedCol(abs(a.col), a.dtype)),
+    numeric1("floor")(a => TypedCol(
+      if (a.dtype == TDouble) floor(a.col).cast("double") else a.col, a.dtype)),
+    numeric1("ceil")(a => TypedCol(
+      if (a.dtype == TDouble) ceil(a.col).cast("double") else a.col, a.dtype)),
+    numeric1("sqrt")(a => TypedCol(sqrt(a.col), TDouble)),
+    numeric1("exp")(a => TypedCol(exp(a.col), TDouble)),
+    numeric1("ln")(a => TypedCol(log(a.col), TDouble)),
+    numeric1("round")(a => TypedCol(
+      if (a.dtype == TDouble) round(a.col, 0) else a.col, a.dtype)),
+    text1("upper")(upper),
+    text1("lower")(lower),
+    text1("trim")(trim),
+    text1("length", TInt32)(length),
+    arity("substr", 3) { (args, pos) =>
+      val List(s, start, len) = args
+      if (s.dtype != TText || start.dtype != TInt64 || len.dtype != TInt64)
+        fail(pos, "substr expects (TEXT, INT64, INT64)")
+      TypedCol(s.col.substr(start.col.cast("int"), len.col.cast("int")), TText)
+    },
+    arity("concat", 2) { (args, pos) =>
+      if (args.exists(_.dtype != TText)) fail(pos, "concat expects TEXT arguments")
+      TypedCol(concat(args.map(_.col): _*), TText)
+    },
+    arity("replace", 3) { (args, pos) =>
+      if (args.exists(_.dtype != TText)) fail(pos, "replace expects TEXT arguments")
+      TypedCol(replace(args(0).col, args(1).col, args(2).col), TText)
+    },
+    arity("contains", 2) { (args, pos) =>
+      if (args.exists(_.dtype != TText)) fail(pos, "contains expects TEXT arguments")
+      TypedCol(args(0).col.contains(args(1).col), TBool)
+    },
+    arity("starts_with", 2) { (args, pos) =>
+      if (args.exists(_.dtype != TText)) fail(pos, "starts_with expects TEXT arguments")
+      TypedCol(args(0).col.startsWith(args(1).col), TBool)
+    },
+    arity("ends_with", 2) { (args, pos) =>
+      if (args.exists(_.dtype != TText)) fail(pos, "ends_with expects TEXT arguments")
+      TypedCol(args(0).col.endsWith(args(1).col), TBool)
+    },
+    arity("coalesce", 2) { (args, pos) =>
+      if (args(0).dtype != args(1).dtype)
+        fail(pos, s"coalesce arguments must share a type, got ${args(0).dtype.name} and ${args(1).dtype.name}")
+      TypedCol(coalesce(args(0).col, args(1).col), args(0).dtype)
+    },
+    temporal1("year")(year),
+    temporal1("month")(month),
+    temporal1("day")(dayofmonth),
+    arity("if", 3) { (args, pos) =>
+      val List(c, a, b) = args
+      if (c.dtype != TBool) fail(pos, "if expects a BOOL condition")
+      if (a.dtype != b.dtype)
+        fail(pos, s"if branches must share a type, got ${a.dtype.name} and ${b.dtype.name}")
+      TypedCol(when(c.col, a.col).otherwise(b.col), a.dtype)
+    }
+  )
+
+  val defaultAggregates: Map[String, (List[TypedCol], Pos) => TypedCol] = Map(
+    arity("sum", 1) { (args, pos) =>
+      val a = args.head
+      if (!isNumeric(a.dtype)) fail(pos, "sum expects a numeric argument")
+      val out = if (a.dtype == TDouble) TDouble else TInt64
+      TypedCol(sum(a.col), out)
+    },
+    "count" -> { (args: List[TypedCol], pos: Pos) =>
+      args match {
+        case Nil => TypedCol(count(lit(1)), TInt64)
+        case a :: Nil => TypedCol(count(a.col), TInt64)
+        case _ => fail(pos, "count expects zero or one argument")
+      }
+    },
+    arity("min", 1) { (args, pos) =>
+      if (!isOrderable(args.head.dtype)) fail(pos, "min expects an orderable argument")
+      TypedCol(min(args.head.col), args.head.dtype)
+    },
+    arity("max", 1) { (args, pos) =>
+      if (!isOrderable(args.head.dtype)) fail(pos, "max expects an orderable argument")
+      TypedCol(max(args.head.col), args.head.dtype)
+    },
+    arity("avg", 1) { (args, pos) =>
+      if (!isNumeric(args.head.dtype)) fail(pos, "avg expects a numeric argument")
+      TypedCol(avg(args.head.col), TDouble)
+    },
+    arity("count_distinct", 1) { (args, pos) =>
+      TypedCol(countDistinct(args.head.col), TInt64)
+    }
+  )
+
+  val default: FunctionRegistry =
+    new FunctionRegistry(defaultScalars, defaultAggregates)
+}

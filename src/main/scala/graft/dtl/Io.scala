@@ -1,0 +1,45 @@
+package graft.dtl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.mutable
+
+/** Importer/Exporter abstraction, mirroring the reference's io layer
+  * (/root/reference/src/dtl/io.py): filesystem parquet variants resolving
+  * `<dir>/<name>.parquet`, and in-memory variants backing `runSimple`
+  * (io.py:20-28, 55-64). Duplicate export names are an error (io.py:60).
+  */
+trait Importer {
+  def importTable(name: String): DataFrame
+}
+
+trait Exporter {
+  def exportTable(name: String, df: DataFrame): Unit
+}
+
+final class FilesystemImporter(spark: SparkSession, inputDir: String) extends Importer {
+  private val cache = mutable.Map.empty[String, DataFrame]
+  def importTable(name: String): DataFrame =
+    cache.getOrElseUpdate(name, spark.read.parquet(s"$inputDir/$name.parquet"))
+}
+
+final class FilesystemExporter(outputDir: String) extends Exporter {
+  private val seen = mutable.Set.empty[String]
+  def exportTable(name: String, df: DataFrame): Unit = {
+    if (!seen.add(name)) throw DtlError(s"duplicate export: '$name'")
+    df.write.mode("overwrite").parquet(s"$outputDir/$name.parquet")
+  }
+}
+
+final class InMemoryImporter(tables: Map[String, DataFrame]) extends Importer {
+  def importTable(name: String): DataFrame =
+    tables.getOrElse(name, throw DtlError(s"unknown import: '$name'"))
+}
+
+final class InMemoryExporter extends Exporter {
+  private val out = mutable.LinkedHashMap.empty[String, DataFrame]
+  def exportTable(name: String, df: DataFrame): Unit = {
+    if (out.contains(name)) throw DtlError(s"duplicate export: '$name'")
+    out(name) = df
+  }
+  def results: Map[String, DataFrame] = out.toMap
+}

@@ -1,0 +1,243 @@
+package graft.dtl
+
+import Ast._
+
+/** Recursive-descent / precedence-climbing parser for DTL.
+  *
+  * Grammar follows the reference's LALR productions
+  * (/root/reference/src/dtl/parser.py:69-320) with its declared precedence
+  * (comparisons < additive < multiplicative, all left-associative,
+  * parser.py:183-187) extended below comparisons with OR < AND < NOT.
+  * Statements: `WITH name AS <table-expr>;` and `EXPORT <table-expr> TO 's';`.
+  */
+final class Parser(tokens: Vector[Token]) {
+  private var i = 0
+  private def cur: Token = tokens(i)
+  private def pos: Pos = Pos(cur.line, cur.col)
+  private def err(msg: String) = throw DtlError(s"$msg, found '${cur.text}'", cur.line, cur.col)
+  private def advance(): Token = { val t = cur; i += 1; t }
+
+  private def isKw(k: String): Boolean = cur match {
+    case Token.Keyword(t, _, _) => t == k
+    case _ => false
+  }
+  private def isPunct(p: String): Boolean = cur match {
+    case Token.Punct(t, _, _) => t == p
+    case _ => false
+  }
+  private def eatKw(k: String): Unit = if (isKw(k)) { advance(); () } else err(s"expected $k")
+  private def eatPunct(p: String): Unit = if (isPunct(p)) { advance(); () } else err(s"expected '$p'")
+  private def eatName(): String = cur match {
+    case Token.Name(t, _, _) => advance(); t
+    case Token.QuotedName(t, _, _) => advance(); t
+    case _ => err("expected identifier")
+  }
+  private def eatString(): String = cur match {
+    case Token.StringLit(v, _, _, _) => advance(); v
+    case _ => err("expected string literal")
+  }
+
+  def parseStatements(): List[Statement] = {
+    val stmts = List.newBuilder[Statement]
+    while (!cur.isInstanceOf[Token.Eof]) {
+      stmts += parseStatement()
+    }
+    stmts.result()
+  }
+
+  private def parseStatement(): Statement = {
+    val p = pos
+    if (isKw("WITH")) {
+      advance()
+      val name = eatName()
+      eatKw("AS")
+      val body = parseTableExpr()
+      eatPunct(";")
+      WithStmt(name, body, p)
+    } else if (isKw("EXPORT")) {
+      advance()
+      val body = parseTableExpr()
+      eatKw("TO")
+      val loc = eatString()
+      eatPunct(";")
+      ExportStmt(body, loc, p)
+    } else err("expected WITH or EXPORT")
+  }
+
+  def parseTableExpr(): TableExpr = {
+    val p = pos
+    if (isKw("IMPORT")) { advance(); ImportExpr(eatString(), p) }
+    else if (isKw("SELECT")) parseSelect()
+    else TableRef(eatName(), p)
+  }
+
+  private def parseSelect(): SelectExpr = {
+    val p = pos
+    eatKw("SELECT")
+    val distinct =
+      if (isKw("DISTINCT")) {
+        advance()
+        if (isKw("CONSECUTIVE")) { advance(); DistinctConsecutive } else DistinctRows
+      } else NoDistinct
+    val bindings = List.newBuilder[Binding]
+    bindings += parseBinding()
+    while (isPunct(",")) { advance(); bindings += parseBinding() }
+    eatKw("FROM")
+    val from = parseTableBinding()
+    val joins = List.newBuilder[JoinClause]
+    while (isKw("JOIN") || (isPunct(",") && peekIsJoin)) {
+      if (isPunct(",")) advance() // reference delimits JOIN clauses with commas
+      val jp = pos
+      eatKw("JOIN")
+      val tb = parseTableBinding()
+      val constraint =
+        if (isKw("ON")) { advance(); JoinOn(parseExpr()) }
+        else if (isKw("USING")) {
+          advance(); eatPunct("(")
+          val cols = List.newBuilder[String]
+          cols += eatName()
+          while (isPunct(",")) { advance(); cols += eatName() }
+          eatPunct(")")
+          JoinUsing(cols.result())
+        } else err("expected ON or USING")
+      joins += JoinClause(tb, constraint, jp)
+    }
+    val where = if (isKw("WHERE")) { advance(); Some(parseExpr()) } else None
+    val groupBy =
+      if (isKw("GROUP")) {
+        advance()
+        val consecutive = if (isKw("CONSECUTIVE")) { advance(); true } else false
+        eatKw("BY")
+        val keys = List.newBuilder[Expr]
+        keys += parseExpr()
+        while (isPunct(",")) { advance(); keys += parseExpr() }
+        Some(GroupBy(consecutive, keys.result()))
+      } else None
+    SelectExpr(distinct, bindings.result(), from, joins.result(), where, groupBy, p)
+  }
+
+  private def peekIsJoin: Boolean =
+    i + 1 < tokens.length && (tokens(i + 1) match {
+      case Token.Keyword("JOIN", _, _) => true
+      case _ => false
+    })
+
+  private def parseTableBinding(): TableBinding = {
+    val source: TableExpr =
+      if (isPunct("(")) { advance(); val te = parseTableExpr(); eatPunct(")"); te }
+      else TableRef(eatName(), pos)
+    val alias = if (isKw("AS")) { advance(); Some(eatName()) } else None
+    TableBinding(source, alias)
+  }
+
+  private def parseBinding(): Binding = {
+    val p = pos
+    if (isPunct("*")) { advance(); WildcardBinding(p) }
+    else {
+      val e = parseExpr()
+      val alias = if (isKw("AS")) { advance(); Some(eatName()) } else None
+      ExprBinding(e, alias)
+    }
+  }
+
+  // --- expressions: OR < AND < NOT < comparison < additive < multiplicative ---
+
+  def parseExpr(): Expr = parseOr()
+
+  private def parseOr(): Expr = {
+    var left = parseAnd()
+    while (isKw("OR") || isPunct("|") || isPunct("||")) {
+      val p = Pos(cur.line, cur.col); advance()
+      left = Binary("or", left, parseAnd(), p)
+    }
+    left
+  }
+
+  private def parseAnd(): Expr = {
+    var left = parseNot()
+    while (isKw("AND") || isPunct("&") || isPunct("&&")) {
+      val p = Pos(cur.line, cur.col); advance()
+      left = Binary("and", left, parseNot(), p)
+    }
+    left
+  }
+
+  private def parseNot(): Expr =
+    if (isKw("NOT") || isPunct("!")) {
+      val p = Pos(cur.line, cur.col); advance()
+      Unary("not", parseNot(), p)
+    } else parseCmp()
+
+  private def parseCmp(): Expr = {
+    var left = parseAdd()
+    while (isPunct("=") || isPunct("!=") || isPunct("<") || isPunct("<=") ||
+           isPunct(">") || isPunct(">=")) {
+      val op = cur.text; val p = Pos(cur.line, cur.col); advance()
+      left = Binary(op, left, parseAdd(), p)
+    }
+    left
+  }
+
+  private def parseAdd(): Expr = {
+    var left = parseMul()
+    while (isPunct("+") || isPunct("-")) {
+      val op = cur.text; val p = Pos(cur.line, cur.col); advance()
+      left = Binary(op, left, parseMul(), p)
+    }
+    left
+  }
+
+  private def parseMul(): Expr = {
+    var left = parseUnary()
+    while (isPunct("*") || isPunct("/") || isPunct("%")) {
+      val op = cur.text; val p = Pos(cur.line, cur.col); advance()
+      left = Binary(op, left, parseUnary(), p)
+    }
+    left
+  }
+
+  private def parseUnary(): Expr =
+    if (isPunct("-")) {
+      val p = Pos(cur.line, cur.col); advance()
+      Unary("neg", parseUnary(), p)
+    } else parseAtom()
+
+  private def parseAtom(): Expr = {
+    val p = pos
+    cur match {
+      case Token.Keyword("TRUE", _, _) => advance(); BoolLit(true, p)
+      case Token.Keyword("FALSE", _, _) => advance(); BoolLit(false, p)
+      case Token.IntLit(v, _, _, _) => advance(); IntLit(v, p)
+      case Token.FloatLit(v, _, _, _) => advance(); FloatLit(v, p)
+      case Token.StringLit(v, _, _, _) => advance(); StringLit(v, p)
+      case Token.Punct("(", _, _) =>
+        advance(); val e = parseExpr(); eatPunct(")"); e
+      case Token.Name(n, _, _) =>
+        advance()
+        if (isPunct("(")) {
+          advance()
+          val args = List.newBuilder[Expr]
+          if (!isPunct(")")) {
+            args += parseExpr()
+            while (isPunct(",")) { advance(); args += parseExpr() }
+          }
+          eatPunct(")")
+          FuncCall(n, args.result(), p)
+        } else if (isPunct(".")) {
+          advance()
+          val colName = eatName()
+          ColumnRef(Some(n), colName, p)
+        } else ColumnRef(None, n, p)
+      case Token.QuotedName(n, _, _) =>
+        advance()
+        if (isPunct(".")) { advance(); ColumnRef(Some(n), eatName(), p) }
+        else ColumnRef(None, n, p)
+      case _ => err("expected expression")
+    }
+  }
+}
+
+object Parser {
+  def parse(source: String): List[Statement] =
+    new Parser(Lexer.lex(source)).parseStatements()
+}

@@ -1,0 +1,46 @@
+package graft.dtl
+
+import org.apache.spark.sql.types._
+
+/** DTL's strict static type system (reference: ir.DType, ir.py:11-19;
+  * arrow→dtype map ast_to_ir.py:636-650). No implicit coercion anywhere:
+  * `INT64 + DOUBLE` is a compile-time error, integer literals are always
+  * INT64 (ast_to_ir.py:164-169, 235-238).
+  *
+  * Divergence from the reference (deliberate, SURVEY.md §2 D): Spark types
+  * outside the DTL map (arrays, structs, decimals, ...) become [[TExt]] —
+  * they can be selected, renamed and exported but not operated on, instead of
+  * failing the whole import. This keeps e.g. the embeddings table importable
+  * while preserving strictness for operations.
+  */
+sealed trait DType { def name: String }
+object DType {
+  case object TBool extends DType { val name = "BOOL" }
+  case object TInt32 extends DType { val name = "INT32" }
+  case object TInt64 extends DType { val name = "INT64" }
+  case object TDouble extends DType { val name = "DOUBLE" }
+  case object TText extends DType { val name = "TEXT" }
+  case object TBytes extends DType { val name = "BYTES" }
+  case object TTimestamp extends DType { val name = "TIMESTAMP" }
+  case object TDate extends DType { val name = "DATE" }
+  final case class TExt(sparkType: DataType) extends DType {
+    def name = s"EXT(${sparkType.simpleString})"
+  }
+
+  def fromSpark(t: DataType): DType = t match {
+    case BooleanType => TBool
+    case IntegerType | ShortType | ByteType => TInt32
+    case LongType => TInt64
+    case FloatType | DoubleType => TDouble
+    case StringType => TText
+    case BinaryType => TBytes
+    case TimestampType | TimestampNTZType => TTimestamp
+    case DateType => TDate
+    case other => TExt(other)
+  }
+
+  def isNumeric(t: DType): Boolean =
+    t == TInt32 || t == TInt64 || t == TDouble
+  def isOrderable(t: DType): Boolean =
+    isNumeric(t) || t == TText || t == TTimestamp || t == TDate || t == TBool
+}

@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.dtl.{Engine, FilesystemImporter, InMemoryExporter}
+
+/** DTL-language queries run through the full engine pipeline
+  * (lex → parse → analyze → compile → Spark) against the testdata, each with
+  * a DuckDB oracle. This puts the language surface itself — not just the
+  * DataFrame layer — under the driver's correctness gate.
+  *
+  * Constants avoid mixed-type literals because DTL typing is strict
+  * (SURVEY.md §1.2): DOUBLE columns compare against float literals, INT64
+  * against integer literals. l_quantity is integral-valued, so its sums are
+  * exact in IEEE double and safe to hash-compare unrounded.
+  */
+object DtlQueries {
+  private def run(s: SparkSession, dir: String, source: String): DataFrame = {
+    val exporter = new InMemoryExporter
+    new Engine(s).run(source, new FilesystemImporter(s, dir), exporter)
+    exporter.results("output")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dtl_project_rename" -> ((s, d) => run(s, d,
+      """WITH lineitem AS IMPORT 'lineitem';
+        |WITH output AS SELECT l_orderkey AS okey, l_linenumber AS line, l_quantity AS qty FROM lineitem;
+        |EXPORT output TO 'output';""".stripMargin)),
+
+    "dtl_filter_where" -> ((s, d) => run(s, d,
+      """WITH lineitem AS IMPORT 'lineitem';
+        |WITH output AS
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice
+        |  FROM lineitem
+        |  WHERE l_quantity > 45.0 AND l_discount < 0.05;
+        |EXPORT output TO 'output';""".stripMargin)),
+
+    "dtl_theta_join" -> ((s, d) => run(s, d,
+      """WITH customer AS IMPORT 'customer';
+        |WITH orders AS IMPORT 'orders';
+        |WITH output AS
+        |  SELECT o_orderkey, c_name, o_totalprice
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_totalprice > 490000.0;
+        |EXPORT output TO 'output';""".stripMargin)),
+
+    "dtl_arithmetic" -> ((s, d) => run(s, d,
+      """WITH lineitem AS IMPORT 'lineitem';
+        |WITH output AS
+        |  SELECT l_orderkey, l_linenumber,
+        |         l_extendedprice * (1.0 - l_discount) AS disc_price,
+        |         l_orderkey % 10 AS bucket,
+        |         l_orderkey / 100 AS chunk
+        |  FROM lineitem;
+        |EXPORT output TO 'output';""".stripMargin)),
+
+    "dtl_group_agg" -> ((s, d) => run(s, d,
+      """WITH lineitem AS IMPORT 'lineitem';
+        |WITH output AS
+        |  SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+        |         count() AS n, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |  FROM lineitem
+        |  GROUP BY l_returnflag;
+        |EXPORT output TO 'output';""".stripMargin)),
+
+    "dtl_distinct" -> ((s, d) => run(s, d,
+      """WITH customer AS IMPORT 'customer';
+        |WITH output AS SELECT DISTINCT c_mktsegment FROM customer;
+        |EXPORT output TO 'output';""".stripMargin)),
+
+    "dtl_multi_join" -> ((s, d) => run(s, d,
+      """WITH customer AS IMPORT 'customer';
+        |WITH nation AS IMPORT 'nation';
+        |WITH region AS IMPORT 'region';
+        |WITH output AS
+        |  SELECT c_custkey, n_name, r_name
+        |  FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA';
+        |EXPORT output TO 'output';""".stripMargin)),
+
+    "dtl_join_using" -> ((s, d) => run(s, d,
+      """WITH supplier AS IMPORT 'supplier';
+        |WITH nation AS IMPORT 'nation';
+        |WITH snat AS SELECT s_suppkey, s_name, s_nationkey AS n_nationkey FROM supplier;
+        |WITH output AS
+        |  SELECT s_suppkey, s_name, nation.n_name AS nation_name
+        |  FROM snat
+        |  JOIN nation USING (n_nationkey);
+        |EXPORT output TO 'output';""".stripMargin)),
+
+    "dtl_string_funcs" -> ((s, d) => run(s, d,
+      """WITH part AS IMPORT 'part';
+        |WITH output AS
+        |  SELECT p_partkey, upper(p_brand) AS ub, length(p_name) AS n,
+        |         contains(p_type, 'BRASS') AS has_brass
+        |  FROM part;
+        |EXPORT output TO 'output';""".stripMargin)),
+
+    "dtl_chained_with" -> ((s, d) => run(s, d,
+      """WITH orders AS IMPORT 'orders';
+        |WITH big AS SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_totalprice > 400000.0;
+        |WITH per_cust AS SELECT o_custkey, count() AS n_big, sum(o_totalprice) AS total FROM big GROUP BY o_custkey;
+        |WITH output AS SELECT o_custkey, n_big FROM per_cust WHERE n_big >= 2;
+        |EXPORT output TO 'output';""".stripMargin))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dtl_project_rename" ->
+      "SELECT l_orderkey AS okey, l_linenumber AS line, l_quantity AS qty FROM lineitem",
+    "dtl_filter_where" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |WHERE l_quantity > 45.0 AND l_discount < 0.05""".stripMargin,
+    "dtl_theta_join" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > 490000.0""".stripMargin,
+    "dtl_arithmetic" ->
+      """SELECT l_orderkey, l_linenumber,
+        | l_extendedprice * (1.0 - l_discount) AS disc_price,
+        | l_orderkey % 10 AS bucket,
+        | l_orderkey // 100 AS chunk
+        |FROM lineitem""".stripMargin,
+    "dtl_group_agg" ->
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n,
+        | min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "dtl_distinct" ->
+      "SELECT DISTINCT c_mktsegment FROM customer",
+    "dtl_multi_join" ->
+      """SELECT c_custkey, n_name, r_name
+        |FROM customer
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'""".stripMargin,
+    "dtl_join_using" ->
+      """SELECT s_suppkey, s_name, n_name AS nation_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
+    "dtl_string_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS ub,
+        | CAST(length(p_name) AS INTEGER) AS n,
+        | contains(p_type, 'BRASS') AS has_brass
+        |FROM part""".stripMargin,
+    "dtl_chained_with" ->
+      """SELECT o_custkey, count(*) AS n_big
+        |FROM orders WHERE o_totalprice > 400000.0
+        |GROUP BY o_custkey HAVING count(*) >= 2""".stripMargin
+  )
+}

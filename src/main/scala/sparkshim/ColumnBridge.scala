@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark's `private[sql]` Column↔Expression converters
+  * (org.apache.spark.sql.classic.ExpressionUtils, columnNodeSupport.scala in
+  * the Spark source). Needed to build Columns over Catalyst expressions that
+  * `functions._` does not expose (e.g. IntegralDivide for pyarrow-style
+  * integer division). Lives in the org.apache.spark.sql package solely to
+  * satisfy the access qualifier.
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

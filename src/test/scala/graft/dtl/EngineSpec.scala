@@ -1,0 +1,264 @@
+package graft.dtl
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Port of the reference's end-to-end interpreter tests
+  * (/root/reference/tests/test_interpreter.py:8-180) plus coverage for the
+  * surface the reference parsed-but-never-finished (SURVEY.md §2 B1-B7).
+  * Row order is compared as sorted sets — Spark output order is
+  * nondeterministic by design (FIXTURES.md §4).
+  */
+class EngineSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def engine = new Engine(spark)
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+
+  private def check(df: DataFrame, cols: Seq[String], expect: Seq[Seq[Any]]): Unit = {
+    assert(df.columns.toSeq == cols)
+    assert(rows(df) == expect.sortBy(_.mkString("|")))
+  }
+
+  // --- ports of the 8 reference cases ---
+
+  test("rename columns (test_interpreter.py:8-16)") {
+    val out = engine.runSimple(
+      """WITH input AS IMPORT 'input';
+        |WITH output AS SELECT old_column AS new_column FROM input;
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("input" -> Seq(1L, 2L, 3L, 4L).toDF("old_column")))
+    check(out("output"), Seq("new_column"), Seq(Seq(1L), Seq(2L), Seq(3L), Seq(4L)))
+  }
+
+  test("add function (test_interpreter.py:19-29)") {
+    val out = engine.runSimple(
+      """WITH input AS IMPORT 'input';
+        |WITH output AS SELECT a, b, add(a, b) AS c FROM input;
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("input" -> Seq((1L, 3L), (2L, 4L), (3L, 5L), (4L, 6L)).toDF("a", "b")))
+    check(out("output"), Seq("a", "b", "c"),
+      Seq(Seq(1L, 3L, 4L), Seq(2L, 4L, 6L), Seq(3L, 5L, 8L), Seq(4L, 6L, 10L)))
+  }
+
+  test("recursive add function (test_interpreter.py:32-46)") {
+    val out = engine.runSimple(
+      """WITH input AS IMPORT 'input';
+        |WITH output AS SELECT a, b, add(add(a, b), c) AS c FROM input;
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("input" -> Seq((1L, 3L, 6L), (2L, 4L, 5L), (3L, 5L, 4L), (4L, 6L, 3L)).toDF("a", "b", "c")))
+    check(out("output"), Seq("a", "b", "c"),
+      Seq(Seq(1L, 3L, 10L), Seq(2L, 4L, 11L), Seq(3L, 5L, 12L), Seq(4L, 6L, 13L)))
+  }
+
+  test("subtraction is left-associative (test_interpreter.py:49-59)") {
+    val out = engine.runSimple(
+      """WITH input AS IMPORT 'input';
+        |WITH output AS SELECT a - b - c AS r FROM input;
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("input" -> Seq((2L, 12L, 20L), (3L, 13L, 30L)).toDF("a", "b", "c")))
+    check(out("output"), Seq("r"), Seq(Seq(-30L), Seq(-40L)))
+  }
+
+  test("multiplication binds tighter than addition (test_interpreter.py:62-72)") {
+    val out = engine.runSimple(
+      """WITH input AS IMPORT 'input';
+        |WITH output AS SELECT a + b * c AS r FROM input;
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("input" -> Seq((12L, 2L, 10L), (54L, 3L, 20L)).toDF("a", "b", "c")))
+    check(out("output"), Seq("r"), Seq(Seq(32L), Seq(114L)))
+  }
+
+  test("equi-join; unqualified key resolves to left table (test_interpreter.py:75-107)") {
+    val out = engine.runSimple(
+      """WITH a AS IMPORT 'input_a';
+        |WITH b AS IMPORT 'input_b';
+        |WITH output AS
+        |    SELECT key, a.value AS a, b.value AS b
+        |    FROM a
+        |    JOIN b ON a.key = b.key;
+        |EXPORT output TO 'output';""".stripMargin,
+      Map(
+        "input_a" -> Seq((1L, "one"), (2L, "two"), (3L, "three"), (4L, "four"), (5L, "five")).toDF("key", "value"),
+        "input_b" -> Seq((4L, "FOUR"), (3L, "THREE"), (1L, "ONE")).toDF("key", "value")))
+    check(out("output"), Seq("key", "a", "b"),
+      Seq(Seq(1L, "one", "ONE"), Seq(3L, "three", "THREE"), Seq(4L, "four", "FOUR")))
+  }
+
+  test("literal broadcast (test_interpreter.py:110-118)") {
+    val out = engine.runSimple(
+      """WITH input AS IMPORT 'input';
+        |WITH output AS SELECT a + 1 AS a_plus_one FROM input;
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("input" -> Seq(1L, 2L, 3L).toDF("a")))
+    check(out("output"), Seq("a_plus_one"), Seq(Seq(2L), Seq(3L), Seq(4L)))
+  }
+
+  test("theta join on derived key (test_interpreter.py:121-153)") {
+    val out = engine.runSimple(
+      """WITH a AS IMPORT 'input_a';
+        |WITH b AS IMPORT 'input_b';
+        |WITH output AS
+        |    SELECT key, a.value AS a, b.value AS b
+        |    FROM a
+        |    JOIN b ON a.key + 1 = b.key;
+        |EXPORT output TO 'output';""".stripMargin,
+      Map(
+        "input_a" -> Seq((1L, "one"), (2L, "two"), (3L, "three"), (4L, "four"), (5L, "five")).toDF("key", "value"),
+        "input_b" -> Seq((4L, "FOUR"), (3L, "THREE"), (1L, "ONE")).toDF("key", "value")))
+    check(out("output"), Seq("key", "a", "b"),
+      Seq(Seq(2L, "two", "THREE"), Seq(3L, "three", "FOUR")))
+  }
+
+  test("WHERE with SELECT * (test_interpreter.py:156-180)") {
+    val out = engine.runSimple(
+      """WITH input AS IMPORT 'input';
+        |WITH output AS
+        |    SELECT *
+        |    FROM input
+        |    WHERE input.a = input.b;
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("input" -> Seq((1L, 5L), (2L, 4L), (3L, 3L), (4L, 2L), (5L, 1L), (0L, 0L)).toDF("a", "b")))
+    check(out("output"), Seq("a", "b"), Seq(Seq(3L, 3L), Seq(0L, 0L)))
+  }
+
+  // --- extended surface (B1-B7 + aggregates) ---
+
+  test("comparisons and boolean operators (B5/B7)") {
+    val out = engine.runSimple(
+      """WITH input AS IMPORT 'input';
+        |WITH output AS SELECT a FROM input WHERE a > 1 AND a <= 4 AND NOT a = 3;
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("input" -> Seq(1L, 2L, 3L, 4L, 5L).toDF("a")))
+    check(out("output"), Seq("a"), Seq(Seq(2L), Seq(4L)))
+  }
+
+  test("JOIN USING (B4)") {
+    val out = engine.runSimple(
+      """WITH a AS IMPORT 'input_a';
+        |WITH b AS IMPORT 'input_b';
+        |WITH output AS SELECT key, a.v AS va, b.w AS wb FROM a JOIN b USING (key);
+        |EXPORT output TO 'output';""".stripMargin,
+      Map(
+        "input_a" -> Seq((1L, 10L), (2L, 20L)).toDF("key", "v"),
+        "input_b" -> Seq((2L, 200L), (3L, 300L)).toDF("key", "w")))
+    check(out("output"), Seq("key", "va", "wb"), Seq(Seq(2L, 20L, 200L)))
+  }
+
+  test("DISTINCT (B1)") {
+    val out = engine.runSimple(
+      """WITH input AS IMPORT 'input';
+        |WITH output AS SELECT DISTINCT a FROM input;
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("input" -> Seq(1L, 2L, 2L, 3L, 3L, 3L).toDF("a")))
+    check(out("output"), Seq("a"), Seq(Seq(1L), Seq(2L), Seq(3L)))
+  }
+
+  test("DISTINCT CONSECUTIVE (B2) keeps non-adjacent duplicates") {
+    val out = engine.runSimple(
+      """WITH input AS IMPORT 'input';
+        |WITH output AS SELECT DISTINCT CONSECUTIVE a FROM input;
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("input" -> spark.createDataFrame(Seq(Tuple1(1L), Tuple1(1L), Tuple1(2L),
+        Tuple1(2L), Tuple1(1L), Tuple1(3L), Tuple1(3L))).toDF("a").coalesce(1)))
+    // adjacent runs collapse, the later 1 survives
+    assert(rows(out("output")) == Seq(Seq(1L), Seq(1L), Seq(2L), Seq(3L)))
+  }
+
+  test("GROUP BY with aggregates (B3 + §7.4)") {
+    val out = engine.runSimple(
+      """WITH input AS IMPORT 'input';
+        |WITH output AS SELECT k, sum(v) AS total, count() AS n FROM input GROUP BY k;
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("input" -> Seq(("x", 1L), ("x", 2L), ("y", 10L)).toDF("k", "v")))
+    check(out("output"), Seq("k", "total", "n"),
+      Seq(Seq("x", 3L, 2L), Seq("y", 10L, 1L)))
+  }
+
+  test("GROUP CONSECUTIVE BY groups only adjacent runs") {
+    val out = engine.runSimple(
+      """WITH input AS IMPORT 'input';
+        |WITH output AS SELECT k, sum(v) AS total FROM input GROUP CONSECUTIVE BY k;
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("input" -> spark.createDataFrame(
+        Seq(("x", 1L), ("x", 2L), ("y", 10L), ("x", 5L))).toDF("k", "v").coalesce(1)))
+    assert(rows(out("output")).sortBy(_.toString) ==
+      Seq(Seq("x", 3L), Seq("x", 5L), Seq("y", 10L)).sortBy(_.toString))
+  }
+
+  test("last binding wins on duplicate output names (A4)") {
+    val out = engine.runSimple(
+      """WITH input AS IMPORT 'input';
+        |WITH output AS SELECT a AS x, b AS x FROM input;
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("input" -> Seq((1L, 100L)).toDF("a", "b")))
+    check(out("output"), Seq("x"), Seq(Seq(100L)))
+  }
+
+  test("integer division truncates (pyarrow semantics, A8)") {
+    val out = engine.runSimple(
+      """WITH input AS IMPORT 'input';
+        |WITH output AS SELECT a / b AS q, a % b AS r FROM input;
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("input" -> Seq((7L, 2L), (-7L, 2L)).toDF("a", "b")))
+    check(out("output"), Seq("q", "r"), Seq(Seq(3L, 1L), Seq(-3L, -1L)))
+  }
+
+  test("strict typing rejects INT64 + DOUBLE (§1.2)") {
+    val e = intercept[DtlError] {
+      engine.runSimple(
+        """WITH input AS IMPORT 'input';
+          |WITH output AS SELECT a + b AS r FROM input;
+          |EXPORT output TO 'output';""".stripMargin,
+        Map("input" -> Seq((1L, 1.5)).toDF("a", "b")))
+    }
+    assert(e.getMessage.contains("Type error"))
+  }
+
+  test("unknown column is a compile error") {
+    val e = intercept[DtlError] {
+      engine.runSimple(
+        """WITH input AS IMPORT 'input';
+          |WITH output AS SELECT nope FROM input;
+          |EXPORT output TO 'output';""".stripMargin,
+        Map("input" -> Seq(1L).toDF("a")))
+    }
+    assert(e.getMessage.contains("could not find nope"))
+  }
+
+  test("duplicate export name is an error (io.py:60)") {
+    val e = intercept[DtlError] {
+      engine.runSimple(
+        """WITH input AS IMPORT 'input';
+          |EXPORT input TO 'out';
+          |EXPORT input TO 'out';""".stripMargin,
+        Map("input" -> Seq(1L).toDF("a")))
+    }
+    assert(e.getMessage.contains("duplicate export"))
+  }
+
+  test("self-join via fresh internal names") {
+    val out = engine.runSimple(
+      """WITH t AS IMPORT 'input';
+        |WITH output AS SELECT t.a AS l, u.a AS r FROM t JOIN t AS u ON t.a = u.a;
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("input" -> Seq(1L, 2L).toDF("a")))
+    check(out("output"), Seq("l", "r"), Seq(Seq(1L, 1L), Seq(2L, 2L)))
+  }
+
+  test("string literals, booleans and functions") {
+    val out = engine.runSimple(
+      """WITH input AS IMPORT 'input';
+        |WITH output AS
+        |  SELECT upper(s) AS u, length(s) AS n, s = 'ab' AS is_ab, TRUE AS t
+        |  FROM input;
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("input" -> Seq("ab", "xyz").toDF("s")))
+    check(out("output"), Seq("u", "n", "is_ab", "t"),
+      Seq(Seq("AB", 2, true, true), Seq("XYZ", 3, false, true)))
+  }
+}
