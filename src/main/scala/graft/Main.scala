@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.dtl.{Engine, FilesystemExporter, FilesystemImporter}
+import graft.dtl.{Engine, FilesystemExporter, FilesystemImporter, FilesystemTracer}
 import java.nio.file.{Files, Paths}
 
 /** CLI mirroring the reference's `dtl script.dtl --input-dir D --output-dir D`
@@ -13,12 +13,13 @@ object Main {
     var script: Option[String] = None
     var inputDir: Option[String] = None
     var outputDir: Option[String] = None
+    var traceDir: Option[String] = None
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "--input-dir" => inputDir = Some(args(i + 1)); i += 2
         case "--output-dir" => outputDir = Some(args(i + 1)); i += 2
-        case "--trace-dir" => i += 2 // accepted for CLI parity; tracing TBD
+        case "--trace-dir" => traceDir = Some(args(i + 1)); i += 2
         case other => script = Some(other); i += 1
       }
     }
@@ -42,7 +43,8 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      new Engine(spark).run(source, new FilesystemImporter(spark, in), new FilesystemExporter(out))
+      new Engine(spark).run(source, new FilesystemImporter(spark, in),
+        new FilesystemExporter(out), traceDir.map(new FilesystemTracer(_)))
     } finally spark.stop()
   }
 }

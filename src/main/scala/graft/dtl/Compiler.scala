@@ -32,15 +32,20 @@ import DType._
 final class Compiler(
     importer: Importer,
     registry: FunctionRegistry,
-    needsOrder: Boolean) {
+    needsOrder: Boolean,
+    tracing: Boolean = false) {
 
   final case class SCol(name: String, internal: String,
       namespaces: Set[Option[String]], dtype: DType)
   /** A compiled table: DataFrame over internal column names, the visible
-    * scope, and hidden order columns (present only when the script uses
-    * consecutive operators — zero overhead otherwise).
+    * scope, hidden order columns (present only when the script uses
+    * consecutive operators), and hidden provenance row-id columns
+    * (present only when tracing) — zero overhead otherwise.
+    * `rids` maps an upstream traced table name to the internal column
+    * carrying that table's row id through this plan.
     */
-  final case class CTable(df: DataFrame, cols: List[SCol], ordCols: List[String])
+  final case class CTable(df: DataFrame, cols: List[SCol], ordCols: List[String],
+      rids: List[(String, String)] = Nil)
 
   private val counter = new java.util.concurrent.atomic.AtomicLong()
   private def fresh(prefix: String = "c"): String = s"__${prefix}${counter.incrementAndGet()}"
@@ -144,9 +149,11 @@ final class Compiler(
         SCol(f.name, fresh(), Set(None), DType.fromSpark(f.dataType))
       }
       val ord = if (needsOrder) List(fresh("ord")) else Nil
+      val rid = if (tracing) List(location -> fresh("rid")) else Nil
       val proj = cols.map(c => col(c.name).as(c.internal)) ++
-        ord.map(o => monotonically_increasing_id().as(o))
-      CTable(df.select(proj: _*), cols, ord)
+        ord.map(o => monotonically_increasing_id().as(o)) ++
+        rid.map { case (_, r) => monotonically_increasing_id().as(r) }
+      CTable(df.select(proj: _*), cols, ord, rid)
     case TableRef(name, pos) =>
       val t = env.getOrElse(name, throw DtlError(s"unknown table '$name'", pos.line, pos.col))
       refresh(t) // fresh internals so self-joins never collide
@@ -159,12 +166,15 @@ final class Compiler(
   private def refresh(t: CTable): CTable = {
     val renames = t.cols.map(c => c -> fresh())
     val ords = t.ordCols.map(o => o -> fresh("ord"))
+    val rids = t.rids.map { case (src, r) => (src, r, fresh("rid")) }
     val proj = renames.map { case (c, n) => col(c.internal).as(n) } ++
-      ords.map { case (o, n) => col(o).as(n) }
+      ords.map { case (o, n) => col(o).as(n) } ++
+      rids.map { case (_, r, n) => col(r).as(n) }
     CTable(
       t.df.select(proj: _*),
       renames.map { case (c, n) => c.copy(internal = n) },
-      ords.map(_._2))
+      ords.map(_._2),
+      rids.map { case (src, _, n) => (src, n) })
   }
 
   private def bindingName(tb: TableBinding): Option[String] =
@@ -180,6 +190,7 @@ final class Compiler(
     var df = src.df
     var scope = src.cols.map(c => c.copy(namespaces = c.namespaces + None ++ srcName.map(Some(_))))
     var ordCols = src.ordCols
+    var rids = src.rids
 
     // JOINs: right columns appended after left (left-wins unqualified shadowing,
     // ast_to_ir.py:499-526); the raw ON predicate goes straight to Catalyst,
@@ -207,6 +218,7 @@ final class Compiler(
       df = df.join(right.df, condition, "inner")
       scope = combined
       ordCols = ordCols ++ right.ordCols
+      rids = rids ++ right.rids
     }
 
     // WHERE: boolean mask; null-predicate rows dropped (identical to pac.filter)
@@ -217,14 +229,17 @@ final class Compiler(
     }
 
     sel.groupBy match {
-      case Some(gb) => compileGroupedProjection(sel, gb, df, scope, ordCols)
+      case Some(gb) =>
+        // lineage does not (yet) flow through aggregation: grouped output
+        // starts a fresh provenance root (reference has no aggregates at all)
+        compileGroupedProjection(sel, gb, df, scope, ordCols)
       case None =>
         val out = projectBindings(sel, scope)
         val projected = df.select(out.map { case (name @ _, internal, tc) =>
           tc.col.as(internal)
-        } ++ ordCols.map(col): _*)
+        } ++ (ordCols ++ rids.map(_._2)).map(col): _*)
         val cols = out.map { case (name, internal, tc) => SCol(name, internal, Set(None), tc.dtype) }
-        applyDistinct(sel, CTable(projected, cols, ordCols))
+        applyDistinct(sel, CTable(projected, cols, ordCols, rids))
     }
   }
 
@@ -348,10 +363,12 @@ final class Compiler(
     case NoDistinct => t
     case DistinctRows =>
       val visible = t.cols.map(_.internal)
-      if (t.ordCols.isEmpty) t.copy(df = t.df.dropDuplicates(visible))
+      if (t.ordCols.isEmpty && t.rids.isEmpty) t.copy(df = t.df.dropDuplicates(visible))
       else {
-        // preserve first-occurrence order so downstream consecutive ops stay legal
-        val aggs = t.ordCols.map(o => min(col(o)).as(o))
+        // preserve first-occurrence order (and a witness row id per group —
+        // many-to-one lineage keeps one representative source row)
+        val hidden = t.ordCols ++ t.rids.map(_._2)
+        val aggs = hidden.map(o => min(col(o)).as(o))
         val deduped = t.df.groupBy(visible.map(col): _*).agg(aggs.head, aggs.tail: _*)
         t.copy(df = deduped)
       }
@@ -384,4 +401,31 @@ final class Compiler(
   /** User-facing DataFrame: internal names → output names, hidden columns dropped. */
   def materialize(t: CTable): DataFrame =
     t.df.select(t.cols.map(c => col(c.internal).as(c.name)): _*)
+
+  /** Statement-boundary trace: assign this table its own row id, snapshot it,
+    * emit (src_rid, tgt_rid) mapping pairs per upstream traced table, and
+    * return a CTable whose lineage is rebased onto this statement (so
+    * downstream mappings are statement→statement, mirroring the reference's
+    * transitive merge with intermediate elimination, mappings.py:410-451).
+    * The DataFrame is persisted: row ids must be assigned exactly once, and
+    * traced intermediates are re-read by every downstream statement
+    * (SURVEY.md §4's one physical-tuning decision).
+    */
+  def traceStatement(name: String, statementIndex: Int, t: CTable,
+      tracer: Tracer, manifest: ManifestBuilder): CTable = {
+    val ownRid = fresh("rid")
+    val df = t.df.withColumn(ownRid, monotonically_increasing_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val snapshot = df.select(t.cols.map(c => col(c.internal).as(c.name)) :+ col(ownRid).as("__rid"): _*)
+    tracer.traceSnapshot(name, statementIndex, snapshot)
+    manifest.addSnapshot(name, statementIndex, t.cols.map(_.name))
+    for ((src, group) <- t.rids.groupBy(_._1)) {
+      val pairs = group.map { case (_, ridCol) =>
+        df.select(col(ridCol).as("src_rid"), col(ownRid).as("tgt_rid"))
+      }.reduce(_ union _).filter(col("src_rid").isNotNull)
+      tracer.traceMapping(src, name, pairs)
+      manifest.addMapping(src, name)
+    }
+    CTable(df, t.cols, t.ordCols, List(name -> ownRid))
+  }
 }

@@ -17,22 +17,31 @@ final class Engine(
     val spark: SparkSession,
     val registry: FunctionRegistry = FunctionRegistry.default) {
 
-  def run(source: String, importer: Importer, exporter: Exporter): Unit = {
+  def run(source: String, importer: Importer, exporter: Exporter,
+      tracer: Option[Tracer] = None): Unit = {
     val stmts = Parser.parse(source)
-    val compiler = new Compiler(importer, registry, needsOrder = usesConsecutive(stmts))
+    val compiler = new Compiler(importer, registry,
+      needsOrder = usesConsecutive(stmts), tracing = tracer.isDefined)
+    val manifest = new ManifestBuilder(source)
     val env = mutable.Map.empty[String, compiler.CTable]
-    for (stmt <- stmts) stmt match {
+    for ((stmt, idx) <- stmts.zipWithIndex) stmt match {
       case WithStmt(name, body, _) =>
-        env(name) = compiler.compileTable(body, env)
+        var t = compiler.compileTable(body, env)
+        for (tr <- tracer) t = compiler.traceStatement(name, idx, t, tr, manifest)
+        env(name) = t
       case ExportStmt(body, location, _) =>
-        exporter.exportTable(location, compiler.materialize(compiler.compileTable(body, env)))
+        var t = compiler.compileTable(body, env)
+        for (tr <- tracer) t = compiler.traceStatement(location, idx, t, tr, manifest)
+        exporter.exportTable(location, compiler.materialize(t))
     }
+    for (tr <- tracer) tr.writeManifest(manifest.toJson)
   }
 
   /** Test/embedding surface: named input DataFrames in, exported DataFrames out. */
-  def runSimple(source: String, inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
+  def runSimple(source: String, inputs: Map[String, DataFrame],
+      tracer: Option[Tracer] = None): Map[String, DataFrame] = {
     val exporter = new InMemoryExporter
-    run(source, new InMemoryImporter(inputs), exporter)
+    run(source, new InMemoryImporter(inputs), exporter, tracer)
     exporter.results
   }
 

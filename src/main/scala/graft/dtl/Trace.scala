@@ -1,0 +1,85 @@
+package graft.dtl
+
+import org.apache.spark.sql.DataFrame
+import scala.collection.mutable
+
+/** Row-level provenance tracing (SURVEY.md §2 A14 — the reference's
+  * distinguishing feature, /root/reference/src/dtl/mappings.py +
+  * manifest.py). Spark-native re-design:
+  *
+  * - every import gets a stable 64-bit row id assigned once at source
+  *   (monotonically_increasing_id over the scan) and *carried* through
+  *   operators — never regenerated after shuffles (SURVEY §7 risk 1);
+  * - each WITH/EXPORT statement snapshots its table (visible columns + its
+  *   own fresh row id) and emits one mapping DataFrame `(src_rid, tgt_rid)`
+  *   per upstream statement — the relational equivalent of the reference's
+  *   merged index-array mappings (mappings.py:285-451, which itself models
+  *   merge as a join);
+  * - mapping cardinality (identity/many-to-one/one-to-many/many-to-many,
+  *   manifest.py:30-52) is recoverable from the pair table instead of being
+  *   encoded as separate node types;
+  * - everything is plain DataFrames: mappings shard/scale like any join
+  *   output, nothing is collected to the driver.
+  *
+  * Tracing is off by default and adds zero columns/overhead when off.
+  */
+trait Tracer {
+  /** Snapshot of a statement-level table: visible columns plus `__rid`. */
+  def traceSnapshot(name: String, statementIndex: Int, df: DataFrame): Unit
+  /** Mapping pairs (src_rid, tgt_rid) between two traced tables. */
+  def traceMapping(src: String, tgt: String, pairs: DataFrame): Unit
+  /** Called once at the end of the run with the manifest JSON. */
+  def writeManifest(json: String): Unit
+}
+
+final class InMemoryTracer extends Tracer {
+  val snapshots = mutable.LinkedHashMap.empty[String, DataFrame]
+  val mappings = mutable.LinkedHashMap.empty[(String, String), DataFrame]
+  var manifest: Option[String] = None
+  def traceSnapshot(name: String, statementIndex: Int, df: DataFrame): Unit =
+    snapshots(name) = df
+  def traceMapping(src: String, tgt: String, pairs: DataFrame): Unit =
+    mappings((src, tgt)) = pairs
+  def writeManifest(json: String): Unit = manifest = Some(json)
+}
+
+/** Writes `<dir>/<name>.snapshot.parquet`, `<dir>/<src>__<tgt>.mapping.parquet`
+  * and `<dir>/trace.json` (≙ reference io.py:105-123 filesystem tracer).
+  */
+final class FilesystemTracer(dir: String) extends Tracer {
+  new java.io.File(dir).mkdirs()
+  def traceSnapshot(name: String, statementIndex: Int, df: DataFrame): Unit =
+    df.write.mode("overwrite").parquet(s"$dir/$name.snapshot.parquet")
+  def traceMapping(src: String, tgt: String, pairs: DataFrame): Unit =
+    pairs.write.mode("overwrite").parquet(s"$dir/${src}__$tgt.mapping.parquet")
+  def writeManifest(json: String): Unit =
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/trace.json"), json)
+}
+
+/** Accumulates manifest entries during a traced run. */
+final class ManifestBuilder(source: String) {
+  private val snapshots = mutable.ListBuffer.empty[(String, Int, Seq[String])]
+  private val mappings = mutable.ListBuffer.empty[(String, String)]
+  def addSnapshot(name: String, statementIndex: Int, columns: Seq[String]): Unit =
+    snapshots += ((name, statementIndex, columns))
+  def addMapping(src: String, tgt: String): Unit = mappings += ((src, tgt))
+
+  private def q(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  def toJson: String = {
+    val snaps = snapshots.map { case (n, i, cols) =>
+      s"""{"name":${q(n)},"statement":$i,"columns":[${cols.map(q).mkString(",")}],"path":${q(s"$n.snapshot.parquet")}}"""
+    }.mkString("[", ",", "]")
+    val maps = mappings.map { case (s, t) =>
+      s"""{"src":${q(s)},"tgt":${q(t)},"path":${q(s"${s}__$t.mapping.parquet")}}"""
+    }.mkString("[", ",", "]")
+    s"""{"source":${q(source)},"snapshots":$snaps,"mappings":$maps}"""
+  }
+}

@@ -1,0 +1,82 @@
+package graft.dtl
+
+import org.scalatest.funsuite.AnyFunSuite
+import Ast._
+
+/** Structural AST tests (≙ /root/reference/tests/test_parser.py:42-79, with
+  * locations wildcarded by comparing position-stripped trees).
+  */
+class ParserSpec extends AnyFunSuite {
+  private val z = Pos(0, 0)
+  private def strip(s: Statement): Statement = s match {
+    case WithStmt(n, b, _) => WithStmt(n, stripT(b), z)
+    case ExportStmt(b, l, _) => ExportStmt(stripT(b), l, z)
+  }
+  private def stripT(t: TableExpr): TableExpr = t match {
+    case ImportExpr(l, _) => ImportExpr(l, z)
+    case TableRef(n, _) => TableRef(n, z)
+    case SelectExpr(d, bs, f, js, w, g, _) =>
+      SelectExpr(d, bs.map(stripB), TableBinding(stripT(f.source), f.alias),
+        js.map(j => JoinClause(TableBinding(stripT(j.table.source), j.table.alias),
+          stripC(j.constraint), z)),
+        w.map(stripE), g.map(gb => GroupBy(gb.consecutive, gb.keys.map(stripE))), z)
+  }
+  private def stripB(b: Binding): Binding = b match {
+    case WildcardBinding(_) => WildcardBinding(z)
+    case ExprBinding(e, a) => ExprBinding(stripE(e), a)
+  }
+  private def stripC(c: JoinConstraint): JoinConstraint = c match {
+    case JoinOn(e) => JoinOn(stripE(e))
+    case u => u
+  }
+  private def stripE(e: Expr): Expr = e match {
+    case BoolLit(v, _) => BoolLit(v, z)
+    case IntLit(v, _) => IntLit(v, z)
+    case FloatLit(v, _) => FloatLit(v, z)
+    case StringLit(v, _) => StringLit(v, z)
+    case ColumnRef(t, n, _) => ColumnRef(t, n, z)
+    case FuncCall(n, as, _) => FuncCall(n, as.map(stripE), z)
+    case Binary(op, l, r, _) => Binary(op, stripE(l), stripE(r), z)
+    case Unary(op, o, _) => Unary(op, stripE(o), z)
+  }
+
+  test("statement structure (test_parser.py:42-79)") {
+    val got = Parser.parse(
+      "WITH variable AS SELECT column_a, column_b FROM table;").map(strip)
+    assert(got == List(
+      WithStmt("variable",
+        SelectExpr(NoDistinct,
+          List(
+            ExprBinding(ColumnRef(None, "column_a", z), None),
+            ExprBinding(ColumnRef(None, "column_b", z), None)),
+          TableBinding(TableRef("table", z), None),
+          Nil, None, None, z), z)))
+  }
+
+  test("kebab-case identifier quirk (lexer.py:40-53): a-b is one name") {
+    val e = new Parser(Lexer.lex("a-b")).parseExpr()
+    assert(stripE(e) == ColumnRef(None, "a-b", z))
+    val e2 = new Parser(Lexer.lex("a - b")).parseExpr()
+    assert(stripE(e2) == Binary("-", ColumnRef(None, "a", z), ColumnRef(None, "b", z), z))
+  }
+
+  test("comparison chain is left-associative (parser.py:183-187)") {
+    val e = new Parser(Lexer.lex("1 < 2 < 3")).parseExpr()
+    assert(stripE(e) == Binary("<",
+      Binary("<", IntLit(1, z), IntLit(2, z), z), IntLit(3, z), z))
+  }
+
+  test("string escapes (parser.py:100-120)") {
+    val toks = Lexer.lex("""'a\nb\tc\\d\'e'""")
+    assert(toks.head.asInstanceOf[Token.StringLit].value == "a\nb\tc\\d'e")
+  }
+
+  test("boolean precedence: OR below AND below NOT below comparison") {
+    val e = new Parser(Lexer.lex("NOT a = 1 AND b = 2 OR c = 3")).parseExpr()
+    assert(stripE(e) == Binary("or",
+      Binary("and",
+        Unary("not", Binary("=", ColumnRef(None, "a", z), IntLit(1, z), z), z),
+        Binary("=", ColumnRef(None, "b", z), IntLit(2, z), z), z),
+      Binary("=", ColumnRef(None, "c", z), IntLit(3, z), z), z))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.dtl
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Provenance trace assertions (FIXTURES.md §4 — the reference runs its
+  * tracer in every test but never asserts trace content; we do).
+  */
+class TraceSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("filter lineage: snapshot + identity-subset mapping") {
+    val tracer = new InMemoryTracer
+    new Engine(spark).runSimple(
+      """WITH input AS IMPORT 'input';
+        |WITH filtered AS SELECT a, b FROM input WHERE a > 2;
+        |EXPORT filtered TO 'out';""".stripMargin,
+      Map("input" -> Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("a", "b")),
+      Some(tracer))
+
+    assert(tracer.snapshots.keySet == Set("input", "filtered", "out"))
+    assert(tracer.snapshots("input").count() == 4)
+    assert(tracer.snapshots("filtered").count() == 2)
+    assert(tracer.snapshots("filtered").columns.toSeq == Seq("a", "b", "__rid"))
+
+    // input(4 rows) → filtered keeps exactly the 2 surviving rows
+    val m = tracer.mappings(("input", "filtered"))
+    assert(m.count() == 2)
+    assert(m.columns.toSeq == Seq("src_rid", "tgt_rid"))
+
+    // chain: import-file → input → filtered → out
+    assert(tracer.mappings.keySet ==
+      Set(("input", "input"), ("input", "filtered"), ("filtered", "out")))
+    assert(tracer.manifest.exists(_.contains("\"snapshots\"")))
+  }
+
+  test("join lineage: each output row maps to one row per side") {
+    val tracer = new InMemoryTracer
+    new Engine(spark).runSimple(
+      """WITH a AS IMPORT 'input_a';
+        |WITH b AS IMPORT 'input_b';
+        |WITH joined AS SELECT key, a.v AS v, b.w AS w FROM a JOIN b ON a.key = b.key;
+        |EXPORT joined TO 'out';""".stripMargin,
+      Map(
+        "input_a" -> Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("key", "v"),
+        "input_b" -> Seq((2L, 200L), (3L, 300L), (9L, 900L)).toDF("key", "w")),
+      Some(tracer))
+
+    assert(tracer.snapshots("joined").count() == 2)
+    // both sides contribute a mapping into the joined table
+    assert(tracer.mappings(("a", "joined")).count() == 2)
+    assert(tracer.mappings(("b", "joined")).count() == 2)
+
+    // round-trip: tgt_rids in the mapping are exactly the joined snapshot's rids
+    val snapRids = tracer.snapshots("joined").select("__rid").collect().map(_.getLong(0)).toSet
+    val mapRids = tracer.mappings(("a", "joined")).select("tgt_rid").collect().map(_.getLong(0)).toSet
+    assert(mapRids == snapRids)
+  }
+
+  test("tracing off adds no hidden columns") {
+    val out = new Engine(spark).runSimple(
+      """WITH input AS IMPORT 'input';
+        |WITH o AS SELECT a FROM input;
+        |EXPORT o TO 'out';""".stripMargin,
+      Map("input" -> Seq(1L, 2L).toDF("a")))
+    assert(out("out").columns.toSeq == Seq("a"))
+  }
+}
