@@ -15,15 +15,27 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.CoreQueries.queries ++ graft.queries.DtlQueries.queries
+    graft.queries.CoreQueries.queries ++
+      graft.queries.DtlQueries.queries ++
+      graft.queries.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.CoreQueries.oracle ++ graft.queries.DtlQueries.oracle
+    graft.queries.CoreQueries.oracle ++
+      graft.queries.DtlQueries.oracle ++
+      graft.queries.PipelineQueries.oracle
+
+  /** Queries intentionally without an oracle: their outputs depend on
+    * engine-internal hash functions or are approximate by design — the
+    * driver records a rows-only check; exactness is covered by ScalaTest.
+    */
+  def noOracle: Set[String] = Set(
+    "pipe_dedup_simhash", "pipe_embed_ivf", "pipe_embed_neardup", "pipe_multimodal")
 
   /** Perf-indicative subset used by Bench (full map is correctness surface). */
   def headline: Seq[String] = Seq(
     "q01_pricing_summary", "q03_join_agg", "q04_top_orders",
-    "q06_window_rank", "q14_star_revenue", "q16_events_hourly", "q18_agg_stats")
+    "q06_window_rank", "q14_star_revenue", "q16_events_hourly", "q18_agg_stats",
+    "pipe_dedup_minhash", "pipe_embed_topk", "pipe_token_count")
 }

@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 64-bit SimHash over whitespace tokens — near-duplicate signature where
+  * Hamming distance approximates cosine distance of the token multisets.
+  *
+  * Implemented as a native Catalyst Expression with codegen (a static-method
+  * call, so it stays inside whole-stage codegen) rather than a Scala UDF:
+  * the per-row work is a tight loop over tokens and this sits in the hot
+  * path of corpus-scale dedup sweeps.
+  */
+object SimHash {
+  /** FNV-1a 64-bit over a token's bytes; cheap, seedable, dependency-free. */
+  def tokenHash(bytes: Array[Byte], off: Int, len: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = off
+    while (i < off + len) {
+      h ^= bytes(i) & 0xffL
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Token-wise bit voting: each token hash votes ±1 per bit position. */
+  def simhash64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val votes = new Array[Int](64)
+    var i = 0
+    var tokStart = -1
+    def vote(start: Int, end: Int): Unit = {
+      if (end > start) {
+        val h = tokenHash(bytes, start, end - start)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+    }
+    while (i < bytes.length) {
+      val c = bytes(i)
+      val isSpace = c == ' ' || c == '\t' || c == '\n' || c == '\r'
+      if (isSpace) { vote(tokStart, i); tokStart = -1 }
+      else if (tokStart < 0) tokStart = i
+      i += 1
+    }
+    vote(if (tokStart < 0) bytes.length else tokStart, bytes.length)
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  def simhash(c: Column): Column = GraftColumnBridge.column(SimHashExpression(GraftColumnBridge.expression(c)))
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hammingDistance(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.bit_count
+    bit_count(a.bitwiseXOR(b))
+  }
+}
+
+case class SimHashExpression(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash expects STRING, got ${child.dataType.simpleString}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    SimHash.simhash64(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpression =
+    copy(child = newChild)
+}

@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.SimHash
+
+/** Deduplication operators for corpus-scale pipelines. Every variant is
+  * designed for the 100 TB shape:
+  *
+  *  - exact: hash-groupBy on a fingerprint — one shuffle on a 64-bit key;
+  *  - MinHash+LSH: shingle → minhash signature → band buckets → join *within
+  *    buckets only* (never all-pairs) → verify candidates with true Jaccard;
+  *  - SimHash: codegen'd 64-bit signature, banded the same way;
+  *  - embedding near-dup: random-hyperplane LSH buckets then exact cosine.
+  *
+  * Candidate generation is always bucket-local, so the worst case is bounded
+  * by bucket skew (AQE's skew-join handling applies), not by n².
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per normalized-text fingerprint. */
+  def exact(df: DataFrame, text: Column, id: Column): DataFrame = {
+    df.withColumn("__fp", TextAnalysis.fingerprint(text))
+      .groupBy(col("__fp"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
+      .drop("__fp")
+  }
+
+  /** MinHash signature as an array<bigint> of `numHashes` minima over the
+    * shingle set. Hash family: xxhash64(shingle, seed_i) via per-seed salt.
+    */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      seed => array_min(transform(shingleCol, s => xxhash64(s, seed))))
+
+  /** Candidate near-dup pairs via banded MinHash LSH, verified with true
+    * n-gram Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b and
+    * jaccard >= threshold.
+    *
+    * numHashes = bands * rowsPerBand. Probability a pair with true Jaccard s
+    * becomes a candidate: 1 - (1 - s^rowsPerBand)^bands.
+    */
+  def minhashLsh(
+      df: DataFrame, id: Column, text: Column,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+
+    val withSig = df
+      .select(id.as("id"), TextAnalysis.shingles(text, shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+
+    // band key = (band index, hash of that band's signature slice)
+    val banded = withSig.select(
+      col("id"), col("sh"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws("_",
+          b.cast("string"),
+          concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))))
+      .withColumnRenamed("col", "band_hash")
+      .withColumnRenamed("pos", "band")
+
+    // bucket-local candidate pairs (id_a < id_b), deduped across bands
+    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val candidates = a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+
+    // verify with exact Jaccard over shingle sets
+    candidates
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact pairwise n-gram Jaccard for all pairs above a threshold.
+    * O(n²) verification path — use only as the LSH oracle at test scale or
+    * within buckets; the LSH variant is the production path.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, id: Column, text: Column,
+      shingleSize: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val t = df.select(id.as("id"), TextAnalysis.shingles(text, shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = t.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = t.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash near-dup candidates: signatures banded into 4×16-bit chunks —
+    * any pair within Hamming distance 3 shares at least one identical chunk
+    * (pigeonhole), so bucket-join on chunks then verify the distance.
+    */
+  def simhashPairs(df: DataFrame, id: Column, text: Column,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(id.as("id"), SimHash.simhash(text).as("sig"))
+    val chunked = sigs.select(
+      col("id"), col("sig"),
+      posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("sig"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "chunk")
+    val a = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", SimHash.hammingDistance(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Embedding near-duplicates: multi-table random-hyperplane LSH. Each of
+    * `nTables` tables hashes the vector to a sign-bit signature over
+    * `planesPerTable` fixed pseudo-random hyperplanes; a pair is a candidate
+    * if it collides in ANY table (P(detect) = 1-(1-(1-θ/π)^p)^t — with 8×8,
+    * cosine 0.95 pairs are caught w.p. ≈0.999 while random pairs almost
+    * never collide). Exact cosine verifies candidates. Planes derive from a
+    * seed, so results are deterministic.
+    */
+  def embeddingNearDup(
+      df: DataFrame, id: Column, vec: Column, dim: Int,
+      nTables: Int = 8, planesPerTable: Int = 8,
+      minCosine: Double = 0.95, seed: Long = 42L): DataFrame = {
+    val rng = new scala.util.Random(seed)
+    val planes = Array.fill(nTables, planesPerTable, dim)(rng.nextGaussian())
+    def tableSig(t: Int): Column =
+      (0 until planesPerTable).map { p =>
+        val plane = array(planes(t)(p).map(lit(_)): _*)
+        when(aggregate(zip_with(col("v"), plane, (x, w) => x * w), lit(0.0), (acc, x) => acc + x) >= 0,
+          lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val base = df.select(id.as("id"), vec.cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+      .select(col("id"), col("v"), col("norm"),
+        posexplode(array((0 until nTables).map(tableSig): _*)))
+      .withColumnRenamed("pos", "table_idx")
+      .withColumnRenamed("col", "bucket")
+    val a = base.select(col("table_idx"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"), col("norm").as("n_a"))
+    val bb = base.select(col("table_idx"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"), col("norm").as("n_b"))
+    a.join(bb, Seq("table_idx", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("dot", aggregate(zip_with(col("v_a"), col("v_b"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
+      .withColumn("cosine", round(col("dot") / (col("n_a") * col("n_b")), 6))
+      .filter(col("cosine") >= minCosine)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: images/audio/video ride along as opaque
+  * `binary` columns with typed metadata, and decode / feature-extract /
+  * resize / frame-sample run as partition-parallel transforms.
+  *
+  * The actual media decode is STUBBED (this container has no image/audio
+  * libraries): [[fakeDecode]] derives deterministic pseudo-metadata and
+  * pseudo-features from the bytes. Everything around the stub — the schema
+  * contract, batch shape, partition parallelism, and the SQL-expression
+  * fast path for metadata — is real and tested, so swapping in a real codec
+  * is a one-function change.
+  */
+object Multimodal {
+
+  /** Schema of a decoded media struct. */
+  val decodedType: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = false)))
+
+  /** Wrap raw content as a media column with metadata (mime + byte size). */
+  def asMedia(content: Column, mime: Column): Column =
+    struct(
+      content.cast("binary").as("bytes"),
+      mime.as("mime"),
+      length(content.cast("binary")).as("n_bytes"))
+
+  /** STUB decode — deterministic fake dimensions from a 64-bit content hash.
+    * Real implementation would dispatch on mime to a codec; the expression
+    * shape (row-local, codegen'd, no shuffle) is what production uses.
+    */
+  def fakeDecode(media: Column): Column = {
+    val h = xxhash64(media.getField("bytes"))
+    struct(
+      (pmod(h, lit(1920L)).cast("int") + 32).as("width"),
+      (pmod(shiftrightunsigned(h, 16), lit(1080L)).cast("int") + 32).as("height"),
+      (pmod(shiftrightunsigned(h, 32), lit(240L)).cast("int") + 1).as("n_frames"),
+      substring(media.getField("mime"), 1, 5).as("format"))
+  }
+
+  /** STUB feature extraction: fixed-dim pseudo-embedding derived from
+    * content hashes — stands in for a vision/audio encoder. Row-local,
+    * fully codegen'd; at scale this is the shape of a GPU-batched encode
+    * (mapPartitions with batching) with the model call stubbed.
+    */
+  def fakeFeatures(media: Column, dim: Int = 16): Column =
+    transform(
+      sequence(lit(0), lit(dim - 1)),
+      i => (pmod(xxhash64(media.getField("bytes"), i), lit(2000L)).cast("double") - 1000.0) / 1000.0)
+
+  /** "Resize": recompute metadata for a target box preserving aspect ratio —
+    * pure arithmetic on decoded metadata (no pixel work in the stub).
+    */
+  def resizeMeta(decoded: Column, maxSide: Int): Column = {
+    val w = decoded.getField("width").cast("double")
+    val h = decoded.getField("height").cast("double")
+    val scale = least(lit(maxSide) / greatest(w, h), lit(1.0))
+    struct(
+      round(w * scale, 0).cast("int").as("width"),
+      round(h * scale, 0).cast("int").as("height"),
+      decoded.getField("n_frames").as("n_frames"),
+      decoded.getField("format").as("format"))
+  }
+
+  /** Frame sampling plan: every `stride`-th frame index — generates the
+    * work-list a video pipeline would explode and decode per-partition.
+    */
+  def sampleFrames(decoded: Column, stride: Int): Column =
+    sequence(lit(0), decoded.getField("n_frames") - 1, lit(stride))
+}

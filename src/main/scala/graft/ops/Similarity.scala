@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k (broadcast the query set, scan the
+  * corpus once — embarrassingly parallel, no shuffle until the top-k).
+  * Scale path: IVF-style coarse quantization — assign every vector to its
+  * nearest of C centroids once, then probe only `nProbe` partitions per
+  * query, cutting the scanned fraction to nProbe/C.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k by cosine for each query row. `queries` must be small
+    * (it is broadcast); corpus is scanned once, then one shuffle for the
+    * per-query top-k window.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, corpusId: Column, corpusVec: Column,
+      queries: DataFrame, queryId: Column, queryVec: Column,
+      k: Int): DataFrame = {
+    val c = corpus.select(corpusId.as("vec_id"), corpusVec.cast("array<double>").as("cv"))
+    val q = queries.select(queryId.as("query_id"), queryVec.cast("array<double>").as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cosine", round(cosine(col("cv"), col("qv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
+  }
+
+  /** IVF index: pick C deterministic pseudo-random corpus rows as centroids,
+    * assign each vector to its nearest centroid. Returns the corpus with a
+    * `centroid_id` column — at scale this is written bucketed-by-centroid so
+    * probes touch only matching files.
+    */
+  def ivfAssign(corpus: DataFrame, id: Column, vec: Column, nCentroids: Int,
+      seed: Long = 42L): (DataFrame, DataFrame) = {
+    val c = corpus.select(id.as("vec_id"), vec.cast("array<double>").as("cv"))
+    val centroids = c.orderBy(xxhash64(col("vec_id"), lit(seed)))
+      .limit(nCentroids)
+      .select(col("vec_id").as("centroid_id"), col("cv").as("centroid_vec"))
+    val assigned = c.crossJoin(broadcast(centroids))
+      .withColumn("d", dot(col("cv"), col("centroid_vec")) /
+        (norm(col("cv")) * norm(col("centroid_vec"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("d").desc, col("centroid_id").asc)))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cv"), col("centroid_id"))
+    (assigned, centroids)
+  }
+
+  /** ANN top-k via IVF: probe the `nProbe` nearest centroids per query and
+    * brute-force only within those partitions.
+    */
+  def ivfTopK(
+      assigned: DataFrame, centroids: DataFrame,
+      queries: DataFrame, queryId: Column, queryVec: Column,
+      k: Int, nProbe: Int): DataFrame = {
+    val q = queries.select(queryId.as("query_id"), queryVec.cast("array<double>").as("qv"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("d", cosine(col("qv"), col("centroid_vec")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("d").desc, col("centroid_id").asc)))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("centroid_id"))
+    val scored = probes.join(assigned, Seq("centroid_id"))
+      .withColumn("cosine", round(cosine(col("cv"), col("qv")), 6))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
+  }
+}

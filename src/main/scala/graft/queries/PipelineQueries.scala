@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data-pipeline operators as gate queries over the documents /
+  * embeddings tables. SQL-expressible ops carry DuckDB oracles (including
+  * the LSH dedup: with 16 bands × 4 rows the candidate-miss probability for
+  * jaccard ≥ 0.8 pairs is < 1e-3, so exact-Jaccard SQL is a sound oracle);
+  * hash-internal ops (simhash, xxhash fingerprints, fake decode) get
+  * rows-only checks.
+  */
+object PipelineQueries {
+  import CoreQueries.t
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup on normalized text (group-by key is the normalization
+    // itself so the oracle needs no hash-function parity)
+    "pipe_dedup_exact" -> ((s, d) => {
+      t(s, d, "documents")
+        .groupBy(regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("norm"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .select("keep_id", "n_copies")
+    }),
+
+    // MinHash+LSH near-dup pairs, verified with true 3-gram Jaccard
+    "pipe_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashLsh(t(s, d, "documents"), col("doc_id"), col("text"),
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.8)),
+
+    // SimHash near-dup candidates (custom codegen Expression; no SQL oracle)
+    "pipe_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(t(s, d, "documents"), col("doc_id"), col("text"), maxHamming = 3)),
+
+    // token counting: whitespace + BPE-ish estimate
+    "pipe_token_count" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      doc.select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.bpeTokenEstimate(col("text")).as("n_bpe"))
+    }),
+
+    // stopword-profile language ID vs the labeled lang column
+    "pipe_lang_id" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // quality scoring
+    "pipe_quality_score" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))),
+
+    // document fingerprint (md5 flavor for cross-engine comparability;
+    // production path uses xxhash64 — see TextAnalysis.fingerprint)
+    "pipe_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ").cast("binary")).as("fp"))),
+
+    // brute-force cosine top-5 for three query vectors (exact ANN baseline)
+    "pipe_embed_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(
+        emb, col("vec_id"), col("embedding"),
+        emb.filter(col("vec_id") < 3), col("vec_id"), col("embedding"),
+        k = 5)
+    }),
+
+    // IVF-bucketed ANN (approximate; deterministic seed, rows-only check)
+    "pipe_embed_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val (assigned, centroids) = Similarity.ivfAssign(emb, col("vec_id"), col("embedding"), nCentroids = 16)
+      Similarity.ivfTopK(assigned, centroids,
+        emb.filter(col("vec_id") < 3), col("vec_id"), col("embedding"),
+        k = 5, nProbe = 4)
+    }),
+
+    // embedding near-dup pairs via multi-table hyperplane LSH (threshold set
+    // to the data's top cosine range so the query exercises real matches)
+    "pipe_embed_neardup" -> ((s, d) =>
+      Dedup.embeddingNearDup(t(s, d, "embeddings"), col("vec_id"), col("embedding"),
+        dim = 64, minCosine = 0.45)),
+
+    // multimodal plumbing: wrap text bytes as media, fake-decode, resize,
+    // frame-sample, extract stub features (deterministic; rows-only check)
+    "pipe_multimodal" -> ((s, d) => {
+      val media = Multimodal.asMedia(col("text"), concat(lit("fake/"), col("source")))
+      t(s, d, "documents")
+        .select(col("doc_id"), media.as("media"))
+        .withColumn("decoded", Multimodal.fakeDecode(col("media")))
+        .withColumn("resized", Multimodal.resizeMeta(col("decoded"), 512))
+        .select(
+          col("doc_id"),
+          col("decoded.width").as("width"),
+          col("decoded.height").as("height"),
+          col("resized.width").as("r_width"),
+          col("resized.height").as("r_height"),
+          size(Multimodal.sampleFrames(col("decoded"), 10)).as("n_sampled"),
+          size(Multimodal.fakeFeatures(col("media"))).as("feat_dim"))
+    })
+  )
+
+  // DuckDB shingle set builder matching TextAnalysis.shingles(text, 3)
+  private val duckShingles =
+    """list_distinct(list_transform(
+      |  range(1, greatest(len(string_split_regex(trim(lower(text)),'\s+')) - 1, 1)),
+      |  i -> list_aggregate(list_slice(string_split_regex(trim(lower(text)),'\s+'), i, i+2), 'string_agg', ' ')))""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "pipe_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')""".stripMargin,
+    "pipe_dedup_minhash" ->
+      s"""WITH t AS (SELECT doc_id, $duckShingles AS sh FROM documents WHERE len(string_split_regex(trim(lower(text)),'\\s+')) >= 3)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+         |FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8""".stripMargin,
+    "pipe_token_count" ->
+      """SELECT doc_id,
+        | CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS INTEGER) AS n_tokens,
+        | CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+        |        w -> CAST(ceil(length(w) / 4.0) AS BIGINT)))
+        |   + length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) AS BIGINT) AS n_bpe
+        |FROM documents""".stripMargin,
+    "pipe_lang_id" ->
+      """WITH scored AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split_regex(trim(lower(text)),'\s+'), w -> w IN ('the','of','and','to','in','is','it','that','for','was'))) AS s_en,
+        |    len(list_filter(string_split_regex(trim(lower(text)),'\s+'), w -> w IN ('el','la','de','que','y','en','los','se','del','las'))) AS s_es,
+        |    len(list_filter(string_split_regex(trim(lower(text)),'\s+'), w -> w IN ('le','la','de','et','les','des','en','un','du','une'))) AS s_fr,
+        |    len(list_filter(string_split_regex(trim(lower(text)),'\s+'), w -> w IN ('der','die','und','in','den','von','zu','das','mit','sich'))) AS s_de
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN greatest(s_en,s_es,s_fr,s_de) <= 0 THEN 'und'
+        |       WHEN s_en = greatest(s_en,s_es,s_fr,s_de) THEN 'en'
+        |       WHEN s_es = greatest(s_en,s_es,s_fr,s_de) THEN 'es'
+        |       WHEN s_fr = greatest(s_en,s_es,s_fr,s_de) THEN 'fr'
+        |       ELSE 'de' END AS lang_pred,
+        |  count(*) AS n
+        |FROM scored GROUP BY 1, 2""".stripMargin,
+    "pipe_quality_score" ->
+      """SELECT doc_id, round(
+        |  least(length(text) / 200.0, 1.0) * 0.4
+        |  + (CASE WHEN length(text)::DOUBLE / greatest(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text),'\s+')) END, 1) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3
+        |  + (CASE WHEN length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g'))::DOUBLE / greatest(length(text), 1) < 0.2 THEN 1.0 ELSE 0.3 END) * 0.3
+        |, 6) AS quality
+        |FROM documents""".stripMargin,
+    "pipe_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+    "pipe_embed_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3),
+        |     c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |     scored AS (
+        |       SELECT q.query_id, c.vec_id,
+        |              round(list_cosine_similarity(c.cv, q.qv), 6) AS cosine
+        |       FROM c, q),
+        |     ranked AS (
+        |       SELECT query_id, vec_id, cosine,
+        |              CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+        |       FROM scored)
+        |SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin
+  )
+}

@@ -28,7 +28,7 @@ class CoreQueriesSpec extends AnyFunSuite {
 
   test("every query has an oracle or is explicitly exempt") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(missing.forall(_.startsWith("x")), s"queries without oracle: $missing")
+    assert(missing == SparkEntry.noOracle, s"queries without oracle: $missing")
   }
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted) {

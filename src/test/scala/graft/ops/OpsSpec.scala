@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.functions.SimHash
+
+/** Unit coverage for the pipeline extension operators, including the
+  * approximate ones that the driver can only rows-check: planted duplicates
+  * must be FOUND (recall) and clean data must stay clean (precision).
+  */
+class OpsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near-dup of 1
+    (3L, "completely different text about spark catalyst optimizer internals rules"),
+    (4L, "el rapido zorro marron salta sobre el perro perezoso una y otra vez"),
+    (5L, "the quick brown fox jumps over the lazy dog again and again today") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical normalized text") {
+    val out = Dedup.exact(docs, col("text"), col("doc_id"))
+      .orderBy("keep_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.contains((1L, 2L))) // docs 1 and 5 collapse
+    assert(out.length == 4)
+  }
+
+  test("minhash LSH finds planted near-dup and skips unrelated docs") {
+    val pairs = Dedup.minhashLsh(docs, col("doc_id"), col("text"),
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 5L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) })
+  }
+
+  test("simhash: exact dup distance 0, near-dup small, unrelated large") {
+    val sigs = docs.select(col("doc_id"), SimHash.simhash(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(5L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(2L)) <= 12)
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) > 12)
+    val pairs = Dedup.simhashPairs(docs, col("doc_id"), col("text"), maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 5L)))
+  }
+
+  test("ngram jaccard exact pairs agrees with LSH on planted dups") {
+    val exact = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+      shingleSize = 3, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(docs, col("doc_id"), col("text"),
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == lsh)
+  }
+
+  test("embedding LSH near-dup finds planted high-cosine pair") {
+    val rng = new scala.util.Random(7)
+    val base = Array.fill(16)(rng.nextGaussian())
+    val nearDup = base.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.05 else x }
+    val vecs = (Seq((1L, base), (2L, nearDup)) ++
+      (3L to 40L).map(i => i -> Array.fill(16)(rng.nextGaussian())))
+      .map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(vecs, col("vec_id"), col("embedding"),
+      dim = 16, minCosine = 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.size < 5) // random 16-dim vectors almost never hit 0.95
+  }
+
+  test("brute-force top-k: self is rank 1 with cosine 1") {
+    val vecs = (1L to 20L).map(i =>
+      (i, Seq.tabulate(8)(j => math.sin(i * 8 + j)))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(
+      vecs, col("vec_id"), col("embedding"),
+      vecs.filter(col("vec_id") === 7), col("vec_id"), col("embedding"), k = 3)
+      .orderBy("rank").collect()
+    assert(out.length == 3)
+    assert(out(0).getLong(1) == 7L && out(0).getDouble(2) == 1.0)
+  }
+
+  test("IVF top-k contains the exact top-1 when probing enough centroids") {
+    val vecs = (1L to 60L).map(i =>
+      (i, Seq.tabulate(8)(j => math.cos(i * 3 + j) + (if (i % 3 == 0) 2.0 else 0.0))))
+      .toDF("vec_id", "embedding")
+    val (assigned, centroids) = Similarity.ivfAssign(vecs, col("vec_id"), col("embedding"), nCentroids = 4)
+    val q = vecs.filter(col("vec_id") === 10)
+    val ivf = Similarity.ivfTopK(assigned, centroids, q, col("vec_id"), col("embedding"), k = 1, nProbe = 4)
+      .collect()
+    assert(ivf.head.getLong(1) == 10L) // nProbe = all centroids → exact
+  }
+
+  test("text analysis: tokens, langid, quality, shingles") {
+    val df = Seq(
+      (1L, "the cat is on the mat and it is flat"),
+      (2L, "el perro y el gato en la casa de la abuela"),
+      (3L, "")).toDF("id", "text")
+    val out = df.select(
+      col("id"),
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.langId(col("text")).as("lang"),
+      TextAnalysis.qualityScore(col("text")).as("q")).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getString(2), r.getDouble(3)))).toMap
+    assert(out(1L)._1 == 10 && out(1L)._2 == "en")
+    assert(out(2L)._2 == "es")
+    assert(out(3L)._1 == 0 && out(3L)._2 == "und")
+    assert(out.values.forall(v => v._3 >= 0.0 && v._3 <= 1.0))
+
+    val sh = df.filter(col("id") === 1)
+      .select(TextAnalysis.shingles(col("text"), 3).as("sh"))
+      .collect().head.getSeq[String](0)
+    assert(sh.contains("the cat is") && sh.length == 8)
+  }
+
+  test("multimodal stub pipeline is deterministic and schema-stable") {
+    val df = Seq((1L, "some media payload"), (2L, "other payload")).toDF("id", "content")
+    val media = Multimodal.asMedia(col("content"), lit("img/png"))
+    val out = df.select(col("id"), media.as("m"))
+      .withColumn("d", Multimodal.fakeDecode(col("m")))
+      .withColumn("r", Multimodal.resizeMeta(col("d"), 256))
+      .withColumn("f", Multimodal.fakeFeatures(col("m"), dim = 8))
+      .withColumn("frames", Multimodal.sampleFrames(col("d"), 5))
+    val comparable = out.drop("m") // raw bytes compare by identity, not value
+    val rows = comparable.collect()
+    val again = comparable.collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    val d = rows.head.getStruct(1)
+    assert(d.getInt(0) >= 32 && d.getInt(1) >= 32)
+    val r = rows.head.getStruct(2)
+    assert(math.max(r.getInt(0), r.getInt(1)) <= 256)
+    assert(rows.head.getSeq[Double](3).length == 8)
+  }
+}
