@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** MinHash signature as a native codegen'd Catalyst expression.
+  *
+  * The pure-SQL formulation (64 × array_min(transform(shingles, xxhash64)))
+  * evaluates higher-order functions interpreted, rescanning the shingle
+  * array once per hash — ~3 s for 5k docs at sf0.1. This expression makes
+  * one pass: per shingle a single 64-bit base hash, then the classic
+  * universal-hash family h_i = a_i·h + b_i derives all `numHashes` minima in
+  * a tight loop. Candidate quality is equivalent (pairwise-independent
+  * family); the LSH verify step uses exact Jaccard either way, so results
+  * are unchanged.
+  */
+object MinHash {
+  private val MaxHashes = 256
+  // deterministic splitmix64 stream → (odd a, b) pairs
+  private def splitmix(seed0: Long): Iterator[Long] = new Iterator[Long] {
+    private var x = seed0
+    def hasNext = true
+    def next(): Long = {
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+  }
+  val A: Array[Long] = splitmix(42L).take(MaxHashes).map(_ | 1L).toArray
+  val B: Array[Long] = splitmix(7L).take(MaxHashes).toArray
+
+  /** One-pass signature: for each shingle, FNV base hash then n derived
+    * minima. Called from generated code — keep the signature JVM-simple.
+    */
+  def signature(arr: ArrayData, n: Int): ArrayData = {
+    val mins = new Array[Long](n)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    val m = arr.numElements()
+    while (i < m) {
+      val s = arr.getUTF8String(i)
+      val bytes = s.getBytes
+      val base = SimHash.tokenHash(bytes, 0, bytes.length)
+      var j = 0
+      while (j < n) {
+        val h = A(j) * base + B(j)
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  def minhashSig(shingles: Column, numHashes: Int): Column =
+    GraftColumnBridge.column(
+      MinHashSigExpression(GraftColumnBridge.expression(shingles), numHashes))
+}
+
+case class MinHashSigExpression(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  require(numHashes > 0 && numHashes <= 256, "numHashes must be in 1..256")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(StringType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig expects ARRAY<STRING>, got ${other.simpleString}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    MinHash.signature(v.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHash.signature($c, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpression =
+    copy(child = newChild)
+}

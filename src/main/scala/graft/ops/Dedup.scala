@@ -28,12 +28,12 @@ object Dedup {
   }
 
   /** MinHash signature as an array<bigint> of `numHashes` minima over the
-    * shingle set. Hash family: xxhash64(shingle, seed_i) via per-seed salt.
+    * shingle set — a native codegen expression (one pass over the shingles;
+    * see graft.functions.MinHash for why the pure-HOF formulation is ~10×
+    * slower).
     */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      seed => array_min(transform(shingleCol, s => xxhash64(s, seed))))
+    graft.functions.MinHash.minhashSig(shingleCol, numHashes)
 
   /** Candidate near-dup pairs via banded MinHash LSH, verified with true
     * n-gram Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b and
@@ -49,14 +49,17 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
 
-    val withSig = df
+    val shingled = df
       .select(id.as("id"), TextAnalysis.shingles(text, shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val withSig = shingled.withColumn("sig", minhashSignature(col("sh"), numHashes))
 
-    // band key = (band index, hash of that band's signature slice)
+    // band key = (band index, hash of that band's signature slice); the
+    // shingle payload is NOT carried through the explode+join — candidates
+    // are narrow (id, id) pairs and shingles are joined back only for the
+    // few rows that need verification.
     val banded = withSig.select(
-      col("id"), col("sh"),
+      col("id"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws("_",
@@ -65,16 +68,20 @@ object Dedup {
       .withColumnRenamed("col", "band_hash")
       .withColumnRenamed("pos", "band")
 
-    // bucket-local candidate pairs (id_a < id_b), deduped across bands
-    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"), col("sh").as("sh_b"))
+    // bucket-local candidate pairs (id_a < id_b), deduped across bands;
+    // both sides are the same subtree, so the band shuffle is computed once
+    // and reused (ReusedExchange)
+    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
     val candidates = a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
-    // verify with exact Jaccard over shingle sets
+    // verify with exact Jaccard over shingle sets, fetched per candidate
     candidates
+      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))

@@ -79,12 +79,9 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
 
-  /** Word k-shingles (k-grams joined by a space); empty texts yield empty set. */
-  def shingles(text: Column, k: Int): Column = {
-    val ws = words(lower(text))
-    when(size(ws) < k, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(0), size(ws) - k),
-        i => concat_ws(" ", slice(ws, i + 1, lit(k))))))
-  }
+  /** Word k-shingles (k-grams joined by a space); empty texts yield an empty
+    * set. Native codegen expression — see graft.functions.Shingles.
+    */
+  def shingles(text: Column, k: Int): Column =
+    graft.functions.Shingles.shingles(text, k)
 }

@@ -1,0 +1,47 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Scratch diagnostics main (dev tooling): stage-by-stage timing of the
+  * minhash LSH pipeline at a given SF dir.
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val docs = spark.read.parquet(dir + "/documents.parquet")
+    val shingled = docs.select(col("doc_id").as("id"), TextAnalysis.shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    time("shingles only")(println("  rows: " + shingled.count()))
+    val withSig = shingled.withColumn("sig", Dedup.minhashSignature(col("sh"), 64))
+    time("shingles+sig")(println("  rows: " + withSig.count()))
+    val banded = withSig.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(15)),
+        b => xxhash64(concat_ws("_", b.cast("string"),
+          concat_ws(",", slice(col("sig"), b * 4 + 1, lit(4))))))))
+      .withColumnRenamed("col", "band_hash").withColumnRenamed("pos", "band")
+    time("banded")(println("  rows: " + banded.count()))
+    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
+    val candidates = a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b")).select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    time("candidates")(println("  rows: " + candidates.count()))
+    time("full minhashLsh")(println("  pairs: " +
+      Dedup.minhashLsh(docs, col("doc_id"), col("text")).count()))
+    time("full again (warm)")(println("  pairs: " +
+      Dedup.minhashLsh(docs, col("doc_id"), col("text")).count()))
+    spark.stop()
+  }
+}
