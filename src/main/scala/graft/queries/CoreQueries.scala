@@ -143,13 +143,15 @@ object CoreQueries {
           .otherwise("low").as("qty_band"))
     }),
 
-    // A6 chained ⋈ star schema: broadcast dims, shuffle only on fact keys
+    // A6 chained ⋈ star schema, fact-first: lineitem stays the streamed probe
+    // side at every join so dims (and the orders/customer bridge) are the
+    // build/broadcast side — the shape that survives a 100 TB fact table
     "q14_star_revenue" -> ((s, d) => {
-      broadcast(t(s, d, "region"))
-        .join(broadcast(t(s, d, "nation")), col("r_regionkey") === col("n_regionkey"))
-        .join(t(s, d, "customer"), col("n_nationkey") === col("c_nationkey"))
-        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
-        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
         .agg(
           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
@@ -178,6 +180,25 @@ object CoreQueries {
         .join(t(s, d, "supplier"), col("s_nationkey") === col("n_nationkey"), "left")
         .groupBy("n_name")
         .agg(count(col("s_suppkey")).as("n_suppliers"))
+    }),
+
+    // D-window sessionization (batch twin of streaming.EventStreams.sessionize):
+    // 30-min-gap sessions via lag + running sum of session breaks
+    "q19_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev_ts").isNull || expr("ts - prev_ts > INTERVAL 30 MINUTE"), 1L).otherwise(0L))
+        .withColumn("session_id", sum("brk").over(wRun))
+        .groupBy("user_id", "session_id")
+        .agg(
+          min("ts").as("session_start"),
+          max("ts").as("session_end"),
+          count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("sum_value"))
+        .select("user_id", "session_id", "session_start", "session_end", "n_events", "sum_value")
     }),
 
     // D-agg statistics: min/max/stddev/count-distinct
@@ -273,6 +294,21 @@ object CoreQueries {
       """SELECT n_name, count(s_suppkey) AS n_suppliers
         |FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+    "q19_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |     sess AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM marked)
+        |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+        |       count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
     "q18_agg_stats" ->
       """SELECT l_returnflag,
         | min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the events table (extension beyond the
+  * batch-only reference — SURVEY.md §2 D "Streaming").
+  *
+  * Streams go through `readStream` → declarative transforms → `writeStream`;
+  * event-time correctness via watermarks; custom state (sessionization) via
+  * flatMapGroupsWithState. Designs assume unbounded input: all aggregations
+  * are keyed/windowed, state is bounded by watermark/timeout eviction.
+  */
+object EventStreams {
+
+  /** Schema of the events parquet (ts arrives as nanosecond long —
+    * see CoreQueries.events — and is normalized to TIMESTAMP here).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-based event stream with a proper event-time column. `dir` must be
+    * a directory of parquet files (streaming file-source contract).
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(rawSchema)
+      .parquet(dir)
+      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp)"))
+
+  /** Windowed rollup with late-data handling: 1-hour tumbling windows per
+    * event type, 2-hour watermark bounds state.
+    */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  /** Gap-based sessionization (30-min inactivity closes a session) with
+    * explicit state — the canonical flatMapGroupsWithState pattern. Sessions
+    * close when a later event proves the gap; the trailing open session per
+    * user stays in state (production deployments add an event-time timeout
+    * to flush it; with NoTimeout the query stays strictly data-driven, which
+    * keeps processAllAvailable-based testing deterministic).
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60 * 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[List[SessionState]]) =>
+          val events = batch.toSeq.sortBy(_.ts.getTime)
+          var open = state.getOption.getOrElse(Nil).headOption
+          val closed = List.newBuilder[SessionState]
+          for (e <- events) {
+            val t = e.ts.getTime
+            open match {
+              case Some(s) if t - s.last <= gapMs =>
+                open = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + e.value))
+              case Some(s) =>
+                closed += s
+                open = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                open = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          state.update(open.toList)
+          closed.result().iterator.map(s =>
+            Session(userId, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.n, s.sum))
+      }
+  }
+}

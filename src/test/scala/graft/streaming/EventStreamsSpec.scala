@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class EventStreamsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("file-driven hourly rollup matches the batch aggregate") {
+    // streaming file source wants a directory of files
+    val dir = java.nio.file.Files.createTempDirectory("events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sf}/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    val q = EventStreams.hourlyRollup(
+      EventStreams.readEvents(spark, dir.toString))
+      .writeStream.format("memory").queryName("rollup_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("rollup_out")
+        .select(sum("n_events").cast("long")).collect().head.getLong(0)
+      val batch = spark.read.parquet(s"${TestSpark.sf}/events.parquet").count()
+      assert(streamed == batch)
+      assert(spark.table("rollup_out").count() > 0)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes sessions on gap, keeps open ones in state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      def ev(id: Long, minute: Long, user: Long, v: Double) =
+        EventStreams.Event(id, new java.sql.Timestamp(minute * 60000L), user, "click", v)
+      // user 1: burst at t0..t2, then a gap > 30 min, then another burst
+      input.addData(ev(1, 0, 1, 1.0), ev(2, 1, 1, 2.0), ev(3, 2, 1, 3.0),
+        ev(4, 60, 1, 4.0), ev(5, 61, 1, 5.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions_out").as[EventStreams.Session].collect()
+      // the first session (3 events, sum 6.0) is closed by the 58-min gap;
+      // the second stays open in state
+      assert(sessions.length == 1)
+      assert(sessions.head.n_events == 3 && sessions.head.sum_value == 6.0)
+    } finally q.stop()
+  }
+}
