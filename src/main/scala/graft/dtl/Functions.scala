@@ -107,6 +107,36 @@ object FunctionRegistry {
     temporal1("year")(year),
     temporal1("month")(month),
     temporal1("day")(dayofmonth),
+    temporal1("hour")(hour),
+    temporal1("minute")(minute),
+    temporal1("day_of_week")(dayofweek),
+    arity("pow", 2) { (args, pos) =>
+      if (args.exists(a => !isNumeric(a.dtype))) fail(pos, "pow expects numeric arguments")
+      TypedCol(pow(args(0).col, args(1).col), TDouble)
+    },
+    numeric1("log10")(a => TypedCol(log10(a.col), TDouble)),
+    numeric1("sign")(a => TypedCol(
+      signum(a.col.cast("double")).cast(a.dtype match {
+        case TInt32 => "int"; case TInt64 => "bigint"; case _ => "double"
+      }), a.dtype)),
+    arity("greatest", 2) { (args, pos) =>
+      if (args(0).dtype != args(1).dtype || !isOrderable(args(0).dtype))
+        fail(pos, "greatest expects two orderable arguments of the same type")
+      TypedCol(greatest(args(0).col, args(1).col), args(0).dtype)
+    },
+    arity("least", 2) { (args, pos) =>
+      if (args(0).dtype != args(1).dtype || !isOrderable(args(0).dtype))
+        fail(pos, "least expects two orderable arguments of the same type")
+      TypedCol(least(args(0).col, args(1).col), args(0).dtype)
+    },
+    // explicit conversions — the escape hatch strict no-coercion typing needs
+    numeric1("to_int32")(a => TypedCol(a.col.cast("int"), TInt32)),
+    numeric1("to_int64")(a => TypedCol(a.col.cast("bigint"), TInt64)),
+    numeric1("to_double")(a => TypedCol(a.col.cast("double"), TDouble)),
+    arity("to_text", 1) { (args, pos) =>
+      if (args.head.dtype.isInstanceOf[TExt]) fail(pos, "to_text is not defined for extension types")
+      TypedCol(args.head.col.cast("string"), TText)
+    },
     arity("if", 3) { (args, pos) =>
       val List(c, a, b) = args
       if (c.dtype != TBool) fail(pos, "if expects a BOOL condition")

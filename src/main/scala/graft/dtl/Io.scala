@@ -16,17 +16,35 @@ trait Exporter {
   def exportTable(name: String, df: DataFrame): Unit
 }
 
+/** Parquet by default (reference parity: `<dir>/<name>.parquet`, io.py:41);
+  * names carrying an explicit `.csv` / `.json` / `.parquet` extension select
+  * that format (connector extension per SURVEY.md §2 D). CSV reads with
+  * header + schema inference; JSON is line-delimited.
+  */
 final class FilesystemImporter(spark: SparkSession, inputDir: String) extends Importer {
   private val cache = mutable.Map.empty[String, DataFrame]
   def importTable(name: String): DataFrame =
-    cache.getOrElseUpdate(name, spark.read.parquet(s"$inputDir/$name.parquet"))
+    cache.getOrElseUpdate(name, name.split('.').lastOption match {
+      case Some("csv") =>
+        spark.read.option("header", "true").option("inferSchema", "true")
+          .csv(s"$inputDir/$name")
+      case Some("json") => spark.read.json(s"$inputDir/$name")
+      case Some("parquet") => spark.read.parquet(s"$inputDir/$name")
+      case _ => spark.read.parquet(s"$inputDir/$name.parquet")
+    })
 }
 
 final class FilesystemExporter(outputDir: String) extends Exporter {
   private val seen = mutable.Set.empty[String]
   def exportTable(name: String, df: DataFrame): Unit = {
     if (!seen.add(name)) throw DtlError(s"duplicate export: '$name'")
-    df.write.mode("overwrite").parquet(s"$outputDir/$name.parquet")
+    name.split('.').lastOption match {
+      case Some("csv") =>
+        df.write.mode("overwrite").option("header", "true").csv(s"$outputDir/$name")
+      case Some("json") => df.write.mode("overwrite").json(s"$outputDir/$name")
+      case Some("parquet") => df.write.mode("overwrite").parquet(s"$outputDir/$name")
+      case _ => df.write.mode("overwrite").parquet(s"$outputDir/$name.parquet")
+    }
   }
 }
 

@@ -1,0 +1,45 @@
+package graft.dtl
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Connector coverage: CSV/JSON/parquet via explicit extensions in
+  * IMPORT/EXPORT names (SURVEY.md §2 D connectors).
+  */
+class IoSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("csv in, json + parquet out, through the engine") {
+    val dir = java.nio.file.Files.createTempDirectory("dtl-io").toString
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .write.option("header", "true").csv(s"$dir/input.csv")
+
+    new Engine(spark).run(
+      """WITH t AS IMPORT 'input.csv';
+        |WITH big AS SELECT k, upper(v) AS uv FROM t WHERE to_int64(k) >= 2;
+        |EXPORT big TO 'out.json';
+        |EXPORT big TO 'out2';""".stripMargin,
+      new FilesystemImporter(spark, dir),
+      new FilesystemExporter(dir))
+
+    val json = spark.read.json(s"$dir/out.json")
+    assert(json.count() == 2)
+    assert(json.columns.sorted.toSeq == Seq("k", "uv"))
+    val pq = spark.read.parquet(s"$dir/out2.parquet")
+    assert(pq.collect().map(_.getString(1)).sorted.toSeq == Seq("B", "C"))
+  }
+
+  test("new scalar functions evaluate with strict types") {
+    val out = new Engine(spark).runSimple(
+      """WITH input AS IMPORT 'input';
+        |WITH output AS
+        |  SELECT pow(x, 2.0) AS sq, sign(n) AS sg, greatest(n, 3) AS g, least(n, 3) AS l
+        |  FROM input;
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("input" -> Seq((2.0, -5L), (3.0, 7L)).toDF("x", "n")))
+    val rows = out("output").collect().map(_.toSeq).sortBy(_.toString)
+    assert(rows.toSeq == Seq(
+      Seq(4.0, -1L, 3L, -5L), Seq(9.0, 1L, 7L, 3L)).sortBy(_.toString))
+  }
+}
