@@ -143,7 +143,15 @@ object FunctionRegistry {
       if (a.dtype != b.dtype)
         fail(pos, s"if branches must share a type, got ${a.dtype.name} and ${b.dtype.name}")
       TypedCol(when(c.col, a.col).otherwise(b.col), a.dtype)
-    }
+    },
+    // corpus-pipeline text operators (graft.ops.TextAnalysis / functions.*),
+    // surfaced in the language through the same registry extension point the
+    // reference reserved for `add`
+    text1("token_count", TInt32)(graft.ops.TextAnalysis.tokenCount),
+    text1("lang_id")(graft.ops.TextAnalysis.langId),
+    text1("quality_score", TDouble)(graft.ops.TextAnalysis.qualityScore),
+    text1("fingerprint", TInt64)(graft.ops.TextAnalysis.fingerprint),
+    text1("simhash", TInt64)(graft.functions.SimHash.simhash)
   )
 
   val defaultAggregates: Map[String, (List[TypedCol], Pos) => TypedCol] = Map(
@@ -174,6 +182,18 @@ object FunctionRegistry {
     },
     arity("count_distinct", 1) { (args, pos) =>
       TypedCol(countDistinct(args.head.col), TInt64)
+    },
+    arity("stddev", 1) { (args, pos) =>
+      if (!isNumeric(args.head.dtype)) fail(pos, "stddev expects a numeric argument")
+      TypedCol(stddev_samp(args.head.col), TDouble)
+    },
+    arity("variance", 1) { (args, pos) =>
+      if (!isNumeric(args.head.dtype)) fail(pos, "variance expects a numeric argument")
+      TypedCol(var_samp(args.head.col), TDouble)
+    },
+    arity("median", 1) { (args, pos) =>
+      if (!isNumeric(args.head.dtype)) fail(pos, "median expects a numeric argument")
+      TypedCol(median(args.head.col), TDouble)
     }
   )
 

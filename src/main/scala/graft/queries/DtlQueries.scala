@@ -98,6 +98,16 @@ object DtlQueries {
         |  FROM part;
         |EXPORT output TO 'output';""".stripMargin)),
 
+    // pipeline text operators surfaced as DTL registry functions
+    "dtl_text_pipeline" -> ((s, d) => run(s, d,
+      """WITH documents AS IMPORT 'documents';
+        |WITH output AS
+        |  SELECT doc_id, token_count(text) AS n_tokens, lang_id(text) AS lang_pred,
+        |         quality_score(text) AS quality
+        |  FROM documents
+        |  WHERE to_int64(token_count(text)) >= 5;
+        |EXPORT output TO 'output';""".stripMargin)),
+
     "dtl_chained_with" -> ((s, d) => run(s, d,
       """WITH orders AS IMPORT 'orders';
         |WITH big AS SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_totalprice > 400000.0;
@@ -142,6 +152,28 @@ object DtlQueries {
         | CAST(length(p_name) AS INTEGER) AS n,
         | contains(p_type, 'BRASS') AS has_brass
         |FROM part""".stripMargin,
+    "dtl_text_pipeline" ->
+      """SELECT doc_id,
+        | CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS INTEGER) AS n_tokens,
+        | (WITH s AS (SELECT
+        |    len(list_filter(string_split_regex(trim(lower(text)),'\s+'), w -> w IN ('the','of','and','to','in','is','it','that','for','was'))) AS s_en,
+        |    len(list_filter(string_split_regex(trim(lower(text)),'\s+'), w -> w IN ('el','la','de','que','y','en','los','se','del','las'))) AS s_es,
+        |    len(list_filter(string_split_regex(trim(lower(text)),'\s+'), w -> w IN ('le','la','de','et','les','des','en','un','du','une'))) AS s_fr,
+        |    len(list_filter(string_split_regex(trim(lower(text)),'\s+'), w -> w IN ('der','die','und','in','den','von','zu','das','mit','sich'))) AS s_de)
+        |  SELECT CASE WHEN greatest(s_en,s_es,s_fr,s_de) <= 0 THEN 'und'
+        |       WHEN s_en = greatest(s_en,s_es,s_fr,s_de) THEN 'en'
+        |       WHEN s_es = greatest(s_en,s_es,s_fr,s_de) THEN 'es'
+        |       WHEN s_fr = greatest(s_en,s_es,s_fr,s_de) THEN 'fr'
+        |       ELSE 'de' END FROM s) AS lang_pred,
+        | round(
+        |  least(length(text) / 200.0, 1.0) * 0.4
+        |  + (CASE WHEN length(text)::DOUBLE / greatest(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text),'\s+')) END, 1) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3
+        |  + (CASE WHEN length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g'))::DOUBLE / greatest(length(text), 1) < 0.2 THEN 1.0 ELSE 0.3 END) * 0.3
+        | , 6) AS quality
+        |FROM documents
+        |WHERE (CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END) >= 5""".stripMargin,
     "dtl_chained_with" ->
       """SELECT o_custkey, count(*) AS n_big
         |FROM orders WHERE o_totalprice > 400000.0

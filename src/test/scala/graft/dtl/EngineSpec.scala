@@ -250,6 +250,16 @@ class EngineSpec extends AnyFunSuite {
     check(out("output"), Seq("l", "r"), Seq(Seq(1L, 1L), Seq(2L, 2L)))
   }
 
+  test("subquery in FROM with alias") {
+    val out = engine.runSimple(
+      """WITH input AS IMPORT 'input';
+        |WITH output AS
+        |  SELECT q.a AS v FROM (SELECT a FROM input WHERE a > 1) AS q WHERE q.a < 4;
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("input" -> Seq(1L, 2L, 3L, 4L).toDF("a")))
+    check(out("output"), Seq("v"), Seq(Seq(2L), Seq(3L)))
+  }
+
   test("string literals, booleans and functions") {
     val out = engine.runSimple(
       """WITH input AS IMPORT 'input';
