@@ -45,7 +45,17 @@ final class Compiler(
     * carrying that table's row id through this plan.
     */
   final case class CTable(df: DataFrame, cols: List[SCol], ordCols: List[String],
-      rids: List[(String, String)] = Nil)
+      rids: List[(String, String)] = Nil,
+      aggLineage: Option[AggLineage] = None)
+
+  /** Lineage bridge across an aggregation: the pre-agg frame still carries
+    * upstream row ids plus the materialized group keys; the post-agg frame
+    * keeps the same key columns hidden. Mapping pairs are produced by a
+    * null-safe join on the keys at trace time (many-to-one, mappings.py-style
+    * ManyToOneMapping expressed relationally).
+    */
+  final case class AggLineage(srcDf: DataFrame, srcRids: List[(String, String)],
+      keyCols: List[String])
 
   private val counter = new java.util.concurrent.atomic.AtomicLong()
   private def fresh(prefix: String = "c"): String = s"__${prefix}${counter.incrementAndGet()}"
@@ -228,18 +238,24 @@ final class Compiler(
       df = df.filter(p.col)
     }
 
+    // aggregation lineage survives plain select/filter over the grouped
+    // result, but not a further join or grouping (rebased at the next
+    // statement boundary anyway)
+    val carriedAggLineage =
+      if (sel.joins.isEmpty && sel.groupBy.isEmpty) src.aggLineage else None
+
     sel.groupBy match {
       case Some(gb) =>
-        // lineage does not (yet) flow through aggregation: grouped output
-        // starts a fresh provenance root (reference has no aggregates at all)
-        compileGroupedProjection(sel, gb, df, scope, ordCols)
+        compileGroupedProjection(sel, gb, df, scope, ordCols, rids)
       case None =>
         val out = projectBindings(sel, scope)
+        val hidden = ordCols ++ rids.map(_._2) ++
+          carriedAggLineage.map(_.keyCols).getOrElse(Nil)
         val projected = df.select(out.map { case (name @ _, internal, tc) =>
           tc.col.as(internal)
-        } ++ (ordCols ++ rids.map(_._2)).map(col): _*)
+        } ++ hidden.map(col): _*)
         val cols = out.map { case (name, internal, tc) => SCol(name, internal, Set(None), tc.dtype) }
-        applyDistinct(sel, CTable(projected, cols, ordCols, rids))
+        applyDistinct(sel, CTable(projected, cols, ordCols, rids, carriedAggLineage))
     }
   }
 
@@ -273,7 +289,8 @@ final class Compiler(
     */
   private def compileGroupedProjection(
       sel: SelectExpr, gb: GroupBy, df0: DataFrame,
-      scope: List[SCol], ordCols: List[String]): CTable = {
+      scope: List[SCol], ordCols: List[String],
+      rids: List[(String, String)] = Nil): CTable = {
     var df = df0
     val keyExprs = gb.keys.map(k => (k, compileExpr(k, scope)))
     val keyInternals = keyExprs.map(_ => fresh("k"))
@@ -342,18 +359,21 @@ final class Compiler(
       val internal = fresh()
       (name, internal, tc, isKey)
     }
-    val keyPart = aggExprs.filter(_._4).map { case (_, internal, tc, _) => tc.col.as(internal) }
     val aggPart = aggExprs.filterNot(_._4).map { case (_, internal, tc, _) => tc.col.as(internal) }
     // groupBy(keys).agg(...) needs at least one aggregate; synthesize a dropped one
     val aggList = if (aggPart.isEmpty) List(count(lit(1)).as(fresh("drop"))) else aggPart
     var result = grouped.agg(aggList.head, aggList.tail: _*)
-    // project to output order: keys come from the grouping columns
+    // project to output order (keys come from the grouping columns); keep the
+    // grouping key columns hidden when lineage must bridge the aggregation
+    val lineageKeys = keyInternals ++ runCol.toList
+    val tracingAgg = tracing && rids.nonEmpty
     val outProj = aggExprs.map { case (_, internal, tc, isKey) =>
       if (isKey) tc.col.as(internal) else col(internal)
-    }
+    } ++ (if (tracingAgg) lineageKeys.map(col) else Nil)
     result = result.select(outProj: _*)
     val cols = aggExprs.map { case (name, internal, tc, _) => SCol(name, internal, Set(None), tc.dtype) }
-    applyDistinct(sel, CTable(result, cols, Nil))
+    val lineage = if (tracingAgg) Some(AggLineage(df, rids, lineageKeys)) else None
+    applyDistinct(sel, CTable(result, cols, Nil, Nil, lineage))
   }
 
   /** DISTINCT / DISTINCT CONSECUTIVE (reference parses then silently ignores —
@@ -422,6 +442,20 @@ final class Compiler(
     for ((src, group) <- t.rids.groupBy(_._1)) {
       val pairs = group.map { case (_, ridCol) =>
         df.select(col(ridCol).as("src_rid"), col(ownRid).as("tgt_rid"))
+      }.reduce(_ union _).filter(col("src_rid").isNotNull)
+      tracer.traceMapping(src, name, pairs)
+      manifest.addMapping(src, name)
+    }
+    // lineage across an aggregation: many-to-one mapping by null-safe
+    // key-equality join between the pre-agg rows (still carrying their
+    // upstream row ids) and the aggregated table
+    for (al <- t.aggLineage; (src, group) <- al.srcRids.groupBy(_._1)) {
+      val tgtKeys = al.keyCols.map(k => (k, fresh("tk")))
+      val tgt = df.select(col(ownRid).as("tgt_rid") +: tgtKeys.map { case (k, n) => col(k).as(n) }: _*)
+      val joinCond = tgtKeys.map { case (k, n) => al.srcDf(k) <=> col(n) }.reduce(_ && _)
+      val pairs = group.map { case (_, ridCol) =>
+        al.srcDf.join(tgt, joinCond)
+          .select(al.srcDf(ridCol).as("src_rid"), col("tgt_rid"))
       }.reduce(_ union _).filter(col("src_rid").isNotNull)
       tracer.traceMapping(src, name, pairs)
       manifest.addMapping(src, name)

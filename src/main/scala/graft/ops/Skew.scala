@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation utilities.
+  *
+  * AQE's skew-join handling (spark.sql.adaptive.skewJoin) covers most cases
+  * by splitting oversized partitions at runtime; explicit salting remains the
+  * tool when a single hot key must be spread BEFORE the shuffle — e.g. a
+  * heavy-hitter key feeding a sort-merge join, or a streaming job where AQE
+  * does not apply.
+  */
+object Skew {
+
+  /** Equi-join with the left side's hot keys spread over `nSalts` buckets:
+    * every left row gets a pseudo-random salt, the right side is replicated
+    * once per salt value, and the join key becomes (key, salt). Result equals
+    * the plain inner equi-join row-for-row; the shuffle for any single key is
+    * split nSalts ways. Right side grows ×nSalts — use for small-ish right
+    * sides with a skewed left (the standard fact⋈dim skew shape).
+    */
+  def saltedEquiJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column,
+      nSalts: Int): DataFrame = {
+    require(nSalts > 1, "nSalts must be > 1")
+    val l = left.withColumn("__salt_l",
+      pmod(xxhash64(monotonically_increasing_id()), lit(nSalts.toLong)).cast("int"))
+    val r = right.withColumn("__salt_r", explode(sequence(lit(0), lit(nSalts - 1))))
+    l.join(r, leftKey === rightKey && col("__salt_l") === col("__salt_r"), "inner")
+      .drop("__salt_l", "__salt_r")
+  }
+
+  /** Two-stage aggregation for hot grouping keys: stage 1 aggregates per
+    * (key, salt), stage 2 merges the partials. Only decomposable aggregates
+    * are offered. Spark's map-side partial aggregation already does this
+    * within a task; explicit salting additionally splits a hot key across
+    * REDUCERS, which partial agg cannot.
+    */
+  def saltedCounts(df: DataFrame, key: Column, nSalts: Int): DataFrame = {
+    val salted = df.select(key.as("k"))
+      .withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()), lit(nSalts.toLong)))
+    salted
+      .groupBy(col("k"), col("__salt")).agg(count(lit(1)).as("partial"))
+      .groupBy(col("k")).agg(sum("partial").as("n"))
+  }
+}

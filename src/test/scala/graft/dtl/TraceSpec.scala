@@ -58,6 +58,23 @@ class TraceSpec extends AnyFunSuite {
     assert(mapRids == snapRids)
   }
 
+  test("aggregation lineage: every source row maps to its group row") {
+    val tracer = new InMemoryTracer
+    new Engine(spark).runSimple(
+      """WITH input AS IMPORT 'input';
+        |WITH totals AS SELECT k, sum(v) AS total FROM input GROUP BY k;
+        |EXPORT totals TO 'out';""".stripMargin,
+      Map("input" -> Seq(("x", 1L), ("x", 2L), ("y", 10L), ("z", 5L)).toDF("k", "v")),
+      Some(tracer))
+
+    assert(tracer.snapshots("totals").count() == 3)
+    val m = tracer.mappings(("input", "totals"))
+    // many-to-one: all 4 source rows map, onto exactly the 3 group rows
+    assert(m.count() == 4)
+    assert(m.select("tgt_rid").distinct().count() == 3)
+    assert(m.select("src_rid").distinct().count() == 4)
+  }
+
   test("tracing off adds no hidden columns") {
     val out = new Engine(spark).runSimple(
       """WITH input AS IMPORT 'input';

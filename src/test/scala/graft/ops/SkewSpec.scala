@@ -1,0 +1,28 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class SkewSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("salted equi-join equals the plain join on skewed data") {
+    // 1000 rows of one hot key + a long tail
+    val left = ((1 to 1000).map(_ => 1L) ++ (2L to 50L)).toDF("k")
+    val right = (1L to 50L).map(i => (i, s"v$i")).toDF("rk", "v")
+    val plain = left.join(right, col("k") === col("rk")).drop("rk")
+    val salted = Skew.saltedEquiJoin(left, right, col("k"), col("rk"), nSalts = 8).drop("rk")
+    assert(salted.count() == plain.count())
+    assert(salted.groupBy("k").count().orderBy("k").collect().toSeq ==
+      plain.groupBy("k").count().orderBy("k").collect().toSeq)
+  }
+
+  test("salted counts equal plain counts") {
+    val df = ((1 to 500).map(_ => "hot") ++ Seq("a", "b", "b")).toDF("k")
+    val got = Skew.saltedCounts(df, col("k"), nSalts = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("hot" -> 500L, "a" -> 1L, "b" -> 2L))
+  }
+}
