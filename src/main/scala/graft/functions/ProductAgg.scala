@@ -1,0 +1,18 @@
+package graft.functions
+
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Encoder, Encoders}
+
+/** Custom typed aggregate (SURVEY.md §2 D "UDF/UDAF surface"): product of a
+  * double column, computed in the log domain for numeric stability — the
+  * Aggregator pattern users extend for their own state-based aggregates.
+  * Mergeable buffer ⇒ map-side partial aggregation works as usual.
+  */
+object ProductAgg extends Aggregator[Double, Double, Double] {
+  def zero: Double = 0.0 // sum of logs
+  def reduce(acc: Double, x: Double): Double = acc + math.log(x)
+  def merge(a: Double, b: Double): Double = a + b
+  def finish(logSum: Double): Double = math.exp(logSum)
+  def bufferEncoder: Encoder[Double] = Encoders.scalaDouble
+  def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}

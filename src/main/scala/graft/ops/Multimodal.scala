@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -73,4 +73,36 @@ object Multimodal {
     */
   def sampleFrames(decoded: Column, stride: Int): Column =
     sequence(lit(0), decoded.getField("n_frames") - 1, lit(stride))
+
+  final case class MediaRow(id: Long, bytes: Array[Byte])
+  final case class EncodedRow(id: Long, features: Array[Float])
+
+  /** Partition-parallel batched encode — the exact execution shape of a
+    * GPU/model encoder (PySpark's mapInPandas twin in Scala): rows stream
+    * per partition, are packed into `batchSize` micro-batches, each batch
+    * goes through one (stubbed) model call, outputs stream back. Swap
+    * [[encodeBatch]] for a real inference call and nothing else changes —
+    * batching amortizes model-call overhead, partitions bound memory.
+    */
+  def batchedEncode(ds: Dataset[MediaRow], dim: Int = 16, batchSize: Int = 64)(
+      implicit spark: SparkSession): Dataset[EncodedRow] = {
+    import spark.implicits._
+    ds.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(batch => encodeBatch(batch, dim))
+    }
+  }
+
+  /** STUB model call: deterministic pseudo-features per item. A real
+    * implementation would run one forward pass over the whole batch.
+    */
+  private def encodeBatch(batch: Seq[MediaRow], dim: Int): Seq[EncodedRow] =
+    batch.map { r =>
+      var h = 0xcbf29ce484222325L
+      r.bytes.foreach { b => h ^= b & 0xffL; h *= 0x100000001b3L }
+      val feats = Array.tabulate(dim) { i =>
+        val x = h * (2 * i + 1) + 0x9e3779b97f4a7c15L
+        ((x >>> 11).toDouble / (1L << 53).toDouble).toFloat * 2f - 1f
+      }
+      EncodedRow(r.id, feats)
+    }
 }

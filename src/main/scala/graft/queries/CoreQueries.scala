@@ -201,6 +201,35 @@ object CoreQueries {
         .select("user_id", "session_id", "session_start", "session_end", "n_events", "sum_value")
     }),
 
+    // D-grouping-sets: ROLLUP over nation→region hierarchy
+    "q20_rollup" -> ((s, d) => {
+      t(s, d, "nation")
+        .join(t(s, d, "supplier"), col("s_nationkey") === col("n_nationkey"))
+        .rollup(col("n_regionkey"), col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"), round(sum("s_acctbal"), 2).as("total_bal"))
+    }),
+
+    // D-outer-join: FULL OUTER between two key sets with partial overlap
+    "q21_full_outer" -> ((s, d) => {
+      val c = t(s, d, "customer").groupBy("c_nationkey").agg(count(lit(1)).as("n_cust"))
+      val su = t(s, d, "supplier").groupBy("s_nationkey").agg(count(lit(1)).as("n_supp"))
+      c.join(su, col("c_nationkey") === col("s_nationkey"), "full_outer")
+        .select(
+          coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+    }),
+
+    // D-UDAF: custom typed Aggregator (log-domain product) over discounts
+    "q22_custom_agg" -> ((s, d) => {
+      val productUdaf = udaf(graft.functions.ProductAgg)
+      t(s, d, "lineitem")
+        .filter(col("l_discount") > 0.0)
+        .groupBy("l_returnflag")
+        .agg(round(productUdaf(lit(1.0) + col("l_discount")), 4).as("discount_factor"),
+          count(lit(1)).as("n"))
+    }),
+
     // D-agg statistics: min/max/stddev/count-distinct
     "q18_agg_stats" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -309,6 +338,23 @@ object CoreQueries {
         |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
         |       count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    "q20_rollup" ->
+      """SELECT n_regionkey, n_name, count(*) AS n_suppliers,
+        | round(sum(s_acctbal), 2) AS total_bal
+        |FROM nation JOIN supplier ON s_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_regionkey, n_name)""".stripMargin,
+    "q21_full_outer" ->
+      """SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+        | coalesce(c.n_cust, 0) AS n_cust, coalesce(s.n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY 1) s
+        |ON c.c_nationkey = s.s_nationkey""".stripMargin,
+    "q22_custom_agg" ->
+      """SELECT l_returnflag,
+        | round(exp(sum(ln(1.0 + l_discount))), 4) AS discount_factor,
+        | count(*) AS n
+        |FROM lineitem WHERE l_discount > 0.0
+        |GROUP BY l_returnflag""".stripMargin,
     "q18_agg_stats" ->
       """SELECT l_returnflag,
         | min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,

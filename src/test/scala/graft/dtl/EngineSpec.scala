@@ -260,6 +260,39 @@ class EngineSpec extends AnyFunSuite {
     check(out("output"), Seq("v"), Seq(Seq(2L), Seq(3L)))
   }
 
+  test("aggregate outside GROUP BY is rejected") {
+    val e = intercept[DtlError] {
+      engine.runSimple(
+        """WITH input AS IMPORT 'input';
+          |WITH o AS SELECT sum(a) AS s FROM input;
+          |EXPORT o TO 'out';""".stripMargin,
+        Map("input" -> Seq(1L).toDF("a")))
+    }
+    assert(e.getMessage.contains("grouped SELECT"))
+  }
+
+  test("non-key non-aggregate in grouped SELECT is rejected") {
+    val e = intercept[DtlError] {
+      engine.runSimple(
+        """WITH input AS IMPORT 'input';
+          |WITH o AS SELECT b, sum(a) AS s FROM input GROUP BY a;
+          |EXPORT o TO 'out';""".stripMargin,
+        Map("input" -> Seq((1L, 2L)).toDF("a", "b")))
+    }
+    assert(e.getMessage.contains("must be an aggregate or match a GROUP BY key"))
+  }
+
+  test("WHERE with non-boolean predicate is rejected") {
+    val e = intercept[DtlError] {
+      engine.runSimple(
+        """WITH input AS IMPORT 'input';
+          |WITH o AS SELECT a FROM input WHERE a + 1;
+          |EXPORT o TO 'out';""".stripMargin,
+        Map("input" -> Seq(1L).toDF("a")))
+    }
+    assert(e.getMessage.contains("must be BOOL"))
+  }
+
   test("string literals, booleans and functions") {
     val out = engine.runSimple(
       """WITH input AS IMPORT 'input';

@@ -116,6 +116,19 @@ class OpsSpec extends AnyFunSuite {
     assert(sh.contains("the cat is") && sh.length == 8)
   }
 
+  test("batched partition-parallel encode produces stable fixed-dim features") {
+    implicit val s = spark
+    val ds = (1L to 200L).map(i => Multimodal.MediaRow(i, s"payload-$i".getBytes)).toDS()
+      .repartition(4)
+    val out = Multimodal.batchedEncode(ds, dim = 8, batchSize = 16).collect()
+    assert(out.length == 200)
+    assert(out.forall(_.features.length == 8))
+    val again = Multimodal.batchedEncode(ds, dim = 8, batchSize = 3).collect()
+    // batch size must not change results, only call granularity
+    assert(out.sortBy(_.id).map(_.features.toSeq).toSeq ==
+      again.sortBy(_.id).map(_.features.toSeq).toSeq)
+  }
+
   test("multimodal stub pipeline is deterministic and schema-stable") {
     val df = Seq((1L, "some media payload"), (2L, "other payload")).toDF("id", "content")
     val media = Multimodal.asMedia(col("content"), lit("img/png"))
