@@ -1,0 +1,33 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-layout helpers: pre-shuffle a fact table ONCE at write time so
+  * every later join/aggregation on the bucket key is exchange-free.
+  *
+  * At 100 TB this is the difference between re-shuffling the fact table per
+  * query and never shuffling it again: `bucketBy(n, key)` writes
+  * hash-partitioned files whose layout Catalyst recognizes
+  * (`spark.sql.sources.bucketing.enabled`), eliminating the Exchange on the
+  * bucketed side of equi-joins and groupBys on the key. Datasource bucketing
+  * needs a saved table (metastore-backed name), hence the saveAsTable API.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed managed table on `key` (sorted within buckets
+    * for merge-friendly reads).
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, nBuckets: Int): Unit =
+    df.write
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two tables bucketed on the same key with the same bucket count —
+    * planner proof that no Exchange is needed lives in BucketingSpec.
+    */
+  def bucketedJoin(spark: SparkSession, left: String, right: String, key: String): DataFrame =
+    spark.table(left).join(spark.table(right), Seq(key))
+}

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Proves the bucketed layout removes shuffles: the same join that needs two
+  * Exchanges over plain parquet needs none when both sides are bucketed on
+  * the join key.
+  */
+class BucketingSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("bucketed equi-join and groupBy plan without Exchange") {
+    // force the shuffle-join path: at test scale everything fits a broadcast,
+    // which sidesteps bucketing ("Bucketed: false (disabled by query planner)")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+    val orders = spark.read.parquet(s"${TestSpark.sf}/orders.parquet")
+    val lineitem = spark.read.parquet(s"${TestSpark.sf}/lineitem.parquet")
+
+    for (t <- Seq("b_orders", "b_lineitem")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), t)
+      if (loc.exists) scala.reflect.io.Directory(loc).deleteRecursively()
+    }
+
+    Bucketing.writeBucketed(orders.select("o_orderkey", "o_totalprice"), "b_orders", "o_orderkey", 8)
+    Bucketing.writeBucketed(
+      lineitem.select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+      "b_lineitem", "o_orderkey", 8)
+
+    val joined = Bucketing.bucketedJoin(spark, "b_orders", "b_lineitem", "o_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+
+    assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+    assert(joined.count() == lineitem.count())
+
+    // groupBy on the bucket key is also exchange-free up to the final agg
+    val agg = spark.table("b_lineitem").groupBy("o_orderkey").agg(sum("l_quantity"))
+    val aggPlan = agg.queryExecution.executedPlan.toString
+    assert(!aggPlan.contains("Exchange"), s"bucketed groupBy still shuffles:\n$aggPlan")
+
+    // contrast: the plain-parquet join shuffles both sides
+    val plain = orders.select("o_orderkey")
+      .join(lineitem.select(col("l_orderkey").as("o_orderkey")), Seq("o_orderkey"))
+    assert(plain.queryExecution.executedPlan.toString.contains("Exchange"))
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+}
