@@ -132,6 +132,39 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Connected components over near-dup pairs → cluster ids (min member id
+    * per component), the step that turns pairwise matches into "keep one doc
+    * per duplicate cluster". Iterative min-label propagation: each round
+    * every node adopts the smallest label among itself and its neighbors;
+    * converges in O(component diameter) rounds. Each round localCheckpoints
+    * to cut lineage growth — the standard guard for iterative Spark jobs.
+    */
+  def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      val neighborLabels = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nlabel")), Seq("dst"))
+        .select(col("src").as("id"), col("nlabel"))
+      val updated = labels.join(neighborLabels, Seq("id"), "left")
+        .groupBy("id")
+        .agg(least(first(col("label")), min(col("nlabel"))).as("next_label"),
+          first(col("label")).as("label"))
+      val next = updated.select(col("id"),
+        coalesce(col("next_label"), col("label")).as("label")).localCheckpoint()
+      converged = updated.filter(col("next_label") =!= col("label")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** Embedding near-duplicates: multi-table random-hyperplane LSH. Each of
     * `nTables` tables hashes the vector to a sign-bit signature over
     * `planesPerTable` fixed pseudo-random hyperplanes; a pair is a candidate

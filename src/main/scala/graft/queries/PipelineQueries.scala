@@ -29,6 +29,13 @@ object PipelineQueries {
       Dedup.minhashLsh(t(s, d, "documents"), col("doc_id"), col("text"),
         shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.8)),
 
+    // duplicate clusters: LSH pairs → connected components → (doc, cluster)
+    "pipe_dedup_clusters" -> ((s, d) => {
+      val pairs = Dedup.minhashLsh(t(s, d, "documents"), col("doc_id"), col("text"),
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      Dedup.clusters(pairs).select(col("id").as("doc_id"), col("cluster_id"))
+    }),
+
     // SimHash near-dup candidates (custom codegen Expression; no SQL oracle)
     "pipe_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(t(s, d, "documents"), col("doc_id"), col("text"), maxHamming = 3)),
@@ -122,6 +129,21 @@ object PipelineQueries {
          |  round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
          |FROM t a JOIN t b ON a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8""".stripMargin,
+    "pipe_dedup_clusters" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $duckShingles AS sh FROM documents WHERE len(string_split_regex(trim(lower(text)),'\\s+')) >= 3),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+         |reach AS (
+         |  SELECT src AS id, src AS label FROM edges
+         |  UNION
+         |  SELECT e.src AS id, r.label
+         |  FROM edges e JOIN reach r ON e.dst = r.id)
+         |SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY id""".stripMargin,
     "pipe_token_count" ->
       """SELECT doc_id,
         | CAST(CASE WHEN length(trim(text)) = 0 THEN 0

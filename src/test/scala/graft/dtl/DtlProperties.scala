@@ -1,0 +1,66 @@
+package graft.dtl
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property-based checks (SURVEY.md §5 plan): lexer totality on generated
+  * scripts, arithmetic semantics vs Scala evaluation, and algebraic
+  * identities of the compiled plans.
+  */
+object DtlProperties extends Properties("dtl") {
+  import graft.TestSpark.spark
+  import spark.implicits._
+
+  private lazy val engine = new Engine(spark)
+
+  private val smallLong = Gen.choose(-1000L, 1000L)
+  private val ident = for {
+    h <- Gen.alphaLowerChar
+    t <- Gen.listOfN(5, Gen.alphaNumChar)
+  } yield (h :: t).mkString
+
+  property("lexer round-trips identifiers, ints and strings") =
+    forAll(ident, smallLong, Gen.asciiPrintableStr.map(_.filter(c => c != '\\' && c != '\'' && c >= ' '))) {
+      (name, n, s) =>
+        val src = s"$name ${math.abs(n)} '$s'"
+        val toks = Lexer.lex(src)
+        toks.length == 4 &&
+          toks(0).asInstanceOf[Token.Name].text == name &&
+          toks(1).asInstanceOf[Token.IntLit].value == math.abs(n) &&
+          toks(2).asInstanceOf[Token.StringLit].value == s
+    }
+
+  property("arithmetic matches Scala semantics incl. precedence") =
+    forAll(smallLong, smallLong, smallLong) { (a, b, c) =>
+      val out = engine.runSimple(
+        """WITH input AS IMPORT 'input';
+          |WITH o AS SELECT a + b * c - a AS r FROM input;
+          |EXPORT o TO 'out';""".stripMargin,
+        Map("input" -> Seq((a, b, c)).toDF("a", "b", "c")))
+      out("out").collect().head.getLong(0) == a + b * c - a
+    }
+
+  property("WHERE TRUE is identity, WHERE FALSE is empty") =
+    forAll(Gen.listOfN(8, smallLong)) { xs =>
+      val df = xs.toDF("a")
+      val keep = engine.runSimple(
+        "WITH i AS IMPORT 'i'; WITH o AS SELECT a FROM i WHERE TRUE; EXPORT o TO 'out';",
+        Map("i" -> df))("out").count()
+      val drop = engine.runSimple(
+        "WITH i AS IMPORT 'i'; WITH o AS SELECT a FROM i WHERE FALSE; EXPORT o TO 'out';",
+        Map("i" -> df))("out").count()
+      keep == xs.length && drop == 0
+    }
+
+  property("self equi-join cardinality equals key multiplicity squared") =
+    forAll(Gen.listOfN(6, Gen.choose(0L, 2L))) { keys =>
+      val df = keys.toDF("k")
+      val joined = engine.runSimple(
+        """WITH t AS IMPORT 't';
+          |WITH o AS SELECT t.k AS k FROM t JOIN t AS u ON t.k = u.k;
+          |EXPORT o TO 'out';""".stripMargin,
+        Map("t" -> df))("out").count()
+      val expected = keys.groupBy(identity).values.map(g => g.size.toLong * g.size).sum
+      joined == expected
+    }
+}

@@ -58,6 +58,13 @@ class OpsSpec extends AnyFunSuite {
     assert(exact == lsh)
   }
 
+  test("connected components: chains merge, islands stay apart") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("embedding LSH near-dup finds planted high-cosine pair") {
     val rng = new scala.util.Random(7)
     val base = Array.fill(16)(rng.nextGaussian())
