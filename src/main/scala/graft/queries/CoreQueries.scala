@@ -230,6 +230,27 @@ object CoreQueries {
           count(lit(1)).as("n"))
     }),
 
+    // D-agg: exact interpolated percentiles per group
+    "q23_percentiles" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+          round(percentile_approx(col("l_extendedprice"), lit(0.5), lit(100000)), 2).as("p50_approx"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"))
+        .select("l_linestatus", "median_price", "p95_price")
+    }),
+
+    // D-subquery: rows above the global average (scalar agg broadcast, no
+    // driver-side collect)
+    "q24_scalar_subquery" -> ((s, d) => {
+      val avgPrice = t(s, d, "orders").agg(avg("o_totalprice").as("avg_price"))
+      t(s, d, "orders")
+        .crossJoin(broadcast(avgPrice))
+        .filter(col("o_totalprice") > col("avg_price") * 1.8)
+        .select("o_orderkey", "o_totalprice")
+    }),
+
     // D-agg statistics: min/max/stddev/count-distinct
     "q18_agg_stats" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -355,6 +376,14 @@ object CoreQueries {
         | count(*) AS n
         |FROM lineitem WHERE l_discount > 0.0
         |GROUP BY l_returnflag""".stripMargin,
+    "q23_percentiles" ->
+      """SELECT l_linestatus,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+        | round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+    "q24_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.8""".stripMargin,
     "q18_agg_stats" ->
       """SELECT l_returnflag,
         | min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
