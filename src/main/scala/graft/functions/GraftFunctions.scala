@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL-surface registration for the engine's native Catalyst expressions, so
+  * `spark.sql("SELECT simhash(text) ...")` works alongside the Column API —
+  * either per-session ([[register]]) or at session build time via
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` /
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+object GraftFunctions {
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal integer, got $other")
+  }
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "simhash" -> { args => SimHashExpression(args.head) },
+    "minhash_sig" -> { args =>
+      MinHashSigExpression(args(0), intArg(args(1), "minhash_sig(_, numHashes)"))
+    },
+    "shingles" -> { args =>
+      ShinglesExpression(args(0), intArg(args(1), "shingles(_, k)"))
+    })
+
+  /** Imperative per-session registration. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+}
+
+/** Injectable extensions (spark.sql.extensions-compatible). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        builder))
+    }
+}

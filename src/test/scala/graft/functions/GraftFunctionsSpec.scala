@@ -1,0 +1,33 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class GraftFunctionsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("native expressions are callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    Seq((1L, "the quick brown fox"), (2L, "the quick brown fox")).toDF("id", "text")
+      .createOrReplaceTempView("docs")
+    val rows = spark.sql(
+      """SELECT simhash(text) AS sig,
+        |       size(shingles(text, 2)) AS n_shingles,
+        |       size(minhash_sig(shingles(text, 2), 16)) AS sig_len
+        |FROM docs""".stripMargin).collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(0) == rows(1).getLong(0)) // identical text, identical simhash
+    assert(rows(0).getInt(1) == 3)
+    assert(rows(0).getInt(2) == 16)
+  }
+
+  test("non-literal numHashes is rejected with a clear error") {
+    GraftFunctions.register(spark)
+    Seq(1).toDF("n").createOrReplaceTempView("nums")
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(array('a'), n) FROM nums").collect()
+    }
+    assert(e.getMessage.contains("literal integer"))
+  }
+}

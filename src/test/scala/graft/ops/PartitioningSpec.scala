@@ -1,0 +1,34 @@
+package graft.ops
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Partition-pruned layout: date-partitioned writes mean a year-filtered
+  * query lists only matching directories — at 100 TB the difference between
+  * scanning one partition and scanning the table.
+  */
+class PartitioningSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  test("year-partitioned write prunes partitions on read") {
+    val dir = java.nio.file.Files.createTempDirectory("orders-part").toString
+    spark.read.parquet(s"${TestSpark.sf}/orders.parquet")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(dir)
+
+    val pruned = spark.read.parquet(dir).filter(col("o_year") === 1997)
+    val plan = pruned.queryExecution.explainString(FormattedMode)
+    assert(plan.contains("PartitionFilters: [isnotnull(o_year"), s"no partition filter:\n$plan")
+
+    // count matches the unpartitioned filter
+    val expected = spark.read.parquet(s"${TestSpark.sf}/orders.parquet")
+      .filter(year(col("o_orderdate")) === 1997).count()
+    assert(pruned.count() == expected && expected > 0)
+
+    // only the 1997 directory is present in the scanned location list
+    val files = pruned.select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("o_year=1997")))
+  }
+}
