@@ -39,6 +39,7 @@ object Ast {
   case object DistinctConsecutive extends DistinctMode
 
   final case class GroupBy(consecutive: Boolean, keys: List[Expr])
+  final case class OrderKey(expr: Expr, descending: Boolean)
 
   sealed trait TableExpr { def pos: Pos }
   final case class ImportExpr(location: String, pos: Pos) extends TableExpr
@@ -50,6 +51,8 @@ object Ast {
       joins: List[JoinClause],
       where: Option[Expr],
       groupBy: Option[GroupBy],
+      orderBy: List[OrderKey],
+      limit: Option[Long],
       pos: Pos) extends TableExpr
 
   sealed trait Statement { def pos: Pos }

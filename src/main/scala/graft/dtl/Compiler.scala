@@ -244,7 +244,7 @@ final class Compiler(
     val carriedAggLineage =
       if (sel.joins.isEmpty && sel.groupBy.isEmpty) src.aggLineage else None
 
-    sel.groupBy match {
+    val projectedTable = sel.groupBy match {
       case Some(gb) =>
         compileGroupedProjection(sel, gb, df, scope, ordCols, rids)
       case None =>
@@ -257,6 +257,27 @@ final class Compiler(
         val cols = out.map { case (name, internal, tc) => SCol(name, internal, Set(None), tc.dtype) }
         applyDistinct(sel, CTable(projected, cols, ordCols, rids, carriedAggLineage))
     }
+    applyOrderLimit(sel, projectedTable)
+  }
+
+  /** ORDER BY / LIMIT extension: sort keys resolve against the SELECT's
+    * output columns. ORDER BY + LIMIT plans as TakeOrderedAndProject (top-k,
+    * no global sort); a bare ORDER BY right before EXPORT yields
+    * range-partitioned, globally ordered output files.
+    */
+  private def applyOrderLimit(sel: SelectExpr, t: CTable): CTable = {
+    var df = t.df
+    if (sel.orderBy.nonEmpty) {
+      val outScope = t.cols
+      val keys = sel.orderBy.map { k =>
+        val c = compileExpr(k.expr, outScope)
+        if (k.descending) c.col.desc else c.col.asc
+      }
+      df = df.orderBy(keys: _*)
+    }
+    for (n <- sel.limit) df = df.limit(
+      if (n > Int.MaxValue) Int.MaxValue else n.toInt)
+    t.copy(df = df)
   }
 
   /** Expand bindings against the scope and apply the reference's dict-dedup:

@@ -113,7 +113,32 @@ final class Parser(tokens: Vector[Token]) {
         while (isPunct(",")) { advance(); keys += parseExpr() }
         Some(GroupBy(consecutive, keys.result()))
       } else None
-    SelectExpr(distinct, bindings.result(), from, joins.result(), where, groupBy, p)
+    // ORDER BY / LIMIT: extension over the reference grammar (SURVEY §2 D
+    // "sorts/limits" — absent entirely there)
+    val orderBy = List.newBuilder[OrderKey]
+    if (isKw("ORDER")) {
+      advance(); eatKw("BY")
+      def key(): OrderKey = {
+        val e = parseExpr()
+        val desc =
+          if (isKw("DESC")) { advance(); true }
+          else if (isKw("ASC")) { advance(); false }
+          else false
+        OrderKey(e, desc)
+      }
+      orderBy += key()
+      while (isPunct(",")) { advance(); orderBy += key() }
+    }
+    val limit =
+      if (isKw("LIMIT")) {
+        advance()
+        cur match {
+          case Token.IntLit(v, _, _, _) => advance(); Some(v)
+          case _ => err("expected integer after LIMIT")
+        }
+      } else None
+    SelectExpr(distinct, bindings.result(), from, joins.result(), where, groupBy,
+      orderBy.result(), limit, p)
   }
 
   private def peekIsJoin: Boolean =

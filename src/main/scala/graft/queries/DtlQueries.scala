@@ -98,6 +98,14 @@ object DtlQueries {
         |  FROM part;
         |EXPORT output TO 'output';""".stripMargin)),
 
+    // ORDER BY + LIMIT extension → plans as TakeOrderedAndProject
+    "dtl_top_k" -> ((s, d) => run(s, d,
+      """WITH orders AS IMPORT 'orders';
+        |WITH output AS
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 15;
+        |EXPORT output TO 'output';""".stripMargin)),
+
     // pipeline text operators surfaced as DTL registry functions
     "dtl_text_pipeline" -> ((s, d) => run(s, d,
       """WITH documents AS IMPORT 'documents';
@@ -117,6 +125,9 @@ object DtlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "dtl_top_k" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin,
     "dtl_project_rename" ->
       "SELECT l_orderkey AS okey, l_linenumber AS line, l_quantity AS qty FROM lineitem",
     "dtl_filter_where" ->

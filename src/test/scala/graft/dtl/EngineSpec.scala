@@ -250,6 +250,15 @@ class EngineSpec extends AnyFunSuite {
     check(out("output"), Seq("l", "r"), Seq(Seq(1L, 1L), Seq(2L, 2L)))
   }
 
+  test("ORDER BY with LIMIT returns the top-k") {
+    val out = engine.runSimple(
+      """WITH input AS IMPORT 'input';
+        |WITH output AS SELECT a FROM input ORDER BY a DESC LIMIT 2;
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("input" -> Seq(5L, 1L, 9L, 3L).toDF("a")))
+    assert(out("output").collect().map(_.getLong(0)).toSeq == Seq(9L, 5L))
+  }
+
   test("subquery in FROM with alias") {
     val out = engine.runSimple(
       """WITH input AS IMPORT 'input';

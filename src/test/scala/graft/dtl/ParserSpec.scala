@@ -15,11 +15,12 @@ class ParserSpec extends AnyFunSuite {
   private def stripT(t: TableExpr): TableExpr = t match {
     case ImportExpr(l, _) => ImportExpr(l, z)
     case TableRef(n, _) => TableRef(n, z)
-    case SelectExpr(d, bs, f, js, w, g, _) =>
+    case SelectExpr(d, bs, f, js, w, g, ob, lim, _) =>
       SelectExpr(d, bs.map(stripB), TableBinding(stripT(f.source), f.alias),
         js.map(j => JoinClause(TableBinding(stripT(j.table.source), j.table.alias),
           stripC(j.constraint), z)),
-        w.map(stripE), g.map(gb => GroupBy(gb.consecutive, gb.keys.map(stripE))), z)
+        w.map(stripE), g.map(gb => GroupBy(gb.consecutive, gb.keys.map(stripE))),
+        ob.map(k => OrderKey(stripE(k.expr), k.descending)), lim, z)
   }
   private def stripB(b: Binding): Binding = b match {
     case WildcardBinding(_) => WildcardBinding(z)
@@ -50,7 +51,17 @@ class ParserSpec extends AnyFunSuite {
             ExprBinding(ColumnRef(None, "column_a", z), None),
             ExprBinding(ColumnRef(None, "column_b", z), None)),
           TableBinding(TableRef("table", z), None),
-          Nil, None, None, z), z)))
+          Nil, None, None, Nil, None, z), z)))
+  }
+
+  test("ORDER BY and LIMIT parse") {
+    val got = Parser.parse(
+      "WITH t AS SELECT a FROM x ORDER BY a DESC, b LIMIT 10;").map(strip)
+    val sel = got.head.asInstanceOf[WithStmt].body.asInstanceOf[SelectExpr]
+    assert(sel.orderBy == List(
+      OrderKey(ColumnRef(None, "a", z), true),
+      OrderKey(ColumnRef(None, "b", z), false)))
+    assert(sel.limit.contains(10L))
   }
 
   test("kebab-case identifier quirk (lexer.py:40-53): a-b is one name") {
