@@ -45,6 +45,28 @@ final class Engine(
     exporter.results
   }
 
+  /** Explain surface: formatted Catalyst plans per statement, without
+    * executing anything — what the reference's "explainable" ambition maps
+    * to on the physical side (its trace explains rows; this explains plans).
+    */
+  def explain(source: String, importer: Importer): Map[String, String] = {
+    val stmts = Parser.parse(source)
+    val compiler = new Compiler(importer, registry, needsOrder = usesConsecutive(stmts))
+    val env = mutable.Map.empty[String, compiler.CTable]
+    val out = mutable.LinkedHashMap.empty[String, String]
+    for (stmt <- stmts) stmt match {
+      case WithStmt(name, body, _) =>
+        val t = compiler.compileTable(body, env)
+        env(name) = t
+        out(name) = compiler.materialize(t).queryExecution
+          .explainString(org.apache.spark.sql.execution.FormattedMode)
+      case ExportStmt(body, location, _) =>
+        out(location) = compiler.materialize(compiler.compileTable(body, env))
+          .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    }
+    out.toMap
+  }
+
   /** Consecutive operators need a hidden row-order column threaded from
     * imports; scan the AST so everything else pays zero overhead.
     */

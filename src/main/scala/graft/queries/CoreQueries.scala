@@ -251,6 +251,17 @@ object CoreQueries {
         .select("o_orderkey", "o_totalprice")
     }),
 
+    // D-window frames: running sum, lag delta, rank over per-user event time
+    "q25_window_frames" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, d).select(
+        col("user_id"), col("event_id"),
+        round(sum("value").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("running_value"),
+        round(col("value") - coalesce(lag("value", 1).over(w), lit(0.0)), 6).as("delta"),
+        rank().over(w).as("rnk"))
+    }),
+
     // D-agg statistics: min/max/stddev/count-distinct
     "q18_agg_stats" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -384,6 +395,13 @@ object CoreQueries {
     "q24_scalar_subquery" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.8""".stripMargin,
+    "q25_window_frames" ->
+      """SELECT user_id, event_id,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value,
+        | round(value - coalesce(lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0), 6) AS delta,
+        | CAST(rank() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS rnk
+        |FROM events""".stripMargin,
     "q18_agg_stats" ->
       """SELECT l_returnflag,
         | min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,

@@ -250,6 +250,18 @@ class EngineSpec extends AnyFunSuite {
     check(out("output"), Seq("l", "r"), Seq(Seq(1L, 1L), Seq(2L, 2L)))
   }
 
+  test("explain returns a plan per statement without executing") {
+    val plans = engine.explain(
+      """WITH input AS IMPORT 'input';
+        |WITH o AS SELECT a FROM input WHERE a > 1;
+        |EXPORT o TO 'out';""".stripMargin,
+      new InMemoryImporter(Map("input" -> Seq(1L, 2L).toDF("a"))))
+    assert(plans.keySet == Set("input", "o", "out"))
+    // in-memory relations get constant-folded to LocalTableScan; the point is
+    // one physical plan per statement without execution
+    assert(plans.values.forall(_.contains("== Physical Plan ==")))
+  }
+
   test("ORDER BY with LIMIT returns the top-k") {
     val out = engine.runSimple(
       """WITH input AS IMPORT 'input';
