@@ -18,6 +18,9 @@ object Ast {
   final case class FuncCall(name: String, args: List[Expr], pos: Pos) extends Expr
   final case class Binary(op: String, left: Expr, right: Expr, pos: Pos) extends Expr
   final case class Unary(op: String, operand: Expr, pos: Pos) extends Expr
+  final case class IsNull(operand: Expr, negated: Boolean, pos: Pos) extends Expr
+  final case class InList(operand: Expr, values: List[Expr], negated: Boolean, pos: Pos) extends Expr
+  final case class Between(operand: Expr, lo: Expr, hi: Expr, negated: Boolean, pos: Pos) extends Expr
 
   sealed trait Binding
   final case class WildcardBinding(pos: Pos) extends Binding
@@ -51,6 +54,7 @@ object Ast {
       joins: List[JoinClause],
       where: Option[Expr],
       groupBy: Option[GroupBy],
+      having: Option[Expr],
       orderBy: List[OrderKey],
       limit: Option[Long],
       pos: Pos) extends TableExpr

@@ -92,6 +92,26 @@ final class Compiler(
       if (!isNumeric(t.dtype)) typeErr(pos, s"unary - expects a numeric operand, got ${t.dtype.name}")
       TypedCol(negate(t.col), t.dtype)
     case Unary(op, _, pos) => throw DtlError(s"unknown unary operator '$op'", pos.line, pos.col)
+    case IsNull(e, negated, _) =>
+      val t = compileExpr(e, scope)
+      TypedCol(if (negated) t.col.isNotNull else t.col.isNull, TBool)
+    case InList(e, values, negated, pos) =>
+      val t = compileExpr(e, scope)
+      val vs = values.map(compileExpr(_, scope))
+      for (v <- vs if v.dtype != t.dtype)
+        typeErr(pos, s"IN list values must match the operand type ${t.dtype.name}, got ${v.dtype.name}")
+      // OR-of-equals keeps SQL IN's three-valued null semantics
+      val anyMatch = vs.map(v => t.col === v.col).reduce(_ || _)
+      TypedCol(if (negated) !anyMatch else anyMatch, TBool)
+    case Between(e, lo, hi, negated, pos) =>
+      val t = compileExpr(e, scope)
+      val l = compileExpr(lo, scope)
+      val h = compileExpr(hi, scope)
+      if (l.dtype != t.dtype || h.dtype != t.dtype)
+        typeErr(pos, s"BETWEEN bounds must match the operand type ${t.dtype.name}")
+      if (!isOrderable(t.dtype)) typeErr(pos, s"BETWEEN is not defined for ${t.dtype.name}")
+      val in = t.col >= l.col && t.col <= h.col
+      TypedCol(if (negated) !in else in, TBool)
     case Binary(op, le, re, pos) =>
       val l = compileExpr(le, scope)
       val r = compileExpr(re, scope)
@@ -244,6 +264,9 @@ final class Compiler(
     val carriedAggLineage =
       if (sel.joins.isEmpty && sel.groupBy.isEmpty) src.aggLineage else None
 
+    if (sel.having.isDefined && sel.groupBy.isEmpty)
+      throw DtlError("HAVING requires GROUP BY", sel.pos.line, sel.pos.col)
+
     val projectedTable = sel.groupBy match {
       case Some(gb) =>
         compileGroupedProjection(sel, gb, df, scope, ordCols, rids)
@@ -257,7 +280,14 @@ final class Compiler(
         val cols = out.map { case (name, internal, tc) => SCol(name, internal, Set(None), tc.dtype) }
         applyDistinct(sel, CTable(projected, cols, ordCols, rids, carriedAggLineage))
     }
-    applyOrderLimit(sel, projectedTable)
+    // HAVING resolves against the grouped SELECT's output columns (aliases),
+    // so `... count() AS n ... HAVING n >= 3` filters post-aggregation
+    val afterHaving = sel.having.fold(projectedTable) { pred =>
+      val p = compileExpr(pred, projectedTable.cols)
+      if (p.dtype != TBool) typeErr(sel.pos, s"HAVING predicate must be BOOL, got ${p.dtype.name}")
+      projectedTable.copy(df = projectedTable.df.filter(p.col))
+    }
+    applyOrderLimit(sel, afterHaving)
   }
 
   /** ORDER BY / LIMIT extension: sort keys resolve against the SELECT's
@@ -437,6 +467,9 @@ final class Compiler(
     case FuncCall(n, args, _) => ("fn", n, args.map(strip))
     case Binary(op, l, r, _) => ("bin", op, strip(l), strip(r))
     case Unary(op, o, _) => ("un", op, strip(o))
+    case IsNull(o, n, _) => ("isnull", strip(o), n)
+    case InList(o, vs, n, _) => ("in", strip(o), vs.map(strip), n)
+    case Between(o, lo, hi, n, _) => ("between", strip(o), strip(lo), strip(hi), n)
   }
 
   /** User-facing DataFrame: internal names → output names, hidden columns dropped. */

@@ -113,6 +113,7 @@ final class Parser(tokens: Vector[Token]) {
         while (isPunct(",")) { advance(); keys += parseExpr() }
         Some(GroupBy(consecutive, keys.result()))
       } else None
+    val having = if (isKw("HAVING")) { advance(); Some(parseExpr()) } else None
     // ORDER BY / LIMIT: extension over the reference grammar (SURVEY §2 D
     // "sorts/limits" — absent entirely there)
     val orderBy = List.newBuilder[OrderKey]
@@ -138,7 +139,7 @@ final class Parser(tokens: Vector[Token]) {
         }
       } else None
     SelectExpr(distinct, bindings.result(), from, joins.result(), where, groupBy,
-      orderBy.result(), limit, p)
+      having, orderBy.result(), limit, p)
   }
 
   private def peekIsJoin: Boolean =
@@ -195,13 +196,42 @@ final class Parser(tokens: Vector[Token]) {
 
   private def parseCmp(): Expr = {
     var left = parseAdd()
-    while (isPunct("=") || isPunct("!=") || isPunct("<") || isPunct("<=") ||
-           isPunct(">") || isPunct(">=")) {
-      val op = cur.text; val p = Pos(cur.line, cur.col); advance()
-      left = Binary(op, left, parseAdd(), p)
+    var done = false
+    while (!done) {
+      if (isPunct("=") || isPunct("!=") || isPunct("<") || isPunct("<=") ||
+          isPunct(">") || isPunct(">=")) {
+        val op = cur.text; val p = Pos(cur.line, cur.col); advance()
+        left = Binary(op, left, parseAdd(), p)
+      } else if (isKw("IS")) {
+        val p = Pos(cur.line, cur.col); advance()
+        val negated = if (isKw("NOT")) { advance(); true } else false
+        eatKw("NULL")
+        left = IsNull(left, negated, p)
+      } else if (isKw("IN") || (isKw("NOT") && peekKwIs("IN"))) {
+        val negated = if (isKw("NOT")) { advance(); true } else false
+        val p = Pos(cur.line, cur.col); eatKw("IN"); eatPunct("(")
+        val vals = List.newBuilder[Expr]
+        vals += parseExpr()
+        while (isPunct(",")) { advance(); vals += parseExpr() }
+        eatPunct(")")
+        left = InList(left, vals.result(), negated, p)
+      } else if (isKw("BETWEEN") || (isKw("NOT") && peekKwIs("BETWEEN"))) {
+        val negated = if (isKw("NOT")) { advance(); true } else false
+        val p = Pos(cur.line, cur.col); eatKw("BETWEEN")
+        val lo = parseAdd()
+        eatKw("AND")
+        val hi = parseAdd()
+        left = Between(left, lo, hi, negated, p)
+      } else done = true
     }
     left
   }
+
+  private def peekKwIs(k: String): Boolean =
+    i + 1 < tokens.length && (tokens(i + 1) match {
+      case Token.Keyword(t, _, _) => t == k
+      case _ => false
+    })
 
   private def parseAdd(): Expr = {
     var left = parseMul()

@@ -262,6 +262,20 @@ class EngineSpec extends AnyFunSuite {
     assert(plans.values.forall(_.contains("== Physical Plan ==")))
   }
 
+  test("HAVING filters on output aliases; IN/BETWEEN/IS NULL predicates") {
+    val out = engine.runSimple(
+      """WITH input AS IMPORT 'input';
+        |WITH output AS
+        |  SELECT k, count() AS n FROM input
+        |  WHERE v BETWEEN 1 AND 9 AND k IN ('a', 'b') AND NOT v IS NULL
+        |  GROUP BY k
+        |  HAVING n >= 2;
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("input" -> Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 50L), ("c", 4L))
+        .toDF("k", "v")))
+    check(out("output"), Seq("k", "n"), Seq(Seq("a", 2L)))
+  }
+
   test("ORDER BY with LIMIT returns the top-k") {
     val out = engine.runSimple(
       """WITH input AS IMPORT 'input';

@@ -15,12 +15,12 @@ class ParserSpec extends AnyFunSuite {
   private def stripT(t: TableExpr): TableExpr = t match {
     case ImportExpr(l, _) => ImportExpr(l, z)
     case TableRef(n, _) => TableRef(n, z)
-    case SelectExpr(d, bs, f, js, w, g, ob, lim, _) =>
+    case SelectExpr(d, bs, f, js, w, g, h, ob, lim, _) =>
       SelectExpr(d, bs.map(stripB), TableBinding(stripT(f.source), f.alias),
         js.map(j => JoinClause(TableBinding(stripT(j.table.source), j.table.alias),
           stripC(j.constraint), z)),
         w.map(stripE), g.map(gb => GroupBy(gb.consecutive, gb.keys.map(stripE))),
-        ob.map(k => OrderKey(stripE(k.expr), k.descending)), lim, z)
+        h.map(stripE), ob.map(k => OrderKey(stripE(k.expr), k.descending)), lim, z)
   }
   private def stripB(b: Binding): Binding = b match {
     case WildcardBinding(_) => WildcardBinding(z)
@@ -39,6 +39,9 @@ class ParserSpec extends AnyFunSuite {
     case FuncCall(n, as, _) => FuncCall(n, as.map(stripE), z)
     case Binary(op, l, r, _) => Binary(op, stripE(l), stripE(r), z)
     case Unary(op, o, _) => Unary(op, stripE(o), z)
+    case IsNull(o, n, _) => IsNull(stripE(o), n, z)
+    case InList(o, vs, n, _) => InList(stripE(o), vs.map(stripE), n, z)
+    case Between(o, lo, hi, n, _) => Between(stripE(o), stripE(lo), stripE(hi), n, z)
   }
 
   test("statement structure (test_parser.py:42-79)") {
@@ -51,7 +54,7 @@ class ParserSpec extends AnyFunSuite {
             ExprBinding(ColumnRef(None, "column_a", z), None),
             ExprBinding(ColumnRef(None, "column_b", z), None)),
           TableBinding(TableRef("table", z), None),
-          Nil, None, None, Nil, None, z), z)))
+          Nil, None, None, None, Nil, None, z), z)))
   }
 
   test("ORDER BY and LIMIT parse") {
