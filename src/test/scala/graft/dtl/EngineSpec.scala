@@ -262,6 +262,58 @@ class EngineSpec extends AnyFunSuite {
     assert(plans.values.forall(_.contains("== Physical Plan ==")))
   }
 
+  test("WHERE drops null-predicate rows (pac.filter parity, eval.py:133-140)") {
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, java.lang.Long.valueOf(1L)),
+        org.apache.spark.sql.Row(2L, null),
+        org.apache.spark.sql.Row(3L, java.lang.Long.valueOf(3L))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.LongType))))
+    val out = engine.runSimple(
+      """WITH input AS IMPORT 'input';
+        |WITH output AS SELECT a FROM input WHERE a = b;
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("input" -> df))
+    // row 2's predicate is NULL → dropped, not kept
+    check(out("output"), Seq("a"), Seq(Seq(1L), Seq(3L)))
+  }
+
+  test("wildcard after join: duplicate names dedup last-wins, first position (ast_to_ir.py:622-628)") {
+    val out = engine.runSimple(
+      """WITH a AS IMPORT 'input_a';
+        |WITH b AS IMPORT 'input_b';
+        |WITH output AS SELECT * FROM a JOIN b ON a.k = b.k;
+        |EXPORT output TO 'output';""".stripMargin,
+      Map(
+        "input_a" -> Seq((1L, "left")).toDF("k", "v"),
+        "input_b" -> Seq((1L, "right")).toDF("k", "w")))
+    // k appears in both; position stays first, value comes from the LAST
+    // binding (b.k); v and w pass through
+    check(out("output"), Seq("k", "v", "w"), Seq(Seq(1L, "left", "right")))
+  }
+
+  test("extension-typed columns (array<float>) pass through select/export but reject operations") {
+    val emb = spark.read.parquet(s"${graft.TestSpark.sf}/embeddings.parquet")
+    val out = engine.runSimple(
+      """WITH e AS IMPORT 'embeddings';
+        |WITH output AS SELECT vec_id, embedding FROM e WHERE vec_id < 3;
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("embeddings" -> emb))
+    assert(out("output").count() == 3)
+    assert(out("output").schema("embedding").dataType.typeName == "array")
+
+    val e = intercept[DtlError] {
+      engine.runSimple(
+        """WITH e AS IMPORT 'embeddings';
+          |WITH o AS SELECT vec_id FROM e WHERE embedding = embedding;
+          |EXPORT o TO 'out';""".stripMargin,
+        Map("embeddings" -> emb))
+    }
+    assert(e.getMessage.contains("not defined for EXT"))
+  }
+
   test("HAVING filters on output aliases; IN/BETWEEN/IS NULL predicates") {
     val out = engine.runSimple(
       """WITH input AS IMPORT 'input';
