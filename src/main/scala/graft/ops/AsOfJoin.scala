@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of (point-in-time) join: for every left row, the most recent right row
+  * with the same key and right.ts <= left.ts — the standard way to attach
+  * slowly-changing state (prices, configs, user attributes) to events.
+  *
+  * Spark has no built-in as-of join. The naive formulation (inequality join +
+  * per-left-row max) degenerates to a broadcast-nested-loop or cartesian.
+  * This implementation is the scalable union+window form:
+  *
+  *   1. tag both inputs and UNION them — one dataset, one shuffle on the key;
+  *   2. per key, ordered by (ts, tag), carry the last-seen right-row payload
+  *      forward with last(..., ignoreNulls) over an unbounded-preceding frame;
+  *   3. keep only left rows: each now holds the latest right payload at-or-
+  *      before its timestamp.
+  *
+  * Cost: ONE shuffle + per-partition sort — identical asymptotics to a
+  * sort-merge join, no matter how many right rows precede each left row.
+  * Right rows sort before left rows on timestamp ties (tag ordering), so a
+  * same-instant right row IS visible to the left row, matching DuckDB's
+  * `ASOF JOIN ... ON l.ts >= r.ts` semantics.
+  */
+object AsOfJoin {
+
+  /** @param valueCols right-side payload columns to attach (null when no
+    *                  right row precedes the left row)
+    */
+  def asof(
+      left: DataFrame, leftKey: Column, leftTs: Column,
+      right: DataFrame, rightKey: Column, rightTs: Column,
+      valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val l = left.select(
+      leftKey.as("__k") +: leftTs.as("__ts") +: lit(1).as("__tag") +:
+        (leftCols.map(c => col(c).as(s"l_$c")) ++
+          valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"r_$c"))): _*)
+    val r = right.select(
+      rightKey.as("__k") +: rightTs.as("__ts") +: lit(0).as("__tag") +:
+        (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"l_$c")) ++
+          valueCols.map(c => col(c).as(s"r_$c"))): _*)
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__ts"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = valueCols.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(s"r_$c", last(col(s"r_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__tag") === 1)
+      .select(leftCols.map(c => col(s"l_$c").as(c)) ++
+        valueCols.map(c => col(s"r_$c").as(c)): _*)
+  }
+}

@@ -262,6 +262,27 @@ object CoreQueries {
         rank().over(w).as("rnk"))
     }),
 
+    // custom operator: as-of join (point-in-time) — every event gets the
+    // latest prior purchase value per user, via the union+window form
+    // (one shuffle; no inequality-join cartesian). See ops/AsOfJoin.scala.
+    "q26_asof_join" -> ((s, d) => {
+      val e = events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("last_purchase_value"))
+      graft.ops.AsOfJoin.asof(
+        e.select("event_id", "user_id", "ts"), col("user_id"), col("ts"),
+        purchases, col("user_id"), col("ts"),
+        Seq("last_purchase_value"))
+        .select("event_id", "user_id", "last_purchase_value")
+    }),
+
+    // D-grouping-sets: CUBE over two dimensions
+    "q27_cube" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+    }),
+
     // D-agg statistics: min/max/stddev/count-distinct
     "q18_agg_stats" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -402,6 +423,16 @@ object CoreQueries {
         | round(value - coalesce(lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0), 6) AS delta,
         | CAST(rank() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS rnk
         |FROM events""".stripMargin,
+    "q26_asof_join" ->
+      """WITH p AS (SELECT user_id, ts, value AS last_purchase_value
+        |           FROM events WHERE event_type = 'purchase')
+        |SELECT e.event_id, e.user_id, p.last_purchase_value
+        |FROM events e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
+    "q27_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "q18_agg_stats" ->
       """SELECT l_returnflag,
         | min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,

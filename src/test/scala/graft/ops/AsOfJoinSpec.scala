@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class AsOfJoinSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("asof attaches latest at-or-before right row per key") {
+    val events = Seq(
+      (1L, "u1", 10L), (2L, "u1", 20L), (3L, "u1", 35L),
+      (4L, "u2", 15L), (5L, "u3", 5L)).toDF("event_id", "user", "ts")
+    val state = Seq(
+      ("u1", 10L, "a"), ("u1", 30L, "b"), ("u2", 20L, "c")).toDF("user", "ts", "state")
+
+    val out = AsOfJoin.asof(
+      events, col("user"), col("ts"),
+      state, col("user"), col("ts"), Seq("state"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+
+    assert(out(1L) == "a")   // same-instant state visible
+    assert(out(2L) == "a")   // before the 30-ts update
+    assert(out(3L) == "b")   // after the update
+    assert(out(4L) == null)  // u2's state arrives later than the event
+    assert(out(5L) == null)  // u3 has no state at all
+  }
+
+  test("asof plans as a single shuffle, no nested-loop join") {
+    val events = Seq((1L, "u1", 10L)).toDF("event_id", "user", "ts")
+    val state = Seq(("u1", 5L, "a")).toDF("user", "ts", "state")
+    val plan = AsOfJoin.asof(events, col("user"), col("ts"),
+      state, col("user"), col("ts"), Seq("state"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
