@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Range (interval/proximity) join: pairs of rows whose numeric/time values
+  * are within `tolerance` of each other, optionally on a shared key.
+  *
+  * Spark plans a raw `|l.v - r.v| <= tol` predicate as a nested-loop join —
+  * O(n·m). This implementation buckets values into tolerance-width bins and
+  * replicates each left row into its own and neighbouring bins: any
+  * within-tolerance pair must share a bin after replication, so an ordinary
+  * hash equi-join on (key, bin) bounds candidates to ±1 bin before the exact
+  * filter. One shuffle, cardinality bounded by data density per bin.
+  */
+object RangeJoin {
+
+  def within(
+      left: DataFrame, leftVal: Column,
+      right: DataFrame, rightVal: Column,
+      tolerance: Long,
+      leftKey: Option[Column] = None, rightKey: Option[Column] = None): DataFrame = {
+    require(tolerance > 0, "tolerance must be positive")
+    val lBin = (leftVal.cast("long") / tolerance).cast("long")
+    val l = left
+      .withColumn("__lv", leftVal.cast("long"))
+      .withColumn("__bin", explode(array(lBin - 1, lBin, lBin + 1)))
+      .withColumn("__lk", leftKey.getOrElse(lit(0)))
+    val r = right
+      .withColumn("__rv", rightVal.cast("long"))
+      .withColumn("__bin", (rightVal.cast("long") / tolerance).cast("long"))
+      .withColumn("__rk", rightKey.getOrElse(lit(0)))
+    l.join(r, l("__bin") === r("__bin") && col("__lk") === col("__rk"), "inner")
+      .filter(abs(col("__lv") - col("__rv")) <= tolerance)
+      .drop("__lv", "__rv", "__bin", "__lk", "__rk")
+  }
+}

@@ -276,6 +276,25 @@ object CoreQueries {
         .select("event_id", "user_id", "last_purchase_value")
     }),
 
+    // custom operator: range join — events within 120s of a same-user
+    // purchase, via tolerance-bucketed equi-join (ops/RangeJoin.scala)
+    "q28_range_join" -> ((s, d) => {
+      // TIMESTAMP_NTZ can't cast straight to long; go via LTZ (session tz is
+      // UTC) so the epoch seconds match DuckDB's epoch()
+      val e = events(s, d)
+        .withColumn("ts_s", col("ts").cast("timestamp_ltz").cast("long"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts_s").as("p_ts"), col("event_id").as("p_id"))
+      graft.ops.RangeJoin.within(
+        e.select(col("event_id"), col("user_id"), col("ts_s")), col("ts_s"),
+        purchases, col("p_ts"),
+        tolerance = 120L,
+        leftKey = Some(col("user_id")), rightKey = Some(col("p_user")))
+        .filter(col("event_id") =!= col("p_id"))
+        .groupBy("event_id")
+        .agg(count(lit(1)).as("n_near"))
+    }),
+
     // D-grouping-sets: CUBE over two dimensions
     "q27_cube" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -429,6 +448,14 @@ object CoreQueries {
         |SELECT e.event_id, e.user_id, p.last_purchase_value
         |FROM events e ASOF LEFT JOIN p
         |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
+    "q28_range_join" ->
+      """SELECT e.event_id, count(*) AS n_near
+        |FROM events e JOIN events p
+        |  ON p.event_type = 'purchase'
+        | AND e.user_id = p.user_id
+        | AND e.event_id <> p.event_id
+        | AND abs(CAST(floor(epoch(e.ts)) AS BIGINT) - CAST(floor(epoch(p.ts)) AS BIGINT)) <= 120
+        |GROUP BY e.event_id""".stripMargin,
     "q27_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         | round(sum(l_quantity), 2) AS qty

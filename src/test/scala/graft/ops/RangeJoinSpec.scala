@@ -1,0 +1,34 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class RangeJoinSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("bucketed range join equals the naive inequality join") {
+    val rng = new scala.util.Random(3)
+    val left = (1L to 300L).map(i => (i, rng.nextInt(1000).toLong)).toDF("lid", "lv")
+    val right = (1L to 300L).map(i => (i, rng.nextInt(1000).toLong)).toDF("rid", "rv")
+
+    val fast = RangeJoin.within(left, col("lv"), right, col("rv"), tolerance = 7L)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = left.crossJoin(right)
+      .filter(abs(col("lv") - col("rv")) <= 7)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == naive && fast.nonEmpty)
+  }
+
+  test("keyed range join bounds candidates and avoids nested loops") {
+    val left = Seq((1L, "a", 100L), (2L, "b", 100L)).toDF("lid", "lk", "lv")
+    val right = Seq((10L, "a", 105L), (11L, "b", 500L)).toDF("rid", "rk", "rv")
+    val out = RangeJoin.within(left, col("lv"), right, col("rv"), 10L,
+      Some(col("lk")), Some(col("rk")))
+    assert(out.select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 10L)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
