@@ -362,17 +362,13 @@ final class Compiler(
       if (ordCols.isEmpty)
         throw DtlError("GROUP CONSECUTIVE BY requires a defined row order " +
           "(source rows must flow directly from imports)", sel.pos.line, sel.pos.col)
-      import org.apache.spark.sql.expressions.Window
-      // Change-point detection over the global row order. NOTE: single-partition
-      // window — consecutive semantics are inherently sequential; documented
-      // scale limit (SURVEY.md §7 risk 2).
-      val w = Window.orderBy(ordCols.map(col): _*)
-      val changed = keyInternals.map(k =>
-        (lag(col(k), 1).over(w) =!= col(k)) || lag(col(k), 1).over(w).isNull)
-        .reduce(_ || _)
+      // Distributed change-point detection over the global row order (null-safe
+      // key comparison): segmented scan in ops.ConsecutiveRuns, one range
+      // shuffle — no single-partition window.
       val run = fresh("run")
-      df = df.withColumn(run, sum(when(changed, 1L).otherwise(0L))
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val start = fresh("start")
+      df = graft.ops.ConsecutiveRuns.mark(df, keyInternals, ordCols, run, start)
+        .drop(start)
       Some(run)
     } else None
 
@@ -447,14 +443,13 @@ final class Compiler(
       if (t.ordCols.isEmpty)
         throw DtlError("DISTINCT CONSECUTIVE requires a defined row order " +
           "(source rows must flow directly from imports)", sel.pos.line, sel.pos.col)
-      import org.apache.spark.sql.expressions.Window
-      // sequential by nature: single-partition window (documented scale limit)
-      val w = Window.orderBy(t.ordCols.map(col): _*)
+      // keep each run's first row: distributed segmented scan (one range
+      // shuffle), not a single-partition window
       val visible = t.cols.map(_.internal)
-      val sameAsPrev = visible.map(c => lag(col(c), 1).over(w) <=> col(c)).reduce(_ && _)
+      val run = fresh("run")
       val keep = fresh("keep")
-      val filtered = t.df.withColumn(keep, !sameAsPrev).filter(col(keep)).drop(keep)
-      t.copy(df = filtered)
+      val marked = graft.ops.ConsecutiveRuns.mark(t.df, visible, t.ordCols, run, keep)
+      t.copy(df = marked.filter(col(keep)).drop(run, keep))
   }
 
   /** Strip positions for structural comparison of GROUP BY keys vs bindings. */

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, LongType}
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed run detection over a globally ordered table: assign each row a
+  * global run id that increments whenever the key tuple differs (null-safely)
+  * from the previous row's, where "previous" is defined by `ordCols`.
+  *
+  * This is the engine behind `DISTINCT CONSECUTIVE` and `GROUP CONSECUTIVE BY`
+  * (reference intent: nodes.py:169-173, nodes.py:279-288; never executable
+  * there — SURVEY.md §2 B2/B3). The naive Spark formulation is a window over
+  * `Window.orderBy(ord)` — a single partition holding the whole table, which
+  * dies at scale. Instead we run a segmented scan:
+  *
+  *   1. range-shuffle by `ordCols` + sort within partitions (the ONE full-data
+  *      shuffle), persisted so both passes see identical partitions;
+  *   2. per-partition pass collecting (first key, last key, #changes) — one
+  *      tiny row per partition to the driver;
+  *   3. driver folds those into per-partition run-id offsets and a "does the
+  *      partition's first row start a new run" flag (needs the previous
+  *      partition's last key — unknowable inside the partition);
+  *   4. per-partition stamping pass: run id = offset + local prefix count.
+  *
+  * Work per row is O(1), driver state is O(#partitions), and partitions never
+  * need to fit on one machine — this survives a 1000-executor 100 TB input
+  * where the window formulation cannot.
+  */
+object ConsecutiveRuns {
+
+  /** Returns `df` with two appended columns: `runCol` (1-based global run id,
+    * increasing in `ordCols` order) and `startCol` (true iff the row is the
+    * first of its run). Key comparison is null-safe (null == null, NaN == NaN)
+    * to match SQL `<=>`.
+    */
+  def mark(df: DataFrame, keyCols: Seq[String], ordCols: Seq[String],
+           runCol: String, startCol: String): DataFrame = {
+    require(keyCols.nonEmpty && ordCols.nonEmpty)
+    val spark = df.sparkSession
+
+    val sorted = df
+      .repartitionByRange(ordCols.map(col): _*)
+      .sortWithinPartitions(ordCols.map(col): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val keyIdx = keyCols.map(sorted.schema.fieldIndex).toArray
+
+    // pass 2: (pid, firstKey, lastKey, #within-partition changes), one row per
+    // non-empty partition
+    val stats = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var first: IndexedSeq[Any] = null
+      var prev: IndexedSeq[Any] = null
+      var changes = 0L
+      while (it.hasNext) {
+        val k = keys(it.next(), keyIdx)
+        if (first == null) first = k
+        else if (!eqKeys(prev, k)) changes += 1
+        prev = k
+      }
+      if (first == null) Iterator.empty
+      else Iterator((pid, first, prev, changes))
+    }.collect().sortBy(_._1)
+
+    // pass 3 (driver, O(#partitions)): run-id offset before each partition and
+    // whether its first row opens a new run
+    var runningRuns = 0L
+    var prevLast: IndexedSeq[Any] = null
+    val offsets = stats.map { case (pid, first, last, changes) =>
+      val firstChg = if (prevLast == null || !eqKeys(prevLast, first)) 1L else 0L
+      val offset = runningRuns
+      runningRuns += changes + firstChg
+      prevLast = last
+      pid -> (offset, firstChg)
+    }.toMap
+    val bc = spark.sparkContext.broadcast(offsets)
+
+    // pass 4: stamp run ids with a local prefix count on top of the offset
+    val outSchema = sorted.schema.add(runCol, LongType, nullable = false)
+      .add(startCol, BooleanType, nullable = false)
+    val stamped = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val (offset, firstChg) = bc.value.getOrElse(pid, (0L, 1L))
+      var run = offset
+      var prev: IndexedSeq[Any] = null
+      var isFirst = true
+      it.map { r =>
+        val k = keys(r, keyIdx)
+        val chg = if (isFirst) firstChg else if (eqKeys(prev, k)) 0L else 1L
+        isFirst = false
+        prev = k
+        run += chg
+        Row.fromSeq(r.toSeq :+ run :+ (chg == 1L))
+      }
+    }
+    spark.createDataFrame(stamped, outSchema)
+  }
+
+  private def keys(r: Row, idx: Array[Int]): IndexedSeq[Any] = idx.map(r.get).toIndexedSeq
+
+  /** Null-safe tuple equality matching SQL `<=>`: null==null, NaN==NaN. */
+  private def eqKeys(a: IndexedSeq[Any], b: IndexedSeq[Any]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      if (!eqv(a(i), b(i))) return false
+      i += 1
+    }
+    true
+  }
+
+  private def eqv(a: Any, b: Any): Boolean = (a, b) match {
+    case (null, null) => true
+    case (null, _) | (_, null) => false
+    case (x: Double, y: Double) => (x.isNaN && y.isNaN) || x == y
+    case (x: Float, y: Float) => (x.isNaN && y.isNaN) || x == y
+    case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.equals(x, y)
+    case _ => a == b
+  }
+}

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class ConsecutiveRunsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("run ids match the single-partition window formulation") {
+    val rng = new scala.util.Random(11)
+    val rows = (0L until 5000L).map(i => (i, rng.nextInt(4).toString))
+    val df = rows.toDF("ord", "k").repartition(16) // scrambled input partitions
+
+    val got = ConsecutiveRuns.mark(df, Seq("k"), Seq("ord"), "run", "start")
+      .select("ord", "run", "start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+
+    val w = Window.orderBy("ord")
+    val expected = rows.toDF("ord", "k").coalesce(1)
+      .withColumn("chg", when(lag($"k", 1).over(w) <=> $"k", 0L).otherwise(1L))
+      .withColumn("run", sum($"chg").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select("ord", "run", "chg").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2) == 1L)).sortBy(_._1)
+
+    assert(got.toSeq == expected.toSeq)
+    // the work actually spread out: more than one range partition was stamped
+    assert(got.map(_._2).distinct.length > 1)
+  }
+
+  test("null and NaN keys compare null-safely (a run, not a break per row)") {
+    val df = Seq(
+      (0L, Some("a")), (1L, None), (2L, None), (3L, Some("a")), (4L, Some("a"))
+    ).toDF("ord", "k").repartition(3)
+    val runs = ConsecutiveRuns.mark(df, Seq("k"), Seq("ord"), "run", "start")
+      .orderBy("ord").select("run").as[Long].collect().toSeq
+    assert(runs == Seq(1L, 2L, 2L, 3L, 3L))
+
+    val nan = Seq((0L, Double.NaN), (1L, Double.NaN), (2L, 1.0))
+      .toDF("ord", "k").repartition(2)
+    val nanRuns = ConsecutiveRuns.mark(nan, Seq("k"), Seq("ord"), "run", "start")
+      .orderBy("ord").select("run").as[Long].collect().toSeq
+    assert(nanRuns == Seq(1L, 1L, 2L))
+  }
+
+  test("empty input and multi-column keys") {
+    val empty = Seq.empty[(Long, String)].toDF("ord", "k")
+    assert(ConsecutiveRuns.mark(empty, Seq("k"), Seq("ord"), "run", "start").count() == 0)
+
+    val df = Seq((0L, "a", 1L), (1L, "a", 1L), (2L, "a", 2L), (3L, "b", 2L))
+      .toDF("ord", "k1", "k2").repartition(2)
+    val runs = ConsecutiveRuns.mark(df, Seq("k1", "k2"), Seq("ord"), "run", "start")
+      .orderBy("ord").select("run").as[Long].collect().toSeq
+    assert(runs == Seq(1L, 1L, 2L, 3L))
+  }
+}
