@@ -295,6 +295,17 @@ object CoreQueries {
         .agg(count(lit(1)).as("n_near"))
     }),
 
+    // distributed consecutive-run detection (ops/ConsecutiveRuns): run-length
+    // encode event_type over each user's timeline, total order (user, ts, id)
+    "q29_run_length" -> ((s, d) => {
+      val e = events(s, d).select("user_id", "event_type", "ts", "event_id")
+      graft.ops.ConsecutiveRuns.mark(e, Seq("user_id", "event_type"),
+          Seq("user_id", "ts", "event_id"), "run_id", "run_start")
+        .groupBy("run_id")
+        .agg(min("user_id").as("user_id"), min("event_type").as("event_type"),
+          count(lit(1)).as("run_len"))
+    }),
+
     // D-grouping-sets: CUBE over two dimensions
     "q27_cube" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -456,6 +467,23 @@ object CoreQueries {
         | AND e.event_id <> p.event_id
         | AND abs(CAST(floor(epoch(e.ts)) AS BIGINT) - CAST(floor(epoch(p.ts)) AS BIGINT)) <= 120
         |GROUP BY e.event_id""".stripMargin,
+    "q29_run_length" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CASE WHEN lag(user_id) OVER w IS NULL THEN 1
+        |         WHEN lag(user_id) OVER w = user_id
+        |          AND lag(event_type) OVER w = event_type THEN 0
+        |         ELSE 1 END AS chg
+        |  FROM events
+        |  WINDOW w AS (ORDER BY user_id, ts, event_id)),
+        |r AS (
+        |  SELECT user_id, event_type,
+        |    CAST(sum(chg) OVER (ORDER BY user_id, ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+        |  FROM o)
+        |SELECT run_id, min(user_id) AS user_id, min(event_type) AS event_type,
+        |  CAST(count(*) AS BIGINT) AS run_len
+        |FROM r GROUP BY run_id""".stripMargin,
     "q27_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         | round(sum(l_quantity), 2) AS qty
