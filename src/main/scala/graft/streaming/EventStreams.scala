@@ -42,6 +42,17 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Exactly-once ingestion dedup: drop events whose `event_id` was already
+    * seen, keeping dedup state only as long as the watermark requires — at-
+    * least-once upstream delivery (Kafka replays, file re-lists) becomes
+    * exactly-once downstream with bounded state, unlike an unbounded
+    * dropDuplicates whose state grows forever on an infinite stream.
+    */
+  def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)

@@ -49,4 +49,24 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(sessions.head.n_events == 3 && sessions.head.sum_value == 6.0)
     } finally q.stop()
   }
+
+  test("streaming dedup within watermark drops replays across microbatches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.dedupEvents(input.toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      // keep event times well above epoch 0 — the initial watermark is 0, and
+      // rows at or below it count as already-expired
+      def ev(id: Long, minute: Long) =
+        EventStreams.Event(id, new java.sql.Timestamp((1_000_000L + minute) * 60000L), 1L, "click", 1.0)
+      input.addData(ev(1, 0), ev(2, 1), ev(1, 0)) // duplicate inside the batch
+      q.processAllAvailable()
+      input.addData(ev(2, 1), ev(3, 2)) // replay in a later microbatch
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
 }
