@@ -9,9 +9,11 @@ class RangeJoinSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("bucketed range join equals the naive inequality join") {
+    // values straddle zero: truncating division bins negatives differently
+    // from floor, and the ±1-bin replication must still cover every pair
     val rng = new scala.util.Random(3)
-    val left = (1L to 300L).map(i => (i, rng.nextInt(1000).toLong)).toDF("lid", "lv")
-    val right = (1L to 300L).map(i => (i, rng.nextInt(1000).toLong)).toDF("rid", "rv")
+    val left = (1L to 300L).map(i => (i, rng.nextInt(1000).toLong - 500L)).toDF("lid", "lv")
+    val right = (1L to 300L).map(i => (i, rng.nextInt(1000).toLong - 500L)).toDF("rid", "rv")
 
     val fast = RangeJoin.within(left, col("lv"), right, col("rv"), tolerance = 7L)
       .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
