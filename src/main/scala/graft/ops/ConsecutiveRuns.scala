@@ -43,12 +43,19 @@ object ConsecutiveRuns {
     val sorted = df
       .repartitionByRange(ordCols.map(col): _*)
       .sortWithinPartitions(ordCols.map(col): _*)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val keyIdx = keyCols.map(sorted.schema.fieldIndex).toArray
+
+    // One .rdd conversion shared by both passes: a single lineage pins one
+    // shuffle dependency (range bounds are sampled once, so recomputing a
+    // lost block is deterministic), and RDD-level persistence is freed by
+    // Spark's ContextCleaner once the returned frame is unreachable — a
+    // DataFrame-level persist would pin the cache until explicit unpersist.
+    val rows = sorted.rdd
+    rows.persist(StorageLevel.MEMORY_AND_DISK)
 
     // pass 2: (pid, firstKey, lastKey, #within-partition changes), one row per
     // non-empty partition
-    val stats = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val stats = rows.mapPartitionsWithIndex { (pid, it) =>
       var first: IndexedSeq[Any] = null
       var prev: IndexedSeq[Any] = null
       var changes = 0L
@@ -78,7 +85,7 @@ object ConsecutiveRuns {
     // pass 4: stamp run ids with a local prefix count on top of the offset
     val outSchema = sorted.schema.add(runCol, LongType, nullable = false)
       .add(startCol, BooleanType, nullable = false)
-    val stamped = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val stamped = rows.mapPartitionsWithIndex { (pid, it) =>
       val (offset, firstChg) = bc.value.getOrElse(pid, (0L, 1L))
       var run = offset
       var prev: IndexedSeq[Any] = null
