@@ -36,11 +36,13 @@ object GraftFunctions {
 
 /** Injectable extensions (spark.sql.extensions-compatible). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(ext: SparkSessionExtensions): Unit =
+  def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name),
         builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+  }
 }

@@ -1,0 +1,113 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
+
+/** Optimizer rule: plan proximity joins as hash joins.
+  *
+  * A join whose only condition is `abs(x - y) <= tol` (x from the left, y
+  * from the right, integral types) has no equi-conjunct, so Spark can only
+  * plan it as a broadcast-nested-loop or cartesian join — O(n·m) at any
+  * scale. This rule injects the tolerance-bucket equi-key of
+  * [[graft.ops.RangeJoin]] directly into the logical plan: the left side is
+  * replicated into its own and both neighbouring tolerance-width bins
+  * (explode), the right side gets its single bin, and `binL = binR` is added
+  * to the join condition. Any within-tolerance pair shares a bin after
+  * replication, so the equality is lossless; the original predicate stays in
+  * the condition as the exact post-join filter and Catalyst's join selection
+  * now sees an equi-key and picks a hash join.
+  *
+  * The rule fires only when the condition has NO other equality conjunct:
+  * if one exists the join is already hash-joinable and the 3× left-side
+  * replication would be pure overhead. That guard also terminates the rule —
+  * the rewritten join contains `binL = binR`, so it never matches again.
+  *
+  * Registered via [[graft.functions.GraftExtensions]]
+  * (`spark.sql.extensions`) or `spark.experimental.extraOptimizations`.
+  */
+object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  private def isIntegral(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  private def tolOf(lit: Literal): Option[Long] = lit match {
+    case Literal(v: Byte, _) => Some(v.toLong)
+    case Literal(v: Short, _) => Some(v.toLong)
+    case Literal(v: Int, _) => Some(v.toLong)
+    case Literal(v: Long, _) => Some(v)
+    case _ => None
+  }
+
+  /** `abs(x - y) <= tol` / `abs(x - y) < tol`, either literal side. */
+  private def matchRange(e: Expression): Option[(Expression, Expression, Long)] = {
+    def absDiff(a: Expression): Option[(Expression, Expression)] = a match {
+      case Abs(Subtract(x, y, _), _) if isIntegral(x.dataType) && isIntegral(y.dataType) =>
+        Some((x, y))
+      case _ => None
+    }
+    e match {
+      case LessThanOrEqual(a, l: Literal) =>
+        for ((x, y) <- absDiff(a); t <- tolOf(l) if t > 0) yield (x, y, t)
+      case LessThan(a, l: Literal) =>
+        for ((x, y) <- absDiff(a); t <- tolOf(l) if t > 1) yield (x, y, t - 1)
+      case GreaterThanOrEqual(l: Literal, a) =>
+        for ((x, y) <- absDiff(a); t <- tolOf(l) if t > 0) yield (x, y, t)
+      case GreaterThan(l: Literal, a) =>
+        for ((x, y) <- absDiff(a); t <- tolOf(l) if t > 1) yield (x, y, t - 1)
+      case _ => None
+    }
+  }
+
+  private def isEquality(e: Expression): Boolean = e match {
+    case _: EqualTo | _: EqualNullSafe => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case j @ Join(left, right, Inner, Some(cond), _) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      if (conjuncts.exists(isEquality)) j
+      else {
+        val found = conjuncts.flatMap { c =>
+          matchRange(c).flatMap { case (x, y, tol) =>
+            // orient: one side's references entirely from each child
+            if (x.references.subsetOf(left.outputSet) && x.references.nonEmpty &&
+                y.references.subsetOf(right.outputSet) && y.references.nonEmpty)
+              Some((x, y, tol))
+            else if (y.references.subsetOf(left.outputSet) && y.references.nonEmpty &&
+                x.references.subsetOf(right.outputSet) && x.references.nonEmpty)
+              Some((y, x, tol))
+            else None
+          }
+        }
+        found.headOption match {
+          case None => j
+          case Some((lv, rv, tol)) =>
+            val tolLit = Literal(tol)
+            def bin(v: Expression): Expression =
+              IntegralDivide(Cast(v, LongType), Cast(tolLit, LongType))
+            val one = Literal(1L)
+
+            val binL = bin(lv)
+            val lBinAttr = AttributeReference("__graft_bin", LongType)()
+            val leftGen = Generate(
+              Explode(CreateArray(Seq(
+                Subtract(binL, one), binL, Add(binL, one)))),
+              unrequiredChildIndex = Nil, outer = false, qualifier = None,
+              generatorOutput = Seq(lBinAttr), child = left)
+
+            val rBinAlias = Alias(bin(rv), "__graft_bin_r")()
+            val rightProj = Project(right.output :+ rBinAlias, right)
+
+            val newCond = And(EqualTo(lBinAttr, rBinAlias.toAttribute), cond)
+            Project(left.output ++ right.output,
+              Join(leftGen, rightProj, Inner, Some(newCond), JoinHint.NONE))
+        }
+      }
+  }
+}

@@ -1,0 +1,69 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class RangeJoinRewriteSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def withRule[T](f: => T): T = {
+    spark.experimental.extraOptimizations = Seq(RangeJoinRewrite)
+    try f finally spark.experimental.extraOptimizations = Nil
+  }
+
+  private val left = (1L to 200L).map(i => (i, i * 37 % 500 - 250)).toDF("lid", "lv")
+  private val right = (1L to 200L).map(i => (i, i * 53 % 500 - 250)).toDF("rid", "rv")
+
+  test("pure abs-distance join is rewritten to a hash join with same results") {
+    val naive = left.join(right, abs($"lv" - $"rv") <= 7)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.nonEmpty)
+
+    withRule {
+      val joined = left.join(right, abs($"lv" - $"rv") <= 7)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"expected hash join after rewrite, got:\n$plan")
+      val got = joined.select("lid", "rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == naive)
+    }
+  }
+
+  test("strict inequality and reversed literal forms rewrite too") {
+    withRule {
+      for (cond <- Seq(abs($"lv" - $"rv") < 7, lit(7) >= abs($"lv" - $"rv"))) {
+        val plan = left.join(right, cond).queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+      }
+    }
+    // strict form agrees with its own naive evaluation
+    val naive = left.join(right, abs($"lv" - $"rv") < 7)
+      .select("lid", "rid").collect().toSet
+    val got = withRule {
+      left.join(right, abs($"lv" - $"rv") < 7).select("lid", "rid").collect().toSet
+    }
+    assert(got == naive && got.nonEmpty)
+  }
+
+  test("joins that already have an equi-conjunct are left alone") {
+    withRule {
+      val joined = left.join(right, $"lid" === $"rid" && abs($"lv" - $"rv") <= 7)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Generate"), s"rule should not fire:\n$plan")
+      assert(joined.count() > 0)
+    }
+  }
+
+  test("non-integral (double) distances are not rewritten") {
+    withRule {
+      val l = Seq((1L, 1.5)).toDF("lid", "lv")
+      val r = Seq((2L, 2.0)).toDF("rid", "rv")
+      val plan = l.join(r, abs($"lv" - $"rv") <= 1.0)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Generate"))
+    }
+  }
+}
