@@ -24,7 +24,9 @@ object GraftFunctions {
     },
     "shingles" -> { args =>
       ShinglesExpression(args(0), intArg(args(1), "shingles(_, k)"))
-    })
+    },
+    "cosine_sim" -> { args => CosineExpression(args(0), args(1)) },
+    "dot_product" -> { args => DotExpression(args(0), args(1)) })
 
   /** Imperative per-session registration. */
   def register(spark: SparkSession): Unit =

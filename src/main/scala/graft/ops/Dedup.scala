@@ -182,11 +182,12 @@ object Dedup {
     def tableSig(t: Int): Column =
       (0 until planesPerTable).map { p =>
         val plane = array(planes(t)(p).map(lit(_)): _*)
-        when(aggregate(zip_with(col("v"), plane, (x, w) => x * w), lit(0.0), (acc, x) => acc + x) >= 0,
+        // native single-pass dot (codegen); the plane array constant-folds
+        when(graft.functions.VecMath.dotProduct(col("v"), plane) >= 0,
           lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
     val base = df.select(id.as("id"), vec.cast("array<double>").as("v"))
-      .withColumn("norm", sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+      .withColumn("norm", sqrt(graft.functions.VecMath.dotProduct(col("v"), col("v"))))
       .select(col("id"), col("v"), col("norm"),
         posexplode(array((0 until nTables).map(tableSig): _*)))
       .withColumnRenamed("pos", "table_idx")
@@ -196,7 +197,7 @@ object Dedup {
     a.join(bb, Seq("table_idx", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("dot", aggregate(zip_with(col("v_a"), col("v_b"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
+      .withColumn("dot", graft.functions.VecMath.dotProduct(col("v_a"), col("v_b")))
       .withColumn("cosine", round(col("dot") / (col("n_a") * col("n_b")), 6))
       .filter(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine")

@@ -14,13 +14,14 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = graft.functions.VecMath.dotProduct(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+  def norm(a: Column): Column = sqrt(graft.functions.VecMath.dotProduct(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Native single-pass codegen cosine (functions/VecMath.scala): dot and
+    * both norms in one loop, vs three interpreted HOF passes.
+    */
+  def cosine(a: Column, b: Column): Column = graft.functions.VecMath.cosineSim(a, b)
 
   /** Exact top-k by cosine for each query row. `queries` must be small
     * (it is broadcast); corpus is scanned once, then one shuffle for the
@@ -54,8 +55,7 @@ object Similarity {
       .limit(nCentroids)
       .select(col("vec_id").as("centroid_id"), col("cv").as("centroid_vec"))
     val assigned = c.crossJoin(broadcast(centroids))
-      .withColumn("d", dot(col("cv"), col("centroid_vec")) /
-        (norm(col("cv")) * norm(col("centroid_vec"))))
+      .withColumn("d", cosine(col("cv"), col("centroid_vec")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("d").desc, col("centroid_id").asc)))
       .filter(col("rn") === 1)

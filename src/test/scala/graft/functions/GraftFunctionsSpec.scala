@@ -22,6 +22,39 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(rows(0).getInt(2) == 16)
   }
 
+  test("native cosine/dot match the interpreted HOF formulation") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(-1.0, 0.5, 2.0)),
+      (Array(0.1, -0.2, 0.3), Array(0.1, -0.2, 0.3))
+    ).toDF("a", "b")
+    val rows = df.select(
+      VecMath.cosineSim(col("a"), col("b")).as("c"),
+      VecMath.dotProduct(col("a"), col("b")).as("d"),
+      (aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0), (s, x) => s + x) /
+        (sqrt(aggregate(transform(col("a"), x => x * x), lit(0.0), (s, x) => s + x)) *
+          sqrt(aggregate(transform(col("b"), x => x * x), lit(0.0), (s, x) => s + x)))).as("c_ref"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0), (s, x) => s + x).as("d_ref")
+    ).collect()
+    for (r <- rows) {
+      assert(math.abs(r.getDouble(0) - r.getDouble(2)) < 1e-12)
+      assert(math.abs(r.getDouble(1) - r.getDouble(3)) < 1e-12)
+    }
+
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)), " +
+        "dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d))").collect().head
+    assert(math.abs(viaSql.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(viaSql.getDouble(1) - 11.0) < 1e-12)
+
+    // length mismatch is NaN, nulls propagate
+    val edge = df.sparkSession.sql(
+      "SELECT cosine_sim(array(1.0d), array(1.0d, 2.0d)) AS m, " +
+        "cosine_sim(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS n").collect().head
+    assert(edge.getDouble(0).isNaN && edge.isNullAt(1))
+  }
+
   test("non-literal numHashes is rejected with a clear error") {
     GraftFunctions.register(spark)
     Seq(1).toDF("n").createOrReplaceTempView("nums")
