@@ -306,6 +306,17 @@ object CoreQueries {
           count(lit(1)).as("run_len"))
     }),
 
+    // D-scalar-functions: JSON extraction from the events props column
+    "q30_json" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(
+          count(when(col("k") > 50, 1)).as("n_high"),
+          sum("k").as("sum_k"),
+          round(avg("k"), 2).as("avg_k"))),
+
     // D-grouping-sets: CUBE over two dimensions
     "q27_cube" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -484,6 +495,15 @@ object CoreQueries {
         |SELECT run_id, min(user_id) AS user_id, min(event_type) AS event_type,
         |  CAST(count(*) AS BIGINT) AS run_len
         |FROM r GROUP BY run_id""".stripMargin,
+    "q30_json" ->
+      """SELECT event_type,
+        |  CAST(count(*) FILTER (WHERE k > 50) AS BIGINT) AS n_high,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  round(avg(k), 2) AS avg_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type""".stripMargin,
     "q27_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         | round(sum(l_quantity), 2) AS qty
