@@ -1,0 +1,69 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dev tooling: scale behavior beyond the testdata SFs, on synthetic inputs
+  * (spark.range — no I/O, isolates operator cost). Times the distributed
+  * segmented scan vs the single-partition window it replaced, and the
+  * bucketed range join vs its quadratic candidate space.
+  *
+  * Usage: sbt "runMain graft.tools.ScaleProbe [rows]"   (default 20M)
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(20_000_000L)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "8g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    // ordered rows with runs of an 8-value key
+    val df = spark.range(n).select(
+      col("id").as("ord"),
+      (col("id") / 50).cast("long").mod(8).cast("string").as("k"),
+      rand(7).as("v"))
+
+    println(s"== consecutive runs over $n rows ==")
+    val marked = graft.ops.ConsecutiveRuns.mark(df, Seq("k"), Seq("ord"), "run", "start")
+    val nRuns = time("segmented scan (distributed)") {
+      marked.select(max("run")).as[Long].head()
+    }
+    println(s"  runs: $nRuns")
+
+    val nWin = math.min(n, 2_000_000L) // the single-partition formulation is
+    // kept small on purpose; it does not survive real sizes
+    val w = Window.orderBy("ord")
+    val winRuns = time(f"single-partition window ($nWin%,d rows only)") {
+      spark.range(nWin).select(col("id").as("ord"),
+          (col("id") / 50).cast("long").mod(8).cast("string").as("k"))
+        .withColumn("chg", when(lag($"k", 1).over(w) <=> $"k", 0L).otherwise(1L))
+        .select(sum("chg")).as[Long].head()
+    }
+    println(s"  runs: $winRuns")
+
+    println(s"== bucketed range join ==")
+    val m = math.min(n / 20, 1_000_000L)
+    val left = spark.range(m).select(col("id").as("lid"),
+      (rand(11) * m * 10).cast("long").as("lv"))
+    val right = spark.range(m).select(col("id").as("rid"),
+      (rand(13) * m * 10).cast("long").as("rv"))
+    val pairs = time(f"RangeJoin.within over $m%,d x $m%,d rows") {
+      graft.ops.RangeJoin.within(left, col("lv"), right, col("rv"), tolerance = 5L).count()
+    }
+    println(s"  pairs: $pairs")
+
+    spark.stop()
+  }
+}
