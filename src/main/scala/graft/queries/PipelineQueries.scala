@@ -29,6 +29,12 @@ object PipelineQueries {
       Dedup.minhashLsh(t(s, d, "documents"), col("doc_id"), col("text"),
         shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.8)),
 
+    // exact n-gram Jaccard pairs — the quadratic baseline the LSH path
+    // approximates; same oracle, no probabilistic step
+    "pipe_dedup_ngram" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), col("doc_id"), col("text"),
+        shingleSize = 3, threshold = 0.8)),
+
     // duplicate clusters: LSH pairs → connected components → (doc, cluster)
     "pipe_dedup_clusters" -> ((s, d) => {
       val pairs = Dedup.minhashLsh(t(s, d, "documents"), col("doc_id"), col("text"),
@@ -124,6 +130,12 @@ object PipelineQueries {
         |FROM documents
         |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')""".stripMargin,
     "pipe_dedup_minhash" ->
+      s"""WITH t AS (SELECT doc_id, $duckShingles AS sh FROM documents WHERE len(string_split_regex(trim(lower(text)),'\\s+')) >= 3)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+         |FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8""".stripMargin,
+    "pipe_dedup_ngram" ->
       s"""WITH t AS (SELECT doc_id, $duckShingles AS sh FROM documents WHERE len(string_split_regex(trim(lower(text)),'\\s+')) >= 3)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |  round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
