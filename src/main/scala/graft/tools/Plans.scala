@@ -12,7 +12,8 @@ object Plans {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "q02_filter_project", "q14_star_revenue", "q01_pricing_summary",
-      "pipe_dedup_minhash", "pipe_embed_topk", "dtl_theta_join")
+      "pipe_dedup_minhash", "pipe_embed_topk", "dtl_theta_join",
+      "q28_range_join", "q29_run_length", "q30_json")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
