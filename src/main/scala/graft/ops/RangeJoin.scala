@@ -15,20 +15,29 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Integer bin id via integral division — exact for the full long range,
+    * unlike a double division whose 53-bit mantissa misbins huge values.
+    */
+  private def bin(v: Column, tol: Long): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.GraftColumnBridge.expression(v.cast("long")),
+        org.apache.spark.sql.catalyst.expressions.Literal(tol)))
+
   def within(
       left: DataFrame, leftVal: Column,
       right: DataFrame, rightVal: Column,
       tolerance: Long,
       leftKey: Option[Column] = None, rightKey: Option[Column] = None): DataFrame = {
     require(tolerance > 0, "tolerance must be positive")
-    val lBin = (leftVal.cast("long") / tolerance).cast("long")
+    val lBin = bin(leftVal, tolerance)
     val l = left
       .withColumn("__lv", leftVal.cast("long"))
       .withColumn("__bin", explode(array(lBin - 1, lBin, lBin + 1)))
       .withColumn("__lk", leftKey.getOrElse(lit(0)))
     val r = right
       .withColumn("__rv", rightVal.cast("long"))
-      .withColumn("__bin", (rightVal.cast("long") / tolerance).cast("long"))
+      .withColumn("__bin", bin(rightVal, tolerance))
       .withColumn("__rk", rightKey.getOrElse(lit(0)))
     l.join(r, l("__bin") === r("__bin") && col("__lk") === col("__rk"), "inner")
       .filter(abs(col("__lv") - col("__rv")) <= tolerance)
