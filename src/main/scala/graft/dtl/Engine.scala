@@ -17,6 +17,12 @@ final class Engine(
     val spark: SparkSession,
     val registry: FunctionRegistry = FunctionRegistry.default) {
 
+  // the engine's optimizer rules ride along with it: a DTL theta join like
+  // `ON abs(x - y) <= tol` plans as a bucketed hash join, not a nested loop
+  if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinRewrite))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.RangeJoinRewrite
+
   def run(source: String, importer: Importer, exporter: Exporter,
       tracer: Option[Tracer] = None): Unit = {
     val stmts = Parser.parse(source)

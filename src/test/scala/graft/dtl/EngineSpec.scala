@@ -179,6 +179,28 @@ class EngineSpec extends AnyFunSuite {
       Seq(Seq("x", 3L, 2L), Seq("y", 10L, 1L)))
   }
 
+  test("DTL proximity theta join plans as a hash join via RangeJoinRewrite") {
+    val plans = engine.explain(
+      """WITH a AS IMPORT 'a';
+        |WITH b AS IMPORT 'b';
+        |WITH output AS SELECT x, y FROM a JOIN b ON abs(x - y) < 5;
+        |EXPORT output TO 'output';""".stripMargin,
+      new InMemoryImporter(Map(
+        "a" -> Seq(1L, 10L, 100L).toDF("x"),
+        "b" -> Seq(2L, 50L).toDF("y"))))
+    val plan = plans("output")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"proximity join fell back to a nested loop:\n$plan")
+
+    val out = engine.runSimple(
+      """WITH a AS IMPORT 'a';
+        |WITH b AS IMPORT 'b';
+        |WITH output AS SELECT x, y FROM a JOIN b ON abs(x - y) < 5;
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("a" -> Seq(1L, 10L, 100L).toDF("x"), "b" -> Seq(2L, 50L).toDF("y")))
+    assert(rows(out("output")).toSet == Set(Seq(1L, 2L)))
+  }
+
   test("GROUP CONSECUTIVE BY groups only adjacent runs") {
     val out = engine.runSimple(
       """WITH input AS IMPORT 'input';
