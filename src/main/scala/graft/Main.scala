@@ -45,6 +45,10 @@ object Main {
     try {
       new Engine(spark).run(source, new FilesystemImporter(spark, in),
         new FilesystemExporter(out), traceDir.map(new FilesystemTracer(_)))
+    } catch {
+      case e: graft.dtl.DtlError =>
+        System.err.println(s"dtl: ${e.getMessage}")
+        sys.exit(1)
     } finally spark.stop()
   }
 }
