@@ -14,12 +14,14 @@ object Main {
     var inputDir: Option[String] = None
     var outputDir: Option[String] = None
     var traceDir: Option[String] = None
+    var explain = false
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "--input-dir" => inputDir = Some(args(i + 1)); i += 2
         case "--output-dir" => outputDir = Some(args(i + 1)); i += 2
         case "--trace-dir" => traceDir = Some(args(i + 1)); i += 2
+        case "--explain" => explain = true; i += 1
         case other => script = Some(other); i += 1
       }
     }
@@ -28,7 +30,8 @@ object Main {
       case Some(path) => new String(Files.readAllBytes(Paths.get(path)), "UTF-8")
     }
     val in = inputDir.getOrElse { System.err.println("missing --input-dir"); sys.exit(2) }
-    val out = outputDir.getOrElse { System.err.println("missing --output-dir"); sys.exit(2) }
+    val out = if (explain) outputDir.getOrElse("")
+      else outputDir.getOrElse { System.err.println("missing --output-dir"); sys.exit(2) }
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors).toString)
@@ -43,8 +46,12 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      new Engine(spark).run(source, new FilesystemImporter(spark, in),
-        new FilesystemExporter(out), traceDir.map(new FilesystemTracer(_)))
+      if (explain)
+        new Engine(spark).explain(source, new FilesystemImporter(spark, in))
+          .foreach { case (name, plan) => println(s"== $name ==\n$plan") }
+      else
+        new Engine(spark).run(source, new FilesystemImporter(spark, in),
+          new FilesystemExporter(out), traceDir.map(new FilesystemTracer(_)))
     } catch {
       case e: graft.dtl.DtlError =>
         System.err.println(s"dtl: ${e.getMessage}")
