@@ -75,6 +75,27 @@ class TraceSpec extends AnyFunSuite {
     assert(m.select("src_rid").distinct().count() == 4)
   }
 
+  test("consecutive-group lineage survives the distributed segmented scan") {
+    val tracer = new InMemoryTracer
+    new Engine(spark).runSimple(
+      """WITH input AS IMPORT 'input';
+        |WITH runs AS SELECT k, sum(v) AS total FROM input GROUP CONSECUTIVE BY k;
+        |EXPORT runs TO 'out';""".stripMargin,
+      Map("input" -> spark.createDataFrame(
+        Seq(("x", 1L), ("x", 2L), ("y", 10L), ("x", 5L))).toDF("k", "v").coalesce(1)),
+      Some(tracer))
+
+    // runs: (x,3), (y,10), (x,5) — the run id splits the two x runs
+    assert(tracer.snapshots("runs").count() == 3)
+    val m = tracer.mappings(("input", "runs"))
+    assert(m.count() == 4)
+    assert(m.select("tgt_rid").distinct().count() == 3)
+    // the two rows of the first x-run share one target row
+    val grouped = m.groupBy("tgt_rid").count()
+      .select("count").collect().map(_.getLong(0)).sorted.toSeq
+    assert(grouped == Seq(1L, 1L, 2L))
+  }
+
   test("tracing off adds no hidden columns") {
     val out = new Engine(spark).runSimple(
       """WITH input AS IMPORT 'input';
