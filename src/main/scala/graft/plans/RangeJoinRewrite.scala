@@ -46,7 +46,12 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   /** `abs(x - y) <= tol` / `abs(x - y) < tol`, either literal side. */
   private def matchRange(e: Expression): Option[(Expression, Expression, Long)] = {
     def absDiff(a: Expression): Option[(Expression, Expression)] = a match {
-      case Abs(Subtract(x, y, _), _) if isIntegral(x.dataType) && isIntegral(y.dataType) =>
+      // deterministic only: the rewrite evaluates x and y twice (bin key +
+      // exact filter), which must not change their values. The analyzer
+      // already rejects non-deterministic join conditions; this is
+      // defense-in-depth for programmatically constructed plans.
+      case Abs(Subtract(x, y, _), _) if isIntegral(x.dataType) && isIntegral(y.dataType) &&
+          x.deterministic && y.deterministic =>
         Some((x, y))
       case _ => None
     }
