@@ -23,23 +23,31 @@ object Bench {
     // The noop sink consumes fully-computed rows; a count() would let
     // Catalyst prune projected columns and skip the measured work for
     // projection-only queries.
-    def exec(name: String, dir: String): Unit =
-      try SparkEntry.queries(name)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+    def exec(name: String, dir: String): Boolean =
+      try {
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        true
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+      }
 
     val names = SparkEntry.headline.filter(SparkEntry.queries.contains)
     // JVM/codegen warmup on the smallest SF so measured times are steady-state
     names.foreach(exec(_, "/root/testdata/sf0.001"))
-    // best of 3: machine noise on a shared box dwarfs run-to-run query
-    // variance, and the minimum is the reproducible steady-state figure
+    // best of 3 successful runs: machine noise on a shared box dwarfs
+    // run-to-run query variance, and the minimum is the reproducible
+    // steady-state figure. A failed run must not contribute its (fast)
+    // failure duration; a query with no successful run reports -1.
     val results = names.map { name =>
-      val t = (1 to 3).map { _ =>
+      val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
-        exec(name, sfDir)
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      name -> t
+        val ok = exec(name, sfDir)
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+      }
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

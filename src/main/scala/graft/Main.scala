@@ -45,6 +45,9 @@ object Main {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // record the code and exit AFTER the finally: sys.exit inside the catch
+    // would halt the JVM before spark.stop() runs
+    var exitCode = 0
     try {
       if (explain)
         new Engine(spark).explain(source, new FilesystemImporter(spark, in))
@@ -55,7 +58,8 @@ object Main {
     } catch {
       case e: graft.dtl.DtlError =>
         System.err.println(s"dtl: ${e.getMessage}")
-        sys.exit(1)
+        exitCode = 1
     } finally spark.stop()
+    if (exitCode != 0) sys.exit(exitCode)
   }
 }

@@ -74,10 +74,18 @@ case class CosineExpression(left: Expression, right: Expression)
         s"cosine_sim expects ARRAY<DOUBLE> args, got " +
           s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
   }
-  override def nullSafeEval(a: Any, b: Any): Any =
-    VecMath.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullable: Boolean = true
+  // NaN (length mismatch, zero norm) becomes NULL: Spark orders NaN above
+  // every value, so a NaN similarity would win top-k rankings and pass
+  // >= threshold filters instead of being excluded
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val d = VecMath.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (d.isNaN) null else d
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecMath.cosine($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""${ev.value} = graft.functions.VecMath.cosine($a, $b);
+         |${ev.isNull} = Double.isNaN(${ev.value});""".stripMargin)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineExpression =
     copy(left = newLeft, right = newRight)
@@ -98,10 +106,16 @@ case class DotExpression(left: Expression, right: Expression)
         s"dot_product expects ARRAY<DOUBLE> args, got " +
           s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
   }
-  override def nullSafeEval(a: Any, b: Any): Any =
-    VecMath.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullable: Boolean = true
+  // length mismatch → NULL (see CosineExpression on why not NaN)
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val d = VecMath.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (d.isNaN) null else d
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecMath.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""${ev.value} = graft.functions.VecMath.dot($a, $b);
+         |${ev.isNull} = Double.isNaN(${ev.value});""".stripMargin)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotExpression =
     copy(left = newLeft, right = newRight)

@@ -1,9 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, GraftPlanBridge}
+import org.apache.spark.sql.catalyst.expressions.AttributeReference
 import org.apache.spark.sql.types.{BooleanType, LongType}
-import org.apache.spark.storage.StorageLevel
+import graft.plans.{SegmentedRuns, SegmentedRunsStrategy}
 
 /** Distributed run detection over a globally ordered table: assign each row a
   * global run id that increments whenever the key tuple differs (null-safely)
@@ -13,20 +13,12 @@ import org.apache.spark.storage.StorageLevel
   * (reference intent: nodes.py:169-173, nodes.py:279-288; never executable
   * there — SURVEY.md §2 B2/B3). The naive Spark formulation is a window over
   * `Window.orderBy(ord)` — a single partition holding the whole table, which
-  * dies at scale. Instead we run a segmented scan:
-  *
-  *   1. range-shuffle by `ordCols` + sort within partitions (the ONE full-data
-  *      shuffle), persisted so both passes see identical partitions;
-  *   2. per-partition pass collecting (first key, last key, #changes) — one
-  *      tiny row per partition to the driver;
-  *   3. driver folds those into per-partition run-id offsets and a "does the
-  *      partition's first row start a new run" flag (needs the previous
-  *      partition's last key — unknowable inside the partition);
-  *   4. per-partition stamping pass: run id = offset + local prefix count.
-  *
-  * Work per row is O(1), driver state is O(#partitions), and partitions never
-  * need to fit on one machine — this survives a 1000-executor 100 TB input
-  * where the window formulation cannot.
+  * dies at scale. This front-end emits the custom whole-plan operator
+  * [[graft.plans.SegmentedRuns]] (logical node + strategy + physical exec):
+  * one range shuffle planned by Spark itself, then a two-pass per-partition
+  * segmented scan with an O(#partitions) driver fold. Fully lazy — nothing
+  * executes at plan time, so `Engine.explain` shows the operator without
+  * running it.
   */
 object ConsecutiveRuns {
 
@@ -39,87 +31,18 @@ object ConsecutiveRuns {
            runCol: String, startCol: String): DataFrame = {
     require(keyCols.nonEmpty && ordCols.nonEmpty)
     val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(SegmentedRunsStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ SegmentedRunsStrategy
 
-    val sorted = df
-      .repartitionByRange(ordCols.map(col): _*)
-      .sortWithinPartitions(ordCols.map(col): _*)
-    val keyIdx = keyCols.map(sorted.schema.fieldIndex).toArray
-
-    // One .rdd conversion shared by both passes: a single lineage pins one
-    // shuffle dependency (range bounds are sampled once, so recomputing a
-    // lost block is deterministic), and RDD-level persistence is freed by
-    // Spark's ContextCleaner once the returned frame is unreachable — a
-    // DataFrame-level persist would pin the cache until explicit unpersist.
-    val rows = sorted.rdd
-    rows.persist(StorageLevel.MEMORY_AND_DISK)
-
-    // pass 2: (pid, firstKey, lastKey, #within-partition changes), one row per
-    // non-empty partition
-    val stats = rows.mapPartitionsWithIndex { (pid, it) =>
-      var first: IndexedSeq[Any] = null
-      var prev: IndexedSeq[Any] = null
-      var changes = 0L
-      while (it.hasNext) {
-        val k = keys(it.next(), keyIdx)
-        if (first == null) first = k
-        else if (!eqKeys(prev, k)) changes += 1
-        prev = k
-      }
-      if (first == null) Iterator.empty
-      else Iterator((pid, first, prev, changes))
-    }.collect().sortBy(_._1)
-
-    // pass 3 (driver, O(#partitions)): run-id offset before each partition and
-    // whether its first row opens a new run
-    var runningRuns = 0L
-    var prevLast: IndexedSeq[Any] = null
-    val offsets = stats.map { case (pid, first, last, changes) =>
-      val firstChg = if (prevLast == null || !eqKeys(prevLast, first)) 1L else 0L
-      val offset = runningRuns
-      runningRuns += changes + firstChg
-      prevLast = last
-      pid -> (offset, firstChg)
-    }.toMap
-    val bc = spark.sparkContext.broadcast(offsets)
-
-    // pass 4: stamp run ids with a local prefix count on top of the offset
-    val outSchema = sorted.schema.add(runCol, LongType, nullable = false)
-      .add(startCol, BooleanType, nullable = false)
-    val stamped = rows.mapPartitionsWithIndex { (pid, it) =>
-      val (offset, firstChg) = bc.value.getOrElse(pid, (0L, 1L))
-      var run = offset
-      var prev: IndexedSeq[Any] = null
-      var isFirst = true
-      it.map { r =>
-        val k = keys(r, keyIdx)
-        val chg = if (isFirst) firstChg else if (eqKeys(prev, k)) 0L else 1L
-        isFirst = false
-        prev = k
-        run += chg
-        Row.fromSeq(r.toSeq :+ run :+ (chg == 1L))
-      }
-    }
-    spark.createDataFrame(stamped, outSchema)
-  }
-
-  private def keys(r: Row, idx: Array[Int]): IndexedSeq[Any] = idx.map(r.get).toIndexedSeq
-
-  /** Null-safe tuple equality matching SQL `<=>`: null==null, NaN==NaN. */
-  private def eqKeys(a: IndexedSeq[Any], b: IndexedSeq[Any]): Boolean = {
-    var i = 0
-    while (i < a.length) {
-      if (!eqv(a(i), b(i))) return false
-      i += 1
-    }
-    true
-  }
-
-  private def eqv(a: Any, b: Any): Boolean = (a, b) match {
-    case (null, null) => true
-    case (null, _) | (_, null) => false
-    case (x: Double, y: Double) => (x.isNaN && y.isNaN) || x == y
-    case (x: Float, y: Float) => (x.isNaN && y.isNaN) || x == y
-    case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.equals(x, y)
-    case _ => a == b
+    val plan = GraftPlanBridge.logicalPlan(df)
+    def attr(n: String) = plan.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"ConsecutiveRuns: no column '$n' in ${plan.output.map(_.name)}"))
+    val node = SegmentedRuns(
+      keyCols.map(attr), ordCols.map(attr),
+      AttributeReference(runCol, LongType, nullable = false)(),
+      AttributeReference(startCol, BooleanType, nullable = false)(),
+      plan)
+    GraftPlanBridge.ofRows(spark, node)
   }
 }

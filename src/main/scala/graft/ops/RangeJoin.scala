@@ -30,17 +30,26 @@ object RangeJoin {
       tolerance: Long,
       leftKey: Option[Column] = None, rightKey: Option[Column] = None): DataFrame = {
     require(tolerance > 0, "tolerance must be positive")
+    // fresh internal names so caller columns can never collide
+    val tag = java.lang.Long.toHexString(freshTag.incrementAndGet())
+    val (lv, rv, binC, lk, rk) =
+      (s"__lv_$tag", s"__rv_$tag", s"__bin_$tag", s"__lk_$tag", s"__rk_$tag")
     val lBin = bin(leftVal, tolerance)
+    // the exact filter runs on the ORIGINAL values: binning truncates to
+    // long, and filtering the truncated values would admit fractional pairs
+    // up to 1 apart beyond the tolerance
     val l = left
-      .withColumn("__lv", leftVal.cast("long"))
-      .withColumn("__bin", explode(array(lBin - 1, lBin, lBin + 1)))
-      .withColumn("__lk", leftKey.getOrElse(lit(0)))
+      .withColumn(lv, leftVal)
+      .withColumn(binC, explode(array(lBin - 1, lBin, lBin + 1)))
+      .withColumn(lk, leftKey.getOrElse(lit(0)))
     val r = right
-      .withColumn("__rv", rightVal.cast("long"))
-      .withColumn("__bin", bin(rightVal, tolerance))
-      .withColumn("__rk", rightKey.getOrElse(lit(0)))
-    l.join(r, l("__bin") === r("__bin") && col("__lk") === col("__rk"), "inner")
-      .filter(abs(col("__lv") - col("__rv")) <= tolerance)
-      .drop("__lv", "__rv", "__bin", "__lk", "__rk")
+      .withColumn(rv, rightVal)
+      .withColumn(binC, bin(rightVal, tolerance))
+      .withColumn(rk, rightKey.getOrElse(lit(0)))
+    l.join(r, l(binC) === r(binC) && col(lk) === col(rk), "inner")
+      .filter(abs(col(lv) - col(rv)) <= tolerance)
+      .drop(lv, rv, binC, lk, rk)
   }
+
+  private val freshTag = new java.util.concurrent.atomic.AtomicLong()
 }

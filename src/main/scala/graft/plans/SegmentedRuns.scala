@@ -1,0 +1,153 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Whole-operator implementation of distributed run detection (the engine of
+  * `DISTINCT CONSECUTIVE` / `GROUP CONSECUTIVE BY`): a custom logical node,
+  * planning strategy, and physical operator — the SparkSessionExtensions
+  * escalation rung for semantics the DataFrame algebra cannot express
+  * without either a single-partition window or double-computation.
+  *
+  * The physical operator declares `OrderedDistribution(ords)` so Spark itself
+  * plans the one range shuffle + per-partition sort. `doExecute` then runs a
+  * segmented scan over that single child RDD:
+  *
+  *   pass 1 — per partition: (first key, last key, #changes), one tiny row
+  *            per partition collected to the driver;
+  *   fold   — O(#partitions) on the driver: global run-id offset per
+  *            partition and whether its first row opens a new run (needs the
+  *            previous partition's last key, unknowable inside a partition);
+  *   pass 2 — per partition: stamp run id = offset + local prefix count.
+  *
+  * Both passes execute the same child RDD: the shuffle dependency (and its
+  * range bounds) is fixed once, map outputs are reused across the two jobs,
+  * so the partitioning is identical and failure-recompute is deterministic.
+  * Nothing runs at plan-construction time — `Engine.explain` stays
+  * execution-free — and nothing is persisted.
+  *
+  * Key equality is bytewise over UnsafeRow key projections, which Spark has
+  * already normalized for grouping (null bits, canonical NaN, -0.0 → 0.0),
+  * matching SQL `<=>` semantics.
+  */
+case class SegmentedRuns(
+    keys: Seq[Attribute], ords: Seq[Attribute],
+    runAttr: Attribute, startAttr: Attribute,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ runAttr :+ startAttr
+  override def references: AttributeSet = AttributeSet(keys ++ ords)
+  override def producedAttributes: AttributeSet = AttributeSet(Seq(runAttr, startAttr))
+  override protected def withNewChildInternal(newChild: LogicalPlan): SegmentedRuns =
+    copy(child = newChild)
+}
+
+object SegmentedRunsStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case SegmentedRuns(keys, ords, runAttr, startAttr, child) =>
+      SegmentedRunsExec(keys, ords, runAttr, startAttr, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class SegmentedRunsExec(
+    keys: Seq[Attribute], ords: Seq[Attribute],
+    runAttr: Attribute, startAttr: Attribute,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ runAttr :+ startAttr
+  override def producedAttributes: AttributeSet = AttributeSet(Seq(runAttr, startAttr))
+
+  // Spark plans the range shuffle + in-partition sort to satisfy these
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(OrderedDistribution(ords.map(SortOrder(_, Ascending))))
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(ords.map(SortOrder(_, Ascending)))
+  override def outputPartitioning = child.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = child.outputOrdering
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val input = child.execute()
+    val childOutput = child.output
+    // canonical NaN / -0.0 so bytewise equality matches SQL `<=>`
+    val keyExprs = keys.map { k =>
+      k.dataType match {
+        case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>
+          org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero(k)
+        case _ => k
+      }
+    }
+
+    // pass 1: one (firstKey, lastKey, #changes) row per non-empty partition
+    val stats = input.mapPartitionsWithIndex { (pid, it) =>
+      val proj = UnsafeProjection.create(keyExprs, childOutput)
+      var first: Array[Byte] = null
+      var prev: Array[Byte] = null
+      var changes = 0L
+      while (it.hasNext) {
+        val k = SegmentedRunsExec.keyBytes(proj(it.next()))
+        if (first == null) first = k
+        else if (!java.util.Arrays.equals(prev, k)) changes += 1
+        prev = k
+      }
+      if (first == null) Iterator.empty
+      else Iterator((pid, first, prev, changes))
+    }.collect().sortBy(_._1)
+
+    // driver fold, O(#partitions)
+    var runningRuns = 0L
+    var prevLast: Array[Byte] = null
+    val offsets = stats.map { case (pid, first, last, changes) =>
+      val firstChg =
+        if (prevLast == null || !java.util.Arrays.equals(prevLast, first)) 1L else 0L
+      val offset = runningRuns
+      runningRuns += changes + firstChg
+      prevLast = last
+      pid -> (offset, firstChg)
+    }.toMap
+    val bc = sparkContext.broadcast(offsets)
+
+    // pass 2: same RDD (shuffle outputs reused), stamp global run ids
+    val outAttrs = output
+    input.mapPartitionsWithIndex { (pid, it) =>
+      val proj = UnsafeProjection.create(keyExprs, childOutput)
+      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val extra = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+      val joined = new JoinedRow
+      val (offset, firstChg) = bc.value.getOrElse(pid, (0L, 1L))
+      var run = offset
+      var prev: Array[Byte] = null
+      it.map { row =>
+        val k = SegmentedRunsExec.keyBytes(proj(row))
+        val chg =
+          if (prev == null) firstChg
+          else if (java.util.Arrays.equals(prev, k)) 0L
+          else 1L
+        prev = k
+        run += chg
+        extra.update(0, run)
+        extra.update(1, chg == 1L)
+        outProj(joined(row, extra))
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): SegmentedRunsExec =
+    copy(child = newChild)
+}
+
+object SegmentedRunsExec {
+  /** Detached copy of a projected key row. UnsafeProjection reuses its
+    * result buffer, and for fixed-width rows getBytes returns the BACKING
+    * array — comparing retained references would compare the buffer with
+    * itself, never detecting a change.
+    */
+  private[plans] def keyBytes(u: org.apache.spark.sql.catalyst.expressions.UnsafeRow): Array[Byte] = {
+    val b = u.getBytes
+    java.util.Arrays.copyOf(b, b.length)
+  }
+}

@@ -1,0 +1,16 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Bridge into Spark's `private[sql]` Dataset/LogicalPlan converters
+  * (org.apache.spark.sql.classic.Dataset.ofRows). Needed to wrap a custom
+  * logical operator (graft.plans.SegmentedRuns) back into the public
+  * DataFrame API. Lives in the org.apache.spark.sql package solely to
+  * satisfy the access qualifier.
+  */
+object GraftPlanBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  def logicalPlan(df: Dataset[_]): LogicalPlan = df.queryExecution.analyzed
+}

@@ -48,11 +48,13 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(math.abs(viaSql.getDouble(0) - 1.0) < 1e-12)
     assert(math.abs(viaSql.getDouble(1) - 11.0) < 1e-12)
 
-    // length mismatch is NaN, nulls propagate
+    // length mismatch and zero-norm are NULL (Spark sorts NaN above all
+    // values, so NaN must not escape into rankings/filters); nulls propagate
     val edge = df.sparkSession.sql(
       "SELECT cosine_sim(array(1.0d), array(1.0d, 2.0d)) AS m, " +
-        "cosine_sim(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS n").collect().head
-    assert(edge.getDouble(0).isNaN && edge.isNullAt(1))
+        "cosine_sim(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS n, " +
+        "cosine_sim(array(0.0d), array(0.0d)) AS z").collect().head
+    assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.isNullAt(2))
   }
 
   test("non-literal numHashes is rejected with a clear error") {

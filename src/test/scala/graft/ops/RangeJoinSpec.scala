@@ -23,6 +23,16 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(fast == naive && fast.nonEmpty)
   }
 
+  test("fractional values filter on the original values, not the truncation") {
+    val l = Seq((1L, 1.0), (2L, 5.5)).toDF("lid", "lv")
+    val r = Seq((10L, 2.9), (11L, 6.0)).toDF("rid", "rv")
+    val got = RangeJoin.within(l, col("lv"), r, col("rv"), tolerance = 1L)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    // |1.0-2.9|=1.9 > 1 must NOT match (truncated longs 1,2 would have);
+    // |5.5-6.0|=0.5 matches
+    assert(got == Set((2L, 11L)))
+  }
+
   test("keyed range join bounds candidates and avoids nested loops") {
     val left = Seq((1L, "a", 100L), (2L, "b", 100L)).toDF("lid", "lk", "lv")
     val right = Seq((10L, "a", 105L), (11L, "b", 500L)).toDF("rid", "rk", "rv")
