@@ -46,5 +46,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.SegmentedRunsStrategy)
   }
 }
