@@ -317,6 +317,14 @@ object CoreQueries {
           sum("k").as("sum_k"),
           round(avg("k"), 2).as("avg_k"))),
 
+    // D-reshaping: PIVOT linestatus into columns
+    "q31_pivot" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("O", "F"))
+        .agg(round(sum("l_quantity"), 2))
+        .select(col("l_returnflag"), col("O").as("qty_o"), col("F").as("qty_f"))),
+
     // D-grouping-sets: CUBE over two dimensions
     "q27_cube" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -504,6 +512,11 @@ object CoreQueries {
         |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |      FROM events)
         |GROUP BY event_type""".stripMargin,
+    "q31_pivot" ->
+      """SELECT l_returnflag,
+        |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o,
+        |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q27_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         | round(sum(l_quantity), 2) AS qty
