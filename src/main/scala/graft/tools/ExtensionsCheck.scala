@@ -1,0 +1,47 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tooling: end-to-end check of the GraftExtensions injection path in a
+  * fresh JVM (builder.withExtensions — the spark.sql.extensions route),
+  * covering all three injection kinds: SQL functions, the range-join
+  * optimizer rule, and the segmented-runs planner strategy.
+  */
+object ExtensionsCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // injected SQL functions
+    val f = spark.sql(
+      "SELECT simhash('a b c') AS s, cosine_sim(array(1.0d, 0d), array(1.0d, 0d)) AS c").head()
+    assert(f.getLong(0) != 0L && math.abs(f.getDouble(1) - 1.0) < 1e-12)
+    println("functions: OK")
+
+    // injected optimizer rule: SQL abs-distance join plans as a hash join
+    Seq((1L, 10L), (2L, 500L)).toDF("lid", "lv").createOrReplaceTempView("l")
+    Seq((9L, 12L), (8L, 100L)).toDF("rid", "rv").createOrReplaceTempView("r")
+    val j = spark.sql("SELECT lid, rid FROM l JOIN r ON abs(lv - rv) <= 5")
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"rule not injected:\n$plan")
+    assert(j.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 9L)))
+    println("optimizer rule: OK")
+
+    // injected planner strategy: SegmentedRuns plans and runs without
+    // ConsecutiveRuns.mark's imperative fallback registration
+    val df = Seq((0L, "a"), (1L, "a"), (2L, "b"), (3L, "a")).toDF("ord", "k")
+    val marked = graft.ops.ConsecutiveRuns.mark(df, Seq("k"), Seq("ord"), "run", "start")
+    assert(marked.orderBy("ord").select("run").as[Long].collect().toSeq == Seq(1L, 1L, 2L, 3L))
+    assert(marked.queryExecution.executedPlan.toString.contains("SegmentedRuns"))
+    println("planner strategy: OK")
+
+    spark.stop()
+    println("extensions check: ALL OK")
+  }
+}
