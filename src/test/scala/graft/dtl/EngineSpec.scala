@@ -179,6 +179,26 @@ class EngineSpec extends AnyFunSuite {
       Seq(Seq("x", 3L, 2L), Seq("y", 10L, 1L)))
   }
 
+  test("explain of consecutive ops shows the operator and runs no jobs") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val plans = engine.explain(
+        """WITH input AS IMPORT 'input';
+          |WITH r AS SELECT k, count() AS n FROM input GROUP CONSECUTIVE BY k;
+          |EXPORT r TO 'out';""".stripMargin,
+        new InMemoryImporter(Map("input" -> Seq(("a", 1L)).toDF("k", "v"))))
+      assert(plans("out").contains("SegmentedRuns"))
+      Thread.sleep(500) // listener events are async
+      assert(jobs.get == 0, "explain must not execute anything")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("DTL proximity theta join plans as a hash join via RangeJoinRewrite") {
     val plans = engine.explain(
       """WITH a AS IMPORT 'a';
