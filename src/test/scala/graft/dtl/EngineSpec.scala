@@ -232,6 +232,18 @@ class EngineSpec extends AnyFunSuite {
       Seq(Seq("x", 3L), Seq("x", 5L), Seq("y", 10L)).sortBy(_.toString))
   }
 
+  test("GROUP CONSECUTIVE BY after aggregation (no row order) is rejected") {
+    val e = intercept[DtlError] {
+      engine.runSimple(
+        """WITH input AS IMPORT 'input';
+          |WITH g AS SELECT k, sum(v) AS t FROM input GROUP BY k;
+          |WITH r AS SELECT k, count() AS n FROM g GROUP CONSECUTIVE BY k;
+          |EXPORT r TO 'out';""".stripMargin,
+        Map("input" -> Seq(("a", 1L)).toDF("k", "v")))
+    }
+    assert(e.getMessage.contains("row order"))
+  }
+
   test("last binding wins on duplicate output names (A4)") {
     val out = engine.runSimple(
       """WITH input AS IMPORT 'input';
