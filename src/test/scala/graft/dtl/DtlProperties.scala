@@ -52,6 +52,24 @@ object DtlProperties extends Properties("dtl") {
       keep == xs.length && drop == 0
     }
 
+  property("segmented scan run-length sums and counts match a sequential fold") =
+    forAll(Gen.choose(1, 200), Gen.choose(1, 5), Gen.choose(1, 6), Gen.choose(0L, 9999L)) {
+      (n, card, parts, seed) =>
+        val rng = new scala.util.Random(seed)
+        val keys = Seq.fill(n)(rng.nextInt(card).toString)
+        val df = keys.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+          .toDF("ord", "k").repartition(parts)
+        val marked = graft.ops.ConsecutiveRuns.mark(df, Seq("k"), Seq("ord"), "run", "start")
+          .orderBy("ord").select("run").as[Long].collect().toSeq
+        // sequential reference fold over the same key sequence
+        val expected = keys.foldLeft(List.empty[Long] -> 0L) {
+          case ((acc, run), k) =>
+            val r = if (acc.isEmpty || keys(acc.length - 1) != k) run + 1 else run
+            (r :: acc, r)
+        }._1.reverse
+        marked == expected
+    }
+
   property("self equi-join cardinality equals key multiplicity squared") =
     forAll(Gen.listOfN(6, Gen.choose(0L, 2L))) { keys =>
       val df = keys.toDF("k")
