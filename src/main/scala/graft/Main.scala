@@ -15,12 +15,18 @@ object Main {
     var outputDir: Option[String] = None
     var traceDir: Option[String] = None
     var explain = false
+    def value(i: Int, flag: String): String = {
+      if (i + 1 >= args.length) {
+        System.err.println(s"dtl: $flag needs a value"); sys.exit(2)
+      }
+      args(i + 1)
+    }
     var i = 0
     while (i < args.length) {
       args(i) match {
-        case "--input-dir" => inputDir = Some(args(i + 1)); i += 2
-        case "--output-dir" => outputDir = Some(args(i + 1)); i += 2
-        case "--trace-dir" => traceDir = Some(args(i + 1)); i += 2
+        case f @ "--input-dir" => inputDir = Some(value(i, f)); i += 2
+        case f @ "--output-dir" => outputDir = Some(value(i, f)); i += 2
+        case f @ "--trace-dir" => traceDir = Some(value(i, f)); i += 2
         case "--explain" => explain = true; i += 1
         case other => script = Some(other); i += 1
       }

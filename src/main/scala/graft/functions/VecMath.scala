@@ -75,9 +75,9 @@ case class CosineExpression(left: Expression, right: Expression)
           s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
   }
   override def nullable: Boolean = true
-  // NaN (length mismatch, zero norm) becomes NULL: Spark orders NaN above
-  // every value, so a NaN similarity would win top-k rankings and pass
-  // >= threshold filters instead of being excluded
+  // ANY NaN result (length mismatch, zero norm, NaN elements, inf - inf)
+  // becomes NULL: Spark orders NaN above every value, so a NaN similarity
+  // would win top-k rankings and pass >= threshold filters
   override def nullSafeEval(a: Any, b: Any): Any = {
     val d = VecMath.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     if (d.isNaN) null else d
@@ -107,7 +107,7 @@ case class DotExpression(left: Expression, right: Expression)
           s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
   }
   override def nullable: Boolean = true
-  // length mismatch → NULL (see CosineExpression on why not NaN)
+  // any NaN result → NULL (see CosineExpression on why not NaN)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val d = VecMath.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     if (d.isNaN) null else d

@@ -34,17 +34,29 @@ object RangeJoin {
     val tag = java.lang.Long.toHexString(freshTag.incrementAndGet())
     val (lv, rv, binC, lk, rk) =
       (s"__lv_$tag", s"__rv_$tag", s"__bin_$tag", s"__lk_$tag", s"__rk_$tag")
-    val lBin = bin(leftVal, tolerance)
-    // the exact filter runs on the ORIGINAL values: binning truncates to
-    // long, and filtering the truncated values would admit fractional pairs
-    // up to 1 apart beyond the tolerance
+    // temporal values compare as epoch seconds (tolerance unit = seconds);
+    // numeric values keep their ORIGINAL type for the exact filter — binning
+    // truncates to long, and filtering truncated values would admit
+    // fractional pairs up to 1 beyond the tolerance
+    def isTemporal(df: DataFrame, c: Column): Boolean =
+      df.select(c).schema.head.dataType match {
+        case _: org.apache.spark.sql.types.TimestampType |
+             _: org.apache.spark.sql.types.TimestampNTZType |
+             _: org.apache.spark.sql.types.DateType => true
+        case _ => false
+      }
+    val lVal = if (isTemporal(left, leftVal))
+      leftVal.cast("timestamp_ltz").cast("long") else leftVal
+    val rVal = if (isTemporal(right, rightVal))
+      rightVal.cast("timestamp_ltz").cast("long") else rightVal
+    val lBin = bin(lVal, tolerance)
     val l = left
-      .withColumn(lv, leftVal)
+      .withColumn(lv, lVal)
       .withColumn(binC, explode(array(lBin - 1, lBin, lBin + 1)))
       .withColumn(lk, leftKey.getOrElse(lit(0)))
     val r = right
-      .withColumn(rv, rightVal)
-      .withColumn(binC, bin(rightVal, tolerance))
+      .withColumn(rv, rVal)
+      .withColumn(binC, bin(rVal, tolerance))
       .withColumn(rk, rightKey.getOrElse(lit(0)))
     l.join(r, l(binC) === r(binC) && col(lk) === col(rk), "inner")
       .filter(abs(col(lv) - col(rv)) <= tolerance)

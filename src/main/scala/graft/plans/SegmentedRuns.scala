@@ -25,11 +25,11 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   *            previous partition's last key, unknowable inside a partition);
   *   pass 2 — per partition: stamp run id = offset + local prefix count.
   *
-  * Both passes execute the same child RDD: the shuffle dependency (and its
-  * range bounds) is fixed once, map outputs are reused across the two jobs,
-  * so the partitioning is identical and failure-recompute is deterministic.
-  * Nothing runs at plan-construction time — `Engine.explain` stays
-  * execution-free — and nothing is persisted.
+  * Both passes read ONE pinned materialization of the child (cached, freed
+  * by the ContextCleaner when the result is dropped): the shuffle dependency
+  * and its range bounds are fixed once, and rows tied on the order columns
+  * keep the same arbitrary-but-consistent position in both passes. Nothing
+  * runs at plan-construction time — `Engine.explain` stays execution-free.
   *
   * Key equality is bytewise over UnsafeRow key projections, which Spark has
   * already normalized for grouping (null bits, canonical NaN, -0.0 → 0.0),
@@ -71,7 +71,15 @@ case class SegmentedRunsExec(
   override def outputOrdering: Seq[SortOrder] = child.outputOrdering
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val input = child.execute()
+    // Pin ONE materialization of the sorted child: rows tied on the ord
+    // columns may sort differently across jobs (reduce-side fetch order is
+    // nondeterministic on a real cluster), and the driver offsets from pass 1
+    // must describe exactly the sequence pass 2 stamps. The .copy() is
+    // required before caching — SparkPlan.execute() iterators reuse one
+    // mutable UnsafeRow per partition. The cache is released by the
+    // ContextCleaner once the result RDD is unreferenced.
+    val input = child.execute().map(_.copy())
+    input.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val childOutput = child.output
     // canonical NaN / -0.0 so bytewise equality matches SQL `<=>`
     val keyExprs = keys.map { k =>

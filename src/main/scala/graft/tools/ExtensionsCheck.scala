@@ -33,8 +33,11 @@ object ExtensionsCheck {
     assert(j.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 9L)))
     println("optimizer rule: OK")
 
-    // injected planner strategy: SegmentedRuns plans and runs without
-    // ConsecutiveRuns.mark's imperative fallback registration
+    // injected planner strategy: must be in the SESSION planner before
+    // ConsecutiveRuns.mark runs (mark would otherwise self-register an
+    // experimental-strategies fallback, masking a broken injection)
+    assert(org.apache.spark.sql.GraftPlanBridge.plannerStrategies(spark)
+      .contains(graft.plans.SegmentedRunsStrategy), "strategy not injected")
     val df = Seq((0L, "a"), (1L, "a"), (2L, "b"), (3L, "a")).toDF("ord", "k")
     val marked = graft.ops.ConsecutiveRuns.mark(df, Seq("k"), Seq("ord"), "run", "start")
     assert(marked.orderBy("ord").select("run").as[Long].collect().toSeq == Seq(1L, 1L, 2L, 3L))

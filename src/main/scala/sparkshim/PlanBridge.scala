@@ -13,4 +13,8 @@ object GraftPlanBridge {
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
   def logicalPlan(df: Dataset[_]): LogicalPlan = df.queryExecution.analyzed
+
+  /** The session planner's strategy list (includes extension-injected ones). */
+  def plannerStrategies(spark: SparkSession): Seq[Any] =
+    spark.asInstanceOf[classic.SparkSession].sessionState.planner.strategies
 }

@@ -180,10 +180,15 @@ class EngineSpec extends AnyFunSuite {
   }
 
   test("explain of consecutive ops shows the operator and runs no jobs") {
-    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val other = new java.util.concurrent.atomic.AtomicInteger
+    val sentinel = new java.util.concurrent.atomic.AtomicInteger
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        jobs.incrementAndGet(); ()
+        val group = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+        if (group.contains("graft-sentinel")) sentinel.incrementAndGet()
+        else other.incrementAndGet()
+        ()
       }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -194,8 +199,14 @@ class EngineSpec extends AnyFunSuite {
           |EXPORT r TO 'out';""".stripMargin,
         new InMemoryImporter(Map("input" -> Seq(("a", 1L)).toDF("k", "v"))))
       assert(plans("out").contains("SegmentedRuns"))
-      Thread.sleep(500) // listener events are async
-      assert(jobs.get == 0, "explain must not execute anything")
+      // listener delivery is async but FIFO: once the tagged sentinel job's
+      // event arrives, any job explain() had started was already counted
+      spark.sparkContext.setJobGroup("graft-sentinel", "listener flush")
+      try spark.range(1).count() finally spark.sparkContext.clearJobGroup()
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (sentinel.get == 0 && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(sentinel.get >= 1, "sentinel job event never arrived")
+      assert(other.get == 0, "explain must not execute anything")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 

@@ -33,6 +33,16 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got == Set((2L, 11L)))
   }
 
+  test("timestamp columns join on epoch seconds") {
+    val t0 = 1_700_000_000L
+    def ts(s: Long) = new java.sql.Timestamp((t0 + s) * 1000L)
+    val l = Seq((1L, ts(0)), (2L, ts(1000))).toDF("lid", "lt")
+    val r = Seq((10L, ts(90)), (11L, ts(5000))).toDF("rid", "rt")
+    val got = RangeJoin.within(l, col("lt"), r, col("rt"), tolerance = 120L)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == Set((1L, 10L)))
+  }
+
   test("keyed range join bounds candidates and avoids nested loops") {
     val left = Seq((1L, "a", 100L), (2L, "b", 100L)).toDF("lid", "lk", "lv")
     val right = Seq((10L, "a", 105L), (11L, "b", 500L)).toDF("rid", "rk", "rv")
