@@ -46,7 +46,7 @@ final class Compiler(
     */
   final case class CTable(df: DataFrame, cols: List[SCol], ordCols: List[String],
       rids: List[(String, String)] = Nil,
-      aggLineage: Option[AggLineage] = None)
+      aggLineages: List[AggLineage] = Nil)
 
   /** Lineage bridge across an aggregation: the pre-agg frame still carries
     * upstream row ids plus the materialized group keys; the post-agg frame
@@ -60,11 +60,20 @@ final class Compiler(
   private val counter = new java.util.concurrent.atomic.AtomicLong()
   private def fresh(prefix: String = "c"): String = s"__${prefix}${counter.incrementAndGet()}"
 
-  private def resolve(scope: List[SCol], table: Option[String], name: String, pos: Pos): SCol =
-    scope.find(c => c.name == name && c.namespaces.contains(table)).getOrElse {
+  private def resolve(scope: List[SCol], table: Option[String], name: String, pos: Pos): SCol = {
+    val matches = scope.filter(c => c.name == name && c.namespaces.contains(table))
+    if (matches.isEmpty) {
       val q = table.map(_ + ".").getOrElse("")
       throw DtlError(s"could not find $q$name", pos.line, pos.col)
     }
+    // a QUALIFIED name matching two different columns (un-aliased self-join)
+    // is ambiguous — silently binding left would build a wrong join condition;
+    // unqualified names keep the reference's left-wins shadowing (A7)
+    if (table.isDefined && matches.map(_.internal).distinct.length > 1)
+      throw DtlError(s"ambiguous reference ${table.get}.$name — alias one side of the join",
+        pos.line, pos.col)
+    matches.head
+  }
 
   // ---------------------------------------------------------------- expressions
 
@@ -97,6 +106,8 @@ final class Compiler(
       TypedCol(if (negated) t.col.isNotNull else t.col.isNull, TBool)
     case InList(e, values, negated, pos) =>
       val t = compileExpr(e, scope)
+      if (t.dtype.isInstanceOf[TExt])
+        typeErr(pos, s"IN is not defined for extension type ${t.dtype.name}")
       val vs = values.map(compileExpr(_, scope))
       for (v <- vs if v.dtype != t.dtype)
         typeErr(pos, s"IN list values must match the operand type ${t.dtype.name}, got ${v.dtype.name}")
@@ -221,6 +232,7 @@ final class Compiler(
     var scope = src.cols.map(c => c.copy(namespaces = c.namespaces + None ++ srcName.map(Some(_))))
     var ordCols = src.ordCols
     var rids = src.rids
+    var aggLineages = src.aggLineages
 
     // JOINs: right columns appended after left (left-wins unqualified shadowing,
     // ast_to_ir.py:499-526); the raw ON predicate goes straight to Catalyst,
@@ -249,6 +261,7 @@ final class Compiler(
       scope = combined
       ordCols = ordCols ++ right.ordCols
       rids = rids ++ right.rids
+      aggLineages = aggLineages ++ right.aggLineages
     }
 
     // WHERE: boolean mask; null-predicate rows dropped (identical to pac.filter)
@@ -258,11 +271,12 @@ final class Compiler(
       df = df.filter(p.col)
     }
 
-    // aggregation lineage survives plain select/filter over the grouped
-    // result, but not a further join or grouping (rebased at the next
-    // statement boundary anyway)
-    val carriedAggLineage =
-      if (sel.joins.isEmpty && sel.groupBy.isEmpty) src.aggLineage else None
+    // aggregation lineage survives select/filter/join over the grouped
+    // result (the key-equality rebase is still valid against the joined
+    // frame); a further grouping would need lineage composition — rebased at
+    // the statement boundary instead
+    val carriedAggLineages =
+      if (sel.groupBy.isEmpty) aggLineages else Nil
 
     if (sel.having.isDefined && sel.groupBy.isEmpty)
       throw DtlError("HAVING requires GROUP BY", sel.pos.line, sel.pos.col)
@@ -273,12 +287,12 @@ final class Compiler(
       case None =>
         val out = projectBindings(sel, scope)
         val hidden = ordCols ++ rids.map(_._2) ++
-          carriedAggLineage.map(_.keyCols).getOrElse(Nil)
+          carriedAggLineages.flatMap(_.keyCols)
         val projected = df.select(out.map { case (name @ _, internal, tc) =>
           tc.col.as(internal)
         } ++ hidden.map(col): _*)
         val cols = out.map { case (name, internal, tc) => SCol(name, internal, Set(None), tc.dtype) }
-        applyDistinct(sel, CTable(projected, cols, ordCols, rids, carriedAggLineage))
+        applyDistinct(sel, CTable(projected, cols, ordCols, rids, carriedAggLineages))
     }
     // HAVING resolves against the grouped SELECT's output columns (aliases),
     // so `... count() AS n ... HAVING n >= 3` filters post-aggregation
@@ -297,17 +311,30 @@ final class Compiler(
     */
   private def applyOrderLimit(sel: SelectExpr, t: CTable): CTable = {
     var df = t.df
+    var ordCols = t.ordCols
     if (sel.orderBy.nonEmpty) {
       val outScope = t.cols
-      val keys = sel.orderBy.map { k =>
-        val c = compileExpr(k.expr, outScope)
-        if (k.descending) c.col.desc else c.col.asc
+      val compiled = sel.orderBy.map(k => (k.descending, compileExpr(k.expr, outScope)))
+      if (ordCols.nonEmpty) {
+        if (compiled.forall(!_._1)) {
+          // ORDER BY redefines the row order consecutive operators follow:
+          // thread the (ascending) sort keys as the new leading order
+          // columns, previous order as the tiebreak
+          val sortInternals = compiled.map { case (_, c) => (fresh("ord"), c) }
+          df = df.select(col("*") +: sortInternals.map { case (n, c) => c.col.as(n) }: _*)
+          ordCols = sortInternals.map(_._1) ++ ordCols
+        } else {
+          // a DESC key cannot be threaded as an ascending order column;
+          // downstream consecutive ops get the defined-row-order error
+          // instead of silently following the pre-sort order
+          ordCols = Nil
+        }
       }
-      df = df.orderBy(keys: _*)
+      df = df.orderBy(compiled.map { case (d, c) => if (d) c.col.desc else c.col.asc }: _*)
     }
     for (n <- sel.limit) df = df.limit(
       if (n > Int.MaxValue) Int.MaxValue else n.toInt)
-    t.copy(df = df)
+    t.copy(df = df, ordCols = ordCols)
   }
 
   /** Expand bindings against the scope and apply the reference's dict-dedup:
@@ -346,9 +373,9 @@ final class Compiler(
     val keyExprs = gb.keys.map(k => (k, compileExpr(k, scope)))
     val keyInternals = keyExprs.map(_ => fresh("k"))
 
-    val stripped = keyExprs.map { case (k, _) => strip(k) }
+    val stripped = keyExprs.map { case (k, _) => strip(k, scope) }
     def keyIndexOf(e: Expr): Option[Int] = {
-      val s = strip(e)
+      val s = strip(e, scope)
       val i = stripped.indexOf(s)
       if (i >= 0) Some(i) else None
     }
@@ -419,7 +446,7 @@ final class Compiler(
     } ++ (if (tracingAgg) lineageKeys.map(col) else Nil)
     result = result.select(outProj: _*)
     val cols = aggExprs.map { case (name, internal, tc, _) => SCol(name, internal, Set(None), tc.dtype) }
-    val lineage = if (tracingAgg) Some(AggLineage(df, rids, lineageKeys)) else None
+    val lineage = if (tracingAgg) List(AggLineage(df, rids, lineageKeys)) else Nil
     applyDistinct(sel, CTable(result, cols, Nil, Nil, lineage))
   }
 
@@ -429,15 +456,19 @@ final class Compiler(
   private def applyDistinct(sel: SelectExpr, t: CTable): CTable = sel.distinct match {
     case NoDistinct => t
     case DistinctRows =>
+      // DISTINCT merges rows from possibly different groups, so a key-equality
+      // rebase of aggregation lineage is no longer sound — drop it (the
+      // statement's trace records the mappings that still hold)
       val visible = t.cols.map(_.internal)
-      if (t.ordCols.isEmpty && t.rids.isEmpty) t.copy(df = t.df.dropDuplicates(visible))
+      if (t.ordCols.isEmpty && t.rids.isEmpty)
+        t.copy(df = t.df.dropDuplicates(visible), aggLineages = Nil)
       else {
         // preserve first-occurrence order (and a witness row id per group —
         // many-to-one lineage keeps one representative source row)
         val hidden = t.ordCols ++ t.rids.map(_._2)
         val aggs = hidden.map(o => min(col(o)).as(o))
         val deduped = t.df.groupBy(visible.map(col): _*).agg(aggs.head, aggs.tail: _*)
-        t.copy(df = deduped)
+        t.copy(df = deduped, aggLineages = Nil)
       }
     case DistinctConsecutive =>
       if (t.ordCols.isEmpty)
@@ -452,19 +483,22 @@ final class Compiler(
       t.copy(df = marked.filter(col(keep)).drop(run, keep))
   }
 
-  /** Strip positions for structural comparison of GROUP BY keys vs bindings. */
-  private def strip(e: Expr): Any = e match {
+  /** Strip positions for structural comparison of GROUP BY keys vs bindings.
+    * Column references compare by their RESOLVED column, so `u.city` in the
+    * SELECT matches an unqualified `city` key (and vice versa).
+    */
+  private def strip(e: Expr, scope: List[SCol]): Any = e match {
     case BoolLit(v, _) => ("b", v)
     case IntLit(v, _) => ("i", v)
     case FloatLit(v, _) => ("f", v)
     case StringLit(v, _) => ("s", v)
-    case ColumnRef(t, n, _) => ("c", t, n)
-    case FuncCall(n, args, _) => ("fn", n, args.map(strip))
-    case Binary(op, l, r, _) => ("bin", op, strip(l), strip(r))
-    case Unary(op, o, _) => ("un", op, strip(o))
-    case IsNull(o, n, _) => ("isnull", strip(o), n)
-    case InList(o, vs, n, _) => ("in", strip(o), vs.map(strip), n)
-    case Between(o, lo, hi, n, _) => ("between", strip(o), strip(lo), strip(hi), n)
+    case ColumnRef(t, n, p) => ("c", resolve(scope, t, n, p).internal)
+    case FuncCall(n, args, _) => ("fn", n, args.map(strip(_, scope)))
+    case Binary(op, l, r, _) => ("bin", op, strip(l, scope), strip(r, scope))
+    case Unary(op, o, _) => ("un", op, strip(o, scope))
+    case IsNull(o, n, _) => ("isnull", strip(o, scope), n)
+    case InList(o, vs, n, _) => ("in", strip(o, scope), vs.map(strip(_, scope)), n)
+    case Between(o, lo, hi, n, _) => ("between", strip(o, scope), strip(lo, scope), strip(hi, scope), n)
   }
 
   /** User-facing DataFrame: internal names → output names, hidden columns dropped. */
@@ -485,6 +519,7 @@ final class Compiler(
     val ownRid = fresh("rid")
     val df = t.df.withColumn(ownRid, monotonically_increasing_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pinned += df
     val snapshot = df.select(t.cols.map(c => col(c.internal).as(c.name)) :+ col(ownRid).as("__rid"): _*)
     tracer.traceSnapshot(name, statementIndex, snapshot)
     manifest.addSnapshot(name, statementIndex, t.cols.map(_.name))
@@ -498,7 +533,7 @@ final class Compiler(
     // lineage across an aggregation: many-to-one mapping by null-safe
     // key-equality join between the pre-agg rows (still carrying their
     // upstream row ids) and the aggregated table
-    for (al <- t.aggLineage; (src, group) <- al.srcRids.groupBy(_._1)) {
+    for (al <- t.aggLineages; (src, group) <- al.srcRids.groupBy(_._1)) {
       val tgtKeys = al.keyCols.map(k => (k, fresh("tk")))
       val tgt = df.select(col(ownRid).as("tgt_rid") +: tgtKeys.map { case (k, n) => col(k).as(n) }: _*)
       val joinCond = tgtKeys.map { case (k, n) => al.srcDf(k) <=> col(n) }.reduce(_ && _)
@@ -510,5 +545,18 @@ final class Compiler(
       manifest.addMapping(src, name)
     }
     CTable(df, t.cols, t.ordCols, List(name -> ownRid))
+  }
+
+  // traced intermediates pinned by traceStatement; released by Engine.run
+  // once the tracer's outputs are durably written
+  private val pinned = mutable.Buffer.empty[DataFrame]
+
+  /** Unpersist every traced intermediate. Only safe once the tracer no longer
+    * needs to recompute its snapshots/mappings (filesystem tracers write
+    * eagerly; in-memory tracers retain live plans and must keep the caches).
+    */
+  def releasePinned(): Unit = {
+    pinned.foreach(_.unpersist(blocking = false))
+    pinned.clear()
   }
 }

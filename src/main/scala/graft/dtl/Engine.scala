@@ -40,7 +40,13 @@ final class Engine(
         for (tr <- tracer) t = compiler.traceStatement(location, idx, t, tr, manifest)
         exporter.exportTable(location, compiler.materialize(t))
     }
-    for (tr <- tracer) tr.writeManifest(manifest.toJson)
+    for (tr <- tracer) {
+      tr.writeManifest(manifest.toJson)
+      // filesystem tracers have written everything durably — free the traced
+      // intermediates instead of pinning one cache entry per statement for
+      // the life of the session
+      if (!tr.retainsPlans) compiler.releasePinned()
+    }
   }
 
   /** Test/embedding surface: named input DataFrames in, exported DataFrames out. */

@@ -112,6 +112,8 @@ object FunctionRegistry {
     temporal1("day_of_week")(dayofweek),
     arity("pow", 2) { (args, pos) =>
       if (args.exists(a => !isNumeric(a.dtype))) fail(pos, "pow expects numeric arguments")
+      if (args(0).dtype != args(1).dtype)
+        fail(pos, s"pow arguments must share a type, got ${args(0).dtype.name} and ${args(1).dtype.name}")
       TypedCol(pow(args(0).col, args(1).col), TDouble)
     },
     numeric1("log10")(a => TypedCol(log10(a.col), TDouble)),

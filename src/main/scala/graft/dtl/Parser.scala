@@ -151,7 +151,7 @@ final class Parser(tokens: Vector[Token]) {
   private def parseTableBinding(): TableBinding = {
     val source: TableExpr =
       if (isPunct("(")) { advance(); val te = parseTableExpr(); eatPunct(")"); te }
-      else TableRef(eatName(), pos)
+      else { val p = pos; TableRef(eatName(), p) } // capture pos BEFORE eatName advances
     val alias = if (isKw("AS")) { advance(); Some(eatName()) } else None
     TableBinding(source, alias)
   }

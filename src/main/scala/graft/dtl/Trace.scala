@@ -30,6 +30,11 @@ trait Tracer {
   def traceMapping(src: String, tgt: String, pairs: DataFrame): Unit
   /** Called once at the end of the run with the manifest JSON. */
   def writeManifest(json: String): Unit
+  /** True when the tracer keeps live (unmaterialized) plans after the run —
+    * the engine must then leave traced intermediates cached. Filesystem
+    * tracers write eagerly and return false.
+    */
+  def retainsPlans: Boolean = false
 }
 
 final class InMemoryTracer extends Tracer {
@@ -41,6 +46,7 @@ final class InMemoryTracer extends Tracer {
   def traceMapping(src: String, tgt: String, pairs: DataFrame): Unit =
     mappings((src, tgt)) = pairs
   def writeManifest(json: String): Unit = manifest = Some(json)
+  override def retainsPlans: Boolean = true
 }
 
 /** Writes `<dir>/<name>.snapshot.parquet`, `<dir>/<src>__<tgt>.mapping.parquet`

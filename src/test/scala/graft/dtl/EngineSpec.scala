@@ -243,6 +243,39 @@ class EngineSpec extends AnyFunSuite {
       Seq(Seq("x", 3L), Seq("x", 5L), Seq("y", 10L)).sortBy(_.toString))
   }
 
+  test("ambiguous qualified reference in un-aliased self-join is rejected") {
+    val e = intercept[DtlError] {
+      engine.runSimple(
+        """WITH t AS IMPORT 't';
+          |WITH x AS SELECT t.id AS a FROM t JOIN t ON t.id = t.parent;
+          |EXPORT x TO 'out';""".stripMargin,
+        Map("t" -> Seq((1L, 1L)).toDF("id", "parent")))
+    }
+    assert(e.getMessage.contains("ambiguous"))
+  }
+
+  test("ORDER BY redefines the order consecutive operators follow") {
+    val out = engine.runSimple(
+      """WITH input AS IMPORT 'input';
+        |WITH s AS SELECT x FROM input ORDER BY x;
+        |WITH output AS SELECT DISTINCT CONSECUTIVE x FROM s;
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("input" -> Seq(3L, 1L, 3L, 1L).toDF("x").coalesce(1)))
+    // sorted: 1,1,3,3 — equal values now adjacent, so both duplicates collapse
+    assert(rows(out("output")).map(_.head).toSet == Set(1L, 3L))
+    assert(out("output").count() == 2)
+  }
+
+  test("qualified binding matches an unqualified GROUP BY key") {
+    val out = engine.runSimple(
+      """WITH users AS IMPORT 'users';
+        |WITH output AS SELECT u.city AS city, count() AS n
+        |  FROM users AS u GROUP BY city;
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("users" -> Seq(("nyc", 1L), ("nyc", 2L), ("sf", 3L)).toDF("city", "uid")))
+    check(out("output"), Seq("city", "n"), Seq(Seq("nyc", 2L), Seq("sf", 1L)))
+  }
+
   test("GROUP CONSECUTIVE BY after aggregation (no row order) is rejected") {
     val e = intercept[DtlError] {
       engine.runSimple(
