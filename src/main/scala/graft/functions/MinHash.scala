@@ -45,13 +45,15 @@ object MinHash {
     val m = arr.numElements()
     while (i < m) {
       val s = arr.getUTF8String(i)
-      val bytes = s.getBytes
-      val base = SimHash.tokenHash(bytes, 0, bytes.length)
-      var j = 0
-      while (j < n) {
-        val h = A(j) * base + B(j)
-        if (h < mins(j)) mins(j) = h
-        j += 1
+      if (s != null) { // null shingles contribute nothing (no NPE from SQL)
+        val bytes = s.getBytes
+        val base = SimHash.tokenHash(bytes, 0, bytes.length)
+        var j = 0
+        while (j < n) {
+          val h = A(j) * base + B(j)
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
       }
       i += 1
     }

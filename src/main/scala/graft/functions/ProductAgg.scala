@@ -7,12 +7,21 @@ import org.apache.spark.sql.{Encoder, Encoders}
   * double column, computed in the log domain for numeric stability — the
   * Aggregator pattern users extend for their own state-based aggregates.
   * Mergeable buffer ⇒ map-side partial aggregation works as usual.
+  * Sign and zeros are tracked separately so negative and zero inputs
+  * produce the true product (a bare log-sum would go NaN on them).
   */
-object ProductAgg extends Aggregator[Double, Double, Double] {
-  def zero: Double = 0.0 // sum of logs
-  def reduce(acc: Double, x: Double): Double = acc + math.log(x)
-  def merge(a: Double, b: Double): Double = a + b
-  def finish(logSum: Double): Double = math.exp(logSum)
-  def bufferEncoder: Encoder[Double] = Encoders.scalaDouble
+object ProductAgg extends Aggregator[Double, (Double, Long, Long), Double] {
+  // (sum of log|x|, #negatives, #zeros)
+  def zero: (Double, Long, Long) = (0.0, 0L, 0L)
+  def reduce(acc: (Double, Long, Long), x: Double): (Double, Long, Long) =
+    if (x == 0.0) (acc._1, acc._2, acc._3 + 1)
+    else (acc._1 + math.log(math.abs(x)), acc._2 + (if (x < 0) 1L else 0L), acc._3)
+  def merge(a: (Double, Long, Long), b: (Double, Long, Long)): (Double, Long, Long) =
+    (a._1 + b._1, a._2 + b._2, a._3 + b._3)
+  def finish(acc: (Double, Long, Long)): Double =
+    if (acc._3 > 0) 0.0
+    else (if (acc._2 % 2 == 0) 1.0 else -1.0) * math.exp(acc._1)
+  def bufferEncoder: Encoder[(Double, Long, Long)] =
+    Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong, Encoders.scalaLong)
   def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }

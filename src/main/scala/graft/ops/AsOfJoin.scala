@@ -34,22 +34,29 @@ object AsOfJoin {
       right: DataFrame, rightKey: Column, rightTs: Column,
       valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns
+    // the payload travels as ONE struct: carrying each column independently
+    // with ignoreNulls would skip a legitimately-NULL field of the latest
+    // right row (stale value) and could stitch fields from DIFFERENT right
+    // rows into a combination that never existed
+    val payloadT = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => right.schema(right.schema.fieldIndex(c))))
     val l = left.select(
       leftKey.as("__k") +: leftTs.as("__ts") +: lit(1).as("__tag") +:
-        (leftCols.map(c => col(c).as(s"l_$c")) ++
-          valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"r_$c"))): _*)
-    val r = right.select(
+        (leftCols.map(c => col(c).as(s"l_$c")) :+
+          lit(null).cast(payloadT).as("__payload")): _*)
+    // NULL-key right rows can never match (l.k = r.k is never true on NULL),
+    // so they are excluded rather than grouped into the NULL partition
+    val r = right.filter(rightKey.isNotNull).select(
       rightKey.as("__k") +: rightTs.as("__ts") +: lit(0).as("__tag") +:
-        (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"l_$c")) ++
-          valueCols.map(c => col(c).as(s"r_$c"))): _*)
+        (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"l_$c")) :+
+          struct(valueCols.map(col): _*).as("__payload")): _*)
     val w = Window.partitionBy("__k")
       .orderBy(col("__ts"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(s"r_$c", last(col(s"r_$c"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__tag") === 1)
+    l.unionByName(r)
+      .withColumn("__payload", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
       .select(leftCols.map(c => col(s"l_$c").as(c)) ++
-        valueCols.map(c => col(s"r_$c").as(c)): _*)
+        valueCols.map(c => col("__payload").getField(c).as(c)): _*)
   }
 }

@@ -19,7 +19,10 @@ import graft.functions.SimHash
   */
 object Dedup {
 
-  /** Exact dedup: keep the lowest-id row per normalized-text fingerprint. */
+  /** Exact dedup summary: one row per normalized-text fingerprint with the
+    * lowest id (`keep_id`) and the multiplicity (`n_copies`) — join back on
+    * keep_id to materialize the deduplicated rows themselves.
+    */
   def exact(df: DataFrame, text: Column, id: Column): DataFrame = {
     df.withColumn("__fp", TextAnalysis.fingerprint(text))
       .groupBy(col("__fp"))
@@ -115,6 +118,8 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, id: Column, text: Column,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "the 4x16-bit chunk scheme guarantees candidate recall only for maxHamming <= 3")
     val sigs = df.select(id.as("id"), SimHash.simhash(text).as("sig"))
     val chunked = sigs.select(
       col("id"), col("sig"),
@@ -152,16 +157,22 @@ object Dedup {
       val neighborLabels = edges
         .join(labels.select(col("id").as("dst"), col("label").as("nlabel")), Seq("dst"))
         .select(col("src").as("id"), col("nlabel"))
+      // checkpoint the round ONCE; the convergence check reads the
+      // checkpointed result instead of recomputing the join
       val updated = labels.join(neighborLabels, Seq("id"), "left")
         .groupBy("id")
         .agg(least(first(col("label")), min(col("nlabel"))).as("next_label"),
           first(col("label")).as("label"))
-      val next = updated.select(col("id"),
-        coalesce(col("next_label"), col("label")).as("label")).localCheckpoint()
+        .localCheckpoint()
       converged = updated.filter(col("next_label") =!= col("label")).isEmpty
-      labels = next
+      labels = updated.select(col("id"),
+        coalesce(col("next_label"), col("label")).as("label"))
       i += 1
     }
+    // an unconverged exit would silently split real components in two
+    if (!converged) throw new IllegalStateException(
+      s"clusters: label propagation did not converge within $maxIter iterations " +
+        "(component diameter exceeds maxIter) — raise maxIter")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
@@ -187,6 +198,11 @@ object Dedup {
           lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
     val base = df.select(id.as("id"), vec.cast("array<double>").as("v"))
+      // wrong-dimension vectors would all hash to bucket 0 (every plane dot
+      // is NULL) and quietly blow the candidate space up to n² — fail loud
+      .withColumn("v", when(size(col("v")) === dim, col("v"))
+        .otherwise(raise_error(concat(
+          lit(s"embeddingNearDup: vector dimension != $dim, got "), size(col("v")).cast("string")))))
       .withColumn("norm", sqrt(graft.functions.VecMath.dotProduct(col("v"), col("v"))))
       .select(col("id"), col("v"), col("norm"),
         posexplode(array((0 until nTables).map(tableSig): _*)))
@@ -198,7 +214,10 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("dot", graft.functions.VecMath.dotProduct(col("v_a"), col("v_b")))
-      .withColumn("cosine", round(col("dot") / (col("n_a") * col("n_b")), 6))
+      // zero-norm vectors have no direction: NULL, never NaN (Spark orders
+      // NaN above every value, so NaN would PASS the >= threshold filter)
+      .withColumn("cosine", when(col("n_a") > 0 && col("n_b") > 0,
+        round(col("dot") / (col("n_a") * col("n_b")), 6)))
       .filter(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine")
   }

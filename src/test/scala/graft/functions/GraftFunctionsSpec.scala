@@ -57,6 +57,21 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.isNullAt(2))
   }
 
+  test("ProductAgg handles negatives and zeros; minhash skips null shingles") {
+    import org.apache.spark.sql.functions._
+    val productUdaf = udaf(graft.functions.ProductAgg)
+    val r = Seq(-2.0, -3.0).toDF("x").agg(productUdaf($"x")).as[Double].head()
+    assert(math.abs(r - 6.0) < 1e-9)
+    val rz = Seq(-2.0, 0.0, 5.0).toDF("x").agg(productUdaf($"x")).as[Double].head()
+    assert(rz == 0.0)
+    val rn = Seq(-2.0, 4.0).toDF("x").agg(productUdaf($"x")).as[Double].head()
+    assert(math.abs(rn + 8.0) < 1e-9)
+
+    GraftFunctions.register(spark)
+    val sig = spark.sql("SELECT minhash_sig(array('a', CAST(NULL AS STRING)), 8)").head()
+    assert(sig.getSeq[Long](0).length == 8) // no NPE on null elements
+  }
+
   test("non-literal numHashes is rejected with a clear error") {
     GraftFunctions.register(spark)
     Seq(1).toDF("n").createOrReplaceTempView("nums")

@@ -27,6 +27,27 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out(5L) == null)  // u3 has no state at all
   }
 
+  test("NULL payload in the latest right row is carried, not skipped") {
+    val events = Seq((1L, "u1", 30L)).toDF("event_id", "user", "ts")
+    val state = Seq(
+      ("u1", 10L, Some("a"), Some(1L)), ("u1", 20L, None, Some(9L))
+    ).toDF("user", "ts", "s", "n")
+    val row = AsOfJoin.asof(events, col("user"), col("ts"),
+      state, col("user"), col("ts"), Seq("s", "n")).collect().head
+    // latest right row is (ts=20, s=NULL, n=9): s must be NULL (not the
+    // stale "a") and the (s, n) pair must come from ONE right row
+    assert(row.isNullAt(row.fieldIndex("s")))
+    assert(row.getLong(row.fieldIndex("n")) == 9L)
+  }
+
+  test("NULL keys never match (DuckDB ASOF equality semantics)") {
+    val events = Seq((1L, Option.empty[String], 30L)).toDF("event_id", "user", "ts")
+    val state = Seq((Option.empty[String], 10L, "x")).toDF("user", "ts", "state")
+    val row = AsOfJoin.asof(events, col("user"), col("ts"),
+      state, col("user"), col("ts"), Seq("state")).collect().head
+    assert(row.isNullAt(row.fieldIndex("state")))
+  }
+
   test("asof plans as a single shuffle, no nested-loop join") {
     val events = Seq((1L, "u1", 10L)).toDF("event_id", "user", "ts")
     val state = Seq(("u1", 5L, "a")).toDF("user", "ts", "state")
