@@ -24,7 +24,7 @@ trait Exporter {
 final class FilesystemImporter(spark: SparkSession, inputDir: String) extends Importer {
   private val cache = mutable.Map.empty[String, DataFrame]
   def importTable(name: String): DataFrame =
-    cache.getOrElseUpdate(name, name.split('.').lastOption match {
+    cache.getOrElseUpdate(name, Io.extensionOf(name) match {
       case Some("csv") =>
         spark.read.option("header", "true").option("inferSchema", "true")
           .csv(s"$inputDir/$name")
@@ -34,11 +34,22 @@ final class FilesystemImporter(spark: SparkSession, inputDir: String) extends Im
     })
 }
 
+private[dtl] object Io {
+  /** A format extension only counts when there IS a dot: a table literally
+    * named `csv`/`json`/`parquet` keeps the reference's `<name>.parquet`
+    * contract.
+    */
+  def extensionOf(name: String): Option[String] = {
+    val i = name.lastIndexOf('.')
+    if (i <= 0) None else Some(name.substring(i + 1))
+  }
+}
+
 final class FilesystemExporter(outputDir: String) extends Exporter {
   private val seen = mutable.Set.empty[String]
   def exportTable(name: String, df: DataFrame): Unit = {
     if (!seen.add(name)) throw DtlError(s"duplicate export: '$name'")
-    name.split('.').lastOption match {
+    Io.extensionOf(name) match {
       case Some("csv") =>
         df.write.mode("overwrite").option("header", "true").csv(s"$outputDir/$name")
       case Some("json") => df.write.mode("overwrite").json(s"$outputDir/$name")

@@ -235,7 +235,6 @@ object CoreQueries {
       t(s, d, "lineitem")
         .groupBy("l_linestatus")
         .agg(
-          round(percentile_approx(col("l_extendedprice"), lit(0.5), lit(100000)), 2).as("p50_approx"),
           round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
           round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"))
         .select("l_linestatus", "median_price", "p95_price")

@@ -94,10 +94,12 @@ object PipelineQueries {
     }),
 
     // embedding near-dup pairs via multi-table hyperplane LSH (threshold set
-    // to the data's top cosine range so the query exercises real matches)
+    // to the data's top cosine range so the query exercises real matches;
+    // 16 tables x 4 planes gives ~95% candidate recall at cosine 0.45 —
+    // the default 8x8 recalls only ~22% that far from the designed 0.95)
     "pipe_embed_neardup" -> ((s, d) =>
       Dedup.embeddingNearDup(t(s, d, "embeddings"), col("vec_id"), col("embedding"),
-        dim = 64, minCosine = 0.45)),
+        dim = 64, nTables = 16, planesPerTable = 4, minCosine = 0.45)),
 
     // multimodal plumbing: wrap text bytes as media, fake-decode, resize,
     // frame-sample, extract stub features (deterministic; rows-only check)

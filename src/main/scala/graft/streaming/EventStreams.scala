@@ -29,6 +29,11 @@ object EventStreams {
   def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(rawSchema)
       .parquet(dir)
+      // Watermarks require TIMESTAMP (LTZ) — TIMESTAMP_NTZ is rejected — so
+      // unlike the batch twin (CoreQueries.events, NTZ) window boundaries
+      // here follow the session timezone: run streams with
+      // spark.sql.session.timeZone=UTC (as every session in this project
+      // does) for batch-identical bucketing
       .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp)"))
 
   /** Windowed rollup with late-data handling: 1-hour tumbling windows per
@@ -70,17 +75,21 @@ object EventStreams {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60 * 1000L
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[SessionState], Session](
+      .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (userId: Long, batch: Iterator[Event], state: GroupState[List[SessionState]]) =>
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
           val events = batch.toSeq.sortBy(_.ts.getTime)
-          var open = state.getOption.getOrElse(Nil).headOption
+          var open = state.getOption
           val closed = List.newBuilder[SessionState]
           for (e <- events) {
             val t = e.ts.getTime
             open match {
+              // a late event (t <= last) merges without moving the window
+              // backwards — start/last only ever widen, so cross-batch
+              // disorder cannot produce end < start or bogus splits
               case Some(s) if t - s.last <= gapMs =>
-                open = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + e.value))
+                open = Some(s.copy(start = math.min(s.start, t),
+                  last = math.max(s.last, t), n = s.n + 1, sum = s.sum + e.value))
               case Some(s) =>
                 closed += s
                 open = Some(SessionState(t, t, 1, e.value))
@@ -88,7 +97,7 @@ object EventStreams {
                 open = Some(SessionState(t, t, 1, e.value))
             }
           }
-          state.update(open.toList)
+          open.foreach(state.update)
           closed.result().iterator.map(s =>
             Session(userId, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.n, s.sum))
       }
