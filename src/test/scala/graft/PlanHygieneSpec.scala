@@ -54,4 +54,26 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).length >= 2)
     assert(p.contains("Exchange"))
   }
+
+  test("decontamination broadcasts the benchmark shingle set") {
+    val p = plan("pipe_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("deterministic sampling is a pushless row-local filter (no shuffle)") {
+    val p = plan("pipe_sample_stratified")
+    assert(!p.contains("Exchange"), s"sampling should not shuffle:\n$p")
+    assert(!p.contains("text"), "column pruning failed: text read for a doc_id/lang query")
+  }
+
+  test("sequence packing shuffles exactly once (hash by shard)") {
+    val p = plan("pipe_pack_sequences")
+    // formatted mode: the node line is "Exchange (n)", the partitioning is in
+    // its Arguments line — count Exchange nodes, expect the one shard hash
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).length == 1,
+      s"expected exactly one exchange:\n$p")
+    assert(p.contains("hashpartitioning(shard"), s"exchange is not hash-by-shard:\n$p")
+  }
 }
