@@ -102,4 +102,38 @@ object EventStreams {
             Session(userId, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.n, s.sum))
       }
   }
+
+  /** Stream-static enrichment: join each event against a dimension table.
+    * The static side re-plans per micro-batch (picking up dimension updates)
+    * and broadcasts when small — the standard lookup-join shape; no state,
+    * no watermark needed for an inner equi-join against a static side.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key))
+
+  /** Stream-stream inner join of two event streams on user_id within a
+    * ±10-minute event-time band. Both sides carry watermarks and the join
+    * condition bounds event-time distance, so each side's buffered state is
+    * evicted once the other side's watermark passes — bounded state on
+    * unbounded input, the core stream-stream-join requirement.
+    */
+  def correlate(
+      left: DataFrame, right: DataFrame,
+      bandMinutes: Int = 10, watermark: String = "2 hours"): DataFrame = {
+    val l = left.select(col("event_id").as("l_event_id"), col("ts").as("l_ts"),
+        col("user_id"), col("event_type").as("l_type"), col("value").as("l_value"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col("event_id").as("r_event_id"), col("ts").as("r_ts"),
+        col("user_id").as("r_user_id"), col("event_type").as("r_type"),
+        col("value").as("r_value"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+      col("user_id") === col("r_user_id") &&
+        col("l_event_id") =!= col("r_event_id") &&
+        col("r_ts").between(
+          col("l_ts") - expr(s"INTERVAL $bandMinutes MINUTES"),
+          col("l_ts") + expr(s"INTERVAL $bandMinutes MINUTES")))
+      .select(col("user_id"), col("l_event_id"), col("r_event_id"),
+        col("l_ts"), col("r_ts"), col("l_type"), col("r_type"))
+  }
 }

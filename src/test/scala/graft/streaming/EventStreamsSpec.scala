@@ -69,4 +69,42 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(ids == Seq(1L, 2L, 3L))
     } finally q.stop()
   }
+
+  test("stream-static enrichment joins the dimension per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = EventStreams.enrich(input.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      def ev(id: Long, user: Long) =
+        EventStreams.Event(id, new java.sql.Timestamp(60_000_000_000L), user, "click", 1.0)
+      input.addData(ev(1, 1), ev(2, 2), ev(3, 99)) // 99 has no dimension row
+      q.processAllAvailable()
+      val out = spark.table("enrich_out").select("event_id", "tier")
+        .as[(Long, String)].collect().toSet
+      assert(out == Set((1L, "gold"), (2L, "basic")))
+    } finally q.stop()
+  }
+
+  test("stream-stream band join correlates events within the time band only") {
+    implicit val sqlCtx = spark.sqlContext
+    val left = MemoryStream[EventStreams.Event]
+    val right = MemoryStream[EventStreams.Event]
+    val q = EventStreams.correlate(left.toDF(), right.toDF(), bandMinutes = 10)
+      .writeStream.format("memory").queryName("corr_out")
+      .outputMode("append").start()
+    try {
+      def ev(id: Long, minute: Long, user: Long) =
+        EventStreams.Event(id, new java.sql.Timestamp((1_000_000L + minute) * 60000L), user, "click", 1.0)
+      left.addData(ev(1, 0, 7), ev(2, 100, 7))
+      right.addData(ev(10, 5, 7), ev(11, 50, 7), ev(12, 5, 8))
+      q.processAllAvailable()
+      val pairs = spark.table("corr_out").select("l_event_id", "r_event_id")
+        .as[(Long, Long)].collect().toSet
+      // only (1,10): same user, 5 min apart; 11 is 50 min away, 12 is user 8
+      assert(pairs == Set((1L, 10L)))
+    } finally q.stop()
+  }
 }
