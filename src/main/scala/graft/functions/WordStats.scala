@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass word statistics for repetition filtering: total word count,
+  * distinct word count, and the highest single-word frequency, as a struct.
+  *
+  * Semantically equal to `size(words)`, `size(array_distinct(words))` and
+  * `array_max(transform(array_distinct(w), x -> size(filter(w, y -> y = x))))`
+  * over whitespace words, but a single hash-counting JVM pass instead of
+  * O(distinct × n) interpreted higher-order functions.
+  */
+object WordStats {
+  def wordStats(s: UTF8String): InternalRow = {
+    val words = s.toString.trim.split("\\s+").filter(_.nonEmpty)
+    if (words.isEmpty) return new GenericInternalRow(Array[Any](0, 0, 0))
+    val counts = new java.util.HashMap[String, Int]()
+    var top = 0
+    var i = 0
+    while (i < words.length) {
+      val c = counts.merge(words(i), 1, (a, b) => a + b)
+      if (c > top) top = c
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](words.length, counts.size, top))
+  }
+
+  def wordStats(text: Column): Column =
+    GraftColumnBridge.column(
+      WordStatsExpression(GraftColumnBridge.expression(text)))
+}
+
+case class WordStatsExpression(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("top_freq", IntegerType, nullable = false)))
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"word_stats expects STRING, got ${child.dataType.simpleString}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    WordStats.wordStats(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordStats.wordStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): WordStatsExpression =
+    copy(child = newChild)
+}

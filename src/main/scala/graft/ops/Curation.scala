@@ -94,18 +94,14 @@ object Curation {
     * common word. Row-local; no shuffle. Empty texts yield zeros.
     */
   def repetitionMetrics(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val w = TextAnalysis.words(text)
-    val n = when(length(trim(text)) === 0, 0).otherwise(size(w))
-    val distinctN = when(length(trim(text)) === 0, 0).otherwise(size(array_distinct(w)))
-    val topFreq = when(n === 0, 0).otherwise(
-      array_max(transform(array_distinct(w), x => size(filter(w, y => y === x)))))
-    df.select(
-      id.as("id"),
-      n.as("n_words"),
-      round((n - distinctN).cast("double") / greatest(n.cast("double"), lit(1.0)), 6)
-        .as("dup_word_frac"),
-      round(topFreq.cast("double") / greatest(n.cast("double"), lit(1.0)), 6)
-        .as("top_word_frac"))
+    val n = col("__st.n_words")
+    val nd = greatest(n.cast("double"), lit(1.0))
+    df.select(id.as("id"), graft.functions.WordStats.wordStats(text).as("__st"))
+      .select(
+        col("id"),
+        n.as("n_words"),
+        round((n - col("__st.n_distinct")).cast("double") / nd, 6).as("dup_word_frac"),
+        round(col("__st.top_freq").cast("double") / nd, 6).as("top_word_frac"))
   }
 
   /** PII patterns kept deliberately RE2-compatible (no lookaround, no

@@ -1,0 +1,37 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tooling: time arbitrary SparkEntry queries at a given SF dir.
+  *
+  * Usage: runMain graft.tools.QueryTimer <sfDir> <query...>
+  * (no queries → every query, alphabetically). Prints best-of-2 wall time
+  * per query with a noop-equivalent full materialization (count of all
+  * columns via foreachPartition-free count on the cached plan shape used by
+  * Bench).
+  */
+object QueryTimer {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names =
+      if (args.length > 1) args.drop(1).toSeq
+      else graft.SparkEntry.queries.keys.toSeq.sorted
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (name <- names) {
+      val q = graft.SparkEntry.queries(name)
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        q(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$name%-28s ${times.min}%8.3f s")
+    }
+    spark.stop()
+  }
+}

@@ -72,6 +72,22 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(sig.getSeq[Long](0).length == 8) // no NPE on null elements
   }
 
+  test("WordStats matches the HOF formulation in one pass") {
+    import org.apache.spark.sql.functions._
+    val df = Seq("a a b c c c", " spaced   out ", "x", "").toDF("text")
+    val fast = df.select(WordStats.wordStats($"text").as("st"))
+      .select($"st.n_words", $"st.n_distinct", $"st.top_freq")
+      .as[(Int, Int, Int)].collect().toSeq
+    assert(fast == Seq((6, 3, 3), (2, 2, 1), (1, 1, 1), (0, 0, 0)))
+    // agrees with the interpreted higher-order-function formulation
+    val w = split(trim($"text"), "\\s+")
+    val slow = df.filter(length(trim($"text")) > 0)
+      .select(size(w), size(array_distinct(w)),
+        array_max(transform(array_distinct(w), x => size(filter(w, y => y === x)))))
+      .as[(Int, Int, Int)].collect().toSeq
+    assert(fast.take(3) == slow)
+  }
+
   test("non-literal numHashes is rejected with a clear error") {
     GraftFunctions.register(spark)
     Seq(1).toDF("n").createOrReplaceTempView("nums")
