@@ -93,13 +93,23 @@ object PipelineQueries {
         k = 5, nProbe = 4)
     }),
 
-    // embedding near-dup pairs via multi-table hyperplane LSH (threshold set
-    // to the data's top cosine range so the query exercises real matches;
-    // 16 tables x 4 planes gives ~95% candidate recall at cosine 0.45 —
-    // the default 8x8 recalls only ~22% that far from the designed 0.95)
-    "pipe_embed_neardup" -> ((s, d) =>
-      Dedup.embeddingNearDup(t(s, d, "embeddings"), col("vec_id"), col("embedding"),
-        dim = 64, nTables = 16, planesPerTable = 4, minCosine = 0.45)),
+    // embedding near-dup pairs via multi-table hyperplane LSH. The base
+    // corpus's own pair cosines top out near 0.45 — far below the high-
+    // similarity regime hyperplane LSH is designed for (low thresholds need
+    // so many probes the bucket join degenerates toward all-pairs). So the
+    // query plants 25 deterministic perturbed copies (cosine ≈ 0.9999 to
+    // their originals) and detects them at the designed 0.95 threshold with
+    // the default 8x8 config (~99% recall, buckets stay tiny).
+    "pipe_embed_neardup" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+      val planted = emb.filter(col("vec_id") < 25)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => x + ((i % 3) - 1).cast("float") * lit(0.002f))
+            .cast("array<float>").as("embedding"))
+      Dedup.embeddingNearDup(emb.union(planted), col("vec_id"), col("embedding"),
+        dim = 64, minCosine = 0.95)
+    }),
 
     // multimodal plumbing: wrap text bytes as media, fake-decode, resize,
     // frame-sample, extract stub features (deterministic; rows-only check)
