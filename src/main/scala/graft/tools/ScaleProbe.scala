@@ -63,6 +63,26 @@ object ScaleProbe {
     }
     println(s"  pairs: $pairs")
 
+    println(s"== next-fit sequence packing over $n rows ==")
+    // 1024 shards of ~n/1024 docs each — parallelism stays at #shards, task
+    // memory stays O(1) regardless of n
+    val docs = spark.range(n).select(
+      col("id"),
+      (col("id") % 1024).cast("string").as("shard"),
+      (pmod(xxhash64(col("id")), lit(200L)) + 1).as("tokens"))
+    val packed = time(f"packSequences ($n%,d docs, 1024 shards, budget 2048)") {
+      graft.ops.Curation.packSequences(docs, col("id"), col("tokens"),
+        col("shard"), budget = 2048L)
+        .agg(countDistinct(col("shard"), col("bin"))).as[Long].head()
+    }
+    println(s"  bins: $packed")
+
+    println(s"== deterministic sampling over $n rows ==")
+    val kept = time(f"hashSample at 0.1 ($n%,d rows)") {
+      graft.ops.Curation.hashSample(spark.range(n).toDF(), col("id"), 0.1).count()
+    }
+    println(f"  kept: $kept (${kept.toDouble / n}%.4f)")
+
     spark.stop()
   }
 }
