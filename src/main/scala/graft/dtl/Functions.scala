@@ -153,7 +153,25 @@ object FunctionRegistry {
     text1("lang_id")(graft.ops.TextAnalysis.langId),
     text1("quality_score", TDouble)(graft.ops.TextAnalysis.qualityScore),
     text1("fingerprint", TInt64)(graft.ops.TextAnalysis.fingerprint),
-    text1("simhash", TInt64)(graft.functions.SimHash.simhash)
+    text1("simhash", TInt64)(graft.functions.SimHash.simhash),
+    // curation operators (graft.ops.Curation / functions.WordStats)
+    text1("redact_pii")(graft.ops.Curation.redactPii),
+    text1("pii_count", TInt32)(graft.ops.Curation.piiCount),
+    text1("dup_word_frac", TDouble) { t =>
+      val st = graft.functions.WordStats.wordStats(t)
+      val n = st.getField("n_words").cast("double")
+      round((n - st.getField("n_distinct").cast("double")) / greatest(n, lit(1.0)), 6)
+    },
+    text1("top_word_frac", TDouble) { t =>
+      val st = graft.functions.WordStats.wordStats(t)
+      round(st.getField("top_freq").cast("double") /
+        greatest(st.getField("n_words").cast("double"), lit(1.0)), 6)
+    },
+    arity("hash_uniform", 1) { (args, pos) =>
+      if (args.head.dtype.isInstanceOf[TExt])
+        fail(pos, "hash_uniform is not defined for extension types")
+      TypedCol(graft.ops.Curation.hashUniform(args.head.col), TInt64)
+    }
   )
 
   val defaultAggregates: Map[String, (List[TypedCol], Pos) => TypedCol] = Map(

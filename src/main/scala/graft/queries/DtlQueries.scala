@@ -116,6 +116,18 @@ object DtlQueries {
         |  WHERE to_int64(token_count(text)) >= 5;
         |EXPORT output TO 'output';""".stripMargin)),
 
+    // curation operators surfaced as DTL registry functions: deterministic
+    // hash-based sampling inside the language itself
+    "dtl_curation" -> ((s, d) => run(s, d,
+      """WITH documents AS IMPORT 'documents';
+        |WITH output AS
+        |  SELECT doc_id, pii_count(text) AS n_pii,
+        |         dup_word_frac(text) AS dup_frac,
+        |         top_word_frac(text) AS top_frac
+        |  FROM documents
+        |  WHERE hash_uniform(doc_id) % 4 = 0;
+        |EXPORT output TO 'output';""".stripMargin)),
+
     "dtl_chained_with" -> ((s, d) => run(s, d,
       """WITH orders AS IMPORT 'orders';
         |WITH big AS SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_totalprice > 400000.0;
@@ -188,6 +200,24 @@ object DtlQueries {
     "dtl_chained_with" ->
       """SELECT o_custkey, count(*) AS n_big
         |FROM orders WHERE o_totalprice > 400000.0
-        |GROUP BY o_custkey HAVING count(*) >= 2""".stripMargin
+        |GROUP BY o_custkey HAVING count(*) >= 2""".stripMargin,
+    "dtl_curation" ->
+      """WITH w AS (SELECT doc_id, text, string_split_regex(trim(text),'\s+') AS ws,
+        |                  length(trim(text)) = 0 AS empty FROM documents
+        |           WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 4 = 0),
+        |     c AS (SELECT doc_id, text,
+        |                  CASE WHEN empty THEN 0 ELSE len(ws) END AS n,
+        |                  CASE WHEN empty THEN 0 ELSE len(list_distinct(ws)) END AS d,
+        |                  CASE WHEN empty THEN 0 ELSE
+        |                    list_max(list_transform(list_distinct(ws), x -> len(list_filter(ws, y -> y = x))))
+        |                  END AS topf
+        |           FROM w)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |          + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+        |          + len(regexp_extract_all(text, '\+?\d[\d\- ]{7,}\d')) AS INTEGER) AS n_pii,
+        |       round((n - d)::DOUBLE / greatest(n, 1), 6) AS dup_frac,
+        |       round(topf::DOUBLE / greatest(n, 1), 6) AS top_frac
+        |FROM c""".stripMargin
   )
 }
