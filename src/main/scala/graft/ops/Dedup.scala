@@ -92,11 +92,11 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Exact pairwise n-gram Jaccard for all pairs above a threshold.
-    * O(n²) verification path — use only as the LSH oracle at test scale or
-    * within buckets; the LSH variant is the production path.
+  /** Exact pairwise n-gram Jaccard for all pairs above a threshold, via a
+    * cross join. O(n²) — kept ONLY as the correctness reference for
+    * [[ngramJaccardPairs]] at test scale; never ship this plan.
     */
-  def ngramJaccardPairs(
+  def ngramJaccardPairsNaive(
       df: DataFrame, id: Column, text: Column,
       shingleSize: Int = 3, threshold: Double = 0.8): DataFrame = {
     val t = df.select(id.as("id"), TextAnalysis.shingles(text, shingleSize).as("sh"))
@@ -105,6 +105,50 @@ object Dedup {
     val b = t.select(col("id").as("id_b"), col("sh").as("sh_b"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** EXACT pairwise n-gram Jaccard above a threshold — same result set as
+    * the naive cross join, but scale-viable: prefix filtering (the classic
+    * exact set-similarity join: Chaudhuri et al. ICDE'06, Xiao et al.
+    * WWW'08 "PPJoin"). Under any consistent global token order, two sets
+    * with Jaccard ≥ t MUST share a token within their first
+    * |x| − ⌈t·|x|⌉ + 1 tokens, so candidates are pairs sharing a *prefix*
+    * token only. Ordering tokens by ascending global frequency makes
+    * prefixes maximally rare, so candidate buckets stay small. Shuffles are
+    * all hash-partitioned (token-frequency count, per-doc prefix window,
+    * prefix-token join, verify join) — nothing is ever all-pairs, and AQE
+    * skew handling covers hot prefix tokens.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, id: Column, text: Column,
+      shingleSize: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val shingled = df.select(id.as("id"), TextAnalysis.shingles(text, shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val tokens = shingled.select(col("id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("tok"))
+    // global token order: ascending document frequency, token as tiebreak
+    val freq = tokens.groupBy("tok").agg(count(lit(1)).as("df"))
+    // per-doc prefix: the first n - ceil(t*n) + 1 tokens in (df, tok) order
+    val prefixes = tokens.join(freq, Seq("tok"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df").asc, col("tok").asc)))
+      .filter(col("rn") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select(col("tok"), col("id"))
+    // candidates share at least one prefix token
+    val candidates = prefixes.select(col("tok"), col("id").as("id_a"))
+      .join(prefixes.select(col("tok"), col("id").as("id_b")), Seq("tok"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    // verify candidates with the true Jaccard over the full shingle sets
+    candidates
+      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))

@@ -58,6 +58,26 @@ class OpsSpec extends AnyFunSuite {
     assert(exact == lsh)
   }
 
+  test("prefix-filtered jaccard equals the naive cross join, values included") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // low threshold stresses long prefixes; planted docs have known dups
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val fast = canon(Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+        shingleSize = 3, threshold = t))
+      val naive = canon(Dedup.ngramJaccardPairsNaive(docs, col("doc_id"), col("text"),
+        shingleSize = 3, threshold = t))
+      assert(fast == naive, s"threshold $t")
+    }
+    // and on real testdata documents
+    val real = TestSpark.spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val fastR = canon(Dedup.ngramJaccardPairs(real, col("doc_id"), col("text"),
+      shingleSize = 3, threshold = 0.6))
+    val naiveR = canon(Dedup.ngramJaccardPairsNaive(real, col("doc_id"), col("text"),
+      shingleSize = 3, threshold = 0.6))
+    assert(fastR == naiveR && fastR.nonEmpty)
+  }
+
   test("connected components: chains merge, islands stay apart") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("id_a", "id_b")
     val got = Dedup.clusters(pairs).collect()
