@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -82,6 +82,24 @@ object ScaleProbe {
       graft.ops.Curation.hashSample(spark.range(n).toDF(), col("id"), 0.1).count()
     }
     println(f"  kept: $kept (${kept.toDouble / n}%.4f)")
+
+    println(s"== exact jaccard join via prefix filtering ==")
+    // synthetic corpus: 100k docs of 30 words from a zipf-ish vocab, with
+    // planted near-duplicates every 100th doc (one word changed)
+    val nd = math.min(n / 200, 100_000L)
+    val mkText = (base: Column, shift: Column) => concat_ws(" ",
+      (0 until 30).map(i =>
+        concat(lit("w"), pmod(xxhash64(base * 31 + i) + when(shift === i, 1L).otherwise(0L),
+          lit(5000L)))): _*)
+    val corpus = spark.range(nd).select(col("id"),
+        mkText(col("id"), lit(-1)).as("text"))
+      .union(spark.range(nd / 100).select((col("id") * 100 + nd).as("id"),
+        mkText(col("id") * 100, pmod(col("id"), lit(30L))).as("text")))
+    val exactPairs = time(f"ngramJaccardPairs (prefix-filtered, ${nd + nd / 100}%,d docs)") {
+      graft.ops.Dedup.ngramJaccardPairs(corpus, col("id"), col("text"),
+        shingleSize = 3, threshold = 0.8).count()
+    }
+    println(s"  pairs: $exactPairs (planted: ${nd / 100})")
 
     spark.stop()
   }
