@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Stopword-profile language ID as a native codegen expression: one pass
+  * over the words, one hash probe per (word, language) instead of the
+  * interpreted `filter(words, isin(...))` per language. Semantics identical
+  * to the HOF formulation in [[graft.ops.TextAnalysis.langId]]: argmax of
+  * per-language stopword hits, ties broken by profile order, 'und' when no
+  * profile matches.
+  */
+object LangId {
+  /** (language, stopword set) in tie-break order — must stay aligned with
+    * TextAnalysis.stopwords (the DuckDB oracles mirror both the lists and
+    * the order).
+    */
+  private val profiles: Array[(UTF8String, java.util.HashSet[String])] =
+    graft.ops.TextAnalysis.stopwords.map { case (lang, words) =>
+      val set = new java.util.HashSet[String]()
+      words.foreach(set.add)
+      (UTF8String.fromString(lang), set)
+    }.toArray
+
+  private val und = UTF8String.fromString("und")
+
+  def langId(s: UTF8String): UTF8String = {
+    val words = s.toLowerCase.toString.trim.split("\\s+")
+    val scores = new Array[Int](profiles.length)
+    var i = 0
+    while (i < words.length) {
+      var l = 0
+      while (l < profiles.length) {
+        if (profiles(l)._2.contains(words(i))) scores(l) += 1
+        l += 1
+      }
+      i += 1
+    }
+    var best = 0
+    var bestIdx = -1
+    var l = 0
+    while (l < profiles.length) {
+      if (scores(l) > best) { best = scores(l); bestIdx = l }
+      l += 1
+    }
+    if (bestIdx < 0) und else profiles(bestIdx)._1
+  }
+
+  def langId(text: Column): Column =
+    GraftColumnBridge.column(LangIdExpression(GraftColumnBridge.expression(text)))
+}
+
+case class LangIdExpression(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"lang_id expects STRING, got ${child.dataType.simpleString}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    LangId.langId(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.LangId.langId($c)")
+  override protected def withNewChildInternal(newChild: Expression): LangIdExpression =
+    copy(child = newChild)
+}

@@ -48,9 +48,16 @@ object TextAnalysis {
     size(filter(words(lower(text)), w => w.isin(list.map(lit(_)): _*)))
 
   /** Stopword-profile language ID: argmax over per-language hit counts,
-    * 'und' (undetermined) when nothing matches.
+    * 'und' (undetermined) when nothing matches. Native codegen expression
+    * (one pass over the words — see graft.functions.LangId); the HOF twin
+    * below is retained as its correctness reference.
     */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column = graft.functions.LangId.langId(text)
+
+  /** Interpreted higher-order-function formulation of [[langId]] — test
+    * reference only.
+    */
+  def langIdHof(text: Column): Column = {
     val scores = stopwords.map { case (lang, list) => (lang, hitCount(text, list)) }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldLeft(when(best <= 0, "und")) { case (acc, (lang, score)) =>

@@ -88,6 +88,20 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(fast.take(3) == slow)
   }
 
+  test("native LangId agrees with the HOF formulation on real documents") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"${graft.TestSpark.sf}/documents.parquet")
+    val disagree = docs.select(
+        graft.ops.TextAnalysis.langId($"text").as("fast"),
+        graft.ops.TextAnalysis.langIdHof($"text").as("slow"))
+      .filter(not($"fast" <=> $"slow")).count()
+    assert(disagree == 0)
+    // edge cases: empty, no stopwords, tie broken by profile order
+    val edge = Seq("", "zzz qqq", "the el the el").toDF("text")
+      .select(graft.ops.TextAnalysis.langId($"text")).as[String].collect().toSeq
+    assert(edge == Seq("und", "und", "en"))
+  }
+
   test("non-literal numHashes is rejected with a clear error") {
     GraftFunctions.register(spark)
     Seq(1).toDF("n").createOrReplaceTempView("nums")
