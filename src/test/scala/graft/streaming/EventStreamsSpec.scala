@@ -88,6 +88,34 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateless curation ops compose with streams (sampling + redaction)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(Long, String)]
+    // row-local curation ops need no state/watermark: they run unchanged on
+    // a streaming DataFrame — the property that lets one pipeline definition
+    // serve batch backfill and live ingestion
+    val cleaned = graft.ops.Curation.hashSample(
+      input.toDF().toDF("doc_id", "text"), col("doc_id"), 0.5)
+      .select(col("doc_id"),
+        graft.ops.Curation.redactPii(col("text")).as("clean"),
+        graft.ops.TextAnalysis.langId(col("text")).as("lang"))
+    val q = cleaned.writeStream.format("memory").queryName("curate_out")
+      .outputMode("append").start()
+    try {
+      input.addData((0L until 100L).map(i => (i, s"doc $i mail x@y.co")): _*)
+      q.processAllAvailable()
+      val rows = spark.table("curate_out").select("doc_id", "clean")
+        .as[(Long, String)].collect()
+      // deterministic subset: same keys the batch op keeps
+      val batchKept = graft.ops.Curation.hashSample(
+        (0L until 100L).toDF("doc_id"), col("doc_id"), 0.5)
+        .as[Long].collect().toSet
+      assert(rows.map(_._1).toSet == batchKept)
+      assert(rows.forall(_._2.endsWith("mail <EMAIL>")))
+    } finally q.stop()
+  }
+
   test("stream-stream band join correlates events within the time band only") {
     implicit val sqlCtx = spark.sqlContext
     val left = MemoryStream[EventStreams.Event]
