@@ -230,14 +230,16 @@ object CoreQueries {
           count(lit(1)).as("n"))
     }),
 
-    // D-agg: exact interpolated percentiles per group
+    // D-agg: exact interpolated percentiles per group — both quantiles from
+    // ONE percentile aggregate (one counts-map buffer and one sort per
+    // group, not two)
     "q23_percentiles" -> ((s, d) => {
       t(s, d, "lineitem")
         .groupBy("l_linestatus")
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
-          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"))
-        .select("l_linestatus", "median_price", "p95_price")
+        .agg(expr("percentile(l_extendedprice, array(0.5D, 0.95D))").as("__ps"))
+        .select(col("l_linestatus"),
+          round(col("__ps")(0), 4).as("median_price"),
+          round(col("__ps")(1), 4).as("p95_price"))
     }),
 
     // D-subquery: rows above the global average (scalar agg broadcast, no

@@ -86,7 +86,26 @@ object CurationQueries {
     // deterministic shard assignment + within-shard position
     "pipe_shard_assign" -> ((s, d) =>
       Curation.shardAssign(t(s, d, "documents"), col("doc_id"), nShards = 8)
-        .select("doc_id", "shard", "position"))
+        .select("doc_id", "shard", "position")),
+
+    // end-to-end curation pipeline: quality filter -> exact dedup (keep
+    // lowest doc_id per normalized text) -> deterministic 50% sample ->
+    // next-fit packing into 256-token bins per source. The composition the
+    // ops exist for, verified as one chained oracle.
+    "pipe_curation_e2e" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+      val kept = t(s, d, "documents")
+        .filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
+        .withColumn("__rn",
+          row_number().over(Window.partitionBy(norm).orderBy(col("doc_id"))))
+        .filter(col("__rn") === 1)
+      Curation.packSequences(
+        Curation.hashSample(kept, col("doc_id"), 0.5),
+        col("doc_id"), TextAnalysis.tokenCount(col("text")), col("source"),
+        budget = 256L)
+        .withColumnRenamed("id", "doc_id")
+    })
   )
 
   private val duckHash =
@@ -174,6 +193,36 @@ object CurationQueries {
       s"""WITH h AS (SELECT doc_id, $duckHash AS hv FROM documents)
          |SELECT doc_id, CAST(hv % 8 AS INTEGER) AS shard,
          |       CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS BIGINT) - 1 AS position
-         |FROM h""".stripMargin
+         |FROM h""".stripMargin,
+    "pipe_curation_e2e" ->
+      s"""WITH RECURSIVE q AS (
+         |  SELECT doc_id, text, source FROM documents
+         |  WHERE round(
+         |    least(length(text) / 200.0, 1.0) * 0.4
+         |    + (CASE WHEN length(text)::DOUBLE / greatest(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text),'\\s+')) END, 1) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3
+         |    + (CASE WHEN length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))::DOUBLE / greatest(length(text), 1) < 0.2 THEN 1.0 ELSE 0.3 END) * 0.3
+         |  , 6) >= 0.5),
+         | dd AS (
+         |  SELECT doc_id, text, source,
+         |         row_number() OVER (PARTITION BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+         |                            ORDER BY doc_id) AS rn
+         |  FROM q),
+         | sampled AS (
+         |  SELECT doc_id, text, source FROM dd
+         |  WHERE rn = 1 AND $duckHash < 2147483648),
+         | d AS (
+         |  SELECT source AS shard, doc_id,
+         |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |              ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS t,
+         |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+         |  FROM sampled),
+         | packed AS (
+         |  SELECT shard, doc_id, t, rn, CAST(0 AS BIGINT) AS bin, t AS cum FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.shard, d.doc_id, d.t, d.rn,
+         |         CASE WHEN p.cum + d.t <= 256 THEN p.bin ELSE p.bin + 1 END,
+         |         CASE WHEN p.cum + d.t <= 256 THEN p.cum + d.t ELSE d.t END
+         |  FROM d JOIN packed p ON d.shard = p.shard AND d.rn = p.rn + 1)
+         |SELECT shard, doc_id, bin, CAST(cum - t AS BIGINT) AS offset FROM packed""".stripMargin
   )
 }
