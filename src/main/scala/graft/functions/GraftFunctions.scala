@@ -26,7 +26,9 @@ object GraftFunctions {
       ShinglesExpression(args(0), intArg(args(1), "shingles(_, k)"))
     },
     "cosine_sim" -> { args => CosineExpression(args(0), args(1)) },
-    "dot_product" -> { args => DotExpression(args(0), args(1)) })
+    "dot_product" -> { args => DotExpression(args(0), args(1)) },
+    "word_stats" -> { args => WordStatsExpression(args.head) },
+    "lang_id" -> { args => LangIdExpression(args.head) })
 
   /** Imperative per-session registration. */
   def register(spark: SparkSession): Unit =
