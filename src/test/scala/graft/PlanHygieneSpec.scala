@@ -48,6 +48,12 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("EXACT jaccard join (prefix filtering) is never all-pairs either") {
+    val p = plan("pipe_dedup_ngram")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix filtering regressed to a cross join:\n$p")
+  }
+
   test("aggregation is partial then final (map-side combine)") {
     val p = plan("q01_pricing_summary")
     // two HashAggregate nodes around the exchange

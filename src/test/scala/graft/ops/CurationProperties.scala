@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property-based checks for the curation operators: packing against a
+  * sequential next-fit fold over arbitrary token sizes/budgets, and the
+  * monotone-subset law of deterministic sampling.
+  */
+object CurationProperties extends Properties("curation") {
+  import graft.TestSpark.spark
+  import spark.implicits._
+
+  private val docGen = for {
+    n <- Gen.choose(1, 60)
+    tokens <- Gen.listOfN(n, Gen.choose(1L, 300L))
+    shards <- Gen.choose(1, 4)
+  } yield (tokens.zipWithIndex.map { case (t, i) => (i.toLong, t, s"s${i % shards}") }, shards)
+
+  property("packSequences equals a sequential next-fit fold") =
+    forAll(docGen, Gen.choose(50L, 500L)) { case ((rows, _), budget) =>
+      val df = rows.toDF("id", "tokens", "shard")
+      val out = Curation.packSequences(df, col("id"), col("tokens"), col("shard"), budget)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+      rows.groupBy(_._3).forall { case (shard, docs) =>
+        var bin = 0L; var cum = 0L
+        docs.sortBy(_._1).forall { case (id, t, _) =>
+          if (cum > 0 && cum + t > budget) { bin += 1; cum = 0L }
+          val ok = out((shard, id)) == ((bin, cum))
+          cum += t
+          ok
+        }
+      } && out.size == rows.size
+    }
+
+  property("lower-rate hash samples are subsets of higher-rate ones") =
+    forAll(Gen.choose(0.0, 1.0), Gen.choose(0.0, 1.0)) { (r1, r2) =>
+      val lo = math.min(r1, r2); val hi = math.max(r1, r2)
+      val ids = (0L until 500L).toDF("id")
+      val small = Curation.hashSample(ids, col("id"), lo).as[Long].collect().toSet
+      val big = Curation.hashSample(ids, col("id"), hi).as[Long].collect().toSet
+      small.subsetOf(big)
+    }
+}
