@@ -29,7 +29,7 @@ object LangId {
   private val und = UTF8String.fromString("und")
 
   def langId(s: UTF8String): UTF8String = {
-    val words = s.toLowerCase.toString.trim.split("\\s+")
+    val words = Tokenize.words(s.toLowerCase)
     val scores = new Array[Int](profiles.length)
     var i = 0
     while (i < words.length) {

@@ -19,7 +19,10 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Shingles {
   def shingles(s: UTF8String, k: Int): ArrayData = {
-    val words = s.toLowerCase.toString.trim.split("\\s+").filter(_.nonEmpty)
+    // Tokenize.words, not String.trim/filter: empty tokens from tab/newline
+    // edges are words to the `split(trim(lower(text)))` formulation the
+    // DuckDB oracles mirror
+    val words = Tokenize.words(s.toLowerCase)
     if (words.length < k) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]()
     var i = 0

@@ -1,0 +1,28 @@
+package graft.functions
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared word tokenization for the native text expressions — EXACTLY
+  * Spark's `split(trim(text), "\\s+")` (and DuckDB's
+  * `string_split_regex(trim(text), '\s+')`), which the oracles mirror:
+  *
+  *  - trim strips SPACE characters only (not tabs/newlines — Java's
+  *    String.trim would);
+  *  - split keeps leading/trailing empty tokens produced by non-space
+  *    whitespace at the edges (Spark splits with limit -1).
+  *
+  * Any native expression that tokenizes differently (e.g. filtering empty
+  * tokens) silently diverges from its HOF twin and the DuckDB gate on text
+  * edged with tabs or newlines.
+  */
+object Tokenize {
+  def words(s: UTF8String): Array[String] = {
+    val str = s.toString
+    var b = 0
+    var e = str.length
+    while (b < e && str.charAt(b) == ' ') b += 1
+    while (e > b && str.charAt(e - 1) == ' ') e -= 1
+    if (b == e) Array.empty[String]
+    else str.substring(b, e).split("\\s+", -1)
+  }
+}

@@ -18,7 +18,9 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object WordStats {
   def wordStats(s: UTF8String): InternalRow = {
-    val words = s.toString.trim.split("\\s+").filter(_.nonEmpty)
+    // Tokenize.words, not String.trim/filter: empty tokens from tab/newline
+    // edges are words to the HOF twin and the DuckDB oracle
+    val words = Tokenize.words(s)
     if (words.isEmpty) return new GenericInternalRow(Array[Any](0, 0, 0))
     val counts = new java.util.HashMap[String, Int]()
     var top = 0

@@ -87,8 +87,11 @@ object Dedup {
       .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      // threshold the TRUE jaccard (as the oracles do); round only for
+      // display — a rounded filter admits pairs just below t at the 6th
+      // decimal, which the prefix-filter candidate guarantee does not cover
+      .filter(col("inter").cast("double") / col("uni") >= threshold)
       .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
-      .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
 
@@ -107,8 +110,11 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      // threshold the TRUE jaccard (as the oracles do); round only for
+      // display — a rounded filter admits pairs just below t at the 6th
+      // decimal, which the prefix-filter candidate guarantee does not cover
+      .filter(col("inter").cast("double") / col("uni") >= threshold)
       .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
-      .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
 
@@ -127,6 +133,9 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, id: Column, text: Column,
       shingleSize: Int = 3, threshold: Double = 0.8): DataFrame = {
+    // NOT checkpointed: the shingle arrays are wide, and measured at sf0.1
+    // materializing them costs 2x more than recomputing the codegen'd
+    // shingling at each of its uses
     val shingled = df.select(id.as("id"), TextAnalysis.shingles(text, shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
     val tokens = shingled.select(col("id"), size(col("sh")).as("n"),
@@ -139,6 +148,10 @@ object Dedup {
         Window.partitionBy(col("id")).orderBy(col("df").asc, col("tok").asc)))
       .filter(col("rn") <= col("n") - ceil(col("n") * threshold) + 1)
       .select(col("tok"), col("id"))
+    // deliberately no persist/localCheckpoint anywhere in this operator:
+    // measured at sf0.1, materializing either the shingle arrays or the
+    // prefix relation doubles the wall time versus recomputing the
+    // codegen'd shingling per use — recompute wins for CPU-cheap wide data
     // candidates share at least one prefix token
     val candidates = prefixes.select(col("tok"), col("id").as("id_a"))
       .join(prefixes.select(col("tok"), col("id").as("id_b")), Seq("tok"))
@@ -151,8 +164,11 @@ object Dedup {
       .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      // threshold the TRUE jaccard (as the oracles do); round only for
+      // display — a rounded filter admits pairs just below t at the 6th
+      // decimal, which the prefix-filter candidate guarantee does not cover
+      .filter(col("inter").cast("double") / col("uni") >= threshold)
       .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
-      .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
 

@@ -185,8 +185,8 @@ object CurationQueries {
         |  SELECT shard, doc_id, t, rn, CAST(0 AS BIGINT) AS bin, t AS cum FROM d WHERE rn = 1
         |  UNION ALL
         |  SELECT d.shard, d.doc_id, d.t, d.rn,
-        |         CASE WHEN p.cum + d.t <= 256 THEN p.bin ELSE p.bin + 1 END,
-        |         CASE WHEN p.cum + d.t <= 256 THEN p.cum + d.t ELSE d.t END
+        |         CASE WHEN p.cum = 0 OR p.cum + d.t <= 256 THEN p.bin ELSE p.bin + 1 END,
+        |         CASE WHEN p.cum = 0 OR p.cum + d.t <= 256 THEN p.cum + d.t ELSE d.t END
         |  FROM d JOIN packed p ON d.shard = p.shard AND d.rn = p.rn + 1)
         |SELECT shard, doc_id, bin, CAST(cum - t AS BIGINT) AS offset FROM packed""".stripMargin,
     "pipe_shard_assign" ->
@@ -220,8 +220,8 @@ object CurationQueries {
          |  SELECT shard, doc_id, t, rn, CAST(0 AS BIGINT) AS bin, t AS cum FROM d WHERE rn = 1
          |  UNION ALL
          |  SELECT d.shard, d.doc_id, d.t, d.rn,
-         |         CASE WHEN p.cum + d.t <= 256 THEN p.bin ELSE p.bin + 1 END,
-         |         CASE WHEN p.cum + d.t <= 256 THEN p.cum + d.t ELSE d.t END
+         |         CASE WHEN p.cum = 0 OR p.cum + d.t <= 256 THEN p.bin ELSE p.bin + 1 END,
+         |         CASE WHEN p.cum = 0 OR p.cum + d.t <= 256 THEN p.cum + d.t ELSE d.t END
          |  FROM d JOIN packed p ON d.shard = p.shard AND d.rn = p.rn + 1)
          |SELECT shard, doc_id, bin, CAST(cum - t AS BIGINT) AS offset FROM packed""".stripMargin
   )

@@ -104,12 +104,16 @@ object EventStreams {
   }
 
   /** Stream-static enrichment: join each event against a dimension table.
-    * The static side re-plans per micro-batch (picking up dimension updates)
-    * and broadcasts when small — the standard lookup-join shape; no state,
-    * no watermark needed for an inner equi-join against a static side.
+    * The static side re-plans per micro-batch (picking up dimension
+    * updates) — the standard lookup-join shape; no state, no watermark
+    * needed for an inner equi-join against a static side. The dimension is
+    * broadcast-hinted by default (lookup tables are small); pass
+    * `broadcastDim = false` for a dimension too large to build on the
+    * driver and let Spark pick the join strategy.
     */
-  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
-    events.join(broadcast(dim), Seq(key))
+  def enrich(events: DataFrame, dim: DataFrame, key: String,
+      broadcastDim: Boolean = true): DataFrame =
+    events.join(if (broadcastDim) broadcast(dim) else dim, Seq(key))
 
   /** Stream-stream inner join of two event streams on user_id within a
     * ±10-minute event-time band. Both sides carry watermarks and the join
@@ -127,9 +131,10 @@ object EventStreams {
         col("user_id").as("r_user_id"), col("event_type").as("r_type"),
         col("value").as("r_value"))
       .withWatermark("r_ts", watermark)
+    // no event_id inequality guard: these are two independent streams, so
+    // equal ids are distinct events that must still correlate
     l.join(r,
       col("user_id") === col("r_user_id") &&
-        col("l_event_id") =!= col("r_event_id") &&
         col("r_ts").between(
           col("l_ts") - expr(s"INTERVAL $bandMinutes MINUTES"),
           col("l_ts") + expr(s"INTERVAL $bandMinutes MINUTES")))

@@ -74,18 +74,20 @@ class GraftFunctionsSpec extends AnyFunSuite {
 
   test("WordStats matches the HOF formulation in one pass") {
     import org.apache.spark.sql.functions._
-    val df = Seq("a a b c c c", " spaced   out ", "x", "").toDF("text")
+    // includes tab-edged text: trim is space-only and split keeps the empty
+    // edge tokens, exactly like split(trim(x), "\\s+") and the DuckDB twin
+    val df = Seq("a a b c c c", " spaced   out ", "x", "", "\ta b", "a\t").toDF("text")
     val fast = df.select(WordStats.wordStats($"text").as("st"))
       .select($"st.n_words", $"st.n_distinct", $"st.top_freq")
       .as[(Int, Int, Int)].collect().toSeq
-    assert(fast == Seq((6, 3, 3), (2, 2, 1), (1, 1, 1), (0, 0, 0)))
+    assert(fast == Seq((6, 3, 3), (2, 2, 1), (1, 1, 1), (0, 0, 0), (3, 3, 1), (2, 2, 1)))
     // agrees with the interpreted higher-order-function formulation
     val w = split(trim($"text"), "\\s+")
     val slow = df.filter(length(trim($"text")) > 0)
       .select(size(w), size(array_distinct(w)),
         array_max(transform(array_distinct(w), x => size(filter(w, y => y === x)))))
       .as[(Int, Int, Int)].collect().toSeq
-    assert(fast.take(3) == slow)
+    assert(fast.patch(3, Nil, 1) == slow)
   }
 
   test("native LangId agrees with the HOF formulation on real documents") {

@@ -127,12 +127,13 @@ class EventStreamsSpec extends AnyFunSuite {
       def ev(id: Long, minute: Long, user: Long) =
         EventStreams.Event(id, new java.sql.Timestamp((1_000_000L + minute) * 60000L), user, "click", 1.0)
       left.addData(ev(1, 0, 7), ev(2, 100, 7))
-      right.addData(ev(10, 5, 7), ev(11, 50, 7), ev(12, 5, 8))
+      // id 1 also exists in the right stream — distinct event, must match
+      right.addData(ev(10, 5, 7), ev(11, 50, 7), ev(12, 5, 8), ev(1, 2, 7))
       q.processAllAvailable()
       val pairs = spark.table("corr_out").select("l_event_id", "r_event_id")
         .as[(Long, Long)].collect().toSet
-      // only (1,10): same user, 5 min apart; 11 is 50 min away, 12 is user 8
-      assert(pairs == Set((1L, 10L)))
+      // (1,10) and (1,1): same user within band; 11 is 50 min away, 12 is user 8
+      assert(pairs == Set((1L, 10L), (1L, 1L)))
     } finally q.stop()
   }
 }
