@@ -91,4 +91,32 @@ object TextAnalysis {
     */
   def shingles(text: Column, k: Int): Column =
     graft.functions.Shingles.shingles(text, k)
+
+  /** TF-IDF top-k retrieval: score every document against a bag of query
+    * terms with smooth idf (`tf · (ln((N+1)/(df+1)) + 1)`) and return the k
+    * best by score (ties broken by id).
+    *
+    * Scale shape: the corpus token stream is filtered to the query terms
+    * FIRST, so the expensive aggregations run over a tiny slice; the total
+    * document count joins in as a broadcast scalar; the final top-k is a
+    * global TakeOrdered (no full sort).
+    */
+  def tfidfTopK(
+      df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      queryTerms: Seq[String], k: Int): org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must not be empty")
+    val relevant = df
+      .select(id.as("id"), explode(words(lower(text))).as("tok"))
+      .filter(col("tok").isin(queryTerms: _*))
+    val tf = relevant.groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = relevant.groupBy("tok").agg(countDistinct(col("id")).as("dfreq"))
+    val total = df.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .groupBy("id")
+      .agg(round(sum(col("tf") *
+        (log((col("n_docs") + 1.0) / (col("dfreq") + 1.0)) + 1.0)), 6).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
 }

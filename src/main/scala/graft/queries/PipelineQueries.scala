@@ -111,6 +111,12 @@ object PipelineQueries {
         dim = 64, minCosine = 0.95)
     }),
 
+    // TF-IDF retrieval: top-10 docs for a 4-term query, smooth idf
+    "pipe_tfidf" -> ((s, d) =>
+      TextAnalysis.tfidfTopK(t(s, d, "documents"), col("doc_id"), col("text"),
+        queryTerms = Seq("data", "query", "spark", "fast"), k = 10)
+        .withColumnRenamed("id", "doc_id")),
+
     // multimodal plumbing: wrap text bytes as media, fake-decode, resize,
     // frame-sample, extract stub features (deterministic; rows-only check)
     "pipe_multimodal" -> ((s, d) => {
@@ -202,6 +208,16 @@ object PipelineQueries {
     "pipe_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+    "pipe_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)),'\s+')) AS tok FROM documents),
+        |     rel AS (SELECT * FROM tok WHERE tok IN ('data','query','spark','fast')),
+        |     tf AS (SELECT doc_id, tok, count(*) AS tf FROM rel GROUP BY 1, 2),
+        |     dfq AS (SELECT tok, count(DISTINCT doc_id) AS dfreq FROM rel GROUP BY 1),
+        |     n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, round(sum(tf * (ln((n_docs + 1.0) / (dfreq + 1.0)) + 1.0)), 6) AS score
+        |FROM tf JOIN dfq USING (tok), n
+        |GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "pipe_embed_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3),
         |     c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),

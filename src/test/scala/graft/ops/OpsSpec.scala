@@ -121,6 +121,26 @@ class OpsSpec extends AnyFunSuite {
     assert(ivf.head.getLong(1) == 10L) // nProbe = all centroids → exact
   }
 
+  test("tfidf ranks the term-dense doc first and respects rare-term weight") {
+    val corpus = Seq(
+      (1L, "cat cat cat dog"), // tf-heavy on 'cat'
+      (2L, "cat dog fish"),
+      (3L, "dog dog dog dog"), // no rare term
+      (4L, "fish") // only the rarest term
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopK(corpus, col("doc_id"), col("text"),
+      queryTerms = Seq("cat", "fish"), k = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // doc 3 has no query term at all -> absent
+    assert(out.map(_._1).toSeq.length == 3 && !out.map(_._1).contains(3L))
+    // doc 1 (3x cat) outranks doc 2 (1x cat + 1x fish)? fish is rarer
+    // (df=2 vs 2)... both terms df=2, so doc 1 wins on raw tf
+    assert(out.head._1 == 1L)
+    // scores strictly decreasing or tie-broken by id
+    assert(out.sliding(2).forall { case Array((ia, sa), (ib, sb)) =>
+      sa > sb || (sa == sb && ia < ib) })
+  }
+
   test("text analysis: tokens, langid, quality, shingles") {
     val df = Seq(
       (1L, "the cat is on the mat and it is flat"),
