@@ -275,10 +275,12 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
       .withColumn("dot", graft.functions.VecMath.dotProduct(col("v_a"), col("v_b")))
       // zero-norm vectors have no direction: NULL, never NaN (Spark orders
-      // NaN above every value, so NaN would PASS the >= threshold filter)
-      .withColumn("cosine", when(col("n_a") > 0 && col("n_b") > 0,
-        round(col("dot") / (col("n_a") * col("n_b")), 6)))
-      .filter(col("cosine") >= minCosine)
+      // NaN above every value, so NaN would PASS the >= threshold filter);
+      // threshold the TRUE cosine, round only for display
+      .withColumn("__cos", when(col("n_a") > 0 && col("n_b") > 0,
+        col("dot") / (col("n_a") * col("n_b"))))
+      .filter(col("__cos") >= minCosine)
+      .withColumn("cosine", round(col("__cos"), 6))
       .select("id_a", "id_b", "cosine")
   }
 }

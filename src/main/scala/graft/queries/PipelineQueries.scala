@@ -208,6 +208,21 @@ object PipelineQueries {
     "pipe_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+    // LSH recall on the planted pairs is deterministic (fixed seed, fixed
+    // data: all 25 found, nothing else reaches 0.95 — base pairs top out
+    // near 0.51), so the exact-cosine SQL is a sound oracle. DuckDB
+    // list_transform indexes are 1-BASED, hence (i-1) where Spark uses i.
+    "pipe_embed_neardup" ->
+      """WITH pl AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |         list_transform(embedding, (x, i) -> CAST(x + CAST(((i - 1) % 3 - 1) * 0.002 AS FLOAT) AS FLOAT)) AS embedding
+        |  FROM embeddings WHERE vec_id < 25),
+        |     allv AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id, embedding FROM pl),
+        |     c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM allv)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        |FROM c a JOIN c b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.95""".stripMargin,
     "pipe_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)),'\s+')) AS tok FROM documents),
         |     rel AS (SELECT * FROM tok WHERE tok IN ('data','query','spark','fast')),
