@@ -92,6 +92,37 @@ object TextAnalysis {
   def shingles(text: Column, k: Int): Column =
     graft.functions.Shingles.shingles(text, k)
 
+  /** Overlapping fixed-size character chunks — the shape embedding pipelines
+    * feed long documents through. Returns one row per chunk with its index
+    * and 1-based start offset; empty texts yield no chunks. Row-local
+    * explode, no shuffle.
+    */
+  def chunk(df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      size: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val step = (size - overlap).toLong
+    df.select(id.as("id"), text.as("__t"))
+      .select(col("id"), col("__t"),
+        explode(when(length(col("__t")) > 0,
+          sequence(lit(1L), length(col("__t")).cast("bigint"), lit(step)))
+          .otherwise(array().cast("array<bigint>"))).as("start"))
+      .select(col("id"),
+        ((col("start") - 1L) / step).cast("int").as("chunk_idx"),
+        col("start"),
+        col("__t").substr(col("start").cast("int"), lit(size)).as("chunk"))
+  }
+
+  /** Corpus vocabulary: the `k` most frequent lowercased whitespace tokens
+    * with their counts (ties broken by token). One partial+final count
+    * shuffle, then a global top-k (TakeOrdered, no full sort).
+    */
+  def vocabulary(df: org.apache.spark.sql.DataFrame, text: Column, k: Int): org.apache.spark.sql.DataFrame =
+    df.select(explode(words(lower(text))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(k)
+
   /** TF-IDF top-k retrieval: score every document against a bag of query
     * terms with smooth idf (`tf · (ln((N+1)/(df+1)) + 1)`) and return the k
     * best by score (ties broken by id).

@@ -111,6 +111,17 @@ object PipelineQueries {
         dim = 64, minCosine = 0.95)
     }),
 
+    // overlapping 200-char chunks with 50-char overlap (embedding prep)
+    "pipe_chunk" -> ((s, d) =>
+      TextAnalysis.chunk(t(s, d, "documents"), col("doc_id"), col("text"),
+        size = 200, overlap = 50)
+        .select(col("id").as("doc_id"), col("chunk_idx"), col("start"),
+          length(col("chunk")).as("chunk_len"), md5(col("chunk").cast("binary")).as("chunk_fp"))),
+
+    // corpus vocabulary: 20 most frequent tokens
+    "pipe_vocab" -> ((s, d) =>
+      TextAnalysis.vocabulary(t(s, d, "documents"), col("text"), k = 20)),
+
     // TF-IDF retrieval: top-10 docs for a 4-term query, smooth idf
     "pipe_tfidf" -> ((s, d) =>
       TextAnalysis.tfidfTopK(t(s, d, "documents"), col("doc_id"), col("text"),
@@ -208,6 +219,16 @@ object PipelineQueries {
     "pipe_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+    "pipe_chunk" ->
+      """SELECT doc_id, CAST((s - 1) / 150 AS INTEGER) AS chunk_idx, s AS start,
+        |       CAST(length(substr(text, CAST(s AS INTEGER), 200)) AS INTEGER) AS chunk_len,
+        |       md5(substr(text, CAST(s AS INTEGER), 200)) AS chunk_fp
+        |FROM documents, unnest(generate_series(1, length(text), 150)) AS t(s)
+        |WHERE length(text) > 0""".stripMargin,
+    "pipe_vocab" ->
+      """SELECT tok, count(*) AS n FROM
+        |  (SELECT unnest(string_split_regex(trim(lower(text)),'\s+')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20""".stripMargin,
     // LSH recall on the planted pairs is deterministic (fixed seed, fixed
     // data: all 25 found, nothing else reaches 0.95 — base pairs top out
     // near 0.51), so the exact-cosine SQL is a sound oracle. DuckDB

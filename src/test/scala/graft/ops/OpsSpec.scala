@@ -121,6 +121,30 @@ class OpsSpec extends AnyFunSuite {
     assert(ivf.head.getLong(1) == 10L) // nProbe = all centroids → exact
   }
 
+  test("chunking covers the text with the right overlap; empty docs vanish") {
+    val df = Seq((1L, "abcdefghij"), (2L, ""), (3L, "xy")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(df, col("doc_id"), col("text"), size = 4, overlap = 2)
+      .orderBy("id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    // step 2: starts 1,3,5,7,9 over 10 chars; final chunks shorter
+    assert(out.filter(_._1 == 1L).map(_._4).toSeq ==
+      Seq("abcd", "cdef", "efgh", "ghij", "ij"))
+    assert(out.filter(_._1 == 1L).map(_._3).toSeq == Seq(1L, 3L, 5L, 7L, 9L))
+    assert(!out.exists(_._1 == 2L)) // empty doc yields no chunks
+    assert(out.filter(_._1 == 3L).map(_._4).toSeq == Seq("xy"))
+    // consecutive chunks agree on the overlap region
+    out.filter(_._1 == 1L).sliding(2).foreach { case Array(a, b) =>
+      assert(a._4.drop(2) == b._4.take(a._4.length - 2))
+    }
+  }
+
+  test("vocabulary returns the k most frequent tokens deterministically") {
+    val df = Seq("a a a b b c", "b a", "C c").toDF("text")
+    val out = TextAnalysis.vocabulary(df, col("text"), k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("a", 4L), ("b", 3L), ("c", 3L))) // b before c on tie
+  }
+
   test("tfidf ranks the term-dense doc first and respects rare-term weight") {
     val corpus = Seq(
       (1L, "cat cat cat dog"), // tf-heavy on 'cat'
