@@ -30,6 +30,23 @@ object Dedup {
       .drop("__fp")
   }
 
+  /** Incremental ingestion dedup: drop rows of `batch` whose normalized-text
+    * fingerprint already appears in `seen` (a fingerprint column from prior
+    * batches) — the anti-join shape that keeps a corpus duplicate-free as
+    * new crawls land without re-deduplicating history. The seen-set side
+    * carries only the 64-bit fingerprints; at steady state it is the small,
+    * pre-bucketed side of the join.
+    */
+  def dedupAgainst(batch: DataFrame, text: Column, seenFingerprints: DataFrame): DataFrame = {
+    val fpCol = seenFingerprints.columns match {
+      case Array(one) => col(one)
+      case cols => throw new IllegalArgumentException(
+        s"seenFingerprints must have exactly one column, got ${cols.mkString(", ")}")
+    }
+    batch.join(seenFingerprints.select(fpCol.as("__seen_fp")),
+        TextAnalysis.fingerprint(text) === col("__seen_fp"), "left_anti")
+  }
+
   /** MinHash signature as an array<bigint> of `numHashes` minima over the
     * shingle set — a native codegen expression (one pass over the shingles;
     * see graft.functions.MinHash for why the pure-HOF formulation is ~10×

@@ -42,6 +42,17 @@ object PipelineQueries {
       Dedup.clusters(pairs).select(col("id").as("doc_id"), col("cluster_id"))
     }),
 
+    // incremental ingestion dedup: docs 0..249 are "history"; keep only
+    // batch rows whose normalized text was never seen (fingerprint
+    // anti-join; the oracle expresses the same predicate on the text
+    // itself, equivalent modulo 64-bit collisions)
+    "pipe_dedup_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val seen = docs.filter(col("doc_id") < 250)
+        .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+      Dedup.dedupAgainst(docs, col("text"), seen).select("doc_id", "source")
+    }),
+
     // SimHash near-dup candidates (custom codegen Expression; no SQL oracle)
     "pipe_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(t(s, d, "documents"), col("doc_id"), col("text"), maxHamming = 3)),
@@ -219,6 +230,12 @@ object PipelineQueries {
     "pipe_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+    "pipe_dedup_incremental" ->
+      """SELECT b.doc_id, b.source FROM documents b
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM documents h WHERE h.doc_id < 250
+        |  AND regexp_replace(lower(trim(h.text)), '\s+', ' ', 'g')
+        |    = regexp_replace(lower(trim(b.text)), '\s+', ' ', 'g'))""".stripMargin,
     "pipe_chunk" ->
       """SELECT doc_id, CAST((s - 1) / 150 AS INTEGER) AS chunk_idx, s AS start,
         |       CAST(length(substr(text, CAST(s AS INTEGER), 200)) AS INTEGER) AS chunk_len,

@@ -121,6 +121,15 @@ class OpsSpec extends AnyFunSuite {
     assert(ivf.head.getLong(1) == 10L) // nProbe = all centroids → exact
   }
 
+  test("incremental dedup drops seen fingerprints, keeps new and near-dup text") {
+    val history = Seq("the quick brown fox jumps over the lazy dog again and again today")
+      .toDF("text").select(TextAnalysis.fingerprint(col("text")).as("fp"))
+    val kept = Dedup.dedupAgainst(docs, col("text"), history)
+      .select("doc_id").as[Long].collect().toSet
+    // doc 1 and its exact copy 5 match history; near-dup 2 differs by a word
+    assert(kept == Set(2L, 3L, 4L))
+  }
+
   test("chunking covers the text with the right overlap; empty docs vanish") {
     val df = Seq((1L, "abcdefghij"), (2L, ""), (3L, "xy")).toDF("doc_id", "text")
     val out = TextAnalysis.chunk(df, col("doc_id"), col("text"), size = 4, overlap = 2)
