@@ -43,8 +43,14 @@ object Dedup {
       case cols => throw new IllegalArgumentException(
         s"seenFingerprints must have exactly one column, got ${cols.mkString(", ")}")
     }
-    batch.join(seenFingerprints.select(fpCol.as("__seen_fp")),
-        TextAnalysis.fingerprint(text) === col("__seen_fp"), "left_anti")
+    val seen = seenFingerprints.select(fpCol.as("__seen_fp"))
+    // text.isNotNull: xxhash64 of an all-NULL input is the SEED, not NULL —
+    // without the guard, one NULL-text history row would silently drop every
+    // NULL-text batch row forever. The qualified seen("__seen_fp") keeps the
+    // join unambiguous even if the batch carries a column of that name.
+    batch.join(seen,
+      text.isNotNull && TextAnalysis.fingerprint(text) === seen("__seen_fp"),
+      "left_anti")
   }
 
   /** MinHash signature as an array<bigint> of `numHashes` minima over the

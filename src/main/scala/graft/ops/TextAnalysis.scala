@@ -94,8 +94,10 @@ object TextAnalysis {
 
   /** Overlapping fixed-size character chunks — the shape embedding pipelines
     * feed long documents through. Returns one row per chunk with its index
-    * and 1-based start offset; empty texts yield no chunks. Row-local
-    * explode, no shuffle.
+    * and 1-based start offset; empty texts yield no chunks. Start offsets
+    * stop at `len - overlap`, so a tail shorter than the overlap never
+    * becomes its own chunk (it is already wholly inside the previous one) —
+    * yet every character is covered. Row-local explode, no shuffle.
     */
   def chunk(df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
       size: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
@@ -105,7 +107,9 @@ object TextAnalysis {
     df.select(id.as("id"), text.as("__t"))
       .select(col("id"), col("__t"),
         explode(when(length(col("__t")) > 0,
-          sequence(lit(1L), length(col("__t")).cast("bigint"), lit(step)))
+          sequence(lit(1L),
+            greatest(lit(1L), (length(col("__t")) - overlap).cast("bigint")),
+            lit(step)))
           .otherwise(array().cast("array<bigint>"))).as("start"))
       .select(col("id"),
         ((col("start") - 1L) / step).cast("int").as("chunk_idx"),
@@ -115,10 +119,13 @@ object TextAnalysis {
 
   /** Corpus vocabulary: the `k` most frequent lowercased whitespace tokens
     * with their counts (ties broken by token). One partial+final count
-    * shuffle, then a global top-k (TakeOrdered, no full sort).
+    * shuffle, then a global top-k (TakeOrdered, no full sort). The empty
+    * token that `split(trim(x))` yields for empty/whitespace-edged texts is
+    * excluded — it is an artifact, not a word.
     */
   def vocabulary(df: org.apache.spark.sql.DataFrame, text: Column, k: Int): org.apache.spark.sql.DataFrame =
     df.select(explode(words(lower(text))).as("tok"))
+      .filter(col("tok") =!= "")
       .groupBy("tok").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("tok").asc)
       .limit(k)
@@ -140,7 +147,10 @@ object TextAnalysis {
       .select(id.as("id"), explode(words(lower(text))).as("tok"))
       .filter(col("tok").isin(queryTerms: _*))
     val tf = relevant.groupBy("id", "tok").agg(count(lit(1)).as("tf"))
-    val dfreq = relevant.groupBy("tok").agg(countDistinct(col("id")).as("dfreq"))
+    // document frequency derives from tf (one row per (id, tok)) — deriving
+    // it from `relevant` again would tokenize the whole corpus a second
+    // time; from tf, both consumers share the one (id, tok) exchange
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("dfreq"))
     val total = df.agg(count(lit(1)).as("n_docs"))
     tf.join(dfreq, Seq("tok"))
       .crossJoin(broadcast(total))

@@ -240,11 +240,12 @@ object PipelineQueries {
       """SELECT doc_id, CAST((s - 1) / 150 AS INTEGER) AS chunk_idx, s AS start,
         |       CAST(length(substr(text, CAST(s AS INTEGER), 200)) AS INTEGER) AS chunk_len,
         |       md5(substr(text, CAST(s AS INTEGER), 200)) AS chunk_fp
-        |FROM documents, unnest(generate_series(1, length(text), 150)) AS t(s)
+        |FROM documents, unnest(generate_series(1, greatest(length(text) - 50, 1), 150)) AS t(s)
         |WHERE length(text) > 0""".stripMargin,
     "pipe_vocab" ->
       """SELECT tok, count(*) AS n FROM
         |  (SELECT unnest(string_split_regex(trim(lower(text)),'\s+')) AS tok FROM documents)
+        |WHERE tok <> ''
         |GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20""".stripMargin,
     // LSH recall on the planted pairs is deterministic (fixed seed, fixed
     // data: all 25 found, nothing else reaches 0.95 — base pairs top out

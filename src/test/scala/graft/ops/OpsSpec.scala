@@ -135,10 +135,11 @@ class OpsSpec extends AnyFunSuite {
     val out = TextAnalysis.chunk(df, col("doc_id"), col("text"), size = 4, overlap = 2)
       .orderBy("id", "chunk_idx")
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
-    // step 2: starts 1,3,5,7,9 over 10 chars; final chunks shorter
+    // step 2, starts bounded by len - overlap = 8: no tail chunk that is
+    // wholly contained in the previous one, full coverage
     assert(out.filter(_._1 == 1L).map(_._4).toSeq ==
-      Seq("abcd", "cdef", "efgh", "ghij", "ij"))
-    assert(out.filter(_._1 == 1L).map(_._3).toSeq == Seq(1L, 3L, 5L, 7L, 9L))
+      Seq("abcd", "cdef", "efgh", "ghij"))
+    assert(out.filter(_._1 == 1L).map(_._3).toSeq == Seq(1L, 3L, 5L, 7L))
     assert(!out.exists(_._1 == 2L)) // empty doc yields no chunks
     assert(out.filter(_._1 == 3L).map(_._4).toSeq == Seq("xy"))
     // consecutive chunks agree on the overlap region
