@@ -147,12 +147,16 @@ object TextAnalysis {
       .select(id.as("id"), explode(words(lower(text))).as("tok"))
       .filter(col("tok").isin(queryTerms: _*))
     val tf = relevant.groupBy("id", "tok").agg(count(lit(1)).as("tf"))
-    // document frequency derives from tf (one row per (id, tok)) — deriving
-    // it from `relevant` again would tokenize the whole corpus a second
-    // time; from tf, both consumers share the one (id, tok) exchange
-    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("dfreq"))
+    // document frequency as a window over tf (one row per (id, tok)), NOT a
+    // second aggregation of the token stream: a separate dfreq branch makes
+    // Catalyst re-tokenize the whole corpus (column pruning specializes the
+    // two subtrees so their exchanges can't be reused). The window keeps one
+    // lineage — the corpus is scanned and tokenized exactly once, and the
+    // extra shuffle touches only the tiny post-filter (id, tok, tf) rows.
+    val withDf = tf.withColumn("dfreq",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))))
     val total = df.agg(count(lit(1)).as("n_docs"))
-    tf.join(dfreq, Seq("tok"))
+    withDf
       .crossJoin(broadcast(total))
       .groupBy("id")
       .agg(round(sum(col("tf") *

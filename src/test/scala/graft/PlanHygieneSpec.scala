@@ -61,6 +61,16 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(p.contains("Exchange"))
   }
 
+  test("tfidf tokenizes the corpus once (dfreq via window, not a second scan)") {
+    val p = plan("pipe_tfidf")
+    // exactly one explode of the token stream in the whole plan — a
+    // second Generate means dfreq re-tokenized the corpus (formatted mode
+    // prints each node once in the tree and once as a "(n) Generate" detail
+    // header; count the headers)
+    assert("\\(\\d+\\) Generate".r.findAllIn(p).length == 1,
+      s"corpus tokenized more than once:\n$p")
+  }
+
   test("decontamination broadcasts the benchmark shingle set") {
     val p = plan("pipe_decontaminate")
     assert(p.contains("BroadcastHashJoin"),
