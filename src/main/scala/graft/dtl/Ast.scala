@@ -59,6 +59,18 @@ object Ast {
       limit: Option[Long],
       pos: Pos) extends TableExpr
 
+  sealed trait SetOp
+  case object UnionAll extends SetOp
+  case object UnionDistinct extends SetOp
+  case object ExceptDistinct extends SetOp
+  case object IntersectDistinct extends SetOp
+  /** Set operation over two table expressions (extension: SURVEY §2 D "set
+    * ops" — absent from the reference grammar entirely). Chains are
+    * left-associative; parentheses group.
+    */
+  final case class SetOpExpr(op: SetOp, left: TableExpr, right: TableExpr,
+      pos: Pos) extends TableExpr
+
   sealed trait Statement { def pos: Pos }
   final case class WithStmt(name: String, body: TableExpr, pos: Pos) extends Statement
   final case class ExportStmt(body: TableExpr, location: String, pos: Pos) extends Statement

@@ -199,6 +199,38 @@ final class Compiler(
       val t = env.getOrElse(name, throw DtlError(s"unknown table '$name'", pos.line, pos.col))
       refresh(t) // fresh internals so self-joins never collide
     case sel: SelectExpr => compileSelect(sel, env)
+    case SetOpExpr(op, left, right, pos) =>
+      val lt = compileTable(left, env)
+      val rt = compileTable(right, env)
+      // strict schema typing, like every DTL operator (SURVEY §1.2): same
+      // column names in the same order with the same dtypes — no coercion
+      if (lt.cols.map(_.name) != rt.cols.map(_.name))
+        throw DtlError(
+          s"Type error: set operation requires identical columns, got " +
+            s"(${lt.cols.map(_.name).mkString(", ")}) vs (${rt.cols.map(_.name).mkString(", ")})",
+          pos.line, pos.col)
+      lt.cols.zip(rt.cols).foreach { case (a, b) =>
+        if (a.dtype != b.dtype)
+          throw DtlError(
+            s"Type error: set operation column '${a.name}' has type ${a.dtype.name} on the left but ${b.dtype.name} on the right",
+            pos.line, pos.col)
+      }
+      val ldf = lt.df.select(lt.cols.map(c => col(c.internal)): _*)
+      // align the right side's internals to the left's, positionally
+      val rdf = rt.df.select(rt.cols.zip(lt.cols).map {
+        case (r, l) => col(r.internal).as(l.internal)
+      }: _*)
+      val combined = op match {
+        case UnionAll => ldf.union(rdf)
+        case UnionDistinct => ldf.union(rdf).dropDuplicates(lt.cols.map(_.internal))
+        case ExceptDistinct => ldf.except(rdf)
+        case IntersectDistinct => ldf.intersect(rdf)
+      }
+      // set ops define neither row order nor row identity: hidden order
+      // columns, provenance row ids, and aggregation lineage all stop here
+      // (downstream CONSECUTIVE ops report their standard no-order error;
+      // statement traces still snapshot the result, without row mappings)
+      CTable(combined, lt.cols.map(c => c.copy(namespaces = Set(None))), Nil, Nil)
   }
 
   /** Re-alias every internal column so two uses of the same stored table get

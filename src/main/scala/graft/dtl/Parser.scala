@@ -64,9 +64,31 @@ final class Parser(tokens: Vector[Token]) {
     } else err("expected WITH or EXPORT")
   }
 
+  /** Table expression with left-associative set-operation chaining
+    * (`a UNION [ALL] b EXCEPT c …`); parentheses group. A SELECT body binds
+    * tighter than the set op (standard SQL reading of
+    * `SELECT … FROM t UNION u`), because the primary consumes the whole
+    * SELECT before the chain loop sees UNION.
+    */
   def parseTableExpr(): TableExpr = {
+    var left = parsePrimaryTableExpr()
+    while (isKw("UNION") || isKw("EXCEPT") || isKw("INTERSECT")) {
+      val p = pos
+      val op =
+        if (isKw("UNION")) {
+          advance()
+          if (isKw("ALL")) { advance(); UnionAll } else UnionDistinct
+        } else if (isKw("EXCEPT")) { advance(); ExceptDistinct }
+        else { advance(); IntersectDistinct }
+      left = SetOpExpr(op, left, parsePrimaryTableExpr(), p)
+    }
+    left
+  }
+
+  private def parsePrimaryTableExpr(): TableExpr = {
     val p = pos
-    if (isKw("IMPORT")) { advance(); ImportExpr(eatString(), p) }
+    if (isPunct("(")) { advance(); val te = parseTableExpr(); eatPunct(")"); te }
+    else if (isKw("IMPORT")) { advance(); ImportExpr(eatString(), p) }
     else if (isKw("SELECT")) parseSelect()
     else TableRef(eatName(), p)
   }

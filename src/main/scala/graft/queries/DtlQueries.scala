@@ -116,6 +116,19 @@ object DtlQueries {
         |  WHERE to_int64(token_count(text)) >= 5;
         |EXPORT output TO 'output';""".stripMargin)),
 
+    // set operations (UNION [ALL] / EXCEPT / INTERSECT) in the language:
+    // symmetric-difference customers with their concat multiplicities
+    "dtl_setops" -> ((s, d) => run(s, d,
+      """WITH customer AS IMPORT 'customer';
+        |WITH orders AS IMPORT 'orders';
+        |WITH a AS SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING';
+        |WITH b AS SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000.0;
+        |WITH ua AS a UNION ALL b;
+        |WITH sym AS (a UNION b) EXCEPT (a INTERSECT b);
+        |WITH cnt AS SELECT k, count() AS n_all FROM ua GROUP BY k;
+        |WITH output AS SELECT cnt.k AS k, n_all FROM cnt JOIN sym ON cnt.k = sym.k;
+        |EXPORT output TO 'output';""".stripMargin)),
+
     // curation operators surfaced as DTL registry functions: deterministic
     // hash-based sampling inside the language itself
     "dtl_curation" -> ((s, d) => run(s, d,
@@ -201,6 +214,14 @@ object DtlQueries {
       """SELECT o_custkey, count(*) AS n_big
         |FROM orders WHERE o_totalprice > 400000.0
         |GROUP BY o_custkey HAVING count(*) >= 2""".stripMargin,
+    "dtl_setops" ->
+      """WITH a AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |     b AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000.0),
+        |     ua AS (SELECT k FROM a UNION ALL SELECT k FROM b),
+        |     sym AS ((SELECT k FROM a UNION SELECT k FROM b)
+        |             EXCEPT (SELECT k FROM a INTERSECT SELECT k FROM b)),
+        |     cnt AS (SELECT k, count(*) AS n_all FROM ua GROUP BY k)
+        |SELECT cnt.k AS k, n_all FROM cnt JOIN sym ON cnt.k = sym.k""".stripMargin,
     "dtl_curation" ->
       """WITH w AS (SELECT doc_id, text, string_split_regex(trim(text),'\s+') AS ws,
         |                  length(trim(text)) = 0 AS empty FROM documents

@@ -478,6 +478,77 @@ class EngineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("must be BOOL"))
   }
 
+  test("set operations: UNION [ALL], EXCEPT, INTERSECT with distinct semantics") {
+    val a = Seq(1L, 2L, 2L, 3L).toDF("k")
+    val b = Seq(3L, 4L).toDF("k")
+    val out = engine.runSimple(
+      """WITH a AS IMPORT 'a';
+        |WITH b AS IMPORT 'b';
+        |WITH ua AS a UNION ALL b;
+        |WITH u AS a UNION b;
+        |WITH e AS a EXCEPT b;
+        |WITH i AS a INTERSECT b;
+        |EXPORT ua TO 'ua'; EXPORT u TO 'u'; EXPORT e TO 'e'; EXPORT i TO 'i';""".stripMargin,
+      Map("a" -> a, "b" -> b))
+    assert(out("ua").count() == 6) // ALL keeps duplicates
+    check(out("u").orderBy("k"), Seq("k"), Seq(Seq(1L), Seq(2L), Seq(3L), Seq(4L)))
+    check(out("e").orderBy("k"), Seq("k"), Seq(Seq(1L), Seq(2L)))
+    check(out("i"), Seq("k"), Seq(Seq(3L)))
+  }
+
+  test("set-operation chains are left-associative; parentheses group") {
+    val a = Seq(1L, 2L).toDF("k")
+    val b = Seq(2L, 3L).toDF("k")
+    val c = Seq(3L).toDF("k")
+    val out = engine.runSimple(
+      """WITH a AS IMPORT 'a';
+        |WITH b AS IMPORT 'b';
+        |WITH c AS IMPORT 'c';
+        |WITH chain AS a UNION b EXCEPT c;
+        |WITH grouped AS a UNION (b EXCEPT c);
+        |EXPORT chain TO 'chain'; EXPORT grouped TO 'grouped';""".stripMargin,
+      Map("a" -> a, "b" -> b, "c" -> c))
+    // (a UNION b) EXCEPT c = {1,2}; a UNION (b EXCEPT c) = {1,2}
+    check(out("chain").orderBy("k"), Seq("k"), Seq(Seq(1L), Seq(2L)))
+    check(out("grouped").orderBy("k"), Seq("k"), Seq(Seq(1L), Seq(2L)))
+  }
+
+  test("set operations reject schema mismatches strictly") {
+    import org.apache.spark.sql.functions.col
+    val a = Seq(1L).toDF("k")
+    val nameMismatch = intercept[DtlError] {
+      engine.runSimple(
+        """WITH a AS IMPORT 'a';
+          |WITH b AS IMPORT 'b';
+          |WITH o AS a UNION b;
+          |EXPORT o TO 'o';""".stripMargin,
+        Map("a" -> a, "b" -> Seq(1L).toDF("j")))
+    }
+    assert(nameMismatch.getMessage.contains("identical columns"))
+    val typeMismatch = intercept[DtlError] {
+      engine.runSimple(
+        """WITH a AS IMPORT 'a';
+          |WITH b AS IMPORT 'b';
+          |WITH o AS a INTERSECT b;
+          |EXPORT o TO 'o';""".stripMargin,
+        Map("a" -> a, "b" -> Seq(1L).toDF("k").select(col("k").cast("int").as("k"))))
+    }
+    assert(typeMismatch.getMessage.contains("INT64") && typeMismatch.getMessage.contains("INT32"))
+  }
+
+  test("SELECT binds tighter than a trailing set op; set-op output composes") {
+    val a = Seq(1L, 5L).toDF("k")
+    val b = Seq(7L).toDF("k")
+    val out = engine.runSimple(
+      """WITH a AS IMPORT 'a';
+        |WITH b AS IMPORT 'b';
+        |WITH u AS SELECT k FROM a WHERE k > 2 UNION b;
+        |WITH output AS SELECT k + 1 AS k1 FROM u;
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("a" -> a, "b" -> b))
+    check(out("output").orderBy("k1"), Seq("k1"), Seq(Seq(6L), Seq(8L)))
+  }
+
   test("string literals, booleans and functions") {
     val out = engine.runSimple(
       """WITH input AS IMPORT 'input';
