@@ -214,6 +214,12 @@ object FunctionRegistry {
     arity("median", 1) { (args, pos) =>
       if (!isNumeric(args.head.dtype)) fail(pos, "median expects a numeric argument")
       TypedCol(median(args.head.col), TDouble)
+    },
+    arity("percentile", 2) { (args, pos) =>
+      if (!isNumeric(args.head.dtype)) fail(pos, "percentile expects a numeric argument")
+      if (args(1).dtype != TDouble)
+        fail(pos, "percentile expects a DOUBLE fraction (e.g. percentile(x, 0.95))")
+      TypedCol(percentile(args.head.col, args(1).col), TDouble)
     }
   )
 

@@ -70,6 +70,29 @@ object DtlProperties extends Properties("dtl") {
         marked == expected
     }
 
+  property("set algebra laws: |A UNION ALL B| = |A|+|B|; sym-diff + intersect partition the union") =
+    forAll(Gen.listOf(Gen.choose(0L, 9L)), Gen.listOf(Gen.choose(0L, 9L))) { (as0, bs0) =>
+      val as = 0L :: as0 // non-empty: empty DataFrames can't round-trip a schema
+      val bs = 9L :: bs0
+      locally {
+        val out = engine.runSimple(
+          """WITH a AS IMPORT 'a';
+            |WITH b AS IMPORT 'b';
+            |WITH ua AS a UNION ALL b;
+            |WITH u AS a UNION b;
+            |WITH i AS a INTERSECT b;
+            |WITH sd AS (a EXCEPT b) UNION (b EXCEPT a);
+            |EXPORT ua TO 'ua'; EXPORT u TO 'u'; EXPORT i TO 'i'; EXPORT sd TO 'sd';""".stripMargin,
+          Map("a" -> as.toDF("k"), "b" -> bs.toDF("k")))
+        val (sa, sb) = (as.toSet, bs.toSet)
+        out("ua").count() == as.size + bs.size &&
+          out("u").as[Long].collect().toSet == (sa union sb) &&
+          out("i").as[Long].collect().toSet == (sa intersect sb) &&
+          out("sd").as[Long].collect().toSet == ((sa diff sb) union (sb diff sa)) &&
+          out("u").count() == out("i").count() + out("sd").count()
+      }
+    }
+
   property("self equi-join cardinality equals key multiplicity squared") =
     forAll(Gen.listOfN(6, Gen.choose(0L, 2L))) { keys =>
       val df = keys.toDF("k")

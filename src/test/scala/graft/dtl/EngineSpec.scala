@@ -478,6 +478,18 @@ class EngineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("must be BOOL"))
   }
 
+  test("percentile aggregate interpolates per group") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("b", 10.0))
+      .toDF("g", "v")
+    val out = engine.runSimple(
+      """WITH input AS IMPORT 'input';
+        |WITH output AS SELECT g, percentile(v, 0.5) AS p50 FROM input GROUP BY g;
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("input" -> df))
+    check(out("output").orderBy("g"), Seq("g", "p50"),
+      Seq(Seq("a", 2.5), Seq("b", 10.0)))
+  }
+
   test("set operations: UNION [ALL], EXCEPT, INTERSECT with distinct semantics") {
     val a = Seq(1L, 2L, 2L, 3L).toDF("k")
     val b = Seq(3L, 4L).toDF("k")
