@@ -75,6 +75,72 @@ final class Compiler(
     matches.head
   }
 
+  // ---------------------------------------------------------------- windows
+
+  /** Ranking/offset functions usable only with OVER. Aggregates from the
+    * registry (sum/avg/min/max/count/…) also accept OVER — `fn.over(spec)`.
+    */
+  private val rankingFns = Set("row_number", "rank", "dense_rank")
+
+  private def compileWindow(w: WindowCall, scope: List[SCol]): TypedCol = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = w.pos
+    val base: TypedCol = w.name match {
+      case "row_number" | "rank" | "dense_rank" =>
+        if (w.args.nonEmpty)
+          typeErr(pos, s"${w.name} takes no arguments")
+        val c = w.name match {
+          case "row_number" => row_number()
+          case "rank" => rank()
+          case "dense_rank" => dense_rank()
+        }
+        TypedCol(c, TInt32)
+      case "lag" | "lead" =>
+        val offset = w.args match {
+          case _ :: Nil => 1
+          case _ :: IntLit(n, _) :: Nil => n.toInt
+          case _ :: other :: Nil =>
+            typeErr(other.pos, s"${w.name} offset must be an integer literal")
+          case _ => typeErr(pos, s"${w.name} expects (expression [, offset])")
+        }
+        val v = compileExpr(w.args.head, scope)
+        TypedCol(if (w.name == "lag") lag(v.col, offset) else lead(v.col, offset), v.dtype)
+      case name if registry.aggregates.contains(name) =>
+        registry.aggregates(name)(w.args.map(compileExpr(_, scope)), pos)
+      case other =>
+        throw DtlError(s"unknown window function '$other'", pos.line, pos.col)
+    }
+    if (w.orderBy.isEmpty && (rankingFns(w.name) || w.name == "lag" || w.name == "lead"))
+      throw DtlError(s"${w.name} OVER (...) requires ORDER BY", pos.line, pos.col)
+    val parts = w.partitionBy.map(compileExpr(_, scope).col)
+    val sorts = w.orderBy.map { k =>
+      val c = compileExpr(k.expr, scope)
+      if (!isOrderable(c.dtype))
+        typeErr(k.expr.pos, s"cannot ORDER BY ${c.dtype.name}")
+      if (k.descending) c.col.desc else c.col.asc
+    }
+    val spec0 = Window.partitionBy(parts: _*)
+    val spec = if (sorts.nonEmpty) spec0.orderBy(sorts: _*) else spec0
+    TypedCol(base.col.over(spec), base.dtype)
+  }
+
+  /** Windows are only legal in SELECT bindings and ORDER BY — reject them in
+    * predicate/grouping positions with a DTL error instead of letting Spark
+    * throw an analysis exception.
+    */
+  private def rejectWindows(e: Expr, context: String): Unit = e match {
+    case w: WindowCall =>
+      throw DtlError(s"window functions are not allowed in $context", w.pos.line, w.pos.col)
+    case FuncCall(_, args, _) => args.foreach(rejectWindows(_, context))
+    case Binary(_, l, r, _) => rejectWindows(l, context); rejectWindows(r, context)
+    case Unary(_, o, _) => rejectWindows(o, context)
+    case IsNull(o, _, _) => rejectWindows(o, context)
+    case InList(o, vs, _, _) => rejectWindows(o, context); vs.foreach(rejectWindows(_, context))
+    case Between(o, lo, hi, _, _) =>
+      rejectWindows(o, context); rejectWindows(lo, context); rejectWindows(hi, context)
+    case _ => ()
+  }
+
   // ---------------------------------------------------------------- expressions
 
   def compileExpr(expr: Expr, scope: List[SCol]): TypedCol = expr match {
@@ -92,6 +158,7 @@ final class Compiler(
           throw DtlError(s"aggregate function '$name' is only allowed in a grouped SELECT", pos.line, pos.col)
         case None => throw DtlError(s"unknown function '$name'", pos.line, pos.col)
       }
+    case w: WindowCall => compileWindow(w, scope)
     case Unary("not", e, pos) =>
       val t = compileExpr(e, scope)
       if (t.dtype != TBool) typeErr(pos, s"NOT expects BOOL, got ${t.dtype.name}")
@@ -276,6 +343,7 @@ final class Compiler(
       val combined = scope ++ rightScope
       val condition = jc.constraint match {
         case JoinOn(pred) =>
+          rejectWindows(pred, "JOIN ON predicates")
           val p = compileExpr(pred, combined)
           if (p.dtype != TBool)
             typeErr(jc.pos, s"JOIN ON predicate must be BOOL, got ${p.dtype.name}")
@@ -298,6 +366,7 @@ final class Compiler(
 
     // WHERE: boolean mask; null-predicate rows dropped (identical to pac.filter)
     for (pred <- sel.where) {
+      rejectWindows(pred, "WHERE predicates")
       val p = compileExpr(pred, scope)
       if (p.dtype != TBool) typeErr(sel.pos, s"WHERE predicate must be BOOL, got ${p.dtype.name}")
       df = df.filter(p.col)
@@ -329,6 +398,7 @@ final class Compiler(
     // HAVING resolves against the grouped SELECT's output columns (aliases),
     // so `... count() AS n ... HAVING n >= 3` filters post-aggregation
     val afterHaving = sel.having.fold(projectedTable) { pred =>
+      rejectWindows(pred, "HAVING predicates")
       val p = compileExpr(pred, projectedTable.cols)
       if (p.dtype != TBool) typeErr(sel.pos, s"HAVING predicate must be BOOL, got ${p.dtype.name}")
       projectedTable.copy(df = projectedTable.df.filter(p.col))
@@ -402,6 +472,7 @@ final class Compiler(
       scope: List[SCol], ordCols: List[String],
       rids: List[(String, String)] = Nil): CTable = {
     var df = df0
+    gb.keys.foreach(rejectWindows(_, "GROUP BY keys"))
     val keyExprs = gb.keys.map(k => (k, compileExpr(k, scope)))
     val keyInternals = keyExprs.map(_ => fresh("k"))
 

@@ -299,7 +299,32 @@ final class Parser(tokens: Vector[Token]) {
             while (isPunct(",")) { advance(); args += parseExpr() }
           }
           eatPunct(")")
-          FuncCall(n, args.result(), p)
+          val argList = args.result()
+          if (isKw("OVER")) {
+            advance(); eatPunct("(")
+            val parts = List.newBuilder[Expr]
+            if (isKw("PARTITION")) {
+              advance(); eatKw("BY")
+              parts += parseExpr()
+              while (isPunct(",")) { advance(); parts += parseExpr() }
+            }
+            val keys = List.newBuilder[OrderKey]
+            if (isKw("ORDER")) {
+              advance(); eatKw("BY")
+              def key(): OrderKey = {
+                val e = parseExpr()
+                val desc =
+                  if (isKw("DESC")) { advance(); true }
+                  else if (isKw("ASC")) { advance(); false }
+                  else false
+                OrderKey(e, desc)
+              }
+              keys += key()
+              while (isPunct(",")) { advance(); keys += key() }
+            }
+            eatPunct(")")
+            WindowCall(n, argList, parts.result(), keys.result(), p)
+          } else FuncCall(n, argList, p)
         } else if (isPunct(".")) {
           advance()
           val colName = eatName()

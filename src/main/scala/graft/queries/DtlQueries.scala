@@ -116,6 +116,20 @@ object DtlQueries {
         |  WHERE to_int64(token_count(text)) >= 5;
         |EXPORT output TO 'output';""".stripMargin)),
 
+    // window functions in the language: ranking, running sum, lag. The
+    // synthetic lineitem has duplicate line numbers per order, so the
+    // window ORDER BY carries a full unique tiebreak (oracle-parity rule:
+    // deterministic row sets only)
+    "dtl_window" -> ((s, d) => run(s, d,
+      """WITH lineitem AS IMPORT 'lineitem';
+        |WITH output AS
+        |  SELECT l_orderkey, l_linenumber,
+        |         row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice, l_quantity, l_discount) AS rn,
+        |         sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice, l_quantity, l_discount) AS run_qty,
+        |         lag(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice, l_quantity, l_discount) AS prev_qty
+        |  FROM lineitem;
+        |EXPORT output TO 'output';""".stripMargin)),
+
     // set operations (UNION [ALL] / EXCEPT / INTERSECT) in the language:
     // symmetric-difference customers with their concat multiplicities
     "dtl_setops" -> ((s, d) => run(s, d,
@@ -214,6 +228,12 @@ object DtlQueries {
       """SELECT o_custkey, count(*) AS n_big
         |FROM orders WHERE o_totalprice > 400000.0
         |GROUP BY o_custkey HAVING count(*) >= 2""".stripMargin,
+    "dtl_window" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice, l_quantity, l_discount) AS INTEGER) AS rn,
+        | sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice, l_quantity, l_discount) AS run_qty,
+        | lag(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice, l_quantity, l_discount) AS prev_qty
+        |FROM lineitem""".stripMargin,
     "dtl_setops" ->
       """WITH a AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
         |     b AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000.0),

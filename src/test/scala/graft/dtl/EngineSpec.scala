@@ -478,6 +478,48 @@ class EngineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("must be BOOL"))
   }
 
+  test("window functions: ranking, running sum, lag with offset") {
+    val df = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0), ("b", 1L, 5.0))
+      .toDF("g", "i", "v")
+    val out = engine.runSimple(
+      """WITH input AS IMPORT 'input';
+        |WITH output AS
+        |  SELECT g, i,
+        |         row_number() OVER (PARTITION BY g ORDER BY i DESC) AS rn,
+        |         sum(v) OVER (PARTITION BY g ORDER BY i) AS running,
+        |         lag(v) OVER (PARTITION BY g ORDER BY i) AS prev,
+        |         lag(v, 2) OVER (PARTITION BY g ORDER BY i) AS prev2
+        |  FROM input;
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("input" -> df))
+    check(out("output").orderBy("g", "i"), Seq("g", "i", "rn", "running", "prev", "prev2"),
+      Seq(
+        Seq("a", 1L, 3, 10.0, null, null),
+        Seq("a", 2L, 2, 30.0, 10.0, null),
+        Seq("a", 3L, 1, 60.0, 20.0, 10.0),
+        Seq("b", 1L, 1, 5.0, null, null)))
+  }
+
+  test("window functions are rejected outside SELECT bindings; ranking needs ORDER BY") {
+    val df = Seq(("a", 1L)).toDF("g", "i")
+    val inWhere = intercept[DtlError] {
+      engine.runSimple(
+        """WITH input AS IMPORT 'input';
+          |WITH o AS SELECT g FROM input WHERE row_number() OVER (ORDER BY i) = 1;
+          |EXPORT o TO 'o';""".stripMargin,
+        Map("input" -> df))
+    }
+    assert(inWhere.getMessage.contains("not allowed in WHERE"))
+    val noOrder = intercept[DtlError] {
+      engine.runSimple(
+        """WITH input AS IMPORT 'input';
+          |WITH o AS SELECT row_number() OVER (PARTITION BY g) AS rn FROM input;
+          |EXPORT o TO 'o';""".stripMargin,
+        Map("input" -> df))
+    }
+    assert(noOrder.getMessage.contains("requires ORDER BY"))
+  }
+
   test("percentile aggregate interpolates per group") {
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("b", 10.0))
       .toDF("g", "v")
