@@ -85,6 +85,9 @@ final class Compiler(
   private def compileWindow(w: WindowCall, scope: List[SCol]): TypedCol = {
     import org.apache.spark.sql.expressions.Window
     val pos = w.pos
+    w.args.foreach(rejectWindows(_, "window function arguments"))
+    w.partitionBy.foreach(rejectWindows(_, "PARTITION BY"))
+    w.orderBy.foreach(k => rejectWindows(k.expr, "a window's ORDER BY"))
     val base: TypedCol = w.name match {
       case "row_number" | "rank" | "dense_rank" =>
         if (w.args.nonEmpty)
@@ -98,13 +101,19 @@ final class Compiler(
       case "lag" | "lead" =>
         val offset = w.args match {
           case _ :: Nil => 1
-          case _ :: IntLit(n, _) :: Nil => n.toInt
+          case _ :: IntLit(n, p2) :: Nil =>
+            if (n < 1 || n > Int.MaxValue)
+              typeErr(p2, s"${w.name} offset must be in [1, ${Int.MaxValue}], got $n")
+            n.toInt
           case _ :: other :: Nil =>
             typeErr(other.pos, s"${w.name} offset must be an integer literal")
           case _ => typeErr(pos, s"${w.name} expects (expression [, offset])")
         }
         val v = compileExpr(w.args.head, scope)
         TypedCol(if (w.name == "lag") lag(v.col, offset) else lead(v.col, offset), v.dtype)
+      case "count_distinct" =>
+        throw DtlError("count_distinct is not usable as a window function " +
+          "(Spark does not support DISTINCT window aggregates)", pos.line, pos.col)
       case name if registry.aggregates.contains(name) =>
         registry.aggregates(name)(w.args.map(compileExpr(_, scope)), pos)
       case other =>
@@ -124,9 +133,11 @@ final class Compiler(
     TypedCol(base.col.over(spec), base.dtype)
   }
 
-  /** Windows are only legal in SELECT bindings and ORDER BY — reject them in
-    * predicate/grouping positions with a DTL error instead of letting Spark
-    * throw an analysis exception.
+  /** Windows are only legal in ungrouped SELECT bindings — reject them in
+    * predicate/grouping/sort positions (and nested inside aggregates or
+    * other windows) with a DTL error instead of letting Spark throw an
+    * analysis exception. To sort by a window value, bind it with AS first
+    * and ORDER BY the alias.
     */
   private def rejectWindows(e: Expr, context: String): Unit = e match {
     case w: WindowCall =>
@@ -416,6 +427,9 @@ final class Compiler(
     var ordCols = t.ordCols
     if (sel.orderBy.nonEmpty) {
       val outScope = t.cols
+      // to sort by a window value, bind it with AS and ORDER BY the alias —
+      // Spark's Sort operator rejects raw window expressions
+      sel.orderBy.foreach(k => rejectWindows(k.expr, "ORDER BY"))
       val compiled = sel.orderBy.map(k => (k.descending, compileExpr(k.expr, outScope)))
       if (ordCols.nonEmpty) {
         if (compiled.forall(!_._1)) {
@@ -511,6 +525,7 @@ final class Compiler(
       case WildcardBinding(p) =>
         throw DtlError("SELECT * is not allowed with GROUP BY", p.line, p.col)
       case ExprBinding(e, alias) =>
+        rejectWindows(e, "grouped SELECT bindings")
         val name = alias.getOrElse(e match {
           case ColumnRef(_, n, _) => n
           case other => throw DtlError(

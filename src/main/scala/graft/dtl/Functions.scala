@@ -219,6 +219,14 @@ object FunctionRegistry {
       if (!isNumeric(args.head.dtype)) fail(pos, "percentile expects a numeric argument")
       if (args(1).dtype != TDouble)
         fail(pos, "percentile expects a DOUBLE fraction (e.g. percentile(x, 0.95))")
+      // Spark requires a foldable fraction; validate here so bad fractions
+      // are compile-time DTL errors like every other argument check
+      org.apache.spark.sql.GraftColumnBridge.literalValue(args(1).col) match {
+        case Some(d: Double) if d >= 0.0 && d <= 1.0 => ()
+        case Some(d: Double) =>
+          fail(pos, s"percentile fraction must be in [0, 1], got $d")
+        case _ => fail(pos, "percentile fraction must be a literal (e.g. 0.95)")
+      }
       TypedCol(percentile(args.head.col, args(1).col), TDouble)
     }
   )

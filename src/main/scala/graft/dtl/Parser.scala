@@ -64,23 +64,33 @@ final class Parser(tokens: Vector[Token]) {
     } else err("expected WITH or EXPORT")
   }
 
-  /** Table expression with left-associative set-operation chaining
-    * (`a UNION [ALL] b EXCEPT c …`); parentheses group. A SELECT body binds
-    * tighter than the set op (standard SQL reading of
-    * `SELECT … FROM t UNION u`), because the primary consumes the whole
-    * SELECT before the chain loop sees UNION.
+  /** Table expression with set-operation chaining; standard SQL precedence:
+    * INTERSECT binds tighter than UNION/EXCEPT, same-level operators are
+    * left-associative, parentheses group. A SELECT body binds tighter than
+    * the set op (standard SQL reading of `SELECT … FROM t UNION u`), because
+    * the primary consumes the whole SELECT before the chain loops see the
+    * operator keywords.
     */
   def parseTableExpr(): TableExpr = {
-    var left = parsePrimaryTableExpr()
-    while (isKw("UNION") || isKw("EXCEPT") || isKw("INTERSECT")) {
+    var left = parseIntersectExpr()
+    while (isKw("UNION") || isKw("EXCEPT")) {
       val p = pos
       val op =
         if (isKw("UNION")) {
           advance()
           if (isKw("ALL")) { advance(); UnionAll } else UnionDistinct
-        } else if (isKw("EXCEPT")) { advance(); ExceptDistinct }
-        else { advance(); IntersectDistinct }
-      left = SetOpExpr(op, left, parsePrimaryTableExpr(), p)
+        } else { advance(); ExceptDistinct }
+      left = SetOpExpr(op, left, parseIntersectExpr(), p)
+    }
+    left
+  }
+
+  private def parseIntersectExpr(): TableExpr = {
+    var left = parsePrimaryTableExpr()
+    while (isKw("INTERSECT")) {
+      val p = pos
+      advance()
+      left = SetOpExpr(IntersectDistinct, left, parsePrimaryTableExpr(), p)
     }
     left
   }

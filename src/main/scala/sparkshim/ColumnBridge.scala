@@ -12,4 +12,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** The literal value behind a `lit(...)` column, if it is one. The bridged
+    * expression is a LAZY ColumnNodeExpression (not a Catalyst Literal, not
+    * foldable before conversion), so literal checks must look at the column
+    * node itself.
+    */
+  def literalValue(c: Column): Option[Any] = c.node match {
+    case l: org.apache.spark.sql.internal.Literal => Some(l.value)
+    case _ => None
+  }
 }

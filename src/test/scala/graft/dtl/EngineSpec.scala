@@ -520,6 +520,55 @@ class EngineSpec extends AnyFunSuite {
     assert(noOrder.getMessage.contains("requires ORDER BY"))
   }
 
+  test("invalid window positions and arguments are typed DTL errors") {
+    val df = Seq(("a", 1L, 2.0)).toDF("g", "i", "v")
+    def rejects(src: String, needle: String): Unit = {
+      val e = intercept[DtlError] { engine.runSimple(src, Map("input" -> df)) }
+      assert(e.getMessage.contains(needle), s"got: ${e.getMessage}")
+    }
+    // window in a grouped SELECT binding (was a raw MatchError)
+    rejects(
+      """WITH input AS IMPORT 'input';
+        |WITH o AS SELECT g, sum(v) OVER (PARTITION BY g ORDER BY i) AS w FROM input GROUP BY g;
+        |EXPORT o TO 'o';""".stripMargin,
+      "grouped SELECT bindings")
+    // window in SELECT-level ORDER BY (Spark's Sort rejects raw windows)
+    rejects(
+      """WITH input AS IMPORT 'input';
+        |WITH o AS SELECT g, i FROM input ORDER BY row_number() OVER (ORDER BY i);
+        |EXPORT o TO 'o';""".stripMargin,
+      "ORDER BY")
+    // window nested inside an aggregate
+    rejects(
+      """WITH input AS IMPORT 'input';
+        |WITH o AS SELECT g, sum(row_number() OVER (ORDER BY i)) AS s FROM input GROUP BY g;
+        |EXPORT o TO 'o';""".stripMargin,
+      "grouped SELECT bindings")
+    // distinct window aggregate (unsupported by Spark)
+    rejects(
+      """WITH input AS IMPORT 'input';
+        |WITH o AS SELECT count_distinct(i) OVER (PARTITION BY g) AS cd FROM input;
+        |EXPORT o TO 'o';""".stripMargin,
+      "count_distinct is not usable")
+    // lag offset overflow must not silently wrap to 1
+    rejects(
+      """WITH input AS IMPORT 'input';
+        |WITH o AS SELECT lag(v, 4294967297) OVER (ORDER BY i) AS p FROM input;
+        |EXPORT o TO 'o';""".stripMargin,
+      "offset must be in")
+    // percentile fraction validation
+    rejects(
+      """WITH input AS IMPORT 'input';
+        |WITH o AS SELECT g, percentile(v, 1.5) AS p FROM input GROUP BY g;
+        |EXPORT o TO 'o';""".stripMargin,
+      "must be in [0, 1]")
+    rejects(
+      """WITH input AS IMPORT 'input';
+        |WITH o AS SELECT g, percentile(v, v) AS p FROM input GROUP BY g;
+        |EXPORT o TO 'o';""".stripMargin,
+      "must be a literal")
+  }
+
   test("percentile aggregate interpolates per group") {
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("b", 10.0))
       .toDF("g", "v")
@@ -550,7 +599,7 @@ class EngineSpec extends AnyFunSuite {
     check(out("i"), Seq("k"), Seq(Seq(3L)))
   }
 
-  test("set-operation chains are left-associative; parentheses group") {
+  test("set-op precedence: INTERSECT binds tighter; same level left-assoc; parens group") {
     val a = Seq(1L, 2L).toDF("k")
     val b = Seq(2L, 3L).toDF("k")
     val c = Seq(3L).toDF("k")
@@ -560,11 +609,14 @@ class EngineSpec extends AnyFunSuite {
         |WITH c AS IMPORT 'c';
         |WITH chain AS a UNION b EXCEPT c;
         |WITH grouped AS a UNION (b EXCEPT c);
-        |EXPORT chain TO 'chain'; EXPORT grouped TO 'grouped';""".stripMargin,
+        |WITH prec AS a UNION b INTERSECT c;
+        |EXPORT chain TO 'chain'; EXPORT grouped TO 'grouped'; EXPORT prec TO 'prec';""".stripMargin,
       Map("a" -> a, "b" -> b, "c" -> c))
     // (a UNION b) EXCEPT c = {1,2}; a UNION (b EXCEPT c) = {1,2}
     check(out("chain").orderBy("k"), Seq("k"), Seq(Seq(1L), Seq(2L)))
     check(out("grouped").orderBy("k"), Seq("k"), Seq(Seq(1L), Seq(2L)))
+    // SQL precedence: a UNION (b INTERSECT c) = {1,2,3}, NOT (a UNION b) INTERSECT c = {3}
+    check(out("prec").orderBy("k"), Seq("k"), Seq(Seq(1L), Seq(2L), Seq(3L)))
   }
 
   test("set operations reject schema mismatches strictly") {
