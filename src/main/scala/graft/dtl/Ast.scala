@@ -21,11 +21,18 @@ object Ast {
   final case class IsNull(operand: Expr, negated: Boolean, pos: Pos) extends Expr
   final case class InList(operand: Expr, values: List[Expr], negated: Boolean, pos: Pos) extends Expr
   final case class Between(operand: Expr, lo: Expr, hi: Expr, negated: Boolean, pos: Pos) extends Expr
-  /** Window function call: `fn(args) OVER ([PARTITION BY ...] [ORDER BY ...])`
+  /** Frame bound for `ROWS BETWEEN`: None = UNBOUNDED, Some(0) = CURRENT
+    * ROW, Some(-n) = n PRECEDING, Some(n) = n FOLLOWING.
+    */
+  final case class FrameBound(rows: Option[Long])
+  final case class WindowFrame(lower: FrameBound, upper: FrameBound)
+  /** Window function call:
+    * `fn(args) OVER ([PARTITION BY ...] [ORDER BY ...] [ROWS BETWEEN ...])`
     * (extension: SURVEY §2 D "window functions" — absent from the reference).
     */
   final case class WindowCall(name: String, args: List[Expr],
-      partitionBy: List[Expr], orderBy: List[OrderKey], pos: Pos) extends Expr
+      partitionBy: List[Expr], orderBy: List[OrderKey],
+      frame: Option[WindowFrame], pos: Pos) extends Expr
 
   sealed trait Binding
   final case class WildcardBinding(pos: Pos) extends Binding

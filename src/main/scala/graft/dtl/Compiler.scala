@@ -129,7 +129,20 @@ final class Compiler(
       if (k.descending) c.col.desc else c.col.asc
     }
     val spec0 = Window.partitionBy(parts: _*)
-    val spec = if (sorts.nonEmpty) spec0.orderBy(sorts: _*) else spec0
+    val spec1 = if (sorts.nonEmpty) spec0.orderBy(sorts: _*) else spec0
+    val spec = w.frame match {
+      case None => spec1
+      case Some(f) =>
+        if (rankingFns(w.name) || w.name == "lag" || w.name == "lead")
+          throw DtlError(s"${w.name} does not accept a ROWS frame", pos.line, pos.col)
+        if (w.orderBy.isEmpty)
+          throw DtlError("ROWS BETWEEN requires ORDER BY", pos.line, pos.col)
+        val lo = f.lower.rows.getOrElse(Window.unboundedPreceding)
+        val hi = f.upper.rows.getOrElse(Window.unboundedFollowing)
+        if (lo > hi)
+          throw DtlError(s"frame lower bound must not exceed upper bound", pos.line, pos.col)
+        spec1.rowsBetween(lo, hi)
+    }
     TypedCol(base.col.over(spec), base.dtype)
   }
 

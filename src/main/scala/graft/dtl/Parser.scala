@@ -332,8 +332,30 @@ final class Parser(tokens: Vector[Token]) {
               keys += key()
               while (isPunct(",")) { advance(); keys += key() }
             }
+            val frame =
+              if (isKw("ROWS")) {
+                advance(); eatKw("BETWEEN")
+                def bound(following: Boolean): FrameBound = cur match {
+                  case Token.Keyword("UNBOUNDED", _, _) =>
+                    advance()
+                    if (following) { eatKw("FOLLOWING") } else { eatKw("PRECEDING") }
+                    FrameBound(None)
+                  case Token.Keyword("CURRENT", _, _) =>
+                    advance(); eatKw("ROW"); FrameBound(Some(0L))
+                  case Token.IntLit(v, _, _, _) =>
+                    advance()
+                    if (isKw("PRECEDING")) { advance(); FrameBound(Some(-v)) }
+                    else if (isKw("FOLLOWING")) { advance(); FrameBound(Some(v)) }
+                    else err("expected PRECEDING or FOLLOWING")
+                  case _ => err("expected UNBOUNDED, CURRENT ROW, or <n> PRECEDING/FOLLOWING")
+                }
+                val lo = bound(following = false)
+                eatKw("AND")
+                val hi = bound(following = true)
+                Some(WindowFrame(lo, hi))
+              } else None
             eatPunct(")")
-            WindowCall(n, argList, parts.result(), keys.result(), p)
+            WindowCall(n, argList, parts.result(), keys.result(), frame, p)
           } else FuncCall(n, argList, p)
         } else if (isPunct(".")) {
           advance()

@@ -126,7 +126,8 @@ object DtlQueries {
         |  SELECT l_orderkey, l_linenumber,
         |         row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice, l_quantity, l_discount) AS rn,
         |         sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice, l_quantity, l_discount) AS run_qty,
-        |         lag(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice, l_quantity, l_discount) AS prev_qty
+        |         lag(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice, l_quantity, l_discount) AS prev_qty,
+        |         avg(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice, l_quantity, l_discount ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg
         |  FROM lineitem;
         |EXPORT output TO 'output';""".stripMargin)),
 
@@ -232,7 +233,8 @@ object DtlQueries {
       """SELECT l_orderkey, l_linenumber,
         | CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice, l_quantity, l_discount) AS INTEGER) AS rn,
         | sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice, l_quantity, l_discount) AS run_qty,
-        | lag(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice, l_quantity, l_discount) AS prev_qty
+        | lag(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice, l_quantity, l_discount) AS prev_qty,
+        | avg(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice, l_quantity, l_discount ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg
         |FROM lineitem""".stripMargin,
     "dtl_setops" ->
       """WITH a AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),

@@ -500,6 +500,35 @@ class EngineSpec extends AnyFunSuite {
         Seq("b", 1L, 1, 5.0, null, null)))
   }
 
+  test("ROWS frames: moving average and trailing window") {
+    val df = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 60.0), ("a", 4L, 100.0))
+      .toDF("g", "i", "v")
+    val out = engine.runSimple(
+      """WITH input AS IMPORT 'input';
+        |WITH output AS
+        |  SELECT i,
+        |         avg(v) OVER (PARTITION BY g ORDER BY i ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS mov2,
+        |         sum(v) OVER (PARTITION BY g ORDER BY i ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tail_sum
+        |  FROM input;
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("input" -> df))
+    check(out("output").orderBy("i"), Seq("i", "mov2", "tail_sum"),
+      Seq(
+        Seq(1L, 10.0, 190.0),
+        Seq(2L, 15.0, 180.0),
+        Seq(3L, 40.0, 160.0),
+        Seq(4L, 80.0, 100.0)))
+    // frames are rejected for ranking/offset functions and without ORDER BY
+    val e = intercept[DtlError] {
+      engine.runSimple(
+        """WITH input AS IMPORT 'input';
+          |WITH o AS SELECT row_number() OVER (ORDER BY i ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS rn FROM input;
+          |EXPORT o TO 'o';""".stripMargin,
+        Map("input" -> df))
+    }
+    assert(e.getMessage.contains("does not accept a ROWS frame"))
+  }
+
   test("window functions are rejected outside SELECT bindings; ranking needs ORDER BY") {
     val df = Seq(("a", 1L)).toDF("g", "i")
     val inWhere = intercept[DtlError] {
