@@ -77,8 +77,10 @@ object Ast {
   case object ExceptDistinct extends SetOp
   case object IntersectDistinct extends SetOp
   /** Set operation over two table expressions (extension: SURVEY §2 D "set
-    * ops" — absent from the reference grammar entirely). Chains are
-    * left-associative; parentheses group.
+    * ops" — absent from the reference grammar entirely). Standard SQL
+    * precedence: INTERSECT binds tighter than UNION/EXCEPT, same-level
+    * chains are left-associative, parentheses group (see
+    * Parser.parseTableExpr).
     */
   final case class SetOpExpr(op: SetOp, left: TableExpr, right: TableExpr,
       pos: Pos) extends TableExpr

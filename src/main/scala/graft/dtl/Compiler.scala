@@ -81,6 +81,10 @@ final class Compiler(
     * registry (sum/avg/min/max/count/…) also accept OVER — `fn.over(spec)`.
     */
   private val rankingFns = Set("row_number", "rank", "dense_rank")
+  /** Functions whose value depends on row position: they require ORDER BY
+    * and reject explicit frames.
+    */
+  private val positionalFns = rankingFns ++ Set("lag", "lead")
 
   private def compileWindow(w: WindowCall, scope: List[SCol]): TypedCol = {
     import org.apache.spark.sql.expressions.Window
@@ -102,8 +106,8 @@ final class Compiler(
         val offset = w.args match {
           case _ :: Nil => 1
           case _ :: IntLit(n, p2) :: Nil =>
-            if (n < 1 || n > Int.MaxValue)
-              typeErr(p2, s"${w.name} offset must be in [1, ${Int.MaxValue}], got $n")
+            if (n < 0 || n > Int.MaxValue)
+              typeErr(p2, s"${w.name} offset must be in [0, ${Int.MaxValue}], got $n")
             n.toInt
           case _ :: other :: Nil =>
             typeErr(other.pos, s"${w.name} offset must be an integer literal")
@@ -119,7 +123,7 @@ final class Compiler(
       case other =>
         throw DtlError(s"unknown window function '$other'", pos.line, pos.col)
     }
-    if (w.orderBy.isEmpty && (rankingFns(w.name) || w.name == "lag" || w.name == "lead"))
+    if (w.orderBy.isEmpty && positionalFns(w.name))
       throw DtlError(s"${w.name} OVER (...) requires ORDER BY", pos.line, pos.col)
     val parts = w.partitionBy.map(compileExpr(_, scope).col)
     val sorts = w.orderBy.map { k =>
@@ -133,10 +137,17 @@ final class Compiler(
     val spec = w.frame match {
       case None => spec1
       case Some(f) =>
-        if (rankingFns(w.name) || w.name == "lag" || w.name == "lead")
+        if (positionalFns(w.name))
           throw DtlError(s"${w.name} does not accept a ROWS frame", pos.line, pos.col)
         if (w.orderBy.isEmpty)
           throw DtlError("ROWS BETWEEN requires ORDER BY", pos.line, pos.col)
+        // Spark only accepts bounds in Int range (plus the unbounded Long
+        // sentinels) — range-check here so overflow is a typed DTL error,
+        // exactly like lag/lead offsets
+        for (b <- f.lower.rows ++ f.upper.rows)
+          if (b < Int.MinValue || b > Int.MaxValue)
+            throw DtlError(s"frame bound must be in [${Int.MinValue}, ${Int.MaxValue}], got $b",
+              pos.line, pos.col)
         val lo = f.lower.rows.getOrElse(Window.unboundedPreceding)
         val hi = f.upper.rows.getOrElse(Window.unboundedFollowing)
         if (lo > hi)

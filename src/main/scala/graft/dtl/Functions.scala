@@ -225,7 +225,7 @@ object FunctionRegistry {
         case Some(d: Double) if d >= 0.0 && d <= 1.0 => ()
         case Some(d: Double) =>
           fail(pos, s"percentile fraction must be in [0, 1], got $d")
-        case _ => fail(pos, "percentile fraction must be a literal (e.g. 0.95)")
+        case _ => fail(pos, "percentile fraction must be a DOUBLE literal in [0, 1] (e.g. 0.95)")
       }
       TypedCol(percentile(args.head.col, args(1).col), TDouble)
     }

@@ -527,6 +527,23 @@ class EngineSpec extends AnyFunSuite {
         Map("input" -> df))
     }
     assert(e.getMessage.contains("does not accept a ROWS frame"))
+    // frame bounds beyond Int range are typed errors, not raw Spark ones
+    val big = intercept[DtlError] {
+      engine.runSimple(
+        """WITH input AS IMPORT 'input';
+          |WITH o AS SELECT sum(v) OVER (ORDER BY i ROWS BETWEEN 4294967296 PRECEDING AND CURRENT ROW) AS s FROM input;
+          |EXPORT o TO 'o';""".stripMargin,
+        Map("input" -> df))
+    }
+    assert(big.getMessage.contains("frame bound must be in"))
+    // lag offset 0 is valid (current row)
+    val out0 = engine.runSimple(
+      """WITH input AS IMPORT 'input';
+        |WITH o AS SELECT lag(v, 0) OVER (PARTITION BY g ORDER BY i) AS same FROM input;
+        |EXPORT o TO 'o';""".stripMargin,
+      Map("input" -> df))
+    assert(out0("o").orderBy("same").collect().map(_.getDouble(0)).toSeq ==
+      Seq(10.0, 20.0, 60.0, 100.0))
   }
 
   test("window functions are rejected outside SELECT bindings; ranking needs ORDER BY") {
@@ -595,7 +612,7 @@ class EngineSpec extends AnyFunSuite {
       """WITH input AS IMPORT 'input';
         |WITH o AS SELECT g, percentile(v, v) AS p FROM input GROUP BY g;
         |EXPORT o TO 'o';""".stripMargin,
-      "must be a literal")
+      "must be a DOUBLE literal")
   }
 
   test("percentile aggregate interpolates per group") {
