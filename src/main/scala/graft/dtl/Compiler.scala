@@ -115,6 +115,13 @@ final class Compiler(
         }
         val v = compileExpr(w.args.head, scope)
         TypedCol(if (w.name == "lag") lag(v.col, offset) else lead(v.col, offset), v.dtype)
+      case "first_value" | "last_value" =>
+        w.args match {
+          case arg :: Nil =>
+            val v = compileExpr(arg, scope)
+            TypedCol(if (w.name == "first_value") first(v.col) else last(v.col), v.dtype)
+          case _ => typeErr(pos, s"${w.name} expects exactly one argument")
+        }
       case "count_distinct" =>
         throw DtlError("count_distinct is not usable as a window function " +
           "(Spark does not support DISTINCT window aggregates)", pos.line, pos.col)

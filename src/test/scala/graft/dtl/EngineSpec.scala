@@ -508,16 +508,18 @@ class EngineSpec extends AnyFunSuite {
         |WITH output AS
         |  SELECT i,
         |         avg(v) OVER (PARTITION BY g ORDER BY i ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS mov2,
-        |         sum(v) OVER (PARTITION BY g ORDER BY i ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tail_sum
+        |         sum(v) OVER (PARTITION BY g ORDER BY i ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tail_sum,
+        |         first_value(v) OVER (PARTITION BY g ORDER BY i) AS first_v,
+        |         last_value(v) OVER (PARTITION BY g ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_v
         |  FROM input;
         |EXPORT output TO 'output';""".stripMargin,
       Map("input" -> df))
-    check(out("output").orderBy("i"), Seq("i", "mov2", "tail_sum"),
+    check(out("output").orderBy("i"), Seq("i", "mov2", "tail_sum", "first_v", "last_v"),
       Seq(
-        Seq(1L, 10.0, 190.0),
-        Seq(2L, 15.0, 180.0),
-        Seq(3L, 40.0, 160.0),
-        Seq(4L, 80.0, 100.0)))
+        Seq(1L, 10.0, 190.0, 10.0, 100.0),
+        Seq(2L, 15.0, 180.0, 10.0, 100.0),
+        Seq(3L, 40.0, 160.0, 10.0, 100.0),
+        Seq(4L, 80.0, 100.0, 10.0, 100.0)))
     // frames are rejected for ranking/offset functions and without ORDER BY
     val e = intercept[DtlError] {
       engine.runSimple(
