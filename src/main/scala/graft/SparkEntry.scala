@@ -39,7 +39,7 @@ object SparkEntry {
   def headline: Seq[String] = Seq(
     "q01_pricing_summary", "q03_join_agg", "q04_top_orders",
     "q06_window_rank", "q14_star_revenue", "q16_events_hourly", "q18_agg_stats",
-    "q28_range_join", "q29_run_length",
-    "pipe_dedup_minhash", "pipe_embed_topk", "pipe_token_count",
-    "pipe_decontaminate", "pipe_pack_sequences")
+    "q26_asof_join", "q28_range_join", "q29_run_length",
+    "pipe_dedup_minhash", "pipe_dedup_clusters", "pipe_embed_topk",
+    "pipe_token_count", "pipe_decontaminate", "pipe_pack_sequences")
 }
