@@ -33,7 +33,7 @@ object SparkEntry {
     * driver records a rows-only check; exactness is covered by ScalaTest.
     */
   def noOracle: Set[String] = Set(
-    "pipe_dedup_simhash", "pipe_embed_ivf", "pipe_multimodal")
+    "pipe_dedup_simhash", "pipe_multimodal")
 
   /** Perf-indicative subset used by Bench (full map is correctness surface). */
   def headline: Seq[String] = Seq(

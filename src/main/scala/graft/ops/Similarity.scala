@@ -43,40 +43,52 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
   }
 
-  /** IVF index: pick C deterministic pseudo-random corpus rows as centroids,
-    * assign each vector to its nearest centroid. Returns the corpus with a
-    * `centroid_id` column — at scale this is written bucketed-by-centroid so
-    * probes touch only matching files.
+  /** The C centroids packed into ONE array column on a single-row frame —
+    * broadcast-cross-joining this multiplies nothing: every corpus row just
+    * gains a pointer to the (shared) centroid array.
     */
-  def ivfAssign(corpus: DataFrame, id: Column, vec: Column, nCentroids: Int,
-      seed: Long = 42L): (DataFrame, DataFrame) = {
+  private def centroidArray(centroids: DataFrame): DataFrame =
+    centroids.agg(collect_list(struct(col("centroid_id"), col("centroid_vec"))).as("cents"))
+
+  /** IVF index: pick C deterministic pseudo-random corpus rows as centroids
+    * (md5 ordering of the id — reproducible in any engine, unlike a
+    * Spark-internal hash), assign each vector to its nearest centroid.
+    * Returns the corpus with a `centroid_id` column — at scale this is
+    * written bucketed-by-centroid so probes touch only matching files.
+    *
+    * Assignment is a row-local argmax over the broadcast centroid array
+    * (native codegen [[graft.functions.CentroidMath]] — one loop per row,
+    * ZERO exchanges), not a cross-join + window: that shape materializes and
+    * shuffles n×C rows, which at realistic C (4k–64k) is thousands of times
+    * the corpus.
+    */
+  def ivfAssign(corpus: DataFrame, id: Column, vec: Column,
+      nCentroids: Int): (DataFrame, DataFrame) = {
     val c = corpus.select(id.as("vec_id"), vec.cast("array<double>").as("cv"))
-    val centroids = c.orderBy(xxhash64(col("vec_id"), lit(seed)))
+    val centroids = c
+      .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
       .limit(nCentroids)
       .select(col("vec_id").as("centroid_id"), col("cv").as("centroid_vec"))
-    val assigned = c.crossJoin(broadcast(centroids))
-      .withColumn("d", cosine(col("cv"), col("centroid_vec")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("d").desc, col("centroid_id").asc)))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cv"), col("centroid_id"))
+    val assigned = c.crossJoin(broadcast(centroidArray(centroids)))
+      .select(col("vec_id"), col("cv"),
+        graft.functions.CentroidMath.nearestCentroid(col("cv"), col("cents")).as("centroid_id"))
     (assigned, centroids)
   }
 
   /** ANN top-k via IVF: probe the `nProbe` nearest centroids per query and
-    * brute-force only within those partitions.
+    * brute-force only within those partitions. Probe selection is the same
+    * row-local top-k over the broadcast centroid array (no q×C explosion);
+    * the only exchanges are the candidate join and the final per-query top-k.
     */
   def ivfTopK(
       assigned: DataFrame, centroids: DataFrame,
       queries: DataFrame, queryId: Column, queryVec: Column,
       k: Int, nProbe: Int): DataFrame = {
     val q = queries.select(queryId.as("query_id"), queryVec.cast("array<double>").as("qv"))
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("d", cosine(col("qv"), col("centroid_vec")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("d").desc, col("centroid_id").asc)))
-      .filter(col("rn") <= nProbe)
-      .select(col("query_id"), col("qv"), col("centroid_id"))
+    val probes = q.crossJoin(broadcast(centroidArray(centroids)))
+      .select(col("query_id"), col("qv"),
+        explode(graft.functions.CentroidMath.nearestCentroids(col("qv"), col("cents"), nProbe))
+          .as("centroid_id"))
     val scored = probes.join(assigned, Seq("centroid_id"))
       .withColumn("cosine", round(cosine(col("cv"), col("qv")), 6))
     scored

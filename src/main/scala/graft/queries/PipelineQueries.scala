@@ -95,7 +95,9 @@ object PipelineQueries {
         k = 5)
     }),
 
-    // IVF-bucketed ANN (approximate; deterministic seed, rows-only check)
+    // IVF-bucketed ANN — approximate but fully deterministic: md5-ordered
+    // centroid selection + argmax-cosine assignment are exactly
+    // reproducible in SQL, so the whole index+probe pipeline is oracled
     "pipe_embed_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val (assigned, centroids) = Similarity.ivfAssign(emb, col("vec_id"), col("embedding"), nCentroids = 16)
@@ -272,6 +274,35 @@ object PipelineQueries {
         |FROM tf JOIN dfq USING (tok), n
         |GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // mirrors ivfAssign/ivfTopK step for step: md5-hex centroid pick,
+    // argmax-cosine assignment (row_number in SQL = the native argmax — both
+    // order by the unrounded cosine with centroid-id tiebreak), nProbe
+    // bucket probe, exact re-rank inside probed buckets
+    "pipe_embed_ivf" ->
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |     cents AS (SELECT vec_id AS centroid_id, cv AS centroid_vec FROM c
+        |               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |     assign AS (
+        |       SELECT vec_id, cv, centroid_id,
+        |              row_number() OVER (PARTITION BY vec_id
+        |                ORDER BY list_cosine_similarity(cv, centroid_vec) DESC, centroid_id) AS rn
+        |       FROM c CROSS JOIN cents),
+        |     assigned AS (SELECT vec_id, cv, centroid_id FROM assign WHERE rn = 1),
+        |     probe AS (
+        |       SELECT q.vec_id AS query_id, q.cv AS qv, centroid_id,
+        |              row_number() OVER (PARTITION BY q.vec_id
+        |                ORDER BY list_cosine_similarity(q.cv, centroid_vec) DESC, centroid_id) AS rn
+        |       FROM c q CROSS JOIN cents WHERE q.vec_id < 3),
+        |     probes AS (SELECT query_id, qv, centroid_id FROM probe WHERE rn <= 4),
+        |     scored AS (
+        |       SELECT p.query_id, a.vec_id,
+        |              round(list_cosine_similarity(a.cv, p.qv), 6) AS cosine
+        |       FROM probes p JOIN assigned a USING (centroid_id)),
+        |     ranked AS (
+        |       SELECT query_id, vec_id, cosine,
+        |              CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+        |       FROM scored)
+        |SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin,
     "pipe_embed_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3),
         |     c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),

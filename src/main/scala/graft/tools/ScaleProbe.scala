@@ -83,6 +83,24 @@ object ScaleProbe {
     }
     println(f"  kept: $kept (${kept.toDouble / n}%.4f)")
 
+    println(s"== IVF assignment (row-local argmax; was n×C crossJoin+window) ==")
+    // time must grow ~linearly in C (per-row argmax work) with NO shuffle
+    // growth — the old window formulation shuffled n×C rows
+    val nv = math.min(n / 10, 2_000_000L)
+    val dim = 64
+    val vecs = spark.range(nv).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => (pmod(xxhash64(col("id"), i), lit(2000L)).cast("double") - 1000.0) / 1000.0)
+        .as("embedding"))
+    for (c <- Seq(256, 1024)) {
+      val nCents = time(f"ivfAssign ($nv%,d x $dim-dim vectors, C=$c)") {
+        val (assigned, _) = graft.ops.Similarity.ivfAssign(
+          vecs, col("vec_id"), col("embedding"), nCentroids = c)
+        assigned.agg(countDistinct("centroid_id")).as[Long].head()
+      }
+      println(s"  distinct centroids: $nCents")
+    }
+
     println(s"== exact jaccard join via prefix filtering ==")
     // synthetic corpus: 100k docs of 30 words from a zipf-ish vocab, with
     // planted near-duplicates every 100th doc (one word changed)

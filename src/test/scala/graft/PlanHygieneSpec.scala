@@ -92,4 +92,21 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"expected exactly one exchange:\n$p")
     assert(p.contains("hashpartitioning(shard"), s"exchange is not hash-by-shard:\n$p")
   }
+
+  test("IVF assignment is row-local: no exchange proportional to corpus×centroids") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val (assigned, _) = graft.ops.Similarity.ivfAssign(
+      emb, col("vec_id"), col("embedding"), nCentroids = 16)
+    val p = assigned.queryExecution.explainString(FormattedMode)
+    // the centroid TakeOrdered(C) side legitimately exchanges its tiny
+    // single-partition result; the corpus side must see NO exchange and NO
+    // window — assignment is the nearest_centroid codegen argmax
+    assert(!p.contains("Window"), s"argmax must not be a window:\n$p")
+    assert(p.contains("nearestcentroidexpr") || p.contains("NearestCentroid"),
+      s"expected native nearest-centroid expression:\n$p")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"corpus side must not shuffle (only the C-row centroid " +
+      s"TakeOrdered may), got $exchanges exchanges:\n$p")
+  }
 }
