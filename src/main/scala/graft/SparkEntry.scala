@@ -32,8 +32,7 @@ object SparkEntry {
     * engine-internal hash functions or are approximate by design — the
     * driver records a rows-only check; exactness is covered by ScalaTest.
     */
-  def noOracle: Set[String] = Set(
-    "pipe_dedup_simhash", "pipe_multimodal")
+  def noOracle: Set[String] = Set("pipe_dedup_simhash")
 
   /** Perf-indicative subset used by Bench (full map is correctness surface). */
   def headline: Seq[String] = Seq(

@@ -8,12 +8,15 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata, and decode / feature-extract /
   * resize / frame-sample run as partition-parallel transforms.
   *
-  * The actual media decode is STUBBED (this container has no image/audio
-  * libraries): [[fakeDecode]] derives deterministic pseudo-metadata and
-  * pseudo-features from the bytes. Everything around the stub — the schema
-  * contract, batch shape, partition parallelism, and the SQL-expression
-  * fast path for metadata — is real and tested, so swapping in a real codec
-  * is a one-function change.
+  * IMAGE decode is REAL: [[decode]] reads width/height/format from the
+  * container header for image mimes via the JDK's built-in
+  * `javax.imageio` ([[graft.functions.ImageMeta]] — no external codec
+  * libraries, no pixel decode). Audio/video metadata remains STUBBED (no
+  * codecs in the JDK): [[fakeDecode]] derives deterministic pseudo-metadata
+  * from an md5 of the bytes — md5 (not a Spark-internal hash) so any engine
+  * reproduces the exact values, which is what makes the gate query
+  * oracle-checkable. Feature extraction stands in for a model encoder and
+  * keeps only the execution shape real ([[batchedEncode]]).
   */
 object Multimodal {
 
@@ -31,17 +34,38 @@ object Multimodal {
       mime.as("mime"),
       length(content.cast("binary")).as("n_bytes"))
 
-  /** STUB decode — deterministic fake dimensions from a 64-bit content hash.
-    * Real implementation would dispatch on mime to a codec; the expression
-    * shape (row-local, codegen'd, no shuffle) is what production uses.
+  /** STUB decode for mimes with no JDK codec (audio/video): deterministic
+    * pseudo-dimensions from md5 of the content. md5 hex-slice arithmetic is
+    * the cross-engine-reproducible pattern (Curation.hashUniform): any SQL
+    * engine computes the identical width/height/n_frames, so pipelines mixing
+    * engines — and the correctness oracle — agree exactly. Row-local,
+    * codegen'd, no shuffle: the expression shape production decode uses.
     */
   def fakeDecode(media: Column): Column = {
-    val h = xxhash64(media.getField("bytes"))
+    val hex = md5(media.getField("bytes"))
+    def h(pos: Int): Column = conv(substring(hex, pos, 8), 16, 10).cast("long")
     struct(
-      (pmod(h, lit(1920L)).cast("int") + 32).as("width"),
-      (pmod(shiftrightunsigned(h, 16), lit(1080L)).cast("int") + 32).as("height"),
-      (pmod(shiftrightunsigned(h, 32), lit(240L)).cast("int") + 1).as("n_frames"),
+      (h(1) % 1920 + 32).cast("int").as("width"),
+      (h(9) % 1080 + 32).cast("int").as("height"),
+      (h(17) % 240 + 1).cast("int").as("n_frames"),
       substring(media.getField("mime"), 1, 5).as("format"))
+  }
+
+  /** Decode dispatch: image mimes get the REAL header decode (JDK
+    * `javax.imageio`; n_frames = 1 for stills), undecodable image bytes and
+    * every other mime fall back to the deterministic stub.
+    */
+  def decode(media: Column): Column = {
+    val img = graft.functions.ImageMeta.imageMeta(media.getField("bytes"))
+    val real = struct(
+      img.getField("width").as("width"),
+      img.getField("height").as("height"),
+      lit(1).as("n_frames"),
+      img.getField("format").as("format"))
+    // nested when so the header parse only ever runs on image/* rows
+    when(media.getField("mime").startsWith("image/"),
+      when(img.isNotNull, real).otherwise(fakeDecode(media)))
+      .otherwise(fakeDecode(media))
   }
 
   /** STUB feature extraction: fixed-dim pseudo-embedding derived from

@@ -141,13 +141,16 @@ object PipelineQueries {
         queryTerms = Seq("data", "query", "spark", "fast"), k = 10)
         .withColumnRenamed("id", "doc_id")),
 
-    // multimodal plumbing: wrap text bytes as media, fake-decode, resize,
-    // frame-sample, extract stub features (deterministic; rows-only check)
+    // multimodal plumbing: wrap text bytes as media, decode (the "fake/*"
+    // mimes route through the md5-derived stub — image/* would hit the real
+    // javax.imageio header decode, spec-covered in OpsSpec), resize,
+    // frame-sample, extract stub features. md5 arithmetic is reproducible
+    // in any engine, so the whole pipeline is oracle-checked.
     "pipe_multimodal" -> ((s, d) => {
       val media = Multimodal.asMedia(col("text"), concat(lit("fake/"), col("source")))
       t(s, d, "documents")
         .select(col("doc_id"), media.as("media"))
-        .withColumn("decoded", Multimodal.fakeDecode(col("media")))
+        .withColumn("decoded", Multimodal.decode(col("media")))
         .withColumn("resized", Multimodal.resizeMeta(col("decoded"), 512))
         .select(
           col("doc_id"),
@@ -264,6 +267,25 @@ object PipelineQueries {
         |       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
         |FROM c a JOIN c b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.95""".stripMargin,
+    // mirrors the md5 stub decode + resize arithmetic exactly; DuckDB md5
+    // of the VARCHAR hashes the same UTF-8 bytes Spark's binary cast does,
+    // and hex-slice → BIGINT via the ('0x' || …)::BIGINT cast
+    "pipe_multimodal" ->
+      """WITH m AS (SELECT doc_id, md5(text) AS hx FROM documents),
+        |     d AS (SELECT doc_id,
+        |                  CAST(('0x' || substr(hx, 1, 8))::BIGINT % 1920 + 32 AS INTEGER) AS width,
+        |                  CAST(('0x' || substr(hx, 9, 8))::BIGINT % 1080 + 32 AS INTEGER) AS height,
+        |                  ('0x' || substr(hx, 17, 8))::BIGINT % 240 + 1 AS n_frames
+        |           FROM m),
+        |     r AS (SELECT doc_id, width, height, n_frames,
+        |                  least(512.0 / greatest(width, height), 1.0) AS scale
+        |           FROM d)
+        |SELECT doc_id, width, height,
+        |       CAST(round(width * scale) AS INTEGER) AS r_width,
+        |       CAST(round(height * scale) AS INTEGER) AS r_height,
+        |       CAST((n_frames - 1) // 10 + 1 AS INTEGER) AS n_sampled,
+        |       CAST(16 AS INTEGER) AS feat_dim
+        |FROM r""".stripMargin,
     "pipe_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)),'\s+')) AS tok FROM documents),
         |     rel AS (SELECT * FROM tok WHERE tok IN ('data','query','spark','fast')),

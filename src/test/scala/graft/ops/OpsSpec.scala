@@ -228,4 +228,40 @@ class OpsSpec extends AnyFunSuite {
     assert(math.max(r.getInt(0), r.getInt(1)) <= 256)
     assert(rows.head.getSeq[Double](3).length == 8)
   }
+
+  test("real image decode reads PNG/JPEG headers via javax.imageio") {
+    // a real 1x1 PNG, bytes checked in as a literal (no image libs needed
+    // to decode: ImageIO ships with the JDK)
+    val onePixelPng = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg==")
+    // plus generated PNG and JPEG images with asymmetric dimensions
+    def render(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, baos)
+      baos.toByteArray
+    }
+    val df = Seq(
+      (1L, onePixelPng, "image/png"),
+      (2L, render(123, 45, "png"), "image/png"),
+      (3L, render(64, 200, "jpg"), "image/jpeg"),
+      (4L, "not an image at all".getBytes("UTF-8"), "video/mp4"), // → stub
+      (5L, "corrupt bytes".getBytes("UTF-8"), "image/png") // undecodable → stub
+    ).toDF("id", "content", "mime")
+    val out = df.select(col("id"),
+        Multimodal.decode(Multimodal.asMedia(col("content"), col("mime"))).as("d"))
+      .orderBy("id").collect()
+    val d1 = out(0).getStruct(1)
+    assert((d1.getInt(0), d1.getInt(1), d1.getInt(2), d1.getString(3)) == (1, 1, 1, "png"))
+    val d2 = out(1).getStruct(1)
+    assert((d2.getInt(0), d2.getInt(1), d2.getString(3)) == (123, 45, "png"))
+    val d3 = out(2).getStruct(1)
+    assert((d3.getInt(0), d3.getInt(1), d3.getString(3)) == (64, 200, "jpeg"))
+    // non-image and undecodable rows fall back to the md5 stub (format =
+    // first 5 mime chars, dims in the stub ranges)
+    val d4 = out(3).getStruct(1)
+    assert(d4.getString(3) == "video" && d4.getInt(0) >= 32)
+    val d5 = out(4).getStruct(1)
+    assert(d5.getString(3) == "image" && d5.getInt(0) >= 32)
+  }
 }
