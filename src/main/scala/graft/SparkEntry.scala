@@ -28,11 +28,11 @@ object SparkEntry {
       graft.queries.PipelineQueries.oracle ++
       graft.queries.CurationQueries.oracle
 
-  /** Queries intentionally without an oracle: their outputs depend on
-    * engine-internal hash functions or are approximate by design — the
-    * driver records a rows-only check; exactness is covered by ScalaTest.
+  /** Queries intentionally without an oracle — none since round 3: the
+    * hash-internal/approximate ops are gated through planted-pair or
+    * md5-arithmetic designs that make their exact output SQL-constructible.
     */
-  def noOracle: Set[String] = Set("pipe_dedup_simhash")
+  def noOracle: Set[String] = Set.empty
 
   /** Perf-indicative subset used by Bench (full map is correctness surface). */
   def headline: Seq[String] = Seq(

@@ -220,6 +220,29 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** SimHash candidates verified with exact shingle-set Jaccard — the full
+    * dedup path: pigeonhole-bucketed candidate generation (never all-pairs)
+    * then an exact verify join on the few candidate rows, same shape as
+    * [[minhashLsh]]. Returns (id_a, id_b, jaccard) with id_a < id_b and
+    * jaccard >= minJaccard.
+    */
+  def simhashVerified(df: DataFrame, id: Column, text: Column,
+      maxHamming: Int = 3, minJaccard: Double = 0.9,
+      shingleSize: Int = 3): DataFrame = {
+    val shingled = df
+      .select(id.as("id"), TextAnalysis.shingles(text, shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+    simhashPairs(df, id, text, maxHamming)
+      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      // threshold the TRUE jaccard, round only for display (see minhashLsh)
+      .filter(col("inter").cast("double") / col("uni") >= minJaccard)
+      .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Connected components over near-dup pairs → cluster ids (min member id
     * per component), the step that turns pairwise matches into "keep one doc
     * per duplicate cluster". Iterative min-label propagation: each round

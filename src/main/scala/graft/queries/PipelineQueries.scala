@@ -5,11 +5,14 @@ import org.apache.spark.sql.functions._
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data-pipeline operators as gate queries over the documents /
-  * embeddings tables. SQL-expressible ops carry DuckDB oracles (including
-  * the LSH dedup: with 16 bands × 4 rows the candidate-miss probability for
-  * jaccard ≥ 0.8 pairs is < 1e-3, so exact-Jaccard SQL is a sound oracle);
-  * hash-internal ops (simhash, xxhash fingerprints, fake decode) get
-  * rows-only checks.
+  * embeddings tables. EVERY query carries a DuckDB oracle. For the
+  * approximate/hash-internal ops the oracle soundness comes from design:
+  * minhash LSH — band config makes the candidate-miss probability for
+  * jaccard ≥ 0.8 pairs < 1e-3, so exact-Jaccard SQL is sound; simhash and
+  * embedding near-dup — planted near-identical pairs with wide headroom over
+  * the background similarity; IVF — md5-ordered centroids + argmax
+  * assignment reproduce exactly in SQL; multimodal stub decode — md5-slice
+  * arithmetic reproduces exactly in SQL.
   */
 object PipelineQueries {
   import CoreQueries.t
@@ -53,9 +56,19 @@ object PipelineQueries {
       Dedup.dedupAgainst(docs, col("text"), seen).select("doc_id", "source")
     }),
 
-    // SimHash near-dup candidates (custom codegen Expression; no SQL oracle)
-    "pipe_dedup_simhash" -> ((s, d) =>
-      Dedup.simhashPairs(t(s, d, "documents"), col("doc_id"), col("text"), maxHamming = 3)),
+    // SimHash near-dup, planted-pair design: the 64-bit signature is
+    // engine-internal, so the gate plants exact copies of docs 0..24 at
+    // id+1000000 — identical text → hamming 0 → guaranteed candidates —
+    // and exact-Jaccard verification at 0.999 keeps only them (the densest
+    // base-corpus pair measures 0.9894 at every SF), making the expected
+    // output data-constructible in plain SQL
+    "pipe_dedup_simhash" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") < 25)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Dedup.simhashVerified(docs.union(planted), col("doc_id"), col("text"),
+        maxHamming = 3, minJaccard = 0.999)
+    }),
 
     // token counting: whitespace + BPE-ish estimate
     "pipe_token_count" -> ((s, d) => {
@@ -201,6 +214,14 @@ object PipelineQueries {
          |  FROM edges e JOIN reach r ON e.dst = r.id)
          |SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
          |FROM reach GROUP BY id""".stripMargin,
+    // the planted pairs ARE the expected output (see the query comment:
+    // hamming-0 candidates are guaranteed, verification excludes all else);
+    // the len>=3 filter mirrors the shingle-empty drop in the verify join
+    "pipe_dedup_simhash" ->
+      """SELECT doc_id AS id_a, CAST(doc_id + 1000000 AS BIGINT) AS id_b,
+        |       CAST(1.0 AS DOUBLE) AS jaccard
+        |FROM documents
+        |WHERE doc_id < 25 AND len(string_split_regex(trim(lower(text)),'\s+')) >= 3""".stripMargin,
     "pipe_token_count" ->
       """SELECT doc_id,
         | CAST(CASE WHEN length(trim(text)) = 0 THEN 0
