@@ -156,6 +156,20 @@ object DtlQueries {
         |  WHERE hash_uniform(doc_id) % 4 = 0;
         |EXPORT output TO 'output';""".stripMargin)),
 
+    // the CONSECUTIVE operators in the language (B2 + B3): GROUP CONSECUTIVE
+    // BY builds per-run aggregates, DISTINCT CONSECUTIVE keeps one row per
+    // run — n_runs and n_starts must agree, cross-validating both paths
+    // against the oracle's lag+running-sum formulation
+    "dtl_consecutive" -> ((s, d) => run(s, d,
+      """WITH events AS IMPORT 'events';
+        |WITH sorted AS SELECT user_id, event_type, ts, event_id FROM events ORDER BY user_id, ts, event_id;
+        |WITH runs AS SELECT user_id, count() AS run_len FROM sorted GROUP CONSECUTIVE BY user_id, event_type;
+        |WITH per_user AS SELECT user_id, count() AS n_runs, sum(run_len) AS n_events FROM runs GROUP BY user_id;
+        |WITH firsts AS SELECT DISTINCT CONSECUTIVE user_id, event_type FROM sorted;
+        |WITH starts AS SELECT user_id, count() AS n_starts FROM firsts GROUP BY user_id;
+        |WITH output AS SELECT user_id, n_runs, n_events, n_starts FROM per_user JOIN starts USING (user_id);
+        |EXPORT output TO 'output';""".stripMargin)),
+
     "dtl_chained_with" -> ((s, d) => run(s, d,
       """WITH orders AS IMPORT 'orders';
         |WITH big AS SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_totalprice > 400000.0;
@@ -165,6 +179,26 @@ object DtlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "dtl_consecutive" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CASE WHEN lag(user_id) OVER w IS NULL THEN 1
+        |         WHEN lag(user_id) OVER w = user_id
+        |          AND lag(event_type) OVER w = event_type THEN 0
+        |         ELSE 1 END AS chg
+        |  FROM events
+        |  WINDOW w AS (ORDER BY user_id, ts, event_id)),
+        |r AS (
+        |  SELECT user_id,
+        |    CAST(sum(chg) OVER (ORDER BY user_id, ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+        |  FROM o),
+        |runs AS (SELECT run_id, min(user_id) AS user_id, count(*) AS run_len
+        |         FROM r GROUP BY run_id),
+        |pu AS (SELECT user_id, count(*) AS n_runs,
+        |              CAST(sum(run_len) AS BIGINT) AS n_events
+        |       FROM runs GROUP BY user_id)
+        |SELECT user_id, n_runs, n_events, n_runs AS n_starts FROM pu""".stripMargin,
     "dtl_top_k" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin,
