@@ -56,7 +56,12 @@ object Ast {
   final case class GroupBy(consecutive: Boolean, keys: List[Expr])
   final case class OrderKey(expr: Expr, descending: Boolean)
 
-  sealed trait TableExpr { def pos: Pos }
+  /** Table expressions carry a source span (pos..endPos) so trace manifests
+    * can point a snapshot back at the exact text that produced it (mirrors
+    * the reference manifest's start/end Locations, manifest.py:17-21).
+    * endPos is set by the parser after construction; both are 0-based.
+    */
+  sealed trait TableExpr { def pos: Pos; var endPos: Pos = Pos(-1, -1) }
   final case class ImportExpr(location: String, pos: Pos) extends TableExpr
   final case class TableRef(name: String, pos: Pos) extends TableExpr
   final case class SelectExpr(

@@ -37,25 +37,39 @@ final class Compiler(
 
   final case class SCol(name: String, internal: String,
       namespaces: Set[Option[String]], dtype: DType)
+
+  /** A provenance row-id column carried through the plan: `src` is the
+    * upstream traced table, `col` the internal column holding its row id.
+    * The cardinality flags accumulate STRUCTURALLY as operators apply —
+    * `multiplied` once any join could fan a source row out, `filtered` once
+    * any WHERE/HAVING/LIMIT could drop rows, `collapsed` once DISTINCT keeps
+    * only a witness row per group. At trace time they classify the mapping
+    * as the reference's typed mapping classes (mappings.py:9-38) without a
+    * single extra pass over the data.
+    */
+  final case class Rid(src: String, col: String,
+      multiplied: Boolean = false, filtered: Boolean = false,
+      collapsed: Boolean = false)
+
   /** A compiled table: DataFrame over internal column names, the visible
     * scope, hidden order columns (present only when the script uses
     * consecutive operators), and hidden provenance row-id columns
     * (present only when tracing) — zero overhead otherwise.
-    * `rids` maps an upstream traced table name to the internal column
-    * carrying that table's row id through this plan.
     */
   final case class CTable(df: DataFrame, cols: List[SCol], ordCols: List[String],
-      rids: List[(String, String)] = Nil,
+      rids: List[Rid] = Nil,
       aggLineages: List[AggLineage] = Nil)
 
   /** Lineage bridge across an aggregation: the pre-agg frame still carries
     * upstream row ids plus the materialized group keys; the post-agg frame
     * keeps the same key columns hidden. Mapping pairs are produced by a
     * null-safe join on the keys at trace time (many-to-one, mappings.py-style
-    * ManyToOneMapping expressed relationally).
+    * ManyToOneMapping expressed relationally). `multiplied`/`filtered` track
+    * post-aggregation joins/filters for mapping classification.
     */
-  final case class AggLineage(srcDf: DataFrame, srcRids: List[(String, String)],
-      keyCols: List[String])
+  final case class AggLineage(srcDf: DataFrame, srcRids: List[Rid],
+      keyCols: List[String], multiplied: Boolean = false,
+      filtered: Boolean = false)
 
   private val counter = new java.util.concurrent.atomic.AtomicLong()
   private def fresh(prefix: String = "c"): String = s"__${prefix}${counter.incrementAndGet()}"
@@ -299,18 +313,18 @@ final class Compiler(
         SCol(f.name, fresh(), Set(None), DType.fromSpark(f.dataType))
       }
       val ord = if (needsOrder) List(fresh("ord")) else Nil
-      val rid = if (tracing) List(location -> fresh("rid")) else Nil
+      val rid = if (tracing) List(Rid(location, fresh("rid"))) else Nil
       val proj = cols.map(c => col(c.name).as(c.internal)) ++
         ord.map(o => monotonically_increasing_id().as(o)) ++
-        rid.map { case (_, r) => monotonically_increasing_id().as(r) }
+        rid.map(r => monotonically_increasing_id().as(r.col))
       CTable(df.select(proj: _*), cols, ord, rid)
     case TableRef(name, pos) =>
       val t = env.getOrElse(name, throw DtlError(s"unknown table '$name'", pos.line, pos.col))
       refresh(t) // fresh internals so self-joins never collide
     case sel: SelectExpr => compileSelect(sel, env)
     case SetOpExpr(op, left, right, pos) =>
-      val lt = compileTable(left, env)
-      val rt = compileTable(right, env)
+      val lt = traceNested(left, compileTable(left, env))
+      val rt = traceNested(right, compileTable(right, env))
       // strict schema typing, like every DTL operator (SURVEY §1.2): same
       // column names in the same order with the same dtypes — no coercion
       if (lt.cols.map(_.name) != rt.cols.map(_.name))
@@ -348,15 +362,15 @@ final class Compiler(
   private def refresh(t: CTable): CTable = {
     val renames = t.cols.map(c => c -> fresh())
     val ords = t.ordCols.map(o => o -> fresh("ord"))
-    val rids = t.rids.map { case (src, r) => (src, r, fresh("rid")) }
+    val rids = t.rids.map(r => (r, fresh("rid")))
     val proj = renames.map { case (c, n) => col(c.internal).as(n) } ++
       ords.map { case (o, n) => col(o).as(n) } ++
-      rids.map { case (_, r, n) => col(r).as(n) }
+      rids.map { case (r, n) => col(r.col).as(n) }
     CTable(
       t.df.select(proj: _*),
       renames.map { case (c, n) => c.copy(internal = n) },
       ords.map(_._2),
-      rids.map { case (src, _, n) => (src, n) })
+      rids.map { case (r, n) => r.copy(col = n) })
   }
 
   private def bindingName(tb: TableBinding): Option[String] =
@@ -367,7 +381,7 @@ final class Compiler(
 
   private def compileSelect(sel: SelectExpr, env: collection.Map[String, CTable]): CTable = {
     // FROM: source columns become visible under {None, <name>, ...} (ast_to_ir.py:444-468)
-    val src = compileTable(sel.from.source, env)
+    val src = traceNested(sel.from.source, compileTable(sel.from.source, env))
     val srcName = bindingName(sel.from)
     var df = src.df
     var scope = src.cols.map(c => c.copy(namespaces = c.namespaces + None ++ srcName.map(Some(_))))
@@ -379,7 +393,7 @@ final class Compiler(
     // ast_to_ir.py:499-526); the raw ON predicate goes straight to Catalyst,
     // which extracts equi-keys (replacing the reference's cartesian+mask plan).
     for (jc <- sel.joins) {
-      val right = compileTable(jc.table.source, env)
+      val right = traceNested(jc.table.source, compileTable(jc.table.source, env))
       val joinName = bindingName(jc.table)
       val rightScope = right.cols.map(c => c.copy(namespaces = c.namespaces ++ joinName.map(Some(_))))
       val combined = scope ++ rightScope
@@ -402,8 +416,10 @@ final class Compiler(
       df = df.join(right.df, condition, "inner")
       scope = combined
       ordCols = ordCols ++ right.ordCols
-      rids = rids ++ right.rids
-      aggLineages = aggLineages ++ right.aggLineages
+      // a join can fan any source row out (other side matches many) or drop
+      // it (no match) — both sides' lineage becomes one-to-many, non-total
+      rids = (rids ++ right.rids).map(_.copy(multiplied = true))
+      aggLineages = (aggLineages ++ right.aggLineages).map(_.copy(multiplied = true))
     }
 
     // WHERE: boolean mask; null-predicate rows dropped (identical to pac.filter)
@@ -412,6 +428,8 @@ final class Compiler(
       val p = compileExpr(pred, scope)
       if (p.dtype != TBool) typeErr(sel.pos, s"WHERE predicate must be BOOL, got ${p.dtype.name}")
       df = df.filter(p.col)
+      rids = rids.map(_.copy(filtered = true))
+      aggLineages = aggLineages.map(_.copy(filtered = true))
     }
 
     // aggregation lineage survives select/filter/join over the grouped
@@ -429,7 +447,7 @@ final class Compiler(
         compileGroupedProjection(sel, gb, df, scope, ordCols, rids)
       case None =>
         val out = projectBindings(sel, scope)
-        val hidden = ordCols ++ rids.map(_._2) ++
+        val hidden = ordCols ++ rids.map(_.col) ++
           carriedAggLineages.flatMap(_.keyCols)
         val projected = df.select(out.map { case (name @ _, internal, tc) =>
           tc.col.as(internal)
@@ -443,7 +461,9 @@ final class Compiler(
       rejectWindows(pred, "HAVING predicates")
       val p = compileExpr(pred, projectedTable.cols)
       if (p.dtype != TBool) typeErr(sel.pos, s"HAVING predicate must be BOOL, got ${p.dtype.name}")
-      projectedTable.copy(df = projectedTable.df.filter(p.col))
+      projectedTable.copy(df = projectedTable.df.filter(p.col),
+        rids = projectedTable.rids.map(_.copy(filtered = true)),
+        aggLineages = projectedTable.aggLineages.map(_.copy(filtered = true)))
     }
     applyOrderLimit(sel, afterHaving)
   }
@@ -481,7 +501,11 @@ final class Compiler(
     }
     for (n <- sel.limit) df = df.limit(
       if (n > Int.MaxValue) Int.MaxValue else n.toInt)
-    t.copy(df = df, ordCols = ordCols)
+    val result = t.copy(df = df, ordCols = ordCols)
+    if (sel.limit.isDefined) // LIMIT can drop source rows: lineage not total
+      result.copy(rids = result.rids.map(_.copy(filtered = true)),
+        aggLineages = result.aggLineages.map(_.copy(filtered = true)))
+    else result
   }
 
   /** Expand bindings against the scope and apply the reference's dict-dedup:
@@ -515,7 +539,7 @@ final class Compiler(
   private def compileGroupedProjection(
       sel: SelectExpr, gb: GroupBy, df0: DataFrame,
       scope: List[SCol], ordCols: List[String],
-      rids: List[(String, String)] = Nil): CTable = {
+      rids: List[Rid] = Nil): CTable = {
     var df = df0
     gb.keys.foreach(rejectWindows(_, "GROUP BY keys"))
     val keyExprs = gb.keys.map(k => (k, compileExpr(k, scope)))
@@ -614,10 +638,11 @@ final class Compiler(
       else {
         // preserve first-occurrence order (and a witness row id per group —
         // many-to-one lineage keeps one representative source row)
-        val hidden = t.ordCols ++ t.rids.map(_._2)
+        val hidden = t.ordCols ++ t.rids.map(_.col)
         val aggs = hidden.map(o => min(col(o)).as(o))
         val deduped = t.df.groupBy(visible.map(col): _*).agg(aggs.head, aggs.tail: _*)
-        t.copy(df = deduped, aggLineages = Nil)
+        t.copy(df = deduped, rids = t.rids.map(_.copy(collapsed = true)),
+          aggLineages = Nil)
       }
     case DistinctConsecutive =>
       if (t.ordCols.isEmpty)
@@ -654,46 +679,81 @@ final class Compiler(
   def materialize(t: CTable): DataFrame =
     t.df.select(t.cols.map(c => col(c.internal).as(c.name)): _*)
 
-  /** Statement-boundary trace: assign this table its own row id, snapshot it,
-    * emit (src_rid, tgt_rid) mapping pairs per upstream traced table, and
-    * return a CTable whose lineage is rebased onto this statement (so
-    * downstream mappings are statement→statement, mirroring the reference's
-    * transitive merge with intermediate elimination, mappings.py:410-451).
+  /** Hook set by the engine during a traced run: snapshots composite table
+    * expressions NESTED inside a statement (reference Level.TABLE_EXPRESSION,
+    * ir.py:371-385). Bare imports/table references are not re-snapshotted —
+    * they are row-identical to an existing snapshot, and the manifest's span
+    * entries point at the statement that owns the rows.
+    */
+  var nestedTrace: Option[(TableExpr, CTable) => CTable] = None
+  private def traceNested(te: TableExpr, t: CTable): CTable = te match {
+    case _: SelectExpr | _: SetOpExpr => nestedTrace.fold(t)(f => f(te, t))
+    case _ => t
+  }
+
+  /** The reference's typed mapping classes (mappings.py:9-38), derived from
+    * the structural flags: a join makes a source row reach many target rows
+    * (one_to_many), an aggregation/DISTINCT collapses many source rows into
+    * one target row (many_to_one), both give many_to_many, neither is the
+    * identity. `filtered` does not change the class — it only voids
+    * src-totality (reported separately as src_total).
+    */
+  private def mappingKind(multiplied: Boolean, collapsed: Boolean): String =
+    (multiplied, collapsed) match {
+      case (false, false) => "identity"
+      case (true, false) => "one_to_many"
+      case (false, true) => "many_to_one"
+      case (true, true) => "many_to_many"
+    }
+
+  /** Table-boundary trace (statement or nested table expression): assign the
+    * table its own row id, snapshot it, emit (src_rid, tgt_rid) mapping pairs
+    * per upstream traced table — classified with the reference's mapping
+    * taxonomy and the source span of the expression that produced the table —
+    * and return a CTable whose lineage is rebased onto this snapshot (so
+    * downstream mappings chain snapshot→snapshot, mirroring the reference's
+    * transitive merge, mappings.py:410-451).
     * The DataFrame is persisted: row ids must be assigned exactly once, and
     * traced intermediates are re-read by every downstream statement
     * (SURVEY.md §4's one physical-tuning decision).
     */
   def traceStatement(name: String, statementIndex: Int, t: CTable,
-      tracer: Tracer, manifest: ManifestBuilder): CTable = {
+      tracer: Tracer, manifest: ManifestBuilder,
+      level: String = "statement", span: Option[(Pos, Pos)] = None): CTable = {
     val ownRid = fresh("rid")
     val df = t.df.withColumn(ownRid, monotonically_increasing_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pinned += df
     val snapshot = df.select(t.cols.map(c => col(c.internal).as(c.name)) :+ col(ownRid).as("__rid"): _*)
     tracer.traceSnapshot(name, statementIndex, snapshot)
-    manifest.addSnapshot(name, statementIndex, t.cols.map(_.name))
-    for ((src, group) <- t.rids.groupBy(_._1)) {
-      val pairs = group.map { case (_, ridCol) =>
-        df.select(col(ridCol).as("src_rid"), col(ownRid).as("tgt_rid"))
+    manifest.addSnapshot(name, statementIndex, t.cols.map(_.name), level, span)
+    for ((src, group) <- t.rids.groupBy(_.src)) {
+      val pairs = group.map { r =>
+        df.select(col(r.col).as("src_rid"), col(ownRid).as("tgt_rid"))
       }.reduce(_ union _).filter(col("src_rid").isNotNull)
       tracer.traceMapping(src, name, pairs)
-      manifest.addMapping(src, name)
+      val multiplied = group.exists(_.multiplied)
+      val collapsed = group.exists(_.collapsed)
+      val srcTotal = !multiplied && !collapsed && !group.exists(_.filtered)
+      manifest.addMapping(src, name, mappingKind(multiplied, collapsed), srcTotal)
     }
     // lineage across an aggregation: many-to-one mapping by null-safe
     // key-equality join between the pre-agg rows (still carrying their
     // upstream row ids) and the aggregated table
-    for (al <- t.aggLineages; (src, group) <- al.srcRids.groupBy(_._1)) {
+    for (al <- t.aggLineages; (src, group) <- al.srcRids.groupBy(_.src)) {
       val tgtKeys = al.keyCols.map(k => (k, fresh("tk")))
       val tgt = df.select(col(ownRid).as("tgt_rid") +: tgtKeys.map { case (k, n) => col(k).as(n) }: _*)
       val joinCond = tgtKeys.map { case (k, n) => al.srcDf(k) <=> col(n) }.reduce(_ && _)
-      val pairs = group.map { case (_, ridCol) =>
+      val pairs = group.map { r =>
         al.srcDf.join(tgt, joinCond)
-          .select(al.srcDf(ridCol).as("src_rid"), col("tgt_rid"))
+          .select(al.srcDf(r.col).as("src_rid"), col("tgt_rid"))
       }.reduce(_ union _).filter(col("src_rid").isNotNull)
       tracer.traceMapping(src, name, pairs)
-      manifest.addMapping(src, name)
+      val multiplied = group.exists(_.multiplied) || al.multiplied
+      val srcTotal = !multiplied && !al.filtered && !group.exists(_.filtered)
+      manifest.addMapping(src, name, mappingKind(multiplied, collapsed = true), srcTotal)
     }
-    CTable(df, t.cols, t.ordCols, List(name -> ownRid))
+    CTable(df, t.cols, t.ordCols, List(Rid(name, ownRid)))
   }
 
   // traced intermediates pinned by traceStatement; released by Engine.run

@@ -30,16 +30,37 @@ final class Engine(
       needsOrder = usesConsecutive(stmts), tracing = tracer.isDefined)
     val manifest = new ManifestBuilder(source)
     val env = mutable.Map.empty[String, compiler.CTable]
-    for ((stmt, idx) <- stmts.zipWithIndex) stmt match {
-      case WithStmt(name, body, _) =>
-        var t = compiler.compileTable(body, env)
-        for (tr <- tracer) t = compiler.traceStatement(name, idx, t, tr, manifest)
-        env(name) = t
-      case ExportStmt(body, location, _) =>
-        var t = compiler.compileTable(body, env)
-        for (tr <- tracer) t = compiler.traceStatement(location, idx, t, tr, manifest)
-        exporter.exportTable(location, compiler.materialize(t))
+    for ((stmt, idx) <- stmts.zipWithIndex) {
+      // sub-statement tracing: composite table expressions nested inside
+      // this statement snapshot as `<name>$<k>` at table_expression level
+      // (reference Level.TABLE_EXPRESSION, ir.py:371-385), each with its
+      // own source span
+      val stmtName = stmt match {
+        case WithStmt(name, _, _) => name
+        case ExportStmt(_, location, _) => location
+      }
+      for (tr <- tracer) {
+        var exprIdx = 0
+        compiler.nestedTrace = Some { (te, t) =>
+          exprIdx += 1
+          compiler.traceStatement(s"$stmtName$$$exprIdx", idx, t, tr, manifest,
+            level = "table_expression", span = Some((te.pos, te.endPos)))
+        }
+      }
+      stmt match {
+        case WithStmt(name, body, _) =>
+          var t = compiler.compileTable(body, env)
+          for (tr <- tracer) t = compiler.traceStatement(name, idx, t, tr, manifest,
+            level = "statement", span = Some((body.pos, body.endPos)))
+          env(name) = t
+        case ExportStmt(body, location, _) =>
+          var t = compiler.compileTable(body, env)
+          for (tr <- tracer) t = compiler.traceStatement(location, idx, t, tr, manifest,
+            level = "export", span = Some((body.pos, body.endPos)))
+          exporter.exportTable(location, compiler.materialize(t))
+      }
     }
+    compiler.nestedTrace = None
     for (tr <- tracer) {
       tr.writeManifest(manifest.toJson)
       // filesystem tracers have written everything durably — free the traced

@@ -16,6 +16,14 @@ final class Parser(tokens: Vector[Token]) {
   private def pos: Pos = Pos(cur.line, cur.col)
   private def err(msg: String) = throw DtlError(s"$msg, found '${cur.text}'", cur.line, cur.col)
   private def advance(): Token = { val t = cur; i += 1; t }
+  /** End of the most recently consumed token — the end of any node finished
+    * just now. Feeds TableExpr.endPos for trace-manifest source spans.
+    */
+  private def withEnd[T <: TableExpr](t: T): T = {
+    val tk = tokens(math.max(i - 1, 0))
+    t.endPos = Pos(tk.line, tk.col + tk.text.length)
+    t
+  }
 
   private def isKw(k: String): Boolean = cur match {
     case Token.Keyword(t, _, _) => t == k
@@ -80,7 +88,7 @@ final class Parser(tokens: Vector[Token]) {
           advance()
           if (isKw("ALL")) { advance(); UnionAll } else UnionDistinct
         } else { advance(); ExceptDistinct }
-      left = SetOpExpr(op, left, parseIntersectExpr(), p)
+      left = withEnd(SetOpExpr(op, left, parseIntersectExpr(), p))
     }
     left
   }
@@ -90,7 +98,7 @@ final class Parser(tokens: Vector[Token]) {
     while (isKw("INTERSECT")) {
       val p = pos
       advance()
-      left = SetOpExpr(IntersectDistinct, left, parsePrimaryTableExpr(), p)
+      left = withEnd(SetOpExpr(IntersectDistinct, left, parsePrimaryTableExpr(), p))
     }
     left
   }
@@ -98,9 +106,9 @@ final class Parser(tokens: Vector[Token]) {
   private def parsePrimaryTableExpr(): TableExpr = {
     val p = pos
     if (isPunct("(")) { advance(); val te = parseTableExpr(); eatPunct(")"); te }
-    else if (isKw("IMPORT")) { advance(); ImportExpr(eatString(), p) }
+    else if (isKw("IMPORT")) { advance(); withEnd(ImportExpr(eatString(), p)) }
     else if (isKw("SELECT")) parseSelect()
-    else TableRef(eatName(), p)
+    else withEnd(TableRef(eatName(), p))
   }
 
   private def parseSelect(): SelectExpr = {
@@ -170,8 +178,8 @@ final class Parser(tokens: Vector[Token]) {
           case _ => err("expected integer after LIMIT")
         }
       } else None
-    SelectExpr(distinct, bindings.result(), from, joins.result(), where, groupBy,
-      having, orderBy.result(), limit, p)
+    withEnd(SelectExpr(distinct, bindings.result(), from, joins.result(), where, groupBy,
+      having, orderBy.result(), limit, p))
   }
 
   private def peekIsJoin: Boolean =
@@ -183,7 +191,7 @@ final class Parser(tokens: Vector[Token]) {
   private def parseTableBinding(): TableBinding = {
     val source: TableExpr =
       if (isPunct("(")) { advance(); val te = parseTableExpr(); eatPunct(")"); te }
-      else { val p = pos; TableRef(eatName(), p) } // capture pos BEFORE eatName advances
+      else { val p = pos; withEnd(TableRef(eatName(), p)) } // capture pos BEFORE eatName advances
     val alias = if (isKw("AS")) { advance(); Some(eatName()) } else None
     TableBinding(source, alias)
   }

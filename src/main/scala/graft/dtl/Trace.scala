@@ -62,13 +62,27 @@ final class FilesystemTracer(dir: String) extends Tracer {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/trace.json"), json)
 }
 
-/** Accumulates manifest entries during a traced run. */
+/** Accumulates manifest entries during a traced run.
+  *
+  * Mirrors the reference manifest (manifest.py:17-58): snapshots carry the
+  * source span (0-based line/col, start..end) of the table expression that
+  * produced them plus a `level` ("statement" | "export" |
+  * "table_expression"); mappings carry the typed cardinality class
+  * ("identity" | "many_to_one" | "one_to_many" | "many_to_many",
+  * mappings.py:9-38) plus `src_total` — false when filters/joins may have
+  * dropped source rows, i.e. whether the reference's total index-array
+  * representation of that class would be constructible.
+  */
 final class ManifestBuilder(source: String) {
-  private val snapshots = mutable.ListBuffer.empty[(String, Int, Seq[String])]
-  private val mappings = mutable.ListBuffer.empty[(String, String)]
-  def addSnapshot(name: String, statementIndex: Int, columns: Seq[String]): Unit =
-    snapshots += ((name, statementIndex, columns))
-  def addMapping(src: String, tgt: String): Unit = mappings += ((src, tgt))
+  private val snapshots =
+    mutable.ListBuffer.empty[(String, Int, Seq[String], String, Option[(Ast.Pos, Ast.Pos)])]
+  private val mappings = mutable.ListBuffer.empty[(String, String, String, Boolean)]
+  def addSnapshot(name: String, statementIndex: Int, columns: Seq[String],
+      level: String = "statement", span: Option[(Ast.Pos, Ast.Pos)] = None): Unit =
+    snapshots += ((name, statementIndex, columns, level, span))
+  def addMapping(src: String, tgt: String, kind: String = "unknown",
+      srcTotal: Boolean = false): Unit =
+    mappings += ((src, tgt, kind, srcTotal))
 
   private def q(s: String): String =
     "\"" + s.flatMap {
@@ -79,12 +93,20 @@ final class ManifestBuilder(source: String) {
       case c => c.toString
     } + "\""
 
+  private def spanJson(span: Option[(Ast.Pos, Ast.Pos)]): String = span match {
+    case Some((s, e)) =>
+      s""","start":{"line":${s.line},"col":${s.col}},"end":{"line":${e.line},"col":${e.col}}"""
+    case None => ""
+  }
+
   def toJson: String = {
-    val snaps = snapshots.map { case (n, i, cols) =>
-      s"""{"name":${q(n)},"statement":$i,"columns":[${cols.map(q).mkString(",")}],"path":${q(s"$n.snapshot.parquet")}}"""
+    val snaps = snapshots.map { case (n, i, cols, level, span) =>
+      s"""{"name":${q(n)},"statement":$i,"level":${q(level)}${spanJson(span)},""" +
+        s""""columns":[${cols.map(q).mkString(",")}],"path":${q(s"$n.snapshot.parquet")}}"""
     }.mkString("[", ",", "]")
-    val maps = mappings.map { case (s, t) =>
-      s"""{"src":${q(s)},"tgt":${q(t)},"path":${q(s"${s}__$t.mapping.parquet")}}"""
+    val maps = mappings.map { case (s, t, kind, srcTotal) =>
+      s"""{"src":${q(s)},"tgt":${q(t)},"kind":${q(kind)},"src_total":$srcTotal,""" +
+        s""""path":${q(s"${s}__$t.mapping.parquet")}}"""
     }.mkString("[", ",", "]")
     s"""{"source":${q(source)},"snapshots":$snaps,"mappings":$maps}"""
   }

@@ -96,6 +96,64 @@ class TraceSpec extends AnyFunSuite {
     assert(grouped == Seq(1L, 1L, 2L))
   }
 
+  test("sub-statement provenance: nested table expression snapshots with spans") {
+    val tracer = new InMemoryTracer
+    new Engine(spark).runSimple(
+      """WITH a AS IMPORT 'input_a';
+        |WITH b AS IMPORT 'input_b';
+        |WITH joined AS SELECT k, n FROM (SELECT a.key AS k, w AS n FROM a JOIN b ON a.key = b.key) WHERE n > 250;
+        |EXPORT joined TO 'out';""".stripMargin,
+      Map(
+        "input_a" -> Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("key", "v"),
+        "input_b" -> Seq((2L, 200L), (3L, 300L), (9L, 900L)).toDF("key", "w")),
+      Some(tracer))
+
+    // the inner SELECT ... JOIN snapshots as joined$1 at table_expression
+    // level (reference Level.TABLE_EXPRESSION, ir.py:371-385)
+    assert(tracer.snapshots.keySet == Set("a", "b", "joined$1", "joined", "out"))
+    assert(tracer.snapshots("joined$1").count() == 2) // keys 2 and 3 match
+    assert(tracer.snapshots("joined").count() == 1) // n > 250 keeps key 3 only
+    // lineage chains a/b → joined$1 → joined → out
+    assert(tracer.mappings(("a", "joined$1")).count() == 2)
+    assert(tracer.mappings(("b", "joined$1")).count() == 2)
+    assert(tracer.mappings(("joined$1", "joined")).count() == 1)
+    assert(tracer.mappings(("joined", "out")).count() == 1)
+
+    val manifest = tracer.manifest.get
+    assert(manifest.contains("\"level\":\"table_expression\""))
+    assert(manifest.contains("\"level\":\"export\""))
+    // the nested select's span starts on source line 2 (0-based)
+    assert(manifest.contains("\"start\":{\"line\":2,"))
+    assert(manifest.contains("\"end\":{\"line\":2,"))
+    // join fan-out is one_to_many and never total; the outer WHERE keeps the
+    // projection an identity mapping but voids totality
+    assert(manifest.contains(
+      "\"src\":\"a\",\"tgt\":\"joined$1\",\"kind\":\"one_to_many\",\"src_total\":false"))
+    assert(manifest.contains(
+      "\"src\":\"joined$1\",\"tgt\":\"joined\",\"kind\":\"identity\",\"src_total\":false"))
+  }
+
+  test("typed mappings: identity / many_to_one classification in the manifest") {
+    val tracer = new InMemoryTracer
+    new Engine(spark).runSimple(
+      """WITH input AS IMPORT 'input';
+        |WITH proj AS SELECT k, v FROM input;
+        |WITH totals AS SELECT k, sum(v) AS total FROM proj GROUP BY k;
+        |EXPORT totals TO 'out';""".stripMargin,
+      Map("input" -> Seq(("x", 1L), ("x", 2L), ("y", 10L)).toDF("k", "v")),
+      Some(tracer))
+    val m = tracer.manifest.get
+    assert(m.contains(
+      "\"src\":\"input\",\"tgt\":\"proj\",\"kind\":\"identity\",\"src_total\":true"))
+    assert(m.contains(
+      "\"src\":\"proj\",\"tgt\":\"totals\",\"kind\":\"many_to_one\",\"src_total\":true"))
+    assert(m.contains(
+      "\"src\":\"totals\",\"tgt\":\"out\",\"kind\":\"identity\",\"src_total\":true"))
+    // statement-level snapshots carry their body's source span
+    assert(m.contains("\"level\":\"statement\""))
+    assert(m.contains("\"start\":{\"line\":1,"))
+  }
+
   test("tracing off adds no hidden columns") {
     val out = new Engine(spark).runSimple(
       """WITH input AS IMPORT 'input';
