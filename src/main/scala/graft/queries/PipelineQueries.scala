@@ -58,16 +58,18 @@ object PipelineQueries {
 
     // SimHash near-dup, planted-pair design: the 64-bit signature is
     // engine-internal, so the gate plants exact copies of docs 0..24 at
-    // id+1000000 — identical text → hamming 0 → guaranteed candidates —
-    // and exact-Jaccard verification at 0.999 keeps only them (the densest
-    // base-corpus pair measures 0.9894 at every SF), making the expected
-    // output data-constructible in plain SQL
+    // id+1000000 and verifies candidates at exact shingle-set equality
+    // (jaccard = 1.0). Byte-identical text → identical simhash → hamming 0,
+    // a guaranteed candidate, so recall over equal-set pairs is total
+    // (checked at every SF: each base-corpus equal-set pair is also raw-
+    // identical) — and the oracle computes the same pair set with a
+    // hash-joinable sorted-shingle key, never going quadratic
     "pipe_dedup_simhash" -> ((s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
       val planted = docs.filter(col("doc_id") < 25)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
       Dedup.simhashVerified(docs.union(planted), col("doc_id"), col("text"),
-        maxHamming = 3, minJaccard = 0.999)
+        maxHamming = 3, minJaccard = 1.0)
     }),
 
     // token counting: whitespace + BPE-ish estimate
@@ -214,14 +216,18 @@ object PipelineQueries {
          |  FROM edges e JOIN reach r ON e.dst = r.id)
          |SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
          |FROM reach GROUP BY id""".stripMargin,
-    // the planted pairs ARE the expected output (see the query comment:
-    // hamming-0 candidates are guaranteed, verification excludes all else);
-    // the len>=3 filter mirrors the shingle-empty drop in the verify join
+    // exact-set duplicates via an equality join on the SORTED shingle list —
+    // jaccard = 1.0 iff the distinct-shingle sets are equal, so no
+    // quadratic pairing is ever needed; covers the planted copies plus any
+    // base-corpus exact duplicates (present at sf0.1); the len>=3 filter
+    // mirrors the shingle-empty drop in the verify join
     "pipe_dedup_simhash" ->
-      """SELECT doc_id AS id_a, CAST(doc_id + 1000000 AS BIGINT) AS id_b,
-        |       CAST(1.0 AS DOUBLE) AS jaccard
-        |FROM documents
-        |WHERE doc_id < 25 AND len(string_split_regex(trim(lower(text)),'\s+')) >= 3""".stripMargin,
+      s"""WITH pl AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 25),
+         |     allv AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM pl),
+         |     t AS (SELECT doc_id, list_sort($duckShingles) AS key FROM allv
+         |           WHERE len(string_split_regex(trim(lower(text)),'\\s+')) >= 3)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
+         |FROM t a JOIN t b ON a.key = b.key AND a.doc_id < b.doc_id""".stripMargin,
     "pipe_token_count" ->
       """SELECT doc_id,
         | CAST(CASE WHEN length(trim(text)) = 0 THEN 0

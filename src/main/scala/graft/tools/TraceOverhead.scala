@@ -1,0 +1,56 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+
+import graft.dtl.{Engine, FilesystemExporter, FilesystemImporter, FilesystemTracer}
+
+/** Dev tooling: cost of row-level provenance tracing at sf0.1.
+  *
+  * Runs a representative DTL pipeline (filter → join → aggregate over
+  * lineitem ⋈ orders) three ways — tracing off, then on (full snapshot +
+  * mapping parquet writes), alternating, best-of-2 each — and prints the
+  * overhead ratio recorded in README's scale section.
+  *
+  * Usage: sbt "runMain graft.tools.TraceOverhead [sfDir]"
+  */
+object TraceOverhead {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val script =
+      """WITH lineitem AS IMPORT 'lineitem';
+        |WITH orders AS IMPORT 'orders';
+        |WITH big AS SELECT l_orderkey, l_quantity, l_extendedprice FROM lineitem WHERE l_quantity > 30.0;
+        |WITH joined AS SELECT o_custkey, l_extendedprice FROM big JOIN orders ON l_orderkey = o_orderkey;
+        |WITH output AS SELECT o_custkey, sum(l_extendedprice) AS revenue, count() AS n FROM joined GROUP BY o_custkey;
+        |EXPORT output TO 'output';""".stripMargin
+
+    def run(trace: Boolean): Double = {
+      val out = Files.createTempDirectory("graft_out").toString
+      val tracer =
+        if (trace) Some(new FilesystemTracer(Files.createTempDirectory("graft_trace").toString))
+        else None
+      val t0 = System.nanoTime()
+      new Engine(spark).run(script, new FilesystemImporter(spark, sfDir),
+        new FilesystemExporter(out), tracer)
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    run(trace = false) // warmup
+    val off = Seq(run(false), run(false)).min
+    val on = Seq(run(true), run(true)).min
+    println(f"trace off: $off%.2f s")
+    println(f"trace on:  $on%.2f s (full row-id assignment + snapshot/mapping parquet writes)")
+    println(f"overhead:  ${on / off}%.1fx")
+    spark.stop()
+  }
+}
