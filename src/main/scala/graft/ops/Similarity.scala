@@ -75,6 +75,43 @@ object Similarity {
     (assigned, centroids)
   }
 
+  /** Persist the IVF index partitioned by centroid — the layout that makes
+    * probing sub-linear: a search reads ONLY the probed centroids'
+    * directories (partition pruning), i.e. ~nProbe/C of the corpus bytes.
+    */
+  def ivfWriteIndex(assigned: DataFrame, path: String): Unit =
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+  /** ANN top-k against a written index. Probe centroid ids per query are
+    * computed row-locally, then collected into a partition-pruning IN
+    * filter on the scan. The collect is q×nProbe ids — index METADATA,
+    * bounded and tiny by construction — which buys a STATIC prune: only the
+    * probed partition directories are listed and read, no full-index scan,
+    * no reliance on runtime DPP heuristics. The corpus itself never moves.
+    */
+  def ivfTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      centroids: DataFrame,
+      queries: DataFrame, queryId: Column, queryVec: Column,
+      k: Int, nProbe: Int): DataFrame = {
+    val q = queries.select(queryId.as("query_id"), queryVec.cast("array<double>").as("qv"))
+    val probes = q.crossJoin(broadcast(centroidArray(centroids)))
+      .select(col("query_id"), col("qv"),
+        explode(graft.functions.CentroidMath.nearestCentroids(col("qv"), col("cents"), nProbe))
+          .as("centroid_id"))
+    val probeIds = probes.select("centroid_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val assigned = spark.read.parquet(indexPath)
+      .filter(col("centroid_id").isin(probeIds: _*))
+    val scored = probes.join(assigned, Seq("centroid_id"))
+      .withColumn("cosine", round(cosine(col("cv"), col("qv")), 6))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
+  }
+
   /** ANN top-k via IVF: probe the `nProbe` nearest centroids per query and
     * brute-force only within those partitions. Probe selection is the same
     * row-local top-k over the broadcast centroid array (no q×C explosion);

@@ -121,6 +121,32 @@ class OpsSpec extends AnyFunSuite {
     assert(ivf.head.getLong(1) == 10L) // nProbe = all centroids → exact
   }
 
+  test("partitioned IVF index search prunes to the probed centroids") {
+    val vecs = (1L to 60L).map(i =>
+      (i, Seq.tabulate(8)(j => math.cos(i * 3 + j) + (if (i % 3 == 0) 2.0 else 0.0))))
+      .toDF("vec_id", "embedding")
+    val (assigned, centroids) = Similarity.ivfAssign(vecs, col("vec_id"), col("embedding"), nCentroids = 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_index").toString
+    Similarity.ivfWriteIndex(assigned, dir)
+    val q = vecs.filter(col("vec_id") === 10)
+    val indexed = Similarity.ivfTopKIndexed(spark, dir, centroids,
+      q, col("vec_id"), col("embedding"), k = 3, nProbe = 2)
+    // identical results to the in-memory probe path at the same nProbe
+    val inMem = Similarity.ivfTopK(assigned, centroids,
+      q, col("vec_id"), col("embedding"), k = 3, nProbe = 2)
+    assert(indexed.orderBy("rank").collect().toSeq ==
+      inMem.orderBy("rank").collect().toSeq)
+    // the scan must read only the probed partitions, not the whole index:
+    // the isin over the partition column shows up as PartitionFilters and
+    // prunes the directory listing to <= nProbe partitions
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"),
+      s"expected centroid partition pruning in:\n$plan")
+    val inList = "centroid_id#\\d+L? IN \\(([^)]*)\\)".r.findFirstMatchIn(plan)
+    assert(inList.exists(_.group(1).split(",").length <= 2),
+      s"partition filter should list <= nProbe centroids:\n$plan")
+  }
+
   test("incremental dedup drops seen fingerprints, keeps new and near-dup text") {
     val history = Seq("the quick brown fox jumps over the lazy dog again and again today")
       .toDF("text").select(TextAnalysis.fingerprint(col("text")).as("fp"))
