@@ -28,7 +28,12 @@ object GraftFunctions {
     "cosine_sim" -> { args => CosineExpression(args(0), args(1)) },
     "dot_product" -> { args => DotExpression(args(0), args(1)) },
     "word_stats" -> { args => WordStatsExpression(args.head) },
-    "lang_id" -> { args => LangIdExpression(args.head) })
+    "lang_id" -> { args => LangIdExpression(args.head) },
+    "nearest_centroid" -> { args => NearestCentroidExpr(args(0), args(1)) },
+    "nearest_centroids" -> { args =>
+      NearestCentroidsExpr(args(0), args(1), intArg(args(2), "nearest_centroids(_, _, k)"))
+    },
+    "image_meta" -> { args => ImageMetaExpr(args.head) })
 
   /** Imperative per-session registration. */
   def register(spark: SparkSession): Unit =

@@ -104,6 +104,26 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(edge == Seq("und", "und", "en"))
   }
 
+  test("nearest_centroid(s) and image_meta are callable from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT nearest_centroid(array(1.0d, 0.0d),
+        |         array(struct(10L, array(0.9d, 0.1d)), struct(20L, array(0.0d, 1.0d)))) AS nc,
+        |       nearest_centroids(array(1.0d, 0.0d),
+        |         array(struct(10L, array(0.9d, 0.1d)), struct(20L, array(0.0d, 1.0d))), 2) AS ncs
+        |""".stripMargin).head()
+    assert(r.getLong(0) == 10L)
+    assert(r.getSeq[Long](1) == Seq(10L, 20L))
+    // image_meta on a real 1x1 PNG literal; garbage bytes → NULL
+    val png = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg==")
+    val img = Seq(Tuple1(png)).toDF("b")
+      .selectExpr("image_meta(b) AS m", "image_meta(CAST('junk' AS BINARY)) AS j")
+      .head()
+    assert(img.getStruct(0).getInt(0) == 1 && img.getStruct(0).getString(2) == "png")
+    assert(img.isNullAt(1))
+  }
+
   test("non-literal numHashes is rejected with a clear error") {
     GraftFunctions.register(spark)
     Seq(1).toDF("n").createOrReplaceTempView("nums")
