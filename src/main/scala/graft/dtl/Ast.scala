@@ -90,6 +90,15 @@ object Ast {
   final case class SetOpExpr(op: SetOp, left: TableExpr, right: TableExpr,
       pos: Pos) extends TableExpr
 
+  /** Leftmost source position of a table expression. SetOpExpr.pos points at
+    * the operator keyword (the right anchor for error messages), so source
+    * SPANS must recurse into the left operand or they would exclude it.
+    */
+  def startPos(te: TableExpr): Pos = te match {
+    case SetOpExpr(_, l, _, _) => startPos(l)
+    case _ => te.pos
+  }
+
   sealed trait Statement { def pos: Pos }
   final case class WithStmt(name: String, body: TableExpr, pos: Pos) extends Statement
   final case class ExportStmt(body: TableExpr, location: String, pos: Pos) extends Statement

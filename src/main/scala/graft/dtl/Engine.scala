@@ -44,19 +44,19 @@ final class Engine(
         compiler.nestedTrace = Some { (te, t) =>
           exprIdx += 1
           compiler.traceStatement(s"$stmtName$$$exprIdx", idx, t, tr, manifest,
-            level = "table_expression", span = Some((te.pos, te.endPos)))
+            level = "table_expression", span = Some((Ast.startPos(te), te.endPos)))
         }
       }
       stmt match {
         case WithStmt(name, body, _) =>
           var t = compiler.compileTable(body, env)
           for (tr <- tracer) t = compiler.traceStatement(name, idx, t, tr, manifest,
-            level = "statement", span = Some((body.pos, body.endPos)))
+            level = "statement", span = Some((Ast.startPos(body), body.endPos)))
           env(name) = t
         case ExportStmt(body, location, _) =>
           var t = compiler.compileTable(body, env)
           for (tr <- tracer) t = compiler.traceStatement(location, idx, t, tr, manifest,
-            level = "export", span = Some((body.pos, body.endPos)))
+            level = "export", span = Some((Ast.startPos(body), body.endPos)))
           exporter.exportTable(location, compiler.materialize(t))
       }
     }

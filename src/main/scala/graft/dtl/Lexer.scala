@@ -94,6 +94,7 @@ object Lexer {
             throw DtlError(s"integer literal out of range: ${sb.toString}", l0, c0)
           }, sb.toString, l0, c0)
       } else if (c == '\'' || c == '"') {
+        val s0 = i // raw-source start, including the opening quote
         val quote = bump()
         val sb = new StringBuilder
         var closed = false
@@ -110,7 +111,10 @@ object Lexer {
           } else sb += ch
         }
         if (!closed) throw DtlError("unterminated string", l0, c0)
-        if (quote == '\'') out += Token.StringLit(sb.toString, sb.toString, l0, c0)
+        // StringLit.text carries the RAW source slice (quotes + escape
+        // sequences) so error display and span arithmetic see the true
+        // source extent; .value stays the unescaped content
+        if (quote == '\'') out += Token.StringLit(sb.toString, src.substring(s0, i), l0, c0)
         else out += Token.QuotedName(sb.toString, l0, c0)
       } else {
         val two = if (i + 1 < src.length) src.substring(i, i + 2) else ""

@@ -18,10 +18,17 @@ final class Parser(tokens: Vector[Token]) {
   private def advance(): Token = { val t = cur; i += 1; t }
   /** End of the most recently consumed token — the end of any node finished
     * just now. Feeds TableExpr.endPos for trace-manifest source spans.
+    * StringLit stores its RAW source text (quotes + escapes included) so its
+    * length is exact; QuotedName stores the bare name, so add its two quote
+    * characters (embedded escapes in quoted names are not length-corrected).
     */
   private def withEnd[T <: TableExpr](t: T): T = {
     val tk = tokens(math.max(i - 1, 0))
-    t.endPos = Pos(tk.line, tk.col + tk.text.length)
+    val len = tk match {
+      case Token.QuotedName(n, _, _) => n.length + 2
+      case _ => tk.text.length
+    }
+    t.endPos = Pos(tk.line, tk.col + len)
     t
   }
 

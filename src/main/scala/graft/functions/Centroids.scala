@@ -34,12 +34,15 @@ object CentroidMath {
     var bestD = Double.NegativeInfinity
     var i = 0
     while (i < n) {
-      val row = cents.getStruct(i, 2)
-      val id = row.getLong(0)
-      val d = VecMath.cosine(vec, row.getArray(1))
-      if (!d.isNaN && (d > bestD || (d == bestD && id < bestId))) {
-        bestD = d
-        bestId = id
+      // null elements/fields (possible via the SQL surface) never win
+      val row = if (cents.isNullAt(i)) null else cents.getStruct(i, 2)
+      if (row != null && !row.isNullAt(0) && !row.isNullAt(1)) {
+        val id = row.getLong(0)
+        val d = VecMath.cosine(vec, row.getArray(1))
+        if (!d.isNaN && (d > bestD || (d == bestD && id < bestId))) {
+          bestD = d
+          bestId = id
+        }
       }
       i += 1
     }
@@ -58,20 +61,23 @@ object CentroidMath {
     var used = 0
     var i = 0
     while (i < n) {
-      val row = cents.getStruct(i, 2)
-      val id = row.getLong(0)
-      val d = VecMath.cosine(vec, row.getArray(1))
-      if (!d.isNaN) {
-        // find insertion point among the current top `used`
-        var j = used
-        while (j > 0 && (d > ds(j - 1) || (d == ds(j - 1) && id < ids(j - 1)))) j -= 1
-        if (j < cap) {
-          val last = math.min(used, cap - 1)
-          var m = last
-          while (m > j) { ids(m) = ids(m - 1); ds(m) = ds(m - 1); m -= 1 }
-          ids(j) = id
-          ds(j) = d
-          if (used < cap) used += 1
+      // null elements/fields (possible via the SQL surface) are skipped
+      val row = if (cents.isNullAt(i)) null else cents.getStruct(i, 2)
+      if (row != null && !row.isNullAt(0) && !row.isNullAt(1)) {
+        val id = row.getLong(0)
+        val d = VecMath.cosine(vec, row.getArray(1))
+        if (!d.isNaN) {
+          // find insertion point among the current top `used`
+          var j = used
+          while (j > 0 && (d > ds(j - 1) || (d == ds(j - 1) && id < ids(j - 1)))) j -= 1
+          if (j < cap) {
+            val last = math.min(used, cap - 1)
+            var m = last
+            while (m > j) { ids(m) = ids(m - 1); ds(m) = ds(m - 1); m -= 1 }
+            ids(j) = id
+            ds(j) = d
+            if (used < cap) used += 1
+          }
         }
       }
       i += 1
@@ -133,7 +139,9 @@ case class NearestCentroidsExpr(left: Expression, right: Expression, k: Int)
     extends BinaryExpression {
   require(k > 0, s"nearest_centroids k must be positive, got $k")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = false
+  // nullable stays the BinaryExpression default (null-in → null-out): a
+  // hardcoded false would make codegen's non-null fast path feed undefined
+  // child values into nearestIds when a nullable input column is null
   override def checkInputDataTypes(): TypeCheckResult =
     CentroidMath.checkTypes(left, right, "nearest_centroids")
   override def nullSafeEval(vec: Any, cents: Any): Any =

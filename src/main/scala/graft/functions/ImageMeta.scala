@@ -24,12 +24,17 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object ImageMeta {
 
+  /** Full decoded-media shape (n_frames = 1 for stills) so one evaluation
+    * yields everything a decode pipeline needs — callers must never have to
+    * re-evaluate the (CodegenFallback, header-parsing) expression per field.
+    */
   val dataType: StructType = StructType(Seq(
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
     StructField("format", StringType, nullable = false)))
 
-  /** (width, height, lowercase format name) or null when undecodable. */
+  /** (width, height, 1, lowercase format name) or null when undecodable. */
   def decode(bytes: Array[Byte]): InternalRow = {
     if (bytes == null || bytes.length == 0) return null
     try {
@@ -42,7 +47,7 @@ object ImageMeta {
           try {
             reader.setInput(iis, true, true)
             InternalRow(
-              reader.getWidth(0), reader.getHeight(0),
+              reader.getWidth(0), reader.getHeight(0), 1,
               UTF8String.fromString(reader.getFormatName.toLowerCase))
           } finally reader.dispose()
         }

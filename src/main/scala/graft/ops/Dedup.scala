@@ -105,18 +105,26 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
 
     // verify with exact Jaccard over shingle sets, fetched per candidate
+    verifyJaccard(candidates, shingled, threshold)
+  }
+
+  /** Exact-Jaccard verification of (id_a, id_b) candidate pairs against a
+    * (id, sh) shingle-set frame — the shared tail of every candidate-
+    * generation dedup path (minhash LSH, simhash). Thresholds the TRUE
+    * jaccard (as the oracles do); rounds only for display — a rounded
+    * filter admits pairs just below t at the 6th decimal, which the
+    * candidate-recall guarantees do not cover.
+    */
+  private def verifyJaccard(candidates: DataFrame, shingled: DataFrame,
+      threshold: Double): DataFrame =
     candidates
       .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
-      // threshold the TRUE jaccard (as the oracles do); round only for
-      // display — a rounded filter admits pairs just below t at the 6th
-      // decimal, which the prefix-filter candidate guarantee does not cover
       .filter(col("inter").cast("double") / col("uni") >= threshold)
       .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
       .select("id_a", "id_b", "jaccard")
-  }
 
   /** Exact pairwise n-gram Jaccard for all pairs above a threshold, via a
     * cross join. O(n²) — kept ONLY as the correctness reference for
@@ -225,6 +233,13 @@ object Dedup {
     * then an exact verify join on the few candidate rows, same shape as
     * [[minhashLsh]]. Returns (id_a, id_b, jaccard) with id_a < id_b and
     * jaccard >= minJaccard.
+    *
+    * Signatures are computed over lowercased text so candidate recall lines
+    * up with the case-folding shingle verification (a case-variant copy
+    * would otherwise flip ~half the signature bits and never surface as a
+    * candidate). Residual recall assumption at minJaccard = 1.0: equal
+    * DISTINCT shingle sets with different token multisets could still hash
+    * apart — contrived, and absent from every testdata SF.
     */
   def simhashVerified(df: DataFrame, id: Column, text: Column,
       maxHamming: Int = 3, minJaccard: Double = 0.9,
@@ -232,15 +247,7 @@ object Dedup {
     val shingled = df
       .select(id.as("id"), TextAnalysis.shingles(text, shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
-    simhashPairs(df, id, text, maxHamming)
-      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
-      // threshold the TRUE jaccard, round only for display (see minhashLsh)
-      .filter(col("inter").cast("double") / col("uni") >= minJaccard)
-      .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
-      .select("id_a", "id_b", "jaccard")
+    verifyJaccard(simhashPairs(df, id, lower(text), maxHamming), shingled, minJaccard)
   }
 
   /** Connected components over near-dup pairs → cluster ids (min member id

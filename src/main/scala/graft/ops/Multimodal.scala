@@ -57,15 +57,14 @@ object Multimodal {
     */
   def decode(media: Column): Column = {
     val img = graft.functions.ImageMeta.imageMeta(media.getField("bytes"))
-    val real = struct(
-      img.getField("width").as("width"),
-      img.getField("height").as("height"),
-      lit(1).as("n_frames"),
-      img.getField("format").as("format"))
-    // nested when so the header parse only ever runs on image/* rows
-    when(media.getField("mime").startsWith("image/"),
-      when(img.isNotNull, real).otherwise(fakeDecode(media)))
-      .otherwise(fakeDecode(media))
+    // coalesce(when(...), fallback) evaluates the header parse exactly ONCE
+    // per row, and only on image rows: non-image mimes and undecodable bytes
+    // both surface as NULL from the when-arm and fall through to the stub.
+    // (A when/otherwise formulation would re-evaluate the CodegenFallback
+    // expression once per referenced field — 4 header parses per row.)
+    coalesce(
+      when(media.getField("mime").startsWith("image/"), img),
+      fakeDecode(media))
   }
 
   /** STUB feature extraction: fixed-dim pseudo-embedding derived from

@@ -95,10 +95,14 @@ object Similarity {
       queries: DataFrame, queryId: Column, queryVec: Column,
       k: Int, nProbe: Int): DataFrame = {
     val q = queries.select(queryId.as("query_id"), queryVec.cast("array<double>").as("qv"))
+    // localCheckpoint: the probe frame feeds BOTH the collected pruning
+    // id-list and the candidate join — materializing it once avoids running
+    // the query scan + centroid argmax twice (it is small: q × nProbe rows)
     val probes = q.crossJoin(broadcast(centroidArray(centroids)))
       .select(col("query_id"), col("qv"),
         explode(graft.functions.CentroidMath.nearestCentroids(col("qv"), col("cents"), nProbe))
           .as("centroid_id"))
+      .localCheckpoint()
     val probeIds = probes.select("centroid_id").distinct()
       .collect().map(_.getLong(0)).sorted
     val assigned = spark.read.parquet(indexPath)

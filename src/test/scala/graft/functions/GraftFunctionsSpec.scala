@@ -120,7 +120,9 @@ class GraftFunctionsSpec extends AnyFunSuite {
     val img = Seq(Tuple1(png)).toDF("b")
       .selectExpr("image_meta(b) AS m", "image_meta(CAST('junk' AS BINARY)) AS j")
       .head()
-    assert(img.getStruct(0).getInt(0) == 1 && img.getStruct(0).getString(2) == "png")
+    // struct is (width, height, n_frames, format)
+    assert(img.getStruct(0).getInt(0) == 1 && img.getStruct(0).getInt(2) == 1 &&
+      img.getStruct(0).getString(3) == "png")
     assert(img.isNullAt(1))
   }
 
