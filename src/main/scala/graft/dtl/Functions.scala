@@ -203,6 +203,13 @@ object FunctionRegistry {
     arity("count_distinct", 1) { (args, pos) =>
       TypedCol(countDistinct(args.head.col), TInt64)
     },
+    // HyperLogLog++ cardinality: at corpus scale an exact count_distinct
+    // shuffles every distinct value; the sketch merges in fixed memory.
+    // Approximate by design → spec-covered, no SQL oracle (engines'
+    // sketches differ numerically).
+    arity("approx_count_distinct", 1) { (args, pos) =>
+      TypedCol(approx_count_distinct(args.head.col), TInt64)
+    },
     arity("stddev", 1) { (args, pos) =>
       if (!isNumeric(args.head.dtype)) fail(pos, "stddev expects a numeric argument")
       TypedCol(stddev_samp(args.head.col), TDouble)

@@ -17,9 +17,11 @@ trait Exporter {
 }
 
 /** Parquet by default (reference parity: `<dir>/<name>.parquet`, io.py:41);
-  * names carrying an explicit `.csv` / `.json` / `.parquet` extension select
-  * that format (connector extension per SURVEY.md §2 D). CSV reads with
-  * header + schema inference; JSON is line-delimited.
+  * names carrying an explicit `.csv` / `.json` / `.orc` / `.parquet`
+  * extension select that format (connector extension per SURVEY.md §2 D).
+  * CSV reads with header + schema inference; JSON is line-delimited; ORC is
+  * Spark's built-in columnar alternative (same pushdown/pruning story as
+  * parquet).
   */
 final class FilesystemImporter(spark: SparkSession, inputDir: String) extends Importer {
   private val cache = mutable.Map.empty[String, DataFrame]
@@ -29,6 +31,7 @@ final class FilesystemImporter(spark: SparkSession, inputDir: String) extends Im
         spark.read.option("header", "true").option("inferSchema", "true")
           .csv(s"$inputDir/$name")
       case Some("json") => spark.read.json(s"$inputDir/$name")
+      case Some("orc") => spark.read.orc(s"$inputDir/$name")
       case Some("parquet") => spark.read.parquet(s"$inputDir/$name")
       case _ => spark.read.parquet(s"$inputDir/$name.parquet")
     })
@@ -53,6 +56,7 @@ final class FilesystemExporter(outputDir: String) extends Exporter {
       case Some("csv") =>
         df.write.mode("overwrite").option("header", "true").csv(s"$outputDir/$name")
       case Some("json") => df.write.mode("overwrite").json(s"$outputDir/$name")
+      case Some("orc") => df.write.mode("overwrite").orc(s"$outputDir/$name")
       case Some("parquet") => df.write.mode("overwrite").parquet(s"$outputDir/$name")
       case _ => df.write.mode("overwrite").parquet(s"$outputDir/$name.parquet")
     }

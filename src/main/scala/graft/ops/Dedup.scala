@@ -289,6 +289,28 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** Resolve duplicate clusters to representatives: for each connected
+    * component of near-dup pairs, keep the member with the highest score
+    * (ties to the smallest id) — the step that turns pairwise detection
+    * into "keep one doc per duplicate group". Returns one row per cluster:
+    * (cluster_id, keep_id, quality, n_members). Costs the cluster
+    * propagation plus one windowed shuffle over the CLUSTERED docs only
+    * (clusters are a tiny fraction of a deduplicated corpus).
+    */
+  def keepBest(docs: DataFrame, id: Column, score: Column,
+      pairs: DataFrame): DataFrame = {
+    val scored = docs.select(id.as("id"), score.as("score"))
+    val joined = clusters(pairs).join(scored, Seq("id"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("score").desc, col("id").asc)
+    joined
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("id").as("keep_id"),
+        round(col("score"), 6).as("quality"), col("n_members"))
+  }
+
   /** Embedding near-duplicates: multi-table random-hyperplane LSH. Each of
     * `nTables` tables hashes the vector to a sign-bit signature over
     * `planesPerTable` fixed pseudo-random hyperplanes; a pair is a candidate

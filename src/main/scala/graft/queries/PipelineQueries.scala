@@ -45,6 +45,15 @@ object PipelineQueries {
       Dedup.clusters(pairs).select(col("id").as("doc_id"), col("cluster_id"))
     }),
 
+    // cluster resolution: one representative per duplicate cluster — the
+    // highest quality score, ties to the smallest doc id
+    "pipe_dedup_keep_best" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minhashLsh(docs, col("doc_id"), col("text"),
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      Dedup.keepBest(docs, col("doc_id"), TextAnalysis.qualityScore(col("text")), pairs)
+    }),
+
     // incremental ingestion dedup: docs 0..249 are "history"; keep only
     // batch rows whose normalized text was never seen (fingerprint
     // anti-join; the oracle expresses the same predicate on the text
@@ -228,6 +237,36 @@ object PipelineQueries {
          |           WHERE len(string_split_regex(trim(lower(text)),'\\s+')) >= 3)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
          |FROM t a JOIN t b ON a.key = b.key AND a.doc_id < b.doc_id""".stripMargin,
+    // clusters CTE as in pipe_dedup_clusters; ORDERING uses the raw quality
+    // (row-level double arithmetic is bit-exact across engines), round only
+    // for display — mirrors Dedup.keepBest exactly
+    "pipe_dedup_keep_best" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $duckShingles AS sh FROM documents WHERE len(string_split_regex(trim(lower(text)),'\\s+')) >= 3),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+         |reach AS (
+         |  SELECT src AS id, src AS label FROM edges
+         |  UNION
+         |  SELECT e.src AS id, r.label
+         |  FROM edges e JOIN reach r ON e.dst = r.id),
+         |cl AS (SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+         |       FROM reach GROUP BY id),
+         |q AS (SELECT doc_id,
+         |  least(length(text) / 200.0, 1.0) * 0.4
+         |  + (CASE WHEN length(text)::DOUBLE / greatest(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text),'\\s+')) END, 1) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3
+         |  + (CASE WHEN length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))::DOUBLE / greatest(length(text), 1) < 0.2 THEN 1.0 ELSE 0.3 END) * 0.3
+         |  AS score FROM documents),
+         |m AS (SELECT cl.cluster_id, cl.doc_id, q.score,
+         |        row_number() OVER (PARTITION BY cl.cluster_id ORDER BY q.score DESC, cl.doc_id ASC) AS rn,
+         |        count(*) OVER (PARTITION BY cl.cluster_id) AS n_members
+         |      FROM cl JOIN q USING (doc_id))
+         |SELECT cluster_id, doc_id AS keep_id, round(score, 6) AS quality,
+         |       CAST(n_members AS BIGINT) AS n_members
+         |FROM m WHERE rn = 1""".stripMargin,
     "pipe_token_count" ->
       """SELECT doc_id,
         | CAST(CASE WHEN length(trim(text)) = 0 THEN 0

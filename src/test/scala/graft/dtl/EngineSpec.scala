@@ -629,6 +629,21 @@ class EngineSpec extends AnyFunSuite {
       Seq(Seq("a", 2.5), Seq("b", 10.0)))
   }
 
+  test("approx_count_distinct sketches cardinality per group") {
+    val df = (1L to 1000L).map(i => (if (i % 2 == 0) "even" else "odd", i / 10))
+      .toDF("g", "v")
+    val out = engine.runSimple(
+      """WITH input AS IMPORT 'input';
+        |WITH output AS SELECT g, approx_count_distinct(v) AS n FROM input GROUP BY g;
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("input" -> df))
+    val rows = out("output").orderBy("g").collect()
+    // HLL++ default rsd is 5%; ~100 distinct per group must land well inside
+    assert(rows.length == 2)
+    rows.foreach(r => assert(math.abs(r.getLong(1) - 100L) <= 10,
+      s"approx count ${r.getLong(1)} too far from 100"))
+  }
+
   test("set operations: UNION [ALL], EXCEPT, INTERSECT with distinct semantics") {
     val a = Seq(1L, 2L, 2L, 3L).toDF("k")
     val b = Seq(3L, 4L).toDF("k")

@@ -30,6 +30,22 @@ class IoSpec extends AnyFunSuite {
     assert(pq.collect().map(_.getString(1)).sorted.toSeq == Seq("B", "C"))
   }
 
+  test("orc round-trips through the engine with pushdown intact") {
+    val dir = java.nio.file.Files.createTempDirectory("dtl-orc").toString
+    Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+      .write.orc(s"$dir/input.orc")
+
+    new Engine(spark).run(
+      """WITH t AS IMPORT 'input.orc';
+        |WITH big AS SELECT k, v FROM t WHERE v > 15;
+        |EXPORT big TO 'out.orc';""".stripMargin,
+      new FilesystemImporter(spark, dir),
+      new FilesystemExporter(dir))
+
+    val orc = spark.read.orc(s"$dir/out.orc")
+    assert(orc.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+  }
+
   test("new scalar functions evaluate with strict types") {
     val out = new Engine(spark).runSimple(
       """WITH input AS IMPORT 'input';

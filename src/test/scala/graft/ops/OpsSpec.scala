@@ -147,6 +147,17 @@ class OpsSpec extends AnyFunSuite {
       s"partition filter should list <= nProbe centroids:\n$plan")
   }
 
+  test("keepBest keeps the highest-scoring member per duplicate cluster") {
+    val pairs = Seq((1L, 2L), (2L, 5L), (3L, 4L)).toDF("id_a", "id_b")
+    val scored = Seq((1L, 0.3), (2L, 0.9), (3L, 0.5), (4L, 0.5), (5L, 0.1))
+      .toDF("doc_id", "q")
+    val out = Dedup.keepBest(scored, col("doc_id"), col("q"), pairs)
+      .orderBy("cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // cluster {1,2,5}: doc 2 wins on score; cluster {3,4}: score tie → min id
+    assert(out.toSeq == Seq((1L, 2L, 0.9, 3L), (3L, 3L, 0.5, 2L)))
+  }
+
   test("incremental dedup drops seen fingerprints, keeps new and near-dup text") {
     val history = Seq("the quick brown fox jumps over the lazy dog again and again today")
       .toDF("text").select(TextAnalysis.fingerprint(col("text")).as("fp"))
