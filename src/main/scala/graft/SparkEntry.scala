@@ -40,5 +40,6 @@ object SparkEntry {
     "q06_window_rank", "q14_star_revenue", "q16_events_hourly", "q18_agg_stats",
     "q26_asof_join", "q28_range_join", "q29_run_length",
     "pipe_dedup_minhash", "pipe_dedup_clusters", "pipe_embed_topk",
-    "pipe_token_count", "pipe_decontaminate", "pipe_pack_sequences")
+    "pipe_embed_ivf", "pipe_token_count", "pipe_decontaminate",
+    "pipe_pack_sequences")
 }

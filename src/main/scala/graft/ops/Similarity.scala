@@ -82,6 +82,21 @@ object Similarity {
   def ivfWriteIndex(assigned: DataFrame, path: String): Unit =
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
+  /** Incremental index maintenance for a growing corpus: assign NEW vectors
+    * to the EXISTING centroids (row-local argmax, zero shuffles) and append
+    * them to the partitioned layout. Dynamic partition overwrite is not
+    * needed — append only touches the directories the new batch lands in,
+    * so ingestion cost tracks batch size, not index size.
+    */
+  def ivfAppendIndex(newVectors: DataFrame, id: Column, vec: Column,
+      centroids: DataFrame, path: String): Unit = {
+    val c = newVectors.select(id.as("vec_id"), vec.cast("array<double>").as("cv"))
+    c.crossJoin(broadcast(centroidArray(centroids)))
+      .select(col("vec_id"), col("cv"),
+        graft.functions.CentroidMath.nearestCentroid(col("cv"), col("cents")).as("centroid_id"))
+      .write.mode("append").partitionBy("centroid_id").parquet(path)
+  }
+
   /** ANN top-k against a written index. Probe centroid ids per query are
     * computed row-locally, then collected into a partition-pruning IN
     * filter on the scan. The collect is q×nProbe ids — index METADATA,

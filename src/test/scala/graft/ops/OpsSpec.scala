@@ -145,6 +145,16 @@ class OpsSpec extends AnyFunSuite {
     val inList = "centroid_id#\\d+L? IN \\(([^)]*)\\)".r.findFirstMatchIn(plan)
     assert(inList.exists(_.group(1).split(",").length <= 2),
       s"partition filter should list <= nProbe centroids:\n$plan")
+
+    // incremental append: new vectors join the index under the existing
+    // centroids and become searchable without rewriting old partitions
+    val newVecs = Seq((1000L, Seq.tabulate(8)(j => math.cos(10 * 3 + j)))) // ~ vec 10
+      .toDF("vec_id", "embedding")
+    Similarity.ivfAppendIndex(newVecs, col("vec_id"), col("embedding"), centroids, dir)
+    val after = Similarity.ivfTopKIndexed(spark, dir, centroids,
+      q, col("vec_id"), col("embedding"), k = 2, nProbe = 4)
+      .orderBy("rank").collect()
+    assert(after.map(_.getLong(1)).toSeq == Seq(10L, 1000L)) // clone ranks right behind
   }
 
   test("keepBest keeps the highest-scoring member per duplicate cluster") {
