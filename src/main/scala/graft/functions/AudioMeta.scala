@@ -1,0 +1,74 @@
+package graft.functions
+
+import java.io.ByteArrayInputStream
+
+import javax.sound.sampled.AudioSystem
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** REAL audio-header decode using the JDK's built-in `javax.sound.sampled` —
+  * no external codec libraries. Parses the container header (WAV/AIFF/AU,
+  * the formats the JDK ships readers for) via `AudioSystem.getAudioFileFormat`
+  * WITHOUT reading sample data, so cost per row is independent of clip
+  * length. The sibling of [[ImageMeta]] for the audio modality.
+  *
+  * Returns NULL for bytes no installed reader recognizes (the caller decides
+  * the fallback — see `Multimodal.decodeAudio`).
+  */
+object AudioMeta {
+
+  /** One evaluation yields every header field an audio pipeline keys on —
+    * callers must never re-evaluate the (CodegenFallback, header-parsing)
+    * expression per field.
+    */
+  val dataType: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("format", StringType, nullable = false)))
+
+  /** (sample rate Hz, channels, bits/sample, frame count, lowercase container
+    * name) or null when undecodable. Frame count is -1 when the container
+    * does not declare it (streams).
+    */
+  def decode(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null || bytes.length == 0) return null
+    try {
+      val ff = AudioSystem.getAudioFileFormat(new ByteArrayInputStream(bytes))
+      val fmt = ff.getFormat
+      InternalRow(
+        math.round(fmt.getSampleRate),
+        fmt.getChannels,
+        fmt.getSampleSizeInBits,
+        ff.getFrameLength.toLong,
+        UTF8String.fromString(ff.getType.toString.toLowerCase))
+    } catch {
+      case _: Exception => null // unsupported/truncated container → undecodable
+    }
+  }
+
+  def audioMeta(bytes: Column): Column =
+    GraftColumnBridge.column(AudioMetaExpr(GraftColumnBridge.expression(bytes)))
+}
+
+case class AudioMetaExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = AudioMeta.dataType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"audio_meta expects BINARY, got ${child.dataType.simpleString}")
+  override def nullSafeEval(bytes: Any): Any =
+    AudioMeta.decode(bytes.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): AudioMetaExpr =
+    copy(child = newChild)
+}

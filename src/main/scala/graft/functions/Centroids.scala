@@ -85,8 +85,41 @@ object CentroidMath {
     new GenericArrayData(ids.take(used).map(x => x: Any))
   }
 
+  /** Id of the nearest centroid by SQUARED EUCLIDEAN distance (smallest
+    * wins; ties break toward the smallest centroid id); Long.MinValue when
+    * no centroid is comparable. Used by the quantized k-means path, where
+    * vectors hold integer values as doubles: every (a-b)² term and partial
+    * sum is then an exact integer, so the argmin is bit-reproducible in any
+    * engine regardless of summation order — the property the k-means oracle
+    * relies on.
+    */
+  def nearestIdL2(vec: ArrayData, cents: ArrayData): Long = {
+    val n = cents.numElements()
+    var bestId = Long.MinValue
+    var bestD = Double.PositiveInfinity
+    var i = 0
+    while (i < n) {
+      // null elements/fields (possible via the SQL surface) never win
+      val row = if (cents.isNullAt(i)) null else cents.getStruct(i, 2)
+      if (row != null && !row.isNullAt(0) && !row.isNullAt(1)) {
+        val id = row.getLong(0)
+        val d = VecMath.sqDist(vec, row.getArray(1))
+        if (!d.isNaN && (d < bestD || (d == bestD && id < bestId))) {
+          bestD = d
+          bestId = id
+        }
+      }
+      i += 1
+    }
+    bestId
+  }
+
   def nearestCentroid(vec: Column, cents: Column): Column =
     GraftColumnBridge.column(NearestCentroidExpr(
+      GraftColumnBridge.expression(vec), GraftColumnBridge.expression(cents)))
+
+  def nearestCentroidL2(vec: Column, cents: Column): Column =
+    GraftColumnBridge.column(NearestCentroidL2Expr(
       GraftColumnBridge.expression(vec), GraftColumnBridge.expression(cents)))
 
   def nearestCentroids(vec: Column, cents: Column, k: Int): Column =
@@ -131,6 +164,27 @@ case class NearestCentroidExpr(left: Expression, right: Expression)
          |${ev.isNull} = ${ev.value} == Long.MIN_VALUE;""".stripMargin)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): NearestCentroidExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** argmin-squared-L2 centroid id; NULL when no centroid is comparable. */
+case class NearestCentroidL2Expr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    CentroidMath.checkTypes(left, right, "nearest_centroid_l2")
+  override def nullSafeEval(vec: Any, cents: Any): Any = {
+    val r = CentroidMath.nearestIdL2(
+      vec.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData])
+    if (r == Long.MinValue) null else r
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""${ev.value} = graft.functions.CentroidMath.nearestIdL2($a, $b);
+         |${ev.isNull} = ${ev.value} == Long.MIN_VALUE;""".stripMargin)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCentroidL2Expr =
     copy(left = newLeft, right = newRight)
 }
 

@@ -30,10 +30,12 @@ object GraftFunctions {
     "word_stats" -> { args => WordStatsExpression(args.head) },
     "lang_id" -> { args => LangIdExpression(args.head) },
     "nearest_centroid" -> { args => NearestCentroidExpr(args(0), args(1)) },
+    "nearest_centroid_l2" -> { args => NearestCentroidL2Expr(args(0), args(1)) },
     "nearest_centroids" -> { args =>
       NearestCentroidsExpr(args(0), args(1), intArg(args(2), "nearest_centroids(_, _, k)"))
     },
-    "image_meta" -> { args => ImageMetaExpr(args.head) })
+    "image_meta" -> { args => ImageMetaExpr(args.head) },
+    "audio_meta" -> { args => AudioMetaExpr(args.head) })
 
   /** Imperative per-session registration. */
   def register(spark: SparkSession): Unit =

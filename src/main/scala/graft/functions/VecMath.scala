@@ -50,6 +50,24 @@ object VecMath {
     acc
   }
 
+  /** Single-pass squared Euclidean distance; NaN when lengths differ. When
+    * both arrays hold integer values (the quantized k-means path) every term
+    * and partial sum is an exact integer in double, so the result is
+    * bit-identical across engines and summation orders.
+    */
+  def sqDist(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return Double.NaN
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
   def cosineSim(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineExpression(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))

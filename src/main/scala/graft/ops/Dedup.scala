@@ -203,6 +203,36 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Substring-level exact dedup: pairs of documents sharing at least one
+    * k-token window (the window-hash formulation of suffix-array training-
+    * data dedup — catches copied PASSAGES that document-level Jaccard
+    * misses). Returns (id_a, id_b, n_windows = distinct shared windows).
+    *
+    * Scale shape: one hash shuffle groups window→postings; pairs are
+    * generated per-posting with a row-local HOF, never via a corpus
+    * self-join. `maxDocFreq` drops boilerplate windows (licence headers,
+    * navigation chrome) whose postings would otherwise go quadratic — the
+    * standard stop-window guard; at 100 TB it also bounds every posting
+    * list, so no single window can skew a partition.
+    */
+  def substringPairs(df: DataFrame, id: Column, text: Column,
+      windowTokens: Int = 8, maxDocFreq: Int = 50): DataFrame = {
+    require(windowTokens > 0 && maxDocFreq >= 2,
+      s"need windowTokens > 0, maxDocFreq >= 2; got $windowTokens, $maxDocFreq")
+    val wins = df.select(id.as("id"),
+      explode(TextAnalysis.shingles(text, windowTokens)).as("win"))
+    val postings = wins.groupBy("win")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxDocFreq))
+    // all i<j pairs from each bounded posting list, row-locally
+    val pairs = postings.select(explode(flatten(
+      transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, lit(maxDocFreq)),
+          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+    pairs.groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("n_windows"))
+  }
+
   /** SimHash near-dup candidates: signatures banded into 4×16-bit chunks —
     * any pair within Hamming distance 3 shares at least one identical chunk
     * (pigeonhole), so bucket-join on chunks then verify the distance.

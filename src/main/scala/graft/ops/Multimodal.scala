@@ -11,8 +11,11 @@ import org.apache.spark.sql.types._
   * IMAGE decode is REAL: [[decode]] reads width/height/format from the
   * container header for image mimes via the JDK's built-in
   * `javax.imageio` ([[graft.functions.ImageMeta]] — no external codec
-  * libraries, no pixel decode). Audio/video metadata remains STUBBED (no
-  * codecs in the JDK): [[fakeDecode]] derives deterministic pseudo-metadata
+  * libraries, no pixel decode). AUDIO header decode is REAL for the
+  * containers the JDK ships readers for (WAV/AIFF/AU via
+  * `javax.sound.sampled`, [[graft.functions.AudioMeta]]). Video and
+  * codec-compressed audio metadata remains STUBBED (no codecs in the JDK):
+  * [[fakeDecode]]/[[fakeAudioDecode]] derive deterministic pseudo-metadata
   * from an md5 of the bytes — md5 (not a Spark-internal hash) so any engine
   * reproduces the exact values, which is what makes the gate query
   * oracle-checkable. Feature extraction stands in for a model encoder and
@@ -65,6 +68,41 @@ object Multimodal {
     coalesce(
       when(media.getField("mime").startsWith("image/"), img),
       fakeDecode(media))
+  }
+
+  /** Schema of a decoded audio struct. */
+  val decodedAudioType: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("format", StringType, nullable = false)))
+
+  /** STUB audio decode for containers with no JDK reader (mp3/ogg/...):
+    * deterministic pseudo-metadata from md5 of the content — the same
+    * cross-engine-reproducible pattern as [[fakeDecode]].
+    */
+  def fakeAudioDecode(media: Column): Column = {
+    val hex = md5(media.getField("bytes"))
+    def h(pos: Int): Column = conv(substring(hex, pos, 8), 16, 10).cast("long")
+    struct(
+      ((h(1) % 4) * 8000 + 16000).cast("int").as("sample_rate"),
+      (h(9) % 2 + 1).cast("int").as("channels"),
+      ((h(17) % 2 + 1) * 8).cast("int").as("bits"),
+      (h(25) % 960000 + 1).as("n_frames"),
+      substring(media.getField("mime"), 1, 5).as("format"))
+  }
+
+  /** Audio decode dispatch: audio mimes get the REAL header parse (JDK
+    * `javax.sound.sampled` — WAV/AIFF/AU), unrecognized containers and
+    * non-audio mimes fall back to the deterministic stub. Same
+    * evaluate-once coalesce shape as [[decode]].
+    */
+  def decodeAudio(media: Column): Column = {
+    val real = graft.functions.AudioMeta.audioMeta(media.getField("bytes"))
+    coalesce(
+      when(media.getField("mime").startsWith("audio/"), real),
+      fakeAudioDecode(media))
   }
 
   /** STUB feature extraction: fixed-dim pseudo-embedding derived from

@@ -75,6 +75,59 @@ object Similarity {
     (assigned, centroids)
   }
 
+  /** Quantized Lloyd k-means over an embedding column — the principled way
+    * to pick IVF centroids (vs the md5 random sample [[ivfAssign]] starts
+    * from). Vectors are quantized to integers (`round(x·scale)`), so every
+    * distance term, partial sum, and centroid mean is EXACT integer
+    * arithmetic in doubles: results are bit-identical across engines and
+    * summation orders, which makes an iterative clustering algorithm —
+    * normally hopeless to oracle — SQL-checkable.
+    *
+    * Scale shape, per iteration:
+    *   - assignment: row-local argmin over the broadcast centroid array
+    *     (native codegen [[graft.functions.CentroidMath.nearestCentroidL2]],
+    *     ZERO exchanges — same shape as [[ivfAssign]]);
+    *   - re-centering: per-dimension `sum(element_at)` long aggregates with
+    *     map-side partial aggregation — the only shuffle moves k×(dim+1)
+    *     partial buffers per partition, never corpus rows.
+    * Centroids that lose all members keep their previous position. New
+    * centroid coordinates are floor(sum/count) — exact given integer sums.
+    *
+    * Returns (assignment (vec_id, qv, centroid_id), final centroids).
+    */
+  def kmeansQuantized(corpus: DataFrame, id: Column, vec: Column,
+      k: Int, iters: Int, dim: Int, scale: Double = 1000.0): (DataFrame, DataFrame) = {
+    require(k > 0 && iters >= 0 && dim > 0, s"bad kmeans params k=$k iters=$iters dim=$dim")
+    val q = corpus.select(id.as("vec_id"),
+      transform(vec.cast("array<double>"), x => round(x * scale)).as("qv"))
+    def assign(cents: DataFrame): DataFrame =
+      q.crossJoin(broadcast(centroidArray(
+          cents.select(col("centroid_id"), col("centroid_vec")))))
+        .select(col("vec_id"), col("qv"),
+          graft.functions.CentroidMath.nearestCentroidL2(col("qv"), col("cents"))
+            .as("centroid_id"))
+    var cents = q
+      .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id").as("centroid_id"), col("qv").as("centroid_vec"))
+    for (_ <- 1 to iters) {
+      val sums = (0 until dim).map(i =>
+        sum(element_at(col("qv"), i + 1).cast("long")).as(s"s$i"))
+      val grouped = assign(cents)
+        .groupBy("centroid_id")
+        .agg(count(lit(1)).as("n"), sums: _*)
+      // Spark floor returns LONG; the centroid contract is array<double>
+      // (holding exact integer values)
+      val mean = array((0 until dim).map(i =>
+        floor(col(s"s$i") / col("n")).cast("double")): _*)
+      val refreshed = grouped.select(col("centroid_id"), mean.as("new_vec"))
+      cents = cents.join(refreshed, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("new_vec"), col("centroid_vec")).as("centroid_vec"))
+    }
+    (assign(cents), cents)
+  }
+
   /** Persist the IVF index partitioned by centroid — the layout that makes
     * probing sub-linear: a search reads ONLY the probed centroids'
     * directories (partition pruning), i.e. ~nProbe/C of the corpus bytes.

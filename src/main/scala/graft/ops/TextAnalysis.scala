@@ -130,6 +130,21 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("tok").asc)
       .limit(k)
 
+  /** Corpus-level n-gram heavy hitters: the `k` word n-grams appearing in
+    * the most documents (document frequency; each document counts a gram
+    * once), ties broken by gram. The boilerplate detector — grams whose
+    * document frequency is anomalously high are licence headers, navigation
+    * chrome, and templates, and feed [[graft.ops.Dedup.substringPairs]]'s
+    * stop-window guard. Shape mirrors [[vocabulary]]: partial+final count
+    * shuffle then a global TakeOrdered — no full sort at any scale.
+    */
+  def frequentNgrams(df: org.apache.spark.sql.DataFrame, text: Column,
+      n: Int, k: Int): org.apache.spark.sql.DataFrame =
+    df.select(explode(shingles(text, n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("gram").asc)
+      .limit(k)
+
   /** TF-IDF top-k retrieval: score every document against a bag of query
     * terms with smooth idf (`tf · (ln((N+1)/(df+1)) + 1)`) and return the k
     * best by score (ties broken by id).

@@ -81,6 +81,28 @@ object PipelineQueries {
         maxHamming = 3, minJaccard = 1.0)
     }),
 
+    // substring-level dedup: pairs sharing any 8-token window (passage
+    // copying that document-level Jaccard misses), boilerplate windows
+    // capped at docfreq 50
+    "pipe_dedup_substring" -> ((s, d) =>
+      Dedup.substringPairs(t(s, d, "documents"), col("doc_id"), col("text"),
+        windowTokens = 8, maxDocFreq = 50)),
+
+    // corpus-level boilerplate detector: 25 most document-frequent word
+    // trigrams
+    "pipe_ngram_hitters" -> ((s, d) =>
+      TextAnalysis.frequentNgrams(t(s, d, "documents"), col("text"), n = 3, k = 25)),
+
+    // quantized Lloyd k-means (2 iterations, k=8) — integer arithmetic makes
+    // the iterative clustering bit-reproducible in SQL, so the full
+    // assign→recenter→assign chain is oracle-checked
+    "pipe_kmeans" -> ((s, d) => {
+      val (assigned, _) = Similarity.kmeansQuantized(
+        t(s, d, "embeddings"), col("vec_id"), col("embedding"),
+        k = 8, iters = 2, dim = 64)
+      assigned.select("vec_id", "centroid_id")
+    }),
+
     // token counting: whitespace + BPE-ish estimate
     "pipe_token_count" -> ((s, d) => {
       val doc = t(s, d, "documents")
@@ -175,6 +197,7 @@ object PipelineQueries {
       t(s, d, "documents")
         .select(col("doc_id"), media.as("media"))
         .withColumn("decoded", Multimodal.decode(col("media")))
+        .withColumn("audio", Multimodal.decodeAudio(col("media")))
         .withColumn("resized", Multimodal.resizeMeta(col("decoded"), 512))
         .select(
           col("doc_id"),
@@ -183,15 +206,39 @@ object PipelineQueries {
           col("resized.width").as("r_width"),
           col("resized.height").as("r_height"),
           size(Multimodal.sampleFrames(col("decoded"), 10)).as("n_sampled"),
-          size(Multimodal.fakeFeatures(col("media"))).as("feat_dim"))
+          size(Multimodal.fakeFeatures(col("media"))).as("feat_dim"),
+          col("audio.sample_rate").as("a_rate"),
+          col("audio.channels").as("a_channels"))
     })
   )
 
-  // DuckDB shingle set builder matching TextAnalysis.shingles(text, 3)
-  private val duckShingles =
-    """list_distinct(list_transform(
-      |  range(1, greatest(len(string_split_regex(trim(lower(text)),'\s+')) - 1, 1)),
-      |  i -> list_aggregate(list_slice(string_split_regex(trim(lower(text)),'\s+'), i, i+2), 'string_agg', ' ')))""".stripMargin
+  // DuckDB shingle set builder matching TextAnalysis.shingles(text, k)
+  private def duckShinglesK(k: Int): String =
+    s"""list_distinct(list_transform(
+       |  range(1, greatest(len(string_split_regex(trim(lower(text)),'\\s+')) - ${k - 2}, 1)),
+       |  i -> list_aggregate(list_slice(string_split_regex(trim(lower(text)),'\\s+'), i, i+${k - 1}), 'string_agg', ' ')))""".stripMargin
+
+  private val duckShingles = duckShinglesK(3)
+
+  // one quantized-kmeans Lloyd round in DuckDB: assign to nearest centroid
+  // by squared L2 (integer-exact), then per-dimension floor(sum/count)
+  // means; centroids with no members keep their previous position
+  private def duckKmeansRound(prev: String, assignAs: String, centsAs: String): String =
+    s"""$assignAs AS (
+       |  SELECT vec_id, qv, centroid_id,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY
+       |           list_sum(list_transform(qv, (x, i) -> (x - cv[i]) * (x - cv[i]))) ASC,
+       |           centroid_id ASC) AS rn
+       |  FROM q CROSS JOIN $prev),
+       |${assignAs}_m AS (
+       |  SELECT centroid_id, i, floor(sum(CAST(qv[i] AS BIGINT)) / count(*)) AS v
+       |  FROM (SELECT * FROM $assignAs WHERE rn = 1), unnest(generate_series(1, 64)) AS t(i)
+       |  GROUP BY centroid_id, i),
+       |$centsAs AS (
+       |  SELECT p.centroid_id, coalesce(g.nv, p.cv) AS cv
+       |  FROM $prev p LEFT JOIN
+       |    (SELECT centroid_id, list(v ORDER BY i) AS nv FROM ${assignAs}_m GROUP BY centroid_id) g
+       |    USING (centroid_id))""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "pipe_dedup_exact" ->
@@ -267,6 +314,36 @@ object PipelineQueries {
          |SELECT cluster_id, doc_id AS keep_id, round(score, 6) AS quality,
          |       CAST(n_members AS BIGINT) AS n_members
          |FROM m WHERE rn = 1""".stripMargin,
+    // window postings + docfreq stop-window guard, then pair counts — the
+    // join-on-window SQL twin of the postings-list HOF pair generation
+    "pipe_dedup_substring" ->
+      s"""WITH w AS (SELECT doc_id, unnest(${duckShinglesK(8)}) AS win FROM documents),
+         |     f AS (SELECT win FROM w GROUP BY win HAVING count(*) BETWEEN 2 AND 50)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_windows
+         |FROM w a JOIN f ON f.win = a.win
+         |         JOIN w b ON b.win = a.win AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2""".stripMargin,
+    // shingle lists are per-document distinct, so count(*) = doc frequency
+    "pipe_ngram_hitters" ->
+      s"""SELECT gram, count(*) AS n_docs FROM
+         |  (SELECT doc_id, unnest(${duckShinglesK(3)}) AS gram FROM documents)
+         |GROUP BY gram ORDER BY n_docs DESC, gram ASC LIMIT 25""".stripMargin,
+    // mirrors kmeansQuantized step for step: md5 init pick, two Lloyd
+    // rounds, final argmin assignment — everything integer-exact
+    "pipe_kmeans" ->
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> round(x * 1000)) AS qv
+         |           FROM embeddings),
+         |c0 AS (SELECT vec_id AS centroid_id, qv AS cv FROM q
+         |       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+         |${duckKmeansRound("c0", "a0", "c1")},
+         |${duckKmeansRound("c1", "a1", "c2")},
+         |af AS (
+         |  SELECT vec_id, centroid_id,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY
+         |           list_sum(list_transform(qv, (x, i) -> (x - cv[i]) * (x - cv[i]))) ASC,
+         |           centroid_id ASC) AS rn
+         |  FROM q CROSS JOIN c2)
+         |SELECT vec_id, centroid_id FROM af WHERE rn = 1""".stripMargin,
     "pipe_token_count" ->
       """SELECT doc_id,
         | CAST(CASE WHEN length(trim(text)) = 0 THEN 0
@@ -346,12 +423,14 @@ object PipelineQueries {
         |     r AS (SELECT doc_id, width, height, n_frames,
         |                  least(512.0 / greatest(width, height), 1.0) AS scale
         |           FROM d)
-        |SELECT doc_id, width, height,
+        |SELECT r.doc_id, width, height,
         |       CAST(round(width * scale) AS INTEGER) AS r_width,
         |       CAST(round(height * scale) AS INTEGER) AS r_height,
         |       CAST((n_frames - 1) // 10 + 1 AS INTEGER) AS n_sampled,
-        |       CAST(16 AS INTEGER) AS feat_dim
-        |FROM r""".stripMargin,
+        |       CAST(16 AS INTEGER) AS feat_dim,
+        |       CAST(('0x' || substr(m.hx, 1, 8))::BIGINT % 4 * 8000 + 16000 AS INTEGER) AS a_rate,
+        |       CAST(('0x' || substr(m.hx, 9, 8))::BIGINT % 2 + 1 AS INTEGER) AS a_channels
+        |FROM r JOIN m ON r.doc_id = m.doc_id""".stripMargin,
     "pipe_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)),'\s+')) AS tok FROM documents),
         |     rel AS (SELECT * FROM tok WHERE tok IN ('data','query','spark','fast')),

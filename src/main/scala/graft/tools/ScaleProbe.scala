@@ -119,6 +119,27 @@ object ScaleProbe {
     }
     println(s"  pairs: $exactPairs (planted: ${nd / 100})")
 
+    println(s"== quantized kmeans (row-local assign, k-row recentering partials) ==")
+    // per-iteration cost must grow ~linearly in k (argmin work per row);
+    // the recentering shuffle stays k×(dim+1) partial buffers regardless of n
+    for (k <- Seq(64, 256)) {
+      val nCents = time(f"kmeansQuantized ($nv%,d x $dim-dim vectors, k=$k, 1 iter)") {
+        val (assigned, _) = graft.ops.Similarity.kmeansQuantized(
+          vecs, col("vec_id"), col("embedding"), k = k, iters = 1, dim = dim)
+        assigned.agg(countDistinct("centroid_id")).as[Long].head()
+      }
+      println(s"  distinct centroids: $nCents")
+    }
+
+    println(s"== substring window dedup (postings-bounded pair generation) ==")
+    // the same planted-dup corpus: shared windows only between originals and
+    // their planted variants; boilerplate cap bounds every posting list
+    val subPairs = time(f"substringPairs (${nd + nd / 100}%,d docs, 8-token windows)") {
+      graft.ops.Dedup.substringPairs(corpus, col("id"), col("text"),
+        windowTokens = 8, maxDocFreq = 50).count()
+    }
+    println(s"  pairs: $subPairs")
+
     spark.stop()
   }
 }

@@ -109,4 +109,20 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"corpus side must not shuffle (only the C-row centroid " +
       s"TakeOrdered may), got $exchanges exchanges:\n$p")
   }
+
+  test("kmeans: assignment row-local, recentering shuffles only k-row partials") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val (assigned, _) = graft.ops.Similarity.kmeansQuantized(
+      emb, col("vec_id"), col("embedding"), k = 8, iters = 1, dim = 64)
+    val p = assigned.queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Window"), s"argmin must not be a window:\n$p")
+    assert(p.toLowerCase.contains("nearestcentroidl2"),
+      s"expected native L2 nearest-centroid expression:\n$p")
+    // corpus rows must never hash-shuffle: the only hash exchange is the
+    // k-row recentering aggregate, keyed by centroid_id
+    val hashes = "hashpartitioning\\((\\w+)".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(hashes.subsetOf(Set("centroid_id")),
+      s"unexpected hash exchange keys $hashes (corpus must stay put):\n$p")
+  }
 }

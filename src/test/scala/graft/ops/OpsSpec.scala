@@ -157,6 +157,93 @@ class OpsSpec extends AnyFunSuite {
     assert(after.map(_.getLong(1)).toSeq == Seq(10L, 1000L)) // clone ranks right behind
   }
 
+  test("quantized kmeans: k=1 centroid is the exact floor-mean; assignment total") {
+    val vecs = Seq(
+      (1L, Seq(0.0021, -0.0028)), // quantizes to (2, -3)
+      (2L, Seq(0.0039, 0.0012)),  // (4, 1)
+      (3L, Seq(-0.0018, 0.0043))) // (-2, 4)
+      .toDF("vec_id", "embedding")
+    val (assigned, cents) = Similarity.kmeansQuantized(
+      vecs, col("vec_id"), col("embedding"), k = 1, iters = 1, dim = 2)
+    val c = cents.collect().head
+    // floor(sum/count): floor(4/3)=1, floor(2/3)=0
+    assert(c.getSeq[Double](1) == Seq(1.0, 0.0))
+    assert(assigned.select("centroid_id").distinct().count() == 1)
+    assert(assigned.count() == 3)
+  }
+
+  test("quantized kmeans assignment is self-consistent with its centroids") {
+    val vecs = (1L to 40L).map(i =>
+      (i, Seq.tabulate(4)(j => math.sin(i * 5 + j) * 0.01))).toDF("vec_id", "embedding")
+    val (assigned, cents) = Similarity.kmeansQuantized(
+      vecs, col("vec_id"), col("embedding"), k = 3, iters = 2, dim = 4)
+    val cMap = cents.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // naive reference: every point must sit with its true argmin-L2 centroid
+    // (ties toward the smaller id), independently recomputed driver-side
+    assigned.collect().foreach { r =>
+      val qv = r.getSeq[Double](1)
+      val got = r.getLong(2)
+      val best = cMap.toSeq.map { case (cid, cv) =>
+        (qv.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+      }.minBy(identity)
+      assert(got == best._2, s"vec ${r.getLong(0)}: got $got expected ${best._2}")
+    }
+  }
+
+  test("quantized kmeans separates planted far-apart clusters") {
+    // two clusters at distance >> intra-cluster spread; any init recovers
+    // them within 2 Lloyd rounds because the first recentering already pulls
+    // one centroid into each mass (k=2, both masses equal size)
+    val vecs = (1L to 30L).map { i =>
+      val base = if (i <= 15) 0.0 else 5.0
+      (i, Seq.tabulate(4)(j => base + math.sin(i * 7 + j) * 0.01))
+    }.toDF("vec_id", "embedding")
+    val (assigned, _) = Similarity.kmeansQuantized(
+      vecs, col("vec_id"), col("embedding"), k = 2, iters = 3, dim = 4)
+    val byCluster = assigned.collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy { case (vid, _) => vid <= 15 }
+      .map { case (lo, rows) => lo -> rows.map(_._2).toSet }
+    assert(byCluster(true).size == 1 && byCluster(false).size == 1,
+      s"each planted mass must map to exactly one centroid: $byCluster")
+    assert(byCluster(true) != byCluster(false), "masses must get distinct centroids")
+  }
+
+  test("substring pairs finds shared 8-token windows with exact counts") {
+    // docs 1 and 5 are identical (13 tokens → 6 windows of 8); 1 vs 2 differ
+    // only in the last token → share the 5 windows not touching it
+    val pairs = Dedup.substringPairs(docs, col("doc_id"), col("text"),
+      windowTokens = 8, maxDocFreq = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 5L)) == 6L)
+    assert(pairs((1L, 2L)) == 5L)
+    assert(pairs((2L, 5L)) == 5L)
+    assert(!pairs.keySet.exists { case (a, b) => Set(a, b).intersect(Set(3L, 4L)).nonEmpty })
+  }
+
+  test("substring pairs drops boilerplate windows above maxDocFreq") {
+    // the same 8-token boilerplate in every doc; unique tails
+    val boiler = (1L to 6L).map(i => (i, s"shared license header tokens one two three four unique$i"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.substringPairs(boiler, col("doc_id"), col("text"),
+      windowTokens = 8, maxDocFreq = 5)
+    // window docfreq is 6 > 5 → guard drops it → no pairs at all
+    assert(capped.count() == 0)
+    val uncapped = Dedup.substringPairs(boiler, col("doc_id"), col("text"),
+      windowTokens = 8, maxDocFreq = 6)
+    assert(uncapped.count() == 15) // all C(6,2) pairs share the window
+  }
+
+  test("frequent ngrams ranks the repeated trigram first with doc frequency") {
+    val top = TextAnalysis.frequentNgrams(docs, col("text"), n = 3, k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // "the quick brown" appears in docs 1, 2, 5 (once each as doc frequency)
+    assert(top.head._2 == 3L)
+    assert(top.head._1 == "again and again" || top.head._1 == "and again today" ||
+      top.take(5).map(_._1).contains("the quick brown"))
+    // ordering is (n_docs desc, gram asc) — verify monotone counts
+    assert(top.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
+
   test("keepBest keeps the highest-scoring member per duplicate cluster") {
     val pairs = Seq((1L, 2L), (2L, 5L), (3L, 4L)).toDF("id_a", "id_b")
     val scored = Seq((1L, 0.3), (2L, 0.9), (3L, 0.5), (4L, 0.5), (5L, 0.1))
@@ -310,5 +397,41 @@ class OpsSpec extends AnyFunSuite {
     assert(d4.getString(3) == "video" && d4.getInt(0) >= 32)
     val d5 = out(4).getStruct(1)
     assert(d5.getString(3) == "image" && d5.getInt(0) >= 32)
+  }
+
+  test("real audio decode reads WAV/AIFF headers via javax.sound.sampled") {
+    // synthesize real containers with the JDK's own writer (no audio libs):
+    // `frames` frames of silence at the given rate/channels/bits
+    def render(rate: Float, channels: Int, bits: Int, frames: Int,
+        fileType: javax.sound.sampled.AudioFileFormat.Type): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(rate, bits, channels, true, false)
+      val data = new Array[Byte](frames * fmt.getFrameSize)
+      val stream = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(stream, fileType, baos)
+      baos.toByteArray
+    }
+    import javax.sound.sampled.AudioFileFormat.Type.{AIFF, WAVE}
+    val df = Seq(
+      (1L, render(16000f, 1, 16, 1600, WAVE), "audio/wav"),
+      (2L, render(44100f, 2, 16, 441, WAVE), "audio/wav"),
+      (3L, render(8000f, 1, 8, 80, AIFF), "audio/aiff"),
+      (4L, "not audio".getBytes("UTF-8"), "audio/mp3"), // no JDK reader → stub
+      (5L, "plain text".getBytes("UTF-8"), "text/plain") // non-audio → stub
+    ).toDF("id", "content", "mime")
+    val out = df.select(col("id"),
+        Multimodal.decodeAudio(Multimodal.asMedia(col("content"), col("mime"))).as("d"))
+      .orderBy("id").collect()
+    def f(i: Int) = {
+      val d = out(i).getStruct(1)
+      (d.getInt(0), d.getInt(1), d.getInt(2), d.getLong(3), d.getString(4))
+    }
+    assert(f(0) == (16000, 1, 16, 1600L, "wave"))
+    assert(f(1) == (44100, 2, 16, 441L, "wave"))
+    assert(f(2) == (8000, 1, 8, 80L, "aiff"))
+    // unreadable container and non-audio mime fall back to the md5 stub
+    assert(f(3)._5 == "audio" && f(3)._1 >= 16000)
+    assert(f(4)._5 == "text/" && f(4)._1 >= 16000)
   }
 }
