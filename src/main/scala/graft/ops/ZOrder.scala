@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) data layout: interleave the bits of two dimension keys
+  * so that rows close in BOTH dimensions land close in the one-dimensional
+  * sort order. Files written in that order carry tight per-file min/max
+  * column statistics on BOTH dimensions, so a box predicate
+  * (`x BETWEEN … AND y BETWEEN …`) prunes to a handful of files instead of
+  * a full-dimension stripe — the standard multi-dimensional clustering
+  * technique for 100 TB scan locality (Delta/Iceberg `OPTIMIZE ZORDER BY`).
+  *
+  * The z-value is pure integer shift/mask arithmetic over Spark builtins —
+  * fully codegen'd, row-local, bit-exact in any engine (the gate query
+  * reproduces it in DuckDB SQL verbatim).
+  */
+object ZOrder {
+
+  /** Spread the low 32 bits of a non-negative value so bit i lands at
+    * position 2i (the 64-bit Morton magic-number chain).
+    */
+  def spread(x: Column): Column = {
+    val v0 = x.cast("long").bitwiseAND(lit(0xFFFFFFFFL))
+    val v1 = (v0.bitwiseOR(shiftleft(v0, 16))).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+    val v2 = (v1.bitwiseOR(shiftleft(v1, 8))).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+    val v3 = (v2.bitwiseOR(shiftleft(v2, 4))).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+    val v4 = (v3.bitwiseOR(shiftleft(v3, 2))).bitwiseAND(lit(0x3333333333333333L))
+    (v4.bitwiseOR(shiftleft(v4, 1))).bitwiseAND(lit(0x5555555555555555L))
+  }
+
+  /** 64-bit z-value of two 32-bit non-negative dimension keys (`a` on even
+    * bits, `b` on odd). Callers bucketize/rank raw values into 32-bit range
+    * first ([[bucketize]]).
+    */
+  def zValue(a: Column, b: Column): Column =
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+
+  /** Scale a numeric column into `2^bits` equal-width integer buckets over
+    * a KNOWN [min, max] domain — the dimension-key normalization for
+    * [[zValue]]. Domain bounds are parameters (metadata a table owner
+    * knows), not a computed pass over the data.
+    */
+  def bucketize(x: Column, min: Double, max: Double, bits: Int = 16): Column = {
+    require(max > min && bits > 0 && bits <= 32, s"bad bucketize domain [$min,$max] bits=$bits")
+    val n = (1L << bits) - 1
+    least(greatest(
+      floor((x.cast("double") - min) / (max - min) * n).cast("long"),
+      lit(0L)), lit(n))
+  }
+
+  /** Write `df` z-ordered on two dimension keys: range-partition by z-value
+    * (balanced output files via range exchange + AQE), sort within
+    * partitions, drop the helper column, write. Each output file then covers
+    * a compact z-range — i.e. a small box in (a, b) space — which is what
+    * makes min/max stats selective for both dimensions.
+    */
+  def writeZOrdered(df: DataFrame, a: Column, b: Column, path: String,
+      numFiles: Int): Unit =
+    df.withColumn("__z", zValue(a, b))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+}

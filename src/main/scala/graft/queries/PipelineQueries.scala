@@ -103,6 +103,20 @@ object PipelineQueries {
       assigned.select("vec_id", "centroid_id")
     }),
 
+    // z-order (Morton) layout keys: bit interleaving over raw masked ints
+    // and over bucketized doubles — pure integer shift/mask arithmetic,
+    // bit-exact in SQL
+    "pipe_zorder" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        graft.ops.ZOrder.zValue(
+          col("l_partkey").bitwiseAND(lit(65535L)),
+          col("l_suppkey").bitwiseAND(lit(65535L))).as("z_keys"),
+        graft.ops.ZOrder.zValue(
+          graft.ops.ZOrder.bucketize(col("l_extendedprice"), 0.0, 120000.0),
+          graft.ops.ZOrder.bucketize(col("l_quantity"), 0.0, 60.0)).as("z_dims"))
+    }),
+
     // token counting: whitespace + BPE-ish estimate
     "pipe_token_count" -> ((s, d) => {
       val doc = t(s, d, "documents")
@@ -220,6 +234,20 @@ object PipelineQueries {
 
   private val duckShingles = duckShinglesK(3)
 
+  // DuckDB twin of ZOrder.spread: the 64-bit Morton magic-number chain
+  private def duckSpread(e: String): String = {
+    val v0 = s"(($e) & 4294967295)"
+    val v1 = s"((($v0) | (($v0) << 16)) & 281470681808895)"
+    val v2 = s"((($v1) | (($v1) << 8)) & 71777214294589695)"
+    val v3 = s"((($v2) | (($v2) << 4)) & 1085102592571150095)"
+    val v4 = s"((($v3) | (($v3) << 2)) & 3689348814741910323)"
+    s"((($v4) | (($v4) << 1)) & 6148914691236517205)"
+  }
+
+  // DuckDB twin of ZOrder.bucketize(x, min, max, 16)
+  private def duckBucket(e: String, min: Double, max: Double): String =
+    s"least(greatest(CAST(floor((CAST($e AS DOUBLE) - $min) / (${max - min}) * 65535) AS BIGINT), 0), 65535)"
+
   // one quantized-kmeans Lloyd round in DuckDB: assign to nearest centroid
   // by squared L2 (integer-exact), then per-dimension floor(sum/count)
   // means; centroids with no members keep their previous position
@@ -314,6 +342,13 @@ object PipelineQueries {
          |SELECT cluster_id, doc_id AS keep_id, round(score, 6) AS quality,
          |       CAST(n_members AS BIGINT) AS n_members
          |FROM m WHERE rn = 1""".stripMargin,
+    // bit-exact Morton interleave, twin of ZOrder.spread/bucketize
+    "pipe_zorder" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  (${duckSpread("l_partkey & 65535")} | (${duckSpread("l_suppkey & 65535")} << 1)) AS z_keys,
+         |  (${duckSpread(duckBucket("l_extendedprice", 0.0, 120000.0))}
+         |   | (${duckSpread(duckBucket("l_quantity", 0.0, 60.0))} << 1)) AS z_dims
+         |FROM lineitem""".stripMargin,
     // window postings + docfreq stop-window guard, then pair counts — the
     // join-on-window SQL twin of the postings-list HOF pair generation
     "pipe_dedup_substring" ->

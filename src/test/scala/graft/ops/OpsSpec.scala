@@ -244,6 +244,46 @@ class OpsSpec extends AnyFunSuite {
     assert(top.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
   }
 
+  test("z-order: interleave matches hand-computed Morton codes") {
+    val df = Seq((10L, 6L), (0L, 0L), (65535L, 0L), (0L, 65535L), (1L, 1L))
+      .toDF("a", "b")
+    val out = df.select(ZOrder.zValue(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0))
+    // a on even bits, b on odd: z(10,6) = (1010 -> 68) | (0110 -> 40) = 108
+    assert(out(0) == 108L)
+    assert(out(1) == 0L)
+    assert(out(2) == 0x55555555L) // 16 one-bits spread over even positions 0..30
+    assert(out(3) == 0xAAAAAAAAL) // same spread, odd positions 1..31
+    assert(out(4) == 3L)
+    // bucketize clamps and scales into [0, 2^bits)
+    val b = Seq(( -5.0), (0.0), (30.0), (60.0), (999.0)).toDF("x")
+      .select(ZOrder.bucketize(col("x"), 0.0, 60.0).as("k"))
+      .collect().map(_.getLong(0))
+    assert(b(0) == 0L && b(1) == 0L && b(3) == 65535L && b(4) == 65535L)
+    assert(b(2) == 32767L) // floor(30/60 * 65535)
+  }
+
+  test("z-ordered layout confines a both-dims box to few files") {
+    // 64x64 grid; a query box selective in b only: a row-major (sort by a)
+    // layout smears any b-stripe across EVERY file, z-order keeps it local
+    val grid = spark.range(64L * 64L).select(
+      (col("id") / 64).cast("long").as("a"),
+      (col("id") % 64).cast("long").as("b"))
+    val zDir = java.nio.file.Files.createTempDirectory("zorder").toString
+    ZOrder.writeZOrdered(grid, col("a"), col("b"), zDir, numFiles = 16)
+    val rowMajorDir = java.nio.file.Files.createTempDirectory("rowmajor").toString
+    grid.repartitionByRange(16, col("a")).sortWithinPartitions("a", "b")
+      .write.mode("overwrite").parquet(rowMajorDir)
+    def filesTouched(dir: String): Long =
+      spark.read.parquet(dir)
+        .filter(col("b").between(32, 39))
+        .select(input_file_name()).distinct().count()
+    val zFiles = filesTouched(zDir)
+    val rmFiles = filesTouched(rowMajorDir)
+    assert(rmFiles == 16L, s"row-major must smear the stripe everywhere, got $rmFiles")
+    assert(zFiles <= 4L, s"z-order must confine the stripe, got $zFiles files")
+  }
+
   test("keepBest keeps the highest-scoring member per duplicate cluster") {
     val pairs = Seq((1L, 2L), (2L, 5L), (3L, 4L)).toDF("id_a", "id_b")
     val scored = Seq((1L, 0.3), (2L, 0.9), (3L, 0.5), (4L, 0.5), (5L, 0.1))
