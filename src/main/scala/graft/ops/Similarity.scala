@@ -128,6 +128,29 @@ object Similarity {
     (assign(cents), cents)
   }
 
+  /** IVF assignment driven by k-means-refined centroids (vs [[ivfAssign]]'s
+    * random sample): run [[kmeansQuantized]], de-scale its centroids back to
+    * embedding space, and assign ORIGINAL vectors to them with the same
+    * row-local L2 argmin — one extra codegen pass, zero joins, zero corpus
+    * shuffles. Balanced centroids mean balanced index partitions, which is
+    * what keeps probe fan-out uniform at scale (FAISS-style IVF trains
+    * exactly this way). Returns (assigned(vec_id, cv, centroid_id),
+    * centroids in embedding space).
+    */
+  def ivfAssignKmeans(corpus: DataFrame, id: Column, vec: Column,
+      nCentroids: Int, iters: Int, dim: Int,
+      scale: Double = 1000.0): (DataFrame, DataFrame) = {
+    val (_, qcents) = kmeansQuantized(corpus, id, vec, nCentroids, iters, dim, scale)
+    val cents = qcents.select(col("centroid_id"),
+      transform(col("centroid_vec"), x => x / scale).as("centroid_vec"))
+    val c = corpus.select(id.as("vec_id"), vec.cast("array<double>").as("cv"))
+    val assigned = c.crossJoin(broadcast(centroidArray(cents)))
+      .select(col("vec_id"), col("cv"),
+        graft.functions.CentroidMath.nearestCentroidL2(col("cv"), col("cents"))
+          .as("centroid_id"))
+    (assigned, cents)
+  }
+
   /** Persist the IVF index partitioned by centroid — the layout that makes
     * probing sub-linear: a search reads ONLY the probed centroids'
     * directories (partition pruning), i.e. ~nProbe/C of the corpus bytes.

@@ -17,11 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object ZOrder {
 
-  /** Spread the low 32 bits of a non-negative value so bit i lands at
-    * position 2i (the 64-bit Morton magic-number chain).
+  /** Spread the low 31 bits of a non-negative value so bit i lands at
+    * position 2i (the 64-bit Morton magic-number chain). 31 bits, not 32:
+    * bit 31 of the odd-interleaved dimension would land in the sign bit of
+    * the 64-bit z-value, flipping its sort order — the property suite
+    * caught exactly that.
     */
   def spread(x: Column): Column = {
-    val v0 = x.cast("long").bitwiseAND(lit(0xFFFFFFFFL))
+    val v0 = x.cast("long").bitwiseAND(lit(0x7FFFFFFFL))
     val v1 = (v0.bitwiseOR(shiftleft(v0, 16))).bitwiseAND(lit(0x0000FFFF0000FFFFL))
     val v2 = (v1.bitwiseOR(shiftleft(v1, 8))).bitwiseAND(lit(0x00FF00FF00FF00FFL))
     val v3 = (v2.bitwiseOR(shiftleft(v2, 4))).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
@@ -29,9 +32,9 @@ object ZOrder {
     (v4.bitwiseOR(shiftleft(v4, 1))).bitwiseAND(lit(0x5555555555555555L))
   }
 
-  /** 64-bit z-value of two 32-bit non-negative dimension keys (`a` on even
-    * bits, `b` on odd). Callers bucketize/rank raw values into 32-bit range
-    * first ([[bucketize]]).
+  /** Non-negative ≤62-bit z-value of two 31-bit non-negative dimension keys
+    * (`a` on even bits, `b` on odd). Callers bucketize/rank raw values into
+    * 31-bit range first ([[bucketize]]).
     */
   def zValue(a: Column, b: Column): Column =
     spread(a).bitwiseOR(shiftleft(spread(b), 1))
@@ -42,7 +45,7 @@ object ZOrder {
     * knows), not a computed pass over the data.
     */
   def bucketize(x: Column, min: Double, max: Double, bits: Int = 16): Column = {
-    require(max > min && bits > 0 && bits <= 32, s"bad bucketize domain [$min,$max] bits=$bits")
+    require(max > min && bits > 0 && bits <= 31, s"bad bucketize domain [$min,$max] bits=$bits")
     val n = (1L << bits) - 1
     least(greatest(
       floor((x.cast("double") - min) / (max - min) * n).cast("long"),

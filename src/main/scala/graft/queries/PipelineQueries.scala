@@ -236,7 +236,7 @@ object PipelineQueries {
 
   // DuckDB twin of ZOrder.spread: the 64-bit Morton magic-number chain
   private def duckSpread(e: String): String = {
-    val v0 = s"(($e) & 4294967295)"
+    val v0 = s"(($e) & 2147483647)"
     val v1 = s"((($v0) | (($v0) << 16)) & 281470681808895)"
     val v2 = s"((($v1) | (($v1) << 8)) & 71777214294589695)"
     val v3 = s"((($v2) | (($v2) << 4)) & 1085102592571150095)"

@@ -208,6 +208,29 @@ class OpsSpec extends AnyFunSuite {
     assert(byCluster(true) != byCluster(false), "masses must get distinct centroids")
   }
 
+  test("kmeans-trained IVF is exact at full probe and composes with the index") {
+    val vecs = (1L to 60L).map(i =>
+      (i, Seq.tabulate(8)(j => math.cos(i * 3 + j) + (if (i % 3 == 0) 2.0 else 0.0))))
+      .toDF("vec_id", "embedding")
+    val (assigned, centroids) = Similarity.ivfAssignKmeans(
+      vecs, col("vec_id"), col("embedding"), nCentroids = 4, iters = 2, dim = 8)
+    assert(assigned.count() == 60)
+    // probing every centroid makes IVF exact, whatever the training produced
+    val q = vecs.filter(col("vec_id") === 10)
+    val ivf = Similarity.ivfTopK(assigned, centroids, q,
+      col("vec_id"), col("embedding"), k = 1, nProbe = 4).collect()
+    assert(ivf.head.getLong(1) == 10L)
+    // assignment is self-consistent with the descaled centroids
+    val cMap = centroids.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assigned.collect().foreach { r =>
+      val cv = r.getSeq[Double](1)
+      val best = cMap.toSeq.map { case (cid, c) =>
+        (cv.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+      }.minBy(identity)._2
+      assert(r.getLong(2) == best)
+    }
+  }
+
   test("substring pairs finds shared 8-token windows with exact counts") {
     // docs 1 and 5 are identical (13 tokens → 6 windows of 8); 1 vs 2 differ
     // only in the last token → share the 5 windows not touching it

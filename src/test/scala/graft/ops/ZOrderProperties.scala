@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property-based checks for the layout + substring-dedup operators:
+  * Morton interleaving must round-trip and stay monotone per dimension, and
+  * postings-list pair generation must agree with a naive driver-side
+  * reference on arbitrary small corpora.
+  */
+object ZOrderProperties extends Properties("zorder") {
+  import graft.TestSpark.spark
+  import spark.implicits._
+
+  /** Inverse of ZOrder.spread: compact the even bits back into 32 bits. */
+  private def compact(z: Long): Long = {
+    var v = z & 0x5555555555555555L
+    v = (v | (v >>> 1)) & 0x3333333333333333L
+    v = (v | (v >>> 2)) & 0x0F0F0F0F0F0F0F0FL
+    v = (v | (v >>> 4)) & 0x00FF00FF00FF00FFL
+    v = (v | (v >>> 8)) & 0x0000FFFF0000FFFFL
+    (v | (v >>> 16)) & 0xFFFFFFFFL
+  }
+
+  private val pairsGen = Gen.listOfN(40, for {
+    a <- Gen.choose(0L, 0x7FFFFFFFL)
+    b <- Gen.choose(0L, 0x7FFFFFFFL)
+  } yield (a, b))
+
+  property("interleave round-trips through the inverse compaction") =
+    forAll(pairsGen) { pairs =>
+      val zs = pairs.toDF("a", "b")
+        .select(col("a"), col("b"), ZOrder.zValue(col("a"), col("b")).as("z"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      zs.forall { case (a, b, z) => compact(z) == a && compact(z >>> 1) == b }
+    }
+
+  property("z-value is monotone when both dimensions are non-decreasing") =
+    forAll(pairsGen) { pairs =>
+      val zs = pairs.toDF("a", "b")
+        .select(col("a"), col("b"), ZOrder.zValue(col("a"), col("b")).as("z"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      zs.forall { case (a1, b1, z1) =>
+        zs.forall { case (a2, b2, z2) =>
+          !(a1 <= a2 && b1 <= b2) || z1 <= z2
+        }
+      }
+    }
+
+  private val corpusGen = for {
+    n <- Gen.choose(2, 12)
+    docs <- Gen.listOfN(n, Gen.choose(2, 7).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("aa", "bb", "cc", "dd")).map(_.mkString(" "))))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  property("substringPairs equals the naive shared-window reference") =
+    forAll(corpusGen, Gen.choose(2, 3)) { (docs, w) =>
+      val out = Dedup.substringPairs(docs.toDF("doc_id", "text"),
+          col("doc_id"), col("text"), windowTokens = w, maxDocFreq = docs.size.max(2))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      def windows(t: String): Set[String] =
+        t.split("\\s+").toSeq.sliding(w).filter(_.size == w).map(_.mkString(" ")).toSet
+      val expected = (for {
+        (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+        shared = windows(ta).intersect(windows(tb)).size if shared > 0
+      } yield (ia, ib) -> shared.toLong).toMap
+      out == expected
+    }
+}
