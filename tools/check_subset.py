@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Filtered variant of check_correctness.py (dev tooling): compare only the
+named queries — for spot-checking new oracles at sf0.1, where the quadratic
+DuckDB dedup references are too slow to run wholesale.
+
+Usage: python3 tools/check_subset.py <sfDir> <verifyOutDir> <name> [name...]
+"""
+import glob
+import json
+import math
+import sys
+
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    return str(v)
+
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    rows = sorted((tuple(norm(v) for v in row) for row in df.itertuples(index=False)),
+                  key=lambda r: tuple(str(x) for x in r))
+    return list(df.columns), rows
+
+
+def main():
+    sf_dir, out_dir, names = sys.argv[1], sys.argv[2], sys.argv[3:]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in names:
+        if name not in oracle:
+            print(f"SKIP {name} (no oracle)")
+            continue
+        try:
+            want = con.sql(oracle[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}")
+            n_fail += 1
+            continue
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        got = pq.ParquetDataset(files).read().to_pandas()
+        wc, wr = canon(want)
+        gc, gr = canon(got)
+        if wc != gc:
+            print(f"FAIL {name}: columns want={wc} got={gc}")
+            n_fail += 1
+        elif wr != gr:
+            diffs = [i for i, (a, b) in enumerate(zip(wr, gr)) if a != b]
+            msg = f"rows want={len(wr)} got={len(gr)}"
+            if diffs:
+                i = diffs[0]
+                msg += f"; first diff row {i}: want={wr[i]} got={gr[i]}"
+            print(f"FAIL {name}: {msg}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(gr)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
