@@ -21,6 +21,11 @@ import org.apache.spark.sql.types._
   * Ordering contract (mirrors the SQL oracle): maximum cosine wins; ties
   * break toward the smallest centroid id; NaN cosines (length mismatch /
   * zero norm) never win.
+  *
+  * Sentinel caveat (both metrics): Long.MinValue is the internal "no
+  * comparable centroid" marker, so a centroid whose id IS Long.MinValue
+  * reads back as NULL. Centroid ids come from corpus row ids; an id at the
+  * very bottom of the long range is outside the supported domain.
   */
 object CentroidMath {
 

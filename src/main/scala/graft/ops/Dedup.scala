@@ -203,6 +203,42 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Semantic dedup (the SemDeDup recipe, Abbas et al. 2023): cluster
+    * embeddings with k-means, then look for high-cosine pairs ONLY within
+    * each cluster — the clustering bounds the candidate space to ~n²/k
+    * instead of all pairs, which is the whole trick at corpus scale.
+    * Training and assignment are the row-local quantized-kmeans path
+    * ([[Similarity.kmeansQuantized]]: zero corpus shuffles, integer-exact —
+    * the full cluster-then-pair pipeline is SQL-oracled); the
+    * within-cluster self-join hash-partitions on centroid_id, and balanced
+    * k-means centroids keep those partitions even.
+    * Returns (id_a, id_b, cosine) for pairs with cosine ≥ minCosine.
+    */
+  def semanticDedup(corpus: DataFrame, id: Column, vec: Column,
+      nClusters: Int, iters: Int, dim: Int, minCosine: Double,
+      scale: Double = 1000.0): DataFrame = {
+    import graft.ops.Similarity
+    val (_, qcents) = Similarity.kmeansQuantized(
+      corpus, id, vec, nClusters, iters, dim, scale)
+    // carry the ORIGINAL vector and its quantization in one row-local frame:
+    // assignment stays the integer-exact quantized argmin (the SQL-oracled
+    // contract), the cosine verification runs on the original values, and
+    // nothing joins or shuffles to put the two together
+    val c = corpus.select(id.as("vec_id"), vec.cast("array<double>").as("cv"),
+      transform(vec.cast("array<double>"), x => round(x * scale)).as("qv"))
+    val assigned = c.crossJoin(broadcast(Similarity.centroidArray(qcents)))
+      .select(col("vec_id"), col("cv"),
+        graft.functions.CentroidMath.nearestCentroidL2(col("qv"), col("cents"))
+          .as("centroid_id"))
+    val a = assigned.select(col("centroid_id"), col("vec_id").as("id_a"), col("cv").as("v_a"))
+    val b = assigned.select(col("centroid_id"), col("vec_id").as("id_b"), col("cv").as("v_b"))
+    a.join(b, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(graft.ops.Similarity.cosine(col("v_a"), col("v_b")) >= minCosine)
+      .select(col("id_a"), col("id_b"),
+        round(graft.ops.Similarity.cosine(col("v_a"), col("v_b")), 6).as("cosine"))
+  }
+
   /** Substring-level exact dedup: pairs of documents sharing at least one
     * k-token window (the window-hash formulation of suffix-array training-
     * data dedup — catches copied PASSAGES that document-level Jaccard
@@ -221,8 +257,11 @@ object Dedup {
       s"need windowTokens > 0, maxDocFreq >= 2; got $windowTokens, $maxDocFreq")
     val wins = df.select(id.as("id"),
       explode(TextAnalysis.shingles(text, windowTokens)).as("win"))
+    // collect_set: postings hold DISTINCT doc ids, so duplicate input ids
+    // can never produce a (x, x) self-pair the strict i<j generation (and
+    // the oracle's id_a < id_b join) would disagree on
     val postings = wins.groupBy("win")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxDocFreq))
     // all i<j pairs from each bounded posting list, row-locally
     val pairs = postings.select(explode(flatten(

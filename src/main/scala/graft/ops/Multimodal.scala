@@ -44,9 +44,16 @@ object Multimodal {
     * engines — and the correctness oracle — agree exactly. Row-local,
     * codegen'd, no shuffle: the expression shape production decode uses.
     */
+  /** One 32-bit slice of an md5 hex digest as a long — THE arithmetic every
+    * oracle mirrors ('0x' || substr(hx, pos, 8))::BIGINT; both stub decoders
+    * must draw from this single definition so they can never desynchronize.
+    */
+  private def hexSlice(hex: Column, pos: Int): Column =
+    conv(substring(hex, pos, 8), 16, 10).cast("long")
+
   def fakeDecode(media: Column): Column = {
     val hex = md5(media.getField("bytes"))
-    def h(pos: Int): Column = conv(substring(hex, pos, 8), 16, 10).cast("long")
+    def h(pos: Int): Column = hexSlice(hex, pos)
     struct(
       (h(1) % 1920 + 32).cast("int").as("width"),
       (h(9) % 1080 + 32).cast("int").as("height"),
@@ -70,13 +77,10 @@ object Multimodal {
       fakeDecode(media))
   }
 
-  /** Schema of a decoded audio struct. */
-  val decodedAudioType: StructType = StructType(Seq(
-    StructField("sample_rate", IntegerType, nullable = false),
-    StructField("channels", IntegerType, nullable = false),
-    StructField("bits", IntegerType, nullable = false),
-    StructField("n_frames", LongType, nullable = false),
-    StructField("format", StringType, nullable = false)))
+  /** Schema of a decoded audio struct — BY DEFINITION the real decoder's
+    * shape (the stub must merge with it in [[decodeAudio]]'s coalesce).
+    */
+  val decodedAudioType: StructType = graft.functions.AudioMeta.dataType
 
   /** STUB audio decode for containers with no JDK reader (mp3/ogg/...):
     * deterministic pseudo-metadata from md5 of the content — the same
@@ -84,7 +88,7 @@ object Multimodal {
     */
   def fakeAudioDecode(media: Column): Column = {
     val hex = md5(media.getField("bytes"))
-    def h(pos: Int): Column = conv(substring(hex, pos, 8), 16, 10).cast("long")
+    def h(pos: Int): Column = hexSlice(hex, pos)
     struct(
       ((h(1) % 4) * 8000 + 16000).cast("int").as("sample_rate"),
       (h(9) % 2 + 1).cast("int").as("channels"),

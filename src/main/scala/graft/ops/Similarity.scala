@@ -47,7 +47,7 @@ object Similarity {
     * broadcast-cross-joining this multiplies nothing: every corpus row just
     * gains a pointer to the (shared) centroid array.
     */
-  private def centroidArray(centroids: DataFrame): DataFrame =
+  private[ops] def centroidArray(centroids: DataFrame): DataFrame =
     centroids.agg(collect_list(struct(col("centroid_id"), col("centroid_vec"))).as("cents"))
 
   /** IVF index: pick C deterministic pseudo-random corpus rows as centroids
@@ -121,9 +121,16 @@ object Similarity {
       val mean = array((0 until dim).map(i =>
         floor(col(s"s$i") / col("n")).cast("double")): _*)
       val refreshed = grouped.select(col("centroid_id"), mean.as("new_vec"))
+      // materialize the k×(dim+1) centroid frame each round: `cents` feeds
+      // BOTH the next assignment and the carry-over join, so a lazy chain
+      // doubles the logical plan per iteration (exponential analysis cost
+      // by iters≈8) and recomputes every earlier round at the final action.
+      // The checkpointed frame is tiny and stays distributed (no driver
+      // collect), which also keeps k×dim unbounded-safe.
       cents = cents.join(refreshed, Seq("centroid_id"), "left")
         .select(col("centroid_id"),
           coalesce(col("new_vec"), col("centroid_vec")).as("centroid_vec"))
+        .localCheckpoint()
     }
     (assign(cents), cents)
   }

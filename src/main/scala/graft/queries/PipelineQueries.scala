@@ -93,6 +93,22 @@ object PipelineQueries {
     "pipe_ngram_hitters" -> ((s, d) =>
       TextAnalysis.frequentNgrams(t(s, d, "documents"), col("text"), n = 3, k = 25)),
 
+    // semantic dedup (SemDeDup): kmeans-cluster the embeddings, then verify
+    // cosine only within clusters. Planted near-identical copies (the
+    // pipe_embed_neardup design) are the high-similarity regime; the
+    // integer-exact kmeans assignment makes the whole cluster-then-pair
+    // pipeline SQL-reproducible
+    "pipe_dedup_semantic" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+      val planted = emb.filter(col("vec_id") < 25)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => x + ((i % 3) - 1).cast("float") * lit(0.002f))
+            .cast("array<float>").as("embedding"))
+      Dedup.semanticDedup(emb.union(planted), col("vec_id"), col("embedding"),
+        nClusters = 8, iters = 2, dim = 64, minCosine = 0.95)
+    }),
+
     // quantized Lloyd k-means (2 iterations, k=8) — integer arithmetic makes
     // the iterative clustering bit-reproducible in SQL, so the full
     // assign→recenter→assign chain is oracle-checked
@@ -363,6 +379,33 @@ object PipelineQueries {
       s"""SELECT gram, count(*) AS n_docs FROM
          |  (SELECT doc_id, unnest(${duckShinglesK(3)}) AS gram FROM documents)
          |GROUP BY gram ORDER BY n_docs DESC, gram ASC LIMIT 25""".stripMargin,
+    // the full SemDeDup pipeline in SQL: planted copies, quantized kmeans
+    // (as pipe_kmeans, over the union corpus), within-cluster pairing on
+    // the ORIGINAL vectors
+    "pipe_dedup_semantic" ->
+      s"""WITH pl AS (SELECT vec_id + 1000000 AS vec_id,
+         |         list_transform(embedding, (x, i) -> CAST(x + CAST(((i - 1) % 3 - 1) * 0.002 AS FLOAT) AS FLOAT)) AS embedding
+         |       FROM embeddings WHERE vec_id < 25),
+         |allv AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id, embedding FROM pl),
+         |q AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> round(x * 1000)) AS qv FROM allv),
+         |c0 AS (SELECT vec_id AS centroid_id, qv AS cv FROM q
+         |       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+         |${duckKmeansRound("c0", "a0", "c1")},
+         |${duckKmeansRound("c1", "a1", "c2")},
+         |af AS (
+         |  SELECT vec_id, centroid_id,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY
+         |           list_sum(list_transform(qv, (x, i) -> (x - cv[i]) * (x - cv[i]))) ASC,
+         |           centroid_id ASC) AS rn
+         |  FROM q CROSS JOIN c2),
+         |asg AS (SELECT vec_id, centroid_id FROM af WHERE rn = 1),
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM allv)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       round(list_cosine_similarity(av.dv, bv.dv), 6) AS cosine
+         |FROM asg a JOIN asg b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+         |JOIN v av ON av.vec_id = a.vec_id
+         |JOIN v bv ON bv.vec_id = b.vec_id
+         |WHERE list_cosine_similarity(av.dv, bv.dv) >= 0.95""".stripMargin,
     // mirrors kmeansQuantized step for step: md5 init pick, two Lloyd
     // rounds, final argmin assignment — everything integer-exact
     "pipe_kmeans" ->

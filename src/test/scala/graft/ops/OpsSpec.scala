@@ -231,6 +231,35 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic dedup finds planted near-identical pairs within clusters only") {
+    // splitmix-mixed coordinates: affine generators (i*K + j*C mod m) leave
+    // every vector an arithmetic progression in j — near-parallel, with
+    // pairwise cosines crossing 0.99 — so the mixer must be nonlinear.
+    // Measured max pairwise cosine of this corpus: 0.604.
+    def mix(x: Long): Long = {
+      var h = x * 0x9E3779B97F4A7C15L
+      h ^= (h >>> 29); h *= 0xBF58476D1CE4E5B9L; h ^= (h >>> 32)
+      h
+    }
+    val base = (1L to 40L).map(i =>
+      (i, Seq.tabulate(16)(j =>
+        (java.lang.Long.remainderUnsigned(mix(i * 16 + j), 2003L) - 1001L)
+          .toDouble / 1000.0)))
+      .toDF("vec_id", "embedding")
+    val planted = base.filter(col("vec_id") <= 5)
+      .select((col("vec_id") + 100L).as("vec_id"),
+        transform(col("embedding"), x => x + 0.0001).as("embedding"))
+    val pairs = Dedup.semanticDedup(base.union(planted),
+      col("vec_id"), col("embedding"), nClusters = 4, iters = 2, dim = 16,
+      minCosine = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted copy lands in its original's cluster (identical up to
+    // 1e-4) and is found; nothing else in this spread-out corpus reaches 0.99
+    (1L to 5L).foreach(i => assert(pairs.contains((i, i + 100L)), s"missing pair $i"))
+    assert(pairs.forall { case (a, b) => b == a + 100L && a <= 5 },
+      s"unexpected extra pairs: $pairs")
+  }
+
   test("substring pairs finds shared 8-token windows with exact counts") {
     // docs 1 and 5 are identical (13 tokens → 6 windows of 8); 1 vs 2 differ
     // only in the last token → share the 5 windows not touching it
@@ -259,12 +288,12 @@ class OpsSpec extends AnyFunSuite {
   test("frequent ngrams ranks the repeated trigram first with doc frequency") {
     val top = TextAnalysis.frequentNgrams(docs, col("text"), n = 3, k = 5)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    // "the quick brown" appears in docs 1, 2, 5 (once each as doc frequency)
-    assert(top.head._2 == 3L)
-    assert(top.head._1 == "again and again" || top.head._1 == "and again today" ||
-      top.take(5).map(_._1).contains("the quick brown"))
-    // ordering is (n_docs desc, gram asc) — verify monotone counts
-    assert(top.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    // docs 1, 2, 5 share the 11-token prefix → its 10 trigrams all have
+    // n_docs = 3; ordering is (n_docs desc, gram asc), so the top 5 are the
+    // alphabetically-first five of those, exactly
+    assert(top.toSeq == Seq(
+      ("again and again", 3L), ("brown fox jumps", 3L), ("dog again and", 3L),
+      ("fox jumps over", 3L), ("jumps over the", 3L)))
   }
 
   test("z-order: interleave matches hand-computed Morton codes") {

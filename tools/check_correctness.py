@@ -1,11 +1,13 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate (dev tooling, not engine code).
 
-Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir> [name ...]
 
 Reads <verifyOutDir>/oracle_sql.json, runs each SQL in DuckDB with views over
 <sfDir>/*.parquet, loads the Spark result parquet from <verifyOutDir>/<name>/,
-sorts columns by name and rows by all values, and compares.
+sorts columns by name and rows by all values, and compares. Optional trailing
+names restrict the run to those queries — for spot-checking new oracles at
+sf0.1, where the quadratic DuckDB dedup references are too slow wholesale.
 """
 import json, sys, glob, math
 import duckdb
@@ -31,11 +33,17 @@ def norm(v):
     return str(v)
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    sf_dir, out_dir, only = sys.argv[1], sys.argv[2], sys.argv[3:]
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        missing = [n for n in only if n not in oracle]
+        if missing:
+            print(f"FAIL: no oracle for {missing}")
+            sys.exit(1)
+        oracle = {n: oracle[n] for n in only}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
