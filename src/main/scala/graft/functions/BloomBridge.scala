@@ -1,0 +1,30 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.types.BinaryType
+
+/** Column wrappers over Spark's native Bloom-filter expressions — the exact
+  * sketch pair Catalyst's own InjectRuntimeFilter rule uses for runtime
+  * row-group filtering, reachable here because `functions._` does not expose
+  * them. Both sides hash with the same putLong/mightContainLong contract, so
+  * an aggregate built over xxhash64 fingerprints composes with a
+  * `might_contain` probe on the same fingerprints.
+  */
+object BloomBridge {
+
+  /** Aggregate a LongType column into a serialized Bloom filter (binary). */
+  def bloomAgg(child: Column, estimatedItems: Long, numBits: Long): Column =
+    GraftColumnBridge.column(
+      new BloomFilterAggregate(GraftColumnBridge.expression(child),
+        Literal(estimatedItems), Literal(numBits)).toAggregateExpression())
+
+  /** Probe a serialized Bloom filter with a LongType value. Codegen'd,
+    * row-local; pushes to the scan like any deterministic filter.
+    */
+  def mightContain(bloom: Array[Byte], value: Column): Column =
+    GraftColumnBridge.column(BloomFilterMightContain(
+      Literal(bloom, BinaryType), GraftColumnBridge.expression(value)))
+}

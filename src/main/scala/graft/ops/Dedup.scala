@@ -53,6 +53,50 @@ object Dedup {
       "left_anti")
   }
 
+  /** Bloom-accelerated incremental dedup — bit-identical results to
+    * [[dedupAgainst]], but the HISTORY side is pruned by a Bloom filter
+    * before the anti-join. At steady state the seen-set (every fingerprint
+    * ever ingested) dwarfs the day's batch by orders of magnitude; the plain
+    * anti-join shuffles all of it on every ingest. Here the batch's
+    * fingerprints are folded into one Bloom filter (Spark's native
+    * BloomFilterAggregate — the sketch AQE runtime filters use), shipped to
+    * the history scan as a literal, and `might_contain` drops history rows
+    * row-locally AT THE SCAN: only the ~|batch| surviving fingerprints
+    * shuffle. Correctness is unconditional — a false positive merely leaves
+    * one extra non-matching row on the pruned side, and the final anti-join
+    * is still exact — so this shares [[dedupAgainst]]'s SQL oracle.
+    *
+    * `expectedBatchItems`/`fpp` size the filter
+    * (~1.2 MB per million items at 1%); the blob is one aggregated value
+    * fetched to the driver, the same materialization a broadcast build does.
+    */
+  def dedupAgainstBloom(batch: DataFrame, text: Column,
+      seenFingerprints: DataFrame, expectedBatchItems: Long,
+      fpp: Double = 0.01): DataFrame = {
+    require(expectedBatchItems > 0 && fpp > 0 && fpp < 1,
+      s"need expectedBatchItems > 0, 0 < fpp < 1; got $expectedBatchItems, $fpp")
+    val fpCol = seenFingerprints.columns match {
+      case Array(one) => col(one)
+      case cols => throw new IllegalArgumentException(
+        s"seenFingerprints must have exactly one column, got ${cols.mkString(", ")}")
+    }
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedBatchItems, fpp)
+    val blob = batch
+      .select(graft.functions.BloomBridge.bloomAgg(
+        TextAnalysis.fingerprint(text), expectedBatchItems, numBits).as("bf"))
+      .head() match {
+        case r if r.isNullAt(0) => null
+        case r => r.getAs[Array[Byte]](0)
+      }
+    if (blob == null) return batch // empty batch: nothing to keep or drop
+    val seen = seenFingerprints.select(fpCol.as("__seen_fp"))
+      .filter(graft.functions.BloomBridge.mightContain(blob, col("__seen_fp")))
+    batch.join(seen,
+      text.isNotNull && TextAnalysis.fingerprint(text) === seen("__seen_fp"),
+      "left_anti")
+  }
+
   /** MinHash signature as an array<bigint> of `numHashes` minima over the
     * shingle set — a native codegen expression (one pass over the shingles;
     * see graft.functions.MinHash for why the pure-HOF formulation is ~10×

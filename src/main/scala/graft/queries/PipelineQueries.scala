@@ -93,6 +93,18 @@ object PipelineQueries {
     "pipe_ngram_hitters" -> ((s, d) =>
       TextAnalysis.frequentNgrams(t(s, d, "documents"), col("text"), n = 3, k = 25)),
 
+    // bloom-pruned incremental dedup: same contract as pipe_dedup_incremental
+    // (the bloom prunes the history side; false positives cannot change the
+    // exact anti-join), so it shares that oracle SQL. fpp = 0.3 keeps false
+    // positives IN the gate path rather than vacuously absent
+    "pipe_dedup_bloom" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val seen = docs.filter(col("doc_id") < 250)
+        .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+      Dedup.dedupAgainstBloom(docs, col("text"), seen,
+        expectedBatchItems = 512, fpp = 0.3).select("doc_id", "source")
+    }),
+
     // semantic dedup (SemDeDup): kmeans-cluster the embeddings, then verify
     // cosine only within clusters. Planted near-identical copies (the
     // pipe_embed_neardup design) are the high-similarity regime; the
@@ -379,6 +391,14 @@ object PipelineQueries {
       s"""SELECT gram, count(*) AS n_docs FROM
          |  (SELECT doc_id, unnest(${duckShinglesK(3)}) AS gram FROM documents)
          |GROUP BY gram ORDER BY n_docs DESC, gram ASC LIMIT 25""".stripMargin,
+    // identical contract to pipe_dedup_incremental — the bloom is a pure
+    // history-side pruning that the exact anti-join re-verifies
+    "pipe_dedup_bloom" ->
+      """SELECT b.doc_id, b.source FROM documents b
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM documents h WHERE h.doc_id < 250
+        |  AND regexp_replace(lower(trim(h.text)), '\s+', ' ', 'g')
+        |    = regexp_replace(lower(trim(b.text)), '\s+', ' ', 'g'))""".stripMargin,
     // the full SemDeDup pipeline in SQL: planted copies, quantized kmeans
     // (as pipe_kmeans, over the union corpus), within-cluster pairing on
     // the ORIGINAL vectors

@@ -110,6 +110,36 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"TakeOrdered may), got $exchanges exchanges:\n$p")
   }
 
+  test("semantic dedup: row-local assignment; pairing shuffles only on centroid_id") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val pairs = graft.ops.Dedup.semanticDedup(
+      emb, col("vec_id"), col("embedding"), nClusters = 8, iters = 1,
+      dim = 64, minCosine = 0.95)
+    val p = pairs.queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Window"), s"argmin must not be a window:\n$p")
+    // every hash exchange is keyed by centroid_id: the k-row recentering
+    // partials and the within-cluster self-join — never an all-pairs shape
+    val hashes = "hashpartitioning\\((\\w+)".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(hashes.subsetOf(Set("centroid_id")),
+      s"unexpected hash exchange keys $hashes:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs allowed:\n$p")
+  }
+
+  test("bloom incremental dedup probes the history scan before any exchange") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val seen = docs.filter(col("doc_id") < 250)
+      .select(graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"))
+    val out = graft.ops.Dedup.dedupAgainstBloom(docs, col("text"), seen,
+      expectedBatchItems = 512, fpp = 0.3)
+    val p = out.queryExecution.explainString(FormattedMode)
+    // the pruning is Spark's native sketch probe, planned as a row-local
+    // Filter on the history side — not a join, not a shuffle
+    assert(p.contains("might_contain"), s"expected native bloom probe:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
+  }
+
   test("kmeans: assignment row-local, recentering shuffles only k-row partials") {
     import org.apache.spark.sql.functions.col
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -356,6 +356,35 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Set(2L, 3L, 4L))
   }
 
+  test("bloom incremental dedup equals the exact anti-join under heavy false positives") {
+    // 200-row history, 60-row batch of which 20 are dupes of history rows.
+    // expectedItems=8 at fpp=0.4 makes the filter absurdly undersized, so
+    // nearly every history fingerprint is a false positive — the exact
+    // anti-join must absorb all of them and still match dedupAgainst.
+    val history = (1 to 200).map(i => s"history document number $i with unique words $i")
+      .toDF("text").select(TextAnalysis.fingerprint(col("text")).as("fp"))
+    val batch = ((1 to 20).map(i => (i.toLong, s"history document number $i with unique words $i")) ++
+      (21 to 60).map(i => (i.toLong, s"fresh batch document $i"))).toDF("doc_id", "text")
+    val exact = Dedup.dedupAgainst(batch, col("text"), history)
+      .select("doc_id").as[Long].collect().toSet
+    val bloom = Dedup.dedupAgainstBloom(batch, col("text"), history,
+      expectedBatchItems = 8, fpp = 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact == (21L to 60L).toSet)
+    assert(bloom == exact)
+    // empty batch short-circuits (the aggregate yields no filter)
+    val empty = batch.filter(col("doc_id") < 0)
+    assert(Dedup.dedupAgainstBloom(empty, col("text"), history,
+      expectedBatchItems = 8).count() == 0L)
+    // NULL batch text is never dropped by NULL history text (seed-collision
+    // guard), same as the exact path
+    val nullBatch = Seq((1L, null: String), (2L, "x")).toDF("doc_id", "text")
+    val nullHist = Seq(null: String).toDF("text")
+      .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+    assert(Dedup.dedupAgainstBloom(nullBatch, col("text"), nullHist,
+      expectedBatchItems = 8).count() == 2L)
+  }
+
   test("chunking covers the text with the right overlap; empty docs vanish") {
     val df = Seq((1L, "abcdefghij"), (2L, ""), (3L, "xy")).toDF("doc_id", "text")
     val out = TextAnalysis.chunk(df, col("doc_id"), col("text"), size = 4, overlap = 2)
