@@ -102,4 +102,21 @@ object Ast {
   sealed trait Statement { def pos: Pos }
   final case class WithStmt(name: String, body: TableExpr, pos: Pos) extends Statement
   final case class ExportStmt(body: TableExpr, location: String, pos: Pos) extends Statement
+
+  /** Mutation statements — the reference declares these node classes with no
+    * fields, grammar, or semantics (nodes.py:332-354, tokens BEGIN/UPDATE in
+    * tokens.py); here they are first-class, defined over the immutable
+    * bindings environment: each mutation REBINDS its target name to a new
+    * derived table (the Spark-natural reading — nothing in place).
+    */
+  final case class UpdateStmt(name: String, sets: List[(String, Expr)],
+      where: Option[Expr], pos: Pos) extends Statement
+  final case class DeleteStmt(name: String, where: Option[Expr], pos: Pos) extends Statement
+  final case class InsertStmt(name: String, body: TableExpr, pos: Pos) extends Statement
+  /** BEGIN/COMMIT/ROLLBACK as environment snapshots: BEGIN pushes the current
+    * bindings, ROLLBACK restores them, COMMIT discards the snapshot. Nests.
+    */
+  final case class BeginStmt(label: Option[String], pos: Pos) extends Statement
+  final case class CommitStmt(pos: Pos) extends Statement
+  final case class RollbackStmt(pos: Pos) extends Statement
 }

@@ -356,6 +356,59 @@ final class Compiler(
       CTable(combined, lt.cols.map(c => c.copy(namespaces = Set(None))), Nil, Nil)
   }
 
+  /** UPDATE: rebind the target to a same-shape table with SET columns
+    * replaced. SQL semantics throughout: all SET expressions read the OLD
+    * row (simultaneous assignment), only rows where the predicate is TRUE
+    * change (NULL/FALSE rows pass through untouched), and the column's
+    * declared type is strict — no coercion, mirroring set-operation typing.
+    * Row identity is preserved, so hidden order and provenance columns ride
+    * along unchanged and the trace mapping stays identity.
+    */
+  def compileUpdate(t: CTable, sets: List[(String, Expr)],
+      where: Option[Expr], pos: Pos): CTable = {
+    val scope = t.cols
+    val pred = where.map { w =>
+      rejectWindows(w, "UPDATE WHERE predicates")
+      val p = compileExpr(w, scope)
+      if (p.dtype != TBool) typeErr(pos, s"UPDATE WHERE predicate must be BOOL, got ${p.dtype.name}")
+      p.col
+    }
+    val newVals: Map[String, Column] = sets.map { case (name, expr) =>
+      rejectWindows(expr, "UPDATE SET expressions")
+      val target = resolve(scope, None, name, pos)
+      val tc = compileExpr(expr, scope)
+      if (tc.dtype != target.dtype)
+        typeErr(pos, s"UPDATE SET $name: column is ${target.dtype.name} but expression is ${tc.dtype.name}")
+      val updated = pred.fold(tc.col)(p => when(p, tc.col).otherwise(col(target.internal)))
+      target.internal -> updated
+    }.toMap
+    if (sets.map(_._1).distinct.length != sets.length)
+      throw DtlError("UPDATE sets the same column twice", pos.line, pos.col)
+    val proj = t.cols.map(c =>
+      newVals.getOrElse(c.internal, col(c.internal)).as(c.internal)) ++
+      (t.ordCols ++ t.rids.map(_.col) ++ t.aggLineages.flatMap(_.keyCols)).map(col)
+    t.copy(df = t.df.select(proj: _*))
+  }
+
+  /** DELETE: rebind the target without the rows whose predicate is TRUE.
+    * Unlike WHERE (which keeps only TRUE rows and so drops NULLs), DELETE
+    * removes only TRUE rows — NULL-predicate rows survive, exactly SQL's
+    * DELETE. No predicate deletes everything.
+    */
+  def compileDelete(t: CTable, where: Option[Expr], pos: Pos): CTable = {
+    val filtered = where match {
+      case None => t.df.filter(lit(false))
+      case Some(w) =>
+        rejectWindows(w, "DELETE WHERE predicates")
+        val p = compileExpr(w, t.cols)
+        if (p.dtype != TBool) typeErr(pos, s"DELETE WHERE predicate must be BOOL, got ${p.dtype.name}")
+        t.df.filter(!coalesce(p.col, lit(false)))
+    }
+    t.copy(df = filtered,
+      rids = t.rids.map(_.copy(filtered = true)),
+      aggLineages = t.aggLineages.map(_.copy(filtered = true)))
+  }
+
   /** Re-alias every internal column so two uses of the same stored table get
     * disjoint names (the projection is collapsed away by Catalyst).
     */

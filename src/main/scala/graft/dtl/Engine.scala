@@ -30,6 +30,10 @@ final class Engine(
       needsOrder = usesConsecutive(stmts), tracing = tracer.isDefined)
     val manifest = new ManifestBuilder(source)
     val env = mutable.Map.empty[String, compiler.CTable]
+    // BEGIN/COMMIT/ROLLBACK: a stack of environment snapshots. Bindings are
+    // immutable CTables, so a snapshot is O(#names); an open transaction at
+    // end of script commits implicitly.
+    var txStack = List.empty[Map[String, compiler.CTable]]
     for ((stmt, idx) <- stmts.zipWithIndex) {
       // sub-statement tracing: composite table expressions nested inside
       // this statement snapshot as `<name>$<k>` at table_expression level
@@ -38,6 +42,10 @@ final class Engine(
       val stmtName = stmt match {
         case WithStmt(name, _, _) => name
         case ExportStmt(_, location, _) => location
+        case UpdateStmt(name, _, _, _) => name
+        case DeleteStmt(name, _, _) => name
+        case InsertStmt(name, _, _) => name
+        case _: BeginStmt | _: CommitStmt | _: RollbackStmt => "tx"
       }
       for (tr <- tracer) {
         var exprIdx = 0
@@ -58,6 +66,39 @@ final class Engine(
           for (tr <- tracer) t = compiler.traceStatement(location, idx, t, tr, manifest,
             level = "export", span = Some((Ast.startPos(body), body.endPos)))
           exporter.exportTable(location, compiler.materialize(t))
+        case UpdateStmt(name, sets, where, p) =>
+          val t0 = env.getOrElse(name, throw DtlError(s"unknown table '$name'", p.line, p.col))
+          var t = compiler.compileUpdate(t0, sets, where, p)
+          for (tr <- tracer) t = compiler.traceStatement(name, idx, t, tr, manifest,
+            level = "statement", span = None)
+          env(name) = t
+        case DeleteStmt(name, where, p) =>
+          val t0 = env.getOrElse(name, throw DtlError(s"unknown table '$name'", p.line, p.col))
+          var t = compiler.compileDelete(t0, where, p)
+          for (tr <- tracer) t = compiler.traceStatement(name, idx, t, tr, manifest,
+            level = "statement", span = None)
+          env(name) = t
+        case InsertStmt(name, body, p) =>
+          if (!env.contains(name))
+            throw DtlError(s"unknown table '$name'", p.line, p.col)
+          // INSERT INTO t <expr> is exactly t UNION ALL <expr> rebound to t:
+          // positional, strict set-operation typing, order/lineage reset
+          val synth = SetOpExpr(UnionAll, TableRef(name, p), body, p)
+          synth.endPos = body.endPos
+          var t = compiler.compileTable(synth, env)
+          for (tr <- tracer) t = compiler.traceStatement(name, idx, t, tr, manifest,
+            level = "statement", span = Some((p, body.endPos)))
+          env(name) = t
+        case BeginStmt(_, _) =>
+          txStack = env.toMap :: txStack
+        case CommitStmt(p) => txStack match {
+          case _ :: rest => txStack = rest
+          case Nil => throw DtlError("COMMIT without BEGIN", p.line, p.col)
+        }
+        case RollbackStmt(p) => txStack match {
+          case snap :: rest => env.clear(); env ++= snap; txStack = rest
+          case Nil => throw DtlError("ROLLBACK without BEGIN", p.line, p.col)
+        }
       }
     }
     compiler.nestedTrace = None
@@ -87,15 +128,43 @@ final class Engine(
     val compiler = new Compiler(importer, registry, needsOrder = usesConsecutive(stmts))
     val env = mutable.Map.empty[String, compiler.CTable]
     val out = mutable.LinkedHashMap.empty[String, String]
+    var txStack = List.empty[Map[String, compiler.CTable]]
+    def fmt(t: compiler.CTable): String = compiler.materialize(t).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
     for (stmt <- stmts) stmt match {
       case WithStmt(name, body, _) =>
         val t = compiler.compileTable(body, env)
         env(name) = t
-        out(name) = compiler.materialize(t).queryExecution
-          .explainString(org.apache.spark.sql.execution.FormattedMode)
+        out(name) = fmt(t)
       case ExportStmt(body, location, _) =>
-        out(location) = compiler.materialize(compiler.compileTable(body, env))
-          .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+        out(location) = fmt(compiler.compileTable(body, env))
+      case UpdateStmt(name, sets, where, p) =>
+        val t0 = env.getOrElse(name, throw DtlError(s"unknown table '$name'", p.line, p.col))
+        val t = compiler.compileUpdate(t0, sets, where, p)
+        env(name) = t
+        out(name) = fmt(t)
+      case DeleteStmt(name, where, p) =>
+        val t0 = env.getOrElse(name, throw DtlError(s"unknown table '$name'", p.line, p.col))
+        val t = compiler.compileDelete(t0, where, p)
+        env(name) = t
+        out(name) = fmt(t)
+      case InsertStmt(name, body, p) =>
+        if (!env.contains(name))
+          throw DtlError(s"unknown table '$name'", p.line, p.col)
+        val synth = SetOpExpr(UnionAll, TableRef(name, p), body, p)
+        synth.endPos = body.endPos
+        val t = compiler.compileTable(synth, env)
+        env(name) = t
+        out(name) = fmt(t)
+      case BeginStmt(_, _) => txStack = env.toMap :: txStack
+      case CommitStmt(p) => txStack match {
+        case _ :: rest => txStack = rest
+        case Nil => throw DtlError("COMMIT without BEGIN", p.line, p.col)
+      }
+      case RollbackStmt(p) => txStack match {
+        case snap :: rest => env.clear(); env ++= snap; txStack = rest
+        case Nil => throw DtlError("ROLLBACK without BEGIN", p.line, p.col)
+      }
     }
     out.toMap
   }
@@ -109,11 +178,14 @@ final class Engine(
         s.distinct == DistinctConsecutive ||
           s.groupBy.exists(_.consecutive) ||
           inTable(s.from.source) || s.joins.exists(j => inTable(j.table.source))
+      case SetOpExpr(_, l, r, _) => inTable(l) || inTable(r)
       case _ => false
     }
     stmts.exists {
       case WithStmt(_, body, _) => inTable(body)
       case ExportStmt(body, _, _) => inTable(body)
+      case InsertStmt(_, body, _) => inTable(body)
+      case _ => false
     }
   }
 }

@@ -38,6 +38,8 @@ object Lexer {
     "JOIN", "ON", "WHERE", "WITH", "IMPORT", "EXPORT", "TO", "TRUE", "FALSE",
     // declared-but-unlexable in the reference; first-class here:
     "GROUP", "BY", "USING",
+    // mutation statements (reference AST stubs, nodes.py:332-354):
+    "SET", "DELETE", "INSERT", "INTO", "COMMIT", "ROLLBACK",
     // sorts/limits extension (SURVEY §2 D):
     "ORDER", "ASC", "DESC", "LIMIT",
     // set operations extension (SURVEY §2 D):

@@ -76,7 +76,53 @@ final class Parser(tokens: Vector[Token]) {
       val loc = eatString()
       eatPunct(";")
       ExportStmt(body, loc, p)
-    } else err("expected WITH or EXPORT")
+    } else if (isKw("UPDATE")) {
+      // UPDATE name SET col = expr {, col = expr} [WHERE pred];
+      advance()
+      val name = eatName()
+      eatKw("SET")
+      val sets = List.newBuilder[(String, Expr)]
+      var more = true
+      while (more) {
+        val target = eatName()
+        eatPunct("=")
+        sets += (target -> parseExpr())
+        if (isPunct(",")) advance() else more = false
+      }
+      val where = if (isKw("WHERE")) { advance(); Some(parseExpr()) } else None
+      eatPunct(";")
+      UpdateStmt(name, sets.result(), where, p)
+    } else if (isKw("DELETE")) {
+      // DELETE FROM name [WHERE pred];  (no WHERE deletes every row)
+      advance()
+      eatKw("FROM")
+      val name = eatName()
+      val where = if (isKw("WHERE")) { advance(); Some(parseExpr()) } else None
+      eatPunct(";")
+      DeleteStmt(name, where, p)
+    } else if (isKw("INSERT")) {
+      // INSERT INTO name <table-expr>;  (positional, UNION ALL typing rules)
+      advance()
+      eatKw("INTO")
+      val name = eatName()
+      val body = parseTableExpr()
+      eatPunct(";")
+      InsertStmt(name, body, p)
+    } else if (isKw("BEGIN")) {
+      advance()
+      val label = cur match {
+        case Token.StringLit(v, _, _, _) => advance(); Some(v)
+        case _ => None
+      }
+      eatPunct(";")
+      BeginStmt(label, p)
+    } else if (isKw("COMMIT")) {
+      advance(); eatPunct(";")
+      CommitStmt(p)
+    } else if (isKw("ROLLBACK")) {
+      advance(); eatPunct(";")
+      RollbackStmt(p)
+    } else err("expected WITH, EXPORT, UPDATE, DELETE, INSERT, BEGIN, COMMIT or ROLLBACK")
   }
 
   /** Table expression with set-operation chaining; standard SQL precedence:

@@ -170,6 +170,23 @@ object DtlQueries {
         |WITH output AS SELECT user_id, n_runs, n_events, n_starts FROM per_user JOIN starts USING (user_id);
         |EXPORT output TO 'output';""".stripMargin)),
 
+    // mutation statements (SURVEY §2 B6): UPDATE reads old values and skips
+    // non-TRUE predicates, DELETE drops only TRUE predicates (NULL survives),
+    // BEGIN/ROLLBACK restores the environment snapshot, INSERT appends with
+    // UNION ALL typing — all over rebinding, nothing in place
+    "dtl_mutations" -> ((s, d) => run(s, d,
+      """WITH orders AS IMPORT 'orders';
+        |WITH t AS SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS price FROM orders;
+        |BEGIN;
+        |UPDATE t SET price = price * 1.1 WHERE st = 'O';
+        |DELETE FROM t WHERE price > 250000.0;
+        |COMMIT;
+        |BEGIN 'abandoned';
+        |DELETE FROM t;
+        |ROLLBACK;
+        |INSERT INTO t SELECT k + 10000000 AS k, st, price * 0.5 AS price FROM t WHERE st = 'F';
+        |EXPORT t TO 'output';""".stripMargin)),
+
     "dtl_chained_with" -> ((s, d) => run(s, d,
       """WITH orders AS IMPORT 'orders';
         |WITH big AS SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_totalprice > 400000.0;
@@ -179,6 +196,14 @@ object DtlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "dtl_mutations" ->
+      """WITH t0 AS (SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS price FROM orders),
+        |t1 AS (SELECT k, st, CASE WHEN st = 'O' THEN price * 1.1 ELSE price END AS price FROM t0),
+        |t2 AS (SELECT k, st, price FROM t1 WHERE NOT COALESCE(price > 250000.0, FALSE)),
+        |t3 AS (SELECT k, st, price FROM t2
+        |       UNION ALL
+        |       SELECT k + 10000000 AS k, st, price * 0.5 AS price FROM t2 WHERE st = 'F')
+        |SELECT k, st, price FROM t3""".stripMargin,
     "dtl_consecutive" ->
       """WITH o AS (
         |  SELECT user_id, event_type, ts, event_id,

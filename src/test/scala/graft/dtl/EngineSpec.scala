@@ -718,6 +718,102 @@ class EngineSpec extends AnyFunSuite {
     check(out("output").orderBy("k1"), Seq("k1"), Seq(Seq(6L), Seq(8L)))
   }
 
+  test("UPDATE rewrites matching rows simultaneously from old values; NULL pred untouched") {
+    val input = Seq((1L, 10L, 100L), (2L, 20L, 200L), (3L, 30L, 300L))
+      .toDF("id", "a", "b")
+    val out = engine.runSimple(
+      """WITH t AS IMPORT 't';
+        |UPDATE t SET a = b, b = a WHERE id < 3;
+        |EXPORT t TO 'output';""".stripMargin,
+      Map("t" -> input))
+    // simultaneous swap (both SET expressions read the OLD row), row 3 untouched
+    check(out("output"), Seq("id", "a", "b"),
+      Seq(Seq(1L, 100L, 10L), Seq(2L, 200L, 20L), Seq(3L, 30L, 300L)))
+    // NULL predicate rows pass through unchanged (SQL UPDATE, not WHERE)
+    val withNull = Seq((java.lang.Long.valueOf(1L), java.lang.Long.valueOf(5L)),
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(7L))).toDF("k", "v")
+    val out2 = engine.runSimple(
+      """WITH t AS IMPORT 't';
+        |UPDATE t SET v = v + 1 WHERE k = 1;
+        |EXPORT t TO 'output';""".stripMargin,
+      Map("t" -> withNull))
+    check(out2("output"), Seq("k", "v"), Seq(Seq(1L, 6L), Seq(null, 7L)))
+  }
+
+  test("UPDATE type mismatch and duplicate SET are errors") {
+    val input = Seq((1L, "x")).toDF("id", "s")
+    val e1 = intercept[DtlError] {
+      engine.runSimple(
+        """WITH t AS IMPORT 't';
+          |UPDATE t SET s = id;
+          |EXPORT t TO 'output';""".stripMargin, Map("t" -> input))
+    }
+    assert(e1.getMessage.contains("TEXT") && e1.getMessage.contains("INT64"))
+    val e2 = intercept[DtlError] {
+      engine.runSimple(
+        """WITH t AS IMPORT 't';
+          |UPDATE t SET id = 1, id = 2;
+          |EXPORT t TO 'output';""".stripMargin, Map("t" -> input))
+    }
+    assert(e2.getMessage.contains("twice"))
+  }
+
+  test("DELETE removes only TRUE rows (NULL survives, unlike WHERE); bare DELETE empties") {
+    val withNull = Seq((java.lang.Long.valueOf(1L), java.lang.Long.valueOf(5L)),
+      (java.lang.Long.valueOf(2L), null.asInstanceOf[java.lang.Long]),
+      (java.lang.Long.valueOf(3L), java.lang.Long.valueOf(1L))).toDF("id", "v")
+    val out = engine.runSimple(
+      """WITH t AS IMPORT 't';
+        |DELETE FROM t WHERE v > 2;
+        |EXPORT t TO 'output';""".stripMargin,
+      Map("t" -> withNull))
+    check(out("output"), Seq("id", "v"), Seq(Seq(2L, null), Seq(3L, 1L)))
+    val out2 = engine.runSimple(
+      """WITH t AS IMPORT 't';
+        |DELETE FROM t;
+        |EXPORT t TO 'output';""".stripMargin,
+      Map("t" -> withNull))
+    assert(out2("output").count() == 0L)
+  }
+
+  test("INSERT INTO appends with UNION ALL typing; BEGIN/ROLLBACK restores, COMMIT keeps") {
+    val t = Seq(1L, 2L).toDF("k")
+    val more = Seq(3L).toDF("k")
+    val out = engine.runSimple(
+      """WITH t AS IMPORT 't';
+        |WITH more AS IMPORT 'more';
+        |BEGIN;
+        |INSERT INTO t more;
+        |INSERT INTO t SELECT k + 10 AS k FROM more;
+        |COMMIT;
+        |BEGIN 'abandoned';
+        |DELETE FROM t;
+        |UPDATE t SET k = k + 100;
+        |ROLLBACK;
+        |EXPORT t TO 'output';""".stripMargin,
+      Map("t" -> t, "more" -> more))
+    check(out("output"), Seq("k"), Seq(Seq(1L), Seq(2L), Seq(3L), Seq(13L)))
+  }
+
+  test("mutation errors: unknown table, COMMIT/ROLLBACK without BEGIN, INSERT schema") {
+    val t = Seq(1L).toDF("k")
+    assert(intercept[DtlError] {
+      engine.runSimple("DELETE FROM nope;", Map.empty)
+    }.getMessage.contains("unknown table"))
+    assert(intercept[DtlError] {
+      engine.runSimple("COMMIT;", Map.empty)
+    }.getMessage.contains("COMMIT without BEGIN"))
+    assert(intercept[DtlError] {
+      engine.runSimple("ROLLBACK;", Map.empty)
+    }.getMessage.contains("ROLLBACK without BEGIN"))
+    assert(intercept[DtlError] {
+      engine.runSimple(
+        """WITH t AS IMPORT 't';
+          |INSERT INTO t SELECT k AS j FROM t;
+          |EXPORT t TO 'output';""".stripMargin, Map("t" -> t))
+    }.getMessage.contains("identical columns"))
+  }
+
   test("string literals, booleans and functions") {
     val out = engine.runSimple(
       """WITH input AS IMPORT 'input';
