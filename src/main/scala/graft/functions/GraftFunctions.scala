@@ -35,7 +35,8 @@ object GraftFunctions {
       NearestCentroidsExpr(args(0), args(1), intArg(args(2), "nearest_centroids(_, _, k)"))
     },
     "image_meta" -> { args => ImageMetaExpr(args.head) },
-    "audio_meta" -> { args => AudioMetaExpr(args.head) })
+    "audio_meta" -> { args => AudioMetaExpr(args.head) },
+    "video_meta" -> { args => VideoMetaExpr(args.head) })
 
   /** Imperative per-session registration. */
   def register(spark: SparkSession): Unit =

@@ -1,0 +1,155 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** REAL video-container header decode for ISO Base Media File Format
+  * (MP4/MOV/M4V — the `ftyp`/`moov` box family, ISO/IEC 14496-12) in pure
+  * JVM box-walking: no codec libraries, no frame decode, cost independent
+  * of clip length. Completes the modality set next to [[ImageMeta]] and
+  * [[AudioMeta]].
+  *
+  * Extracted per video track (first `trak` whose `hdlr` handler is `vide`):
+  *  - width/height from `tkhd` (16.16 fixed point, integer part);
+  *  - frame count from `stbl/stts` (sum of sample counts; -1 if absent);
+  *  - format = lowercase `ftyp` major brand (isom/mp42/qt  /...), trimmed.
+  *
+  * Returns NULL for anything that is not a parseable BMFF container — the
+  * caller decides the fallback (see `Multimodal.decode`).
+  */
+object VideoMeta {
+
+  /** Same shape as [[ImageMeta.dataType]]: one evaluation yields every
+    * header field (the expression is CodegenFallback and parses the
+    * container — callers must never re-evaluate per field).
+    */
+  val dataType: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = false)))
+
+  private def u32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  private def boxType(b: Array[Byte], off: Int): String =
+    new String(b, off + 4, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** Iterate child boxes of [start, end); f receives (type, payloadStart,
+    * payloadEnd). 64-bit largesize boxes are handled; malformed sizes stop
+    * the walk (truncated containers parse as far as they go).
+    */
+  private def walk(b: Array[Byte], start: Int, end: Int)(
+      f: (String, Int, Int) => Unit): Unit = {
+    var off = start
+    while (off + 8 <= end) {
+      val size0 = u32(b, off)
+      val tpe = boxType(b, off)
+      var header = 8L
+      val size = if (size0 == 1L && off + 16 <= end) {
+        header = 16L
+        (u32(b, off + 8) << 32) | u32(b, off + 12)
+      } else if (size0 == 0L) (end - off).toLong // box extends to end-of-file
+      else size0
+      if (size < header || off + size > end) return // malformed/truncated
+      f(tpe, off + header.toInt, off + size.toInt)
+      off += size.toInt
+    }
+  }
+
+  /** (width, height, n_frames, brand) or null when not a BMFF container. */
+  def decode(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null || bytes.length < 16) return null
+    try {
+      // a BMFF file opens with a box whose type is well-known (ftyp for
+      // mp4/mov; a bare moov/mdat/free also occurs); cheap reject otherwise
+      val first = boxType(bytes, 0)
+      if (!Set("ftyp", "moov", "mdat", "free", "skip", "wide")(first)) return null
+      var brand: String = null
+      var width = -1
+      var height = -1
+      var nFrames = -1L
+      var videoTrak = false
+      walk(bytes, 0, bytes.length) {
+        case ("ftyp", s, e) if e - s >= 4 =>
+          brand = new String(bytes, s, 4,
+            java.nio.charset.StandardCharsets.ISO_8859_1).trim.toLowerCase
+        case ("moov", ms, me) =>
+          walk(bytes, ms, me) {
+            case ("trak", ts, te) if !videoTrak =>
+              // one pass to find tkhd dims + whether this trak is video +
+              // its stts frame count; commit only for the video track
+              var w = -1; var h = -1; var frames = -1L; var isVideo = false
+              walk(bytes, ts, te) {
+                case ("tkhd", s, e) =>
+                  val v = bytes(s) & 0xff
+                  val dimOff = s + (if (v == 1) 88 else 76)
+                  if (dimOff + 8 <= e) {
+                    w = (u32(bytes, dimOff) >> 16).toInt
+                    h = (u32(bytes, dimOff + 4) >> 16).toInt
+                  }
+                case ("mdia", mds, mde) =>
+                  walk(bytes, mds, mde) {
+                    case ("hdlr", s, e) if s + 12 <= e =>
+                      isVideo = boxType(bytes, s + 4) == "vide"
+                    case ("minf", mis, mie) =>
+                      walk(bytes, mis, mie) {
+                        case ("stbl", ss, se) =>
+                          walk(bytes, ss, se) {
+                            case ("stts", s, e) if s + 8 <= e =>
+                              val entries = u32(bytes, s + 4).toInt
+                              var total = 0L
+                              var i = 0
+                              while (i < entries && s + 8 + i * 8 + 4 <= e) {
+                                total += u32(bytes, s + 8 + i * 8)
+                                i += 1
+                              }
+                              frames = total
+                            case _ =>
+                          }
+                        case _ =>
+                      }
+                    case _ =>
+                  }
+                case _ =>
+              }
+              if (isVideo && w > 0 && h > 0) {
+                videoTrak = true; width = w; height = h; nFrames = frames
+              }
+            case _ =>
+          }
+        case _ =>
+      }
+      if (!videoTrak) null
+      else InternalRow(width, height,
+        (if (nFrames >= 0 && nFrames <= Int.MaxValue) nFrames else -1L).toInt,
+        UTF8String.fromString(if (brand == null) "bmff" else brand))
+    } catch {
+      case _: Exception => null // not a parseable container
+    }
+  }
+
+  def videoMeta(bytes: Column): Column =
+    GraftColumnBridge.column(VideoMetaExpr(GraftColumnBridge.expression(bytes)))
+}
+
+case class VideoMetaExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = VideoMeta.dataType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"video_meta expects BINARY, got ${child.dataType.simpleString}")
+  override def nullSafeEval(bytes: Any): Any =
+    VideoMeta.decode(bytes.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): VideoMetaExpr =
+    copy(child = newChild)
+}

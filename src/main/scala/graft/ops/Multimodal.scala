@@ -13,8 +13,11 @@ import org.apache.spark.sql.types._
   * `javax.imageio` ([[graft.functions.ImageMeta]] — no external codec
   * libraries, no pixel decode). AUDIO header decode is REAL for the
   * containers the JDK ships readers for (WAV/AIFF/AU via
-  * `javax.sound.sampled`, [[graft.functions.AudioMeta]]). Video and
-  * codec-compressed audio metadata remains STUBBED (no codecs in the JDK):
+  * `javax.sound.sampled`, [[graft.functions.AudioMeta]]). VIDEO container
+  * decode is REAL for the ISO-BMFF family (MP4/MOV box walk,
+  * [[graft.functions.VideoMeta]] — width/height/frame count, no codec
+  * needed). Codec-compressed audio (mp3/ogg) and non-BMFF video metadata
+  * remains STUBBED (no codecs in the JDK):
   * [[fakeDecode]]/[[fakeAudioDecode]] derive deterministic pseudo-metadata
   * from an md5 of the bytes — md5 (not a Spark-internal hash) so any engine
   * reproduces the exact values, which is what makes the gate query
@@ -62,18 +65,23 @@ object Multimodal {
   }
 
   /** Decode dispatch: image mimes get the REAL header decode (JDK
-    * `javax.imageio`; n_frames = 1 for stills), undecodable image bytes and
-    * every other mime fall back to the deterministic stub.
+    * `javax.imageio`; n_frames = 1 for stills), video mimes the REAL
+    * ISO-BMFF box parse (MP4/MOV width/height/frame-count,
+    * [[graft.functions.VideoMeta]]); undecodable bytes and every other mime
+    * fall back to the deterministic stub.
     */
   def decode(media: Column): Column = {
     val img = graft.functions.ImageMeta.imageMeta(media.getField("bytes"))
-    // coalesce(when(...), fallback) evaluates the header parse exactly ONCE
-    // per row, and only on image rows: non-image mimes and undecodable bytes
-    // both surface as NULL from the when-arm and fall through to the stub.
-    // (A when/otherwise formulation would re-evaluate the CodegenFallback
-    // expression once per referenced field — 4 header parses per row.)
+    val vid = graft.functions.VideoMeta.videoMeta(media.getField("bytes"))
+    // coalesce(when(...), fallback) evaluates each header parse exactly ONCE
+    // per row, and only on rows of its mime family: other mimes and
+    // undecodable bytes both surface as NULL from the when-arm and fall
+    // through. (A when/otherwise formulation would re-evaluate the
+    // CodegenFallback expression once per referenced field — 4 header
+    // parses per row.)
     coalesce(
       when(media.getField("mime").startsWith("image/"), img),
+      when(media.getField("mime").startsWith("video/"), vid),
       fakeDecode(media))
   }
 

@@ -124,6 +124,10 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(img.getStruct(0).getInt(0) == 1 && img.getStruct(0).getInt(2) == 1 &&
       img.getStruct(0).getString(3) == "png")
     assert(img.isNullAt(1))
+    // video_meta: registered and NULL on non-BMFF bytes (the box-walk test
+    // with a real container lives in OpsSpec)
+    val vid = spark.sql("SELECT video_meta(CAST('junk' AS BINARY)) AS v").head()
+    assert(vid.isNullAt(0))
   }
 
   test("non-literal numHashes is rejected with a clear error") {

@@ -484,6 +484,45 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.head.getSeq[Double](3).length == 8)
   }
 
+  test("real video decode walks MP4 boxes: tkhd dims, stts frames, ftyp brand") {
+    // hand-assembled ISO-BMFF: ftyp(mp42) + moov with an AUDIO trak first
+    // (must be skipped) then the video trak (320x240, 48 frames)
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(tpe.getBytes("ISO-8859-1")).put(payload)
+      b.array()
+    }
+    def be32(vs: Int*): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(4 * vs.length)
+      vs.foreach(b.putInt); b.array()
+    }
+    def tkhd(w: Int, h: Int): Array[Byte] =
+      // v0: ver/flags + 18 u32s (creation..matrix) + width/height as 16.16
+      box("tkhd", be32(Seq.fill(19)(0) ++ Seq(w << 16, h << 16): _*))
+    def hdlr(kind: String): Array[Byte] =
+      box("hdlr", be32(0, 0) ++ kind.getBytes("ISO-8859-1"))
+    def trak(kind: String, w: Int, h: Int, frames: Int): Array[Byte] = {
+      val stts = box("stts", be32(0, 1, frames, 512))
+      val mdia = box("mdia", hdlr(kind) ++
+        box("minf", box("stbl", stts)))
+      box("trak", tkhd(w, h) ++ mdia)
+    }
+    val mp4 = box("ftyp", "mp42".getBytes("ISO-8859-1") ++ be32(0)) ++
+      box("moov", trak("soun", 0, 0, 99) ++ trak("vide", 320, 240, 48))
+    val df = Seq(
+      (1L, mp4, "video/mp4"),
+      (2L, "not a video".getBytes("UTF-8"), "video/mp4") // → stub
+    ).toDF("id", "content", "mime")
+    val out = df.select(col("id"),
+        Multimodal.decode(Multimodal.asMedia(col("content"), col("mime"))).as("d"))
+      .orderBy("id").collect()
+    val d1 = out(0).getStruct(1)
+    assert((d1.getInt(0), d1.getInt(1), d1.getInt(2), d1.getString(3)) ==
+      (320, 240, 48, "mp42"))
+    // unparseable video bytes fall back to the md5 stub (format = mime prefix)
+    assert(out(1).getStruct(1).getString(3) == "video")
+  }
+
   test("real image decode reads PNG/JPEG headers via javax.imageio") {
     // a real 1x1 PNG, bytes checked in as a literal (no image libs needed
     // to decode: ImageIO ships with the JDK)
