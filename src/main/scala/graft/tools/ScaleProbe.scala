@@ -131,6 +131,42 @@ object ScaleProbe {
       println(s"  distinct centroids: $nCents")
     }
 
+    println(s"== bloom-pruned incremental dedup (history side never fully shuffles) ==")
+    // big history (n rows of fingerprints), small batch (n/100) with 10%
+    // true duplicates: the bloom built over the batch prunes the history to
+    // ~|batch| rows before the anti-join — wall time tracks the history SCAN
+    // (row-local probe), not a history-wide shuffle
+    val histN = n
+    val batchN = math.max(n / 100, 1000L)
+    val history = spark.range(histN).select(
+      graft.ops.TextAnalysis.fingerprint(concat(lit("doc "), col("id"))).as("fp"))
+    val batch = spark.range(batchN).select(col("id"),
+      // every 10th row duplicates a history doc; the rest are fresh
+      when(col("id") % 10 === 0, concat(lit("doc "), col("id")))
+        .otherwise(concat(lit("new "), col("id"))).as("text"))
+    val keptNew = time(f"dedupAgainstBloom ($histN%,d history x $batchN%,d batch)") {
+      graft.ops.Dedup.dedupAgainstBloom(batch, col("text"), history,
+        expectedBatchItems = batchN).count()
+    }
+    println(s"  kept: $keptNew (expected ${batchN - batchN / 10})")
+
+    println(s"== semantic dedup (kmeans-bounded within-cluster pairs) ==")
+    // planted exact copies of every 50th vector; k clusters bound the
+    // candidate space to ~n²/k — the self-join shuffles only on centroid_id
+    val sdN = math.min(n / 100, 200_000L)
+    val sdCorpus = spark.range(sdN).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => (pmod(xxhash64(col("id"), i), lit(2000L)).cast("double") - 1000.0) / 1000.0)
+        .as("embedding"))
+    val sdPlanted = sdCorpus.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + sdN * 10).as("vec_id"), col("embedding"))
+    val sdPairs = time(f"semanticDedup (${sdN + sdN / 50}%,d x $dim-dim vectors, k=64)") {
+      graft.ops.Dedup.semanticDedup(sdCorpus.union(sdPlanted),
+        col("vec_id"), col("embedding"), nClusters = 64, iters = 2,
+        dim = dim, minCosine = 0.999).count()
+    }
+    println(s"  pairs: $sdPairs (planted: ${(sdN + 49) / 50})")
+
     println(s"== substring window dedup (postings-bounded pair generation) ==")
     // the same planted-dup corpus: shared windows only between originals and
     // their planted variants; boilerplate cap bounds every posting list
