@@ -41,6 +41,7 @@ object SparkEntry {
     "q26_asof_join", "q28_range_join", "q29_run_length",
     "pipe_dedup_minhash", "pipe_dedup_clusters", "pipe_dedup_substring",
     "pipe_dedup_semantic", "pipe_dedup_bloom",
-    "pipe_embed_topk", "pipe_embed_ivf", "pipe_kmeans", "pipe_token_count",
+    "pipe_embed_topk", "pipe_embed_ivf", "pipe_embed_pq", "pipe_kmeans",
+    "pipe_token_count",
     "pipe_decontaminate", "pipe_pack_sequences")
 }

@@ -236,4 +236,91 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
   }
+
+  // ------------------------------------------------------ product quantization
+
+  /** Product quantization codebooks (PQ, Jégou et al., "Product quantization
+    * for nearest neighbor search", TPAMI 2011): split each vector into m
+    * subvectors and train a small per-subspace codebook with
+    * [[kmeansQuantized]]. A vector is then stored as m codebook ids —
+    * dim×4 bytes compress to m small codes, which is the memory trick that
+    * lets an ANN index over a 100 TB embedding corpus stay in RAM. Training
+    * is m independent runs of the integer-exact quantized k-means (row-local
+    * assignment, k×(sub+1) recentering partials — zero corpus shuffles), so
+    * the whole train→encode→search pipeline stays SQL-oracle-checkable.
+    */
+  def pqTrain(corpus: DataFrame, id: Column, vec: Column,
+      m: Int, k: Int, iters: Int, dim: Int,
+      scale: Double = 1000.0): Seq[DataFrame] = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val v = vec.cast("array<double>")
+    (0 until m).map { j =>
+      kmeansQuantized(corpus, id, slice(v, j * sub + 1, sub),
+        k, iters, sub, scale)._2
+    }
+  }
+
+  /** Encode every vector as its m nearest-codebook-entry ids. One pass,
+    * fully row-local: each tiny codebook rides along broadcast, and each
+    * code is the native L2-argmin codegen expression over the quantized
+    * subvector — the corpus never joins, never shuffles.
+    */
+  def pqEncode(corpus: DataFrame, id: Column, vec: Column,
+      codebooks: Seq[DataFrame], dim: Int, scale: Double = 1000.0): DataFrame = {
+    val m = codebooks.size
+    require(m > 0 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val qv = transform(vec.cast("array<double>"), x => round(x * scale))
+    var df = corpus.select(id.as("vec_id"), qv.as("qv"))
+    for ((cb, j) <- codebooks.zipWithIndex)
+      df = df.crossJoin(broadcast(cb.agg(
+        collect_list(struct(col("centroid_id"), col("centroid_vec"))).as(s"cents$j"))))
+    val codes = array((0 until m).map(j =>
+      graft.functions.CentroidMath.nearestCentroidL2(
+        slice(col("qv"), j * sub + 1, sub), col(s"cents$j"))): _*)
+    df.select(col("vec_id"), codes.as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the query's distance to
+    * every codebook entry is precomputed into m tiny lookup tables (m×k
+    * longs — collected codebook METADATA, the PQ equivalent of a broadcast
+    * build), and the scan scores each row with m map lookups over its codes
+    * — it never touches original vectors, reads only the code column, and
+    * the plan is scan → TakeOrderedAndProject. The query is quantized
+    * through the same Spark `round` expression the training used, so
+    * distances are integer-exact end-to-end (SQL-reproducible).
+    * Returns (vec_id, approx_dist) — smallest approximate distance first,
+    * ties broken by vec_id.
+    */
+  def pqSearch(encoded: DataFrame, codebooks: Seq[DataFrame],
+      query: Seq[Double], dim: Int, topK: Int,
+      scale: Double = 1000.0): DataFrame = {
+    val m = codebooks.size
+    require(m > 0 && dim % m == 0 && query.length == dim,
+      s"query dim ${query.length} must equal dim=$dim, divisible by m=$m")
+    val sub = dim / m
+    val spark = encoded.sparkSession
+    val qq = spark.range(1)
+      .select(transform(typedLit(query), x => round(x * scale)).as("q"))
+      .head().getSeq[Double](0)
+    val tables: Seq[Map[Long, Long]] = codebooks.zipWithIndex.map { case (cb, j) =>
+      cb.select("centroid_id", "centroid_vec").collect().map { r =>
+        val cv = r.getSeq[Double](1)
+        var d = 0L
+        var i = 0
+        while (i < sub) {
+          val diff = qq(j * sub + i).toLong - cv(i).toLong
+          d += diff * diff
+          i += 1
+        }
+        r.getLong(0) -> d
+      }.toMap
+    }
+    val dist = (0 until m).map(j =>
+      element_at(typedLit(tables(j)), col("codes").getItem(j))).reduce(_ + _)
+    encoded.select(col("vec_id"), dist.as("approx_dist"))
+      .orderBy(col("approx_dist").asc, col("vec_id").asc)
+      .limit(topK)
+  }
 }

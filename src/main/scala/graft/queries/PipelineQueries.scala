@@ -121,6 +121,21 @@ object PipelineQueries {
         nClusters = 8, iters = 2, dim = 64, minCosine = 0.95)
     }),
 
+    // product quantization: 4 subspaces × 4-entry codebooks trained with the
+    // integer-exact kmeans, vectors encoded to 4 codes, then an ADC top-10
+    // for the vec_id=0 query — train, encode, and the asymmetric-distance
+    // scan are ALL integer arithmetic, so the whole ANN pipeline is
+    // SQL-oracle-checked (not just rows-counted)
+    "pipe_embed_pq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+      val cbs = Similarity.pqTrain(emb, col("vec_id"), col("embedding"),
+        m = 4, k = 4, iters = 2, dim = 64)
+      val enc = Similarity.pqEncode(emb, col("vec_id"), col("embedding"), cbs, dim = 64)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      Similarity.pqSearch(enc, cbs, query, dim = 64, topK = 10)
+    }),
+
     // quantized Lloyd k-means (2 iterations, k=8) — integer arithmetic makes
     // the iterative clustering bit-reproducible in SQL, so the full
     // assign→recenter→assign chain is oracle-checked
@@ -279,22 +294,45 @@ object PipelineQueries {
   // one quantized-kmeans Lloyd round in DuckDB: assign to nearest centroid
   // by squared L2 (integer-exact), then per-dimension floor(sum/count)
   // means; centroids with no members keep their previous position
-  private def duckKmeansRound(prev: String, assignAs: String, centsAs: String): String =
+  private def duckKmeansRound(prev: String, assignAs: String, centsAs: String,
+      qTable: String = "q", dim: Int = 64): String =
     s"""$assignAs AS (
        |  SELECT vec_id, qv, centroid_id,
        |         row_number() OVER (PARTITION BY vec_id ORDER BY
        |           list_sum(list_transform(qv, (x, i) -> (x - cv[i]) * (x - cv[i]))) ASC,
        |           centroid_id ASC) AS rn
-       |  FROM q CROSS JOIN $prev),
+       |  FROM $qTable CROSS JOIN $prev),
        |${assignAs}_m AS (
        |  SELECT centroid_id, i, floor(sum(CAST(qv[i] AS BIGINT)) / count(*)) AS v
-       |  FROM (SELECT * FROM $assignAs WHERE rn = 1), unnest(generate_series(1, 64)) AS t(i)
+       |  FROM (SELECT * FROM $assignAs WHERE rn = 1), unnest(generate_series(1, $dim)) AS t(i)
        |  GROUP BY centroid_id, i),
        |$centsAs AS (
        |  SELECT p.centroid_id, coalesce(g.nv, p.cv) AS cv
        |  FROM $prev p LEFT JOIN
        |    (SELECT centroid_id, list(v ORDER BY i) AS nv FROM ${assignAs}_m GROUP BY centroid_id) g
        |    USING (centroid_id))""".stripMargin
+
+  // the full PQ pipeline for one subspace in DuckDB: slice, pick-by-md5
+  // init, two Lloyd rounds, encode (argmin code), query distance via join
+  private def duckPqSubspace(j: Int, lo: Int, hi: Int, k: Int): String = {
+    val sub = hi - lo + 1
+    s"""q$j AS (SELECT vec_id, qv[$lo:$hi] AS qv FROM q),
+       |c0_$j AS (SELECT vec_id AS centroid_id, qv AS cv FROM q$j
+       |       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
+       |${duckKmeansRound(s"c0_$j", s"a0_$j", s"c1_$j", s"q$j", sub)},
+       |${duckKmeansRound(s"c1_$j", s"a1_$j", s"c2_$j", s"q$j", sub)},
+       |e$j AS (SELECT vec_id, centroid_id AS code FROM (
+       |  SELECT vec_id, centroid_id,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY
+       |           list_sum(list_transform(qv, (x, i) -> (x - cv[i]) * (x - cv[i]))) ASC,
+       |           centroid_id ASC) AS rn
+       |  FROM q$j CROSS JOIN c2_$j) WHERE rn = 1),
+       |d$j AS (
+       |  SELECT e.vec_id,
+       |         list_sum(list_transform(c.cv, (x, i) -> (x - qq.qv[i]) * (x - qq.qv[i]))) AS d
+       |  FROM e$j e JOIN c2_$j c ON e.code = c.centroid_id
+       |  CROSS JOIN (SELECT qv FROM q$j WHERE vec_id = 0) qq)""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "pipe_dedup_exact" ->
@@ -426,6 +464,19 @@ object PipelineQueries {
          |JOIN v av ON av.vec_id = a.vec_id
          |JOIN v bv ON bv.vec_id = b.vec_id
          |WHERE list_cosine_similarity(av.dv, bv.dv) >= 0.95""".stripMargin,
+    // mirrors the PQ pipeline subspace by subspace: 4 independent quantized
+    // kmeans runs over vector slices, argmin encode, per-subspace distance
+    // to the vec_id=0 query joined through the codebook, summed
+    "pipe_embed_pq" ->
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> round(x * 1000)) AS qv
+         |           FROM embeddings),
+         |${duckPqSubspace(1, 1, 16, 4)},
+         |${duckPqSubspace(2, 17, 32, 4)},
+         |${duckPqSubspace(3, 33, 48, 4)},
+         |${duckPqSubspace(4, 49, 64, 4)}
+         |SELECT d1.vec_id, CAST(d1.d + d2.d + d3.d + d4.d AS BIGINT) AS approx_dist
+         |FROM d1 JOIN d2 USING (vec_id) JOIN d3 USING (vec_id) JOIN d4 USING (vec_id)
+         |ORDER BY approx_dist ASC, vec_id ASC LIMIT 10""".stripMargin,
     // mirrors kmeansQuantized step for step: md5 init pick, two Lloyd
     // rounds, final argmin assignment — everything integer-exact
     "pipe_kmeans" ->

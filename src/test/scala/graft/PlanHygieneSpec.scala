@@ -140,6 +140,24 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
   }
 
+  test("PQ encode+ADC search: row-local codes, map-lookup scoring, TakeOrdered top-k") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cbs = graft.ops.Similarity.pqTrain(emb, col("vec_id"), col("embedding"),
+      m = 4, k = 4, iters = 1, dim = 64)
+    val enc = graft.ops.Similarity.pqEncode(
+      emb, col("vec_id"), col("embedding"), cbs, dim = 64)
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val p = graft.ops.Similarity.pqSearch(enc, cbs, query, dim = 64, topK = 10)
+      .queryExecution.explainString(FormattedMode)
+    // the corpus-side scan scores codes row-locally and feeds TakeOrdered:
+    // no hash exchange of corpus rows, no window, no join at search time
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must be TakeOrdered:\n$p")
+    assert(!p.contains("Window"), s"no window in ADC scoring:\n$p")
+    assert(!p.contains("hashpartitioning"), s"corpus must not shuffle:\n$p")
+  }
+
   test("kmeans: assignment row-local, recentering shuffles only k-row partials") {
     import org.apache.spark.sql.functions.col
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -356,6 +356,34 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Set(2L, 3L, 4L))
   }
 
+  test("product quantization: encode compresses to m codes, ADC ranks the query's cell first") {
+    def mix(x: Long): Long = {
+      var h = x * 0x9E3779B97F4A7C15L
+      h ^= (h >>> 29); h *= 0xBF58476D1CE4E5B9L; h ^= (h >>> 32)
+      h
+    }
+    val dim = 16
+    val base = (1L to 40L).map(i =>
+      (i, Seq.tabulate(dim)(j =>
+        (java.lang.Long.remainderUnsigned(mix(i * 16 + j), 2003L) - 1001L)
+          .toDouble / 1000.0)))
+    val query = base.head._2
+    // id 999 is an exact copy of the query vector
+    val corpus = (base :+ (999L, query)).toDF("vec_id", "embedding")
+    val cbs = Similarity.pqTrain(corpus, col("vec_id"), col("embedding"),
+      m = 4, k = 4, iters = 2, dim = dim)
+    val enc = Similarity.pqEncode(corpus, col("vec_id"), col("embedding"), cbs, dim = dim)
+    val codes = enc.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codes.values.forall(_.length == 4)) // dim×8 bytes → 4 codes
+    assert(codes(1L) == codes(999L)) // identical vectors, identical codes
+    val top = Similarity.pqSearch(enc, cbs, query, dim = dim, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // ADC distance of the query to its OWN cells is the per-subspace argmin,
+    // so ids 1 and 999 share the global minimum; vec_id tie-break puts 1 first
+    assert(top.head._1 == 1L)
+    assert(top.find(_._1 == 999L).map(_._2).contains(top.head._2))
+  }
+
   test("bloom incremental dedup equals the exact anti-join under heavy false positives") {
     // 200-row history, 60-row batch of which 20 are dupes of history rows.
     // expectedItems=8 at fpp=0.4 makes the filter absurdly undersized, so
