@@ -267,19 +267,29 @@ object Similarity {
     * subvector — the corpus never joins, never shuffles.
     */
   def pqEncode(corpus: DataFrame, id: Column, vec: Column,
-      codebooks: Seq[DataFrame], dim: Int, scale: Double = 1000.0): DataFrame = {
+      codebooks: Seq[DataFrame], dim: Int, scale: Double = 1000.0): DataFrame =
+    withCodes(corpus.select(id.as("vec_id"), vec.as("__v")), col("__v"),
+      codebooks, dim, scale).select("vec_id", "codes")
+
+  /** Append a `codes` column (m nearest-codebook ids) to `df` — row-local:
+    * each tiny codebook rides along broadcast, each code is the native
+    * L2-argmin codegen expression over the quantized subvector.
+    */
+  private def withCodes(df: DataFrame, vec: Column, codebooks: Seq[DataFrame],
+      dim: Int, scale: Double): DataFrame = {
     val m = codebooks.size
     require(m > 0 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val sub = dim / m
     val qv = transform(vec.cast("array<double>"), x => round(x * scale))
-    var df = corpus.select(id.as("vec_id"), qv.as("qv"))
+    var out = df.withColumn("__qv", qv)
     for ((cb, j) <- codebooks.zipWithIndex)
-      df = df.crossJoin(broadcast(cb.agg(
-        collect_list(struct(col("centroid_id"), col("centroid_vec"))).as(s"cents$j"))))
+      out = out.crossJoin(broadcast(cb.agg(
+        collect_list(struct(col("centroid_id"), col("centroid_vec"))).as(s"__cents$j"))))
     val codes = array((0 until m).map(j =>
       graft.functions.CentroidMath.nearestCentroidL2(
-        slice(col("qv"), j * sub + 1, sub), col(s"cents$j"))): _*)
-    df.select(col("vec_id"), codes.as("codes"))
+        slice(col("__qv"), j * sub + 1, sub), col(s"__cents$j"))): _*)
+    out.withColumn("codes", codes)
+      .drop("__qv" +: (0 until m).map(j => s"__cents$j"): _*)
   }
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: the query's distance to
@@ -322,5 +332,49 @@ object Similarity {
     encoded.select(col("vec_id"), dist.as("approx_dist"))
       .orderBy(col("approx_dist").asc, col("vec_id").asc)
       .limit(topK)
+  }
+
+  /** IVF-PQ index (the FAISS IVFADC architecture): coarse-quantize with
+    * k-means centroids for the partition layout, store only (vec_id, codes)
+    * per row — the corpus bytes on disk shrink from dim×8 to m×8 per
+    * vector, and a probe reads just the probed centroid directories.
+    */
+  def ivfPqWriteIndex(corpus: DataFrame, id: Column, vec: Column,
+      centroids: DataFrame, codebooks: Seq[DataFrame], dim: Int,
+      path: String, scale: Double = 1000.0): Unit = {
+    val c = corpus.select(id.as("vec_id"), vec.cast("array<double>").as("cv"))
+    val assigned = c.crossJoin(broadcast(centroidArray(centroids)))
+      .select(col("vec_id"), col("cv"),
+        graft.functions.CentroidMath.nearestCentroidL2(col("cv"), col("cents"))
+          .as("centroid_id"))
+    // coarse assignment and codes in ONE row-local frame — no self-join
+    withCodes(assigned, col("cv"), codebooks, dim, scale)
+      .select("vec_id", "codes", "centroid_id")
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+  }
+
+  /** ANN top-k against an IVF-PQ index: the query's nProbe nearest
+    * centroids become a static partition-pruning IN filter (only those
+    * directories are listed and read), and the surviving rows are scored
+    * with the ADC map-lookup scan — at no point do original vectors exist
+    * on the read path. The double approximation (probe recall × code
+    * quantization) is the standard IVFADC trade; both halves are
+    * individually oracle-gated (pipe_embed_ivf, pipe_embed_pq).
+    */
+  def ivfPqTopK(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      centroids: DataFrame, codebooks: Seq[DataFrame],
+      query: Seq[Double], dim: Int, topK: Int, nProbe: Int,
+      scale: Double = 1000.0): DataFrame = {
+    // probe selection through a 1-row frame so the argmax is the same
+    // nearest_centroids expression the IVF path uses; the collect is
+    // nProbe ids — index metadata, not data
+    val probes = spark.range(1).select(typedLit(query).as("qv"))
+      .crossJoin(broadcast(centroidArray(centroids)))
+      .select(explode(graft.functions.CentroidMath.nearestCentroids(
+        col("qv"), col("cents"), nProbe)).as("centroid_id"))
+      .collect().map(_.getLong(0))
+    val encoded = spark.read.parquet(indexPath)
+      .filter(col("centroid_id").isin(probes: _*))
+    pqSearch(encoded, codebooks, query, dim, topK, scale)
   }
 }

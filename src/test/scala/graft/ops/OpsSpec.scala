@@ -384,6 +384,51 @@ class OpsSpec extends AnyFunSuite {
     assert(top.find(_._1 == 999L).map(_._2).contains(top.head._2))
   }
 
+  test("IVF-PQ index: codes-only layout, probe-pruned ADC search finds the planted copy") {
+    def mix(x: Long): Long = {
+      var h = x * 0x9E3779B97F4A7C15L
+      h ^= (h >>> 29); h *= 0xBF58476D1CE4E5B9L; h ^= (h >>> 32)
+      h
+    }
+    val dim = 16
+    val base = (1L to 60L).map(i =>
+      (i, Seq.tabulate(dim)(j =>
+        (java.lang.Long.remainderUnsigned(mix(i * 16 + j), 2003L) - 1001L)
+          .toDouble / 1000.0)))
+    val query = base.head._2
+    val corpus = (base :+ (999L, query)).toDF("vec_id", "embedding")
+    val (_, cents) = Similarity.kmeansQuantized(corpus, col("vec_id"),
+      col("embedding"), k = 4, iters = 2, dim = dim)
+    val cbs = Similarity.pqTrain(corpus, col("vec_id"), col("embedding"),
+      m = 4, k = 4, iters = 2, dim = dim)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    try {
+      Similarity.ivfPqWriteIndex(corpus, col("vec_id"), col("embedding"),
+        cents, cbs, dim, dir)
+      // the stored index is codes-only: no vector column on disk
+      val stored = spark.read.parquet(dir)
+      assert(stored.columns.toSet == Set("vec_id", "codes", "centroid_id"))
+      // full probe = plain PQ search: both planted ids at the minimal ADC
+      // distance (query and its exact copy quantize to the same cells)
+      val top = Similarity.ivfPqTopK(spark, dir, cents, cbs, query, dim,
+        topK = 5, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(top.head._1 == 1L)
+      assert(top.find(_._1 == 999L).map(_._2).contains(top.head._2))
+      // nProbe = 1 reads ONLY the query's own centroid directory (static
+      // partition pruning) and still finds both: they share its cell
+      val pruned = Similarity.ivfPqTopK(spark, dir, cents, cbs, query, dim,
+        topK = 5, nProbe = 1)
+      val scan = pruned.queryExecution.executedPlan.toString
+      val ids = pruned.collect().map(_.getLong(0)).toSet
+      assert(ids.contains(1L) && ids.contains(999L))
+      assert(scan.contains("PartitionFilters") || scan.contains("centroid_id IN"),
+        s"probe filter must prune partitions:\n$scan")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("bloom incremental dedup equals the exact anti-join under heavy false positives") {
     // 200-row history, 60-row batch of which 20 are dupes of history rows.
     // expectedItems=8 at fpp=0.4 makes the filter absurdly undersized, so
