@@ -99,7 +99,13 @@ object Ast {
     case _ => te.pos
   }
 
-  sealed trait Statement { def pos: Pos }
+  sealed trait Statement {
+    def pos: Pos
+    /** End of the statement's last token (the ';'), set by the parser —
+      * manifest source spans for statements without a body TableExpr.
+      */
+    var endPos: Pos = Pos(-1, -1)
+  }
   final case class WithStmt(name: String, body: TableExpr, pos: Pos) extends Statement
   final case class ExportStmt(body: TableExpr, location: String, pos: Pos) extends Statement
 

@@ -66,17 +66,17 @@ final class Engine(
           for (tr <- tracer) t = compiler.traceStatement(location, idx, t, tr, manifest,
             level = "export", span = Some((Ast.startPos(body), body.endPos)))
           exporter.exportTable(location, compiler.materialize(t))
-        case UpdateStmt(name, sets, where, p) =>
+        case u @ UpdateStmt(name, sets, where, p) =>
           val t0 = env.getOrElse(name, throw DtlError(s"unknown table '$name'", p.line, p.col))
           var t = compiler.compileUpdate(t0, sets, where, p)
           for (tr <- tracer) t = compiler.traceStatement(name, idx, t, tr, manifest,
-            level = "statement", span = None)
+            level = "statement", span = Some((p, u.endPos)))
           env(name) = t
-        case DeleteStmt(name, where, p) =>
+        case dl @ DeleteStmt(name, where, p) =>
           val t0 = env.getOrElse(name, throw DtlError(s"unknown table '$name'", p.line, p.col))
           var t = compiler.compileDelete(t0, where, p)
           for (tr <- tracer) t = compiler.traceStatement(name, idx, t, tr, manifest,
-            level = "statement", span = None)
+            level = "statement", span = Some((p, dl.endPos)))
           env(name) = t
         case InsertStmt(name, body, p) =>
           if (!env.contains(name))

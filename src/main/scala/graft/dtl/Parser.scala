@@ -61,6 +61,13 @@ final class Parser(tokens: Vector[Token]) {
   }
 
   private def parseStatement(): Statement = {
+    val s = parseStatementInner()
+    val tk = tokens(math.max(i - 1, 0)) // the consumed ';'
+    s.endPos = Pos(tk.line, tk.col + tk.text.length)
+    s
+  }
+
+  private def parseStatementInner(): Statement = {
     val p = pos
     if (isKw("WITH")) {
       advance()

@@ -154,6 +154,30 @@ class TraceSpec extends AnyFunSuite {
     assert(m.contains("\"start\":{\"line\":1,"))
   }
 
+  test("mutation lineage: UPDATE is identity-total, DELETE identity-subset, with spans") {
+    val tracer = new InMemoryTracer
+    new Engine(spark).runSimple(
+      """WITH t AS IMPORT 'input';
+        |UPDATE t SET v = v + 1 WHERE k > 1;
+        |DELETE FROM t WHERE v > 25;
+        |EXPORT t TO 'out';""".stripMargin,
+      Map("input" -> Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")),
+      Some(tracer))
+    // UPDATE rebinds t: rows preserved 1:1 (identity, total); DELETE drops
+    // the v=31 row (identity, not total). Snapshots keyed by target name —
+    // the rebound t snapshots once per mutation statement.
+    val m = tracer.manifest.get
+    assert(m.contains("\"src\":\"t\",\"tgt\":\"t\",\"kind\":\"identity\",\"src_total\":true"))
+    assert(m.contains("\"src\":\"t\",\"tgt\":\"t\",\"kind\":\"identity\",\"src_total\":false"))
+    // mutation statements carry their own source spans (line 1 and 2, 0-based)
+    assert(m.contains("\"start\":{\"line\":1,\"col\":0}"))
+    assert(m.contains("\"start\":{\"line\":2,\"col\":0}"))
+    // row counts through the chain: 3 → update 3 → delete 2 → export 2
+    val upd = tracer.mappings(("t", "t"))
+    assert(upd.count() >= 2) // latest (t,t) mapping retained per key
+    assert(tracer.snapshots("out").count() == 2)
+  }
+
   test("tracing off adds no hidden columns") {
     val out = new Engine(spark).runSimple(
       """WITH input AS IMPORT 'input';
