@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Time-series primitives over event tables: gap filling and fixed-interval
+  * resampling — the two operations every metrics/feature pipeline needs
+  * between raw events and a model-ready matrix.
+  *
+  * Scale shape: both are one hash shuffle on the series key + a
+  * per-partition sort (the window / the as-of union) — sort-merge-join
+  * asymptotics regardless of series length, no driver state, no
+  * per-series collect.
+  */
+object TimeSeries {
+
+  /** Carry the last non-NULL value forward within each series (SQL's
+    * `last_value(... IGNORE NULLS)` over an unbounded-preceding frame).
+    * Leading NULLs stay NULL — there is nothing to carry yet.
+    */
+  def fillForward(df: DataFrame, value: Column, partitionBy: Seq[Column],
+      orderBy: Seq[Column], as: String): DataFrame = {
+    val w = Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(as, last(value, ignoreNulls = true).over(w))
+  }
+
+  /** Resample each series onto a fixed-interval grid: one row per `unit`
+    * tick (hour/day/...) from the series' first to last observation, each
+    * carrying the latest observed payload at-or-before the tick (the
+    * standard downsample-with-carry). Built as grid-generation (sequence +
+    * explode, row-local) into the union+window [[AsOfJoin]] — so the cost
+    * is the one as-of shuffle, never a grid×observations inequality join.
+    */
+  def resample(df: DataFrame, key: Column, ts: Column,
+      valueCols: Seq[String], unit: String): DataFrame = {
+    val allowed = Set("minute", "hour", "day", "week")
+    require(allowed(unit.toLowerCase), s"unit must be one of $allowed, got $unit")
+    val grid = df.groupBy(key.as("key"))
+      .agg(date_trunc(unit, min(ts)).as("t0"), date_trunc(unit, max(ts)).as("t1"))
+      .select(col("key"),
+        explode(sequence(col("t0"), col("t1"),
+          expr(s"INTERVAL 1 ${unit.toUpperCase}"))).as("tick"))
+    AsOfJoin.asof(grid, col("key"), col("tick"), df, key, ts, valueCols)
+  }
+}

@@ -326,6 +326,28 @@ object CoreQueries {
         .agg(round(sum("l_quantity"), 2))
         .select(col("l_returnflag"), col("O").as("qty_o"), col("F").as("qty_f"))),
 
+    // D-time-series: gap filling — carry the last non-null value forward
+    // per series (clicks masked out to create real gaps)
+    "q32_fill_forward" -> ((s, d) => {
+      import graft.ops.TimeSeries
+      val ev = events(s, d)
+        .withColumn("v", when(col("event_type") =!= "click", col("value")))
+      TimeSeries.fillForward(ev, col("v"),
+        Seq(col("user_id")), Seq(col("ts"), col("event_id")), "filled")
+        .select(col("event_id"), col("user_id"), col("filled"))
+    }),
+
+    // D-time-series: fixed-interval resampling with carry — hourly grid per
+    // user via sequence+explode into the union+window as-of join (never a
+    // grid×observations inequality join)
+    "q33_resample" -> ((s, d) => {
+      import graft.ops.TimeSeries
+      TimeSeries.resample(events(s, d), col("user_id"), col("ts"),
+        Seq("value", "event_type"), "hour")
+        .select(col("key").as("user_id"), col("tick"),
+          col("value"), col("event_type"))
+    }),
+
     // D-grouping-sets: CUBE over two dimensions
     "q27_cube" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -522,6 +544,22 @@ object CoreQueries {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         | round(sum(l_quantity), 2) AS qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q32_fill_forward" ->
+      """SELECT event_id, user_id,
+        |  last_value(CASE WHEN event_type <> 'click' THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM events""".stripMargin,
+    "q33_resample" ->
+      """WITH g AS (
+        |  SELECT user_id AS key,
+        |         unnest(generate_series(date_trunc('hour', min(ts)),
+        |                                date_trunc('hour', max(ts)),
+        |                                INTERVAL 1 HOUR)) AS tick
+        |  FROM events GROUP BY user_id)
+        |SELECT g.key AS user_id, g.tick, o.value, o.event_type
+        |FROM g ASOF LEFT JOIN events o
+        |  ON g.key = o.user_id AND g.tick >= o.ts""".stripMargin,
     "q18_agg_stats" ->
       """SELECT l_returnflag,
         | min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,

@@ -458,6 +458,40 @@ class OpsSpec extends AnyFunSuite {
       expectedBatchItems = 8).count() == 2L)
   }
 
+  test("time series: fill-forward carries last non-null; resample grids with carry") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:05:00"), Some(1.0)),
+      (1L, ts("2024-01-01 10:40:00"), None),
+      (1L, ts("2024-01-01 12:10:00"), Some(3.0)),
+      (2L, ts("2024-01-01 09:30:00"), None) // leading null stays null
+    ).toDF("uid", "t", "v")
+    val filled = TimeSeries.fillForward(ev, col("v"), Seq(col("uid")),
+      Seq(col("t")), "f").select("uid", "t", "f")
+      .collect().map(r => (r.getLong(0), Option(r.get(2)))).toSeq
+    assert(filled.count { case (u, f) => u == 1L && f.contains(1.0) } == 2) // 10:05 + carried 10:40
+    assert(filled.contains((2L, None)))
+    // hourly grid for uid 1: 10:00, 11:00, 12:00 — each tick carries the
+    // latest observation at-or-before it
+    val grid = TimeSeries.resample(ev.filter(col("uid") === 1L),
+      col("uid"), col("t"), Seq("v"), "hour")
+      .orderBy("tick").collect()
+      .map(r => (r.getTimestamp(1).toString, Option(r.get(2))))
+    assert(grid.toSeq == Seq(
+      ("2024-01-01 10:00:00.0", None),        // tick precedes first obs
+      ("2024-01-01 11:00:00.0", None),        // latest obs at 10:40 has v=NULL
+      ("2024-01-01 12:00:00.0", None)))       // 12:10 obs is after the tick
+    val grid2 = TimeSeries.resample(
+      ev.filter(col("uid") === 1L && col("v").isNotNull),
+      col("uid"), col("t"), Seq("v"), "hour")
+      .orderBy("tick").collect()
+      .map(r => (r.getTimestamp(1).toString, Option(r.get(2))))
+    assert(grid2.toSeq == Seq(
+      ("2024-01-01 10:00:00.0", None),
+      ("2024-01-01 11:00:00.0", Some(1.0)),
+      ("2024-01-01 12:00:00.0", Some(1.0))))
+  }
+
   test("chunking covers the text with the right overlap; empty docs vanish") {
     val df = Seq((1L, "abcdefghij"), (2L, ""), (3L, "xy")).toDF("doc_id", "text")
     val out = TextAnalysis.chunk(df, col("doc_id"), col("text"), size = 4, overlap = 2)
