@@ -255,10 +255,18 @@ object Similarity {
     require(m > 0 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val sub = dim / m
     val v = vec.cast("array<double>")
-    (0 until m).map { j =>
-      kmeansQuantized(corpus, id, slice(v, j * sub + 1, sub),
-        k, iters, sub, scale)._2
-    }
+    // the m trainings are independent; run them concurrently so their
+    // per-iteration checkpoint jobs overlap in the scheduler (each training
+    // is deterministic on its own, so parallelism changes nothing but time)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(m)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try Await.result(
+      Future.sequence((0 until m).toList.map(j => Future {
+        kmeansQuantized(corpus, id, slice(v, j * sub + 1, sub),
+          k, iters, sub, scale)._2
+      })), scala.concurrent.duration.Duration.Inf)
+    finally pool.shutdown()
   }
 
   /** Encode every vector as its m nearest-codebook-entry ids. One pass,
