@@ -129,11 +129,17 @@ final class Compiler(
         }
         val v = compileExpr(w.args.head, scope)
         TypedCol(if (w.name == "lag") lag(v.col, offset) else lead(v.col, offset), v.dtype)
-      case "first_value" | "last_value" =>
+      case "first_value" | "last_value" | "first_value_nn" | "last_value_nn" =>
+        // the _nn variants are SQL's IGNORE NULLS — last_value_nn OVER an
+        // unbounded-preceding frame is the in-language fill-forward idiom
         w.args match {
           case arg :: Nil =>
             val v = compileExpr(arg, scope)
-            TypedCol(if (w.name == "first_value") first(v.col) else last(v.col), v.dtype)
+            val nn = w.name.endsWith("_nn")
+            TypedCol(
+              if (w.name.startsWith("first_value")) first(v.col, ignoreNulls = nn)
+              else last(v.col, ignoreNulls = nn),
+              v.dtype)
           case _ => typeErr(pos, s"${w.name} expects exactly one argument")
         }
       case "count_distinct" =>

@@ -104,6 +104,12 @@ object FunctionRegistry {
         fail(pos, s"coalesce arguments must share a type, got ${args(0).dtype.name} and ${args(1).dtype.name}")
       TypedCol(coalesce(args(0).col, args(1).col), args(0).dtype)
     },
+    arity("nullif", 2) { (args, pos) =>
+      if (args(0).dtype != args(1).dtype)
+        fail(pos, s"nullif arguments must share a type, got ${args(0).dtype.name} and ${args(1).dtype.name}")
+      TypedCol(when(args(0).col === args(1).col, lit(null)).otherwise(args(0).col),
+        args(0).dtype)
+    },
     temporal1("year")(year),
     temporal1("month")(month),
     temporal1("day")(dayofmonth),

@@ -170,6 +170,19 @@ object DtlQueries {
         |WITH output AS SELECT user_id, n_runs, n_events, n_starts FROM per_user JOIN starts USING (user_id);
         |EXPORT output TO 'output';""".stripMargin)),
 
+    // in-language fill-forward: last_value_nn (IGNORE NULLS) over an
+    // unbounded-preceding frame, nulls planted with nullif — the time-series
+    // gap-filling idiom expressed entirely in DTL
+    "dtl_fill_forward" -> ((s, d) => run(s, d,
+      """WITH events AS IMPORT 'events';
+        |WITH output AS
+        |  SELECT event_id, user_id,
+        |         last_value_nn(nullif(event_type, 'click'))
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_nonclick
+        |  FROM events;
+        |EXPORT output TO 'output';""".stripMargin)),
+
     // mutation statements (SURVEY §2 B6): UPDATE reads old values and skips
     // non-TRUE predicates, DELETE drops only TRUE predicates (NULL survives),
     // BEGIN/ROLLBACK restores the environment snapshot, INSERT appends with
@@ -196,6 +209,12 @@ object DtlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "dtl_fill_forward" ->
+      """SELECT event_id, user_id,
+        |  last_value(nullif(event_type, 'click') IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_nonclick
+        |FROM events""".stripMargin,
     "dtl_mutations" ->
       """WITH t0 AS (SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS price FROM orders),
         |t1 AS (SELECT k, st, CASE WHEN st = 'O' THEN price * 1.1 ELSE price END AS price FROM t0),
