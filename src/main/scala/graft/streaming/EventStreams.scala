@@ -103,6 +103,46 @@ object EventStreams {
       }
   }
 
+  final case class Obs(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      value: Option[Double])
+  final case class CarryState(ts: Long, value: Double)
+  final case class FilledObs(event_id: Long, user_id: Long,
+      ts: java.sql.Timestamp, filled: Option[Double])
+
+  /** Streaming fill-forward (the streaming twin of
+    * graft.ops.TimeSeries.fillForward): each observation emits the latest
+    * non-NULL value at-or-before its event time, carried across micro-batch
+    * boundaries through one (ts, value) pair of state per key — O(keys)
+    * state, no watermark needed because the state never grows with input.
+    * In-batch disorder is sorted out locally; a cross-batch late arrival
+    * (older than the carried observation) never borrows a value from its
+    * future — it emits its own value, NULL staying NULL, keeping the output
+    * a subset of what the batch operator would produce rather than
+    * inventing a fill batch semantics would forbid.
+    */
+  def fillForwardStream(obs: Dataset[Obs]): Dataset[FilledObs] = {
+    import obs.sparkSession.implicits._
+    obs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CarryState, FilledObs](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Obs], state: GroupState[CarryState]) =>
+          val sorted = batch.toSeq.sortBy(o => (o.ts.getTime, o.event_id))
+          var carry = state.getOption
+          val out = sorted.map { o =>
+            val t = o.ts.getTime
+            val filled = o.value match {
+              case Some(v) =>
+                if (carry.forall(_.ts <= t)) carry = Some(CarryState(t, v))
+                Some(v)
+              case None => carry.filter(_.ts <= t).map(_.value)
+            }
+            FilledObs(o.event_id, userId, o.ts, filled)
+          }
+          carry.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Stream-static enrichment: join each event against a dimension table.
     * The static side re-plans per micro-batch (picking up dimension
     * updates) — the standard lookup-join shape; no state, no watermark

@@ -70,6 +70,31 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming fill-forward carries last non-null across micro-batches, never backwards") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Obs]
+    val q = EventStreams.fillForwardStream(input.toDS())
+      .writeStream.format("memory").queryName("ff_out")
+      .outputMode("append").start()
+    try {
+      def obs(id: Long, minute: Long, v: Option[Double]) =
+        EventStreams.Obs(id, new java.sql.Timestamp(minute * 60000L), 1L, v)
+      input.addData(obs(1, 10, Some(1.0)), obs(2, 20, None))
+      q.processAllAvailable()
+      // carry crosses the batch boundary; a late NULL older than the carried
+      // observation does NOT borrow from its future
+      input.addData(obs(3, 30, None), obs(4, 5, None), obs(5, 40, Some(7.0)))
+      q.processAllAvailable()
+      val out = spark.table("ff_out").as[EventStreams.FilledObs].collect()
+        .map(f => f.event_id -> f.filled).toMap
+      assert(out == Map(
+        1L -> Some(1.0), 2L -> Some(1.0),  // batch 1: fill within batch
+        3L -> Some(1.0),                   // batch 2: carried across batches
+        4L -> None,                        // late event: no time-travel fill
+        5L -> Some(7.0)))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins the dimension per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStreams.Event]
