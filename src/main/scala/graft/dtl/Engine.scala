@@ -30,10 +30,7 @@ final class Engine(
       needsOrder = usesConsecutive(stmts), tracing = tracer.isDefined)
     val manifest = new ManifestBuilder(source)
     val env = mutable.Map.empty[String, compiler.CTable]
-    // BEGIN/COMMIT/ROLLBACK: a stack of environment snapshots. Bindings are
-    // immutable CTables, so a snapshot is O(#names); an open transaction at
-    // end of script commits implicitly.
-    var txStack = List.empty[Map[String, compiler.CTable]]
+    val txStack = new TxStack[compiler.CTable]
     for ((stmt, idx) <- stmts.zipWithIndex) {
       // sub-statement tracing: composite table expressions nested inside
       // this statement snapshot as `<name>$<k>` at table_expression level
@@ -66,39 +63,13 @@ final class Engine(
           for (tr <- tracer) t = compiler.traceStatement(location, idx, t, tr, manifest,
             level = "export", span = Some((Ast.startPos(body), body.endPos)))
           exporter.exportTable(location, compiler.materialize(t))
-        case u @ UpdateStmt(name, sets, where, p) =>
-          val t0 = env.getOrElse(name, throw DtlError(s"unknown table '$name'", p.line, p.col))
-          var t = compiler.compileUpdate(t0, sets, where, p)
-          for (tr <- tracer) t = compiler.traceStatement(name, idx, t, tr, manifest,
-            level = "statement", span = Some((p, u.endPos)))
-          env(name) = t
-        case dl @ DeleteStmt(name, where, p) =>
-          val t0 = env.getOrElse(name, throw DtlError(s"unknown table '$name'", p.line, p.col))
-          var t = compiler.compileDelete(t0, where, p)
-          for (tr <- tracer) t = compiler.traceStatement(name, idx, t, tr, manifest,
-            level = "statement", span = Some((p, dl.endPos)))
-          env(name) = t
-        case InsertStmt(name, body, p) =>
-          if (!env.contains(name))
-            throw DtlError(s"unknown table '$name'", p.line, p.col)
-          // INSERT INTO t <expr> is exactly t UNION ALL <expr> rebound to t:
-          // positional, strict set-operation typing, order/lineage reset
-          val synth = SetOpExpr(UnionAll, TableRef(name, p), body, p)
-          synth.endPos = body.endPos
-          var t = compiler.compileTable(synth, env)
-          for (tr <- tracer) t = compiler.traceStatement(name, idx, t, tr, manifest,
-            level = "statement", span = Some((p, body.endPos)))
-          env(name) = t
-        case BeginStmt(_, _) =>
-          txStack = env.toMap :: txStack
-        case CommitStmt(p) => txStack match {
-          case _ :: rest => txStack = rest
-          case Nil => throw DtlError("COMMIT without BEGIN", p.line, p.col)
-        }
-        case RollbackStmt(p) => txStack match {
-          case snap :: rest => env.clear(); env ++= snap; txStack = rest
-          case Nil => throw DtlError("ROLLBACK without BEGIN", p.line, p.col)
-        }
+        case other =>
+          for ((name, t0) <- applyMutation(compiler)(other, env, txStack)) {
+            var t = t0
+            for (tr <- tracer) t = compiler.traceStatement(name, idx, t, tr, manifest,
+              level = "statement", span = Some((other.pos, other.endPos)))
+            env(name) = t
+          }
       }
     }
     compiler.nestedTrace = None
@@ -128,7 +99,7 @@ final class Engine(
     val compiler = new Compiler(importer, registry, needsOrder = usesConsecutive(stmts))
     val env = mutable.Map.empty[String, compiler.CTable]
     val out = mutable.LinkedHashMap.empty[String, String]
-    var txStack = List.empty[Map[String, compiler.CTable]]
+    val txStack = new TxStack[compiler.CTable]
     def fmt(t: compiler.CTable): String = compiler.materialize(t).queryExecution
       .explainString(org.apache.spark.sql.execution.FormattedMode)
     for (stmt <- stmts) stmt match {
@@ -138,35 +109,59 @@ final class Engine(
         out(name) = fmt(t)
       case ExportStmt(body, location, _) =>
         out(location) = fmt(compiler.compileTable(body, env))
-      case UpdateStmt(name, sets, where, p) =>
-        val t0 = env.getOrElse(name, throw DtlError(s"unknown table '$name'", p.line, p.col))
-        val t = compiler.compileUpdate(t0, sets, where, p)
-        env(name) = t
-        out(name) = fmt(t)
-      case DeleteStmt(name, where, p) =>
-        val t0 = env.getOrElse(name, throw DtlError(s"unknown table '$name'", p.line, p.col))
-        val t = compiler.compileDelete(t0, where, p)
-        env(name) = t
-        out(name) = fmt(t)
-      case InsertStmt(name, body, p) =>
-        if (!env.contains(name))
-          throw DtlError(s"unknown table '$name'", p.line, p.col)
-        val synth = SetOpExpr(UnionAll, TableRef(name, p), body, p)
-        synth.endPos = body.endPos
-        val t = compiler.compileTable(synth, env)
-        env(name) = t
-        out(name) = fmt(t)
-      case BeginStmt(_, _) => txStack = env.toMap :: txStack
-      case CommitStmt(p) => txStack match {
-        case _ :: rest => txStack = rest
-        case Nil => throw DtlError("COMMIT without BEGIN", p.line, p.col)
-      }
-      case RollbackStmt(p) => txStack match {
-        case snap :: rest => env.clear(); env ++= snap; txStack = rest
-        case Nil => throw DtlError("ROLLBACK without BEGIN", p.line, p.col)
-      }
+      case other =>
+        for ((name, t) <- applyMutation(compiler)(other, env, txStack)) {
+          env(name) = t
+          out(name) = fmt(t)
+        }
     }
     out.toMap
+  }
+
+  /** BEGIN/COMMIT/ROLLBACK environment snapshots. Bindings are immutable
+    * CTables, so a snapshot is O(#names); an open transaction at end of
+    * script commits implicitly.
+    */
+  private final class TxStack[T] {
+    var stack: List[Map[String, T]] = Nil
+  }
+
+  /** The mutation/transaction semantics shared by run() and explain():
+    * applies `stmt` to the environment (and transaction stack) and returns
+    * the rebound (name, table) for UPDATE/DELETE/INSERT, None for the
+    * transaction statements. The caller decides what to do with the rebound
+    * table (trace it / capture its plan).
+    */
+  private def applyMutation(c: Compiler)(stmt: Statement,
+      env: mutable.Map[String, c.CTable],
+      tx: TxStack[c.CTable]): Option[(String, c.CTable)] = stmt match {
+    case UpdateStmt(name, sets, where, p) =>
+      val t0 = env.getOrElse(name, throw DtlError(s"unknown table '$name'", p.line, p.col))
+      Some(name -> c.compileUpdate(t0, sets, where, p))
+    case DeleteStmt(name, where, p) =>
+      val t0 = env.getOrElse(name, throw DtlError(s"unknown table '$name'", p.line, p.col))
+      Some(name -> c.compileDelete(t0, where, p))
+    case InsertStmt(name, body, p) =>
+      if (!env.contains(name))
+        throw DtlError(s"unknown table '$name'", p.line, p.col)
+      // INSERT INTO t <expr> is exactly t UNION ALL <expr> rebound to t:
+      // positional, strict set-operation typing, order/lineage reset
+      val synth = SetOpExpr(UnionAll, TableRef(name, p), body, p)
+      synth.endPos = body.endPos
+      Some(name -> c.compileTable(synth, env))
+    case BeginStmt(_, _) =>
+      tx.stack = env.toMap :: tx.stack
+      None
+    case CommitStmt(p) => tx.stack match {
+      case _ :: rest => tx.stack = rest; None
+      case Nil => throw DtlError("COMMIT without BEGIN", p.line, p.col)
+    }
+    case RollbackStmt(p) => tx.stack match {
+      case snap :: rest => env.clear(); env ++= snap; tx.stack = rest; None
+      case Nil => throw DtlError("ROLLBACK without BEGIN", p.line, p.col)
+    }
+    case other =>
+      throw new IllegalStateException(s"not a mutation statement: $other")
   }
 
   /** Consecutive operators need a hidden row-order column threaded from

@@ -42,6 +42,10 @@ object VideoMeta {
   private def boxType(b: Array[Byte], off: Int): String =
     new String(b, off + 4, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
 
+  // decode() runs per row (CodegenFallback) — keep the well-known-box set
+  // allocated once, not per evaluation
+  private val firstBoxTypes = Set("ftyp", "moov", "mdat", "free", "skip", "wide")
+
   /** Iterate child boxes of [start, end); f receives (type, payloadStart,
     * payloadEnd). 64-bit largesize boxes are handled; malformed sizes stop
     * the walk (truncated containers parse as far as they go).
@@ -71,7 +75,7 @@ object VideoMeta {
       // a BMFF file opens with a box whose type is well-known (ftyp for
       // mp4/mov; a bare moov/mdat/free also occurs); cheap reject otherwise
       val first = boxType(bytes, 0)
-      if (!Set("ftyp", "moov", "mdat", "free", "skip", "wide")(first)) return null
+      if (!firstBoxTypes(first)) return null
       var brand: String = null
       var width = -1
       var height = -1

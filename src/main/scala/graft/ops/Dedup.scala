@@ -69,6 +69,12 @@ object Dedup {
     * `expectedBatchItems`/`fpp` size the filter
     * (~1.2 MB per million items at 1%); the blob is one aggregated value
     * fetched to the driver, the same materialization a broadcast build does.
+    *
+    * `batch` is evaluated twice (bloom build, then anti-join) and must be
+    * DETERMINISTIC under recompute — the standard Spark source contract. A
+    * nondeterministic batch (rand()-derived, unseeded sample) could present
+    * join-time fingerprints the bloom never saw; localCheckpoint such a
+    * frame before calling, as for any multi-action consumer.
     */
   def dedupAgainstBloom(batch: DataFrame, text: Column,
       seenFingerprints: DataFrame, expectedBatchItems: Long,

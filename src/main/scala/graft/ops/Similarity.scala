@@ -346,6 +346,13 @@ object Similarity {
     * k-means centroids for the partition layout, store only (vec_id, codes)
     * per row — the corpus bytes on disk shrink from dim×8 to m×8 per
     * vector, and a probe reads just the probed centroid directories.
+    *
+    * `centroids` is [[kmeansQuantized]]'s second result — QUANTIZED-space
+    * coordinates — so the corpus is quantized with the same `round(x·scale)`
+    * before the L2 argmin: assignment here, the probe in [[ivfPqTopK]], and
+    * the training assignment are the same integer-exact comparison. (Mixing
+    * raw ~±1 vectors with ~±scale centroids would let ||c||² dominate the
+    * argmin and collapse every row into the minimum-norm partition.)
     */
   def ivfPqWriteIndex(corpus: DataFrame, id: Column, vec: Column,
       centroids: DataFrame, codebooks: Seq[DataFrame], dim: Int,
@@ -353,7 +360,8 @@ object Similarity {
     val c = corpus.select(id.as("vec_id"), vec.cast("array<double>").as("cv"))
     val assigned = c.crossJoin(broadcast(centroidArray(centroids)))
       .select(col("vec_id"), col("cv"),
-        graft.functions.CentroidMath.nearestCentroidL2(col("cv"), col("cents"))
+        graft.functions.CentroidMath.nearestCentroidL2(
+          transform(col("cv"), x => round(x * scale)), col("cents"))
           .as("centroid_id"))
     // coarse assignment and codes in ONE row-local frame — no self-join
     withCodes(assigned, col("cv"), codebooks, dim, scale)
@@ -368,19 +376,34 @@ object Similarity {
     * on the read path. The double approximation (probe recall × code
     * quantization) is the standard IVFADC trade; both halves are
     * individually oracle-gated (pipe_embed_ivf, pipe_embed_pq).
+    *
+    * Probe selection is the SAME quantized-L2 argmin the index was written
+    * with ([[ivfPqWriteIndex]]) — a cosine probe against an L2-assigned
+    * layout would read directories the matching rows were never written
+    * to. Distances are computed driver-side over the collected centroid
+    * frame (k×dim ints — index metadata), ties toward the smaller id.
     */
   def ivfPqTopK(spark: org.apache.spark.sql.SparkSession, indexPath: String,
       centroids: DataFrame, codebooks: Seq[DataFrame],
       query: Seq[Double], dim: Int, topK: Int, nProbe: Int,
       scale: Double = 1000.0): DataFrame = {
-    // probe selection through a 1-row frame so the argmax is the same
-    // nearest_centroids expression the IVF path uses; the collect is
-    // nProbe ids — index metadata, not data
-    val probes = spark.range(1).select(typedLit(query).as("qv"))
-      .crossJoin(broadcast(centroidArray(centroids)))
-      .select(explode(graft.functions.CentroidMath.nearestCentroids(
-        col("qv"), col("cents"), nProbe)).as("centroid_id"))
-      .collect().map(_.getLong(0))
+    val qq = spark.range(1)
+      .select(transform(typedLit(query), x => round(x * scale)).as("q"))
+      .head().getSeq[Double](0)
+    val probes = centroids.select("centroid_id", "centroid_vec").collect()
+      .map { r =>
+        val cv = r.getSeq[Double](1)
+        var d = 0L
+        var i = 0
+        while (i < cv.length && i < qq.length) {
+          val diff = qq(i).toLong - cv(i).toLong
+          d += diff * diff
+          i += 1
+        }
+        (r.getLong(0), d)
+      }
+      .sortBy { case (cid, d) => (d, cid) }
+      .take(nProbe).map(_._1)
     val encoded = spark.read.parquet(indexPath)
       .filter(col("centroid_id").isin(probes: _*))
     pqSearch(encoded, codebooks, query, dim, topK, scale)

@@ -405,9 +405,14 @@ class OpsSpec extends AnyFunSuite {
     try {
       Similarity.ivfPqWriteIndex(corpus, col("vec_id"), col("embedding"),
         cents, cbs, dim, dir)
-      // the stored index is codes-only: no vector column on disk
+      // the stored index is codes-only: no vector column on disk — and the
+      // coarse partitioning actually spreads (quantized-space assignment;
+      // a raw-vs-quantized scale mismatch would collapse all rows into the
+      // minimum-norm centroid's directory)
       val stored = spark.read.parquet(dir)
       assert(stored.columns.toSet == Set("vec_id", "codes", "centroid_id"))
+      assert(stored.select("centroid_id").distinct().count() > 1,
+        "index collapsed into one partition")
       // full probe = plain PQ search: both planted ids at the minimal ADC
       // distance (query and its exact copy quantize to the same cells)
       val top = Similarity.ivfPqTopK(spark, dir, cents, cbs, query, dim,
@@ -424,6 +429,16 @@ class OpsSpec extends AnyFunSuite {
       assert(ids.contains(1L) && ids.contains(999L))
       assert(scan.contains("PartitionFilters") || scan.contains("centroid_id IN"),
         s"probe filter must prune partitions:\n$scan")
+      // probe and write use the SAME quantized-L2 argmin, so every corpus
+      // vector's own cell is its top-1 probe: nProbe=1 always finds the
+      // vector itself (a cosine probe against the L2 layout broke this for
+      // most queries)
+      for (qid <- Seq(7L, 23L, 41L, 60L)) {
+        val qv = base.find(_._1 == qid).get._2
+        val found = Similarity.ivfPqTopK(spark, dir, cents, cbs, qv, dim,
+          topK = 3, nProbe = 1).collect().map(_.getLong(0)).toSet
+        assert(found.contains(qid), s"query $qid not found in its own cell")
+      }
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
