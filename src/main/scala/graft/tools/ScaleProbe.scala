@@ -131,6 +131,29 @@ object ScaleProbe {
       println(s"  distinct centroids: $nCents")
     }
 
+    println(s"== PQ train/encode/ADC search (codes-only scoring) ==")
+    // 2M×64-dim corpus → m=4 subspaces × 64-entry codebooks: encode is 4
+    // row-local argmins; the ADC scan scores 4 map lookups per row straight
+    // into TakeOrdered — wall time tracks ONE pass over the code column
+    val pqCbs = time(f"pqTrain ($nv%,d x $dim-dim, m=4, k=64, 1 iter)") {
+      val cbs = graft.ops.Similarity.pqTrain(vecs, col("vec_id"),
+        col("embedding"), m = 4, k = 64, iters = 1, dim = dim)
+      cbs.foreach(_.count()) // materialize training
+      cbs
+    }
+    // localCheckpoint is eager — time it as the index build it is
+    val pqEnc = time(f"pqEncode ($nv%,d vectors -> 4 codes each)") {
+      graft.ops.Similarity.pqEncode(
+        vecs, col("vec_id"), col("embedding"), pqCbs, dim).localCheckpoint()
+    }
+    val nEnc = pqEnc.count()
+    val pqQuery = Seq.tabulate(dim)(i =>
+      ((java.lang.Long.remainderUnsigned(1234567L * 31 + i, 2000L)) - 1000L).toDouble / 1000.0)
+    val pqTop = time(f"pqSearch ADC top-10 over $nEnc%,d encoded vectors") {
+      graft.ops.Similarity.pqSearch(pqEnc, pqCbs, pqQuery, dim, topK = 10).count()
+    }
+    println(s"  top rows: $pqTop")
+
     println(s"== bloom-pruned incremental dedup (history side never fully shuffles) ==")
     // big history (n rows of fingerprints), small batch (n/100) with 10%
     // true duplicates: the bloom built over the batch prunes the history to
