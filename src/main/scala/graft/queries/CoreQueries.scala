@@ -348,6 +348,18 @@ object CoreQueries {
           col("value"), col("event_type"))
     }),
 
+    // D-grouping-sets: arbitrary GROUPING SETS with the grouping_id bitmask
+    // (rollup/cube's general form — q20/q27 cover the shorthands)
+    "q34_grouping_sets" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("li_gs")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |       CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          |       count(*) AS n, round(sum(l_quantity), 2) AS qty
+          |FROM li_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+    }),
+
     // D-grouping-sets: CUBE over two dimensions
     "q27_cube" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -544,6 +556,12 @@ object CoreQueries {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         | round(sum(l_quantity), 2) AS qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q34_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
     "q32_fill_forward" ->
       """SELECT event_id, user_id,
         |  last_value(CASE WHEN event_type <> 'click' THEN value END IGNORE NULLS)
