@@ -37,13 +37,18 @@ object Dedup {
     * carries only the 64-bit fingerprints; at steady state it is the small,
     * pre-bucketed side of the join.
     */
-  def dedupAgainst(batch: DataFrame, text: Column, seenFingerprints: DataFrame): DataFrame = {
-    val fpCol = seenFingerprints.columns match {
-      case Array(one) => col(one)
+  /** The one-column seen-fingerprints contract shared by both incremental
+    * dedup variants, normalized to a `__seen_fp` frame.
+    */
+  private def seenFpFrame(seenFingerprints: DataFrame): DataFrame =
+    seenFingerprints.columns match {
+      case Array(one) => seenFingerprints.select(col(one).as("__seen_fp"))
       case cols => throw new IllegalArgumentException(
         s"seenFingerprints must have exactly one column, got ${cols.mkString(", ")}")
     }
-    val seen = seenFingerprints.select(fpCol.as("__seen_fp"))
+
+  def dedupAgainst(batch: DataFrame, text: Column, seenFingerprints: DataFrame): DataFrame = {
+    val seen = seenFpFrame(seenFingerprints)
     // text.isNotNull: xxhash64 of an all-NULL input is the SEED, not NULL —
     // without the guard, one NULL-text history row would silently drop every
     // NULL-text batch row forever. The qualified seen("__seen_fp") keeps the
@@ -81,11 +86,6 @@ object Dedup {
       fpp: Double = 0.01): DataFrame = {
     require(expectedBatchItems > 0 && fpp > 0 && fpp < 1,
       s"need expectedBatchItems > 0, 0 < fpp < 1; got $expectedBatchItems, $fpp")
-    val fpCol = seenFingerprints.columns match {
-      case Array(one) => col(one)
-      case cols => throw new IllegalArgumentException(
-        s"seenFingerprints must have exactly one column, got ${cols.mkString(", ")}")
-    }
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedBatchItems, fpp)
     val blob = batch
@@ -96,7 +96,7 @@ object Dedup {
         case r => r.getAs[Array[Byte]](0)
       }
     if (blob == null) return batch // empty batch: nothing to keep or drop
-    val seen = seenFingerprints.select(fpCol.as("__seen_fp"))
+    val seen = seenFpFrame(seenFingerprints)
       .filter(graft.functions.BloomBridge.mightContain(blob, col("__seen_fp")))
     batch.join(seen,
       text.isNotNull && TextAnalysis.fingerprint(text) === seen("__seen_fp"),

@@ -300,6 +300,30 @@ object Similarity {
       .drop("__qv" +: (0 until m).map(j => s"__cents$j"): _*)
   }
 
+  /** Quantize a query vector through the SAME Spark `round` expression the
+    * training used (1-row local eval) — guarantees identical rounding to
+    * the corpus quantization, which driver-side math would not.
+    */
+  private def quantizeQuery(spark: org.apache.spark.sql.SparkSession,
+      query: Seq[Double], scale: Double): Seq[Double] =
+    spark.range(1)
+      .select(transform(typedLit(query), x => round(x * scale)).as("q"))
+      .head().getSeq[Double](0)
+
+  /** Integer-exact squared L2 between a quantized query slice (from `off`)
+    * and a quantized centroid vector.
+    */
+  private def sqL2(qq: Seq[Double], off: Int, cv: Seq[Double]): Long = {
+    var d = 0L
+    var i = 0
+    while (i < cv.length && off + i < qq.length) {
+      val diff = qq(off + i).toLong - cv(i).toLong
+      d += diff * diff
+      i += 1
+    }
+    d
+  }
+
   /** Asymmetric-distance (ADC) top-k over PQ codes: the query's distance to
     * every codebook entry is precomputed into m tiny lookup tables (m×k
     * longs — collected codebook METADATA, the PQ equivalent of a broadcast
@@ -318,21 +342,10 @@ object Similarity {
     require(m > 0 && dim % m == 0 && query.length == dim,
       s"query dim ${query.length} must equal dim=$dim, divisible by m=$m")
     val sub = dim / m
-    val spark = encoded.sparkSession
-    val qq = spark.range(1)
-      .select(transform(typedLit(query), x => round(x * scale)).as("q"))
-      .head().getSeq[Double](0)
+    val qq = quantizeQuery(encoded.sparkSession, query, scale)
     val tables: Seq[Map[Long, Long]] = codebooks.zipWithIndex.map { case (cb, j) =>
       cb.select("centroid_id", "centroid_vec").collect().map { r =>
-        val cv = r.getSeq[Double](1)
-        var d = 0L
-        var i = 0
-        while (i < sub) {
-          val diff = qq(j * sub + i).toLong - cv(i).toLong
-          d += diff * diff
-          i += 1
-        }
-        r.getLong(0) -> d
+        r.getLong(0) -> sqL2(qq, j * sub, r.getSeq[Double](1))
       }.toMap
     }
     val dist = (0 until m).map(j =>
@@ -387,21 +400,9 @@ object Similarity {
       centroids: DataFrame, codebooks: Seq[DataFrame],
       query: Seq[Double], dim: Int, topK: Int, nProbe: Int,
       scale: Double = 1000.0): DataFrame = {
-    val qq = spark.range(1)
-      .select(transform(typedLit(query), x => round(x * scale)).as("q"))
-      .head().getSeq[Double](0)
+    val qq = quantizeQuery(spark, query, scale)
     val probes = centroids.select("centroid_id", "centroid_vec").collect()
-      .map { r =>
-        val cv = r.getSeq[Double](1)
-        var d = 0L
-        var i = 0
-        while (i < cv.length && i < qq.length) {
-          val diff = qq(i).toLong - cv(i).toLong
-          d += diff * diff
-          i += 1
-        }
-        (r.getLong(0), d)
-      }
+      .map(r => (r.getLong(0), sqL2(qq, 0, r.getSeq[Double](1))))
       .sortBy { case (cid, d) => (d, cid) }
       .take(nProbe).map(_._1)
     val encoded = spark.read.parquet(indexPath)

@@ -13,6 +13,16 @@ class OpsSpec extends AnyFunSuite {
   import TestSpark.spark
   import spark.implicits._
 
+  /** Splitmix-style nonlinear mixer for scattered test vectors — affine
+    * generators (i*K + j*C mod m) yield near-parallel vectors whose cosines
+    * cross any dedup threshold; this keeps the max pairwise cosine ~0.6.
+    */
+  private def mix(x: Long): Long = {
+    var h = x * 0x9E3779B97F4A7C15L
+    h ^= (h >>> 29); h *= 0xBF58476D1CE4E5B9L; h ^= (h >>> 32)
+    h
+  }
+
   private val docs = Seq(
     (1L, "the quick brown fox jumps over the lazy dog again and again today"),
     (2L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near-dup of 1
@@ -236,11 +246,6 @@ class OpsSpec extends AnyFunSuite {
     // every vector an arithmetic progression in j — near-parallel, with
     // pairwise cosines crossing 0.99 — so the mixer must be nonlinear.
     // Measured max pairwise cosine of this corpus: 0.604.
-    def mix(x: Long): Long = {
-      var h = x * 0x9E3779B97F4A7C15L
-      h ^= (h >>> 29); h *= 0xBF58476D1CE4E5B9L; h ^= (h >>> 32)
-      h
-    }
     val base = (1L to 40L).map(i =>
       (i, Seq.tabulate(16)(j =>
         (java.lang.Long.remainderUnsigned(mix(i * 16 + j), 2003L) - 1001L)
@@ -357,11 +362,6 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("product quantization: encode compresses to m codes, ADC ranks the query's cell first") {
-    def mix(x: Long): Long = {
-      var h = x * 0x9E3779B97F4A7C15L
-      h ^= (h >>> 29); h *= 0xBF58476D1CE4E5B9L; h ^= (h >>> 32)
-      h
-    }
     val dim = 16
     val base = (1L to 40L).map(i =>
       (i, Seq.tabulate(dim)(j =>
@@ -385,11 +385,6 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("IVF-PQ index: codes-only layout, probe-pruned ADC search finds the planted copy") {
-    def mix(x: Long): Long = {
-      var h = x * 0x9E3779B97F4A7C15L
-      h ^= (h >>> 29); h *= 0xBF58476D1CE4E5B9L; h ^= (h >>> 32)
-      h
-    }
     val dim = 16
     val base = (1L to 60L).map(i =>
       (i, Seq.tabulate(dim)(j =>
