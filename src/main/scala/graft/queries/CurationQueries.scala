@@ -69,6 +69,13 @@ object CurationQueries {
     }),
 
     // per-source quota: top-5 docs per source by quality score
+    // robust outlier filtering: per-event-type MAD fence over value
+    "pipe_outlier_mad" -> ((s, d) =>
+      Curation.filterOutliersMad(
+        t(s, d, "events").select("event_id", "event_type", "value"),
+        col("value"), col("event_type"), k = 3.0)
+        .select("event_id", "event_type", "value")),
+
     "pipe_domain_quota" -> ((s, d) => {
       val scored = t(s, d, "documents")
         .select(col("doc_id"), col("source"),
@@ -123,6 +130,17 @@ object CurationQueries {
   private val phonePat = """\+?\d[\d\- ]{7,}\d"""
 
   val oracle: Map[String, String] = Map(
+    // same two exact medians (both engines interpolate the even-count
+    // midpoint) and the same double fence arithmetic
+    "pipe_outlier_mad" ->
+      """WITH med AS (SELECT event_type, median(value) AS m
+        |             FROM events GROUP BY event_type),
+        |dev AS (SELECT e.event_id, e.event_type, e.value, abs(e.value - med.m) AS d
+        |        FROM events e JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, median(d) AS md FROM dev GROUP BY event_type)
+        |SELECT dev.event_id, dev.event_type, dev.value
+        |FROM dev JOIN mad USING (event_type)
+        |WHERE dev.d <= 3.0 * mad.md""".stripMargin,
     "pipe_decontaminate" ->
       s"""WITH ds AS (SELECT doc_id, ${duckShingles(5)} AS sh FROM documents
          |            WHERE source <> 'src0' AND len(string_split_regex(trim(lower(text)),'\\s+')) >= 5),

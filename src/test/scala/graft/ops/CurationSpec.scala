@@ -119,6 +119,19 @@ class CurationSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((0L, 0L), (1L, 0L), (2L, 0L)))
   }
 
+  test("MAD outlier filter: fence is median±k·MAD, all-equal group keeps itself") {
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 100.0), // med 2.5, MAD 1.0
+      ("b", 5.0), ("b", 5.0), ("b", 5.0)                // med 5, MAD 0
+    ).toDF("g", "v")
+    val kept = Curation.filterOutliersMad(df, col("v"), col("g"), k = 3.0)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq.sorted
+    // group a: |v - 2.5| <= 3.0 keeps 1,2,3 and drops the 100 outlier;
+    // group b: MAD 0 keeps the all-equal values (dev 0 <= 0)
+    assert(kept == Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 5.0), ("b", 5.0), ("b", 5.0)))
+  }
+
   test("shardAssign is deterministic, in-range, with dense positions") {
     val df = (0L until 1000L).toDF("id")
     val out = Curation.shardAssign(df, col("id"), nShards = 8)
