@@ -191,22 +191,30 @@ object Curation {
     * fence survives exactly the contamination that breaks a mean/stddev
     * z-score fence (the outliers themselves inflate the stddev) — the
     * standard robust quality filter before training-data aggregation.
-    * Cost: two grouped exact-median aggregates (each one shuffle over
-    * #groups-row partials) and two broadcast-sized joins back; the corpus
-    * itself shuffles only for the grouped medians. An all-equal group has
-    * MAD 0 and keeps only its median value; NULL groups/values drop (no
-    * group to be typical of).
+    *
+    * Cost: two grouped exact-median aggregates and two joins back; the
+    * corpus is deliberately re-scanned per pass rather than materialized —
+    * scans are pushdown-cheap, a corpus-sized checkpoint is not. Group
+    * frames join broadcast by default (one row per group); pass
+    * `broadcastGroups = false` for a group cardinality too large to build
+    * on the driver and let Spark pick the join. Semantics: an all-equal
+    * group has MAD 0 and keeps only its median value; NULL groups/values
+    * drop (no group to be typical of). All internal columns are referenced
+    * frame-qualified, so caller columns of any name survive untouched.
     */
   def filterOutliersMad(df: DataFrame, value: Column, group: Column,
-      k: Double): DataFrame = {
+      k: Double, broadcastGroups: Boolean = true): DataFrame = {
     require(k >= 0, s"k must be non-negative, got $k")
-    val med = df.groupBy(group.as("__g")).agg(median(value).as("__med"))
-    val dev = df.join(broadcast(med), group === col("__g"))
-      .withColumn("__dev", abs(value - col("__med")))
-    val mad = dev.groupBy(col("__g").as("__g2")).agg(median(col("__dev")).as("__mad"))
-    dev.join(broadcast(mad), col("__g") === col("__g2"))
-      .filter(col("__dev") <= lit(k) * col("__mad"))
-      .drop("__g", "__g2", "__med", "__dev", "__mad")
+    def side(f: DataFrame): DataFrame = if (broadcastGroups) broadcast(f) else f
+    val med = side(df.groupBy(group.as("__mad_g")).agg(median(value).as("__mad_med")))
+    val joined = df.join(med, group === med("__mad_g"))
+    val dev = abs(value - med("__mad_med"))
+    val mad = side(joined.groupBy(med("__mad_g").as("__mad_g2"))
+      .agg(median(dev).as("__mad_mad")))
+    joined.join(mad, med("__mad_g") === mad("__mad_g2"))
+      .filter(dev <= lit(k) * mad("__mad_mad"))
+      .drop(med("__mad_g")).drop(med("__mad_med"))
+      .drop(mad("__mad_g2")).drop(mad("__mad_mad"))
   }
 
   /** Deterministic shard assignment + position: `shard = hash(key) mod n`,

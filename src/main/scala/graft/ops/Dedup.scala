@@ -30,13 +30,6 @@ object Dedup {
       .drop("__fp")
   }
 
-  /** Incremental ingestion dedup: drop rows of `batch` whose normalized-text
-    * fingerprint already appears in `seen` (a fingerprint column from prior
-    * batches) — the anti-join shape that keeps a corpus duplicate-free as
-    * new crawls land without re-deduplicating history. The seen-set side
-    * carries only the 64-bit fingerprints; at steady state it is the small,
-    * pre-bucketed side of the join.
-    */
   /** The one-column seen-fingerprints contract shared by both incremental
     * dedup variants, normalized to a `__seen_fp` frame.
     */
@@ -47,6 +40,13 @@ object Dedup {
         s"seenFingerprints must have exactly one column, got ${cols.mkString(", ")}")
     }
 
+  /** Incremental ingestion dedup: drop rows of `batch` whose normalized-text
+    * fingerprint already appears in `seen` (a fingerprint column from prior
+    * batches) — the anti-join shape that keeps a corpus duplicate-free as
+    * new crawls land without re-deduplicating history. The seen-set side
+    * carries only the 64-bit fingerprints; at steady state it is the small,
+    * pre-bucketed side of the join.
+    */
   def dedupAgainst(batch: DataFrame, text: Column, seenFingerprints: DataFrame): DataFrame = {
     val seen = seenFpFrame(seenFingerprints)
     // text.isNotNull: xxhash64 of an all-NULL input is the SEED, not NULL —
@@ -86,6 +86,9 @@ object Dedup {
       fpp: Double = 0.01): DataFrame = {
     require(expectedBatchItems > 0 && fpp > 0 && fpp < 1,
       s"need expectedBatchItems > 0, 0 < fpp < 1; got $expectedBatchItems, $fpp")
+    // validate the seen side BEFORE spending a batch-wide job on the bloom
+    // (and before the empty-batch return can mask malformed input)
+    val seenAll = seenFpFrame(seenFingerprints)
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedBatchItems, fpp)
     val blob = batch
@@ -96,7 +99,7 @@ object Dedup {
         case r => r.getAs[Array[Byte]](0)
       }
     if (blob == null) return batch // empty batch: nothing to keep or drop
-    val seen = seenFpFrame(seenFingerprints)
+    val seen = seenAll
       .filter(graft.functions.BloomBridge.mightContain(blob, col("__seen_fp")))
     batch.join(seen,
       text.isNotNull && TextAnalysis.fingerprint(text) === seen("__seen_fp"),

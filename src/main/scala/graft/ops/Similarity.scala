@@ -310,13 +310,18 @@ object Similarity {
       .select(transform(typedLit(query), x => round(x * scale)).as("q"))
       .head().getSeq[Double](0)
 
-  /** Integer-exact squared L2 between a quantized query slice (from `off`)
-    * and a quantized centroid vector.
+  /** Integer-exact squared L2 between a quantized query slice (from `off`,
+    * `len` wide) and a quantized centroid vector. Strict on width: a
+    * centroid of the wrong length means the codebook was trained at a
+    * different dim/m than the search — fail loudly, a truncated sum would
+    * return a plausible-looking but wrong ranking.
     */
-  private def sqL2(qq: Seq[Double], off: Int, cv: Seq[Double]): Long = {
+  private def sqL2(qq: Seq[Double], off: Int, len: Int, cv: Seq[Double]): Long = {
+    require(cv.length == len && off + len <= qq.length,
+      s"centroid width ${cv.length} != subspace width $len (codebook/search dim mismatch)")
     var d = 0L
     var i = 0
-    while (i < cv.length && off + i < qq.length) {
+    while (i < len) {
       val diff = qq(off + i).toLong - cv(i).toLong
       d += diff * diff
       i += 1
@@ -345,7 +350,7 @@ object Similarity {
     val qq = quantizeQuery(encoded.sparkSession, query, scale)
     val tables: Seq[Map[Long, Long]] = codebooks.zipWithIndex.map { case (cb, j) =>
       cb.select("centroid_id", "centroid_vec").collect().map { r =>
-        r.getLong(0) -> sqL2(qq, j * sub, r.getSeq[Double](1))
+        r.getLong(0) -> sqL2(qq, j * sub, sub, r.getSeq[Double](1))
       }.toMap
     }
     val dist = (0 until m).map(j =>
@@ -402,7 +407,7 @@ object Similarity {
       scale: Double = 1000.0): DataFrame = {
     val qq = quantizeQuery(spark, query, scale)
     val probes = centroids.select("centroid_id", "centroid_vec").collect()
-      .map(r => (r.getLong(0), sqL2(qq, 0, r.getSeq[Double](1))))
+      .map(r => (r.getLong(0), sqL2(qq, 0, dim, r.getSeq[Double](1))))
       .sortBy { case (cid, d) => (d, cid) }
       .take(nProbe).map(_._1)
     val encoded = spark.read.parquet(indexPath)

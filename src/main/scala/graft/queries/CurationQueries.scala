@@ -68,7 +68,6 @@ object CurationQueries {
         md5(Curation.redactPii(aug).cast("binary")).as("red_fp"))
     }),
 
-    // per-source quota: top-5 docs per source by quality score
     // robust outlier filtering: per-event-type MAD fence over value
     "pipe_outlier_mad" -> ((s, d) =>
       Curation.filterOutliersMad(
@@ -76,6 +75,7 @@ object CurationQueries {
         col("value"), col("event_type"), k = 3.0)
         .select("event_id", "event_type", "value")),
 
+    // per-source quota: top-5 docs per source by quality score
     "pipe_domain_quota" -> ((s, d) => {
       val scored = t(s, d, "documents")
         .select(col("doc_id"), col("source"),

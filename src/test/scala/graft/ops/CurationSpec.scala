@@ -130,6 +130,12 @@ class CurationSpec extends AnyFunSuite {
     // group b: MAD 0 keeps the all-equal values (dev 0 <= 0)
     assert(kept == Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
       ("b", 5.0), ("b", 5.0), ("b", 5.0)))
+    // caller columns named like the internals survive untouched (frame-
+    // qualified references, not name lookups)
+    val tricky = Curation.filterOutliersMad(
+      df.withColumn("__mad_med", lit(9L)), col("v"), col("g"), k = 3.0)
+    assert(tricky.columns.toSeq == Seq("g", "v", "__mad_med"))
+    assert(tricky.select("__mad_med").distinct().collect().map(_.getLong(0)).toSeq == Seq(9L))
   }
 
   test("shardAssign is deterministic, in-range, with dense positions") {
