@@ -217,6 +217,26 @@ object Curation {
       .drop(mad("__mad_g2")).drop(mad("__mad_mad"))
   }
 
+  /** Per-group winsorization: CLAMP values to the group's [lo, hi]
+    * percentile fences instead of dropping rows — the fence for metrics
+    * that must keep every example but cap tail influence (feature
+    * normalization, loss weighting). Same shape as [[filterOutliersMad]]:
+    * one grouped exact-percentile aggregate, one (default-broadcast) join
+    * back, frame-qualified internals so caller columns survive.
+    */
+  def winsorize(df: DataFrame, value: Column, group: Column,
+      lo: Double, hi: Double, as: String,
+      broadcastGroups: Boolean = true): DataFrame = {
+    require(0 <= lo && lo <= hi && hi <= 1, s"need 0 <= lo <= hi <= 1, got $lo, $hi")
+    val fences = df.groupBy(group.as("__win_g"))
+      .agg(percentile(value, array(lit(lo), lit(hi))).as("__win_f"))
+    val f = if (broadcastGroups) broadcast(fences) else fences
+    df.join(f, group === f("__win_g"))
+      .withColumn(as,
+        least(greatest(value, f("__win_f").getItem(0)), f("__win_f").getItem(1)))
+      .drop(f("__win_g")).drop(f("__win_f"))
+  }
+
   /** Deterministic shard assignment + position: `shard = hash(key) mod n`,
     * `position` = rank of the key's hash within its shard. The hash ordering
     * is a reproducible global shuffle — the standard way to randomize

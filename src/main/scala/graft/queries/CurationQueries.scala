@@ -75,6 +75,13 @@ object CurationQueries {
         col("value"), col("event_type"), k = 3.0)
         .select("event_id", "event_type", "value")),
 
+    // winsorization: clamp event values into per-type [p05, p95] fences
+    "pipe_winsorize" -> ((s, d) =>
+      Curation.winsorize(
+        t(s, d, "events").select("event_id", "event_type", "value"),
+        col("value"), col("event_type"), lo = 0.05, hi = 0.95, as = "clamped")
+        .select(col("event_id"), col("event_type"), round(col("clamped"), 4).as("clamped"))),
+
     // per-source quota: top-5 docs per source by quality score
     "pipe_domain_quota" -> ((s, d) => {
       val scored = t(s, d, "documents")
@@ -130,6 +137,17 @@ object CurationQueries {
   private val phonePat = """\+?\d[\d\- ]{7,}\d"""
 
   val oracle: Map[String, String] = Map(
+    // quantile_cont interpolates exactly like Spark's exact percentile
+    // (the q23 parity); round(…, 4) absorbs the last-ulp interpolation
+    // difference in the clamped values
+    "pipe_winsorize" ->
+      """WITH f AS (SELECT event_type,
+        |             quantile_cont(value, 0.05) AS lo,
+        |             quantile_cont(value, 0.95) AS hi
+        |           FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type,
+        |       round(least(greatest(e.value, f.lo), f.hi), 4) AS clamped
+        |FROM events e JOIN f USING (event_type)""".stripMargin,
     // same two exact medians (both engines interpolate the even-count
     // midpoint) and the same double fence arithmetic
     "pipe_outlier_mad" ->

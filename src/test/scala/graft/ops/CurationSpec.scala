@@ -138,6 +138,18 @@ class CurationSpec extends AnyFunSuite {
     assert(tricky.select("__mad_med").distinct().collect().map(_.getLong(0)).toSeq == Seq(9L))
   }
 
+  test("winsorize clamps to per-group percentile fences, keeps every row") {
+    // group a: values 1..10 → p0=1, p100=10 at (0.0, 1.0) nothing clamps;
+    // at (0.25, 0.75): fences 3.25/7.75 (linear interpolation), tails clamp
+    val df = (1 to 10).map(i => ("a", i.toDouble)).toDF("g", "v")
+    val out = Curation.winsorize(df, col("v"), col("g"),
+      lo = 0.25, hi = 0.75, as = "w")
+      .orderBy("v").collect().map(_.getDouble(2))
+    assert(out.length == 10) // clamping never drops rows
+    assert(out.head == 3.25 && out.last == 7.75)
+    assert(out(4) == 5.0) // interior values untouched
+  }
+
   test("shardAssign is deterministic, in-range, with dense positions") {
     val df = (0L until 1000L).toDF("id")
     val out = Curation.shardAssign(df, col("id"), nShards = 8)
