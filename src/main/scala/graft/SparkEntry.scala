@@ -40,7 +40,7 @@ object SparkEntry {
     "q06_window_rank", "q14_star_revenue", "q16_events_hourly", "q18_agg_stats",
     "q26_asof_join", "q28_range_join", "q29_run_length",
     "pipe_dedup_minhash", "pipe_dedup_clusters", "pipe_dedup_substring",
-    "pipe_dedup_semantic", "pipe_dedup_bloom",
+    "pipe_dedup_passages", "pipe_dedup_semantic", "pipe_dedup_bloom",
     "pipe_embed_topk", "pipe_embed_ivf", "pipe_embed_pq", "pipe_kmeans",
     "pipe_token_count",
     "pipe_decontaminate", "pipe_pack_sequences")

@@ -325,6 +325,76 @@ object Dedup {
       .agg(count(lit(1)).as("n_windows"))
   }
 
+  /** Substring-level passage REMOVAL (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): where [[substringPairs]]
+    * only *flags* documents sharing a k-token window, this strips the shared
+    * passage from every document except one deterministic keeper (the
+    * smallest doc id containing the window) and reassembles the survivors'
+    * text. Returns one row per input document:
+    * (id, clean_text, n_kept, n_dropped) where clean_text is the kept tokens
+    * joined by single spaces (whitespace is normalized by tokenization) and
+    * n_kept + n_dropped = the document's token count.
+    *
+    * Semantics: a window is "duplicated" under exactly [[substringPairs]]'s
+    * definition — matched case-insensitively, present in 2..maxDocFreq
+    * DISTINCT documents (windows above maxDocFreq are boilerplate
+    * stop-windows: ubiquitous licence headers are a curation decision, not a
+    * copy to untangle, and their posting lists are what would go quadratic).
+    * In a non-keeper document every token covered by ANY occurrence of a
+    * duplicated window is dropped; overlapping duplicated windows merge
+    * naturally since coverage is per-token. The keeper keeps all its
+    * occurrences, so every duplicated passage survives in exactly the
+    * lowest-id document that had it.
+    *
+    * Scale shape: three hash-keyed shuffles, nothing all-pairs —
+    * (1) window → (distinct-doc count, keeper) groupBy; (2) occurrence ⨝
+    * duplicated-window on the window hash (skew bounded by the maxDocFreq
+    * guard exactly as in [[substringPairs]]); (3) dropped window starts
+    * re-keyed per doc and joined back to the corpus on id. Reassembly is one
+    * row-local higher-order-function pass over (tokens, drop_starts) — text
+    * never shuffles with anything wider than its own row.
+    */
+  def removeSharedPassages(df: DataFrame, id: Column, text: Column,
+      windowTokens: Int = 8, maxDocFreq: Int = 50): DataFrame = {
+    require(windowTokens > 0 && maxDocFreq >= 2,
+      s"need windowTokens > 0, maxDocFreq >= 2; got $windowTokens, $maxDocFreq")
+    val k = windowTokens
+    // positions matter here, so tokenize explicitly rather than through the
+    // distinct-shingle expression; the when-guard keeps split's [""] artifact
+    // on empty/whitespace text out (same contract as TextAnalysis.tokenCount)
+    val base = df.select(id.as("id"), text.as("__text"))
+      .withColumn("toks",
+        when(length(trim(col("__text"))) > 0, split(trim(col("__text")), "\\s+"))
+          .otherwise(array().cast("array<string>")))
+    // every k-token window occurrence: (id, p = 0-based start, win); windows
+    // are lowercased so the duplicated-window key matches the case-folded
+    // shingles that substringPairs detects on
+    val occ = base
+      .filter(size(col("toks")) >= k)
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), size(col("toks")) - k),
+          p => lower(array_join(slice(col("toks"), p + lit(1), lit(k)), " ")))))
+      .withColumnRenamed("pos", "p")
+      .withColumnRenamed("col", "win")
+    val dupWins = occ.groupBy("win")
+      .agg(countDistinct(col("id")).as("ndocs"), min(col("id")).as("keeper"))
+      .filter(col("ndocs").between(2, maxDocFreq))
+      .select("win", "keeper")
+    // drop starts per non-keeper doc; bounded per doc by its own window count
+    val drops = occ.join(dupWins, Seq("win"))
+      .filter(col("id") =!= col("keeper"))
+      .groupBy("id")
+      .agg(collect_set(col("p")).as("drop_starts"))
+    base.join(drops, Seq("id"), "left")
+      .withColumn("__ds", coalesce(col("drop_starts"), array().cast("array<int>")))
+      .withColumn("__kept", filter(col("toks"),
+        (t, i) => !exists(col("__ds"), p => p <= i && i < p + k)))
+      .select(col("id"),
+        array_join(col("__kept"), " ").as("clean_text"),
+        size(col("__kept")).as("n_kept"),
+        (size(col("toks")) - size(col("__kept"))).as("n_dropped"))
+  }
+
   /** SimHash near-dup candidates: signatures banded into 4×16-bit chunks —
     * any pair within Hamming distance 3 shares at least one identical chunk
     * (pigeonhole), so bucket-join on chunks then verify the distance.

@@ -88,6 +88,14 @@ object PipelineQueries {
       Dedup.substringPairs(t(s, d, "documents"), col("doc_id"), col("text"),
         windowTokens = 8, maxDocFreq = 50)),
 
+    // passage REMOVAL: strip every duplicated 8-token window from all but
+    // the lowest-id document containing it, reassembling the kept tokens —
+    // the Lee-et-al substring dedup that substringPairs only detects
+    "pipe_dedup_passages" -> ((s, d) =>
+      Dedup.removeSharedPassages(t(s, d, "documents"), col("doc_id"), col("text"),
+        windowTokens = 8, maxDocFreq = 50)
+        .withColumnRenamed("id", "doc_id")),
+
     // corpus-level boilerplate detector: 25 most document-frequent word
     // trigrams
     "pipe_ngram_hitters" -> ((s, d) =>
@@ -424,6 +432,44 @@ object PipelineQueries {
          |FROM w a JOIN f ON f.win = a.win
          |         JOIN w b ON b.win = a.win AND a.doc_id < b.doc_id
          |GROUP BY 1, 2""".stripMargin,
+    // positional window twin of removeSharedPassages: 1-based token/window
+    // indices (DuckDB lists) against Spark's 0-based, same coverage algebra
+    // (token i dropped iff some duplicated non-keeper window start p has
+    // p <= i < p + 8)
+    "pipe_dedup_passages" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |              ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, CAST(p AS INTEGER) AS p,
+        |         lower(array_to_string(toks[p:p+7], ' ')) AS win
+        |  FROM base, unnest(generate_series(1, len(toks) - 7)) AS t(p)
+        |  WHERE len(toks) >= 8),
+        |d AS (
+        |  SELECT win, min(doc_id) AS keeper
+        |  FROM w GROUP BY win
+        |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND 50),
+        |dr AS (
+        |  SELECT w.doc_id, w.p FROM w JOIN d USING (win) WHERE w.doc_id <> d.keeper),
+        |tok AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS i, toks[i] AS tk
+        |  FROM base, unnest(generate_series(1, len(toks))) AS g(i)
+        |  WHERE len(toks) > 0),
+        |kept AS (
+        |  SELECT tok.doc_id, tok.i, tok.tk FROM tok
+        |  WHERE NOT EXISTS (SELECT 1 FROM dr
+        |    WHERE dr.doc_id = tok.doc_id AND dr.p <= tok.i AND tok.i < dr.p + 8)),
+        |agg AS (
+        |  SELECT doc_id, string_agg(tk, ' ' ORDER BY i) AS clean_text,
+        |         count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |       coalesce(a.clean_text, '') AS clean_text,
+        |       CAST(coalesce(a.n_kept, 0) AS INTEGER) AS n_kept,
+        |       CAST(len(b.toks) - coalesce(a.n_kept, 0) AS INTEGER) AS n_dropped
+        |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin,
     // shingle lists are per-document distinct, so count(*) = doc frequency
     "pipe_ngram_hitters" ->
       s"""SELECT gram, count(*) AS n_docs FROM

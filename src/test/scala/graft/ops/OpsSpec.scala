@@ -290,6 +290,45 @@ class OpsSpec extends AnyFunSuite {
     assert(uncapped.count() == 15) // all C(6,2) pairs share the window
   }
 
+  test("passage removal strips duplicated windows from non-keepers, case-insensitively") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (2L, "intro words Alpha Beta Gamma Delta Epsilon Zeta Eta Theta outro"),
+      (3L, "totally unrelated content that shares no eight token window at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeSharedPassages(corpus, col("doc_id"), col("text"),
+      windowTokens = 8, maxDocFreq = 50)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    // doc 1 is the keeper (min id): untouched
+    assert(out(1L) == (("alpha beta gamma delta epsilon zeta eta theta iota", 9, 0)))
+    // doc 2 shares the case-variant window at positions 2..9: those 8 tokens
+    // drop, the original-case survivors reassemble
+    assert(out(2L) == (("intro words outro", 3, 8)))
+    assert(out(3L) == (("totally unrelated content that shares no eight token window at all", 11, 0)))
+  }
+
+  test("passage removal merges overlapping duplicated windows and honors maxDocFreq") {
+    // doc 20 embeds doc 10's full 9-token text → two overlapping shared
+    // 8-token windows covering tokens 1..9 of doc 20
+    val overlap = Seq(
+      (10L, "t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+      (20L, "pre t1 t2 t3 t4 t5 t6 t7 t8 t9 post")
+    ).toDF("doc_id", "text")
+    val o = Dedup.removeSharedPassages(overlap, col("doc_id"), col("text"),
+      windowTokens = 8, maxDocFreq = 50)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(o(10L)._3 == 0)
+    assert(o(20L) == (("pre post", 2, 9)))
+    // a window present in MORE than maxDocFreq docs is a stop-window: kept
+    val boiler = (1L to 6L)
+      .map(i => (i, s"shared license header tokens one two three four unique$i"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.removeSharedPassages(boiler, col("doc_id"), col("text"),
+      windowTokens = 8, maxDocFreq = 5)
+      .collect().map(r => (r.getInt(3), r.getInt(2)))
+    assert(kept.forall { case (dropped, keptN) => dropped == 0 && keptN == 9 })
+  }
+
   test("frequent ngrams ranks the repeated trigram first with doc frequency") {
     val top = TextAnalysis.frequentNgrams(docs, col("text"), n = 3, k = 5)
       .collect().map(r => (r.getString(0), r.getLong(1)))

@@ -54,6 +54,38 @@ object ZOrderProperties extends Properties("zorder") {
       Gen.listOfN(len, Gen.oneOf("aa", "bb", "cc", "dd")).map(_.mkString(" "))))
   } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
 
+  private val mixedCaseCorpusGen = for {
+    n <- Gen.choose(2, 10)
+    docs <- Gen.listOfN(n, Gen.choose(2, 7).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("aa", "bb", "cc", "AA", "Bb", "cC")).map(_.mkString(" "))))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  property("removeSharedPassages equals the naive coverage reference") =
+    forAll(mixedCaseCorpusGen, Gen.choose(2, 3)) { (docs, w) =>
+      val out = Dedup.removeSharedPassages(docs.toDF("doc_id", "text"),
+          col("doc_id"), col("text"), windowTokens = w, maxDocFreq = docs.size.max(2))
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+      def toks(t: String): Array[String] =
+        if (t.trim.isEmpty) Array.empty else t.trim.split("\\s+")
+      val wins: Map[Long, Seq[(Int, String)]] = docs.map { case (i, t) =>
+        i -> toks(t).toSeq.map(_.toLowerCase).sliding(w).toSeq.zipWithIndex
+          .collect { case (s, p) if s.size == w => (p, s.mkString(" ")) }
+      }.toMap
+      val keeperByWin = wins.toSeq
+        .flatMap { case (i, ws) => ws.map(_._2).distinct.map(_ -> i) }
+        .groupBy(_._1).collect { case (win, xs)
+          if xs.size >= 2 && xs.size <= docs.size.max(2) => win -> xs.map(_._2).min }
+      val expected = docs.map { case (i, t) =>
+        val tk = toks(t)
+        val dropStarts = wins(i)
+          .collect { case (p, win) if keeperByWin.get(win).exists(_ != i) => p }.toSet
+        val kept = tk.zipWithIndex.collect {
+          case (tok, idx) if !dropStarts.exists(p => p <= idx && idx < p + w) => tok }
+        i -> ((kept.mkString(" "), kept.length, tk.length - kept.length))
+      }.toMap
+      out == expected
+    }
+
   property("substringPairs equals the naive shared-window reference") =
     forAll(corpusGen, Gen.choose(2, 3)) { (docs, w) =>
       val out = Dedup.substringPairs(docs.toDF("doc_id", "text"),
