@@ -13,14 +13,24 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** REAL audio-header decode using the JDK's built-in `javax.sound.sampled` —
-  * no external codec libraries. Parses the container header (WAV/AIFF/AU,
-  * the formats the JDK ships readers for) via `AudioSystem.getAudioFileFormat`
-  * WITHOUT reading sample data, so cost per row is independent of clip
-  * length. The sibling of [[ImageMeta]] for the audio modality.
+/** REAL audio-header decode with zero external codec libraries:
   *
-  * Returns NULL for bytes no installed reader recognizes (the caller decides
-  * the fallback — see `Multimodal.decodeAudio`).
+  *  - WAV/AIFF/AU via the JDK's built-in `javax.sound.sampled`
+  *    (`AudioSystem.getAudioFileFormat` — header only, never sample data);
+  *  - MPEG audio (mp3/mp2/mp1) via a direct parse of the first valid MPEG
+  *    frame header (sync word, version/layer/bitrate/samplerate/channel-mode
+  *    bit fields — ISO/IEC 11172-3), plus the Xing/Info VBR tag for the
+  *    total frame count when present;
+  *  - Ogg via the first "OggS" page's identification packet (Vorbis I spec
+  *    §4.2.2 / RFC 7845 "OpusHead"), with total PCM frames taken from the
+  *    last page's granule position.
+  *
+  * Every path reads a bounded prefix (plus one backward page scan for Ogg),
+  * so cost per row is independent of clip length. The sibling of
+  * [[ImageMeta]] for the audio modality.
+  *
+  * Returns NULL for bytes no parser recognizes (the caller decides the
+  * fallback — see `Multimodal.decodeAudio`).
   */
 object AudioMeta {
 
@@ -37,21 +47,125 @@ object AudioMeta {
 
   /** (sample rate Hz, channels, bits/sample, frame count, lowercase container
     * name) or null when undecodable. Frame count is -1 when the container
-    * does not declare it (streams).
+    * does not declare it (headerless streams, unframed mp3); bits is -1 for
+    * codec-compressed audio where bits/sample is not a container property.
     */
   def decode(bytes: Array[Byte]): InternalRow = {
     if (bytes == null || bytes.length == 0) return null
+    jdkDecode(bytes).orElse(mpegDecode(bytes)).orElse(oggDecode(bytes)).orNull
+  }
+
+  private def jdkDecode(bytes: Array[Byte]): Option[InternalRow] =
     try {
       val ff = AudioSystem.getAudioFileFormat(new ByteArrayInputStream(bytes))
       val fmt = ff.getFormat
-      InternalRow(
+      Some(InternalRow(
         math.round(fmt.getSampleRate),
         fmt.getChannels,
         fmt.getSampleSizeInBits,
         ff.getFrameLength.toLong,
-        UTF8String.fromString(ff.getType.toString.toLowerCase))
+        UTF8String.fromString(ff.getType.toString.toLowerCase)))
     } catch {
-      case _: Exception => null // unsupported/truncated container → undecodable
+      case _: Exception => None // not a JDK-readable container
+    }
+
+  private def u(b: Byte): Int = b & 0xff
+
+  /** Sample-rate tables by MPEG version code (header bits 19–20: 3 = MPEG1,
+    * 2 = MPEG2, 0 = MPEG2.5; 1 is reserved) and samplerate index.
+    */
+  private val mpegRates: Map[Int, Array[Int]] = Map(
+    3 -> Array(44100, 48000, 32000),
+    2 -> Array(22050, 24000, 16000),
+    0 -> Array(11025, 12000, 8000))
+
+  /** MPEG audio (mp3 and friends): skip a leading ID3v2 tag, scan a bounded
+    * prefix for a structurally VALID frame header (all four indexed fields
+    * in their defined ranges — random bytes essentially never pass), and
+    * read rate/channels from its bit fields. The frame count comes from the
+    * Xing/Info tag (the VBR header every mainstream encoder writes, sitting
+    * right after the Layer-III side info); frameless streams report -1.
+    */
+  private def mpegDecode(bytes: Array[Byte]): Option[InternalRow] = {
+    var off = 0
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
+      val syncsafe = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+      off = 10 + syncsafe
+    }
+    val limit = math.min(bytes.length - 4, off + 4096)
+    var i = off
+    while (i >= 0 && i <= limit) {
+      if (u(bytes(i)) == 0xff && (u(bytes(i + 1)) & 0xe0) == 0xe0) {
+        val version = (u(bytes(i + 1)) >> 3) & 3 // 3=MPEG1 2=MPEG2 0=MPEG2.5
+        val layer = (u(bytes(i + 1)) >> 1) & 3 // 3=I 2=II 1=III
+        val brIdx = (u(bytes(i + 2)) >> 4) & 0xf
+        val srIdx = (u(bytes(i + 2)) >> 2) & 3
+        val mode = (u(bytes(i + 3)) >> 6) & 3 // 3 = single channel
+        if (version != 1 && layer != 0 && brIdx != 0 && brIdx != 15 && srIdx != 3) {
+          val rate = mpegRates(version)(srIdx)
+          val channels = if (mode == 3) 1 else 2
+          // Xing/Info VBR tag: after the Layer-III side info whose size is
+          // fixed by (version, mode); flags bit 0 marks the frame count
+          val frames: Long = if (layer == 1) {
+            val sideInfo =
+              if (version == 3) { if (mode == 3) 17 else 32 }
+              else { if (mode == 3) 9 else 17 }
+            val x = i + 4 + sideInfo
+            val tagged = x + 12 <= bytes.length &&
+              ((bytes(x) == 'X' && bytes(x + 1) == 'i' && bytes(x + 2) == 'n' && bytes(x + 3) == 'g') ||
+                (bytes(x) == 'I' && bytes(x + 1) == 'n' && bytes(x + 2) == 'f' && bytes(x + 3) == 'o')) &&
+              (u(bytes(x + 7)) & 1) == 1
+            if (tagged)
+              (u(bytes(x + 8)).toLong << 24) | (u(bytes(x + 9)) << 16) |
+                (u(bytes(x + 10)) << 8) | u(bytes(x + 11))
+            else -1L
+          } else -1L
+          return Some(InternalRow(rate, channels, -1, frames,
+            UTF8String.fromString(s"mp${4 - layer}")))
+        }
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** Ogg: the first page's first packet must be a Vorbis identification
+    * header (0x01 "vorbis": channels at packet offset 11, rate LE32 at 12)
+    * or an "OpusHead" (channels at 9, input rate LE32 at 12). Total PCM
+    * frames = the last page's granule position, found by one backward scan
+    * for the final "OggS" capture pattern.
+    */
+  private def oggDecode(bytes: Array[Byte]): Option[InternalRow] = {
+    if (bytes.length < 28 ||
+      !(bytes(0) == 'O' && bytes(1) == 'g' && bytes(2) == 'g' && bytes(3) == 'S') ||
+      bytes(4) != 0) return None
+    val payload = 27 + u(bytes(26)) // header + segment table
+    def le32(p: Int): Int =
+      u(bytes(p)) | (u(bytes(p + 1)) << 8) | (u(bytes(p + 2)) << 16) | (u(bytes(p + 3)) << 24)
+    def ascii(p: Int, n: Int): String =
+      if (p + n <= bytes.length) new String(bytes, p, n, "ISO-8859-1") else ""
+    val id: Option[(Int, Int)] = // (rate, channels)
+      if (bytes.length >= payload + 16 && bytes(payload) == 0x01 &&
+        ascii(payload + 1, 6) == "vorbis")
+        Some((le32(payload + 12), u(bytes(payload + 11))))
+      else if (bytes.length >= payload + 16 && ascii(payload, 8) == "OpusHead")
+        Some((le32(payload + 12), u(bytes(payload + 9))))
+      else None
+    id.map { case (rate, channels) =>
+      var granule = -1L
+      var i = bytes.length - 27
+      while (granule < 0 && i >= 0) {
+        if (bytes(i) == 'O' && bytes(i + 1) == 'g' && bytes(i + 2) == 'g' &&
+          bytes(i + 3) == 'S' && bytes(i + 4) == 0) {
+          var v = 0L
+          var j = 13
+          while (j >= 6) { v = (v << 8) | u(bytes(i + j)); j -= 1 }
+          granule = v
+        }
+        i -= 1
+      }
+      InternalRow(rate, channels, -1, granule, UTF8String.fromString("ogg"))
     }
   }
 

@@ -13,11 +13,13 @@ import org.apache.spark.sql.types._
   * `javax.imageio` ([[graft.functions.ImageMeta]] — no external codec
   * libraries, no pixel decode). AUDIO header decode is REAL for the
   * containers the JDK ships readers for (WAV/AIFF/AU via
-  * `javax.sound.sampled`, [[graft.functions.AudioMeta]]). VIDEO container
-  * decode is REAL for the ISO-BMFF family (MP4/MOV box walk,
+  * `javax.sound.sampled`, [[graft.functions.AudioMeta]]) AND for mp3/Ogg —
+  * the MPEG frame header and Vorbis/Opus identification headers are public
+  * bit layouts parsed directly, no codec needed. VIDEO container decode is
+  * REAL for the ISO-BMFF family (MP4/MOV box walk,
   * [[graft.functions.VideoMeta]] — width/height/frame count, no codec
-  * needed). Codec-compressed audio (mp3/ogg) and non-BMFF video metadata
-  * remains STUBBED (no codecs in the JDK):
+  * needed). Non-BMFF video metadata and genuinely unrecognizable bytes
+  * remain STUBBED:
   * [[fakeDecode]]/[[fakeAudioDecode]] derive deterministic pseudo-metadata
   * from an md5 of the bytes — md5 (not a Spark-internal hash) so any engine
   * reproduces the exact values, which is what makes the gate query
@@ -90,9 +92,10 @@ object Multimodal {
     */
   val decodedAudioType: StructType = graft.functions.AudioMeta.dataType
 
-  /** STUB audio decode for containers with no JDK reader (mp3/ogg/...):
-    * deterministic pseudo-metadata from md5 of the content — the same
-    * cross-engine-reproducible pattern as [[fakeDecode]].
+  /** STUB audio decode for bytes no real parser recognizes (WAV/AIFF/AU,
+    * mp3, and Ogg are all parsed for real — this is the corrupt/unknown-
+    * container fallback): deterministic pseudo-metadata from md5 of the
+    * content — the same cross-engine-reproducible pattern as [[fakeDecode]].
     */
   def fakeAudioDecode(media: Column): Column = {
     val hex = md5(media.getField("bytes"))
@@ -105,10 +108,12 @@ object Multimodal {
       substring(media.getField("mime"), 1, 5).as("format"))
   }
 
-  /** Audio decode dispatch: audio mimes get the REAL header parse (JDK
-    * `javax.sound.sampled` — WAV/AIFF/AU), unrecognized containers and
-    * non-audio mimes fall back to the deterministic stub. Same
-    * evaluate-once coalesce shape as [[decode]].
+  /** Audio decode dispatch: audio mimes get the REAL header parse
+    * (WAV/AIFF/AU via `javax.sound.sampled`, mp3 via the MPEG frame header,
+    * Ogg via the Vorbis/Opus identification header — see
+    * [[graft.functions.AudioMeta]]); unrecognized containers and non-audio
+    * mimes fall back to the deterministic stub. Same evaluate-once coalesce
+    * shape as [[decode]].
     */
   def decodeAudio(media: Column): Column = {
     val real = graft.functions.AudioMeta.audioMeta(media.getField("bytes"))

@@ -750,4 +750,60 @@ class OpsSpec extends AnyFunSuite {
     assert(f(3)._5 == "audio" && f(3)._1 >= 16000)
     assert(f(4)._5 == "text/" && f(4)._1 >= 16000)
   }
+
+  test("real mp3/ogg header decode: MPEG frame bits, Xing tag, Vorbis/Opus id headers") {
+    def be32(v: Int): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4).putInt(v).array()
+    def le32(v: Int): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+    // MPEG1 Layer III frame: 0xFFFB sync/version/layer, 128 kbps, optional
+    // Xing VBR tag right after the side info
+    def mp3Frame(srIdx: Int, mono: Boolean, xingFrames: Option[Int]): Array[Byte] = {
+      val buf = new Array[Byte](600)
+      buf(0) = 0xff.toByte
+      buf(1) = 0xfb.toByte
+      buf(2) = ((9 << 4) | (srIdx << 2)).toByte
+      buf(3) = (if (mono) 0xc0 else 0x00).toByte
+      xingFrames.foreach { n =>
+        val x = 4 + (if (mono) 17 else 32)
+        "Xing".getBytes("ISO-8859-1").copyToArray(buf, x)
+        be32(1).copyToArray(buf, x + 4) // flags: frame count present
+        be32(n).copyToArray(buf, x + 8)
+      }
+      buf
+    }
+    val id3 = "ID3".getBytes("ISO-8859-1") ++
+      Array[Byte](3, 0, 0, 0, 0, 0, 10) ++ new Array[Byte](10)
+    def oggPage(tpe: Int, granule: Long, packet: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(28 + packet.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("OggS".getBytes("ISO-8859-1")).put(0.toByte).put(tpe.toByte)
+        .putLong(granule).putInt(7).putInt(0).putInt(0)
+        .put(1.toByte).put(packet.length.toByte).put(packet)
+      b.array()
+    }
+    val vorbisId = Array[Byte](1) ++ "vorbis".getBytes("ISO-8859-1") ++
+      new Array[Byte](4) ++ Array[Byte](2) ++ le32(44100) ++ new Array[Byte](14)
+    val opusId = "OpusHead".getBytes("ISO-8859-1") ++ Array[Byte](1, 2) ++
+      new Array[Byte](2) ++ le32(48000) ++ new Array[Byte](3)
+    val df = Seq(
+      (1L, mp3Frame(0, mono = false, Some(1000)), "audio/mpeg"),
+      (2L, id3 ++ mp3Frame(2, mono = true, None), "audio/mpeg"),
+      (3L, oggPage(2, 0L, vorbisId) ++ oggPage(4, 441000L, Array[Byte](0)), "audio/ogg"),
+      (4L, oggPage(2, 0L, opusId) ++ oggPage(4, 960000L, Array[Byte](0)), "audio/ogg"),
+      (5L, "zz zz zz".getBytes("UTF-8"), "audio/mpeg") // garbage → stub
+    ).toDF("id", "content", "mime")
+    val out = df.select(col("id"),
+        Multimodal.decodeAudio(Multimodal.asMedia(col("content"), col("mime"))).as("d"))
+      .orderBy("id").collect()
+    def f(i: Int) = {
+      val d = out(i).getStruct(1)
+      (d.getInt(0), d.getInt(1), d.getInt(2), d.getLong(3), d.getString(4))
+    }
+    assert(f(0) == (44100, 2, -1, 1000L, "mp3"))
+    assert(f(1) == (32000, 1, -1, -1L, "mp3")) // ID3-prefixed, no Xing
+    assert(f(2) == (44100, 2, -1, 441000L, "ogg"))
+    assert(f(3) == (48000, 2, -1, 960000L, "ogg")) // Opus-in-Ogg
+    assert(f(4)._5 == "audio" && f(4)._1 >= 16000) // stub fallback intact
+  }
 }
