@@ -78,30 +78,32 @@ object Dedup {
     * `batch` is evaluated twice (bloom build, then anti-join) and must be
     * DETERMINISTIC under recompute — the standard Spark source contract. A
     * nondeterministic batch (rand()-derived, unseeded sample) could present
-    * join-time fingerprints the bloom never saw; localCheckpoint such a
-    * frame before calling, as for any multi-action consumer.
+    * join-time fingerprints the bloom never saw; pass `pinBatch = true` to
+    * have the function materialize the batch once (localCheckpoint) and
+    * ENFORCE the precondition instead of trusting the caller.
     */
   def dedupAgainstBloom(batch: DataFrame, text: Column,
       seenFingerprints: DataFrame, expectedBatchItems: Long,
-      fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01, pinBatch: Boolean = false): DataFrame = {
     require(expectedBatchItems > 0 && fpp > 0 && fpp < 1,
       s"need expectedBatchItems > 0, 0 < fpp < 1; got $expectedBatchItems, $fpp")
     // validate the seen side BEFORE spending a batch-wide job on the bloom
     // (and before the empty-batch return can mask malformed input)
     val seenAll = seenFpFrame(seenFingerprints)
+    val batchDf = if (pinBatch) batch.localCheckpoint() else batch
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedBatchItems, fpp)
-    val blob = batch
+    val blob = batchDf
       .select(graft.functions.BloomBridge.bloomAgg(
         TextAnalysis.fingerprint(text), expectedBatchItems, numBits).as("bf"))
       .head() match {
         case r if r.isNullAt(0) => null
         case r => r.getAs[Array[Byte]](0)
       }
-    if (blob == null) return batch // empty batch: nothing to keep or drop
+    if (blob == null) return batchDf // empty batch: nothing to keep or drop
     val seen = seenAll
       .filter(graft.functions.BloomBridge.mightContain(blob, col("__seen_fp")))
-    batch.join(seen,
+    batchDf.join(seen,
       text.isNotNull && TextAnalysis.fingerprint(text) === seen("__seen_fp"),
       "left_anti")
   }
@@ -444,41 +446,92 @@ object Dedup {
 
   /** Connected components over near-dup pairs → cluster ids (min member id
     * per component), the step that turns pairwise matches into "keep one doc
-    * per duplicate cluster". Iterative min-label propagation: each round
-    * every node adopts the smallest label among itself and its neighbors;
-    * converges in O(component diameter) rounds. Each round localCheckpoints
-    * to cut lineage growth — the standard guard for iterative Spark jobs.
+    * per duplicate cluster".
+    *
+    * Algorithm: alternating large-star / small-star edge rewrites (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    * each round every node hangs its neighborhood off the neighborhood
+    * minimum, so paths collapse by pointer-doubling and the edge set
+    * converges to per-component stars in ~log2(diameter)+1 rounds
+    * REGARDLESS of component size. (The previous min-label propagation
+    * needed O(diameter) rounds; a chain-shaped component from paginated
+    * boilerplate — diameter in the thousands — would blow any sane
+    * iteration cap. A planted diameter-4096 path converges in 13 rounds
+    * here: `tools/ScaleProbe`.) Each star step is a min-aggregate plus a
+    * self-join on the SAME grouping key, so the exchange is computed once
+    * and reused; neighbor sets are never collected into rows.
+    *
+    * Per-round state is pinned to cut lineage growth: to `checkpointDir`
+    * (RELIABLE — `df.checkpoint()` against HDFS/object storage, survives
+    * executor loss; set this for multi-hour production runs) when given,
+    * else `localCheckpoint` (executor block storage — fine in local mode,
+    * unrecoverable if an executor dies mid-job).
     */
-  def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+  def clusters(pairs: DataFrame, maxIter: Int = 40,
+      checkpointDir: Option[String] = None): DataFrame =
+    clustersWithRounds(pairs, maxIter, checkpointDir)._1
+
+  /** [[clusters]] plus the number of rounds taken — the hook ScaleProbe uses
+    * to assert O(log n) convergence on planted deep-path graphs.
+    *
+    * The default cap of 40 is pure headroom: rounds grow with
+    * log2(diameter), so 40 covers a diameter beyond 2^38 — and converged
+    * graphs never pay for the unused budget.
+    */
+  def clustersWithRounds(pairs: DataFrame, maxIter: Int = 40,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def pin(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+
+    // large-star: every node u computes m = min(Γ(u) ∪ {u}) and re-points
+    // its strictly LARGER neighbors at m. Emitted edges (v, m) satisfy
+    // v > u ≥ m, so the (hi, lo) canonical form is preserved for free.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+    }
+    // small-star: every node u re-points its smaller-or-equal neighborhood
+    // (and itself) at the minimum of its smaller neighbors.
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("hi").agg(min(col("lo")).as("m"))
+      e.join(mins, Seq("hi"))
+        .filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .union(mins.select(col("hi"), col("m").as("lo")))
+        .distinct()
+    }
+
+    var edges = pin(pairs
+      .select(greatest(col("id_a"), col("id_b")).as("hi"),
+        least(col("id_a"), col("id_b")).as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct())
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
-      val neighborLabels = edges
-        .join(labels.select(col("id").as("dst"), col("label").as("nlabel")), Seq("dst"))
-        .select(col("src").as("id"), col("nlabel"))
-      // checkpoint the round ONCE; the convergence check reads the
-      // checkpointed result instead of recomputing the join
-      val updated = labels.join(neighborLabels, Seq("id"), "left")
-        .groupBy("id")
-        .agg(least(first(col("label")), min(col("nlabel"))).as("next_label"),
-          first(col("label")).as("label"))
-        .localCheckpoint()
-      converged = updated.filter(col("next_label") =!= col("label")).isEmpty
-      labels = updated.select(col("id"),
-        coalesce(col("next_label"), col("label")).as("label"))
+      val next = pin(smallStar(largeStar(edges)))
+      // distinct edge sets of equal size with an empty difference are equal
+      converged = next.count() == edges.count() &&
+        next.join(edges, Seq("hi", "lo"), "left_anti").isEmpty
+      edges = next
       i += 1
     }
     // an unconverged exit would silently split real components in two
     if (!converged) throw new IllegalStateException(
-      s"clusters: label propagation did not converge within $maxIter iterations " +
-        "(component diameter exceeds maxIter) — raise maxIter")
-    labels.select(col("id"), col("label").as("cluster_id"))
+      s"clusters: star contraction did not converge within $maxIter rounds " +
+        "— raise maxIter (O(log n) rounds suffice for any real graph)")
+    // converged edges are stars leaf→root; roots label themselves
+    val labels = edges.select(col("hi").as("id"), col("lo").as("cluster_id"))
+      .union(edges.select(col("lo").as("id"), col("lo").as("cluster_id")))
+      .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
+    (labels, i)
   }
 
   /** Resolve duplicate clusters to representatives: for each connected

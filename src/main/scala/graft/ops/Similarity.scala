@@ -96,8 +96,15 @@ object Similarity {
     * Returns (assignment (vec_id, qv, centroid_id), final centroids).
     */
   def kmeansQuantized(corpus: DataFrame, id: Column, vec: Column,
-      k: Int, iters: Int, dim: Int, scale: Double = 1000.0): (DataFrame, DataFrame) = {
+      k: Int, iters: Int, dim: Int, scale: Double = 1000.0,
+      checkpointDir: Option[String] = None): (DataFrame, DataFrame) = {
     require(k > 0 && iters >= 0 && dim > 0, s"bad kmeans params k=$k iters=$iters dim=$dim")
+    // per-round centroid state: reliable checkpoint (survives executor loss)
+    // when a dir is configured, executor-local blocks otherwise — same
+    // contract as Dedup.clusters
+    checkpointDir.foreach(corpus.sparkSession.sparkContext.setCheckpointDir)
+    def pin(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val q = corpus.select(id.as("vec_id"),
       transform(vec.cast("array<double>"), x => round(x * scale)).as("qv"))
     def assign(cents: DataFrame): DataFrame =
@@ -127,10 +134,9 @@ object Similarity {
       // by iters≈8) and recomputes every earlier round at the final action.
       // The checkpointed frame is tiny and stays distributed (no driver
       // collect), which also keeps k×dim unbounded-safe.
-      cents = cents.join(refreshed, Seq("centroid_id"), "left")
+      cents = pin(cents.join(refreshed, Seq("centroid_id"), "left")
         .select(col("centroid_id"),
-          coalesce(col("new_vec"), col("centroid_vec")).as("centroid_vec"))
-        .localCheckpoint()
+          coalesce(col("new_vec"), col("centroid_vec")).as("centroid_vec")))
     }
     (assign(cents), cents)
   }
@@ -288,6 +294,17 @@ object Similarity {
     val m = codebooks.size
     require(m > 0 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val sub = dim / m
+    // strict on codebook width, like sqL2 on the search side: a codebook
+    // trained at a different dim/m would otherwise emit NULL codes from the
+    // argmin and surface later as NULL distances ranked into the ANN top-k
+    // instead of failing here. One 1-row job per tiny checkpointed codebook.
+    codebooks.zipWithIndex.foreach { case (cb, j) =>
+      val w = cb.agg(min(size(col("centroid_vec"))).as("lo"),
+        max(size(col("centroid_vec"))).as("hi")).head()
+      require(w.getInt(0) == sub && w.getInt(1) == sub,
+        s"codebook $j entry width ${w.getInt(0)}..${w.getInt(1)} != subspace " +
+          s"width $sub (codebook trained at a different dim/m than this encode)")
+    }
     val qv = transform(vec.cast("array<double>"), x => round(x * scale))
     var out = df.withColumn("__qv", qv)
     for ((cb, j) <- codebooks.zipWithIndex)
@@ -356,7 +373,9 @@ object Similarity {
     val dist = (0 until m).map(j =>
       element_at(typedLit(tables(j)), col("codes").getItem(j))).reduce(_ + _)
     encoded.select(col("vec_id"), dist.as("approx_dist"))
-      .orderBy(col("approx_dist").asc, col("vec_id").asc)
+      // nulls LAST defensively: an externally-read index with NULL codes
+      // must never rank garbage at the top of the ANN results
+      .orderBy(col("approx_dist").asc_nulls_last, col("vec_id").asc)
       .limit(topK)
   }
 

@@ -190,6 +190,19 @@ object ScaleProbe {
     }
     println(s"  pairs: $sdPairs (planted: ${(sdN + 49) / 50})")
 
+    println(s"== connected components: star contraction on a deep path ==")
+    // a diameter-4096 chain — the shape O(diameter) label propagation cannot
+    // close; large-star/small-star must converge in ~log2(diameter) rounds
+    val pathN = 4096L
+    val pathEdges = spark.range(pathN)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val (ccNodes, ccRounds) = time(f"clustersWithRounds (path, diameter $pathN%,d)") {
+      val (labels, rounds) = graft.ops.Dedup.clustersWithRounds(pathEdges)
+      (labels.count(), rounds)
+    }
+    println(s"  nodes labeled: $ccNodes in $ccRounds rounds")
+    assert(ccRounds < 15, s"star contraction took $ccRounds rounds on a path graph")
+
     println(s"== substring window dedup (postings-bounded pair generation) ==")
     // the same planted-dup corpus: shared windows only between originals and
     // their planted variants; boilerplate cap bounds every posting list

@@ -95,6 +95,66 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("connected components: a diameter-256 path converges in O(log n) rounds") {
+    // the case O(diameter) label propagation cannot survive: a long chain
+    // (paginated boilerplate). Star contraction must close it in ~log2(256)
+    // rounds, far under the default cap.
+    val path = (0L until 256L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.clustersWithRounds(path)
+    assert(rounds <= 10, s"took $rounds rounds")
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 257 && got.forall(_._2 == 0L))
+  }
+
+  test("connected components: reliable checkpoint dir yields identical clusters") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val reliable = Dedup.clusters(pairs, checkpointDir = Some(dir)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == local)
+    // the reliable path actually wrote RDD checkpoint state to the dir
+    def treeHasFiles(p: java.io.File): Boolean = {
+      val kids = Option(p.listFiles()).getOrElse(Array.empty)
+      kids.exists(_.isFile) || kids.exists(treeHasFiles)
+    }
+    assert(treeHasFiles(new java.io.File(dir)), "no checkpoint files written")
+    // kmeans accepts the same knob and still converges
+    val (assigned, _) = Similarity.kmeansQuantized(
+      (0L until 40L).map(i => (i, Seq.tabulate(8)(j => mix(i * 8 + j).toDouble / 1e18)))
+        .toDF("vec_id", "embedding"),
+      col("vec_id"), col("embedding"), k = 4, iters = 2, dim = 8,
+      checkpointDir = Some(dir))
+    assert(assigned.count() == 40)
+  }
+
+  test("connected components agree with a driver-side union-find on random graphs") {
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 4) {
+      val n = 20 + trial * 5
+      val edges = Seq.fill(n)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val got = Dedup.clusters(edges.toDF("id_a", "id_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // naive union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val roots = nodes.map(x => x -> find(x)).toMap
+      val expected = nodes.map(x =>
+        x -> nodes.filter(y => roots(y) == roots(x)).min).toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
   test("embedding LSH near-dup finds planted high-cosine pair") {
     val rng = new scala.util.Random(7)
     val base = Array.fill(16)(rng.nextGaussian())
