@@ -34,10 +34,21 @@ object ZOrder {
 
   /** Non-negative ≤62-bit z-value of two 31-bit non-negative dimension keys
     * (`a` on even bits, `b` on odd). Callers bucketize/rank raw values into
-    * 31-bit range first ([[bucketize]]).
+    * 31-bit range first ([[bucketize]]). Keys outside [0, 2^31) FAIL LOUDLY:
+    * spread()'s mask would silently alias distinct values onto the same
+    * z-range — not wrong answers, but a degraded layout nobody would notice
+    * until scan locality quietly vanished. NULL keys stay NULL.
     */
-  def zValue(a: Column, b: Column): Column =
-    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  def zValue(a: Column, b: Column): Column = {
+    def checked(x: Column, which: String): Column = {
+      val v = x.cast("long")
+      when(v.isNull || (v >= 0L && v <= 0x7FFFFFFFL), v)
+        .otherwise(raise_error(concat(
+          lit(s"zValue: $which-bits key outside the 31-bit domain [0, 2^31): "),
+          v.cast("string"))))
+    }
+    spread(checked(a, "even")).bitwiseOR(shiftleft(spread(checked(b, "odd")), 1))
+  }
 
   /** Scale a numeric column into `2^bits` equal-width integer buckets over
     * a KNOWN [min, max] domain — the dimension-key normalization for

@@ -114,11 +114,16 @@ object EventStreams {
     * non-NULL value at-or-before its event time, carried across micro-batch
     * boundaries through one (ts, value) pair of state per key — O(keys)
     * state, no watermark needed because the state never grows with input.
-    * In-batch disorder is sorted out locally; a cross-batch late arrival
-    * (older than the carried observation) never borrows a value from its
-    * future — it emits its own value, NULL staying NULL, keeping the output
-    * a subset of what the batch operator would produce rather than
-    * inventing a fill batch semantics would forbid.
+    *
+    * Late-data semantics (state keeps only the newest-ever observation, so
+    * full batch parity is impossible by design): a fill never borrows from
+    * the observation's event-time FUTURE. The fill source is the newer of
+    * the cross-batch state (if not from the future) and the in-batch carry —
+    * so a late cluster arriving together fills among itself even when the
+    * carried state is newer than the whole cluster. A fill can be STALER
+    * than the batch twin's when the in-between history was compacted out of
+    * state, but it is always a genuinely observed at-or-before value; NULL
+    * means nothing at-or-before is known.
     */
   def fillForwardStream(obs: Dataset[Obs]): Dataset[FilledObs] = {
     import obs.sparkSession.implicits._
@@ -127,18 +132,26 @@ object EventStreams {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, batch: Iterator[Obs], state: GroupState[CarryState]) =>
           val sorted = batch.toSeq.sortBy(o => (o.ts.getTime, o.event_id))
-          var carry = state.getOption
+          val stateCarry = state.getOption
+          // in-batch carry SEPARATE from cross-batch state: a newer state
+          // must not veto fills within a late cluster that arrived together
+          var local: Option[CarryState] = None
+          def newest(a: Option[CarryState], b: Option[CarryState]) =
+            (a ++ b).reduceOption((x, y) => if (y.ts >= x.ts) y else x)
           val out = sorted.map { o =>
             val t = o.ts.getTime
             val filled = o.value match {
               case Some(v) =>
-                if (carry.forall(_.ts <= t)) carry = Some(CarryState(t, v))
+                local = Some(CarryState(t, v)) // sorted ⇒ only advances
                 Some(v)
-              case None => carry.filter(_.ts <= t).map(_.value)
+              case None =>
+                newest(stateCarry.filter(_.ts <= t), local.filter(_.ts <= t))
+                  .map(_.value)
             }
             FilledObs(o.event_id, userId, o.ts, filled)
           }
-          carry.foreach(state.update)
+          // cross-batch state: newest observation ever seen (ties → batch)
+          newest(stateCarry, local).foreach(state.update)
           out.iterator
       }
   }

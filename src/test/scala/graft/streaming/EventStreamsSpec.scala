@@ -85,13 +85,23 @@ class EventStreamsSpec extends AnyFunSuite {
       // observation does NOT borrow from its future
       input.addData(obs(3, 30, None), obs(4, 5, None), obs(5, 40, Some(7.0)))
       q.processAllAvailable()
+      // a late CLUSTER arriving together fills among itself even though the
+      // carried state (t=40) is newer than the whole cluster — and the
+      // cluster must not regress the cross-batch carry
+      input.addData(obs(6, 6, Some(2.0)), obs(7, 8, None))
+      q.processAllAvailable()
+      input.addData(obs(8, 50, None))
+      q.processAllAvailable()
       val out = spark.table("ff_out").as[EventStreams.FilledObs].collect()
         .map(f => f.event_id -> f.filled).toMap
       assert(out == Map(
         1L -> Some(1.0), 2L -> Some(1.0),  // batch 1: fill within batch
         3L -> Some(1.0),                   // batch 2: carried across batches
         4L -> None,                        // late event: no time-travel fill
-        5L -> Some(7.0)))
+        5L -> Some(7.0),
+        6L -> Some(2.0),                   // late cluster: own value
+        7L -> Some(2.0),                   // late cluster: fills from 6, not NULL
+        8L -> Some(7.0)))                  // state survived the late cluster
     } finally q.stop()
   }
 
