@@ -14,6 +14,7 @@ object Main {
     var inputDir: Option[String] = None
     var outputDir: Option[String] = None
     var traceDir: Option[String] = None
+    var traceLevel: String = "internal"
     var explain = false
     def value(i: Int, flag: String): String = {
       if (i + 1 >= args.length) {
@@ -27,6 +28,14 @@ object Main {
         case f @ "--input-dir" => inputDir = Some(value(i, f)); i += 2
         case f @ "--output-dir" => outputDir = Some(value(i, f)); i += 2
         case f @ "--trace-dir" => traceDir = Some(value(i, f)); i += 2
+        case f @ "--trace-level" => // statement | table_expression | internal
+          traceLevel = value(i, f)
+          if (!graft.dtl.Tracer.levelRank.contains(traceLevel)) {
+            System.err.println(s"dtl: unknown trace level '$traceLevel' " +
+              s"(expected one of ${graft.dtl.Tracer.levelRank.keys.toSeq.sorted.mkString(", ")})")
+            sys.exit(2)
+          }
+          i += 2
         case "--explain" => explain = true; i += 1
         case other => script = Some(other); i += 1
       }
@@ -60,7 +69,7 @@ object Main {
           .foreach { case (name, plan) => println(s"== $name ==\n$plan") }
       else
         new Engine(spark).run(source, new FilesystemImporter(spark, in),
-          new FilesystemExporter(out), traceDir.map(new FilesystemTracer(_)))
+          new FilesystemExporter(out), traceDir.map(new FilesystemTracer(_, traceLevel)))
     } catch {
       case e: graft.dtl.DtlError =>
         System.err.println(s"dtl: ${e.getMessage}")

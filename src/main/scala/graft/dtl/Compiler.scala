@@ -479,6 +479,10 @@ final class Compiler(
       // it (no match) — both sides' lineage becomes one-to-many, non-total
       rids = (rids ++ right.rids).map(_.copy(multiplied = true))
       aggLineages = (aggLineages ++ right.aggLineages).map(_.copy(multiplied = true))
+      // INTERNAL trace: snapshot the combined post-join scope (reference
+      // ast_to_ir.py:590 traces after each join clause at Level.INTERNAL)
+      for (f <- joinTrace)
+        f(jc, CTable(df, scopeSnapshotCols(scope), ordCols, rids, aggLineages))
     }
 
     // WHERE: boolean mask; null-predicate rows dropped (identical to pac.filter)
@@ -748,6 +752,34 @@ final class Compiler(
   private def traceNested(te: TableExpr, t: CTable): CTable = te match {
     case _: SelectExpr | _: SetOpExpr => nestedTrace.fold(t)(f => f(te, t))
     case _ => t
+  }
+
+  /** Hook set by the engine during a traced run at `level = "internal"`:
+    * snapshots the combined scope after EACH join clause inside a SELECT
+    * (reference ast_to_ir.py:590, Level.INTERNAL). Unlike statement and
+    * nested-table-expression traces, the statement's own lineage is NOT
+    * rebased onto these snapshots — join-step tables are additive detail
+    * (`<stmt>$join<k>` with their own src→internal mappings) and the
+    * statement chain keeps mapping straight from its sources.
+    */
+  var joinTrace: Option[(JoinClause, CTable) => Unit] = None
+
+  /** A post-join scope can carry duplicate visible names (left-wins
+    * shadowing keeps both sides' columns). Snapshots write parquet, which
+    * needs unique names: duplicates get namespace-qualified (`ns.name`),
+    * and any residual collision gets a positional suffix.
+    */
+  private def scopeSnapshotCols(scope: List[SCol]): List[SCol] = {
+    val dup = scope.groupBy(_.name).filter(_._2.sizeIs > 1).keySet
+    val qualified = scope.map { c =>
+      if (!dup(c.name)) c
+      else c.namespaces.flatten.toSeq.sorted.headOption
+        .fold(c)(ns => c.copy(name = s"$ns.${c.name}"))
+    }
+    val stillDup = qualified.groupBy(_.name).filter(_._2.sizeIs > 1).keySet
+    qualified.zipWithIndex.map { case (c, i) =>
+      if (stillDup(c.name)) c.copy(name = s"${c.name}#$i") else c
+    }
   }
 
   /** The reference's typed mapping classes (mappings.py:9-38), derived from

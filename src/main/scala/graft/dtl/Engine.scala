@@ -46,10 +46,19 @@ final class Engine(
       }
       for (tr <- tracer) {
         var exprIdx = 0
-        compiler.nestedTrace = Some { (te, t) =>
+        compiler.nestedTrace = if (!tr.levelEnabled("table_expression")) None else Some { (te, t) =>
           exprIdx += 1
           compiler.traceStatement(s"$stmtName$$$exprIdx", idx, t, tr, manifest,
             level = "table_expression", span = Some((Ast.startPos(te), te.endPos)))
+        }
+        // intra-SELECT join-step snapshots (`<name>$join<k>`, reference
+        // Level.INTERNAL, ast_to_ir.py:590): additive detail — the result is
+        // discarded so the statement's lineage still maps from its sources
+        var joinIdx = 0
+        compiler.joinTrace = if (!tr.levelEnabled("internal")) None else Some { (jc, t) =>
+          joinIdx += 1
+          compiler.traceStatement(s"$stmtName$$join$joinIdx", idx, t, tr, manifest,
+            level = "internal", span = Some((jc.pos, jc.table.source.endPos))): Unit
         }
       }
       stmt match {
@@ -73,6 +82,7 @@ final class Engine(
       }
     }
     compiler.nestedTrace = None
+    compiler.joinTrace = None
     for (tr <- tracer) {
       tr.writeManifest(manifest.toJson)
       // filesystem tracers have written everything durably — free the traced

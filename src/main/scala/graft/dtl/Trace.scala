@@ -35,9 +35,27 @@ trait Tracer {
     * tracers write eagerly and return false.
     */
   def retainsPlans: Boolean = false
+  /** Detail threshold — the reference's table-level filter knob
+    * (eval.py:289 `filter_tables` over ir.py:371-385 `Level`; the reference
+    * left the comparison a TODO, the intended semantics are implemented
+    * here). Coarse → fine: "statement" (incl. exports) < "table_expression"
+    * < "internal". Snapshots finer than the threshold are skipped BEFORE
+    * any compute or caching, not filtered after the fact.
+    */
+  def level: String = "internal"
+  final def levelEnabled(l: String): Boolean =
+    Tracer.levelRank.getOrElse(l, Int.MaxValue) <= Tracer.levelRank(level)
 }
 
-final class InMemoryTracer extends Tracer {
+object Tracer {
+  /** export/statement are the always-on coarse tier; nested table
+    * expressions and intra-SELECT join steps are progressively finer.
+    */
+  val levelRank: Map[String, Int] = Map(
+    "export" -> 0, "statement" -> 0, "table_expression" -> 1, "internal" -> 2)
+}
+
+final class InMemoryTracer(override val level: String = "internal") extends Tracer {
   val snapshots = mutable.LinkedHashMap.empty[String, DataFrame]
   val mappings = mutable.LinkedHashMap.empty[(String, String), DataFrame]
   var manifest: Option[String] = None
@@ -52,7 +70,8 @@ final class InMemoryTracer extends Tracer {
 /** Writes `<dir>/<name>.snapshot.parquet`, `<dir>/<src>__<tgt>.mapping.parquet`
   * and `<dir>/trace.json` (≙ reference io.py:105-123 filesystem tracer).
   */
-final class FilesystemTracer(dir: String) extends Tracer {
+final class FilesystemTracer(dir: String,
+    override val level: String = "internal") extends Tracer {
   new java.io.File(dir).mkdirs()
   def traceSnapshot(name: String, statementIndex: Int, df: DataFrame): Unit =
     df.write.mode("overwrite").parquet(s"$dir/$name.snapshot.parquet")

@@ -109,8 +109,10 @@ class TraceSpec extends AnyFunSuite {
       Some(tracer))
 
     // the inner SELECT ... JOIN snapshots as joined$1 at table_expression
-    // level (reference Level.TABLE_EXPRESSION, ir.py:371-385)
-    assert(tracer.snapshots.keySet == Set("a", "b", "joined$1", "joined", "out"))
+    // level (reference Level.TABLE_EXPRESSION, ir.py:371-385); its join
+    // clause additionally snapshots at internal level (ast_to_ir.py:590)
+    assert(tracer.snapshots.keySet ==
+      Set("a", "b", "joined$join1", "joined$1", "joined", "out"))
     assert(tracer.snapshots("joined$1").count() == 2) // keys 2 and 3 match
     assert(tracer.snapshots("joined").count() == 1) // n > 250 keeps key 3 only
     // lineage chains a/b → joined$1 → joined → out
@@ -131,6 +133,50 @@ class TraceSpec extends AnyFunSuite {
       "\"src\":\"a\",\"tgt\":\"joined$1\",\"kind\":\"one_to_many\",\"src_total\":false"))
     assert(manifest.contains(
       "\"src\":\"joined$1\",\"tgt\":\"joined\",\"kind\":\"identity\",\"src_total\":false"))
+  }
+
+  test("join-clause INTERNAL snapshots: one per join clause, level-filterable") {
+    def run(level: String): InMemoryTracer = {
+      val tracer = new InMemoryTracer(level)
+      new Engine(spark).runSimple(
+        """WITH a AS IMPORT 'input_a';
+          |WITH b AS IMPORT 'input_b';
+          |WITH c AS IMPORT 'input_c';
+          |WITH wide AS SELECT a.key AS k, b.w AS w, c.z AS z FROM a JOIN b ON a.key = b.key JOIN c ON a.key = c.key;
+          |EXPORT wide TO 'out';""".stripMargin,
+        Map(
+          "input_a" -> Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("key", "v"),
+          "input_b" -> Seq((2L, 200L), (3L, 300L)).toDF("key", "w"),
+          "input_c" -> Seq((3L, 7L), (9L, 9L)).toDF("key", "z")),
+        Some(tracer))
+      tracer
+    }
+    val full = run("internal")
+    // one INTERNAL snapshot after EACH join clause (reference
+    // ast_to_ir.py:590), named <stmt>$join<k>
+    assert(full.snapshots.keySet ==
+      Set("a", "b", "c", "wide$join1", "wide$join2", "wide", "out"))
+    assert(full.snapshots("wide$join1").count() == 2) // keys 2, 3 match b
+    assert(full.snapshots("wide$join2").count() == 1) // key 3 matches c too
+    // duplicate scope names are namespace-qualified in the snapshot
+    assert(full.snapshots("wide$join1").columns.toSeq ==
+      Seq("a.key", "v", "b.key", "w", "__rid"))
+    // join steps carry their own source→internal mappings...
+    assert(full.mappings(("a", "wide$join1")).count() == 2)
+    assert(full.mappings(("a", "wide$join2")).count() == 1)
+    assert(full.mappings(("c", "wide$join2")).count() == 1)
+    // ...while the statement chain still maps straight from its sources
+    // (join-step traces are additive, never rebased into the lineage)
+    assert(full.mappings(("a", "wide")).count() == 1)
+    assert(full.manifest.get.contains("\"level\":\"internal\""))
+
+    // the reference's filter_tables knob (eval.py:289): a coarser threshold
+    // skips the finer snapshots entirely
+    val te = run("table_expression")
+    assert(te.snapshots.keySet == Set("a", "b", "c", "wide", "out"))
+    assert(!te.manifest.get.contains("\"level\":\"internal\""))
+    val st = run("statement")
+    assert(st.snapshots.keySet == Set("a", "b", "c", "wide", "out"))
   }
 
   test("typed mappings: identity / many_to_one classification in the manifest") {
