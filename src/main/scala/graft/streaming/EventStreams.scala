@@ -156,6 +156,106 @@ object EventStreams {
       }
   }
 
+  final case class RCarry(ts: Long, value: Option[Double])
+  final case class ResampleState(nextTick: Long, tickCarry: Option[RCarry],
+      latest: Option[RCarry])
+  final case class ResampledTick(user_id: Long, tick: java.sql.Timestamp,
+      value: Option[Double])
+
+  /** UTC truncation of an epoch-millis instant to the start of its `unit`
+    * bucket — the arithmetic twin of `date_trunc` under the project-wide
+    * spark.sql.session.timeZone=UTC (weeks are Monday-anchored like Spark's:
+    * epoch day 0 is a Thursday, hence the +3 day-of-week offset).
+    */
+  private[streaming] def tickTrunc(unit: String, t: Long): Long = {
+    val day = 86400000L
+    unit match {
+      case "minute" => Math.floorDiv(t, 60000L) * 60000L
+      case "hour"   => Math.floorDiv(t, 3600000L) * 3600000L
+      case "day"    => Math.floorDiv(t, day) * day
+      case "week" =>
+        val d = Math.floorDiv(t, day)
+        (d - Math.floorMod(d + 3, 7)) * day
+    }
+  }
+
+  private[streaming] def tickStep(unit: String): Long = unit match {
+    case "minute" => 60000L
+    case "hour"   => 3600000L
+    case "day"    => 86400000L
+    case "week"   => 7 * 86400000L
+  }
+
+  /** Streaming resample (the streaming twin of
+    * [[graft.ops.TimeSeries.resample]]): per key, emit one row per `unit`
+    * tick from the first observation's bucket onward, each carrying the
+    * payload of the latest observation at-or-before the tick (boundary
+    * inclusive, like the batch as-of). A tick is emitted once a newer-bucket
+    * observation proves the series extends past it — strictly data-driven
+    * (no timers), which keeps processAllAvailable-based testing
+    * deterministic; the trailing open tick stays in state, exactly like the
+    * open session in [[sessionize]].
+    *
+    * State per key is one ResampleState — the pending tick plus two (ts,
+    * value) carries — so state is O(keys) and needs no watermark. Late-data
+    * semantics mirror [[fillForwardStream]]: an observation older than the
+    * emitted frontier never retro-changes emitted ticks (it may still
+    * sharpen the pending tick's carry when it falls at-or-before that
+    * boundary); output is therefore the batch result restricted to closed
+    * ticks, assuming per-key bucket-ordered arrival.
+    */
+  def resampleStream(obs: Dataset[Obs], unit: String = "hour"): Dataset[ResampledTick] = {
+    import obs.sparkSession.implicits._
+    val allowed = Set("minute", "hour", "day", "week")
+    val u = unit.toLowerCase
+    require(allowed(u), s"unit must be one of $allowed, got $unit")
+    val step = tickStep(u)
+    obs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ResampleState, ResampledTick](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Obs], state: GroupState[ResampleState]) =>
+          val sorted = batch.toSeq.sortBy(o => (o.ts.getTime, o.event_id))
+          var st = state.getOption
+          val out = List.newBuilder[ResampledTick]
+          for (o <- sorted) {
+            val t = o.ts.getTime
+            val tTick = tickTrunc(u, t)
+            st = Some(st match {
+              case None =>
+                // first observation fixes the grid origin (batch's t0); it
+                // reaches the first tick's carry only when exactly on the
+                // boundary (trunc(t) == t means t is at-or-before its tick)
+                val c = RCarry(t, o.value)
+                ResampleState(tTick, Some(c).filter(_ => t == tTick), Some(c))
+              case Some(s0) if tTick < s0.nextTick =>
+                // late observation behind the emitted frontier: never
+                // retro-emits, but may sharpen the pending tick's carry
+                val sharper = t <= s0.nextTick &&
+                  s0.tickCarry.forall(_.ts < t)
+                if (sharper) s0.copy(tickCarry = Some(RCarry(t, o.value))) else s0
+              case Some(s0) =>
+                var s = s0
+                // every tick strictly before this observation's bucket is
+                // now closed: emit it with its at-or-before carry. After an
+                // advance the newest-overall observation is at-or-before the
+                // new boundary by construction (its bucket was <= the old
+                // frontier), so it becomes the next tick's carry.
+                while (s.nextTick < tTick) {
+                  out += ResampledTick(userId,
+                    new java.sql.Timestamp(s.nextTick),
+                    s.tickCarry.flatMap(_.value))
+                  s = ResampleState(s.nextTick + step, s.latest, s.latest)
+                }
+                val c = RCarry(t, o.value) // sorted ⇒ ts only advances
+                ResampleState(s.nextTick,
+                  if (t <= s.nextTick) Some(c) else s.tickCarry, Some(c))
+            })
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Stream-static enrichment: join each event against a dimension table.
     * The static side re-plans per micro-batch (picking up dimension
     * updates) — the standard lookup-join shape; no state, no watermark

@@ -105,6 +105,62 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming resample emits exactly the batch operator's closed ticks") {
+    implicit val sqlCtx = spark.sqlContext
+    // UTC tick truncation must agree with date_trunc (weeks Monday-anchored)
+    val day = 86400000L
+    assert(EventStreams.tickTrunc("week", 7 * day + 123L) == 4 * day) // Thu→Mon
+    assert(EventStreams.tickTrunc("week", 4 * day) == 4 * day) // Monday fixpoint
+    assert(EventStreams.tickTrunc("day", -1L) == -day) // floor, not trunc-to-zero
+
+    val input = MemoryStream[EventStreams.Obs]
+    val q = EventStreams.resampleStream(input.toDS(), unit = "hour")
+      .writeStream.format("memory").queryName("resample_out")
+      .outputMode("append").start()
+    def obs(id: Long, user: Long, minute: Long, v: Option[Double]) =
+      EventStreams.Obs(id, new java.sql.Timestamp(minute * 60000L), user, v)
+    // user 1: mid-bucket start, a >1-bucket gap, a NULL obs, a boundary obs
+    // user 2: boundary start, a NULL obs carried into a pending tick
+    // user 3: a late obs that SHARPENS the pending tick's carry
+    val batch1 = Seq(
+      obs(1, 1, 9 * 60 + 59, Some(1.0)), obs(2, 1, 10 * 60 + 30, Some(2.0)),
+      obs(3, 1, 13 * 60 + 5, None),
+      obs(10, 2, 10 * 60, Some(5.0)), obs(11, 2, 11 * 60 + 45, None),
+      obs(12, 2, 12 * 60 + 10, Some(7.0)),
+      obs(20, 3, 10 * 60 + 10, Some(1.0)), obs(21, 3, 12 * 60 + 30, Some(3.0)))
+    val batch2 = Seq(
+      obs(4, 1, 14 * 60, Some(4.0)),
+      // late for user 2 — behind the frontier AND staler than the pending
+      // carry (11:45): must change nothing, streamed or batch
+      obs(13, 2, 11 * 60 + 40, Some(9.0)), obs(14, 2, 13 * 60 + 20, Some(8.0)),
+      // late for user 3 — behind the frontier but the newest at-or-before
+      // the pending 12:00 tick: must sharpen its carry to 2.0
+      obs(22, 3, 11 * 60 + 50, Some(2.0)), obs(23, 3, 13 * 60 + 10, Some(4.0)))
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("resample_out").as[EventStreams.ResampledTick]
+        .collect().map(t => (t.user_id, t.tick.getTime) -> t.value).toMap
+
+      // batch twin on the SAME rows; streamed = batch minus the still-open
+      // trailing tick of each key
+      val rows = (batch1 ++ batch2).toDS()
+        .select(col("user_id"), col("ts"), col("value"))
+      val batchAll = graft.ops.TimeSeries.resample(
+          rows, col("user_id"), col("ts"), Seq("value"), "hour")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime) ->
+          (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+      val lastTick = batchAll.keys.groupBy(_._1).map { case (u, ks) => u -> ks.map(_._2).max }
+      val batchClosed = batchAll.filter { case ((u, t), _) => t < lastTick(u) }
+
+      assert(streamed == batchClosed)
+      // pin the sharpened late-carry tick explicitly
+      assert(streamed((3L, 12 * 3600000L)) == Some(2.0))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins the dimension per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStreams.Event]
