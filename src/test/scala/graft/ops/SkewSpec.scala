@@ -25,4 +25,70 @@ class SkewSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("hot" -> 500L, "a" -> 1L, "b" -> 2L))
   }
+
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("minhash LSH candidate join under a 100x-hot band: AQE splits the skew, result exact") {
+    // 240 identical docs hash to the SAME (band, band_hash) in every band —
+    // the one genuinely irreducible hot key a near-dup corpus produces (the
+    // docs really are all pairwise duplicates). The fix at scale is AQE
+    // skew-join splitting, not salting: salting an equi-join key would
+    // change candidate generation. Thresholds here are shrunk so the
+    // planted hot partition qualifies at test size.
+    val hot = (0 until 240).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog again and again"))
+    val tail = (0 until 200).map(i =>
+      (1000L + i, (0 until 12).map(j => s"t$i-$j").mkString(" ")))
+    val corpus = (hot ++ tail).toDF("doc_id", "text")
+    withConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      // ONE band: the single hot bucket must land in one shuffle partition
+      // for partition-level skew to exist at all (with B bands the B hot
+      // keys spread across partitions and even out — the realistic shape is
+      // few hot buckets among many cold ones)
+      val pairs = graft.ops.Dedup.minhashLsh(
+        corpus, col("doc_id"), col("text"), numHashes = 16, bands = 1,
+        threshold = 0.8)
+      val rows = pairs.collect()
+      // every hot pair found exactly once, nothing from the tail
+      assert(rows.length == 240 * 239 / 2)
+      assert(rows.forall(r => r.getAs[Double]("jaccard") == 1.0))
+      assert(rows.forall(r => r.getAs[Long]("id_a") < 240 && r.getAs[Long]("id_b") < 240))
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE skew-join split did not engage on the hot band:\n${plan.take(4000)}")
+    }
+  }
+
+  test("substring posting join: the maxDocFreq stop-window guard bounds the hot window") {
+    // 50 docs share passage P (exactly at the cap: kept, quadratic-bounded);
+    // 100 docs share boilerplate passage Q (beyond the cap: dropped) — the
+    // guard IS the skew bound for posting-list pair generation: no window
+    // can contribute more than C(maxDocFreq, 2) pairs from one bucket.
+    val pDocs = (0 until 50).map(i =>
+      (i.toLong, s"p1 p2 p3 p4 p5 p6 p7 p8 own$i"))
+    val qDocs = (0 until 100).map(i =>
+      (100L + i, s"q1 q2 q3 q4 q5 q6 q7 q8 own${1000 + i}"))
+    val corpus = (pDocs ++ qDocs).toDF("doc_id", "text")
+    val pairs = graft.ops.Dedup.substringPairs(
+        corpus, col("doc_id"), col("text"), windowTokens = 8, maxDocFreq = 50)
+      .collect()
+    assert(pairs.length == 50 * 49 / 2)
+    assert(pairs.forall(r => r.getAs[Long]("id_a") < 50 && r.getAs[Long]("id_b") < 50))
+    assert(pairs.forall(_.getAs[Long]("n_windows") == 1L))
+  }
 }
