@@ -9,18 +9,26 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** REAL video-container header decode for ISO Base Media File Format
-  * (MP4/MOV/M4V — the `ftyp`/`moov` box family, ISO/IEC 14496-12) in pure
-  * JVM box-walking: no codec libraries, no frame decode, cost independent
-  * of clip length. Completes the modality set next to [[ImageMeta]] and
-  * [[AudioMeta]].
+/** REAL video-container header decode in pure JVM parsing — no codec
+  * libraries, no frame decode, cost independent of clip length. Covers the
+  * three container families a crawl pipeline actually sees, each from its
+  * public spec:
   *
-  * Extracted per video track (first `trak` whose `hdlr` handler is `vide`):
-  *  - width/height from `tkhd` (16.16 fixed point, integer part);
-  *  - frame count from `stbl/stts` (sum of sample counts; -1 if absent);
-  *  - format = lowercase `ftyp` major brand (isom/mp42/qt  /...), trimmed.
+  *  - ISO Base Media File Format (MP4/MOV/M4V — the `ftyp`/`moov` box
+  *    family, ISO/IEC 14496-12): width/height from the video `trak`'s
+  *    `tkhd` (16.16 fixed point), frame count from `stbl/stts` (sum of
+  *    sample counts; -1 if absent), format = lowercase `ftyp` major brand;
+  *  - AVI (RIFF, the Microsoft AVI spec): width/height/total frames from
+  *    the `hdrl` LIST's `avih` main header chunk (little-endian u32s),
+  *    format = "avi";
+  *  - Matroska/WebM (EBML, the public matroska.org spec): PixelWidth/
+  *    PixelHeight from the first video TrackEntry (TrackType 1), frame
+  *    count derived as Duration × TimestampScale / DefaultDuration when
+  *    all three are present (-1 otherwise — Matroska has no stored frame
+  *    count), format = the EBML DocType ("webm"/"matroska").
   *
-  * Returns NULL for anything that is not a parseable BMFF container — the
+  * Completes the modality set next to [[ImageMeta]] and [[AudioMeta]].
+  * Returns NULL for anything that is not a parseable container — the
   * caller decides the fallback (see `Multimodal.decode`).
   */
 object VideoMeta {
@@ -68,10 +76,186 @@ object VideoMeta {
     }
   }
 
-  /** (width, height, n_frames, brand) or null when not a BMFF container. */
+  private def leU32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  private def clampFrames(n: Long): Int =
+    (if (n >= 0 && n <= Int.MaxValue) n else -1L).toInt
+
+  /** AVI: RIFF('AVI ') → LIST('hdrl') → 'avih' main header. Chunk sizes are
+    * little-endian and chunks pad to even offsets (RIFF rules).
+    */
+  private def decodeAvi(bytes: Array[Byte]): InternalRow = {
+    var width = -1; var height = -1; var frames = -1L
+    var off = 12
+    var done = false
+    while (!done && off + 8 <= bytes.length) {
+      val cc = fourcc(bytes, off)
+      val size = leU32(bytes, off + 4)
+      if (size < 0 || off + 8 + size > bytes.length) done = true
+      else {
+        if (cc == "LIST" && size >= 4 && fourcc(bytes, off + 8) == "hdrl") {
+          var o2 = off + 12
+          val e2 = off + 8 + size.toInt
+          while (o2 + 8 <= e2) {
+            val sub = fourcc(bytes, o2)
+            val sz = leU32(bytes, o2 + 4).toInt
+            if (sz < 0 || o2 + 8 + sz > e2) o2 = e2
+            else {
+              if (sub == "avih" && sz >= 40) {
+                frames = leU32(bytes, o2 + 8 + 16) // dwTotalFrames
+                width = leU32(bytes, o2 + 8 + 32).toInt // dwWidth
+                height = leU32(bytes, o2 + 8 + 36).toInt // dwHeight
+              }
+              o2 += 8 + sz + (sz & 1)
+            }
+          }
+          done = true // hdrl is mandatory-first; no need to walk movi/idx1
+        }
+        off += 8 + size.toInt + (size.toInt & 1)
+      }
+    }
+    if (width > 0 && height > 0)
+      InternalRow(width, height, clampFrames(frames), UTF8String.fromString("avi"))
+    else null
+  }
+
+  // ---- Matroska/WebM (EBML) ----
+
+  /** Length of a VINT from its first byte (1..8), or -1 when invalid. */
+  private def vintLen(b0: Int): Int =
+    if (b0 == 0) -1 else java.lang.Integer.numberOfLeadingZeros(b0) - 23
+
+  /** Element id, raw with marker bits (how Matroska ids are written). */
+  private def readMkvId(b: Array[Byte], off: Int, end: Int): (Long, Int) = {
+    val n = vintLen(b(off) & 0xff)
+    if (n < 1 || n > 4 || off + n > end) return (-1L, off)
+    var v = 0L
+    var i = 0
+    while (i < n) { v = (v << 8) | (b(off + i) & 0xffL); i += 1 }
+    (v, off + n)
+  }
+
+  /** Element size with the marker bit stripped; -1 = unknown size (all
+    * value bits set — the element extends to its parent's end, common for
+    * the Segment of streamed/live-muxed files).
+    */
+  private def readMkvSize(b: Array[Byte], off: Int, end: Int): (Long, Int) = {
+    val b0 = b(off) & 0xff
+    val n = vintLen(b0)
+    if (n < 1 || n > 8 || off + n > end) return (Long.MinValue, off)
+    var v = (b0 & (0xff >>> n)).toLong
+    var allOnes = (b0 & (0xff >>> n)) == (0xff >>> n)
+    var i = 1
+    while (i < n) {
+      v = (v << 8) | (b(off + i) & 0xffL)
+      allOnes &&= (b(off + i) & 0xff) == 0xff
+      i += 1
+    }
+    (if (allOnes) -1L else v, off + n)
+  }
+
+  private def mkvUint(b: Array[Byte], s: Int, e: Int): Long = {
+    var v = 0L
+    var i = s
+    while (i < e && i - s < 8) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+    v
+  }
+
+  /** Iterate EBML children of [start, end); f(id, payloadStart, payloadEnd).
+    * Malformed elements stop the walk; unknown-size elements extend to end.
+    */
+  private def mkvWalk(b: Array[Byte], start: Int, end: Int)(
+      f: (Long, Int, Int) => Unit): Unit = {
+    var off = start
+    while (off < end) {
+      val (id, afterId) = readMkvId(b, off, end)
+      if (id < 0) return
+      val (size, p) = readMkvSize(b, afterId, end)
+      if (size == Long.MinValue) return
+      val pEnd = if (size == -1L) end else p + size
+      if (pEnd < p || pEnd > end) return
+      f(id, p.toInt, pEnd.toInt)
+      off = pEnd.toInt
+    }
+  }
+
+  private def decodeMkv(bytes: Array[Byte]): InternalRow = {
+    var docType = "matroska"
+    var tsScale = 1000000L // nanoseconds per timestamp unit (spec default)
+    var duration = -1.0 // in timestamp units
+    var defaultDurNs = -1L // nanoseconds per frame of the video track
+    var width = -1; var height = -1
+    var haveVideo = false
+    mkvWalk(bytes, 0, bytes.length) {
+      case (0x1A45DFA3L, s, e) => // EBML header
+        mkvWalk(bytes, s, e) {
+          case (0x4282L, ds, de) => // DocType
+            docType = new String(bytes, ds, de - ds,
+              java.nio.charset.StandardCharsets.ISO_8859_1).trim.toLowerCase
+          case _ =>
+        }
+      case (0x18538067L, s, e) => // Segment
+        mkvWalk(bytes, s, e) {
+          case (0x1549A966L, is, ie) => // Info
+            mkvWalk(bytes, is, ie) {
+              case (0x2AD7B1L, ds, de) => tsScale = mkvUint(bytes, ds, de)
+              case (0x4489L, ds, de) => // Duration (float32 or float64)
+                if (de - ds == 4)
+                  duration = java.lang.Float.intBitsToFloat(u32(bytes, ds).toInt).toDouble
+                else if (de - ds == 8)
+                  duration = java.lang.Double.longBitsToDouble(
+                    (u32(bytes, ds) << 32) | u32(bytes, ds + 4))
+              case _ =>
+            }
+          case (0x1654AE6BL, ts, te) => // Tracks
+            mkvWalk(bytes, ts, te) {
+              case (0xAEL, es, ee) if !haveVideo => // TrackEntry
+                var trackType = -1L; var w = -1; var h = -1; var dd = -1L
+                mkvWalk(bytes, es, ee) {
+                  case (0x83L, ds, de) => trackType = mkvUint(bytes, ds, de)
+                  case (0x23E383L, ds, de) => dd = mkvUint(bytes, ds, de)
+                  case (0xE0L, vs, ve) => // Video settings
+                    mkvWalk(bytes, vs, ve) {
+                      case (0xB0L, ds, de) => w = mkvUint(bytes, ds, de).toInt
+                      case (0xBAL, ds, de) => h = mkvUint(bytes, ds, de).toInt
+                      case _ =>
+                    }
+                  case _ =>
+                }
+                if (trackType == 1L && w > 0 && h > 0) {
+                  haveVideo = true; width = w; height = h; defaultDurNs = dd
+                }
+              case _ =>
+            }
+          case _ =>
+        }
+      case _ =>
+    }
+    if (!haveVideo) null
+    else {
+      val frames =
+        if (duration > 0 && tsScale > 0 && defaultDurNs > 0)
+          Math.round(duration * tsScale / defaultDurNs)
+        else -1L
+      InternalRow(width, height, clampFrames(frames),
+        UTF8String.fromString(docType))
+    }
+  }
+
+  /** (width, height, n_frames, format) or null when not a parseable
+    * BMFF/AVI/Matroska container.
+    */
   def decode(bytes: Array[Byte]): InternalRow = {
     if (bytes == null || bytes.length < 16) return null
     try {
+      if (fourcc(bytes, 0) == "RIFF" && fourcc(bytes, 8) == "AVI ")
+        return decodeAvi(bytes)
+      if (u32(bytes, 0) == 0x1A45DFA3L) return decodeMkv(bytes)
       // a BMFF file opens with a box whose type is well-known (ftyp for
       // mp4/mov; a bare moov/mdat/free also occurs); cheap reject otherwise
       val first = boxType(bytes, 0)

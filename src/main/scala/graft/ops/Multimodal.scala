@@ -16,9 +16,10 @@ import org.apache.spark.sql.types._
   * `javax.sound.sampled`, [[graft.functions.AudioMeta]]) AND for mp3/Ogg —
   * the MPEG frame header and Vorbis/Opus identification headers are public
   * bit layouts parsed directly, no codec needed. VIDEO container decode is
-  * REAL for the ISO-BMFF family (MP4/MOV box walk,
-  * [[graft.functions.VideoMeta]] — width/height/frame count, no codec
-  * needed). Non-BMFF video metadata and genuinely unrecognizable bytes
+  * REAL for the ISO-BMFF family (MP4/MOV box walk), AVI (RIFF `avih` main
+  * header) and Matroska/WebM (EBML walk) —
+  * [[graft.functions.VideoMeta]], width/height/frame count, no codec
+  * needed. Only genuinely unrecognizable bytes
   * remain STUBBED:
   * [[fakeDecode]]/[[fakeAudioDecode]] derive deterministic pseudo-metadata
   * from an md5 of the bytes — md5 (not a Spark-internal hash) so any engine
@@ -68,9 +69,9 @@ object Multimodal {
 
   /** Decode dispatch: image mimes get the REAL header decode (JDK
     * `javax.imageio`; n_frames = 1 for stills), video mimes the REAL
-    * ISO-BMFF box parse (MP4/MOV width/height/frame-count,
-    * [[graft.functions.VideoMeta]]); undecodable bytes and every other mime
-    * fall back to the deterministic stub.
+    * container parse (MP4/MOV box walk, AVI RIFF header, Matroska/WebM
+    * EBML walk — [[graft.functions.VideoMeta]]); undecodable bytes and
+    * every other mime fall back to the deterministic stub.
     */
   def decode(media: Column): Column = {
     val img = graft.functions.ImageMeta.imageMeta(media.getField("bytes"))

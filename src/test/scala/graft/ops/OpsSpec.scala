@@ -739,6 +739,76 @@ class OpsSpec extends AnyFunSuite {
     assert(out(1).getStruct(1).getString(3) == "video")
   }
 
+  test("real video decode parses AVI RIFF and Matroska/WebM EBML headers") {
+    // hand-assembled AVI: RIFF('AVI ') → LIST('hdrl') → avih with
+    // 640x480, 120 total frames (little-endian per the RIFF spec)
+    def le32(vs: Int*): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(4 * vs.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(b.putInt); b.array()
+    }
+    def chunk(cc: String, payload: Array[Byte]): Array[Byte] =
+      cc.getBytes("ISO-8859-1") ++ le32(payload.length) ++ payload ++
+        (if (payload.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    val avih = chunk("avih", le32(
+      33333, 0, 0, 0, /*dwTotalFrames*/ 120, 0, 1, 0,
+      /*dwWidth*/ 640, /*dwHeight*/ 480, 0, 0, 0, 0))
+    val hdrl = chunk("LIST", "hdrl".getBytes("ISO-8859-1") ++ avih)
+    val aviBody = "AVI ".getBytes("ISO-8859-1") ++ hdrl
+    val avi = "RIFF".getBytes("ISO-8859-1") ++ le32(aviBody.length) ++ aviBody
+
+    // hand-assembled WebM: EBML(DocType=webm) + Segment(Info(TimestampScale
+    // default-omitted, Duration 2000ms) + Tracks(video TrackEntry 1280x720,
+    // DefaultDuration 40ms)) → 2000ms/40ms = 50 frames
+    def el(id: Long, payload: Array[Byte]): Array[Byte] = {
+      require(payload.length < 127)
+      val idBytes = BigInt(id).toByteArray.dropWhile(_ == 0)
+      idBytes ++ Array((0x80 | payload.length).toByte) ++ payload
+    }
+    def uint(id: Long, v: Long, n: Int): Array[Byte] =
+      el(id, (n - 1 to 0 by -1).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray)
+    val ebml = el(0x1A45DFA3L, el(0x4282L, "webm".getBytes("ISO-8859-1")))
+    val durBits = java.lang.Float.floatToIntBits(2000.0f)
+    val info = el(0x1549A966L, el(0x4489L,
+      (3 to 0 by -1).map(i => ((durBits >> (8 * i)) & 0xff).toByte).toArray))
+    val video = el(0xE0L, uint(0xB0L, 1280, 2) ++ uint(0xBAL, 720, 2))
+    val trackEntry = el(0xAEL,
+      uint(0x83L, 1, 1) ++ uint(0x23E383L, 40000000L, 4) ++ video)
+    val tracks = el(0x1654AE6BL, trackEntry)
+    val webm = ebml ++ el(0x18538067L, info ++ tracks)
+
+    // same WebM but with an UNKNOWN-size Segment (streamed-file shape) and
+    // no Duration → dims parse, n_frames -1
+    val segBody = tracks
+    val webmUnknown = ebml ++
+      (BigInt(0x18538067L).toByteArray.dropWhile(_ == 0) ++
+        Array(0xff.toByte) ++ segBody)
+
+    // audio-only matroska → no video track → stub fallback
+    val audioTrack = el(0x1654AE6BL, el(0xAEL, uint(0x83L, 2, 1)))
+    val mkvAudio = el(0x1A45DFA3L,
+        el(0x4282L, "matroska".getBytes("ISO-8859-1"))) ++
+      el(0x18538067L, audioTrack)
+
+    val df = Seq(
+      (1L, avi, "video/avi"),
+      (2L, webm, "video/webm"),
+      (3L, webmUnknown, "video/webm"),
+      (4L, mkvAudio, "video/x-matroska")
+    ).toDF("id", "content", "mime")
+    val out = df.select(col("id"),
+        Multimodal.decode(Multimodal.asMedia(col("content"), col("mime"))).as("d"))
+      .orderBy("id").collect()
+    def f(i: Int) = {
+      val d = out(i).getStruct(1)
+      (d.getInt(0), d.getInt(1), d.getInt(2), d.getString(3))
+    }
+    assert(f(0) == (640, 480, 120, "avi"))
+    assert(f(1) == (1280, 720, 50, "webm"))
+    assert(f(2) == (1280, 720, -1, "webm"))
+    assert(f(3)._4 == "video") // stub: format = first 5 mime chars
+  }
+
   test("real image decode reads PNG/JPEG headers via javax.imageio") {
     // a real 1x1 PNG, bytes checked in as a literal (no image libs needed
     // to decode: ImageIO ships with the JDK)
