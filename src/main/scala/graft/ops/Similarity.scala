@@ -263,9 +263,15 @@ object Similarity {
     val v = vec.cast("array<double>")
     // the m trainings are independent; run them concurrently so their
     // per-iteration checkpoint jobs overlap in the scheduler (each training
-    // is deterministic on its own, so parallelism changes nothing but time)
+    // is deterministic on its own, so parallelism changes nothing but time).
+    // The pool is bounded at 16 driver threads no matter how many subspaces
+    // are requested — beyond that trainings queue rather than oversubscribe
+    // the driver; each future is a finite chain of Spark jobs, so awaiting
+    // completion (not a wall-clock timeout that would kill a legitimately
+    // long 100 TB training) is the graceful contract, and a failed job
+    // rethrows through Await immediately.
     import scala.concurrent.{Await, ExecutionContext, Future}
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(m)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(m, 16))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try Await.result(
       Future.sequence((0 until m).toList.map(j => Future {
