@@ -237,6 +237,86 @@ object Curation {
       .drop(f("__win_g")).drop(f("__win_f"))
   }
 
+  /** Mixture sampling to a token budget — the pretraining data mixer: given
+    * per-domain target weights (fractions of `budget` tokens), keep, per
+    * domain, the maximal PREFIX of documents in deterministic hash order
+    * whose running token total stays within `floor(weight × budget)`.
+    * Exactly the rows `sum(tokens) OVER (PARTITION BY domain ORDER BY
+    * hash_uniform(id), id) <= domain_budget` keeps — but computed without
+    * ever sorting a whole domain in one task.
+    *
+    * Two-phase cut, so the sequential cumsum never touches a full domain:
+    * (1) one tiny aggregate buckets the hash space (`nBuckets` buckets) and
+    * collects per-(domain, bucket) token sums — bounded driver metadata
+    * (≤ #domains × nBuckets rows, like the IVF probe ids); the driver
+    * cumsums bucket totals to find each domain's boundary bucket and its
+    * residual budget. (2) docs in buckets before the boundary are kept
+    * row-locally; only the boundary bucket's ~1/nBuckets slice of each
+    * domain pays the exact windowed cumsum. Identical output to the global
+    * window at any scale, ~nBuckets× less sorted data.
+    *
+    * Determinism contract (same as [[Dedup.dedupAgainstBloom]]): the input
+    * is scanned twice (histogram, then selection), so a nondeterministic
+    * source can overshoot its budget — read from storage or checkpoint
+    * first. Rows with NULL domain/tokens, negative tokens, or a domain
+    * absent from `weights` are dropped. Weights need not sum to 1 —
+    * each domain's budget stands alone.
+    */
+  def mixtureByBudget(df: DataFrame, id: Column, tokens: Column,
+      domain: Column, weights: Map[String, Double], budget: Long,
+      nBuckets: Int = 4096): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(nBuckets > 0 && 4294967296L % nBuckets == 0,
+      s"nBuckets must be a power of two dividing 2^32, got $nBuckets")
+    weights.values.foreach(w =>
+      require(w >= 0 && w <= 1, s"weights must be in [0,1], got $w"))
+    val width = 4294967296L / nBuckets
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val outCols = df.columns.map(col).toSeq
+    val base = df
+      .filter(domain.isNotNull && tokens.isNotNull && tokens >= 0)
+      .filter(domain.isin(weights.keys.toSeq: _*))
+      .withColumn("__mx_d", domain.cast("string"))
+      .withColumn("__mx_h", hashUniform(id))
+      .withColumn("__mx_b", (col("__mx_h") / width).cast("int"))
+
+    // phase 1: per-(domain, bucket) token sums → driver-side boundary cut
+    val hist = base.groupBy(col("__mx_d"), col("__mx_b"))
+      .agg(sum(tokens.cast("long")).as("__t"))
+      .collect()
+    val cuts: Seq[(String, Int, Long)] = hist
+      .groupBy(_.getString(0)).toSeq.map { case (d, rows) =>
+        val dBudget = math.floor(weights(d) * budget).toLong
+        val sorted = rows.map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
+        var cum = 0L
+        var boundary = Int.MaxValue // every bucket fits entirely
+        var residual = 0L
+        var i = 0
+        while (i < sorted.length && boundary == Int.MaxValue) {
+          val (b, t) = sorted(i)
+          if (cum + t > dBudget) { boundary = b; residual = dBudget - cum }
+          else cum += t
+          i += 1
+        }
+        (d, boundary, residual)
+      }
+
+    // phase 2: full buckets keep row-locally; ONLY the boundary slice pays
+    // the exact windowed cumsum (ties impossible: id orders within equal h)
+    val ctrl = broadcast(cuts.toDF("__mx_d2", "__mx_cut", "__mx_res"))
+    val joined = base.join(ctrl, col("__mx_d") === col("__mx_d2"))
+    val fullKeep = joined.filter(col("__mx_b") < col("__mx_cut"))
+    val w = Window.partitionBy(col("__mx_d")).orderBy(col("__mx_h"), id)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundaryKeep = joined.filter(col("__mx_b") === col("__mx_cut"))
+      .withColumn("__mx_cum", sum(tokens.cast("long")).over(w))
+      .filter(col("__mx_cum") <= col("__mx_res"))
+      .drop("__mx_cum")
+    fullKeep.unionByName(boundaryKeep).select(outCols: _*)
+  }
+
   /** Deterministic shard assignment + position: `shard = hash(key) mod n`,
     * `position` = rank of the key's hash within its shard. The hash ordering
     * is a reproducible global shuffle — the standard way to randomize

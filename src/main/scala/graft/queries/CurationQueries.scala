@@ -97,6 +97,16 @@ object CurationQueries {
         TextAnalysis.tokenCount(col("text")), col("source"), budget = 256L)
         .withColumnRenamed("id", "doc_id")),
 
+    // mixture sampling: per-source token budgets (50/30/20% of 6000 chars),
+    // deterministic hash-order prefixes — the pretraining data mixer
+    "pipe_mixture" -> ((s, d) =>
+      Curation.mixtureByBudget(
+        t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+        col("doc_id"), col("n_chars"), col("source"),
+        weights = Map("src1" -> 0.5, "src2" -> 0.3, "src3" -> 0.2),
+        budget = 6000L)
+        .select("doc_id", "source", "n_chars")),
+
     // deterministic shard assignment + within-shard position
     "pipe_shard_assign" -> ((s, d) =>
       Curation.shardAssign(t(s, d, "documents"), col("doc_id"), nShards = 8)
@@ -225,6 +235,20 @@ object CurationQueries {
         |         CASE WHEN p.cum = 0 OR p.cum + d.t <= 256 THEN p.cum + d.t ELSE d.t END
         |  FROM d JOIN packed p ON d.shard = p.shard AND d.rn = p.rn + 1)
         |SELECT shard, doc_id, bin, CAST(cum - t AS BIGINT) AS offset FROM packed""".stripMargin,
+    // the prefix-by-running-total formulation the two-phase bucketed cut
+    // must agree with exactly (domain budgets = floor(weight*6000))
+    "pipe_mixture" ->
+      s"""WITH h AS (SELECT doc_id, source, n_chars, $duckHash AS hv
+         |           FROM documents
+         |           WHERE source IN ('src1','src2','src3')
+         |             AND n_chars IS NOT NULL AND n_chars >= 0),
+         | c AS (SELECT *, SUM(n_chars) OVER (PARTITION BY source
+         |         ORDER BY hv, doc_id
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |       FROM h)
+         |SELECT doc_id, source, n_chars FROM c
+         |WHERE cum <= CASE source WHEN 'src1' THEN 3000
+         |                         WHEN 'src2' THEN 1800 ELSE 1200 END""".stripMargin,
     "pipe_shard_assign" ->
       s"""WITH h AS (SELECT doc_id, $duckHash AS hv FROM documents)
          |SELECT doc_id, CAST(hv % 8 AS INTEGER) AS shard,

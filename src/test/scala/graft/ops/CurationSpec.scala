@@ -150,6 +150,44 @@ class CurationSpec extends AnyFunSuite {
     assert(out(4) == 5.0) // interior values untouched
   }
 
+  test("mixtureByBudget equals the global-window prefix cut at every bucket count") {
+    // 300 docs over 3 domains with varied token sizes; weight-0 and unlisted
+    // domains must vanish; budgets cut mid-domain
+    val df = (0L until 300L).map(i =>
+        (i, s"d${i % 4}", (i * 37 % 90) + 10)) // tokens 10..99
+      .toDF("id", "dom", "toks")
+    val weights = Map("d0" -> 0.5, "d1" -> 0.3, "d2" -> 0.0)
+    val budget = 4000L
+    // reference: the one-window formulation the operator optimizes
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("dom")
+      .orderBy(Curation.hashUniform(col("id")), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val domBudget = when(col("dom") === "d0", math.floor(0.5 * budget).toLong)
+      .when(col("dom") === "d1", math.floor(0.3 * budget).toLong)
+      .otherwise(0L)
+    val expected = df.filter(col("dom").isin("d0", "d1", "d2"))
+      .withColumn("__cum", sum(col("toks")).over(w))
+      .filter(col("__cum") <= domBudget)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(expected.nonEmpty)
+    // the bucketed cut must agree whether the boundary bucket is almost
+    // everything (few buckets) or almost nothing (many buckets)
+    for (nBuckets <- Seq(2, 64, 4096)) {
+      val got = Curation.mixtureByBudget(df, col("id"), col("toks"),
+          col("dom"), weights, budget, nBuckets)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got == expected, s"nBuckets=$nBuckets")
+    }
+    // budgets are hard ceilings per domain
+    val kept = Curation.mixtureByBudget(df, col("id"), col("toks"),
+        col("dom"), weights, budget)
+      .groupBy("dom").agg(sum("toks").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.getOrElse("d0", 0L) <= 2000L && kept.getOrElse("d1", 0L) <= 1200L)
+    assert(!kept.contains("d2") && !kept.contains("d3"))
+  }
+
   test("shardAssign is deterministic, in-range, with dense positions") {
     val df = (0L until 1000L).toDF("id")
     val out = Curation.shardAssign(df, col("id"), nShards = 8)
