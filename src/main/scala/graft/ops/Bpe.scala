@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** Byte-pair-encoding tokenizer (Sennrich et al. 2016, "Neural Machine
+  * Translation of Rare Words with Subword Units" — the GPT-2/LLaMA subword
+  * scheme), split the way a 100 TB corpus demands:
+  *
+  *  - the ONLY corpus-sized work is a word-frequency count (one hash
+  *    shuffle + partial aggregation), because BPE training never needs the
+  *    corpus — it needs the word→frequency dictionary, which is what every
+  *    production trainer (sentencepiece, HF tokenizers) iterates on;
+  *  - the dictionary is capped at `maxWords` top-frequency entries
+  *    (TakeOrdered, bounded driver metadata like the PQ codebooks) and the
+  *    merge loop runs driver-side with incremental pair-count maintenance;
+  *  - encoding is row-local: the learned merge ranks broadcast inside a
+  *    native expression ([[graft.functions.BpeEncodeExpr]]) and each row
+  *    pays one greedy lowest-rank-first merge pass — no shuffle, no UDF.
+  *
+  * Tokenization contract matches [[TextAnalysis]]/the oracles: whitespace
+  * pre-tokenization of space-trimmed (optionally lowercased) text; merges
+  * are word-internal (no end-of-word marker), so concatenating a word's
+  * tokens reproduces the word exactly (asserted in BpeSpec).
+  */
+object Bpe {
+
+  /** Learn `nMerges` merge rules from a text column. Two Spark jobs (word
+    * count + top-`maxWords`), then a driver loop over the compact
+    * dictionary. Deterministic: ties in pair frequency break
+    * lexicographically, the dictionary cut breaks (freq desc, word asc).
+    */
+  def train(df: DataFrame, text: Column, nMerges: Int,
+      maxWords: Int = 50000, lowercase: Boolean = true): Seq[(String, String)] = {
+    require(nMerges > 0 && maxWords > 0,
+      s"need nMerges > 0, maxWords > 0; got $nMerges, $maxWords")
+    val t = if (lowercase) lower(text) else text
+    val wordFreq = df
+      .select(explode(split(trim(t), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w").asc)
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    trainFromCounts(wordFreq, nMerges)
+  }
+
+  /** Classic BPE merge loop over a (word, frequency) dictionary with
+    * incremental pair-count updates: each merge touches only the words that
+    * contain the merged pair (tracked in an inverted index), so the loop is
+    * O(affected symbols) per merge, not O(dictionary). Stops early when no
+    * adjacent pair occurs twice.
+    */
+  def trainFromCounts(wordFreq: Seq[(String, Long)], nMerges: Int): Seq[(String, String)] = {
+    val words: Array[Array[String]] =
+      wordFreq.map(_._1.map(_.toString).toArray).toArray
+    val freqs: Array[Long] = wordFreq.map(_._2).toArray
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val index = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+
+    def addPairs(i: Int, sign: Long): Unit = {
+      val w = words(i)
+      var j = 0
+      while (j + 1 < w.length) {
+        val p = (w(j), w(j + 1))
+        val c = counts.getOrElse(p, 0L) + sign * freqs(i)
+        if (c == 0L) counts.remove(p) else counts(p) = c
+        if (sign > 0) index.getOrElseUpdate(p, mutable.Set.empty) += i
+        else index.get(p).foreach { s => s -= i; if (s.isEmpty) index.remove(p) }
+        j += 1
+      }
+    }
+    words.indices.foreach(addPairs(_, 1L))
+
+    def mergeWord(w: Array[String], a: String, b: String, merged: String): Array[String] = {
+      val out = mutable.ArrayBuffer.empty[String]
+      var j = 0
+      while (j < w.length) {
+        if (j + 1 < w.length && w(j) == a && w(j + 1) == b) {
+          out += merged; j += 2 // left-first, non-overlapping
+        } else { out += w(j); j += 1 }
+      }
+      out.toArray
+    }
+
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (merges.length < nMerges && !done) {
+      // max count, ties lexicographic — a full scan of the pair table per
+      // merge; the table is bounded by total dictionary symbols, and a heap
+      // would not survive the arbitrary decrements
+      var best: (String, String) = null
+      var bestC = 1L // require count >= 2: merging a once-seen pair is noise
+      for ((p, c) <- counts)
+        if (c > bestC || (c == bestC && best != null &&
+            (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+          best = p; bestC = c
+        }
+      if (best == null) done = true
+      else {
+        merges += best
+        val affected = index.getOrElse(best, mutable.Set.empty).toArray
+        val token = best._1 + best._2
+        for (i <- affected) {
+          addPairs(i, -1L)
+          words(i) = mergeWord(words(i), best._1, best._2, token)
+          addPairs(i, 1L)
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Encode text into BPE tokens (array<string>): whitespace pre-tokenize,
+    * then per word greedily merge the lowest-rank adjacent pair until none
+    * remains — the standard encode algorithm, guaranteed consistent with
+    * training order. Row-local native expression; `lowercase` must match
+    * training.
+    */
+  def encode(text: Column, merges: Seq[(String, String)],
+      lowercase: Boolean = true): Column =
+    graft.functions.BpeEncode.encode(
+      if (lowercase) lower(text) else text, merges)
+
+  /** Subword token count under a trained merge table. */
+  def tokenCount(text: Column, merges: Seq[(String, String)],
+      lowercase: Boolean = true): Column =
+    size(encode(text, merges, lowercase))
+}

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class BpeSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  // hand-computed dictionary (Sennrich-style worked example, no end marker):
+  //   low:5  lower:2  newest:6  widest:3
+  // pair totals: (e,s)=9 (s,t)=9 (w,e)=8 (l,o)=7 (o,w)=7 (n,e)=6 (e,w)=6
+  //              (w,i)=3 (i,d)=3 (d,e)=3 (e,r)=2
+  // round 1: 9-tie (e,s)<(s,t) lexicographically → es
+  // round 2: (es,t)=9 → est
+  // round 3: 7-tie (l,o)<(o,w) → lo   round 4: (lo,w)=7 → low
+  private val dict = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+
+  test("trainFromCounts replays the worked example with deterministic ties") {
+    val merges = Bpe.trainFromCounts(dict, nMerges = 4)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+  }
+
+  test("training stops early when no pair repeats") {
+    // all-distinct characters: every pair occurs once — nothing to merge
+    assert(Bpe.trainFromCounts(Seq(("abcd", 1L)), nMerges = 10).isEmpty)
+    // one repeating pair, then exhaustion
+    val m = Bpe.trainFromCounts(Seq(("abab", 3L)), nMerges = 10)
+    assert(m.head == ("a", "b"))
+  }
+
+  test("encode segments by lowest rank first and matches the hand trace") {
+    val merges = Bpe.trainFromCounts(dict, nMerges = 4)
+    val out = Seq("newest lowest", "LOW wider", "")
+      .toDF("text")
+      .select(Bpe.encode(col("text"), merges).as("toks"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(out(0) == List("n", "e", "w", "est", "low", "est"))
+    // lowercase-at-encode matches lowercase training; unseen words fall
+    // back toward characters, known prefixes still merge
+    assert(out(1) == List("low", "w", "i", "d", "e", "r"))
+    assert(out(2) == Nil)
+  }
+
+  test("token concatenation reproduces every word on real documents") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val merges = Bpe.train(docs, col("text"), nMerges = 200, maxWords = 5000)
+    // the sf0.001 vocabulary exhausts its repeating pairs well before 200 —
+    // early stop is the contract, not a shortfall
+    assert(merges.nonEmpty && merges.length <= 200)
+    assert(merges.distinct.length == merges.length) // no merge repeats
+    val mismatched = docs.select(
+        array_join(Bpe.encode(col("text"), merges), "").as("a"),
+        array_join(split(trim(lower(col("text"))), "\\s+"), "").as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(mismatched == 0)
+    // merges compress: subword count strictly below character count,
+    // at or above whitespace word count
+    val counts = docs.filter(length(trim(col("text"))) > 0).select(
+        sum(Bpe.tokenCount(col("text"), merges)).as("bpe"),
+        sum(size(split(trim(col("text")), "\\s+"))).as("words"),
+        sum(length(regexp_replace(col("text"), "\\s", ""))).as("chars"))
+      .collect().head
+    assert(counts.getLong(0) < counts.getLong(2))
+    assert(counts.getLong(0) >= counts.getLong(1))
+  }
+
+  test("distributed train is deterministic across runs") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val m1 = Bpe.train(docs, col("text"), nMerges = 50, maxWords = 1000)
+    val m2 = Bpe.train(docs, col("text"), nMerges = 50, maxWords = 1000)
+    assert(m1 == m2)
+  }
+}
