@@ -128,4 +128,20 @@ object Bpe {
   def tokenCount(text: Column, merges: Seq[(String, String)],
       lowercase: Boolean = true): Column =
     size(encode(text, merges, lowercase))
+
+  /** Subword vocabulary under a trained merge table: per-token corpus
+    * frequency plus a dense integer id assigned by (frequency desc, token
+    * asc) — the id layout an embedding table wants. The corpus-sized work
+    * is one explode + hash aggregation; the id window runs over the
+    * aggregated vocabulary only, which is bounded by |alphabet| + |merges|
+    * (a merge adds at most one token), so its single partition is fine.
+    */
+  def vocabulary(df: DataFrame, text: Column, merges: Seq[(String, String)],
+      lowercase: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(explode(encode(text, merges, lowercase)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .withColumn("id",
+        row_number().over(Window.orderBy(col("n").desc, col("token").asc)))
+  }
 }

@@ -17,6 +17,39 @@ import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 object PipelineQueries {
   import CoreQueries.t
 
+  /** Fixed merge table for the pipe_bpe gates — what [[graft.ops.Bpe.train]]
+    * learns on the sf0.01 documents at nMerges = 8 (includes the chained
+    * merge (m,er) on top of (e,r), so rank ordering is exercised).
+    */
+  val bpeGateMerges: Seq[(String, String)] = Seq(
+    "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r",
+    "s" -> "t", "m" -> "er", "a" -> "t", "l" -> "u")
+
+  /** DuckDB replay of BPE encoding under [[bpeGateMerges]]. Greedy
+    * lowest-rank-first encoding is equivalent to applying the merges in
+    * rank order, each as a left-first non-overlapping pair rewrite run to
+    * fixpoint; on a space-delimited symbol string that rewrite is
+    * `replace(s, ' a b ', ' ab ')`, and each replace pass can miss an
+    * occurrence whose leading space the previous match consumed, so every
+    * merge applies its replace twice — fixpoint for this corpus's ≤8-char
+    * words (verified exhaustively against the native expression; parity is
+    * what the gate hash asserts). Yields `toks`: one space-delimited token
+    * string per whitespace word.
+    */
+  private val bpeEncCte: String = {
+    val spaced = "' ' || array_to_string(string_split(w, ''), ' ') || ' '"
+    val chain = bpeGateMerges.foldLeft(spaced) { case (e, (a, b)) =>
+      s"replace(replace($e, ' $a $b ', ' $a$b '), ' $a $b ', ' $a$b ')"
+    }
+    s"""WITH words AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |                     w -> w <> '') AS ws
+       |  FROM documents),
+       |enc AS (SELECT doc_id, list_transform(ws, w -> trim($chain)) AS toks
+       |        FROM words)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup on normalized text (group-by key is the normalization
     // itself so the oracle needs no hash-function parity)
@@ -245,6 +278,24 @@ object PipelineQueries {
     // corpus vocabulary: 20 most frequent tokens
     "pipe_vocab" -> ((s, d) =>
       TextAnalysis.vocabulary(t(s, d, "documents"), col("text"), k = 20)),
+
+    // trainable-BPE encode under the fixed gate merge table (exactly what
+    // Bpe.train learns on the sf0.01 documents at nMerges = 8; pinned as a
+    // literal because merge ORDER is frequency-dependent across SFs while
+    // the trainer itself is pinned by BpeSpec's worked example). Encoding
+    // under a fixed table is a pure text function, so the full token
+    // sequence is DuckDB-oracled — see bpeEncCte for the SQL construction.
+    "pipe_bpe" -> ((s, d) => {
+      val toks = graft.ops.Bpe.encode(col("text"), bpeGateMerges)
+      t(s, d, "documents").select(col("doc_id"),
+        array_join(toks, "|").as("bpe_str"),
+        size(toks).as("n_bpe"))
+    }),
+
+    // subword vocabulary with dense embedding-table ids under the same
+    // fixed merge table
+    "pipe_bpe_vocab" -> ((s, d) =>
+      graft.ops.Bpe.vocabulary(t(s, d, "documents"), col("text"), bpeGateMerges)),
 
     // TF-IDF retrieval: top-10 docs for a 4-term query, smooth idf
     "pipe_tfidf" -> ((s, d) =>
@@ -590,6 +641,22 @@ object PipelineQueries {
         |  (SELECT unnest(string_split_regex(trim(lower(text)),'\s+')) AS tok FROM documents)
         |WHERE tok <> ''
         |GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20""".stripMargin,
+    "pipe_bpe" ->
+      s"""$bpeEncCte
+         |SELECT doc_id,
+         |  array_to_string(list_transform(toks, t -> replace(t, ' ', '|')), '|') AS bpe_str,
+         |  CAST(CASE WHEN len(toks) = 0 THEN 0
+         |       ELSE list_sum(list_transform(toks, t -> len(string_split(t, ' '))))
+         |       END AS INTEGER) AS n_bpe
+         |FROM enc""".stripMargin,
+    "pipe_bpe_vocab" ->
+      s"""$bpeEncCte,
+         |tok AS (
+         |  SELECT unnest(string_split(array_to_string(toks, ' '), ' ')) AS token
+         |  FROM enc WHERE len(toks) > 0)
+         |SELECT token, count(*) AS n,
+         |  CAST(row_number() OVER (ORDER BY count(*) DESC, token ASC) AS INTEGER) AS id
+         |FROM tok WHERE token <> '' GROUP BY token""".stripMargin,
     // LSH recall on the planted pairs is deterministic (fixed seed, fixed
     // data: all 25 found, nothing else reaches 0.95 — base pairs top out
     // near 0.51), so the exact-cosine SQL is a sound oracle. DuckDB

@@ -66,6 +66,33 @@ class BpeSpec extends AnyFunSuite {
     assert(counts.getLong(0) >= counts.getLong(1))
   }
 
+  test("gate merge table segments the hand-traced corpus words") {
+    // chained ranks: (e,r) rank 0 then (m,er) rank 5 — 'customer' must
+    // merge er first, then absorb it into mer
+    val out = Seq("customer", "filter sort", "window")
+      .toDF("text")
+      .select(Bpe.encode(col("text"), graft.queries.PipelineQueries.bpeGateMerges).as("t"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(out(0) == List("c", "u", "st", "o", "mer"))
+    assert(out(1) == List("f", "i", "l", "t", "er", "s", "or", "t"))
+    assert(out(2) == List("w", "in", "d", "ow"))
+  }
+
+  test("vocabulary assigns dense ids by frequency then token") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val merges = Bpe.train(docs, col("text"), nMerges = 8, maxWords = 1000)
+    val vocab = Bpe.vocabulary(docs, col("text"), merges)
+      .orderBy(col("id")).collect()
+    assert(vocab.nonEmpty)
+    assert(vocab.map(_.getAs[Int]("id")).toList == (1 to vocab.length).toList)
+    val byRank = vocab.map(r => (-r.getAs[Long]("n"), r.getAs[String]("token")))
+    assert(byRank.sameElements(byRank.sorted))
+    // total token mass equals the corpus subword count
+    val total = docs.select(
+      sum(Bpe.tokenCount(col("text"), merges)).as("t")).collect().head.getLong(0)
+    assert(vocab.map(_.getAs[Long]("n")).sum == total)
+  }
+
   test("distributed train is deterministic across runs") {
     val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
     val m1 = Bpe.train(docs, col("text"), nMerges = 50, maxWords = 1000)
