@@ -156,6 +156,93 @@ object EventStreams {
       }
   }
 
+  final case class Doc(doc_id: Long, text: String)
+  final case class BandedDoc(band: Int, band_hash: Long, doc_id: Long,
+      sig: Array[Long])
+  final case class BucketEntry(doc_id: Long, sig: Array[Long])
+  final case class BucketState(entries: List[BucketEntry], overflow: Long)
+  final case class NearDupCandidate(doc_id: Long, matched_id: Long,
+      est_sim: Double, band: Int)
+
+  /** Streaming near-duplicate detection (the streaming twin of
+    * [[graft.ops.Dedup.minhashLsh]]): each arriving document is shingled,
+    * minhash-signed, and banded with the IDENTICAL expressions the batch
+    * operator uses (same splitmix hash family, same band keying), then each
+    * (band, band_hash) bucket keeps bounded state of previously seen
+    * signatures and emits a candidate for every stored document whose
+    * signature agrees on ≥ `threshold` of the minhash components — the
+    * unbiased Jaccard estimate the signature exists to provide. A pair that
+    * collides in several bands emits once per band (the batch twin's
+    * dropDuplicates is a corpus-wide shuffle a stream cannot afford);
+    * downstream consumers dedup per sink partition if they care.
+    *
+    * Differences from batch, by design and documented here: the batch path
+    * verifies candidates with EXACT Jaccard over shingle sets; storing
+    * shingle sets in stream state would make state proportional to text
+    * volume, so the stream thresholds on the signature estimate instead
+    * (±1/sqrt(numHashes) error) and leaves exact verification to a batch
+    * join against the doc store when required. State per bucket is capped
+    * at `maxPerBucket` signatures (numHashes × 8 bytes each): a hot bucket
+    * — the streaming analog of a stop-window/boilerplate band — stops
+    * absorbing new signatures and counts the overflow instead of growing
+    * without bound; first-arrived entries win deterministically (ties by
+    * doc id within a micro-batch). Production deployments evict idle
+    * buckets with a state TTL; NoTimeout keeps the operator data-driven so
+    * processAllAvailable-based tests stay deterministic.
+    */
+  def nearDupCandidatesStream(docs: Dataset[Doc], shingleSize: Int = 3,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.8,
+      maxPerBucket: Int = 64): Dataset[NearDupCandidate] = {
+    import docs.sparkSession.implicits._
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    require(maxPerBucket > 0, s"maxPerBucket must be positive, got $maxPerBucket")
+
+    val banded = docs
+      .select(col("doc_id"),
+        graft.ops.TextAnalysis.shingles(col("text"), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", graft.ops.Dedup.minhashSignature(col("sh"), numHashes))
+      .select(col("doc_id"), col("sig"),
+        posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws("_",
+            b.cast("string"),
+            concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))))
+      .select(col("pos").as("band"), col("col").as("band_hash"),
+        col("doc_id"), col("sig"))
+      .as[BandedDoc]
+
+    val minMatches = math.ceil(threshold * numHashes).toInt
+    banded.groupByKey(b => (b.band, b.band_hash))
+      .flatMapGroupsWithState[BucketState, NearDupCandidate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long), batch: Iterator[BandedDoc], state: GroupState[BucketState]) =>
+          val arrivals = batch.toSeq.sortBy(_.doc_id)
+          var st = state.getOption.getOrElse(BucketState(Nil, 0L))
+          val out = List.newBuilder[NearDupCandidate]
+          for (d <- arrivals) {
+            for (e <- st.entries if e.doc_id != d.doc_id) {
+              var eq = 0
+              var i = 0
+              while (i < d.sig.length) {
+                if (d.sig(i) == e.sig(i)) eq += 1
+                i += 1
+              }
+              if (eq >= minMatches)
+                out += NearDupCandidate(d.doc_id, e.doc_id,
+                  eq.toDouble / d.sig.length, key._1)
+            }
+            st =
+              if (st.entries.length < maxPerBucket)
+                st.copy(entries = st.entries :+ BucketEntry(d.doc_id, d.sig))
+              else st.copy(overflow = st.overflow + 1)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class RCarry(ts: Long, value: Option[Double])
   final case class ResampleState(nextTick: Long, tickCarry: Option[RCarry],
       latest: Option[RCarry])

@@ -227,4 +227,57 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(pairs == Set((1L, 10L), (1L, 1L)))
     } finally q.stop()
   }
+
+  test("streaming near-dup flags signature matches within and across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Doc]
+    val q = EventStreams.nearDupCandidatesStream(input.toDS(), threshold = 0.8)
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      val base = "spark shuffles the hash join build side across executors"
+      val other = "window functions rank rows within ordered partitions cheaply"
+      input.addData(EventStreams.Doc(1, base), EventStreams.Doc(2, base),
+        EventStreams.Doc(3, other))
+      q.processAllAvailable()
+      // batch 2: a replay of doc 1 must match BOTH stored copies; a fresh
+      // unique doc must match nothing
+      input.addData(EventStreams.Doc(4, base),
+        EventStreams.Doc(5, "bloom filters prune the history scan before the anti join"))
+      q.processAllAvailable()
+      val cands = spark.table("neardup_out")
+        .as[EventStreams.NearDupCandidate].collect()
+      // exact copies share the signature: estimate 1.0, and every one of
+      // the 16 bands collides — in-batch (2,1) plus cross-batch (4,1),(4,2)
+      assert(cands.forall(_.est_sim == 1.0))
+      val pairs = cands.map(c => (c.doc_id, c.matched_id)).distinct.toSet
+      assert(pairs == Set((2L, 1L), (4L, 1L), (4L, 2L)))
+      assert(cands.count(c => c.doc_id == 2L && c.matched_id == 1L) == 16)
+      assert(!cands.exists(c => c.doc_id == 3L || c.matched_id == 3L
+        || c.doc_id == 5L || c.matched_id == 5L))
+    } finally q.stop()
+  }
+
+  test("streaming near-dup bucket state is capped: overflow docs stop being stored") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Doc]
+    val q = EventStreams.nearDupCandidatesStream(input.toDS(), threshold = 0.8,
+      maxPerBucket = 2)
+      .writeStream.format("memory").queryName("neardup_cap_out")
+      .outputMode("append").start()
+    try {
+      val hot = "identical boilerplate footer text repeated across the crawl"
+      input.addData((1L to 4L).map(i => EventStreams.Doc(i, hot)): _*)
+      q.processAllAvailable()
+      // docs 1,2 fill each bucket; 3 and 4 still MATCH the stored two but
+      // are not stored themselves, so no (4,3) pair exists
+      input.addData(EventStreams.Doc(5, hot))
+      q.processAllAvailable()
+      val pairs = spark.table("neardup_cap_out")
+        .as[EventStreams.NearDupCandidate].collect()
+        .map(c => (c.doc_id, c.matched_id)).distinct.toSet
+      assert(pairs == Set((2L, 1L), (3L, 1L), (3L, 2L), (4L, 1L), (4L, 2L),
+        (5L, 1L), (5L, 2L)))
+    } finally q.stop()
+  }
 }
