@@ -48,9 +48,39 @@ object Shingles {
   def shingles(text: Column, k: Int): Column =
     GraftColumnBridge.column(
       ShinglesExpression(GraftColumnBridge.expression(text), k))
+
+  /** All word k-shingles IN ORDER WITH MULTIPLICITY — what an n-gram language
+    * model counts (a doc that repeats "click here" ten times must contribute
+    * ten observations, where the dedup'd [[shingles]] would contribute one).
+    * Same tokenization contract as [[shingles]].
+    */
+  def shinglesAll(s: UTF8String, k: Int): ArrayData = {
+    val words = Tokenize.words(s.toLowerCase)
+    if (words.length < k) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](words.length - k + 1)
+    var i = 0
+    val sb = new java.lang.StringBuilder
+    while (i <= words.length - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def shinglesAll(text: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      ShinglesExpression(GraftColumnBridge.expression(text), k, distinct = false))
 }
 
-case class ShinglesExpression(child: Expression, k: Int) extends UnaryExpression {
+case class ShinglesExpression(child: Expression, k: Int, distinct: Boolean = true)
+    extends UnaryExpression {
   require(k > 0, "shingle size must be positive")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def checkInputDataTypes() = {
@@ -61,9 +91,12 @@ case class ShinglesExpression(child: Expression, k: Int) extends UnaryExpression
         s"shingles expects STRING, got ${child.dataType.simpleString}")
   }
   override def nullSafeEval(v: Any): Any =
-    Shingles.shingles(v.asInstanceOf[UTF8String], k)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.Shingles.shingles($c, $k)")
+    if (distinct) Shingles.shingles(v.asInstanceOf[UTF8String], k)
+    else Shingles.shinglesAll(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (distinct) "shingles" else "shinglesAll"
+    defineCodeGen(ctx, ev, c => s"graft.functions.Shingles.$m($c, $k)")
+  }
   override protected def withNewChildInternal(newChild: Expression): ShinglesExpression =
     copy(child = newChild)
 }

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-based bigram language model for corpus-level quality scoring.
+  *
+  * CCNet (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+  * Datasets from Web Crawl Data", LREC 2020) ranks crawled documents by the
+  * perplexity of a small n-gram LM: fluent prose scores low, boilerplate and
+  * gibberish score high, and the score drives keep / drop / head-middle-tail
+  * bucket decisions. The reference engine has no LM surface; this is the
+  * extension a training-data pipeline needs, built the Spark-first way:
+  *
+  *  - the MODEL is an aggregate — bigram counts are Zipf-bounded (the
+  *    distinct-bigram table is orders of magnitude smaller than the corpus),
+  *    and the kept model is `LIMIT`-bounded, so it broadcasts;
+  *  - the SCORING pass is explode (row-local) → two BroadcastHashJoins →
+  *    per-doc aggregation with map-side partials. The corpus crosses the
+  *    network once at train time (the count shuffle) and once at score time
+  *    (one row per doc per partition after partial aggregation) — there is
+  *    no model-sized shuffle anywhere.
+  *
+  * Both model tables derive from the same bigram-count aggregate; building
+  * them in one query plan lets Spark reuse the exchange (ReusedExchange)
+  * instead of re-counting the corpus.
+  *
+  * Smoothing is add-one over the context-model cardinality: p(cur|prev) =
+  * (c(prev,cur) + 1) / (c(prev) + |contexts|), with unmatched bigrams /
+  * contexts contributing the floor. Perplexity = exp(−mean log p). The
+  * integer columns (`n_bigrams`, `matched_*`, `sum_c_*`) are exact under any
+  * engine and carry the correctness gate; the float columns are the scores a
+  * pipeline actually filters on.
+  */
+object LanguageModel {
+
+  /** All word bigrams of `text` (lowercased, whitespace-split) with
+    * multiplicity, in document order. Native codegen expression. */
+  def bigrams(text: Column): Column =
+    graft.functions.Shingles.shinglesAll(text, 2)
+
+  /** Train the LM: returns (bigramModel(bigram, c_bg), contextModel(prev,
+    * c_prev)). `c_prev` sums over ALL observed bigrams with that context —
+    * not just the kept top-`bigramVocab` — so conditional probabilities are
+    * denominated correctly. Ties at both LIMIT boundaries break by key, so
+    * the kept model is deterministic across runs and engines.
+    */
+  def train(df: DataFrame, text: Column,
+      bigramVocab: Int, contextVocab: Int): (DataFrame, DataFrame) = {
+    require(bigramVocab > 0 && contextVocab > 0, "model sizes must be positive")
+    val counts = df.select(explode(bigrams(text)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c_bg"))
+    val bigramModel = counts
+      .orderBy(col("c_bg").desc, col("bigram").asc).limit(bigramVocab)
+    val contextModel = counts
+      .withColumn("prev", split(col("bigram"), " ").getItem(0))
+      .groupBy("prev").agg(sum("c_bg").as("c_prev"))
+      .orderBy(col("c_prev").desc, col("prev").asc).limit(contextVocab)
+    (bigramModel, contextModel)
+  }
+
+  /** Score every document against a trained model. Output: one row per input
+    * doc (docs with < 2 tokens score with `n_bigrams = 0` and NULL
+    * perplexity), columns `id, n_bigrams, matched_bg, sum_c_bg,
+    * matched_prev, sum_c_prev, avg_logp, perplexity`.
+    */
+  def score(df: DataFrame, id: Column, text: Column,
+      bigramModel: DataFrame, contextModel: DataFrame): DataFrame = {
+    // explode_outer, not explode: a doc with no bigrams must still score
+    val bg = df.select(id.as("id"), explode_outer(bigrams(text)).as("bigram"))
+    // |contexts| enters the smoothing denominator as a broadcast scalar —
+    // computed in-plan, never collected to the driver
+    val vocab = broadcast(contextModel.agg(count(lit(1)).cast("double").as("__v")))
+    val logp = log(
+      (coalesce(col("c_bg"), lit(0L)) + lit(1)).cast("double") /
+        (coalesce(col("c_prev"), lit(0L)).cast("double") + col("__v")))
+    bg.join(broadcast(bigramModel), Seq("bigram"), "left")
+      .withColumn("prev", split(col("bigram"), " ").getItem(0))
+      .join(broadcast(contextModel), Seq("prev"), "left")
+      .crossJoin(vocab)
+      .groupBy("id").agg(
+        count(col("bigram")).as("n_bigrams"),
+        count(col("c_bg")).as("matched_bg"),
+        coalesce(sum("c_bg"), lit(0L)).as("sum_c_bg"),
+        count(col("c_prev")).as("matched_prev"),
+        coalesce(sum("c_prev"), lit(0L)).as("sum_c_prev"),
+        sum(logp).as("__log_prob"))
+      .withColumn("avg_logp",
+        when(col("n_bigrams") > 0, col("__log_prob") / col("n_bigrams")))
+      .withColumn("perplexity",
+        when(col("n_bigrams") > 0, exp(-col("avg_logp"))))
+      .drop("__log_prob")
+  }
+
+  /** Train on `df` and score `df` with the result — the self-scoring pass a
+    * curation pipeline runs before filtering on the perplexity column. */
+  def scoreCorpus(df: DataFrame, id: Column, text: Column,
+      bigramVocab: Int = 200, contextVocab: Int = 100): DataFrame = {
+    val (bm, cm) = train(df, text, bigramVocab, contextVocab)
+    score(df, id, text, bm, cm)
+  }
+}

@@ -297,6 +297,18 @@ object PipelineQueries {
     "pipe_bpe_vocab" -> ((s, d) =>
       graft.ops.Bpe.vocabulary(t(s, d, "documents"), col("text"), bpeGateMerges)),
 
+    // CCNet-style bigram LM quality scoring: train on the corpus (top-200
+    // bigrams / top-100 contexts), self-score every doc. The gate carries
+    // the integer feature columns (counts and count-sums are exact in any
+    // engine); the float perplexity the pipeline filters on is spec-covered
+    // in LanguageModelSpec with a hand-computed worked example.
+    "pipe_lm_score" -> ((s, d) =>
+      graft.ops.LanguageModel.scoreCorpus(
+        t(s, d, "documents"), col("doc_id"), col("text"),
+        bigramVocab = 200, contextVocab = 100)
+        .select(col("id").as("doc_id"), col("n_bigrams"), col("matched_bg"),
+          col("sum_c_bg"), col("matched_prev"), col("sum_c_prev"))),
+
     // TF-IDF retrieval: top-10 docs for a 4-term query, smooth idf
     "pipe_tfidf" -> ((s, d) =>
       TextAnalysis.tfidfTopK(t(s, d, "documents"), col("doc_id"), col("text"),
@@ -693,6 +705,42 @@ object PipelineQueries {
         |       CAST(('0x' || substr(m.hx, 1, 8))::BIGINT % 4 * 8000 + 16000 AS INTEGER) AS a_rate,
         |       CAST(('0x' || substr(m.hx, 9, 8))::BIGINT % 2 + 1 AS INTEGER) AS a_channels
         |FROM r JOIN m ON r.doc_id = m.doc_id""".stripMargin,
+    // bigram construction mirrors Shingles.shinglesAll (lower, trim, \s+
+    // split, empty tokens dropped); model LIMITs tie-break by key in both
+    // engines; DuckDB sum(BIGINT) widens to HUGEINT, hence the casts
+    "pipe_lm_score" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |bgl AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+        |                   i -> toks[i] || ' ' || toks[i + 1]) AS bgs
+        |  FROM docs),
+        |bg AS (SELECT doc_id, unnest(bgs) AS bigram FROM bgl),
+        |cnt AS (SELECT bigram, count(*) AS c_bg FROM bg GROUP BY 1),
+        |bmodel AS (SELECT bigram, c_bg FROM cnt ORDER BY c_bg DESC, bigram ASC LIMIT 200),
+        |pmodel AS (SELECT string_split(bigram, ' ')[1] AS prev, sum(c_bg) AS c_prev
+        |           FROM cnt GROUP BY 1 ORDER BY c_prev DESC, prev ASC LIMIT 100),
+        |scored AS (
+        |  SELECT b.doc_id,
+        |         count(b.bigram) AS n_bigrams,
+        |         count(m.c_bg) AS matched_bg,
+        |         coalesce(sum(m.c_bg), 0) AS sum_c_bg,
+        |         count(p.c_prev) AS matched_prev,
+        |         coalesce(sum(p.c_prev), 0) AS sum_c_prev
+        |  FROM bg b
+        |  LEFT JOIN bmodel m USING (bigram)
+        |  LEFT JOIN pmodel p ON string_split(b.bigram, ' ')[1] = p.prev
+        |  GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |       CAST(coalesce(s.matched_bg, 0) AS BIGINT) AS matched_bg,
+        |       CAST(coalesce(s.sum_c_bg, 0) AS BIGINT) AS sum_c_bg,
+        |       CAST(coalesce(s.matched_prev, 0) AS BIGINT) AS matched_prev,
+        |       CAST(coalesce(s.sum_c_prev, 0) AS BIGINT) AS sum_c_prev
+        |FROM documents d LEFT JOIN scored s USING (doc_id)""".stripMargin,
     "pipe_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)),'\s+')) AS tok FROM documents),
         |     rel AS (SELECT * FROM tok WHERE tok IN ('data','query','spark','fast')),

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class LanguageModelSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the cat sat"),
+    (2L, "the cat ran"),
+    (3L, "the dog sat"),
+    (4L, "x"),
+    (5L, "")).toDF("doc_id", "text")
+
+  // counts: "the cat"=2, others 1; contexts: the=3, cat=2, dog=1
+
+  test("bigrams keeps multiplicity and order") {
+    val got = Seq(("a a a b")).toDF("t")
+      .select(LanguageModel.bigrams(col("t"))).as[Seq[String]].head()
+    assert(got == Seq("a a", "a a", "a b"))
+  }
+
+  test("train keeps top models with key tiebreaks and full denominators") {
+    val (bm, cm) = LanguageModel.train(corpus, col("text"),
+      bigramVocab = 3, contextVocab = 2)
+    assert(bm.as[(String, Long)].collect().toSet ==
+      Set(("the cat", 2L), ("cat ran", 1L), ("cat sat", 1L)))
+    // context counts sum over ALL bigrams, not just the kept top-3
+    assert(cm.as[(String, Long)].collect().toSet ==
+      Set(("the", 3L), ("cat", 2L)))
+  }
+
+  test("score matches the hand-computed worked example") {
+    val (bm, cm) = LanguageModel.train(corpus, col("text"),
+      bigramVocab = 3, contextVocab = 2)
+    val out = LanguageModel.score(corpus, col("doc_id"), col("text"), bm, cm)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 5)
+
+    // doc 1 "the cat sat": (the cat: c=2, prev the=3), (cat sat: c=1, prev cat=2)
+    val d1 = out(1L)
+    assert(d1.getLong(1) == 2 && d1.getLong(2) == 2 && d1.getLong(3) == 3)
+    assert(d1.getLong(4) == 2 && d1.getLong(5) == 5)
+    val want1 = (math.log(3.0 / 5.0) + math.log(2.0 / 4.0)) / 2.0 // V = 2
+    assert(math.abs(d1.getDouble(6) - want1) < 1e-12)
+    assert(math.abs(d1.getDouble(7) - math.exp(-want1)) < 1e-12)
+
+    // doc 3 "the dog sat": both bigrams OOV; "dog" context OOV too
+    val d3 = out(3L)
+    assert(d3.getLong(1) == 2 && d3.getLong(2) == 0 && d3.getLong(3) == 0)
+    assert(d3.getLong(4) == 1 && d3.getLong(5) == 3)
+    val want3 = (math.log(1.0 / 5.0) + math.log(1.0 / 2.0)) / 2.0
+    assert(math.abs(d3.getDouble(6) - want3) < 1e-12)
+
+    // docs with < 2 tokens still appear, with zero counts and NULL scores
+    val d4 = out(4L)
+    assert(d4.getLong(1) == 0 && d4.isNullAt(6) && d4.isNullAt(7))
+    assert(out(5L).getLong(1) == 0)
+  }
+
+  test("fluent text scores lower perplexity than shuffled gibberish") {
+    // model trained on patterned text ranks an in-pattern doc below a
+    // reversed (never-seen transitions) doc — the CCNet filtering signal
+    val train = (0 until 50).map(i => (i.toLong, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val probe = Seq((100L, "alpha beta gamma delta"),
+      (101L, "delta gamma beta alpha")).toDF("doc_id", "text")
+    val (bm, cm) = LanguageModel.train(train, col("text"), 100, 100)
+    val ppl = LanguageModel.score(probe, col("doc_id"), col("text"), bm, cm)
+      .select(col("id"), col("perplexity")).as[(Long, Double)].collect().toMap
+    assert(ppl(100L) < ppl(101L))
+  }
+
+  test("scoring plan broadcasts the model and shuffles only per-doc partials") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val scored = LanguageModel.scoreCorpus(docs, col("doc_id"), col("text"))
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+}
