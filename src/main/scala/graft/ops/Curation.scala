@@ -332,4 +332,63 @@ object Curation {
       .withColumn("position",
         row_number().over(Window.partitionBy(col("shard")).orderBy(h, key)).cast("long") - 1)
   }
+
+  /** Deterministic global shuffle: appends `pos` — each row's 0-based
+    * position in the seed-keyed pseudo-random total order `(md5(seed|key),
+    * key)`. Same seed → byte-identical order on any cluster size, across
+    * retries, and across engines; a new seed is a fresh permutation — the
+    * per-epoch reshuffle a training run needs without any RNG state.
+    *
+    * No global window and no `zipWithIndex`: rows range-bucket by the high
+    * bits of the hash (uniform by construction, so buckets balance),
+    * positions are computed per bucket, and per-bucket offsets come from a
+    * `nBuckets`-row count aggregate that broadcasts back — bounded metadata,
+    * like the mixture cut. Cost: one map-side-combined count pass plus ONE
+    * corpus shuffle (hash-partition by bucket + in-bucket sort), the minimum
+    * any true global permutation pays. Pick `nBuckets` ≥ cluster parallelism
+    * so each bucket sorts in a single task's memory.
+    *
+    * `key` must be unique per row (it is the tiebreak); duplicate keys get
+    * arbitrary relative order among themselves.
+    */
+  def globalShuffle(df: DataFrame, key: Column, seed: String,
+      nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    require(!seed.contains("|"), "seed must not contain the '|' salt separator")
+    val h = hashUniform(concat(lit(seed + "|"), key.cast("string")))
+    // fixed-point scale: monotone in h, exact in Long (h < 2^32)
+    val bucketed = df
+      .withColumn("__gs_h", h)
+      .withColumn("__gs_b", (col("__gs_h") * nBuckets / 4294967296L).cast("int"))
+    val offsets = bucketed.groupBy("__gs_b").agg(count(lit(1)).as("__gs_n"))
+      .withColumn("__gs_off",
+        sum("__gs_n").over(Window.orderBy("__gs_b")) - col("__gs_n"))
+      .select(col("__gs_b").as("__gs_b2"), col("__gs_off"))
+    val w = Window.partitionBy(col("__gs_b")).orderBy(col("__gs_h"), key)
+    bucketed
+      .join(broadcast(offsets), col("__gs_b") === col("__gs_b2"))
+      .withColumn("pos",
+        col("__gs_off") + row_number().over(w).cast("long") - 1)
+      .drop("__gs_h", "__gs_b", "__gs_b2", "__gs_off")
+  }
+
+  /** Fractional-epoch upsampling: emit each row `⌊weight⌋` times plus one
+    * more with probability `frac(weight)`, decided by the row's key hash —
+    * the "1.7 epochs of wiki, 0.3 epochs of crawl" recipe LLM data mixtures
+    * specify. Deterministic (same key → same copy count on every run and
+    * engine) and exact in expectation: total copies of a domain converge to
+    * `weight × rows`. Adds `epoch` (0-based copy index, so downstream
+    * shuffles can keep copies apart). Entirely row-local — a filter-free
+    * explode, no shuffle; non-positive weights drop the row.
+    */
+  def epochs(df: DataFrame, key: Column, weight: Column): DataFrame = {
+    val wt = greatest(weight.cast("double"), lit(0.0))
+    val extra = when(
+      hashUniform(concat(key.cast("string"), lit("#epoch"))) <
+        ((wt - floor(wt)) * 4294967296.0).cast("long"), 1L).otherwise(0L)
+    df.withColumn("__ep_n", floor(wt).cast("long") + extra)
+      .filter(col("__ep_n") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__ep_n") - 1)))
+      .drop("__ep_n")
+  }
 }

@@ -107,6 +107,23 @@ object CurationQueries {
         budget = 6000L)
         .select("doc_id", "source", "n_chars")),
 
+    // seed-keyed global permutation: reproducible training order, no RNG
+    "pipe_global_shuffle" -> ((s, d) =>
+      Curation.globalShuffle(t(s, d, "documents"), col("doc_id"),
+        seed = "r4", nBuckets = 64)
+        .select("doc_id", "pos")),
+
+    // fractional-epoch upsampling: 2.3 epochs of src0, half of src1, none
+    // of src2, 1.25 of the rest — the LLM data-mixture repeat recipe
+    "pipe_epochs" -> ((s, d) => {
+      val wt = when(col("source") === "src0", 2.3)
+        .when(col("source") === "src1", 0.5)
+        .when(col("source") === "src2", 0.0)
+        .otherwise(1.25)
+      Curation.epochs(t(s, d, "documents"), col("doc_id"), wt)
+        .select("doc_id", "source", "epoch")
+    }),
+
     // deterministic shard assignment + within-shard position
     "pipe_shard_assign" -> ((s, d) =>
       Curation.shardAssign(t(s, d, "documents"), col("doc_id"), nShards = 8)
@@ -249,6 +266,28 @@ object CurationQueries {
          |SELECT doc_id, source, n_chars FROM c
          |WHERE cum <= CASE source WHEN 'src1' THEN 3000
          |                         WHEN 'src2' THEN 1800 ELSE 1200 END""".stripMargin,
+    "pipe_global_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+        |  ('0x'||substr(md5('r4|' || CAST(doc_id AS VARCHAR)),1,8))::BIGINT AS hv
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY hv, doc_id) AS BIGINT) - 1 AS pos
+        |FROM h""".stripMargin,
+    // wt casts to DOUBLE so frac/threshold arithmetic is the same IEEE ops
+    // Spark runs (DuckDB would otherwise keep 2.3 as DECIMAL)
+    "pipe_epochs" ->
+      """WITH w AS (SELECT doc_id, source,
+        |  CAST(CASE source WHEN 'src0' THEN 2.3 WHEN 'src1' THEN 0.5
+        |                   WHEN 'src2' THEN 0.0 ELSE 1.25 END AS DOUBLE) AS wt,
+        |  ('0x'||substr(md5(CAST(doc_id AS VARCHAR) || '#epoch'),1,8))::BIGINT AS hv
+        |  FROM documents),
+        |r AS (SELECT doc_id, source,
+        |  CAST(floor(wt) AS BIGINT)
+        |    + CASE WHEN hv < CAST((wt - floor(wt)) * 4294967296.0 AS BIGINT)
+        |           THEN 1 ELSE 0 END AS reps
+        |  FROM w)
+        |SELECT doc_id, source, unnest(generate_series(0, reps - 1)) AS epoch
+        |FROM r WHERE reps > 0""".stripMargin,
     "pipe_shard_assign" ->
       s"""WITH h AS (SELECT doc_id, $duckHash AS hv FROM documents)
          |SELECT doc_id, CAST(hv % 8 AS INTEGER) AS shard,

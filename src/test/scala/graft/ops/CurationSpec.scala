@@ -200,4 +200,51 @@ class CurationSpec extends AnyFunSuite {
     // roughly uniform
     assert(out.groupBy(_._2).values.map(_.size).min > 60)
   }
+
+  test("globalShuffle is a deterministic permutation ordered by salted hash") {
+    val df = (0L until 2000L).toDF("id")
+    val out = Curation.globalShuffle(df, col("id"), seed = "s1", nBuckets = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // positions are exactly 0..n-1
+    assert(out.map(_._2).sorted.toSeq == (0L until 2000L))
+    // and equal to the rank under (md5("s1|"+id), id) — the bucketed offsets
+    // reproduce the single-order formulation exactly
+    val expected = df
+      .withColumn("__h", Curation.hashUniform(concat(lit("s1|"), col("id").cast("string"))))
+      .orderBy(col("__h"), col("id"))
+      .select("id").collect().map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => id -> i.toLong }.toMap
+    assert(out.forall { case (id, pos) => expected(id) == pos })
+    // re-run: identical; different seed: a different permutation
+    val again = Curation.globalShuffle(df, col("id"), "s1", 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.forall { case (id, pos) => again(id) == pos })
+    val other = Curation.globalShuffle(df, col("id"), "s2", 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.exists { case (id, pos) => other(id) != pos })
+  }
+
+  test("epochs emits floor copies plus a hash-decided fractional copy") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"))
+      .toDF("id", "dom")
+    val wt = when(col("dom") === "a", 2.0)
+      .when(col("dom") === "b", 0.0).otherwise(1.5)
+    val out = Curation.epochs(df, col("id"), wt)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val byId = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // integral weight: exact copy count with dense epoch ids
+    assert(byId(1L) == Seq(0L, 1L) && byId(2L) == Seq(0L, 1L))
+    // zero weight: dropped entirely
+    assert(!byId.contains(3L))
+    // fractional weight: 1 or 2 copies, decided by the salted hash
+    val h4 = Seq(4L).toDF("id")
+      .select(Curation.hashUniform(concat(col("id").cast("string"), lit("#epoch"))))
+      .as[Long].head()
+    val want4 = if (h4 < (0.5 * 4294967296.0).toLong) Seq(0L, 1L) else Seq(0L)
+    assert(byId(4L) == want4)
+    // law of large numbers: 1.5 epochs over 10k rows lands near 15k copies
+    val big = (0L until 10000L).toDF("id")
+    val n = Curation.epochs(big, col("id"), lit(1.5)).count()
+    assert(math.abs(n - 15000L) < 300, s"got $n copies")
+  }
 }
