@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -241,6 +241,53 @@ object EventStreams {
           state.update(st)
           out.result().iterator
       }
+  }
+
+  final case class Contam(doc_id: Long, n_shingles: Int, n_overlap: Long,
+      contam_ratio: Double)
+
+  /** Streaming twin of [[graft.ops.Curation.decontaminate]]: score every
+    * arriving document's shingle overlap against a STATIC benchmark corpus
+    * — the shape of an ingestion pipeline that quarantines eval-set leakage
+    * before a document ever lands in the training store.
+    *
+    * The same contract that lets the batch op broadcast the benchmark (eval
+    * corpora are tiny relative to the crawl) lets the stream collect its
+    * distinct shingle set once at query start and ship it as a broadcast
+    * variable; each document then scores ROW-LOCALLY via the identical
+    * native tokenizer. Stateless — no state store, no watermark, no
+    * shuffle, and output rows match the batch operator exactly (including
+    * the 6-decimal HALF_UP ratio rounding of `round(x, 6)`).
+    */
+  def decontaminateStream(docs: Dataset[Doc], benchmark: DataFrame,
+      benchText: Column, shingleSize: Int = 5,
+      minOverlap: Int = 1): Dataset[Contam] = {
+    import docs.sparkSession.implicits._
+    val benchSet = benchmark
+      .select(explode(
+        graft.ops.TextAnalysis.shingles(benchText, shingleSize)).as("s"))
+      .distinct().as[String].collect().toSet
+    val bc = docs.sparkSession.sparkContext.broadcast(benchSet)
+    docs.flatMap { d =>
+      val arr = graft.functions.Shingles.shingles(
+        org.apache.spark.unsafe.types.UTF8String.fromString(d.text), shingleSize)
+      val n = arr.numElements()
+      if (n == 0) None
+      else {
+        val bench = bc.value
+        var overlap = 0L
+        var i = 0
+        while (i < n) {
+          if (bench.contains(arr.getUTF8String(i).toString)) overlap += 1
+          i += 1
+        }
+        if (overlap >= minOverlap)
+          Some(Contam(d.doc_id, n, overlap,
+            BigDecimal(overlap.toDouble / n)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        else None
+      }
+    }
   }
 
   final case class RCarry(ts: Long, value: Option[Double])

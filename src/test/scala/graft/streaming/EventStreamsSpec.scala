@@ -280,4 +280,39 @@ class EventStreamsSpec extends AnyFunSuite {
         (5L, 1L), (5L, 2L)))
     } finally q.stop()
   }
+
+  test("streaming decontamination matches the batch operator row for row") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      EventStreams.Doc(1, "the quick brown fox jumps over the lazy dog today"),
+      EventStreams.Doc(2, "the quick brown fox jumps somewhere else entirely now"),
+      EventStreams.Doc(3, "completely unrelated text about spark shuffle plans"),
+      EventStreams.Doc(4, "tiny"))
+    val benchmark = Seq(
+      "benchmark says the quick brown fox jumps over fences",
+      "another eval item with no corpus overlap at all").toDF("text")
+
+    val input = MemoryStream[EventStreams.Doc]
+    val q = EventStreams.decontaminateStream(
+      input.toDS(), benchmark, col("text"), shingleSize = 5)
+      .writeStream.format("memory").queryName("decontam_out")
+      .outputMode("append").start()
+    try {
+      input.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("decontam_out")
+        .as[EventStreams.Contam].collect()
+        .map(c => (c.doc_id, c.n_shingles, c.n_overlap, c.contam_ratio)).toSet
+      val batch = graft.ops.Curation.decontaminate(
+        docs.toDF(), col("doc_id"), col("text"), benchmark, col("text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed == batch)
+      // doc 1 overlaps the benchmark, doc 3 does not, doc 4 has no shingles
+      assert(streamed.exists(_._1 == 1L))
+      assert(!streamed.exists(c => c._1 == 3L || c._1 == 4L))
+    } finally q.stop()
+  }
 }
