@@ -25,6 +25,10 @@ object GraftFunctions {
     "shingles" -> { args =>
       ShinglesExpression(args(0), intArg(args(1), "shingles(_, k)"))
     },
+    "shingles_all" -> { args =>
+      ShinglesExpression(args(0), intArg(args(1), "shingles_all(_, k)"),
+        distinct = false)
+    },
     "cosine_sim" -> { args => CosineExpression(args(0), args(1)) },
     "dot_product" -> { args => DotExpression(args(0), args(1)) },
     "word_stats" -> { args => WordStatsExpression(args.head) },

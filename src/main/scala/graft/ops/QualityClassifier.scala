@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.feature.{HashingTF, SQLTransformer}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Trained document-quality classifier — the "fasttext-style" model-based
+  * filter LLM data pipelines run after heuristic gates (GPT-3, Llama, and
+  * Falcon data recipes all describe a linear classifier over hashed n-gram
+  * features scoring web documents against a high-quality reference corpus).
+  *
+  * Spark-first shape:
+  *  - features are hashed bag-of-words + word-bigram counts (HashingTF —
+  *    the hashing trick bounds the feature space with no vocabulary pass
+  *    and no driver-side dictionary);
+  *  - training is MLlib `LogisticRegression` (distributed L-BFGS: the
+  *    corpus stays partitioned, only gradient partials aggregate per
+  *    iteration);
+  *  - scoring is a broadcast of the coefficient vector and a row-local
+  *    dot product — a `PipelineModel.transform`, no shuffle at all.
+  *
+  * Tokenization matches the rest of the text surface (lowercased
+  * whitespace split via the native shingle expressions), so a model trains
+  * on exactly the features the curation ops see. Heuristic
+  * [[graft.ops.TextAnalysis.qualityScore]] can bootstrap weak labels when
+  * no labeled reference corpus exists.
+  *
+  * No DuckDB gate: iterative float optimization is not SQL-expressible;
+  * QualityClassifierSpec pins feature determinism, separable-corpus
+  * accuracy, and score-plan shape instead.
+  */
+object QualityClassifier {
+
+  /** Unigrams + bigrams of `text` as one token array — the n-gram feature
+    * union fasttext uses. Row-local native expressions. */
+  def ngramTokens(text: Column): Column =
+    concat(graft.functions.Shingles.shinglesAll(text, 1),
+      graft.functions.Shingles.shinglesAll(text, 2))
+
+  /** Assemble the feature pipeline: docs(textCol) → `features` sparse
+    * vector of `numFeatures` hashed n-gram counts. */
+  private def featureStages(textCol: String, numFeatures: Int) = {
+    // SQLTransformer keeps the token expression inside the PipelineModel
+    // (so a saved model reproduces its own features); `shingles_all` is the
+    // engine's injected SQL surface for the native expression
+    val tokens = new SQLTransformer().setStatement(
+      s"SELECT *, concat(shingles_all($textCol, 1), " +
+        s"shingles_all($textCol, 2)) AS __qc_tokens FROM __THIS__")
+    val tf = new HashingTF().setInputCol("__qc_tokens")
+      .setOutputCol("features").setNumFeatures(numFeatures)
+    Seq(tokens, tf)
+  }
+
+  /** Train on `labelCol` (0.0 = low quality, 1.0 = high). Returns a
+    * PipelineModel whose `transform` adds `probability`/`prediction`. */
+  def train(df: DataFrame, textCol: String, labelCol: String,
+      numFeatures: Int = 1 << 18, maxIter: Int = 50,
+      regParam: Double = 1e-4): PipelineModel = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val lr = new LogisticRegression().setFeaturesCol("features")
+      .setLabelCol(labelCol).setMaxIter(maxIter).setRegParam(regParam)
+    new Pipeline().setStages((featureStages(textCol, numFeatures) :+ lr).toArray)
+      .fit(df)
+  }
+
+  /** Score: appends `quality_prob` (P(high quality)) row-locally. */
+  def score(df: DataFrame, model: PipelineModel): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val p1 = org.apache.spark.ml.functions.vector_to_array(col("probability"))
+      .getItem(1).as("quality_prob")
+    model.transform(df)
+      .withColumn("quality_prob", p1)
+      .drop("__qc_tokens", "features", "rawPrediction", "probability", "prediction")
+  }
+}

@@ -212,6 +212,40 @@ object ScaleProbe {
     }
     println(s"  pairs: $subPairs")
 
+    println(s"== bigram LM: train (zipf-bounded agg) + broadcast-join scoring ==")
+    // synthetic prose: 40-word docs from a zipf-ish vocab; the distinct-
+    // bigram aggregate is vocab-bounded, the model LIMIT-bounded, and the
+    // scoring pass must show NO shuffle beyond the per-doc partials
+    val lmN = math.min(n / 10, 2_000_000L)
+    val lmCorpus = spark.range(lmN).select(col("id"),
+      concat_ws(" ", (0 until 40).map(i =>
+        concat(lit("w"), pmod(xxhash64(col("id") * 37 + i), lit(1000L)))): _*).as("text"))
+    val (lmB, lmC) = time(f"lmTrain ($lmN%,d x 40-word docs)") {
+      val m = graft.ops.LanguageModel.train(lmCorpus, col("text"),
+        bigramVocab = 10000, contextVocab = 1000)
+      m._1.count(); m._2.count(); m
+    }
+    val lmScored = time(f"lmScore ($lmN%,d docs against the trained model)") {
+      graft.ops.LanguageModel.score(lmCorpus, col("id"), col("text"), lmB, lmC)
+        .agg(count(lit(1)), avg("perplexity")).collect()
+    }
+    println(s"  docs scored: ${lmScored.head.getLong(0)}, " +
+      f"mean ppl ${lmScored.head.getDouble(1)}%.1f")
+
+    println(s"== global shuffle (bucketed positions, one corpus shuffle) ==")
+    val gsPos = time(f"globalShuffle ($n%,d rows, 2048 buckets)") {
+      graft.ops.Curation.globalShuffle(spark.range(n).toDF(), col("id"),
+        seed = "probe", nBuckets = 2048)
+        .agg(min("pos"), max("pos")).collect().head
+    }
+    println(s"  pos range: ${gsPos.getLong(0)}..${gsPos.getLong(1)} (want 0..${n - 1})")
+
+    println(s"== fractional epochs (row-local explode) ==")
+    val epN = time(f"epochs ($n%,d rows at weight 1.5)") {
+      graft.ops.Curation.epochs(spark.range(n).toDF(), col("id"), lit(1.5)).count()
+    }
+    println(f"  copies: $epN (want ~${(n * 1.5).toLong}%,d)")
+
     spark.stop()
   }
 }

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class QualityClassifierSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val cleanVocab = Vector("the", "data", "pipeline", "reads", "each",
+    "document", "and", "scores", "its", "tokens", "before", "training",
+    "filters", "keep", "only", "fluent", "prose", "for", "model", "quality")
+  private val spamVocab = Vector("click", "buy", "now", "free", "winner",
+    "$$$", "offer", "http", "xxx", "!!!")
+
+  // deterministic synthetic docs: clean = varied fluent-vocab sentences,
+  // spam = repetitive promo tokens — linearly separable in n-gram space
+  private def doc(i: Int, vocab: Vector[String], stride: Int): String =
+    (0 until 12).map(j => vocab((i * stride + j * j) % vocab.size)).mkString(" ")
+
+  test("ngramTokens is the unigram+bigram union, in order") {
+    val got = Seq("a b c").toDF("t")
+      .select(QualityClassifier.ngramTokens(col("t"))).as[Seq[String]].head()
+    assert(got == Seq("a", "b", "c", "a b", "b c"))
+  }
+
+  test("trains to >90% holdout accuracy on a separable corpus") {
+    val all = (0 until 300).map(i => (doc(i, cleanVocab, 7), 1.0)) ++
+      (0 until 300).map(i => (doc(i, spamVocab, 3), 0.0))
+    val df = all.zipWithIndex
+      .map { case ((t, l), i) => (i.toLong, t, l) }.toDF("id", "text", "label")
+    val train = df.filter(col("id") % 5 =!= 0)
+    val holdout = df.filter(col("id") % 5 === 0)
+
+    val model = QualityClassifier.train(train, "text", "label",
+      numFeatures = 1 << 14, maxIter = 30)
+    val scored = QualityClassifier.score(holdout, model)
+      .select(col("label"), col("quality_prob")).as[(Double, Double)].collect()
+    assert(scored.length == holdout.count())
+    val correct = scored.count { case (l, p) => (p >= 0.5) == (l == 1.0) }
+    assert(correct.toDouble / scored.length > 0.9,
+      s"holdout accuracy ${correct.toDouble / scored.length}")
+  }
+
+  test("scoring is shuffle-free: broadcast coefficients, row-local transform") {
+    val train = ((0 until 50).map(i => (doc(i, cleanVocab, 7), 1.0)) ++
+      (0 until 50).map(i => (doc(i, spamVocab, 3), 0.0))).toDF("text", "label")
+    val model = QualityClassifier.train(train, "text", "label",
+      numFeatures = 1 << 12, maxIter = 5)
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val plan = QualityClassifier.score(docs, model)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scoring plan shuffles:\n$plan")
+  }
+}
