@@ -42,6 +42,7 @@ object SparkEntry {
     "pipe_dedup_minhash", "pipe_dedup_clusters", "pipe_dedup_substring",
     "pipe_dedup_passages", "pipe_dedup_semantic", "pipe_dedup_bloom",
     "pipe_embed_topk", "pipe_embed_ivf", "pipe_embed_pq", "pipe_kmeans",
-    "pipe_token_count", "pipe_bpe",
+    "pipe_token_count", "pipe_bpe", "pipe_lm_score",
+    "pipe_global_shuffle", "pipe_epochs",
     "pipe_decontaminate", "pipe_pack_sequences")
 }
