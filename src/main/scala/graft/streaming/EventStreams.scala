@@ -290,6 +290,56 @@ object EventStreams {
     }
   }
 
+  final case class LmScored(doc_id: Long, n_bigrams: Int, matched_bg: Long,
+      sum_c_bg: Long, matched_prev: Long, sum_c_prev: Long,
+      avg_logp: Option[Double], perplexity: Option[Double])
+
+  /** Streaming twin of [[graft.ops.LanguageModel.score]]: perplexity-score
+    * every arriving document against a batch-trained bigram LM — the
+    * ingestion-time quality gate that drops gibberish before it lands.
+    *
+    * The model tables are LIMIT-bounded by construction (that is what lets
+    * the batch op broadcast-join them), so collecting them into hash maps
+    * and broadcasting is bounded metadata, not data movement. Scoring is a
+    * stateless row-local map through the same native bigram expression and
+    * the same add-one-smoothing arithmetic; no state store, no shuffle.
+    */
+  def lmScoreStream(docs: Dataset[Doc], bigramModel: DataFrame,
+      contextModel: DataFrame): Dataset[LmScored] = {
+    import docs.sparkSession.implicits._
+    val bgMap = bigramModel.as[(String, Long)].collect().toMap
+    val ctxMap = contextModel.as[(String, Long)].collect().toMap
+    val sc = docs.sparkSession.sparkContext
+    val bcBg = sc.broadcast(bgMap)
+    val bcCtx = sc.broadcast(ctxMap)
+    val v = ctxMap.size.toDouble
+    docs.map { d =>
+      val arr = graft.functions.Shingles.shinglesAll(
+        org.apache.spark.unsafe.types.UTF8String.fromString(d.text), 2)
+      val n = arr.numElements()
+      var matchedBg = 0L; var sumBg = 0L
+      var matchedCtx = 0L; var sumCtx = 0L
+      var logProb = 0.0
+      var i = 0
+      while (i < n) {
+        val bigram = arr.getUTF8String(i).toString
+        val cBg = bcBg.value.getOrElse(bigram, 0L)
+        if (cBg > 0) { matchedBg += 1; sumBg += cBg }
+        val prev = bigram.substring(0, bigram.indexOf(' '))
+        val cCtx = bcCtx.value.getOrElse(prev, 0L)
+        if (cCtx > 0) { matchedCtx += 1; sumCtx += cCtx }
+        logProb += math.log((cBg + 1).toDouble / (cCtx.toDouble + v))
+        i += 1
+      }
+      if (n == 0) LmScored(d.doc_id, 0, 0, 0, 0, 0, None, None)
+      else {
+        val avg = logProb / n
+        LmScored(d.doc_id, n, matchedBg, sumBg, matchedCtx, sumCtx,
+          Some(avg), Some(math.exp(-avg)))
+      }
+    }
+  }
+
   final case class RCarry(ts: Long, value: Option[Double])
   final case class ResampleState(nextTick: Long, tickCarry: Option[RCarry],
       latest: Option[RCarry])

@@ -315,4 +315,41 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(!streamed.exists(c => c._1 == 3L || c._1 == 4L))
     } finally q.stop()
   }
+
+  test("streaming LM scoring matches the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      EventStreams.Doc(1, "the cat sat on the mat"),
+      EventStreams.Doc(2, "the cat ran past the mat"),
+      EventStreams.Doc(3, "dogs chase cats all day long"),
+      EventStreams.Doc(4, "solo"))
+    val corpusDf = corpus.map(d => (d.doc_id, d.text)).toDF("doc_id", "text")
+    val (bm, cm) = graft.ops.LanguageModel.train(
+      corpusDf, col("text"), bigramVocab = 50, contextVocab = 20)
+
+    val input = MemoryStream[EventStreams.Doc]
+    val q = EventStreams.lmScoreStream(input.toDS(), bm, cm)
+      .writeStream.format("memory").queryName("lm_out")
+      .outputMode("append").start()
+    try {
+      input.addData(corpus: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("lm_out").as[EventStreams.LmScored]
+        .collect().map(s => s.doc_id -> s).toMap
+      val batch = graft.ops.LanguageModel.score(
+        corpusDf, col("doc_id"), col("text"), bm, cm)
+        .collect().map(r => r.getLong(0) -> r).toMap
+      assert(streamed.keySet == batch.keySet)
+      for ((id, s) <- streamed) {
+        val b = batch(id)
+        assert(s.n_bigrams.toLong == b.getLong(1) && s.matched_bg == b.getLong(2)
+          && s.sum_c_bg == b.getLong(3) && s.matched_prev == b.getLong(4)
+          && s.sum_c_prev == b.getLong(5), s"integer features differ for doc $id")
+        (s.avg_logp, if (b.isNullAt(6)) None else Some(b.getDouble(6))) match {
+          case (Some(x), Some(y)) => assert(math.abs(x - y) < 1e-9, s"doc $id")
+          case (x, y) => assert(x == y, s"doc $id")
+        }
+      }
+    } finally q.stop()
+  }
 }
