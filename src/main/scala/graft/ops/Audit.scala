@@ -1,0 +1,53 @@
+package graft.ops
+
+import scala.collection.mutable.ListBuffer
+
+import org.apache.spark.sql.{Column, DataFrame, Observation}
+import org.apache.spark.sql.functions._
+
+/** Pipeline observability: per-stage kept/dropped row accounting computed
+  * INSIDE the job via `Dataset.observe` — no second pass, no `count()`
+  * actions re-running the pipeline.
+  *
+  * A 100 TB curation run needs to report how many rows each gate dropped
+  * (quality filter, dedup, decontamination…). Counting per stage with
+  * `.count()` would re-execute the whole lineage once per stage;
+  * `observe` attaches an `CollectMetrics` node that aggregates alongside
+  * the real work, so the accounting is free — one job, exact counts.
+  *
+  * {{{
+  * val audit = new PipelineAudit
+  * val kept = audit.filter(
+  *   audit.filter(docs, "quality", qualityScore(col("text")) >= 0.5),
+  *   "lang", col("lang") === "en")
+  * kept.write.parquet(out)               // one job runs everything
+  * audit.report().foreach { case (stage, in, out) =>
+  *   println(s"$stage: kept $out / $in") }
+  * }}}
+  */
+final class PipelineAudit {
+  private val stages = ListBuffer.empty[(String, Observation, Observation)]
+
+  /** `df.filter(cond)` with observed input/output row counts. Stage names
+    * must be unique within one audit. */
+  def filter(df: DataFrame, name: String, cond: Column): DataFrame = {
+    require(!stages.exists(_._1 == name), s"duplicate audit stage '$name'")
+    val in = Observation(s"${name}_in")
+    val out = Observation(s"${name}_out")
+    val r = df.observe(in, count(lit(1)).as("rows"))
+      .filter(cond)
+      .observe(out, count(lit(1)).as("rows"))
+    stages += ((name, in, out))
+    r
+  }
+
+  /** (stage, rows_in, rows_out) per audited stage, in pipeline order.
+    * Blocks until the observed action has completed — call AFTER the job
+    * (write/collect) that runs the audited plan. */
+  def report(): Seq[(String, Long, Long)] =
+    stages.toSeq.map { case (name, in, out) =>
+      (name,
+        in.get("rows").asInstanceOf[Long],
+        out.get("rows").asInstanceOf[Long])
+    }
+}

@@ -1,0 +1,33 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Export surface for training data: write the corpus as N shard files in a
+  * seed-deterministic shuffled order — what a dataloader actually consumes.
+  *
+  * Builds on [[Curation.globalShuffle]]: rows get a reproducible global
+  * position, shards are assigned round-robin on that position (so every
+  * shard is the same size ±1 AND internally in shuffled order — a reader
+  * streaming one shard sequentially sees an unbiased sample stream), and
+  * each shard lands as its own `shard=K` parquet directory written by one
+  * task in position order.
+  *
+  * One corpus shuffle for the positions (inherited from globalShuffle) plus
+  * one for the shard repartition; both hash/range exchanges, nothing
+  * driver-side. Pick `nShards` ≥ reader parallelism (training exports
+  * typically use thousands of shards).
+  */
+object Output {
+  def writeShuffledShards(df: DataFrame, key: Column, seed: String,
+      nShards: Int, path: String): Unit = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val positioned = Curation.globalShuffle(df, key, seed,
+      nBuckets = math.max(nShards, 256))
+      .withColumn("shard", pmod(col("pos"), lit(nShards.toLong)).cast("int"))
+    positioned
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+  }
+}

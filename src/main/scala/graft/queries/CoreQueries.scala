@@ -376,6 +376,32 @@ object CoreQueries {
           max("l_quantity").as("max_qty"),
           round(stddev_samp("l_extendedprice"), 2).as("sd_price"),
           countDistinct("l_partkey").as("n_parts"))
+    }),
+
+    // D-aggregations: bivariate statistics (correlation + covariance) per
+    // group — one partial+final agg, no extra pass per statistic
+    "q35_corr_stats" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+          round(corr("l_quantity", "l_extendedprice"), 6).as("qty_price_corr"),
+          round(covar_samp("l_quantity", "l_extendedprice"), 2).as("cov_s"),
+          round(covar_pop("l_quantity", "l_extendedprice"), 2).as("cov_p"),
+          count(lit(1)).as("n"))
+    }),
+
+    // D-windows: distribution functions (ntile/percent_rank/cume_dist);
+    // the order key includes o_orderkey so ntile's row split is total
+    "q36_window_dist" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, d, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cd"))
     })
   )
 
@@ -583,6 +609,21 @@ object CoreQueries {
         | min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
         | round(stddev_samp(l_extendedprice), 2) AS sd_price,
         | count(DISTINCT l_partkey) AS n_parts
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q35_corr_stats" ->
+      """SELECT l_linestatus,
+        | round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        | round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_s,
+        | round(covar_pop(l_quantity, l_extendedprice), 2) AS cov_p,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+    "q36_window_dist" ->
+      """SELECT o_orderkey, o_orderpriority,
+        | CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        | round(percent_rank() OVER w, 6) AS pct_rank,
+        | round(cume_dist() OVER w, 6) AS cd
+        |FROM orders WHERE o_orderstatus = 'F'
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)""".stripMargin
   )
 }

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class AuditOutputSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("PipelineAudit reports exact per-stage counts from one job") {
+    val docs = (0L until 1000L).map(i => (i, i % 4, i % 10)).toDF("id", "a", "b")
+    val audit = new PipelineAudit
+    val kept = audit.filter(
+      audit.filter(docs, "stage_a", col("a") =!= 0),
+      "stage_b", col("b") < 5)
+    // exactly one action drives the whole audited plan
+    val n = kept.count()
+    val report = audit.report()
+    // per 20-id block (lcm of the moduli): 15 survive a!=0, of those 7 have
+    // b<5 — so 50 blocks give 750 and 350
+    assert(report.map(t => (t._1, t._2, t._3)) == Seq(
+      ("stage_a", 1000L, 750L),
+      ("stage_b", 750L, 350L)))
+    assert(n == 350L)
+    // duplicate stage names are refused
+    intercept[IllegalArgumentException] {
+      audit.filter(docs, "stage_a", col("a") === 1)
+    }
+  }
+
+  test("writeShuffledShards: balanced shards, shuffled order, readable back") {
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    val df = (0L until 4000L).toDF("id")
+    Output.writeShuffledShards(df, col("id"), seed = "exp1", nShards = 8,
+      path = dir)
+
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 4000L)
+    // every row came back, each exactly once
+    assert(back.select("id").distinct().count() == 4000L)
+    // shards are balanced to ±1
+    val sizes = back.groupBy("shard").count()
+      .collect().map(_.getLong(1))
+    assert(sizes.length == 8 && sizes.forall(_ == 500L))
+    // within a shard the file carries rows in global-position order, and
+    // that order is the seed's permutation (not id order)
+    val shard0 = spark.read.parquet(s"$dir/shard=0")
+      .select("id", "pos").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(shard0.map(_._2).sorted.toSeq == shard0.map(_._2).toSeq)
+    assert(shard0.map(_._1).toSeq != shard0.map(_._1).sorted.toSeq)
+    // determinism: a rewrite with the same seed produces identical shards
+    val dir2 = java.nio.file.Files.createTempDirectory("shards2").toString
+    Output.writeShuffledShards(df, col("id"), "exp1", 8, dir2)
+    val again = spark.read.parquet(s"$dir2/shard=0")
+      .select("id", "pos").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(again.toSeq == shard0.toSeq)
+  }
+}

@@ -43,6 +43,24 @@ class QualityClassifierSpec extends AnyFunSuite {
       s"holdout accuracy ${correct.toDouble / scored.length}")
   }
 
+  test("model save/load roundtrips with identical scores") {
+    val train = ((0 until 50).map(i => (doc(i, cleanVocab, 7), 1.0)) ++
+      (0 until 50).map(i => (doc(i, spamVocab, 3), 0.0))).toDF("text", "label")
+    val probe = (300 until 320).map(i => doc(i, cleanVocab, 7)).toDF("text")
+    val model = QualityClassifier.train(train, "text", "label",
+      numFeatures = 1 << 12, maxIter = 5)
+    val dir = java.nio.file.Files.createTempDirectory("qc-model").toString
+    model.write.overwrite().save(dir)
+    val loaded = org.apache.spark.ml.PipelineModel.load(dir)
+    // the SQLTransformer stage carries the token expression inside the
+    // saved model, so the loaded pipeline reproduces its own features
+    val a = QualityClassifier.score(probe, model)
+      .select("quality_prob").as[Double].collect().toSeq
+    val b = QualityClassifier.score(probe, loaded)
+      .select("quality_prob").as[Double].collect().toSeq
+    assert(a == b)
+  }
+
   test("scoring is shuffle-free: broadcast coefficients, row-local transform") {
     val train = ((0 until 50).map(i => (doc(i, cleanVocab, 7), 1.0)) ++
       (0 until 50).map(i => (doc(i, spamVocab, 3), 0.0))).toDF("text", "label")
