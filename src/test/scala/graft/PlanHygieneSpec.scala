@@ -173,4 +173,32 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(hashes.subsetOf(Set("centroid_id")),
       s"unexpected hash exchange keys $hashes (corpus must stay put):\n$p")
   }
+
+  test("LM scoring broadcasts the model; the corpus hash-shuffles only per-doc") {
+    val p = plan("pipe_lm_score")
+    assert(!p.contains("SortMergeJoin"), s"model joins must broadcast:\n$p")
+    // the only hash exchanges over corpus-sized data are the per-doc partial
+    // aggregate (id) — model-building exchanges are over the bigram counts
+    val hashes = "hashpartitioning\\((\\w+)".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(hashes.subsetOf(Set("id", "bigram", "prev")),
+      s"unexpected hash exchange keys $hashes:\n$p")
+  }
+
+  test("global shuffle: corpus crosses the network once, offsets broadcast") {
+    val p = plan("pipe_global_shuffle")
+    assert(!p.contains("SortMergeJoin"), s"offset join must broadcast:\n$p")
+    // corpus-sized exchanges: ONE hash partition by bucket (for the window);
+    // the offsets side re-aggregates per bucket — also keyed by bucket
+    val hashes = "hashpartitioning\\((\\w+)".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(hashes.subsetOf(Set("__gs_b")),
+      s"unexpected hash exchange keys $hashes:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"no global sort should appear:\n$p")
+  }
+
+  test("epoch upsampling is a row-local explode: zero exchanges") {
+    val p = plan("pipe_epochs")
+    assert(!p.contains("Exchange"), s"epochs must not shuffle:\n$p")
+    assert(p.contains("Generate"), s"expected explode generator:\n$p")
+  }
 }
