@@ -43,6 +43,6 @@ object SparkEntry {
     "pipe_dedup_passages", "pipe_dedup_semantic", "pipe_dedup_bloom",
     "pipe_embed_topk", "pipe_embed_ivf", "pipe_embed_pq", "pipe_kmeans",
     "pipe_token_count", "pipe_bpe", "pipe_lm_score",
-    "pipe_global_shuffle", "pipe_epochs",
+    "pipe_global_shuffle", "pipe_epochs", "pipe_training_prep",
     "pipe_decontaminate", "pipe_pack_sequences")
 }

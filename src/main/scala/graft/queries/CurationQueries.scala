@@ -124,6 +124,24 @@ object CurationQueries {
         .select("doc_id", "source", "epoch")
     }),
 
+    // the full training-prep composition, one chained oracle: quality gate
+    // -> fractional-epoch upsampling -> seed-keyed global shuffle over
+    // (doc, epoch) -> round-robin shard split. What Output.writeShuffledShards
+    // persists, verified end to end.
+    "pipe_training_prep" -> ((s, d) => {
+      val kept = t(s, d, "documents")
+        .filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
+        .select("doc_id", "source")
+      val wt = when(col("source").isin("src0", "src1", "src2", "src3"), 2.0)
+        .otherwise(0.5)
+      val keyed = Curation.epochs(kept, col("doc_id"), wt)
+        .withColumn("ek", concat(col("doc_id").cast("string"), lit("#"),
+          col("epoch").cast("string")))
+      Curation.globalShuffle(keyed, col("ek"), seed = "prep", nBuckets = 64)
+        .withColumn("shard", pmod(col("pos"), lit(8L)).cast("int"))
+        .select("doc_id", "epoch", "shard", "pos")
+    }),
+
     // deterministic shard assignment + within-shard position
     "pipe_shard_assign" -> ((s, d) =>
       Curation.shardAssign(t(s, d, "documents"), col("doc_id"), nShards = 8)
@@ -288,6 +306,34 @@ object CurationQueries {
         |  FROM w)
         |SELECT doc_id, source, unnest(generate_series(0, reps - 1)) AS epoch
         |FROM r WHERE reps > 0""".stripMargin,
+    "pipe_training_prep" ->
+      """WITH q AS (
+        |  SELECT doc_id, source FROM documents
+        |  WHERE round(
+        |    least(length(text) / 200.0, 1.0) * 0.4
+        |    + (CASE WHEN length(text)::DOUBLE / greatest(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text),'\s+')) END, 1) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3
+        |    + (CASE WHEN length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g'))::DOUBLE / greatest(length(text), 1) < 0.2 THEN 1.0 ELSE 0.3 END) * 0.3
+        |  , 6) >= 0.5),
+        |w AS (SELECT doc_id,
+        |  CAST(CASE WHEN source IN ('src0','src1','src2','src3')
+        |       THEN 2.0 ELSE 0.5 END AS DOUBLE) AS wt,
+        |  ('0x'||substr(md5(CAST(doc_id AS VARCHAR) || '#epoch'),1,8))::BIGINT AS hv
+        |  FROM q),
+        |r AS (SELECT doc_id,
+        |  CAST(floor(wt) AS BIGINT)
+        |    + CASE WHEN hv < CAST((wt - floor(wt)) * 4294967296.0 AS BIGINT)
+        |           THEN 1 ELSE 0 END AS reps
+        |  FROM w),
+        |e AS (SELECT doc_id, unnest(generate_series(0, reps - 1)) AS epoch
+        |      FROM r WHERE reps > 0),
+        |k AS (SELECT doc_id, epoch,
+        |  CAST(doc_id AS VARCHAR) || '#' || CAST(epoch AS VARCHAR) AS ek FROM e),
+        |h AS (SELECT doc_id, epoch, ek,
+        |  ('0x'||substr(md5('prep|' || ek),1,8))::BIGINT AS hv2 FROM k),
+        |p AS (SELECT doc_id, epoch,
+        |  CAST(row_number() OVER (ORDER BY hv2, ek) AS BIGINT) - 1 AS pos FROM h)
+        |SELECT doc_id, epoch, CAST(pos % 8 AS INTEGER) AS shard, pos
+        |FROM p""".stripMargin,
     "pipe_shard_assign" ->
       s"""WITH h AS (SELECT doc_id, $duckHash AS hv FROM documents)
          |SELECT doc_id, CAST(hv % 8 AS INTEGER) AS shard,
