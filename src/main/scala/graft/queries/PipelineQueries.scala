@@ -230,6 +230,25 @@ object PipelineQueries {
         .select(col("doc_id"),
           md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ").cast("binary")).as("fp"))),
 
+    // snapshot diff: old = documents; new = drop every 7th doc, append
+    // " updated" to every 5th, add 20 fresh ids — classified added /
+    // removed / changed / unchanged on an md5 fingerprint full-outer join
+    "pipe_snapshot_diff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val fp = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+        .cast("binary"))
+      val newSnap = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(col("text"), lit(" updated")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      graft.ops.Snapshot.diff(docs, col("doc_id"), fp,
+          newSnap, col("doc_id"), fp)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // brute-force cosine top-5 for three query vectors (exact ANN baseline)
     "pipe_embed_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -636,6 +655,26 @@ object PipelineQueries {
     "pipe_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+    "pipe_snapshot_diff" ->
+      """WITH oldt AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |newt AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(
+        |      CASE WHEN doc_id % 5 = 0 THEN text || ' updated' ELSE text END
+        |    )), '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |  FROM documents WHERE doc_id < 20)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.fp = n.fp THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM oldt o FULL OUTER JOIN newt n ON o.doc_id = n.doc_id""".stripMargin,
     "pipe_dedup_incremental" ->
       """SELECT b.doc_id, b.source FROM documents b
         |WHERE NOT EXISTS (

@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class SnapshotSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("diff classifies membership and content changes, null-text safe") {
+    val oldSnap = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("c")),
+      (4L, None: Option[String])).toDF("id", "text")
+    val newSnap = Seq((2L, Some("b")), (3L, Some("c2")), (5L, Some("e")),
+      (4L, None: Option[String])).toDF("id", "text")
+    val fp = md5(col("text").cast("binary"))
+    val got = Snapshot.diff(oldSnap, col("id"), fp, newSnap, col("id"), fp)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "removed",   // only in old
+      2L -> "unchanged", // same text
+      3L -> "changed",   // text differs
+      4L -> "unchanged", // NULL text on both sides: present, not changed
+      5L -> "added"))    // only in new
+  }
+
+  test("diff shuffles only narrow (id, fp) projections") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val fp = md5(col("text").cast("binary"))
+    val p = Snapshot.diff(docs, col("doc_id"), fp,
+        docs.filter(col("doc_id") % 2 === 0), col("doc_id"), fp)
+      .queryExecution.executedPlan.toString
+    // each exchange's direct child is the narrow (id, md5, flag) projection
+    // — fingerprinting happens BELOW the shuffle, text never crosses it
+    val lines = p.linesIterator.toVector
+    val exchanges = lines.zipWithIndex
+      .filter(_._1.contains("Exchange hashpartitioning(id"))
+    assert(exchanges.size == 2, s"expected two id exchanges:\n$p")
+    exchanges.foreach { case (_, i) =>
+      assert(lines(i + 1).contains("md5("),
+        s"exchange input is not the fingerprint projection:\n$p")
+    }
+  }
+}
