@@ -20,9 +20,11 @@ object ExtensionsCheck {
     // injected SQL functions
     val f = spark.sql(
       "SELECT simhash('a b c') AS s, cosine_sim(array(1.0d, 0d), array(1.0d, 0d)) AS c, " +
-        "word_stats('a a b').top_freq AS t, lang_id('the of and') AS l").head()
+        "word_stats('a a b').top_freq AS t, lang_id('the of and') AS l, " +
+        "shingles_all('a a b', 1) AS sa").head()
     assert(f.getLong(0) != 0L && math.abs(f.getDouble(1) - 1.0) < 1e-12)
     assert(f.getInt(2) == 2 && f.getString(3) == "en")
+    assert(f.getSeq[String](4) == Seq("a", "a", "b"), "shingles_all keeps multiplicity")
     println("functions: OK")
 
     // injected optimizer rule: SQL abs-distance join plans as a hash join

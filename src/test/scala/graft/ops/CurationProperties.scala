@@ -42,4 +42,26 @@ object CurationProperties extends Properties("curation") {
       val big = Curation.hashSample(ids, col("id"), hi).as[Long].collect().toSet
       small.subsetOf(big)
     }
+
+  property("globalShuffle is a permutation for any size, seed, bucket count") =
+    forAll(Gen.choose(1, 400), Gen.alphaStr.map(_.take(8)),
+      Gen.choose(1, 64)) { (n, seed, buckets) =>
+      val out = Curation.globalShuffle(
+        (0L until n.toLong).toDF("id"), col("id"), seed, buckets)
+        .select("pos").as[Long].collect().sorted.toSeq
+      out == (0L until n.toLong)
+    }
+
+  property("epochs copy count is floor(w) or ceil(w) per row, epochs dense") =
+    forAll(Gen.choose(1, 200), Gen.choose(0.0, 4.0)) { (n, w) =>
+      val byId = Curation.epochs((0L until n.toLong).toDF("id"), col("id"), lit(w))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      val lo = math.floor(w).toLong
+      (0L until n.toLong).forall { id =>
+        val copies = byId.get(id).map(_.length.toLong).getOrElse(0L)
+        (copies == lo || copies == lo + 1) &&
+          byId.get(id).forall(e => e == (0L until copies))
+      }
+    }
 }
