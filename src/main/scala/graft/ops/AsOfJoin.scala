@@ -42,13 +42,13 @@ object AsOfJoin {
       valueCols.map(c => right.schema(right.schema.fieldIndex(c))))
     val l = left.select(
       leftKey.as("__k") +: leftTs.as("__ts") +: lit(1).as("__tag") +:
-        (leftCols.map(c => col(c).as(s"l_$c")) :+
+        (leftCols.map(c => col(c).as(s"l_$c")).toIndexedSeq :+
           lit(null).cast(payloadT).as("__payload")): _*)
     // NULL-key right rows can never match (l.k = r.k is never true on NULL),
     // so they are excluded rather than grouped into the NULL partition
     val r = right.filter(rightKey.isNotNull).select(
       rightKey.as("__k") +: rightTs.as("__ts") +: lit(0).as("__tag") +:
-        (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"l_$c")) :+
+        (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"l_$c")).toIndexedSeq :+
           struct(valueCols.map(col): _*).as("__payload")): _*)
     val w = Window.partitionBy("__k")
       .orderBy(col("__ts"), col("__tag"))
@@ -56,7 +56,7 @@ object AsOfJoin {
     l.unionByName(r)
       .withColumn("__payload", last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
-      .select(leftCols.map(c => col(s"l_$c").as(c)) ++
+      .select(leftCols.map(c => col(s"l_$c").as(c)).toIndexedSeq ++
         valueCols.map(c => col("__payload").getField(c).as(c)): _*)
   }
 }

@@ -572,7 +572,7 @@ object Dedup {
     val planes = Array.fill(nTables, planesPerTable, dim)(rng.nextGaussian())
     def tableSig(t: Int): Column =
       (0 until planesPerTable).map { p =>
-        val plane = array(planes(t)(p).map(lit(_)): _*)
+        val plane = array(planes(t)(p).toIndexedSeq.map(lit(_)): _*)
         // native single-pass dot (codegen); the plane array constant-folds
         when(graft.functions.VecMath.dotProduct(col("v"), plane) >= 0,
           lit(1L << p)).otherwise(lit(0L))

@@ -210,7 +210,7 @@ object Similarity {
     val probeIds = probes.select("centroid_id").distinct()
       .collect().map(_.getLong(0)).sorted
     val assigned = spark.read.parquet(indexPath)
-      .filter(col("centroid_id").isin(probeIds: _*))
+      .filter(col("centroid_id").isin(probeIds.toIndexedSeq: _*))
     val scored = probes.join(assigned, Seq("centroid_id"))
       .withColumn("cosine", round(cosine(col("cv"), col("qv")), 6))
     scored
@@ -436,7 +436,7 @@ object Similarity {
       .sortBy { case (cid, d) => (d, cid) }
       .take(nProbe).map(_._1)
     val encoded = spark.read.parquet(indexPath)
-      .filter(col("centroid_id").isin(probes: _*))
+      .filter(col("centroid_id").isin(probes.toIndexedSeq: _*))
     pqSearch(encoded, codebooks, query, dim, topK, scale)
   }
 }
