@@ -333,6 +333,33 @@ object Curation {
         row_number().over(Window.partitionBy(col("shard")).orderBy(h, key)).cast("long") - 1)
   }
 
+  /** Deterministic split assignment: appends `split` naming which cut of
+    * the hash line the row's key falls in — `("test", 0.05), ("valid",
+    * 0.05)` sends ~5% each to test and valid and the rest to `defaultSplit`.
+    * Row-local md5 arithmetic: splits are disjoint by construction,
+    * reproducible across runs/engines/cluster sizes, and STABLE UNDER
+    * CORPUS GROWTH — a doc keeps its split when new data arrives, so eval
+    * sets never leak into training when the corpus is re-cut (the property
+    * random-number splits lose).
+    */
+  def assignSplit(df: DataFrame, key: Column, cuts: Seq[(String, Double)],
+      defaultSplit: String = "train"): DataFrame = {
+    require(cuts.nonEmpty, "at least one named cut required")
+    require(cuts.map(_._2).forall(r => r > 0 && r < 1), "rates must be in (0,1)")
+    require(cuts.map(_._2).sum < 1, "cut rates must leave room for the default")
+    require((cuts.map(_._1) :+ defaultSplit).distinct.size == cuts.size + 1,
+      "split names must be unique")
+    val h = hashUniform(key)
+    val bounds = cuts.scanLeft(0.0) { case (acc, (_, r)) => acc + r }.tail
+    val named = cuts.zip(bounds).map { case ((name, _), hi) =>
+      (name, (hi * 4294967296.0).toLong)
+    }
+    val expr = named.tail.foldLeft(when(h < named.head._2, named.head._1)) {
+      case (acc, (name, hi)) => acc.when(h < hi, name)
+    }
+    df.withColumn("split", expr.otherwise(defaultSplit))
+  }
+
   /** Deterministic global shuffle: appends `pos` — each row's 0-based
     * position in the seed-keyed pseudo-random total order `(md5(seed|key),
     * key)`. Same seed → byte-identical order on any cluster size, across

@@ -107,6 +107,13 @@ object CurationQueries {
         budget = 6000L)
         .select("doc_id", "source", "n_chars")),
 
+    // deterministic train/valid/test split: disjoint md5 cuts, stable
+    // under corpus growth (a doc keeps its split forever)
+    "pipe_split" -> ((s, d) =>
+      Curation.assignSplit(t(s, d, "documents"), col("doc_id"),
+        cuts = Seq(("test", 0.1), ("valid", 0.1)))
+        .select("doc_id", "split")),
+
     // seed-keyed global permutation: reproducible training order, no RNG
     "pipe_global_shuffle" -> ((s, d) =>
       Curation.globalShuffle(t(s, d, "documents"), col("doc_id"),
@@ -284,6 +291,13 @@ object CurationQueries {
          |SELECT doc_id, source, n_chars FROM c
          |WHERE cum <= CASE source WHEN 'src1' THEN 3000
          |                         WHEN 'src2' THEN 1800 ELSE 1200 END""".stripMargin,
+    "pipe_split" ->
+      s"""WITH h AS (SELECT doc_id, $duckHash AS hv FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN hv < CAST(floor(0.1 * 4294967296.0) AS BIGINT) THEN 'test'
+         |       WHEN hv < CAST(floor(0.2 * 4294967296.0) AS BIGINT) THEN 'valid'
+         |       ELSE 'train' END AS split
+         |FROM h""".stripMargin,
     "pipe_global_shuffle" ->
       """WITH h AS (SELECT doc_id,
         |  ('0x'||substr(md5('r4|' || CAST(doc_id AS VARCHAR)),1,8))::BIGINT AS hv
@@ -301,7 +315,7 @@ object CurationQueries {
         |  FROM documents),
         |r AS (SELECT doc_id, source,
         |  CAST(floor(wt) AS BIGINT)
-        |    + CASE WHEN hv < CAST((wt - floor(wt)) * 4294967296.0 AS BIGINT)
+        |    + CASE WHEN hv < CAST(floor((wt - floor(wt)) * 4294967296.0) AS BIGINT)
         |           THEN 1 ELSE 0 END AS reps
         |  FROM w)
         |SELECT doc_id, source, unnest(generate_series(0, reps - 1)) AS epoch
@@ -321,7 +335,7 @@ object CurationQueries {
         |  FROM q),
         |r AS (SELECT doc_id,
         |  CAST(floor(wt) AS BIGINT)
-        |    + CASE WHEN hv < CAST((wt - floor(wt)) * 4294967296.0 AS BIGINT)
+        |    + CASE WHEN hv < CAST(floor((wt - floor(wt)) * 4294967296.0) AS BIGINT)
         |           THEN 1 ELSE 0 END AS reps
         |  FROM w),
         |e AS (SELECT doc_id, unnest(generate_series(0, reps - 1)) AS epoch

@@ -201,6 +201,28 @@ class CurationSpec extends AnyFunSuite {
     assert(out.groupBy(_._2).values.map(_.size).min > 60)
   }
 
+  test("assignSplit cuts are disjoint, exhaustive, and stable under growth") {
+    val small = (0L until 1000L).toDF("id")
+    val cuts = Seq(("test", 0.1), ("valid", 0.1))
+    val s1 = Curation.assignSplit(small, col("id"), cuts)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(s1.values.toSet.subsetOf(Set("test", "valid", "train")))
+    // roughly the requested rates
+    val counts = s1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("test") - 100) < 40 && math.abs(counts("valid") - 100) < 40)
+    // growth stability: tripling the corpus never reassigns an old row
+    val grown = Curation.assignSplit((0L until 3000L).toDF("id"), col("id"), cuts)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(s1.forall { case (id, sp) => grown(id) == sp })
+    // bad configs are refused
+    intercept[IllegalArgumentException] {
+      Curation.assignSplit(small, col("id"), Seq(("a", 0.6), ("b", 0.5)))
+    }
+    intercept[IllegalArgumentException] {
+      Curation.assignSplit(small, col("id"), Seq(("train", 0.1)))
+    }
+  }
+
   test("globalShuffle is a deterministic permutation ordered by salted hash") {
     val df = (0L until 2000L).toDF("id")
     val out = Curation.globalShuffle(df, col("id"), seed = "s1", nBuckets = 16)
