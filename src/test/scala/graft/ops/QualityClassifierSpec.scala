@@ -61,6 +61,32 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("the trained model scores a stream unchanged (stateless transform)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val train = ((0 until 50).map(i => (doc(i, cleanVocab, 7), 1.0)) ++
+      (0 until 50).map(i => (doc(i, spamVocab, 3), 0.0))).toDF("text", "label")
+    val model = QualityClassifier.train(train, "text", "label",
+      numFeatures = 1 << 12, maxIter = 5)
+    val probeDocs = (0 until 10).map(i => doc(i + 500, cleanVocab, 7)) ++
+      (0 until 10).map(i => doc(i + 500, spamVocab, 3))
+
+    val input = MemoryStream[String]
+    val q = QualityClassifier.score(input.toDF().withColumnRenamed("value", "text"), model)
+      .writeStream.format("memory").queryName("qc_stream_out")
+      .outputMode("append").start()
+    try {
+      input.addData(probeDocs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("qc_stream_out")
+        .select("text", "quality_prob").as[(String, Double)].collect().toMap
+      val batch = QualityClassifier.score(probeDocs.toDF("text"), model)
+        .select("text", "quality_prob").as[(String, Double)].collect().toMap
+      assert(streamed == batch)
+      assert(streamed.size == probeDocs.distinct.size)
+    } finally q.stop()
+  }
+
   test("scoring is shuffle-free: broadcast coefficients, row-local transform") {
     val train = ((0 until 50).map(i => (doc(i, cleanVocab, 7), 1.0)) ++
       (0 until 50).map(i => (doc(i, spamVocab, 3), 0.0))).toDF("text", "label")
