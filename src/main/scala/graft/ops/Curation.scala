@@ -376,7 +376,11 @@ object Curation {
     * so each bucket sorts in a single task's memory.
     *
     * `key` must be unique per row (it is the tiebreak); duplicate keys get
-    * arbitrary relative order among themselves.
+    * arbitrary relative order among themselves. Like [[mixtureByBudget]],
+    * the input is evaluated twice (offset counts, then the positioned
+    * pass) — a NONDETERMINISTIC source must be read from storage or
+    * checkpointed first, or the offsets will disagree with the main pass
+    * and positions stop being a permutation.
     */
   def globalShuffle(df: DataFrame, key: Column, seed: String,
       nBuckets: Int = 1024): DataFrame = {

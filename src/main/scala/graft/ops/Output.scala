@@ -26,7 +26,10 @@ object Output {
       nBuckets = math.max(nShards, 256))
       .withColumn("shard", pmod(col("pos"), lit(nShards.toLong)).cast("int"))
     positioned
-      .repartition(nShards, col("shard"))
+      // range partitioning maps the nShards distinct keys ~1:1 onto tasks;
+      // hash would collide ~37% of tasks empty and others writing 2-3
+      // shards (balls-in-bins), serializing the export
+      .repartitionByRange(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("pos"))
       .write.partitionBy("shard").mode("overwrite").parquet(path)
   }

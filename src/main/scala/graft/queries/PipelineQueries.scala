@@ -744,13 +744,14 @@ object PipelineQueries {
         |       CAST(('0x' || substr(m.hx, 1, 8))::BIGINT % 4 * 8000 + 16000 AS INTEGER) AS a_rate,
         |       CAST(('0x' || substr(m.hx, 9, 8))::BIGINT % 2 + 1 AS INTEGER) AS a_channels
         |FROM r JOIN m ON r.doc_id = m.doc_id""".stripMargin,
-    // bigram construction mirrors Shingles.shinglesAll (lower, trim, \s+
-    // split, empty tokens dropped); model LIMITs tie-break by key in both
-    // engines; DuckDB sum(BIGINT) widens to HUGEINT, hence the casts
+    // bigram construction mirrors Shingles.shinglesAll EXACTLY (lower,
+    // space-trim, \s+ split with edge empties KEPT — see Tokenize.scala's
+    // contract); model LIMITs tie-break by key in both engines; DuckDB
+    // sum(BIGINT) widens to HUGEINT, hence the casts
     "pipe_lm_score" ->
       """WITH docs AS (
         |  SELECT doc_id,
-        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS toks
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
         |  FROM documents),
         |bgl AS (
         |  SELECT doc_id,

@@ -197,6 +197,8 @@ object EventStreams {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
     require(maxPerBucket > 0, s"maxPerBucket must be positive, got $maxPerBucket")
+    require(threshold > 0 && threshold <= 1,
+      s"threshold is a Jaccard fraction in (0, 1], got $threshold")
 
     val banded = docs
       .select(col("doc_id"),
@@ -234,7 +236,10 @@ object EventStreams {
                   eq.toDouble / d.sig.length, key._1)
             }
             st =
-              if (st.entries.length < maxPerBucket)
+              if (st.entries.exists(_.doc_id == d.doc_id)) st // re-ingest:
+              // already stored — appending again would emit duplicate
+              // candidates and burn a capped slot
+              else if (st.entries.length < maxPerBucket)
                 st.copy(entries = st.entries :+ BucketEntry(d.doc_id, d.sig))
               else st.copy(overflow = st.overflow + 1)
           }
@@ -263,15 +268,21 @@ object EventStreams {
       benchText: Column, shingleSize: Int = 5,
       minOverlap: Int = 1): Dataset[Contam] = {
     import docs.sparkSession.implicits._
+    // the batch twin's inner join makes overlap >= 1 structural; a zero
+    // threshold would make the stream emit rows batch cannot produce
+    require(minOverlap >= 1, s"minOverlap must be >= 1, got $minOverlap")
     val benchSet = benchmark
       .select(explode(
         graft.ops.TextAnalysis.shingles(benchText, shingleSize)).as("s"))
       .distinct().as[String].collect().toSet
     val bc = docs.sparkSession.sparkContext.broadcast(benchSet)
     docs.flatMap { d =>
-      val arr = graft.functions.Shingles.shingles(
-        org.apache.spark.unsafe.types.UTF8String.fromString(d.text), shingleSize)
-      val n = arr.numElements()
+      // null text: the batch twin's null-safe expressions drop the row
+      val arr =
+        if (d.text == null) null
+        else graft.functions.Shingles.shingles(
+          org.apache.spark.unsafe.types.UTF8String.fromString(d.text), shingleSize)
+      val n = if (arr == null) 0 else arr.numElements()
       if (n == 0) None
       else {
         val bench = bc.value
@@ -314,9 +325,13 @@ object EventStreams {
     val bcCtx = sc.broadcast(ctxMap)
     val v = ctxMap.size.toDouble
     docs.map { d =>
-      val arr = graft.functions.Shingles.shinglesAll(
-        org.apache.spark.unsafe.types.UTF8String.fromString(d.text), 2)
-      val n = arr.numElements()
+      // null text: batch explode_outer still emits the (id, n_bigrams=0)
+      // row — mirror it instead of NPE-ing the query
+      val arr =
+        if (d.text == null) null
+        else graft.functions.Shingles.shinglesAll(
+          org.apache.spark.unsafe.types.UTF8String.fromString(d.text), 2)
+      val n = if (arr == null) 0 else arr.numElements()
       var matchedBg = 0L; var sumBg = 0L
       var matchedCtx = 0L; var sumCtx = 0L
       var logProb = 0.0

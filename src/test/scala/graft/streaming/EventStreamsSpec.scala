@@ -300,7 +300,8 @@ class EventStreamsSpec extends AnyFunSuite {
     try {
       input.addData(docs.take(2): _*)
       q.processAllAvailable()
-      input.addData(docs.drop(2): _*)
+      // null text must be dropped like the batch twin, not NPE the query
+      input.addData(docs.drop(2) :+ EventStreams.Doc(9, null): _*)
       q.processAllAvailable()
       val streamed = spark.table("decontam_out")
         .as[EventStreams.Contam].collect()
@@ -310,9 +311,10 @@ class EventStreamsSpec extends AnyFunSuite {
         .collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
       assert(streamed == batch)
-      // doc 1 overlaps the benchmark, doc 3 does not, doc 4 has no shingles
+      // doc 1 overlaps the benchmark, doc 3 does not, doc 4 has no
+      // shingles, doc 9 (null text) is dropped without failing the stream
       assert(streamed.exists(_._1 == 1L))
-      assert(!streamed.exists(c => c._1 == 3L || c._1 == 4L))
+      assert(!streamed.exists(c => c._1 == 3L || c._1 == 4L || c._1 == 9L))
     } finally q.stop()
   }
 
@@ -322,7 +324,8 @@ class EventStreamsSpec extends AnyFunSuite {
       EventStreams.Doc(1, "the cat sat on the mat"),
       EventStreams.Doc(2, "the cat ran past the mat"),
       EventStreams.Doc(3, "dogs chase cats all day long"),
-      EventStreams.Doc(4, "solo"))
+      EventStreams.Doc(4, "solo"),
+      EventStreams.Doc(5, null)) // must score as n_bigrams=0, not crash
     val corpusDf = corpus.map(d => (d.doc_id, d.text)).toDF("doc_id", "text")
     val (bm, cm) = graft.ops.LanguageModel.train(
       corpusDf, col("text"), bigramVocab = 50, contextVocab = 20)
