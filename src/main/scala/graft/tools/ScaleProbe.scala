@@ -246,6 +246,17 @@ object ScaleProbe {
     }
     println(f"  copies: $epN (want ~${(n * 1.5).toLong}%,d)")
 
+    println(s"== shuffled-shard export (range 1:1 shard->task mapping) ==")
+    val shardDir = java.nio.file.Files.createTempDirectory("probe-shards")
+    time(f"writeShuffledShards ($n%,d rows -> 256 shards)") {
+      graft.ops.Output.writeShuffledShards(spark.range(n).toDF(), col("id"),
+        seed = "probe", nShards = 256, path = shardDir.toString)
+    }
+    val shardSizes = spark.read.parquet(shardDir.toString)
+      .groupBy("shard").count().agg(min("count"), max("count")).head()
+    println(s"  shard sizes: ${shardSizes.getLong(0)}..${shardSizes.getLong(1)} " +
+      s"(want ±1 around ${n / 256})")
+
     spark.stop()
   }
 }
