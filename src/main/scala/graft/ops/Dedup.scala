@@ -348,13 +348,22 @@ object Dedup {
     * occurrences, so every duplicated passage survives in exactly the
     * lowest-id document that had it.
     *
-    * Scale shape: three hash-keyed shuffles, nothing all-pairs —
-    * (1) window → (distinct-doc count, keeper) groupBy; (2) occurrence ⨝
-    * duplicated-window on the window hash (skew bounded by the maxDocFreq
-    * guard exactly as in [[substringPairs]]); (3) dropped window starts
-    * re-keyed per doc and joined back to the corpus on id. Reassembly is one
-    * row-local higher-order-function pass over (tokens, drop_starts) — text
-    * never shuffles with anything wider than its own row.
+    * Scale shape: the corpus is tokenized and window-exploded ONCE, and the
+    * occurrence set crosses the network ONCE (hash-partitioned by window for
+    * the window-function pass). Per-window docfreq and keeper come from
+    * streaming window frames over that single exchange — distinct-doc count
+    * as dense_rank(asc) + dense_rank(desc) − 1 (two partition-local sorts,
+    * every frame a running frame, so no per-group buffering even for a
+    * boilerplate window occurring in millions of docs), keeper as the
+    * running min id. No duplicated-window table is ever materialized,
+    * joined, or broadcast (at corpus scale that 2..maxDocFreq window set is
+    * itself huge — the formulation that builds one either broadcasts it or
+    * re-explodes the corpus for a shuffle join). Remaining shuffles: dropped
+    * window starts re-keyed per doc (dup occurrences only) and the final
+    * corpus ⨝ drops join on id. Skew is bounded by the maxDocFreq guard
+    * exactly as in [[substringPairs]]; reassembly is one row-local
+    * higher-order-function pass over (tokens, drop_starts) — text never
+    * shuffles with anything wider than its own row.
     */
   def removeSharedPassages(df: DataFrame, id: Column, text: Column,
       windowTokens: Int = 8, maxDocFreq: Int = 50): DataFrame = {
@@ -378,13 +387,19 @@ object Dedup {
           p => lower(array_join(slice(col("toks"), p + lit(1), lit(k)), " ")))))
       .withColumnRenamed("pos", "p")
       .withColumnRenamed("col", "win")
-    val dupWins = occ.groupBy("win")
-      .agg(countDistinct(col("id")).as("ndocs"), min(col("id")).as("keeper"))
-      .filter(col("ndocs").between(2, maxDocFreq))
-      .select("win", "keeper")
+    // docfreq + keeper per window via streaming frames over ONE exchange:
+    // dense_rank(asc) + dense_rank(desc) − 1 = distinct doc count on every
+    // row, running min = keeper; both orderings share the win partitioning
+    val wAsc = Window.partitionBy("win").orderBy(col("id").asc)
+    val wDesc = Window.partitionBy("win").orderBy(col("id").desc)
+    val marked = occ
+      .withColumn("keeper", min(col("id")).over(wAsc))
+      .withColumn("dr_a", dense_rank().over(wAsc))
+      .withColumn("dr_d", dense_rank().over(wDesc))
+      .withColumn("ndocs", col("dr_a") + col("dr_d") - 1)
     // drop starts per non-keeper doc; bounded per doc by its own window count
-    val drops = occ.join(dupWins, Seq("win"))
-      .filter(col("id") =!= col("keeper"))
+    val drops = marked
+      .filter(col("ndocs").between(2, maxDocFreq) && col("id") =!= col("keeper"))
       .groupBy("id")
       .agg(collect_set(col("p")).as("drop_starts"))
     base.join(drops, Seq("id"), "left")

@@ -196,6 +196,26 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"no global sort should appear:\n$p")
   }
 
+  test("passage removal explodes the corpus once; occurrences shuffle once on win") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.ops.Dedup.removeSharedPassages(
+      docs, col("doc_id"), col("text"), windowTokens = 8, maxDocFreq = 50)
+    val p = out.queryExecution.explainString(FormattedMode)
+    // exactly one window explode: docfreq/keeper come from streaming window
+    // frames over the single win-partitioned exchange, never from a second
+    // tokenize+explode feeding a duplicated-window join
+    val generates = "\\(\\d+\\) Generate".r.findAllIn(p).length
+    assert(generates == 1,
+      s"corpus must be window-exploded exactly once, got $generates:\n$p")
+    // occurrence-sized hash exchanges: win (window pass) and id (drop
+    // starts); no join of a materialized duplicated-window table
+    val hashes = "hashpartitioning\\((\\w+)".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(hashes.subsetOf(Set("win", "id")),
+      s"unexpected hash exchange keys $hashes:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("epoch upsampling is a row-local explode: zero exchanges") {
     val p = plan("pipe_epochs")
     assert(!p.contains("Exchange"), s"epochs must not shuffle:\n$p")
