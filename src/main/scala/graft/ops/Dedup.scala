@@ -412,6 +412,60 @@ object Dedup {
         (size(col("toks")) - size(col("__kept"))).as("n_dropped"))
   }
 
+  /** Exact line-level dedup — the CCNet/RefinedWeb boilerplate pass: lines
+    * (newline-separated) whose normalized form appears in at least
+    * [[minDocFreq]] DISTINCT documents are removed; with `keepFirst` the
+    * lowest-id document keeps all its occurrences (the Lee-et-al keep-one
+    * contract, matching [[removeSharedPassages]]), without it every
+    * occurrence is dropped corpus-wide (the CCNet cookie-banner behavior).
+    * Normalization is lowercase+trim; blank lines never participate (they
+    * are kept verbatim — intra-doc repetition is [[TextAnalysis]]'s job).
+    * Returns one row per input document: (id, clean_text, n_kept,
+    * n_dropped), clean_text = kept lines joined by newlines in original
+    * order.
+    *
+    * Scale shape: identical to [[removeSharedPassages]] — one explode, one
+    * line-keyed exchange with streaming window frames (two-sided dense_rank
+    * docfreq + running-min keeper; no per-group buffering even for a line
+    * in millions of docs, which is exactly the line this pass exists to
+    * remove — hence no docfreq upper cap here), dropped positions re-keyed
+    * per doc, one corpus join back on id.
+    */
+  def dedupLines(df: DataFrame, id: Column, text: Column,
+      minDocFreq: Int = 2, keepFirst: Boolean = true): DataFrame = {
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
+    val base = df.select(id.as("id"), text.as("__text"))
+      .withColumn("lines",
+        when(length(col("__text")) > 0, split(col("__text"), "\n"))
+          .otherwise(array().cast("array<string>")))
+    val occ = base.select(col("id"), posexplode(col("lines")))
+      .withColumnRenamed("pos", "p")
+      .withColumnRenamed("col", "line")
+      .withColumn("key", lower(trim(col("line"))))
+      .filter(length(col("key")) > 0)
+    val wAsc = Window.partitionBy("key").orderBy(col("id").asc)
+    val wDesc = Window.partitionBy("key").orderBy(col("id").desc)
+    val marked = occ
+      .withColumn("keeper", min(col("id")).over(wAsc))
+      .withColumn("dr_a", dense_rank().over(wAsc))
+      .withColumn("dr_d", dense_rank().over(wDesc))
+      .withColumn("ndocs", col("dr_a") + col("dr_d") - 1)
+    val dropCond =
+      if (keepFirst) col("id") =!= col("keeper") else lit(true)
+    val drops = marked
+      .filter(col("ndocs") >= minDocFreq && dropCond)
+      .groupBy("id")
+      .agg(collect_set(col("p")).as("drop_ps"))
+    base.join(drops, Seq("id"), "left")
+      .withColumn("__dp", coalesce(col("drop_ps"), array().cast("array<int>")))
+      .withColumn("__kept", filter(col("lines"),
+        (_, i) => !array_contains(col("__dp"), i)))
+      .select(col("id"),
+        array_join(col("__kept"), "\n").as("clean_text"),
+        size(col("__kept")).as("n_kept"),
+        (size(col("lines")) - size(col("__kept"))).as("n_dropped"))
+  }
+
   /** SimHash near-dup candidates: signatures banded into 4×16-bit chunks —
     * any pair within Hamming distance 3 shares at least one identical chunk
     * (pigeonhole), so bucket-join on chunks then verify the distance.

@@ -129,6 +129,23 @@ object PipelineQueries {
         windowTokens = 8, maxDocFreq = 50)
         .withColumnRenamed("id", "doc_id")),
 
+    // exact line-level dedup over a deterministically "lined" corpus (the
+    // testdata text has no newlines, so the gate re-chunks each doc into
+    // 10-token lines first): a line in >= 2 docs survives only in the
+    // lowest-id doc
+    "pipe_dedup_lines" -> ((s, d) => {
+      val toks = when(length(trim(col("text"))) > 0,
+        split(trim(col("text")), "\\s+")).otherwise(array().cast("array<string>"))
+      val lined = t(s, d, "documents").withColumn("__toks", toks)
+        .select(col("doc_id"),
+          when(size(col("__toks")) > 0, array_join(
+            transform(sequence(lit(1), ceil(size(col("__toks")) / lit(10.0)).cast("int")),
+              i => array_join(slice(col("__toks"), (i - lit(1)) * lit(10) + lit(1), lit(10)), " ")),
+            "\n")).otherwise(lit("")).as("lined"))
+      Dedup.dedupLines(lined, col("doc_id"), col("lined"))
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // corpus-level boilerplate detector: 25 most document-frequent word
     // trigrams
     "pipe_ngram_hitters" -> ((s, d) =>
@@ -552,6 +569,39 @@ object PipelineQueries {
         |       CAST(coalesce(a.n_kept, 0) AS INTEGER) AS n_kept,
         |       CAST(len(b.toks) - coalesce(a.n_kept, 0) AS INTEGER) AS n_dropped
         |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    // same 10-token line construction, then the keep-first line dedup:
+    // stats over non-blank normalized lines, drops for non-keeper docs
+    "pipe_dedup_lines" ->
+      s"""WITH toksrc AS (
+         |  SELECT doc_id,
+         |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+         |              ELSE string_split_regex(trim(text), '\\s+') END AS t
+         |  FROM documents),
+         |lines AS (
+         |  SELECT doc_id, CAST(i.i - 1 AS INTEGER) AS p,
+         |         array_to_string(t[((i.i-1)*10+1):least(i.i*10, len(t))], ' ') AS line
+         |  FROM toksrc, UNNEST(generate_series(1, CAST(ceil(len(t)/10.0) AS BIGINT))) AS i(i)
+         |  WHERE len(t) > 0),
+         |keyed AS (SELECT doc_id, p, line, lower(trim(line)) AS key FROM lines),
+         |stats AS (
+         |  SELECT key, count(DISTINCT doc_id) AS ndocs, min(doc_id) AS keeper
+         |  FROM keyed WHERE length(key) > 0 GROUP BY key),
+         |flagged AS (
+         |  SELECT k.doc_id, k.p, k.line,
+         |         CASE WHEN s.ndocs >= 2 AND k.doc_id <> s.keeper THEN 1 ELSE 0 END AS dropped
+         |  FROM keyed k LEFT JOIN stats s ON k.key = s.key),
+         |agg AS (
+         |  SELECT doc_id,
+         |         coalesce(array_to_string(list(line ORDER BY p) FILTER (WHERE dropped = 0), chr(10)), '') AS clean_text,
+         |         CAST(count(*) FILTER (WHERE dropped = 0) AS INTEGER) AS n_kept,
+         |         CAST(count(*) FILTER (WHERE dropped = 1) AS INTEGER) AS n_dropped
+         |  FROM flagged GROUP BY doc_id)
+         |SELECT s.doc_id,
+         |       coalesce(a.clean_text, '') AS clean_text,
+         |       coalesce(a.n_kept, 0) AS n_kept,
+         |       coalesce(a.n_dropped, 0) AS n_dropped
+         |FROM toksrc s LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
     // shingle lists are per-document distinct, so count(*) = doc frequency
     "pipe_ngram_hitters" ->
       s"""SELECT gram, count(*) AS n_docs FROM

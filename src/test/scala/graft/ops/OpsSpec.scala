@@ -389,6 +389,39 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.forall { case (dropped, keptN) => dropped == 0 && keptN == 9 })
   }
 
+  test("line dedup keeps the duplicated line only in the lowest-id doc") {
+    val corpus = Seq(
+      (1L, "dup line one\nunique a"),
+      (2L, "unique b\nDup Line One"), // case variant still dedups
+      (3L, "unique c\ndup line one\nunique d"),
+      (4L, "x\n\nx") // intra-doc repeat + blank line: none participate
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(corpus, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L) == (("dup line one\nunique a", 2, 0)))
+    assert(out(2L) == (("unique b", 1, 1)))
+    assert(out(3L) == (("unique c\nunique d", 2, 1)))
+    // ndocs counts DISTINCT docs, so "x" (1 doc) survives; blank line kept
+    assert(out(4L) == (("x\n\nx", 3, 0)))
+  }
+
+  test("line dedup without keepFirst drops every occurrence (CCNet boilerplate mode)") {
+    val corpus = Seq(
+      (1L, "cookie banner\nreal content a"),
+      (2L, "cookie banner\nreal content b")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(corpus, col("doc_id"), col("text"),
+      minDocFreq = 2, keepFirst = false)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L) == (("real content a", 1, 1)))
+    assert(out(2L) == (("real content b", 1, 1)))
+    // null/empty text degrades to zero lines, not a crash or a null row
+    val withNull = Seq((5L, null: String), (6L, "")).toDF("doc_id", "text")
+    val nullOut = Dedup.dedupLines(withNull, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(nullOut(5L) == (("", 0, 0)) && nullOut(6L) == (("", 0, 0)))
+  }
+
   test("frequent ngrams ranks the repeated trigram first with doc frequency") {
     val top = TextAnalysis.frequentNgrams(docs, col("text"), n = 3, k = 5)
       .collect().map(r => (r.getString(0), r.getLong(1)))
