@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+  * 2023): pick raw-corpus documents whose hashed-n-gram distribution looks
+  * like a small high-quality target corpus. The published recipe, which the
+  * GPT-3/PaLM "quality resampling" setups approximate:
+  *
+  *  1. featurize every document as a bag of hashed unigrams+bigrams
+  *     (`nBuckets` buckets);
+  *  2. fit two smoothed multinomial bag-of-buckets models — p from the
+  *     target corpus, q from the raw corpus;
+  *  3. per-document importance weight  log w = Σ_b c_b·(log p_b − log q_b);
+  *  4. Gumbel top-k resampling on log w.
+  *
+  * Scale shape: model fitting is two explode→count aggregates whose outputs
+  * are `nBuckets`-bounded (never corpus-bounded); scoring re-explodes the
+  * raw corpus once, broadcast-joins the 2·nBuckets-row log-likelihood-ratio
+  * table, and reduces per document — one hash shuffle keyed by doc id with
+  * map-side partials. Selection plans as TakeOrderedAndProject. Buckets use
+  * md5 (the [[Curation.hashUniform]] contract), and the Gumbel noise is
+  * md5-seeded too, so weights and the selected set are reproducible on any
+  * engine, any cluster size, any retry.
+  */
+object Dsir {
+
+  /** One (id, bucket) row per unigram and bigram occurrence of the
+    * lowercased whitespace tokenization.
+    */
+  private def occurrences(df: DataFrame, id: Column, text: Column,
+      nBuckets: Int): DataFrame = {
+    val toks = when(length(trim(text)) > 0, split(trim(lower(text)), "\\s+"))
+      .otherwise(array().cast("array<string>"))
+    df.select(id.as("id"), toks.as("toks"))
+      .select(col("id"), explode(concat(col("toks"),
+        when(size(col("toks")) > 1,
+          transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat_ws(" ",
+              element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+          .otherwise(array().cast("array<string>")))).as("gram"))
+      .withColumn("bucket",
+        pmod(Curation.hashUniform(col("gram")), lit(nBuckets.toLong)))
+  }
+
+  /** Per-document importance evidence against a target corpus: returns one
+    * row per raw document — (id, n_grams, sum_bucket, sum_tgt, sum_raw,
+    * log_weight). The integer columns pin the full hashed-feature and
+    * count-model pipeline engine-independently (`sum_tgt`/`sum_raw` are the
+    * document's summed per-bucket model counts); `log_weight` is the DSIR
+    * log importance weight under add-one smoothing. Documents with no
+    * tokens score 0 everywhere.
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame, id: Column,
+      text: Column, nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val occ = occurrences(raw, id, text, nBuckets)
+    val rawCounts = occ.groupBy("bucket").agg(count(lit(1)).as("c_raw"))
+    val tgtCounts = occurrences(target, id, text, nBuckets)
+      .groupBy("bucket").agg(count(lit(1)).as("c_tgt"))
+    // dense bucket table so add-one smoothing covers unseen buckets
+    val model = raw.sparkSession.range(nBuckets)
+      .select(col("id").as("bucket"))
+      .join(rawCounts, Seq("bucket"), "left")
+      .join(tgtCounts, Seq("bucket"), "left")
+      .na.fill(0L, Seq("c_raw", "c_tgt"))
+    val totals = model.agg(
+      coalesce(sum("c_raw"), lit(0L)).as("t_raw"),
+      coalesce(sum("c_tgt"), lit(0L)).as("t_tgt"))
+    val llr = model.crossJoin(broadcast(totals))
+      .withColumn("llr",
+        log(col("c_tgt") + 1) - log(col("t_tgt") + nBuckets)
+          - (log(col("c_raw") + 1) - log(col("t_raw") + nBuckets)))
+      .select("bucket", "c_raw", "c_tgt", "llr")
+    val scored = occ.join(broadcast(llr), Seq("bucket"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum("bucket").as("sum_bucket"),
+        sum("c_tgt").as("sum_tgt"),
+        sum("c_raw").as("sum_raw"),
+        sum("llr").as("log_weight"))
+    raw.select(id.as("id")).join(scored, Seq("id"), "left")
+      .na.fill(0L, Seq("n_grams", "sum_bucket", "sum_tgt", "sum_raw"))
+      .na.fill(0.0, Seq("log_weight"))
+  }
+
+  /** Gumbel top-k resampling over precomputed log weights: the k documents
+    * maximizing log w + g, g = −log(−log(u)) with u drawn deterministically
+    * from md5(seed|id) — sampling WITHOUT replacement proportional to the
+    * importance weights (the Gumbel-max trick), reproducible everywhere.
+    * Ties (same perturbed score) break on id. Plans as
+    * TakeOrderedAndProject: no global sort materializes.
+    */
+  def resample(scored: DataFrame, id: Column, logWeight: Column, k: Int,
+      seed: String): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (Curation.hashUniform(concat(lit(seed + "|"), id.cast("string")))
+      + lit(0.5)) / lit(4294967296.0)
+    scored
+      .withColumn("gumbel", -log(-log(u)))
+      .withColumn("score", logWeight + col("gumbel"))
+      .orderBy(col("score").desc, id.asc)
+      .limit(k)
+  }
+}

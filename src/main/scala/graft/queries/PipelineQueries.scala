@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Dsir, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data-pipeline operators as gate queries over the documents /
   * embeddings tables. EVERY query carries a DuckDB oracle. For the
@@ -344,6 +344,18 @@ object PipelineQueries {
         bigramVocab = 200, contextVocab = 100)
         .select(col("id").as("doc_id"), col("n_bigrams"), col("matched_bg"),
           col("sum_c_bg"), col("matched_prev"), col("sum_c_prev"))),
+
+    // DSIR importance weighting: target = every 10th doc, raw = the whole
+    // corpus. The integer columns pin the hashed unigram+bigram features
+    // and both count models engine-independently; the float log-weight and
+    // the Gumbel top-k selection are pinned by worked examples in DsirSpec
+    "pipe_dsir" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dsir.importanceWeights(docs, docs.filter(col("doc_id") % 10 === 0),
+        col("doc_id"), col("text"), nBuckets = 64)
+        .select(col("id").as("doc_id"), col("n_grams"), col("sum_bucket"),
+          col("sum_tgt"), col("sum_raw"))
+    }),
 
     // TF-IDF retrieval: top-10 docs for a 4-term query, smooth idf
     "pipe_tfidf" -> ((s, d) =>
@@ -798,6 +810,41 @@ object PipelineQueries {
     // space-trim, \s+ split with edge empties KEPT — see Tokenize.scala's
     // contract); model LIMITs tie-break by key in both engines; DuckDB
     // sum(BIGINT) widens to HUGEINT, hence the casts
+    // hashed unigram+bigram buckets (md5 mod 64) and the two bag-of-buckets
+    // count models, summed per doc — everything but the log arithmetic
+    "pipe_dsir" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id,
+         |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+         |              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
+         |  FROM documents),
+         |uni AS (SELECT doc_id, unnest(toks) AS gram FROM docs),
+         |bi AS (SELECT doc_id, unnest(list_transform(
+         |         generate_series(1, greatest(len(toks) - 1, 0)),
+         |         i -> toks[i] || ' ' || toks[i + 1])) AS gram FROM docs),
+         |occ AS (SELECT doc_id,
+         |         ('0x'||substr(md5(gram),1,8))::BIGINT % 64 AS bucket
+         |        FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+         |rawc AS (SELECT bucket, count(*) AS c_raw FROM occ GROUP BY 1),
+         |tgtc AS (SELECT bucket, count(*) AS c_tgt FROM occ
+         |         WHERE doc_id % 10 = 0 GROUP BY 1),
+         |scored AS (
+         |  SELECT o.doc_id,
+         |         count(*) AS n_grams,
+         |         sum(o.bucket) AS sum_bucket,
+         |         sum(coalesce(t.c_tgt, 0)) AS sum_tgt,
+         |         sum(coalesce(r.c_raw, 0)) AS sum_raw
+         |  FROM occ o
+         |  LEFT JOIN rawc r USING (bucket)
+         |  LEFT JOIN tgtc t USING (bucket)
+         |  GROUP BY 1)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+         |       CAST(coalesce(s.sum_bucket, 0) AS BIGINT) AS sum_bucket,
+         |       CAST(coalesce(s.sum_tgt, 0) AS BIGINT) AS sum_tgt,
+         |       CAST(coalesce(s.sum_raw, 0) AS BIGINT) AS sum_raw
+         |FROM docs d LEFT JOIN scored s USING (doc_id)""".stripMargin,
+
     "pipe_lm_score" ->
       """WITH docs AS (
         |  SELECT doc_id,

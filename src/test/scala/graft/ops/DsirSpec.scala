@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** DSIR importance weighting + Gumbel resampling. The hashed-feature and
+  * count-model pipeline is DuckDB-oracled (pipe_dsir); these pin the float
+  * log-weight arithmetic with a worked example and the selection contract.
+  */
+class DsirSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("log weight matches the add-one-smoothing formula on a worked example") {
+    // every gram is the single unigram "a": one bucket b carries all mass.
+    // raw: two docs, target: one doc, nBuckets = 4 ⇒ per-gram llr =
+    // log(1+1) − log(1+4) − (log(2+1) − log(2+4)) = log(0.8)
+    val raw = Seq((1L, "a"), (2L, "a")).toDF("doc_id", "text")
+    val target = raw.filter(col("doc_id") === 1)
+    val out = Dsir.importanceWeights(raw, target, col("doc_id"), col("text"),
+      nBuckets = 4)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("log_weight")).toMap
+    val expected = math.log(0.8)
+    assert(math.abs(out(1L) - expected) < 1e-9 && math.abs(out(2L) - expected) < 1e-9)
+  }
+
+  test("on-target documents outweigh off-target ones; tokenless docs score zero") {
+    // the target corpus must carry real mass (add-one smoothing with
+    // nBuckets >> target grams flattens p toward uniform and the raw
+    // frequency term dominates — correct DSIR behavior, wrong test signal)
+    val raw = ((1L, "common words here") +:
+      (2L to 9L).map(i => (i, s"zebra$i quux$i xylophone$i")) :+
+      (10L, "")).toDF("doc_id", "text")
+    val target = (100L to 119L).map(i => (i, "common words here"))
+      .toDF("doc_id", "text")
+    val w = Dsir.importanceWeights(raw, target, col("doc_id"), col("text"),
+      nBuckets = 64)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Double]("log_weight"), r.getAs[Long]("n_grams")))).toMap
+    assert(w(1L)._1 > w(2L)._1, s"target-like doc must outweigh off-target: $w")
+    assert(w(10L) == ((0.0, 0L)), "tokenless doc must score 0 with 0 grams")
+  }
+
+  test("gumbel top-k resampling is deterministic, seed-keyed, and k-bounded") {
+    val raw = (1L to 50L).map(i =>
+      (i, if (i % 5 == 0) "target style text" else s"noise$i payload$i"))
+      .toDF("doc_id", "text")
+    val target = (100L to 119L).map(i => (i, "target style text"))
+      .toDF("doc_id", "text")
+    val scored = Dsir.importanceWeights(raw, target, col("doc_id"), col("text"),
+      nBuckets = 64)
+    def pick(seed: String) =
+      Dsir.resample(scored, col("id"), col("log_weight"), k = 10, seed = seed)
+        .select("id").as[Long].collect().toSet
+    val a = pick("s1")
+    assert(a == pick("s1"), "same seed must select the same set")
+    assert(a.size == 10)
+    // weights dominate the noise here: the 10 on-target docs (log-weight
+    // gap >> gumbel spread) are exactly the selection
+    assert(a == (1L to 50L).filter(_ % 5 == 0).toSet, s"got $a")
+  }
+}
