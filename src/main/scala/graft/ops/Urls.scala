@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization and URL-keyed dedup — the first dedup pass of every
+  * crawl pipeline (one page, many crawl records): normalize away the
+  * variations that don't change the resource, then keep one record per
+  * canonical URL.
+  *
+  * Canonical form (absolute http/https URLs; anything without a
+  * `scheme://` prefix passes through trimmed-only, documented no-op):
+  *   - scheme and host lowercased (path/query case preserved);
+  *   - leading `www.` and default ports (`:80` http, `:443` https) dropped;
+  *   - fragment dropped;
+  *   - tracking params (`utm_*`, `fbclid`, `gclid`, `ref`) dropped, the
+  *     survivors sorted byte-wise so param order never splits a page;
+  *   - one trailing slash dropped (empty path becomes `/`).
+  *
+  * Everything is a chain of codegen'd string/regex expressions — row-local,
+  * shuffle-free, reproducible in any engine (the gate replays it in DuckDB).
+  * The dedup itself is one hash shuffle on the canonical key.
+  */
+object Urls {
+
+  def canonicalize(url: Column): Column = {
+    val u = trim(url)
+    val prefix = regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val rest = u.substr(length(prefix) + 1, length(u))
+    val host = regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(prefix), "^(https?://)www\\.", "$1"),
+        "^(http://[^/:]+):80$", "$1"),
+      "^(https://[^/:]+):443$", "$1")
+    val restNoFrag = regexp_replace(rest, "#.*$", "")
+    val path0 = regexp_replace(restNoFrag, "\\?.*$", "")
+    val query0 = regexp_extract(restNoFrag, "\\?(.*)$", 1)
+    val params = filter(split(query0, "&"), p =>
+      !(p.rlike("^(utm_[^=]*|fbclid|gclid|ref)=") || p === lit("")))
+    val query1 = array_join(array_sort(params), "&")
+    val stripped = regexp_replace(path0, "/$", "")
+    val path1 = when(stripped === "", lit("/")).otherwise(stripped)
+    when(length(prefix) === 0, u).otherwise(
+      concat(host, path1,
+        when(length(query1) > 0, concat(lit("?"), query1)).otherwise(lit(""))))
+  }
+
+  /** One row per canonical URL: the highest-`quality` record wins, ties to
+    * the smallest id. Input columns are preserved, plus `curl` (the
+    * canonical key the group was formed on).
+    */
+  def dedupByUrl(df: DataFrame, id: Column, url: Column,
+      quality: Column): DataFrame = {
+    val w = Window.partitionBy("curl").orderBy(quality.desc, id.asc)
+    df.withColumn("curl", canonicalize(url))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Dsir, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Dsir, Multimodal, Similarity, TextAnalysis, Urls}
 
 /** Training-data-pipeline operators as gate queries over the documents /
   * embeddings tables. EVERY query carries a DuckDB oracle. For the
@@ -344,6 +344,26 @@ object PipelineQueries {
         bigramVocab = 200, contextVocab = 100)
         .select(col("id").as("doc_id"), col("n_bigrams"), col("matched_bg"),
           col("sum_c_bg"), col("matched_prev"), col("sum_c_prev"))),
+
+    // URL canonicalization + URL-keyed dedup over synthetic crawl URLs
+    // (uppercase scheme/host, www, default port, tracking params, unsorted
+    // query, fragment — doc_id mod arithmetic gives ~8 records per page at
+    // sf0.01): kept = the highest-n_chars record of each canonical URL.
+    // The oracle constructs the expected canonical form INDEPENDENTLY from
+    // the same mod arithmetic — it never replays the regex chain
+    "pipe_url_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val url = concat(lit("HTTPS://WWW.Site"), pmod(col("doc_id"), lit(5)),
+        lit(".COM:443/Path/"), pmod(col("doc_id"), lit(20)),
+        lit("/?utm_source=x&b="), pmod(col("doc_id"), lit(3)),
+        lit("&a="), pmod(col("doc_id"), lit(2)), lit("#sec"))
+      val w = Window.partitionBy("curl")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      t(s, d, "documents")
+        .withColumn("curl", Urls.canonicalize(url))
+        .withColumn("kept", when(row_number().over(w) === 1, 1).otherwise(0))
+        .select("doc_id", "curl", "kept")
+    }),
 
     // DSIR importance weighting: target = every 10th doc, raw = the whole
     // corpus. The integer columns pin the hashed unigram+bigram features
@@ -810,6 +830,21 @@ object PipelineQueries {
     // space-trim, \s+ split with edge empties KEPT — see Tokenize.scala's
     // contract); model LIMITs tie-break by key in both engines; DuckDB
     // sum(BIGINT) widens to HUGEINT, hence the casts
+    // expected canonical built directly from the mod arithmetic: lowercased
+    // scheme/host, no www/:443/fragment/utm, params sorted (a before b),
+    // trailing slash dropped, path case preserved
+    "pipe_url_dedup" ->
+      """WITH c AS (
+        |  SELECT doc_id, n_chars,
+        |         'https://site' || (doc_id % 5) || '.com/Path/' || (doc_id % 20)
+        |           || '?a=' || (doc_id % 2) || '&b=' || (doc_id % 3) AS curl
+        |  FROM documents)
+        |SELECT doc_id, curl,
+        |       CAST(CASE WHEN row_number() OVER
+        |         (PARTITION BY curl ORDER BY n_chars DESC, doc_id ASC) = 1
+        |         THEN 1 ELSE 0 END AS INTEGER) AS kept
+        |FROM c""".stripMargin,
+
     // hashed unigram+bigram buckets (md5 mod 64) and the two bag-of-buckets
     // count models, summed per doc — everything but the log arithmetic
     "pipe_dsir" ->

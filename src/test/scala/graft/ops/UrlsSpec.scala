@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class UrlsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def canon(url: String): String =
+    Seq(Tuple1(url)).toDF("u").select(Urls.canonicalize(col("u"))).head().getString(0)
+
+  test("canonicalize: case, www, default port, fragment, tracking, param order, slash") {
+    assert(canon("HTTP://Example.COM:80/a/b/?y=1&utm_campaign=c&x=2#z")
+      == "http://example.com/a/b?x=2&y=1")
+    assert(canon("https://www.example.com") == "https://example.com/")
+    assert(canon("https://example.com/?utm_source=a&fbclid=b&gclid=c&ref=d")
+      == "https://example.com/")
+    // path case preserved; non-default port preserved; http-only :80 rule
+    assert(canon("http://Host:8080/CaseSensitive/Path") ==
+      "http://host:8080/CaseSensitive/Path")
+    assert(canon("https://h:80/") == "https://h:80/")
+    // no scheme: trimmed pass-through, never mangled
+    assert(canon("  not a url  ") == "not a url")
+  }
+
+  test("dedupByUrl keeps the best-quality record per page, ties to min id") {
+    val crawl = Seq(
+      (1L, "https://www.site.com/p?utm_source=x", 10L),
+      (2L, "HTTPS://SITE.com/p", 30L), // same page, best quality: wins
+      (3L, "https://site.com:443/p/", 30L), // quality tie with 2: loses on id
+      (4L, "https://site.com/other", 5L)
+    ).toDF("id", "url", "quality")
+    val kept = Urls.dedupByUrl(crawl, col("id"), col("url"), col("quality"))
+      .select("id", "curl").as[(Long, String)].collect().toMap
+    assert(kept == Map(2L -> "https://site.com/p", 4L -> "https://site.com/other"))
+  }
+}
