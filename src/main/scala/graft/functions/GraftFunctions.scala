@@ -38,6 +38,14 @@ object GraftFunctions {
     "nearest_centroids" -> { args =>
       NearestCentroidsExpr(args(0), args(1), intArg(args(2), "nearest_centroids(_, _, k)"))
     },
+    // composed-Column function bridged to an expression builder: the
+    // canonicalizer is a pure chain of built-in string/regex expressions,
+    // so SQL surfacing needs no dedicated Catalyst node
+    "url_canonical" -> { args =>
+      org.apache.spark.sql.GraftColumnBridge.catalystExpression(
+        graft.ops.Urls.canonicalize(
+          org.apache.spark.sql.GraftColumnBridge.column(args.head)))
+    },
     "image_meta" -> { args => ImageMetaExpr(args.head) },
     "audio_meta" -> { args => AudioMetaExpr(args.head) },
     "video_meta" -> { args => VideoMetaExpr(args.head) })

@@ -156,6 +156,17 @@ object DtlQueries {
         |  WHERE hash_uniform(doc_id) % 4 = 0;
         |EXPORT output TO 'output';""".stripMargin)),
 
+    // URL canonicalization inside the language: the registry function over
+    // a URL assembled with in-language concat/%/to_text
+    "dtl_url_canonical" -> ((s, d) => run(s, d,
+      """WITH documents AS IMPORT 'documents';
+        |WITH output AS
+        |  SELECT doc_id,
+        |         url_canonical(concat(concat('HTTPS://WWW.Site', to_text(doc_id % 5)),
+        |                              '.COM:443/P/?b=2&utm_source=x&a=1#f')) AS curl
+        |  FROM documents;
+        |EXPORT output TO 'output';""".stripMargin)),
+
     // the CONSECUTIVE operators in the language (B2 + B3): GROUP CONSECUTIVE
     // BY builds per-run aggregates, DISTINCT CONSECUTIVE keeps one row per
     // run — n_runs and n_starts must agree, cross-validating both paths
@@ -322,6 +333,10 @@ object DtlQueries {
         |             EXCEPT (SELECT k FROM a INTERSECT SELECT k FROM b)),
         |     cnt AS (SELECT k, count(*) AS n_all FROM ua GROUP BY k)
         |SELECT cnt.k AS k, n_all FROM cnt JOIN sym ON cnt.k = sym.k""".stripMargin,
+    "dtl_url_canonical" ->
+      """SELECT doc_id,
+        |       'https://site' || (doc_id % 5) || '.com/P?a=1&b=2' AS curl
+        |FROM documents""".stripMargin,
     "dtl_curation" ->
       """WITH w AS (SELECT doc_id, text, string_split_regex(trim(text),'\s+') AS ws,
         |                  length(trim(text)) = 0 AS empty FROM documents

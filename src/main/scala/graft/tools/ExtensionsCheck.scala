@@ -21,10 +21,12 @@ object ExtensionsCheck {
     val f = spark.sql(
       "SELECT simhash('a b c') AS s, cosine_sim(array(1.0d, 0d), array(1.0d, 0d)) AS c, " +
         "word_stats('a a b').top_freq AS t, lang_id('the of and') AS l, " +
-        "shingles_all('a a b', 1) AS sa").head()
+        "shingles_all('a a b', 1) AS sa, " +
+        "url_canonical('HTTP://WWW.Ex.COM:80/A/?utm_source=x&b=1#f') AS u").head()
     assert(f.getLong(0) != 0L && math.abs(f.getDouble(1) - 1.0) < 1e-12)
     assert(f.getInt(2) == 2 && f.getString(3) == "en")
     assert(f.getSeq[String](4) == Seq("a", "a", "b"), "shingles_all keeps multiplicity")
+    assert(f.getString(5) == "http://ex.com/A?b=1", s"url_canonical: ${f.getString(5)}")
     println("functions: OK")
 
     // injected optimizer rule: SQL abs-distance join plans as a hash join

@@ -13,6 +13,15 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Eager conversion to a genuine Catalyst tree (UnresolvedFunction etc.),
+    * unlike [[expression]]'s lazy ColumnNodeExpression wrapper which only
+    * the Dataset API entry points convert. Needed when a composed Column
+    * must become the return value of an injected FunctionRegistry builder —
+    * the analyzer resolves the converted tree like any parsed expression.
+    */
+  def catalystExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
   /** The literal value behind a `lit(...)` column, if it is one. The bridged
     * expression is a LAZY ColumnNodeExpression (not a Catalyst Literal, not
     * foldable before conversion), so literal checks must look at the column

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property-based checks for line dedup and URL canonicalization: the
+  * distributed line pass must agree with a naive driver-side reference on
+  * arbitrary small corpora (both keeper modes), and canonicalization must be
+  * a fixpoint (re-canonicalizing output changes nothing — the property that
+  * makes incremental crawl merges safe).
+  */
+object UrlLineProperties extends Properties("urls-lines") {
+  import graft.TestSpark.spark
+  import spark.implicits._
+
+  // small line alphabet forces cross-doc duplicates; blanks and case
+  // variants keep the normalization paths honest
+  private val lineCorpusGen = for {
+    n <- Gen.choose(2, 10)
+    docs <- Gen.listOfN(n, Gen.choose(1, 5).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("l1", "l2", "l3", "L1", " l2 ", " ", ""))
+        .map(_.mkString("\n"))))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  property("dedupLines equals the naive reference in both keeper modes") =
+    forAll(lineCorpusGen, Gen.oneOf(true, false)) { (docs, keep) =>
+      val out = Dedup.dedupLines(docs.toDF("doc_id", "text"),
+          col("doc_id"), col("text"), minDocFreq = 2, keepFirst = keep)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+      def lines(t: String): Seq[String] =
+        if (t.isEmpty) Seq.empty else t.split("\n", -1).toSeq
+      def key(l: String): String = l.trim.toLowerCase
+      val docKeys = docs.map { case (i, t) =>
+        i -> lines(t).map(key).filter(_.nonEmpty).toSet }.toMap
+      val keeper = docs.flatMap { case (i, _) => docKeys(i).map(_ -> i) }
+        .groupBy(_._1).map { case (k, xs) => k -> ((xs.map(_._2).toSet.size, xs.map(_._2).min)) }
+      val expected = docs.map { case (i, t) =>
+        val kept = lines(t).filter { l =>
+          val k = key(l)
+          k.isEmpty || keeper.get(k).forall { case (ndocs, kp) =>
+            ndocs < 2 || (keep && kp == i) }
+        }
+        i -> ((kept.mkString("\n"), kept.size, lines(t).size - kept.size))
+      }.toMap
+      out == expected
+    }
+
+  private val urlGen = for {
+    scheme <- Gen.oneOf("http", "HTTP", "https", "HTTPS")
+    www <- Gen.oneOf("", "www.", "WWW.")
+    host <- Gen.oneOf("ex.com", "Ex.COM", "a-b.org")
+    port <- Gen.oneOf("", ":80", ":443", ":8080")
+    path <- Gen.oneOf("", "/", "/A/b", "/A/b/")
+    query <- Gen.oneOf("", "?a=1", "?b=2&a=1", "?utm_source=x",
+      "?utm_source=x&z=9&a=1", "?ref=r&fbclid=f")
+    frag <- Gen.oneOf("", "#f", "#Sec2")
+  } yield s"$scheme://$www$host$port$path$query$frag"
+
+  property("canonicalize is a fixpoint over crawl-shaped URLs") =
+    forAll(Gen.listOfN(20, urlGen)) { urls =>
+      val df = urls.toDF("u")
+      val once = df.select(Urls.canonicalize(col("u"))).as[String].collect().toSeq
+      val twice = df.select(Urls.canonicalize(Urls.canonicalize(col("u"))))
+        .as[String].collect().toSeq
+      once == twice && once.forall(c => !c.contains("#") && !c.contains("utm_"))
+    }
+}
