@@ -237,6 +237,44 @@ object Curation {
       .drop(f("__win_g")).drop(f("__win_f"))
   }
 
+  /** CCNet-style per-group quantile bucketing (Wenzek et al. 2020's
+    * head/middle/tail perplexity split, generalized): label each row by the
+    * first cut whose per-group exact-percentile threshold its score does
+    * not exceed. `cuts` are cumulative fractions (strictly increasing, in
+    * (0,1)); `labels` has one more entry than `cuts` for the open top
+    * bucket.
+    *
+    * Same scale shape as [[winsorize]]: one tiny grouped percentile
+    * aggregate, (default-broadcast) join back, row-local labeling — never a
+    * per-group percent_rank window, which would buffer whole groups in the
+    * rank pass. This is also what CCNet itself does: cuts computed once per
+    * language, applied row-locally. Power-of-two cuts (0.25, 0.75) make the
+    * thresholds exactly representable and the labeling reproducible across
+    * engines; other cuts are correct but may interpolate with last-ulp
+    * differences.
+    */
+  def quantileBuckets(df: DataFrame, score: Column, group: Column,
+      cuts: Seq[Double] = Seq(0.25, 0.75),
+      labels: Seq[String] = Seq("head", "middle", "tail"),
+      as: String = "bucket",
+      broadcastGroups: Boolean = true): DataFrame = {
+    require(labels.size == cuts.size + 1,
+      s"need ${cuts.size + 1} labels for ${cuts.size} cuts, got ${labels.size}")
+    require(cuts.nonEmpty && cuts.forall(c => c > 0 && c < 1) &&
+      cuts.sliding(2).forall(w => w.size < 2 || w(0) < w(1)),
+      s"cuts must be strictly increasing within (0,1), got $cuts")
+    val th = df.groupBy(group.as("__qb_g"))
+      .agg(percentile(score, array(cuts.map(c => lit(c)).toIndexedSeq: _*))
+        .as("__qb_t"))
+    val t = if (broadcastGroups) broadcast(th) else th
+    val label = cuts.indices.zip(labels.init).foldRight(lit(labels.last): Column) {
+      case ((i, lab), acc) => when(score <= t("__qb_t").getItem(i), lit(lab)).otherwise(acc)
+    }
+    df.join(t, group === t("__qb_g"))
+      .withColumn(as, label)
+      .drop(t("__qb_g")).drop(t("__qb_t"))
+  }
+
   /** Mixture sampling to a token budget — the pretraining data mixer: given
     * per-domain target weights (fractions of `budget` tokens), keep, per
     * domain, the maximal PREFIX of documents in deterministic hash order

@@ -82,6 +82,14 @@ object CurationQueries {
         col("value"), col("event_type"), lo = 0.05, hi = 0.95, as = "clamped")
         .select(col("event_id"), col("event_type"), round(col("clamped"), 4).as("clamped"))),
 
+    // CCNet head/middle/tail split: per-language quartile buckets over
+    // n_chars (power-of-two cuts → exactly representable thresholds)
+    "pipe_quantile_buckets" -> ((s, d) =>
+      Curation.quantileBuckets(
+        t(s, d, "documents").select("doc_id", "lang", "n_chars"),
+        col("n_chars"), col("lang"))
+        .select("doc_id", "lang", "n_chars", "bucket")),
+
     // per-source quota: top-5 docs per source by quality score
     "pipe_domain_quota" -> ((s, d) => {
       val scored = t(s, d, "documents")
@@ -200,6 +208,19 @@ object CurationQueries {
         |SELECT e.event_id, e.event_type,
         |       round(least(greatest(e.value, f.lo), f.hi), 4) AS clamped
         |FROM events e JOIN f USING (event_type)""".stripMargin,
+    // quartile thresholds are exact doubles (0.25/0.75 interpolation is
+    // power-of-two arithmetic), so the label comparison is deterministic
+    "pipe_quantile_buckets" ->
+      """WITH f AS (SELECT lang,
+        |             quantile_cont(n_chars, 0.25) AS t1,
+        |             quantile_cont(n_chars, 0.75) AS t2
+        |           FROM documents GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        |       CASE WHEN d.n_chars <= f.t1 THEN 'head'
+        |            WHEN d.n_chars <= f.t2 THEN 'middle'
+        |            ELSE 'tail' END AS bucket
+        |FROM documents d JOIN f USING (lang)""".stripMargin,
+
     // same two exact medians (both engines interpolate the even-count
     // midpoint) and the same double fence arithmetic
     "pipe_outlier_mad" ->

@@ -150,6 +150,32 @@ class CurationSpec extends AnyFunSuite {
     assert(out(4) == 5.0) // interior values untouched
   }
 
+  test("quantile buckets: per-group quartile labels on a worked example") {
+    // group g scores 1..8: q25 = 2.75, q75 = 6.25 (exact power-of-two
+    // interpolation) → head {1,2}, middle {3..6}, tail {7,8}; a singleton
+    // group's thresholds equal its value → head
+    val df = ((1 to 8).map(i => ("g", i.toLong)) :+ ("h", 42L)).toDF("grp", "score")
+    val out = Curation.quantileBuckets(df, col("score"), col("grp"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert((1 to 2).forall(i => out(("g", i.toLong)) == "head"))
+    assert((3 to 6).forall(i => out(("g", i.toLong)) == "middle"))
+    assert((7 to 8).forall(i => out(("g", i.toLong)) == "tail"))
+    assert(out(("h", 42L)) == "head")
+  }
+
+  test("quantile buckets: CCNet terciles split 9 distinct scores 3/3/3") {
+    val df = (1 to 9).map(i => ("lang", i.toLong)).toDF("grp", "score")
+    val out = Curation.quantileBuckets(df, col("score"), col("grp"),
+      cuts = Seq(1.0 / 3, 2.0 / 3), labels = Seq("head", "middle", "tail"))
+      .groupBy("bucket").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("head" -> 3L, "middle" -> 3L, "tail" -> 3L))
+    intercept[IllegalArgumentException] {
+      Curation.quantileBuckets(df, col("score"), col("grp"),
+        cuts = Seq(0.75, 0.25), labels = Seq("a", "b", "c"))
+    }
+  }
+
   test("mixtureByBudget equals the global-window prefix cut at every bucket count") {
     // 300 docs over 3 domains with varied token sizes; weight-0 and unlisted
     // domains must vanish; budgets cut mid-domain
