@@ -18,7 +18,8 @@ object SparkEntry {
     graft.queries.CoreQueries.queries ++
       graft.queries.DtlQueries.queries ++
       graft.queries.PipelineQueries.queries ++
-      graft.queries.CurationQueries.queries
+      graft.queries.CurationQueries.queries ++
+      graft.queries.SearchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,7 +27,8 @@ object SparkEntry {
     graft.queries.CoreQueries.oracle ++
       graft.queries.DtlQueries.oracle ++
       graft.queries.PipelineQueries.oracle ++
-      graft.queries.CurationQueries.oracle
+      graft.queries.CurationQueries.oracle ++
+      graft.queries.SearchQueries.oracle
 
   /** Queries intentionally without an oracle — none since round 3: the
     * hash-internal/approximate ops are gated through planted-pair or
@@ -44,5 +46,6 @@ object SparkEntry {
     "pipe_embed_topk", "pipe_embed_ivf", "pipe_embed_pq", "pipe_kmeans",
     "pipe_token_count", "pipe_bpe", "pipe_lm_score",
     "pipe_global_shuffle", "pipe_epochs", "pipe_training_prep",
-    "pipe_decontaminate", "pipe_pack_sequences")
+    "pipe_decontaminate", "pipe_pack_sequences",
+    "pipe_pagerank", "pipe_bm25", "pipe_label_noise")
 }

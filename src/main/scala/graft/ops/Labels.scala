@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Label-quality analysis over an embedded, labeled dataset — the
+  * "confident learning" curation step: a point whose nearest neighbors
+  * mostly carry a DIFFERENT label is a likely annotation error (Northcutt
+  * et al. 2021, "Confident Learning"; the kNN-agreement formulation).
+  *
+  * Exact corpus-wide kNN is quadratic, so neighbors are drawn from a
+  * k-means-bounded candidate set, multi-probed: each point searches its
+  * `nProbe` nearest clusters (the FAISS IVF recall lever — boundary points
+  * see their neighbors across the cell wall). All distances are squared L2
+  * over integer-quantized vectors ([[Similarity.kmeansQuantized]]'s trick),
+  * so every comparison is exact integer arithmetic in doubles and the whole
+  * pipeline — clustering included — reproduces bit-for-bit in any engine.
+  */
+object Labels {
+
+  /** For every labeled point: its k nearest same-cluster-probed neighbors'
+    * label agreement. Returns (vec_id, label, n_neighbors, n_agree,
+    * agree_frac, majority_label):
+    *
+    *  - neighbors: top `k` candidates by (squared L2 asc, vec_id asc) among
+    *    points assigned to any of the point's `nProbe` nearest centroids
+    *    (self excluded); boundary cells with fewer candidates yield
+    *    n_neighbors < k, reported as-is rather than padded;
+    *  - agree_frac = n_agree / n_neighbors (rounded to 6 decimals; NULL when
+    *    a probe set is empty);
+    *  - majority_label: the most frequent neighbor label, ties to the
+    *    smallest label value.
+    *
+    * Scale shape: clustering is [[Similarity.kmeansQuantized]] (row-local
+    * assignment, k×(dim+1) partial-agg re-centering); probe expansion is a
+    * row-local sort of the BROADCAST centroid array (nProbe rows out per
+    * point, no exchange); the candidate join hash-partitions both sides on
+    * centroid_id, so its cost is Σ_c |probes into c|·|members of c| ≈
+    * n·nProbe·(n/C) — the IVF candidate bound, never n². The top-k and the
+    * two label aggregations are per-point window/group passes over
+    * candidate rows only.
+    */
+  def knnLabelCheck(df: DataFrame, id: Column, vec: Column, label: Column,
+      k: Int, nClusters: Int, nProbe: Int, iters: Int, dim: Int,
+      scale: Double = 1000.0): DataFrame = {
+    require(k > 0 && nProbe > 0 && nProbe <= nClusters,
+      s"need k > 0, 0 < nProbe <= nClusters; got k=$k nProbe=$nProbe nClusters=$nClusters")
+    val (_, qcents) = Similarity.kmeansQuantized(
+      df, id, vec, nClusters, iters, dim, scale)
+    val centArr = Similarity.centroidArray(qcents)
+
+    // one row-local pass: quantize, keep the label, attach the centroid
+    // array pointer (broadcast single-row cross join multiplies nothing)
+    val pts = df.select(id.as("vec_id"), label.as("label"),
+        transform(vec.cast("array<double>"), x => round(x * scale)).as("qv"))
+      .crossJoin(broadcast(centArr))
+
+    // exact integer squared L2 between a quantized vector and a centroid
+    def sqDist(v: Column, c: Column): Column =
+      aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+
+    // index side: each point lives in its single nearest cell (the same
+    // argmin contract as kmeans assignment: distance asc, centroid_id asc)
+    val ranked = pts.withColumn("__rc",
+      array_sort(transform(col("cents"),
+        c => struct(sqDist(col("qv"), c("centroid_vec")).as("d"),
+          c("centroid_id").as("cid")))))
+    val indexSide = ranked.select(col("vec_id").as("nb_id"),
+      col("label").as("nb_label"), col("qv").as("nb_qv"),
+      element_at(col("__rc"), 1)("cid").as("centroid_id"))
+    // query side: nProbe nearest cells per point, exploded row-locally
+    val querySide = ranked.select(col("vec_id"), col("label"), col("qv"),
+      explode(transform(slice(col("__rc"), 1, nProbe), r => r("cid"))).as("centroid_id"))
+
+    val cand = querySide.join(indexSide, Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("nb_id"))
+      .withColumn("d2", sqDist(col("qv"), col("nb_qv")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("nb_id").asc)
+    val knn = cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+
+    // per-point agreement + deterministic majority label in two group passes
+    val votes = knn.groupBy("vec_id", "label", "nb_label")
+      .agg(count(lit(1)).as("votes"))
+    val wl = Window.partitionBy(col("vec_id"))
+      .orderBy(col("votes").desc, col("nb_label").asc)
+    val majority = votes.withColumn("vr", row_number().over(wl))
+      .filter(col("vr") === 1)
+      .select(col("vec_id"), col("nb_label").as("majority_label"))
+    val stats = knn.groupBy("vec_id", "label")
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(when(col("nb_label") === col("label"), 1L).otherwise(0L)).as("n_agree"))
+      .withColumn("agree_frac",
+        round(col("n_agree").cast("double") / col("n_neighbors"), 6))
+    // left join keeps isolated points (empty probe set) with NULL stats
+    df.select(id.as("vec_id"), label.as("label"))
+      .join(stats.drop("label"), Seq("vec_id"), "left")
+      .join(majority, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), col("n_neighbors"), col("n_agree"),
+        col("agree_frac"), col("majority_label"))
+  }
+}

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Full-text retrieval over a document corpus — BM25 scoring, the lexical
+  * half of a retrieval-augmented pipeline (the embedding half is
+  * [[Similarity]]). The index is the classic postings shape: one (term,
+  * doc, tf) row per distinct term occurrence, built with a single tokenize
+  * pass and one (doc, term)-keyed aggregation.
+  *
+  * Scale shape for search: the query set is small and broadcast; the
+  * term-frequency join touches only postings whose term appears in some
+  * query (a broadcast hash join prunes at the scan), per-(query, doc)
+  * scores partial-aggregate map-side, and the final top-k is a per-query
+  * window over the few thousand scored candidates — the corpus itself is
+  * read once and never self-joined.
+  */
+object Retrieval {
+
+  /** Lowercased whitespace tokens — the corpus-wide tokenization contract
+    * ([[TextAnalysis.words]] casing aside, the same split).
+    */
+  private def toks(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** BM25 postings: (doc_id, tok, tf) + per-doc length (dl). One explode,
+    * one aggregation; empty/whitespace docs produce no postings but still
+    * count toward N and avgdl (dl = 0) exactly as a real index does.
+    */
+  def bm25Index(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val base = docs.select(id.as("doc_id"), text.as("__text"))
+      .withColumn("dl", TextAnalysis.tokenCount(col("__text")).cast("long"))
+    base.select(col("doc_id"), col("dl"),
+        explode(when(col("dl") > 0, toks(col("__text")))
+          .otherwise(array().cast("array<string>"))).as("tok"))
+      .groupBy("doc_id", "dl", "tok")
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** BM25 top-k documents per query (Robertson–Spärck Jones idf, the
+    * Okapi/Lucene formulation):
+    *
+    *   score(q, d) = Σ_{t ∈ q} ln(1 + (N − df + 0.5)/(df + 0.5))
+    *                 · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * Duplicate terms inside one query count once (set semantics). N and
+    * avgdl cover the WHOLE corpus (empty docs included, dl = 0). Ranking
+    * and the top-k cut use the score rounded to 6 decimals (doc_id as the
+    * tiebreak), so the cut is reproducible across engines regardless of
+    * float-summation order. Returns (query_id, doc_id, score, rank).
+    *
+    * `queries` must be small — it is broadcast twice (terms onto postings,
+    * per-term df onto candidates); everything corpus-sized flows through
+    * exactly one explode + two keyed aggregations.
+    */
+  def bm25TopK(docs: DataFrame, id: Column, text: Column,
+      queries: DataFrame, queryId: Column, queryText: Column,
+      topK: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(topK > 0 && k1 >= 0 && b >= 0 && b <= 1,
+      s"need topK > 0, k1 >= 0, 0 <= b <= 1; got $topK, $k1, $b")
+    val postings = bm25Index(docs, id, text)
+    // one-row corpus stats, kept in-plan and broadcast into the scoring
+    // avgdl as exact-integer sum / count (ONE float division) — `avg` would
+    // leave the result at the mercy of each engine's incremental-mean order
+    val stats = docs.select(id.as("doc_id"),
+        TextAnalysis.tokenCount(text).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val qterms = queries
+      .select(queryId.as("query_id"), explode(toks(queryText)).as("tok"))
+      .distinct()
+    // per-query-term document frequency: postings filtered to query terms
+    // FIRST (broadcast join), so the df aggregate runs over a tiny slice
+    val dfq = postings.join(broadcast(qterms.select("tok").distinct()), Seq("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val scored = postings
+      .join(broadcast(qterms), Seq("tok"))
+      .join(broadcast(dfq), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .withColumn("w",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(col("w")), 6).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "doc_id", "score", "rank")
+  }
+}

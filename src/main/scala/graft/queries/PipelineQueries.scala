@@ -433,7 +433,7 @@ object PipelineQueries {
   // one quantized-kmeans Lloyd round in DuckDB: assign to nearest centroid
   // by squared L2 (integer-exact), then per-dimension floor(sum/count)
   // means; centroids with no members keep their previous position
-  private def duckKmeansRound(prev: String, assignAs: String, centsAs: String,
+  private[queries] def duckKmeansRound(prev: String, assignAs: String, centsAs: String,
       qTable: String = "q", dim: Int = 64): String =
     s"""$assignAs AS (
        |  SELECT vec_id, qv, centroid_id,

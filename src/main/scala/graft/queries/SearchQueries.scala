@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Graphs, Labels, Retrieval}
+
+/** Search-and-ranking gate queries: link-graph PageRank, BM25 lexical
+  * retrieval, and kNN label-noise detection. Every query has a DuckDB
+  * oracle; determinism comes from fixed iteration counts, exact-integer
+  * quantized distances, and rounding BEFORE any ranking cut.
+  */
+object SearchQueries {
+  import CoreQueries.t
+
+  /** Fixed query table for the BM25 gate: corpus-vocabulary terms with a
+    * spread of document frequencies (including a repeated term, which the
+    * set-semantics contract must count once).
+    */
+  private val bm25Queries = Seq(
+    (0L, "spark join window"),
+    (1L, "filter sort merge sort"),
+    (2L, "vector scan batch"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PageRank over the supplier→customer fulfilment graph (suppliers ship
+    // line items to ordering customers): 5 power iterations, damping 0.85,
+    // dangling mass (every customer — no outlinks) redistributed uniformly.
+    // Customer node ids are offset by 100000 to share one id space.
+    "pipe_pagerank" -> ((s, d) => {
+      val e = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("src"), (col("o_custkey") + 100000L).as("dst"))
+      Graphs.pagerank(e, col("src"), col("dst"), iters = 5, damping = 0.85)
+    }),
+
+    // BM25 top-10 per query over the documents corpus
+    "pipe_bm25" -> ((s, d) => {
+      val qdf = s.createDataFrame(bm25Queries).toDF("query_id", "qtext")
+      Retrieval.bm25TopK(t(s, d, "documents"), col("doc_id"), col("text"),
+        qdf, col("query_id"), col("qtext"), topK = 10)
+    }),
+
+    // kNN label agreement over the labeled embeddings: 8 quantized-kmeans
+    // cells (2 Lloyd rounds), 2-probe candidate sets, 5 nearest by exact
+    // integer squared L2
+    "pipe_label_noise" -> ((s, d) =>
+      Labels.knnLabelCheck(t(s, d, "embeddings"), col("vec_id"),
+        col("embedding"), col("label"),
+        k = 5, nClusters = 8, nProbe = 2, iters = 2, dim = 64))
+  )
+
+  // one PageRank power iteration in DuckDB: inflow = sum of rank/outdeg
+  // over in-edges, dangling mass redistributed uniformly; literals written
+  // as the SAME arithmetic the Scala side evaluates ((1.0 - 0.85), not
+  // 0.15) so both engines round identical doubles
+  private def duckPrRound(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT d.node_id,
+       |    (1.0 - 0.85) / nn.n + 0.85 * (coalesce(inf.s, 0) +
+       |      (SELECT coalesce(sum(r.rank), 0) FROM $prev r
+       |       JOIN deg dd ON dd.node_id = r.node_id WHERE dd.out_deg = 0) / nn.n) AS rank
+       |  FROM deg d CROSS JOIN nn
+       |  LEFT JOIN (
+       |    SELECT e.dst AS node_id, sum(r.rank / dd.out_deg) AS s
+       |    FROM $prev r
+       |    JOIN deg dd ON dd.node_id = r.node_id AND dd.out_deg > 0
+       |    JOIN e ON e.src = r.node_id
+       |    GROUP BY e.dst) inf ON inf.node_id = d.node_id)""".stripMargin
+
+  private val prIterChain = {
+    val rounds = (1 to 5).map(i => duckPrRound(s"r${i - 1}", s"r$i"))
+    rounds.mkString(",\n")
+  }
+
+  // BM25 pieces shared with the Spark operator contract: lowercased
+  // whitespace tokens, dl = raw token count, avgdl = exact sum/count
+  private val duckBm25Values = bm25Queries
+    .map { case (id, s) => s"($id, '$s')" }.mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "pipe_pagerank" ->
+      s"""WITH e AS (
+         |  SELECT DISTINCT l_suppkey AS src, 100000 + o_custkey AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |nodes AS (SELECT src AS node_id FROM e UNION SELECT dst FROM e),
+         |deg AS (
+         |  SELECT n.node_id,
+         |         coalesce(i.c, 0) AS in_deg, coalesce(o.c, 0) AS out_deg
+         |  FROM nodes n
+         |  LEFT JOIN (SELECT dst, count(*) AS c FROM e GROUP BY dst) i ON i.dst = n.node_id
+         |  LEFT JOIN (SELECT src, count(*) AS c FROM e GROUP BY src) o ON o.src = n.node_id),
+         |nn AS (SELECT count(*) AS n FROM deg),
+         |r0 AS (SELECT node_id, 1.0 / nn.n AS rank FROM deg CROSS JOIN nn),
+         |$prIterChain
+         |SELECT d.node_id, d.in_deg, d.out_deg, round(r5.rank, 6) AS rank
+         |FROM deg d JOIN r5 ON r5.node_id = d.node_id""".stripMargin,
+
+    "pipe_bm25" ->
+      s"""WITH qs AS (SELECT CAST(query_id AS BIGINT) AS query_id, qtext
+         |            FROM (VALUES $duckBm25Values) v(query_id, qtext)),
+         |base AS (
+         |  SELECT doc_id,
+         |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |              ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS dl,
+         |         text
+         |  FROM documents),
+         |stats AS (SELECT count(*) AS n_docs,
+         |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM base),
+         |postings AS (
+         |  SELECT doc_id, dl, tok, count(*) AS tf
+         |  FROM (SELECT doc_id, dl,
+         |          unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+         |        FROM base WHERE dl > 0)
+         |  GROUP BY doc_id, dl, tok),
+         |qterms AS (
+         |  SELECT DISTINCT query_id,
+         |         unnest(string_split_regex(trim(lower(qtext)), '\\s+')) AS tok
+         |  FROM qs),
+         |dfq AS (
+         |  SELECT tok, count(*) AS df FROM postings
+         |  WHERE tok IN (SELECT tok FROM qterms) GROUP BY tok),
+         |scored AS (
+         |  SELECT q.query_id, p.doc_id,
+         |    round(sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+         |      (p.tf * (1.2 + 1.0)) /
+         |      (p.tf + 1.2 * ((1.0 - 0.75) + 0.75 * p.dl / s.avgdl))), 6) AS score
+         |  FROM postings p
+         |  JOIN qterms q USING (tok) JOIN dfq d USING (tok) CROSS JOIN stats s
+         |  GROUP BY q.query_id, p.doc_id),
+         |rk AS (
+         |  SELECT query_id, doc_id, score,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT query_id, doc_id, score, rank FROM rk WHERE rank <= 10""".stripMargin,
+
+    // quantized kmeans exactly as pipe_kmeans (same init, 2 rounds), then
+    // 2-probe candidate sets, exact integer L2 top-5, agreement + majority
+    "pipe_label_noise" ->
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> round(x * 1000)) AS qv
+         |           FROM embeddings),
+         |c0 AS (SELECT vec_id AS centroid_id, qv AS cv FROM q
+         |       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+         |${PipelineQueries.duckKmeansRound("c0", "a0", "c1")},
+         |${PipelineQueries.duckKmeansRound("c1", "a1", "c2")},
+         |rc AS (
+         |  SELECT vec_id, centroid_id, d2,
+         |         row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY d2 ASC, centroid_id ASC) AS prn
+         |  FROM (SELECT q.vec_id, c.centroid_id,
+         |          list_sum(list_transform(q.qv, (x, i) -> (x - c.cv[i]) * (x - c.cv[i]))) AS d2
+         |        FROM q CROSS JOIN c2 c)),
+         |asg AS (SELECT vec_id, centroid_id FROM rc WHERE prn = 1),
+         |probes AS (SELECT vec_id, centroid_id FROM rc WHERE prn <= 2),
+         |cand AS (
+         |  SELECT p.vec_id, a.vec_id AS nb_id,
+         |    list_sum(list_transform(qa.qv, (x, i) -> (x - qb.qv[i]) * (x - qb.qv[i]))) AS d2
+         |  FROM probes p JOIN asg a USING (centroid_id)
+         |  JOIN q qa ON qa.vec_id = p.vec_id
+         |  JOIN q qb ON qb.vec_id = a.vec_id
+         |  WHERE p.vec_id <> a.vec_id),
+         |knn AS (
+         |  SELECT c.vec_id, c.nb_id, la.label, lb.label AS nb_label
+         |  FROM (SELECT vec_id, nb_id,
+         |          row_number() OVER (PARTITION BY vec_id
+         |            ORDER BY d2 ASC, nb_id ASC) AS rn
+         |        FROM cand) c
+         |  JOIN embeddings la ON la.vec_id = c.vec_id
+         |  JOIN embeddings lb ON lb.vec_id = c.nb_id
+         |  WHERE c.rn <= 5),
+         |votes AS (
+         |  SELECT vec_id, nb_label, count(*) AS v FROM knn GROUP BY vec_id, nb_label),
+         |majority AS (
+         |  SELECT vec_id, nb_label AS majority_label
+         |  FROM (SELECT vec_id, nb_label,
+         |          row_number() OVER (PARTITION BY vec_id
+         |            ORDER BY v DESC, nb_label ASC) AS vr
+         |        FROM votes) WHERE vr = 1),
+         |stats AS (
+         |  SELECT vec_id, count(*) AS n_neighbors,
+         |         sum(CASE WHEN nb_label = label THEN 1 ELSE 0 END) AS n_agree
+         |  FROM knn GROUP BY vec_id)
+         |SELECT e.vec_id, e.label, s.n_neighbors, s.n_agree,
+         |       round(CAST(s.n_agree AS DOUBLE) / s.n_neighbors, 6) AS agree_frac,
+         |       m.majority_label
+         |FROM embeddings e
+         |LEFT JOIN stats s ON s.vec_id = e.vec_id
+         |LEFT JOIN majority m ON m.vec_id = e.vec_id""".stripMargin
+  )
+}

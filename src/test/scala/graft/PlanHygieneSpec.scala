@@ -221,4 +221,32 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"epochs must not shuffle:\n$p")
     assert(p.contains("Generate"), s"expected explode generator:\n$p")
   }
+
+  test("bm25: query side broadcast, corpus never self-joined") {
+    val p = plan("pipe_bm25")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs allowed:\n$p")
+    // the only nested-loop joins are broadcast 1-row cross joins (the
+    // corpus-stats attach); anything non-Cross would be an unkeyed join
+    val bnlj = "BroadcastNestedLoopJoin (\\w+)".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(bnlj.subsetOf(Set("Cross")), s"non-broadcast-stats BNLJ $bnlj:\n$p")
+    // the postings↔qterms/dfq joins must be broadcast (query side is tiny);
+    // corpus-sized SortMergeJoins would mean the index is being shuffled
+    // once per query-metadata join
+    assert(!p.contains("SortMergeJoin"),
+      s"query-side joins must broadcast, not sort-merge:\n$p")
+  }
+
+  test("label-noise kNN: candidate join keyed on centroid_id only") {
+    val p = plan("pipe_label_noise")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs allowed:\n$p")
+    // 1-row broadcast cross joins (centroid array attach) are fine; any
+    // other nested-loop shape is an unkeyed join
+    val bnlj = "BroadcastNestedLoopJoin (\\w+)".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(bnlj.subsetOf(Set("Cross")), s"non-centroid-attach BNLJ $bnlj:\n$p")
+    // corpus-sized exchanges are keyed by centroid_id (candidate join) and
+    // vec_id (top-k window / agreement aggs / result joins) — never unkeyed
+    val hashes = "hashpartitioning\\((\\w+)".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(hashes.subsetOf(Set("centroid_id", "vec_id")),
+      s"unexpected hash exchange keys $hashes:\n$p")
+  }
 }

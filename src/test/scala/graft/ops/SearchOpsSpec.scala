@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Unit coverage for the search-and-ranking tranche: link-graph PageRank,
+  * BM25 lexical retrieval, and kNN label-noise detection. The oracle gates
+  * (pipe_pagerank / pipe_bm25 / pipe_label_noise) pin exact values against
+  * DuckDB; these specs pin the SEMANTIC contracts on graphs small enough to
+  * reason about by hand.
+  */
+class SearchOpsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  // ---- Graphs ----
+
+  test("degrees counts distinct edges, full-outer over src ∪ dst") {
+    val e = Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 3L)).toDF("s", "d")
+    val deg = Graphs.degrees(e, col("s"), col("d"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(deg(1L) == (0L, 2L)) // parallel edge 1→2 collapsed
+    assert(deg(2L) == (1L, 1L))
+    assert(deg(3L) == (2L, 0L))
+  }
+
+  test("pagerank: ranks sum to 1 and a cycle is uniform") {
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val r = Graphs.pagerank(cycle, col("s"), col("d"), iters = 10)
+      .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    // a 3-cycle is already stationary at uniform 1/3 for any damping
+    r.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-6))
+  }
+
+  test("pagerank: dangling mass redistributed, heavier in-link ranks higher") {
+    // star into 3 plus a 1→2 edge; 2 and 3 are dangling sinks
+    val e = Seq((1L, 3L), (2L, 3L), (1L, 2L)).toDF("s", "d")
+    val out = Graphs.pagerank(e, col("s"), col("d"), iters = 20)
+      .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(math.abs(out.values.sum - 1.0) < 1e-5, s"mass not conserved: $out")
+    assert(out(3L) > out(2L), "two in-links must outrank one")
+    assert(out(2L) > out(1L), "one in-link must outrank zero")
+  }
+
+  test("pagerank with a reliable checkpoint dir matches localCheckpoint") {
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("s", "d")
+    val dir = java.nio.file.Files.createTempDirectory("pr_ckpt").toString
+    val a = Graphs.pagerank(e, col("s"), col("d"), iters = 5)
+      .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    val b = Graphs.pagerank(e, col("s"), col("d"), iters = 5,
+        checkpointDir = Some(dir))
+      .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(a == b)
+  }
+
+  // ---- Retrieval ----
+
+  private val corpus = Seq(
+    (1L, "spark shuffles data between stages"),
+    (2L, "spark spark spark"), // tf saturation target
+    (3L, "catalyst optimizes the logical plan"),
+    (4L, "  "), // whitespace-only: dl 0, no postings, still in N/avgdl
+    (5L, "merge sort beats bubble sort")
+  ).toDF("doc_id", "text")
+
+  test("bm25Index: tf per (doc, term), dl raw count, empty docs drop out") {
+    val idx = Retrieval.bm25Index(corpus, col("doc_id"), col("text"))
+    val rows = idx.collect().map(r => (r.getLong(0), r.getString(2)) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(rows((2L, "spark")) == (3L, 3L))
+    assert(rows((5L, "sort")) == (5L, 2L))
+    assert(!rows.keys.exists(_._1 == 4L), "whitespace doc must emit no postings")
+  }
+
+  test("bm25TopK: relevant docs rank first; query term repetition counts once") {
+    val qs = Seq((0L, "spark"), (1L, "sort sort")).toDF("qid", "qt")
+    val out = Retrieval.bm25TopK(corpus, col("doc_id"), col("text"),
+        qs, col("qid"), col("qt"), topK = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // "spark": doc 2 (tf 3, dl 3) beats doc 1 (tf 1, dl 5)
+    assert(out((0L, 1))._1 == 2L)
+    assert(out((0L, 2))._1 == 1L)
+    // "sort sort" must score identically to "sort": only doc 5 matches
+    val single = Retrieval.bm25TopK(corpus, col("doc_id"), col("text"),
+        Seq((1L, "sort")).toDF("qid", "qt"), col("qid"), col("qt"), topK = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out((1L, 1)) == single((1L, 1)))
+    assert(!out.keys.exists { case (q, r) => q == 1L && r > 1 })
+  }
+
+  test("bm25TopK: rarer term carries more idf weight at equal tf") {
+    // "shuffles" appears in 1 doc, "spark" in 2; doc 1 holds both at tf=1
+    // with the same dl, so its score isolates the idf term
+    val qs = Seq((0L, "shuffles"), (1L, "spark")).toDF("qid", "qt")
+    val doc1 = Retrieval.bm25TopK(corpus, col("doc_id"), col("text"),
+        qs, col("qid"), col("qt"), topK = 3)
+      .filter(col("doc_id") === 1L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(doc1(0L) > doc1(1L))
+  }
+
+  // ---- Labels ----
+
+  test("knnLabelCheck flags the planted mislabeled point") {
+    // two tight 2-D clusters, one point of cluster A mislabeled as B
+    val pts = (
+      (1 to 6).map(i => (i.toLong, Array(0.001 * i, 0.0), 0)) ++      // label 0 at x≈0
+      (7 to 12).map(i => (i.toLong, Array(5.0 + 0.001 * i, 0.0), 1)) :+ // label 1 at x≈5
+      (13L, Array(0.0005, 0.0), 1)                                     // mislabeled: sits in cluster A
+    ).toDF("vec_id", "embedding", "label")
+    val out = Labels.knnLabelCheck(pts, col("vec_id"), col("embedding"),
+        col("label"), k = 4, nClusters = 2, nProbe = 2, iters = 3, dim = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), Option(r.get(4)).map(_.asInstanceOf[Double]), r.get(5))).toMap
+    val (lbl, frac, maj) = out(13L)
+    assert(lbl == 1 && frac.contains(0.0) && maj == 0,
+      s"mislabeled point not flagged: $out")
+    // a well-labeled core point agrees with all its neighbors
+    assert(out(3L)._2.contains(1.0))
+    assert(out.size == 13, "every input point must appear exactly once")
+  }
+}
