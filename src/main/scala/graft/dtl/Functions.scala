@@ -162,6 +162,8 @@ object FunctionRegistry {
     text1("simhash", TInt64)(graft.functions.SimHash.simhash),
     // curation operators (graft.ops.Curation / functions.WordStats)
     text1("redact_pii")(graft.ops.Curation.redactPii),
+    text1("normalize_text")(graft.ops.TextAnalysis.normalizeText),
+    text1("gopher_keep", TBool)(graft.ops.Curation.gopherKeep),
     text1("url_canonical")(graft.ops.Urls.canonicalize),
     text1("pii_count", TInt32)(graft.ops.Curation.piiCount),
     text1("dup_word_frac", TDouble) { t =>

@@ -110,6 +110,99 @@ object Curation {
         round(col("__st.top_freq").cast("double") / nd, 6).as("top_word_frac"))
   }
 
+  /** The stopwords whose presence the Gopher rule set requires (Rae et al.
+    * 2021, "Scaling Language Models: ... Gopher", appendix A1.1 — the
+    * "required words" heuristic): a document must contain at least 2.
+    */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher rule-based quality metrics + keep decision (Rae et al. 2021,
+    * appendix A1.1 — the rule set C4/MassiveText-style pipelines apply
+    * before any model-based scoring). Per document:
+    *
+    *  - `n_words`: whitespace token count;
+    *  - `mean_word_len`: characters per word;
+    *  - `symbol_ratio`: (# + "..." + "…" occurrences) / words;
+    *  - `bullet_frac` / `ellipsis_frac`: fraction of lines starting with a
+    *    bullet ("- ", "* ", "• ") / ending with an ellipsis;
+    *  - `alpha_frac`: fraction of words containing an ASCII letter;
+    *  - `stop_hits`: how many of [[gopherStopwords]] occur as tokens;
+    *  - `keep`: the conjunction of the published thresholds
+    *    (50 ≤ words ≤ 100000, 3 ≤ mean len ≤ 10, symbol ≤ 0.1,
+    *    bullet ≤ 0.9, ellipsis ≤ 0.3, alpha ≥ 0.8, stops ≥ 2).
+    *
+    * Ratios are rounded to 6 decimals BEFORE the keep comparison so the
+    * decision reproduces bit-identically on any engine. Entirely row-local
+    * (one pass of codegen'd string work, no shuffle, no UDF) — at 100 TB
+    * this runs at scan speed and is the cheapest filter to push first.
+    */
+  def gopherMetrics(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val names = Seq("mean_word_len", "symbol_ratio", "bullet_frac",
+      "ellipsis_frac", "alpha_frac", "stop_hits")
+    val metrics = gopherMetricCols(col("__t"), col("n_words"))
+      .zip(names).map { case (c, n) => c.as(n) }
+    df.select(id.as("id"), text.as("__t"))
+      .withColumn("n_words", gopherNWords(col("__t")))
+      .select((col("id") +: col("n_words") +: metrics): _*)
+      .withColumn("keep", gopherKeepFromMetrics(
+        col("n_words"), col("mean_word_len"), col("symbol_ratio"),
+        col("bullet_frac"), col("ellipsis_frac"), col("alpha_frac"),
+        col("stop_hits")))
+  }
+
+  /** Single-column form of the gopher keep decision — what the DTL
+    * `gopher_keep(text)` scalar and streaming filters use. Same expressions
+    * as [[gopherMetrics]] (Catalyst CSE collapses the repeats), still
+    * row-local codegen.
+    */
+  def gopherKeep(text: Column): Column = {
+    val n = gopherNWords(text)
+    val Seq(mwl, sym, bul, ell, alpha, stops) = gopherMetricCols(text, n)
+    gopherKeepFromMetrics(n, mwl, sym, bul, ell, alpha, stops)
+  }
+
+  private def gopherNWords(t: Column): Column =
+    when(length(trim(t)) === 0, 0L)
+      .otherwise(size(TextAnalysis.words(t)).cast("long"))
+
+  /** The six derived gopher metrics, unaliased, in the fixed order
+    * (mean_word_len, symbol_ratio, bullet_frac, ellipsis_frac, alpha_frac,
+    * stop_hits), given the text and its already-computed word count.
+    */
+  private def gopherMetricCols(t: Column, nWords: Column): Seq[Column] = {
+    val ws = TextAnalysis.words(t)
+    val lines = split(t, "\n")
+    val nWordsD = greatest(nWords.cast("double"), lit(1.0))
+    val nLinesD = greatest(size(lines).cast("double"), lit(1.0))
+    val nSymbols = (regexp_count(t, lit("#")) +
+      regexp_count(t, lit("\\.\\.\\.")) +
+      regexp_count(t, lit("…"))).cast("double")
+    val nBullet = size(filter(lines, l => l.rlike("^\\s*[-*•] "))).cast("double")
+    val nEllipsis = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("double")
+    val nAlpha = size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double")
+    val lowered = transform(ws, w => lower(w))
+    val stopHits = gopherStopwords
+      .map(s => when(array_contains(lowered, s), 1).otherwise(0))
+      .reduce(_ + _)
+    Seq(
+      round(when(nWords === 0, 0.0)
+        .otherwise(aggregate(ws, lit(0L), (acc, w) => acc + length(w))
+          .cast("double") / nWordsD), 6),
+      round(when(nWords === 0, 0.0)
+        .otherwise(nSymbols / nWordsD), 6),
+      round(nBullet / nLinesD, 6),
+      round(nEllipsis / nLinesD, 6),
+      round(when(nWords === 0, 0.0)
+        .otherwise(nAlpha / nWordsD), 6),
+      when(nWords === 0, 0).otherwise(stopHits))
+  }
+
+  private def gopherKeepFromMetrics(nWords: Column, mwl: Column, sym: Column,
+      bul: Column, ell: Column, alpha: Column, stops: Column): Column =
+    nWords.between(50L, 100000L) && mwl.between(3.0, 10.0) &&
+      sym <= 0.1 && bul <= 0.9 && ell <= 0.3 && alpha >= 0.8 && stops >= 2
+
   /** PII patterns kept deliberately RE2-compatible (no lookaround, no
     * backreferences) so the same pattern runs in Spark (Java regex), RE2
     * engines, and the DuckDB oracle with identical matches.
@@ -363,6 +456,47 @@ object Curation {
     * shard in one task, so pick `nShards` at least at cluster parallelism
     * (training exports typically use thousands).
     */
+  /** Length-bucketed batch assignment — the padding-minimizing batching
+    * inference/training loaders use: group sequences of similar token
+    * length, batch within the group, pad each batch only to ITS max. Per
+    * row: `bucket` = (n_tokens-1) div `bucketWidth` (so lengths 1..width
+    * share bucket 0), `shard` = hash-split within the bucket, `batch_id` =
+    * deterministic-order position div `batchSize`, `padded_len` = the
+    * batch's max length, `pad_waste` = padded_len − n_tokens (what naive
+    * batching would burn as pad tokens).
+    *
+    * Order within a (bucket, shard) is the md5 hash of the id ([[
+    * hashUniform]], id tiebreak) — a deterministic shuffle, so batches are
+    * reproducible on any engine/cluster AND length-sorted bias is avoided.
+    *
+    * Scale: one shuffle on (bucket, shard) then per-partition window work.
+    * A single length bucket of a 100 TB corpus can hold billions of rows —
+    * a global per-bucket row_number would bottleneck on one partition, so
+    * `nShards` splits every bucket into independently-batched slices
+    * (cost: at most nShards under-full final batches per bucket). Size
+    * nShards so corpus/(buckets·nShards) rows fit one executor partition.
+    */
+  def lengthBucketBatches(df: DataFrame, id: Column, nTokens: Column,
+      bucketWidth: Int, batchSize: Int, nShards: Int = 1): DataFrame = {
+    require(bucketWidth > 0 && batchSize > 0 && nShards > 0,
+      s"need positive bucketWidth/batchSize/nShards, got $bucketWidth/$batchSize/$nShards")
+    val base = df.select(id.as("id"), nTokens.cast("long").as("n_tokens"))
+      .withColumn("bucket",
+        floor(greatest(col("n_tokens") - 1L, lit(0L)).cast("double") / bucketWidth)
+          .cast("long"))
+      .withColumn("shard", pmod(hashUniform(col("id")), lit(nShards.toLong)))
+      .withColumn("hv", hashUniform(concat(lit("batch|"), col("id").cast("string"))))
+    val order = Window.partitionBy(col("bucket"), col("shard"))
+      .orderBy(col("hv").asc, col("id").asc)
+    val batch = Window.partitionBy(col("bucket"), col("shard"), col("batch_id"))
+    base
+      .withColumn("batch_id",
+        floor((row_number().over(order) - 1).cast("double") / batchSize).cast("long"))
+      .withColumn("padded_len", max(col("n_tokens")).over(batch))
+      .withColumn("pad_waste", col("padded_len") - col("n_tokens"))
+      .select("id", "n_tokens", "bucket", "shard", "batch_id", "padded_len", "pad_waste")
+  }
+
   def shardAssign(df: DataFrame, key: Column, nShards: Int): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     val h = hashUniform(key)

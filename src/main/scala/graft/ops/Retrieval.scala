@@ -57,8 +57,25 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, id: Column, text: Column,
       queries: DataFrame, queryId: Column, queryText: Column,
       topK: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(topK > 0 && k1 >= 0 && b >= 0 && b <= 1,
-      s"need topK > 0, k1 >= 0, 0 <= b <= 1; got $topK, $k1, $b")
+    require(topK > 0, s"need topK > 0, got $topK")
+    val scored = bm25Scores(docs, id, text, queries, queryId, queryText, k1, b)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "doc_id", "score", "rank")
+  }
+
+  /** All (query_id, doc_id, score) candidates — every document sharing at
+    * least one term with the query, scored, UNCUT. The shared scoring core
+    * of [[bm25TopK]] and [[hardNegatives]]; same determinism contract
+    * (score rounded to 6 decimals before any downstream ranking).
+    */
+  def bm25Scores(docs: DataFrame, id: Column, text: Column,
+      queries: DataFrame, queryId: Column, queryText: Column,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k1 >= 0 && b >= 0 && b <= 1,
+      s"need k1 >= 0, 0 <= b <= 1; got $k1, $b")
     val postings = bm25Index(docs, id, text)
     // one-row corpus stats, kept in-plan and broadcast into the scoring
     // avgdl as exact-integer sum / count (ONE float division) — `avg` would
@@ -84,9 +101,32 @@ object Retrieval {
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy("query_id", "doc_id")
       .agg(round(sum(col("w")), 6).as("score"))
+    scored
+  }
+
+  /** Hard-negative mining for retrieval/embedding training (the standard
+    * "BM25 negatives" recipe, e.g. DPR, Karpukhin et al. 2020): per query,
+    * the top-`topK` BM25-scored documents AFTER removing that query's known
+    * positives (qrels). Ranking happens after the exclusion, so the result
+    * always holds `topK` true negatives per query (when enough candidates
+    * exist) — cutting first and filtering second would under-fill.
+    *
+    * `positives` is the qrels table — small relative to the corpus (one row
+    * per judged (query, doc)) and broadcast into a left-anti join, so the
+    * corpus-sized candidate set never reshuffles for the exclusion.
+    * Returns (query_id, doc_id, score, rank) with rank 1..topK per query.
+    */
+  def hardNegatives(docs: DataFrame, id: Column, text: Column,
+      queries: DataFrame, queryId: Column, queryText: Column,
+      positives: DataFrame, posQueryId: Column, posDocId: Column,
+      topK: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(topK > 0, s"need topK > 0, got $topK")
+    val scored = bm25Scores(docs, id, text, queries, queryId, queryText, k1, b)
+    val pos = positives.select(posQueryId.as("query_id"), posDocId.as("doc_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    scored.join(broadcast(pos), Seq("query_id", "doc_id"), "left_anti")
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select("query_id", "doc_id", "score", "rank")
   }

@@ -80,6 +80,35 @@ object TextAnalysis {
     round((lengthScore * 0.4 + wordLenScore * 0.3 + punctScore * 0.3), 6)
   }
 
+  /** Canonical text normalization — the pre-dedup/pre-tokenize cleanup pass
+    * every crawl pipeline runs first, composed ONLY of transformations with
+    * exact cross-engine twins (no locale- or version-dependent behavior):
+    *
+    *  1. fold typographic single/double quotes and en/em dashes to ASCII,
+    *     NBSP to space (1:1 `translate`);
+    *  2. "…" → "..." ; zero-width chars (ZWSP/ZWNJ/ZWJ/BOM) dropped;
+    *  3. C0/C1-ish control chars (except \t \n \r, which are whitespace)
+    *     → space;
+    *  4. lowercase;
+    *  5. whitespace runs collapsed to one space, ends trimmed.
+    *
+    * Row-local codegen'd string work — runs at scan speed; NOT a
+    * Unicode-normalization (NFC/NFKC) pass, which is deliberately out of
+    * scope: NFKC output depends on the engine's Unicode table version, so
+    * it cannot be part of a bit-reproducible fingerprint contract.
+    */
+  def normalizeText(text: Column): Column = {
+    val folded = translate(text,
+      "\u2018\u2019\u201C\u201D\u2013\u2014\u00A0", "''\"\"-- ")
+    val ascii = regexp_replace(
+      regexp_replace(folded, "\u2026", "..."),
+      "[\u200B\u200C\u200D\uFEFF]", "")
+    val noCtl = regexp_replace(ascii,
+      "[\u0000-\u0008\u000B\u000C\u000E-\u001F\u007F]", " ")
+    trim(regexp_replace(lower(noCtl), "\\s+", " "))
+  }
+
+
   /** 64-bit document fingerprint over normalized text (case/whitespace
     * folded) — exact-dup detection key.
     */

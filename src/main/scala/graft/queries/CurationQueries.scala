@@ -179,8 +179,49 @@ object CurationQueries {
         col("doc_id"), TextAnalysis.tokenCount(col("text")), col("source"),
         budget = 256L)
         .withColumnRenamed("id", "doc_id")
-    })
+    }),
+
+    // Gopher rule-based quality metrics; bullets/symbols/stopwords planted
+    // deterministically so every rule path sees non-zero traffic
+    "pipe_gopher_rules" -> ((s, d) => {
+      val aug = concat(col("text"),
+        when(col("doc_id") % 5 === 0, lit(gopherPlant)).otherwise(lit("")),
+        when(col("doc_id") % 9 === 0, lit(" ## see more ...")).otherwise(lit("")))
+      Curation.gopherMetrics(
+        t(s, d, "documents").select(col("doc_id"), aug.as("text")),
+        col("doc_id"), col("text"))
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // canonical text normalization over planted typographic-unicode mess
+    "pipe_normalize" -> ((s, d) => {
+      val aug = concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(normalizePlant)).otherwise(lit("")))
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.normalizeText(aug).as("norm"))
+    }),
+
+    // padding-minimizing length-bucketed batch assignment
+    "pipe_length_batches" -> ((s, d) =>
+      Curation.lengthBucketBatches(
+        t(s, d, "documents"),
+        col("doc_id"), TextAnalysis.tokenCount(col("text")),
+        bucketWidth = 16, batchSize = 8, nShards = 2)
+        .withColumnRenamed("id", "doc_id"))
   )
+
+  /** Planted gopher-rule traffic: stopwords, bullet lines, an ellipsis
+    * line end. The SAME string is rebuilt with chr(10) in the oracle.
+    */
+  private val gopherPlant =
+    "\nthe data should have quality checks\n- bullet one\n- bullet two ..."
+
+  /** Planted normalization mess: curly quotes, em dash, ellipsis, NBSP,
+    * zero-width space. Interpolated verbatim into the oracle SQL literal
+    * (no apostrophes, so it is quote-safe).
+    */
+  private val normalizePlant =
+    " \u201CQuoted\u2014text\u201D\u2026 and\u00A0more \u2018x\u2019 \u200Bend"
 
   private val duckHash =
     "('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT"
@@ -195,6 +236,38 @@ object CurationQueries {
   private val emailPat = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
   private val ipv4Pat = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
   private val phonePat = """\+?\d[\d\- ]{7,}\d"""
+
+  /** SUM of per-stopword CASE hits, matching Curation.gopherStopwords. */
+  private val duckStopHits: String = Curation.gopherStopwords
+    .map(s => s"(CASE WHEN list_contains(list_transform(ws, w -> lower(w)), '$s') THEN 1 ELSE 0 END)")
+    .mkString(" + ")
+
+  /** translate() FROM/TO pair for the quote/dash/NBSP fold: curly single
+    * and double quotes, en/em dash, NBSP -> ASCII quote, dash, space. FROM
+    * is built from escapes (NBSP is invisible in source); TO doubles the
+    * single quotes for the SQL literal.
+    */
+  private val quoteFoldFrom: String =
+    "\u2018\u2019\u201C\u201D\u2013\u2014\u00A0"
+  private val duckQuoteFold: String = "'''''\"\"-- '"
+
+  /** Zero-width chars (ZWSP/ZWNJ/ZWJ/BOM) stripped by normalizeText. */
+  private val zeroWidth: String = "\u200B\u200C\u200D\uFEFF"
+
+  /** The DuckDB twin of TextAnalysis.normalizeText over an arbitrary input
+    * expression \u2014 shared by pipe_normalize and the DTL dtl_normalize gate.
+    */
+  private[queries] def duckNormalizeExpr(input: String): String =
+    s"""trim(regexp_replace(lower(
+       |    regexp_replace(
+       |      regexp_replace(
+       |        regexp_replace(
+       |          translate($input,
+       |                    '$quoteFoldFrom', $duckQuoteFold),
+       |          '\u2026', '...', 'g'),
+       |        '[$zeroWidth]', '', 'g'),
+       |      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', ' ', 'g')),
+       |    '\\s+', ' ', 'g'))""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // quantile_cont interpolates exactly like Spark's exact percentile
@@ -403,6 +476,80 @@ object CurationQueries {
          |         CASE WHEN p.cum = 0 OR p.cum + d.t <= 256 THEN p.bin ELSE p.bin + 1 END,
          |         CASE WHEN p.cum = 0 OR p.cum + d.t <= 256 THEN p.cum + d.t ELSE d.t END
          |  FROM d JOIN packed p ON d.shard = p.shard AND d.rn = p.rn + 1)
-         |SELECT shard, doc_id, bin, CAST(cum - t AS BIGINT) AS offset FROM packed""".stripMargin
+         |SELECT shard, doc_id, bin, CAST(cum - t AS BIGINT) AS offset FROM packed""".stripMargin,
+
+    // gopher rules: same planted augmentation (rebuilt with chr(10)), word/
+    // line lists via the same regex splits, ratios rounded BEFORE keep
+    "pipe_gopher_rules" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, text
+         |    || (CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'the data should have quality checks'
+         |        || chr(10) || '- bullet one' || chr(10) || '- bullet two ...' ELSE '' END)
+         |    || (CASE WHEN doc_id % 9 = 0 THEN ' ## see more ...' ELSE '' END) AS t
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, t,
+         |    string_split_regex(trim(t), '\\s+') AS ws,
+         |    string_split(t, chr(10)) AS ls,
+         |    CAST(CASE WHEN length(trim(t)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(t), '\\s+')) END AS BIGINT) AS n_words
+         |  FROM aug),
+         |m AS (
+         |  SELECT doc_id, n_words,
+         |    round(CASE WHEN n_words = 0 THEN 0.0
+         |      ELSE CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS DOUBLE)
+         |           / n_words END, 6) AS mean_word_len,
+         |    round(CASE WHEN n_words = 0 THEN 0.0
+         |      ELSE CAST(len(regexp_extract_all(t, '#'))
+         |        + len(regexp_extract_all(t, '\\.\\.\\.'))
+         |        + len(regexp_extract_all(t, '…')) AS DOUBLE) / n_words END, 6) AS symbol_ratio,
+         |    round(CAST(len(list_filter(ls, l -> regexp_matches(l, '^\\s*[-*•] '))) AS DOUBLE)
+         |      / greatest(len(ls), 1), 6) AS bullet_frac,
+         |    round(CAST(len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$'))) AS DOUBLE)
+         |      / greatest(len(ls), 1), 6) AS ellipsis_frac,
+         |    round(CASE WHEN n_words = 0 THEN 0.0
+         |      ELSE CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+         |           / n_words END, 6) AS alpha_frac,
+         |    CASE WHEN n_words = 0 THEN 0 ELSE ${duckStopHits} END AS stop_hits
+         |  FROM b)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+         |       ellipsis_frac, alpha_frac, stop_hits,
+         |       (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+         |         AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+         |         AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+         |         AND stop_hits >= 2 AS keep
+         |FROM m""".stripMargin,
+
+    // normalization: the identical fold/strip/collapse chain in DuckDB
+    // (regexp_replace needs the 'g' flag; translate is 1:1 in both engines)
+    "pipe_normalize" ->
+      s"""SELECT doc_id,
+         |  ${duckNormalizeExpr(s"text || (CASE WHEN doc_id % 3 = 0 THEN '$normalizePlant' ELSE '' END)")} AS norm
+         |FROM documents""".stripMargin,
+
+    // length-bucketed batching: same md5 order, same integer-floor bucket /
+    // batch arithmetic, windowed per-batch max
+    "pipe_length_batches" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(floor(CAST(greatest(n_tokens - 1, 0) AS DOUBLE) / 16) AS BIGINT) AS bucket,
+         |    $duckHash % 2 AS shard,
+         |    ('0x'||substr(md5('batch|' || CAST(doc_id AS VARCHAR)),1,8))::BIGINT AS hv
+         |  FROM b),
+         |r AS (
+         |  SELECT doc_id, n_tokens, bucket, shard,
+         |    CAST(floor(CAST(row_number() OVER (PARTITION BY bucket, shard
+         |      ORDER BY hv, doc_id) - 1 AS DOUBLE) / 8) AS BIGINT) AS batch_id
+         |  FROM h)
+         |SELECT doc_id, n_tokens, bucket, shard, batch_id,
+         |  max(n_tokens) OVER (PARTITION BY bucket, shard, batch_id) AS padded_len,
+         |  max(n_tokens) OVER (PARTITION BY bucket, shard, batch_id) - n_tokens AS pad_waste
+         |FROM r""".stripMargin
   )
+
 }

@@ -14,6 +14,13 @@ import graft.dtl.{Engine, FilesystemImporter, InMemoryExporter}
   * exact in IEEE double and safe to hash-compare unrounded.
   */
 object DtlQueries {
+  /** Typographic-unicode planting for dtl_normalize (quote-free, so it sits
+    * in a DTL string literal and a SQL literal verbatim): curly quotes, em
+    * dash, ellipsis, NBSP, zero-width space.
+    */
+  private val dtlNormalizePlant =
+    " \u201CQuoted\u2014text\u201D\u2026 and\u00A0more \u2018x\u2019 \u200Bend"
+
   private def run(s: SparkSession, dir: String, source: String): DataFrame = {
     val exporter = new InMemoryExporter
     new Engine(s).run(source, new FilesystemImporter(s, dir), exporter)
@@ -158,6 +165,18 @@ object DtlQueries {
 
     // URL canonicalization inside the language: the registry function over
     // a URL assembled with in-language concat/%/to_text
+    // normalize_text in the language: fold typographic unicode, lowercase,
+    // collapse whitespace (same planting idea as pipe_normalize, built with
+    // the language's own concat/if)
+    "dtl_normalize" -> ((s, d) => run(s, d,
+      "WITH documents AS IMPORT 'documents';\n" +
+        "WITH output AS\n" +
+        "  SELECT doc_id,\n" +
+        "         normalize_text(if(doc_id % 3 = 0, concat(text, '" +
+        dtlNormalizePlant + "'), text)) AS norm\n" +
+        "  FROM documents;\n" +
+        "EXPORT output TO 'output';")),
+
     "dtl_url_canonical" -> ((s, d) => run(s, d,
       """WITH documents AS IMPORT 'documents';
         |WITH output AS
@@ -337,6 +356,11 @@ object DtlQueries {
       """SELECT doc_id,
         |       'https://site' || (doc_id % 5) || '.com/P?a=1&b=2' AS curl
         |FROM documents""".stripMargin,
+    "dtl_normalize" ->
+      s"""SELECT doc_id,
+         |  ${CurationQueries.duckNormalizeExpr(
+              s"CASE WHEN doc_id % 3 = 0 THEN text || '$dtlNormalizePlant' ELSE text END")} AS norm
+         |FROM documents""".stripMargin,
     "dtl_curation" ->
       """WITH w AS (SELECT doc_id, text, string_split_regex(trim(text),'\s+') AS ws,
         |                  length(trim(text)) = 0 AS empty FROM documents

@@ -40,6 +40,18 @@ object SearchQueries {
         qdf, col("query_id"), col("qtext"), topK = 10)
     }),
 
+    // BM25 hard-negative mining: each query's top-2 docs are its qrels
+    // positives; rank the remaining candidates and keep the top 10
+    "pipe_hard_negatives" -> ((s, d) => {
+      val qdf = s.createDataFrame(bm25Queries).toDF("query_id", "qtext")
+      val docs = t(s, d, "documents")
+      val positives = Retrieval.bm25TopK(docs, col("doc_id"), col("text"),
+        qdf, col("query_id"), col("qtext"), topK = 2)
+      Retrieval.hardNegatives(docs, col("doc_id"), col("text"),
+        qdf, col("query_id"), col("qtext"),
+        positives, col("query_id"), col("doc_id"), topK = 10)
+    }),
+
     // kNN label agreement over the labeled embeddings: 8 quantized-kmeans
     // cells (2 Lloyd rounds), 2-probe candidate sets, 5 nearest by exact
     // integer squared L2
@@ -77,6 +89,48 @@ object SearchQueries {
   private val duckBm25Values = bm25Queries
     .map { case (id, s) => s"($id, '$s')" }.mkString(", ")
 
+  /** Shared BM25 CTE chain ending at `scored` (all candidates, rounded
+    * score) and `rk` (per-query dense ranking) — the common prefix of the
+    * pipe_bm25 and pipe_hard_negatives oracles.
+    */
+  private val duckBm25Cte: String =
+    s"""WITH qs AS (SELECT CAST(query_id AS BIGINT) AS query_id, qtext
+       |            FROM (VALUES $duckBm25Values) v(query_id, qtext)),
+       |base AS (
+       |  SELECT doc_id,
+       |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |              ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS dl,
+       |         text
+       |  FROM documents),
+       |stats AS (SELECT count(*) AS n_docs,
+       |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM base),
+       |postings AS (
+       |  SELECT doc_id, dl, tok, count(*) AS tf
+       |  FROM (SELECT doc_id, dl,
+       |          unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+       |        FROM base WHERE dl > 0)
+       |  GROUP BY doc_id, dl, tok),
+       |qterms AS (
+       |  SELECT DISTINCT query_id,
+       |         unnest(string_split_regex(trim(lower(qtext)), '\\s+')) AS tok
+       |  FROM qs),
+       |dfq AS (
+       |  SELECT tok, count(*) AS df FROM postings
+       |  WHERE tok IN (SELECT tok FROM qterms) GROUP BY tok),
+       |scored AS (
+       |  SELECT q.query_id, p.doc_id,
+       |    round(sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+       |      (p.tf * (1.2 + 1.0)) /
+       |      (p.tf + 1.2 * ((1.0 - 0.75) + 0.75 * p.dl / s.avgdl))), 6) AS score
+       |  FROM postings p
+       |  JOIN qterms q USING (tok) JOIN dfq d USING (tok) CROSS JOIN stats s
+       |  GROUP BY q.query_id, p.doc_id),
+       |rk AS (
+       |  SELECT query_id, doc_id, score,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+       |  FROM scored)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "pipe_pagerank" ->
       s"""WITH e AS (
@@ -96,43 +150,22 @@ object SearchQueries {
          |FROM deg d JOIN r5 ON r5.node_id = d.node_id""".stripMargin,
 
     "pipe_bm25" ->
-      s"""WITH qs AS (SELECT CAST(query_id AS BIGINT) AS query_id, qtext
-         |            FROM (VALUES $duckBm25Values) v(query_id, qtext)),
-         |base AS (
-         |  SELECT doc_id,
-         |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-         |              ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS dl,
-         |         text
-         |  FROM documents),
-         |stats AS (SELECT count(*) AS n_docs,
-         |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM base),
-         |postings AS (
-         |  SELECT doc_id, dl, tok, count(*) AS tf
-         |  FROM (SELECT doc_id, dl,
-         |          unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
-         |        FROM base WHERE dl > 0)
-         |  GROUP BY doc_id, dl, tok),
-         |qterms AS (
-         |  SELECT DISTINCT query_id,
-         |         unnest(string_split_regex(trim(lower(qtext)), '\\s+')) AS tok
-         |  FROM qs),
-         |dfq AS (
-         |  SELECT tok, count(*) AS df FROM postings
-         |  WHERE tok IN (SELECT tok FROM qterms) GROUP BY tok),
-         |scored AS (
-         |  SELECT q.query_id, p.doc_id,
-         |    round(sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
-         |      (p.tf * (1.2 + 1.0)) /
-         |      (p.tf + 1.2 * ((1.0 - 0.75) + 0.75 * p.dl / s.avgdl))), 6) AS score
-         |  FROM postings p
-         |  JOIN qterms q USING (tok) JOIN dfq d USING (tok) CROSS JOIN stats s
-         |  GROUP BY q.query_id, p.doc_id),
-         |rk AS (
-         |  SELECT query_id, doc_id, score,
-         |         CAST(row_number() OVER (PARTITION BY query_id
-         |           ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
-         |  FROM scored)
+      s"""$duckBm25Cte
          |SELECT query_id, doc_id, score, rank FROM rk WHERE rank <= 10""".stripMargin,
+
+    // hard negatives: same scored set, each query's top-2 docs treated as
+    // the positives (qrels), ranking re-run AFTER the exclusion
+    "pipe_hard_negatives" ->
+      s"""$duckBm25Cte,
+         |pos AS (SELECT query_id, doc_id FROM rk WHERE rank <= 2),
+         |neg AS (
+         |  SELECT s.query_id, s.doc_id, s.score,
+         |         CAST(row_number() OVER (PARTITION BY s.query_id
+         |           ORDER BY s.score DESC, s.doc_id ASC) AS INTEGER) AS rank
+         |  FROM scored s
+         |  WHERE NOT EXISTS (SELECT 1 FROM pos p
+         |                    WHERE p.query_id = s.query_id AND p.doc_id = s.doc_id))
+         |SELECT query_id, doc_id, score, rank FROM neg WHERE rank <= 10""".stripMargin,
 
     // quantized kmeans exactly as pipe_kmeans (same init, 2 rounds), then
     // 2-probe candidate sets, exact integer L2 top-5, agreement + majority

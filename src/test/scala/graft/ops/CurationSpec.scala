@@ -295,4 +295,73 @@ class CurationSpec extends AnyFunSuite {
     val n = Curation.epochs(big, col("id"), lit(1.5)).count()
     assert(math.abs(n - 15000L) < 300, s"got $n copies")
   }
+
+  test("gopherMetrics: worked example hits every rule path") {
+    val good = (("word " * 30) + "the data should be of use and that we have seen with it ").trim
+    val docs = Seq(
+      (1L, good),                                     // 43 words: under 50 -> keep=false on count
+      (2L, (good + " ") * 2),                         // long enough, all rules pass
+      (3L, "- a ...\n- b ...\n- c ..."),              // all bullet lines, all ellipsis ends
+      (4L, "### ### ### x"),                          // symbol-heavy
+      (5L, ""),                                       // empty
+      (6L, "12 34 56 78 90")                          // no alpha words, no stopwords
+    ).toDF("doc_id", "text")
+    val m = Curation.gopherMetrics(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(5L).getLong(1) == 0L && !m(5L).getBoolean(8))
+    assert(m(3L).getDouble(4) == 1.0 && m(3L).getDouble(5) == 1.0) // bullet_frac, ellipsis_frac
+    assert(m(4L).getDouble(3) > 0.1 && !m(4L).getBoolean(8))       // symbol_ratio kills it
+    assert(m(6L).getDouble(6) == 0.0 && m(6L).getInt(7) == 0)      // alpha_frac, stop_hits
+    assert(!m(1L).getBoolean(8))                                   // word count below 50
+    assert(m(2L).getBoolean(8), s"expected keep for doc 2: ${m(2L)}") // every threshold met
+    assert(m(2L).getInt(7) >= 2)                                   // stopword hits
+  }
+
+  test("gopherKeep column form agrees with gopherMetrics.keep on real docs") {
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val viaMetrics = Curation.gopherMetrics(docs, col("doc_id"), col("text"))
+      .select(col("id"), col("keep"))
+    val viaColumn = docs.select(col("doc_id").as("id"),
+      Curation.gopherKeep(col("text")).as("keep2"))
+    val joined = viaMetrics.join(viaColumn, "id")
+    assert(joined.filter(col("keep") =!= col("keep2")).count() == 0)
+    assert(joined.count() > 0)
+  }
+
+  test("normalizeText folds typographic unicode and collapses whitespace") {
+    val rows = Seq(
+      (1L, " \u201CQuoted\u2014text\u201D\u2026 and\u00A0more \u2018x\u2019 \u200Bend "),
+      (2L, "AB   C\t\nD"),
+      (3L, "already clean")
+    ).toDF("id", "t")
+    val out = rows.select(col("id"), TextAnalysis.normalizeText(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "\"quoted-text\"... and more 'x' end")
+    assert(out(2L) == "a b c d")
+    assert(out(3L) == "already clean")
+  }
+
+  test("lengthBucketBatches: buckets by width, batches capped, padding exact") {
+    val df = (1L to 100L).map(i => (i, (i % 40) + 1)).toDF("id", "nt")
+    val out = Curation.lengthBucketBatches(df, col("id"), col("nt"),
+      bucketWidth = 10, batchSize = 4, nShards = 2).collect()
+    assert(out.length == 100)
+    out.foreach { r =>
+      val (nt, bucket, shard, padded, waste) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5), r.getLong(6))
+      assert(bucket == (nt - 1) / 10, s"row $r")
+      assert(shard == 0L || shard == 1L)
+      assert(padded >= nt && waste == padded - nt)
+      // padding never exceeds the bucket span: max-min within a bucket < width
+      assert(waste < 10, s"row $r")
+    }
+    // batches respect the size cap
+    val sizes = out.groupBy(r => (r.getLong(2), r.getLong(3), r.getLong(4))).values.map(_.length)
+    assert(sizes.forall(_ <= 4))
+    // deterministic: second run identical
+    val again = Curation.lengthBucketBatches(df, col("id"), col("nt"),
+      bucketWidth = 10, batchSize = 4, nShards = 2).collect()
+    assert(out.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
 }

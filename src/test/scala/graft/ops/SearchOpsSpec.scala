@@ -101,6 +101,29 @@ class SearchOpsSpec extends AnyFunSuite {
     assert(doc1(0L) > doc1(1L))
   }
 
+  test("hardNegatives excludes qrels positives and re-ranks the remainder") {
+    val qs = Seq((0L, "spark")).toDF("qid", "qt")
+    val all = Retrieval.bm25TopK(corpus, col("doc_id"), col("text"),
+        qs, col("qid"), col("qt"), topK = 10)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(all.size >= 2, "fixture must have >= 2 spark matches")
+    val pos = Seq((0L, all.head)).toDF("query_id", "doc_id")
+    val negs = Retrieval.hardNegatives(corpus, col("doc_id"), col("text"),
+        qs, col("qid"), col("qt"),
+        pos, col("query_id"), col("doc_id"), topK = 10)
+      .orderBy("rank").collect()
+    // the positive is gone, the rest keep relative order, ranks re-densify
+    assert(negs.map(_.getLong(1)).toSeq == all.tail)
+    assert(negs.map(_.getInt(3)).toSeq == (1 to all.tail.size))
+    // empty positives == plain topK
+    val noPos = Retrieval.hardNegatives(corpus, col("doc_id"), col("text"),
+        qs, col("qid"), col("qt"),
+        Seq.empty[(Long, Long)].toDF("query_id", "doc_id"),
+        col("query_id"), col("doc_id"), topK = 10)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(noPos == all)
+  }
+
   // ---- Labels ----
 
   test("knnLabelCheck flags the planted mislabeled point") {
