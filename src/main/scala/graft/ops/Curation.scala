@@ -456,6 +456,40 @@ object Curation {
     * shard in one task, so pick `nShards` at least at cluster parallelism
     * (training exports typically use thousands).
     */
+  /** Temperature-scaled domain mixture sampling — the multilingual/
+    * multi-domain recipe (Conneau & Lample 2019 §3.1; mT5, Xue et al. 2021):
+    * sample domain `i` with probability p_i ∝ n_i^alpha, flattening the
+    * head and boosting the tail as `alpha` drops below 1. Realized as a
+    * per-row deterministic keep decision: domain keep rate
+    * r_i = min(1, targetRows·p_i / n_i) (rounded to 6 decimals — the
+    * cross-engine reproducibility contract), row kept iff
+    * md5(id) < floor(r_i·2^32). Expected output size ≈ targetRows when no
+    * rate saturates at 1.
+    *
+    * Scale shape: the domain-stats aggregate reduces to |domains| rows (a
+    * broadcast), the keep decision is row-local hash arithmetic — one
+    * partial-agg pass plus one scan, no corpus shuffle, reproducible on any
+    * cluster size or engine.
+    */
+  def temperatureMixture(df: DataFrame, id: Column, domain: Column,
+      alpha: Double, targetRows: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    val stats = df.groupBy(domain.as("__dom"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__pw", pow(col("__n").cast("double"), alpha))
+    val z = stats.agg(sum(col("__pw")).as("__z"))
+    val rates = stats.crossJoin(broadcast(z))
+      .select(col("__dom"),
+        round(least(lit(1.0),
+          lit(targetRows.toDouble) * col("__pw") / (col("__z") * col("__n"))),
+          6).as("__rate"))
+    df.join(broadcast(rates), domain === col("__dom"))
+      .filter(hashUniform(id) <
+        floor(col("__rate") * 4294967296.0).cast("long"))
+      .drop("__dom", "__rate")
+  }
+
   /** Length-bucketed batch assignment — the padding-minimizing batching
     * inference/training loaders use: group sequences of similar token
     * length, batch within the group, pad each batch only to ITS max. Per

@@ -130,4 +130,28 @@ object Retrieval {
       .filter(col("rank") <= topK)
       .select("query_id", "doc_id", "score", "rank")
   }
+
+  /** (query, positive, hard-negative) triples — the training artifact a
+    * contrastive embedding fine-tune (DPR/SBERT-style) consumes: every
+    * qrels positive of a query crossed with that query's top-`negsPerPos`
+    * BM25 hard negatives. Returns (query_id, pos_id, neg_id, neg_rank);
+    * a query with p positives and n ≤ negsPerPos negatives yields p·n rows.
+    *
+    * Both inputs to the final join are per-query top-k cuts (bounded), so
+    * the assembly join broadcasts; all corpus-scale work happens once
+    * inside [[hardNegatives]].
+    */
+  def contrastiveTriples(docs: DataFrame, id: Column, text: Column,
+      queries: DataFrame, queryId: Column, queryText: Column,
+      positives: DataFrame, posQueryId: Column, posDocId: Column,
+      negsPerPos: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val negs = hardNegatives(docs, id, text, queries, queryId, queryText,
+      positives, posQueryId, posDocId, negsPerPos, k1, b)
+    val pos = positives.select(posQueryId.as("query_id"), posDocId.as("pos_id"))
+    pos.join(
+      negs.select(col("query_id"), col("doc_id").as("neg_id"),
+        col("rank").as("neg_rank")),
+      Seq("query_id"))
+      .select("query_id", "pos_id", "neg_id", "neg_rank")
+  }
 }

@@ -207,7 +207,14 @@ object CurationQueries {
         t(s, d, "documents"),
         col("doc_id"), TextAnalysis.tokenCount(col("text")),
         bucketWidth = 16, batchSize = 8, nShards = 2)
-        .withColumnRenamed("id", "doc_id"))
+        .withColumnRenamed("id", "doc_id")),
+
+    // temperature-scaled domain mixture at alpha = 0.5 (sqrt — correctly
+    // rounded in every IEEE engine, so the rate arithmetic reproduces)
+    "pipe_temperature_mix" -> ((s, d) =>
+      Curation.temperatureMixture(
+        t(s, d, "documents").select("doc_id", "source"),
+        col("doc_id"), col("source"), alpha = 0.5, targetRows = 250L))
   )
 
   /** Planted gopher-rule traffic: stopwords, bullet lines, an ellipsis
@@ -236,6 +243,16 @@ object CurationQueries {
   private val emailPat = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
   private val ipv4Pat = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
   private val phonePat = """\+?\d[\d\- ]{7,}\d"""
+
+  private val temperatureMixOracle: String =
+    s"""WITH s AS (SELECT source AS dom, count(*) AS n FROM documents GROUP BY source),
+       |p AS (SELECT dom, n, pow(CAST(n AS DOUBLE), 0.5) AS pw FROM s),
+       |z AS (SELECT sum(pw) AS z FROM p),
+       |r AS (SELECT dom, round(least(1.0, 250.0 * pw / (z.z * n)), 6) AS rate
+       |      FROM p CROSS JOIN z)
+       |SELECT d.doc_id, d.source FROM documents d
+       |JOIN r ON r.dom = d.source
+       |WHERE $duckHash < CAST(floor(rate * 4294967296.0) AS BIGINT)""".stripMargin
 
   /** SUM of per-stopword CASE hits, matching Curation.gopherStopwords. */
   private val duckStopHits: String = Curation.gopherStopwords
@@ -526,6 +543,9 @@ object CurationQueries {
       s"""SELECT doc_id,
          |  ${duckNormalizeExpr(s"text || (CASE WHEN doc_id % 3 = 0 THEN '$normalizePlant' ELSE '' END)")} AS norm
          |FROM documents""".stripMargin,
+
+    // temperature mixture: same sqrt/round/floor-threshold arithmetic
+    "pipe_temperature_mix" -> temperatureMixOracle,
 
     // length-bucketed batching: same md5 order, same integer-floor bucket /
     // batch arithmetic, windowed per-batch max

@@ -52,6 +52,17 @@ object SearchQueries {
         positives, col("query_id"), col("doc_id"), topK = 10)
     }),
 
+    // contrastive training triples: top-2 positives × top-5 hard negatives
+    "pipe_contrastive_triples" -> ((s, d) => {
+      val qdf = s.createDataFrame(bm25Queries).toDF("query_id", "qtext")
+      val docs = t(s, d, "documents")
+      val positives = Retrieval.bm25TopK(docs, col("doc_id"), col("text"),
+        qdf, col("query_id"), col("qtext"), topK = 2)
+      Retrieval.contrastiveTriples(docs, col("doc_id"), col("text"),
+        qdf, col("query_id"), col("qtext"),
+        positives, col("query_id"), col("doc_id"), negsPerPos = 5)
+    }),
+
     // kNN label agreement over the labeled embeddings: 8 quantized-kmeans
     // cells (2 Lloyd rounds), 2-probe candidate sets, 5 nearest by exact
     // integer squared L2
@@ -166,6 +177,20 @@ object SearchQueries {
          |  WHERE NOT EXISTS (SELECT 1 FROM pos p
          |                    WHERE p.query_id = s.query_id AND p.doc_id = s.doc_id))
          |SELECT query_id, doc_id, score, rank FROM neg WHERE rank <= 10""".stripMargin,
+
+    // triples: positives (rank<=2) × that query's re-ranked negatives (<=5)
+    "pipe_contrastive_triples" ->
+      s"""$duckBm25Cte,
+         |pos AS (SELECT query_id, doc_id AS pos_id FROM rk WHERE rank <= 2),
+         |neg AS (
+         |  SELECT s.query_id, s.doc_id AS neg_id,
+         |         CAST(row_number() OVER (PARTITION BY s.query_id
+         |           ORDER BY s.score DESC, s.doc_id ASC) AS INTEGER) AS neg_rank
+         |  FROM scored s
+         |  WHERE NOT EXISTS (SELECT 1 FROM pos p
+         |                    WHERE p.query_id = s.query_id AND p.pos_id = s.doc_id))
+         |SELECT p.query_id, p.pos_id, n.neg_id, n.neg_rank
+         |FROM pos p JOIN neg n ON n.query_id = p.query_id AND n.neg_rank <= 5""".stripMargin,
 
     // quantized kmeans exactly as pipe_kmeans (same init, 2 rounds), then
     // 2-probe candidate sets, exact integer L2 top-5, agreement + majority

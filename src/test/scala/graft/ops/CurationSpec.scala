@@ -317,6 +317,30 @@ class CurationSpec extends AnyFunSuite {
     assert(m(2L).getInt(7) >= 2)                                   // stopword hits
   }
 
+  test("temperatureMixture flattens the head and boosts the tail") {
+    // 9000-row head domain, 1000-row tail domain; target 2000 rows
+    val df = ((0L until 9000L).map(i => (i, "big")) ++
+      (9000L until 10000L).map(i => (i, "small"))).toDF("id", "dom")
+    val out = Curation.temperatureMixture(df, col("id"), col("dom"),
+      alpha = 0.5, targetRows = 2000L)
+      .groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // alpha=0.5: p ∝ sqrt(n) → 9000^.5 : 1000^.5 ≈ 0.75 : 0.25 of 2000,
+    // so ~1500 head / ~500 tail — versus 1800/200 proportional
+    assert(math.abs(out("big") - 1500.0) < 120, s"head: $out")
+    assert(math.abs(out("small") - 500.0) < 80, s"tail: $out")
+    // alpha=1 degenerates to proportional sampling
+    val prop = Curation.temperatureMixture(df, col("id"), col("dom"),
+      alpha = 1.0, targetRows = 2000L)
+      .groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(prop("big") - 1800.0) < 120, s"head prop: $prop")
+    // deterministic
+    val again = Curation.temperatureMixture(df, col("id"), col("dom"),
+      alpha = 0.5, targetRows = 2000L).count()
+    assert(again == out.values.sum)
+  }
+
   test("gopherKeep column form agrees with gopherMetrics.keep on real docs") {
     val docs = TestSpark.spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
@@ -332,7 +356,7 @@ class CurationSpec extends AnyFunSuite {
   test("normalizeText folds typographic unicode and collapses whitespace") {
     val rows = Seq(
       (1L, " \u201CQuoted\u2014text\u201D\u2026 and\u00A0more \u2018x\u2019 \u200Bend "),
-      (2L, "AB   C\t\nD"),
+      (2L, "A\u0001B   C\t\nD"),
       (3L, "already clean")
     ).toDF("id", "t")
     val out = rows.select(col("id"), TextAnalysis.normalizeText(col("t")).as("n"))

@@ -124,6 +124,24 @@ class SearchOpsSpec extends AnyFunSuite {
     assert(noPos == all)
   }
 
+  test("contrastiveTriples: every positive × every negative, disjoint sets") {
+    val qs = Seq((0L, "spark sort plan")).toDF("qid", "qt")
+    val all = Retrieval.bm25TopK(corpus, col("doc_id"), col("text"),
+        qs, col("qid"), col("qt"), topK = 10)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(all.size >= 3)
+    val pos = Seq((0L, all.head)).toDF("query_id", "doc_id")
+    val triples = Retrieval.contrastiveTriples(corpus, col("doc_id"), col("text"),
+        qs, col("qid"), col("qt"),
+        pos, col("query_id"), col("doc_id"), negsPerPos = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // 1 positive × 2 negatives; negatives are the next docs in rank order
+    assert(triples.length == 2)
+    assert(triples.forall(_._2 == all.head))
+    assert(triples.map(_._3).toSeq.sorted == all.slice(1, 3).sorted)
+    assert(triples.forall(t => t._2 != t._3))
+  }
+
   // ---- Labels ----
 
   test("knnLabelCheck flags the planted mislabeled point") {
