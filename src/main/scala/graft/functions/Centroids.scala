@@ -119,6 +119,40 @@ object CentroidMath {
     bestId
   }
 
+  /** Ids of the `k` nearest centroids by (squared L2 asc, id asc), in rank
+    * order — the multi-probe list for the L2/quantized paths. Same
+    * insertion-pass shape as [[nearestIds]] with the comparator flipped.
+    */
+  def nearestIdsL2(vec: ArrayData, cents: ArrayData, k: Int): ArrayData = {
+    val n = cents.numElements()
+    val cap = math.min(k, n)
+    val ids = new Array[Long](cap)
+    val ds = new Array[Double](cap)
+    var used = 0
+    var i = 0
+    while (i < n) {
+      val row = if (cents.isNullAt(i)) null else cents.getStruct(i, 2)
+      if (row != null && !row.isNullAt(0) && !row.isNullAt(1)) {
+        val id = row.getLong(0)
+        val d = VecMath.sqDist(vec, row.getArray(1))
+        if (!d.isNaN) {
+          var j = used
+          while (j > 0 && (d < ds(j - 1) || (d == ds(j - 1) && id < ids(j - 1)))) j -= 1
+          if (j < cap) {
+            val last = math.min(used, cap - 1)
+            var m = last
+            while (m > j) { ids(m) = ids(m - 1); ds(m) = ds(m - 1); m -= 1 }
+            ids(j) = id
+            ds(j) = d
+            if (used < cap) used += 1
+          }
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(ids.take(used).map(x => x: Any))
+  }
+
   def nearestCentroid(vec: Column, cents: Column): Column =
     GraftColumnBridge.column(NearestCentroidExpr(
       GraftColumnBridge.expression(vec), GraftColumnBridge.expression(cents)))
@@ -129,6 +163,10 @@ object CentroidMath {
 
   def nearestCentroids(vec: Column, cents: Column, k: Int): Column =
     GraftColumnBridge.column(NearestCentroidsExpr(
+      GraftColumnBridge.expression(vec), GraftColumnBridge.expression(cents), k))
+
+  def nearestCentroidsL2(vec: Column, cents: Column, k: Int): Column =
+    GraftColumnBridge.column(NearestCentroidsL2Expr(
       GraftColumnBridge.expression(vec), GraftColumnBridge.expression(cents), k))
 
   private[functions] def checkTypes(left: Expression, right: Expression, who: String): TypeCheckResult = {
@@ -190,6 +228,24 @@ case class NearestCentroidL2Expr(left: Expression, right: Expression)
          |${ev.isNull} = ${ev.value} == Long.MIN_VALUE;""".stripMargin)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): NearestCentroidL2Expr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Top-k centroid ids by (squared L2 asc, id asc), in rank order. */
+case class NearestCentroidsL2Expr(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  require(k > 0, s"nearest_centroids_l2 k must be positive, got $k")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    CentroidMath.checkTypes(left, right, "nearest_centroids_l2")
+  override def nullSafeEval(vec: Any, cents: Any): Any =
+    CentroidMath.nearestIdsL2(
+      vec.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.CentroidMath.nearestIdsL2($a, $b, $k);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCentroidsL2Expr =
     copy(left = newLeft, right = newRight)
 }
 

@@ -75,6 +75,44 @@ object VecMath {
   def dotProduct(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotExpression(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def squaredDistance(a: Column, b: Column): Column =
+    GraftColumnBridge.column(SqDistExpression(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+}
+
+/** Codegen'd squared L2 distance — the hot inner loop of candidate scoring
+  * (interpreted `aggregate(zip_with(...))` HOFs allocate a zipped array per
+  * pair; this is a single primitive pass). NaN (length mismatch / NaN
+  * elements) surfaces as NULL so it can never win an ascending top-k.
+  */
+case class SqDistExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes() = {
+    def ok(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sq_dist expects ARRAY<DOUBLE> args, got " +
+          s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val d = VecMath.sqDist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (d.isNaN) null else d
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""${ev.value} = graft.functions.VecMath.sqDist($a, $b);
+         |${ev.isNull} = Double.isNaN(${ev.value});""".stripMargin)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqDistExpression =
+    copy(left = newLeft, right = newRight)
 }
 
 case class CosineExpression(left: Expression, right: Expression)

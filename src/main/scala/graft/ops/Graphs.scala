@@ -69,7 +69,10 @@ object Graphs {
     def pin(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
 
-    val e = canonEdges(edges, src, dst)
+    // pin the canonical edge frame ONCE: it feeds every power iteration,
+    // and without pinning each round would re-run the upstream join +
+    // DISTINCT that built it (5 iterations = 5 edge rebuilds)
+    val e = pin(canonEdges(edges, src, dst))
     val deg = degrees(e, col("src"), col("dst"))
     // N is one scalar action over the pinned degree frame — the same bounded
     // driver fetch the iterative ops already make for convergence tests
@@ -89,13 +92,17 @@ object Graphs {
         .join(e, col("node_id") === col("src"))
         .select(col("dst"), (col("rank") / col("out_deg")).as("c"))
         .groupBy("dst").agg(sum(col("c")).as("inflow"))
-      ranks = pin(nodes.select(col("node_id"))
+      val next = nodes.select(col("node_id"))
         .join(contribs, col("node_id") === col("dst"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("node_id"),
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("inflow"), lit(0.0)) + col("dang") / n))
-            .as("rank")))
+            .as("rank"))
+      // pin every round: the rank frame is referenced twice next round
+      // (dangling mass + contributions), so an unpinned round would run
+      // its joins twice — the barrier is cheaper than the recompute
+      ranks = pin(next)
     }
     nodes.join(ranks, Seq("node_id"))
       .select(col("node_id"), col("in_deg"), col("out_deg"),

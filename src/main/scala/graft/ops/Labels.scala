@@ -56,28 +56,27 @@ object Labels {
         transform(vec.cast("array<double>"), x => round(x * scale)).as("qv"))
       .crossJoin(broadcast(centArr))
 
-    // exact integer squared L2 between a quantized vector and a centroid
-    def sqDist(v: Column, c: Column): Column =
-      aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
-
     // index side: each point lives in its single nearest cell (the same
-    // argmin contract as kmeans assignment: distance asc, centroid_id asc)
-    val ranked = pts.withColumn("__rc",
-      array_sort(transform(col("cents"),
-        c => struct(sqDist(col("qv"), c("centroid_vec")).as("d"),
-          c("centroid_id").as("cid")))))
-    val indexSide = ranked.select(col("vec_id").as("nb_id"),
+    // argmin contract as kmeans assignment: distance asc, centroid_id asc).
+    // Probe ranking and pair distances are native codegen expressions
+    // (graft.functions.{CentroidMath, VecMath}) — the candidate scoring is
+    // the O(n·nProbe·n/C) hot loop, so no interpreted HOFs here.
+    val probed = pts.withColumn("__probes",
+      graft.functions.CentroidMath.nearestCentroidsL2(
+        col("qv"), col("cents"), nProbe))
+    val indexSide = probed.select(col("vec_id").as("nb_id"),
       col("label").as("nb_label"), col("qv").as("nb_qv"),
-      element_at(col("__rc"), 1)("cid").as("centroid_id"))
+      element_at(col("__probes"), 1).as("centroid_id"))
     // query side: nProbe nearest cells per point, exploded row-locally
-    val querySide = ranked.select(col("vec_id"), col("label"), col("qv"),
-      explode(transform(slice(col("__rc"), 1, nProbe), r => r("cid"))).as("centroid_id"))
+    val querySide = probed.select(col("vec_id"), col("label"), col("qv"),
+      explode(col("__probes")).as("centroid_id"))
 
     val cand = querySide.join(indexSide, Seq("centroid_id"))
       .filter(col("vec_id") =!= col("nb_id"))
-      .withColumn("d2", sqDist(col("qv"), col("nb_qv")))
+      .withColumn("d2",
+        graft.functions.VecMath.squaredDistance(col("qv"), col("nb_qv")))
     val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("d2").asc, col("nb_id").asc)
+      .orderBy(col("d2").asc_nulls_last, col("nb_id").asc)
     val knn = cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
 
     // per-point agreement + deterministic majority label in two group passes

@@ -236,6 +236,40 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"query-side joins must broadcast, not sort-merge:\n$p")
   }
 
+  test("gopher rules and normalization are row-local: zero exchanges") {
+    val pg = plan("pipe_gopher_rules")
+    assert(!pg.contains("Exchange"), s"gopher metrics must not shuffle:\n$pg")
+    val pn = plan("pipe_normalize")
+    assert(!pn.contains("Exchange"), s"normalize must not shuffle:\n$pn")
+  }
+
+  test("temperature mixture: corpus never shuffles, rates broadcast back") {
+    val p = plan("pipe_temperature_mix")
+    // corpus-sized exchanges: none — the only hash exchange feeds the
+    // |domains|-row stats aggregate; the rate join must broadcast
+    assert(!p.contains("SortMergeJoin"), s"rate join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // (the __dom alias collapses back to the source column in the plan)
+    val hashes = "hashpartitioning\\((\\w+)".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(hashes.subsetOf(Set("source")),
+      s"only the domain-stats aggregate may hash-exchange, got $hashes:\n$p")
+  }
+
+  test("length-bucketed batching shuffles once on (bucket, shard)") {
+    val p = plan("pipe_length_batches")
+    val hashes = "hashpartitioning\\((\\w+)".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(hashes.subsetOf(Set("bucket")),
+      s"unexpected hash exchange keys $hashes:\n$p")
+    assert(!p.contains("rangepartitioning"), s"no global sort:\n$p")
+  }
+
+  test("hard negatives: exclusion join broadcasts; no corpus self-join") {
+    val p = plan("pipe_hard_negatives")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs allowed:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"qrels anti-join and query joins must broadcast:\n$p")
+  }
+
   test("label-noise kNN: candidate join keyed on centroid_id only") {
     val p = plan("pipe_label_noise")
     assert(!p.contains("CartesianProduct"), s"no all-pairs allowed:\n$p")
