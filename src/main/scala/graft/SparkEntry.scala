@@ -47,5 +47,7 @@ object SparkEntry {
     "pipe_token_count", "pipe_bpe", "pipe_lm_score",
     "pipe_global_shuffle", "pipe_epochs", "pipe_training_prep",
     "pipe_decontaminate", "pipe_pack_sequences",
-    "pipe_pagerank", "pipe_bm25", "pipe_label_noise")
+    "pipe_pagerank", "pipe_bm25", "pipe_label_noise",
+    "pipe_gopher_rules", "pipe_hard_negatives", "pipe_length_batches",
+    "pipe_temperature_mix")
 }

@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass raw counts for the Gopher rule filters (graft.ops.Curation
+  * .gopherMetrics), as a struct — replacing six interpreted higher-order
+  * array passes (each of which re-split the text) with a single JVM walk.
+  *
+  * Field semantics mirror the HOF/oracle formulation EXACTLY:
+  *  - words: [[Tokenize.words]] (space-trim, `\s+` split keeping edge
+  *    empties); `sum_word_len` counts CODE POINTS per word (Spark
+  *    `length`/DuckDB `length` semantics, not UTF-16 units);
+  *  - `n_alpha`: words containing an ASCII letter;
+  *  - `stop_hits`: how many distinct [[GopherStats.stopwords]] appear
+  *    (case-insensitive via ROOT-locale lowercase, same as Spark `lower`
+  *    for these ASCII needles);
+  *  - `n_symbols`: '#' + non-overlapping left-to-right "..." + U+2026
+  *    (regexp_count semantics: a match consumes its characters);
+  *  - lines: literal '\n' split of the UNTRIMMED text (count = newlines+1,
+  *    empty text = one empty line); `n_bullet` = lines matching
+  *    `^\s*[-*•] `, `n_ellipsis` = lines matching `(\.\.\.|…)\s*$`, with
+  *    `\s` = the Java regex class [ \t\n\x0B\f\r].
+  */
+object GopherStats {
+
+  /** Must stay equal (as a set) to graft.ops.Curation.gopherStopwords. */
+  val stopwords: Array[String] =
+    Array("the", "be", "to", "of", "and", "that", "have", "with")
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  def gopherStats(s: UTF8String): InternalRow = {
+    val str = s.toString
+    val len = str.length
+
+    val words = Tokenize.words(s)
+    var sumLen = 0L
+    var nAlpha = 0L
+    var stopMask = 0
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      sumLen += w.codePointCount(0, w.length)
+      var hasAlpha = false
+      var j = 0
+      while (j < w.length && !hasAlpha) {
+        val c = w.charAt(j)
+        if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) hasAlpha = true
+        j += 1
+      }
+      if (hasAlpha) nAlpha += 1
+      if (w.length >= 2 && w.length <= 4 && stopMask != 0xFF) {
+        val lw = w.toLowerCase(java.util.Locale.ROOT)
+        var k = 0
+        while (k < stopwords.length) {
+          if ((stopMask & (1 << k)) == 0 && lw == stopwords(k)) stopMask |= 1 << k
+          k += 1
+        }
+      }
+      i += 1
+    }
+
+    // symbols over the untrimmed text, regexp_count consumption order
+    var nSym = 0L
+    i = 0
+    while (i < len) {
+      val c = str.charAt(i)
+      if (c == '#') { nSym += 1; i += 1 }
+      else if (c == '.' && i + 2 < len &&
+        str.charAt(i + 1) == '.' && str.charAt(i + 2) == '.') { nSym += 1; i += 3 }
+      else if (c == '…') { nSym += 1; i += 1 }
+      else i += 1
+    }
+
+    // literal '\n' line split of the untrimmed text
+    var nLines = 1
+    var nBullet = 0
+    var nEllipsis = 0
+    var start = 0
+    var p = 0
+    while (p <= len) {
+      if (p == len || str.charAt(p) == '\n') {
+        // bullet: ^\s*[-*•] (the space after the marker is required)
+        var q = start
+        while (q < p && isWs(str.charAt(q))) q += 1
+        if (q + 1 < p && (str.charAt(q) == '-' || str.charAt(q) == '*' ||
+            str.charAt(q) == '•') && str.charAt(q + 1) == ' ')
+          nBullet += 1
+        // ellipsis: (\.\.\.|…)\s*$
+        var e = p
+        while (e > start && isWs(str.charAt(e - 1))) e -= 1
+        if ((e - start >= 3 && str.charAt(e - 1) == '.' &&
+            str.charAt(e - 2) == '.' && str.charAt(e - 3) == '.') ||
+            (e > start && str.charAt(e - 1) == '…'))
+          nEllipsis += 1
+        if (p < len) nLines += 1
+        start = p + 1
+      }
+      p += 1
+    }
+
+    new GenericInternalRow(Array[Any](
+      words.length.toLong, sumLen, nAlpha, Integer.bitCount(stopMask),
+      nSym, nLines, nBullet, nEllipsis))
+  }
+
+  def gopherStats(text: Column): Column =
+    GraftColumnBridge.column(
+      GopherStatsExpression(GraftColumnBridge.expression(text)))
+}
+
+case class GopherStatsExpression(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("sum_word_len", LongType, nullable = false),
+    StructField("n_alpha", LongType, nullable = false),
+    StructField("stop_hits", IntegerType, nullable = false),
+    StructField("n_symbols", LongType, nullable = false),
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("n_bullet", IntegerType, nullable = false),
+    StructField("n_ellipsis", IntegerType, nullable = false)))
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"gopher_stats expects STRING, got ${child.dataType.simpleString}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    GopherStats.gopherStats(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GopherStats.gopherStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): GopherStatsExpression =
+    copy(child = newChild)
+}

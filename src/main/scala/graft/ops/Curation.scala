@@ -163,39 +163,30 @@ object Curation {
   }
 
   private def gopherNWords(t: Column): Column =
-    when(length(trim(t)) === 0, 0L)
-      .otherwise(size(TextAnalysis.words(t)).cast("long"))
+    graft.functions.GopherStats.gopherStats(t).getField("n_words")
 
   /** The six derived gopher metrics, unaliased, in the fixed order
     * (mean_word_len, symbol_ratio, bullet_frac, ellipsis_frac, alpha_frac,
-    * stop_hits), given the text and its already-computed word count.
+    * stop_hits), given the text and its already-computed word count. All
+    * raw counts come from ONE native codegen pass over the text
+    * (graft.functions.GopherStats) — the interpreted HOF formulation
+    * re-split the text per metric and was ~50x slower at corpus scale; the
+    * two are pinned equal in CurationProperties.
     */
   private def gopherMetricCols(t: Column, nWords: Column): Seq[Column] = {
-    val ws = TextAnalysis.words(t)
-    val lines = split(t, "\n")
+    val st = graft.functions.GopherStats.gopherStats(t)
     val nWordsD = greatest(nWords.cast("double"), lit(1.0))
-    val nLinesD = greatest(size(lines).cast("double"), lit(1.0))
-    val nSymbols = (regexp_count(t, lit("#")) +
-      regexp_count(t, lit("\\.\\.\\.")) +
-      regexp_count(t, lit("…"))).cast("double")
-    val nBullet = size(filter(lines, l => l.rlike("^\\s*[-*•] "))).cast("double")
-    val nEllipsis = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("double")
-    val nAlpha = size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double")
-    val lowered = transform(ws, w => lower(w))
-    val stopHits = gopherStopwords
-      .map(s => when(array_contains(lowered, s), 1).otherwise(0))
-      .reduce(_ + _)
+    val nLinesD = greatest(st.getField("n_lines").cast("double"), lit(1.0))
     Seq(
       round(when(nWords === 0, 0.0)
-        .otherwise(aggregate(ws, lit(0L), (acc, w) => acc + length(w))
-          .cast("double") / nWordsD), 6),
+        .otherwise(st.getField("sum_word_len").cast("double") / nWordsD), 6),
       round(when(nWords === 0, 0.0)
-        .otherwise(nSymbols / nWordsD), 6),
-      round(nBullet / nLinesD, 6),
-      round(nEllipsis / nLinesD, 6),
+        .otherwise(st.getField("n_symbols").cast("double") / nWordsD), 6),
+      round(st.getField("n_bullet").cast("double") / nLinesD, 6),
+      round(st.getField("n_ellipsis").cast("double") / nLinesD, 6),
       round(when(nWords === 0, 0.0)
-        .otherwise(nAlpha / nWordsD), 6),
-      when(nWords === 0, 0).otherwise(stopHits))
+        .otherwise(st.getField("n_alpha").cast("double") / nWordsD), 6),
+      when(nWords === 0, 0).otherwise(st.getField("stop_hits")))
   }
 
   private def gopherKeepFromMetrics(nWords: Column, mwl: Column, sym: Column,

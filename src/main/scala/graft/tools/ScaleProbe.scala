@@ -246,6 +246,45 @@ object ScaleProbe {
     }
     println(f"  copies: $epN (want ~${(n * 1.5).toLong}%,d)")
 
+    println(s"== gopher rules (row-local codegen text scan) ==")
+    val gopherN = math.min(n / 4, 5_000_000L)
+    val gopherCorpus = spark.range(gopherN).select(col("id"),
+      concat_ws(" ", (0 until 60).map(i =>
+        concat(lit("word"), pmod(xxhash64(col("id") * 53 + i), lit(500L)))): _*).as("text"))
+    val gopherKept = time(f"gopherMetrics ($gopherN%,d x 60-word docs)") {
+      graft.ops.Curation.gopherMetrics(gopherCorpus, col("id"), col("text"))
+        .filter(col("keep")).count()
+    }
+    println(f"  kept: $gopherKept%,d")
+
+    println(s"== length-bucketed batching (per-(bucket,shard) windows) ==")
+    val lbN = n
+    val lb = time(f"lengthBucketBatches ($lbN%,d rows, width 64, batch 32, 64 shards)") {
+      graft.ops.Curation.lengthBucketBatches(
+        spark.range(lbN).select(col("id"),
+          (pmod(xxhash64(col("id")), lit(2000L)) + 1L).as("nt")),
+        col("id"), col("nt"), bucketWidth = 64, batchSize = 32, nShards = 64)
+        .agg(count(lit(1)).as("rows"), sum("pad_waste").as("waste"),
+          max("padded_len").as("maxp")).head()
+    }
+    println(f"  rows ${lb.getLong(0)}%,d, total pad waste ${lb.getLong(1)}%,d, max padded ${lb.getLong(2)}")
+
+    println(s"== bm25 hard negatives (1-pass postings, broadcast queries) ==")
+    val bmN = math.min(n / 10, 2_000_000L)
+    val bmCorpus = spark.range(bmN).select(col("id"),
+      concat_ws(" ", (0 until 30).map(i =>
+        concat(lit("t"), pmod(xxhash64(col("id") * 71 + i), lit(20000L)))): _*).as("text"))
+    val bmQs = spark.range(8).select(col("id").as("qid"),
+      concat(lit("t"), pmod(xxhash64(col("id") + 1), lit(20000L)),
+        lit(" t"), pmod(xxhash64(col("id") + 100), lit(20000L))).as("qt"))
+    val bmPos = spark.range(8).select(col("id").as("query_id"), (col("id") * 997L % bmN).as("doc_id"))
+    val negN = time(f"hardNegatives ($bmN%,d docs, 8 queries, top-20)") {
+      graft.ops.Retrieval.hardNegatives(bmCorpus, col("id"), col("text"),
+        bmQs, col("qid"), col("qt"), bmPos, col("query_id"), col("doc_id"),
+        topK = 20).count()
+    }
+    println(f"  negatives: $negN%,d")
+
     println(s"== shuffled-shard export (range 1:1 shard->task mapping) ==")
     val shardDir = java.nio.file.Files.createTempDirectory("probe-shards")
     time(f"writeShuffledShards ($n%,d rows -> 256 shards)") {

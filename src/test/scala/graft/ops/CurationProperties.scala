@@ -64,4 +64,51 @@ object CurationProperties extends Properties("curation") {
           byId.get(id).forall(e => e == (0L until copies))
       }
     }
+
+  // adversarial text: whitespace variety at the edges, bullets, ellipses,
+  // symbols, stopwords, unicode — the native one-pass GopherStats must agree
+  // with the interpreted HOF formulation it replaced, everywhere
+  private val messyText: Gen[String] = {
+    val piece = Gen.oneOf(
+      Gen.oneOf(" ", "\t", "\n", "\u000B", "\f", "\r"),
+      Gen.oneOf("the", "be", "to", "of", "and", "that", "have", "with",
+        "THE", "Be", "word", "x", "ab", "12", "#", "...", "....", "…",
+        "- ", "* ", "• ", "-x", "naïve", "日本語"),
+      Gen.alphaNumStr.map(_.take(6)))
+    Gen.listOf(piece).map(_.mkString(""))
+  }
+
+  property("native GopherStats equals the HOF formulation on messy text") =
+    forAll(Gen.listOfN(12, messyText)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      val ws = graft.ops.TextAnalysis.words(col("t"))
+      val lines = split(col("t"), "\n")
+      val hof = df.select(col("id"),
+        when(length(trim(col("t"))) === 0, 0L).otherwise(size(ws).cast("long")).as("n_words"),
+        aggregate(ws, lit(0L), (acc, w) => acc + length(w)).as("sum_word_len"),
+        size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("long").as("n_alpha"),
+        Curation.gopherStopwords
+          .map(s => when(array_contains(transform(ws, w => lower(w)), s), 1).otherwise(0))
+          .reduce(_ + _).as("stop_hits"),
+        (regexp_count(col("t"), lit("#")) + regexp_count(col("t"), lit("\\.\\.\\.")) +
+          regexp_count(col("t"), lit("…"))).cast("long").as("n_symbols"),
+        size(lines).as("n_lines"),
+        size(filter(lines, l => l.rlike("^\\s*[-*•] "))).as("n_bullet"),
+        size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$"))).as("n_ellipsis"))
+      val nat = df.select(col("id"),
+        graft.functions.GopherStats.gopherStats(col("t")).as("st"))
+        .select(col("id"), col("st.n_words"), col("st.sum_word_len"),
+          col("st.n_alpha"), col("st.stop_hits"), col("st.n_symbols"),
+          col("st.n_lines"), col("st.n_bullet"), col("st.n_ellipsis"))
+      val h = hof.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      val m = nat.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      texts.indices.forall { i =>
+        val id = i.toLong
+        // the HOF n_words twin guards empties; align the raw field for
+        // space-only strings where Tokenize.words returns empty
+        val same = h(id) == m(id)
+        if (!same) println(s"MISMATCH on ${texts(i).take(60).replace("\n", "\\n")}: hof=${h(id)} native=${m(id)}")
+        same
+      }
+    }
 }
