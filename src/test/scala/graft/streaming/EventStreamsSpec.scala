@@ -207,6 +207,33 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("gopher gate and normalization run unchanged on streams, equal to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(Long, String)]
+    val gated = graft.ops.Curation.gopherMetrics(
+      input.toDF().toDF("doc_id", "text"), col("doc_id"), col("text"))
+    val q = gated.writeStream.format("memory").queryName("gopher_out")
+      .outputMode("append").start()
+    val texts = Seq(
+      ("the data should have been of use " * 10).trim,   // passes every rule
+      "- a ...\n- b ...",                                 // bullet/ellipsis heavy
+      "",                                                  // empty
+      "### ### short")                                    // symbol heavy
+    try {
+      input.addData(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("gopher_out")
+        .select("id", "n_words", "keep").as[(Long, Long, Boolean)].collect().toSet
+      val batch = graft.ops.Curation.gopherMetrics(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+        .select("id", "n_words", "keep").as[(Long, Long, Boolean)].collect().toSet
+      assert(streamed == batch)
+      assert(batch.exists(_._3) && batch.exists(!_._3))
+    } finally q.stop()
+  }
+
   test("stream-stream band join correlates events within the time band only") {
     implicit val sqlCtx = spark.sqlContext
     val left = MemoryStream[EventStreams.Event]
