@@ -146,6 +146,38 @@ object TextAnalysis {
         col("__t").substr(col("start").cast("int"), lit(size)).as("chunk"))
   }
 
+  /** Per-document n-gram novelty — the memorization-risk / boilerplate
+    * metric: of a document's DISTINCT word `k`-grams, what fraction occurs
+    * in no other document (corpus document frequency 1)? Low novelty means
+    * the document is assembled from corpus-common text (template, spam,
+    * near-dup survivor); high novelty text is what a model can only learn
+    * from this document. Returns (id, n_grams, n_unique, novelty) — docs
+    * with fewer than `k` words (no grams) are omitted, mirroring the
+    * decontamination contract.
+    *
+    * Scale shape: one explode of distinct shingles, a (shingle)-keyed count
+    * (partial-aggregated — hot boilerplate shingles just count, no posting
+    * lists materialize), one join back on the shingle key, and a per-doc
+    * aggregate. Two hash shuffles total, both on keys with no unbounded
+    * skew amplification.
+    */
+  def ngramNovelty(df: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"shingle size must be positive, got $k")
+    val exploded = df
+      .select(id.as("id"), shingles(text, k).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col("id"), size(col("__sh")).as("n_grams"),
+        explode(col("__sh")).as("shingle"))
+    val docFreq = exploded.groupBy("shingle")
+      .agg(count(lit(1)).as("__df"))
+    exploded.join(docFreq, Seq("shingle"))
+      .groupBy("id", "n_grams")
+      .agg(sum(when(col("__df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("id"), col("n_grams"), col("n_unique"),
+        round(col("n_unique").cast("double") / col("n_grams"), 6).as("novelty"))
+  }
+
   /** Corpus vocabulary: the `k` most frequent lowercased whitespace tokens
     * with their counts (ties broken by token). One partial+final count
     * shuffle, then a global top-k (TakeOrdered, no full sort). The empty

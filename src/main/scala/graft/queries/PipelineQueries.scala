@@ -383,6 +383,12 @@ object PipelineQueries {
         queryTerms = Seq("data", "query", "spark", "fast"), k = 10)
         .withColumnRenamed("id", "doc_id")),
 
+    // n-gram novelty: fraction of a doc's distinct 5-grams unique to it
+    "pipe_ngram_novelty" -> ((s, d) =>
+      TextAnalysis.ngramNovelty(t(s, d, "documents"), col("doc_id"),
+        col("text"), k = 5)
+        .withColumnRenamed("id", "doc_id")),
+
     // multimodal plumbing: wrap text bytes as media, decode (the "fake/*"
     // mimes route through the md5-derived stub — image/* would hit the real
     // javax.imageio header decode, spec-covered in OpsSpec), resize,
@@ -923,6 +929,21 @@ object PipelineQueries {
         |FROM tf JOIN dfq USING (tok), n
         |GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "pipe_ngram_novelty" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${duckShinglesK(5)} AS s
+         |  FROM documents),
+         |ex AS (
+         |  SELECT doc_id, CAST(len(s) AS INTEGER) AS n_grams, unnest(s) AS shingle
+         |  FROM sh WHERE len(s) > 0),
+         |df AS (SELECT shingle, count(*) AS dfreq FROM ex GROUP BY shingle)
+         |SELECT e.doc_id, e.n_grams,
+         |       CAST(sum(CASE WHEN df.dfreq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+         |       round(CAST(sum(CASE WHEN df.dfreq = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / e.n_grams, 6) AS novelty
+         |FROM ex e JOIN df USING (shingle)
+         |GROUP BY e.doc_id, e.n_grams""".stripMargin,
+
     // mirrors ivfAssign/ivfTopK step for step: md5-hex centroid pick,
     // argmax-cosine assignment (row_number in SQL = the native argmax — both
     // order by the unrounded cosine with centroid-id tiebreak), nProbe

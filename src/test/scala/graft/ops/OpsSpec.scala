@@ -969,4 +969,21 @@ class OpsSpec extends AnyFunSuite {
     assert(f(3) == (48000, 2, -1, 960000L, "ogg")) // Opus-in-Ogg
     assert(f(4)._5 == "audio" && f(4)._1 >= 16000) // stub fallback intact
   }
+
+  test("ngramNovelty: unique grams score 1, fully shared text scores 0") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),        // 1 gram, unique
+      (2L, "one two three four five six"),           // 2 grams, both unique
+      (3L, "shared text block here exactly aa"),     // shares both grams with 4
+      (4L, "shared text block here exactly aa"),
+      (5L, "tiny")                                   // < 5 words: omitted
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(docs, col("doc_id"), col("text"), k = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((1, 1L, 1.0)))
+    assert(out(2L) == ((2, 2L, 1.0)))
+    assert(out(3L) == ((2, 0L, 0.0))) // every gram also in doc 4
+    assert(out(4L) == ((2, 0L, 0.0)))
+    assert(!out.contains(5L))
+  }
 }
