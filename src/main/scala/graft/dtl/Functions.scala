@@ -163,6 +163,7 @@ object FunctionRegistry {
     // curation operators (graft.ops.Curation / functions.WordStats)
     text1("redact_pii")(graft.ops.Curation.redactPii),
     text1("normalize_text")(graft.ops.TextAnalysis.normalizeText),
+    text1("strip_html")(graft.ops.TextAnalysis.stripHtml),
     text1("gopher_keep", TBool)(graft.ops.Curation.gopherKeep),
     text1("url_canonical")(graft.ops.Urls.canonicalize),
     text1("pii_count", TInt32)(graft.ops.Curation.piiCount),

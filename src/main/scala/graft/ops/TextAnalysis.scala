@@ -146,6 +146,28 @@ object TextAnalysis {
         col("__t").substr(col("start").cast("int"), lit(size)).as("chunk"))
   }
 
+  /** Crawl-text extraction: strip HTML/XML markup and unescape the six
+    * ubiquitous entities, leaving whitespace-normalized text. Deliberately
+    * regex-simple (a tag is `<` … `>`; script/style blocks are dropped
+    * WITH their content first, since their bodies are code, not text) —
+    * the cheap first pass a crawl pipeline runs before real parsing, with
+    * an exact cross-engine twin. Order matters and is part of the
+    * contract: script/style removal → comments → tags → entity unescape
+    * (&amp; LAST, so "&amp;lt;" becomes "&lt;" not "<") → whitespace
+    * collapse. Row-local codegen regex; no UDF.
+    */
+  def stripHtml(text: Column): Column = {
+    val noScript = regexp_replace(text,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val unescaped = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(noTags,
+        "&nbsp;", " "), "&lt;", "<"), "&gt;", ">"),
+        "&quot;", "\""), "&#39;", "'"), "&amp;", "&")
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
   /** Per-document n-gram novelty — the memorization-risk / boilerplate
     * metric: of a document's DISTINCT word `k`-grams, what fraction occurs
     * in no other document (corpus document frequency 1)? Low novelty means

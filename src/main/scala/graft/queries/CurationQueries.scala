@@ -214,8 +214,27 @@ object CurationQueries {
     "pipe_temperature_mix" -> ((s, d) =>
       Curation.temperatureMixture(
         t(s, d, "documents").select("doc_id", "source"),
-        col("doc_id"), col("source"), alpha = 0.5, targetRows = 250L))
+        col("doc_id"), col("source"), alpha = 0.5, targetRows = 250L)),
+
+    // HTML stripping over planted markup: tags, attributes, a script block
+    // with fake text inside (must vanish), comments, entities
+    "pipe_strip_html" -> ((s, d) => {
+      val aug = concat(
+        when(col("doc_id") % 4 === 0, lit(htmlPlantPre)).otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 4 === 0, lit(htmlPlantPost)).otherwise(lit("")))
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.stripHtml(aug).as("clean"))
+    })
   )
+
+  /** Planted markup for pipe_strip_html (quote-free, SQL-literal-safe). */
+  private val htmlPlantPre =
+    "<html><head><style> body { color: red } </style>" +
+      "<script type=x>var hidden = 1;</script></head><body><p class=a>"
+  private val htmlPlantPost =
+    "</p><!-- note\nacross lines --><b>bold &amp;lt; &quot;q&#39;s&quot; " +
+      "a&nbsp;&lt;tag&gt; &amp; done</b></body></html>"
 
   /** Planted gopher-rule traffic: stopwords, bullet lines, an ellipsis
     * line end. The SAME string is rebuilt with chr(10) in the oracle.
@@ -546,6 +565,25 @@ object CurationQueries {
 
     // temperature mixture: same sqrt/round/floor-threshold arithmetic
     "pipe_temperature_mix" -> temperatureMixOracle,
+
+    // html stripping: identical regex chain (RE2 (?is)/(?s) flags), same
+    // entity order with &amp; unescaped last
+    "pipe_strip_html" ->
+      s"""SELECT doc_id,
+         |  trim(regexp_replace(
+         |    replace(replace(replace(replace(replace(replace(
+         |      regexp_replace(
+         |        regexp_replace(
+         |          regexp_replace(
+         |            (CASE WHEN doc_id % 4 = 0 THEN '$htmlPlantPre' ELSE '' END) || text
+         |              || (CASE WHEN doc_id % 4 = 0 THEN '${htmlPlantPost.replace("\n", "' || chr(10) || '")}' ELSE '' END),
+         |            '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+         |          '(?s)<!--.*?-->', ' ', 'g'),
+         |        '<[^>]*>', ' ', 'g'),
+         |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+         |      '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+         |    '\\s+', ' ', 'g')) AS clean
+         |FROM documents""".stripMargin,
 
     // length-bucketed batching: same md5 order, same integer-floor bucket /
     // batch arithmetic, windowed per-batch max

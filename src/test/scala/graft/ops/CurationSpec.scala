@@ -353,6 +353,24 @@ class CurationSpec extends AnyFunSuite {
     assert(joined.count() > 0)
   }
 
+  test("stripHtml drops script bodies, tags, comments; unescapes entities in order") {
+    val rows = Seq(
+      (1L, "<html><script>var secret = 1;</script><p>Hello <b>world</b></p></html>"),
+      (2L, "a <style>p { x } </style>b<!-- gone\nacross -->c"),
+      (3L, "5 &lt; 6 &amp;&amp; &quot;q&#39;s&quot; &amp;lt; x&nbsp;y"),
+      (4L, "no markup at all"),
+      (5L, "<SCRIPT TYPE=x>UPPER case too</SCRIPT>kept")
+    ).toDF("id", "t")
+    val out = rows.select(col("id"), TextAnalysis.stripHtml(col("t")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "Hello world")
+    assert(out(2L) == "a b c")
+    // &amp; unescapes LAST: "&amp;lt;" must become the literal "&lt;"
+    assert(out(3L) == "5 < 6 && \"q's\" &lt; x y")
+    assert(out(4L) == "no markup at all")
+    assert(out(5L) == "kept")
+  }
+
   test("normalizeText folds typographic unicode and collapses whitespace") {
     val rows = Seq(
       (1L, " \u201CQuoted\u2014text\u201D\u2026 and\u00A0more \u2018x\u2019 \u200Bend "),
