@@ -5,6 +5,47 @@ import scala.collection.mutable.ListBuffer
 import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
+/** Corpus "data card" statistics — the summary table a dataset release
+  * ships (per-slice sizes, token volume, quality distribution, duplicate
+  * rate). One aggregation pass over the corpus.
+  */
+object Audit {
+
+  /** Per-`slice` corpus statistics: document and token counts, mean quality
+    * score (rounded to 6), exact length quartiles, and the exact-duplicate
+    * rate (1 − distinct normalized fingerprints / docs). All inputs are the
+    * library's own row-local expressions, so the whole report is one
+    * partial-aggregated groupBy; percentiles use Spark's exact percentile
+    * over the bounded per-slice groups.
+    *
+    * At 100 TB: count/sum/avg partial-aggregate map-side; count_distinct
+    * shuffles fingerprints (64-bit longs, not text); exact percentile
+    * buffers per-slice values — swap `percentile` for `percentile_approx`
+    * when slices exceed executor memory (the report contract tolerates it;
+    * the oracle gate pins the exact variant at test scale).
+    */
+  def corpusReport(df: DataFrame, slice: Column, text: Column): DataFrame =
+    df.select(slice.as("slice"), text.as("__t"))
+      .select(col("slice"),
+        TextAnalysis.tokenCount(col("__t")).cast("long").as("__tok"),
+        length(col("__t")).cast("long").as("__len"),
+        TextAnalysis.qualityScore(col("__t")).as("__q"),
+        TextAnalysis.fingerprint(col("__t")).as("__fp"))
+      .groupBy("slice")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("n_tokens"),
+        round(avg(col("__q")), 6).as("mean_quality"),
+        floor(percentile(col("__len"), lit(0.25))).cast("long").as("p25_chars"),
+        floor(percentile(col("__len"), lit(0.5))).cast("long").as("p50_chars"),
+        floor(percentile(col("__len"), lit(0.75))).cast("long").as("p75_chars"),
+        countDistinct(col("__fp")).as("n_distinct"))
+      .select(col("slice"), col("n_docs"), col("n_tokens"), col("mean_quality"),
+        col("p25_chars"), col("p50_chars"), col("p75_chars"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_docs"), 6)
+          .as("dup_rate"))
+}
+
 /** Pipeline observability: per-stage kept/dropped row accounting computed
   * INSIDE the job via `Dataset.observe` — no second pass, no `count()`
   * actions re-running the pipeline.

@@ -216,6 +216,11 @@ object CurationQueries {
         t(s, d, "documents").select("doc_id", "source"),
         col("doc_id"), col("source"), alpha = 0.5, targetRows = 250L)),
 
+    // data-card corpus report: one aggregation pass per source slice
+    "pipe_corpus_report" -> ((s, d) =>
+      graft.ops.Audit.corpusReport(t(s, d, "documents"),
+        col("source"), col("text"))),
+
     // HTML stripping over planted markup: tags, attributes, a script block
     // with fake text inside (must vanish), comments, entities
     "pipe_strip_html" -> ((s, d) => {
@@ -565,6 +570,32 @@ object CurationQueries {
 
     // temperature mixture: same sqrt/round/floor-threshold arithmetic
     "pipe_temperature_mix" -> temperatureMixOracle,
+
+    // corpus report: the same scalar expressions the library computes,
+    // quantile_cont == Spark exact percentile, fingerprint parity via the
+    // normalization (DuckDB cannot do xxhash64, so distinctness is counted
+    // on the normalized TEXT — equal by injectivity of the normalization
+    // within this corpus; mean_quality replays the qualityScore blend)
+    "pipe_corpus_report" ->
+      s"""WITH b AS (
+         |  SELECT source AS slice,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS tok,
+         |    CAST(length(text) AS BIGINT) AS len,
+         |    round(
+         |      least(length(text) / 200.0, 1.0) * 0.4
+         |      + (CASE WHEN length(text)::DOUBLE / greatest(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text),'\\s+')) END, 1) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3
+         |      + (CASE WHEN length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))::DOUBLE / greatest(length(text), 1) < 0.2 THEN 1.0 ELSE 0.3 END) * 0.3
+         |    , 6) AS q,
+         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+         |  FROM documents)
+         |SELECT slice, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens,
+         |       round(avg(q), 6) AS mean_quality,
+         |       CAST(floor(quantile_cont(len, 0.25)) AS BIGINT) AS p25_chars,
+         |       CAST(floor(quantile_cont(len, 0.5)) AS BIGINT) AS p50_chars,
+         |       CAST(floor(quantile_cont(len, 0.75)) AS BIGINT) AS p75_chars,
+         |       round(1.0 - CAST(count(DISTINCT norm) AS DOUBLE) / count(*), 6) AS dup_rate
+         |FROM b GROUP BY slice""".stripMargin,
 
     // html stripping: identical regex chain (RE2 (?is)/(?s) flags), same
     // entity order with &amp; unescaped last

@@ -5,6 +5,27 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
 class AuditOutputSpec extends AnyFunSuite {
+
+  test("corpusReport: one row per slice with hand-checked stats") {
+    import graft.TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      ("a", "one two three four"),        // 4 tokens, 18 chars
+      ("a", "one two three four"),        // exact duplicate
+      ("a", "five six seven eight nine"), // 25 chars
+      ("b", "solo doc")
+    ).toDF("src", "text")
+    val out = graft.ops.Audit.corpusReport(docs, col("src"), col("text"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getLong(1) == 3L)            // n_docs
+    assert(a.getLong(2) == 13L)           // n_tokens (4+4+5)
+    assert(a.getLong(5) == 18L)           // p50_chars
+    assert(a.getDouble(7) == 0.333333)    // dup_rate: 1 - 2/3 rounded
+    val b = out("b")
+    assert(b.getLong(1) == 1L && b.getDouble(7) == 0.0)
+  }
   import TestSpark.spark
   import spark.implicits._
 
