@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Row-local unigram-LM (SentencePiece-style) encoding under a trained
+  * piece table (see [[graft.ops.Unigram]]): per word, the Viterbi
+  * segmentation maximizing the sum of INTEGER piece scores (quantized
+  * log-probs — integer sums make the argmax bit-reproducible in any
+  * engine, the same trick as the quantized k-means).
+  *
+  * Tie-break contract (total order, mirrored by the DuckDB oracle):
+  * maximum total score, then FEWEST pieces, then the piece-length sequence
+  * lexicographically LARGEST (prefer the longer piece at the earliest
+  * position). A single character absent from the vocabulary is emitted as
+  * its own piece at `unkScore` — full coverage, no <unk> token collapse,
+  * so concatenating a word's pieces always reproduces the word.
+  */
+object UnigramEncode {
+  def encode(text: Column, vocab: Seq[(String, Int)], unkScore: Int): Column =
+    GraftColumnBridge.column(
+      UnigramEncodeExpr(GraftColumnBridge.expression(text), vocab, unkScore))
+}
+
+case class UnigramEncodeExpr(child: Expression, vocab: Seq[(String, Int)],
+    unkScore: Int) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"unigram_encode expects STRING, got ${child.dataType.simpleString}")
+
+  @transient private lazy val scores: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](vocab.size * 2)
+    vocab.foreach { case (p, s) => m.putIfAbsent(p, s) }
+    m
+  }
+  @transient private lazy val maxPieceLen: Int =
+    if (vocab.isEmpty) 1 else math.max(1, vocab.iterator.map(_._1.length).max)
+
+  /** Backward Viterbi over one word. dp(i) = (score, pieces, firstLen) of
+    * the best segmentation of word.substring(i); firstLen realizes the
+    * longest-earliest-piece tie-break because dp(i+l) is already the unique
+    * optimum of its suffix.
+    */
+  private def encodeWord(word: String, out: java.util.ArrayList[UTF8String]): Unit = {
+    val n = word.length
+    if (n == 0) return
+    val dpScore = new Array[Long](n + 1)
+    val dpPieces = new Array[Int](n + 1)
+    val dpLen = new Array[Int](n + 1)
+    var i = n - 1
+    while (i >= 0) {
+      var bestScore = Long.MinValue
+      var bestPieces = Int.MaxValue
+      var bestLen = 0
+      val maxL = math.min(maxPieceLen, n - i)
+      var l = 1
+      while (l <= maxL) {
+        val piece = word.substring(i, i + l)
+        val s = scores.get(piece)
+        val pieceScore: Long =
+          if (s != null) s.longValue()
+          else if (l == 1) unkScore.toLong
+          else Long.MinValue
+        if (pieceScore != Long.MinValue) {
+          val total = pieceScore + dpScore(i + l)
+          val pieces = 1 + dpPieces(i + l)
+          if (total > bestScore ||
+            (total == bestScore && pieces < bestPieces) ||
+            (total == bestScore && pieces == bestPieces && l > bestLen)) {
+            bestScore = total; bestPieces = pieces; bestLen = l
+          }
+        }
+        l += 1
+      }
+      dpScore(i) = bestScore
+      dpPieces(i) = bestPieces
+      dpLen(i) = bestLen
+      i -= 1
+    }
+    var p = 0
+    while (p < n) {
+      val l = dpLen(p)
+      out.add(UTF8String.fromString(word.substring(p, p + l)))
+      p += l
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = Tokenize.words(input.asInstanceOf[UTF8String])
+    val out = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    while (i < words.length) { encodeWord(words(i), out); i += 1 }
+    new GenericArrayData(out.toArray(new Array[UTF8String](out.size())))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramEncodeExpr =
+    copy(child = newChild)
+}

@@ -1,0 +1,167 @@
+package graft.ops
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Trainable unigram-LM subword tokenizer — the OTHER standard subword
+  * algorithm next to BPE (Kudo 2018, "Subword Regularization"; the default
+  * in SentencePiece). Where BPE grows a vocabulary bottom-up by merging,
+  * unigram starts from a large seed of candidate pieces and prunes toward
+  * `vocabSize` under an EM-estimated unigram language model; encoding is
+  * the Viterbi segmentation under the piece log-probs.
+  *
+  * Same execution recipe as [[Bpe]] (how sentencepiece itself trains): the
+  * corpus contributes ONE word-frequency aggregation capped at `maxWords`;
+  * the EM loop runs on the driver over that compact dictionary. Encoding is
+  * a row-local native expression carrying the broadcast piece table
+  * ([[graft.functions.UnigramEncode]]) — no shuffle, no UDF.
+  *
+  * Determinism: hard (Viterbi) EM with all ties broken lexicographically,
+  * and the final scores QUANTIZED to integers (round(logp × 1000)) — the
+  * encode argmax is then integer arithmetic, bit-reproducible in any
+  * engine, which is what lets the pipe_unigram gate replay segmentation in
+  * DuckDB.
+  */
+object Unigram {
+
+  /** The fallback score for a single character outside the vocabulary —
+    * well below any trained piece score, so fallback pieces appear only
+    * when unavoidable.
+    */
+  val unkScore: Int = -20_000_000
+
+  /** Learn a `(piece, quantized log-prob)` table. Two Spark jobs (word
+    * count + top-`maxWords` cut, ties (freq desc, word asc)), then the
+    * driver EM loop.
+    */
+  def train(df: DataFrame, text: Column, vocabSize: Int,
+      maxWords: Int = 50000, maxPieceLen: Int = 6,
+      emIters: Int = 3, lowercase: Boolean = true): Seq[(String, Int)] = {
+    val t = if (lowercase) lower(text) else text
+    val wordFreq = df
+      .select(explode(split(trim(t), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w").asc)
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    trainFromCounts(wordFreq, vocabSize, maxPieceLen, emIters)
+  }
+
+  /** Driver-side training over a (word, frequency) dictionary:
+    *
+    *  1. seed = every substring up to `maxPieceLen` of every dict word,
+    *     scored by occurrence frequency; cut to 4×`vocabSize` candidates
+    *     (freq desc, piece asc), single characters always kept;
+    *  2. `emIters` rounds of hard EM: Viterbi-segment every dict word
+    *     under the current scores (the same DP/tie-break as encode),
+    *     re-estimate score(p) = round(ln(count_p / total) × 1000); pieces
+    *     that win no segment drop out (single chars persist at count 1);
+    *  3. prune to `vocabSize` pieces by (score desc, piece asc), single
+    *     characters always kept (full coverage — no <unk>).
+    */
+  def trainFromCounts(wordFreq: Seq[(String, Long)], vocabSize: Int,
+      maxPieceLen: Int = 6, emIters: Int = 3): Seq[(String, Int)] = {
+    require(vocabSize > 0 && maxPieceLen > 0 && emIters >= 1,
+      s"need positive vocabSize/maxPieceLen/emIters, got $vocabSize/$maxPieceLen/$emIters")
+    val singles: Set[String] =
+      wordFreq.iterator.flatMap(_._1.map(String.valueOf)).toSet
+
+    // 1. seed candidates by substring frequency
+    val seedCounts = mutable.HashMap.empty[String, Long]
+    for ((w, f) <- wordFreq; i <- 0 until w.length;
+         l <- 1 to math.min(maxPieceLen, w.length - i))
+      seedCounts.updateWith(w.substring(i, i + l)) {
+        c => Some(c.getOrElse(0L) + f)
+      }
+    val seedCap = 4 * vocabSize
+    val seeded = seedCounts.toSeq
+      .sortBy { case (p, c) => (-c, p) }
+      .take(seedCap).map(_._1).toSet ++ singles
+    var scores: Map[String, Int] = {
+      val total = seedCounts.view.filterKeys(seeded).values.map(_.toDouble).sum
+      seeded.iterator.map { p =>
+        p -> quantize(seedCounts(p).toDouble / total)
+      }.toMap
+    }
+
+    // 2. hard EM rounds
+    for (_ <- 1 to emIters) {
+      val counts = mutable.HashMap.empty[String, Long]
+      for ((w, f) <- wordFreq; piece <- viterbi(w, scores, maxPieceLen))
+        counts.updateWith(piece)(c => Some(c.getOrElse(0L) + f))
+      singles.foreach(c => counts.updateWith(c)(x => Some(x.getOrElse(0L).max(1L))))
+      val total = counts.values.map(_.toDouble).sum
+      scores = counts.iterator.map { case (p, c) =>
+        p -> quantize(c / total)
+      }.toMap
+    }
+
+    // 3. prune to vocabSize, singles always survive
+    val (single, multi) = scores.toSeq.partition(_._1.length == 1)
+    val keptMulti = multi
+      .sortBy { case (p, s) => (-s, p) }
+      .take(math.max(0, vocabSize - single.size))
+    (single ++ keptMulti).sortBy { case (p, s) => (-s, p) }
+  }
+
+  private def quantize(prob: Double): Int =
+    math.round(math.log(prob) * 1000.0).toInt
+
+  /** The SAME Viterbi/tie-break as UnigramEncodeExpr, over driver data. */
+  private def viterbi(word: String, scores: Map[String, Int],
+      maxPieceLen: Int): Seq[String] = {
+    val n = word.length
+    if (n == 0) return Nil
+    val dpScore = new Array[Long](n + 1)
+    val dpPieces = new Array[Int](n + 1)
+    val dpLen = new Array[Int](n + 1)
+    var i = n - 1
+    while (i >= 0) {
+      var bestScore = Long.MinValue
+      var bestPieces = Int.MaxValue
+      var bestLen = 0
+      val maxL = math.min(maxPieceLen, n - i)
+      var l = 1
+      while (l <= maxL) {
+        val piece = word.substring(i, i + l)
+        val s = scores.get(piece) match {
+          case Some(v) => v.toLong
+          case None => if (l == 1) unkScore.toLong else Long.MinValue
+        }
+        if (s != Long.MinValue) {
+          val total = s + dpScore(i + l)
+          val pieces = 1 + dpPieces(i + l)
+          if (total > bestScore ||
+            (total == bestScore && pieces < bestPieces) ||
+            (total == bestScore && pieces == bestPieces && l > bestLen)) {
+            bestScore = total; bestPieces = pieces; bestLen = l
+          }
+        }
+        l += 1
+      }
+      dpScore(i) = bestScore; dpPieces(i) = bestPieces; dpLen(i) = bestLen
+      i -= 1
+    }
+    val out = Seq.newBuilder[String]
+    var p = 0
+    while (p < n) { val l = dpLen(p); out += word.substring(p, p + l); p += l }
+    out.result()
+  }
+
+  /** Viterbi-encode a text column under a trained piece table — one
+    * row-local native expression, tokens word-internal (concatenating a
+    * word's pieces reproduces the word).
+    */
+  def encode(text: Column, vocab: Seq[(String, Int)],
+      lowercase: Boolean = true): Column =
+    graft.functions.UnigramEncode.encode(
+      if (lowercase) lower(text) else text, vocab, unkScore)
+
+  /** Subword token count under a trained piece table. */
+  def tokenCount(text: Column, vocab: Seq[(String, Int)],
+      lowercase: Boolean = true): Column =
+    size(encode(text, vocab, lowercase))
+}

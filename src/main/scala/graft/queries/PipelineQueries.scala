@@ -383,6 +383,21 @@ object PipelineQueries {
         queryTerms = Seq("data", "query", "spark", "fast"), k = 10)
         .withColumnRenamed("id", "doc_id")),
 
+    // unigram (SentencePiece-style) Viterbi encode under the fixed gate
+    // piece table; words pre-truncated to 10 chars so the oracle's
+    // all-segmentations replay stays <= 512 masks per word
+    "pipe_unigram" -> ((s, d) => {
+      val truncated = concat_ws(" ",
+        transform(split(trim(lower(col("text"))), "\\s+"),
+          w => substring(w, 1, 10)))
+      val toks = graft.ops.Unigram.encode(truncated,
+        unigramGateVocab, lowercase = false)
+      t(s, d, "documents").select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        md5(concat_ws("|", toks).cast("binary")).as("toks_fp"))
+    }),
+
     // n-gram novelty: fraction of a doc's distinct 5-grams unique to it
     "pipe_ngram_novelty" -> ((s, d) =>
       TextAnalysis.ngramNovelty(t(s, d, "documents"), col("doc_id"),
@@ -413,6 +428,30 @@ object PipelineQueries {
           col("audio.channels").as("a_channels"))
     })
   )
+
+  /** Fixed piece table for the pipe_unigram gate: common English bigram/
+    * trigram pieces plus scored singles; anything else falls back to the
+    * unk single-char score. Scores are the quantized-integer kind the
+    * trainer emits, so the oracle's segmentation replay is exact.
+    */
+  val unigramGateVocab: Seq[(String, Int)] = Seq(
+    "the" -> -2000, "th" -> -1500, "he" -> -1600, "in" -> -1400,
+    "ing" -> -2500, "er" -> -1450, "an" -> -1500, "re" -> -1550,
+    "at" -> -1480, "or" -> -1520, "st" -> -1530, "en" -> -1540,
+    "data" -> -3000, "qu" -> -1700, "ue" -> -1750, "ry" -> -1800,
+    "e" -> -900, "t" -> -950, "a" -> -960, "o" -> -970, "i" -> -980,
+    "n" -> -990, "s" -> -1000, "r" -> -1010, "h" -> -1020, "l" -> -1030,
+    "d" -> -1040)
+
+  /** CASE chain scoring one piece `p` under [[unigramGateVocab]] with the
+    * unk fallback for unlisted singles; NULL for an invalid multi-char
+    * piece (so list_sum(NULL-containing) drops that segmentation).
+    */
+  private val duckPieceScore: String = {
+    val cases = unigramGateVocab
+      .map { case (p, s) => s"WHEN '$p' THEN $s" }.mkString(" ")
+    s"(CASE p $cases ELSE (CASE WHEN len(p) = 1 THEN ${graft.ops.Unigram.unkScore} ELSE NULL END) END)"
+  }
 
   // DuckDB shingle set builder matching TextAnalysis.shingles(text, k)
   private def duckShinglesK(k: Int): String =
@@ -929,6 +968,58 @@ object PipelineQueries {
         |FROM tf JOIN dfq USING (tok), n
         |GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // unigram Viterbi replayed by brute force: every cut-mask of every
+    // distinct (<=10-char) word, segmentation score under the same integer
+    // piece table, best by (score desc, pieces asc, piece-length sequence
+    // lexicographically longest-first) — the exact encode tie-break
+    "pipe_unigram" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id,
+         |    list_transform(string_split_regex(trim(lower(text)), '\\s+'),
+         |                   w -> substr(w, 1, 10)) AS ws
+         |  FROM documents),
+         |words AS (
+         |  SELECT doc_id, wi, w
+         |  FROM (SELECT doc_id, unnest(ws) AS w,
+         |               generate_subscripts(ws, 1) AS wi FROM docs)
+         |  WHERE len(w) > 0),
+         |dw AS (SELECT DISTINCT w FROM words),
+         |seg AS (
+         |  SELECT w,
+         |    string_split(list_aggregate(
+         |      list_transform(range(1, len(w) + 1),
+         |        i -> substr(w, CAST(i AS INTEGER), 1) ||
+         |          (CASE WHEN i < len(w) AND ((m >> CAST(i - 1 AS INTEGER)) & 1) = 1
+         |                THEN chr(31) ELSE '' END)),
+         |      'string_agg', ''), chr(31)) AS pieces
+         |  FROM (SELECT w, unnest(range(0, (1::BIGINT << (len(w) - 1)))) AS m FROM dw)),
+         |scored AS (
+         |  SELECT w, pieces,
+         |    list_sum(list_transform(pieces, p -> $duckPieceScore)) AS score,
+         |    -- list_sum SKIPS NULLs, so invalidity must be counted explicitly
+         |    len(list_filter(pieces, p -> ($duckPieceScore) IS NULL)) AS n_invalid,
+         |    len(pieces) AS np,
+         |    list_transform(pieces, p -> -len(p)) AS neglens
+         |  FROM seg),
+         |best AS (
+         |  SELECT w, pieces
+         |  FROM (SELECT w, pieces,
+         |          row_number() OVER (PARTITION BY w
+         |            ORDER BY score DESC, np ASC, neglens ASC) AS rn
+         |        FROM scored WHERE n_invalid = 0)
+         |  WHERE rn = 1),
+         |tok AS (
+         |  SELECT wo.doc_id, wo.wi, unnest(b.pieces) AS piece,
+         |         generate_subscripts(b.pieces, 1) AS pi
+         |  FROM words wo JOIN best b ON b.w = wo.w),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
+         |         md5(string_agg(piece, '|' ORDER BY wi, pi)) AS toks_fp
+         |  FROM tok GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+         |       coalesce(a.toks_fp, md5('')) AS toks_fp
+         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
     "pipe_ngram_novelty" ->
       s"""WITH sh AS (
          |  SELECT doc_id, ${duckShinglesK(5)} AS s

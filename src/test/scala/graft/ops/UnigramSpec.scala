@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Unigram tokenizer coverage: Viterbi segmentation against hand traces
+  * (score argmax, fewest-pieces and longest-earliest tie-breaks, unknown
+  * fallback), the round-trip invariant, and deterministic training.
+  */
+class UnigramSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def enc(text: String, vocab: Seq[(String, Int)]): Seq[String] =
+    Seq(text).toDF("t")
+      .select(Unigram.encode(col("t"), vocab, lowercase = false).as("p"))
+      .collect().head.getSeq[String](0).toSeq
+
+  test("Viterbi picks the max-score segmentation, not greedy longest") {
+    // greedy longest-match would take "abc"; scores make [ab, cd] win
+    val vocab = Seq("abc" -> -5000, "ab" -> -1000, "cd" -> -1000, "d" -> -1500,
+      "a" -> -2000, "b" -> -2000, "c" -> -2000)
+    assert(enc("abcd", vocab) == Seq("ab", "cd")) // -2000 beats abc+d -6500
+  }
+
+  test("ties break to fewest pieces, then the longer earliest piece") {
+    // "aaa" with aa=-10, a=-5: both 2-piece splits score -15; [aa, a] wins
+    val vocab = Seq("aa" -> -10, "a" -> -5)
+    assert(enc("aaa", vocab) == Seq("aa", "a"))
+    // fewest-pieces: [b, b] and [bb] both score -20 -> [bb]
+    assert(enc("bb", Seq("bb" -> -20, "b" -> -10)) == Seq("bb"))
+  }
+
+  test("unknown single characters fall back to themselves, never crash") {
+    val vocab = Seq("ab" -> -10, "a" -> -5, "b" -> -5)
+    assert(enc("axb", vocab) == Seq("a", "x", "b"))
+    assert(enc("зд", vocab) == Seq("з", "д"))
+  }
+
+  test("token concatenation reproduces every word on real documents") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val vocab = Unigram.train(docs, col("text"), vocabSize = 200)
+    val bad = docs
+      .select(split(trim(lower(col("text"))), "\\s+").as("ws"),
+        Unigram.encode(col("text"), vocab).as("toks"))
+      .select(
+        concat_ws("", filter(col("ws"), w => length(w) > 0)).as("a"),
+        concat_ws("", col("toks")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(bad == 0)
+  }
+
+  test("training learns multi-char pieces and compresses real text") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val vocab = Unigram.train(docs, col("text"), vocabSize = 200)
+    assert(vocab.exists(_._1.length > 1), "no multi-char piece learned")
+    assert(vocab.map(_._1).distinct.size == vocab.size)
+    val counts = docs.select(
+      sum(Unigram.tokenCount(col("text"), vocab)).as("sub"),
+      sum(TextAnalysis.tokenCount(col("text")) ).as("words"),
+      sum(length(regexp_replace(col("text"), "\\s", ""))).as("chars"))
+      .collect().head
+    val (sub, words, chars) = (counts.getLong(0), counts.getLong(1), counts.getLong(2))
+    // subword count sits strictly between word count and char count
+    assert(sub < chars, s"no compression over chars: $sub vs $chars")
+    assert(sub >= words, s"fewer subwords than words: $sub vs $words")
+    // deterministic across runs
+    assert(Unigram.train(docs, col("text"), vocabSize = 200) == vocab)
+  }
+}
