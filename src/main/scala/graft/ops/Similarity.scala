@@ -255,6 +255,32 @@ object Similarity {
     * assignment, k×(sub+1) recentering partials — zero corpus shuffles), so
     * the whole train→encode→search pipeline stays SQL-oracle-checkable.
     */
+  /** Symmetric per-vector int8 quantization — the standard 4× storage
+    * compressor for embedding columns (float32 → int8 + one scale per
+    * vector; dot products are then computed in int8 with one final
+    * rescale). codes(i) = floor(x_i·127/maxAbs + 0.5) clamped to
+    * [-127, 127]; `qscale` = maxAbs/127 dequantizes (`x ≈ code·qscale`,
+    * max error qscale/2). A zero vector quantizes to all-zero codes with
+    * qscale 0. Entirely row-local arithmetic on exactly-widened floats, so
+    * the codes are bit-reproducible in any engine; the output `codes`
+    * column is array<tinyint> — parquet stores one byte per dimension.
+    */
+  def quantizeInt8(df: DataFrame, id: Column, vec: Column): DataFrame = {
+    val v = vec.cast("array<double>")
+    val mx = array_max(transform(v, x => abs(x)))
+    val qscale = when(mx === 0.0, 0.0).otherwise(mx / 127.0)
+    val codes = transform(v, x =>
+      when(mx === 0.0, lit(0.0))
+        .otherwise(greatest(lit(-127.0),
+          least(lit(127.0), floor(x * 127.0 / mx + 0.5))))
+        .cast("tinyint"))
+    df.select(id.as("vec_id"), qscale.as("qscale"), codes.as("codes"))
+  }
+
+  /** Dequantize int8 codes back to doubles: code·qscale. */
+  def dequantInt8(codes: Column, qscale: Column): Column =
+    transform(codes, c => c.cast("double") * qscale)
+
   def pqTrain(corpus: DataFrame, id: Column, vec: Column,
       m: Int, k: Int, iters: Int, dim: Int,
       scale: Double = 1000.0): Seq[DataFrame] = {

@@ -266,6 +266,16 @@ object PipelineQueries {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // int8 symmetric quantization: per-vector scale + code fingerprint
+    "pipe_embed_quantize" -> ((s, d) => {
+      val q = Similarity.quantizeInt8(t(s, d, "embeddings"),
+        col("vec_id"), col("embedding"))
+      q.select(col("vec_id"), round(col("qscale"), 6).as("qscale"),
+        md5(concat_ws(",",
+          transform(col("codes"), c => c.cast("string"))).cast("binary"))
+          .as("codes_fp"))
+    }),
+
     // brute-force cosine top-5 for three query vectors (exact ANN baseline)
     "pipe_embed_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -1064,6 +1074,18 @@ object PipelineQueries {
         |              CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
         |       FROM scored)
         |SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin,
+    "pipe_embed_quantize" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS mx
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  round(CASE WHEN mx = 0 THEN 0.0 ELSE mx / 127.0 END, 6) AS qscale,
+        |  md5(array_to_string(list_transform(v, x ->
+        |    CASE WHEN mx = 0 THEN 0
+        |         ELSE CAST(greatest(-127.0, least(127.0, floor(x * 127.0 / mx + 0.5))) AS TINYINT) END),
+        |    ',')) AS codes_fp
+        |FROM m""".stripMargin,
     "pipe_embed_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3),
         |     c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),

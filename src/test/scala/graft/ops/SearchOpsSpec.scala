@@ -144,6 +144,31 @@ class SearchOpsSpec extends AnyFunSuite {
 
   // ---- Labels ----
 
+  test("int8 quantization: codes in range, round-trip within qscale/2, zero-safe") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),   // zero vector
+      (3L, Array(1e-8f, -1e-8f, 5e-9f, 0.0f)) // tiny magnitudes
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(vecs, col("vec_id"), col("embedding"))
+    val rows = q.collect().map(r =>
+      r.getLong(0) -> ((r.getDouble(1), r.getSeq[Byte](2).toSeq))).toMap
+    // max-abs element always maps to ±127; everything in range
+    assert(rows(1L)._2 == Seq[Byte](64, -127, 32, 0))
+    assert(rows(2L) == ((0.0, Seq[Byte](0, 0, 0, 0))))
+    assert(rows(3L)._2.max <= 127 && rows(3L)._2.min >= -127)
+    // round-trip error bounded by qscale/2 on the real embeddings
+    val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    val qe = Similarity.quantizeInt8(emb, col("vec_id"), col("embedding"))
+      .join(emb, "vec_id")
+    val maxErr = qe.select(max(array_max(zip_with(
+        Similarity.dequantInt8(col("codes"), col("qscale")),
+        col("embedding").cast("array<double>"),
+        (d, o) => abs(d - o) - col("qscale") / 2))))
+      .collect().head.getDouble(0)
+    assert(maxErr <= 1e-12, s"round-trip error exceeded qscale/2 by $maxErr")
+  }
+
   test("knnLabelCheck flags the planted mislabeled point") {
     // two tight 2-D clusters, one point of cluster A mislabeled as B
     val pts = (
