@@ -44,40 +44,11 @@ object Labels {
   def knnLabelCheck(df: DataFrame, id: Column, vec: Column, label: Column,
       k: Int, nClusters: Int, nProbe: Int, iters: Int, dim: Int,
       scale: Double = 1000.0): DataFrame = {
-    require(k > 0 && nProbe > 0 && nProbe <= nClusters,
-      s"need k > 0, 0 < nProbe <= nClusters; got k=$k nProbe=$nProbe nClusters=$nClusters")
-    val (_, qcents) = Similarity.kmeansQuantized(
-      df, id, vec, nClusters, iters, dim, scale)
-    val centArr = Similarity.centroidArray(qcents)
-
-    // one row-local pass: quantize, keep the label, attach the centroid
-    // array pointer (broadcast single-row cross join multiplies nothing)
-    val pts = df.select(id.as("vec_id"), label.as("label"),
-        transform(vec.cast("array<double>"), x => round(x * scale)).as("qv"))
-      .crossJoin(broadcast(centArr))
-
-    // index side: each point lives in its single nearest cell (the same
-    // argmin contract as kmeans assignment: distance asc, centroid_id asc).
-    // Probe ranking and pair distances are native codegen expressions
-    // (graft.functions.{CentroidMath, VecMath}) — the candidate scoring is
-    // the O(n·nProbe·n/C) hot loop, so no interpreted HOFs here.
-    val probed = pts.withColumn("__probes",
-      graft.functions.CentroidMath.nearestCentroidsL2(
-        col("qv"), col("cents"), nProbe))
-    val indexSide = probed.select(col("vec_id").as("nb_id"),
-      col("label").as("nb_label"), col("qv").as("nb_qv"),
-      element_at(col("__probes"), 1).as("centroid_id"))
-    // query side: nProbe nearest cells per point, exploded row-locally
-    val querySide = probed.select(col("vec_id"), col("label"), col("qv"),
-      explode(col("__probes")).as("centroid_id"))
-
-    val cand = querySide.join(indexSide, Seq("centroid_id"))
-      .filter(col("vec_id") =!= col("nb_id"))
-      .withColumn("d2",
-        graft.functions.VecMath.squaredDistance(col("qv"), col("nb_qv")))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("d2").asc_nulls_last, col("nb_id").asc)
-    val knn = cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    // the IVF-bounded kNN edges, with the label riding both endpoints
+    // (Similarity.knnGraph carries payload through the candidate join, so
+    // no per-endpoint re-join of the corpus here)
+    val knn = Similarity.knnGraph(df, id, vec, k, nClusters, nProbe,
+      iters, dim, scale, carry = Seq("label" -> label))
 
     // per-point agreement + deterministic majority label in two group passes
     val votes = knn.groupBy("vec_id", "label", "nb_label")

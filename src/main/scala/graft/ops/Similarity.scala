@@ -255,6 +255,60 @@ object Similarity {
     * assignment, k×(sub+1) recentering partials — zero corpus shuffles), so
     * the whole train→encode→search pipeline stays SQL-oracle-checkable.
     */
+  /** Approximate kNN GRAPH over an embedded corpus — the shared building
+    * block under graph-based dedup, kNN label checking ([[graft.ops.Labels]])
+    * and neighborhood features: for every point, its `k` nearest neighbors
+    * drawn from an IVF-bounded, multi-probed candidate set (each point
+    * queries its `nProbe` nearest k-means cells; candidates are the cells'
+    * members). Returns (vec_id, nb_id, d2, rank) edges, rank 1..k by
+    * (squared L2 asc, nb_id asc) over integer-quantized vectors — exact
+    * integer arithmetic, bit-reproducible. Points whose probe cells hold no
+    * other member yield no edges (reported, not padded).
+    *
+    * `carry` columns ride through from the input to BOTH endpoints of each
+    * edge (as `name` for the query point, `nb_name` for the neighbor) —
+    * payload travels inside the one candidate join instead of re-joining
+    * the corpus per endpoint afterward.
+    *
+    * Scale shape: clustering is [[kmeansQuantized]]; probe ranking and pair
+    * distances are native codegen expressions; the candidate join
+    * hash-partitions on centroid_id so cost is n·nProbe·(n/C) — the IVF
+    * bound, never n²; the top-k is a per-point window over candidates only.
+    */
+  def knnGraph(df: DataFrame, id: Column, vec: Column,
+      k: Int, nClusters: Int, nProbe: Int, iters: Int, dim: Int,
+      scale: Double = 1000.0,
+      carry: Seq[(String, Column)] = Nil): DataFrame = {
+    require(k > 0 && nProbe > 0 && nProbe <= nClusters,
+      s"need k > 0, 0 < nProbe <= nClusters; got k=$k nProbe=$nProbe nClusters=$nClusters")
+    val (_, qcents) = kmeansQuantized(df, id, vec, nClusters, iters, dim, scale)
+    val centArr = centroidArray(qcents)
+    val carried = carry.map { case (n, c) => c.as(n) }
+    val pts = df.select((id.as("vec_id") +:
+        transform(vec.cast("array<double>"), x => round(x * scale)).as("qv") +:
+        carried): _*)
+      .crossJoin(broadcast(centArr))
+    val probed = pts.withColumn("__probes",
+      graft.functions.CentroidMath.nearestCentroidsL2(
+        col("qv"), col("cents"), nProbe))
+    val indexSide = probed.select((col("vec_id").as("nb_id") +:
+      col("qv").as("nb_qv") +:
+      element_at(col("__probes"), 1).as("centroid_id") +:
+      carry.map { case (n, _) => col(n).as(s"nb_$n") }): _*)
+    val querySide = probed.select((col("vec_id") +: col("qv") +:
+      explode(col("__probes")).as("centroid_id") +:
+      carry.map { case (n, _) => col(n) }): _*)
+    val cand = querySide.join(indexSide, Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("nb_id"))
+      .withColumn("d2",
+        graft.functions.VecMath.squaredDistance(col("qv"), col("nb_qv")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc_nulls_last, col("nb_id").asc)
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select((col("vec_id") +: col("nb_id") +: col("d2") +: col("rank") +:
+        carry.flatMap { case (n, _) => Seq(col(n), col(s"nb_$n")) }): _*)
+  }
+
   /** Symmetric per-vector int8 quantization — the standard 4× storage
     * compressor for embedding columns (float32 → int8 + one scale per
     * vector; dot products are then computed in int8 with one final

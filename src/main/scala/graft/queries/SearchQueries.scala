@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Graphs, Labels, Retrieval}
+import graft.ops.{Graphs, Labels, Retrieval, Similarity}
 
 /** Search-and-ranking gate queries: link-graph PageRank, BM25 lexical
   * retrieval, and kNN label-noise detection. Every query has a DuckDB
@@ -62,6 +62,14 @@ object SearchQueries {
         qdf, col("query_id"), col("qtext"),
         positives, col("query_id"), col("doc_id"), negsPerPos = 5)
     }),
+
+    // the raw IVF-bounded kNN graph under the same clustering parameters
+    "pipe_knn_graph" -> ((s, d) =>
+      Similarity.knnGraph(t(s, d, "embeddings"), col("vec_id"),
+        col("embedding"), k = 5, nClusters = 8, nProbe = 2, iters = 2,
+        dim = 64)
+        .select(col("vec_id"), col("nb_id"), col("d2").cast("long").as("d2"),
+          col("rank"))),
 
     // kNN label agreement over the labeled embeddings: 8 quantized-kmeans
     // cells (2 Lloyd rounds), 2-probe candidate sets, 5 nearest by exact
@@ -194,6 +202,37 @@ object SearchQueries {
 
     // quantized kmeans exactly as pipe_kmeans (same init, 2 rounds), then
     // 2-probe candidate sets, exact integer L2 top-5, agreement + majority
+    // same kmeans/probe/exact-L2 replay as pipe_label_noise, edges out
+    "pipe_knn_graph" ->
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> round(x * 1000)) AS qv
+         |           FROM embeddings),
+         |c0 AS (SELECT vec_id AS centroid_id, qv AS cv FROM q
+         |       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+         |${PipelineQueries.duckKmeansRound("c0", "a0", "c1")},
+         |${PipelineQueries.duckKmeansRound("c1", "a1", "c2")},
+         |rc AS (
+         |  SELECT vec_id, centroid_id, d2,
+         |         row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY d2 ASC, centroid_id ASC) AS prn
+         |  FROM (SELECT q.vec_id, c.centroid_id,
+         |          list_sum(list_transform(q.qv, (x, i) -> (x - c.cv[i]) * (x - c.cv[i]))) AS d2
+         |        FROM q CROSS JOIN c2 c)),
+         |asg AS (SELECT vec_id, centroid_id FROM rc WHERE prn = 1),
+         |probes AS (SELECT vec_id, centroid_id FROM rc WHERE prn <= 2),
+         |cand AS (
+         |  SELECT p.vec_id, a.vec_id AS nb_id,
+         |    list_sum(list_transform(qa.qv, (x, i) -> (x - qb.qv[i]) * (x - qb.qv[i]))) AS d2
+         |  FROM probes p JOIN asg a USING (centroid_id)
+         |  JOIN q qa ON qa.vec_id = p.vec_id
+         |  JOIN q qb ON qb.vec_id = a.vec_id
+         |  WHERE p.vec_id <> a.vec_id)
+         |SELECT vec_id, nb_id, CAST(d2 AS BIGINT) AS d2, rn AS rank
+         |FROM (SELECT vec_id, nb_id, d2,
+         |        CAST(row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY d2 ASC, nb_id ASC) AS INTEGER) AS rn
+         |      FROM cand)
+         |WHERE rn <= 5""".stripMargin,
+
     "pipe_label_noise" ->
       s"""WITH q AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> round(x * 1000)) AS qv
          |           FROM embeddings),
