@@ -285,6 +285,34 @@ object ScaleProbe {
     }
     println(f"  negatives: $negN%,d")
 
+    println(s"== unigram Viterbi encode (row-local DP, broadcast piece table) ==")
+    val ugN = math.min(n / 10, 2_000_000L)
+    val ugCorpus = spark.range(ugN).select(col("id"),
+      concat_ws(" ", (0 until 30).map(i =>
+        concat(lit("w"), pmod(xxhash64(col("id") * 31 + i), lit(5000L)))): _*).as("text"))
+    val ugVocab = graft.ops.Unigram.trainFromCounts(
+      (0 until 200).map(i => (s"w$i", (1000 - i).toLong)), vocabSize = 300)
+    val ugToks = time(f"unigram encode ($ugN%,d x 30-word docs, ${ugVocab.size} pieces)") {
+      ugCorpus.select(sum(graft.ops.Unigram.tokenCount(col("text"), ugVocab)))
+        .collect().head.getLong(0)
+    }
+    println(f"  tokens: $ugToks%,d")
+
+    println(s"== approximate kNN graph (IVF-bounded candidates) ==")
+    val kgN = math.min(n / 40, 500_000L)
+    val kgDim = 32
+    val kgVecs = spark.range(kgN).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(kgDim - 1)),
+        j => (pmod(xxhash64(col("id") * 131 + j), lit(1000L)).cast("double") / 1000.0)
+          .cast("float")).as("embedding"))
+    // C ~ sqrt(n)*1.4: candidate volume is n*nProbe*(n/C), so cells must
+    // scale with sqrt(n) or the IVF bound degrades toward n^2
+    val kgEdges = time(f"knnGraph ($kgN%,d x $kgDim-dim vectors, k=10, C=1024, probe 2)") {
+      graft.ops.Similarity.knnGraph(kgVecs, col("vec_id"), col("embedding"),
+        k = 10, nClusters = 1024, nProbe = 2, iters = 1, dim = kgDim).count()
+    }
+    println(f"  edges: $kgEdges%,d")
+
     println(s"== shuffled-shard export (range 1:1 shard->task mapping) ==")
     val shardDir = java.nio.file.Files.createTempDirectory("probe-shards")
     time(f"writeShuffledShards ($n%,d rows -> 256 shards)") {

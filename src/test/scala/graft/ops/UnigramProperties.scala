@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property checks for the unigram tokenizer: the Viterbi DP must equal a
+  * brute-force enumeration of every segmentation (same score, same
+  * tie-break), and piece concatenation must reproduce the word for ANY
+  * vocabulary.
+  */
+object UnigramProperties extends Properties("unigram") {
+  import graft.TestSpark.spark
+  import spark.implicits._
+
+  private val wordGen: Gen[String] = for {
+    n <- Gen.choose(1, 8)
+    cs <- Gen.listOfN(n, Gen.oneOf("abcxyz…".toSeq))
+  } yield cs.mkString
+
+  private val vocabGen: Gen[Seq[(String, Int)]] = for {
+    n <- Gen.choose(0, 12)
+    pieces <- Gen.listOfN(n, for {
+      l <- Gen.choose(1, 4)
+      cs <- Gen.listOfN(l, Gen.oneOf("abcxyz".toSeq))
+      s <- Gen.choose(-9000, -10)
+    } yield (cs.mkString, s))
+  } yield pieces.distinctBy(_._1)
+
+  /** Reference: enumerate every cut mask, apply the encode scoring/tie
+    * rules literally (max score, fewest pieces, longest-first lengths).
+    */
+  private def bruteForce(word: String, vocab: Map[String, Int]): Seq[String] = {
+    val n = word.length
+    val segs = (0 until (1 << math.max(0, n - 1))).map { mask =>
+      val pieces = Seq.newBuilder[String]
+      var start = 0
+      for (i <- 1 until n) if ((mask >> (i - 1) & 1) == 1) {
+        pieces += word.substring(start, i); start = i
+      }
+      pieces += word.substring(start, n)
+      pieces.result()
+    }
+    val scored = segs.flatMap { pieces =>
+      val scores = pieces.map(p =>
+        vocab.get(p).map(_.toLong)
+          .orElse(if (p.length == 1) Some(Unigram.unkScore.toLong) else None))
+      if (scores.exists(_.isEmpty)) None
+      else Some((pieces, scores.flatten.sum))
+    }
+    scored.maxBy { case (pieces, score) =>
+      (score, -pieces.size, pieces.map(_.length)) // lex-largest length seq
+    }(Ordering.Tuple3(Ordering.Long, Ordering.Int,
+      Ordering.Implicits.seqOrdering[Seq, Int]))._1
+  }
+
+  property("Viterbi equals brute-force enumeration incl. tie-breaks") =
+    forAll(Gen.listOfN(6, wordGen), vocabGen) { (words, vocab) =>
+      val text = words.mkString(" ")
+      val got = Seq(text).toDF("t")
+        .select(Unigram.encode(col("t"), vocab, lowercase = false).as("p"))
+        .collect().head.getSeq[String](0).toList
+      val want = words.flatMap(w => bruteForce(w, vocab.toMap)).toList
+      got == want
+    }
+
+  property("piece concatenation reproduces the text's words") =
+    forAll(Gen.listOfN(6, wordGen), vocabGen) { (words, vocab) =>
+      val text = words.mkString(" ")
+      val got = Seq(text).toDF("t")
+        .select(Unigram.encode(col("t"), vocab, lowercase = false).as("p"))
+        .collect().head.getSeq[String](0).mkString
+      got == words.mkString
+    }
+}
