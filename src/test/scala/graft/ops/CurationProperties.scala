@@ -65,6 +65,36 @@ object CurationProperties extends Properties("curation") {
       }
     }
 
+  property("lengthBucketBatches invariants for any width/batch/shard config") =
+    forAll(Gen.choose(1, 200), Gen.choose(1, 50), Gen.choose(1, 20),
+      Gen.choose(1, 8)) { (n, width, batchSize, shards) =>
+      val df = (1L to n.toLong).map(i => (i, (i * 7919) % 400 + 1)).toDF("id", "nt")
+      val out = Curation.lengthBucketBatches(df, col("id"), col("nt"),
+        width, batchSize, shards).collect()
+      val rows = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      rows.length == n &&
+        rows.forall { case (_, nt, bucket, shard, _, padded, waste) =>
+          bucket == math.max(nt - 1, 0) / width &&
+            shard >= 0 && shard < shards &&
+            padded >= nt && waste == padded - nt && waste < width
+        } &&
+        // batch size cap holds within every (bucket, shard, batch)
+        rows.groupBy(r => (r._3, r._4, r._5)).values.forall(_.length <= batchSize)
+    }
+
+  property("temperatureMixture at alpha=1 ~ proportional; output is a subset") =
+    forAll(Gen.choose(50, 300), Gen.oneOf(0.25, 0.5, 0.75, 1.0)) { (n, alpha) =>
+      val df = (0L until n.toLong)
+        .map(i => (i, if (i % 4 == 0) "big" else "small")).toDF("id", "dom")
+      val out = Curation.temperatureMixture(df, col("id"), col("dom"),
+        alpha, targetRows = n.toLong / 2)
+      val ids = out.select("id").as[Long].collect().toSet
+      ids.subsetOf((0L until n.toLong).toSet) &&
+        out.columns.toSeq == Seq("id", "dom") &&
+        ids.size <= n
+    }
+
   // adversarial text: whitespace variety at the edges, bullets, ellipses,
   // symbols, stopwords, unicode — the native one-pass GopherStats must agree
   // with the interpreted HOF formulation it replaced, everywhere
