@@ -475,7 +475,9 @@ object Curation {
         round(least(lit(1.0),
           lit(targetRows.toDouble) * col("__pw") / (col("__z") * col("__n"))),
           6).as("__rate"))
-    df.join(broadcast(rates), domain === col("__dom"))
+    // null-SAFE join: groupBy emitted a null-domain stats row, and a plain
+    // equality join would silently drop every null-domain input row
+    df.join(broadcast(rates), domain <=> col("__dom"))
       .filter(hashUniform(id) <
         floor(col("__rate") * 4294967296.0).cast("long"))
       .drop("__dom", "__rate")
@@ -505,7 +507,8 @@ object Curation {
       bucketWidth: Int, batchSize: Int, nShards: Int = 1): DataFrame = {
     require(bucketWidth > 0 && batchSize > 0 && nShards > 0,
       s"need positive bucketWidth/batchSize/nShards, got $bucketWidth/$batchSize/$nShards")
-    val base = df.select(id.as("id"), nTokens.cast("long").as("n_tokens"))
+    val base = df.select(id.as("id"),
+        coalesce(nTokens.cast("long"), lit(0L)).as("n_tokens"))
       .withColumn("bucket",
         floor(greatest(col("n_tokens") - 1L, lit(0L)).cast("double") / bucketWidth)
           .cast("long"))

@@ -412,6 +412,20 @@ object Dedup {
         (size(col("toks")) - size(col("__kept"))).as("n_dropped"))
   }
 
+  /** Collapse repeated lines WITHIN each document (keep the first
+    * occurrence, preserve order) — the intra-document complement of
+    * [[dedupLines]]: a page whose template repeats the same navigation or
+    * disclaimer block several times keeps it once. Pure row-local array
+    * arithmetic (a line survives iff its first index in the document is its
+    * own), no shuffle, no state — exactly reproducible in SQL, and safe to
+    * run before the corpus-wide pass.
+    */
+  def dedupLinesInDoc(text: Column): Column = {
+    val lines = split(text, "\n")
+    array_join(
+      filter(lines, (l, i) => array_position(lines, l) === i + 1), "\n")
+  }
+
   /** Exact line-level dedup — the CCNet/RefinedWeb boilerplate pass: lines
     * (newline-separated) whose normalized form appears in at least
     * [[minDocFreq]] DISTINCT documents are removed; with `keepFirst` the

@@ -281,6 +281,12 @@ object Similarity {
       carry: Seq[(String, Column)] = Nil): DataFrame = {
     require(k > 0 && nProbe > 0 && nProbe <= nClusters,
       s"need k > 0, 0 < nProbe <= nClusters; got k=$k nProbe=$nProbe nClusters=$nClusters")
+    val reserved = Set("vec_id", "nb_id", "qv", "nb_qv", "centroid_id",
+      "cents", "d2", "rank", "__probes")
+    carry.foreach { case (n, _) =>
+      require(!reserved(n) && !n.startsWith("nb_"),
+        s"carry column name '$n' collides with knnGraph internals")
+    }
     val (_, qcents) = kmeansQuantized(df, id, vec, nClusters, iters, dim, scale)
     val centArr = centroidArray(qcents)
     val carried = carry.map { case (n, c) => c.as(n) }

@@ -133,6 +133,19 @@ object PipelineQueries {
     // testdata text has no newlines, so the gate re-chunks each doc into
     // 10-token lines first): a line in >= 2 docs survives only in the
     // lowest-id doc
+    // within-doc repeated-line collapse over planted template repetition
+    "pipe_dedup_lines_doc" -> ((s, d) => {
+      val plant = "\nrepeated boilerplate line\nunique tail"
+      val aug = concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(plant + plant)).otherwise(lit("")))
+      val cleaned = Dedup.dedupLinesInDoc(aug)
+      t(s, d, "documents").select(
+        col("doc_id"),
+        size(split(aug, "\n")).as("n_lines"),
+        size(split(cleaned, "\n")).as("n_kept"),
+        md5(cleaned.cast("binary")).as("clean_fp"))
+    }),
+
     "pipe_dedup_lines" -> ((s, d) => {
       val toks = when(length(trim(col("text"))) > 0,
         split(trim(col("text")), "\\s+")).otherwise(array().cast("array<string>"))
@@ -658,8 +671,29 @@ object PipelineQueries {
         |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin,
     // same 10-token line construction, then the keep-first line dedup:
     // stats over non-blank normalized lines, drops for non-keeper docs
+    // DuckDB list_filter index is 1-based; list_position returns the FIRST
+    // index — identical keep-first contract
+    "pipe_dedup_lines_doc" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, text ||
+         |    (CASE WHEN doc_id % 3 = 0
+         |     THEN repeat(chr(10) || 'repeated boilerplate line' || chr(10) || 'unique tail', 2)
+         |     ELSE '' END) AS t
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, string_split(t, chr(10)) AS ls FROM aug),
+         |c AS (
+         |  SELECT doc_id, len(ls) AS n_lines,
+         |    list_filter(ls, (l, i) -> list_position(ls, l) = i) AS kept
+         |  FROM b)
+         |SELECT doc_id, CAST(n_lines AS INTEGER) AS n_lines,
+         |       CAST(len(kept) AS INTEGER) AS n_kept,
+         |       md5(CASE WHEN len(kept) = 0 THEN ''
+         |           ELSE list_aggregate(kept, 'string_agg', chr(10)) END) AS clean_fp
+         |FROM c""".stripMargin,
+
     "pipe_dedup_lines" ->
-      s"""WITH toksrc AS (
+s"""WITH toksrc AS (
          |  SELECT doc_id,
          |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
          |              ELSE string_split_regex(trim(text), '\\s+') END AS t

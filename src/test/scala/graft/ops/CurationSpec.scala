@@ -341,6 +341,33 @@ class CurationSpec extends AnyFunSuite {
     assert(again == out.values.sum)
   }
 
+  test("dedupLinesInDoc keeps first occurrences in order, blank lines once") {
+    val rows = Seq(
+      (1L, "a\nb\na\nc\nb"),
+      (2L, "x\n\ny\n\nx"),   // repeated blank collapses too (exact-line rule)
+      (3L, "only once"),
+      (4L, "")
+    ).toDF("id", "t")
+    val out = rows.select(col("id"), Dedup.dedupLinesInDoc(col("t")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "a\nb\nc")
+    assert(out(2L) == "x\n\ny")
+    assert(out(3L) == "only once")
+    assert(out(4L) == "")
+  }
+
+  test("temperatureMixture keeps null-domain rows under the default rate path") {
+    val df = ((0L until 400L).map(i => (i, "a")) ++
+      (400L until 800L).map(i => (i, null.asInstanceOf[String]))).toDF("id", "dom")
+    val out = Curation.temperatureMixture(df, col("id"), col("dom"),
+      alpha = 0.5, targetRows = 400L)
+    val byDom = out.groupBy("dom").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    // the null domain is a real stratum: present and ~proportionally sampled
+    assert(byDom.contains(None), s"null-domain rows dropped: $byDom")
+    assert(math.abs(byDom(None) - 200.0) < 60, s"null stratum off: $byDom")
+  }
+
   test("gopherKeep column form agrees with gopherMetrics.keep on real docs") {
     val docs = TestSpark.spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
