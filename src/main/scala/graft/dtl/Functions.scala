@@ -164,6 +164,7 @@ object FunctionRegistry {
     text1("redact_pii")(graft.ops.Curation.redactPii),
     text1("normalize_text")(graft.ops.TextAnalysis.normalizeText),
     text1("strip_html")(graft.ops.TextAnalysis.stripHtml),
+    text1("dedup_lines")(graft.ops.Dedup.dedupLinesInDoc),
     text1("gopher_keep", TBool)(graft.ops.Curation.gopherKeep),
     text1("url_canonical")(graft.ops.Urls.canonicalize),
     text1("pii_count", TInt32)(graft.ops.Curation.piiCount),

@@ -221,6 +221,25 @@ object CurationQueries {
       graft.ops.Audit.corpusReport(t(s, d, "documents"),
         col("source"), col("text"))),
 
+    // the round-4 cleaning composition as ONE chained oracle: within-doc
+    // line collapse (must run FIRST — the later passes fold newlines) ->
+    // html strip -> canonical normalization -> corpus exact dedup on the
+    // cleaned text (keep lowest doc_id) -> minimum-words gate
+    "pipe_clean_e2e" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cleaned = TextAnalysis.normalizeText(TextAnalysis.stripHtml(
+        graft.ops.Dedup.dedupLinesInDoc(col("text"))))
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), cleaned.as("clean"))
+        .withColumn("n_words", TextAnalysis.tokenCount(col("clean")).cast("long"))
+      base
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("clean")).orderBy(col("doc_id"))))
+        .filter(col("__rn") === 1 && col("n_words") >= 10)
+        .select(col("doc_id"), col("n_words"),
+          md5(col("clean").cast("binary")).as("clean_fp"))
+    }),
+
     // HTML stripping over planted markup: tags, attributes, a script block
     // with fake text inside (must vanish), comments, entities
     "pipe_strip_html" -> ((s, d) => {
@@ -596,6 +615,41 @@ object CurationQueries {
          |       CAST(floor(quantile_cont(len, 0.75)) AS BIGINT) AS p75_chars,
          |       round(1.0 - CAST(count(DISTINCT norm) AS DOUBLE) / count(*), 6) AS dup_rate
          |FROM b GROUP BY slice""".stripMargin,
+
+    // the cleaning chain composed end-to-end, fragments shared with the
+    // individual gates
+    "pipe_clean_e2e" ->
+      s"""WITH lc AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN len(kept) = 0 THEN ''
+         |     ELSE list_aggregate(kept, 'string_agg', chr(10)) END) AS t1
+         |  FROM (SELECT doc_id,
+         |          list_filter(string_split(text, chr(10)),
+         |            (l, i) -> list_position(string_split(text, chr(10)), l) = i) AS kept
+         |        FROM documents)),
+         |st AS (
+         |  SELECT doc_id,
+         |    trim(regexp_replace(
+         |      replace(replace(replace(replace(replace(replace(
+         |        regexp_replace(
+         |          regexp_replace(
+         |            regexp_replace(t1,
+         |              '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+         |            '(?s)<!--.*?-->', ' ', 'g'),
+         |          '<[^>]*>', ' ', 'g'),
+         |        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+         |        '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+         |      '\\s+', ' ', 'g')) AS t2
+         |  FROM lc),
+         |n1 AS (SELECT doc_id, ${duckNormalizeExpr("t2")} AS clean FROM st),
+         |w AS (
+         |  SELECT doc_id, clean,
+         |    CAST(CASE WHEN length(trim(clean)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(clean), '\\s+')) END AS BIGINT) AS n_words,
+         |    row_number() OVER (PARTITION BY clean ORDER BY doc_id) AS rn
+         |  FROM n1)
+         |SELECT doc_id, n_words, md5(clean) AS clean_fp
+         |FROM w WHERE rn = 1 AND n_words >= 10""".stripMargin,
 
     // html stripping: identical regex chain (RE2 (?is)/(?s) flags), same
     // entity order with &amp; unescaped last
