@@ -146,6 +146,38 @@ object TextAnalysis {
         col("__t").substr(col("start").cast("int"), lit(size)).as("chunk"))
   }
 
+  /** Unicode-script profile of a text — the cheap writing-system detector
+    * that backs language-ID sanity checks and mixed-script spam filters:
+    * per document, the fraction of NON-SPACE characters in each major
+    * script class (latin letters, CJK ideographs+kana, cyrillic, arabic,
+    * digits, everything else). Fractions are rounded to 6 decimals;
+    * a whitespace-only text reports zeros. Row-local codegen'd regex
+    * counts, no UDF; the ranges are fixed public Unicode blocks, so the
+    * DuckDB twin counts identically.
+    */
+  def scriptProfile(df: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    val stripped = regexp_replace(text, "\\s", "")
+    val n = length(stripped)
+    val nD = greatest(n.cast("double"), lit(1.0))
+    def frac(pattern: String): Column =
+      round(when(n === 0, 0.0)
+        .otherwise(regexp_count(stripped, lit(pattern)).cast("double") / nD), 6)
+    df.select(id.as("id"),
+      n.cast("long").as("n_chars"),
+      frac("[A-Za-z\u00C0-\u024F]").as("latin_frac"),
+      frac("[\u4E00-\u9FFF\u3040-\u30FF]").as("cjk_frac"),
+      frac("[\u0400-\u04FF]").as("cyrillic_frac"),
+      frac("[\u0600-\u06FF]").as("arabic_frac"),
+      frac("[0-9]").as("digit_frac"))
+      .withColumn("other_frac",
+        round(greatest(lit(0.0),
+          lit(1.0) - col("latin_frac") - col("cjk_frac") -
+            col("cyrillic_frac") - col("arabic_frac") - col("digit_frac")), 6))
+      .withColumn("other_frac",
+        when(col("n_chars") === 0, 0.0).otherwise(col("other_frac")))
+  }
+
   /** Crawl-text extraction: strip HTML/XML markup and unescape the six
     * ubiquitous entities, leaving whitespace-normalized text. Deliberately
     * regex-simple (a tag is `<` … `>`; script/style blocks are dropped

@@ -240,6 +240,16 @@ object PipelineQueries {
         TextAnalysis.bpeTokenEstimate(col("text")).as("n_bpe"))
     }),
 
+    // unicode-script profile over planted multi-script text
+    "pipe_script_profile" -> ((s, d) => {
+      val aug = concat(col("text"),
+        when(col("doc_id") % 5 === 0, lit(scriptPlant)).otherwise(lit("")))
+      TextAnalysis.scriptProfile(
+        t(s, d, "documents").select(col("doc_id"), aug.as("text")),
+        col("doc_id"), col("text"))
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // stopword-profile language ID vs the labeled lang column
     "pipe_lang_id" -> ((s, d) => {
       t(s, d, "documents")
@@ -451,6 +461,22 @@ object PipelineQueries {
           col("audio.channels").as("a_channels"))
     })
   )
+
+  /** Planted multi-script text for pipe_script_profile: cyrillic, CJK,
+    * arabic, accented latin, digits (escapes — several render invisibly or
+    * RTL in source).
+    */
+  private val scriptPlant =
+    " \u041F\u0440\u0438\u0432\u0435\u0442 \u4F60\u597D\u4E16\u754C" +
+      " \u0645\u0631\u062D\u0628\u0627 123 na\u00EFve \u30AB\u30CA"
+
+  /** The script character classes shared by the Spark operator and the
+    * oracle (fixed public Unicode blocks).
+    */
+  private val latinClass = "[A-Za-z\u00C0-\u024F]"
+  private val cjkClass = "[\u4E00-\u9FFF\u3040-\u30FF]"
+  private val cyrillicClass = "[\u0400-\u04FF]"
+  private val arabicClass = "[\u0600-\u06FF]"
 
   /** Fixed piece table for the pipe_unigram gate: common English bigram/
     * trigram pieces plus scored singles; anything else falls back to the
@@ -1012,6 +1038,35 @@ s"""WITH toksrc AS (
         |FROM tf JOIN dfq USING (tok), n
         |GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // script profile: identical fixed-block classes, rounded-then-derived
+    // other_frac exactly as the operator computes it
+    "pipe_script_profile" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    regexp_replace(text ||
+         |      (CASE WHEN doc_id % 5 = 0 THEN '$scriptPlant' ELSE '' END),
+         |      '\\s', '', 'g') AS t
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
+         |    round(CASE WHEN length(t) = 0 THEN 0.0
+         |      ELSE CAST(len(regexp_extract_all(t, '$latinClass')) AS DOUBLE) / length(t) END, 6) AS latin_frac,
+         |    round(CASE WHEN length(t) = 0 THEN 0.0
+         |      ELSE CAST(len(regexp_extract_all(t, '$cjkClass')) AS DOUBLE) / length(t) END, 6) AS cjk_frac,
+         |    round(CASE WHEN length(t) = 0 THEN 0.0
+         |      ELSE CAST(len(regexp_extract_all(t, '$cyrillicClass')) AS DOUBLE) / length(t) END, 6) AS cyrillic_frac,
+         |    round(CASE WHEN length(t) = 0 THEN 0.0
+         |      ELSE CAST(len(regexp_extract_all(t, '$arabicClass')) AS DOUBLE) / length(t) END, 6) AS arabic_frac,
+         |    round(CASE WHEN length(t) = 0 THEN 0.0
+         |      ELSE CAST(len(regexp_extract_all(t, '[0-9]')) AS DOUBLE) / length(t) END, 6) AS digit_frac
+         |  FROM b)
+         |SELECT doc_id, n_chars, latin_frac, cjk_frac, cyrillic_frac,
+         |       arabic_frac, digit_frac,
+         |       CASE WHEN n_chars = 0 THEN 0.0
+         |            ELSE round(greatest(0.0, 1.0 - latin_frac - cjk_frac
+         |              - cyrillic_frac - arabic_frac - digit_frac), 6) END AS other_frac
+         |FROM m""".stripMargin,
+
     // unigram Viterbi replayed by brute force: every cut-mask of every
     // distinct (<=10-char) word, segmentation score under the same integer
     // piece table, best by (score desc, pieces asc, piece-length sequence

@@ -970,6 +970,20 @@ class OpsSpec extends AnyFunSuite {
     assert(f(4)._5 == "audio" && f(4)._1 >= 16000) // stub fallback intact
   }
 
+  test("scriptProfile: fractions by unicode block on a worked multi-script text") {
+    val docs = Seq(
+      (1L, "abc Привет 你好 ١٢٣ 45"),  // 3 latin, 6 cyr, 2 cjk, 3 arabic-block digits, 2 ascii digits
+      (2L, "   "),
+      (3L, "!!!")
+    ).toDF("id", "t")
+    val out = TextAnalysis.scriptProfile(docs, col("id"), col("t"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    // doc 1: 16 non-space chars
+    assert(out(1L) == Seq(16L, 0.1875, 0.125, 0.375, 0.1875, 0.125, 0.0))
+    assert(out(2L) == Seq(0L, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+    assert(out(3L) == Seq(3L, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0))
+  }
+
   test("ngramNovelty: unique grams score 1, fully shared text scores 0") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"),        // 1 gram, unique
