@@ -110,6 +110,27 @@ object Curation {
         round(col("__st.top_freq").cast("double") / nd, 6).as("top_word_frac"))
   }
 
+  /** Word n-gram repetition metrics — the OTHER half of the Gopher
+    * repetition filters (Rae et al. 2021 A1.1): `top_frac` = characters of
+    * the most frequent word `n`-gram times its occurrence count over total
+    * word characters (the paper's n = 2..4 rule; can exceed 1 for
+    * overlapping self-repeats, so it is capped at 1), and `dup_frac` =
+    * characters covered by any duplicated `n`-gram, overlap counted once
+    * (n = 5..10 rule; ≤ 1 by construction). One native codegen pass
+    * (graft.functions.NgramRepeat); fractions rounded to 6.
+    */
+  def ngramRepetition(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+    val st = graft.functions.NgramRepeat.ngramRepeat(text, n)
+    val total = greatest(col("n_chars").cast("double"), lit(1.0))
+    df.select(id.as("id"), st.getField("n_chars").as("n_chars"),
+        st.getField("top_chars").as("top_chars"),
+        st.getField("dup_chars").as("dup_chars"))
+      .select(col("id"), col("n_chars"), col("top_chars"), col("dup_chars"),
+        round(least(lit(1.0), col("top_chars").cast("double") / total), 6)
+          .as("top_frac"),
+        round(col("dup_chars").cast("double") / total, 6).as("dup_frac"))
+  }
+
   /** The stopwords whose presence the Gopher rule set requires (Rae et al.
     * 2021, "Scaling Language Models: ... Gopher", appendix A1.1 — the
     * "required words" heuristic): a document must contain at least 2.

@@ -116,12 +116,48 @@ object Dedup {
   def minhashSignature(shingleCol: Column, numHashes: Int): Column =
     graft.functions.MinHash.minhashSig(shingleCol, numHashes)
 
+  /** Candidate probability of a pair with true Jaccard `s` under a banded
+    * scheme: 1 - (1 - s^rows)^bands.
+    */
+  def lshCandidateProb(s: Double, bands: Int, rowsPerBand: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rowsPerBand), bands)
+
+  /** Choose the (bands, rowsPerBand) factorization of `numHashes` whose
+    * S-curve threshold ((1/b)^(1/r)) sits closest below the target Jaccard
+    * `threshold` — the standard planning rule (Leskovec et al., "Mining of
+    * Massive Datasets" §3.4): below-threshold pairs stay unlikely
+    * candidates while pairs at the threshold are still caught. Ties (two
+    * factorizations equally close) prefer MORE bands — recall over
+    * candidate volume. Deterministic; throws if `numHashes` has no
+    * factorization at all (it always has 1×n and n×1).
+    */
+  def lshPlan(numHashes: Int, threshold: Double): (Int, Int) = {
+    require(numHashes > 0 && threshold > 0 && threshold < 1,
+      s"need numHashes > 0, 0 < threshold < 1; got $numHashes, $threshold")
+    val options = for {
+      bands <- 1 to numHashes
+      if numHashes % bands == 0
+      rows = numHashes / bands
+      curveT = math.pow(1.0 / bands, 1.0 / rows)
+      if curveT <= threshold
+    } yield (bands, rows, curveT)
+    // fall back to the closest-above if nothing sits below (tiny numHashes)
+    val all =
+      if (options.nonEmpty) options
+      else (1 to numHashes).filter(numHashes % _ == 0).map { b =>
+        (b, numHashes / b, math.pow(1.0 / b, 1.0 / (numHashes / b)))
+      }
+    val best = all.minBy { case (b, _, t) => (math.abs(threshold - t), -b) }
+    (best._1, best._2)
+  }
+
   /** Candidate near-dup pairs via banded MinHash LSH, verified with true
     * n-gram Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b and
     * jaccard >= threshold.
     *
     * numHashes = bands * rowsPerBand. Probability a pair with true Jaccard s
-    * becomes a candidate: 1 - (1 - s^rowsPerBand)^bands.
+    * becomes a candidate: 1 - (1 - s^rowsPerBand)^bands. Pick the band
+    * factorization with [[lshPlan]].
     */
   def minhashLsh(
       df: DataFrame, id: Column, text: Column,

@@ -59,6 +59,18 @@ object CurationQueries {
       Curation.repetitionMetrics(t(s, d, "documents"), col("doc_id"), col("text"))
         .withColumnRenamed("id", "doc_id")),
 
+    // duplicate/top 3-gram character fractions, repetition planted so both
+    // the top-gram and union-coverage paths see non-trivial traffic
+    "pipe_ngram_repetition" -> ((s, d) => {
+      val aug = concat(col("text"),
+        when(col("doc_id") % 4 === 0,
+          lit(" copy block here copy block here copy block here")).otherwise(lit("")))
+      Curation.ngramRepetition(
+        t(s, d, "documents").select(col("doc_id"), aug.as("text")),
+        col("doc_id"), col("text"), n = 3)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // PII redaction over text with planted emails/IPs/phones
     "pipe_redact_pii" -> ((s, d) => {
       val aug = plantedText
@@ -589,6 +601,56 @@ object CurationQueries {
 
     // temperature mixture: same sqrt/round/floor-threshold arithmetic
     "pipe_temperature_mix" -> temperatureMixOracle,
+
+    // n-gram repetition: gram positions + counts, top gram by (count desc,
+    // gram asc), duplicated-gram coverage as a DISTINCT word-index union
+    "pipe_ngram_repetition" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, text ||
+         |    (CASE WHEN doc_id % 4 = 0
+         |     THEN ' copy block here copy block here copy block here'
+         |     ELSE '' END) AS t
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, string_split_regex(trim(t), '\\s+') AS ws,
+         |         length(trim(t)) = 0 AS empty
+         |  FROM aug),
+         |tot AS (
+         |  SELECT doc_id, ws,
+         |    CASE WHEN empty THEN 0
+         |         ELSE coalesce(list_sum(list_transform(ws, w -> length(w))), 0) END AS n_chars,
+         |    CASE WHEN empty THEN 0 ELSE len(ws) END AS nw
+         |  FROM b),
+         |g AS (
+         |  SELECT doc_id, p, ws[p] || ' ' || ws[p + 1] || ' ' || ws[p + 2] AS gram
+         |  FROM (SELECT doc_id, ws, unnest(range(1, nw - 1)) AS p
+         |        FROM tot WHERE nw >= 3)),
+         |cnt AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+         |top AS (
+         |  SELECT doc_id, c * length(replace(gram, ' ', '')) AS top_chars
+         |  FROM (SELECT doc_id, gram, c,
+         |          row_number() OVER (PARTITION BY doc_id
+         |            ORDER BY c DESC, gram ASC) AS rn
+         |        FROM cnt)
+         |  WHERE rn = 1),
+         |dupidx AS (
+         |  SELECT DISTINCT doc_id, idx
+         |  FROM (SELECT g.doc_id, unnest(range(g.p, g.p + 3)) AS idx
+         |        FROM g JOIN cnt USING (doc_id, gram) WHERE cnt.c > 1)),
+         |dup AS (
+         |  SELECT d.doc_id, sum(length(t.ws[d.idx])) AS dup_chars
+         |  FROM dupidx d JOIN tot t USING (doc_id) GROUP BY d.doc_id)
+         |SELECT t.doc_id,
+         |  CAST(t.n_chars AS BIGINT) AS n_chars,
+         |  CAST(coalesce(top.top_chars, 0) AS BIGINT) AS top_chars,
+         |  CAST(coalesce(dup.dup_chars, 0) AS BIGINT) AS dup_chars,
+         |  round(least(1.0, coalesce(top.top_chars, 0)
+         |    / greatest(CAST(t.n_chars AS DOUBLE), 1.0)), 6) AS top_frac,
+         |  round(coalesce(dup.dup_chars, 0)
+         |    / greatest(CAST(t.n_chars AS DOUBLE), 1.0), 6) AS dup_frac
+         |FROM tot t
+         |LEFT JOIN top ON top.doc_id = t.doc_id
+         |LEFT JOIN dup ON dup.doc_id = t.doc_id""".stripMargin,
 
     // corpus report: the same scalar expressions the library computes,
     // quantile_cont == Spark exact percentile, fingerprint parity via the

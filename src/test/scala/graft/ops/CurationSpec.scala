@@ -341,6 +341,25 @@ class CurationSpec extends AnyFunSuite {
     assert(again == out.values.sum)
   }
 
+  test("ngramRepetition: top-gram product and duplicated-coverage union by hand") {
+    val docs = Seq(
+      (1L, "a b c a b c x"),   // 2-grams: "a b"x2,"b c"x2,"c a","c x" -> dup covers a,b,c,a,b,c (6 words, 6 chars); top = "a b": 2*2=4
+      (2L, "u v w x"),          // no repeated 2-gram
+      (3L, "q")                 // fewer words than n
+    ).toDF("doc_id", "text")
+    val out = Curation.ngramRepetition(docs, col("doc_id"), col("text"), n = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out(1L) == ((7L, 4L, 6L, 0.571429, 0.857143)))
+    assert(out(2L)._3 == 0L && out(2L)._5 == 0.0)
+    assert(out(3L) == ((1L, 0L, 0L, 0.0, 0.0)))
+    // overlapping self-repeat caps top_frac at 1
+    val rep = Seq((1L, "z z z z z")).toDF("doc_id", "text")
+    val r = Curation.ngramRepetition(rep, col("doc_id"), col("text"), n = 2)
+      .collect().head
+    assert(r.getDouble(4) == 1.0 && r.getDouble(5) == 1.0)
+  }
+
   test("dedupLinesInDoc keeps first occurrences in order, blank lines once") {
     val rows = Seq(
       (1L, "a\nb\na\nc\nb"),

@@ -970,6 +970,26 @@ class OpsSpec extends AnyFunSuite {
     assert(f(4)._5 == "audio" && f(4)._1 >= 16000) // stub fallback intact
   }
 
+  test("lshPlan picks the factorization with S-curve threshold at-or-below target") {
+    // 64 hashes, target 0.8: the gate configuration (16 bands x 4 rows) has
+    // curve threshold (1/16)^(1/4) = 0.5 — plan picks the closest <= 0.8
+    val (b, r) = Dedup.lshPlan(64, 0.8)
+    assert(b * r == 64)
+    val curve = math.pow(1.0 / b, 1.0 / r)
+    assert(curve <= 0.8)
+    // every coarser banding (more bands) has a LOWER curve threshold; plan
+    // must be the closest one, so halving bands must overshoot the target
+    if (b > 1) {
+      val coarser = math.pow(2.0 / b, 2.0 / r)
+      assert(math.abs(0.8 - curve) <= math.abs(0.8 - coarser) || coarser > 0.8)
+    }
+    // a high threshold wants many rows per band, few bands
+    val (b2, r2) = Dedup.lshPlan(64, 0.95)
+    assert(r2 >= r || b2 <= b)
+    // candidate probability at the target is monotone in the target
+    assert(Dedup.lshCandidateProb(0.9, b, r) > Dedup.lshCandidateProb(0.5, b, r))
+  }
+
   test("scriptProfile: fractions by unicode block on a worked multi-script text") {
     val docs = Seq(
       (1L, "abc Привет 你好 ١٢٣ 45"),  // 3 latin, 6 cyr, 2 cjk, 3 arabic-block digits, 2 ascii digits
