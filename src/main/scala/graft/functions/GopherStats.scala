@@ -29,9 +29,11 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object GopherStats {
 
-  /** Must stay equal (as a set) to graft.ops.Curation.gopherStopwords. */
-  val stopwords: Array[String] =
-    Array("the", "be", "to", "of", "and", "that", "have", "with")
+  /** The canonical list lives on the operator API; bound here so the two
+    * can never drift (safe init order: Curation holds no val referencing
+    * this object).
+    */
+  val stopwords: Array[String] = graft.ops.Curation.gopherStopwords.toArray
 
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
