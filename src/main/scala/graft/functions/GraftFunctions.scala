@@ -48,7 +48,32 @@ object GraftFunctions {
     },
     "image_meta" -> { args => ImageMetaExpr(args.head) },
     "audio_meta" -> { args => AudioMetaExpr(args.head) },
-    "video_meta" -> { args => VideoMetaExpr(args.head) })
+    "video_meta" -> { args => VideoMetaExpr(args.head) },
+    "sq_dist" -> { args => SqDistExpression(args(0), args(1)) },
+    "nearest_centroids_l2" -> { args =>
+      NearestCentroidsL2Expr(args(0), args(1),
+        intArg(args(2), "nearest_centroids_l2(_, _, k)"))
+    },
+    "gopher_stats" -> { args => GopherStatsExpression(args.head) },
+    "ngram_repeat" -> { args =>
+      NgramRepeatExpression(args(0), intArg(args(1), "ngram_repeat(_, n)"))
+    },
+    // composed-Column chains, bridged like url_canonical
+    "normalize_text" -> { args =>
+      org.apache.spark.sql.GraftColumnBridge.catalystExpression(
+        graft.ops.TextAnalysis.normalizeText(
+          org.apache.spark.sql.GraftColumnBridge.column(args.head)))
+    },
+    "strip_html" -> { args =>
+      org.apache.spark.sql.GraftColumnBridge.catalystExpression(
+        graft.ops.TextAnalysis.stripHtml(
+          org.apache.spark.sql.GraftColumnBridge.column(args.head)))
+    },
+    "dedup_lines" -> { args =>
+      org.apache.spark.sql.GraftColumnBridge.catalystExpression(
+        graft.ops.Dedup.dedupLinesInDoc(
+          org.apache.spark.sql.GraftColumnBridge.column(args.head)))
+    })
 
   /** Imperative per-session registration. */
   def register(spark: SparkSession): Unit =

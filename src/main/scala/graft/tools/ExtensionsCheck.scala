@@ -29,6 +29,24 @@ object ExtensionsCheck {
     assert(f.getString(5) == "http://ex.com/A?b=1", s"url_canonical: ${f.getString(5)}")
     println("functions: OK")
 
+    // round-4 additions on the SQL surface
+    val g = spark.sql(
+      "SELECT sq_dist(array(0.0d, 3.0d), array(4.0d, 0.0d)) AS d, " +
+        "nearest_centroids_l2(array(0.1d), " +
+        "  array(named_struct('id', 1L, 'vec', array(0.0d)), " +
+        "        named_struct('id', 2L, 'vec', array(1.0d))), 2) AS nc, " +
+        "gopher_stats('the data ...').stop_hits AS sh, " +
+        "ngram_repeat('a b a b', 2).dup_chars AS dc, " +
+        "normalize_text('  A B  ') AS nt, " +
+        "strip_html('<p>x &amp; y</p>') AS sx, " +
+        "dedup_lines('a\nb\na') AS dl").head()
+    assert(g.getDouble(0) == 25.0, s"sq_dist: ${g.getDouble(0)}")
+    assert(g.getSeq[Long](1) == Seq(1L, 2L))
+    assert(g.getInt(2) == 1 && g.getLong(3) == 4L)
+    assert(g.getString(4) == "a b" && g.getString(5) == "x & y")
+    assert(g.getString(6) == "a\nb")
+    println("round-4 functions: OK")
+
     // injected optimizer rule: SQL abs-distance join plans as a hash join
     Seq((1L, 10L), (2L, 500L)).toDF("lid", "lv").createOrReplaceTempView("l")
     Seq((9L, 12L), (8L, 100L)).toDF("rid", "rv").createOrReplaceTempView("r")
