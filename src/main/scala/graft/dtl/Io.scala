@@ -21,7 +21,9 @@ trait Exporter {
   * extension select that format (connector extension per SURVEY.md §2 D).
   * CSV reads with header + schema inference; JSON is line-delimited; ORC is
   * Spark's built-in columnar alternative (same pushdown/pruning story as
-  * parquet).
+  * parquet); TXT reads one row per line into a single `value` TEXT column
+  * (the raw-crawl shape — WET-style dumps), and on export writes the
+  * single text column back line-per-row.
   */
 final class FilesystemImporter(spark: SparkSession, inputDir: String) extends Importer {
   private val cache = mutable.Map.empty[String, DataFrame]
@@ -33,6 +35,7 @@ final class FilesystemImporter(spark: SparkSession, inputDir: String) extends Im
       case Some("json") => spark.read.json(s"$inputDir/$name")
       case Some("orc") => spark.read.orc(s"$inputDir/$name")
       case Some("parquet") => spark.read.parquet(s"$inputDir/$name")
+      case Some("txt") => spark.read.text(s"$inputDir/$name")
       case _ => spark.read.parquet(s"$inputDir/$name.parquet")
     })
 }
@@ -58,6 +61,12 @@ final class FilesystemExporter(outputDir: String) extends Exporter {
       case Some("json") => df.write.mode("overwrite").json(s"$outputDir/$name")
       case Some("orc") => df.write.mode("overwrite").orc(s"$outputDir/$name")
       case Some("parquet") => df.write.mode("overwrite").parquet(s"$outputDir/$name")
+      case Some("txt") =>
+        if (df.schema.fields.length != 1 ||
+            df.schema.fields(0).dataType != org.apache.spark.sql.types.StringType)
+          throw DtlError(
+            s"EXPORT to '.txt' needs exactly one TEXT column, got ${df.schema.simpleString}")
+        df.write.mode("overwrite").text(s"$outputDir/$name")
       case _ => df.write.mode("overwrite").parquet(s"$outputDir/$name.parquet")
     }
   }

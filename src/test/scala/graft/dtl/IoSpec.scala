@@ -46,6 +46,35 @@ class IoSpec extends AnyFunSuite {
     assert(orc.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
   }
 
+  test("raw text in and out: one TEXT line per row, cleaned in-language") {
+    val dir = java.nio.file.Files.createTempDirectory("dtl-txt").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/crawl.txt"),
+      "<p>Hello &amp; welcome</p>\nplain line\n<b>BOLD</b> text\n")
+
+    new Engine(spark).run(
+      """WITH raw AS IMPORT 'crawl.txt';
+        |WITH cleaned AS SELECT strip_html(value) AS value FROM raw;
+        |EXPORT cleaned TO 'clean.txt';""".stripMargin,
+      new FilesystemImporter(spark, dir),
+      new FilesystemExporter(dir))
+
+    val back = spark.read.text(s"$dir/clean.txt")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(back == Seq("BOLD text", "Hello & welcome", "plain line"))
+
+    // a multi-column or non-text frame cannot claim to be a .txt file
+    val err = intercept[DtlError] {
+      new Engine(spark).run(
+        """WITH raw AS IMPORT 'crawl.txt';
+          |WITH two AS SELECT value, length(value) AS n FROM raw;
+          |EXPORT two TO 'bad.txt';""".stripMargin,
+        new FilesystemImporter(spark, dir),
+        new FilesystemExporter(dir))
+    }
+    assert(err.getMessage.contains("one TEXT column"))
+  }
+
   test("new scalar functions evaluate with strict types") {
     val out = new Engine(spark).runSimple(
       """WITH input AS IMPORT 'input';
