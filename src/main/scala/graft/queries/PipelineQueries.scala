@@ -366,6 +366,28 @@ object PipelineQueries {
     "pipe_bpe_vocab" -> ((s, d) =>
       graft.ops.Bpe.vocabulary(t(s, d, "documents"), col("text"), bpeGateMerges)),
 
+    // the tokenizer's final artifact: every document as its embedding-table
+    // id sequence (encode -> broadcast vocab-id join -> in-order fingerprint)
+    // — what a pretraining dataloader actually consumes
+    "pipe_token_ids" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val vocab = graft.ops.Bpe.vocabulary(docs, col("text"), bpeGateMerges)
+        .select(col("token"), col("id"))
+      val toks = docs.select(col("doc_id"),
+        posexplode(graft.ops.Bpe.encode(col("text"), bpeGateMerges))
+          .as(Seq("pi", "token")))
+      val ids = toks.join(broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_tokens"),
+          md5(concat_ws(",",
+            transform(array_sort(collect_list(struct(col("pi"), col("id")))),
+              x => x.getField("id").cast("string"))).cast("binary")).as("ids_fp"))
+      docs.select(col("doc_id")).join(ids, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0)).as("n_tokens"),
+          coalesce(col("ids_fp"), md5(lit("").cast("binary"))).as("ids_fp"))
+    }),
+
     // CCNet-style bigram LM quality scoring: train on the corpus (top-200
     // bigrams / top-100 contexts), self-score every doc. The gate carries
     // the integer feature columns (counts and count-sums are exact in any
@@ -905,6 +927,33 @@ s"""WITH toksrc AS (
          |SELECT token, count(*) AS n,
          |  CAST(row_number() OVER (ORDER BY count(*) DESC, token ASC) AS INTEGER) AS id
          |FROM tok WHERE token <> '' GROUP BY token""".stripMargin,
+
+    // id sequences: same encode + same dense-id vocabulary, fingerprint in
+    // piece order
+    "pipe_token_ids" ->
+      s"""$bpeEncCte,
+         |vocab AS (
+         |  SELECT token,
+         |    CAST(row_number() OVER (ORDER BY count(*) DESC, token ASC) AS INTEGER) AS id
+         |  FROM (SELECT unnest(string_split(array_to_string(toks, ' '), ' ')) AS token
+         |        FROM enc WHERE len(toks) > 0)
+         |  WHERE token <> '' GROUP BY token),
+         |pieces AS (
+         |  SELECT doc_id, piece, pi
+         |  FROM (SELECT doc_id,
+         |          unnest(string_split(array_to_string(toks, ' '), ' ')) AS piece,
+         |          generate_subscripts(string_split(array_to_string(toks, ' '), ' '), 1) AS pi
+         |        FROM enc WHERE len(toks) > 0)
+         |  WHERE piece <> ''),
+         |ids AS (
+         |  SELECT p.doc_id, p.pi, v.id FROM pieces p JOIN vocab v ON v.token = p.piece),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
+         |         md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY pi)) AS ids_fp
+         |  FROM ids GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+         |       coalesce(a.ids_fp, md5('')) AS ids_fp
+         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
     // LSH recall on the planted pairs is deterministic (fixed seed, fixed
     // data: all 25 found, nothing else reaches 0.95 — base pairs top out
     // near 0.51), so the exact-cosine SQL is a sound oracle. DuckDB
