@@ -624,6 +624,51 @@ object Curation {
       .drop("__gs_h", "__gs_b", "__gs_b2", "__gs_off")
   }
 
+  /** Map every document to its span in the concatenated token stream — the
+    * GPT-style sequence-building step: documents are laid out in a
+    * seed-keyed deterministic shuffle order (same contract as
+    * [[globalShuffle]]) and the stream is sliced into fixed `windowLen`
+    * training windows that CROSS document boundaries. Returns per doc:
+    * (id, n_tokens, global_start, global_end) plus `first_win`/`last_win`,
+    * the inclusive range of windows the document contributes tokens to
+    * (NULL for empty documents) — the index a sequence-materializing job
+    * joins against to build each window's byte range.
+    *
+    * Scale shape: the same two-phase prefix sum as globalShuffle — bucket
+    * by scaled hash, broadcast per-bucket token-sum offsets, per-bucket
+    * running sums — one corpus shuffle, no global window, positions exact
+    * at any cluster size.
+    */
+  def tokenWindows(df: DataFrame, key: Column, nTokens: Column, seed: String,
+      windowLen: Long, nBuckets: Int = 1024): DataFrame = {
+    require(windowLen > 0, s"windowLen must be positive, got $windowLen")
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    require(!seed.contains("|"), "seed must not contain the '|' salt separator")
+    val h = hashUniform(concat(lit(seed + "|"), key.cast("string")))
+    val bucketed = df
+      .withColumn("__tw_t", coalesce(nTokens.cast("long"), lit(0L)))
+      .withColumn("__tw_h", h)
+      .withColumn("__tw_b", (col("__tw_h") * nBuckets / 4294967296L).cast("int"))
+    val offsets = bucketed.groupBy("__tw_b").agg(sum("__tw_t").as("__tw_n"))
+      .withColumn("__tw_off",
+        sum("__tw_n").over(Window.orderBy("__tw_b")) - col("__tw_n"))
+      .select(col("__tw_b").as("__tw_b2"), col("__tw_off"))
+    val w = Window.partitionBy(col("__tw_b")).orderBy(col("__tw_h"), key)
+    bucketed
+      .join(broadcast(offsets), col("__tw_b") === col("__tw_b2"))
+      .withColumn("global_start",
+        col("__tw_off") + sum(col("__tw_t")).over(w) - col("__tw_t"))
+      .withColumn("global_end", col("global_start") + col("__tw_t"))
+      .withColumn("first_win",
+        when(col("__tw_t") === 0, lit(null).cast("long"))
+          .otherwise(floor(col("global_start").cast("double") / windowLen).cast("long")))
+      .withColumn("last_win",
+        when(col("__tw_t") === 0, lit(null).cast("long"))
+          .otherwise(floor((col("global_end") - 1).cast("double") / windowLen).cast("long")))
+      .withColumnRenamed("__tw_t", "n_tokens")
+      .drop("__tw_h", "__tw_b", "__tw_b2", "__tw_off")
+  }
+
   /** Fractional-epoch upsampling: emit each row `⌊weight⌋` times plus one
     * more with probability `frac(weight)`, decided by the row's key hash —
     * the "1.7 epochs of wiki, 0.3 epochs of crawl" recipe LLM data mixtures

@@ -134,6 +134,16 @@ object CurationQueries {
         cuts = Seq(("test", 0.1), ("valid", 0.1)))
         .select("doc_id", "split")),
 
+    // GPT-style token-stream windowing: doc spans + window ranges over the
+    // seed-shuffled concatenation
+    "pipe_token_windows" -> ((s, d) =>
+      Curation.tokenWindows(
+        t(s, d, "documents").select(col("doc_id"), col("text")),
+        col("doc_id"), TextAnalysis.tokenCount(col("text")),
+        seed = "tw", windowLen = 128L, nBuckets = 64)
+        .select("doc_id", "n_tokens", "global_start", "global_end",
+          "first_win", "last_win")),
+
     // seed-keyed global permutation: reproducible training order, no RNG
     "pipe_global_shuffle" -> ((s, d) =>
       Curation.globalShuffle(t(s, d, "documents"), col("doc_id"),
@@ -601,6 +611,28 @@ object CurationQueries {
 
     // temperature mixture: same sqrt/round/floor-threshold arithmetic
     "pipe_temperature_mix" -> temperatureMixOracle,
+
+    // token windows: a plain global running sum over the same md5 order —
+    // the engine's bucketed two-phase prefix sum must equal it exactly
+    "pipe_token_windows" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS t,
+         |    ('0x'||substr(md5('tw|' || CAST(doc_id AS VARCHAR)),1,8))::BIGINT AS h
+         |  FROM documents),
+         |o AS (
+         |  SELECT doc_id, t,
+         |    sum(t) OVER (ORDER BY h, doc_id) - t AS gs
+         |  FROM b)
+         |SELECT doc_id, t AS n_tokens,
+         |  CAST(gs AS BIGINT) AS global_start,
+         |  CAST(gs + t AS BIGINT) AS global_end,
+         |  CASE WHEN t = 0 THEN NULL
+         |       ELSE CAST(floor(CAST(gs AS DOUBLE) / 128) AS BIGINT) END AS first_win,
+         |  CASE WHEN t = 0 THEN NULL
+         |       ELSE CAST(floor(CAST(gs + t - 1 AS DOUBLE) / 128) AS BIGINT) END AS last_win
+         |FROM o""".stripMargin,
 
     // n-gram repetition: gram positions + counts, top gram by (count desc,
     // gram asc), duplicated-gram coverage as a DISTINCT word-index union

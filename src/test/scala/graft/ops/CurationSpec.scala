@@ -341,6 +341,42 @@ class CurationSpec extends AnyFunSuite {
     assert(again == out.values.sum)
   }
 
+  test("tokenWindows: spans tile the stream exactly; window ranges correct") {
+    val df = (1L to 300L).map(i => (i, (i % 7) * 3)).toDF("id", "nt") // incl. zeros
+    val out = Curation.tokenWindows(df, col("id"), col("nt"),
+      seed = "s", windowLen = 10L, nBuckets = 8)
+      .select("id", "n_tokens", "global_start", "global_end", "first_win", "last_win")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5)))
+    assert(out.length == 300)
+    val total = out.map(_._2).sum
+    // spans are disjoint, contiguous, and cover [0, total)
+    val spans = out.filter(_._2 > 0).sortBy(_._3)
+    assert(spans.head._3 == 0L)
+    spans.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 <= b._3, s"overlap: $a $b")
+      case _ =>
+    }
+    assert(spans.map(_._2).sum == total)
+    assert(spans.last._4 == spans.map(_._2).sum ||
+      out.map(_._4).max == total)
+    // window arithmetic per row
+    out.foreach { case (_, nt, gs, ge, fw, lw) =>
+      assert(ge == gs + nt)
+      if (nt == 0) assert(fw == -1L && lw == -1L)
+      else {
+        assert(fw == gs / 10 && lw == (ge - 1) / 10)
+        assert(fw <= lw)
+      }
+    }
+    // gapless concatenation: every span starts where the previous ended
+    spans.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 == b._3, s"gap between $a and $b")
+      case _ =>
+    }
+  }
+
   test("ngramRepetition: top-gram product and duplicated-coverage union by hand") {
     val docs = Seq(
       (1L, "a b c a b c x"),   // 2-grams: "a b"x2,"b c"x2,"c a","c x" -> dup covers a,b,c,a,b,c (6 words, 6 chars); top = "a b": 2*2=4
