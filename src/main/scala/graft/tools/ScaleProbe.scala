@@ -313,6 +313,18 @@ object ScaleProbe {
     }
     println(f"  edges: $kgEdges%,d")
 
+    println(s"== token-stream windowing (two-phase prefix sum, no global window) ==")
+    val twRes = time(f"tokenWindows ($n%,d docs, 2048-token windows)") {
+      graft.ops.Curation.tokenWindows(
+        spark.range(n).select(col("id"),
+          (pmod(xxhash64(col("id")), lit(900L)) + 100L).as("nt")),
+        col("id"), col("nt"), seed = "probe", windowLen = 2048L, nBuckets = 2048)
+        .agg(min("global_start").as("lo"), max("global_end").as("hi"),
+          sum("n_tokens").as("tot"), max("last_win").as("lw")).head()
+    }
+    println(s"  span [${twRes.getLong(0)}, ${twRes.getLong(1)}) over ${twRes.getLong(2)} tokens " +
+      s"(tile check: ${twRes.getLong(1) == twRes.getLong(2)}), ${twRes.getLong(3) + 1} windows")
+
     println(s"== shuffled-shard export (range 1:1 shard->task mapping) ==")
     val shardDir = java.nio.file.Files.createTempDirectory("probe-shards")
     time(f"writeShuffledShards ($n%,d rows -> 256 shards)") {

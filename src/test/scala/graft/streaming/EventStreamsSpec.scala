@@ -207,6 +207,34 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("the cleaning chain (dedup_lines -> strip_html -> normalize) streams equal to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(Long, String)]
+    def clean(c: org.apache.spark.sql.Column) =
+      graft.ops.TextAnalysis.normalizeText(graft.ops.TextAnalysis.stripHtml(
+        graft.ops.Dedup.dedupLinesInDoc(c)))
+    val q = input.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), clean(col("text")).as("body"))
+      .writeStream.format("memory").queryName("clean_stream_out")
+      .outputMode("append").start()
+    val texts = Seq(
+      (1L, "<p>Hello &amp; bye</p>\nrepeat me\nrepeat me"),
+      (2L, "\u201CQuoted\u201D <b>text</b>\u2026"),
+      (3L, ""))
+    try {
+      input.addData(texts: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("clean_stream_out")
+        .as[(Long, String)].collect().toSet
+      val batch = texts.toDF("doc_id", "text")
+        .select(col("doc_id"), clean(col("text")).as("body"))
+        .as[(Long, String)].collect().toSet
+      assert(streamed == batch)
+      assert(batch.contains((1L, "hello & bye repeat me")))
+    } finally q.stop()
+  }
+
   test("gopher gate and normalization run unchanged on streams, equal to batch") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
