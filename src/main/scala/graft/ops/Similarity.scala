@@ -47,8 +47,15 @@ object Similarity {
     * broadcast-cross-joining this multiplies nothing: every corpus row just
     * gains a pointer to the (shared) centroid array.
     */
+  // sort_array pins the broadcast array's element order to centroid_id asc:
+  // collect_list alone orders by partition arrival, which is scheduling-
+  // dependent. Every consumer ([[graft.functions.CentroidMath]]) already
+  // breaks distance ties by id — independent of scan order — so this is
+  // defense in depth: the array a debugger (or any future order-sensitive
+  // consumer) sees is now bit-identical run to run.
   private[ops] def centroidArray(centroids: DataFrame): DataFrame =
-    centroids.agg(collect_list(struct(col("centroid_id"), col("centroid_vec"))).as("cents"))
+    centroids.agg(sort_array(
+      collect_list(struct(col("centroid_id"), col("centroid_vec")))).as("cents"))
 
   /** IVF index: pick C deterministic pseudo-random corpus rows as centroids
     * (md5 ordering of the id — reproducible in any engine, unlike a
@@ -400,8 +407,8 @@ object Similarity {
     val qv = transform(vec.cast("array<double>"), x => round(x * scale))
     var out = df.withColumn("__qv", qv)
     for ((cb, j) <- codebooks.zipWithIndex)
-      out = out.crossJoin(broadcast(cb.agg(
-        collect_list(struct(col("centroid_id"), col("centroid_vec"))).as(s"__cents$j"))))
+      out = out.crossJoin(broadcast(cb.agg(sort_array(
+        collect_list(struct(col("centroid_id"), col("centroid_vec")))).as(s"__cents$j"))))
     val codes = array((0 until m).map(j =>
       graft.functions.CentroidMath.nearestCentroidL2(
         slice(col("__qv"), j * sub + 1, sub), col(s"__cents$j"))): _*)
