@@ -307,10 +307,11 @@ object Dedup {
     */
   def semanticDedup(corpus: DataFrame, id: Column, vec: Column,
       nClusters: Int, iters: Int, dim: Int, minCosine: Double,
-      scale: Double = 1000.0): DataFrame = {
+      scale: Double = 1000.0,
+      checkpointDir: Option[String] = None): DataFrame = {
     import graft.ops.Similarity
     val (_, qcents) = Similarity.kmeansQuantized(
-      corpus, id, vec, nClusters, iters, dim, scale)
+      corpus, id, vec, nClusters, iters, dim, scale, checkpointDir)
     // carry the ORIGINAL vector and its quantization in one row-local frame:
     // assignment stays the integer-exact quantized argmin (the SQL-oracled
     // contract), the cosine verification runs on the original values, and
@@ -627,19 +628,35 @@ object Dedup {
         .distinct()
     }
 
+    // convergence fingerprint: (count, xor of per-edge xxhash64) in ONE
+    // aggregate over the already-pinned frame. xor is order-independent and
+    // overflow-free (edge sets are distinct, so no self-cancelling dupes);
+    // the previous round's fingerprint is remembered, so each round pays one
+    // tiny aggregate job instead of two counts plus a join-sized anti-join.
+    // Fingerprint equality is necessary but not sufficient (64-bit
+    // collisions exist in principle), so the exact anti-join confirms — but
+    // now runs only on fingerprint match, i.e. once, at convergence.
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(hi, lo))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
     var edges = pin(pairs
       .select(greatest(col("id_a"), col("id_b")).as("hi"),
         least(col("id_a"), col("id_b")).as("lo"))
       .filter(col("hi") =!= col("lo"))
       .distinct())
+    var edgeSig = fingerprint(edges)
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
       val next = pin(smallStar(largeStar(edges)))
-      // distinct edge sets of equal size with an empty difference are equal
-      converged = next.count() == edges.count() &&
+      val nextSig = fingerprint(next)
+      converged = nextSig == edgeSig &&
         next.join(edges, Seq("hi", "lo"), "left_anti").isEmpty
       edges = next
+      edgeSig = nextSig
       i += 1
     }
     // an unconverged exit would silently split real components in two

@@ -43,12 +43,14 @@ object Labels {
     */
   def knnLabelCheck(df: DataFrame, id: Column, vec: Column, label: Column,
       k: Int, nClusters: Int, nProbe: Int, iters: Int, dim: Int,
-      scale: Double = 1000.0): DataFrame = {
+      scale: Double = 1000.0,
+      checkpointDir: Option[String] = None): DataFrame = {
     // the IVF-bounded kNN edges, with the label riding both endpoints
     // (Similarity.knnGraph carries payload through the candidate join, so
     // no per-endpoint re-join of the corpus here)
     val knn = Similarity.knnGraph(df, id, vec, k, nClusters, nProbe,
-      iters, dim, scale, carry = Seq("label" -> label))
+      iters, dim, scale, carry = Seq("label" -> label),
+      checkpointDir = checkpointDir)
 
     // per-point agreement + deterministic majority label in two group passes
     val votes = knn.groupBy("vec_id", "label", "nb_label")

@@ -285,7 +285,8 @@ object Similarity {
   def knnGraph(df: DataFrame, id: Column, vec: Column,
       k: Int, nClusters: Int, nProbe: Int, iters: Int, dim: Int,
       scale: Double = 1000.0,
-      carry: Seq[(String, Column)] = Nil): DataFrame = {
+      carry: Seq[(String, Column)] = Nil,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(k > 0 && nProbe > 0 && nProbe <= nClusters,
       s"need k > 0, 0 < nProbe <= nClusters; got k=$k nProbe=$nProbe nClusters=$nClusters")
     val reserved = Set("vec_id", "nb_id", "qv", "nb_qv", "centroid_id",
@@ -294,7 +295,8 @@ object Similarity {
       require(!reserved(n) && !n.startsWith("nb_"),
         s"carry column name '$n' collides with knnGraph internals")
     }
-    val (_, qcents) = kmeansQuantized(df, id, vec, nClusters, iters, dim, scale)
+    val (_, qcents) =
+      kmeansQuantized(df, id, vec, nClusters, iters, dim, scale, checkpointDir)
     val centArr = centroidArray(qcents)
     val carried = carry.map { case (n, c) => c.as(n) }
     val pts = df.select((id.as("vec_id") +:
@@ -397,12 +399,16 @@ object Similarity {
     // trained at a different dim/m would otherwise emit NULL codes from the
     // argmin and surface later as NULL distances ranked into the ANN top-k
     // instead of failing here. One 1-row job per tiny checkpointed codebook.
-    codebooks.zipWithIndex.foreach { case (cb, j) =>
-      val w = cb.agg(min(size(col("centroid_vec"))).as("lo"),
-        max(size(col("centroid_vec"))).as("hi")).head()
-      require(w.getInt(0) == sub && w.getInt(1) == sub,
-        s"codebook $j entry width ${w.getInt(0)}..${w.getInt(1)} != subspace " +
-          s"width $sub (codebook trained at a different dim/m than this encode)")
+    // all m width checks batched into ONE m-row job (a per-codebook head()
+    // here cost m scheduler round-trips — measurable at bench scale)
+    codebooks.zipWithIndex.map { case (cb, j) =>
+        cb.agg(lit(j).as("j"), min(size(col("centroid_vec"))).as("lo"),
+          max(size(col("centroid_vec"))).as("hi"))
+      }.reduce(_.unionAll(_)).collect().foreach { w =>
+      require(w.getInt(1) == sub && w.getInt(2) == sub,
+        s"codebook ${w.getInt(0)} entry width ${w.getInt(1)}..${w.getInt(2)} " +
+          s"!= subspace width $sub (codebook trained at a different dim/m " +
+          "than this encode)")
     }
     val qv = transform(vec.cast("array<double>"), x => round(x * scale))
     var out = df.withColumn("__qv", qv)

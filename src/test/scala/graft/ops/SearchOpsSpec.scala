@@ -187,4 +187,23 @@ class SearchOpsSpec extends AnyFunSuite {
     assert(out(3L)._2.contains(1.0))
     assert(out.size == 13, "every input point must appear exactly once")
   }
+
+  test("knnGraph with a reliable checkpoint dir matches localCheckpoint") {
+    val pts = (1 to 20)
+      .map(i => (i.toLong, Array(0.1 * i, 0.2 * (i % 5))))
+      .toDF("vec_id", "embedding")
+    def edges(ckpt: Option[String]) =
+      Similarity.knnGraph(pts, col("vec_id"), col("embedding"),
+          k = 3, nClusters = 4, nProbe = 2, iters = 2, dim = 2,
+          checkpointDir = ckpt)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("knn_ckpt").toString
+    val a = edges(None)
+    val b = edges(Some(dir))
+    assert(a.nonEmpty && a == b)
+    // the knob reached HDFS-style reliable storage, not executor blocks
+    assert(new java.io.File(dir).listFiles().nonEmpty,
+      "reliable checkpoint dir was never written")
+  }
 }
