@@ -34,6 +34,13 @@ object GopherStats {
     * this object).
     */
   val stopwords: Array[String] = graft.ops.Curation.gopherStopwords.toArray
+  require(stopwords.length <= 31,
+    s"stopword bitmask is an Int; got ${stopwords.length} stopwords")
+
+  // derived from the bound list so edits to it can't silently miss hits
+  private val fullStopMask: Int = (1 << stopwords.length) - 1
+  private val minStopLen: Int = stopwords.map(_.length).min
+  private val maxStopLen: Int = stopwords.map(_.length).max
 
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
@@ -58,7 +65,7 @@ object GopherStats {
         j += 1
       }
       if (hasAlpha) nAlpha += 1
-      if (w.length >= 2 && w.length <= 4 && stopMask != 0xFF) {
+      if (w.length >= minStopLen && w.length <= maxStopLen && stopMask != fullStopMask) {
         val lw = w.toLowerCase(java.util.Locale.ROOT)
         var k = 0
         while (k < stopwords.length) {

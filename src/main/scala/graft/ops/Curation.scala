@@ -183,6 +183,28 @@ object Curation {
     gopherKeepFromMetrics(n, mwl, sym, bul, ell, alpha, stops)
   }
 
+  /** The gopher keep decision as a DROP REASON: NULL when the document
+    * passes, else the name of the FIRST failing rule in the fixed published
+    * order (n_words, mean_word_len, symbol_ratio, bullet_frac,
+    * ellipsis_frac, alpha_frac, stop_hits). `gopherReason(t).isNull` is
+    * exactly [[gopherKeep]] (pinned in CurationProperties); rule names
+    * rather than metric values keep the string engine-portable (no
+    * double-formatting divergence). The provenance form
+    * [[AuditedPipeline.gateWhy]] consumes.
+    */
+  def gopherReason(text: Column): Column = {
+    val n = gopherNWords(text)
+    val Seq(mwl, sym, bul, ell, alpha, stops) = gopherMetricCols(text, n)
+    when(!n.between(50L, 100000L), "n_words")
+      .when(!mwl.between(3.0, 10.0), "mean_word_len")
+      .when(sym > 0.1, "symbol_ratio")
+      .when(bul > 0.9, "bullet_frac")
+      .when(ell > 0.3, "ellipsis_frac")
+      .when(alpha < 0.8, "alpha_frac")
+      .when(stops < 2, "stop_hits")
+      .otherwise(lit(null).cast("string"))
+  }
+
   private def gopherNWords(t: Column): Column =
     graft.functions.GopherStats.gopherStats(t).getField("n_words")
 

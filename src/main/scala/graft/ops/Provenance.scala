@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-row drop-reason provenance for chained curation pipelines.
+  *
+  * The reference engine's core differentiator is row-level explainability —
+  * every statement records which source rows produced which target rows
+  * (python-dtl `dtl/mappings.py`, `dtl/manifest.py:10-134`). This applies
+  * that idea to the LLM-curation operators, which otherwise filter
+  * silently: an [[AuditedPipeline]] threads a per-row `(stage, reason)`
+  * state through a chain of cleaning stages, so at the end every input
+  * document is accounted for — either it is in [[AuditedPipeline.result]]
+  * or it appears exactly once in [[AuditedPipeline.dropped]] with the first
+  * stage that eliminated it and a machine-readable reason
+  * (`"duplicate_of=17"`, `"overlap=3"`, a failed rule name, …).
+  *
+  * Execution model — mark-and-sweep, ONE logical pass:
+  *
+  *  - with audit ON, a dropped row is never filtered mid-pipeline; it is
+  *    *marked* (two hidden string columns) and swept into the ledger by the
+  *    final split. Row-local gates stay row-local; the exact-dup stage
+  *    computes its winner with `min(id) FILTER (alive)` over the key window,
+  *    so dead rows riding in the partition cannot win or drop again. The
+  *    cost of the ledger is carrying already-dead rows through later-stage
+  *    shuffles — for pipelines that drop most rows early at very large
+  *    scale, split the chain ([[AuditedPipeline.dropped]] + rebuild from
+  *    [[AuditedPipeline.current]]) at a storage boundary instead;
+  *  - with audit OFF, every stage compiles to exactly the operators a
+  *    hand-written pipeline would use — `filter`, `row_number`-dedup,
+  *    `left_anti` — and adds ZERO plan nodes (pinned by canonicalized-plan
+  *    equality in ProvenanceSpec). The knob costs nothing when off.
+  *
+  * Both modes keep the same survivor set; stages are evaluated in chain
+  * order, and a row's ledger entry is the FIRST stage that dropped it.
+  */
+final class AuditedPipeline private (
+    cur: DataFrame, idName: String, val auditOn: Boolean) {
+  import AuditedPipeline.{ReasonCol, StageCol}
+
+  private def id: Column = col(idName)
+  private def alive: Column = col(StageCol).isNull
+  private def next(df: DataFrame) = new AuditedPipeline(df, idName, auditOn)
+
+  /** Mark rows where `hit` (already-alive and failing) with (stage, reason).
+    * Reason falls back to the stage name when its expression is NULL.
+    */
+  private def mark(df: DataFrame, stage: String, hit: Column, reason: Column) =
+    df.withColumn(ReasonCol,
+        when(hit, coalesce(reason.cast("string"), lit(stage)))
+          .otherwise(col(ReasonCol)))
+      .withColumn(StageCol, when(hit, lit(stage)).otherwise(col(StageCol)))
+
+  /** Audited `filter`: rows failing `keep` (NULL counts as failing, like
+    * SQL WHERE) drop at `stage` with `reason` (evaluated on the dropped
+    * row). Audit off: exactly `df.filter(keep)`.
+    */
+  def gate(stage: String, keep: Column, reason: Column): AuditedPipeline =
+    if (!auditOn) next(cur.filter(keep))
+    else next(mark(cur, stage, alive && !coalesce(keep, lit(false)), reason))
+
+  /** Gate driven by a reason expression: NULL reason = keep. The natural
+    * form for rule stacks (e.g. [[Curation.gopherReason]]) where the first
+    * failing rule IS the reason.
+    */
+  def gateWhy(stage: String, reasonOrNull: Column): AuditedPipeline =
+    gate(stage, reasonOrNull.isNull, reasonOrNull)
+
+  /** Audited exact dedup on `key`: within each key group the row with the
+    * smallest id survives; the rest drop with `duplicate_of=<winner id>`.
+    * One shuffle on the key either way (window in both modes).
+    */
+  def dedupExact(stage: String, key: Column): AuditedPipeline =
+    if (!auditOn) {
+      val w = Window.partitionBy(key).orderBy(id.asc)
+      next(cur.withColumn("__pv_rn", row_number().over(w))
+        .filter(col("__pv_rn") === 1).drop("__pv_rn"))
+    } else {
+      // winner among ALIVE rows only — dead rows in the partition must
+      // neither claim the win nor be re-dropped here
+      val winner = min(when(alive, id)).over(Window.partitionBy(key))
+      next(mark(cur.withColumn("__pv_w", winner), stage,
+        alive && id =!= col("__pv_w"),
+        concat(lit("duplicate_of="), col("__pv_w").cast("string")))
+        .drop("__pv_w"))
+    }
+
+  /** Audited drop-by-lookup: `bad` holds `(idName, reason)` rows — at most
+    * one per id — produced by a side computation (a contamination join, a
+    * blocklist, a classifier verdict). Matching alive rows drop at `stage`
+    * with the looked-up reason. Audit off: exactly a `left_anti` join.
+    * Build `bad` from [[current]] so the side computation only reads
+    * surviving rows.
+    */
+  def dropById(stage: String, bad: DataFrame): AuditedPipeline =
+    if (!auditOn) next(cur.join(bad.select(col(idName)), Seq(idName), "left_anti"))
+    else {
+      val b = bad.select(col(idName), col("reason").cast("string").as("__pv_br"))
+      next(mark(cur.join(b, Seq(idName), "left"), stage,
+        alive && col("__pv_br").isNotNull, col("__pv_br"))
+        .drop("__pv_br"))
+    }
+
+  /** The rows still alive, state columns hidden — what a later stage's side
+    * computation should read, and the rebuild point for pipelines that want
+    * to sweep the ledger mid-chain at a storage boundary.
+    */
+  def current: DataFrame =
+    if (!auditOn) cur else cur.filter(alive).drop(StageCol, ReasonCol)
+
+  /** The surviving documents (identical row set in both audit modes). */
+  def result: DataFrame = current
+
+  /** The drop ledger: `(id, stage, reason)`, one row per eliminated input
+    * document, stage = the first stage that dropped it. Audit mode only.
+    */
+  def dropped: DataFrame = {
+    require(auditOn, "dropped ledger requires audit = true")
+    cur.filter(!alive).select(id,
+      col(StageCol).as("stage"), col(ReasonCol).as("reason"))
+  }
+}
+
+object AuditedPipeline {
+  private[ops] val StageCol = "__pv_stage"
+  private[ops] val ReasonCol = "__pv_reason"
+
+  /** Start a pipeline over `df`, identified by the (unique, non-null)
+    * `idName` column. `audit = false` is the zero-overhead production path;
+    * `audit = true` threads the drop ledger.
+    */
+  def apply(df: DataFrame, idName: String, audit: Boolean): AuditedPipeline = {
+    require(df.columns.contains(idName), s"no column '$idName' in ${df.columns.mkString(", ")}")
+    require(!df.columns.contains(StageCol) && !df.columns.contains(ReasonCol),
+      s"input must not contain the reserved columns $StageCol/$ReasonCol")
+    val base =
+      if (!audit) df
+      else df.withColumn(StageCol, lit(null).cast("string"))
+        .withColumn(ReasonCol, lit(null).cast("string"))
+    new AuditedPipeline(base, idName, audit)
+  }
+}

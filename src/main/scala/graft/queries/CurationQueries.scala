@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Curation, TextAnalysis}
+import graft.ops.{AuditedPipeline, Curation, TextAnalysis}
 
 /** Dataset-curation operators as gate queries over the documents table —
   * decontamination, deterministic sampling, repetition metrics, PII
@@ -262,6 +262,42 @@ object CurationQueries {
           md5(col("clean").cast("binary")).as("clean_fp"))
     }),
 
+    // per-row drop-reason provenance: the chained cleaning pipeline
+    // (gopher rules -> exact dedup -> decontamination -> deterministic
+    // sample) run with the audit ledger on; the gate compares the ledger
+    // itself — every dropped doc_id with the first stage that dropped it
+    // and a machine-readable reason. Plants guarantee traffic in every
+    // stage: %41 docs become shared-boilerplate clones (dedup), every
+    // other doc gets a stopword-rich suffix (so gopher passes more than
+    // the synthetic text alone would), %5/%9 keep the gopher rule plants,
+    // and the benchmark is the RAW text of %37 docs (so contamination
+    // catches the surviving benchmark members, not the shared plants).
+    "pipe_audit_trail" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val aug = when(col("doc_id") % 41 === 3,
+          concat(lit("shared boilerplate passage number "),
+            (col("doc_id") % 3).cast("string"), lit(auditDupRest)))
+        .otherwise(concat(col("text"), lit(auditSuffix),
+          when(col("doc_id") % 5 === 0, lit(gopherPlant)).otherwise(lit("")),
+          when(col("doc_id") % 9 === 0, lit(" ## see more ...")).otherwise(lit(""))))
+      val p0 = AuditedPipeline(docs.select(col("doc_id"), aug.as("t")),
+          "doc_id", audit = true)
+        .gateWhy("gopher", Curation.gopherReason(col("t")))
+        .dedupExact("exact_dup", col("t"))
+      val bad = Curation.decontaminate(
+          p0.current, col("doc_id"), col("t"),
+          docs.filter(col("doc_id") % 37 === 0), col("text"),
+          shingleSize = 5, minOverlap = 1)
+        .select(col("id").as("doc_id"),
+          concat(lit("overlap="), col("n_overlap").cast("string")).as("reason"))
+      p0.dropById("contaminated", bad)
+        .gate("sampled_out",
+          Curation.hashUniform(concat(col("doc_id").cast("string"), lit("#audit")))
+            < 3006477107L,
+          lit("sample"))
+        .dropped
+    }),
+
     // HTML stripping over planted markup: tags, attributes, a script block
     // with fake text inside (must vanish), comments, entities
     "pipe_strip_html" -> ((s, d) => {
@@ -295,6 +331,24 @@ object CurationQueries {
   private val normalizePlant =
     " \u201CQuoted\u2014text\u201D\u2026 and\u00A0more \u2018x\u2019 \u200Bend"
 
+  /** Shared-boilerplate clone body for the audit-trail dedup stage — ≥50
+    * words, no symbols/bullets/ellipsis, ≥2 distinct stopwords, so the
+    * clones pass every gopher rule and reach dedup. Quote-free (SQL-safe).
+    */
+  private val auditDupRest =
+    " the crawler copied this text onto many mirror pages and the pipeline" +
+      " must drop every copy except the first because training on repeated" +
+      " boilerplate wastes capacity and skews the model toward mirrored" +
+      " content so the dedup stage removes them with a clear recorded reason" +
+      " for the audit trail"
+
+  /** Stopword-rich per-doc suffix: the synthetic corpus rarely contains the
+    * gopher stopwords, so without it the stop_hits rule would drop nearly
+    * everything and starve the later audit stages of traffic. Quote-free.
+    */
+  private val auditSuffix =
+    " it is said that the quality of this data can be trusted"
+
   private val duckHash =
     "('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT"
 
@@ -316,7 +370,7 @@ object CurationQueries {
        |r AS (SELECT dom, round(least(1.0, 250.0 * pw / (z.z * n)), 6) AS rate
        |      FROM p CROSS JOIN z)
        |SELECT d.doc_id, d.source FROM documents d
-       |JOIN r ON r.dom = d.source
+       |JOIN r ON r.dom IS NOT DISTINCT FROM d.source
        |WHERE $duckHash < CAST(floor(rate * 4294967296.0) AS BIGINT)""".stripMargin
 
   /** SUM of per-stopword CASE hits, matching Curation.gopherStopwords. */
@@ -744,6 +798,86 @@ object CurationQueries {
          |  FROM n1)
          |SELECT doc_id, n_words, md5(clean) AS clean_fp
          |FROM w WHERE rn = 1 AND n_words >= 10""".stripMargin,
+
+    // the audit-trail ledger: the same four-stage chain with each stage's
+    // drop set and first-failing reason unioned — gopher metric fragments
+    // shared with pipe_gopher_rules, dedup winner via a filtered window
+    // min, contamination via the shingle-intersect recipe
+    "pipe_audit_trail" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 41 = 3 THEN 'shared boilerplate passage number '
+         |           || CAST(doc_id % 3 AS VARCHAR) || '$auditDupRest'
+         |    ELSE text || '$auditSuffix'
+         |      || (CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'the data should have quality checks'
+         |          || chr(10) || '- bullet one' || chr(10) || '- bullet two ...' ELSE '' END)
+         |      || (CASE WHEN doc_id % 9 = 0 THEN ' ## see more ...' ELSE '' END)
+         |    END AS t
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, t,
+         |    string_split_regex(trim(t), '\\s+') AS ws,
+         |    string_split(t, chr(10)) AS ls,
+         |    CAST(CASE WHEN length(trim(t)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(t), '\\s+')) END AS BIGINT) AS n_words
+         |  FROM aug),
+         |m AS (
+         |  SELECT doc_id, t, n_words,
+         |    round(CASE WHEN n_words = 0 THEN 0.0
+         |      ELSE CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS DOUBLE)
+         |           / n_words END, 6) AS mean_word_len,
+         |    round(CASE WHEN n_words = 0 THEN 0.0
+         |      ELSE CAST(len(regexp_extract_all(t, '#'))
+         |        + len(regexp_extract_all(t, '\\.\\.\\.'))
+         |        + len(regexp_extract_all(t, '…')) AS DOUBLE) / n_words END, 6) AS symbol_ratio,
+         |    round(CAST(len(list_filter(ls, l -> regexp_matches(l, '^\\s*[-*•] '))) AS DOUBLE)
+         |      / greatest(len(ls), 1), 6) AS bullet_frac,
+         |    round(CAST(len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$'))) AS DOUBLE)
+         |      / greatest(len(ls), 1), 6) AS ellipsis_frac,
+         |    round(CASE WHEN n_words = 0 THEN 0.0
+         |      ELSE CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+         |           / n_words END, 6) AS alpha_frac,
+         |    CASE WHEN n_words = 0 THEN 0 ELSE ${duckStopHits} END AS stop_hits
+         |  FROM b),
+         |g AS (
+         |  SELECT doc_id, t,
+         |    CASE WHEN NOT (n_words BETWEEN 50 AND 100000) THEN 'n_words'
+         |         WHEN NOT (mean_word_len BETWEEN 3.0 AND 10.0) THEN 'mean_word_len'
+         |         WHEN symbol_ratio > 0.1 THEN 'symbol_ratio'
+         |         WHEN bullet_frac > 0.9 THEN 'bullet_frac'
+         |         WHEN ellipsis_frac > 0.3 THEN 'ellipsis_frac'
+         |         WHEN alpha_frac < 0.8 THEN 'alpha_frac'
+         |         WHEN stop_hits < 2 THEN 'stop_hits' END AS greason
+         |  FROM m),
+         |d AS (
+         |  SELECT doc_id, t, greason,
+         |    min(CASE WHEN greason IS NULL THEN doc_id END) OVER (PARTITION BY t) AS winner
+         |  FROM g),
+         |s2 AS (
+         |  SELECT doc_id, t, greason,
+         |    CASE WHEN greason IS NULL AND doc_id <> winner THEN winner END AS dup_winner
+         |  FROM d),
+         |alive2 AS (SELECT doc_id, t FROM s2 WHERE greason IS NULL AND dup_winner IS NULL),
+         |bs AS (SELECT DISTINCT unnest(sh) AS shingle FROM
+         |        (SELECT ${duckShingles(5)} AS sh
+         |         FROM (SELECT text FROM documents WHERE doc_id % 37 = 0)
+         |         WHERE len(string_split_regex(trim(lower(text)),'\\s+')) >= 5)),
+         |bl AS (SELECT list(shingle) AS benchlist FROM bs),
+         |ds AS (SELECT doc_id, ${duckShingles(5)} AS sh
+         |       FROM (SELECT doc_id, t AS text FROM alive2)
+         |       WHERE len(string_split_regex(trim(lower(text)),'\\s+')) >= 5),
+         |cont AS (SELECT doc_id, CAST(len(list_intersect(sh, benchlist)) AS BIGINT) AS n_overlap
+         |         FROM ds, bl WHERE len(list_intersect(sh, benchlist)) >= 1),
+         |alive3 AS (SELECT doc_id FROM alive2 WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+         |samp AS (SELECT doc_id FROM alive3
+         |         WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'#audit'),1,8))::BIGINT >= 3006477107)
+         |SELECT doc_id, 'gopher' AS stage, greason AS reason FROM g WHERE greason IS NOT NULL
+         |UNION ALL
+         |SELECT doc_id, 'exact_dup', 'duplicate_of=' || CAST(dup_winner AS VARCHAR) FROM s2 WHERE dup_winner IS NOT NULL
+         |UNION ALL
+         |SELECT doc_id, 'contaminated', 'overlap=' || CAST(n_overlap AS VARCHAR) FROM cont
+         |UNION ALL
+         |SELECT doc_id, 'sampled_out', 'sample' FROM samp""".stripMargin,
 
     // html stripping: identical regex chain (RE2 (?is)/(?s) flags), same
     // entity order with &amp; unescaped last

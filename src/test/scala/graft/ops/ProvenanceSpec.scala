@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class ProvenanceSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "alpha beta gamma"),
+    (2L, "alpha beta gamma"), // exact duplicate of 1
+    (3L, "short"),            // fails the length gate
+    (4L, "unique text here"),
+    (5L, "blocked doc body"), // on the lookup blocklist
+    (6L, "kept doc body text")
+  ).toDF("id", "text")
+
+  /** gate -> dedup -> drop-by-lookup, same shape as the pipe_audit_trail
+    * gate but tiny and fully hand-checkable.
+    */
+  private def chain(audit: Boolean): AuditedPipeline = {
+    val p0 = AuditedPipeline(docs, "id", audit)
+      .gate("len", length(col("text")) > 6,
+        concat(lit("len="), length(col("text")).cast("string")))
+      .dedupExact("dup", col("text"))
+    val bad = p0.current.filter(col("id") === 5L)
+      .select(col("id"), lit("blocklist").as("reason"))
+    p0.dropById("block", bad)
+  }
+
+  test("ledger accounts for every input row exactly once, with first-stage reasons") {
+    val p = chain(audit = true)
+    val kept = p.result.select("id").as[Long].collect().toSet
+    val drop = p.dropped.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(kept == Set(1L, 4L, 6L))
+    assert(drop == Set(
+      (3L, "len", "len=5"),
+      (2L, "dup", "duplicate_of=1"),
+      (5L, "block", "blocklist")))
+    assert(kept.intersect(drop.map(_._1)).isEmpty)
+    assert((kept ++ drop.map(_._1)) == Set(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("audit on and off keep the identical survivor set") {
+    val on = chain(audit = true).result.select("id").as[Long].collect().sorted.toSeq
+    val off = chain(audit = false).result.select("id").as[Long].collect().sorted.toSeq
+    assert(on == off)
+  }
+
+  test("a NULL gate predicate drops (SQL WHERE semantics) and reason falls back to stage") {
+    val df = Seq((1L, Some(10)), (2L, None), (3L, Some(3))).toDF("id", "v")
+    val p = AuditedPipeline(df, "id", audit = true)
+      .gate("pos", col("v") > 5, lit(null))
+    assert(p.result.select("id").as[Long].collect().toSeq == Seq(1L))
+    assert(p.dropped.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet ==
+      Set((2L, "pos", "pos"), (3L, "pos", "pos")))
+  }
+
+  test("dedup winner is chosen among alive rows only") {
+    // id 1 would win the dup group, but the gate already dropped it — the
+    // win must pass to id 2, and id 1's ledger entry must stay 'len'
+    val df = Seq((1L, "xx"), (2L, "same body text"), (3L, "same body text"))
+      .toDF("id", "text")
+    // make 1 collide with 2/3 via a constant key but die at the gate first
+    val p = AuditedPipeline(df, "id", audit = true)
+      .gate("len", length(col("text")) > 5, lit("too_short"))
+      .dedupExact("dup", lit("k"))
+    val drop = p.dropped.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(drop == Set((1L, "len", "too_short"), (3L, "dup", "duplicate_of=2")))
+    assert(p.result.select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("audit off compiles to the exact hand-written plan (zero added nodes)") {
+    val off = chain(audit = false).result
+    val w = Window.partitionBy(col("text")).orderBy(col("id").asc)
+    val base = docs.filter(length(col("text")) > 6)
+      .withColumn("__pv_rn", row_number().over(w))
+      .filter(col("__pv_rn") === 1).drop("__pv_rn")
+    val bad = base.filter(col("id") === 5L)
+      .select(col("id"), lit("blocklist").as("reason"))
+    val hand = base.join(bad.select(col("id")), Seq("id"), "left_anti")
+    assert(off.queryExecution.optimizedPlan.canonicalized ==
+      hand.queryExecution.optimizedPlan.canonicalized)
+  }
+
+  test("reserved state columns are rejected on input") {
+    val df = Seq((1L, "x")).toDF("id", "__pv_stage")
+    intercept[IllegalArgumentException] {
+      AuditedPipeline(df, "id", audit = true)
+    }
+  }
+
+  test("gopherReason is NULL exactly when gopherKeep holds, first rule wins") {
+    val fifty = (1 to 50).map(i => s"word$i").mkString(" ")
+    val stopful = "the cat and dog sat with all of them " + fifty
+    val cases = Seq(
+      (1L, "tiny text"),                            // n_words
+      (2L, stopful + " ..." ),                      // ellipsis (1 line, ends ...)
+      (3L, fifty + " more words here to pad out"),  // stop_hits (no stopwords)
+      (4L, stopful))                                // keeps
+    val df = cases.toDF("id", "t")
+    val got = df.select(col("id"), Curation.gopherReason(col("t")).as("r"),
+        Curation.gopherKeep(col("t")).as("k"))
+      .collect().map(r => r.getLong(0) -> ((Option(r.getString(1)), r.getBoolean(2)))).toMap
+    assert(got(1L) == ((Some("n_words"), false)))
+    assert(got(2L) == ((Some("ellipsis_frac"), false)))
+    assert(got(3L) == ((Some("stop_hits"), false)))
+    assert(got(4L) == ((None, true)))
+    // the consistency law on every case
+    assert(got.values.forall { case (r, k) => r.isEmpty == k })
+  }
+}
