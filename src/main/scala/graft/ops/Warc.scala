@@ -1,0 +1,172 @@
+package graft.ops
+
+import java.io.{BufferedInputStream, EOFException, InputStream}
+import java.nio.charset.StandardCharsets
+import java.util.zip.GZIPInputStream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** WARC/WET crawl-archive ingestion (ISO 28500 / the CommonCrawl layout) —
+  * the entry point of a real crawl-curation pipeline: every upstream stage
+  * here (strip/normalize/gopher/dedup/…) assumes a (url, text) frame that in
+  * production comes out of exactly these files.
+  *
+  * Execution shape: one task per archive file via `binaryFiles` — the
+  * CommonCrawl processing unit (a crawl ships as ~100k independent .wet.gz
+  * members, so file-level parallelism IS the natural partitioning; 100 TB of
+  * crawl = ~1M tasks, no shuffle at all). Each task STREAMS its file through
+  * a constant-memory record parser: bodies are read by `Content-Length`
+  * exactly as the spec requires, so record boundaries never depend on body
+  * content (a body containing a literal "WARC/1.0" line parses fine —
+  * delimiter-split approaches get this wrong). `.gz` members decompress
+  * inline (gzip is a stream; a task never materializes the file).
+  *
+  * This is one of the few places the RDD layer is the right tool: a
+  * sequential per-file byte parser is genuine imperative per-partition
+  * logic; everything downstream returns to DataFrames immediately.
+  */
+object Warc {
+
+  /** One parsed record. `offset` = byte position of the record's first
+    * header byte within the (decompressed) member — the provenance handle
+    * CommonCrawl indexes use. `body` is the raw payload decoded as UTF-8
+    * (the WET conversion-record contract; for response records carrying
+    * binary HTTP payloads keep the length and slice bytes downstream).
+    */
+  final case class WarcRecord(file: String, offset: Long, rec_type: String,
+      url: String, date: String, content_length: Long, body: String)
+
+  /** Read every record of every WARC/WET file under `path` (glob ok,
+    * `.gz` members stream-decompressed). Filter on `rec_type` —
+    * "conversion" for WET text, "response"/"request"/"warcinfo" in full
+    * WARC — and the scan stays one shuffle-free pass per file.
+    */
+  def readRecords(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.binaryFiles(path)
+      .flatMap { case (file, pds) =>
+        val raw = pds.open()
+        val in = new BufferedInputStream(
+          if (file.endsWith(".gz")) new GZIPInputStream(raw) else raw, 1 << 16)
+        new WarcIterator(file, in)
+      }
+      .toDF()
+  }
+
+  /** The WET text view: conversion records as (url, date, content_length,
+    * text) — the frame the cleaning chain starts from.
+    */
+  def readWet(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    readRecords(spark, path)
+      .filter(col("rec_type") === "conversion")
+      .select(col("url"), col("date"), col("content_length"),
+        col("body").as("text"))
+  }
+
+  /** Serialize (url, date, text) rows into WET bytes — the inverse writer
+    * used by specs/fixtures and for re-sharding a cleaned corpus back into
+    * the archive shape. Content-Length is the UTF-8 byte length.
+    */
+  def wetBytes(records: Seq[(String, String, String)]): Array[Byte] = {
+    val sb = new java.io.ByteArrayOutputStream()
+    records.foreach { case (url, date, text) =>
+      val body = text.getBytes(StandardCharsets.UTF_8)
+      val head = "WARC/1.0\r\n" +
+        "WARC-Type: conversion\r\n" +
+        s"WARC-Target-URI: $url\r\n" +
+        s"WARC-Date: $date\r\n" +
+        s"Content-Length: ${body.length}\r\n" +
+        "\r\n"
+      sb.write(head.getBytes(StandardCharsets.UTF_8))
+      sb.write(body)
+      sb.write("\r\n\r\n".getBytes(StandardCharsets.UTF_8))
+    }
+    sb.toByteArray
+  }
+
+  /** Constant-memory sequential record parser over one (decompressed)
+    * member stream. Strict on structure (a malformed header line or short
+    * body throws with file+offset — corrupt archives should fail loudly,
+    * not silently drop records) but tolerant of inter-record blank lines.
+    * WARC header-line folding (continuations starting with SP/HT) is
+    * honored.
+    */
+  private final class WarcIterator(file: String, in: InputStream)
+      extends Iterator[WarcRecord] {
+    private var pos = 0L
+    private var nextRec: WarcRecord = null
+    private var done = false
+
+    private def readByte(): Int = { val b = in.read(); if (b >= 0) pos += 1; b }
+
+    /** One header line without its terminator; null at EOF before any byte. */
+    private def readLine(): String = {
+      val buf = new java.io.ByteArrayOutputStream(80)
+      var b = readByte()
+      if (b < 0) return null
+      while (b >= 0 && b != '\n') { buf.write(b); b = readByte() }
+      val s = buf.toString(StandardCharsets.UTF_8.name())
+      if (s.nonEmpty && s.last == '\r') s.init else s
+    }
+
+    private def parseNext(): WarcRecord = {
+      // skip inter-record blank lines; a record starts at its version line
+      var lineStart = pos
+      var line = readLine()
+      while (line != null && line.isEmpty) { lineStart = pos; line = readLine() }
+      if (line == null) { in.close(); return null }
+      val recStart = lineStart
+      if (!line.startsWith("WARC/"))
+        throw new IllegalArgumentException(
+          s"$file: expected WARC version line at offset $recStart, got '$line'")
+      // headers until the empty line, with SP/HT continuation folding
+      val headers = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      var lastKey: String = null
+      var h = readLine()
+      while (h != null && h.nonEmpty) {
+        if ((h.head == ' ' || h.head == '\t') && lastKey != null)
+          headers(lastKey) = headers(lastKey) + " " + h.trim
+        else h.indexOf(':') match {
+          case -1 => throw new IllegalArgumentException(
+            s"$file: malformed WARC header '$h' near offset $pos")
+          case i =>
+            lastKey = h.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT)
+            headers(lastKey) = h.substring(i + 1).trim
+        }
+        h = readLine()
+      }
+      if (h == null) throw new EOFException(s"$file: EOF inside record headers at $pos")
+      val len = headers.getOrElse("content-length",
+        throw new IllegalArgumentException(
+          s"$file: record at $recStart has no Content-Length")).toLong
+      require(len >= 0 && len <= Int.MaxValue,
+        s"$file: unsupported Content-Length $len at $recStart")
+      val body = new Array[Byte](len.toInt)
+      var off = 0
+      while (off < len) {
+        val n = in.read(body, off, (len - off).toInt)
+        if (n < 0) throw new EOFException(
+          s"$file: EOF inside ${len}-byte body at offset $pos (read $off)")
+        off += n; pos += n
+      }
+      WarcRecord(file, recStart,
+        headers.getOrElse("warc-type", ""),
+        headers.getOrElse("warc-target-uri", ""),
+        headers.getOrElse("warc-date", ""),
+        len, new String(body, StandardCharsets.UTF_8))
+    }
+
+    override def hasNext: Boolean = {
+      if (nextRec == null && !done) {
+        nextRec = parseNext()
+        if (nextRec == null) done = true
+      }
+      nextRec != null
+    }
+    override def next(): WarcRecord = {
+      if (!hasNext) throw new NoSuchElementException
+      val r = nextRec; nextRec = null; r
+    }
+  }
+}

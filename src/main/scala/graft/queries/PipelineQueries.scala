@@ -36,7 +36,7 @@ object PipelineQueries {
     * what the gate hash asserts). Yields `toks`: one space-delimited token
     * string per whitespace word.
     */
-  private val bpeEncCte: String = {
+  private[queries] val bpeEncCte: String = {
     val spaced = "' ' || array_to_string(string_split(w, ''), ' ') || ' '"
     val chain = bpeGateMerges.foldLeft(spaced) { case (e, (a, b)) =>
       s"replace(replace($e, ' $a $b ', ' $a$b '), ' $a $b ', ' $a$b ')"
@@ -464,6 +464,31 @@ object PipelineQueries {
     // javax.imageio header decode, spec-covered in OpsSpec), resize,
     // frame-sample, extract stub features. md5 arithmetic is reproducible
     // in any engine, so the whole pipeline is oracle-checked.
+    // WARC/WET crawl-archive ingestion: serialize the documents table into
+    // real WET members (one plain, one gzip — FIXTURE construction, the
+    // only reason for the driver-side collect here), then run the
+    // distributed reader and project engine-visible fields. The oracle
+    // recomputes url/byte-length/md5 straight from the documents table, so
+    // the gate proves the reader reproduces every record exactly.
+    "pipe_warc_ingest" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        .collect().sortBy(_.getLong(0))
+      val recs = docs.toSeq.map(r => (s"http://corpus.example/doc/${r.getLong(0)}",
+        "2024-01-01T00:00:00Z", r.getString(1)))
+      val (half1, half2) = recs.splitAt(recs.length / 2)
+      val dir = java.nio.file.Files.createTempDirectory("graft-wet-gate")
+      java.nio.file.Files.write(dir.resolve("part1.warc"),
+        graft.ops.Warc.wetBytes(half1))
+      val gz = new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(dir.resolve("part2.warc.gz").toFile))
+      gz.write(graft.ops.Warc.wetBytes(half2)); gz.close()
+      graft.ops.Warc.readWet(s, dir.toString + "/*")
+        .select(
+          regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("bigint").as("doc_id"),
+          col("content_length"),
+          md5(col("text").cast("binary")).as("text_md5"))
+    }),
+
     "pipe_multimodal" -> ((s, d) => {
       val media = Multimodal.asMedia(col("text"), concat(lit("fake/"), col("source")))
       t(s, d, "documents")
@@ -972,6 +997,13 @@ s"""WITH toksrc AS (
     // mirrors the md5 stub decode + resize arithmetic exactly; DuckDB md5
     // of the VARCHAR hashes the same UTF-8 bytes Spark's binary cast does,
     // and hex-slice → BIGINT via the ('0x' || …)::BIGINT cast
+    // WET ingestion: url/byte-length/md5 recomputed from the source table —
+    // octet_length(encode(..)) is the UTF-8 byte count Content-Length holds
+    "pipe_warc_ingest" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+        |       md5(text) AS text_md5
+        |FROM documents""".stripMargin,
     "pipe_multimodal" ->
       """WITH m AS (SELECT doc_id, md5(text) AS hx FROM documents),
         |     d AS (SELECT doc_id,

@@ -1,0 +1,90 @@
+package graft.ops
+
+import java.io.{File, FileOutputStream}
+import java.nio.file.Files
+import java.util.zip.GZIPOutputStream
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class WarcSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val recs = Seq(
+    ("http://a.example/1", "2020-01-01T00:00:00Z", "plain text body"),
+    // body containing blank lines AND a fake record header — Content-Length
+    // framing must carry straight through it
+    ("http://a.example/2", "2020-01-01T00:00:01Z",
+      "body with\r\n\r\nblank lines and a fake\nWARC/1.0\r\nversion line inside"),
+    ("http://a.example/3", "2020-01-01T00:00:02Z", ""), // empty body
+    ("http://a.example/4", "2020-01-01T00:00:03Z",
+      "unicode é你好 😀 body")) // multi-byte UTF-8
+
+  private def writeFixture(): String = {
+    val dir = Files.createTempDirectory("wet").toFile
+    Files.write(new File(dir, "part1.warc").toPath, Warc.wetBytes(recs.take(2)))
+    val out = new GZIPOutputStream(new FileOutputStream(new File(dir, "part2.warc.gz")))
+    out.write(Warc.wetBytes(recs.drop(2)))
+    out.close()
+    dir.getAbsolutePath
+  }
+
+  test("WET round trip across plain and gzip members, nasty bodies included") {
+    val dir = writeFixture()
+    val got = Warc.readWet(spark, s"$dir/*")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(3))).toSet
+    assert(got == recs.toSet)
+    val lens = Warc.readWet(spark, s"$dir/*")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // Content-Length is the UTF-8 BYTE length, not the char count
+    assert(lens("http://a.example/4") == recs(3)._3.getBytes("UTF-8").length)
+    assert(lens("http://a.example/4") > recs(3)._3.length)
+    assert(lens("http://a.example/3") == 0L)
+  }
+
+  test("record offsets index into the decompressed member, first record at 0") {
+    val dir = writeFixture()
+    val byFile = Warc.readRecords(spark, s"$dir/*").collect()
+      .groupBy(_.getString(0)).values
+    byFile.foreach { rows =>
+      val offs = rows.map(_.getLong(1)).sorted
+      assert(offs.head == 0L)
+      assert(offs.distinct.length == offs.length) // strictly increasing
+    }
+  }
+
+  test("a corrupt member fails loudly with file and offset, not silent drops") {
+    val dir = Files.createTempDirectory("wet-bad").toFile
+    Files.write(new File(dir, "bad.warc").toPath,
+      "WARC/1.0\r\nno colon here\r\n\r\n".getBytes("UTF-8"))
+    val e = intercept[org.apache.spark.SparkException] {
+      Warc.readRecords(spark, dir.getAbsolutePath + "/*").collect()
+    }
+    assert(e.getMessage.contains("malformed WARC header") ||
+      Option(e.getCause).exists(_.getMessage.contains("malformed WARC header")))
+  }
+
+  test("a record without Content-Length fails loudly") {
+    val dir = Files.createTempDirectory("wet-nolen").toFile
+    Files.write(new File(dir, "nolen.warc").toPath,
+      "WARC/1.0\r\nWARC-Type: conversion\r\n\r\nbody".getBytes("UTF-8"))
+    val e = intercept[org.apache.spark.SparkException] {
+      Warc.readRecords(spark, dir.getAbsolutePath + "/*").collect()
+    }
+    assert(e.getMessage.contains("Content-Length") ||
+      Option(e.getCause).exists(_.getMessage.contains("Content-Length")))
+  }
+
+  test("header continuation lines fold into the previous header") {
+    val dir = Files.createTempDirectory("wet-fold").toFile
+    val raw = "WARC/1.0\r\n" +
+      "WARC-Type: conversion\r\n" +
+      "WARC-Target-URI: http://folded.example/\r\n" +
+      "\t with-continuation\r\n" +
+      "Content-Length: 2\r\n\r\nhi\r\n\r\n"
+    Files.write(new File(dir, "fold.warc").toPath, raw.getBytes("UTF-8"))
+    val r = Warc.readRecords(spark, dir.getAbsolutePath + "/*").collect().head
+    assert(r.getString(3) == "http://folded.example/ with-continuation")
+    assert(r.getString(6) == "hi")
+  }
+}
