@@ -20,6 +20,21 @@ final class FunctionRegistry(
     val aggregates: Map[String, (List[TypedCol], Pos) => TypedCol]) {
   def withScalar(name: String)(fn: (List[TypedCol], Pos) => TypedCol): FunctionRegistry =
     new FunctionRegistry(scalars + (name -> fn), aggregates)
+
+  /** Register a TEXT→`out` scalar with arity/type checking — the
+    * registration path for TRAINED-artifact functions: a pipeline trains a
+    * tokenizer vocabulary or LM on a corpus, closes a Column function over
+    * the (bounded, collected) artifact, and registers it here so DTL
+    * scripts can call it like any built-in (`bpe_token_count(text)`,
+    * `lm_perplexity(text)`).
+    */
+  def withTextScalar(name: String, out: DType)(fn: Column => Column): FunctionRegistry =
+    withScalar(name) { (args, pos) =>
+      if (args.length != 1 || args.head.dtype != TText)
+        throw DtlError(s"Type error: $name expects one TEXT argument",
+          pos.line, pos.col)
+      TypedCol(fn(args.head.col), out)
+    }
 }
 
 object FunctionRegistry {
@@ -166,6 +181,9 @@ object FunctionRegistry {
     text1("strip_html")(graft.ops.TextAnalysis.stripHtml),
     text1("dedup_lines")(graft.ops.Dedup.dedupLinesInDoc),
     text1("gopher_keep", TBool)(graft.ops.Curation.gopherKeep),
+    // NULL = keep; else the first failing gopher rule name — the in-language
+    // form of the drop-reason contract (ops/Provenance.scala)
+    text1("gopher_reason")(graft.ops.Curation.gopherReason),
     text1("url_canonical")(graft.ops.Urls.canonicalize),
     text1("pii_count", TInt32)(graft.ops.Curation.piiCount),
     text1("dup_word_frac", TDouble) { t =>

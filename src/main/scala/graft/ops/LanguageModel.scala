@@ -99,4 +99,55 @@ object LanguageModel {
     val (bm, cm) = train(df, text, bigramVocab, contextVocab)
     score(df, id, text, bm, cm)
   }
+
+  /** The trained model as ROW-LOCAL scalar Column functions — what a scalar
+    * surface (the DTL function registry, a streaming filter) needs where
+    * [[score]]'s join shape doesn't fit. The two LIMIT-bounded model tables
+    * become literal maps shipped with the plan (the same data the joins
+    * would broadcast), and every feature is one codegen higher-order pass
+    * over the document's bigram array — no shuffle, no join.
+    *
+    * Integer features are bit-identical to [[score]]'s columns; the float
+    * `perplexity` sums log-probs in DOCUMENT order where [[score]] sums in
+    * join order, so the two agree only to float-summation noise (pinned
+    * with a tolerance in LanguageModelSpec). Filter on integers when
+    * cross-engine reproducibility matters.
+    */
+  final case class ScalarLm(
+      bigramCounts: Map[String, Long], contextCounts: Map[String, Long]) {
+    private def bgMap = typedLit(bigramCounts)
+    private def ctxMap = typedLit(contextCounts)
+    private val v = contextCounts.size.toDouble
+
+    def nBigrams(text: Column): Column = size(bigrams(text)).cast("long")
+
+    def matchedBigrams(text: Column): Column =
+      size(filter(bigrams(text), b => element_at(bgMap, b).isNotNull)).cast("long")
+
+    def sumCBg(text: Column): Column =
+      aggregate(bigrams(text), lit(0L),
+        (acc, b) => acc + coalesce(element_at(bgMap, b), lit(0L)))
+
+    /** exp(−mean log p), NULL for documents with no bigrams — [[score]]'s
+      * smoothing exactly: p = (c_bg + 1) / (c_prev + |contexts|). */
+    def perplexity(text: Column): Column = {
+      val n = size(bigrams(text))
+      val sumLog = aggregate(bigrams(text), lit(0.0), (acc, b) =>
+        acc + log(
+          (coalesce(element_at(bgMap, b), lit(0L)) + lit(1L)).cast("double") /
+            (coalesce(element_at(ctxMap, split(b, " ").getItem(0)), lit(0L))
+              .cast("double") + lit(v))))
+      when(n > 0, exp(-(sumLog / n.cast("double"))))
+    }
+  }
+
+  /** Train and collect the bounded model (`bigramVocab + contextVocab`
+    * rows — registry metadata, not corpus data) into its scalar form. */
+  def trainScalar(df: DataFrame, text: Column,
+      bigramVocab: Int = 200, contextVocab: Int = 100): ScalarLm = {
+    val (bm, cm) = train(df, text, bigramVocab, contextVocab)
+    ScalarLm(
+      bm.collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+      cm.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+  }
 }

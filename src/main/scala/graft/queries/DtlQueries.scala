@@ -27,6 +27,16 @@ object DtlQueries {
     exporter.results("output")
   }
 
+  /** Like [[run]] but under a caller-extended function registry — the
+    * trained-artifact path ([[graft.dtl.FunctionRegistry.withTextScalar]]).
+    */
+  private def runWith(s: SparkSession, dir: String,
+      registry: graft.dtl.FunctionRegistry, source: String): DataFrame = {
+    val exporter = new InMemoryExporter
+    new Engine(s, registry).run(source, new FilesystemImporter(s, dir), exporter)
+    exporter.results("output")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dtl_project_rename" -> ((s, d) => run(s, d,
       """WITH lineitem AS IMPORT 'lineitem';
@@ -185,6 +195,40 @@ object DtlQueries {
         |                              '.COM:443/P/?b=2&utm_source=x&a=1#f')) AS curl
         |  FROM documents;
         |EXPORT output TO 'output';""".stripMargin)),
+
+    // TRAINED-artifact functions in the language: the gate closure trains
+    // the bigram LM on the corpus (bounded model collected), binds the BPE
+    // merge table (the fixture = what Bpe.train learns on the sf0.01
+    // documents at nMerges = 8), registers four scalars, and runs a DTL
+    // script filtering on them — the full cleaning chain in-language.
+    // lm_perplexity is exercised by a boundary-safe predicate (ppl of any
+    // matched doc is strictly positive by construction); the exported
+    // surface stays integer-exact for the oracle.
+    "dtl_trained_funcs" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, size}
+      val docs = CoreQueries.t(s, d, "documents")
+      val lm = graft.ops.LanguageModel.trainScalar(docs, col("text"), 200, 100)
+      val merges = PipelineQueries.bpeGateMerges
+      val reg = graft.dtl.FunctionRegistry.default
+        .withTextScalar("bpe_token_count", graft.dtl.DType.TInt32)(t =>
+          size(graft.ops.Bpe.encode(t, merges)))
+        .withTextScalar("lm_matched_bigrams", graft.dtl.DType.TInt64)(lm.matchedBigrams)
+        .withTextScalar("lm_sum_c_bg", graft.dtl.DType.TInt64)(lm.sumCBg)
+        .withTextScalar("lm_perplexity", graft.dtl.DType.TDouble)(lm.perplexity)
+      runWith(s, d, reg,
+        """WITH documents AS IMPORT 'documents';
+          |WITH scored AS
+          |  SELECT doc_id, bpe_token_count(text) AS n_bpe,
+          |         lm_matched_bigrams(text) AS matched_bg,
+          |         lm_sum_c_bg(text) AS sum_c_bg,
+          |         lm_perplexity(text) AS ppl
+          |  FROM documents;
+          |WITH output AS
+          |  SELECT doc_id, n_bpe, matched_bg, sum_c_bg
+          |  FROM scored
+          |  WHERE to_int64(n_bpe) >= 5 AND matched_bg >= 1 AND ppl > 0.0;
+          |EXPORT output TO 'output';""".stripMargin)
+    }),
 
     // the CONSECUTIVE operators in the language (B2 + B3): GROUP CONSECUTIVE
     // BY builds per-run aggregates, DISTINCT CONSECUTIVE keeps one row per
@@ -361,6 +405,32 @@ object DtlQueries {
          |  ${CurationQueries.duckNormalizeExpr(
               s"CASE WHEN doc_id % 3 = 0 THEN text || '$dtlNormalizePlant' ELSE text END")} AS norm
          |FROM documents""".stripMargin,
+    // trained functions: BPE token count via the shared encode CTE, LM
+    // bigram features via the same train-in-SQL recipe as pipe_lm_score;
+    // the ppl > 0 predicate is vacuous on matched docs (exp is positive),
+    // so the integer WHERE reproduces the DTL row set exactly
+    "dtl_trained_funcs" ->
+      s"""${PipelineQueries.bpeEncCte},
+         |nb AS (SELECT doc_id,
+         |  CAST(CASE WHEN len(toks) = 0 THEN 0
+         |       ELSE list_sum(list_transform(toks, t -> len(string_split(t, ' '))))
+         |       END AS INTEGER) AS n_bpe FROM enc),
+         |docs2 AS (SELECT doc_id,
+         |  string_split_regex(trim(lower(text)), '\\s+') AS lmtoks FROM documents),
+         |bgl AS (SELECT doc_id,
+         |  list_transform(generate_series(1, greatest(len(lmtoks) - 1, 0)),
+         |                 i -> lmtoks[i] || ' ' || lmtoks[i + 1]) AS bgs FROM docs2),
+         |bg AS (SELECT doc_id, unnest(bgs) AS bigram FROM bgl),
+         |cnt AS (SELECT bigram, count(*) AS c_bg FROM bg GROUP BY 1),
+         |bmodel AS (SELECT bigram, c_bg FROM cnt ORDER BY c_bg DESC, bigram ASC LIMIT 200),
+         |sc AS (SELECT b.doc_id, count(m.c_bg) AS matched_bg,
+         |              coalesce(sum(m.c_bg), 0) AS sum_c_bg
+         |       FROM bg b LEFT JOIN bmodel m USING (bigram) GROUP BY 1)
+         |SELECT n.doc_id, n.n_bpe,
+         |       CAST(coalesce(s.matched_bg, 0) AS BIGINT) AS matched_bg,
+         |       CAST(coalesce(s.sum_c_bg, 0) AS BIGINT) AS sum_c_bg
+         |FROM nb n LEFT JOIN sc s USING (doc_id)
+         |WHERE n.n_bpe >= 5 AND coalesce(s.matched_bg, 0) >= 1""".stripMargin,
     "dtl_curation" ->
       """WITH w AS (SELECT doc_id, text, string_split_regex(trim(text),'\s+') AS ws,
         |                  length(trim(text)) = 0 AS empty FROM documents

@@ -1,0 +1,90 @@
+package graft.dtl
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.ops.{Bpe, LanguageModel}
+
+/** The trained-artifact registry path: train a BPE merge table and a bigram
+  * LM on a corpus, register them as DTL scalars (withTextScalar), run a
+  * script — output must equal the direct DataFrame computation. Plus the
+  * ScalarLm ↔ join-based score parity contract.
+  */
+class TrainedFuncsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "the lower tower lowers slowly over the lower town"),
+    (2L, "the tower of the lower town is low"),
+    (3L, "new tower new town new lower levels"),
+    (4L, "low lower lowest the lowest tower"),
+    (5L, "x") // single token: no bigrams, NULL perplexity path
+  ).toDF("doc_id", "text")
+
+  test("freshly trained BPE + LM register as DTL scalars and match the direct computation") {
+    val merges = Bpe.train(corpus, col("text"), nMerges = 6)
+    assert(merges.nonEmpty)
+    val lm = LanguageModel.trainScalar(corpus, col("text"), 50, 20)
+    val reg = FunctionRegistry.default
+      .withTextScalar("bpe_token_count", DType.TInt32)(t =>
+        size(Bpe.encode(t, merges)))
+      .withTextScalar("lm_matched_bigrams", DType.TInt64)(lm.matchedBigrams)
+      .withTextScalar("lm_perplexity", DType.TDouble)(lm.perplexity)
+    val out = new Engine(spark, reg).runSimple(
+      """WITH docs AS IMPORT 'docs';
+        |WITH output AS
+        |  SELECT doc_id, bpe_token_count(text) AS n_bpe,
+        |         lm_matched_bigrams(text) AS matched_bg,
+        |         lm_perplexity(text) AS ppl
+        |  FROM docs;
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("docs" -> corpus))("output")
+    val direct = corpus.select(col("doc_id"),
+      size(Bpe.encode(col("text"), merges)).as("n_bpe"),
+      lm.matchedBigrams(col("text")).as("matched_bg"),
+      lm.perplexity(col("text")).as("ppl"))
+    assert(out.columns.toSeq == Seq("doc_id", "n_bpe", "matched_bg", "ppl"))
+    assert(out.collect().map(_.toSeq).toSet == direct.collect().map(_.toSeq).toSet)
+  }
+
+  test("ScalarLm integers are bit-identical to the join-based score; perplexity to float noise") {
+    val lm = LanguageModel.trainScalar(corpus, col("text"), 50, 20)
+    val (bm, cm) = LanguageModel.train(corpus, col("text"), 50, 20)
+    val joined = LanguageModel.score(corpus, col("doc_id"), col("text"), bm, cm)
+      .select("id", "n_bigrams", "matched_bg", "sum_c_bg", "perplexity")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val scalar = corpus.select(col("doc_id"),
+      lm.nBigrams(col("text")), lm.matchedBigrams(col("text")),
+      lm.sumCBg(col("text")), lm.perplexity(col("text"))).collect()
+    assert(scalar.length == joined.size)
+    scalar.foreach { r =>
+      val j = joined(r.getLong(0))
+      assert(r.getLong(1) == j.getLong(1), s"n_bigrams for doc ${r.getLong(0)}")
+      assert(r.getLong(2) == j.getLong(2), s"matched_bg for doc ${r.getLong(0)}")
+      assert(r.getLong(3) == j.getLong(3), s"sum_c_bg for doc ${r.getLong(0)}")
+      (r.isNullAt(4), j.isNullAt(4)) match {
+        case (false, false) =>
+          val (a, b) = (r.getDouble(4), j.getDouble(4))
+          assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+            s"perplexity for doc ${r.getLong(0)}: $a vs $b")
+        case (sa, sb) => assert(sa == sb, s"null perplexity mismatch doc ${r.getLong(0)}")
+      }
+    }
+    // the no-bigram doc exercises the NULL branch
+    assert(scalar.find(_.getLong(0) == 5L).exists(_.isNullAt(4)))
+  }
+
+  test("withTextScalar rejects wrong arity and non-TEXT arguments at DTL compile time") {
+    val reg = FunctionRegistry.default
+      .withTextScalar("idfn", DType.TText)(identity)
+    val e = intercept[DtlError] {
+      new Engine(spark, reg).runSimple(
+        """WITH docs AS IMPORT 'docs';
+          |WITH output AS SELECT idfn(doc_id) AS z FROM docs;
+          |EXPORT output TO 'output';""".stripMargin,
+        Map("docs" -> corpus))
+    }
+    assert(e.getMessage.contains("idfn expects one TEXT argument"))
+  }
+}
