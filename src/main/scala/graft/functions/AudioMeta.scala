@@ -79,6 +79,22 @@ object AudioMeta {
     2 -> Array(22050, 24000, 16000),
     0 -> Array(11025, 12000, 8000))
 
+  /** Bitrate tables (kbps) by (version code, layer code), index 1–14 — the
+    * published ISO/IEC 11172-3 table B.2 / 13818-3 values. Index 0 (free)
+    * and 15 (bad) are rejected before lookup. Layer codes: 3=I, 2=II, 1=III;
+    * MPEG2 and MPEG2.5 share one table, as do their Layers II and III.
+    */
+  private val mpegBitrates: Map[(Int, Int), Array[Int]] = {
+    val v1l1 = Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)
+    val v1l2 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+    val v1l3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    val v2l1 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256)
+    val v2l23 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+    Map((3, 3) -> v1l1, (3, 2) -> v1l2, (3, 1) -> v1l3,
+      (2, 3) -> v2l1, (2, 2) -> v2l23, (2, 1) -> v2l23,
+      (0, 3) -> v2l1, (0, 2) -> v2l23, (0, 1) -> v2l23)
+  }
+
   /** MPEG audio (mp3 and friends): skip a leading ID3v2 tag, scan a bounded
     * prefix for a structurally VALID frame header (all four indexed fields
     * in their defined ranges — random bytes essentially never pass), and
@@ -107,7 +123,7 @@ object AudioMeta {
           val channels = if (mode == 3) 1 else 2
           // Xing/Info VBR tag: after the Layer-III side info whose size is
           // fixed by (version, mode); flags bit 0 marks the frame count
-          val frames: Long = if (layer == 1) {
+          val tagFrames: Long = if (layer == 1) {
             val sideInfo =
               if (version == 3) { if (mode == 3) 17 else 32 }
               else { if (mode == 3) 9 else 17 }
@@ -121,6 +137,24 @@ object AudioMeta {
                 (u(bytes(x + 10)) << 8) | u(bytes(x + 11))
             else -1L
           } else -1L
+          // no VBR tag → CBR estimate: stream bytes / the frame size this
+          // header's bitrate+rate imply (unpadded; the occasional padding
+          // byte under-counts by < one frame per ~rate frames). Exact for
+          // unpadded CBR, the right order for everything else — and still
+          // pure integer arithmetic, so it reproduces anywhere.
+          val frames: Long =
+            if (tagFrames >= 0) tagFrames
+            else {
+              val bps = mpegBitrates((version, layer))(brIdx) * 1000L
+              val frameSize =
+                if (layer == 3) (12L * bps / rate) * 4 // Layer I (4-byte slots)
+                else {
+                  // samples/frame: 1152 except Layer III under MPEG2/2.5 (576)
+                  val samples = if (layer == 1 && version != 3) 576L else 1152L
+                  samples / 8L * bps / rate
+                }
+              if (frameSize > 0) (bytes.length - i).toLong / frameSize else -1L
+            }
           return Some(InternalRow(rate, channels, -1, frames,
             UTF8String.fromString(s"mp${4 - layer}")))
         }

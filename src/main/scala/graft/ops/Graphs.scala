@@ -69,10 +69,14 @@ object Graphs {
     def pin(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
 
-    // pin the canonical edge frame ONCE: it feeds every power iteration,
-    // and without pinning each round would re-run the upstream join +
-    // DISTINCT that built it (5 iterations = 5 edge rebuilds)
-    val e = pin(canonEdges(edges, src, dst))
+    // pin the canonical edge frame ONCE, pre-partitioned on src: every
+    // power iteration joins the rank frame onto the edges by src, so
+    // hash-laying the edges out by src here makes the per-round join
+    // exchange ONLY the O(N) rank frame — the pinned edge layout is reused
+    // round after round (asserted in PartitioningSpec; the in-memory
+    // analogue of bucketing the edge table by src at 100 TB). Without it
+    // each round re-exchanged the O(E) edge side too.
+    val e = pin(canonEdges(edges, src, dst).repartition(col("src")))
     val deg = degrees(e, col("src"), col("dst"))
     // N is one scalar action over the pinned degree frame — the same bounded
     // driver fetch the iterative ops already make for convergence tests

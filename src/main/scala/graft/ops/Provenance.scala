@@ -121,6 +121,18 @@ final class AuditedPipeline private (
     cur.filter(!alive).select(id,
       col(StageCol).as("stage"), col(ReasonCol).as("reason"))
   }
+
+  /** Sweep the ledger mid-chain: returns the accumulated `(id, stage,
+    * reason)` ledger plus a fresh pipeline over only the surviving rows —
+    * the storage-boundary split for pipelines that drop most rows early
+    * and don't want dead rows riding later-stage shuffles. Write both
+    * frames (or persist the survivors), then continue; the union of the
+    * swept ledgers equals the unswept chain's ledger (ProvenanceSpec).
+    */
+  def sweep(): (DataFrame, AuditedPipeline) = {
+    require(auditOn, "sweep requires audit = true")
+    (dropped, AuditedPipeline(current, idName, audit = true))
+  }
 }
 
 object AuditedPipeline {

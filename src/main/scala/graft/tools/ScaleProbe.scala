@@ -313,6 +313,26 @@ object ScaleProbe {
     }
     println(f"  edges: $kgEdges%,d")
 
+    println(s"== pagerank (pinned src-partitioned edges, rank-only per-round exchange) ==")
+    // 16M+ edges over 2M nodes with a skewed-ish degree mix and ~6% of
+    // nodes dangling — per round the O(E) edge side must NOT re-exchange
+    // (it is pinned hash(src); PartitioningSpec pins the plan shape), only
+    // the O(N) rank frame moves
+    val prE = math.max(n * 4 / 5, 16_000_000L)
+    val prNodes = math.max(prE / 8, 1L)
+    val prEdges = spark.range(prE).select(
+      pmod(xxhash64(col("id") * 13L), lit(prNodes * 15L / 16L)).as("s"),
+      pmod(xxhash64(col("id") * 29L + 7L), lit(prNodes)).as("t"))
+    val prTop = time(f"pagerank ($prE%,d edges, ~$prNodes%,d nodes, 5 iters)") {
+      graft.ops.Graphs.pagerank(prEdges, col("s"), col("t"), iters = 5)
+        .agg(count(lit(1)).as("n"), sum("rank").as("mass"),
+          max("rank").as("top")).head()
+    }
+    // the reported mass is over ROUNDED ranks (6 dp); at N ~ 2M a uniform
+    // rank is ~5e-7, i.e. below the rounding grid, so the rounded sum
+    // drifts from the exact mass of 1 — expected, not a solver error
+    println(f"  nodes ${prTop.getLong(0)}%,d, rounded-rank mass ${prTop.getDouble(1)}%.4f (exact mass 1; 6dp grid ~ rank at this N), top ${prTop.getDouble(2)}%.6f")
+
     println(s"== token-stream windowing (two-phase prefix sum, no global window) ==")
     val twRes = time(f"tokenWindows ($n%,d docs, 2048-token windows)") {
       graft.ops.Curation.tokenWindows(

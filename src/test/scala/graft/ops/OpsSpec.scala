@@ -954,7 +954,15 @@ class OpsSpec extends AnyFunSuite {
       (2L, id3 ++ mp3Frame(2, mono = true, None), "audio/mpeg"),
       (3L, oggPage(2, 0L, vorbisId) ++ oggPage(4, 441000L, Array[Byte](0)), "audio/ogg"),
       (4L, oggPage(2, 0L, opusId) ++ oggPage(4, 960000L, Array[Byte](0)), "audio/ogg"),
-      (5L, "zz zz zz".getBytes("UTF-8"), "audio/mpeg") // garbage → stub
+      (5L, "zz zz zz".getBytes("UTF-8"), "audio/mpeg"), // garbage → stub
+      // planted CBR stream: 10 unpadded 417-byte frames (MPEG1 Layer III,
+      // 128 kbps @ 44100 stereo, frame size = 144·128000/44100 = 417), no
+      // Xing tag — the estimator must recover the exact frame count
+      (6L, {
+        val frame = new Array[Byte](417)
+        frame(0) = 0xff.toByte; frame(1) = 0xfb.toByte; frame(2) = 0x90.toByte
+        Array.fill(10)(frame).flatten
+      }, "audio/mpeg")
     ).toDF("id", "content", "mime")
     val out = df.select(col("id"),
         Multimodal.decodeAudio(Multimodal.asMedia(col("content"), col("mime"))).as("d"))
@@ -964,10 +972,13 @@ class OpsSpec extends AnyFunSuite {
       (d.getInt(0), d.getInt(1), d.getInt(2), d.getLong(3), d.getString(4))
     }
     assert(f(0) == (44100, 2, -1, 1000L, "mp3"))
-    assert(f(1) == (32000, 1, -1, -1L, "mp3")) // ID3-prefixed, no Xing
+    // ID3-prefixed, no Xing → CBR estimate: 600 stream bytes at frame size
+    // 144·128000/32000 = 576 → 1 frame
+    assert(f(1) == (32000, 1, -1, 1L, "mp3"))
     assert(f(2) == (44100, 2, -1, 441000L, "ogg"))
     assert(f(3) == (48000, 2, -1, 960000L, "ogg")) // Opus-in-Ogg
     assert(f(4)._5 == "audio" && f(4)._1 >= 16000) // stub fallback intact
+    assert(f(5) == (44100, 2, -1, 10L, "mp3")) // untagged CBR exact count
   }
 
   test("lshPlan picks the factorization with S-curve threshold at-or-below target") {

@@ -31,4 +31,35 @@ class PartitioningSpec extends AnyFunSuite {
     val files = pruned.select(input_file_name()).distinct().collect().map(_.getString(0))
     assert(files.nonEmpty && files.forall(_.contains("o_year=1997")))
   }
+
+  test("pagerank's pinned src-partitioned edges kill the per-round edge-side exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import spark.implicits._
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // AQE wraps the plan in AdaptiveSparkPlanExec, hiding the exchanges
+    // from a static collect; the distribution argument is AQE-independent
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.collect { case s: ShuffleExchangeExec => s }.size
+      val raw = (0L until 2000L).map(i => (i % 200, (i * 7) % 200)).toDF("s", "t")
+        .select(col("s").as("src"), col("t").as("dst")).distinct()
+      val ranks = (0L until 200L).toDF("node_id").withColumn("rank", lit(0.005))
+      // the per-iteration shape: ranks ⨝ edges on src
+      val unbucketed = ranks.join(raw.localCheckpoint(), col("node_id") === col("src"))
+      val bucketed = ranks.join(raw.repartition(col("src")).localCheckpoint(),
+        col("node_id") === col("src"))
+      // pre-partitioned+pinned edges satisfy the join's distribution, so
+      // only the rank side exchanges; the unbucketed layout pays one more
+      assert(exchanges(bucketed) == exchanges(unbucketed) - 1,
+        s"bucketed=${exchanges(bucketed)} unbucketed=${exchanges(unbucketed)}")
+      // and the result is the same rows either way
+      assert(bucketed.count() == unbucketed.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+      spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
+    }
+  }
 }

@@ -88,6 +88,23 @@ class ProvenanceSpec extends AnyFunSuite {
       hand.queryExecution.optimizedPlan.canonicalized)
   }
 
+  test("mid-chain sweep: swept ledgers union to the unswept chain's ledger") {
+    val p0 = AuditedPipeline(docs, "id", audit = true)
+      .gate("len", length(col("text")) > 6,
+        concat(lit("len="), length(col("text")).cast("string")))
+    val (ledger1, p1) = p0.sweep()
+    val p2 = p1.dedupExact("dup", col("text"))
+    val bad = p2.current.filter(col("id") === 5L)
+      .select(col("id"), lit("blocklist").as("reason"))
+    val p3 = p2.dropById("block", bad)
+    val swept = (ledger1.unionByName(p3.dropped)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val unswept = chain(audit = true).dropped.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(swept == unswept)
+    assert(p3.result.select("id").as[Long].collect().toSet == Set(1L, 4L, 6L))
+  }
+
   test("reserved state columns are rejected on input") {
     val df = Seq((1L, "x")).toDF("id", "__pv_stage")
     intercept[IllegalArgumentException] {

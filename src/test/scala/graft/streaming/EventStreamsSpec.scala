@@ -262,6 +262,34 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("audited gate runs on streams: survivors and drop ledger as two sinks, equal to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(Long, String)]
+    // row-local marking is stateless, so gate/gateWhy work unchanged on a
+    // stream; the ledger is just the complementary filter — a second sink
+    val p = graft.ops.AuditedPipeline(
+        input.toDF().toDF("doc_id", "text"), "doc_id", audit = true)
+      .gateWhy("gopher", graft.ops.Curation.gopherReason(col("text")))
+    val qKept = p.result.writeStream.format("memory").queryName("aud_kept")
+      .outputMode("append").start()
+    val qDrop = p.dropped.writeStream.format("memory").queryName("aud_drop")
+      .outputMode("append").start()
+    val texts = Seq(
+      ("the data should have been of use " * 10).trim, // keeps
+      "- a ...\n- b ...", // fails n_words
+      ("word " * 60).trim) // fails stop_hits
+    try {
+      input.addData(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }: _*)
+      qKept.processAllAvailable(); qDrop.processAllAvailable()
+      val kept = spark.table("aud_kept").select("doc_id").as[Long].collect().toSet
+      val drop = spark.table("aud_drop")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(kept == Set(0L))
+      assert(drop == Set((1L, "gopher", "n_words"), (2L, "gopher", "stop_hits")))
+    } finally { qKept.stop(); qDrop.stop() }
+  }
+
   test("stream-stream band join correlates events within the time band only") {
     implicit val sqlCtx = spark.sqlContext
     val left = MemoryStream[EventStreams.Event]
