@@ -49,5 +49,6 @@ object SparkEntry {
     "pipe_decontaminate", "pipe_pack_sequences",
     "pipe_pagerank", "pipe_bm25", "pipe_label_noise",
     "pipe_gopher_rules", "pipe_hard_negatives", "pipe_length_batches",
-    "pipe_temperature_mix", "pipe_unigram", "pipe_knn_graph")
+    "pipe_temperature_mix", "pipe_unigram", "pipe_knn_graph",
+    "pipe_audit_trail")
 }

@@ -36,6 +36,11 @@ final class FilesystemImporter(spark: SparkSession, inputDir: String) extends Im
       case Some("orc") => spark.read.orc(s"$inputDir/$name")
       case Some("parquet") => spark.read.parquet(s"$inputDir/$name")
       case Some("txt") => spark.read.text(s"$inputDir/$name")
+      // crawl archives: .wet = conversion records as (url, date,
+      // content_length, text); .warc = every record with type/offset —
+      // the CommonCrawl entry point, one shuffle-free task per member
+      case Some("wet") => graft.ops.Warc.readWet(spark, s"$inputDir/$name")
+      case Some("warc") => graft.ops.Warc.readRecords(spark, s"$inputDir/$name")
       case _ => spark.read.parquet(s"$inputDir/$name.parquet")
     })
 }
@@ -67,6 +72,22 @@ final class FilesystemExporter(outputDir: String) extends Exporter {
           throw DtlError(
             s"EXPORT to '.txt' needs exactly one TEXT column, got ${df.schema.simpleString}")
         df.write.mode("overwrite").text(s"$outputDir/$name")
+      case Some("wet") =>
+        // conversion records rebuilt with exact Content-Length framing
+        // (octet_length = UTF-8 bytes); the text writer's row separator
+        // lands between records, where readers skip blank lines
+        val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+        val ok = df.schema.fields.length == 3 && Seq("url", "date", "text")
+          .forall(n => types.get(n).contains(org.apache.spark.sql.types.StringType))
+        if (!ok) throw DtlError(
+          s"EXPORT to '.wet' needs exactly TEXT columns (url, date, text), got ${df.schema.simpleString}")
+        import org.apache.spark.sql.functions._
+        df.select(concat(
+            lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "), col("url"),
+            lit("\r\nWARC-Date: "), col("date"),
+            lit("\r\nContent-Length: "), octet_length(col("text")).cast("string"),
+            lit("\r\n\r\n"), col("text"), lit("\r\n")).as("value"))
+          .write.mode("overwrite").text(s"$outputDir/$name")
       case _ => df.write.mode("overwrite").parquet(s"$outputDir/$name.parquet")
     }
   }

@@ -52,7 +52,30 @@ object AudioMeta {
     */
   def decode(bytes: Array[Byte]): InternalRow = {
     if (bytes == null || bytes.length == 0) return null
-    jdkDecode(bytes).orElse(mpegDecode(bytes)).orElse(oggDecode(bytes)).orNull
+    // magic-checked parsers (flac/ogg) before the heuristic MPEG sync scan
+    jdkDecode(bytes).orElse(flacDecode(bytes)).orElse(oggDecode(bytes))
+      .orElse(mpegDecode(bytes)).orNull
+  }
+
+  /** FLAC: "fLaC" magic, then the mandatory first STREAMINFO metadata block
+    * (format spec: after the 4-byte block header and 10 bytes of block/
+    * frame-size fields, a packed run of sample rate (20 bits),
+    * channels−1 (3), bits−1 (5), total samples (36)).
+    */
+  private def flacDecode(bytes: Array[Byte]): Option[InternalRow] = {
+    if (bytes.length < 26 || bytes(0) != 'f' || bytes(1) != 'L' ||
+      bytes(2) != 'a' || bytes(3) != 'C') return None
+    if ((u(bytes(4)) & 0x7f) != 0) return None // first block must be STREAMINFO
+    val p = 18 // 4 magic + 4 block header + 2+2 blocksize + 3+3 framesize
+    val rate = (u(bytes(p)) << 12) | (u(bytes(p + 1)) << 4) | (u(bytes(p + 2)) >> 4)
+    val channels = ((u(bytes(p + 2)) >> 1) & 7) + 1
+    val bits = (((bytes(p + 2) & 1) << 4) | (u(bytes(p + 3)) >> 4)) + 1
+    var total = (u(bytes(p + 3)) & 0xf).toLong
+    var i = p + 4
+    while (i < p + 8) { total = (total << 8) | u(bytes(i)); i += 1 }
+    if (rate == 0) return None // 0 is invalid per spec — not a real header
+    Some(InternalRow(rate, channels, bits,
+      if (total == 0) -1L else total, UTF8String.fromString("flac")))
   }
 
   private def jdkDecode(bytes: Array[Byte]): Option[InternalRow] =

@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The complete Gopher keep/drop decision as ONE native call: NULL = keep,
+  * else the FIRST failing rule name in the published order (n_words,
+  * mean_word_len, symbol_ratio, bullet_frac, ellipsis_frac, alpha_frac,
+  * stop_hits).
+  *
+  * Exists for codegen hygiene: the Column-algebra formulation (six derived
+  * metrics × `round` × a 7-arm when-chain over one [[GopherStats]] struct)
+  * expands past janino's 64 KB generated-method limit inside fused
+  * filter+aggregate stages, knocking the whole stage back to interpreted
+  * eval. This expression generates a single function call, so every
+  * gopher-gated scan stays inside WholeStageCodegen.
+  *
+  * Arithmetic parity: ratios are rounded to 6 decimals BEFORE comparison
+  * exactly like Catalyst's `round` on doubles —
+  * `java.math.BigDecimal.valueOf(x).setScale(6, HALF_UP)` (RoundBase's
+  * double branch) — so the decision is bit-identical to the metric-column
+  * formulation (pinned in CurationSpec/ProvenanceSpec and by the
+  * pipe_gopher_rules / pipe_audit_trail DuckDB gates).
+  */
+object GopherVerdict {
+
+  private def r6(x: Double): Double =
+    if (x.isNaN || x.isInfinite) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  private val reasons: Array[UTF8String] =
+    Array("n_words", "mean_word_len", "symbol_ratio", "bullet_frac",
+      "ellipsis_frac", "alpha_frac", "stop_hits").map(UTF8String.fromString)
+
+  /** NULL when the document passes every rule; else the first failing
+    * rule's name. One [[GopherStats]] pass plus scalar arithmetic.
+    */
+  def verdict(s: UTF8String): UTF8String = {
+    val st = GopherStats.gopherStats(s)
+    val nWords = st.getLong(0)
+    if (nWords < 50L || nWords > 100000L) return reasons(0)
+    val nW = math.max(nWords.toDouble, 1.0)
+    val nL = math.max(st.getInt(5).toDouble, 1.0)
+    val mwl = if (nWords == 0) 0.0 else r6(st.getLong(1).toDouble / nW)
+    if (mwl < 3.0 || mwl > 10.0) return reasons(1)
+    val sym = if (nWords == 0) 0.0 else r6(st.getLong(4).toDouble / nW)
+    if (sym > 0.1) return reasons(2)
+    if (r6(st.getInt(6).toDouble / nL) > 0.9) return reasons(3)
+    if (r6(st.getInt(7).toDouble / nL) > 0.3) return reasons(4)
+    val alpha = if (nWords == 0) 0.0 else r6(st.getLong(2).toDouble / nW)
+    if (alpha < 0.8) return reasons(5)
+    if ((if (nWords == 0) 0 else st.getInt(3)) < 2) return reasons(6)
+    null
+  }
+
+  def gopherVerdict(text: Column): Column =
+    GraftColumnBridge.column(
+      GopherVerdictExpression(GraftColumnBridge.expression(text)))
+}
+
+case class GopherVerdictExpression(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"gopher_verdict expects STRING, got ${child.dataType.simpleString}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    GopherVerdict.verdict(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.GopherVerdict.verdict($c);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): GopherVerdictExpression =
+    copy(child = newChild)
+}

@@ -159,65 +159,54 @@ object Curation {
     * this runs at scan speed and is the cheapest filter to push first.
     */
   def gopherMetrics(df: DataFrame, id: Column, text: Column): DataFrame = {
+    // the raw-count struct binds to an EXPLICIT intermediate column so the
+    // fused projection stage computes GopherStats exactly once — relying on
+    // expression-level CSE here let the generated method grow past janino's
+    // 64 KB limit and knocked the stage back to interpreted eval
     val names = Seq("mean_word_len", "symbol_ratio", "bullet_frac",
       "ellipsis_frac", "alpha_frac", "stop_hits")
-    val metrics = gopherMetricCols(col("__t"), col("n_words"))
+    val metrics = gopherMetricCols(col("__gs"), col("n_words"))
       .zip(names).map { case (c, n) => c.as(n) }
+    // `keep` is the native one-call verdict, NOT a conjunction over the
+    // metric columns: CollapseProject would inline the metric aliases into
+    // the conjunction, re-deriving the stats struct per reference and
+    // regrowing the generated method past 64 KB. Equality of the two
+    // formulations is pinned in CurationSpec.
     df.select(id.as("id"), text.as("__t"))
-      .withColumn("n_words", gopherNWords(col("__t")))
-      .select((col("id") +: col("n_words") +: metrics): _*)
-      .withColumn("keep", gopherKeepFromMetrics(
-        col("n_words"), col("mean_word_len"), col("symbol_ratio"),
-        col("bullet_frac"), col("ellipsis_frac"), col("alpha_frac"),
-        col("stop_hits")))
+      .withColumn("__gs", graft.functions.GopherStats.gopherStats(col("__t")))
+      .withColumn("n_words", col("__gs").getField("n_words"))
+      .withColumn("keep", gopherKeep(col("__t")))
+      .select((col("id") +: col("n_words") +: metrics :+ col("keep")): _*)
   }
 
   /** Single-column form of the gopher keep decision — what the DTL
-    * `gopher_keep(text)` scalar and streaming filters use. Same expressions
-    * as [[gopherMetrics]] (Catalyst CSE collapses the repeats), still
-    * row-local codegen.
+    * `gopher_keep(text)` scalar and streaming filters use. One native call
+    * ([[graft.functions.GopherVerdict]]), codegen-tiny, bit-identical to
+    * [[gopherMetrics]]'s `keep` (pinned in CurationSpec).
     */
-  def gopherKeep(text: Column): Column = {
-    val n = gopherNWords(text)
-    val Seq(mwl, sym, bul, ell, alpha, stops) = gopherMetricCols(text, n)
-    gopherKeepFromMetrics(n, mwl, sym, bul, ell, alpha, stops)
-  }
+  def gopherKeep(text: Column): Column = gopherReason(text).isNull
 
   /** The gopher keep decision as a DROP REASON: NULL when the document
     * passes, else the name of the FIRST failing rule in the fixed published
     * order (n_words, mean_word_len, symbol_ratio, bullet_frac,
     * ellipsis_frac, alpha_frac, stop_hits). `gopherReason(t).isNull` is
-    * exactly [[gopherKeep]] (pinned in CurationProperties); rule names
-    * rather than metric values keep the string engine-portable (no
-    * double-formatting divergence). The provenance form
-    * [[AuditedPipeline.gateWhy]] consumes.
+    * exactly [[gopherKeep]]; rule names rather than metric values keep the
+    * string engine-portable (no double-formatting divergence). One native
+    * call — see [[graft.functions.GopherVerdict]] for why this is not a
+    * when-chain. The provenance form [[AuditedPipeline.gateWhy]] consumes.
     */
-  def gopherReason(text: Column): Column = {
-    val n = gopherNWords(text)
-    val Seq(mwl, sym, bul, ell, alpha, stops) = gopherMetricCols(text, n)
-    when(!n.between(50L, 100000L), "n_words")
-      .when(!mwl.between(3.0, 10.0), "mean_word_len")
-      .when(sym > 0.1, "symbol_ratio")
-      .when(bul > 0.9, "bullet_frac")
-      .when(ell > 0.3, "ellipsis_frac")
-      .when(alpha < 0.8, "alpha_frac")
-      .when(stops < 2, "stop_hits")
-      .otherwise(lit(null).cast("string"))
-  }
-
-  private def gopherNWords(t: Column): Column =
-    graft.functions.GopherStats.gopherStats(t).getField("n_words")
+  def gopherReason(text: Column): Column =
+    graft.functions.GopherVerdict.gopherVerdict(text)
 
   /** The six derived gopher metrics, unaliased, in the fixed order
     * (mean_word_len, symbol_ratio, bullet_frac, ellipsis_frac, alpha_frac,
-    * stop_hits), given the text and its already-computed word count. All
-    * raw counts come from ONE native codegen pass over the text
+    * stop_hits), from the bound raw-count struct column. All raw counts
+    * come from ONE native codegen pass over the text
     * (graft.functions.GopherStats) — the interpreted HOF formulation
     * re-split the text per metric and was ~50x slower at corpus scale; the
     * two are pinned equal in CurationProperties.
     */
-  private def gopherMetricCols(t: Column, nWords: Column): Seq[Column] = {
-    val st = graft.functions.GopherStats.gopherStats(t)
+  private def gopherMetricCols(st: Column, nWords: Column): Seq[Column] = {
     val nWordsD = greatest(nWords.cast("double"), lit(1.0))
     val nLinesD = greatest(st.getField("n_lines").cast("double"), lit(1.0))
     Seq(
@@ -232,10 +221,6 @@ object Curation {
       when(nWords === 0, 0).otherwise(st.getField("stop_hits")))
   }
 
-  private def gopherKeepFromMetrics(nWords: Column, mwl: Column, sym: Column,
-      bul: Column, ell: Column, alpha: Column, stops: Column): Column =
-    nWords.between(50L, 100000L) && mwl.between(3.0, 10.0) &&
-      sym <= 0.1 && bul <= 0.9 && ell <= 0.3 && alpha >= 0.8 && stops >= 2
 
   /** PII patterns kept deliberately RE2-compatible (no lookaround, no
     * backreferences) so the same pattern runs in Spark (Java regex), RE2

@@ -46,9 +46,14 @@ object Warc {
     spark.sparkContext.binaryFiles(path)
       .flatMap { case (file, pds) =>
         val raw = pds.open()
-        val in = new BufferedInputStream(
-          if (file.endsWith(".gz")) new GZIPInputStream(raw) else raw, 1 << 16)
-        new WarcIterator(file, in)
+        // .gz via the JDK; .zst via zstd-jni, which Spark already ships
+        // for shuffle compression — both are pure streams
+        val dec: InputStream =
+          if (file.endsWith(".gz")) new GZIPInputStream(raw)
+          else if (file.endsWith(".zst"))
+            new com.github.luben.zstd.ZstdInputStream(raw)
+          else raw
+        new WarcIterator(file, new BufferedInputStream(dec, 1 << 16))
       }
       .toDF()
   }

@@ -313,6 +313,49 @@ object ScaleProbe {
     }
     println(f"  edges: $kgEdges%,d")
 
+    println(s"== audited gate overhead (mark-and-sweep provenance) ==")
+    // same 5M-doc corpus as the gopher section: the audit knob must cost
+    // nothing when off (identical plan) and one pruned pass for the ledger
+    val apOff = time(f"gopher gate, audit OFF ($gopherN%,d docs)") {
+      graft.ops.AuditedPipeline(gopherCorpus, "id", audit = false)
+        .gateWhy("gopher", graft.ops.Curation.gopherReason(col("text")))
+        .result.count()
+    }
+    val apOn = time(f"gopher gate, audit ON  ($gopherN%,d docs, survivors)") {
+      graft.ops.AuditedPipeline(gopherCorpus, "id", audit = true)
+        .gateWhy("gopher", graft.ops.Curation.gopherReason(col("text")))
+        .result.count()
+    }
+    val apLedger = time(f"gopher gate, audit ON  (ledger by reason)") {
+      graft.ops.AuditedPipeline(gopherCorpus, "id", audit = true)
+        .gateWhy("gopher", graft.ops.Curation.gopherReason(col("text")))
+        .dropped.groupBy("reason").count()
+        .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted
+    }
+    println(s"  kept off=$apOff on=$apOn (must match); dropped: ${apLedger.mkString(", ")}")
+
+    println(s"== WET ingestion (Content-Length streaming parse, task = member) ==")
+    val wetDir = java.nio.file.Files.createTempDirectory("probe-wet")
+    val wetMembers = 16
+    val wetPer = 50_000
+    time(f"fixture write ($wetMembers gz members x $wetPer%,d records)") {
+      (0 until wetMembers).foreach { m =>
+        val recs = (0 until wetPer).map { i =>
+          val id = m.toLong * wetPer + i
+          (s"http://probe.example/$id", "2024-01-01T00:00:00Z",
+            s"record $id body with some plain crawl text content to parse " * 3)
+        }
+        val gz = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(
+          wetDir.resolve(f"part$m%02d.warc.gz").toFile))
+        gz.write(graft.ops.Warc.wetBytes(recs)); gz.close()
+      }
+    }
+    val wetAgg = time(f"readWet over $wetMembers gz members (${wetMembers * wetPer}%,d records)") {
+      graft.ops.Warc.readWet(spark, wetDir.toString + "/*")
+        .agg(count(lit(1)), sum(length(col("text")))).head()
+    }
+    println(f"  records ${wetAgg.getLong(0)}%,d, text chars ${wetAgg.getLong(1)}%,d")
+
     println(s"== pagerank (pinned src-partitioned edges, rank-only per-round exchange) ==")
     // 16M+ edges over 2M nodes with a skewed-ish degree mix and ~6% of
     // nodes dangling — per round the O(E) edge side must NOT re-exchange

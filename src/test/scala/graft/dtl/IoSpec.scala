@@ -87,4 +87,45 @@ class IoSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(
       Seq(4.0, -1L, 3L, -5L), Seq(9.0, 1L, 7L, 3L)).sortBy(_.toString))
   }
+
+  test("WET crawl archives in and out: the cleaning chain from archive to archive") {
+    val dir = java.nio.file.Files.createTempDirectory("dtl-wet").toString
+    val recs = Seq(
+      ("http://a.example/keep", "2024-01-01T00:00:00Z",
+        "the quick brown fox jumps over the lazy dog again and again"),
+      ("http://a.example/short", "2024-01-01T00:00:01Z", "tiny"),
+      ("http://a.example/multiline", "2024-01-01T00:00:02Z",
+        "first line\nsecond line with the required words of text"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "crawl.wet"),
+      graft.ops.Warc.wetBytes(recs))
+
+    new Engine(spark).run(
+      """WITH crawl AS IMPORT 'crawl.wet';
+        |WITH clean AS
+        |  SELECT url, date, text FROM crawl
+        |  WHERE to_int64(token_count(text)) >= 5;
+        |EXPORT clean TO 'clean.wet';""".stripMargin,
+      new FilesystemImporter(spark, dir),
+      new FilesystemExporter(dir))
+
+    // re-read the engine-written archive with the Warc reader: the two
+    // long docs survive with bodies (incl. embedded newlines) intact
+    val back = graft.ops.Warc.readWet(spark, s"$dir/clean.wet")
+      .collect().map(r => (r.getString(0), r.getString(3))).toMap
+    assert(back.keySet == Set("http://a.example/keep", "http://a.example/multiline"))
+    assert(back("http://a.example/multiline") == recs(2)._3)
+  }
+
+  test("EXPORT to .wet rejects a frame without the (url, date, text) TEXT schema") {
+    val dir = java.nio.file.Files.createTempDirectory("dtl-wet-bad").toString
+    Seq((1L, "x")).toDF("k", "v").write.parquet(s"$dir/t.parquet")
+    val e = intercept[DtlError] {
+      new Engine(spark).run(
+        """WITH t AS IMPORT 't';
+          |EXPORT t TO 'bad.wet';""".stripMargin,
+        new FilesystemImporter(spark, dir),
+        new FilesystemExporter(dir))
+    }
+    assert(e.getMessage.contains(".wet"))
+  }
 }

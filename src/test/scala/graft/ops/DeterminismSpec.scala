@@ -41,7 +41,10 @@ class DeterminismSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
-  for (name <- Seq("pipe_label_noise", "pipe_knn_graph")) {
+  // pipe_audit_trail joins the list: the drop-reason ledger is the round-5
+  // flagship gate (window dedup + contamination join + hash sample) and its
+  // (id, stage, reason) rows must never depend on scheduling or grouping
+  for (name <- Seq("pipe_label_noise", "pipe_knn_graph", "pipe_audit_trail")) {
     test(s"$name is bitwise stable across reruns and shuffle partitionings") {
       val a = canonical(name, 4)
       val b = canonical(name, 4)  // same partitioning: pure rerun stability

@@ -962,7 +962,16 @@ class OpsSpec extends AnyFunSuite {
         val frame = new Array[Byte](417)
         frame(0) = 0xff.toByte; frame(1) = 0xfb.toByte; frame(2) = 0x90.toByte
         Array.fill(10)(frame).flatten
-      }, "audio/mpeg")
+      }, "audio/mpeg"),
+      // FLAC STREAMINFO: 44100 Hz stereo 16-bit, 1000 total samples
+      (7L, {
+        val b = new Array[Byte](26)
+        "fLaC".getBytes("ISO-8859-1").copyToArray(b, 0)
+        b(4) = 0x80.toByte; b(7) = 34 // last-block flag, type 0, length 34
+        b(18) = 0x0a; b(19) = 0xc4.toByte; b(20) = 0x42 // rate|chan|bits packed
+        b(21) = 0xf0.toByte; b(24) = 0x03; b(25) = 0xe8.toByte // bits|total
+        b
+      }, "audio/flac")
     ).toDF("id", "content", "mime")
     val out = df.select(col("id"),
         Multimodal.decodeAudio(Multimodal.asMedia(col("content"), col("mime"))).as("d"))
@@ -979,6 +988,7 @@ class OpsSpec extends AnyFunSuite {
     assert(f(3) == (48000, 2, -1, 960000L, "ogg")) // Opus-in-Ogg
     assert(f(4)._5 == "audio" && f(4)._1 >= 16000) // stub fallback intact
     assert(f(5) == (44100, 2, -1, 10L, "mp3")) // untagged CBR exact count
+    assert(f(6) == (44100, 2, 16, 1000L, "flac")) // STREAMINFO packed fields
   }
 
   test("lshPlan picks the factorization with S-curve threshold at-or-below target") {

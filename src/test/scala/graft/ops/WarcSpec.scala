@@ -23,13 +23,17 @@ class WarcSpec extends AnyFunSuite {
   private def writeFixture(): String = {
     val dir = Files.createTempDirectory("wet").toFile
     Files.write(new File(dir, "part1.warc").toPath, Warc.wetBytes(recs.take(2)))
-    val out = new GZIPOutputStream(new FileOutputStream(new File(dir, "part2.warc.gz")))
-    out.write(Warc.wetBytes(recs.drop(2)))
-    out.close()
+    val gz = new GZIPOutputStream(new FileOutputStream(new File(dir, "part2.warc.gz")))
+    gz.write(Warc.wetBytes(recs.slice(2, 3)))
+    gz.close()
+    val zst = new com.github.luben.zstd.ZstdOutputStream(
+      new FileOutputStream(new File(dir, "part3.warc.zst")))
+    zst.write(Warc.wetBytes(recs.drop(3)))
+    zst.close()
     dir.getAbsolutePath
   }
 
-  test("WET round trip across plain and gzip members, nasty bodies included") {
+  test("WET round trip across plain, gzip and zstd members, nasty bodies included") {
     val dir = writeFixture()
     val got = Warc.readWet(spark, s"$dir/*")
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(3))).toSet
