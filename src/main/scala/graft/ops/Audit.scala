@@ -44,6 +44,52 @@ object Audit {
         col("p25_chars"), col("p50_chars"), col("p75_chars"),
         round(lit(1.0) - col("n_distinct").cast("double") / col("n_docs"), 6)
           .as("dup_rate"))
+
+  /** [[corpusReport]] rebuilt on BOUNDED-memory mergeable sketches — the
+    * form that runs on 100 TB slices: `count_distinct` (which shuffles
+    * every distinct fingerprint) becomes a [[Sketches.KmvAgg KMV]] distinct
+    * estimate computed INSIDE the same aggregation pass as the counts, and
+    * exact `percentile` (which buffers a whole slice's lengths in one
+    * aggregation buffer) becomes the log-linear histogram's quantile
+    * brackets (relative error ≤ 2⁻ᵖ). Two partial-aggregated passes total
+    * (scalar+KMV, histogram); nothing anywhere buffers O(slice) state,
+    * and per-shard results merge by array-merge / count-add. Deterministic
+    * on any engine, unlike `approx_count_distinct`/`percentile_approx`
+    * (gate `pipe_corpus_report_sketch` replays it in DuckDB).
+    *
+    * `p25/p50/p75_chars` are the quantile bucket LOWER bounds; the true
+    * quantile lies within 2⁻ᵖ above. Distinctness is sketched on the same
+    * whitespace-normalized text as [[corpusReport]]'s fingerprint.
+    */
+  def corpusReportSketched(df: DataFrame, slice: Column, text: Column,
+      k: Int = 256, p: Int = 4): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val base = df.select(slice.as("slice"), text.as("__t"))
+      .select(col("slice"),
+        TextAnalysis.tokenCount(col("__t")).cast("long").as("__tok"),
+        length(col("__t")).cast("long").as("__len"),
+        TextAnalysis.qualityScore(col("__t")).as("__q"),
+        regexp_replace(lower(trim(col("__t"))), "\\s+", " ").as("__norm"))
+    val kmv = udaf(new Sketches.KmvAgg(k), Encoders.scalaLong)
+    val scalars = base.groupBy("slice").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("n_tokens"),
+        round(avg(col("__q")), 6).as("mean_quality"),
+        kmv(Sketches.hash60(col("__norm"))).getField("hashes").as("__hs"))
+      .withColumn("__est", Sketches.kmvEstimate(col("__hs"), k))
+    val quarts = Sketches.hdrQuantiles(base, col("slice"), col("__len"), p,
+        qs = Seq(0.25, 0.5, 0.75))
+      .groupBy(col("group").as("slice"))
+      .agg(
+        max(when(col("q") === 0.25, col("est_lo"))).as("p25_chars"),
+        max(when(col("q") === 0.5, col("est_lo"))).as("p50_chars"),
+        max(when(col("q") === 0.75, col("est_lo"))).as("p75_chars"))
+    scalars.join(quarts, "slice")
+      .select(col("slice"), col("n_docs"), col("n_tokens"), col("mean_quality"),
+        col("p25_chars"), col("p50_chars"), col("p75_chars"),
+        round(lit(1.0) - col("__est") / col("n_docs").cast("double"), 6)
+          .as("dup_rate_est"))
+  }
 }
 
 /** Pipeline observability: per-stage kept/dropped row accounting computed

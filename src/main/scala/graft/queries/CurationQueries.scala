@@ -243,6 +243,63 @@ object CurationQueries {
       graft.ops.Audit.corpusReport(t(s, d, "documents"),
         col("source"), col("text"))),
 
+    // KMV distinct sketch per language: k=128 covers BOTH result paths at
+    // the gate scale (en exceeds k -> the (k-1)*2^60/h_k estimator; the
+    // other languages fit -> exhaustive-exact). The oracle replays the
+    // sketch literally: k smallest distinct md5-60bit hashes in SQL
+    "pipe_sketch_distinct" -> ((s, d) =>
+      graft.ops.Sketches.kmvDistinct(
+        t(s, d, "documents"), col("lang"), col("text"), k = 128)),
+
+    // the sketch artifacts rolled up WITHOUT re-reading rows: per-source
+    // sketches explode+merge to the corpus-level k smallest, whose
+    // estimate the oracle replays as a direct global KMV — the per-shard
+    // artifact composition a 100 TB report relies on
+    "pipe_sketch_merge" -> ((s, d) => {
+      graft.ops.Sketches.kmvSketches(
+          t(s, d, "documents"), col("source"), col("text"), k = 128)
+        .select(explode(col("hashes")).as("hv"))
+        .distinct()
+        .orderBy("hv").limit(128)
+        .agg(count(lit(1)).as("n_kept"), max(col("hv")).as("kth_hash"))
+        .select(col("n_kept"), col("kth_hash"),
+          round(when(col("n_kept") < 128, col("n_kept").cast("double"))
+            .otherwise(lit(127.0) * lit(math.pow(2.0, 60)) /
+              col("kth_hash").cast("double")), 4).as("est_distinct"))
+    }),
+
+    // log-linear histogram quantiles of text length per language
+    // (HdrHistogram layout, p=4 -> relative error <= 1/16): bucket math is
+    // integer-exact bit-length arithmetic, so the oracle rebuilds the
+    // identical histogram and cumulative walk in SQL
+    "pipe_sketch_quantiles" -> ((s, d) =>
+      graft.ops.Sketches.hdrQuantiles(
+        t(s, d, "documents"), col("lang"), length(col("text")), p = 4,
+        qs = Seq(0.25, 0.5, 0.75, 0.99))),
+
+    // count-min word-frequency sketch: build d=4 x w=1024 counters over
+    // every word in the corpus, then probe the exact top-20 words —
+    // deterministic (pure counts, order-independent), est >= exact always;
+    // the oracle rebuilds identical counters and takes the same min
+    "pipe_sketch_freq" -> ((s, d) => {
+      val words = t(s, d, "documents")
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+      val sketch = graft.ops.Sketches.cmsBuild(words, col("w"), d = 4, w = 1024)
+      val top = words.groupBy("w").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("w")).limit(20)
+      graft.ops.Sketches.cmsQuery(sketch, top, col("w"), d = 4, w = 1024)
+        .join(top.withColumnRenamed("w", "term"), "term")
+        .select(col("term"), col("n_exact"), col("est").as("n_est"))
+    }),
+
+    // the data card at 100 TB: corpusReport with count_distinct swapped
+    // for the in-pass KMV estimate and exact percentile for the histogram
+    // brackets — the whole report in bounded memory, replayed in SQL
+    "pipe_corpus_report_sketch" -> ((s, d) =>
+      graft.ops.Audit.corpusReportSketched(
+        t(s, d, "documents"), col("source"), col("text"))),
+
     // the round-4 cleaning composition as ONE chained oracle: within-doc
     // line collapse (must run FIRST — the later passes fold newlines) ->
     // html strip -> canonical normalization -> corpus exact dedup on the
@@ -763,6 +820,138 @@ object CurationQueries {
          |       CAST(floor(quantile_cont(len, 0.75)) AS BIGINT) AS p75_chars,
          |       round(1.0 - CAST(count(DISTINCT norm) AS DOUBLE) / count(*), 6) AS dup_rate
          |FROM b GROUP BY slice""".stripMargin,
+
+    // KMV distinct sketch replayed literally: the k=128 smallest distinct
+    // 60-bit md5 hashes per language, then the exact-below-k /
+    // (k-1)*2^60/h_k estimator arithmetic in IEEE doubles
+    "pipe_sketch_distinct" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT lang AS grp,
+         |    ('0x'||substr(md5(text),1,15))::BIGINT AS hv FROM documents),
+         |r AS (SELECT grp, hv,
+         |        row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn FROM h)
+         |SELECT grp AS "group", CAST(count(*) AS BIGINT) AS n_kept,
+         |       max(hv) AS kth_hash,
+         |       round(CASE WHEN count(*) < 128 THEN CAST(count(*) AS DOUBLE)
+         |             ELSE 127.0 * power(2.0, 60) / CAST(max(hv) AS DOUBLE)
+         |             END, 4) AS est_distinct
+         |FROM r WHERE rn <= 128 GROUP BY grp""".stripMargin,
+
+    // merged per-source sketches == a direct corpus-level sketch (KMV
+    // union property), so the oracle is the global k smallest
+    "pipe_sketch_merge" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT ('0x'||substr(md5(text),1,15))::BIGINT AS hv
+         |  FROM documents),
+         |r AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM h)
+         |SELECT CAST(count(*) AS BIGINT) AS n_kept, max(hv) AS kth_hash,
+         |       round(CASE WHEN count(*) < 128 THEN CAST(count(*) AS DOUBLE)
+         |             ELSE 127.0 * power(2.0, 60) / CAST(max(hv) AS DOUBLE)
+         |             END, 4) AS est_distinct
+         |FROM r WHERE rn <= 128""".stripMargin,
+
+    // the log-linear (HdrHistogram) buckets rebuilt with the same
+    // integer-exact arithmetic: bit-length exponent via length(bin(v)),
+    // division by 2^shift exact in doubles, cumulative walk to ceil(q*N)
+    "pipe_sketch_quantiles" ->
+      s"""WITH v AS (
+         |  SELECT lang AS grp, CAST(length(text) AS BIGINT) AS v FROM documents),
+         |pwv AS (SELECT grp, v,
+         |          CAST(power(2.0, length(bin(v)) - 1 - 4) AS BIGINT) AS pw FROM v),
+         |b AS (SELECT grp,
+         |        CASE WHEN v < 16 THEN v
+         |             ELSE CAST(floor(CAST(v AS DOUBLE) / CAST(pw AS DOUBLE)) AS BIGINT) * pw
+         |        END AS bucket_lo,
+         |        CASE WHEN v < 16 THEN v
+         |             ELSE CAST(floor(CAST(v AS DOUBLE) / CAST(pw AS DOUBLE)) AS BIGINT) * pw + pw - 1
+         |        END AS bucket_hi
+         |      FROM pwv),
+         |hg AS (SELECT grp, bucket_lo, bucket_hi, count(*) AS n
+         |       FROM b GROUP BY grp, bucket_lo, bucket_hi),
+         |c AS (SELECT grp, bucket_lo, bucket_hi, n,
+         |        sum(n) OVER (PARTITION BY grp ORDER BY bucket_lo) AS cum,
+         |        sum(n) OVER (PARTITION BY grp) AS total FROM hg),
+         |qq AS (SELECT CAST(q AS DOUBLE) AS q
+         |       FROM (VALUES (0.25), (0.5), (0.75), (0.99)) t(q))
+         |SELECT c.grp AS "group", qq.q AS q,
+         |       c.bucket_lo AS est_lo, c.bucket_hi AS est_hi
+         |FROM c CROSS JOIN qq
+         |WHERE c.cum >= ceil(qq.q * CAST(c.total AS DOUBLE))
+         |  AND c.cum - c.n < ceil(qq.q * CAST(c.total AS DOUBLE))""".stripMargin,
+
+    // count-min counters rebuilt exactly: same row-salted md5-32 mod w
+    // buckets, same min-over-rows probe for the exact top-20 words
+    "pipe_sketch_freq" ->
+      s"""WITH words AS (
+         |  SELECT w FROM (
+         |    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+         |    FROM documents) WHERE length(w) > 0),
+         |cms AS (
+         |  SELECT r, ('0x'||substr(md5(r::VARCHAR||'|'||w),1,8))::BIGINT % 1024 AS bucket,
+         |         count(*) AS n
+         |  FROM words CROSS JOIN (SELECT unnest(range(0,4)) AS r)
+         |  GROUP BY 1, 2),
+         |top AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS n_exact FROM words
+         |  GROUP BY w ORDER BY count(*) DESC, w LIMIT 20),
+         |probe AS (
+         |  SELECT top.w, top.n_exact, r,
+         |         ('0x'||substr(md5(r::VARCHAR||'|'||top.w),1,8))::BIGINT % 1024 AS bucket
+         |  FROM top CROSS JOIN (SELECT unnest(range(0,4)) AS r))
+         |SELECT p.w AS term, p.n_exact,
+         |       min(coalesce(c.n, 0)) AS n_est
+         |FROM probe p LEFT JOIN cms c ON c.r = p.r AND c.bucket = p.bucket
+         |GROUP BY p.w, p.n_exact""".stripMargin,
+
+    // the sketched data card: corpus-report scalars + KMV on the
+    // normalized text (k=256 — exhaustive-exact at this slice scale, the
+    // estimator arm is pinned by pipe_sketch_distinct) + the p=4
+    // log-linear quantile walk on length, composed from the proven
+    // fragments above
+    "pipe_corpus_report_sketch" ->
+      s"""WITH b AS (
+         |  SELECT source AS slice,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS tok,
+         |    CAST(length(text) AS BIGINT) AS len,
+         |    round(
+         |      least(length(text) / 200.0, 1.0) * 0.4
+         |      + (CASE WHEN length(text)::DOUBLE / greatest(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text),'\\s+')) END, 1) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3
+         |      + (CASE WHEN length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))::DOUBLE / greatest(length(text), 1) < 0.2 THEN 1.0 ELSE 0.3 END) * 0.3
+         |    , 6) AS q,
+         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+         |  FROM documents),
+         |sc AS (SELECT slice, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens,
+         |       round(avg(q), 6) AS mean_quality FROM b GROUP BY slice),
+         |h AS (SELECT DISTINCT slice, ('0x'||substr(md5(norm),1,15))::BIGINT AS hv FROM b),
+         |r AS (SELECT slice, hv, row_number() OVER (PARTITION BY slice ORDER BY hv) AS rn FROM h),
+         |km AS (SELECT slice, count(*) AS n_kept, max(hv) AS kth FROM r WHERE rn <= 256 GROUP BY slice),
+         |est AS (SELECT slice, round(CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+         |               ELSE 255.0 * power(2.0, 60) / CAST(kth AS DOUBLE) END, 4) AS e FROM km),
+         |pwv AS (SELECT slice, len AS v,
+         |          CAST(power(2.0, length(bin(len)) - 1 - 4) AS BIGINT) AS pw FROM b),
+         |bk AS (SELECT slice,
+         |        CASE WHEN v < 16 THEN v
+         |             ELSE CAST(floor(CAST(v AS DOUBLE) / CAST(pw AS DOUBLE)) AS BIGINT) * pw
+         |        END AS lo FROM pwv),
+         |hg AS (SELECT slice, lo, count(*) AS n FROM bk GROUP BY slice, lo),
+         |c AS (SELECT slice, lo, n,
+         |        sum(n) OVER (PARTITION BY slice ORDER BY lo) AS cum,
+         |        sum(n) OVER (PARTITION BY slice) AS total FROM hg),
+         |qq AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.25), (0.5), (0.75)) t(q)),
+         |qs AS (SELECT c.slice, qq.q, c.lo FROM c CROSS JOIN qq
+         |       WHERE c.cum >= ceil(qq.q * CAST(c.total AS DOUBLE))
+         |         AND c.cum - c.n < ceil(qq.q * CAST(c.total AS DOUBLE))),
+         |piv AS (SELECT slice,
+         |        max(CASE WHEN q = 0.25 THEN lo END) AS p25_chars,
+         |        max(CASE WHEN q = 0.5 THEN lo END) AS p50_chars,
+         |        max(CASE WHEN q = 0.75 THEN lo END) AS p75_chars
+         |        FROM qs GROUP BY slice)
+         |SELECT sc.slice, sc.n_docs, sc.n_tokens, sc.mean_quality,
+         |       piv.p25_chars, piv.p50_chars, piv.p75_chars,
+         |       round(1.0 - est.e / CAST(sc.n_docs AS DOUBLE), 6) AS dup_rate_est
+         |FROM sc JOIN est ON est.slice = sc.slice
+         |JOIN piv ON piv.slice = sc.slice""".stripMargin,
 
     // the cleaning chain composed end-to-end, fragments shared with the
     // individual gates

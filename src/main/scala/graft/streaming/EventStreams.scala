@@ -47,6 +47,29 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming twin of [[graft.ops.Sketches.kmvDistinct]]: per event-time
+    * window, the KMV distinct-count sketch of `value` — O(k) state per
+    * window (the ≤k-long hash array is the aggregation buffer), evicted by
+    * the watermark like any windowed agg. A streaming `count_distinct`
+    * would hold every distinct value in state forever; this holds 2 KB and
+    * is exact below k. Because hash and array form are identical to the
+    * batch sketch, a live window's sketch MERGES with batch sketches of
+    * historical shards ([[graft.ops.Sketches.kmvMerge]]) into one corpus
+    * estimate. Output pinned equal to the batch operator on the same rows
+    * in `EventStreamsSpec`.
+    */
+  def kmvDistinctStream(events: DataFrame, value: Column, k: Int,
+      windowLen: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val agg = udaf(new graft.ops.Sketches.KmvAgg(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(agg(graft.ops.Sketches.hash60(value)).getField("hashes").as("hashes"))
+      .select(col("window.start").as("window_start"),
+        size(col("hashes")).cast("long").as("n_kept"),
+        graft.ops.Sketches.kmvEstimate(col("hashes"), k).as("est_distinct"))
+  }
+
   /** Exactly-once ingestion dedup: drop events whose `event_id` was already
     * seen, keeping dedup state only as long as the watermark requires — at-
     * least-once upstream delivery (Kafka replays, file re-lists) becomes

@@ -313,6 +313,31 @@ object ScaleProbe {
     }
     println(f"  edges: $kgEdges%,d")
 
+    println(f"== mergeable sketches ($n%,d values, 32 slices) ==")
+    // the 100 TB data-card primitives: per-slice KMV distinct + log-linear
+    // quantiles must stay one partial-aggregated pass each — the shuffle
+    // carries <=k longs / <=~64*2^p bucket rows per (slice, partition),
+    // never values. Every value planted exactly TWICE within its slice, so
+    // the truth is n/64 per slice and duplicate hashes must occupy no slots.
+    val skDf = spark.range(n).select(
+      (col("id") / 2).cast("long").mod(32).cast("string").as("slice"),
+      concat(lit("v"), (col("id") / 2).cast("long").cast("string")).as("v"),
+      (col("id").mod(1000000) + 1).cast("long").as("len"))
+    val kmvEsts = time(f"KMV k=1024 distinct per slice ($n%,d rows)") {
+      graft.ops.Sketches.kmvDistinct(skDf, col("slice"), col("v"), k = 1024)
+        .select(avg(col("est_distinct"))).as[Double].head()
+    }
+    val skTrue = n / 64.0 // n/2 distinct over 32 slices
+    println(f"  mean slice estimate $kmvEsts%,.0f vs true $skTrue%,.0f " +
+      f"(err ${math.abs(kmvEsts - skTrue) / skTrue * 100}%.1f%%, se=${100 / math.sqrt(1022.0)}%.1f%%)")
+    val hdrMedian = time(f"log-linear p=6 quantiles per slice ($n%,d rows)") {
+      graft.ops.Sketches.hdrQuantiles(skDf, col("slice"), col("len"), p = 6,
+          qs = Seq(0.5, 0.99))
+        .filter(col("q") === 0.5).select(avg(col("est_lo"))).as[Double].head()
+    }
+    println(f"  mean slice p50 bracket lo $hdrMedian%,.0f vs true ~500000 " +
+      f"(rel err bound ${100.0 / 64}%.1f%%)")
+
     println(s"== audited gate overhead (mark-and-sweep provenance) ==")
     // same 5M-doc corpus as the gopher section: the audit knob must cost
     // nothing when off (identical plan) and one pruned pass for the ledger

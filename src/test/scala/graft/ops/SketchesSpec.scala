@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** The two mergeable corpus sketches: KMV distinct counting and the
+  * log-linear (HdrHistogram-layout) quantile histogram. The gates pin
+  * SQL-replay parity; these pin the mathematical contracts — merge
+  * associativity, error bounds against exact answers, duplicate
+  * insensitivity, and partitioning-independence.
+  */
+class SketchesSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def kmvArray(n: Int, k: Int, salt: String = ""): Array[Long] = {
+    val df = (1 to n).map(i => s"doc-$salt$i").toDF("v")
+    Sketches.kmvSketches(df, lit("all"), col("v"), k)
+      .head().getSeq[Long](1).toArray
+  }
+
+  test("KMV below k is the exhaustive exact distinct set") {
+    val df = (1 to 40).flatMap(i => Seq.fill(5)(s"val$i")).toDF("v") // heavy dups
+    val out = Sketches.kmvDistinct(df, lit("g"), col("v"), k = 64).head()
+    assert(out.getLong(1) == 40) // n_kept: duplicates occupy no slots
+    assert(out.getDouble(3) == 40.0) // exact path
+  }
+
+  test("KMV estimator lands within 4 standard errors of the truth") {
+    val n = 50000
+    val k = 256
+    val est = {
+      val df = (1 to n).map(i => s"item$i").toDF("v")
+      Sketches.kmvDistinct(df, lit("g"), col("v"), k).head().getDouble(3)
+    }
+    val se = 1.0 / math.sqrt(k - 2.0) // relative standard error
+    assert(math.abs(est - n) / n < 4 * se,
+      s"estimate $est vs true $n exceeds 4se=${4 * se}")
+  }
+
+  test("KMV sketch of a union equals the merged per-part sketches") {
+    val k = 48
+    val a = (1 to 500).map(i => s"a$i") ++ (1 to 200).map(i => s"shared$i")
+    val b = (1 to 400).map(i => s"b$i") ++ (1 to 200).map(i => s"shared$i")
+    val direct = Sketches.kmvSketches(
+      (a ++ b).toDF("v"), lit("all"), col("v"), k).head().getSeq[Long](1)
+    val merged = Sketches.kmvSketches(
+        a.map(("pa", _)) ++ b.map(("pb", _)) toDF ("part", "v"),
+        col("part"), col("v"), k)
+      .groupBy()
+      .agg(collect_list(col("hashes")).as("sks"))
+      .select(Sketches.kmvMerge(
+        element_at(col("sks"), 1), element_at(col("sks"), 2), k).as("m"))
+      .head().getSeq[Long](0)
+    assert(direct == merged)
+  }
+
+  test("KMV sketch is identical across partitionings and input order") {
+    val vs = (1 to 3000).map(i => s"v$i")
+    val one = Sketches.kmvSketches(
+      vs.toDF("v").repartition(1), lit("g"), col("v"), 64).head().getSeq[Long](1)
+    val many = Sketches.kmvSketches(
+      scala.util.Random.shuffle(vs).toDF("v").repartition(17),
+      lit("g"), col("v"), 64).head().getSeq[Long](1)
+    assert(one == many)
+  }
+
+  test("hdrBounds bracket the value with relative error <= 2^-p") {
+    val p = 4
+    val vals = Seq(0L, 1L, 15L, 16L, 17L, 100L, 1023L, 1024L, 123456789L,
+      (1L << 40) + 12345L)
+    val (lo, hi) = Sketches.hdrBounds(col("v"), p)
+    val rows = vals.toDF("v").select(col("v"), lo.as("lo"), hi.as("hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (v, l, h) =>
+      assert(l <= v && v <= h, s"$v outside [$l,$h]")
+      if (v < (1 << p)) assert(l == v && h == v) // exact below 2^p
+      else assert((h - l + 1).toDouble / l <= math.pow(2, -p) + 1e-12,
+        s"bucket [$l,$h] too wide for v=$v")
+    }
+  }
+
+  test("hdrQuantiles bracket the exact quantiles; histograms merge by adding counts") {
+    val vals = (1 to 20000).map(i => (i.toLong * i) % 999983 + 1)
+    val df = vals.toDF("v")
+    val qs = Seq(0.25, 0.5, 0.75, 0.99)
+    val out = Sketches.hdrQuantiles(df, lit("g"), col("v"), p = 4, qs)
+      .collect().map(r => r.getDouble(1) -> (r.getLong(2), r.getLong(3))).toMap
+    val sorted = vals.sorted
+    qs.foreach { q =>
+      val exact = sorted(math.ceil(q * vals.size).toInt - 1)
+      val (lo, hi) = out(q)
+      assert(lo <= exact && exact <= hi,
+        s"q=$q exact=$exact outside [$lo,$hi]")
+    }
+    // merge = per-half histograms summed == whole histogram
+    val (ha, hb) = vals.splitAt(vals.size / 2)
+    val whole = Sketches.hdrHistogram(df, lit("g"), col("v"), 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    val summed = Sketches.hdrHistogram(
+        ha.map(("a", _)) ++ hb.map(("b", _)) toDF ("part", "v"),
+        col("part"), col("v"), 4)
+      .groupBy("bucket_lo", "bucket_hi").agg(sum("n").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(whole == summed)
+  }
+
+  test("count-min estimates dominate the truth and stay near it when w >> distinct") {
+    val terms = (1 to 400).flatMap(i => Seq.fill(i % 7 + 1)(s"t$i")) // known counts
+    val df = terms.toDF("w")
+    val sketch = Sketches.cmsBuild(df, col("w"), d = 4, w = 4096)
+    assert(sketch.count() <= 4 * 4096)
+    val est = Sketches.cmsQuery(sketch, (1 to 400).map(i => s"t$i").toDF("w"),
+        col("w"), d = 4, w = 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = terms.groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+    exact.foreach { case (t, n) =>
+      assert(est(t) >= n, s"$t: est ${est(t)} below true $n") // never undercounts
+    }
+    // with 400 distinct terms in 4096 buckets, most estimates are exact
+    val exactHits = exact.count { case (t, n) => est(t) == n }
+    assert(exactHits > 300, s"only $exactHits exact of 400")
+    // a term never inserted can only collide, never invent a full column
+    val ghost = Sketches.cmsQuery(sketch, Seq("never-seen").toDF("w"),
+      col("w"), d = 4, w = 4096).head().getLong(1)
+    assert(ghost < 20, s"ghost term estimated $ghost")
+  }
+
+  test("count-min sketches merge by adding counts on (row, bucket)") {
+    val (pa, pb) = (1 to 300).map(i => s"w${i % 50}").splitAt(170)
+    def cms(xs: Seq[String]) = Sketches.cmsBuild(xs.toDF("w"), col("w"), 3, 512)
+    val whole = cms(pa ++ pb)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val summed = cms(pa).withColumn("part", lit("a"))
+      .union(cms(pb).withColumn("part", lit("b")))
+      .groupBy("row", "bucket").agg(sum("n").as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(whole == summed)
+  }
+
+  test("hdrHistogram refuses negative values loudly") {
+    val e = intercept[Exception] {
+      Seq(-3L).toDF("v").transform(d =>
+        Sketches.hdrHistogram(d, lit("g"), col("v"), 4)).collect()
+    }
+    assert(e.getMessage.contains("negative") ||
+      e.getCause != null && e.getCause.getMessage.contains("negative"))
+  }
+}

@@ -29,6 +29,30 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming KMV distinct sketch equals the batch sketch per window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.kmvDistinctStream(input.toDF(), col("user_id"), k = 16)
+      .writeStream.format("memory").queryName("kmv_out")
+      .outputMode("complete").start()
+    try {
+      def ev(id: Long, minute: Long, user: Long) =
+        EventStreams.Event(id, new java.sql.Timestamp(minute * 60000L), user, "click", 1.0)
+      // two hour-windows; 37 distinct users with heavy repeats, so window 0
+      // exceeds k (estimator arm) while window 1 may sit below it
+      val evs = (1 to 200).map(i => ev(i, i % 90, i % 37))
+      input.addData(evs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("kmv_out")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = graft.ops.Sketches.kmvDistinct(
+          evs.toDF(), window(col("ts"), "1 hour").getField("start"),
+          col("user_id"), k = 16)
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(3))).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions on gap, keeps open ones in state") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStreams.Event]
