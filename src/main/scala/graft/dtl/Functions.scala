@@ -239,6 +239,42 @@ object FunctionRegistry {
     arity("approx_count_distinct", 1) { (args, pos) =>
       TypedCol(approx_count_distinct(args.head.col), TInt64)
     },
+    // deterministic distinct-count sketch (unlike approx_count_distinct
+    // this replays exactly in any engine → it HAS a SQL oracle): the KMV
+    // estimate with literal k. One bounded <=k-array aggregation buffer.
+    arity("kmv_distinct", 2) { (args, pos) =>
+      if (args.head.dtype.isInstanceOf[TExt])
+        fail(pos, "kmv_distinct is not defined for extension types")
+      val k = org.apache.spark.sql.GraftColumnBridge.literalValue(args(1).col) match {
+        case Some(i: Long) if i >= 2 && i <= (1 << 20) => i.toInt
+        case Some(i: Int) if i >= 2 && i <= (1 << 20) => i
+        case _ => fail(pos, "kmv_distinct expects an INT64 literal k in [2, 2^20]")
+      }
+      val agg = udaf(new graft.ops.Sketches.KmvAgg(k),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val hashes = agg(graft.ops.Sketches.hash60(args.head.col))
+        .getField("hashes")
+      TypedCol(graft.ops.Sketches.kmvEstimate(hashes, k), TDouble)
+    },
+    // log-linear-histogram quantile (relative error <= 2^-p) as one
+    // bounded-buffer aggregate — the percentile that survives corpus-sized
+    // groups; integer-exact buckets, so also SQL-oracle-able
+    arity("sketch_quantile", 3) { (args, pos) =>
+      if (args.head.dtype != TInt64)
+        fail(pos, "sketch_quantile expects an INT64 value column")
+      val q = org.apache.spark.sql.GraftColumnBridge.literalValue(args(1).col) match {
+        case Some(d: Double) if d > 0.0 && d <= 1.0 => d
+        case _ => fail(pos, "sketch_quantile expects a DOUBLE literal q in (0, 1]")
+      }
+      val p = org.apache.spark.sql.GraftColumnBridge.literalValue(args(2).col) match {
+        case Some(i: Long) if i >= 0 && i <= 20 => i.toInt
+        case Some(i: Int) if i >= 0 && i <= 20 => i
+        case _ => fail(pos, "sketch_quantile expects an INT64 literal p in [0, 20]")
+      }
+      val agg = udaf(new graft.ops.Sketches.HdrQuantileAgg(p, q),
+        org.apache.spark.sql.Encoders.scalaLong)
+      TypedCol(agg(args.head.col), TInt64)
+    },
     arity("stddev", 1) { (args, pos) =>
       if (!isNumeric(args.head.dtype)) fail(pos, "stddev expects a numeric argument")
       TypedCol(stddev_samp(args.head.col), TDouble)

@@ -142,6 +142,60 @@ object Sketches {
       .otherwise(lit((k - 1).toDouble) * lit(TwoPow60) /
         element_at(sketch, k).cast("double")), 4)
 
+  /** Row-local JVM twin of [[hdrBounds]]'s lower bound — identical integer
+    * arithmetic ((v >>> shift) << shift == ⌊v/2^shift⌋·2^shift), pinned
+    * equal to the Column form in SketchesSpec.
+    */
+  def hdrLo(v: Long, p: Int): Long =
+    if (v < (1L << p)) v
+    else {
+      val shift = (63 - java.lang.Long.numberOfLeadingZeros(v)) - p
+      (v >>> shift) << shift
+    }
+
+  /** Log-linear histogram buffer: bucket-lower-bound → count. Bounded at
+    * ~64·2ᵖ entries whatever the data volume.
+    */
+  case class HdrHist(counts: Map[Long, Long])
+
+  /** The log-linear quantile as ONE aggregate (for surfaces that need a
+    * single aggregate expression — the DTL `sketch_quantile` registry
+    * entry): buffer is the bounded bucket→count map, finish walks the
+    * cumulative counts to ⌈q·N⌉ and returns the holding bucket's LOWER
+    * bound (true quantile within 2⁻ᵖ above). Same buckets as
+    * [[hdrHistogram]], so estimates agree with the DataFrame surface and
+    * replay in SQL. Returns -1 on an empty group (global agg over an
+    * empty frame); negative inputs throw.
+    */
+  final class HdrQuantileAgg(p: Int, q: Double)
+      extends Aggregator[Long, HdrHist, Long] {
+    require(p >= 0 && p <= 20, s"sub-bucket bits must be in [0,20], got $p")
+    require(q > 0.0 && q <= 1.0, s"quantile must be in (0,1], got $q")
+    def zero: HdrHist = HdrHist(Map.empty)
+    def reduce(b: HdrHist, v: Long): HdrHist = {
+      if (v < 0) throw new IllegalArgumentException(
+        s"sketch_quantile: negative value $v")
+      val lo = hdrLo(v, p)
+      HdrHist(b.counts.updated(lo, b.counts.getOrElse(lo, 0L) + 1L))
+    }
+    def merge(a: HdrHist, b: HdrHist): HdrHist =
+      HdrHist(b.counts.foldLeft(a.counts) { case (acc, (lo, n)) =>
+        acc.updated(lo, acc.getOrElse(lo, 0L) + n) })
+    def finish(b: HdrHist): Long = {
+      if (b.counts.isEmpty) return -1L
+      val total = b.counts.valuesIterator.sum
+      val rank = math.ceil(q * total.toDouble).toLong
+      var cum = 0L
+      for (lo <- b.counts.keys.toArray.sorted) {
+        cum += b.counts(lo)
+        if (cum >= rank) return lo
+      }
+      -1L // unreachable: cum ends at total >= rank
+    }
+    def bufferEncoder: Encoder[HdrHist] = Encoders.product[HdrHist]
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
   /** Count-min row/bucket assignment: row-salted 32-bit md5 (the engine-
     * portable [[Curation.hashUniform]] construction) mod `w`. Nonnegative,
     * so `%` and `pmod` agree in every engine.

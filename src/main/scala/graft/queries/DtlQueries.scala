@@ -80,6 +80,19 @@ object DtlQueries {
         |  GROUP BY l_returnflag;
         |EXPORT output TO 'output';""".stripMargin)),
 
+    // the mergeable-sketch aggregates on the language surface: a DTL user
+    // gets corpus-scale distinct counts and quantiles with bounded
+    // aggregation buffers — and, unlike approx_count_distinct, both are
+    // deterministic enough to carry a DuckDB oracle
+    "dtl_sketch" -> ((s, d) => run(s, d,
+      """WITH documents AS IMPORT 'documents';
+        |WITH output AS
+        |  SELECT lang, kmv_distinct(text, 128) AS est_distinct,
+        |         sketch_quantile(n_chars, 0.5, 4) AS p50_lo
+        |  FROM documents
+        |  GROUP BY lang;
+        |EXPORT output TO 'output';""".stripMargin)),
+
     "dtl_distinct" -> ((s, d) => run(s, d,
       """WITH customer AS IMPORT 'customer';
         |WITH output AS SELECT DISTINCT c_mktsegment FROM customer;
@@ -339,6 +352,34 @@ object DtlQueries {
       """SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n,
         | min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "dtl_sketch" ->
+      """WITH h AS (
+        |  SELECT DISTINCT lang, ('0x'||substr(md5(text),1,15))::BIGINT AS hv
+        |  FROM documents),
+        |r AS (SELECT lang, hv,
+        |        row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn FROM h),
+        |km AS (SELECT lang, count(*) AS nk, max(hv) AS kth
+        |       FROM r WHERE rn <= 128 GROUP BY lang),
+        |est AS (SELECT lang,
+        |        round(CASE WHEN nk < 128 THEN CAST(nk AS DOUBLE)
+        |              ELSE 127.0 * power(2.0, 60) / CAST(kth AS DOUBLE) END, 4)
+        |          AS est_distinct FROM km),
+        |pwv AS (SELECT lang, n_chars AS v,
+        |          CAST(power(2.0, length(bin(n_chars)) - 1 - 4) AS BIGINT) AS pw
+        |        FROM documents),
+        |bk AS (SELECT lang,
+        |        CASE WHEN v < 16 THEN v
+        |             ELSE CAST(floor(CAST(v AS DOUBLE) / CAST(pw AS DOUBLE)) AS BIGINT) * pw
+        |        END AS lo FROM pwv),
+        |hg AS (SELECT lang, lo, count(*) AS n FROM bk GROUP BY lang, lo),
+        |c AS (SELECT lang, lo,
+        |        sum(n) OVER (PARTITION BY lang ORDER BY lo) AS cum,
+        |        sum(n) OVER (PARTITION BY lang) AS total FROM hg),
+        |med AS (SELECT lang, min(lo) AS p50_lo FROM c
+        |        WHERE cum >= ceil(CAST(0.5 AS DOUBLE) * CAST(total AS DOUBLE))
+        |        GROUP BY lang)
+        |SELECT est.lang, est.est_distinct, med.p50_lo
+        |FROM est JOIN med ON med.lang = est.lang""".stripMargin,
     "dtl_distinct" ->
       "SELECT DISTINCT c_mktsegment FROM customer",
     "dtl_multi_join" ->

@@ -81,6 +81,19 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("hdrLo (JVM, the single-aggregate path) equals hdrBounds lo (Column) bit for bit") {
+    val vals = (Seq(0L, 1L, 15L, 16L, 31L, 32L, 1000L, 123456789L) ++
+      (1 to 200).map(i => (i.toLong * 2654435761L) % (1L << 50))).distinct
+    for (p <- Seq(0, 2, 4, 6)) {
+      val (lo, _) = Sketches.hdrBounds(col("v"), p)
+      val colSide = vals.toDF("v").select(col("v"), lo.as("lo"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      vals.foreach { v =>
+        assert(Sketches.hdrLo(v, p) == colSide(v), s"p=$p v=$v")
+      }
+    }
+  }
+
   test("hdrQuantiles bracket the exact quantiles; histograms merge by adding counts") {
     val vals = (1 to 20000).map(i => (i.toLong * i) % 999983 + 1)
     val df = vals.toDF("v")
