@@ -283,4 +283,30 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(hashes.subsetOf(Set("centroid_id", "vec_id")),
       s"unexpected hash exchange keys $hashes:\n$p")
   }
+
+  test("KMV sketch aggregates partial-then-final: the shuffle carries sketch buffers, not rows") {
+    val p = plan("pipe_sketch_distinct")
+    // typed-Aggregator aggs plan as ObjectHashAggregate; partial + final
+    // around one group exchange means map-side buffers (<=k longs each)
+    // are what cross the wire
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"KMV not partial-aggregated:\n$p")
+    val hashes = "hashpartitioning\\((\\w+)".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(hashes.subsetOf(Set("group")), s"unexpected exchange keys $hashes:\n$p")
+  }
+
+  test("count-min probe broadcasts the <=d*w sketch; build is one count aggregation") {
+    val p = plan("pipe_sketch_freq")
+    assert(p.contains("BroadcastHashJoin"), s"sketch side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("log-linear quantiles: corpus aggregates by bucket; windows touch only bucket rows") {
+    val p = plan("pipe_sketch_quantiles")
+    // the corpus-sized exchange is the (group, bucket) count agg; the
+    // cumulative walk windows partition on group over bounded bucket rows
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"histogram not partial-aggregated:\n$p")
+    assert(!p.contains("rangepartitioning"), s"no global sort allowed:\n$p")
+  }
 }
