@@ -1,0 +1,89 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Curation, Similarity}
+
+/** Dev tooling: MEASURED recall of the approximate similarity paths against
+  * exact ground truth on the shipped embeddings — the accuracy/cost curve a
+  * user needs before picking C/nProbe/m for a real corpus ("measure, don't
+  * guess"). Not a gate (recall is a quality metric, not a correctness
+  * contract); numbers quoted in README's scale notes.
+  *
+  * Usage: sbt "runMain graft.tools.AnnRecall [sfDir]"   (default sf0.1)
+  */
+object AnnRecall {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val n = emb.count()
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    // deterministic ~5% query sample (md5 keyed on vec_id, any engine replays)
+    val queries = Curation.hashSample(emb, col("vec_id"), 0.05).cache()
+    val nq = queries.count()
+    val k = 10
+    println(s"corpus $n vectors dim $dim; $nq queries; recall@$k")
+
+    def recallOf(approx: org.apache.spark.sql.DataFrame,
+        truth: Map[Long, Set[Long]]): Double = {
+      val got = approx.collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+        .sum / truth.size
+    }
+
+    // --- IVF vs exact cosine -------------------------------------------
+    val truthCos = Similarity.bruteForceTopK(
+        emb, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), k)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val c = 64
+    val (assigned, cents) = Similarity.ivfAssignKmeans(
+      emb, col("vec_id"), col("embedding"), nCentroids = c, iters = 5, dim = dim)
+    assigned.cache().count()
+    for (nProbe <- Seq(1, 2, 4, 8, 16)) {
+      val r = recallOf(Similarity.ivfTopK(assigned, cents, queries,
+        col("vec_id"), col("embedding"), k, nProbe), truthCos)
+      println(f"  IVF C=$c nProbe=$nProbe%2d: recall@$k = $r%.3f " +
+        f"(scans ~${100.0 * nProbe / c}%.0f%% of corpus)")
+    }
+
+    // --- PQ/ADC vs exact L2 --------------------------------------------
+    // pqSearch is per-query (the index-probe entry point), so measure a
+    // bounded deterministic subset
+    val pqQ = queries.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+    val exactL2 = (qv: Seq[Double]) => emb.select(col("vec_id"),
+        aggregate(zip_with(col("embedding").cast("array<double>"),
+          typedLit(qv), (a, b) => (a - b) * (a - b)), lit(0.0), _ + _).as("d2"))
+      .orderBy(col("d2").asc, col("vec_id").asc).limit(k)
+      .collect().map(_.getLong(0)).toSet
+    val truthL2 = pqQ.map { case (qid, qv) => qid -> exactL2(qv) }.toMap
+    for ((m, kStar) <- Seq((8, 16), (8, 256))) {
+      val books = Similarity.pqTrain(emb, col("vec_id"), col("embedding"),
+        m = m, k = kStar, iters = 5, dim = dim)
+      val encoded = Similarity.pqEncode(
+        emb, col("vec_id"), col("embedding"), books, dim).cache()
+      encoded.count()
+      val pqRecall = pqQ.map { case (qid, qv) =>
+        val got = Similarity.pqSearch(encoded, books, qv, dim, k)
+          .collect().map(_.getLong(0)).toSet
+        got.intersect(truthL2(qid)).size.toDouble / truthL2(qid).size
+      }
+      println(f"  PQ m=$m k*=$kStar%3d (${dim * 4}B -> ${m}B/vec): recall@$k = " +
+        f"${pqRecall.sum / pqRecall.length}%.3f over ${pqQ.length} queries")
+      encoded.unpersist()
+    }
+
+    spark.stop()
+  }
+}
