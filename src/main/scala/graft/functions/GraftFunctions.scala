@@ -55,6 +55,9 @@ object GraftFunctions {
         intArg(args(2), "nearest_centroids_l2(_, _, k)"))
     },
     "gopher_stats" -> { args => GopherStatsExpression(args.head) },
+    // the one-call keep/drop decision (NULL = keep, else first failing
+    // rule) — the codegen-tiny form every gopher-gated scan should use
+    "gopher_verdict" -> { args => GopherVerdictExpression(args.head) },
     "ngram_repeat" -> { args =>
       NgramRepeatExpression(args(0), intArg(args(1), "ngram_repeat(_, n)"))
     },

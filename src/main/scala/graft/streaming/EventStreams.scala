@@ -70,6 +70,25 @@ object EventStreams {
         graft.ops.Sketches.kmvEstimate(col("hashes"), k).as("est_distinct"))
   }
 
+  /** Streaming quantiles with bounded state: the log-linear-histogram
+    * aggregate ([[graft.ops.Sketches.HdrQuantileAgg]]) per event-time
+    * window. An exact streaming percentile would need every value in
+    * state; this needs the ≤ ~64·2ᵖ bucket map per window (relative error
+    * ≤ 2⁻ᵖ) and the same integer-exact buckets as the batch operator, so
+    * live windows reconcile against batch recomputation bit-for-bit
+    * (pinned in `EventStreamsSpec`).
+    */
+  def sketchQuantileStream(events: DataFrame, value: Column, q: Double,
+      p: Int, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val agg = udaf(new graft.ops.Sketches.HdrQuantileAgg(p, q),
+      org.apache.spark.sql.Encoders.scalaLong)
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(count(lit(1)).as("n"), agg(value.cast("long")).as("q_lo"))
+      .select(col("window.start").as("window_start"), col("n"), col("q_lo"))
+  }
+
   /** Exactly-once ingestion dedup: drop events whose `event_id` was already
     * seen, keeping dedup state only as long as the watermark requires — at-
     * least-once upstream delivery (Kafka replays, file re-lists) becomes

@@ -47,6 +47,15 @@ object ExtensionsCheck {
     assert(g.getString(6) == "a\nb")
     println("round-4 functions: OK")
 
+    // round-5: one-call gopher verdict (NULL = keep, else first failing rule)
+    val v = spark.sql(
+      "SELECT gopher_verdict('tiny') AS bad, " +
+        "gopher_verdict(repeat('the data and for that with this are well done ', 10)) AS ok")
+      .head()
+    assert(v.getString(0) == "n_words", s"verdict: ${v.getString(0)}")
+    assert(v.isNullAt(1), "long stopworded text must pass")
+    println("round-5 functions: OK")
+
     // injected optimizer rule: SQL abs-distance join plans as a hash join
     Seq((1L, 10L), (2L, 500L)).toDF("lid", "lv").createOrReplaceTempView("l")
     Seq((9L, 12L), (8L, 100L)).toDF("rid", "rv").createOrReplaceTempView("r")

@@ -337,6 +337,25 @@ object ScaleProbe {
     }
     println(f"  mean slice p50 bracket lo $hdrMedian%,.0f vs true ~500000 " +
       f"(rel err bound ${100.0 / 64}%.1f%%)")
+    val cmsW = 65536
+    val cms = graft.ops.Sketches.cmsBuild(
+      skDf.select(col("v")), col("v"), d = 4, w = cmsW)
+    val cmsRows = time(f"count-min d=4 w=$cmsW%,d build ($n%,d terms)") {
+      cms.cache().count()
+    }
+    // the whole point: whatever the corpus, the sketch is <= d*w rows —
+    // partials collapse map-side onto the bounded key space
+    assert(cmsRows <= 4L * cmsW, s"CMS leaked $cmsRows rows")
+    val probed = time("  probe 3 planted terms (broadcast min-join)") {
+      graft.ops.Sketches.cmsQuery(cms,
+          Seq("v0", "v1", "no-such-term").toDF("t"), col("t"), 4, cmsW)
+        .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted
+    }
+    // with ~n/2 distinct terms >> w the counters saturate: estimates carry
+    // the expected ~N/w overcount (true counts here: v0=v1=2, ghost=0)
+    println(s"  sketch rows $cmsRows (cap ${4 * cmsW}); ${probed.mkString(", ")} " +
+      s"(expected overcount ~N/w = ${n / cmsW})")
+    cms.unpersist()
 
     println(s"== audited gate overhead (mark-and-sweep provenance) ==")
     // same 5M-doc corpus as the gopher section: the audit knob must cost

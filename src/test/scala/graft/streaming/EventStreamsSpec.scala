@@ -53,6 +53,32 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sketch-quantile equals the batch single-aggregate per window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sketchQuantileStream(
+        input.toDF(), col("event_id"), q = 0.5, p = 4)
+      .writeStream.format("memory").queryName("sq_out")
+      .outputMode("complete").start()
+    try {
+      def ev(id: Long, minute: Long) =
+        EventStreams.Event(id, new java.sql.Timestamp(minute * 60000L), 1L, "click", 1.0)
+      val evs = (1 to 300).map(i => ev((i.toLong * i) % 997, i % 150))
+      input.addData(evs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sq_out")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+      val agg = org.apache.spark.sql.functions.udaf(
+        new graft.ops.Sketches.HdrQuantileAgg(4, 0.5),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val batch = evs.toDF()
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("ws"))
+        .agg(count(lit(1)).as("n"), agg(col("event_id")).as("q_lo"))
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch && streamed.size >= 2)
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions on gap, keeps open ones in state") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStreams.Event]
