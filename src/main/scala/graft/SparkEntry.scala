@@ -50,5 +50,6 @@ object SparkEntry {
     "pipe_pagerank", "pipe_bm25", "pipe_label_noise",
     "pipe_gopher_rules", "pipe_hard_negatives", "pipe_length_batches",
     "pipe_temperature_mix", "pipe_unigram", "pipe_knn_graph",
-    "pipe_audit_trail")
+    "pipe_audit_trail", "pipe_sketch_distinct", "pipe_sketch_freq",
+    "pipe_corpus_report_sketch")
 }

@@ -68,9 +68,11 @@ object AnnRecall {
       .orderBy(col("d2").asc, col("vec_id").asc).limit(k)
       .collect().map(_.getLong(0)).toSet
     val truthL2 = pqQ.map { case (qid, qv) => qid -> exactL2(qv) }.toMap
-    for ((m, kStar) <- Seq((8, 16), (8, 256))) {
-      val books = Similarity.pqTrain(emb, col("vec_id"), col("embedding"),
+    val booksByConfig = Seq((8, 16), (8, 256)).map { case (m, kStar) =>
+      (m, kStar) -> Similarity.pqTrain(emb, col("vec_id"), col("embedding"),
         m = m, k = kStar, iters = 5, dim = dim)
+    }
+    for (((m, kStar), books) <- booksByConfig) {
       val encoded = Similarity.pqEncode(
         emb, col("vec_id"), col("embedding"), books, dim).cache()
       encoded.count()
@@ -82,6 +84,27 @@ object AnnRecall {
       println(f"  PQ m=$m k*=$kStar%3d (${dim * 4}B -> ${m}B/vec): recall@$k = " +
         f"${pqRecall.sum / pqRecall.length}%.3f over ${pqQ.length} queries")
       encoded.unpersist()
+    }
+
+    // --- IVF-PQ (the composed codes-only on-disk index) vs exact L2 ----
+    // per-query index probes: measure a bounded subset
+    val (_, qcents) = Similarity.kmeansQuantized(
+      emb, col("vec_id"), col("embedding"), c, 5, dim)
+    val books256 = booksByConfig.last._2
+    val idxDir = java.nio.file.Files.createTempDirectory("ann-ivfpq").toString
+    Similarity.ivfPqWriteIndex(emb, col("vec_id"), col("embedding"),
+      qcents, books256, dim, idxDir)
+    val ipQ = pqQ.take(40)
+    for (nProbe <- Seq(4, 16)) {
+      val r = ipQ.map { case (qid, qv) =>
+        val got = Similarity.ivfPqTopK(spark, idxDir, qcents, books256,
+            qv, dim, k, nProbe)
+          .collect().map(_.getLong(0)).toSet
+        got.intersect(truthL2(qid)).size.toDouble / truthL2(qid).size
+      }
+      println(f"  IVF-PQ C=$c nProbe=$nProbe%2d m=8 k*=256: recall@$k = " +
+        f"${r.sum / r.length}%.3f over ${ipQ.length} queries " +
+        f"(reads ~${100.0 * nProbe / c}%.0f%% of index bytes)")
     }
 
     spark.stop()
