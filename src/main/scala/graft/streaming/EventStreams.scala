@@ -89,6 +89,40 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("n"), col("q_lo"))
   }
 
+  /** The data card as a STREAM: per event-time window, the same per-slice
+    * statistics as [[graft.ops.Audit.corpusReportSketched]] — doc/token
+    * counts, mean quality, KMV distinct estimate of the normalized text,
+    * log-linear p50 length bracket — in ONE windowed aggregation whose
+    * state per (window, slice) is counters + the ≤k hash array + the
+    * bounded bucket map. A live crawl gets its quality dashboard without
+    * any batch pass; window results merge with batch shard sketches (same
+    * hashes, same buckets). `docs` needs (ts, slice, text).
+    */
+  def corpusReportStream(docs: DataFrame, k: Int = 256, p: Int = 4,
+      windowLen: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val kmv = udaf(new graft.ops.Sketches.KmvAgg(k), Encoders.scalaLong)
+    val med = udaf(new graft.ops.Sketches.HdrQuantileAgg(p, 0.5), Encoders.scalaLong)
+    docs.withWatermark("ts", watermark)
+      .select(col("ts"), col("slice"),
+        graft.ops.TextAnalysis.tokenCount(col("text")).cast("long").as("__tok"),
+        length(col("text")).cast("long").as("__len"),
+        graft.ops.TextAnalysis.qualityScore(col("text")).as("__q"),
+        graft.ops.Sketches.hash60(
+          regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("__h"))
+      .groupBy(window(col("ts"), windowLen), col("slice"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("n_tokens"),
+        round(avg(col("__q")), 6).as("mean_quality"),
+        med(col("__len")).as("p50_chars"),
+        kmv(col("__h")).getField("hashes").as("__hs"))
+      .select(col("window.start").as("window_start"), col("slice"),
+        col("n_docs"), col("n_tokens"), col("mean_quality"), col("p50_chars"),
+        round(lit(1.0) - graft.ops.Sketches.kmvEstimate(col("__hs"), k) /
+          col("n_docs").cast("double"), 6).as("dup_rate_est"))
+  }
+
   /** Exactly-once ingestion dedup: drop events whose `event_id` was already
     * seen, keeping dedup state only as long as the watermark requires — at-
     * least-once upstream delivery (Kafka replays, file re-lists) becomes

@@ -56,6 +56,27 @@ class SketchesSpec extends AnyFunSuite {
     assert(direct == merged)
   }
 
+  test("KMV shard artifacts persist to parquet and roll up after reload") {
+    // the 100 TB workflow: each shard writes its sketch next to its data;
+    // the corpus estimate later comes from the tiny artifact files alone
+    val k = 32
+    val dir = java.nio.file.Files.createTempDirectory("kmv-artifacts").toString
+    val shards = Seq(
+      (1 to 400).map(i => s"s1-$i") ++ (1 to 100).map(i => s"x$i"),
+      (1 to 300).map(i => s"s2-$i") ++ (1 to 100).map(i => s"x$i"))
+    shards.zipWithIndex.foreach { case (vs, i) =>
+      Sketches.kmvSketches(vs.toDF("v"), lit(s"shard$i"), col("v"), k)
+        .write.parquet(s"$dir/shard$i")
+    }
+    val merged = spark.read.parquet(s"$dir/shard0", s"$dir/shard1")
+      .select(explode(col("hashes")).as("hv")).distinct()
+      .orderBy("hv").limit(k)
+      .agg(collect_list("hv")).head().getSeq[Long](0)
+    val direct = Sketches.kmvSketches(
+      shards.flatten.toDF("v"), lit("all"), col("v"), k).head().getSeq[Long](1)
+    assert(merged == direct)
+  }
+
   test("KMV sketch is identical across partitionings and input order") {
     val vs = (1 to 3000).map(i => s"v$i")
     val one = Sketches.kmvSketches(

@@ -79,6 +79,36 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming data card equals the batch sketched report per window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, String)]
+    val q = EventStreams.corpusReportStream(
+        input.toDF().toDF("ts", "slice", "text"), k = 32, p = 4)
+      .writeStream.format("memory").queryName("card_out")
+      .outputMode("complete").start()
+    try {
+      def doc(minute: Long, slice: String, text: String) =
+        (new java.sql.Timestamp(minute * 60000L), slice, text)
+      val docs = (1 to 120).map { i =>
+        val body = s"some document body number ${i % 40} with several words " * (i % 3 + 1)
+        doc(i, if (i % 2 == 0) "web" else "wiki", body) // dups: i%40 collides
+      }
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("card_out").collect().map(r =>
+        (r.getTimestamp(0).getTime / 3600000, r.getString(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4), r.getLong(5), r.getDouble(6))).toSet
+      val batch = docs.groupBy(_._1.getTime / 3600000).toSeq.flatMap { case (h, ds) =>
+        graft.ops.Audit.corpusReportSketched(
+            ds.toDF("ts", "slice", "text"), col("slice"), col("text"),
+            k = 32, p = 4)
+          .collect().toSeq.map(r => (h, r.getString(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3), r.getLong(5) /* p50_chars */, r.getDouble(7)))
+      }.toSet
+      assert(streamed == batch && streamed.size >= 3)
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions on gap, keeps open ones in state") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStreams.Event]
