@@ -615,6 +615,32 @@ class EngineSpec extends AnyFunSuite {
         |WITH o AS SELECT g, percentile(v, v) AS p FROM input GROUP BY g;
         |EXPORT o TO 'o';""".stripMargin,
       "must be a DOUBLE literal")
+    // sketch aggregate parameter validation (k/q/p must be sane literals)
+    rejects(
+      """WITH input AS IMPORT 'input';
+        |WITH o AS SELECT g, kmv_distinct(v, 1) AS d FROM input GROUP BY g;
+        |EXPORT o TO 'o';""".stripMargin,
+      "literal k in [2, 2^20]")
+    rejects(
+      """WITH input AS IMPORT 'input';
+        |WITH o AS SELECT g, kmv_distinct(v, i) AS d FROM input GROUP BY g;
+        |EXPORT o TO 'o';""".stripMargin,
+      "literal k in [2, 2^20]")
+    rejects(
+      """WITH input AS IMPORT 'input';
+        |WITH o AS SELECT g, sketch_quantile(i, 1.5, 4) AS p FROM input GROUP BY g;
+        |EXPORT o TO 'o';""".stripMargin,
+      "literal q in (0, 1]")
+    rejects(
+      """WITH input AS IMPORT 'input';
+        |WITH o AS SELECT g, sketch_quantile(v, 0.5, 4) AS p FROM input GROUP BY g;
+        |EXPORT o TO 'o';""".stripMargin,
+      "INT64 value column")
+    rejects(
+      """WITH input AS IMPORT 'input';
+        |WITH o AS SELECT g, sketch_quantile(i, 0.5, 64) AS p FROM input GROUP BY g;
+        |EXPORT o TO 'o';""".stripMargin,
+      "literal p in [0, 20]")
   }
 
   test("percentile aggregate interpolates per group") {
