@@ -272,7 +272,7 @@ object FunctionRegistry {
         case _ => fail(pos, "sketch_quantile expects an INT64 literal p in [0, 20]")
       }
       val agg = udaf(new graft.ops.Sketches.HdrQuantileAgg(p, q),
-        org.apache.spark.sql.Encoders.scalaLong)
+        org.apache.spark.sql.Encoders.LONG)
       TypedCol(agg(args.head.col), TInt64)
     },
     arity("stddev", 1) { (args, pos) =>

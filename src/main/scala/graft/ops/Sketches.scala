@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.{EvalMode, IntegralDivide}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
@@ -111,11 +112,8 @@ object Sketches {
     kmvSketches(df, group, value, k)
       .select(col("group"),
         size(col("hashes")).cast("long").as("n_kept"),
-        element_at(col("hashes"), -1).as("kth_hash"))
-      .select(col("group"), col("n_kept"), col("kth_hash"),
-        round(when(col("n_kept") < k, col("n_kept").cast("double"))
-          .otherwise(lit((k - 1).toDouble) * lit(TwoPow60) /
-            col("kth_hash").cast("double")), 4).as("est_distinct"))
+        element_at(col("hashes"), -1).as("kth_hash"),
+        kmvEstimate(col("hashes"), k).as("est_distinct"))
 
   /** The per-group sketch ARTIFACT: (group, hashes) with `hashes` the
     * ascending ≤k smallest distinct 60-bit value hashes. This is what a
@@ -164,15 +162,19 @@ object Sketches {
     * cumulative counts to ⌈q·N⌉ and returns the holding bucket's LOWER
     * bound (true quantile within 2⁻ᵖ above). Same buckets as
     * [[hdrHistogram]], so estimates agree with the DataFrame surface and
-    * replay in SQL. Returns -1 on an empty group (global agg over an
-    * empty frame); negative inputs throw.
+    * replay in SQL. NULL inputs are IGNORED like every built-in aggregate
+    * (hence the boxed input type: a primitive-Long encoder would kill the
+    * job on the first NULL instead); negative inputs throw. Returns -1 on
+    * a group with no non-null values.
     */
   final class HdrQuantileAgg(p: Int, q: Double)
-      extends Aggregator[Long, HdrHist, Long] {
+      extends Aggregator[java.lang.Long, HdrHist, Long] {
     require(p >= 0 && p <= 20, s"sub-bucket bits must be in [0,20], got $p")
     require(q > 0.0 && q <= 1.0, s"quantile must be in (0,1], got $q")
     def zero: HdrHist = HdrHist(Map.empty)
-    def reduce(b: HdrHist, v: Long): HdrHist = {
+    def reduce(b: HdrHist, boxed: java.lang.Long): HdrHist = {
+      if (boxed == null) return b
+      val v = boxed.longValue
       if (v < 0) throw new IllegalArgumentException(
         s"sketch_quantile: negative value $v")
       val lo = hdrLo(v, p)
@@ -244,19 +246,28 @@ object Sketches {
   /** Log-linear bucket bounds (lo, hi) for a nonnegative integer value
     * with 2ᵖ sub-buckets per octave: values below 2ᵖ are their own bucket
     * (exact); above, the bucket spans 2^(⌊log₂v⌋−p) values, so
-    * hi/lo − 1 ≤ 2⁻ᵖ — the relative error guarantee. Integer-exact in any
-    * engine: ⌊log₂ v⌋ is bit-length (`length(bin(v))−1`, no libm), and
-    * division by 2^shift is exact in IEEE doubles for v < 2⁵³.
+    * hi/lo − 1 ≤ 2⁻ᵖ — the relative error guarantee. Integer-exact over
+    * the FULL long range in any engine: ⌊log₂ v⌋ is bit-length
+    * (`length(bin(v))−1`, no libm) and the truncation is Catalyst
+    * IntegralDivide (never a double round-trip, which would mis-bucket
+    * v ≥ 2⁵³ — pinned equal to the JVM twin [[hdrLo]] in SketchesSpec).
+    * SQL replay: `CAST(floor(v/2^shift)…)` matches below 2⁵³ (the double
+    * division by a power of two is exact there); engines with an integer
+    * `>>` reproduce the full range.
     */
   def hdrBounds(v: Column, p: Int): (Column, Column) = {
     require(p >= 0 && p <= 20, s"sub-bucket bits must be in [0,20], got $p")
     val exp = (length(bin(v)) - 1).cast("int")
     val pw = pow(lit(2.0), (exp - p).cast("double")).cast("long")
-    val lo = when(v < (1L << p), v)
-      .otherwise(floor(v.cast("double") / pw.cast("double")).cast("long") * pw)
+    val lo = when(v < (1L << p), v).otherwise(intDiv(v, pw) * pw)
     val hi = when(v < (1L << p), v).otherwise(lo + pw - 1)
     (lo, hi)
   }
+
+  private def intDiv(a: Column, b: Column): Column =
+    GraftColumnBridge.column(IntegralDivide(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b),
+      EvalMode.LEGACY))
 
   /** Per-group log-linear histogram of a nonnegative integer `value`:
     * (group, bucket_lo, bucket_hi, n). At most ~64·2ᵖ buckets per group
@@ -270,6 +281,10 @@ object Sketches {
       lit("hdrHistogram: negative value "), v.cast("string")))).otherwise(v)
     val (lo, hi) = hdrBounds(col("__v"), p)
     df.select(group.as("group"), checked.as("__v"))
+      // NULL values are IGNORED, exactly like every built-in aggregate
+      // (percentile, avg): without this they'd count into a silent
+      // (null, null) bucket that sorts FIRST and shifts every quantile rank
+      .filter(col("__v").isNotNull)
       .select(col("group"), lo.as("bucket_lo"), hi.as("bucket_hi"))
       .groupBy("group", "bucket_lo", "bucket_hi")
       .agg(count(lit(1)).as("n"))

@@ -261,11 +261,10 @@ object CurationQueries {
         .select(explode(col("hashes")).as("hv"))
         .distinct()
         .orderBy("hv").limit(128)
-        .agg(count(lit(1)).as("n_kept"), max(col("hv")).as("kth_hash"))
-        .select(col("n_kept"), col("kth_hash"),
-          round(when(col("n_kept") < 128, col("n_kept").cast("double"))
-            .otherwise(lit(127.0) * lit(math.pow(2.0, 60)) /
-              col("kth_hash").cast("double")), 4).as("est_distinct"))
+        .agg(sort_array(collect_list(col("hv"))).as("hs"))
+        .select(size(col("hs")).cast("long").as("n_kept"),
+          element_at(col("hs"), -1).as("kth_hash"),
+          graft.ops.Sketches.kmvEstimate(col("hs"), 128).as("est_distinct"))
     }),
 
     // log-linear histogram quantiles of text length per language

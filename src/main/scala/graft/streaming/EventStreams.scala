@@ -67,7 +67,10 @@ object EventStreams {
       .agg(agg(graft.ops.Sketches.hash60(value)).getField("hashes").as("hashes"))
       .select(col("window.start").as("window_start"),
         size(col("hashes")).cast("long").as("n_kept"),
-        graft.ops.Sketches.kmvEstimate(col("hashes"), k).as("est_distinct"))
+        graft.ops.Sketches.kmvEstimate(col("hashes"), k).as("est_distinct"),
+        // the mergeable artifact itself, so a live window really can roll
+        // up with persisted batch shard sketches via kmvMerge
+        col("hashes"))
   }
 
   /** Streaming quantiles with bounded state: the log-linear-histogram
@@ -82,7 +85,7 @@ object EventStreams {
       p: Int, windowLen: String = "1 hour",
       watermark: String = "2 hours"): DataFrame = {
     val agg = udaf(new graft.ops.Sketches.HdrQuantileAgg(p, q),
-      org.apache.spark.sql.Encoders.scalaLong)
+      org.apache.spark.sql.Encoders.LONG)
     events.withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen))
       .agg(count(lit(1)).as("n"), agg(value.cast("long")).as("q_lo"))
@@ -102,7 +105,7 @@ object EventStreams {
       windowLen: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
     import org.apache.spark.sql.Encoders
     val kmv = udaf(new graft.ops.Sketches.KmvAgg(k), Encoders.scalaLong)
-    val med = udaf(new graft.ops.Sketches.HdrQuantileAgg(p, 0.5), Encoders.scalaLong)
+    val med = udaf(new graft.ops.Sketches.HdrQuantileAgg(p, 0.5), Encoders.LONG)
     docs.withWatermark("ts", watermark)
       .select(col("ts"), col("slice"),
         graft.ops.TextAnalysis.tokenCount(col("text")).cast("long").as("__tok"),

@@ -103,7 +103,11 @@ class SketchesSpec extends AnyFunSuite {
   }
 
   test("hdrLo (JVM, the single-aggregate path) equals hdrBounds lo (Column) bit for bit") {
-    val vals = (Seq(0L, 1L, 15L, 16L, 31L, 32L, 1000L, 123456789L) ++
+    // includes values past 2^53, where a double-division formulation
+    // rounds v upward and mis-buckets (the IntegralDivide form cannot)
+    val vals = (Seq(0L, 1L, 15L, 16L, 31L, 32L, 1000L, 123456789L,
+      (1L << 53) - 1, (1L << 53) + 1, (1L << 54) - 1, (1L << 62) + 12345L,
+      Long.MaxValue) ++
       (1 to 200).map(i => (i.toLong * 2654435761L) % (1L << 50))).distinct
     for (p <- Seq(0, 2, 4, 6)) {
       val (lo, _) = Sketches.hdrBounds(col("v"), p)
@@ -171,6 +175,22 @@ class SketchesSpec extends AnyFunSuite {
       .groupBy("row", "bucket").agg(sum("n").as("n"))
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(whole == summed)
+  }
+
+  test("NULL values are ignored by histogram, quantiles and the single aggregate") {
+    val df = Seq(Some(10L), None, Some(100L), Some(1000L), None, Some(10000L))
+      .toDF("v")
+    val hist = Sketches.hdrHistogram(df, lit("g"), col("v"), 4)
+    assert(hist.select(sum("n")).head().getLong(0) == 4) // nulls not counted
+    assert(hist.filter(col("bucket_lo").isNull).count() == 0)
+    val qOut = Sketches.hdrQuantiles(df, lit("g"), col("v"), 4, Seq(0.25, 1.0))
+      .collect().map(r => r.getDouble(1) -> r.getLong(2)).toMap
+    assert(qOut(0.25) == Sketches.hdrLo(10L, 4)) // rank 1 of the 4 non-nulls
+    assert(qOut(1.0) == Sketches.hdrLo(10000L, 4))
+    val agg = udaf(new Sketches.HdrQuantileAgg(4, 1.0),
+      org.apache.spark.sql.Encoders.LONG)
+    val single = df.agg(agg(col("v"))).head().getLong(0)
+    assert(single == Sketches.hdrLo(10000L, 4)) // no crash, nulls skipped
   }
 
   test("hdrHistogram refuses negative values loudly") {

@@ -43,8 +43,14 @@ class EventStreamsSpec extends AnyFunSuite {
       val evs = (1 to 200).map(i => ev(i, i % 90, i % 37))
       input.addData(evs: _*)
       q.processAllAvailable()
-      val streamed = spark.table("kmv_out")
-        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+      val out = spark.table("kmv_out").collect()
+      // the emitted artifact is the real sketch: ascending, sized n_kept
+      out.foreach { r =>
+        val hs = r.getSeq[Long](3)
+        assert(hs.size == r.getLong(1) && hs == hs.sorted)
+      }
+      val streamed = out
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
       val batch = graft.ops.Sketches.kmvDistinct(
           evs.toDF(), window(col("ts"), "1 hour").getField("start"),
           col("user_id"), k = 16)
@@ -70,7 +76,7 @@ class EventStreamsSpec extends AnyFunSuite {
         .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
       val agg = org.apache.spark.sql.functions.udaf(
         new graft.ops.Sketches.HdrQuantileAgg(4, 0.5),
-        org.apache.spark.sql.Encoders.scalaLong)
+        org.apache.spark.sql.Encoders.LONG)
       val batch = evs.toDF()
         .groupBy(window(col("ts"), "1 hour").getField("start").as("ws"))
         .agg(count(lit(1)).as("n"), agg(col("event_id")).as("q_lo"))
