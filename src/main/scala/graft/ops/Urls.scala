@@ -46,6 +46,46 @@ object Urls {
         when(length(query1) > 0, concat(lit("?"), query1)).otherwise(lit(""))))
   }
 
+  /** Host of an absolute URL: lowercased, port dropped, leading `www.`
+    * stripped (the [[canonicalize]] conventions). Empty string for
+    * non-absolute inputs — they have no host to block on.
+    */
+  def host(url: Column): Column =
+    regexp_replace(
+      regexp_extract(lower(trim(url)), "^[a-z][a-z0-9+.-]*://([^/?#:]+)", 1),
+      "^www\\.", "")
+
+  /** Every domain suffix of a host, most-specific first:
+    * `a.b.c` → `[a.b.c, b.c, c]` — the chain a blocklist entry can match
+    * at (blocking `example.com` must catch `ads.example.com`).
+    */
+  def hostSuffixes(h: Column): Column = {
+    val parts = split(h, "\\.")
+    transform(sequence(lit(0), size(parts) - 1), i =>
+      array_join(slice(parts, i + 1, size(parts) - i), "."))
+  }
+
+  /** Drop rows whose URL host equals OR is a subdomain of any blocked
+    * domain — the ad/tracker/spam-domain gate every crawl pipeline runs
+    * right after canonicalization. `blocked` is a one-TEXT-column frame
+    * (`domain`); it is collected and broadcast once, and the keep decision
+    * is a row-local codegen'd suffix-membership check — the corpus never
+    * shuffles (same recipe as decontaminate's benchmark shingles).
+    *
+    * Sized for real blocklists (the public ad/tracker lists are
+    * 10⁴–10⁵ domains — fine to scan per suffix). For a multi-million-entry
+    * list, switch to the explode-suffixes → broadcast semi-join → anti-join
+    * shape instead; the row-local form is the right default below that.
+    */
+  def domainBlocklist(df: DataFrame, url: Column, blocked: DataFrame): DataFrame = {
+    val bl = blocked.agg(
+      array_sort(collect_set(lower(trim(col("domain"))))).as("__bl"))
+    df.crossJoin(broadcast(bl))
+      .filter(!exists(hostSuffixes(host(url)),
+        s => array_contains(col("__bl"), s)))
+      .drop("__bl")
+  }
+
   /** One row per canonical URL: the highest-`quality` record wins, ties to
     * the smallest id. Input columns are preserved, plus `curl` (the
     * canonical key the group was formed on).

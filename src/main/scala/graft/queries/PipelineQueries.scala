@@ -420,6 +420,27 @@ object PipelineQueries {
         .select("doc_id", "curl", "kept")
     }),
 
+    // domain blocklist gate (planted hosts; blocking example.com must catch
+    // ads.example.com, NOT example.org; www/case-folding on both sides).
+    // The oracle decides keep/drop INDEPENDENTLY from the mod arithmetic —
+    // it never replays the suffix machinery
+    "pipe_url_blocklist" -> ((s, d) => {
+      val host = element_at(array(
+        lit("ads.example.com"), lit("sub.tracker.net"), lit("good.org"),
+        lit("WWW.Example.ORG"), lit("tracker.net")),
+        (pmod(col("doc_id"), lit(5)) + 1).cast("int"))
+      val blocked = {
+        import s.implicits._
+        Seq(" Example.COM", "tracker.net").toDF("domain")
+      }
+      Urls.domainBlocklist(
+          t(s, d, "documents")
+            .withColumn("url", concat(lit("https://"), host,
+              lit("/p/"), col("doc_id"))),
+          col("url"), blocked)
+        .select("doc_id", "url")
+    }),
+
     // DSIR importance weighting: target = every 10th doc, raw = the whole
     // corpus. The integer columns pin the hashed unigram+bigram features
     // and both count models engine-independently; the float log-weight and
@@ -1040,6 +1061,18 @@ s"""WITH toksrc AS (
         |         (PARTITION BY curl ORDER BY n_chars DESC, doc_id ASC) = 1
         |         THEN 1 ELSE 0 END AS INTEGER) AS kept
         |FROM c""".stripMargin,
+
+    // survivors decided independently: hosts 2 (good.org) and 3
+    // (example.org — NOT example.com) survive; 0/1/4 are blocked by
+    // suffix or exact match
+    "pipe_url_blocklist" ->
+      """SELECT doc_id,
+        |       'https://' || (['ads.example.com', 'sub.tracker.net',
+        |         'good.org', 'WWW.Example.ORG',
+        |         'tracker.net'])[(doc_id % 5) + 1]
+        |         || '/p/' || doc_id AS url
+        |FROM documents
+        |WHERE (doc_id % 5) IN (2, 3)""".stripMargin,
 
     // hashed unigram+bigram buckets (md5 mod 64) and the two bag-of-buckets
     // count models, summed per doc — everything but the log arithmetic

@@ -25,6 +25,24 @@ class UrlsSpec extends AnyFunSuite {
     assert(canon("  not a url  ") == "not a url")
   }
 
+  test("domainBlocklist drops exact hosts and subdomains, nothing else") {
+    val docs = Seq(
+      (1L, "https://ads.example.com/x"),      // subdomain of blocked
+      (2L, "https://example.com/x"),          // exact blocked
+      (3L, "https://WWW.Example.COM:443/x"),  // www + port + case -> blocked
+      (4L, "https://example.org/x"),          // different TLD: kept
+      (5L, "https://notexample.com/x"),       // suffix is a STRING boundary,
+                                              // not substring: kept
+      (6L, "https://good.tracker.net.evil.io/x"), // tracker.net only mid-host: kept
+      (7L, "relative/path no scheme"),        // no host: kept
+      (8L, "https://sub.deep.tracker.net/x")  // deep subdomain: blocked
+    ).toDF("id", "url")
+    val blocked = Seq("Example.COM ", "tracker.net").toDF("domain")
+    val kept = Urls.domainBlocklist(docs, col("url"), blocked)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(4L, 5L, 6L, 7L))
+  }
+
   test("dedupByUrl keeps the best-quality record per page, ties to min id") {
     val crawl = Seq(
       (1L, "https://www.site.com/p?utm_source=x", 10L),
