@@ -185,6 +185,10 @@ object FunctionRegistry {
     // form of the drop-reason contract (ops/Provenance.scala)
     text1("gopher_reason")(graft.ops.Curation.gopherReason),
     text1("url_canonical")(graft.ops.Urls.canonicalize),
+    // host for grouping by domain (lowercase, www/port stripped; empty for
+    // non-absolute input) — pairs with url_canonical for in-language
+    // crawl triage (per-domain counts, quota decisions)
+    text1("url_host")(graft.ops.Urls.host),
     text1("pii_count", TInt32)(graft.ops.Curation.piiCount),
     text1("dup_word_frac", TDouble) { t =>
       val st = graft.functions.WordStats.wordStats(t)

@@ -35,6 +35,17 @@ class EngineSpec extends AnyFunSuite {
     check(out("output"), Seq("new_column"), Seq(Seq(1L), Seq(2L), Seq(3L), Seq(4L)))
   }
 
+  test("url_host scalar: lowercase, www/port stripped, empty for non-absolute") {
+    val out = engine.runSimple(
+      """WITH input AS IMPORT 'input';
+        |WITH output AS SELECT url_host(u) AS h FROM input;
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("input" -> Seq("https://WWW.Ex.COM:443/p?q=1",
+        "http://sub.dom.org/a#f", "not a url").toDF("u")))
+    check(out("output"), Seq("h"),
+      Seq(Seq("ex.com"), Seq("sub.dom.org"), Seq("")))
+  }
+
   test("add function (test_interpreter.py:19-29)") {
     val out = engine.runSimple(
       """WITH input AS IMPORT 'input';

@@ -291,6 +291,22 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(rows.map(_._1).toSet == batchKept)
       assert(rows.forall(_._2.endsWith("mail <EMAIL>")))
     } finally q.stop()
+
+    // the domain blocklist is stateless too (broadcast list, row-local
+    // suffix check) — the crawl gate runs unchanged on a live stream
+    val urls = MemoryStream[(Long, String)]
+    val gated = graft.ops.Urls.domainBlocklist(
+      urls.toDF().toDF("doc_id", "url"), col("url"),
+      Seq("blocked.example").toDF("domain"))
+    val q2 = gated.writeStream.format("memory").queryName("bl_out")
+      .outputMode("append").start()
+    try {
+      urls.addData((1L, "https://ads.blocked.example/x"),
+        (2L, "https://fine.org/x"), (3L, "https://blocked.example/y"))
+      q2.processAllAvailable()
+      assert(spark.table("bl_out").select("doc_id").as[Long].collect().toSet
+        == Set(2L))
+    } finally q2.stop()
   }
 
   test("the cleaning chain (dedup_lines -> strip_html -> normalize) streams equal to batch") {
