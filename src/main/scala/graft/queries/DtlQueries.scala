@@ -80,6 +80,18 @@ object DtlQueries {
         |  GROUP BY l_returnflag;
         |EXPORT output TO 'output';""".stripMargin)),
 
+    // per-domain crawl triage in-language: planted urls -> url_host ->
+    // GROUP BY domain (the step before quota/blocklist decisions)
+    "dtl_url_host" -> ((s, d) => run(s, d,
+      """WITH documents AS IMPORT 'documents';
+        |WITH hosts AS
+        |  SELECT url_host(concat('https://WWW.Site',
+        |           concat(to_text(doc_id % 5), '.COM:443/p'))) AS domain
+        |  FROM documents;
+        |WITH output AS
+        |  SELECT domain, count() AS n FROM hosts GROUP BY domain;
+        |EXPORT output TO 'output';""".stripMargin)),
+
     // the mergeable-sketch aggregates on the language surface: a DTL user
     // gets corpus-scale distinct counts and quantiles with bounded
     // aggregation buffers — and, unlike approx_count_distinct, both are
@@ -352,6 +364,10 @@ object DtlQueries {
       """SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n,
         | min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "dtl_url_host" ->
+      """SELECT 'site' || (doc_id % 5) || '.com' AS domain,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM documents GROUP BY 1""".stripMargin,
     "dtl_sketch" ->
       """WITH h AS (
         |  SELECT DISTINCT lang, ('0x'||substr(md5(text),1,15))::BIGINT AS hv
