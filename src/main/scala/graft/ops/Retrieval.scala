@@ -154,4 +154,58 @@ object Retrieval {
       Seq("query_id"))
       .select("query_id", "pos_id", "neg_id", "neg_rank")
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of any
+    * number of per-query rankings: a document's fused score is
+    * Σ_r 1/(rrfK + rank_r(d)) over the rankings that retrieved it (the
+    * standard treatment — a list that missed the document contributes 0).
+    * Each input frame must carry (query_id, doc_id, rank). The fused score
+    * is rounded to 9 decimals BEFORE the final ranking so the cut
+    * reproduces bit-identically in any engine regardless of which order the
+    * ≤|rankings| reciprocal terms were summed in (9, not 6: adjacent RRF
+    * scores at rrfK = 60 differ in the 5th–6th decimal, and rounding must
+    * separate them, not fuse them).
+    *
+    * Every input is already a per-query top-k cut (bounded), so the union +
+    * (query, doc) aggregate + per-query window all run over ≤|queries|·k·r
+    * rows — nothing corpus-sized.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], topK: Int, rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: need at least one ranking")
+    require(topK > 0 && rrfK >= 0, s"need topK > 0, rrfK >= 0; got $topK, $rrfK")
+    val contribs = rankings.map(
+      _.select(col("query_id"), col("doc_id"),
+        (lit(1.0) / (lit(rrfK.toDouble) + col("rank").cast("double"))).as("c"),
+        lit(1L).as("one")))
+      .reduce(_.unionByName(_))
+    val fused = contribs.groupBy("query_id", "doc_id")
+      .agg(round(sum(col("c")), 9).as("rrf_score"),
+        sum(col("one")).as("n_lists"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "doc_id", "rrf_score", "n_lists", "rank")
+  }
+
+  /** Hybrid lexical + dense retrieval: BM25 over the text corpus and exact
+    * cosine over the embedding corpus, fused with [[rrfFuse]] — the
+    * standard two-tower RAG retrieval stack (each retriever returns its
+    * top `candK`, RRF re-ranks the union, top `topK` survives). `queries`
+    * carries both a text and a vector per query. Corpus-scale work is
+    * exactly the two underlying retrievals; at 100 TB the dense half
+    * swaps to the IVF/PQ index path with the same (query_id, doc_id,
+    * rank) contract feeding the same fusion.
+    */
+  def hybridTopK(docs: DataFrame, id: Column, text: Column,
+      vectors: DataFrame, vecId: Column, vec: Column,
+      queries: DataFrame, queryId: Column, queryText: Column, queryVec: Column,
+      topK: Int, candK: Int, rrfK: Int = 60,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val lex = bm25TopK(docs, id, text, queries, queryId, queryText, candK, k1, b)
+    val dense = Similarity.bruteForceTopK(vectors, vecId, vec,
+        queries, queryId, queryVec, candK)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+    rrfFuse(Seq(lex.select("query_id", "doc_id", "rank"), dense), topK, rrfK)
+  }
 }

@@ -77,7 +77,23 @@ object SearchQueries {
     "pipe_label_noise" -> ((s, d) =>
       Labels.knnLabelCheck(t(s, d, "embeddings"), col("vec_id"),
         col("embedding"), col("label"),
-        k = 5, nClusters = 8, nProbe = 2, iters = 2, dim = 64))
+        k = 5, nClusters = 8, nProbe = 2, iters = 2, dim = 64)),
+
+    // hybrid retrieval: BM25 top-10 + exact-cosine top-10 per query,
+    // reciprocal-rank-fused (rrfK = 60), top-8 kept. Queries pair the
+    // fixed BM25 terms with embedding vectors 0..2 — text docs and
+    // vectors share one id space (doc_id = vec_id)
+    "pipe_hybrid_retrieval" -> ((s, d) => {
+      val qdf = s.createDataFrame(bm25Queries).toDF("query_id", "qtext")
+        .join(t(s, d, "embeddings").select(
+          col("vec_id").as("query_id"), col("embedding").as("qvec")),
+          Seq("query_id"))
+      Retrieval.hybridTopK(
+        t(s, d, "documents"), col("doc_id"), col("text"),
+        t(s, d, "embeddings"), col("vec_id"), col("embedding"),
+        qdf, col("query_id"), col("qtext"), col("qvec"),
+        topK = 8, candK = 10)
+    })
   )
 
   // one PageRank power iteration in DuckDB: inflow = sum of rank/outdeg
@@ -282,6 +298,35 @@ object SearchQueries {
          |       m.majority_label
          |FROM embeddings e
          |LEFT JOIN stats s ON s.vec_id = e.vec_id
-         |LEFT JOIN majority m ON m.vec_id = e.vec_id""".stripMargin
+         |LEFT JOIN majority m ON m.vec_id = e.vec_id""".stripMargin,
+
+    // hybrid RRF: BM25 top-10 (the shared CTE) + cosine top-10 per query,
+    // score = Σ 1/(60 + rank) rounded to 9 before the fused ranking
+    "pipe_hybrid_retrieval" ->
+      s"""$duckBm25Cte,
+         |lex AS (SELECT query_id, doc_id, rank FROM rk WHERE rank <= 10),
+         |qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+         |       FROM embeddings WHERE vec_id < 3),
+         |cs AS (
+         |  SELECT q.query_id, c.vec_id AS doc_id,
+         |         round(list_cosine_similarity(c.embedding::DOUBLE[], q.v), 6) AS cosine
+         |  FROM embeddings c CROSS JOIN qv q),
+         |dns AS (
+         |  SELECT query_id, doc_id,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cosine DESC, doc_id ASC) AS INTEGER) AS rank
+         |  FROM cs QUALIFY rank <= 10),
+         |u AS (
+         |  SELECT query_id, doc_id, 1.0 / (60.0 + rank) AS c FROM lex
+         |  UNION ALL
+         |  SELECT query_id, doc_id, 1.0 / (60.0 + rank) AS c FROM dns),
+         |f AS (
+         |  SELECT query_id, doc_id, round(sum(c), 9) AS rrf_score,
+         |         CAST(count(*) AS BIGINT) AS n_lists
+         |  FROM u GROUP BY query_id, doc_id)
+         |SELECT query_id, doc_id, rrf_score, n_lists,
+         |       CAST(row_number() OVER (PARTITION BY query_id
+         |         ORDER BY rrf_score DESC, doc_id ASC) AS INTEGER) AS rank
+         |FROM f QUALIFY rank <= 8""".stripMargin
   )
 }

@@ -206,4 +206,49 @@ class SearchOpsSpec extends AnyFunSuite {
     assert(new java.io.File(dir).listFiles().nonEmpty,
       "reliable checkpoint dir was never written")
   }
+
+  // ---- RRF fusion ----
+
+  test("rrfFuse: doc in both lists beats the same-rank doc in one list") {
+    val lex = Seq((0L, 10L, 1), (0L, 11L, 2)).toDF("query_id", "doc_id", "rank")
+    val dns = Seq((0L, 10L, 2), (0L, 12L, 1)).toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(lex, dns), topK = 10)
+      .collect().map(r => r.getLong(1) -> (r.getDouble(2), r.getLong(3), r.getInt(4)))
+      .toMap
+    // doc 10: 1/61 + 1/62; docs 11/12 single-list
+    assert(math.abs(out(10L)._1 - math.rint((1.0 / 61 + 1.0 / 62) * 1e9) / 1e9) < 1e-12)
+    assert(out(10L)._2 == 2L && out(11L)._2 == 1L && out(12L)._2 == 1L)
+    assert(out(10L)._3 == 1, "two-list doc must fuse above any single-list doc here")
+    // rank-1-in-one-list (12) above rank-2-in-one-list (11)
+    assert(out(12L)._3 == 2 && out(11L)._3 == 3)
+  }
+
+  test("rrfFuse: exact score ties break by doc_id; topK cuts after fusion") {
+    val a = Seq((0L, 5L, 1), (0L, 3L, 2), (0L, 9L, 3)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((0L, 3L, 1), (0L, 5L, 2), (0L, 7L, 3)).toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(a, b), topK = 2)
+      .collect().sortBy(_.getInt(4)).map(r => (r.getLong(1), r.getInt(4)))
+    // docs 3 and 5 both score 1/61 + 1/62 — tie broken by doc_id asc
+    assert(out.toSeq == Seq((3L, 1), (5L, 2)))
+  }
+
+  test("hybridTopK surfaces a doc neither retriever alone ranks first") {
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "alpha alpha alpha"), (3L, "beta gamma"))
+      .toDF("doc_id", "text")
+    val vecs = Seq(
+      (1L, Array(0.9, 0.1)), (2L, Array(0.0, 1.0)), (3L, Array(1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val qs = Seq((0L, "alpha", Array(1.0, 0.05))).toDF("query_id", "qtext", "qvec")
+    val out = Retrieval.hybridTopK(
+        docs, col("doc_id"), col("text"),
+        vecs, col("vec_id"), col("embedding"),
+        qs, col("query_id"), col("qtext"), col("qvec"),
+        topK = 3, candK = 2)
+      .collect().sortBy(_.getInt(4)).map(_.getLong(1)).toSeq
+    // at candK = 2 the lexical list is [2, 1] (tf) and the dense list is
+    // [3, 1] (cosine): doc 1 is the only doc in BOTH lists (2/62 beats the
+    // single 1/61 of either list leader) and wins the fusion
+    assert(out.head == 1L, s"fusion should prefer the doc both lists rank: $out")
+  }
 }
