@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Pipeline-evaluation metrics — the measurement half of a curation stack:
+  * a retrieval system is tuned against qrels (recall@k / MRR / nDCG), and a
+  * quality-filter classifier against labeled documents (ROC AUC). Both are
+  * corpus-scale aggregations here, not driver-side loops: trec_eval and
+  * sklearn semantics, re-expressed as Spark plans.
+  */
+object Eval {
+
+  /** Per-query ranking metrics at cutoff `k`, trec_eval-style, for a ranked
+    * run against a qrels table of known-relevant (query, doc) pairs:
+    *
+    *   - `recall_at_k`    |relevant ∩ top-k| / |relevant|
+    *   - `precision_at_k` |relevant ∩ top-k| / k
+    *   - `mrr`            1 / rank of the first relevant result (0 if the
+    *                      top-k holds none — the standard MRR@k treatment)
+    *   - `ndcg_at_k`      Σ_{relevant hits} 1/log2(rank+1), normalized by
+    *                      the ideal DCG Σ_{i=1..min(k,|relevant|)}
+    *                      1/log2(i+1) (binary relevance)
+    *
+    * One row per query IN QRELS (metrics are defined only where judgments
+    * exist); a judged query missing from the run scores 0/0/0/0. Doubles
+    * are rounded to 6 decimals so float-summation order never shows.
+    *
+    * `ranked` is a per-query top-k cut (bounded); the qrels join and the
+    * per-query aggregate shuffle on query_id only — nothing corpus-sized
+    * moves. The ideal-DCG denominator is computed row-locally from a
+    * `sequence(1, min(k, n_rel))` fold, never a join.
+    */
+  def rankingMetrics(
+      ranked: DataFrame, rankedQueryId: Column, rankedDocId: Column, rank: Column,
+      qrels: DataFrame, qrelQueryId: Column, qrelDocId: Column,
+      k: Int): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    val run = ranked.select(rankedQueryId.as("query_id"),
+        rankedDocId.as("doc_id"), rank.cast("int").as("rank"))
+      .filter(col("rank") <= k)
+    val rel = qrels.select(qrelQueryId.as("query_id"), qrelDocId.as("doc_id"))
+      .distinct()
+    val nRel = rel.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    // 1/log2(r+1) written as ln(2)/ln(r+1) — the SAME two-ln formulation
+    // the DuckDB oracle uses, so both engines round identical doubles
+    val hits = run.join(rel, Seq("query_id", "doc_id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("hits"),
+        min(col("rank")).as("first_rel_rank"),
+        sum(log(lit(2.0)) / log(col("rank").cast("double") + 1.0)).as("dcg"))
+    val idealDcg = aggregate(
+      sequence(lit(1), least(lit(k), col("n_rel")).cast("int")),
+      lit(0.0),
+      (acc, i) => acc + log(lit(2.0)) / log(i.cast("double") + 1.0))
+    nRel.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)) / col("n_rel").cast("double"), 6)
+          .as("recall_at_k"),
+        round(coalesce(col("hits"), lit(0L)) / lit(k.toDouble), 6)
+          .as("precision_at_k"),
+        round(coalesce(lit(1.0) / col("first_rel_rank"), lit(0.0)), 6).as("mrr"),
+        round(coalesce(col("dcg"), lit(0.0)) / idealDcg, 6).as("ndcg_at_k"))
+  }
+
+  /** Per-group ROC AUC of a score against a boolean label, by the
+    * tie-aware Mann–Whitney identity: with per-distinct-score positive and
+    * negative counts (np_s, nn_s) and negBelow_s = Σ_{t<s} nn_t,
+    *
+    *   AUC = Σ_s np_s · (negBelow_s + nn_s/2) / (P·N)
+    *
+    * (ties credit half, the trapezoidal/sklearn convention). The numerator
+    * is accumulated DOUBLED in a LONG — np·(2·negBelow + nn) — so the sum
+    * is integer-exact, order-independent, and engine-reproducible up to
+    * 2·P·N < 2⁶³ (billions of positives × billions of negatives); only the
+    * final division is floating point, rounded to 6. Output: (group,
+    * n_pos, n_neg, auc) with auc NULL when a group lacks both classes.
+    *
+    * Scale shape: one (group, score) count aggregate (map-side combined),
+    * then the same two-phase prefix sum as [[Curation.globalShuffle]] —
+    * scores range-bucket into `nBuckets` equal-width slices of the group's
+    * [min, max] span, per-(group, bucket) negative totals (bounded
+    * metadata) broadcast back as offsets, and the in-bucket running count
+    * is a window over that bucket only. No global/single-partition window
+    * at any group size. A pathological score distribution (most mass on
+    * few DISTINCT values) concentrates window input in one bucket, but the
+    * window then runs over few distinct-score ROWS — the aggregate
+    * upstream already collapsed duplicates, so the hot bucket is small by
+    * construction.
+    */
+  def rocAuc(df: DataFrame, group: Column, label: Column, score: Column,
+      nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val perScore = df.select(group.as("group"),
+        score.cast("double").as("s"),
+        when(label.cast("boolean"), 1L).otherwise(0L).as("p"))
+      .filter(col("s").isNotNull)
+      .groupBy("group", "s")
+      .agg(sum(col("p")).as("np"), sum(lit(1L) - col("p")).as("nn"))
+    // per-group score span — O(groups) rows, broadcast back
+    val span = perScore.groupBy("group")
+      .agg(min(col("s")).as("__lo"), max(col("s")).as("__hi"))
+    val bucketed = perScore.join(broadcast(span), Seq("group"))
+      .withColumn("__b",
+        when(col("__hi") === col("__lo"), lit(0))
+          .otherwise(least(lit(nBuckets - 1),
+            floor((col("s") - col("__lo")) / (col("__hi") - col("__lo"))
+              * nBuckets).cast("int"))))
+    // negatives before each bucket — O(groups · nBuckets) metadata rows
+    val offsets = bucketed.groupBy("group", "__b")
+      .agg(sum(col("nn")).as("__bn"))
+      .withColumn("__negOff",
+        sum("__bn").over(Window.partitionBy("group").orderBy("__b")) - col("__bn"))
+      .select(col("group").as("__g2"), col("__b").as("__b2"), col("__negOff"))
+    val w = Window.partitionBy(col("group"), col("__b")).orderBy(col("s"))
+    val contrib = bucketed
+      .join(broadcast(offsets),
+        col("group") === col("__g2") && col("__b") === col("__b2"))
+      .withColumn("__negBelow",
+        col("__negOff") + sum(col("nn")).over(w) - col("nn"))
+      .withColumn("__c2", col("np") * (lit(2L) * col("__negBelow") + col("nn")))
+    contrib.groupBy("group")
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("__c2")).as("__num2"))
+      .select(col("group"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("__num2").cast("double")
+            / (lit(2.0) * col("n_pos") * col("n_neg")), 6))
+          .as("auc"))
+  }
+}

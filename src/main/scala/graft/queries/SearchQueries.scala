@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Graphs, Labels, Retrieval, Similarity}
+import graft.ops.{Eval, Graphs, Labels, Retrieval, Similarity}
 
 /** Search-and-ranking gate queries: link-graph PageRank, BM25 lexical
   * retrieval, and kNN label-noise detection. Every query has a DuckDB
@@ -93,6 +93,39 @@ object SearchQueries {
         t(s, d, "embeddings"), col("vec_id"), col("embedding"),
         qdf, col("query_id"), col("qtext"), col("qvec"),
         topK = 8, candK = 10)
+    }),
+
+    // retrieval metrics at k = 10 against mixed qrels: each query's BM25
+    // ranks 2–3 (guaranteed hits, MRR = 1/2) plus five planted docs per
+    // query (doc_id % 100 = 10·q + 7, mostly misses) — so recall,
+    // precision, MRR and nDCG all land strictly between 0 and 1
+    "pipe_retrieval_eval" -> ((s, d) => {
+      val qdf = s.createDataFrame(bm25Queries).toDF("query_id", "qtext")
+      val docs = t(s, d, "documents")
+      val ranked = Retrieval.bm25TopK(docs, col("doc_id"), col("text"),
+        qdf, col("query_id"), col("qtext"), topK = 10)
+      val qrels = ranked.filter(col("rank").between(2, 3))
+        .select("query_id", "doc_id")
+        .unionByName(docs.select("doc_id")
+          .crossJoin(qdf.select("query_id"))
+          .filter(col("doc_id") % 100 === col("query_id") * 10 + 7)
+          .select("query_id", "doc_id"))
+      Eval.rankingMetrics(ranked, col("query_id"), col("doc_id"), col("rank"),
+        qrels, col("query_id"), col("doc_id"), k = 10)
+    }),
+
+    // tie-aware ROC AUC of a planted noisy classifier over the labeled
+    // embeddings, per even/odd slice: score = first embedding coordinate
+    // (noise) + 0.08 iff label >= 5 (signal), rounded to 2 so distinct
+    // rows genuinely tie on score and the half-credit path is exercised
+    "pipe_classifier_eval" -> ((s, d) => {
+      val scored = t(s, d, "embeddings").select(
+        (col("vec_id") % 2).as("slice"),
+        (col("label") >= 5).as("y"),
+        round(element_at(col("embedding"), 1).cast("double") +
+          when(col("label") >= 5, 0.08).otherwise(0.0), 2).as("score"))
+      Eval.rocAuc(scored, col("slice"), col("y"), col("score"))
+        .withColumnRenamed("group", "slice")
     })
   )
 
@@ -327,6 +360,61 @@ object SearchQueries {
          |SELECT query_id, doc_id, rrf_score, n_lists,
          |       CAST(row_number() OVER (PARTITION BY query_id
          |         ORDER BY rrf_score DESC, doc_id ASC) AS INTEGER) AS rank
-         |FROM f QUALIFY rank <= 8""".stripMargin
+         |FROM f QUALIFY rank <= 8""".stripMargin,
+
+    // trec_eval-style metrics at k = 10; DCG terms written ln(2)/ln(r+1),
+    // the exact formulation the Spark side evaluates
+    "pipe_retrieval_eval" ->
+      s"""$duckBm25Cte,
+         |qrels AS (
+         |  SELECT query_id, doc_id FROM rk WHERE rank IN (2, 3)
+         |  UNION
+         |  SELECT q.query_id, d.doc_id
+         |  FROM documents d CROSS JOIN (SELECT DISTINCT query_id FROM qs) q
+         |  WHERE d.doc_id % 100 = q.query_id * 10 + 7),
+         |run AS (SELECT query_id, doc_id, rank FROM rk WHERE rank <= 10),
+         |nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+         |         FROM qrels GROUP BY query_id),
+         |h AS (
+         |  SELECT r.query_id, CAST(count(*) AS BIGINT) AS hits,
+         |         min(r.rank) AS frr,
+         |         sum(ln(2.0) / ln(r.rank + 1.0)) AS dcg
+         |  FROM run r JOIN qrels USING (query_id, doc_id)
+         |  GROUP BY r.query_id)
+         |SELECT n.query_id, n.n_rel,
+         |  coalesce(h.hits, 0) AS hits,
+         |  round(coalesce(h.hits, 0) / CAST(n.n_rel AS DOUBLE), 6) AS recall_at_k,
+         |  round(coalesce(h.hits, 0) / 10.0, 6) AS precision_at_k,
+         |  round(coalesce(1.0 / h.frr, 0.0), 6) AS mrr,
+         |  round(coalesce(h.dcg, 0.0) /
+         |    list_sum(list_transform(range(1, least(10, n.n_rel) + 1),
+         |      i -> ln(2.0) / ln(i + 1.0))), 6) AS ndcg_at_k
+         |FROM nrel n LEFT JOIN h ON h.query_id = n.query_id""".stripMargin,
+
+    // tie-aware Mann–Whitney AUC replay: per-(slice, score) class counts,
+    // cumulative negatives below via an ordered window, the numerator
+    // doubled in integers (np·(2·negBelow + nn)) exactly as the operator
+    "pipe_classifier_eval" ->
+      """WITH s AS (
+        |  SELECT vec_id % 2 AS slice,
+        |         CASE WHEN label >= 5 THEN 1 ELSE 0 END AS p,
+        |         round(CAST(embedding[1] AS DOUBLE) +
+        |           CASE WHEN label >= 5 THEN 0.08 ELSE 0.0 END, 2) AS sc
+        |  FROM embeddings),
+        |ps AS (
+        |  SELECT slice, sc, CAST(sum(p) AS BIGINT) AS np,
+        |         CAST(count(*) - sum(p) AS BIGINT) AS nn
+        |  FROM s GROUP BY slice, sc),
+        |c AS (
+        |  SELECT slice, np, nn,
+        |         CAST(coalesce(sum(nn) OVER (PARTITION BY slice ORDER BY sc
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |           AS negbelow
+        |  FROM ps)
+        |SELECT slice, CAST(sum(np) AS BIGINT) AS n_pos,
+        |       CAST(sum(nn) AS BIGINT) AS n_neg,
+        |       round(CAST(sum(np * (2 * negbelow + nn)) AS DOUBLE)
+        |         / (2.0 * sum(np) * sum(nn)), 6) AS auc
+        |FROM c GROUP BY slice""".stripMargin
   )
 }

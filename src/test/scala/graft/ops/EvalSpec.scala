@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Hand-computed contracts for the evaluation operators; the oracle gates
+  * (pipe_retrieval_eval / pipe_classifier_eval) pin exact values against
+  * DuckDB at corpus shape.
+  */
+class EvalSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  // ---- rankingMetrics ----
+
+  test("rankingMetrics: recall/precision/MRR/nDCG on a worked example") {
+    // query 0: relevant {10, 30, 99}; run = [20, 10, 30] at k=3
+    val run = Seq((0L, 20L, 1), (0L, 10L, 2), (0L, 30L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((0L, 10L), (0L, 30L), (0L, 99L)).toDF("query_id", "doc_id")
+    val r = Eval.rankingMetrics(run, col("query_id"), col("doc_id"), col("rank"),
+      qrels, col("query_id"), col("doc_id"), k = 3).collect().head
+    assert(r.getLong(1) == 3L && r.getLong(2) == 2L) // n_rel, hits
+    assert(math.abs(r.getDouble(3) - 2.0 / 3) < 1e-6) // recall
+    assert(math.abs(r.getDouble(4) - 2.0 / 3) < 1e-6) // precision
+    assert(math.abs(r.getDouble(5) - 0.5) < 1e-9)     // MRR: first hit at 2
+    // DCG = 1/log2(3) + 1/log2(4); IDCG(3 rel, k=3) = 1 + 1/log2(3) + 1/log2(4)
+    val dcg = 1.0 / (math.log(3) / math.log(2)) + 0.5
+    val idcg = 1.0 + 1.0 / (math.log(3) / math.log(2)) + 0.5
+    assert(math.abs(r.getDouble(6) - dcg / idcg) < 1e-6)
+  }
+
+  test("rankingMetrics: judged query missing from the run scores zero") {
+    val run = Seq((0L, 1L, 1)).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((0L, 1L), (7L, 2L)).toDF("query_id", "doc_id")
+    val out = Eval.rankingMetrics(run, col("query_id"), col("doc_id"), col("rank"),
+        qrels, col("query_id"), col("doc_id"), k = 5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(0L, 7L), "metrics rows = judged queries")
+    val q7 = out(7L)
+    assert(q7.getLong(2) == 0L && q7.getDouble(3) == 0.0 &&
+      q7.getDouble(5) == 0.0 && q7.getDouble(6) == 0.0)
+    val q0 = out(0L)
+    assert(q0.getDouble(3) == 1.0 && q0.getDouble(5) == 1.0 &&
+      q0.getDouble(6) == 1.0)
+  }
+
+  // ---- rocAuc ----
+
+  private def auc(rows: Seq[(Long, Boolean, Double)], nBuckets: Int = 1024) = {
+    val df = rows.toDF("g", "y", "s")
+    Eval.rocAuc(df, col("g"), col("y"), col("s"), nBuckets)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+  }
+
+  test("rocAuc: perfect separation is 1, inverted is 0, all-tied is 0.5") {
+    val out = auc(Seq(
+      (0L, true, 0.9), (0L, true, 0.8), (0L, false, 0.2), (0L, false, 0.1),
+      (1L, true, 0.1), (1L, false, 0.9),
+      (2L, true, 0.5), (2L, false, 0.5), (2L, true, 0.5), (2L, false, 0.5)))
+    assert(out(0L) == ((2L, 2L, Some(1.0))))
+    assert(out(1L) == ((1L, 1L, Some(0.0))))
+    assert(out(2L) == ((2L, 2L, Some(0.5))))
+  }
+
+  test("rocAuc: tie-aware hand example matches the rank-sum formula") {
+    // scores: pos {0.3, 0.5, 0.5}, neg {0.2, 0.5, 0.7}
+    // pairs: each pos vs each neg — wins: (0.3>0.2), (0.5>0.2)x2 = 3;
+    // ties: 0.5 vs 0.5 x2 = 2 halves; total = (3 + 1) / 9
+    val out = auc(Seq(
+      (0L, true, 0.3), (0L, true, 0.5), (0L, true, 0.5),
+      (0L, false, 0.2), (0L, false, 0.5), (0L, false, 0.7)))
+    assert(out(0L)._3.contains(math.rint(4.0 / 9 * 1e6) / 1e6))
+  }
+
+  test("rocAuc: single-class group yields NULL auc") {
+    val out = auc(Seq((0L, true, 0.4), (0L, true, 0.6), (1L, true, 0.2), (1L, false, 0.1)))
+    assert(out(0L) == ((2L, 0L, None)))
+    assert(out(1L)._3.contains(1.0))
+  }
+
+  test("rocAuc: bucket count never changes the answer") {
+    val rows = (1 to 500).map { i =>
+      (i % 3L, (i * 7) % 11 > 4, math.sin(i.toDouble) + (if ((i * 7) % 11 > 4) 0.3 else 0.0))
+    }
+    assert(auc(rows, nBuckets = 1) == auc(rows, nBuckets = 1024))
+    assert(auc(rows, nBuckets = 7) == auc(rows, nBuckets = 64))
+  }
+}
