@@ -140,6 +140,36 @@ object Sketches {
       .otherwise(lit((k - 1).toDouble) * lit(TwoPow60) /
         element_at(sketch, k).cast("double")), 4)
 
+  /** KMV set algebra (Beyer et al. 2007, §5): the union sketch U =
+    * [[kmvMerge]](A, B) is itself a uniform sample of A ∪ B, so the
+    * fraction of U's entries present in BOTH input sketches estimates the
+    * Jaccard similarity, and J · D̂(A ∪ B) estimates the intersection
+    * cardinality — how two crawl snapshots' URL or content overlap is
+    * measured from their per-shard artifacts without ever joining rows.
+    * Row-local built-ins only, so persisted sketch artifacts compose in
+    * any engine. Exact (collisions aside) when |A ∪ B| < k: U then holds
+    * the whole union and the "estimates" are the true set sizes.
+    *
+    * [[kmvJaccard]] is NULL for two empty sketches (Jaccard of ∅, ∅ is
+    * undefined); rounded to 6 decimals — one double division.
+    */
+  def kmvJaccard(a: Column, b: Column, k: Int): Column = {
+    val u = kmvMerge(a, b, k)
+    when(size(u) > 0,
+      round(size(array_intersect(array_intersect(u, a), b)).cast("double")
+        / size(u), 6))
+  }
+
+  /** Estimated |A ∩ B| from two KMV sketches: Jaccard × the union's
+    * distinct estimate, rounded to 4 like [[kmvEstimate]].
+    */
+  def kmvIntersection(a: Column, b: Column, k: Int): Column = {
+    val u = kmvMerge(a, b, k)
+    when(size(u) > 0,
+      round(size(array_intersect(array_intersect(u, a), b)).cast("double")
+        / size(u) * kmvEstimate(u, k), 4))
+  }
+
   /** Row-local JVM twin of [[hdrBounds]]'s lower bound — identical integer
     * arithmetic ((v >>> shift) << shift == ⌊v/2^shift⌋·2^shift), pinned
     * equal to the Column form in SketchesSpec.

@@ -267,6 +267,28 @@ object CurationQueries {
           graft.ops.Sketches.kmvEstimate(col("hs"), 128).as("est_distinct"))
     }),
 
+    // KMV set algebra across two overlapping "crawl snapshots" (doc_id
+    // < 300 vs >= 200): per-language sketch artifacts of each side,
+    // union/Jaccard/intersection estimated WITHOUT joining any rows —
+    // k = 64 keeps the big languages above k (estimator path) while the
+    // small ones stay exhaustive-exact
+    "pipe_sketch_overlap" -> ((s, d) => {
+      import graft.ops.Sketches
+      val docs = t(s, d, "documents")
+      val a = Sketches.kmvSketches(docs.filter(col("doc_id") < 300),
+        col("lang"), col("text"), k = 64).withColumnRenamed("hashes", "ha")
+      val b = Sketches.kmvSketches(docs.filter(col("doc_id") >= 200),
+        col("lang"), col("text"), k = 64).withColumnRenamed("hashes", "hb")
+      a.join(b, Seq("group"))
+        .select(col("group"),
+          Sketches.kmvEstimate(col("ha"), 64).as("est_a"),
+          Sketches.kmvEstimate(col("hb"), 64).as("est_b"),
+          Sketches.kmvEstimate(Sketches.kmvMerge(col("ha"), col("hb"), 64), 64)
+            .as("est_union"),
+          Sketches.kmvJaccard(col("ha"), col("hb"), 64).as("est_jaccard"),
+          Sketches.kmvIntersection(col("ha"), col("hb"), 64).as("est_intersection"))
+    }),
+
     // log-linear histogram quantiles of text length per language
     // (HdrHistogram layout, p=4 -> relative error <= 1/16): bucket math is
     // integer-exact bit-length arithmetic, so the oracle rebuilds the
@@ -848,6 +870,54 @@ object CurationQueries {
          |             ELSE 127.0 * power(2.0, 60) / CAST(max(hv) AS DOUBLE)
          |             END, 4) AS est_distinct
          |FROM r WHERE rn <= 128""".stripMargin,
+
+    // KMV overlap replayed literally: per-side k=64 smallest hash lists,
+    // union sketch = 64 smallest of their union, matches = union-sketch
+    // entries present in BOTH sides; intersection multiplies the raw
+    // Jaccard ratio by the ROUNDED union estimate, exactly like the
+    // operator's arithmetic
+    "pipe_sketch_overlap" ->
+      s"""WITH ka AS (
+         |  SELECT grp, hv FROM (
+         |    SELECT grp, hv, row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn
+         |    FROM (SELECT DISTINCT lang AS grp,
+         |            ('0x'||substr(md5(text),1,15))::BIGINT AS hv
+         |          FROM documents WHERE doc_id < 300)) WHERE rn <= 64),
+         |kb AS (
+         |  SELECT grp, hv FROM (
+         |    SELECT grp, hv, row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn
+         |    FROM (SELECT DISTINCT lang AS grp,
+         |            ('0x'||substr(md5(text),1,15))::BIGINT AS hv
+         |          FROM documents WHERE doc_id >= 200)) WHERE rn <= 64),
+         |ku AS (
+         |  SELECT grp, hv FROM (
+         |    SELECT grp, hv, row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn
+         |    FROM (SELECT grp, hv FROM ka UNION SELECT grp, hv FROM kb))
+         |  WHERE rn <= 64),
+         |sa AS (SELECT grp, count(*) AS n, max(hv) AS mx FROM ka GROUP BY grp),
+         |sb AS (SELECT grp, count(*) AS n, max(hv) AS mx FROM kb GROUP BY grp),
+         |su AS (SELECT grp, count(*) AS n, max(hv) AS mx FROM ku GROUP BY grp),
+         |m AS (
+         |  SELECT u.grp, count(*) AS matches
+         |  FROM ku u
+         |  JOIN ka a ON a.grp = u.grp AND a.hv = u.hv
+         |  JOIN kb b ON b.grp = u.grp AND b.hv = u.hv
+         |  GROUP BY u.grp),
+         |est AS (
+         |  SELECT sa.grp,
+         |    round(CASE WHEN sa.n < 64 THEN CAST(sa.n AS DOUBLE)
+         |          ELSE 63.0 * power(2.0, 60) / CAST(sa.mx AS DOUBLE) END, 4) AS est_a,
+         |    round(CASE WHEN sb.n < 64 THEN CAST(sb.n AS DOUBLE)
+         |          ELSE 63.0 * power(2.0, 60) / CAST(sb.mx AS DOUBLE) END, 4) AS est_b,
+         |    round(CASE WHEN su.n < 64 THEN CAST(su.n AS DOUBLE)
+         |          ELSE 63.0 * power(2.0, 60) / CAST(su.mx AS DOUBLE) END, 4) AS est_union,
+         |    su.n AS nu, coalesce(m.matches, 0) AS matches
+         |  FROM sa JOIN sb ON sb.grp = sa.grp JOIN su ON su.grp = sa.grp
+         |  LEFT JOIN m ON m.grp = sa.grp)
+         |SELECT grp AS "group", est_a, est_b, est_union,
+         |  round(CAST(matches AS DOUBLE) / nu, 6) AS est_jaccard,
+         |  round(CAST(matches AS DOUBLE) / nu * est_union, 4) AS est_intersection
+         |FROM est""".stripMargin,
 
     // the log-linear (HdrHistogram) buckets rebuilt with the same
     // integer-exact arithmetic: bit-length exponent via length(bin(v)),

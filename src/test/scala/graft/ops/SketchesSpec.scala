@@ -201,4 +201,54 @@ class SketchesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("negative") ||
       e.getCause != null && e.getCause.getMessage.contains("negative"))
   }
+
+  test("KMV overlap below k is the exact Jaccard and intersection") {
+    // A = {a..f} (6), B = {d..i} (6), A∩B = {d,e,f} (3), A∪B = 9
+    val a = Seq("a", "b", "c", "d", "e", "f").toDF("v")
+    val b = Seq("d", "e", "f", "g", "h", "i").toDF("v")
+    val sa = Sketches.kmvSketches(a, lit("g"), col("v"), 64)
+      .withColumnRenamed("hashes", "ha")
+    val sb = Sketches.kmvSketches(b, lit("g"), col("v"), 64)
+      .withColumnRenamed("hashes", "hb")
+    val r = sa.join(sb, "group").select(
+      Sketches.kmvEstimate(Sketches.kmvMerge(col("ha"), col("hb"), 64), 64),
+      Sketches.kmvJaccard(col("ha"), col("hb"), 64),
+      Sketches.kmvIntersection(col("ha"), col("hb"), 64)).head()
+    assert(r.getDouble(0) == 9.0)
+    assert(r.getDouble(1) == math.rint(3.0 / 9 * 1e6) / 1e6)
+    assert(r.getDouble(2) == 3.0)
+  }
+
+  test("KMV overlap estimator tracks a planted 50% overlap above k") {
+    // two 4000-element sets sharing 2000 values: J = 2000/6000 = 1/3
+    val a = (0 until 4000).map(i => s"v$i").toDF("v")
+    val b = (2000 until 6000).map(i => s"v$i").toDF("v")
+    val sa = Sketches.kmvSketches(a, lit("g"), col("v"), 256)
+      .withColumnRenamed("hashes", "ha")
+    val sb = Sketches.kmvSketches(b, lit("g"), col("v"), 256)
+      .withColumnRenamed("hashes", "hb")
+    val r = sa.join(sb, "group").select(
+      Sketches.kmvJaccard(col("ha"), col("hb"), 256),
+      Sketches.kmvIntersection(col("ha"), col("hb"), 256)).head()
+    // se of the match fraction ≈ sqrt(J(1-J)/k) ≈ 0.029; allow 4 se
+    assert(math.abs(r.getDouble(0) - 1.0 / 3) < 0.12, s"jaccard ${r.getDouble(0)}")
+    assert(math.abs(r.getDouble(1) - 2000.0) < 800.0, s"intersection ${r.getDouble(1)}")
+  }
+
+  test("KMV overlap of disjoint sets is zero; empty union is NULL") {
+    val a = Seq("a", "b").toDF("v")
+    val b = Seq("x", "y").toDF("v")
+    val sa = Sketches.kmvSketches(a, lit("g"), col("v"), 16)
+      .withColumnRenamed("hashes", "ha")
+    val sb = Sketches.kmvSketches(b, lit("g"), col("v"), 16)
+      .withColumnRenamed("hashes", "hb")
+    val r = sa.join(sb, "group").select(
+      Sketches.kmvJaccard(col("ha"), col("hb"), 16),
+      Sketches.kmvIntersection(col("ha"), col("hb"), 16)).head()
+    assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0)
+    val empty = spark.sql(
+      "SELECT CAST(array() AS array<bigint>) AS ha, CAST(array() AS array<bigint>) AS hb")
+    val rn = empty.select(Sketches.kmvJaccard(col("ha"), col("hb"), 16)).head()
+    assert(rn.isNullAt(0), "Jaccard of two empty sketches must be NULL")
+  }
 }
