@@ -150,4 +150,108 @@ object LanguageModel {
       bm.collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
       cm.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
   }
+
+  /** Interpolated Kneser–Ney bigram model (Kneser & Ney 1995; the
+    * formulation of Chen & Goodman 1999, eq. 4.25 at bigram order) — the
+    * smoothing KenLM uses, and so the closer twin of CCNet's actual
+    * quality LM than the add-one model above:
+    *
+    *   p(cur|prev) = max(c(prev,cur) − D, 0)/c(prev)
+    *               + D·N₁₊(prev,·)/c(prev) · Pcont(cur)
+    *
+    * with the continuation distribution Pcont(cur) built from how many
+    * DISTINCT contexts each word follows (N₁₊(·,cur)) rather than raw
+    * frequency — the "Francisco" fix: a word frequent only inside one
+    * collocation gets little backoff mass. All four statistics come from
+    * the ONE bigram-count aggregate ([[train]]'s recipe), each kept table
+    * LIMIT-bounded with count-then-key tie-breaks so the model is
+    * deterministic and broadcastable:
+    *
+    *  - `bigrams`       (bigram, c_bg)                 top `bigramVocab`
+    *  - `contexts`      (prev, c_prev, fanout)         top `contextVocab`,
+    *    with c_prev and fanout summed over ALL observed bigrams — correct
+    *    denominators, exactly as [[train]] handles c_prev
+    *  - `continuations` (cur, n_ctx)                   top `contVocab`
+    *  - `totals`        one row (n_types, n_cont) kept in-plan
+    *
+    * Divergence from the textbook, chosen for bounded + engine-exact
+    * arithmetic (both documented and gate-pinned): (a) Pcont is add-one
+    * smoothed over the kept continuation table — (n_ctx + 1)/(n_types +
+    * n_cont) — so unseen words keep a positive floor even though the
+    * table is capped; (b) a prev outside the kept context table scores
+    * the pure backoff Pcont(cur) (full interpolation weight, the λ = 1
+    * unseen-context case).
+    */
+  final case class KnModel(bigrams: DataFrame, contexts: DataFrame,
+    continuations: DataFrame, totals: DataFrame)
+
+  def trainKn(df: DataFrame, text: Column, bigramVocab: Int = 200,
+      contextVocab: Int = 100, contVocab: Int = 100): KnModel = {
+    require(bigramVocab > 0 && contextVocab > 0 && contVocab > 0,
+      "model sizes must be positive")
+    val counts = df.select(explode(bigrams(text)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c_bg"))
+    val parts = counts
+      .withColumn("prev", split(col("bigram"), " ").getItem(0))
+      .withColumn("cur", split(col("bigram"), " ").getItem(1))
+    val bigramModel = counts
+      .orderBy(col("c_bg").desc, col("bigram").asc).limit(bigramVocab)
+    val contextModel = parts.groupBy("prev")
+      .agg(sum("c_bg").as("c_prev"), count(lit(1)).as("fanout"))
+      .orderBy(col("c_prev").desc, col("prev").asc).limit(contextVocab)
+    val contModel = parts.groupBy("cur")
+      .agg(count(lit(1)).as("n_ctx"))
+      .orderBy(col("n_ctx").desc, col("cur").asc).limit(contVocab)
+    val totals = counts.agg(count(lit(1)).as("n_types"))
+      .crossJoin(contModel.agg(count(lit(1)).as("n_cont")))
+    KnModel(bigramModel, contextModel, contModel, totals)
+  }
+
+  /** Score documents under a Kneser–Ney model. Same output contract as
+    * [[score]] — integer feature columns (`n_bigrams`, `matched_bg`,
+    * `sum_c_bg`, `matched_prev`, `matched_cont`, `sum_n_ctx`) exact in any
+    * engine and gate-carried; float `avg_logp` / `perplexity` are the
+    * filter columns. One explode + three broadcast joins, partial-
+    * aggregated per doc — the corpus shuffles once.
+    */
+  def scoreKn(df: DataFrame, id: Column, text: Column, model: KnModel,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"need 0 < discount < 1, got $discount")
+    val bg = df.select(id.as("id"), explode_outer(bigrams(text)).as("bigram"))
+    val pcont = (coalesce(col("n_ctx"), lit(0L)) + lit(1L)).cast("double") /
+      (col("n_types") + col("n_cont")).cast("double")
+    val d = lit(discount)
+    val p = when(col("c_prev").isNotNull,
+      greatest(coalesce(col("c_bg"), lit(0L)).cast("double") - d, lit(0.0)) /
+        col("c_prev") +
+        d * col("fanout").cast("double") / col("c_prev") * pcont)
+      .otherwise(pcont)
+    bg.join(broadcast(model.bigrams), Seq("bigram"), "left")
+      .withColumn("prev", split(col("bigram"), " ").getItem(0))
+      .withColumn("cur", split(col("bigram"), " ").getItem(1))
+      .join(broadcast(model.contexts), Seq("prev"), "left")
+      .join(broadcast(model.continuations), Seq("cur"), "left")
+      .crossJoin(broadcast(model.totals))
+      .groupBy("id").agg(
+        count(col("bigram")).as("n_bigrams"),
+        count(col("c_bg")).as("matched_bg"),
+        coalesce(sum("c_bg"), lit(0L)).as("sum_c_bg"),
+        count(col("c_prev")).as("matched_prev"),
+        count(col("n_ctx")).as("matched_cont"),
+        coalesce(sum("n_ctx"), lit(0L)).as("sum_n_ctx"),
+        sum(log(p)).as("__log_prob"))
+      .withColumn("avg_logp",
+        when(col("n_bigrams") > 0, col("__log_prob") / col("n_bigrams")))
+      .withColumn("perplexity",
+        when(col("n_bigrams") > 0, exp(-col("avg_logp"))))
+      .drop("__log_prob")
+  }
+
+  /** Train KN on `df` and self-score it — the CCNet-shaped pass. */
+  def scoreCorpusKn(df: DataFrame, id: Column, text: Column,
+      bigramVocab: Int = 200, contextVocab: Int = 100, contVocab: Int = 100,
+      discount: Double = 0.75): DataFrame =
+    scoreKn(df, id, text, trainKn(df, text, bigramVocab, contextVocab, contVocab),
+      discount)
 }

@@ -400,6 +400,17 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("n_bigrams"), col("matched_bg"),
           col("sum_c_bg"), col("matched_prev"), col("sum_c_prev"))),
 
+    // interpolated Kneser-Ney twin of pipe_lm_score (KenLM's smoothing, so
+    // the closer CCNet analogue): same integer-feature contract, adding the
+    // continuation-model columns; floats pinned in LanguageModelSpec
+    "pipe_lm_kneser_ney" -> ((s, d) =>
+      graft.ops.LanguageModel.scoreCorpusKn(
+        t(s, d, "documents"), col("doc_id"), col("text"),
+        bigramVocab = 200, contextVocab = 100, contVocab = 100)
+        .select(col("id").as("doc_id"), col("n_bigrams"), col("matched_bg"),
+          col("sum_c_bg"), col("matched_prev"), col("matched_cont"),
+          col("sum_n_ctx"))),
+
     // URL canonicalization + URL-keyed dedup over synthetic crawl URLs
     // (uppercase scheme/host, www, default port, tracking params, unsorted
     // query, fragment — doc_id mod arithmetic gives ~8 records per page at
@@ -1141,6 +1152,50 @@ s"""WITH toksrc AS (
         |       CAST(coalesce(s.sum_c_bg, 0) AS BIGINT) AS sum_c_bg,
         |       CAST(coalesce(s.matched_prev, 0) AS BIGINT) AS matched_prev,
         |       CAST(coalesce(s.sum_c_prev, 0) AS BIGINT) AS sum_c_prev
+        |FROM documents d LEFT JOIN scored s USING (doc_id)""".stripMargin,
+
+    // Kneser-Ney integer features: the same bigram-count base, context
+    // table extended with distinct-successor fanout, plus the kept
+    // continuation table (distinct-predecessor counts)
+    "pipe_lm_kneser_ney" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |bgl AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+        |                   i -> toks[i] || ' ' || toks[i + 1]) AS bgs
+        |  FROM docs),
+        |bg AS (SELECT doc_id, unnest(bgs) AS bigram FROM bgl),
+        |cnt AS (SELECT bigram, count(*) AS c_bg FROM bg GROUP BY 1),
+        |bmodel AS (SELECT bigram, c_bg FROM cnt ORDER BY c_bg DESC, bigram ASC LIMIT 200),
+        |pmodel AS (SELECT string_split(bigram, ' ')[1] AS prev,
+        |                  sum(c_bg) AS c_prev, count(*) AS fanout
+        |           FROM cnt GROUP BY 1 ORDER BY c_prev DESC, prev ASC LIMIT 100),
+        |cmodel AS (SELECT string_split(bigram, ' ')[2] AS cur,
+        |                  count(*) AS n_ctx
+        |           FROM cnt GROUP BY 1 ORDER BY n_ctx DESC, cur ASC LIMIT 100),
+        |scored AS (
+        |  SELECT b.doc_id,
+        |         count(b.bigram) AS n_bigrams,
+        |         count(m.c_bg) AS matched_bg,
+        |         coalesce(sum(m.c_bg), 0) AS sum_c_bg,
+        |         count(p.c_prev) AS matched_prev,
+        |         count(c.n_ctx) AS matched_cont,
+        |         coalesce(sum(c.n_ctx), 0) AS sum_n_ctx
+        |  FROM bg b
+        |  LEFT JOIN bmodel m USING (bigram)
+        |  LEFT JOIN pmodel p ON string_split(b.bigram, ' ')[1] = p.prev
+        |  LEFT JOIN cmodel c ON string_split(b.bigram, ' ')[2] = c.cur
+        |  GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |       CAST(coalesce(s.matched_bg, 0) AS BIGINT) AS matched_bg,
+        |       CAST(coalesce(s.sum_c_bg, 0) AS BIGINT) AS sum_c_bg,
+        |       CAST(coalesce(s.matched_prev, 0) AS BIGINT) AS matched_prev,
+        |       CAST(coalesce(s.matched_cont, 0) AS BIGINT) AS matched_cont,
+        |       CAST(coalesce(s.sum_n_ctx, 0) AS BIGINT) AS sum_n_ctx
         |FROM documents d LEFT JOIN scored s USING (doc_id)""".stripMargin,
     "pipe_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)),'\s+')) AS tok FROM documents),

@@ -81,4 +81,59 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("SortMergeJoin"))
   }
+
+  test("Kneser-Ney: trained statistics match the hand counts") {
+    val m = LanguageModel.trainKn(corpus, col("text"),
+      bigramVocab = 5, contextVocab = 3, contVocab = 4)
+    // contexts: (prev, total count, DISTINCT successors)
+    assert(m.contexts.as[(String, Long, Long)].collect().toSet ==
+      Set(("the", 3L, 2L), ("cat", 2L, 2L), ("dog", 1L, 1L)))
+    // continuations: distinct PREDECESSOR counts — "sat" follows cat AND dog
+    assert(m.continuations.as[(String, Long)].collect().toSet ==
+      Set(("sat", 2L), ("cat", 1L), ("ran", 1L), ("dog", 1L)))
+    assert(m.totals.as[(Long, Long)].head() == ((5L, 4L)))
+  }
+
+  test("Kneser-Ney score matches the hand-computed worked example") {
+    val m = LanguageModel.trainKn(corpus, col("text"),
+      bigramVocab = 5, contextVocab = 3, contVocab = 4)
+    val probe = Seq(
+      (1L, "the cat sat"),
+      (6L, "zebra cat"),   // unseen context → pure backoff Pcont(cat)
+      (7L, "cat zebra"))   // unseen continuation → discount mass × floor
+      .toDF("doc_id", "text")
+    val out = LanguageModel.scoreKn(probe, col("doc_id"), col("text"), m)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def pcont(nCtx: Long) = (nCtx + 1.0) / (5.0 + 4.0)
+    // doc 1: "the cat" → (2−.75)/3 + .75·2/3·Pcont(cat);
+    //        "cat sat" → (1−.75)/2 + .75·2/2·Pcont(sat)
+    val p1 = (2 - 0.75) / 3 + 0.75 * 2 / 3 * pcont(1)
+    val p2 = (1 - 0.75) / 2 + 0.75 * 2 / 2 * pcont(2)
+    val want1 = math.exp(-(math.log(p1) + math.log(p2)) / 2)
+    assert(math.abs(out(1L).getDouble(8) - want1) < 1e-9)
+    assert(out(1L).getLong(1) == 2 && out(1L).getLong(2) == 2) // n, matched_bg
+    assert(out(1L).getLong(5) == 2 && out(1L).getLong(6) == 3) // matched_cont, sum_n_ctx
+    // doc 6: prev "zebra" unknown → p = Pcont(cat) = 2/9
+    assert(math.abs(out(6L).getDouble(8) - 1.0 / pcont(1)) < 1e-9)
+    // doc 7: prev cat known, bigram+continuation unseen →
+    // p = 0 + .75·(2/2)·Pcont(zebra) = .75·(1/9)
+    assert(math.abs(out(7L).getDouble(8) - 1.0 / (0.75 * pcont(0))) < 1e-9)
+  }
+
+  test("Kneser-Ney favors a novel-but-plausible continuation over a frozen collocation") {
+    // "san francisco" is frequent, but "francisco" only ever follows "san":
+    // after an unseen context, the continuation model must prefer a word
+    // seen after MANY contexts ("night") over the higher-frequency
+    // "francisco" — the defining property add-one smoothing lacks
+    val train = (
+      (0 until 20).map(i => (i.toLong, "san francisco")) ++
+        Seq((100L, "good night"), (101L, "late night"),
+          (102L, "every night"), (103L, "one night"))).toDF("doc_id", "text")
+    val m = LanguageModel.trainKn(train, col("text"))
+    val probe = Seq((0L, "zzz night"), (1L, "zzz francisco")).toDF("doc_id", "text")
+    val ppl = LanguageModel.scoreKn(probe, col("doc_id"), col("text"), m)
+      .select(col("id"), col("perplexity")).as[(Long, Double)].collect().toMap
+    assert(ppl(0L) < ppl(1L),
+      s"night (4 contexts) must beat francisco (1 context): $ppl")
+  }
 }
