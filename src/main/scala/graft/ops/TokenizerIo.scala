@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Tokenizer-artifact interchange in the GPT-2/HuggingFace on-disk layout —
+  * `merges.txt` (one space-separated merge pair per line, rank order, with
+  * the conventional `#version:` header) and `vocab.json` (a flat
+  * token → id object). A tokenizer trained here ([[Bpe.train]] +
+  * [[Bpe.vocabulary]]) exports to files an external tokenizer library
+  * loads, and merge tables trained elsewhere import into [[Bpe.encode]]'s
+  * native expression unchanged.
+  *
+  * These artifacts are driver-bounded metadata (|alphabet| + |merges|
+  * entries — same class as the PQ codebooks and LIMIT-bounded LM tables),
+  * so plain local/NIO file IO is the right tool; nothing corpus-sized
+  * flows through here.
+  *
+  * Byte-level caveat, documented not hidden: GPT-2 proper first maps text
+  * through a byte-to-unicode table and splits with a regex pre-tokenizer;
+  * this engine's contract is whitespace pre-tokenization over the raw
+  * string ([[Bpe]] scaladoc). The FILE FORMAT is identical; the
+  * pre-tokenizer contract travels with the pipeline, exactly as it does
+  * between HF `tokenizer.json` variants.
+  */
+object TokenizerIo {
+
+  private val MergesHeader = "#version: 0.2"
+
+  /** Write merges in rank order. Pieces are whitespace-free by
+    * construction (whitespace pre-tokenization); enforced loudly here
+    * because the file format depends on it.
+    */
+  def writeMerges(merges: Seq[(String, String)], path: String): Unit = {
+    merges.foreach { case (a, b) =>
+      require(!a.exists(_.isWhitespace) && !b.exists(_.isWhitespace) &&
+        a.nonEmpty && b.nonEmpty,
+        s"merge pieces must be non-empty and whitespace-free: ('$a', '$b')")
+    }
+    val lines = MergesHeader +: merges.map { case (a, b) => s"$a $b" }
+    Files.write(Paths.get(path),
+      lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Read a merges.txt back into rank order; `#`-prefixed header lines and
+    * blank lines are skipped (the HF loader's behavior). */
+  def readMerges(path: String): Seq[(String, String)] =
+    Files.readAllLines(Paths.get(path), StandardCharsets.UTF_8).asScala.toSeq
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val i = l.indexOf(' ')
+        require(i > 0 && l.indexOf(' ', i + 1) < 0,
+          s"malformed merges line (need exactly one space): '$l'")
+        (l.substring(0, i), l.substring(i + 1))
+      }
+
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** Write a [[Bpe.vocabulary]] frame (token, n, id) as vocab.json, ids in
+    * ascending order. The frame is vocabulary-bounded; the collect is the
+    * same bounded-artifact fetch the BPE trainer itself makes.
+    */
+  def writeVocabJson(vocab: DataFrame, path: String): Unit = {
+    val entries = vocab.select("token", "id").collect()
+      .map(r => (r.getString(0), r.getInt(1))).sortBy(_._2)
+    val ids = entries.map(_._2)
+    require(ids.distinct.length == ids.length,
+      "vocab ids must be unique")
+    val body = entries
+      .map { case (t, i) => s""""${jsonEscape(t)}": $i""" }
+      .mkString("{", ", ", "}")
+    Files.write(Paths.get(path), body.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Parse a flat vocab.json (token → integer id). Minimal recursive-free
+    * parser for exactly the flat-object shape [[writeVocabJson]] emits and
+    * HF vocab files use; full string-escape handling, loud on anything
+    * structurally unexpected.
+    */
+  def readVocabJson(path: String): Map[String, Int] = {
+    val s = new String(Files.readAllBytes(Paths.get(path)), StandardCharsets.UTF_8)
+    var i = 0
+    def skipWs(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"vocab.json parse error at $i: $msg")
+    def expect(c: Char): Unit = {
+      skipWs()
+      if (i >= s.length || s(i) != c) fail(s"expected '$c'")
+      i += 1
+    }
+    def parseString(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (i < s.length && s(i) != '"') {
+        if (s(i) == '\\') {
+          i += 1
+          if (i >= s.length) fail("dangling escape")
+          s(i) match {
+            case '"' => sb += '"'
+            case '\\' => sb += '\\'
+            case '/' => sb += '/'
+            case 'n' => sb += '\n'
+            case 'r' => sb += '\r'
+            case 't' => sb += '\t'
+            case 'b' => sb += '\b'
+            case 'f' => sb += '\f'
+            case 'u' =>
+              if (i + 4 >= s.length) fail("truncated \\u escape")
+              sb += Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar
+              i += 4
+            case c => fail(s"unknown escape \\$c")
+          }
+        } else sb += s(i)
+        i += 1
+      }
+      if (i >= s.length) fail("unterminated string")
+      i += 1 // closing quote
+      sb.toString
+    }
+    def parseInt(): Int = {
+      skipWs()
+      val start = i
+      if (i < s.length && s(i) == '-') i += 1
+      while (i < s.length && s(i).isDigit) i += 1
+      if (i == start) fail("expected integer")
+      s.substring(start, i).toInt
+    }
+    expect('{')
+    skipWs()
+    val out = Map.newBuilder[String, Int]
+    if (i < s.length && s(i) == '}') { i += 1 }
+    else {
+      var more = true
+      while (more) {
+        val k = parseString()
+        expect(':')
+        out += k -> parseInt()
+        skipWs()
+        if (i < s.length && s(i) == ',') { i += 1; skipWs() }
+        else more = false
+      }
+      expect('}')
+    }
+    skipWs()
+    if (i != s.length) fail("trailing content")
+    out.result()
+  }
+}

@@ -99,4 +99,49 @@ class BpeSpec extends AnyFunSuite {
     val m2 = Bpe.train(docs, col("text"), nMerges = 50, maxWords = 1000)
     assert(m1 == m2)
   }
+
+  test("merges.txt round-trip preserves rank order; reloaded table encodes identically") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val merges = Bpe.train(docs, col("text"), nMerges = 40, maxWords = 1000)
+    val dir = java.nio.file.Files.createTempDirectory("tok_io")
+    val p = dir.resolve("merges.txt").toString
+    TokenizerIo.writeMerges(merges, p)
+    val reloaded = TokenizerIo.readMerges(p)
+    assert(reloaded == merges)
+    // the file starts with the conventional header external loaders skip
+    assert(scala.io.Source.fromFile(p).getLines().next().startsWith("#version:"))
+    val a = docs.limit(50).select(Bpe.encode(col("text"), merges))
+      .as[Seq[String]].collect().toSeq
+    val b = docs.limit(50).select(Bpe.encode(col("text"), reloaded))
+      .as[Seq[String]].collect().toSeq
+    assert(a == b)
+  }
+
+  test("vocab.json round-trip: escapes survive, ids dense and stable") {
+    val docs = Seq((1L, "he said \"a\\b\"\tok"), (2L, "he said ok ok"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(docs, col("text"), nMerges = 5, maxWords = 100)
+    val vocab = Bpe.vocabulary(docs, col("text"), merges)
+    val dir = java.nio.file.Files.createTempDirectory("tok_io")
+    val p = dir.resolve("vocab.json").toString
+    TokenizerIo.writeVocabJson(vocab, p)
+    val back = TokenizerIo.readVocabJson(p)
+    val want = vocab.select("token", "id").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(back == want)
+    assert(back.values.toSeq.sorted == (1 to back.size).toSeq, "dense 1-based ids")
+  }
+
+  test("TokenizerIo rejects malformed artifacts loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("tok_io")
+    intercept[IllegalArgumentException] {
+      TokenizerIo.writeMerges(Seq(("a b", "c")), dir.resolve("m.txt").toString)
+    }
+    val bad = dir.resolve("bad.txt")
+    java.nio.file.Files.writeString(bad, "a b c\n")
+    intercept[IllegalArgumentException] { TokenizerIo.readMerges(bad.toString) }
+    val badJson = dir.resolve("bad.json")
+    java.nio.file.Files.writeString(badJson, "{\"a\": 1,")
+    intercept[IllegalArgumentException] { TokenizerIo.readVocabJson(badJson.toString) }
+  }
 }
