@@ -432,6 +432,23 @@ object ScaleProbe {
     println(s"  span [${twRes.getLong(0)}, ${twRes.getLong(1)}) over ${twRes.getLong(2)} tokens " +
       s"(tile check: ${twRes.getLong(1) == twRes.getLong(2)}), ${twRes.getLong(3) + 1} windows")
 
+    println(s"== ROC AUC (two-phase bucketed prefix sum over per-score counts) ==")
+    // score = U(0,1) + 0.1·label → analytic AUC = 1 − 0.9²/2 = 0.595;
+    // ~10M distinct score values stress the bucketed prefix path
+    val aucIn = spark.range(n).select(
+      (col("id") % 4L).as("g"),
+      (pmod(xxhash64(col("id") * 31L), lit(10L)) < 3L).as("y"),
+      (pmod(xxhash64(col("id") * 17L + 3L), lit(10000000L)).cast("double") / 1e7
+        + when(pmod(xxhash64(col("id") * 31L), lit(10L)) < 3L, 0.1).otherwise(0.0))
+        .as("s"))
+    val aucRow = time(f"rocAuc ($n%,d rows, 4 groups, ~10M distinct scores)") {
+      graft.ops.Eval.rocAuc(aucIn, col("g"), col("y"), col("s"))
+        .agg(min("auc").as("lo"), max("auc").as("hi"),
+          sum("n_pos").as("np"), sum("n_neg").as("nn")).head()
+    }
+    println(f"  auc ${aucRow.getDouble(0)}%.4f..${aucRow.getDouble(1)}%.4f " +
+      f"(analytic 0.595), ${aucRow.getLong(2)}%,d pos / ${aucRow.getLong(3)}%,d neg")
+
     println(s"== shuffled-shard export (range 1:1 shard->task mapping) ==")
     val shardDir = java.nio.file.Files.createTempDirectory("probe-shards")
     time(f"writeShuffledShards ($n%,d rows -> 256 shards)") {

@@ -222,6 +222,29 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(p.contains("Generate"), s"expected explode generator:\n$p")
   }
 
+  test("ROC AUC: offsets broadcast; exchanges keyed by group/score/bucket only") {
+    val p = plan("pipe_classifier_eval")
+    // span + offset frames are bounded metadata: their joins must broadcast
+    assert(!p.contains("SortMergeJoin"), s"metadata join must broadcast:\n$p")
+    // corpus-sized exchanges: the per-(group, score) aggregate and the
+    // bucketed window — never an unkeyed (single-partition global) window
+    val hashes = "hashpartitioning\\((\\w+)".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(hashes.subsetOf(Set("slice", "group", "s", "__b")),
+      s"unexpected hash exchange keys $hashes:\n$p")
+    assert(!p.contains("SinglePartition\n"),
+      s"no single-partition exchange in the AUC plan:\n$p")
+  }
+
+  test("hybrid RRF fusion never touches the corpus outside the two retrievals") {
+    val p = plan("pipe_hybrid_retrieval")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs:\n$p")
+    // dense half: the query side is broadcast (Cross BNLJ over 3 rows);
+    // lexical half: same contract pipe_bm25 pins; fusion: a union of two
+    // bounded top-k cuts — any SortMergeJoin would mean a corpus-sized
+    // re-join sneaked into the fusion stage
+    assert(!p.contains("SortMergeJoin"), s"fusion must stay bounded:\n$p")
+  }
+
   test("bm25: query side broadcast, corpus never self-joined") {
     val p = plan("pipe_bm25")
     assert(!p.contains("CartesianProduct"), s"no all-pairs allowed:\n$p")
