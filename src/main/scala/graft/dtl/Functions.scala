@@ -200,6 +200,16 @@ object FunctionRegistry {
       round(st.getField("top_freq").cast("double") /
         greatest(st.getField("n_words").cast("double"), lit(1.0)), 6)
     },
+    // Shannon entropy signals (nats, rounded to 6) — the model-free
+    // gibberish / template-boilerplate gates
+    text1("char_entropy", TDouble) { t =>
+      round(graft.functions.TextEntropy.textEntropy(t)
+        .getField("char_entropy"), 6)
+    },
+    text1("word_entropy", TDouble) { t =>
+      round(graft.functions.TextEntropy.textEntropy(t)
+        .getField("word_entropy"), 6)
+    },
     arity("hash_uniform", 1) { (args, pos) =>
       if (args.head.dtype.isInstanceOf[TExt])
         fail(pos, "hash_uniform is not defined for extension types")

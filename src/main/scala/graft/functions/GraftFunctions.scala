@@ -76,7 +76,8 @@ object GraftFunctions {
       org.apache.spark.sql.GraftColumnBridge.catalystExpression(
         graft.ops.Dedup.dedupLinesInDoc(
           org.apache.spark.sql.GraftColumnBridge.column(args.head)))
-    })
+    },
+    "text_entropy" -> { args => TextEntropyExpression(args.head) })
 
   /** Imperative per-session registration. */
   def register(spark: SparkSession): Unit =

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass Shannon-entropy text signals: character (code-point) entropy
+  * and word entropy in nats, plus the underlying counts, as a struct —
+  * the gibberish/boilerplate detector several published cleaning recipes
+  * gate on (low character entropy → keyboard mashing and repeated
+  * padding; low word entropy at high length → template boilerplate) that
+  * needs no model and no corpus pass.
+  *
+  * Cross-engine contract (oracle-replayable):
+  *  - characters are Unicode CODE POINTS (what DuckDB's
+  *    `string_split_regex(text, '')` and `length()` count — surrogate
+  *    pairs are one character);
+  *  - words follow [[Tokenize.words]] exactly (space-only trim, `\s+`
+  *    split keeping edge-empty tokens);
+  *  - entropy = ln(N) − (Σ c·ln c)/N over the frequency multiset — the
+  *    algebraic form both engines evaluate with one float sum; empty
+  *    inputs score 0.0.
+  */
+object TextEntropy {
+  private def entropy(counts: java.util.HashMap[String, Int], n: Int): Double = {
+    if (n == 0) return 0.0
+    var sum = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().toDouble
+      sum += c * math.log(c)
+    }
+    math.log(n.toDouble) - sum / n
+  }
+
+  def textEntropy(s: UTF8String): InternalRow = {
+    val str = s.toString
+    val charCounts = new java.util.HashMap[String, Int]()
+    var nChars = 0
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      charCounts.merge(new String(Character.toChars(cp)), 1, (a, b) => a + b)
+      nChars += 1
+      i += Character.charCount(cp)
+    }
+    val words = Tokenize.words(s)
+    val wordCounts = new java.util.HashMap[String, Int]()
+    var j = 0
+    while (j < words.length) {
+      wordCounts.merge(words(j), 1, (a, b) => a + b)
+      j += 1
+    }
+    new GenericInternalRow(Array[Any](
+      nChars, entropy(charCounts, nChars),
+      words.length, entropy(wordCounts, words.length)))
+  }
+
+  def textEntropy(text: Column): Column =
+    GraftColumnBridge.column(
+      TextEntropyExpression(GraftColumnBridge.expression(text)))
+}
+
+case class TextEntropyExpression(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("char_entropy", DoubleType, nullable = false),
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("word_entropy", DoubleType, nullable = false)))
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"text_entropy expects STRING, got ${child.dataType.simpleString}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    TextEntropy.textEntropy(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextEntropy.textEntropy($c)")
+  override protected def withNewChildInternal(newChild: Expression): TextEntropyExpression =
+    copy(child = newChild)
+}

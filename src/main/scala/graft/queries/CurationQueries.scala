@@ -267,6 +267,18 @@ object CurationQueries {
           graft.ops.Sketches.kmvEstimate(col("hs"), 128).as("est_distinct"))
     }),
 
+    // one-pass Shannon entropy signals (code-point + word entropy in
+    // nats): the model-free gibberish/boilerplate detector. Native
+    // expression; the algebraic form ln N − (Σ c·ln c)/N replays in SQL
+    "pipe_entropy" -> ((s, d) => {
+      val e = graft.functions.TextEntropy.textEntropy(col("text"))
+      t(s, d, "documents").select(col("doc_id"),
+        e.getField("n_chars").as("n_chars"),
+        round(e.getField("char_entropy"), 6).as("char_entropy"),
+        e.getField("n_words").as("n_words"),
+        round(e.getField("word_entropy"), 6).as("word_entropy"))
+    }),
+
     // KMV set algebra across two overlapping "crawl snapshots" (doc_id
     // < 300 vs >= 200): per-language sketch artifacts of each side,
     // union/Jaccard/intersection estimated WITHOUT joining any rows —
@@ -870,6 +882,36 @@ object CurationQueries {
          |             ELSE 127.0 * power(2.0, 60) / CAST(max(hv) AS DOUBLE)
          |             END, 4) AS est_distinct
          |FROM r WHERE rn <= 128""".stripMargin,
+
+    // entropy replay: per-doc code-point and word frequency multisets,
+    // the same ln N − (Σ c·ln c)/N form, rounded to 6
+    "pipe_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+        |  FROM documents WHERE length(text) > 0),
+        |cc AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c),
+        |ce AS (
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS nc,
+        |         ln(CAST(sum(n) AS DOUBLE))
+        |           - sum(n * ln(CAST(n AS DOUBLE))) / sum(n) AS ent
+        |  FROM cc GROUP BY doc_id),
+        |w AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS wd
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |wc AS (SELECT doc_id, wd, count(*) AS n FROM w GROUP BY doc_id, wd),
+        |we AS (
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS nw,
+        |         ln(CAST(sum(n) AS DOUBLE))
+        |           - sum(n * ln(CAST(n AS DOUBLE))) / sum(n) AS ent
+        |  FROM wc GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(ce.nc, 0) AS INTEGER) AS n_chars,
+        |  round(coalesce(ce.ent, 0.0), 6) AS char_entropy,
+        |  CAST(coalesce(we.nw, 0) AS INTEGER) AS n_words,
+        |  round(coalesce(we.ent, 0.0), 6) AS word_entropy
+        |FROM documents d
+        |LEFT JOIN ce ON ce.doc_id = d.doc_id
+        |LEFT JOIN we ON we.doc_id = d.doc_id""".stripMargin,
 
     // KMV overlap replayed literally: per-side k=64 smallest hash lists,
     // union sketch = 64 smallest of their union, matches = union-sketch

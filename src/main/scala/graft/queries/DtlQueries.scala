@@ -92,6 +92,17 @@ object DtlQueries {
         |  SELECT domain, count() AS n FROM hosts GROUP BY domain;
         |EXPORT output TO 'output';""".stripMargin)),
 
+    // entropy signals in-language: the model-free gibberish gate a DTL
+    // cleaning script filters on
+    "dtl_entropy" -> ((s, d) => run(s, d,
+      """WITH documents AS IMPORT 'documents';
+        |WITH output AS
+        |  SELECT doc_id, char_entropy(text) AS ch_ent,
+        |         word_entropy(text) AS wd_ent
+        |  FROM documents
+        |  WHERE word_entropy(text) > 2.0;
+        |EXPORT output TO 'output';""".stripMargin)),
+
     // the mergeable-sketch aggregates on the language surface: a DTL user
     // gets corpus-scale distinct counts and quantiles with bounded
     // aggregation buffers — and, unlike approx_count_distinct, both are
@@ -368,6 +379,31 @@ object DtlQueries {
       """SELECT 'site' || (doc_id % 5) || '.com' AS domain,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM documents GROUP BY 1""".stripMargin,
+    "dtl_entropy" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS wd
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |wc AS (SELECT doc_id, wd, count(*) AS n FROM w GROUP BY doc_id, wd),
+        |we AS (
+        |  SELECT doc_id,
+        |         round(ln(CAST(sum(n) AS DOUBLE))
+        |           - sum(n * ln(CAST(n AS DOUBLE))) / sum(n), 6) AS wd_ent
+        |  FROM wc GROUP BY doc_id),
+        |ch AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+        |  FROM documents WHERE length(text) > 0),
+        |cc AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c),
+        |ce AS (
+        |  SELECT doc_id,
+        |         round(ln(CAST(sum(n) AS DOUBLE))
+        |           - sum(n * ln(CAST(n AS DOUBLE))) / sum(n), 6) AS ch_ent
+        |  FROM cc GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(ce.ch_ent, 0.0) AS ch_ent,
+        |       coalesce(we.wd_ent, 0.0) AS wd_ent
+        |FROM documents d
+        |LEFT JOIN ce ON ce.doc_id = d.doc_id
+        |LEFT JOIN we ON we.doc_id = d.doc_id
+        |WHERE coalesce(we.wd_ent, 0.0) > 2.0""".stripMargin,
     "dtl_sketch" ->
       """WITH h AS (
         |  SELECT DISTINCT lang, ('0x'||substr(md5(text),1,15))::BIGINT AS hv

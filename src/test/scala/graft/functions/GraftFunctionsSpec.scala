@@ -138,4 +138,26 @@ class GraftFunctionsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("literal integer"))
   }
+
+  test("text_entropy: worked examples, code points, degenerate inputs") {
+    GraftFunctions.register(spark)
+    def ent(s: String) = {
+      val r = spark.sql(
+        s"SELECT text_entropy('$s') AS e").select("e.*").head()
+      (r.getInt(0), r.getDouble(1), r.getInt(2), r.getDouble(3))
+    }
+    // "aabb": chars {a:2, b:2} → ln 2; one word → 0
+    val (nc, ce, nw, we) = ent("aabb")
+    assert(nc == 4 && nw == 1)
+    assert(math.abs(ce - math.log(2)) < 1e-12 && we == 0.0)
+    // four equiprobable words → ln 4; repeated word pulls entropy down
+    assert(math.abs(ent("a b c d")._4 - math.log(4)) < 1e-12)
+    assert(ent("a a a b")._4 < ent("a b c d")._4)
+    // surrogate pair counts as ONE character (code points, like DuckDB)
+    val thumbs = new String(Character.toChars(0x1F44D))
+    val (nc2, ce2, _, _) = ent(thumbs + thumbs)
+    assert(nc2 == 2 && ce2 == 0.0)
+    // empty input scores 0 everywhere
+    assert(ent("") == ((0, 0.0, 0, 0.0)))
+  }
 }
