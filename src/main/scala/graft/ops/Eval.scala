@@ -90,6 +90,43 @@ object Eval {
     * upstream already collapsed duplicates, so the hot bucket is small by
     * construction.
     */
+  /** Reliability-diagram calibration bins for a probability-like score in
+    * [0, 1]: equal-width bins, per (group, bin) the count, mean predicted
+    * score and observed positive rate — the table a calibration plot (or
+    * a Platt/isotonic recalibration) consumes. Out-of-range scores clamp
+    * into the edge bins (a miscalibrated model is data, not an error).
+    * One map-side-combined aggregate; doubles rounded to 6 so summation
+    * order never shows. `bin_lo` carries the bin's left edge so the
+    * output is self-describing.
+    */
+  def calibrationBins(df: DataFrame, group: Column, label: Column,
+      score: Column, nBins: Int = 10): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    val s = score.cast("double")
+    val bin = least(lit(nBins - 1),
+      greatest(lit(0), floor(s * nBins).cast("int")))
+    df.select(group.as("group"), bin.as("bin"), s.as("s"),
+        when(label.cast("boolean"), 1L).otherwise(0L).as("p"))
+      .filter(col("s").isNotNull)
+      .groupBy("group", "bin")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("s")) / count(lit(1)), 6).as("mean_score"),
+        round(sum(col("p")).cast("double") / count(lit(1)), 6).as("pos_rate"))
+      .withColumn("bin_lo", round(col("bin").cast("double") / nBins, 6))
+  }
+
+  /** Expected calibration error per group: Σ_b (n_b/N)·|pos_rate_b −
+    * mean_score_b| over [[calibrationBins]]'s ROUNDED bin columns, so the
+    * aggregate is deterministic across engines; rounded to 6.
+    */
+  def calibrationError(df: DataFrame, group: Column, label: Column,
+      score: Column, nBins: Int = 10): DataFrame =
+    calibrationBins(df, group, label, score, nBins)
+      .groupBy("group")
+      .agg(sum(col("n")).as("n"),
+        round(sum(col("n") * abs(col("pos_rate") - col("mean_score"))) /
+          sum(col("n")), 6).as("ece"))
+
   def rocAuc(df: DataFrame, group: Column, label: Column, score: Column,
       nBuckets: Int = 1024): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")

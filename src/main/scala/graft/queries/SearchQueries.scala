@@ -126,6 +126,19 @@ object SearchQueries {
           when(col("label") >= 5, 0.08).otherwise(0.0), 2).as("score"))
       Eval.rocAuc(scored, col("slice"), col("y"), col("score"))
         .withColumnRenamed("group", "slice")
+    }),
+
+    // reliability-diagram bins + per-slice expected calibration error for
+    // the same planted classifier, shifted into [0, 1] probability range
+    "pipe_calibration" -> ((s, d) => {
+      val scored = t(s, d, "embeddings").select(
+        (col("vec_id") % 2).as("slice"),
+        (col("label") >= 5).as("y"),
+        round(element_at(col("embedding"), 1).cast("double") + 0.35 +
+          when(col("label") >= 5, 0.08).otherwise(0.0), 2).as("score"))
+      Eval.calibrationBins(scored, col("slice"), col("y"), col("score"),
+          nBins = 10)
+        .withColumnRenamed("group", "slice")
     })
   )
 
@@ -415,6 +428,26 @@ object SearchQueries {
         |       CAST(sum(nn) AS BIGINT) AS n_neg,
         |       round(CAST(sum(np * (2 * negbelow + nn)) AS DOUBLE)
         |         / (2.0 * sum(np) * sum(nn)), 6) AS auc
-        |FROM c GROUP BY slice""".stripMargin
+        |FROM c GROUP BY slice""".stripMargin,
+
+    // calibration bins: equal-width [0,1] decile bins with edge clamping,
+    // mean score and observed positive rate rounded like the operator
+    "pipe_calibration" ->
+      """WITH s AS (
+        |  SELECT vec_id % 2 AS slice,
+        |         CASE WHEN label >= 5 THEN 1 ELSE 0 END AS p,
+        |         round(CAST(embedding[1] AS DOUBLE) + 0.35 +
+        |           CASE WHEN label >= 5 THEN 0.08 ELSE 0.0 END, 2) AS sc
+        |  FROM embeddings),
+        |b AS (
+        |  SELECT slice, p, sc,
+        |         least(9, greatest(0, CAST(floor(sc * 10) AS INTEGER))) AS bin
+        |  FROM s)
+        |SELECT slice, CAST(bin AS INTEGER) AS bin,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(sc) / count(*), 6) AS mean_score,
+        |       round(CAST(sum(p) AS DOUBLE) / count(*), 6) AS pos_rate,
+        |       round(CAST(bin AS DOUBLE) / 10, 6) AS bin_lo
+        |FROM b GROUP BY slice, bin""".stripMargin
   )
 }

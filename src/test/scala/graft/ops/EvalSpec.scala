@@ -82,6 +82,28 @@ class EvalSpec extends AnyFunSuite {
     assert(out(1L)._3.contains(1.0))
   }
 
+  test("calibrationBins: clamping, rates, and a perfectly calibrated model's ECE") {
+    val rows = Seq(
+      (0L, true, 1.2),   // clamps into bin 9
+      (0L, false, -0.3), // clamps into bin 0
+      (0L, true, 0.95), (0L, false, 0.91),
+      (0L, true, 0.05), (0L, false, 0.08))
+    val bins = Eval.calibrationBins(rows.toDF("g", "y", "s"),
+        col("g"), col("y"), col("s"), nBins = 10)
+      .collect().map(r => r.getInt(1) -> (r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(bins.keySet == Set(0, 9))
+    assert(bins(9)._1 == 3L && math.abs(bins(9)._3 - 2.0 / 3) < 1e-6)
+    assert(bins(0)._1 == 3L && math.abs(bins(0)._3 - 1.0 / 3) < 1e-6)
+    // a model whose score IS the positive rate in its bin has ECE 0
+    val perfect = (0 until 1000).map { i =>
+      (0L, (i % 100) < 55, 0.55) // single bin, rate 0.55, score 0.55
+    }
+    val ece = Eval.calibrationError(perfect.toDF("g", "y", "s"),
+      col("g"), col("y"), col("s")).collect().head.getDouble(2)
+    assert(ece == 0.0, s"perfectly calibrated bin must give ECE 0, got $ece")
+  }
+
   test("rocAuc: bucket count never changes the answer") {
     val rows = (1 to 500).map { i =>
       (i % 3L, (i * 7) % 11 > 4, math.sin(i.toDouble) + (if ((i * 7) % 11 > 4) 0.3 else 0.0))
