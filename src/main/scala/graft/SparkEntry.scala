@@ -51,5 +51,7 @@ object SparkEntry {
     "pipe_gopher_rules", "pipe_hard_negatives", "pipe_length_batches",
     "pipe_temperature_mix", "pipe_unigram", "pipe_knn_graph",
     "pipe_audit_trail", "pipe_sketch_distinct", "pipe_sketch_freq",
-    "pipe_corpus_report_sketch")
+    "pipe_corpus_report_sketch",
+    "pipe_hybrid_retrieval", "pipe_classifier_eval", "pipe_lm_kneser_ney",
+    "pipe_entropy")
 }

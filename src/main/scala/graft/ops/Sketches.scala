@@ -260,6 +260,24 @@ object Sketches {
       .groupBy("row", "bucket").agg(count(lit(1)).as("n"))
   }
 
+  /** [[cmsBuild]] from a pre-aggregated (term, count) frame — counter adds
+    * are associative, so summing weights over distinct terms builds the
+    * IDENTICAL sketch while exploding d rows per DISTINCT term instead of
+    * d per occurrence. The right entry point whenever a term-frequency
+    * aggregate already exists in the pipeline (a vocabulary pass, an exact
+    * top-k ground truth): the corpus then pays ONE tokenize+count, and the
+    * sketch derives from its Zipf-bounded output.
+    */
+  def cmsBuildCounts(counts: DataFrame, term: Column, n: Column,
+      d: Int = 4, w: Int = 1024): DataFrame = {
+    require(d >= 1 && d <= 16 && w >= 2, s"need 1<=d<=16, w>=2; got d=$d w=$w")
+    counts.select(term.as("__t"), n.cast("long").as("__n"))
+      .select(col("__n"), col("__t"),
+        explode(array((0 until d).map(lit): _*)).as("row"))
+      .select(col("__n"), col("row"), cmsBucket(col("__t"), col("row"), w).as("bucket"))
+      .groupBy("row", "bucket").agg(sum(col("__n")).as("n"))
+  }
+
   /** Frequency estimates for `terms` against a built sketch: the minimum
     * over the d row counters each term hashes into (0 when a counter was
     * never touched). The ≤ d·w sketch broadcasts; the probe is shuffle-free

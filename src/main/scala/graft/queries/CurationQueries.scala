@@ -318,9 +318,13 @@ object CurationQueries {
       val words = t(s, d, "documents")
         .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
         .filter(length(col("w")) > 0)
-      val sketch = graft.ops.Sketches.cmsBuild(words, col("w"), d = 4, w = 1024)
-      val top = words.groupBy("w").agg(count(lit(1)).as("n_exact"))
-        .orderBy(col("n_exact").desc, col("w")).limit(20)
+      // ONE corpus tokenize+count; the sketch derives from the aggregated
+      // (term, n) table (bit-identical counters — adds are associative),
+      // and the same aggregate's exchange is reused for the exact top-20
+      val counts = words.groupBy("w").agg(count(lit(1)).as("n_exact"))
+      val sketch = graft.ops.Sketches.cmsBuildCounts(
+        counts, col("w"), col("n_exact"), d = 4, w = 1024)
+      val top = counts.orderBy(col("n_exact").desc, col("w")).limit(20)
       graft.ops.Sketches.cmsQuery(sketch, top, col("w"), d = 4, w = 1024)
         .join(top.withColumnRenamed("w", "term"), "term")
         .select(col("term"), col("n_exact"), col("est").as("n_est"))

@@ -202,6 +202,16 @@ class SketchesSpec extends AnyFunSuite {
       e.getCause != null && e.getCause.getMessage.contains("negative"))
   }
 
+  test("count-min from pre-aggregated counts is bit-identical to the raw build") {
+    val terms = (0 until 5000).map(i => s"t${i % 300}").toDF("w")
+    val counts = terms.groupBy("w").agg(count(lit(1)).as("n"))
+    val a = Sketches.cmsBuild(terms, col("w"), d = 3, w = 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val b = Sketches.cmsBuildCounts(counts, col("w"), col("n"), d = 3, w = 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(a == b)
+  }
+
   test("KMV overlap below k is the exact Jaccard and intersection") {
     // A = {a..f} (6), B = {d..i} (6), A∩B = {d,e,f} (3), A∪B = 9
     val a = Seq("a", "b", "c", "d", "e", "f").toDF("v")
