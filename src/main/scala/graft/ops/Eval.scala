@@ -1,8 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 
 /** Pipeline-evaluation metrics — the measurement half of a curation stack:
   * a retrieval system is tuned against qrels (recall@k / MRR / nDCG), and a
@@ -166,5 +166,80 @@ object Eval {
           round(col("__num2").cast("double")
             / (lit(2.0) * col("n_pos") * col("n_neg")), 6))
           .as("auc"))
+  }
+
+  /** Buffer of [[AucBinnedAgg]]: per-grid-cell positive/negative counts. */
+  final case class AucBins(pos: Map[Long, Long], neg: Map[Long, Long])
+
+  /** [[AucBinnedAgg]] result; `auc` is None when a class is absent. */
+  final case class AucResult(n_pos: Long, n_neg: Long, auc: Option[Double])
+
+  /** Single-buffer AUC at a fixed score grid — the BOUNDED-STATE form of
+    * [[rocAuc]] that a streaming window (or any single aggregate call) can
+    * hold: state is the per-grid-cell class counts (≤ grid size entries),
+    * the finish is the same tie-aware doubled-integer walk. Input is a
+    * packed long from [[packScoreLabel]] (grid·2 | label). AUC is EXACT
+    * whenever no two distinct scores share a grid cell; scores colliding
+    * on a cell tie at grid granularity (half credit), so the error is
+    * bounded by the grid resolution — the trade that buys O(grid) state.
+    */
+  final class AucBinnedAgg extends Aggregator[Long, AucBins, AucResult] {
+    def zero: AucBins = AucBins(Map.empty, Map.empty)
+    def reduce(b: AucBins, packed: Long): AucBins = {
+      val g = packed >> 1
+      if ((packed & 1L) == 1L)
+        AucBins(b.pos.updated(g, b.pos.getOrElse(g, 0L) + 1L), b.neg)
+      else
+        AucBins(b.pos, b.neg.updated(g, b.neg.getOrElse(g, 0L) + 1L))
+    }
+    def merge(a: AucBins, b: AucBins): AucBins = AucBins(
+      b.pos.foldLeft(a.pos) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0L) + v) },
+      b.neg.foldLeft(a.neg) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0L) + v) })
+    def finish(b: AucBins): AucResult = {
+      val p = b.pos.valuesIterator.sum
+      val n = b.neg.valuesIterator.sum
+      if (p == 0 || n == 0) return AucResult(p, n, None)
+      var num2 = 0L
+      var negBelow = 0L
+      for (g <- (b.pos.keySet ++ b.neg.keySet).toArray.sorted) {
+        val np = b.pos.getOrElse(g, 0L)
+        val nn = b.neg.getOrElse(g, 0L)
+        num2 += np * (2L * negBelow + nn)
+        negBelow += nn
+      }
+      // HALF_UP at 6, matching Spark's round() in [[rocAuc]] exactly
+      AucResult(p, n,
+        Some(BigDecimal(num2.toDouble / (2.0 * p * n))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    def bufferEncoder: Encoder[AucBins] = Encoders.product[AucBins]
+    def outputEncoder: Encoder[AucResult] = Encoders.product[AucResult]
+  }
+
+  /** Pack (⌊score·resolution⌋, label) into one long for [[AucBinnedAgg]];
+    * arithmetic shift in the aggregator recovers negative grids exactly.
+    */
+  def packScoreLabel(score: Column, label: Column, resolution: Int): Column = {
+    require(resolution > 0, s"resolution must be positive, got $resolution")
+    floor(score.cast("double") * resolution).cast("long") * 2 +
+      when(label.cast("boolean"), 1L).otherwise(0L)
+  }
+
+  /** [[rocAuc]] through the bounded single-buffer aggregate — per group,
+    * one aggregation call, no window/prefix machinery; exact up to the
+    * score grid. The same aggregator a streaming window holds
+    * ([[graft.streaming.EventStreams.rocAucStream]]), so live and batch
+    * results reconcile by construction.
+    */
+  def rocAucBinned(df: DataFrame, group: Column, label: Column, score: Column,
+      resolution: Int = 1000000): DataFrame = {
+    val agg = udaf(new AucBinnedAgg, Encoders.scalaLong)
+    df.select(group.as("group"),
+        packScoreLabel(score, label, resolution).as("__pk"))
+      .filter(col("__pk").isNotNull)
+      .groupBy("group")
+      .agg(agg(col("__pk")).as("r"))
+      .select(col("group"), col("r.n_pos").as("n_pos"),
+        col("r.n_neg").as("n_neg"), col("r.auc").as("auc"))
   }
 }

@@ -126,6 +126,55 @@ object EventStreams {
           col("n_docs").cast("double"), 6).as("dup_rate_est"))
   }
 
+  /** Live classifier monitoring, half 1: per event-time window, the
+    * tie-aware ROC AUC of a scored stream through the bounded
+    * [[graft.ops.Eval.AucBinnedAgg]] — state per window is the per-grid
+    * class counts (≤ resolution entries), where an exact streaming AUC
+    * would hold every score. Same aggregator, grid and rounding as the
+    * batch [[graft.ops.Eval.rocAucBinned]], so a live window reconciles
+    * with batch recomputation bit-for-bit (pinned in EventStreamsSpec).
+    * `scored` needs (ts, y BOOLEAN, score).
+    */
+  def rocAucStream(scored: DataFrame, resolution: Int = 1000000,
+      windowLen: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val agg = udaf(new graft.ops.Eval.AucBinnedAgg,
+      org.apache.spark.sql.Encoders.scalaLong)
+    scored.withWatermark("ts", watermark)
+      .select(col("ts"),
+        graft.ops.Eval.packScoreLabel(col("score"), col("y"), resolution)
+          .as("__pk"))
+      .filter(col("__pk").isNotNull)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(agg(col("__pk")).as("r"))
+      .select(col("window.start").as("window_start"),
+        col("r.n_pos").as("n_pos"), col("r.n_neg").as("n_neg"),
+        col("r.auc").as("auc"))
+  }
+
+  /** Live classifier monitoring, half 2: per event-time window, the
+    * reliability-diagram bins of [[graft.ops.Eval.calibrationBins]] —
+    * a plain windowed aggregate (state = nBins counters per window), same
+    * binning and rounding as batch, spec-pinned equal on the same rows.
+    */
+  def calibrationStream(scored: DataFrame, nBins: Int = 10,
+      windowLen: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    val s = col("score").cast("double")
+    val bin = least(lit(nBins - 1),
+      greatest(lit(0), floor(s * nBins).cast("int")))
+    scored.withWatermark("ts", watermark)
+      .select(col("ts"), bin.as("bin"), s.as("s"),
+        when(col("y").cast("boolean"), 1L).otherwise(0L).as("p"))
+      .filter(col("s").isNotNull)
+      .groupBy(window(col("ts"), windowLen), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("s")) / count(lit(1)), 6).as("mean_score"),
+        round(sum(col("p")).cast("double") / count(lit(1)), 6).as("pos_rate"))
+      .select(col("window.start").as("window_start"), col("bin"), col("n"),
+        col("mean_score"), col("pos_rate"),
+        round(col("bin").cast("double") / nBins, 6).as("bin_lo"))
+  }
+
   /** Exactly-once ingestion dedup: drop events whose `event_id` was already
     * seen, keeping dedup state only as long as the watermark requires — at-
     * least-once upstream delivery (Kafka replays, file re-lists) becomes

@@ -104,6 +104,32 @@ class EvalSpec extends AnyFunSuite {
     assert(ece == 0.0, s"perfectly calibrated bin must give ECE 0, got $ece")
   }
 
+  test("rocAucBinned equals the exact operator when the grid resolves all scores") {
+    val rows = (1 to 500).map { i =>
+      (i % 3L, (i * 7) % 11 > 4,
+        math.rint((math.sin(i.toDouble) + (if ((i * 7) % 11 > 4) 0.3 else 0.0)) * 100) / 100)
+    }
+    val df = rows.toDF("g", "y", "s")
+    val exact = Eval.rocAuc(df, col("g"), col("y"), col("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val binned = Eval.rocAucBinned(df, col("g"), col("y"), col("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(binned == exact && exact.size == 3)
+  }
+
+  test("rocAucBinned: grid collisions tie at half credit; one-class is None") {
+    // resolution 1 ⇒ every score in [0,1) shares grid cell 0 ⇒ AUC 0.5
+    val out = Eval.rocAucBinned(
+        Seq((0L, true, 0.9), (0L, false, 0.1)).toDF("g", "y", "s"),
+        col("g"), col("y"), col("s"), resolution = 1)
+      .collect().head
+    assert(out.getDouble(3) == 0.5)
+    val none = Eval.rocAucBinned(
+        Seq((0L, true, 0.9)).toDF("g", "y", "s"),
+        col("g"), col("y"), col("s")).collect().head
+    assert(none.isNullAt(3) && none.getLong(1) == 1L && none.getLong(2) == 0L)
+  }
+
   test("rocAuc: bucket count never changes the answer") {
     val rows = (1 to 500).map { i =>
       (i % 3L, (i * 7) % 11 > 4, math.sin(i.toDouble) + (if ((i * 7) % 11 > 4) 0.3 else 0.0))

@@ -115,6 +115,53 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming AUC and calibration equal their batch twins per window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Boolean, Double)]
+    val scored = input.toDF().toDF("ts", "y", "score")
+    val qa = EventStreams.rocAucStream(scored)
+      .writeStream.format("memory").queryName("auc_out")
+      .outputMode("complete").start()
+    val qc = EventStreams.calibrationStream(scored)
+      .writeStream.format("memory").queryName("cal_out")
+      .outputMode("complete").start()
+    try {
+      // two hour-windows; label-shifted noisy scores with planted grid ties
+      val rows = (1 to 400).map { i =>
+        val y = i % 3 == 0
+        (new java.sql.Timestamp((i % 90) * 60000L), y,
+          math.rint(((i * 37 % 100) / 100.0 + (if (y) 0.15 else 0.0)) * 50) / 50)
+      }
+      input.addData(rows: _*)
+      qa.processAllAvailable(); qc.processAllAvailable()
+      val win = window(col("ts"), "1 hour").getField("start")
+      val streamedAuc = spark.table("auc_out").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val batchAuc = graft.ops.Eval.rocAucBinned(
+          rows.toDF("ts", "y", "score"), win, col("y"), col("score"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamedAuc == batchAuc && streamedAuc.nonEmpty)
+      // binned AUC sits within grid error of the exact operator here
+      val exact = graft.ops.Eval.rocAuc(
+          rows.toDF("ts", "y", "score"), win, col("y"), col("score"))
+        .collect().map(r => r.getTimestamp(0) -> r.getDouble(3)).toMap
+      streamedAuc.foreach { case (w, _, _, auc) =>
+        assert(math.abs(auc - exact(w)) < 1e-9,
+          "scores live on the 1/50 grid, so binned == exact")
+      }
+      val streamedCal = spark.table("cal_out").collect()
+        .map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4))).toSet
+      val batchCal = graft.ops.Eval.calibrationBins(
+          rows.toDF("ts", "y", "score"), win, col("y"), col("score"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4))).toSet
+      assert(streamedCal == batchCal && streamedCal.nonEmpty)
+    } finally { qa.stop(); qc.stop() }
+  }
+
   test("stateful sessionization closes sessions on gap, keeps open ones in state") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStreams.Event]
