@@ -95,6 +95,67 @@ object Curation {
     df.filter(hashUniform(key) < threshold)
   }
 
+  /** Deterministic class-balanced sampling: keep the first `perClass` rows
+    * of every label class in seed-free hash order (`(hashUniform(key),
+    * key)` — same total order as [[globalShuffle]]'s with an empty seed
+    * namespace), i.e. a uniform without-replacement draw that is
+    * reproducible across runs, cluster sizes and engines. The balanced
+    * training-set cut a quality-classifier fit wants (equal positives and
+    * negatives from a skewed corpus); classes with ≤ perClass rows keep
+    * everything. NULL labels are dropped.
+    *
+    * Scale shape: the [[mixtureByBudget]] two-phase recipe with row counts
+    * in place of token sums — a per-(class, bucket) histogram (bounded
+    * metadata) finds each class's boundary bucket driver-side, full
+    * buckets keep row-locally, and ONLY the boundary bucket's ~1/nBuckets
+    * slice pays an exact windowed row_number. No class ever sorts wholesale.
+    * Same double-scan determinism contract: checkpoint nondeterministic
+    * sources first.
+    */
+  def balancedSample(df: DataFrame, key: Column, label: Column,
+      perClass: Long, nBuckets: Int = 4096): DataFrame = {
+    require(perClass > 0, s"perClass must be positive, got $perClass")
+    require(nBuckets > 0 && 4294967296L % nBuckets == 0,
+      s"nBuckets must be a power of two dividing 2^32, got $nBuckets")
+    val width = 4294967296L / nBuckets
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val outCols = df.columns.map(col).toSeq
+    val base = df.filter(label.isNotNull)
+      .withColumn("__bs_l", label.cast("string"))
+      .withColumn("__bs_h", hashUniform(key))
+      .withColumn("__bs_b", (col("__bs_h") / width).cast("int"))
+
+    val hist = base.groupBy(col("__bs_l"), col("__bs_b"))
+      .agg(count(lit(1)).as("__n")).collect()
+    val cuts: Seq[(String, Int, Long)] = hist
+      .groupBy(_.getString(0)).toSeq.map { case (l, rows) =>
+        val sorted = rows.map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
+        var cum = 0L
+        var boundary = Int.MaxValue
+        var residual = 0L
+        var i = 0
+        while (i < sorted.length && boundary == Int.MaxValue) {
+          val (b, n) = sorted(i)
+          if (cum + n > perClass) { boundary = b; residual = perClass - cum }
+          else cum += n
+          i += 1
+        }
+        (l, boundary, residual)
+      }
+
+    val ctrl = broadcast(cuts.toDF("__bs_l2", "__bs_cut", "__bs_res"))
+    val joined = base.join(ctrl, col("__bs_l") === col("__bs_l2"))
+    val fullKeep = joined.filter(col("__bs_b") < col("__bs_cut"))
+    val w = Window.partitionBy(col("__bs_l")).orderBy(col("__bs_h"), key)
+    val boundaryKeep = joined.filter(col("__bs_b") === col("__bs_cut"))
+      .withColumn("__bs_rn", row_number().over(w).cast("long"))
+      .filter(col("__bs_rn") <= col("__bs_res"))
+      .drop("__bs_rn")
+    fullKeep.unionByName(boundaryKeep).select(outCols: _*)
+  }
+
   /** Word-repetition metrics (the Gopher-style repetition filters): fraction
     * of duplicate word occurrences and the frequency share of the most
     * common word. Row-local; no shuffle. Empty texts yield zeros.

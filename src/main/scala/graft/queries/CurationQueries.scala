@@ -267,6 +267,14 @@ object CurationQueries {
           graft.ops.Sketches.kmvEstimate(col("hs"), 128).as("est_distinct"))
     }),
 
+    // deterministic class-balanced sampling: first 30 of each of the 10
+    // embedding labels in hash order, via the two-phase bucketed cut (no
+    // class sorts wholesale); the oracle ranks every class directly
+    "pipe_balanced_sample" -> ((s, d) =>
+      graft.ops.Curation.balancedSample(
+        t(s, d, "embeddings").select("vec_id", "label"),
+        col("vec_id"), col("label"), perClass = 30)),
+
     // one-pass Shannon entropy signals (code-point + word entropy in
     // nats): the model-free gibberish/boilerplate detector. Native
     // expression; the algebraic form ln N − (Σ c·ln c)/N replays in SQL
@@ -886,6 +894,18 @@ object CurationQueries {
          |             ELSE 127.0 * power(2.0, 60) / CAST(max(hv) AS DOUBLE)
          |             END, 4) AS est_distinct
          |FROM r WHERE rn <= 128""".stripMargin,
+
+    // balanced sample replay: rank every class by the same md5-32 hash
+    // order and cut at perClass — bucket machinery is invisible to output
+    "pipe_balanced_sample" ->
+      """WITH h AS (
+        |  SELECT vec_id, label,
+        |    ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,8))::BIGINT AS hv
+        |  FROM embeddings),
+        |r AS (SELECT vec_id, label,
+        |        row_number() OVER (PARTITION BY label
+        |          ORDER BY hv, vec_id) AS rn FROM h)
+        |SELECT vec_id, label FROM r WHERE rn <= 30""".stripMargin,
 
     // entropy replay: per-doc code-point and word frequency multisets,
     // the same ln N − (Σ c·ln c)/N form, rounded to 6

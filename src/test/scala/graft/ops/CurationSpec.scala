@@ -488,4 +488,31 @@ class CurationSpec extends AnyFunSuite {
       bucketWidth = 10, batchSize = 4, nShards = 2).collect()
     assert(out.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
+
+  test("balancedSample: exact per-class counts, bucket-count invariant, hash-order cut") {
+    val df = (1 to 2000).map(i => (i.toLong, s"c${i % 5}")).toDF("id", "lab")
+      .unionByName(Seq((9001L, "rare"), (9002L, "rare")).toDF("id", "lab"))
+    val out = Curation.balancedSample(df, col("id"), col("lab"), perClass = 50)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byClass = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert((0 until 5).forall(c => byClass(s"c$c") == 50))
+    assert(byClass("rare") == 2, "undersized class keeps everything")
+    // the kept set is exactly the first perClass in (hashUniform, key) order
+    val direct = df.withColumn("h", Curation.hashUniform(col("id")))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lab"))
+          .orderBy(col("h"), col("id"))))
+      .filter(col("rn") <= 50)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out.toSet == direct)
+    // bucket count restructures the computation, never the answer
+    val one = Curation.balancedSample(df, col("id"), col("lab"), 50, nBuckets = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(one == out.toSet)
+    // NULL labels dropped
+    val withNull = df.unionByName(
+      Seq((9100L, null.asInstanceOf[String])).toDF("id", "lab"))
+    assert(Curation.balancedSample(withNull, col("id"), col("lab"), 50)
+      .filter(col("lab").isNull).isEmpty)
+  }
 }
