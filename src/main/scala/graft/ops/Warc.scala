@@ -58,6 +58,22 @@ object Warc {
       .toDF()
   }
 
+  /** Parse one member's raw bytes — the form Structured Streaming's
+    * `binaryFile` source needs, where each arriving archive member is a
+    * row holding its full content (members are the CommonCrawl processing
+    * unit, tens of MB — well inside a task). Same parser and same
+    * decompression-by-extension as [[readRecords]].
+    */
+  def parseMember(file: String, bytes: Array[Byte]): Iterator[WarcRecord] = {
+    val raw = new java.io.ByteArrayInputStream(bytes)
+    val dec: InputStream =
+      if (file.endsWith(".gz")) new GZIPInputStream(raw)
+      else if (file.endsWith(".zst"))
+        new com.github.luben.zstd.ZstdInputStream(raw)
+      else raw
+    new WarcIterator(file, new BufferedInputStream(dec, 1 << 16))
+  }
+
   /** The WET text view: conversion records as (url, date, content_length,
     * text) — the frame the cleaning chain starts from.
     */

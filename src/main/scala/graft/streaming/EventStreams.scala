@@ -126,6 +126,45 @@ object EventStreams {
           col("n_docs").cast("double"), 6).as("dup_rate_est"))
   }
 
+  /** LIVE CRAWL INGESTION — the streaming twin of
+    * [[graft.ops.Warc.readWet]]: watch a directory for arriving WET/WARC
+    * members (`binaryFile` source) and parse each in its task through the
+    * same Content-Length record parser, yielding the (url, date,
+    * content_length, text) frame the cleaning chain starts from. Parsing
+    * is per-file row-local (no state, no shuffle), so the whole stateless
+    * cleaning chain (strip → normalize → gopher gate → blocklist) runs on
+    * the live stream exactly as in batch — a crawl becomes a curated
+    * corpus as it lands. Batch reads stream the file; here the source
+    * delivers whole members as rows (CommonCrawl members are tens of MB —
+    * well inside a task; cap intake per micro-batch with the source's
+    * `maxFilesPerTrigger` option via `options`).
+    */
+  def wetIngestStream(spark: org.apache.spark.sql.SparkSession, dir: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    import spark.implicits._
+    // the binaryFile source's FIXED schema, which a streaming source
+    // nevertheless requires spelled out
+    val binSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    spark.readStream.format("binaryFile").options(options)
+      .schema(binSchema).load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        graft.ops.Warc.parseMember(p, bytes).filter(_.rec_type == "conversion")
+      }
+      .toDF()
+      .select(col("url"), col("date"), col("content_length"),
+        col("body").as("text"))
+  }
+
   /** Live classifier monitoring, half 1: per event-time window, the
     * tie-aware ROC AUC of a scored stream through the bounded
     * [[graft.ops.Eval.AucBinnedAgg]] — state per window is the per-grid

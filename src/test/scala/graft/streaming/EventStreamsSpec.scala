@@ -115,6 +115,40 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming WET ingestion picks up arriving members and equals batch") {
+    val dir = java.nio.file.Files.createTempDirectory("wet_stream")
+    def member(name: String, n: Int, tag: String): Unit = {
+      val recs = (1 to n).map(i =>
+        (s"https://example.com/$tag/$i", "2026-08-14T00:00:00Z",
+          s"body $tag $i with some words"))
+      val bytes = graft.ops.Warc.wetBytes(recs)
+      val gz = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.GZIPOutputStream(gz)
+      z.write(bytes); z.close()
+      java.nio.file.Files.write(dir.resolve(name), gz.toByteArray)
+    }
+    member("m0.wet.gz", 40, "first")
+    val q = EventStreams.wetIngestStream(spark, dir.toString)
+      .writeStream.format("memory").queryName("wet_stream_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("wet_stream_out").count() == 40)
+      // a new member lands mid-stream; only its records are appended
+      member("m1.wet.gz", 25, "second")
+      q.processAllAvailable()
+      val got = spark.table("wet_stream_out").collect()
+        .map(r => (r.getString(0), r.getLong(2), r.getString(3))).toSet
+      val batch = graft.ops.Warc.readWet(spark, s"$dir/*.wet.gz")
+        .collect().map(r => (r.getString(0), r.getLong(2), r.getString(3))).toSet
+      assert(got == batch && got.size == 65)
+      // the stateless cleaning chain runs on the live frame unchanged
+      assert(spark.table("wet_stream_out")
+        .select(graft.ops.TextAnalysis.tokenCount(org.apache.spark.sql.functions.col("text")))
+        .collect().forall(_.getInt(0) == 6))
+    } finally q.stop()
+  }
+
   test("streaming AUC and calibration equal their batch twins per window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Boolean, Double)]
