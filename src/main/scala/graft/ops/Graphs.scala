@@ -62,7 +62,34 @@ object Graphs {
     */
   def pagerank(edges: DataFrame, src: Column, dst: Column,
       iters: Int, damping: Double = 0.85,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None): DataFrame =
+    pagerankImpl(edges, src, dst, iters, damping, checkpointDir, seeds = None)
+
+  /** Personalized (topic-sensitive) PageRank — Haveliwala 2002: teleport
+    * lands uniformly on the SEED set instead of the whole graph, so rank
+    * mass concentrates around the seeds — the crawl-curation tool for
+    * expanding a trusted-domain list ("rank every host by closeness to
+    * these known-good hosts"). Same update with s(v) = 1/|seeds| on seed
+    * nodes and 0 elsewhere:
+    *
+    *   r'(v) = (1-d)·s(v) + d·( Σ_{u→v} r(u)/outdeg(u) + D·s(v) )
+    *
+    * (dangling mass also returns to the seeds — the standard choice that
+    * keeps Σr = 1 every round). r₀ = s. Nodes unreachable from the seeds
+    * rank 0. `seeds` is a one-column node-id frame (ids not in the graph
+    * are ignored; at least one seed must be present in the graph).
+    * Identical per-iteration plan shape and cost to [[pagerank]].
+    */
+  def personalizedPagerank(edges: DataFrame, src: Column, dst: Column,
+      seeds: DataFrame, seedId: Column, iters: Int, damping: Double = 0.85,
+      checkpointDir: Option[String] = None): DataFrame =
+    pagerankImpl(edges, src, dst, iters, damping, checkpointDir,
+      seeds = Some(seeds.select(seedId.cast("bigint").as("node_id"))
+        .filter(col("node_id").isNotNull).distinct()))
+
+  private def pagerankImpl(edges: DataFrame, src: Column, dst: Column,
+      iters: Int, damping: Double, checkpointDir: Option[String],
+      seeds: Option[DataFrame]): DataFrame = {
     require(iters >= 0 && damping > 0 && damping < 1,
       s"need iters >= 0, 0 < damping < 1; got $iters, $damping")
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
@@ -80,12 +107,37 @@ object Graphs {
     val deg = degrees(e, col("src"), col("dst"))
     // N is one scalar action over the pinned degree frame — the same bounded
     // driver fetch the iterative ops already make for convergence tests
-    val nodes = pin(deg)
+    val nodes = pin(seeds match {
+      case None => deg
+      case Some(s) =>
+        // seed indicator joined ONCE onto the pinned node frame; the
+        // teleport weight 1/|seeds∩graph| needs the seed count, fetched
+        // with the same bounded action as n below
+        deg.join(s.withColumn("__seed", lit(1)), Seq("node_id"), "left")
+          .withColumn("__s", col("__seed").isNotNull.cast("int").cast("double"))
+          .drop("__seed")
+    })
     val n = nodes.count()
     require(n > 0, "pagerank: empty graph")
+    // (init rank, teleport term, dangling term) per variant — the uniform
+    // arithmetic is kept LITERALLY as published ((1−d)/n and dang/n, not
+    // products with a precomputed 1/n) so existing oracle replays stay
+    // bit-equal
+    val (init, teleport, dangTerm): (Column, Column, Column => Column) =
+      seeds match {
+        case None =>
+          (lit(1.0 / n), lit((1.0 - damping) / n),
+            (dang: Column) => dang / n)
+        case Some(_) =>
+          val nSeeds = nodes.filter(col("__s") > 0).count()
+          require(nSeeds > 0,
+            "personalizedPagerank: no seed id occurs in the graph")
+          val sv = col("__s") / nSeeds.toDouble
+          (sv, lit(1.0 - damping) * sv, (dang: Column) => dang * sv)
+      }
     val outDeg = nodes.select(col("node_id"), col("out_deg"))
 
-    var ranks = nodes.select(col("node_id"), lit(1.0 / n).as("rank"))
+    var ranks = nodes.select(col("node_id"), init.as("rank"))
     for (_ <- 1 to iters) {
       val withDeg = ranks.join(outDeg, Seq("node_id"))
       // mass leaving dangling nodes, as a broadcast 1-row frame (kept
@@ -96,12 +148,13 @@ object Graphs {
         .join(e, col("node_id") === col("src"))
         .select(col("dst"), (col("rank") / col("out_deg")).as("c"))
         .groupBy("dst").agg(sum(col("c")).as("inflow"))
-      val next = nodes.select(col("node_id"))
+      val next = nodes
         .join(contribs, col("node_id") === col("dst"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("node_id"),
-          (lit((1.0 - damping) / n) +
-            lit(damping) * (coalesce(col("inflow"), lit(0.0)) + col("dang") / n))
+          (teleport +
+            lit(damping) * (coalesce(col("inflow"), lit(0.0)) +
+              dangTerm(col("dang"))))
             .as("rank"))
       // pin every round: the rank frame is referenced twice next round
       // (dangling mass + contributions), so an unpinned round would run

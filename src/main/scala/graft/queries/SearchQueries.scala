@@ -33,6 +33,19 @@ object SearchQueries {
       Graphs.pagerank(e, col("src"), col("dst"), iters = 5, damping = 0.85)
     }),
 
+    // personalized (topic-sensitive) PageRank: teleport restricted to the
+    // 20 lowest supplier ids — the trusted-seed expansion recipe; same
+    // graph and iteration count as pipe_pagerank
+    "pipe_pagerank_personalized" -> ((s, d) => {
+      val e = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("src"), (col("o_custkey") + 100000L).as("dst"))
+      val seeds = t(s, d, "supplier")
+        .filter(col("s_suppkey") < 20).select(col("s_suppkey"))
+      Graphs.personalizedPagerank(e, col("src"), col("dst"),
+        seeds, col("s_suppkey"), iters = 5, damping = 0.85)
+    }),
+
     // BM25 top-10 per query over the documents corpus
     "pipe_bm25" -> ((s, d) => {
       val qdf = s.createDataFrame(bm25Queries).toDF("query_id", "qtext")
@@ -165,6 +178,26 @@ object SearchQueries {
     rounds.mkString(",\n")
   }
 
+  // one personalized power iteration: identical shape, with the uniform
+  // 1/n teleport replaced by the per-node seed vector sv (dangling mass
+  // also returns to the seeds)
+  private def duckPprRound(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT d.node_id, d.sv,
+       |    (1.0 - 0.85) * d.sv + 0.85 * (coalesce(inf.s, 0) +
+       |      (SELECT coalesce(sum(r.rank), 0) FROM $prev r
+       |       JOIN degs dd ON dd.node_id = r.node_id WHERE dd.out_deg = 0) * d.sv) AS rank
+       |  FROM degs d
+       |  LEFT JOIN (
+       |    SELECT e.dst AS node_id, sum(r.rank / dd.out_deg) AS s
+       |    FROM $prev r
+       |    JOIN degs dd ON dd.node_id = r.node_id AND dd.out_deg > 0
+       |    JOIN e ON e.src = r.node_id
+       |    GROUP BY e.dst) inf ON inf.node_id = d.node_id)""".stripMargin
+
+  private val pprIterChain =
+    (1 to 5).map(i => duckPprRound(s"p${i - 1}", s"p$i")).mkString(",\n")
+
   // BM25 pieces shared with the Spark operator contract: lowercased
   // whitespace tokens, dl = raw token count, avgdl = exact sum/count
   private val duckBm25Values = bm25Queries
@@ -229,6 +262,29 @@ object SearchQueries {
          |$prIterChain
          |SELECT d.node_id, d.in_deg, d.out_deg, round(r5.rank, 6) AS rank
          |FROM deg d JOIN r5 ON r5.node_id = d.node_id""".stripMargin,
+
+    "pipe_pagerank_personalized" ->
+      s"""WITH e AS (
+         |  SELECT DISTINCT l_suppkey AS src, 100000 + o_custkey AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |nodes AS (SELECT src AS node_id FROM e UNION SELECT dst FROM e),
+         |deg AS (
+         |  SELECT n.node_id,
+         |         coalesce(i.c, 0) AS in_deg, coalesce(o.c, 0) AS out_deg
+         |  FROM nodes n
+         |  LEFT JOIN (SELECT dst, count(*) AS c FROM e GROUP BY dst) i ON i.dst = n.node_id
+         |  LEFT JOIN (SELECT src, count(*) AS c FROM e GROUP BY src) o ON o.src = n.node_id),
+         |sk AS (SELECT s_suppkey AS sid FROM supplier WHERE s_suppkey < 20),
+         |ns AS (SELECT count(*) AS k FROM deg WHERE node_id IN (SELECT sid FROM sk)),
+         |degs AS (
+         |  SELECT deg.*,
+         |    (CASE WHEN node_id IN (SELECT sid FROM sk) THEN 1.0 ELSE 0.0 END)
+         |      / ns.k AS sv
+         |  FROM deg CROSS JOIN ns),
+         |p0 AS (SELECT node_id, sv, sv AS rank FROM degs),
+         |$pprIterChain
+         |SELECT d.node_id, d.in_deg, d.out_deg, round(p5.rank, 6) AS rank
+         |FROM degs d JOIN p5 ON p5.node_id = d.node_id""".stripMargin,
 
     "pipe_bm25" ->
       s"""$duckBm25Cte

@@ -43,6 +43,25 @@ class SearchOpsSpec extends AnyFunSuite {
     assert(out(2L) > out(1L), "one in-link must outrank zero")
   }
 
+  test("personalized pagerank: mass concentrates at seeds, unreachable ranks 0") {
+    // 1→2→3 chain plus an isolated pair 10→11; seed = {1}
+    val e = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("s", "d")
+    val seeds = Seq(1L).toDF("sid")
+    val out = Graphs.personalizedPagerank(e, col("s"), col("d"),
+        seeds, col("sid"), iters = 30)
+      .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(math.abs(out.values.sum - 1.0) < 1e-4, s"mass not conserved: $out")
+    assert(out(10L) == 0.0 && out(11L) == 0.0, "unreachable from seeds must rank 0")
+    assert(out(1L) > out(3L), "teleport keeps the seed above its far descendants")
+    assert(out(2L) > 0 && out(3L) > 0, "reachable nodes accrue mass")
+    // seed ids absent from the graph fail loudly
+    val err = intercept[Exception] {
+      Graphs.personalizedPagerank(e, col("s"), col("d"),
+        Seq(999L).toDF("sid"), col("sid"), iters = 2).collect()
+    }
+    assert(err.getMessage.contains("no seed id"))
+  }
+
   test("pagerank with a reliable checkpoint dir matches localCheckpoint") {
     val e = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("s", "d")
     val dir = java.nio.file.Files.createTempDirectory("pr_ckpt").toString
