@@ -57,6 +57,35 @@ object AnnRecall {
         f"(scans ~${100.0 * nProbe / c}%.0f%% of corpus)")
     }
 
+    // --- kNN graph (IVF-bounded) vs exact integer-L2 --------------------
+    // same quantization (round(x·1000)) and distance as the operator, so
+    // the only error source measured is candidate-set truncation
+    println(s"== kNN graph (IVF-bounded candidates) vs exact integer-L2 ==")
+    val zv = (cc: org.apache.spark.sql.Column) =>
+      transform(cc.cast("array<double>"), x => round(x * 1000))
+    val qemb = emb.select(col("vec_id"), zv(col("embedding")).as("z"))
+    val gq = Curation.hashSample(qemb, col("vec_id"), 0.05)
+      .select(col("vec_id").as("qid"), col("z").as("qz"))
+    val exactW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("d2").asc, col("nb").asc)
+    val truthGraph = qemb.crossJoin(broadcast(gq))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nb"),
+        graft.functions.VecMath.squaredDistance(col("z"), col("qz")).as("d2"))
+      .withColumn("rn", row_number().over(exactW)).filter(col("rn") <= k)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val gc = 45 // ~√n cells
+    for (nProbe <- Seq(1, 2, 4)) {
+      val edges = Similarity.knnGraph(emb, col("vec_id"), col("embedding"),
+          k = k, nClusters = gc, nProbe = nProbe, iters = 2, dim = dim)
+        .filter(col("vec_id").isin(truthGraph.keys.toSeq: _*))
+        .select(col("vec_id"), col("nb_id"))
+      val r = recallOf(edges, truthGraph)
+      println(f"  knnGraph C=$gc nProbe=$nProbe%2d: edge recall@$k = $r%.3f " +
+        f"(candidates ~${100.0 * nProbe / gc}%.0f%% of corpus per node)")
+    }
+
     // --- PQ/ADC vs exact L2 --------------------------------------------
     // pqSearch is per-query (the index-probe entry point), so measure a
     // bounded deterministic subset
