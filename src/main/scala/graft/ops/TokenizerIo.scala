@@ -57,6 +57,32 @@ object TokenizerIo {
         (l.substring(0, i), l.substring(i + 1))
       }
 
+  /** Write a unigram-LM piece table in the SentencePiece `.vocab` text
+    * layout — one `piece<TAB>score` line in table order (here the score is
+    * the engine's quantized integer log-prob rather than a float; the
+    * column shape is the same and round-trips exactly).
+    */
+  def writeUnigramVocab(vocab: Seq[(String, Int)], path: String): Unit = {
+    vocab.foreach { case (p, _) =>
+      require(p.nonEmpty && !p.exists(c => c == '\t' || c == '\n' || c == '\r'),
+        s"piece must be non-empty and tab/newline-free: '$p'")
+    }
+    Files.write(Paths.get(path),
+      vocab.map { case (p, s) => s"$p\t$s" }
+        .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Read a `.vocab` TSV back into table order; blank lines skipped. */
+  def readUnigramVocab(path: String): Seq[(String, Int)] =
+    Files.readAllLines(Paths.get(path), StandardCharsets.UTF_8).asScala.toSeq
+      .filter(_.nonEmpty)
+      .map { l =>
+        val i = l.indexOf('\t')
+        require(i > 0 && l.indexOf('\t', i + 1) < 0,
+          s"malformed vocab line (need exactly one tab): '$l'")
+        (l.substring(0, i), l.substring(i + 1).toInt)
+      }
+
   private def jsonEscape(s: String): String = s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"

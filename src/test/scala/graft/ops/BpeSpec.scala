@@ -132,6 +132,21 @@ class BpeSpec extends AnyFunSuite {
     assert(back.values.toSeq.sorted == (1 to back.size).toSeq, "dense 1-based ids")
   }
 
+  test("unigram .vocab TSV round-trips; reloaded table Viterbi-encodes identically") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val vocab = Unigram.train(docs, col("text"), vocabSize = 120, maxWords = 800)
+    val dir = java.nio.file.Files.createTempDirectory("tok_io")
+    val p = dir.resolve("unigram.vocab").toString
+    TokenizerIo.writeUnigramVocab(vocab, p)
+    val back = TokenizerIo.readUnigramVocab(p)
+    assert(back == vocab)
+    val a = docs.limit(50).select(Unigram.encode(col("text"), vocab))
+      .as[Seq[String]].collect().toSeq
+    val b = docs.limit(50).select(Unigram.encode(col("text"), back))
+      .as[Seq[String]].collect().toSeq
+    assert(a == b && a.exists(_.nonEmpty))
+  }
+
   test("TokenizerIo rejects malformed artifacts loudly") {
     val dir = java.nio.file.Files.createTempDirectory("tok_io")
     intercept[IllegalArgumentException] {
