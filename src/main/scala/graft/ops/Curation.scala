@@ -692,6 +692,46 @@ object Curation {
       .drop("__gs_h", "__gs_b", "__gs_b2", "__gs_off")
   }
 
+  /** Global 0-based positions under the total order `(key ASC, tie ASC)` —
+    * a distributed ORDER BY row_number with NO global window and NO
+    * sampled range partitioner (whose boundaries are nondeterministic):
+    * rows bucket by the log-linear histogram bucket of the key
+    * ([[Sketches.hdrLo]] — MONOTONE in the key, deterministic, ≤ ~64·2ᵖ
+    * buckets ever), per-bucket counts broadcast back as offsets, and each
+    * bucket windows only its own rows. The curriculum-ordering primitive
+    * ("train easy → hard": position by quality band, length, perplexity)
+    * and the general deterministic rank for any non-negative numeric key.
+    *
+    * `key` must cast to a non-negative BIGINT (lengths, counts, quantized
+    * scores, epoch timestamps); NULL keys are dropped (no position in the
+    * order). `tie` must be row-unique for a stable order, as in
+    * [[globalShuffle]]. Bucket skew: a key value repeated across most of
+    * the corpus concentrates its bucket's window — same caveat as any
+    * rank by that key; pick `p` higher to split value ranges finer.
+    */
+  def orderedPositions(df: DataFrame, key: Column, tie: Column,
+      p: Int = 6): DataFrame = {
+    require(p >= 0 && p <= 20, s"sub-bucket bits must be in [0,20], got $p")
+    val bucketed = df
+      .filter(key.isNotNull)
+      .withColumn("__op_k",
+        when(key.cast("long") < 0, raise_error(concat(
+          lit("orderedPositions: negative key "), key.cast("string")))
+          .cast("long"))
+          .otherwise(key.cast("long")))
+      .withColumn("__op_b", Sketches.hdrBounds(col("__op_k"), p)._1)
+    val offsets = bucketed.groupBy("__op_b").agg(count(lit(1)).as("__op_n"))
+      .withColumn("__op_off",
+        sum("__op_n").over(Window.orderBy("__op_b")) - col("__op_n"))
+      .select(col("__op_b").as("__op_b2"), col("__op_off"))
+    val w = Window.partitionBy(col("__op_b")).orderBy(col("__op_k"), tie)
+    bucketed
+      .join(broadcast(offsets), col("__op_b") === col("__op_b2"))
+      .withColumn("pos",
+        col("__op_off") + row_number().over(w).cast("long") - 1)
+      .drop("__op_k", "__op_b", "__op_b2", "__op_off")
+  }
+
   /** Map every document to its span in the concatenated token stream — the
     * GPT-style sequence-building step: documents are laid out in a
     * seed-keyed deterministic shuffle order (same contract as

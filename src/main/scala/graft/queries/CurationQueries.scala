@@ -267,6 +267,14 @@ object CurationQueries {
           graft.ops.Sketches.kmvEstimate(col("hs"), 128).as("est_distinct"))
     }),
 
+    // curriculum ordering: global 0-based positions by (n_chars, doc_id)
+    // through monotone log-linear buckets — a distributed ORDER BY
+    // row_number with no global window; the oracle IS the global window
+    "pipe_curriculum" -> ((s, d) =>
+      graft.ops.Curation.orderedPositions(
+        t(s, d, "documents").select("doc_id", "n_chars"),
+        col("n_chars"), col("doc_id"))),
+
     // deterministic class-balanced sampling: first 30 of each of the 10
     // embedding labels in hash order, via the two-phase bucketed cut (no
     // class sorts wholesale); the oracle ranks every class directly
@@ -894,6 +902,12 @@ object CurationQueries {
          |             ELSE 127.0 * power(2.0, 60) / CAST(max(hv) AS DOUBLE)
          |             END, 4) AS est_distinct
          |FROM r WHERE rn <= 128""".stripMargin,
+
+    // curriculum replay: the single global window the operator avoids
+    "pipe_curriculum" ->
+      """SELECT doc_id, n_chars,
+        |       CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT) AS pos
+        |FROM documents""".stripMargin,
 
     // balanced sample replay: rank every class by the same md5-32 hash
     // order and cut at perClass — bucket machinery is invisible to output

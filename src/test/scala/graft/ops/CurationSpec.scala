@@ -489,6 +489,28 @@ class CurationSpec extends AnyFunSuite {
     assert(out.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("orderedPositions: exact global rank, p-invariant, loud on negatives") {
+    val df = (1 to 3000).map(i => ((i * 7919L) % 5000, i.toLong)).toDF("k", "id")
+    val got = Curation.orderedPositions(df, col("k"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(identity).zipWithIndex.map { case (kv, i) => kv -> i.toLong }.toMap
+    assert(got == want, "positions must equal the global (key, tie) sort rank")
+    val coarse = Curation.orderedPositions(df, col("k"), col("id"), p = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(coarse == want, "bucket resolution restructures, never reorders")
+    // NULL keys drop; negative keys fail loudly
+    val withNull = Seq((java.lang.Long.valueOf(3L), 1L),
+      (null.asInstanceOf[java.lang.Long], 2L)).toDF("k", "id")
+    assert(Curation.orderedPositions(withNull, col("k"), col("id")).count() == 1)
+    val e = intercept[Exception] {
+      Curation.orderedPositions(Seq((-1L, 1L)).toDF("k", "id"),
+        col("k"), col("id")).collect()
+    }
+    assert(e.getMessage.contains("negative key") ||
+      (e.getCause != null && e.getCause.getMessage.contains("negative key")))
+  }
+
   test("balancedSample: exact per-class counts, bucket-count invariant, hash-order cut") {
     val df = (1 to 2000).map(i => (i.toLong, s"c${i % 5}")).toDF("id", "lab")
       .unionByName(Seq((9001L, "rare"), (9002L, "rare")).toDF("id", "lab"))
