@@ -432,6 +432,19 @@ object ScaleProbe {
     println(s"  span [${twRes.getLong(0)}, ${twRes.getLong(1)}) over ${twRes.getLong(2)} tokens " +
       s"(tile check: ${twRes.getLong(1) == twRes.getLong(2)}), ${twRes.getLong(3) + 1} windows")
 
+    println(s"== ordered positions (monotone hdr buckets, no global window) ==")
+    val opRes = time(f"orderedPositions ($n%,d rows, 100k distinct keys)") {
+      graft.ops.Curation.orderedPositions(
+        spark.range(n).select(col("id"),
+          pmod(xxhash64(col("id")), lit(100000L)).as("k")),
+        col("k"), col("id"))
+        .agg(min("pos").as("lo"), max("pos").as("hi"),
+          countDistinct("pos").as("nd")).head()
+    }
+    println(s"  positions [${opRes.getLong(0)}, ${opRes.getLong(1)}], " +
+      s"distinct ${opRes.getLong(2)} (permutation check: " +
+      s"${opRes.getLong(0) == 0 && opRes.getLong(1) == n - 1 && opRes.getLong(2) == n})")
+
     println(s"== ROC AUC (two-phase bucketed prefix sum over per-score counts) ==")
     // score = U(0,1) + 0.1·label → analytic AUC = 1 − 0.9²/2 = 0.595;
     // ~10M distinct score values stress the bucketed prefix path
