@@ -692,6 +692,26 @@ object Dedup {
         round(col("score"), 6).as("quality"), col("n_members"))
   }
 
+  /** Soft dedup: down-WEIGHT duplicate clusters instead of dropping them —
+    * every document gets a training weight 1/|its duplicate cluster| (1.0
+    * for documents in no cluster), so a weighted training loss keeps one
+    * effective copy of each content cluster while retaining the surface
+    * diversity hard removal throws away (the alternative several data
+    * recipes prefer over delete-all-but-one). Returns one row per input
+    * doc: (id, cluster_id — NULL for singletons, weight rounded to 6).
+    * Costs [[clusters]] plus one cluster-keyed size aggregate and two
+    * hash joins over the clustered docs only.
+    */
+  def softDedupWeights(docs: DataFrame, id: Column, pairs: DataFrame): DataFrame = {
+    val asg = clusters(pairs)
+    val sizes = asg.groupBy("cluster_id").agg(count(lit(1)).as("__sz"))
+    docs.select(id.as("id"))
+      .join(asg, Seq("id"), "left")
+      .join(sizes, Seq("cluster_id"), "left")
+      .select(col("id"), col("cluster_id"),
+        round(coalesce(lit(1.0) / col("__sz"), lit(1.0)), 6).as("weight"))
+  }
+
   /** Embedding near-duplicates: multi-table random-hyperplane LSH. Each of
     * `nTables` tables hashes the vector to a sign-bit signature over
     * `planesPerTable` fixed pseudo-random hyperplanes; a pair is a candidate

@@ -78,6 +78,16 @@ object PipelineQueries {
       Dedup.clusters(pairs).select(col("id").as("doc_id"), col("cluster_id"))
     }),
 
+    // soft dedup: per-doc training weight 1/|cluster| instead of removal
+    // (singletons weigh 1.0) — same candidate pipeline as the clusters gate
+    "pipe_dedup_soft" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minhashLsh(docs, col("doc_id"), col("text"),
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      Dedup.softDedupWeights(docs, col("doc_id"), pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"), col("weight"))
+    }),
+
     // cluster resolution: one representative per duplicate cluster — the
     // highest quality score, ties to the smallest doc id
     "pipe_dedup_keep_best" -> ((s, d) => {
@@ -690,6 +700,30 @@ object PipelineQueries {
          |           WHERE len(string_split_regex(trim(lower(text)),'\\s+')) >= 3)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
          |FROM t a JOIN t b ON a.key = b.key AND a.doc_id < b.doc_id""".stripMargin,
+    // clusters CTE as in pipe_dedup_clusters, then 1/size weights with
+    // singletons defaulting to 1.0
+    "pipe_dedup_soft" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $duckShingles AS sh FROM documents WHERE len(string_split_regex(trim(lower(text)),'\\s+')) >= 3),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+         |reach AS (
+         |  SELECT src AS id, src AS label FROM edges
+         |  UNION
+         |  SELECT e.src AS id, r.label
+         |  FROM edges e JOIN reach r ON e.dst = r.id),
+         |cl AS (SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+         |       FROM reach GROUP BY id),
+         |sz AS (SELECT cluster_id, count(*) AS n FROM cl GROUP BY cluster_id)
+         |SELECT d.doc_id, cl.cluster_id,
+         |       round(coalesce(1.0 / sz.n, 1.0), 6) AS weight
+         |FROM documents d
+         |LEFT JOIN cl ON cl.doc_id = d.doc_id
+         |LEFT JOIN sz ON sz.cluster_id = cl.cluster_id""".stripMargin,
+
     // clusters CTE as in pipe_dedup_clusters; ORDERING uses the raw quality
     // (row-level double arithmetic is bit-exact across engines), round only
     // for display — mirrors Dedup.keepBest exactly
