@@ -227,6 +227,19 @@ object PipelineQueries {
       assigned.select("vec_id", "centroid_id")
     }),
 
+    // topic-diversity sampling: kmeans cells as strata, at most 40 docs
+    // per cell in hash order — the cluster-balanced cut that stops one
+    // dense topic from dominating a mixture (SemDeDup's sampling sibling);
+    // a pure composition of two gated operators
+    "pipe_cluster_balance" -> ((s, d) => {
+      val (assigned, _) = Similarity.kmeansQuantized(
+        t(s, d, "embeddings"), col("vec_id"), col("embedding"),
+        k = 8, iters = 2, dim = 64)
+      graft.ops.Curation.balancedSample(
+        assigned.select("vec_id", "centroid_id"),
+        col("vec_id"), col("centroid_id"), perClass = 40)
+    }),
+
     // z-order (Morton) layout keys: bit interleaving over raw masked ints
     // and over bucketized doubles — pure integer shift/mask arithmetic,
     // bit-exact in SQL
@@ -931,6 +944,29 @@ s"""WITH toksrc AS (
          |           centroid_id ASC) AS rn
          |  FROM q CROSS JOIN c2)
          |SELECT vec_id, centroid_id FROM af WHERE rn = 1""".stripMargin,
+
+    // pipe_kmeans' assignment chain, then the per-cell hash-order cut
+    "pipe_cluster_balance" ->
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> round(x * 1000)) AS qv
+         |           FROM embeddings),
+         |c0 AS (SELECT vec_id AS centroid_id, qv AS cv FROM q
+         |       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+         |${duckKmeansRound("c0", "a0", "c1")},
+         |${duckKmeansRound("c1", "a1", "c2")},
+         |af AS (
+         |  SELECT vec_id, centroid_id,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY
+         |           list_sum(list_transform(qv, (x, i) -> (x - cv[i]) * (x - cv[i]))) ASC,
+         |           centroid_id ASC) AS rn
+         |  FROM q CROSS JOIN c2),
+         |asg AS (SELECT vec_id, centroid_id FROM af WHERE rn = 1),
+         |rk AS (
+         |  SELECT vec_id, centroid_id,
+         |         row_number() OVER (PARTITION BY centroid_id ORDER BY
+         |           ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,8))::BIGINT,
+         |           vec_id) AS rn
+         |  FROM asg)
+         |SELECT vec_id, centroid_id FROM rk WHERE rn <= 40""".stripMargin,
     "pipe_token_count" ->
       """SELECT doc_id,
         | CAST(CASE WHEN length(trim(text)) = 0 THEN 0
