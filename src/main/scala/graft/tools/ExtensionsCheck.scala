@@ -54,6 +54,11 @@ object ExtensionsCheck {
       .head()
     assert(v.getString(0) == "n_words", s"verdict: ${v.getString(0)}")
     assert(v.isNullAt(1), "long stopworded text must pass")
+    // text_entropy: "aabb" chars → ln 2, one word → 0
+    val te = spark.sql(
+      "SELECT text_entropy('aabb').char_entropy AS ce, " +
+        "text_entropy('aabb').word_entropy AS we").head()
+    assert(math.abs(te.getDouble(0) - math.log(2)) < 1e-12 && te.getDouble(1) == 0.0)
     println("round-5 functions: OK")
 
     // injected optimizer rule: SQL abs-distance join plans as a hash join
