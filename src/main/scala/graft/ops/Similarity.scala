@@ -511,6 +511,29 @@ object Similarity {
       .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
   }
 
+  /** Incremental IVF-PQ index maintenance, mirroring [[ivfAppendIndex]]:
+    * NEW vectors are coarse-assigned to the EXISTING centroids and encoded
+    * with the EXISTING codebooks (both row-local over broadcast metadata),
+    * then appended to the partitioned codes-only layout — ingestion cost
+    * tracks batch size, never index size, and the frozen codebooks keep
+    * old and new codes mutually comparable under ADC (the standard FAISS
+    * `add` contract; retrain codebooks only on distribution drift, which
+    * is a rebuild, not an append).
+    */
+  def ivfPqAppendIndex(newVectors: DataFrame, id: Column, vec: Column,
+      centroids: DataFrame, codebooks: Seq[DataFrame], dim: Int,
+      path: String, scale: Double = 1000.0): Unit = {
+    val c = newVectors.select(id.as("vec_id"), vec.cast("array<double>").as("cv"))
+    val assigned = c.crossJoin(broadcast(centroidArray(centroids)))
+      .select(col("vec_id"), col("cv"),
+        graft.functions.CentroidMath.nearestCentroidL2(
+          transform(col("cv"), x => round(x * scale)), col("cents"))
+          .as("centroid_id"))
+    withCodes(assigned, col("cv"), codebooks, dim, scale)
+      .select("vec_id", "codes", "centroid_id")
+      .write.mode("append").partitionBy("centroid_id").parquet(path)
+  }
+
   /** ANN top-k against an IVF-PQ index: the query's nProbe nearest
     * centroids become a static partition-pruning IN filter (only those
     * directories are listed and read), and the surviving rows are scored

@@ -566,6 +566,19 @@ class OpsSpec extends AnyFunSuite {
           topK = 3, nProbe = 1).collect().map(_.getLong(0)).toSet
         assert(found.contains(qid), s"query $qid not found in its own cell")
       }
+      // incremental append: a new exact copy of the query lands under the
+      // frozen centroids/codebooks and is immediately searchable at the
+      // same ADC distance as the original planted copy
+      val newBatch = Seq((5000L, query)).toDF("vec_id", "embedding")
+      Similarity.ivfPqAppendIndex(newBatch, col("vec_id"), col("embedding"),
+        cents, cbs, dim, dir)
+      val after = Similarity.ivfPqTopK(spark, dir, cents, cbs, query, dim,
+        topK = 6, nProbe = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(after.map(_._1).contains(5000L), s"appended vector not found: ${after.toSeq}")
+      assert(after.find(_._1 == 5000L).map(_._2) ==
+        after.find(_._1 == 999L).map(_._2),
+        "appended copy must score the same ADC distance as the original copy")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
