@@ -19,17 +19,20 @@ object Eval {
     *   - `precision_at_k` |relevant ∩ top-k| / k
     *   - `mrr`            1 / rank of the first relevant result (0 if the
     *                      top-k holds none — the standard MRR@k treatment)
+    *   - `ap_at_k`        Σ_{relevant hits} P@rank(hit) / |relevant| —
+    *                      average precision (mean over queries = MAP@k)
     *   - `ndcg_at_k`      Σ_{relevant hits} 1/log2(rank+1), normalized by
     *                      the ideal DCG Σ_{i=1..min(k,|relevant|)}
     *                      1/log2(i+1) (binary relevance)
     *
     * One row per query IN QRELS (metrics are defined only where judgments
-    * exist); a judged query missing from the run scores 0/0/0/0. Doubles
+    * exist); a judged query missing from the run scores all zeros. Doubles
     * are rounded to 6 decimals so float-summation order never shows.
     *
     * `ranked` is a per-query top-k cut (bounded); the qrels join and the
     * per-query aggregate shuffle on query_id only — nothing corpus-sized
-    * moves. The ideal-DCG denominator is computed row-locally from a
+    * moves (the AP precision window runs over ≤k hit rows per query). The
+    * ideal-DCG denominator is computed row-locally from a
     * `sequence(1, min(k, n_rel))` fold, never a join.
     */
   def rankingMetrics(
@@ -45,10 +48,14 @@ object Eval {
     val nRel = rel.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
     // 1/log2(r+1) written as ln(2)/ln(r+1) — the SAME two-ln formulation
     // the DuckDB oracle uses, so both engines round identical doubles
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("rank"))
     val hits = run.join(rel, Seq("query_id", "doc_id"))
+      .withColumn("__p",
+        row_number().over(wq).cast("double") / col("rank"))
       .groupBy("query_id")
       .agg(count(lit(1)).as("hits"),
         min(col("rank")).as("first_rel_rank"),
+        sum(col("__p")).as("sum_p"),
         sum(log(lit(2.0)) / log(col("rank").cast("double") + 1.0)).as("dcg"))
     val idealDcg = aggregate(
       sequence(lit(1), least(lit(k), col("n_rel")).cast("int")),
@@ -62,6 +69,7 @@ object Eval {
         round(coalesce(col("hits"), lit(0L)) / lit(k.toDouble), 6)
           .as("precision_at_k"),
         round(coalesce(lit(1.0) / col("first_rel_rank"), lit(0.0)), 6).as("mrr"),
+        round(coalesce(col("sum_p"), lit(0.0)) / col("n_rel"), 6).as("ap_at_k"),
         round(coalesce(col("dcg"), lit(0.0)) / idealDcg, 6).as("ndcg_at_k"))
   }
 

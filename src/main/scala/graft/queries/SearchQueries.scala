@@ -444,17 +444,23 @@ object SearchQueries {
          |run AS (SELECT query_id, doc_id, rank FROM rk WHERE rank <= 10),
          |nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
          |         FROM qrels GROUP BY query_id),
+         |hr AS (
+         |  SELECT r.query_id, r.rank,
+         |         row_number() OVER (PARTITION BY r.query_id
+         |           ORDER BY r.rank) AS hi
+         |  FROM run r JOIN qrels USING (query_id, doc_id)),
          |h AS (
-         |  SELECT r.query_id, CAST(count(*) AS BIGINT) AS hits,
-         |         min(r.rank) AS frr,
-         |         sum(ln(2.0) / ln(r.rank + 1.0)) AS dcg
-         |  FROM run r JOIN qrels USING (query_id, doc_id)
-         |  GROUP BY r.query_id)
+         |  SELECT query_id, CAST(count(*) AS BIGINT) AS hits,
+         |         min(rank) AS frr,
+         |         sum(CAST(hi AS DOUBLE) / rank) AS sump,
+         |         sum(ln(2.0) / ln(rank + 1.0)) AS dcg
+         |  FROM hr GROUP BY query_id)
          |SELECT n.query_id, n.n_rel,
          |  coalesce(h.hits, 0) AS hits,
          |  round(coalesce(h.hits, 0) / CAST(n.n_rel AS DOUBLE), 6) AS recall_at_k,
          |  round(coalesce(h.hits, 0) / 10.0, 6) AS precision_at_k,
          |  round(coalesce(1.0 / h.frr, 0.0), 6) AS mrr,
+         |  round(coalesce(h.sump, 0.0) / n.n_rel, 6) AS ap_at_k,
          |  round(coalesce(h.dcg, 0.0) /
          |    list_sum(list_transform(range(1, least(10, n.n_rel) + 1),
          |      i -> ln(2.0) / ln(i + 1.0))), 6) AS ndcg_at_k

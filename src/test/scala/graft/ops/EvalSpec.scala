@@ -25,10 +25,12 @@ class EvalSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(3) - 2.0 / 3) < 1e-6) // recall
     assert(math.abs(r.getDouble(4) - 2.0 / 3) < 1e-6) // precision
     assert(math.abs(r.getDouble(5) - 0.5) < 1e-9)     // MRR: first hit at 2
+    // AP: hits at ranks 2, 3 → P = 1/2, 2/3; / n_rel = 3
+    assert(math.abs(r.getDouble(6) - (0.5 + 2.0 / 3) / 3) < 1e-6)
     // DCG = 1/log2(3) + 1/log2(4); IDCG(3 rel, k=3) = 1 + 1/log2(3) + 1/log2(4)
     val dcg = 1.0 / (math.log(3) / math.log(2)) + 0.5
     val idcg = 1.0 + 1.0 / (math.log(3) / math.log(2)) + 0.5
-    assert(math.abs(r.getDouble(6) - dcg / idcg) < 1e-6)
+    assert(math.abs(r.getDouble(7) - dcg / idcg) < 1e-6)
   }
 
   test("rankingMetrics: judged query missing from the run scores zero") {
@@ -40,10 +42,10 @@ class EvalSpec extends AnyFunSuite {
     assert(out.keySet == Set(0L, 7L), "metrics rows = judged queries")
     val q7 = out(7L)
     assert(q7.getLong(2) == 0L && q7.getDouble(3) == 0.0 &&
-      q7.getDouble(5) == 0.0 && q7.getDouble(6) == 0.0)
+      q7.getDouble(5) == 0.0 && q7.getDouble(6) == 0.0 && q7.getDouble(7) == 0.0)
     val q0 = out(0L)
     assert(q0.getDouble(3) == 1.0 && q0.getDouble(5) == 1.0 &&
-      q0.getDouble(6) == 1.0)
+      q0.getDouble(6) == 1.0 && q0.getDouble(7) == 1.0)
   }
 
   // ---- rocAuc ----
