@@ -445,6 +445,33 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("entropy signals run unchanged on streams, equal to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(Long, String)]
+    def ent(df: org.apache.spark.sql.DataFrame) = {
+      val e = graft.functions.TextEntropy.textEntropy(col("text"))
+      df.select(col("doc_id"), round(e.getField("char_entropy"), 6).as("ce"),
+        round(e.getField("word_entropy"), 6).as("we"))
+    }
+    val q = ent(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("ent_out")
+      .outputMode("append").start()
+    val rows = Seq((0L, "aaaa bbbb aaaa"), (1L, "all distinct words here"), (2L, ""))
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ent_out")
+        .as[(Long, Double, Double)].collect().toSet
+      val batch = ent(rows.toDF("doc_id", "text"))
+        .as[(Long, Double, Double)].collect().toSet
+      assert(streamed == batch && streamed.size == 3)
+      // low word entropy flags the repetitive doc — the live gibberish gate
+      val byId = streamed.map(t => t._1 -> t._3).toMap
+      assert(byId(0L) < byId(1L))
+    } finally q.stop()
+  }
+
   test("audited gate runs on streams: survivors and drop ledger as two sinks, equal to batch") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
