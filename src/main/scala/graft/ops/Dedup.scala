@@ -628,34 +628,40 @@ object Dedup {
         .distinct()
     }
 
-    // convergence fingerprint: (count, xor of per-edge xxhash64), computed
-    // via CollectMetrics INSIDE the pin's own materialization pass — zero
-    // extra jobs per round (each round previously paid a separate tiny
-    // aggregate job, and before that two counts plus a join-sized
-    // anti-join). xor is order-independent and overflow-free (edge sets
-    // are distinct, so no self-cancelling dupes); the previous round's
-    // fingerprint is remembered. Fingerprint equality is necessary but not
-    // sufficient (64-bit collisions exist in principle), so the exact
+    // convergence fingerprint: (count, xor of per-edge xxhash64) in ONE
+    // tiny aggregate over the already-pinned frame. xor is
+    // order-independent and overflow-free (edge sets are distinct, so no
+    // self-cancelling dupes); the previous round's fingerprint is
+    // remembered, so each round pays one small job instead of two counts
+    // plus a join-sized anti-join. Fingerprint equality is necessary but
+    // not sufficient (64-bit collisions exist in principle), so the exact
     // anti-join confirms — but runs only on fingerprint match, i.e. once,
     // at convergence.
-    def pinWithSig(df: DataFrame): (DataFrame, (Long, Long)) = {
-      val obs = new org.apache.spark.sql.Observation()
-      val observed = df.observe(obs, count(lit(1)).as("n"),
-        coalesce(expr("bit_xor(xxhash64(hi, lo))"), lit(0L)).as("x"))
-      val pinned = pin(observed)
-      val m = obs.get
-      (pinned, (m("n").asInstanceOf[Long], m("x").asInstanceOf[Long]))
+    //
+    // Deliberately NOT Dataset.observe/CollectMetrics riding the pin:
+    // the Observation API registers session-level listener state, and a
+    // live registration in a SHARED session can leak into a concurrently
+    // planned streaming query's task closure (ObservationManager is not
+    // serializable — reproduced as a Task-not-serializable failure in a
+    // concurrent suite run). The driver's gate runs queries concurrently
+    // in one session, so the extra ~100 ms job is the safe trade.
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(hi, lo))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
     }
 
-    var (edges, edgeSig) = pinWithSig(pairs
+    var edges = pin(pairs
       .select(greatest(col("id_a"), col("id_b")).as("hi"),
         least(col("id_a"), col("id_b")).as("lo"))
       .filter(col("hi") =!= col("lo"))
       .distinct())
+    var edgeSig = fingerprint(edges)
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
-      val (next, nextSig) = pinWithSig(smallStar(largeStar(edges)))
+      val next = pin(smallStar(largeStar(edges)))
+      val nextSig = fingerprint(next)
       converged = nextSig == edgeSig &&
         next.join(edges, Seq("hi", "lo"), "left_anti").isEmpty
       edges = next

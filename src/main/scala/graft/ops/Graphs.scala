@@ -107,22 +107,20 @@ object Graphs {
     val deg = degrees(e, col("src"), col("dst"))
     // N is one scalar action over the pinned degree frame — the same bounded
     // driver fetch the iterative ops already make for convergence tests
-    // node count (and, personalized, the in-graph seed count) ride
-    // CollectMetrics inside the node pin's own materialization — no
-    // separate count jobs over the pinned frame
-    val obs = new org.apache.spark.sql.Observation()
-    val nodes = pin((seeds match {
+    // node (and seed) counts are plain bounded actions over the pinned
+    // frame — NOT Dataset.observe/CollectMetrics riding the pin: the
+    // Observation API registers session-level listener state that can
+    // leak into a concurrently planned streaming query's task closure
+    // (ObservationManager is not serializable; see Dedup.clustersWithRounds)
+    val nodes = pin(seeds match {
       case None => deg
       case Some(s) =>
         // seed indicator joined ONCE onto the pinned node frame
         deg.join(s.withColumn("__seed", lit(1)), Seq("node_id"), "left")
           .withColumn("__s", col("__seed").isNotNull.cast("int").cast("double"))
           .drop("__seed")
-    }).observe(obs, count(lit(1)).as("n"),
-      (if (seeds.isDefined) coalesce(sum(col("__s")), lit(0.0))
-       else sum(lit(0.0))).as("ns")))
-    val m = obs.get
-    val n = m("n").asInstanceOf[Long]
+    })
+    val n = nodes.count()
     require(n > 0, "pagerank: empty graph")
     // (init rank, teleport term, dangling term) per variant — the uniform
     // arithmetic is kept LITERALLY as published ((1−d)/n and dang/n, not
@@ -134,10 +132,7 @@ object Graphs {
           (lit(1.0 / n), lit((1.0 - damping) / n),
             (dang: Column) => dang / n)
         case Some(_) =>
-          val nSeeds = math.round(m("ns") match {
-            case d: java.lang.Double => d.doubleValue
-            case l: java.lang.Long => l.toDouble
-          })
+          val nSeeds = nodes.filter(col("__s") > 0).count()
           require(nSeeds > 0,
             "personalizedPagerank: no seed id occurs in the graph")
           val sv = col("__s") / nSeeds.toDouble
