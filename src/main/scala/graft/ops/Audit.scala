@@ -111,6 +111,15 @@ object Audit {
   * audit.report().foreach { case (stage, in, out) =>
   *   println(s"$stage: kept $out / $in") }
   * }}}
+  *
+  * Concurrency caveat: `Observation` registers session-level listener
+  * state, and a LIVE registration can leak into a concurrently planned
+  * streaming query's task closure in the same session
+  * (ObservationManager is not serializable). Run the audited job to
+  * completion (and `report()`) before starting streaming queries on the
+  * session, or use separate sessions — the engine's own operators
+  * deliberately avoid Observation for exactly this reason
+  * (see Dedup.clustersWithRounds).
   */
 final class PipelineAudit {
   private val stages = ListBuffer.empty[(String, Observation, Observation)]
