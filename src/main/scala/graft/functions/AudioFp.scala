@@ -1,0 +1,121 @@
+package graft.functions
+
+import java.io.ByteArrayInputStream
+
+import javax.sound.sampled.{AudioFormat, AudioSystem}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+
+/** Energy-envelope audio fingerprint over REAL PCM decode
+  * (`javax.sound.sampled` — WAV/AIFF/AU, the JDK's built-in readers): the
+  * time-domain analog of [[ImageHash]]'s dHash. The sample stream is
+  * mono-ized, split into 65 equal windows, each window reduced to its mean
+  * absolute amplitude (exact long sums), and bit i of the 64-bit
+  * fingerprint is set when window i+1 is louder than window i — only the
+  * loudness CONTOUR survives, so the same recording at a different gain or
+  * with light noise lands a few Hamming bits away while unrelated audio
+  * sits near 32. Compare with [[graft.ops.Dedup.hammingPairs]] — decode is
+  * row-local, the pair search is the exact pigeonhole bucket join, never
+  * all-pairs.
+  *
+  * This is deliberately a time-domain envelope, not a spectral
+  * (Shazam-style constellation) fingerprint: it is integer-exact and
+  * codec-independent for PCM, which is what a dedup gate needs; robust
+  * cross-codec matching would sit on top of the same hammingPairs join.
+  *
+  * Supports PCM_SIGNED/PCM_UNSIGNED 8- and 16-bit; NULL for anything else
+  * (callers route undecodable rows to a reject ledger). CodegenFallback by
+  * design — PCM decode dominates dispatch cost.
+  */
+object AudioFp {
+
+  /** 64-bit envelope fingerprint, or null when the bytes don't decode to
+    * supported PCM. Fewer than 66 frames → null (no meaningful envelope).
+    */
+  def envelope64(bytes: Array[Byte]): java.lang.Long = {
+    if (bytes == null || bytes.length == 0) return null
+    val in =
+      try AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      catch { case _: Exception => return null }
+    try {
+      val fmt = in.getFormat
+      val enc = fmt.getEncoding
+      val signed = enc == AudioFormat.Encoding.PCM_SIGNED
+      val unsigned = enc == AudioFormat.Encoding.PCM_UNSIGNED
+      val bits = fmt.getSampleSizeInBits
+      val channels = fmt.getChannels
+      if ((!signed && !unsigned) || (bits != 8 && bits != 16) || channels < 1)
+        return null
+      val frameBytes = fmt.getFrameSize
+      if (frameBytes <= 0) return null
+      val data = in.readAllBytes()
+      val nFrames = data.length / frameBytes
+      if (nFrames < 66) return null
+      val big = fmt.isBigEndian
+      // per-frame mean |amplitude| across channels, centered to signed
+      def frameAbs(f: Int): Long = {
+        var ch = 0
+        var s = 0L
+        while (ch < channels) {
+          val off = f * frameBytes + ch * (bits / 8)
+          val v =
+            if (bits == 8) {
+              val raw = data(off) & 0xff
+              if (signed) data(off).toInt else raw - 128
+            } else {
+              val (hi, lo) = if (big) (off, off + 1) else (off + 1, off)
+              val raw = ((data(hi) & 0xff) << 8) | (data(lo) & 0xff)
+              if (signed) raw.toShort.toInt else raw - 32768
+            }
+          s += math.abs(v.toLong)
+          ch += 1
+        }
+        s / channels
+      }
+      val env = new Array[Long](65)
+      val cnt = new Array[Long](65)
+      var f = 0
+      while (f < nFrames) {
+        // window index by exact integer arithmetic — no float boundaries
+        val w = (f.toLong * 65 / nFrames).toInt
+        env(w) += frameAbs(f)
+        cnt(w) += 1
+        f += 1
+      }
+      var i = 0
+      while (i < 65) { env(i) = env(i) / math.max(cnt(i), 1L); i += 1 }
+      var out = 0L
+      i = 0
+      while (i < 64) {
+        if (env(i + 1) > env(i)) out |= 1L << i
+        i += 1
+      }
+      out
+    } catch {
+      case _: Exception => null // truncated stream mid-read → undecodable
+    } finally in.close()
+  }
+
+  def envelopeFp(bytes: Column): Column =
+    GraftColumnBridge.column(AudioEnvelopeExpr(GraftColumnBridge.expression(bytes)))
+}
+
+case class AudioEnvelopeExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "audio_envelope_fp"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects BINARY audio bytes, got ${child.dataType.catalogString}")
+  override def nullSafeEval(bytes: Any): Any =
+    AudioFp.envelope64(bytes.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): AudioEnvelopeExpr =
+    copy(child = newChild)
+}

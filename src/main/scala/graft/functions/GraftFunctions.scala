@@ -77,7 +77,10 @@ object GraftFunctions {
         graft.ops.Dedup.dedupLinesInDoc(
           org.apache.spark.sql.GraftColumnBridge.column(args.head)))
     },
-    "text_entropy" -> { args => TextEntropyExpression(args.head) })
+    "text_entropy" -> { args => TextEntropyExpression(args.head) },
+    "image_dhash" -> { args => ImageDhashExpr(args.head) },
+    "image_ahash" -> { args => ImageAhashExpr(args.head) },
+    "audio_envelope_fp" -> { args => AudioEnvelopeExpr(args.head) })
 
   /** Imperative per-session registration. */
   def register(spark: SparkSession): Unit =

@@ -1,0 +1,161 @@
+package graft.functions
+
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+
+/** Perceptual image hashes over REAL pixel decode (`javax.imageio`, the
+  * JDK's built-in readers — PNG/BMP/GIF/JPEG, no external codecs): the
+  * standard near-duplicate-image fingerprints (the dHash/aHash family,
+  * e.g. Krawetz's published difference-hash construction) used by
+  * image-corpus dedup pipelines (DataComp/LAION-style curation).
+  *
+  * Both hashes are 64-bit and compare with Hamming distance — visually
+  * identical or lightly re-encoded/resized images land within a few bits,
+  * unrelated images ~32 bits apart — which drops them straight into
+  * [[graft.ops.Dedup.hammingPairs]]'s exact pigeonhole bucket join: the
+  * whole image-dedup path is decode (row-local) → 4 chunk rows per image →
+  * bucketed pair join, never all-pairs and never a second decode.
+  *
+  * Determinism: grayscale reduction and downsampling are our own integer
+  * arithmetic over `getRGB` pixels (ITU-R BT.601 luma in fixed-point; box
+  * average over an explicit pixel window) — no `Graphics2D` rendering, no
+  * platform-dependent interpolation. For lossless formats (PNG/BMP/GIF)
+  * the hash is bit-reproducible on any JVM; JPEG adds only the JDK
+  * decoder's own determinism (same JVM → same bits).
+  *
+  * NULL for undecodable bytes — callers filter or route to a reject
+  * ledger. CodegenFallback by design: full-pixel decode dominates the
+  * expression-dispatch cost by orders of magnitude.
+  */
+object ImageHash {
+
+  /** 8×8 box-averaged luma grid from decoded pixels, or null when the
+    * bytes don't decode. Grid cell (gx, gy) averages the pixel window
+    * [gx·w/8, (gx+1)·w/8) × [gy·h/8, (gy+1)·h/8) — integer bounds, exact
+    * long sums. Images smaller than the grid repeat edge windows (bounds
+    * clamp to ≥1 pixel).
+    */
+  private def lumaGrid(bytes: Array[Byte], gw: Int, gh: Int): Array[Long] = {
+    if (bytes == null || bytes.length == 0) return null
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) return null
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w <= 0 || h <= 0) return null
+    val grid = new Array[Long](gw * gh)
+    var gy = 0
+    while (gy < gh) {
+      val y0 = gy * h / gh
+      val y1 = math.max((gy + 1) * h / gh, y0 + 1)
+      var gx = 0
+      while (gx < gw) {
+        val x0 = gx * w / gw
+        val x1 = math.max((gx + 1) * w / gw, x0 + 1)
+        var sum = 0L
+        var y = y0
+        while (y < h && y < y1) {
+          var x = x0
+          while (x < w && x < x1) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            // BT.601 luma in /1000 fixed point — exact integer arithmetic
+            sum += (299L * r + 587L * g + 114L * b) / 1000L
+            x += 1
+          }
+          y += 1
+        }
+        val n = (math.min(y1, h) - y0).toLong * (math.min(x1, w) - x0).toLong
+        grid(gy * gw + gx) = sum / n
+        gx += 1
+      }
+      gy += 1
+    }
+    grid
+  }
+
+  /** Difference hash: 9×8 luma grid, bit (row, col) set when cell(col) <
+    * cell(col+1) — 8 comparisons per row × 8 rows = 64 bits. Robust to
+    * global brightness/contrast shifts (only the gradient sign matters).
+    * Null for undecodable bytes.
+    */
+  def dhash64(bytes: Array[Byte]): java.lang.Long = {
+    val grid = lumaGrid(bytes, 9, 8)
+    if (grid == null) return null
+    var bits = 0L
+    var row = 0
+    while (row < 8) {
+      var c = 0
+      while (c < 8) {
+        if (grid(row * 9 + c) < grid(row * 9 + c + 1))
+          bits |= 1L << (row * 8 + c)
+        c += 1
+      }
+      row += 1
+    }
+    bits
+  }
+
+  /** Average hash: 8×8 luma grid, bit set when the cell is above the grid
+    * mean. Simpler and slightly less discriminative than [[dhash64]];
+    * kept because the pair (ahash, dhash) disagreeing is a useful
+    * borderline-duplicate signal. Null for undecodable bytes.
+    */
+  def ahash64(bytes: Array[Byte]): java.lang.Long = {
+    val grid = lumaGrid(bytes, 8, 8)
+    if (grid == null) return null
+    var total = 0L
+    var i = 0
+    while (i < 64) { total += grid(i); i += 1 }
+    val mean = total / 64
+    var bits = 0L
+    i = 0
+    while (i < 64) {
+      if (grid(i) > mean) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
+  def dhash(bytes: Column): Column =
+    GraftColumnBridge.column(ImageDhashExpr(GraftColumnBridge.expression(bytes)))
+
+  def ahash(bytes: Column): Column =
+    GraftColumnBridge.column(ImageAhashExpr(GraftColumnBridge.expression(bytes)))
+}
+
+abstract class ImageHashExpr extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects BINARY image bytes, got ${child.dataType.catalogString}")
+}
+
+case class ImageDhashExpr(child: Expression) extends ImageHashExpr {
+  override def prettyName: String = "image_dhash"
+  override def nullSafeEval(bytes: Any): Any =
+    ImageHash.dhash64(bytes.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): ImageDhashExpr =
+    copy(child = newChild)
+}
+
+case class ImageAhashExpr(child: Expression) extends ImageHashExpr {
+  override def prettyName: String = "image_ahash"
+  override def nullSafeEval(bytes: Any): Any =
+    ImageHash.ahash64(bytes.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): ImageAhashExpr =
+    copy(child = newChild)
+}

@@ -522,10 +522,29 @@ object Dedup {
     * (pigeonhole), so bucket-join on chunks then verify the distance.
     */
   def simhashPairs(df: DataFrame, id: Column, text: Column,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    hammingPairs(df.select(id.as("id"), SimHash.simhash(text).as("sig")),
+      maxHamming)
+
+  /** Pairs within `maxHamming` bits over ANY 64-bit signature column — the
+    * pigeonhole bucket join under [[simhashPairs]], exposed for signatures
+    * computed elsewhere (perceptual image hashes, audio envelope
+    * fingerprints, externally-supplied fingerprints). `sigs` must carry
+    * (`id`: long-comparable, `sig`: long); returns (id_a, id_b, hamming)
+    * with id_a < id_b — EXACT for maxHamming <= 3: a pair ≤3 flips apart
+    * leaves at least one of the 4 chunks intact, so candidate recall is
+    * total and the distance filter does the rest.
+    *
+    * Scale shape: 4 rows per signature, hash-shuffled on (chunk_idx,
+    * chunk); candidates are per-bucket pairs, never all-pairs. A
+    * degenerate value (e.g. all-black images hashing to 0L) makes its
+    * bucket quadratic — AQE skew splitting applies, same as the LSH band
+    * join ([[minhashLsh]]); drop constant signatures upstream if a corpus
+    * has them in volume.
+    */
+  def hammingPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "the 4x16-bit chunk scheme guarantees candidate recall only for maxHamming <= 3")
-    val sigs = df.select(id.as("id"), SimHash.simhash(text).as("sig"))
     val chunked = sigs.select(
       col("id"), col("sig"),
       posexplode(array((0 until 4).map(i =>

@@ -184,4 +184,39 @@ object Multimodal {
       }
       EncodedRow(r.id, feats)
     }
+
+  // ------------------------------------------------------- media near-dup
+
+  /** Near-duplicate IMAGE pairs: perceptual difference hash over real
+    * pixel decode ([[graft.functions.ImageHash.dhash]]) → exact pigeonhole
+    * Hamming bucket join ([[Dedup.hammingPairs]]). Returns (id_a, id_b,
+    * hamming), id_a < id_b, hamming <= maxHamming. Undecodable images are
+    * dropped here (they can't be near anything); route them to a reject
+    * ledger upstream if the corpus needs the accounting.
+    *
+    * Scale shape: decode is one row-local pass (each image decoded exactly
+    * ONCE — the 64-bit hash travels, never the bytes); the pair search
+    * shuffles 4 chunk rows per image and joins per bucket — never
+    * all-pairs, and the binary column never reaches an exchange.
+    */
+  def imageNearDup(df: DataFrame, id: Column, imageBytes: Column,
+      maxHamming: Int = 3): DataFrame =
+    Dedup.hammingPairs(
+      df.select(id.as("id"),
+          graft.functions.ImageHash.dhash(imageBytes).as("sig"))
+        .filter(col("sig").isNotNull),
+      maxHamming)
+
+  /** Near-duplicate AUDIO pairs: energy-envelope fingerprint over real PCM
+    * decode ([[graft.functions.AudioFp.envelopeFp]]) → the same exact
+    * Hamming bucket join. Same contract and scale shape as
+    * [[imageNearDup]].
+    */
+  def audioNearDup(df: DataFrame, id: Column, audioBytes: Column,
+      maxHamming: Int = 3): DataFrame =
+    Dedup.hammingPairs(
+      df.select(id.as("id"),
+          graft.functions.AudioFp.envelopeFp(audioBytes).as("sig"))
+        .filter(col("sig").isNotNull),
+      maxHamming)
 }

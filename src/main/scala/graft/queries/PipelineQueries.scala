@@ -561,6 +561,26 @@ object PipelineQueries {
           size(Multimodal.fakeFeatures(col("media"))).as("feat_dim"),
           col("audio.sample_rate").as("a_rate"),
           col("audio.channels").as("a_channels"))
+    }),
+
+    // Perceptual-hash near-dup pair search — the image/audio dedup path
+    // (Multimodal.imageNearDup/audioNearDup = real decode → 64-bit
+    // perceptual hash → Dedup.hammingPairs). The decode step has no SQL
+    // twin (DuckDB ships no codec), so the gate drives the EXACT pair-join
+    // operator those entry points ride with SQL-constructible planted
+    // signatures: groups of 8 docs share an md5-derived 60-bit base, and
+    // doc r of a group flips (doc_id % 5) bits inside its own 8-bit block
+    // — within-group Hamming distances are exactly p_a + p_b, cross-group
+    // ones are md5-random (~30 bits), so the ≤3 pair set is fully known to
+    // the oracle. The real dhash/ahash/envelope decoders are pinned on
+    // planted BMP/WAV bytes in MediaDedupSpec.
+    "pipe_media_neardup" -> ((s, d) => {
+      val sigs = t(s, d, "documents").select(
+        col("doc_id").as("id"),
+        expr("CAST(conv(substring(md5(CAST(doc_id DIV 8 AS STRING)), 1, 15), 16, 10) AS BIGINT)" +
+          " ^ ((shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 5 AS INT)) - 1)" +
+          " * shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 8 AS INT) * 8))").as("sig"))
+      Dedup.hammingPairs(sigs, maxHamming = 3)
     })
   )
 
@@ -1124,6 +1144,20 @@ s"""WITH toksrc AS (
         |       CAST(('0x' || substr(m.hx, 1, 8))::BIGINT % 4 * 8000 + 16000 AS INTEGER) AS a_rate,
         |       CAST(('0x' || substr(m.hx, 9, 8))::BIGINT % 2 + 1 AS INTEGER) AS a_channels
         |FROM r JOIN m ON r.doc_id = m.doc_id""".stripMargin,
+    // planted perceptual signatures (see the query comment): oracle is the
+    // brute-force all-pairs Hamming check the bucketed join must equal —
+    // exact, because <=3 flips can't clear all four 16-bit chunks
+    "pipe_media_neardup" ->
+      """WITH sigs AS (
+        |  SELECT doc_id AS id,
+        |         xor(('0x' || substr(md5((doc_id // 8)::VARCHAR), 1, 15))::BIGINT,
+        |             ((1::BIGINT << (doc_id % 5)::INT) - 1)
+        |               << ((doc_id % 8)::INT * 8)) AS sig
+        |  FROM documents)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+        |FROM sigs a JOIN sigs b ON a.id < b.id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin,
     // bigram construction mirrors Shingles.shinglesAll EXACTLY (lower,
     // space-trim, \s+ split with edge empties KEPT — see Tokenize.scala's
     // contract); model LIMITs tie-break by key in both engines; DuckDB

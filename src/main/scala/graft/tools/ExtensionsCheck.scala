@@ -59,6 +59,12 @@ object ExtensionsCheck {
       "SELECT text_entropy('aabb').char_entropy AS ce, " +
         "text_entropy('aabb').word_entropy AS we").head()
     assert(math.abs(te.getDouble(0) - math.log(2)) < 1e-12 && te.getDouble(1) == 0.0)
+    // perceptual hashes: non-media bytes → NULL (decoders reject, not throw)
+    val ph = spark.sql(
+      "SELECT image_dhash(CAST('x' AS BINARY)) AS d, " +
+        "image_ahash(CAST('x' AS BINARY)) AS a, " +
+        "audio_envelope_fp(CAST('x' AS BINARY)) AS f").head()
+    assert(ph.isNullAt(0) && ph.isNullAt(1) && ph.isNullAt(2))
     println("round-5 functions: OK")
 
     // injected optimizer rule: SQL abs-distance join plans as a hash join

@@ -462,6 +462,21 @@ object ScaleProbe {
     println(f"  auc ${aucRow.getDouble(0)}%.4f..${aucRow.getDouble(1)}%.4f " +
       f"(analytic 0.595), ${aucRow.getLong(2)}%,d pos / ${aucRow.getLong(3)}%,d neg")
 
+    println(s"== perceptual-hash near-dup (4-chunk pigeonhole pair join) ==")
+    // synthetic 64-bit signatures: 1 in 1000 rows is a planted ≤3-bit
+    // variant of row id−1's signature, the rest are hash-random (pair
+    // probability ~2e-15) — the image/audio near-dup shape at corpus scale,
+    // where the decode is row-local and only 4 chunk rows per sig shuffle
+    val hpN = n
+    val hpBase = spark.range(hpN).select(col("id"),
+      when(col("id") % 1000L === 999L,
+        xxhash64((col("id") - 1L) * 17L).bitwiseXOR(lit(0x401001L)))
+        .otherwise(xxhash64(col("id") * 17L)).as("sig"))
+    val hpPairs = time(f"hammingPairs ($hpN%,d signatures, maxHamming=3)") {
+      graft.ops.Dedup.hammingPairs(hpBase, maxHamming = 3).count()
+    }
+    println(f"  pairs $hpPairs%,d (planted ${hpN / 1000}%,d)")
+
     println(s"== shuffled-shard export (range 1:1 shard->task mapping) ==")
     val shardDir = java.nio.file.Files.createTempDirectory("probe-shards")
     time(f"writeShuffledShards ($n%,d rows -> 256 shards)") {

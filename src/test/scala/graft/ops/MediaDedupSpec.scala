@@ -1,0 +1,130 @@
+package graft.ops
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.{AudioFp, ImageHash}
+
+/** Real-decode coverage for the perceptual media near-dup path: the
+  * pipe_media_neardup gate proves the Hamming pair JOIN against the DuckDB
+  * oracle on SQL-constructible signatures; this spec pins the part the
+  * oracle can't reach — that the dhash/ahash/envelope decoders put
+  * visually/audibly near-identical REAL bytes within a few bits and
+  * unrelated bytes far apart, end-to-end through
+  * [[Multimodal.imageNearDup]]/[[Multimodal.audioNearDup]].
+  */
+class MediaDedupSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def mix(x: Long): Long = {
+    var h = x * 0x9E3779B97F4A7C15L
+    h ^= (h >>> 29); h *= 0xBF58476D1CE4E5B9L; h ^= (h >>> 32)
+    h
+  }
+
+  /** 64×64 deterministic pseudo-random grayscale texture as PNG bytes;
+    * `brighten` adds a small luma bump to the 8×8 pixel block at the top
+    * left — the "lightly edited copy" plant.
+    */
+  private def png(seed: Long, brighten: Int = 0): Array[Byte] = {
+    val img = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val base = ((mix(seed * 4096 + y * 64 + x) >>> 8) % 256).toInt.abs
+      val v = math.min(255,
+        base + (if (brighten != 0 && x < 8 && y < 8) brighten else 0))
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Mono 16-bit WAV whose 65 envelope windows have exactly the amplitudes
+    * `amps` (100 frames per window, alternating sign so mean |amp| is the
+    * amplitude itself); `gain1000` rescales by gain1000/1000 — the
+    * "same recording at a different volume" plant.
+    */
+  private def wav(amps: Array[Int], gain1000: Int = 1000): Array[Byte] = {
+    require(amps.length == 65)
+    val frames = amps.length * 100
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val data = new Array[Byte](frames * 2)
+    for (f <- 0 until frames) {
+      val a = amps(f / 100).toLong * gain1000 / 1000
+      val v = (if (f % 2 == 0) a else -a).toInt
+      data(f * 2) = (v & 0xff).toByte
+      data(f * 2 + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val baos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      stream, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  test("imageNearDup pairs a lightly edited copy, not unrelated images") {
+    val imgs = Seq(
+      (1L, png(7)),
+      (2L, png(7, brighten = 12)), // near-dup: one brightened 8×8 block
+      (3L, png(99)), // unrelated texture
+      (4L, "not an image".getBytes("UTF-8")) // undecodable → dropped
+    ).toDF("id", "bytes")
+    val pairs = Multimodal.imageNearDup(imgs, col("id"), col("bytes"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("dhash is brightness-shift invariant, ahash pins exact copies") {
+    // +40 luma everywhere: every gradient SIGN is unchanged → identical dhash
+    val flat = png(11)
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(flat))
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val v = math.min(255, (img.getRGB(x, y) & 0xff) + 40)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", baos)
+    assert(ImageHash.dhash64(flat) == ImageHash.dhash64(baos.toByteArray))
+    assert(ImageHash.ahash64(flat) == ImageHash.ahash64(png(11)))
+    assert(ImageHash.dhash64("junk".getBytes("UTF-8")) == null)
+  }
+
+  test("audioNearDup pairs a regained copy, not different audio") {
+    // well-separated window amplitudes so rescaling can't reorder them
+    val amps = Array.tabulate(65)(w => 500 + 400 * ((w * 37) % 65))
+    val other = Array.tabulate(65)(w => 500 + 400 * ((w * 23 + 11) % 65))
+    val rows = Seq(
+      (1L, wav(amps)),
+      (2L, wav(amps, gain1000 = 700)), // same contour at 0.7× volume
+      (3L, wav(other)),
+      (4L, "noise bytes".getBytes("UTF-8")) // undecodable → dropped
+    ).toDF("id", "bytes")
+    val pairs = Multimodal.audioNearDup(rows, col("id"), col("bytes"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+    // gain-only change preserves every envelope comparison exactly
+    assert(AudioFp.envelope64(wav(amps)) ==
+      AudioFp.envelope64(wav(amps, gain1000 = 700)))
+  }
+
+  test("perceptual hashes reach the SQL surface") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq((1L, png(3)))
+      .toDF("id", "bytes").createOrReplaceTempView("media_sql_check")
+    val r = spark.sql(
+      """SELECT image_dhash(bytes) AS dh, image_ahash(bytes) AS ah,
+        |       audio_envelope_fp(bytes) AS fp FROM media_sql_check""".stripMargin)
+      .head()
+    assert(r.getLong(0) == ImageHash.dhash64(png(3)).longValue)
+    assert(r.getLong(1) == ImageHash.ahash64(png(3)).longValue)
+    assert(r.isNullAt(2)) // a PNG is not decodable audio
+  }
+}
