@@ -185,6 +185,39 @@ object Multimodal {
       EncodedRow(r.id, feats)
     }
 
+  // ---------------------------------------------------- image quality gate
+
+  /** First failing image-quality rule, or NULL when the image passes — the
+    * LAION/DataComp-style pre-training filter as a
+    * [[AuditedPipeline.gateWhy]]-consumable reason column. Rules, in fixed
+    * order:
+    *
+    *  - `undecodable`: `decoded` is NULL (no reader recognized the bytes);
+    *  - `too_small`: min(width, height) < `minSide` — thumbnails and
+    *    tracking pixels;
+    *  - `aspect`: max(w,h) > `maxAspect` × min(w,h) — banners/sliver crops;
+    *  - `too_few_bytes`: n_bytes × `pixelsPerByte` < w×h — fewer stored
+    *    bytes than one per `pixelsPerByte` pixels means the image survived
+    *    brutal compression (the blurry-upscale/re-encode proxy the web
+    *    curation recipes use).
+    *
+    * All comparisons are integer arithmetic on the decoded dimensions —
+    * no float ratios — so the verdict replays exactly in any engine.
+    * Row-local, codegen'd, no shuffle; pair with [[decode]] (evaluate it
+    * ONCE into a struct column) and sweep drops into a ledger via
+    * [[AuditedPipeline]].
+    */
+  def imageQualityReason(decoded: Column, nBytes: Column,
+      minSide: Int = 200, maxAspect: Int = 3,
+      pixelsPerByte: Int = 4000): Column = {
+    val w = decoded.getField("width").cast("long")
+    val h = decoded.getField("height").cast("long")
+    when(decoded.isNull, "undecodable")
+      .when(least(w, h) < minSide, "too_small")
+      .when(greatest(w, h) > lit(maxAspect) * least(w, h), "aspect")
+      .when(nBytes.cast("long") * pixelsPerByte < w * h, "too_few_bytes")
+  }
+
   // ------------------------------------------------------- media near-dup
 
   /** Near-duplicate IMAGE pairs: perceptual difference hash over real

@@ -574,6 +574,24 @@ object PipelineQueries {
     // ones are md5-random (~30 bits), so the ≤3 pair set is fully known to
     // the oracle. The real dhash/ahash/envelope decoders are pinned on
     // planted BMP/WAV bytes in MediaDedupSpec.
+    // Image-quality filtering (LAION/DataComp-style): per-image first
+    // failing rule over decoded dimensions + byte size. Dimensions come
+    // from the md5 stub decode (the SQL-replayable path — the REAL decode
+    // branch of the same rules is pinned on planted PNG bytes in
+    // MediaDedupSpec), so the oracle reproduces the full verdict exactly.
+    "pipe_image_gate" -> ((s, d) => {
+      val media = Multimodal.asMedia(col("text"), lit("fake/img"))
+      t(s, d, "documents")
+        .select(col("doc_id"), media.as("media"))
+        .withColumn("dec", Multimodal.decode(col("media")))
+        .select(col("doc_id"),
+          col("dec").getField("width").as("width"),
+          col("dec").getField("height").as("height"),
+          col("media").getField("n_bytes").as("n_bytes"),
+          Multimodal.imageQualityReason(col("dec"),
+            col("media").getField("n_bytes")).as("reason"))
+    }),
+
     "pipe_media_neardup" -> ((s, d) => {
       val sigs = t(s, d, "documents").select(
         col("doc_id").as("id"),
@@ -1144,6 +1162,27 @@ s"""WITH toksrc AS (
         |       CAST(('0x' || substr(m.hx, 1, 8))::BIGINT % 4 * 8000 + 16000 AS INTEGER) AS a_rate,
         |       CAST(('0x' || substr(m.hx, 9, 8))::BIGINT % 2 + 1 AS INTEGER) AS a_channels
         |FROM r JOIN m ON r.doc_id = m.doc_id""".stripMargin,
+    // image-quality verdict replayed over the md5 stub dims (same
+    // arithmetic as the pipe_multimodal oracle) — rule order and the
+    // integer comparisons mirror Multimodal.imageQualityReason
+    "pipe_image_gate" ->
+      """WITH m AS (SELECT doc_id, md5(text) AS hx,
+        |                  octet_length(encode(text))::BIGINT AS nb
+        |           FROM documents),
+        |     d AS (SELECT doc_id, nb,
+        |                  ('0x' || substr(hx, 1, 8))::BIGINT % 1920 + 32 AS w,
+        |                  ('0x' || substr(hx, 9, 8))::BIGINT % 1080 + 32 AS h
+        |           FROM m)
+        |SELECT doc_id,
+        |       CAST(w AS INTEGER) AS width,
+        |       CAST(h AS INTEGER) AS height,
+        |       CAST(nb AS INTEGER) AS n_bytes,
+        |       CASE WHEN least(w, h) < 200 THEN 'too_small'
+        |            WHEN greatest(w, h) > 3 * least(w, h) THEN 'aspect'
+        |            WHEN nb * 4000 < w * h THEN 'too_few_bytes'
+        |       END AS reason
+        |FROM d""".stripMargin,
+
     // planted perceptual signatures (see the query comment): oracle is the
     // brute-force all-pairs Hamming check the bucketed join must equal —
     // exact, because <=3 flips can't clear all four 16-bit chunks

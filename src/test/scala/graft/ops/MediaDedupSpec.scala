@@ -115,6 +115,34 @@ class MediaDedupSpec extends AnyFunSuite {
       AudioFp.envelope64(wav(amps, gain1000 = 700)))
   }
 
+  test("imageQualityReason over REAL decode: each rule fires on planted dims") {
+    def sized(w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val baos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val rows = Seq(
+      (1L, sized(300, 250)), // passes at pixelsPerByte=1000 (nb*1000 >= 75k)
+      (2L, sized(100, 250)), // too_small (min side < 200)
+      (3L, sized(900, 250)), // aspect (900 > 3*250)
+      (4L, sized(300, 250)), // byte count overridden below -> too_few_bytes
+      (5L, "junk".getBytes("UTF-8")) // undecodable
+    ).toDF("id", "bytes")
+    // row 4 claims 10 stored bytes: deterministic (a real heavily-
+    // re-encoded fixture would pin the spec to a deflate level)
+    val nb = when(col("id") === 4, lit(10)).otherwise(length(col("bytes")))
+    val out = rows
+      .withColumn("dec", graft.functions.ImageMeta.imageMeta(col("bytes")))
+      .select(col("id"), Multimodal.imageQualityReason(
+        col("dec"), nb, minSide = 200, maxAspect = 3,
+        pixelsPerByte = 1000).as("r"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+      .toMap
+    assert(out == Map(1L -> null, 2L -> "too_small", 3L -> "aspect",
+      4L -> "too_few_bytes", 5L -> "undecodable"))
+  }
+
   test("perceptual hashes reach the SQL surface") {
     graft.functions.GraftFunctions.register(spark)
     Seq((1L, png(3)))
