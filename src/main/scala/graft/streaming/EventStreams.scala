@@ -415,6 +415,73 @@ object EventStreams {
       }
   }
 
+  final case class MediaSig(id: Long, sig: Long)
+  final case class HammingBucketState(ids: List[Long], sigs: List[Long],
+      overflow: Long)
+  final case class MediaDupCandidate(id: Long, matched_id: Long,
+      hamming: Int, chunk_idx: Int)
+
+  /** Streaming twin of [[graft.ops.Dedup.hammingPairs]] — near-duplicate
+    * detection over 64-bit perceptual signatures (image dHash, audio
+    * envelope fingerprint: both are stateless row-local expressions, so the
+    * caller applies them upstream and this operator sees only (id, sig)).
+    * Each signature splits into the same 4×16-bit pigeonhole chunks as the
+    * batch join; each (chunk_idx, chunk) bucket keeps bounded state of
+    * previously seen signatures and emits a candidate for every stored one
+    * within `maxHamming` bits — EXACT recall for maxHamming <= 3 while a
+    * bucket has capacity, same pigeonhole argument as batch.
+    *
+    * Differences from batch, by design: a pair sharing several intact
+    * chunks emits once per chunk (the batch dropDuplicates is a corpus
+    * shuffle a stream cannot afford — consumers dedup per sink partition if
+    * they care), and bucket state caps at `maxPerBucket` (16 bytes per
+    * entry): a hot bucket — all-black thumbnails, silence — stops storing
+    * and counts overflow instead of growing without bound, with
+    * first-arrived-wins determinism (ties by id within a micro-batch).
+    * Re-ingested ids are recognized and not re-stored. Production
+    * deployments add a state TTL; NoTimeout keeps
+    * processAllAvailable-based tests deterministic.
+    */
+  def mediaNearDupStream(sigs: Dataset[MediaSig], maxHamming: Int = 3,
+      maxPerBucket: Int = 64): Dataset[MediaDupCandidate] = {
+    import sigs.sparkSession.implicits._
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "the 4x16-bit chunk scheme guarantees candidate recall only for maxHamming <= 3")
+    require(maxPerBucket > 0, s"maxPerBucket must be positive, got $maxPerBucket")
+    val chunked = sigs.flatMap { m =>
+      (0 until 4).map(i =>
+        (i, (m.sig >>> (i * 16)) & 0xffffL, m.id, m.sig))
+    }.toDF("chunk_idx", "chunk", "id", "sig")
+      .as[(Int, Long, Long, Long)]
+    chunked.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[HammingBucketState, MediaDupCandidate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long), batch: Iterator[(Int, Long, Long, Long)],
+            state: GroupState[HammingBucketState]) =>
+          val arrivals = batch.toSeq.sortBy(_._3)
+          var st = state.getOption.getOrElse(HammingBucketState(Nil, Nil, 0L))
+          val out = List.newBuilder[MediaDupCandidate]
+          for ((_, _, id, sig) <- arrivals) {
+            val it = st.ids.iterator.zip(st.sigs.iterator)
+            while (it.hasNext) {
+              val (eid, esig) = it.next()
+              if (eid != id) {
+                val d = java.lang.Long.bitCount(sig ^ esig)
+                if (d <= maxHamming)
+                  out += MediaDupCandidate(id, eid, d, key._1)
+              }
+            }
+            st =
+              if (st.ids.contains(id)) st // re-ingest: already stored
+              else if (st.ids.length < maxPerBucket)
+                st.copy(ids = st.ids :+ id, sigs = st.sigs :+ sig)
+              else st.copy(overflow = st.overflow + 1)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class Contam(doc_id: Long, n_shingles: Int, n_overlap: Long,
       contam_ratio: Double)
 

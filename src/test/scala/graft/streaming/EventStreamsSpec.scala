@@ -521,6 +521,60 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming media near-dup matches the batch hammingPairs pair set") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 0x123456789ABCDEF0L
+    val sigs = Seq(
+      EventStreams.MediaSig(1L, base),
+      EventStreams.MediaSig(2L, base ^ 0x7L), // 3 flips, all in chunk 0
+      EventStreams.MediaSig(3L, base ^ 0x1000100010001L), // 1 flip per chunk
+      EventStreams.MediaSig(4L, 0x0F0FF0F03C3CC3C3L)) // unrelated
+    val input = MemoryStream[EventStreams.MediaSig]
+    val q = EventStreams.mediaNearDupStream(input.toDS())
+      .writeStream.format("memory").queryName("media_dup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(sigs.take(2): _*)
+      q.processAllAvailable()
+      input.addData(sigs.drop(2): _*) // cross-batch arrivals
+      q.processAllAvailable()
+      val cands = spark.table("media_dup_out")
+        .as[EventStreams.MediaDupCandidate].collect()
+      // the one true pair, emitted once per INTACT chunk (1, 2, 3)
+      assert(cands.map(c => (c.id, c.matched_id)).distinct.toSeq == Seq((2L, 1L)))
+      assert(cands.forall(_.hamming == 3))
+      assert(cands.map(_.chunk_idx).sorted.toSeq == Seq(1, 2, 3))
+      // batch twin agrees on the pair set
+      val batch = graft.ops.Dedup.hammingPairs(
+        sigs.map(m => (m.id, m.sig)).toDF("id", "sig"))
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(batch == Set((1L, 2L)))
+    } finally q.stop()
+  }
+
+  test("streaming media near-dup caps bucket state and skips re-ingests") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.MediaSig]
+    val q = EventStreams.mediaNearDupStream(input.toDS(), maxPerBucket = 2)
+      .writeStream.format("memory").queryName("media_dup_cap_out")
+      .outputMode("append").start()
+    try {
+      // four identical signatures: 1,2 fill every bucket; 3 matches both
+      // stored but is not stored; replaying id 1 emits nothing new stored
+      input.addData((1L to 3L).map(EventStreams.MediaSig(_, 42L)): _*)
+      q.processAllAvailable()
+      input.addData(EventStreams.MediaSig(1L, 42L),
+        EventStreams.MediaSig(5L, 42L))
+      q.processAllAvailable()
+      val pairs = spark.table("media_dup_cap_out")
+        .as[EventStreams.MediaDupCandidate].collect()
+        .map(c => (c.id, c.matched_id)).distinct.toSet
+      // id 1 re-ingest matches stored id 2 (not itself); 5 matches 1 and 2
+      assert(pairs == Set((2L, 1L), (3L, 1L), (3L, 2L),
+        (1L, 2L), (5L, 1L), (5L, 2L)))
+    } finally q.stop()
+  }
+
   test("streaming near-dup flags signature matches within and across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStreams.Doc]
