@@ -1,0 +1,256 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** REAL EXIF metadata parse for JPEG bytes — a direct walk of the public
+  * byte layouts (JPEG marker segments per ISO/IEC 10918-1 / JEITA CP-3451
+  * "Exif": the APP1 `Exif\0\0` segment wraps a TIFF 6.0 structure whose
+  * IFD0 entries carry the camera fields). No imaging library touches this
+  * path: only the marker chain and IFD entry table are read, never pixel
+  * data, so cost per row is microseconds.
+  *
+  * Why a curation engine cares: EXIF is both a QUALITY signal (orientation
+  * must be honored before perceptual hashing or two rotations of one photo
+  * hash apart; camera model/date slice a crawl) and a PII signal — GPS
+  * coordinates embedded by phones are location PII, and `has_gps` is the
+  * flag an image-PII gate filters or strips on (the image-side analog of
+  * [[graft.ops.Curation]]'s text PII redaction).
+  *
+  * Returned struct (NULL when the bytes are not a JPEG or carry no
+  * readable Exif APP1 segment):
+  *   - orientation: 1..8 per the TIFF tag 0x0112 (0 when absent),
+  *   - make/model: tag 0x010F / 0x0110 ASCII values (NULL when absent),
+  *   - datetime: tag 0x0132 "YYYY:MM:DD HH:MM:SS" (NULL when absent),
+  *   - has_gps: tag 0x8825 (GPS IFD pointer) present.
+  *
+  * Truncated/malformed structures return NULL rather than throwing — crawl
+  * bytes are hostile; every offset is bounds-checked.
+  */
+object ExifMeta {
+
+  val dataType: StructType = StructType(Seq(
+    StructField("orientation", IntegerType, nullable = false),
+    StructField("make", StringType, nullable = true),
+    StructField("model", StringType, nullable = true),
+    StructField("datetime", StringType, nullable = true),
+    StructField("has_gps", BooleanType, nullable = false)))
+
+  def decode(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null || bytes.length < 4) return null
+    if ((bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return null // not JPEG (SOI)
+    // walk marker segments for APP1/Exif
+    var p = 2
+    while (p + 4 <= bytes.length && (bytes(p) & 0xff) == 0xff) {
+      val marker = bytes(p + 1) & 0xff
+      if (marker == 0xd9 || marker == 0xda) return null // EOI / image data: no Exif
+      val segLen = ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+      if (segLen < 2 || p + 2 + segLen > bytes.length) return null
+      if (marker == 0xe1 && segLen >= 8 &&
+          bytes(p + 4) == 'E' && bytes(p + 5) == 'x' && bytes(p + 6) == 'i' &&
+          bytes(p + 7) == 'f' && bytes(p + 8) == 0 && bytes(p + 9) == 0) {
+        return parseTiff(bytes, p + 10, p + 2 + segLen)
+      }
+      p += 2 + segLen
+    }
+    null
+  }
+
+  /** TIFF 6.0 header + IFD0 entry walk within [off, end). */
+  private def parseTiff(b: Array[Byte], off: Int, end: Int): InternalRow = {
+    if (off + 8 > end) return null
+    val little =
+      if (b(off) == 'I' && b(off + 1) == 'I') true
+      else if (b(off) == 'M' && b(off + 1) == 'M') false
+      else return null
+    def u16(p: Int): Int =
+      if (p + 2 > end) -1
+      else if (little) (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+      else ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+    def u32(p: Int): Long =
+      if (p + 4 > end) -1L
+      else if (little)
+        (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+          ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+      else
+        ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+          ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+    if (u16(off + 2) != 42) return null // TIFF magic
+    val ifd0 = u32(off + 4)
+    if (ifd0 < 0 || off + ifd0 + 2 > end) return null
+    val ifdStart = off + ifd0.toInt
+    val nEntries = u16(ifdStart)
+    if (nEntries < 0) return null
+    var orientation = 0
+    var make: UTF8String = null
+    var model: UTF8String = null
+    var datetime: UTF8String = null
+    var hasGps = false
+    // ASCII value: inline when count <= 4, else at the value-offset
+    // (relative to the TIFF header start, per spec)
+    def ascii(entry: Int, count: Long): UTF8String = {
+      if (count <= 0 || count > 4096) return null
+      val vp = if (count <= 4) entry + 8 else off + u32(entry + 8).toInt
+      if (vp < off || vp + count > end) return null
+      var n = count.toInt
+      // trailing NUL terminator is part of the stored count, not the value
+      while (n > 0 && b(vp + n - 1) == 0) n -= 1
+      UTF8String.fromBytes(java.util.Arrays.copyOfRange(b, vp, vp + n))
+    }
+    var i = 0
+    while (i < nEntries) {
+      val e = ifdStart + 2 + i * 12
+      if (e + 12 > end) return null
+      val tag = u16(e)
+      val typ = u16(e + 2)
+      val count = u32(e + 4)
+      tag match {
+        case 0x0112 if typ == 3 && count == 1 =>
+          val v = u16(e + 8)
+          if (v >= 1 && v <= 8) orientation = v
+        case 0x010f if typ == 2 => make = ascii(e, count)
+        case 0x0110 if typ == 2 => model = ascii(e, count)
+        case 0x0132 if typ == 2 => datetime = ascii(e, count)
+        case 0x8825 => hasGps = true
+        case _ =>
+      }
+      i += 1
+    }
+    InternalRow(orientation, make, model, datetime, hasGps)
+  }
+
+  def exifMeta(bytes: Column): Column =
+    GraftColumnBridge.column(ExifMetaExpr(GraftColumnBridge.expression(bytes)))
+
+  /** JPEG bytes with every Exif APP1 segment REMOVED — the standard image
+    * PII scrub (GPS position, serial numbers, owner name all live in that
+    * one segment) that keeps the compressed pixel data byte-identical.
+    * Pure marker-chain splice: segments before SOS are copied unless they
+    * are APP1/Exif; from SOS (or the first malformed marker) on, bytes
+    * copy verbatim. Non-JPEG bytes return unchanged — the scrub is a
+    * no-op, not an error, so it maps safely over a mixed media column.
+    */
+  def stripExifBytes(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes == null || bytes.length < 4 ||
+      (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return bytes
+    val out = new java.io.ByteArrayOutputStream(bytes.length)
+    out.write(bytes, 0, 2)
+    var p = 2
+    var walking = true
+    while (walking && p + 4 <= bytes.length && (bytes(p) & 0xff) == 0xff) {
+      val marker = bytes(p + 1) & 0xff
+      if (marker == 0xda || marker == 0xd9) walking = false // SOS/EOI: tail copies verbatim
+      else {
+        val segLen = ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+        if (segLen < 2 || p + 2 + segLen > bytes.length) walking = false
+        else {
+          val isExif = marker == 0xe1 && segLen >= 8 &&
+            bytes(p + 4) == 'E' && bytes(p + 5) == 'x' && bytes(p + 6) == 'i' &&
+            bytes(p + 7) == 'f' && bytes(p + 8) == 0 && bytes(p + 9) == 0
+          if (!isExif) out.write(bytes, p, 2 + segLen)
+          p += 2 + segLen
+        }
+      }
+    }
+    if (p < bytes.length) out.write(bytes, p, bytes.length - p)
+    out.toByteArray
+  }
+
+  def stripExif(bytes: Column): Column =
+    GraftColumnBridge.column(StripExifExpr(GraftColumnBridge.expression(bytes)))
+
+  /** The writer half — minimal JPEG wrapping ONE little-endian Exif APP1
+    * segment with the given IFD0 fields (entries in ascending tag order per
+    * TIFF 6.0; GPS as an empty sub-IFD whose pointer presence is what
+    * [[decode]] flags). Exists so strip/parse round-trips are testable
+    * end-to-end without binary fixtures, and as the export half of a
+    * metadata rewrite.
+    */
+  def exifJpegBytes(orientation: Int, make: String, model: String,
+      datetime: String, gps: Boolean): Array[Byte] = {
+    require(orientation >= 1 && orientation <= 8, s"bad orientation $orientation")
+    val mk = make.getBytes("US-ASCII") :+ 0.toByte
+    val md = model.getBytes("US-ASCII") :+ 0.toByte
+    val dt = datetime.getBytes("US-ASCII") :+ 0.toByte
+    val nEntries = if (gps) 5 else 4
+    // TIFF layout: header(8) + count(2) + entries(12 each) + next(4), then
+    // the out-of-line value area (values with count <= 4 store INLINE in
+    // the entry's 4-byte value field, per TIFF 6.0)
+    val valueBase = 8 + 2 + nEntries * 12 + 4
+    val tiff = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { tiff.write(v & 0xff); tiff.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+    tiff.write('I'); tiff.write('I'); w16(42); w32(8)
+    w16(nEntries)
+    var voff = valueBase
+    val valueArea = new java.io.ByteArrayOutputStream()
+    def asciiEntry(tag: Int, v: Array[Byte]): Unit = {
+      w16(tag); w16(2); w32(v.length)
+      if (v.length <= 4) {
+        var i = 0
+        while (i < 4) { tiff.write(if (i < v.length) v(i) else 0); i += 1 }
+      } else {
+        w32(voff); voff += v.length; valueArea.write(v)
+      }
+    }
+    asciiEntry(0x010f, mk)
+    asciiEntry(0x0110, md)
+    w16(0x0112); w16(3); w32(1); w16(orientation); w16(0)
+    asciiEntry(0x0132, dt)
+    if (gps) { // pointer to an empty GPS sub-IFD in the value area
+      w16(0x8825); w16(4); w32(1); w32(voff)
+      voff += 6
+      valueArea.write(Array[Byte](0, 0, 0, 0, 0, 0))
+    }
+    w32(0) // next IFD
+    valueArea.writeTo(tiff)
+    val t = tiff.toByteArray
+    val app1Len = 2 + 6 + t.length
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8) // SOI
+    out.write(0xff); out.write(0xe1) // APP1
+    out.write((app1Len >> 8) & 0xff); out.write(app1Len & 0xff)
+    out.write("Exif".getBytes("US-ASCII")); out.write(0); out.write(0)
+    out.write(t)
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+}
+
+case class StripExifExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "strip_exif"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects BINARY image bytes, got ${child.dataType.catalogString}")
+  override def nullSafeEval(bytes: Any): Any =
+    try ExifMeta.stripExifBytes(bytes.asInstanceOf[Array[Byte]])
+    catch { case _: Exception => bytes } // hostile bytes pass through unchanged
+  override protected def withNewChildInternal(newChild: Expression): StripExifExpr =
+    copy(child = newChild)
+}
+
+case class ExifMetaExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "exif_meta"
+  override def dataType: DataType = ExifMeta.dataType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects BINARY image bytes, got ${child.dataType.catalogString}")
+  override def nullSafeEval(bytes: Any): Any =
+    try ExifMeta.decode(bytes.asInstanceOf[Array[Byte]])
+    catch { case _: Exception => null } // hostile crawl bytes never throw
+  override protected def withNewChildInternal(newChild: Expression): ExifMetaExpr =
+    copy(child = newChild)
+}

@@ -80,7 +80,9 @@ object GraftFunctions {
     "text_entropy" -> { args => TextEntropyExpression(args.head) },
     "image_dhash" -> { args => ImageDhashExpr(args.head) },
     "image_ahash" -> { args => ImageAhashExpr(args.head) },
-    "audio_envelope_fp" -> { args => AudioEnvelopeExpr(args.head) })
+    "audio_envelope_fp" -> { args => AudioEnvelopeExpr(args.head) },
+    "exif_meta" -> { args => ExifMetaExpr(args.head) },
+    "strip_exif" -> { args => StripExifExpr(args.head) })
 
   /** Imperative per-session registration. */
   def register(spark: SparkSession): Unit =

@@ -517,43 +517,81 @@ object Dedup {
         (size(col("lines")) - size(col("__kept"))).as("n_dropped"))
   }
 
-  /** SimHash near-dup candidates: signatures banded into 4×16-bit chunks —
-    * any pair within Hamming distance 3 shares at least one identical chunk
-    * (pigeonhole), so bucket-join on chunks then verify the distance.
+  /** SimHash near-dup candidates: signatures block-keyed so any pair
+    * within `maxHamming` bits shares at least one intact key (pigeonhole),
+    * bucket-join then verify the distance. (blocks, keyBlocks) is
+    * [[hammingPairs]]'s candidate-volume dial — keep the (4, 1) default
+    * below ~1M docs, move to (6, 3) for corpus scale.
     */
   def simhashPairs(df: DataFrame, id: Column, text: Column,
-      maxHamming: Int = 3): DataFrame =
+      maxHamming: Int = 3, blocks: Int = 4, keyBlocks: Int = 1): DataFrame =
     hammingPairs(df.select(id.as("id"), SimHash.simhash(text).as("sig")),
-      maxHamming)
+      maxHamming, blocks, keyBlocks)
 
   /** Pairs within `maxHamming` bits over ANY 64-bit signature column — the
     * pigeonhole bucket join under [[simhashPairs]], exposed for signatures
     * computed elsewhere (perceptual image hashes, audio envelope
     * fingerprints, externally-supplied fingerprints). `sigs` must carry
     * (`id`: long-comparable, `sig`: long); returns (id_a, id_b, hamming)
-    * with id_a < id_b — EXACT for maxHamming <= 3: a pair ≤3 flips apart
-    * leaves at least one of the 4 chunks intact, so candidate recall is
-    * total and the distance filter does the rest.
+    * with id_a < id_b.
     *
-    * Scale shape: 4 rows per signature, hash-shuffled on (chunk_idx,
-    * chunk); candidates are per-bucket pairs, never all-pairs. A
-    * degenerate value (e.g. all-black images hashing to 0L) makes its
-    * bucket quadratic — AQE skew splitting applies, same as the LSH band
-    * join ([[minhashLsh]]); drop constant signatures upstream if a corpus
-    * has them in volume.
+    * Block scheme (Manku, Jain & Das Sarma, WWW 2007 — the simhash dedup
+    * deployed on the Google web corpus): the 64 bits split into `blocks`
+    * near-equal blocks and every `keyBlocks`-subset of blocks becomes one
+    * bucket key (the blocks' bits concatenated). ≤ maxHamming flips touch
+    * at most maxHamming blocks, so whenever `blocks - keyBlocks >=
+    * maxHamming` some key is built purely from intact blocks and the pair
+    * collides there — candidate recall is EXACT, the distance filter does
+    * the rest.
+    *
+    * The (blocks, keyBlocks) pair is the candidate-volume dial, and
+    * picking it is a SCALE decision, not a tuning nicety. Random-collision
+    * candidates ≈ C(blocks, keyBlocks) · n²/2^keybits:
+    *
+    *  - default (4, 1): 16-bit keys, 4 rows/sig — 4n²/2¹⁶ candidates.
+    *    Fine to n ~ 1M signatures; at 20M it is ~24 BILLION candidate
+    *    rows (measured: it filled a 250 GB disk in ScaleProbe).
+    *  - (6, 3): ~32-bit keys, C(6,3) = 20 rows/sig — 20n²/2³² candidates:
+    *    ~2M at n = 20M, ~500M at n = 300M. The corpus-scale setting.
+    *  - beyond: (8, 5) gives ~40-bit keys / 56 rows per sig for
+    *    billion-row corpora.
+    *
+    * Scale shape: C(blocks, keyBlocks) rows per signature, hash-shuffled
+    * on (combo_idx, key); candidates are per-bucket pairs, never
+    * all-pairs. A degenerate value (all-black images, silence) still makes
+    * its bucket quadratic — AQE skew splitting applies, same as the LSH
+    * band join ([[minhashLsh]]); drop constant signatures upstream if a
+    * corpus has them in volume.
     */
-  def hammingPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      "the 4x16-bit chunk scheme guarantees candidate recall only for maxHamming <= 3")
+  def hammingPairs(sigs: DataFrame, maxHamming: Int = 3,
+      blocks: Int = 4, keyBlocks: Int = 1): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    require(blocks >= 1 && blocks <= 64 && keyBlocks >= 1 && keyBlocks <= blocks,
+      s"need 1 <= keyBlocks <= blocks <= 64, got blocks=$blocks keyBlocks=$keyBlocks")
+    require(blocks - keyBlocks >= maxHamming,
+      s"exact recall needs blocks - keyBlocks >= maxHamming " +
+        s"(pigeonhole: <= $maxHamming flips must leave $keyBlocks blocks intact); " +
+        s"got blocks=$blocks keyBlocks=$keyBlocks maxHamming=$maxHamming")
+    def blockWidth(i: Int): Int = 64 * (i + 1) / blocks - 64 * i / blocks
+    def blockVal(i: Int): Column = {
+      val w = blockWidth(i)
+      val mask = if (w == 64) -1L else (1L << w) - 1
+      shiftrightunsigned(col("sig"), 64 * i / blocks).bitwiseAND(lit(mask))
+    }
+    // one packed-long key per block combination (total key bits <= 64 since
+    // blocks are disjoint)
+    val keys = (0 until blocks).combinations(keyBlocks).toSeq.map { combo =>
+      combo.foldLeft(lit(0L)) { (acc, b) =>
+        shiftleft(acc, blockWidth(b)).bitwiseOR(blockVal(b))
+      }
+    }
     val chunked = sigs.select(
-      col("id"), col("sig"),
-      posexplode(array((0 until 4).map(i =>
-        shiftrightunsigned(col("sig"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
-      .withColumnRenamed("pos", "chunk_idx")
-      .withColumnRenamed("col", "chunk")
-    val a = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("chunk_idx", "chunk"))
+      col("id"), col("sig"), posexplode(array(keys: _*)))
+      .withColumnRenamed("pos", "combo_idx")
+      .withColumnRenamed("col", "key")
+    val a = chunked.select(col("combo_idx"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = chunked.select(col("combo_idx"), col("key"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("combo_idx", "key"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", SimHash.hammingDistance(col("sig_a"), col("sig_b")))

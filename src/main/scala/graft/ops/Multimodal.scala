@@ -233,12 +233,12 @@ object Multimodal {
     * all-pairs, and the binary column never reaches an exchange.
     */
   def imageNearDup(df: DataFrame, id: Column, imageBytes: Column,
-      maxHamming: Int = 3): DataFrame =
+      maxHamming: Int = 3, blocks: Int = 4, keyBlocks: Int = 1): DataFrame =
     Dedup.hammingPairs(
       df.select(id.as("id"),
           graft.functions.ImageHash.dhash(imageBytes).as("sig"))
         .filter(col("sig").isNotNull),
-      maxHamming)
+      maxHamming, blocks, keyBlocks)
 
   /** Near-duplicate AUDIO pairs: energy-envelope fingerprint over real PCM
     * decode ([[graft.functions.AudioFp.envelopeFp]]) → the same exact
@@ -246,10 +246,10 @@ object Multimodal {
     * [[imageNearDup]].
     */
   def audioNearDup(df: DataFrame, id: Column, audioBytes: Column,
-      maxHamming: Int = 3): DataFrame =
+      maxHamming: Int = 3, blocks: Int = 4, keyBlocks: Int = 1): DataFrame =
     Dedup.hammingPairs(
       df.select(id.as("id"),
           graft.functions.AudioFp.envelopeFp(audioBytes).as("sig"))
         .filter(col("sig").isNotNull),
-      maxHamming)
+      maxHamming, blocks, keyBlocks)
 }

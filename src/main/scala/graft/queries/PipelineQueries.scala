@@ -574,6 +574,34 @@ object PipelineQueries {
     // ones are md5-random (~30 bits), so the ≤3 pair set is fully known to
     // the oracle. The real dhash/ahash/envelope decoders are pinned on
     // planted BMP/WAV bytes in MediaDedupSpec.
+    // EXIF metadata + PII scrub: real JPEG/Exif bytes are BUILT per doc
+    // from doc_id arithmetic (FIXTURE construction driver-side, the
+    // pipe_warc_ingest pattern — the only reason for the collect), parsed
+    // back by the REAL marker-chain/IFD walker, and the strip column
+    // proves the GPS-bearing APP1 segment scrubs away. The oracle
+    // recomputes every field straight from doc_id, so the gate pins the
+    // full build → parse → strip round-trip.
+    "pipe_exif" -> ((s, d) => {
+      import s.implicits._
+      val ids = t(s, d, "documents").select("doc_id")
+        .collect().map(_.getLong(0)).toSeq.sorted
+      ids.map { id =>
+        (id, graft.functions.ExifMeta.exifJpegBytes(
+          (id % 8 + 1).toInt, s"Cam${id % 5}", s"M${id % 11}",
+          f"2024:01:${id % 28 + 1}%02d 00:00:00", id % 7 == 0))
+      }.toDF("doc_id", "bytes")
+        .withColumn("e", graft.functions.ExifMeta.exifMeta(col("bytes")))
+        .select(col("doc_id"),
+          col("e").getField("orientation").as("orientation"),
+          col("e").getField("make").as("make"),
+          col("e").getField("model").as("model"),
+          col("e").getField("datetime").as("dt"),
+          col("e").getField("has_gps").as("has_gps"),
+          graft.functions.ExifMeta.exifMeta(
+            graft.functions.ExifMeta.stripExif(col("bytes")))
+            .isNull.as("stripped_clean"))
+    }),
+
     // Image-quality filtering (LAION/DataComp-style): per-image first
     // failing rule over decoded dimensions + byte size. Dimensions come
     // from the md5 stub decode (the SQL-replayable path — the REAL decode
@@ -598,7 +626,9 @@ object PipelineQueries {
         expr("CAST(conv(substring(md5(CAST(doc_id DIV 8 AS STRING)), 1, 15), 16, 10) AS BIGINT)" +
           " ^ ((shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 5 AS INT)) - 1)" +
           " * shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 8 AS INT) * 8))").as("sig"))
-      Dedup.hammingPairs(sigs, maxHamming = 3)
+      // gate the CORPUS-SCALE (6,3) block scheme — the one production
+      // uses; (4,1)-equality is pinned in MediaDedupSpec
+      Dedup.hammingPairs(sigs, maxHamming = 3, blocks = 6, keyBlocks = 3)
     })
   )
 
@@ -1162,6 +1192,20 @@ s"""WITH toksrc AS (
         |       CAST(('0x' || substr(m.hx, 1, 8))::BIGINT % 4 * 8000 + 16000 AS INTEGER) AS a_rate,
         |       CAST(('0x' || substr(m.hx, 9, 8))::BIGINT % 2 + 1 AS INTEGER) AS a_channels
         |FROM r JOIN m ON r.doc_id = m.doc_id""".stripMargin,
+    // EXIF fields recomputed straight from the doc_id arithmetic the
+    // fixture builder used — the gate hash binds the real byte-level
+    // build → parse → strip chain to this table
+    "pipe_exif" ->
+      """SELECT doc_id,
+        |       CAST(doc_id % 8 + 1 AS INTEGER) AS orientation,
+        |       'Cam' || (doc_id % 5)::VARCHAR AS make,
+        |       'M' || (doc_id % 11)::VARCHAR AS model,
+        |       '2024:01:' || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0')
+        |         || ' 00:00:00' AS dt,
+        |       (doc_id % 7 = 0) AS has_gps,
+        |       TRUE AS stripped_clean
+        |FROM documents""".stripMargin,
+
     // image-quality verdict replayed over the md5 stub dims (same
     // arithmetic as the pipe_multimodal oracle) — rule order and the
     // integer comparisons mirror Multimodal.imageQualityReason

@@ -462,20 +462,30 @@ object ScaleProbe {
     println(f"  auc ${aucRow.getDouble(0)}%.4f..${aucRow.getDouble(1)}%.4f " +
       f"(analytic 0.595), ${aucRow.getLong(2)}%,d pos / ${aucRow.getLong(3)}%,d neg")
 
-    println(s"== perceptual-hash near-dup (4-chunk pigeonhole pair join) ==")
+    println(s"== perceptual-hash near-dup (pigeonhole block-key pair join) ==")
     // synthetic 64-bit signatures: 1 in 1000 rows is a planted ≤3-bit
     // variant of row id−1's signature, the rest are hash-random (pair
-    // probability ~2e-15) — the image/audio near-dup shape at corpus scale,
-    // where the decode is row-local and only 4 chunk rows per sig shuffle
-    val hpN = n
-    val hpBase = spark.range(hpN).select(col("id"),
+    // probability ~2e-15) — the image/audio near-dup shape at corpus
+    // scale, where the decode is row-local and only key rows shuffle.
+    // The (blocks, keyBlocks) dial is WHY this survives: the default
+    // (4,1) 16-bit keys yield ~4n²/2¹⁶ random candidates — fine at 1M
+    // (~30M pairs), measured FATAL at 20M (~24B pairs filled the disk) —
+    // while Manku-style (6,3) ~32-bit keys hold the same exact ≤3-bit
+    // recall at ~20n²/2³² candidates (~2M at n = 20M).
+    def hpSigs(hpN: Long) = spark.range(hpN).select(col("id"),
       when(col("id") % 1000L === 999L,
         xxhash64((col("id") - 1L) * 17L).bitwiseXOR(lit(0x401001L)))
         .otherwise(xxhash64(col("id") * 17L)).as("sig"))
-    val hpPairs = time(f"hammingPairs ($hpN%,d signatures, maxHamming=3)") {
-      graft.ops.Dedup.hammingPairs(hpBase, maxHamming = 3).count()
+    val hp1N = math.min(n, 1000000L)
+    val hp1 = time(f"hammingPairs ($hp1N%,d sigs, default (4,1) 16-bit keys)") {
+      graft.ops.Dedup.hammingPairs(hpSigs(hp1N), maxHamming = 3).count()
     }
-    println(f"  pairs $hpPairs%,d (planted ${hpN / 1000}%,d)")
+    println(f"  pairs $hp1%,d (planted ${hp1N / 1000}%,d)")
+    val hp2 = time(f"hammingPairs ($n%,d sigs, corpus-scale (6,3) 32-bit keys)") {
+      graft.ops.Dedup.hammingPairs(hpSigs(n), maxHamming = 3,
+        blocks = 6, keyBlocks = 3).count()
+    }
+    println(f"  pairs $hp2%,d (planted ${n / 1000}%,d)")
 
     println(s"== shuffled-shard export (range 1:1 shard->task mapping) ==")
     val shardDir = java.nio.file.Files.createTempDirectory("probe-shards")

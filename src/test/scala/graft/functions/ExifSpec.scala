@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Byte-level coverage for the Exif parser/builder/scrub beyond what the
+  * pipe_exif gate pins (the gate round-trips the little-endian builder):
+  * big-endian TIFF, inline short ASCII values, hostile truncated bytes,
+  * and segment preservation under the PII strip.
+  */
+class ExifSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def jpeg(gps: Boolean) = ExifMeta.exifJpegBytes(
+    orientation = 6, make = "CamCo", model = "M1",
+    datetime = "2024:03:09 12:30:00", gps = gps)
+
+  test("build -> parse round-trips every field, inline and out-of-line ASCII") {
+    val row = ExifMeta.decode(jpeg(gps = true))
+    // model "M1" stores INLINE (count 3 <= 4); make/datetime out-of-line
+    assert(row.getInt(0) == 6)
+    assert(row.getUTF8String(1).toString == "CamCo")
+    assert(row.getUTF8String(2).toString == "M1")
+    assert(row.getUTF8String(3).toString == "2024:03:09 12:30:00")
+    assert(row.getBoolean(4))
+    assert(!ExifMeta.decode(jpeg(gps = false)).getBoolean(4))
+  }
+
+  test("big-endian (MM) TIFF parses: orientation-only IFD") {
+    // hand-built: MM header, one SHORT orientation entry, value 8
+    val tiff = Array[Byte](
+      'M', 'M', 0, 42, 0, 0, 0, 8, // header, IFD at 8
+      0, 1, // 1 entry
+      0x01, 0x12, 0, 3, 0, 0, 0, 1, 0, 8, 0, 0, // tag 0x0112 SHORT 1 value 8
+      0, 0, 0, 0) // next IFD
+    val app1Len = 2 + 6 + tiff.length
+    val bytes = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe1.toByte,
+      ((app1Len >> 8) & 0xff).toByte, (app1Len & 0xff).toByte,
+      'E', 'x', 'i', 'f', 0, 0) ++ tiff ++
+      Array[Byte](0xff.toByte, 0xd9.toByte)
+    val row = ExifMeta.decode(bytes)
+    assert(row.getInt(0) == 8 && row.isNullAt(1) && !row.getBoolean(4))
+  }
+
+  test("hostile bytes: junk, truncation, and non-JPEG all yield NULL, never throw") {
+    assert(ExifMeta.decode("not a jpeg".getBytes("UTF-8")) == null)
+    val good = jpeg(gps = true)
+    for (n <- Seq(3, 5, 11, 20, good.length - 3))
+      assert(ExifMeta.decode(good.take(n)) == null, s"truncated at $n")
+    assert(ExifMeta.decode(Array[Byte](0xff.toByte, 0xd8.toByte)) == null)
+  }
+
+  test("stripExif removes only the Exif segment; non-JPEG passes through") {
+    // APP0/JFIF segment ahead of the Exif APP1 must survive the scrub
+    val app0 = Array[Byte](0xff.toByte, 0xe0.toByte, 0, 7, 'J', 'F', 'I', 'F', 0)
+    val withExif = jpeg(gps = true)
+    val mixed = withExif.take(2) ++ app0 ++ withExif.drop(2)
+    val cleaned = ExifMeta.stripExifBytes(mixed)
+    assert(ExifMeta.decode(mixed) != null)
+    assert(ExifMeta.decode(cleaned) == null)
+    assert(cleaned.containsSlice(app0), "APP0 must survive")
+    val notJpeg = "plain".getBytes("UTF-8")
+    assert(ExifMeta.stripExifBytes(notJpeg).sameElements(notJpeg))
+  }
+
+  test("SQL surface: exif_meta and strip_exif compose") {
+    GraftFunctions.register(spark)
+    Seq((1L, jpeg(gps = true))).toDF("id", "bytes")
+      .createOrReplaceTempView("exif_sql_check")
+    val r = spark.sql(
+      """SELECT exif_meta(bytes).has_gps AS g,
+        |       exif_meta(strip_exif(bytes)) IS NULL AS clean
+        |FROM exif_sql_check""".stripMargin).head()
+    assert(r.getBoolean(0) && r.getBoolean(1))
+  }
+}

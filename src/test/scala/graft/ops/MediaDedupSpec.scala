@@ -115,6 +115,32 @@ class MediaDedupSpec extends AnyFunSuite {
       AudioFp.envelope64(wav(amps, gain1000 = 700)))
   }
 
+  test("hammingPairs block schemes agree: (4,1), (6,3) and (8,5) same exact pair set") {
+    // flips spread across DIFFERENT blocks exercise the combination keys:
+    // 3 flips in 3 distinct 6-blocks leave exactly 3 intact blocks — only
+    // the one C(6,3) combo of all three catches that pair
+    val base = 0x5A5A1234CAFEBABEL
+    val sigs = Seq(
+      10L -> base,
+      11L -> (base ^ (1L << 2) ^ (1L << 21) ^ (1L << 43)), // 3 flips, 3 blocks
+      12L -> (base ^ 0x7L), // 3 flips, one block
+      13L -> (base ^ (1L << 1) ^ (1L << 13) ^ (1L << 27) ^ (1L << 55)), // 4 flips: out
+      14L -> 0x0123456789ABCDEFL) // unrelated
+    val df = sigs.toDF("id", "sig")
+    def pairs(blocks: Int, keyBlocks: Int) =
+      Dedup.hammingPairs(df, maxHamming = 3, blocks = blocks, keyBlocks = keyBlocks)
+        .select("id_a", "id_b", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expected = Set((10L, 11L, 3), (10L, 12L, 3))
+    assert(pairs(4, 1) == expected)
+    assert(pairs(6, 3) == expected)
+    assert(pairs(8, 5) == expected)
+    // recall precondition is enforced loudly
+    assertThrows[IllegalArgumentException] {
+      Dedup.hammingPairs(df, maxHamming = 3, blocks = 4, keyBlocks = 2)
+    }
+  }
+
   test("imageQualityReason over REAL decode: each rule fires on planted dims") {
     def sized(w: Int, h: Int): Array[Byte] = {
       val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
