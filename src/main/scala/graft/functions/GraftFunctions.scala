@@ -82,7 +82,9 @@ object GraftFunctions {
     "image_ahash" -> { args => ImageAhashExpr(args.head) },
     "audio_envelope_fp" -> { args => AudioEnvelopeExpr(args.head) },
     "exif_meta" -> { args => ExifMetaExpr(args.head) },
-    "strip_exif" -> { args => StripExifExpr(args.head) })
+    "strip_exif" -> { args => StripExifExpr(args.head) },
+    "image_dhash_canonical" -> { args => ImageDhashCanonicalExpr(args.head) },
+    "image_dhash_all" -> { args => ImageDhashAllExpr(args.head) })
 
   /** Imperative per-session registration. */
   def register(spark: SparkSession): Unit =

@@ -37,21 +37,33 @@ import org.apache.spark.sql.types._
   */
 object ImageHash {
 
-  /** 8×8 box-averaged luma grid from decoded pixels, or null when the
-    * bytes don't decode. Grid cell (gx, gy) averages the pixel window
-    * [gx·w/8, (gx+1)·w/8) × [gy·h/8, (gy+1)·h/8) — integer bounds, exact
-    * long sums. Images smaller than the grid repeat edge windows (bounds
-    * clamp to ≥1 pixel).
-    */
-  private def lumaGrid(bytes: Array[Byte], gw: Int, gh: Int): Array[Long] = {
+  private def decodeImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
     if (bytes == null || bytes.length == 0) return null
     val img =
       try ImageIO.read(new ByteArrayInputStream(bytes))
       catch { case _: Exception => null }
-    if (img == null) return null
-    val w = img.getWidth
-    val h = img.getHeight
-    if (w <= 0 || h <= 0) return null
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) null else img
+  }
+
+  /** Box-averaged luma grid over the image AS SEEN THROUGH one of the 8
+    * dihedral transforms (rotations × mirror), or null when the bytes
+    * don't decode. `t` indexes rot(90°·(t%4)) followed by a horizontal
+    * flip when t >= 4; reading source pixels through the transformed
+    * coordinates is BIT-IDENTICAL to physically rotating the image first —
+    * which is what makes [[dhashCanonical64]] exact under re-saved
+    * rotations. Grid cell (gx, gy) averages the transformed-image window
+    * [gx·w/G, (gx+1)·w/G) × [gy·h/G, (gy+1)·h/G) — integer bounds, exact
+    * long sums. Images smaller than the grid repeat edge windows (bounds
+    * clamp to ≥1 pixel).
+    */
+  private def lumaGridT(img: java.awt.image.BufferedImage, gw: Int, gh: Int,
+      t: Int): Array[Long] = {
+    val sw = img.getWidth
+    val sh = img.getHeight
+    val rot = t % 4
+    // transformed-image dims: 90°/270° transpose
+    val w = if (rot % 2 == 0) sw else sh
+    val h = if (rot % 2 == 0) sh else sw
     val grid = new Array[Long](gw * gh)
     var gy = 0
     while (gy < gh) {
@@ -66,7 +78,16 @@ object ImageHash {
         while (y < h && y < y1) {
           var x = x0
           while (x < w && x < x1) {
-            val rgb = img.getRGB(x, y)
+            // mirror first (in transformed space), then un-rotate into
+            // source coordinates
+            val mx = if (t >= 4) w - 1 - x else x
+            val (sx, sy) = rot match {
+              case 0 => (mx, y)
+              case 1 => (y, sh - 1 - mx) // 90° clockwise
+              case 2 => (sw - 1 - mx, sh - 1 - y)
+              case _ => (sw - 1 - y, mx) // 270° clockwise
+            }
+            val rgb = img.getRGB(sx, sy)
             val r = (rgb >> 16) & 0xff
             val g = (rgb >> 8) & 0xff
             val b = rgb & 0xff
@@ -85,6 +106,11 @@ object ImageHash {
     grid
   }
 
+  private def lumaGrid(bytes: Array[Byte], gw: Int, gh: Int): Array[Long] = {
+    val img = decodeImage(bytes)
+    if (img == null) null else lumaGridT(img, gw, gh, 0)
+  }
+
   /** Difference hash: 9×8 luma grid, bit (row, col) set when cell(col) <
     * cell(col+1) — 8 comparisons per row × 8 rows = 64 bits. Robust to
     * global brightness/contrast shifts (only the gradient sign matters).
@@ -92,19 +118,7 @@ object ImageHash {
     */
   def dhash64(bytes: Array[Byte]): java.lang.Long = {
     val grid = lumaGrid(bytes, 9, 8)
-    if (grid == null) return null
-    var bits = 0L
-    var row = 0
-    while (row < 8) {
-      var c = 0
-      while (c < 8) {
-        if (grid(row * 9 + c) < grid(row * 9 + c + 1))
-          bits |= 1L << (row * 8 + c)
-        c += 1
-      }
-      row += 1
-    }
-    bits
+    if (grid == null) null else dhashOfGrid(grid)
   }
 
   /** Average hash: 8×8 luma grid, bit set when the cell is above the grid
@@ -128,11 +142,60 @@ object ImageHash {
     bits
   }
 
+  private def dhashOfGrid(grid: Array[Long]): Long = {
+    var bits = 0L
+    var row = 0
+    while (row < 8) {
+      var c = 0
+      while (c < 8) {
+        if (grid(row * 9 + c) < grid(row * 9 + c + 1))
+          bits |= 1L << (row * 8 + c)
+        c += 1
+      }
+      row += 1
+    }
+    bits
+  }
+
+  /** The 8 dihedral dHash variants (4 rotations × mirror), index =
+    * rot(90°·(i%4)) then flip when i >= 4 — each bit-identical to hashing
+    * a physically transformed copy. One decode, 8 grid passes.
+    */
+  def dhashAll64(bytes: Array[Byte]): Array[Long] = {
+    val img = decodeImage(bytes)
+    if (img == null) return null
+    Array.tabulate(8)(t => dhashOfGrid(lumaGridT(img, 9, 8, t)))
+  }
+
+  /** Rotation/mirror-INVARIANT dHash: the minimum of the 8 dihedral
+    * variant hashes. A re-saved rotation or mirror of an image has the
+    * IDENTICAL variant set (the dihedral group is closed, and each
+    * variant hash is bit-exact under pixel permutation), so its canonical
+    * hash is equal — rotated duplicates land at Hamming distance 0 where
+    * plain [[dhash64]] scatters them ~32 bits apart.
+    *
+    * For NEAR-duplicates (rotation + light edit) the min can in principle
+    * select different variants on the two sides when two variant hashes
+    * compare close in their top bits; corpora needing guaranteed
+    * near-recall under rotation explode [[dhashAll]] into 8 signature
+    * rows per image instead and pair on any variant.
+    */
+  def dhashCanonical64(bytes: Array[Byte]): java.lang.Long = {
+    val all = dhashAll64(bytes)
+    if (all == null) null else all.min
+  }
+
   def dhash(bytes: Column): Column =
     GraftColumnBridge.column(ImageDhashExpr(GraftColumnBridge.expression(bytes)))
 
   def ahash(bytes: Column): Column =
     GraftColumnBridge.column(ImageAhashExpr(GraftColumnBridge.expression(bytes)))
+
+  def dhashCanonical(bytes: Column): Column =
+    GraftColumnBridge.column(ImageDhashCanonicalExpr(GraftColumnBridge.expression(bytes)))
+
+  def dhashAll(bytes: Column): Column =
+    GraftColumnBridge.column(ImageDhashAllExpr(GraftColumnBridge.expression(bytes)))
 }
 
 abstract class ImageHashExpr extends UnaryExpression with CodegenFallback {
@@ -157,5 +220,26 @@ case class ImageAhashExpr(child: Expression) extends ImageHashExpr {
   override def nullSafeEval(bytes: Any): Any =
     ImageHash.ahash64(bytes.asInstanceOf[Array[Byte]])
   override protected def withNewChildInternal(newChild: Expression): ImageAhashExpr =
+    copy(child = newChild)
+}
+
+case class ImageDhashCanonicalExpr(child: Expression) extends ImageHashExpr {
+  override def prettyName: String = "image_dhash_canonical"
+  override def nullSafeEval(bytes: Any): Any =
+    ImageHash.dhashCanonical64(bytes.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): ImageDhashCanonicalExpr =
+    copy(child = newChild)
+}
+
+case class ImageDhashAllExpr(child: Expression) extends ImageHashExpr {
+  override def prettyName: String = "image_dhash_all"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(bytes: Any): Any = {
+    val all = ImageHash.dhashAll64(bytes.asInstanceOf[Array[Byte]])
+    if (all == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      all.map(x => x: Any))
+  }
+  override protected def withNewChildInternal(newChild: Expression): ImageDhashAllExpr =
     copy(child = newChild)
 }

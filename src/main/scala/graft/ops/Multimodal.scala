@@ -240,6 +240,23 @@ object Multimodal {
         .filter(col("sig").isNotNull),
       maxHamming, blocks, keyBlocks)
 
+  /** [[imageNearDup]] with ROTATION/MIRROR invariance: signatures are the
+    * canonical (minimum) hash over the 8 dihedral dHash variants
+    * ([[graft.functions.ImageHash.dhashCanonical]]), so a re-saved rotated
+    * or mirrored copy lands at Hamming distance 0 instead of ~32 bits
+    * away. Same contract and scale shape; corpora needing guaranteed
+    * near-recall under rotation+edit explode `ImageHash.dhashAll` into 8
+    * signature rows per image instead (8× join rows, no min-selection
+    * edge — see the canonical hash's scaladoc).
+    */
+  def imageNearDupRotInv(df: DataFrame, id: Column, imageBytes: Column,
+      maxHamming: Int = 3, blocks: Int = 4, keyBlocks: Int = 1): DataFrame =
+    Dedup.hammingPairs(
+      df.select(id.as("id"),
+          graft.functions.ImageHash.dhashCanonical(imageBytes).as("sig"))
+        .filter(col("sig").isNotNull),
+      maxHamming, blocks, keyBlocks)
+
   /** Near-duplicate AUDIO pairs: energy-envelope fingerprint over real PCM
     * decode ([[graft.functions.AudioFp.envelopeFp]]) → the same exact
     * Hamming bucket join. Same contract and scale shape as

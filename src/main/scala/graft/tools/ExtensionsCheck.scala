@@ -63,8 +63,15 @@ object ExtensionsCheck {
     val ph = spark.sql(
       "SELECT image_dhash(CAST('x' AS BINARY)) AS d, " +
         "image_ahash(CAST('x' AS BINARY)) AS a, " +
-        "audio_envelope_fp(CAST('x' AS BINARY)) AS f").head()
+        "audio_envelope_fp(CAST('x' AS BINARY)) AS f, " +
+        "image_dhash_canonical(CAST('x' AS BINARY)) AS c, " +
+        "image_dhash_all(CAST('x' AS BINARY)) AS l, " +
+        "exif_meta(CAST('x' AS BINARY)) AS e, " +
+        "strip_exif(CAST('x' AS BINARY)) AS s").head()
     assert(ph.isNullAt(0) && ph.isNullAt(1) && ph.isNullAt(2))
+    assert(ph.isNullAt(3) && ph.isNullAt(4) && ph.isNullAt(5))
+    assert(new String(ph.getAs[Array[Byte]](6), "UTF-8") == "x",
+      "strip_exif passes non-JPEG bytes through")
     println("round-5 functions: OK")
 
     // injected optimizer rule: SQL abs-distance join plans as a hash join

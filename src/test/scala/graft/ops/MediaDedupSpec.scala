@@ -115,6 +115,46 @@ class MediaDedupSpec extends AnyFunSuite {
       AudioFp.envelope64(wav(amps, gain1000 = 700)))
   }
 
+  test("rotation-invariant dhash: rotated and mirrored re-saves pair exactly") {
+    def transformPng(src: Array[Byte], rotCw: Int, mirror: Boolean): Array[Byte] = {
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(src))
+      val (w, h) = (img.getWidth, img.getHeight)
+      val (tw, th) = if (rotCw % 2 == 0) (w, h) else (h, w)
+      val out = new BufferedImage(tw, th, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (rx, ry) = rotCw match {
+          case 0 => (x, y)
+          case 1 => (h - 1 - y, x) // 90° clockwise
+          case 2 => (w - 1 - x, h - 1 - y)
+          case _ => (y, w - 1 - x) // 270° clockwise
+        }
+        val fx = if (mirror) tw - 1 - rx else rx
+        out.setRGB(fx, ry, img.getRGB(x, y))
+      }
+      val baos = new ByteArrayOutputStream()
+      ImageIO.write(out, "png", baos)
+      baos.toByteArray
+    }
+    val src = png(21) // 64×64 pseudo-random texture
+    val rot90 = transformPng(src, 1, mirror = false)
+    val rot270m = transformPng(src, 3, mirror = true)
+    // canonical hash is IDENTICAL under every dihedral transform
+    val canon = ImageHash.dhashCanonical64(src)
+    assert(ImageHash.dhashCanonical64(rot90) == canon)
+    assert(ImageHash.dhashCanonical64(transformPng(src, 2, mirror = false)) == canon)
+    assert(ImageHash.dhashCanonical64(rot270m) == canon)
+    assert(ImageHash.dhashCanonical64(transformPng(src, 0, mirror = true)) == canon)
+    // ...where the plain dhash scatters the rotation far away
+    assert(java.lang.Long.bitCount(
+      ImageHash.dhash64(src) ^ ImageHash.dhash64(rot90)) > 3)
+    // and the operator pairs the rotated copy, not the unrelated image
+    val rows = Seq((1L, src), (2L, rot90), (3L, png(77)))
+      .toDF("id", "bytes")
+    val pairs = Multimodal.imageNearDupRotInv(rows, col("id"), col("bytes"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("hammingPairs block schemes agree: (4,1), (6,3) and (8,5) same exact pair set") {
     // flips spread across DIFFERENT blocks exercise the combination keys:
     // 3 flips in 3 distinct 6-blocks leave exactly 3 intact blocks — only
