@@ -59,6 +59,12 @@ object FunctionRegistry {
       TypedCol(fn(args.head.col), out)
     }
 
+  private def bytes1(name: String, out: DType)(fn: Column => Column) =
+    arity(name, 1) { (args, pos) =>
+      if (args.head.dtype != TBytes) fail(pos, s"$name expects a BYTES argument")
+      TypedCol(fn(args.head.col), out)
+    }
+
   private def temporal1(name: String)(fn: Column => Column) =
     arity(name, 1) { (args, pos) =>
       if (args.head.dtype != TTimestamp && args.head.dtype != TDate)
@@ -214,7 +220,28 @@ object FunctionRegistry {
       if (args.head.dtype.isInstanceOf[TExt])
         fail(pos, "hash_uniform is not defined for extension types")
       TypedCol(graft.ops.Curation.hashUniform(args.head.col), TInt64)
-    }
+    },
+    // media operators over BYTES columns — the in-language half of
+    // ops/Multimodal: a DTL script can hash, gate and scrub a media corpus
+    // without leaving the language (MediaFuncsSpec drives a full script
+    // over real PNG/Exif bytes; no DuckDB oracle can decode, so these are
+    // spec-gated like the tracer)
+    bytes1("image_dhash", TInt64)(graft.functions.ImageHash.dhash),
+    bytes1("image_dhash_canonical", TInt64)(graft.functions.ImageHash.dhashCanonical),
+    bytes1("audio_envelope_fp", TInt64)(graft.functions.AudioFp.envelopeFp),
+    bytes1("strip_exif", TBytes)(graft.functions.ExifMeta.stripExif),
+    // FALSE when the bytes carry no readable Exif at all — "no Exif" means
+    // "no GPS PII", which is the answer a WHERE gate needs
+    bytes1("exif_has_gps", TBool) { b =>
+      coalesce(graft.functions.ExifMeta.exifMeta(b).getField("has_gps"), lit(false))
+    },
+    bytes1("image_width", TInt32)(b =>
+      graft.functions.ImageMeta.imageMeta(b).getField("width")),
+    bytes1("image_height", TInt32)(b =>
+      graft.functions.ImageMeta.imageMeta(b).getField("height")),
+    bytes1("byte_length", TInt32)(length),
+    // TEXT → BYTES (UTF-8), the explicit-conversion escape hatch for BYTES
+    text1("to_bytes", TBytes)(_.cast("binary"))
   )
 
   val defaultAggregates: Map[String, (List[TypedCol], Pos) => TypedCol] = Map(

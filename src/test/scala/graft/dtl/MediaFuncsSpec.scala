@@ -1,0 +1,92 @@
+package graft.dtl
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.{ExifMeta, ImageHash}
+
+/** The in-language media surface: BYTES columns flow through a DTL script
+  * and the media scalars (perceptual hashes, dimensions, Exif PII flag and
+  * scrub) compute over REAL decoded bytes — the whole image-curation gate
+  * expressible without leaving the language. No DuckDB oracle can decode
+  * media, so this surface is spec-gated (like the tracer), driven against
+  * the direct expression computation.
+  */
+class MediaFuncsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def png(seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64) {
+      var h = (seed * 4096 + y * 64 + x) * 0x9E3779B97F4A7C15L
+      h ^= (h >>> 29); h *= 0xBF58476D1CE4E5B9L; h ^= (h >>> 32)
+      val v = ((h >>> 8) % 256).toInt.abs
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  private def media = Seq(
+    (1L, png(5)),
+    (2L, ExifMeta.exifJpegBytes(3, "CamCo", "M9", "2024:05:05 10:00:00", gps = true)),
+    (3L, "not media at all".getBytes("UTF-8"))
+  ).toDF("id", "data")
+
+  test("media scalars run in-language and match the direct expressions") {
+    val out = new Engine(spark, FunctionRegistry.default).runSimple(
+      """WITH media AS IMPORT 'media';
+        |WITH output AS
+        |  SELECT id,
+        |         image_dhash(data) AS dh,
+        |         image_dhash_canonical(data) AS dhc,
+        |         image_width(data) AS w,
+        |         image_height(data) AS h,
+        |         exif_has_gps(data) AS gps,
+        |         byte_length(strip_exif(data)) AS clean_len,
+        |         byte_length(data) AS raw_len
+        |  FROM media;
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("media" -> media))("output")
+    val rows = out.collect().map(r => r.getLong(0) -> r).toMap
+    val p = rows(1L)
+    assert(p.getLong(1) == ImageHash.dhash64(png(5)).longValue)
+    assert(p.getLong(2) == ImageHash.dhashCanonical64(png(5)).longValue)
+    assert(p.getInt(3) == 64 && p.getInt(4) == 64)
+    assert(!p.getBoolean(5))
+    assert(p.getInt(6) == p.getInt(7)) // PNG has no Exif to scrub
+    val j = rows(2L)
+    assert(j.isNullAt(1) && j.isNullAt(3), "metadata-only JPEG has no decodable pixels")
+    assert(j.getBoolean(5), "planted GPS tag must flag")
+    assert(j.getInt(6) < j.getInt(7), "scrub must shrink the Exif-bearing JPEG")
+    val junk = rows(3L)
+    assert(junk.isNullAt(1) && !junk.getBoolean(5))
+    assert(junk.getInt(6) == junk.getInt(7)) // non-JPEG passes through
+  }
+
+  test("the in-language PII gate: WHERE NOT exif_has_gps keeps only clean rows") {
+    val out = new Engine(spark, FunctionRegistry.default).runSimple(
+      """WITH media AS IMPORT 'media';
+        |WITH output AS
+        |  SELECT id, strip_exif(data) AS clean
+        |  FROM media WHERE NOT exif_has_gps(data);
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("media" -> media))("output")
+    assert(out.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("to_bytes bridges TEXT to the BYTES functions with exact UTF-8 length") {
+    val df = Seq((1L, "naïve")).toDF("id", "text") // 6 UTF-8 bytes
+    val out = new Engine(spark, FunctionRegistry.default).runSimple(
+      """WITH t AS IMPORT 't';
+        |WITH output AS
+        |  SELECT id, byte_length(to_bytes(text)) AS nb FROM t;
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("t" -> df))("output")
+    assert(out.head().getInt(1) == 6)
+  }
+}
