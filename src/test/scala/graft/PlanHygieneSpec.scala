@@ -332,4 +332,26 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"histogram not partial-aggregated:\n$p")
     assert(!p.contains("rangepartitioning"), s"no global sort allowed:\n$p")
   }
+
+  test("hamming pair join: one bucket exchange, reused on the other side, never all-pairs") {
+    val p = plan("pipe_media_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"hamming join regressed to all-pairs:\n$p")
+    // at gate scale one side simply broadcasts (fine); the property that
+    // matters at corpus scale — the two sides of the self-join are ONE
+    // exchange, reused, not a recomputed signature explode per side —
+    // shows with broadcast off and static planning (AQE reuses at runtime)
+    val oldBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val big = plan("pipe_media_neardup")
+      assert(big.contains("ReusedExchange"),
+        s"chunk explode shuffled twice:\n$big")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+      spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
+    }
+  }
 }
