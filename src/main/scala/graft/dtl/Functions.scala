@@ -241,7 +241,9 @@ object FunctionRegistry {
       graft.functions.ImageMeta.imageMeta(b).getField("height")),
     bytes1("byte_length", TInt32)(length),
     // TEXT → BYTES (UTF-8), the explicit-conversion escape hatch for BYTES
-    text1("to_bytes", TBytes)(_.cast("binary"))
+    text1("to_bytes", TBytes)(_.cast("binary")),
+    // zlib-ratio repetitiveness signal (spec-gated — no SQL deflate twin)
+    text1("deflate_ratio", TDouble)(graft.functions.DeflateRatio.deflateRatio)
   )
 
   val defaultAggregates: Map[String, (List[TypedCol], Pos) => TypedCol] = Map(

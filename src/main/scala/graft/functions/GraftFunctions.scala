@@ -84,7 +84,8 @@ object GraftFunctions {
     "exif_meta" -> { args => ExifMetaExpr(args.head) },
     "strip_exif" -> { args => StripExifExpr(args.head) },
     "image_dhash_canonical" -> { args => ImageDhashCanonicalExpr(args.head) },
-    "image_dhash_all" -> { args => ImageDhashAllExpr(args.head) })
+    "image_dhash_all" -> { args => ImageDhashAllExpr(args.head) },
+    "deflate_ratio" -> { args => DeflateRatioExpr(args.head) })
 
   /** Imperative per-session registration. */
   def register(spark: SparkSession): Unit =

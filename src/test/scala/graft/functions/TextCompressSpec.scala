@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.TestSpark
+
+/** The deflate-ratio repetitiveness signal: spec-gated (DuckDB has no
+  * deflate), so the contract pinned here is the DISCRIMINATION the quality
+  * gate relies on — repetition compresses far below prose, prose below
+  * noise — plus determinism and the NULL edge.
+  */
+class TextCompressSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def r(s: String): Double = DeflateRatio.ratio(UTF8String.fromString(s))
+
+  test("repetition << prose << hash noise, deterministically") {
+    val spam = "buy cheap pills " * 200
+    val prose = "The engine compiles each statement to a declarative plan " +
+      "and lets the optimizer choose the physical join strategy; every " +
+      "operator keeps its shuffle count independent of the corpus size. " * 3
+    val noise = (1 to 60).map(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes).map("%02x".format(_)).mkString).mkString(" ")
+    assert(r(spam) < 0.05, s"spam ratio ${r(spam)}")
+    assert(r(prose) > 0.2 && r(prose) < 0.7, s"prose ratio ${r(prose)}")
+    assert(r(noise) > 0.5, s"noise ratio ${r(noise)}")
+    assert(r(spam) == r(spam) && r(prose) == r(prose)) // stable re-evaluation
+    assert(DeflateRatio.ratio(UTF8String.fromString("")) == null)
+    assert(DeflateRatio.ratio(null) == null)
+  }
+
+  test("reaches the Column, SQL, and DTL surfaces with identical values") {
+    GraftFunctions.register(spark)
+    val df = Seq((1L, "abc abc abc abc abc abc abc abc")).toDF("id", "text")
+    df.createOrReplaceTempView("deflate_check")
+    val direct = df.select(DeflateRatio.deflateRatio(col("text"))).head().getDouble(0)
+    val viaSql = spark.sql("SELECT deflate_ratio(text) FROM deflate_check").head().getDouble(0)
+    val viaDtl = new graft.dtl.Engine(spark).runSimple(
+      """WITH t AS IMPORT 't';
+        |WITH output AS SELECT id, deflate_ratio(text) AS dr FROM t;
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("t" -> df))("output").head().getDouble(1)
+    assert(direct == viaSql && viaSql == viaDtl)
+    assert(direct == r("abc abc abc abc abc abc abc abc"))
+  }
+}
