@@ -53,5 +53,6 @@ object SparkEntry {
     "pipe_audit_trail", "pipe_sketch_distinct", "pipe_sketch_freq",
     "pipe_corpus_report_sketch",
     "pipe_hybrid_retrieval", "pipe_classifier_eval", "pipe_lm_kneser_ney",
-    "pipe_entropy", "pipe_media_neardup", "pipe_image_gate", "pipe_exif")
+    "pipe_entropy", "pipe_media_neardup", "pipe_image_gate", "pipe_exif",
+    "pipe_dedup_lsh_incremental")
 }

@@ -175,15 +175,7 @@ object Dedup {
     // shingle payload is NOT carried through the explode+join — candidates
     // are narrow (id, id) pairs and shingles are joined back only for the
     // few rows that need verification.
-    val banded = withSig.select(
-      col("id"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws("_",
-          b.cast("string"),
-          concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))))
-      .withColumnRenamed("col", "band_hash")
-      .withColumnRenamed("pos", "band")
+    val banded = explodeBands(withSig, bands, rowsPerBand)
 
     // bucket-local candidate pairs (id_a < id_b), deduped across bands;
     // both sides are the same subtree, so the band shuffle is computed once
@@ -196,6 +188,99 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
 
     // verify with exact Jaccard over shingle sets, fetched per candidate
+    verifyJaccard(candidates, shingled, threshold)
+  }
+
+  /** (band, band_hash, id) rows from a (id, sig) frame — the one banding
+    * expression every LSH surface shares (batch join, persisted index,
+    * incremental probe; the streaming twin mirrors it symbolically).
+    */
+  private def explodeBands(withSig: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame =
+    withSig.select(
+      col("id"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws("_",
+          b.cast("string"),
+          concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))))
+      .withColumnRenamed("col", "band_hash")
+      .withColumnRenamed("pos", "band")
+
+  /** The persisted LSH index of a corpus: (band, band_hash, id) — ONE row
+    * per (document, band), the on-disk artifact an ingestion pipeline
+    * appends per batch instead of ever re-signing history ([[minhashLshIncremental]]
+    * probes it). Write bucketed/partitioned by `band_hash` so probe joins
+    * co-locate; ~bands×8-byte rows per document, text never stored.
+    */
+  def minhashIndex(df: DataFrame, id: Column, text: Column,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    val shingled = df
+      .select(id.as("id"), TextAnalysis.shingles(text, shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+    explodeBands(
+      shingled.withColumn("sig", minhashSignature(col("sh"), numHashes)),
+      bands, rowsPerBand)
+  }
+
+  /** Near-dup pairs of a NEW ingest batch: batch↔history (probing the
+    * persisted `index` — history is never re-shingled or re-signed) plus
+    * batch↔batch, each verified with TRUE Jaccard. `corpus` is the doc
+    * store holding the text of every id in the index; only rows that
+    * appear in a candidate pair are fetched from it (semi-join pruned),
+    * so the verify cost is proportional to candidates, not history.
+    * Returns (id_a, id_b, jaccard), id_a < id_b, at least one side in the
+    * batch — exactly [[minhashLsh]] over history ∪ batch minus the
+    * history↔history pairs an earlier ingest already examined.
+    *
+    * Scale shape: the batch contributes one banding pass; the probe join
+    * hash-partitions on (band, band_hash) against the (pre-bucketed)
+    * index; candidate pairs are narrow; history text is read only through
+    * the candidate-id semi-join (filter pushdown reaches the doc-store
+    * scan).
+    */
+  def minhashLshIncremental(index: DataFrame, corpus: DataFrame,
+      corpusId: Column, corpusText: Column,
+      batch: DataFrame, id: Column, text: Column,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    val batchShingled = batch
+      .select(id.as("id"), TextAnalysis.shingles(text, shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val batchBanded = explodeBands(
+      batchShingled.withColumn("sig", minhashSignature(col("sh"), numHashes)),
+      bands, rowsPerBand)
+
+    val probe = batchBanded.join(
+        index.select(col("band"), col("band_hash"), col("id").as("hist_id")),
+        Seq("band", "band_hash"))
+      .filter(col("id") =!= col("hist_id"))
+      .select(least(col("id"), col("hist_id")).as("id_a"),
+        greatest(col("id"), col("hist_id")).as("id_b"))
+    val within = batchBanded.select(col("band"), col("band_hash"), col("id").as("id_a"))
+      .join(batchBanded.select(col("band"), col("band_hash"), col("id").as("id_b")),
+        Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val candidates = probe.unionByName(within).dropDuplicates("id_a", "id_b")
+
+    // shingle ONLY the history rows that appear in a candidate — the doc
+    // store scan prunes to candidate ids, never the full history
+    val candIds = candidates.select(col("id_a").as("cid"))
+      .unionByName(candidates.select(col("id_b").as("cid"))).distinct()
+    val histShingled = corpus
+      .select(corpusId.as("id"), corpusText.as("t"))
+      .join(candIds, col("id") === col("cid"), "left_semi")
+      .select(col("id"), TextAnalysis.shingles(col("t"), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+    // batch rows win on id collision (a re-ingested id verifies against
+    // its NEW text)
+    val shingled = batchShingled.unionByName(
+      histShingled.join(batchShingled.select("id"), Seq("id"), "left_anti"))
     verifyJaccard(candidates, shingled, threshold)
   }
 

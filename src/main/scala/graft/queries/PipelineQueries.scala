@@ -65,6 +65,21 @@ object PipelineQueries {
       Dedup.minhashLsh(t(s, d, "documents"), col("doc_id"), col("text"),
         shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.8)),
 
+    // incremental ingest dedup against the persisted LSH band index:
+    // history (doc_id % 5 != 0) is indexed ONCE, the batch probes it plus
+    // itself — output must equal the full-corpus LSH minus the
+    // history-internal pairs an earlier ingest already found
+    "pipe_dedup_lsh_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val history = docs.filter(col("doc_id") % 5 =!= 0)
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+      val index = Dedup.minhashIndex(history, col("doc_id"), col("text"),
+        shingleSize = 3, numHashes = 64, bands = 16)
+      Dedup.minhashLshIncremental(index, history, col("doc_id"), col("text"),
+        batch, col("doc_id"), col("text"),
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.8)
+    }),
+
     // exact n-gram Jaccard pairs — the quadratic baseline the LSH path
     // approximates; same oracle, no probabilistic step
     "pipe_dedup_ngram" -> ((s, d) =>
@@ -748,6 +763,16 @@ object PipelineQueries {
          |  round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
          |FROM t a JOIN t b ON a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8""".stripMargin,
+    // full exact pair set restricted to pairs touching the batch — the
+    // incremental contract (history-internal pairs belong to the earlier
+    // ingest that indexed them)
+    "pipe_dedup_lsh_incremental" ->
+      s"""WITH t AS (SELECT doc_id, $duckShingles AS sh FROM documents WHERE len(string_split_regex(trim(lower(text)),'\\s+')) >= 3)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+         |FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |WHERE (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
+         |  AND len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8""".stripMargin,
     "pipe_dedup_ngram" ->
       s"""WITH t AS (SELECT doc_id, $duckShingles AS sh FROM documents WHERE len(string_split_regex(trim(lower(text)),'\\s+')) >= 3)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -38,6 +38,26 @@ class OpsSpec extends AnyFunSuite {
     assert(out.length == 4)
   }
 
+  test("incremental LSH probe: batch pairs found, history-internal pairs excluded") {
+    // history holds the exact-dup pair (1,5): already found by the ingest
+    // that indexed it, so the incremental probe must NOT re-emit it
+    val history = docs.filter(col("doc_id").isin(1L, 5L))
+    val batch = docs.filter(col("doc_id").isin(2L, 3L, 4L))
+    val index = Dedup.minhashIndex(history, col("doc_id"), col("text"),
+      shingleSize = 3, numHashes = 64, bands = 16)
+    val out = Dedup.minhashLshIncremental(index, history, col("doc_id"), col("text"),
+      batch, col("doc_id"), col("text"),
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch↔history near-dups via the index, no (1,5), no unrelated docs
+    assert(out == Set((1L, 2L), (2L, 5L)))
+    // and the values agree with the full batch operator minus history pairs
+    val full = Dedup.minhashLsh(docs, col("doc_id"), col("text"),
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == out + ((1L, 5L)))
+  }
+
   test("minhash LSH finds planted near-dup and skips unrelated docs") {
     val pairs = Dedup.minhashLsh(docs, col("doc_id"), col("text"),
       shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
