@@ -173,6 +173,30 @@ object ScaleProbe {
     }
     println(s"  kept: $keptNew (expected ${batchN - batchN / 10})")
 
+    println(s"== incremental LSH ingest (persisted band index, history never re-signed) ==")
+    // 2M-doc history indexed once; a 20k batch probes it — 1 in 10 batch
+    // docs is a verbatim copy of a history doc, the rest are fresh. The
+    // probe pays the batch's banding + the bucket join + candidate-only
+    // verification; the history contributes its (pinned) index rows and a
+    // candidate-semi-joined text fetch, never a full re-signing.
+    val ilN = math.max(n / 10, 2000000L)
+    val ilBatchN = math.max(ilN / 100, 1000L)
+    def ilText(idc: org.apache.spark.sql.Column) = concat_ws(" ",
+      (0 until 30).map(k => concat(lit("w"),
+        pmod(xxhash64(idc * 31 + k), lit(5000L)))): _*)
+    val ilHist = spark.range(ilN).select(col("id"), ilText(col("id")).as("text"))
+    val ilIdx = graft.ops.Dedup.minhashIndex(ilHist, col("id"), col("text"))
+      .localCheckpoint() // the persisted artifact: pinned, not recomputed
+    val ilBatch = spark.range(ilBatchN).select(
+      (col("id") + ilN).as("id"),
+      when(col("id") % 10 === 0, ilText(col("id") % ilN))
+        .otherwise(ilText(col("id") + 7 * ilN)).as("text"))
+    val ilPairs = time(f"minhashLshIncremental ($ilN%,d history x $ilBatchN%,d batch)") {
+      graft.ops.Dedup.minhashLshIncremental(ilIdx, ilHist, col("id"), col("text"),
+        ilBatch, col("id"), col("text")).count()
+    }
+    println(f"  pairs $ilPairs%,d (planted ${ilBatchN / 10}%,d verbatim copies)")
+
     println(s"== semantic dedup (kmeans-bounded within-cluster pairs) ==")
     // planted exact copies of every 50th vector; k clusters bound the
     // candidate space to ~n²/k — the self-join shuffles only on centroid_id
