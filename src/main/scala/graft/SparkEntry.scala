@@ -19,7 +19,8 @@ object SparkEntry {
       graft.queries.DtlQueries.queries ++
       graft.queries.PipelineQueries.queries ++
       graft.queries.CurationQueries.queries ++
-      graft.queries.SearchQueries.queries
+      graft.queries.SearchQueries.queries ++
+      graft.queries.GenEvalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,13 +29,14 @@ object SparkEntry {
       graft.queries.DtlQueries.oracle ++
       graft.queries.PipelineQueries.oracle ++
       graft.queries.CurationQueries.oracle ++
-      graft.queries.SearchQueries.oracle
+      graft.queries.SearchQueries.oracle ++
+      graft.queries.GenEvalQueries.oracle
 
-  /** Queries intentionally without an oracle — none since round 3: the
-    * hash-internal/approximate ops are gated through planted-pair or
-    * md5-arithmetic designs that make their exact output SQL-constructible.
+  /** Queries intentionally without an oracle: only ROUGE-L — its LCS is a
+    * sequential DP no SQL can express; the op is spec-verified against a
+    * brute-force reference instead (GenEvalSpec) and gate-checked rows-only.
     */
-  def noOracle: Set[String] = Set.empty
+  def noOracle: Set[String] = Set("pipe_rouge_l")
 
   /** Perf-indicative subset used by Bench (full map is correctness surface). */
   def headline: Seq[String] = Seq(

@@ -1,0 +1,184 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass clipped n-gram match statistics between a candidate and a
+  * reference text — the shared numerator/denominator kernel under BLEU
+  * (Papineni et al. 2002), ROUGE-N (Lin 2004) and chrF (Popović 2015).
+  * The reference implements none of this; the surface is a new
+  * generation-eval extension (reference scope: SURVEY.md §2.D "absent
+  * entirely" — scalar function library).
+  *
+  * For every n in 1..maxN, over word units ([[Tokenize]] contract) or
+  * character units (code points after removing exactly the Java `\s` set
+  * `[ \t\n\x0B\f\r]` — chrF's whitespace-stripped convention, mirrored by
+  * the oracle's `[ \t\n\x0b\f\r]` regexp_replace):
+  *
+  *  - `matches[n-1]`   = Σ_g min(count_cand(g), count_ref(g)) — the CLIPPED
+  *    overlap (a candidate gram scores at most as often as the reference
+  *    contains it — BLEU's anti-"the the the" rule);
+  *  - `cand_total[n-1]` = max(0, |cand units| - n + 1);
+  *  - `ref_total[n-1]`  = max(0, |ref units| - n + 1).
+  *
+  * Plus `cand_len`/`ref_len` (unit counts — BLEU's brevity-penalty inputs).
+  * Everything is exact integer counting: bit-reproducible in any engine.
+  *
+  * One native pass per pair replaces 3·maxN interpreted HOF scans (the
+  * GopherStats lesson): both texts tokenize once, each n builds one hash
+  * map over reference grams and drains it with the candidate grams.
+  * Entirely row-local — scoring a corpus of pairs is an embarrassingly
+  * parallel scan at any scale.
+  */
+object GenEvalStats {
+
+  private def units(s: UTF8String, charMode: Boolean): Array[String] =
+    if (!charMode) Tokenize.words(s)
+    else {
+      val str = s.toString
+      val out = new java.util.ArrayList[String](str.length)
+      var i = 0
+      while (i < str.length) {
+        val cp = str.codePointAt(i)
+        val w = Character.charCount(cp)
+        // exactly Java regex \s — mirrored in the DuckDB oracle
+        if (cp != ' ' && cp != '\t' && cp != '\n' && cp != 0x0b && cp != '\f' && cp != '\r')
+          out.add(str.substring(i, i + w))
+        i += w
+      }
+      out.toArray(new Array[String](out.size))
+    }
+
+  def matchStats(cand: UTF8String, ref: UTF8String, maxN: Int,
+      charMode: Boolean): InternalRow = {
+    val cu = units(cand, charMode)
+    val ru = units(ref, charMode)
+    val matches = new Array[Any](maxN)
+    val candTotals = new Array[Any](maxN)
+    val refTotals = new Array[Any](maxN)
+    var n = 1
+    while (n <= maxN) {
+      val nc = math.max(0, cu.length - n + 1)
+      val nr = math.max(0, ru.length - n + 1)
+      candTotals(n - 1) = nc.toLong
+      refTotals(n - 1) = nr.toLong
+      var m = 0L
+      if (nc > 0 && nr > 0) {
+        // gram key: words space-joined (words cannot contain whitespace);
+        // char units concatenated (single code points are unambiguous)
+        val sep = if (charMode) "" else " "
+        val refCounts = new java.util.HashMap[String, Array[Long]]()
+        var i = 0
+        while (i < nr) {
+          val sb = new java.lang.StringBuilder(ru(i))
+          var j = 1
+          while (j < n) { sb.append(sep).append(ru(i + j)); j += 1 }
+          val k = sb.toString
+          val prev = refCounts.get(k)
+          if (prev == null) refCounts.put(k, Array(1L)) else prev(0) += 1L
+          i += 1
+        }
+        i = 0
+        while (i < nc) {
+          val sb = new java.lang.StringBuilder(cu(i))
+          var j = 1
+          while (j < n) { sb.append(sep).append(cu(i + j)); j += 1 }
+          val left = refCounts.get(sb.toString)
+          if (left != null && left(0) > 0L) { left(0) -= 1L; m += 1L }
+          i += 1
+        }
+      }
+      matches(n - 1) = m
+      n += 1
+    }
+    new GenericInternalRow(Array[Any](cu.length.toLong, ru.length.toLong,
+      new GenericArrayData(matches), new GenericArrayData(candTotals),
+      new GenericArrayData(refTotals)))
+  }
+
+  /** Longest common subsequence length over word units — ROUGE-L's kernel.
+    * Two-row DP, O(|cand|·|ref|) time and O(min) memory per pair; exact
+    * integer counting, row-local.
+    */
+  def lcsLen(cand: UTF8String, ref: UTF8String): Long = {
+    var a = Tokenize.words(cand)
+    var b = Tokenize.words(ref)
+    if (b.length < a.length) { val t = a; a = b; b = t } // a is the short side
+    if (a.length == 0) return 0L
+    val prev = new Array[Int](a.length + 1)
+    val cur = new Array[Int](a.length + 1)
+    var i = 1
+    while (i <= b.length) {
+      var j = 1
+      while (j <= a.length) {
+        cur(j) =
+          if (b(i - 1) == a(j - 1)) prev(j - 1) + 1
+          else math.max(prev(j), cur(j - 1))
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, cur.length)
+      i += 1
+    }
+    prev(a.length).toLong
+  }
+
+  def matchStats(cand: Column, ref: Column, maxN: Int, charMode: Boolean): Column =
+    GraftColumnBridge.column(GenEvalStatsExpression(
+      GraftColumnBridge.expression(cand), GraftColumnBridge.expression(ref),
+      maxN, charMode))
+
+  def lcsLen(cand: Column, ref: Column): Column =
+    GraftColumnBridge.column(LcsLenExpression(
+      GraftColumnBridge.expression(cand), GraftColumnBridge.expression(ref)))
+}
+
+case class GenEvalStatsExpression(left: Expression, right: Expression,
+    maxN: Int, charMode: Boolean) extends BinaryExpression {
+  require(maxN > 0, s"maxN must be positive, got $maxN")
+  override def dataType: DataType = StructType(Seq(
+    StructField("cand_len", LongType, nullable = false),
+    StructField("ref_len", LongType, nullable = false),
+    StructField("matches", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("cand_totals", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("ref_totals", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"gen_eval_stats expects (STRING, STRING), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def nullSafeEval(c: Any, r: Any): Any =
+    GenEvalStats.matchStats(c.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String],
+      maxN, charMode)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, r) =>
+      s"graft.functions.GenEvalStats.matchStats($c, $r, $maxN, $charMode)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): GenEvalStatsExpression =
+    copy(left = newLeft, right = newRight)
+}
+
+case class LcsLenExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"lcs_len expects (STRING, STRING), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def nullSafeEval(c: Any, r: Any): Any =
+    GenEvalStats.lcsLen(c.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, r) => s"graft.functions.GenEvalStats.lcsLen($c, $r)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): LcsLenExpression =
+    copy(left = newLeft, right = newRight)
+}

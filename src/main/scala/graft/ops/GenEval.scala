@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GenEvalStats
+
+/** Text-generation evaluation metrics — BLEU (Papineni et al. 2002, ACL),
+  * ROUGE-N/L (Lin 2004, "ROUGE: A Package for Automatic Evaluation of
+  * Summaries") and chrF (Popović 2015, WMT) — over a table of
+  * (candidate, reference) text pairs. The training-data use cases: scoring
+  * synthetic/distilled generations against references before admitting
+  * them to a corpus, and regression-testing model output quality at scale.
+  *
+  * All metrics ride ONE native one-pass kernel per pair
+  * ([[graft.functions.GenEvalStats]]) — clipped n-gram matches and totals
+  * as exact integers — so the per-pair work is a row-local codegen scan
+  * (no explode, no join, no shuffle); only the corpus-level variant
+  * aggregates, and it moves maxN longs per pair. Scoring 100 TB of pairs
+  * is embarrassingly parallel.
+  *
+  * Score arithmetic is pinned to an engine-reproducible form: geometric
+  * means are `sqrt(sqrt(·))` at maxN=4 (IEEE sqrt is correctly rounded —
+  * bit-identical in any engine, unlike `exp(avg(ln))`), divisions follow
+  * one documented association mirrored by the oracles, and every reported
+  * score is rounded to 6 decimals — far above the ≤1-ulp noise of the one
+  * residual `exp` in the brevity penalty.
+  */
+object GenEval {
+
+  private def geoMean(prod: Column, maxN: Int): Column =
+    if (maxN == 4) sqrt(sqrt(prod))
+    else if (maxN == 2) sqrt(prod)
+    else if (maxN == 1) prod
+    else pow(prod, lit(1.0 / maxN))
+
+  /** Per-pair (sentence) BLEU-maxN with +1 smoothing on the n≥2 precisions
+    * (Lin & Och 2004's smoothing — unigram precision stays raw, so a
+    * candidate sharing no words with the reference scores 0):
+    *
+    *   p_1 = m_1/t_1,  p_n = (m_n+1)/(t_n+1)  (n ≥ 2)
+    *   BP  = 1 if cand_len ≥ ref_len else exp(1 − ref_len/cand_len)
+    *   bleu = BP · (p_1·…·p_maxN)^(1/maxN), 0 when cand is empty or m_1 = 0
+    *
+    * Returns (pair_id, cand_len, ref_len, bp, bleu); bp/bleu rounded to 6.
+    */
+  def sentenceBleu(df: DataFrame, id: Column, cand: Column, ref: Column,
+      maxN: Int = 4): DataFrame = {
+    val st = GenEvalStats.matchStats(cand, ref, maxN, charMode = false)
+    val base = df.select(id.as("pair_id"), st.as("st"))
+      .select(col("pair_id"), col("st.cand_len").as("cand_len"),
+        col("st.ref_len").as("ref_len"), col("st.matches").as("m"),
+        col("st.cand_totals").as("t"))
+    val prod = (1 to maxN).map { n =>
+      val m = element_at(col("m"), n).cast("double")
+      val t = element_at(col("t"), n).cast("double")
+      if (n == 1) m / t else (m + 1.0) / (t + 1.0)
+    }.reduce(_ * _)
+    val bp = when(col("cand_len") >= col("ref_len"), 1.0)
+      .otherwise(exp(lit(1.0) - col("ref_len").cast("double") / col("cand_len")))
+    base.select(col("pair_id"), col("cand_len"), col("ref_len"),
+      round(when(col("cand_len") === 0, 0.0).otherwise(bp), 6).as("bp"),
+      round(when(col("cand_len") === 0 || element_at(col("m"), 1) === 0, 0.0)
+        .otherwise(bp * geoMean(prod, maxN)), 6).as("bleu"))
+  }
+
+  /** Corpus-level BLEU-maxN per group (the aggregation BLEU was designed
+    * for): matches and totals are SUMMED across the group's pairs before
+    * the precision ratios — no smoothing — and the brevity penalty uses the
+    * summed lengths. Any zero summed precision zeroes the score (standard).
+    * Returns one row per group: (group…, n_pairs, cand_len, ref_len, bp,
+    * bleu). One partial-aggregated pass; the shuffle moves 2·maxN+2 longs
+    * per pair.
+    */
+  def corpusBleu(df: DataFrame, group: Seq[(String, Column)], cand: Column,
+      ref: Column, maxN: Int = 4): DataFrame = {
+    val st = GenEvalStats.matchStats(cand, ref, maxN, charMode = false)
+    val base = df.select(group.map { case (n, c) => c.as(n) } :+ st.as("st"): _*)
+    val aggs =
+      count(lit(1)).as("n_pairs") +:
+      sum(col("st.cand_len")).as("cand_len") +:
+      sum(col("st.ref_len")).as("ref_len") +:
+      (1 to maxN).flatMap(n => Seq(
+        sum(element_at(col("st.matches"), n)).as(s"m$n"),
+        sum(element_at(col("st.cand_totals"), n)).as(s"t$n")))
+    val g = base.groupBy(group.map(x => col(x._1)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val anyZero = (1 to maxN).map(n => col(s"m$n") === 0 || col(s"t$n") === 0)
+      .reduce(_ || _)
+    val prod = (1 to maxN)
+      .map(n => col(s"m$n").cast("double") / col(s"t$n").cast("double"))
+      .reduce(_ * _)
+    val bp = when(col("cand_len") >= col("ref_len"), 1.0)
+      .otherwise(exp(lit(1.0) - col("ref_len").cast("double") / col("cand_len")))
+    g.select(group.map(x => col(x._1)) ++ Seq(col("n_pairs"),
+      col("cand_len"), col("ref_len"),
+      round(when(col("cand_len") === 0, 0.0).otherwise(bp), 6).as("bp"),
+      round(when(col("cand_len") === 0 || anyZero, 0.0)
+        .otherwise(bp * geoMean(prod, maxN)), 6).as("bleu")): _*)
+  }
+
+  /** Per-pair ROUGE-N: clipped n-gram precision/recall/F1,
+    *   P = m/t_cand, R = m/t_ref (0 when the denominator is 0),
+    *   F1 = 2·P·R/(P+R) (0 when P+R = 0),
+    * rounded to 6. Returns (pair_id, matches, cand_ngrams, ref_ngrams,
+    * precision, recall, f1).
+    */
+  def rougeN(df: DataFrame, id: Column, cand: Column, ref: Column,
+      n: Int): DataFrame = {
+    val st = GenEvalStats.matchStats(cand, ref, n, charMode = false)
+    val base = df.select(id.as("pair_id"), st.as("st"))
+      .select(col("pair_id"),
+        element_at(col("st.matches"), n).as("matches"),
+        element_at(col("st.cand_totals"), n).as("cand_ngrams"),
+        element_at(col("st.ref_totals"), n).as("ref_ngrams"))
+      .withColumn("__m", col("matches").cast("double"))
+    prf(base, col("cand_ngrams"), col("ref_ngrams"))
+  }
+
+  // P/R/F1 from __m and the two denominator columns; drops the helper col.
+  // The F1 association (2·P·R)/(P+R) over the ALREADY-divided P and R is
+  // part of the metric contract — oracles must divide in the same order.
+  private def prf(df: DataFrame, candDen: Column, refDen: Column): DataFrame = {
+    val p = when(candDen === 0, 0.0).otherwise(col("__m") / candDen)
+    val r = when(refDen === 0, 0.0).otherwise(col("__m") / refDen)
+    df.withColumn("precision", round(p, 6))
+      .withColumn("recall", round(r, 6))
+      .withColumn("f1",
+        round(when(p + r === 0.0, 0.0).otherwise(lit(2.0) * p * r / (p + r)), 6))
+      .drop("__m")
+  }
+
+  /** Per-pair chrF (character n-gram F-score, β=2 by default — recall
+    * weighted double): over whitespace-stripped code points, for each
+    * n = 1..maxN with any grams on either side,
+    *   P_n = m/t_cand, R_n = m/t_ref (0 on zero denominators),
+    *   F_n = (1+β²)·P·R / (β²·P + R) (0 when the denominator is 0),
+    * and chrf = 100·mean(F_n) over those n, rounded to 6. Returns
+    * (pair_id, cand_chars, ref_chars, chrf).
+    */
+  def chrF(df: DataFrame, id: Column, cand: Column, ref: Column,
+      maxN: Int = 6, beta: Double = 2.0): DataFrame = {
+    val st = GenEvalStats.matchStats(cand, ref, maxN, charMode = true)
+    val b2 = beta * beta
+    val base = df.select(id.as("pair_id"), st.as("st"))
+    val perN = (1 to maxN).map { n =>
+      val m = element_at(col("st.matches"), n).cast("double")
+      val tc = element_at(col("st.cand_totals"), n)
+      val tr = element_at(col("st.ref_totals"), n)
+      val p = when(tc === 0, 0.0).otherwise(m / tc.cast("double"))
+      val r = when(tr === 0, 0.0).otherwise(m / tr.cast("double"))
+      val f = when(lit(b2) * p + r === 0.0, 0.0)
+        .otherwise(lit(1.0 + b2) * p * r / (lit(b2) * p + r))
+      (when(tc + tr > 0, f), when(tc + tr > 0, 1).otherwise(0))
+    }
+    val fSum = perN.map(_._1).map(c => coalesce(c, lit(0.0))).reduce(_ + _)
+    val nIncl = perN.map(_._2).reduce(_ + _)
+    base.select(col("pair_id"),
+      col("st.cand_len").as("cand_chars"), col("st.ref_len").as("ref_chars"),
+      round(when(nIncl === 0, 0.0)
+        .otherwise(lit(100.0) * fSum / nIncl.cast("double")), 6).as("chrf"))
+  }
+
+  /** Per-pair ROUGE-L: longest-common-subsequence F1 over words,
+    *   P = LCS/cand_len, R = LCS/ref_len, F1 as in [[rougeN]], rounded 6.
+    * The LCS is a row-local O(|c|·|r|) native DP — no SQL oracle exists
+    * for it (sequential DP), so this op is spec-verified against a
+    * brute-force reference and gate-checked rows-only.
+    */
+  def rougeL(df: DataFrame, id: Column, cand: Column, ref: Column): DataFrame = {
+    val base = df.select(id.as("pair_id"),
+      GenEvalStats.lcsLen(cand, ref).as("lcs"),
+      GenEvalStats.matchStats(cand, ref, 1, charMode = false).as("st"))
+      .select(col("pair_id"), col("lcs"), col("st.cand_len").as("cand_len"),
+        col("st.ref_len").as("ref_len"))
+      .withColumn("__m", col("lcs").cast("double"))
+    prf(base, col("cand_len"), col("ref_len"))
+  }
+}

@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.GenEval
+
+/** Generation-evaluation gate queries: BLEU / ROUGE / chrF over a
+  * deterministic pairing of the documents table (each doc scored as a
+  * "candidate" against the next doc of its source as "reference" — 480
+  * pairs at sf0.01). The pairing is arbitrary but fixed; what the gates
+  * verify is the metric arithmetic, clip rules, and rounding, bit-exact
+  * against DuckDB implementing the same formulas from scratch.
+  */
+object GenEvalQueries {
+  import CoreQueries.t
+
+  /** (pair_id = doc_id, cand = text, ref = next same-source text). */
+  private def pairs(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    t(s, d, "documents")
+      .select(col("doc_id"), col("source"), col("text").as("cand"),
+        lead(col("text"), 1).over(w).as("ref"))
+      .filter(col("ref").isNotNull)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // sentence BLEU-4 (+1-smoothed n>=2 precisions) per pair
+    "pipe_bleu" -> ((s, d) =>
+      GenEval.sentenceBleu(pairs(s, d), col("doc_id"), col("cand"), col("ref"))),
+
+    // corpus BLEU-4 per source (summed counts, unsmoothed)
+    "pipe_bleu_corpus" -> ((s, d) =>
+      GenEval.corpusBleu(pairs(s, d), Seq("source" -> col("source")),
+        col("cand"), col("ref"))),
+
+    // ROUGE-2 precision/recall/F1 per pair
+    "pipe_rouge" -> ((s, d) =>
+      GenEval.rougeN(pairs(s, d), col("doc_id"), col("cand"), col("ref"), n = 2)),
+
+    // chrF (character 1..6-grams, beta=2) per pair
+    "pipe_chrf" -> ((s, d) =>
+      GenEval.chrF(pairs(s, d), col("doc_id"), col("cand"), col("ref"))),
+
+    // ROUGE-L (LCS F1) per pair — no SQL oracle exists for the sequential
+    // LCS DP; spec-verified against brute force, gate-checked rows-only
+    "pipe_rouge_l" -> ((s, d) =>
+      GenEval.rougeL(pairs(s, d), col("doc_id"), col("cand"), col("ref"))))
+
+  // shared oracle CTEs: the pairing, tokenized words, and per-(pair, n)
+  // clipped matches for word n-grams 1..4 (mirrors GenEvalStats: trim
+  // strips spaces, split keeps interior empties, grams space-joined)
+  private val duckWordCtes =
+    """WITH pairs AS (
+      |  SELECT doc_id, source, text AS cand,
+      |         lead(text) OVER (PARTITION BY source ORDER BY doc_id) AS ref
+      |  FROM documents QUALIFY ref IS NOT NULL),
+      |u AS (SELECT doc_id, source,
+      |        string_split_regex(trim(cand), '\s+') AS cw,
+      |        string_split_regex(trim(ref), '\s+') AS rw FROM pairs),
+      |tot AS (SELECT doc_id, source, len(cw) AS cand_len, len(rw) AS ref_len FROM u),
+      |ns(n) AS (VALUES (1), (2), (3), (4)),
+      |cg AS (SELECT doc_id, n, unnest(list_transform(
+      |         range(1, greatest(len(cw) - n + 2, 1)),
+      |         i -> list_aggregate(list_slice(cw, i, i + n - 1), 'string_agg', ' '))) AS g
+      |       FROM u CROSS JOIN ns),
+      |rg AS (SELECT doc_id, n, unnest(list_transform(
+      |         range(1, greatest(len(rw) - n + 2, 1)),
+      |         i -> list_aggregate(list_slice(rw, i, i + n - 1), 'string_agg', ' '))) AS g
+      |       FROM u CROSS JOIN ns),
+      |cgc AS (SELECT doc_id, n, g, count(*) AS c FROM cg GROUP BY doc_id, n, g),
+      |rgc AS (SELECT doc_id, n, g, count(*) AS c FROM rg GROUP BY doc_id, n, g),
+      |mm AS (SELECT c.doc_id, c.n, sum(least(c.c, r.c)) AS m
+      |       FROM cgc c JOIN rgc r ON r.doc_id = c.doc_id AND r.n = c.n AND r.g = c.g
+      |       GROUP BY c.doc_id, c.n),
+      |stats AS (
+      |  SELECT t.doc_id, t.source, t.cand_len, t.ref_len,
+      |         coalesce(max(CASE WHEN mm.n = 1 THEN mm.m END), 0) AS m1,
+      |         coalesce(max(CASE WHEN mm.n = 2 THEN mm.m END), 0) AS m2,
+      |         coalesce(max(CASE WHEN mm.n = 3 THEN mm.m END), 0) AS m3,
+      |         coalesce(max(CASE WHEN mm.n = 4 THEN mm.m END), 0) AS m4,
+      |         greatest(t.cand_len, 0) AS t1,
+      |         greatest(t.cand_len - 1, 0) AS t2,
+      |         greatest(t.cand_len - 2, 0) AS t3,
+      |         greatest(t.cand_len - 3, 0) AS t4,
+      |         greatest(t.ref_len, 0) AS r1,
+      |         greatest(t.ref_len - 1, 0) AS r2
+      |  FROM tot t LEFT JOIN mm ON mm.doc_id = t.doc_id
+      |  GROUP BY t.doc_id, t.source, t.cand_len, t.ref_len)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "pipe_bleu" ->
+      s"""$duckWordCtes,
+         |bpc AS (SELECT *,
+         |          CASE WHEN cand_len >= ref_len THEN 1.0
+         |               ELSE exp(1.0 - ref_len::DOUBLE / cand_len) END AS bp0
+         |        FROM stats)
+         |SELECT doc_id AS pair_id, cand_len, ref_len,
+         |       round(CASE WHEN cand_len = 0 THEN 0.0 ELSE bp0 END, 6) AS bp,
+         |       round(CASE WHEN cand_len = 0 OR m1 = 0 THEN 0.0
+         |             ELSE bp0 * sqrt(sqrt(
+         |               (m1::DOUBLE / t1::DOUBLE)
+         |               * ((m2 + 1.0) / (t2 + 1.0))
+         |               * ((m3 + 1.0) / (t3 + 1.0))
+         |               * ((m4 + 1.0) / (t4 + 1.0)))) END, 6) AS bleu
+         |FROM bpc""".stripMargin,
+
+    "pipe_bleu_corpus" ->
+      s"""$duckWordCtes,
+         |g AS (SELECT source, count(*) AS n_pairs,
+         |        sum(cand_len) AS cand_len, sum(ref_len) AS ref_len,
+         |        sum(m1) AS m1, sum(m2) AS m2, sum(m3) AS m3, sum(m4) AS m4,
+         |        sum(t1) AS t1, sum(t2) AS t2, sum(t3) AS t3, sum(t4) AS t4
+         |      FROM stats GROUP BY source),
+         |bpc AS (SELECT *,
+         |          CASE WHEN cand_len >= ref_len THEN 1.0
+         |               ELSE exp(1.0 - ref_len::DOUBLE / cand_len) END AS bp0
+         |        FROM g)
+         |SELECT source, n_pairs, cand_len, ref_len,
+         |       round(CASE WHEN cand_len = 0 THEN 0.0 ELSE bp0 END, 6) AS bp,
+         |       round(CASE WHEN cand_len = 0
+         |                  OR m1 = 0 OR t1 = 0 OR m2 = 0 OR t2 = 0
+         |                  OR m3 = 0 OR t3 = 0 OR m4 = 0 OR t4 = 0 THEN 0.0
+         |             ELSE bp0 * sqrt(sqrt(
+         |               (m1::DOUBLE / t1::DOUBLE) * (m2::DOUBLE / t2::DOUBLE)
+         |               * (m3::DOUBLE / t3::DOUBLE) * (m4::DOUBLE / t4::DOUBLE)))
+         |             END, 6) AS bleu
+         |FROM bpc""".stripMargin,
+
+    "pipe_rouge" ->
+      s"""$duckWordCtes,
+         |pr AS (SELECT doc_id, m2 AS matches, t2 AS cand_ngrams, r2 AS ref_ngrams,
+         |         CASE WHEN t2 = 0 THEN 0.0 ELSE m2::DOUBLE / t2::DOUBLE END AS p,
+         |         CASE WHEN r2 = 0 THEN 0.0 ELSE m2::DOUBLE / r2::DOUBLE END AS r
+         |       FROM stats)
+         |SELECT doc_id AS pair_id, matches, cand_ngrams, ref_ngrams,
+         |       round(p, 6) AS precision, round(r, 6) AS recall,
+         |       round(CASE WHEN p + r = 0.0 THEN 0.0
+         |                  ELSE 2.0 * p * r / (p + r) END, 6) AS f1
+         |FROM pr""".stripMargin,
+
+    // chrF: char 1..6-grams over whitespace-stripped code points
+    // ([ \t\n\x0b\f\r] — exactly GenEvalStats' set), beta^2 = 4
+    "pipe_chrf" ->
+      """WITH pairs AS (
+        |  SELECT doc_id, text AS cand,
+        |         lead(text) OVER (PARTITION BY source ORDER BY doc_id) AS ref
+        |  FROM documents QUALIFY ref IS NOT NULL),
+        |u AS (SELECT doc_id,
+        |        regexp_replace(cand, '[ \t\n\x0b\f\r]', '', 'g') AS cs,
+        |        regexp_replace(ref, '[ \t\n\x0b\f\r]', '', 'g') AS rs FROM pairs),
+        |ns(n) AS (VALUES (1), (2), (3), (4), (5), (6)),
+        |cg AS (SELECT doc_id, n, unnest(list_transform(
+        |         range(1, greatest(length(cs) - n + 2, 1)), i -> substr(cs, i, n))) AS g
+        |       FROM u CROSS JOIN ns),
+        |rg AS (SELECT doc_id, n, unnest(list_transform(
+        |         range(1, greatest(length(rs) - n + 2, 1)), i -> substr(rs, i, n))) AS g
+        |       FROM u CROSS JOIN ns),
+        |cgc AS (SELECT doc_id, n, g, count(*) AS c FROM cg GROUP BY doc_id, n, g),
+        |rgc AS (SELECT doc_id, n, g, count(*) AS c FROM rg GROUP BY doc_id, n, g),
+        |mm AS (SELECT c.doc_id, c.n, sum(least(c.c, r.c)) AS m
+        |       FROM cgc c JOIN rgc r ON r.doc_id = c.doc_id AND r.n = c.n AND r.g = c.g
+        |       GROUP BY c.doc_id, c.n),
+        |pern AS (
+        |  SELECT u.doc_id, ns.n,
+        |         greatest(length(u.cs) - ns.n + 1, 0) AS tc,
+        |         greatest(length(u.rs) - ns.n + 1, 0) AS tr,
+        |         coalesce(mm.m, 0) AS m
+        |  FROM u CROSS JOIN ns
+        |  LEFT JOIN mm ON mm.doc_id = u.doc_id AND mm.n = ns.n),
+        |f AS (SELECT doc_id, n, tc, tr,
+        |        CASE WHEN tc = 0 THEN 0.0 ELSE m::DOUBLE / tc::DOUBLE END AS p,
+        |        CASE WHEN tr = 0 THEN 0.0 ELSE m::DOUBLE / tr::DOUBLE END AS r
+        |      FROM pern),
+        |fs AS (SELECT doc_id, n,
+        |         CASE WHEN tc + tr > 0 THEN
+        |           CASE WHEN 4.0 * p + r = 0.0 THEN 0.0
+        |                ELSE 5.0 * p * r / (4.0 * p + r) END
+        |         ELSE 0.0 END AS fn,
+        |         CASE WHEN tc + tr > 0 THEN 1 ELSE 0 END AS incl
+        |       FROM f),
+        |-- pivoted so the six F terms add in a FIXED order (f1+f2+...+f6),
+        |-- matching the Spark side's left-fold — double addition is not
+        |-- associative, and an aggregate's order is engine-chosen
+        |pv AS (SELECT doc_id,
+        |         max(CASE WHEN n = 1 THEN fn END) AS f1,
+        |         max(CASE WHEN n = 2 THEN fn END) AS f2,
+        |         max(CASE WHEN n = 3 THEN fn END) AS f3,
+        |         max(CASE WHEN n = 4 THEN fn END) AS f4,
+        |         max(CASE WHEN n = 5 THEN fn END) AS f5,
+        |         max(CASE WHEN n = 6 THEN fn END) AS f6,
+        |         sum(incl) AS n_incl
+        |       FROM fs GROUP BY doc_id)
+        |SELECT u.doc_id AS pair_id, length(u.cs)::BIGINT AS cand_chars,
+        |       length(u.rs)::BIGINT AS ref_chars,
+        |       round(CASE WHEN pv.n_incl = 0 THEN 0.0
+        |                  ELSE 100.0 * (f1 + f2 + f3 + f4 + f5 + f6)
+        |                       / pv.n_incl::DOUBLE
+        |             END, 6) AS chrf
+        |FROM u JOIN pv ON pv.doc_id = u.doc_id""".stripMargin)
+}

@@ -1,0 +1,176 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Hand-computed and brute-force-referenced contracts for the generation
+  * evaluation metrics (BLEU / ROUGE-N / ROUGE-L / chrF). The oracle gates
+  * (pipe_bleu / pipe_bleu_corpus / pipe_rouge / pipe_chrf) pin the same
+  * arithmetic against DuckDB at corpus shape; ROUGE-L has no SQL oracle, so
+  * its brute-force check lives here.
+  */
+class GenEvalSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  // ---- independent reference implementations (plain Scala) ----
+
+  private def words(s: String): Array[String] = {
+    var b = 0; var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    if (b == e) Array.empty else s.substring(b, e).split("\\s+", -1)
+  }
+
+  private def grams(u: Seq[String], n: Int, sep: String): Seq[String] =
+    if (u.length < n) Seq.empty
+    else (0 to u.length - n).map(i => u.slice(i, i + n).mkString(sep))
+
+  private def clipped(c: Seq[String], r: Seq[String]): Long = {
+    val rc = r.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    c.groupBy(identity).map { case (g, occ) =>
+      math.min(occ.size.toLong, rc.getOrElse(g, 0L))
+    }.sum
+  }
+
+  private def lcsRef(a: Seq[String], b: Seq[String]): Long = {
+    val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) =
+        if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+        else math.max(dp(i - 1)(j), dp(i)(j - 1))
+    dp(a.length)(b.length).toLong
+  }
+
+  // ---- sentence BLEU ----
+
+  test("sentenceBleu: worked example with clipping and smoothing") {
+    val cand = "the the the cat sat"            // 5 words
+    val ref = "the cat sat on the mat"          // 6 words
+    val df = Seq((1L, cand, ref)).toDF("id", "c", "r")
+    val row = GenEval.sentenceBleu(df, col("id"), col("c"), col("r"))
+      .collect().head
+    assert(row.getLong(1) == 5 && row.getLong(2) == 6)
+    // m1: the(clip 2) + cat + sat = 4; m2: "the cat","cat sat" = 2; m3: 1; m4: 0
+    val p1 = 4.0 / 5
+    val p2 = (2 + 1.0) / (4 + 1.0)
+    val p3 = (1 + 1.0) / (3 + 1.0)
+    val p4 = (0 + 1.0) / (2 + 1.0)
+    val bp = math.exp(1.0 - 6.0 / 5.0)
+    val want = BigDecimal(bp * math.sqrt(math.sqrt(p1 * p2 * p3 * p4)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getDouble(4) == want)
+  }
+
+  test("sentenceBleu: zero unigram overlap scores 0; identical pair scores 1") {
+    val df = Seq((1L, "aa bb cc dd", "xx yy zz ww"),
+      (2L, "one two three four five", "one two three four five"))
+      .toDF("id", "c", "r")
+    val out = GenEval.sentenceBleu(df, col("id"), col("c"), col("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(out(1L) == 0.0)
+    assert(out(2L) == 1.0)
+  }
+
+  // ---- corpus BLEU ----
+
+  test("corpusBleu: sums counts before ratios (not a mean of sentence scores)") {
+    // pair A: perfect 2-word match; pair B: no overlap. Summed m1=2 of t1=6,
+    // m2 = 1 of t2 = 4 → corpus BLEU-2 = sqrt((2/6)*(1/4)) with BP=1
+    // (summed cand_len 6 >= summed ref_len 6).
+    val df = Seq((1L, "g", "x y", "x y"), (2L, "g", "a b c d", "p q r s"))
+      .toDF("id", "grp", "c", "r")
+    val row = GenEval.corpusBleu(df, Seq("grp" -> col("grp")), col("c"), col("r"),
+      maxN = 2).collect().head
+    assert(row.getAs[Long]("n_pairs") == 2)
+    val want = BigDecimal(math.sqrt((2.0 / 6) * (1.0 / 4)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getAs[Double]("bleu") == want)
+  }
+
+  // ---- ROUGE-N ----
+
+  test("rougeN agrees with the brute-force clipped-overlap reference") {
+    val rows = Seq(
+      (1L, "a b c d e a b", "b c d f a b a"),
+      (2L, "x", "x"),
+      (3L, " spaced  out\ttabs ", "spaced out tabs"),
+      (4L, "", "a b"))
+    val df = rows.toDF("id", "c", "r")
+    val got = GenEval.rougeN(df, col("id"), col("c"), col("r"), n = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for ((id, c, r) <- rows) {
+      val (cw, rw) = (words(c).toSeq, words(r).toSeq)
+      val (cg, rg) = (grams(cw, 2, " "), grams(rw, 2, " "))
+      val m = clipped(cg, rg)
+      val row = got(id)
+      assert(row.getLong(1) == m, s"id=$id matches")
+      assert(row.getLong(2) == cg.length && row.getLong(3) == rg.length)
+      val p = if (cg.isEmpty) 0.0 else m.toDouble / cg.length
+      val rr = if (rg.isEmpty) 0.0 else m.toDouble / rg.length
+      val f = if (p + rr == 0) 0.0 else 2 * p * rr / (p + rr)
+      assert(math.abs(row.getDouble(6) - f) < 1e-6, s"id=$id f1")
+    }
+  }
+
+  // ---- ROUGE-L (no SQL oracle — this IS its correctness check) ----
+
+  test("rougeL agrees with the quadratic DP reference, incl. unicode") {
+    val rows = Seq(
+      (1L, "the cat sat on the mat", "the dog sat by the mat"),
+      (2L, "a b c", "c b a"),
+      (3L, "数据 清洗 管道 质量", "质量 数据 管道"),
+      (4L, "same same same", "same same same"),
+      (5L, "", "anything here"))
+    val df = rows.toDF("id", "c", "r")
+    val got = GenEval.rougeL(df, col("id"), col("c"), col("r"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for ((id, c, r) <- rows) {
+      val (cw, rw) = (words(c).toSeq, words(r).toSeq)
+      val l = lcsRef(cw, rw)
+      assert(got(id).getLong(1) == l, s"id=$id lcs")
+      val p = if (cw.isEmpty) 0.0 else l.toDouble / cw.length
+      val rr = if (rw.isEmpty) 0.0 else l.toDouble / rw.length
+      val f = if (p + rr == 0) 0.0 else 2 * p * rr / (p + rr)
+      assert(math.abs(got(id).getDouble(6) - f) < 1e-6, s"id=$id f1")
+    }
+  }
+
+  // ---- chrF ----
+
+  test("chrF agrees with a brute-force character reference") {
+    val rows = Seq(
+      (1L, "cat sat", "cat sat mat"),
+      (2L, "abcdef", "abcdef"),
+      (3L, "短 文本", "短文 本"),   // whitespace stripped → identical units
+      (4L, "ab", "zz"))
+    val df = rows.toDF("id", "c", "r")
+    val got = GenEval.chrF(df, col("id"), col("c"), col("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    for ((id, c, r) <- rows) {
+      def units(s: String) = s.filterNot(" \t\n\f\r".contains(_)).map(_.toString)
+      val (cu, ru) = (units(c), units(r))
+      val fs = (1 to 6).flatMap { n =>
+        val (cg, rg) = (grams(cu, n, ""), grams(ru, n, ""))
+        if (cg.isEmpty && rg.isEmpty) None
+        else {
+          val m = clipped(cg, rg)
+          val p = if (cg.isEmpty) 0.0 else m.toDouble / cg.length
+          val rr = if (rg.isEmpty) 0.0 else m.toDouble / rg.length
+          Some(if (4 * p + rr == 0) 0.0 else 5 * p * rr / (4 * p + rr))
+        }
+      }
+      val want = if (fs.isEmpty) 0.0 else 100.0 * fs.sum / fs.length
+      assert(math.abs(got(id) - want) < 1e-6, s"id=$id chrf")
+    }
+    assert(got(3L) == 100.0) // whitespace differences are invisible to chrF
+  }
+
+  test("chrF whitespace-stripping matches the documented \\s set exactly") {
+    val df = Seq((1L, "a\tb\ncd\fe\rf g", "abcdefg")).toDF("id", "c", "r")
+    val row = GenEval.chrF(df, col("id"), col("c"), col("r")).collect().head
+    assert(row.getLong(1) == 7 && row.getLong(2) == 7)
+    assert(row.getDouble(3) == 100.0)
+  }
+}
