@@ -379,6 +379,85 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** EXACT edit-distance similarity join — all pairs with
+    * levenshtein ≤ maxDist — without the O(n²) cross join: q-gram prefix
+    * filtering (Gravano et al. VLDB'01 q-gram count bound + the
+    * Chaudhuri/Xiao prefix-filter principle, as in [[ngramJaccardPairs]]).
+    * d edits destroy at most q·d of a string's positional q-grams, so two
+    * strings within distance d share at least max(|Gₐ|,|G_b|) − q·d grams —
+    * which means their first q·d + 1 grams under ANY consistent global
+    * ordering must intersect. Ordering grams by ascending global frequency
+    * keeps those prefix buckets rare. (Occurrence-position pruning on the
+    * prefix join is deliberately NOT applied: the prefix keeps one
+    * occurrence per rank, and a match may live at a different occurrence —
+    * value-only joining is what the guarantee covers.)
+    *
+    * Candidates then pass the |len_a − len_b| ≤ d filter and exact
+    * verification with Spark's threshold levenshtein (early-exits its DP
+    * band at d — O(d·min(len)) per pair, not len²). Strings shorter than q
+    * have no grams; they pair through a broadcast degenerate bucket against
+    * strings of length ≤ q−1+d (bounded by construction: only near-empty
+    * strings live there).
+    *
+    * Shuffles: gram-frequency agg, per-string prefix window, prefix join,
+    * verify join — all hash-partitioned, never all-pairs; AQE skew handling
+    * covers hot grams. Returns (id_a, id_b, dist), id_a < id_b.
+    */
+  def editDistancePairs(df: DataFrame, id: Column, str: Column,
+      maxDist: Int, q: Int = 2): DataFrame = {
+    require(maxDist >= 0 && q > 0, s"need maxDist >= 0, q > 0; got $maxDist, $q")
+    val s = df.select(id.as("id"), str.as("s")).filter(col("s").isNotNull)
+    // positional q-grams, row-local (guard: sequence(1, 0) would DESCEND)
+    val grams = s
+      .select(col("id"), length(col("s")).as("len"),
+        explode(when(length(col("s")) < q, array().cast("array<string>"))
+          .otherwise(expr(
+            s"transform(sequence(1, length(s) - ${q - 1}), i -> substring(s, i, $q))")))
+          .as("g"))
+    val freq = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    val prefixLen = q * maxDist + 1
+    val prefixes = grams.join(freq, Seq("g"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df").asc, col("g").asc)))
+      .filter(col("rn") <= prefixLen)
+      .select(col("g"), col("id"), col("len"))
+    val candidates = prefixes.select(col("g"), col("id").as("id_a"), col("len").as("len_a"))
+      .join(prefixes.select(col("g"), col("id").as("id_b"), col("len").as("len_b")),
+        Seq("g"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("len_a") - col("len_b")) <= maxDist)
+      .select("id_a", "id_b")
+    // degenerate bucket: gramless strings (len < q) vs anything short
+    // enough to be within d edits — the short side is tiny, broadcast it
+    val short = s.filter(length(col("s")) < q)
+      .select(col("id").as("sid"), col("s").as("ss"))
+    val shortCands = broadcast(short)
+      .join(s.filter(length(col("s")) <= lit(q - 1 + maxDist)),
+        col("sid") =!= col("id"))
+      .select(least(col("sid"), col("id")).as("id_a"),
+        greatest(col("sid"), col("id")).as("id_b"))
+    candidates.unionByName(shortCands).dropDuplicates("id_a", "id_b")
+      .join(s.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
+      .join(s.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
+      .filter(col("dist") =!= -1)
+      .select("id_a", "id_b", "dist")
+  }
+
+  /** O(n²) cross-join twin of [[editDistancePairs]] — correctness reference
+    * at test scale only; never ship this plan.
+    */
+  def editDistancePairsNaive(df: DataFrame, id: Column, str: Column,
+      maxDist: Int): DataFrame = {
+    val s = df.select(id.as("id"), str.as("s")).filter(col("s").isNotNull)
+    s.select(col("id").as("id_a"), col("s").as("s_a"))
+      .crossJoin(s.select(col("id").as("id_b"), col("s").as("s_b")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
+      .filter(col("dist") =!= -1)
+      .select("id_a", "id_b", "dist")
+  }
+
   /** Semantic dedup (the SemDeDup recipe, Abbas et al. 2023): cluster
     * embeddings with k-means, then look for high-cosine pairs ONLY within
     * each cluster — the clustering bounds the candidate space to ~n²/k

@@ -86,6 +86,15 @@ object PipelineQueries {
       Dedup.ngramJaccardPairs(t(s, d, "documents"), col("doc_id"), col("text"),
         shingleSize = 3, threshold = 0.8)),
 
+    // exact edit-distance pairs (levenshtein <= 9) over each doc's first
+    // five words — q-gram prefix-filtered, never all-pairs; the surface has
+    // both exact-duplicate (dist 0) and near-miss (5..9) pairs at sf0.01
+    "pipe_edit_join" -> ((s, d) =>
+      Dedup.editDistancePairs(
+        t(s, d, "documents").select(col("doc_id"),
+          array_join(slice(split(trim(col("text")), "\\s+"), 1, 5), " ").as("head5")),
+        col("doc_id"), col("head5"), maxDist = 9, q = 2)),
+
     // duplicate clusters: LSH pairs → connected components → (doc, cluster)
     "pipe_dedup_clusters" -> ((s, d) => {
       val pairs = Dedup.minhashLsh(t(s, d, "documents"), col("doc_id"), col("text"),
@@ -779,6 +788,15 @@ object PipelineQueries {
          |  round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
          |FROM t a JOIN t b ON a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8""".stripMargin,
+    "pipe_edit_join" ->
+      """WITH s AS (SELECT doc_id,
+        |  list_aggregate(list_slice(string_split_regex(trim(text), '\s+'), 1, 5),
+        |                 'string_agg', ' ') AS h FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(levenshtein(a.h, b.h) AS INTEGER) AS dist
+        |FROM s a JOIN s b
+        |  ON a.doc_id < b.doc_id AND abs(length(a.h) - length(b.h)) <= 9
+        |WHERE levenshtein(a.h, b.h) <= 9""".stripMargin,
     "pipe_dedup_clusters" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, $duckShingles AS sh FROM documents WHERE len(string_split_regex(trim(lower(text)),'\\s+')) >= 3),
          |pairs AS (

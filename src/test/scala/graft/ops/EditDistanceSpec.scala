@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** The prefix-filtered edit-distance join must return EXACTLY the naive
+  * cross join's pair set — the q-gram count bound is a guarantee, not a
+  * heuristic. Inputs cover the adversarial corners: repeated grams (one
+  * occurrence per prefix rank), strings shorter than q (degenerate
+  * bucket), length-boundary pairs, unicode, and dist exactly at maxDist.
+  */
+class EditDistanceSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def run(rows: Seq[(Long, String)], d: Int, q: Int = 2) = {
+    val df = rows.toDF("id", "s")
+    val fast = Dedup.editDistancePairs(df, col("id"), col("s"), d, q)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val naive = Dedup.editDistancePairsNaive(df, col("id"), col("s"), d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    (fast, naive)
+  }
+
+  test("matches the naive join on planted typos, short strings, unicode") {
+    val rows = Seq(
+      1L -> "the quick brown fox",
+      2L -> "the quick brown fix",      // dist 1 from 1
+      3L -> "the quick brwn fox",       // dist 1 from 1, 2 from 2
+      4L -> "a completely different s", // far from all
+      5L -> "x",                        // shorter than q=2: degenerate bucket
+      6L -> "y",                        // dist 1 from 5
+      7L -> "",                         // dist 1 from 5 and 6
+      8L -> "aaaaaaaa",                 // repeated grams
+      9L -> "aaaabaaa",                 // dist 1 from 8
+      10L -> "数据清洗管道",              // unicode
+      11L -> "数据清理管道")              // dist 1 from 10
+    val (fast, naive) = run(rows, d = 2)
+    assert(fast == naive)
+    assert(fast.contains((1L, 2L, 1)) && fast.contains((8L, 9L, 1)) &&
+      fast.contains((10L, 11L, 1)) && fast.contains((5L, 6L, 1)) &&
+      fast.contains((5L, 7L, 1)))
+    assert(!fast.exists { case (a, b, _) => a == 4L || b == 4L })
+  }
+
+  test("pairs at exactly maxDist are kept; maxDist+1 dropped") {
+    val rows = Seq(1L -> "abcdef", 2L -> "abxxef", 3L -> "xyzdef")
+    // d(1,2)=2, d(1,3)=3
+    val (fast, naive) = run(rows, d = 2)
+    assert(fast == naive)
+    assert(fast == Set((1L, 2L, 2)))
+    val (fast3, naive3) = run(rows, d = 3)
+    assert(fast3 == naive3 && fast3.contains((1L, 3L, 3)))
+  }
+
+  test("larger random-ish corpus with planted edits agrees exactly") {
+    // deterministic pseudo-corpus: base words permuted by arithmetic, plus
+    // planted 1..3-edit variants — enough collisions to stress the prefix
+    // buckets without an RNG
+    val base = (0 until 120).map { i =>
+      val w = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+      (i.toLong, s"${w(i % 6)} ${w((i / 6) % 6)} ${w((i / 36) % 6)} tail$i")
+    }
+    val edited = (0 until 40).map { i =>
+      val (idx, s) = base(i * 3 % 120)
+      (1000L + i, s.dropRight(math.min(3, 1 + i % 3)))
+    }
+    val (fast, naive) = run(base ++ edited, d = 3)
+    assert(fast == naive)
+    assert(fast.nonEmpty)
+  }
+}
