@@ -135,6 +135,43 @@ object Eval {
         round(sum(col("n") * abs(col("pos_rate") - col("mean_score"))) /
           sum(col("n")), 6).as("ece"))
 
+  /** Unbiased pass@k estimator (Chen et al. 2021, "Evaluating Large
+    * Language Models Trained on Code", §2.1): per task, given n sampled
+    * attempts of which c passed,
+    *
+    *   pass@k = 1 − C(n−c, k)/C(n, k) = 1 − Π_{i=0..k−1} (n−c−i)/(n−i)
+    *
+    * in the numerically stable product form (no factorials — the paper's
+    * own recommendation). Per requested k: NULL when the task has fewer
+    * than k samples (the estimator is undefined), exactly 1.0 when every
+    * size-k subset must contain a pass (n − c < k), else the product,
+    * rounded to 6. Each factor divides exact integer counts and the
+    * product folds left in a fixed order — engine-reproducible.
+    *
+    * Returns (task_id, n_samples, n_passed, pass_at_<k>…). One
+    * partial-aggregated count pass; the k-products are row-local
+    * arithmetic on the aggregated frame.
+    */
+  def passAtK(df: DataFrame, task: Column, passed: Column,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ > 0), s"need positive ks, got $ks")
+    val g = df.select(task.as("task_id"),
+        when(passed.cast("boolean"), 1L).otherwise(0L).as("p"))
+      .groupBy("task_id")
+      .agg(count(lit(1)).as("n_samples"), sum(col("p")).as("n_passed"))
+    val n = col("n_samples")
+    val c = col("n_passed")
+    ks.foldLeft(g) { (acc, k) =>
+      val prod = (0 until k).map(i =>
+        (n - c - lit(i)).cast("double") / (n - lit(i)).cast("double"))
+        .reduce(_ * _)
+      acc.withColumn(s"pass_at_$k",
+        when(n < k, lit(null).cast("double"))
+          .otherwise(when(n - c < k, 1.0)
+            .otherwise(round(lit(1.0) - prod, 6))))
+    }
+  }
+
   def rocAuc(df: DataFrame, group: Column, label: Column, score: Column,
       nBuckets: Int = 1024): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")

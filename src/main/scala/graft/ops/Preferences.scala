@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Pairwise-preference aggregation — the RLHF/arena data problem: turn a
+  * table of (winner, loser) comparisons into per-item strength scores.
+  * Bradley-Terry model fit by the MM algorithm (Hunter 2004, "MM
+  * algorithms for generalized Bradley-Terry models", Annals of
+  * Statistics): P(i beats j) = s_i/(s_i+s_j), update
+  *
+  *   s_i ← W_i / Σ_j n_ij/(s_i + s_j)
+  *
+  * (W_i = i's total wins, n_ij = comparisons between i and j), then
+  * rescale so Σ s = #items. A fixed iteration count — not an epsilon test —
+  * keeps the result deterministic and engine-reproducible; strengths are
+  * reported rounded to 6 decimals, far above the ~1e-15 float-summation
+  * noise between engines (the PageRank gate's contract).
+  */
+object Preferences {
+
+  /** Fit Bradley-Terry strengths over `iters` MM rounds from a
+    * (winner, loser) comparison table. Ties are not modeled — filter them
+    * out upstream (the standard BT restriction). Self-comparisons are
+    * dropped. Returns (item_id, wins, losses, n_comparisons, strength).
+    * (No rank column: a global rank is a global sort — callers that want
+    * one order by (strength desc, item_id) themselves, and a leaderboard
+    * top-k plans as TakeOrderedAndProject.)
+    *
+    * Scale shape: comparisons collapse ONCE into a per-ordered-pair count
+    * frame (one shuffle over the raw table — the only pass over the big
+    * data); each MM round joins the tiny (item, s) frame onto the pair
+    * counts twice (hash joins on item id), aggregates the denominator by
+    * item, and rescales via a broadcast single-row sum — per-round cost is
+    * O(#distinct pairs), never O(#comparisons). Per-round state is pinned
+    * (localCheckpoint, or reliable `checkpointDir` for production runs)
+    * exactly like the other iterative ops.
+    */
+  def bradleyTerry(comparisons: DataFrame, winner: Column, loser: Column,
+      iters: Int, checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    checkpointDir.foreach(
+      comparisons.sparkSession.sparkContext.setCheckpointDir)
+    def pin(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+
+    // one pass over the raw comparisons → per-ordered-pair win counts
+    val w = pin(comparisons
+      .select(winner.as("i"), loser.as("j"))
+      .filter(col("i").isNotNull && col("j").isNotNull && col("i") =!= col("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("w")))
+    // symmetric comparison counts n_ij (rows for both orientations)
+    val n = pin(w.select(col("i"), col("j"), col("w"))
+      .unionByName(w.select(col("j").as("i"), col("i").as("j"), lit(0L).as("w")))
+      .groupBy("i", "j").agg(sum(col("w")).as("wij"))
+      .join(w.select(col("j").as("i"), col("i").as("j"), col("w").as("wji")),
+        Seq("i", "j"), "left")
+      .select(col("i"), col("j"),
+        (col("wij") + coalesce(col("wji"), lit(0L))).as("nij"),
+        col("wij").as("wins_ij")))
+    val wins = n.groupBy("i").agg(sum(col("wins_ij")).as("wins"),
+      (sum(col("nij")) - sum(col("wins_ij"))).as("losses"),
+      sum(col("nij")).as("n_comparisons"))
+    val nItems = wins.count()
+
+    var s = pin(wins.select(col("i"), lit(1.0).as("s")))
+    for (_ <- 1 to iters) {
+      val joined = n
+        .join(s.select(col("i"), col("s").as("si")), Seq("i"))
+        .join(s.select(col("i").as("j"), col("s").as("sj")), Seq("j"))
+      val denom = joined.groupBy("i")
+        .agg(sum(col("nij").cast("double") / (col("si") + col("sj"))).as("den"))
+      val raw = wins.join(denom, Seq("i"))
+        .select(col("i"), (col("wins").cast("double") / col("den")).as("s"))
+      val total = raw.agg(sum(col("s")).as("tot"))
+      s = pin(raw.crossJoin(broadcast(total))
+        .select(col("i"), (col("s") * nItems.toDouble / col("tot")).as("s")))
+    }
+    wins.join(s, Seq("i"))
+      .select(col("i").as("item_id"), col("wins"), col("losses"),
+        col("n_comparisons"), round(col("s"), 6).as("strength"))
+  }
+}

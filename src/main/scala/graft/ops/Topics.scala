@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus topic exploration: describe embedding-space clusters by their
+  * characteristic terms — the BERTopic recipe (Grootendorst 2022,
+  * "BERTopic: Neural topic modeling with a class-based TF-IDF procedure"),
+  * with the integer-exact quantized k-means standing in for HDBSCAN so the
+  * whole pipeline stays deterministic and SQL-oracle-checkable.
+  *
+  * The use case in a training-data pipeline: after clustering a corpus for
+  * SemDeDup / curriculum / mixture decisions, "what IS cluster 7" needs an
+  * answer a human can read; class-based TF-IDF ranks the terms that
+  * distinguish each cluster from the corpus.
+  */
+object Topics {
+
+  /** Top-`topK` terms per k-means cluster by class-based TF-IDF:
+    *
+    *   score(t, c) = tf_{t,c} · ln(1 + A / f_t)
+    *
+    * where tf_{t,c} = occurrences of term t in cluster c's documents,
+    * f_t = occurrences of t across the whole corpus, and A = average
+    * token count per (non-empty) cluster — BERTopic's c-TF-IDF with its
+    * +1-smoothed idf. Terms are lowercased whitespace tokens (the corpus
+    * tokenization contract shared with the dedup oracles). Scores are
+    * rounded to 6 decimals BEFORE the rank cut; ties break term-ascending.
+    *
+    * Returns (cluster_id, rank, word, tf, score), rank 1..topK.
+    *
+    * Scale shape: clustering is [[Similarity.kmeansQuantized]] (row-local
+    * assignment, k×(dim+1) re-centering partials); tokenization is one
+    * explode; tf and f_t are two partial-aggregated keyed counts (f_t
+    * reuses the tf frame — the corpus is tokenized exactly once); A is a
+    * broadcast single-row aggregate; the rank is a per-cluster window over
+    * the (clusters × vocabulary) score frame — no corpus self-join, and
+    * the ubiquitous-term problem solves itself (f_t large ⇒ idf → ln(1) = 0).
+    */
+  def clusterTopics(docs: DataFrame, docId: Column, text: Column,
+      embeds: DataFrame, vecId: Column, vec: Column,
+      nClusters: Int, iters: Int, dim: Int, topK: Int,
+      scale: Double = 1000.0,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val (assigned, _) = Similarity.kmeansQuantized(
+      embeds, vecId, vec, nClusters, iters, dim, scale, checkpointDir)
+    val toks = docs
+      .select(docId.as("doc_id"),
+        explode(split(trim(lower(text)), "\\s+")).as("word"))
+      .join(assigned.select(col("vec_id").as("doc_id"),
+        col("centroid_id").as("cluster_id")), Seq("doc_id"))
+    val tf = toks.groupBy("cluster_id", "word").agg(count(lit(1)).as("tf"))
+    val ft = tf.groupBy("word").agg(sum("tf").as("f_t"))
+    val a = tf.agg((sum("tf").cast("double") /
+      countDistinct("cluster_id")).as("avg_words"))
+    val scored = tf.join(ft, Seq("word")).crossJoin(broadcast(a))
+      .withColumn("score", round(col("tf").cast("double") *
+        log(lit(1.0) + col("avg_words") / col("f_t").cast("double")), 6))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy(col("cluster_id"))
+        .orderBy(col("score").desc, col("word").asc)))
+      .filter(col("rank") <= topK)
+      .select("cluster_id", "rank", "word", "tf", "score")
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Eval, Graphs, Labels, Retrieval, Similarity}
+import graft.ops.{Eval, Graphs, Labels, Preferences, Retrieval, Similarity, Topics}
 
 /** Search-and-ranking gate queries: link-graph PageRank, BM25 lexical
   * retrieval, and kNN label-noise detection. Every query has a DuckDB
@@ -91,6 +91,42 @@ object SearchQueries {
       Labels.knnLabelCheck(t(s, d, "embeddings"), col("vec_id"),
         col("embedding"), col("label"),
         k = 5, nClusters = 8, nProbe = 2, iters = 2, dim = 64)),
+
+    // pass@k over events-as-eval-runs: task = user, attempt passes when
+    // value > 100 (~18% pass rate), k = 1/5/10 — exercises the NULL
+    // (n < k), saturated (n - c < k) and product paths
+    "pipe_pass_at_k" -> ((s, d) =>
+      Eval.passAtK(t(s, d, "events").select("user_id", "value"),
+        col("user_id"), col("value") > 100.0, ks = Seq(1, 5, 10))),
+
+    // Bradley-Terry strengths over event-type "arena battles": each user's
+    // consecutive events (event_id order) fight, higher value wins, ties
+    // and same-type pairs are skipped; 5 MM rounds
+    "pipe_bradley_terry" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("event_id"))
+      val battles = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+          lead(col("event_type"), 1).over(w).as("opp_type"),
+          lead(col("value"), 1).over(w).as("opp_value"))
+        .filter(col("opp_type").isNotNull && col("event_type") =!= col("opp_type")
+          && col("value") =!= col("opp_value"))
+        .select(
+          when(col("value") > col("opp_value"), col("event_type"))
+            .otherwise(col("opp_type")).as("winner"),
+          when(col("value") > col("opp_value"), col("opp_type"))
+            .otherwise(col("event_type")).as("loser"))
+      Preferences.bradleyTerry(battles, col("winner"), col("loser"), iters = 5)
+    }),
+
+    // cluster topic report: the same 8-cell / 2-round quantized k-means as
+    // the other embedding gates, each cluster described by its top-5
+    // c-TF-IDF terms over the documents sharing the cluster's ids
+    "pipe_cluster_topics" -> ((s, d) =>
+      Topics.clusterTopics(
+        t(s, d, "documents"), col("doc_id"), col("text"),
+        t(s, d, "embeddings"), col("vec_id"), col("embedding"),
+        nClusters = 8, iters = 2, dim = 64, topK = 5)),
 
     // hybrid retrieval: BM25 top-10 + exact-cosine top-10 per query,
     // reciprocal-rank-fused (rrfK = 60), top-8 kept. Queries pair the
@@ -401,6 +437,100 @@ object SearchQueries {
          |FROM embeddings e
          |LEFT JOIN stats s ON s.vec_id = e.vec_id
          |LEFT JOIN majority m ON m.vec_id = e.vec_id""".stripMargin,
+
+    // pass@k: per-task counts, then the unrolled stable product per k
+    "pipe_pass_at_k" -> {
+      def term(k: Int): String =
+        (0 until k).map(i => s"((n - c - $i)::DOUBLE / (n - $i)::DOUBLE)")
+          .mkString(" * ")
+      def pk(k: Int): String =
+        s"""CASE WHEN n < $k THEN NULL
+           |     WHEN n - c < $k THEN 1.0
+           |     ELSE round(1.0 - (${term(k)}), 6) END AS pass_at_$k""".stripMargin
+      s"""WITH g AS (
+         |  SELECT user_id AS task_id, count(*) AS n,
+         |         CAST(sum(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS c
+         |  FROM events GROUP BY user_id)
+         |SELECT task_id, n AS n_samples, c AS n_passed,
+         |       ${pk(1)}, ${pk(5)}, ${pk(10)}
+         |FROM g""".stripMargin
+    },
+
+    // Bradley-Terry: same battle derivation, then 5 unrolled MM rounds —
+    // each: denominator join, raw update, rescale to sum = #items
+    "pipe_bradley_terry" -> {
+      def round_(r: Int): String = {
+        val prev = if (r == 1) "s0" else s"s${r - 1}"
+        s"""d$r AS MATERIALIZED (SELECT n.i, sum(n.nij::DOUBLE / (a.s + b.s)) AS den
+           |        FROM n JOIN $prev a ON a.i = n.i JOIN $prev b ON b.i = n.j
+           |        GROUP BY n.i),
+           |r$r AS MATERIALIZED (SELECT w.i, w.wins::DOUBLE / d$r.den AS s
+           |        FROM wins w JOIN d$r ON d$r.i = w.i),
+           |s$r AS MATERIALIZED (SELECT i, s * (SELECT ni FROM cnt)::DOUBLE / (SELECT tot FROM (SELECT sum(s) AS tot FROM r$r)) AS s
+           |        FROM r$r)""".stripMargin
+      }
+      s"""WITH b AS (
+         |  SELECT CASE WHEN value > opp_value THEN event_type ELSE opp_type END AS winner,
+         |         CASE WHEN value > opp_value THEN opp_type ELSE event_type END AS loser
+         |  FROM (SELECT user_id, event_id, event_type, value,
+         |          lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS opp_type,
+         |          lead(value) OVER (PARTITION BY user_id ORDER BY event_id) AS opp_value
+         |        FROM events)
+         |  WHERE opp_type IS NOT NULL AND event_type <> opp_type AND value <> opp_value),
+         |w AS (SELECT winner AS i, loser AS j, count(*) AS w FROM b GROUP BY winner, loser),
+         |n AS (
+         |  SELECT coalesce(a.i, b.i) AS i, coalesce(a.j, b.j) AS j,
+         |         coalesce(a.w, 0) + coalesce(b.w, 0) AS nij,
+         |         coalesce(a.w, 0) AS wij
+         |  FROM w a FULL JOIN (SELECT j AS i, i AS j, w FROM w) b
+         |    ON a.i = b.i AND a.j = b.j),
+         |wins AS (SELECT i, CAST(sum(wij) AS BIGINT) AS wins,
+         |           CAST(sum(nij) - sum(wij) AS BIGINT) AS losses,
+         |           CAST(sum(nij) AS BIGINT) AS ncmp
+         |         FROM n GROUP BY i),
+         |cnt AS (SELECT count(*) AS ni FROM wins),
+         |s0 AS (SELECT i, 1.0::DOUBLE AS s FROM wins),
+         |${round_(1)},
+         |${round_(2)},
+         |${round_(3)},
+         |${round_(4)},
+         |${round_(5)}
+         |SELECT w.i AS item_id, w.wins, w.losses, w.ncmp AS n_comparisons,
+         |       round(s5.s, 6) AS strength
+         |FROM wins w JOIN s5 ON s5.i = w.i""".stripMargin
+    },
+
+    // c-TF-IDF topics: replay the 2-round kmeans, assign, tokenize docs,
+    // score tf·ln(1 + avg_cluster_tokens/f_t), rank per cluster on the
+    // ROUNDED score (the operator's rank-after-round contract)
+    "pipe_cluster_topics" ->
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> round(x * 1000)) AS qv
+         |           FROM embeddings),
+         |c0 AS (SELECT vec_id AS centroid_id, qv AS cv FROM q
+         |       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+         |${PipelineQueries.duckKmeansRound("c0", "a0", "c1")},
+         |${PipelineQueries.duckKmeansRound("c1", "a1", "c2")},
+         |asg AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT q.vec_id, c.centroid_id,
+         |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |             list_sum(list_transform(q.qv, (x, i) -> (x - c.cv[i]) * (x - c.cv[i]))) ASC,
+         |             c.centroid_id ASC) AS prn
+         |    FROM q CROSS JOIN c2 c) WHERE prn = 1),
+         |toks AS (
+         |  SELECT a.centroid_id AS cluster_id,
+         |         unnest(string_split_regex(trim(lower(d.text)), '\\s+')) AS word
+         |  FROM documents d JOIN asg a ON a.vec_id = d.doc_id),
+         |tf AS (SELECT cluster_id, word, count(*) AS tf FROM toks GROUP BY cluster_id, word),
+         |ft AS (SELECT word, sum(tf) AS f_t FROM tf GROUP BY word),
+         |aa AS (SELECT sum(tf)::DOUBLE / count(DISTINCT cluster_id) AS avg_words FROM tf),
+         |sc AS (SELECT t.cluster_id, t.word, t.tf,
+         |         round(t.tf::DOUBLE * ln(1.0 + aa.avg_words / f.f_t::DOUBLE), 6) AS score
+         |       FROM tf t JOIN ft f USING (word) CROSS JOIN aa)
+         |SELECT cluster_id, CAST(rnk AS INTEGER) AS rank, word, tf, score
+         |FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |        ORDER BY score DESC, word ASC) AS rnk FROM sc)
+         |WHERE rnk <= 5""".stripMargin,
 
     // hybrid RRF: BM25 top-10 (the shared CTE) + cosine top-10 per query,
     // score = Σ 1/(60 + rank) rounded to 9 before the fused ranking

@@ -139,4 +139,29 @@ class EvalSpec extends AnyFunSuite {
     assert(auc(rows, nBuckets = 1) == auc(rows, nBuckets = 1024))
     assert(auc(rows, nBuckets = 7) == auc(rows, nBuckets = 64))
   }
+
+  // ---- passAtK ----
+
+  test("passAtK: combinatorial identity, saturation, and undefined cases") {
+    // task 0: n=5, c=2 → pass@3 = 1 − C(3,3)/C(5,3) = 1 − 1/10 = 0.9
+    // task 1: n=5, c=0 → pass@k = 0 for all k ≤ 5
+    // task 2: n=5, c=3 → n−c=2 < 3 → pass@3 = 1 exactly
+    // task 3: n=2 → pass@3 undefined (NULL), pass@1 = 1 − 1/2
+    val rows =
+      (1 to 5).map(i => (0L, i <= 2)) ++
+      (1 to 5).map(_ => (1L, false)) ++
+      (1 to 5).map(i => (2L, i <= 3)) ++
+      (1 to 2).map(i => (3L, i <= 1))
+    val df = rows.toDF("task", "ok")
+    val out = Eval.passAtK(df, col("task"), col("ok"), ks = Seq(1, 3))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getDouble(4) == 0.9)
+    assert(out(1L).getDouble(3) == 0.0 && out(1L).getDouble(4) == 0.0)
+    assert(out(2L).getDouble(4) == 1.0)
+    assert(out(3L).isNullAt(4))
+    assert(out(3L).getDouble(3) == 0.5)
+    // pass@1 is just c/n
+    assert(out(0L).getDouble(3) == BigDecimal(1.0 - 3.0 / 5)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }

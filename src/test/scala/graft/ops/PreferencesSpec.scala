@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Hand-computed MM-update contracts for Bradley-Terry; the oracle gate
+  * (pipe_bradley_terry) pins the 5-round fit against DuckDB at corpus
+  * shape.
+  */
+class PreferencesSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("one MM round on a 2-item duel matches the hand calculation") {
+    // A beats B 3×, B beats A 1×: W_A=3, W_B=1, n_AB=4, s⁰=(1,1)
+    // den_A = 4/(1+1) = 2 → raw_A = 3/2, raw_B = 1/2; Σraw = 2 = #items
+    // → s¹ = (1.5, 0.5) exactly
+    val battles = (Seq.fill(3)(("A", "B")) ++ Seq(("B", "A")))
+      .toDF("w", "l")
+    val out = Preferences.bradleyTerry(battles, col("w"), col("l"), iters = 1)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("A").getLong(1) == 3 && out("A").getLong(2) == 1)
+    assert(out("A").getLong(3) == 4 && out("B").getLong(3) == 4)
+    assert(out("A").getDouble(4) == 1.5 && out("B").getDouble(4) == 0.5)
+  }
+
+  test("converges toward the odds ratio and keeps Σs = #items") {
+    // with only A-vs-B data the MLE satisfies s_A/s_B = 3
+    val battles = (Seq.fill(30)(("A", "B")) ++ Seq.fill(10)(("B", "A")))
+      .toDF("w", "l")
+    val out = Preferences.bradleyTerry(battles, col("w"), col("l"), iters = 20)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(math.abs(out("A") / out("B") - 3.0) < 1e-3)
+    assert(math.abs(out("A") + out("B") - 2.0) < 1e-6)
+  }
+
+  test("transitive strengths order A > B > C; ties/self-pairs are dropped") {
+    val battles = (Seq.fill(4)(("A", "B")) ++ Seq.fill(1)(("B", "A")) ++
+      Seq.fill(4)(("B", "C")) ++ Seq.fill(1)(("C", "B")) ++
+      Seq.fill(2)(("A", "C")) ++ Seq(("A", "A"))) // self-pair ignored
+      .toDF("w", "l")
+    val out = Preferences.bradleyTerry(battles, col("w"), col("l"), iters = 10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("A").getDouble(4) > out("B").getDouble(4))
+    assert(out("B").getDouble(4) > out("C").getDouble(4))
+    // self-pair contributed nothing
+    assert(out("A").getLong(3) == 4 + 1 + 2)
+    val total = out.values.map(_.getDouble(4)).sum
+    assert(math.abs(total - 3.0) < 1e-5)
+  }
+}

@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Planted-structure contract for the c-TF-IDF cluster topic report; the
+  * oracle gate (pipe_cluster_topics) pins the full kmeans+scoring pipeline
+  * against DuckDB at corpus shape.
+  */
+class TopicsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("two planted clusters surface their distinctive vocabulary first") {
+    // embeddings split cleanly at ±1 on dim 0; cluster-specific vocab
+    // ("kernel…" vs "recipe…") plus shared filler words on both sides
+    val emb = ((0L until 8L).map(i => (i, Seq(1.0f, 0.0f))) ++
+      (8L until 16L).map(i => (i, Seq(-1.0f, 0.0f)))).toDF("vec_id", "embedding")
+    val docs = ((0L until 8L).map(i =>
+        (i, "kernel scheduler interrupt the the common")) ++
+      (8L until 16L).map(i =>
+        (i, "recipe butter oven the the common"))).toDF("doc_id", "text")
+    val out = Topics.clusterTopics(docs, col("doc_id"), col("text"),
+        emb, col("vec_id"), col("embedding"),
+        nClusters = 2, iters = 3, dim = 2, topK = 3)
+      .collect()
+    assert(out.length == 6)
+    val byCluster = out.groupBy(_.getLong(0))
+    assert(byCluster.size == 2)
+    for ((_, rows) <- byCluster) {
+      val words = rows.sortBy(_.getInt(1)).map(_.getString(2)).toSeq
+      // the ubiquitous words score ln(1) ≈ 0 — never in the top 3
+      assert(!words.contains("the") && !words.contains("common"))
+      assert(words.toSet.subsetOf(Set("kernel", "scheduler", "interrupt")) ||
+        words.toSet.subsetOf(Set("recipe", "butter", "oven")))
+    }
+    // ranks are 1..topK with scores non-increasing
+    for ((_, rows) <- byCluster) {
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == Seq(1, 2, 3))
+      val scores = sorted.map(_.getDouble(4)).toSeq
+      assert(scores == scores.sorted.reverse)
+    }
+  }
+}
