@@ -56,5 +56,7 @@ object SparkEntry {
     "pipe_corpus_report_sketch",
     "pipe_hybrid_retrieval", "pipe_classifier_eval", "pipe_lm_kneser_ney",
     "pipe_entropy", "pipe_media_neardup", "pipe_image_gate", "pipe_exif",
-    "pipe_dedup_lsh_incremental")
+    "pipe_dedup_lsh_incremental",
+    "pipe_bleu", "pipe_chrf", "pipe_edit_join", "pipe_cluster_topics",
+    "pipe_bradley_terry", "pipe_conversations", "pipe_span_corrupt")
 }

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Assemble event logs into conversation transcripts — the SFT/chat-format
+  * data problem: a raw interaction log becomes (conversation, ordered
+  * turns, rendered transcript, token budget) rows a fine-tuning pipeline
+  * consumes. Batch twin of the streaming gap sessionizer
+  * ([[graft.streaming.EventStreams.sessionize]]): same inactivity-gap
+  * session rule, expressed as a window cumsum instead of explicit state.
+  */
+object Conversations {
+
+  /** Gap-based conversation assembly: per `who`, events sorted by
+    * (`at`, `turnId`) start a new conversation when the gap from the
+    * previous event exceeds `gapMinutes`. Each conversation returns one
+    * row:
+    *
+    *  - `conv_id`: who's id × 1e6 + the 0-based session index (one id
+    *    space, stable under corpus growth of OTHER users);
+    *  - `n_turns`, `started_at`, `ended_at`;
+    *  - `turns`: the ordered array of (role, text) structs;
+    *  - `transcript`: "role: text" lines joined by '\n' — the plain chat
+    *    template (swap via `render`);
+    *  - `n_tokens`: whitespace token count of the transcript.
+    *
+    * Scale shape: ONE hash shuffle on `who`; the gap flags, session cumsum,
+    * and per-conversation assembly are per-user window passes over that
+    * same partitioning (exchange reused); collect_list is bounded by a
+    * user's events in one gap-window, and the final rows are one
+    * conversation each. The session-index cumsum is exactly the SQL
+    * `sum(gap_flag) over (partition by user order by ts)` every engine
+    * runs — oracle-replayable.
+    */
+  def assemble(events: DataFrame, who: Column, at: Column, turnId: Column,
+      role: Column, text: Column, gapMinutes: Int = 30,
+      render: (Column, Column) => Column =
+        (r, t) => concat(r, lit(": "), t)): DataFrame = {
+    require(gapMinutes > 0, s"gapMinutes must be positive, got $gapMinutes")
+    val byUser = Window.partitionBy(col("who")).orderBy(col("at"), col("turn_id"))
+    val base = events.select(who.as("who"), at.as("at"), turnId.as("turn_id"),
+      role.as("role"), text.as("text"))
+    val flagged = base
+      .withColumn("prev_at", lag(col("at"), 1).over(byUser))
+      .withColumn("new_conv",
+        // exact microsecond arithmetic (unix_micros ≡ DuckDB epoch_us) —
+        // unix_timestamp truncates to seconds and would misjudge
+        // sub-second gaps differently than the oracle
+        when(col("prev_at").isNull, 1L)
+          .otherwise((unix_micros(col("at").cast("timestamp")) -
+            unix_micros(col("prev_at").cast("timestamp")) >
+            gapMinutes * 60_000_000L).cast("long")))
+      .withColumn("conv_idx", sum(col("new_conv")).over(byUser) - 1L)
+    flagged
+      .groupBy(col("who"), col("conv_idx"))
+      .agg(count(lit(1)).as("n_turns"),
+        min(col("at")).as("started_at"),
+        max(col("at")).as("ended_at"),
+        // sort_array over (at, turn_id, role, text) pins turn order —
+        // collect_list alone orders by partition arrival
+        sort_array(collect_list(struct(col("at"), col("turn_id"), col("role"),
+          col("text")))).as("__ordered"))
+      .withColumn("turns", transform(col("__ordered"),
+        t => struct(t.getField("role").as("role"), t.getField("text").as("text"))))
+      .withColumn("transcript", array_join(transform(col("__ordered"),
+        t => render(t.getField("role"), t.getField("text"))), "\n"))
+      .withColumn("n_tokens",
+        size(split(trim(col("transcript")), "\\s+")).cast("long"))
+      .select((col("who") * 1000000L + col("conv_idx")).as("conv_id"),
+        col("who"), col("n_turns"), col("started_at"), col("ended_at"),
+        col("turns"), col("transcript"), col("n_tokens"))
+  }
+
+  /** Conversation-level curation gates for SFT data: length and turn
+    * bounds plus a required-role check (a transcript with no `requiredRole`
+    * turn — e.g. no assistant reply — trains nothing). Row-local; composes
+    * with [[Provenance.AuditedPipeline]] for drop-reason ledgers.
+    */
+  def gate(convs: DataFrame, minTurns: Int, maxTurns: Int,
+      maxTokens: Long, requiredRole: String): DataFrame =
+    convs.filter(col("n_turns") >= minTurns && col("n_turns") <= maxTurns &&
+      col("n_tokens") <= maxTokens &&
+      exists(col("turns"), t => t.getField("role") === requiredRole))
+}

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Pairwise-preference aggregation — the RLHF/arena data problem: turn a
   * table of (winner, loser) comparisons into per-item strength scores.
@@ -79,5 +80,31 @@ object Preferences {
     wins.join(s, Seq("i"))
       .select(col("i").as("item_id"), col("wins"), col("losses"),
         col("n_comparisons"), round(col("s"), 6).as("strength"))
+  }
+
+  /** Best-of-n selection over scored samples — rejection sampling /
+    * distillation data prep (pick the top completion per prompt by reward
+    * score): per task, the argmax sample by (score desc, sample id asc),
+    * with the score margin over the runner-up (NULL for singleton tasks —
+    * a margin that doesn't exist is not 0). Returns (task_id, best_id,
+    * best_score, margin, n_samples).
+    *
+    * One hash shuffle on task; the pick and the runner-up come from the
+    * same per-task window pass (rank + lead share the sort).
+    */
+  def bestOfN(samples: DataFrame, task: Column, sampleId: Column,
+      score: Column): DataFrame = {
+    val w = Window.partitionBy(col("task_id"))
+      .orderBy(col("score").desc, col("sample_id").asc)
+    samples
+      .select(task.as("task_id"), sampleId.as("sample_id"), score.as("score"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("runner_up", lead(col("score"), 1).over(w))
+      .withColumn("n_samples", count(lit(1)).over(Window.partitionBy(col("task_id"))))
+      .filter(col("rn") === 1)
+      .select(col("task_id"), col("sample_id").as("best_id"),
+        col("score").as("best_score"),
+        (col("score") - col("runner_up")).as("margin"),
+        col("n_samples"))
   }
 }

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Denoising-objective example generation — the T5 span-corruption recipe
+  * (Raffel et al. 2020, §3.1.4): mask contiguous token spans with sentinel
+  * tokens, train the model to emit the masked spans after their sentinels.
+  * This is a DATA op (each document row becomes one (input, target) pair);
+  * the variant here is deterministic and engine-replayable where T5's is
+  * sequentially sampled:
+  *
+  *  - the token sequence is cut into fixed BLOCKS of `blockSize` tokens;
+  *  - each block independently decides corruption via seeded md5
+  *    arithmetic on (seed, id, block) — the [[Curation.hashUniform]]
+  *    keep/drop machinery, so the same doc masks identically on any
+  *    cluster size, any engine, any rerun;
+  *  - a corrupted block masks ONE `spanLen`-token span at an md5-chosen
+  *    offset (blocks shorter than spanLen+1 never corrupt — a span never
+  *    swallows a whole block).
+  *
+  * Expected masked fraction ≈ rate·spanLen/blockSize (T5's 15% at
+  * rate=0.8, spanLen=3, blockSize=16). Block-independence trades T5's
+  * exact corruption-rate bookkeeping for reproducibility and row-local
+  * scale — no sequential sampling state, every decision replayable in SQL.
+  */
+object Synthetic {
+
+  /** Produce (id, input_text, target_text, n_spans, n_tokens, n_masked)
+    * from (id, text). Input text: each masked span replaced by its
+    * sentinel `<extra_id_k>` (k = 0-based span index in document order);
+    * target: sentinel + original span per masked span, terminated by the
+    * next sentinel (the T5 target format). Documents with no corrupted
+    * block emit the original text and an empty-terminator target.
+    *
+    * Entirely row-local (one codegen'd projection per doc — HOFs over the
+    * token array, no explode/join/shuffle); corpus-scale cost is the scan.
+    */
+  def spanCorrupt(df: DataFrame, id: Column, text: Column,
+      blockSize: Int = 16, spanLen: Int = 3, rate: Double = 0.8,
+      seed: String = "span"): DataFrame = {
+    require(blockSize > spanLen && spanLen > 0 && rate >= 0 && rate <= 1,
+      s"need blockSize > spanLen > 0, rate in [0,1]; got $blockSize, $spanLen, $rate")
+    val threshold = (rate * 4294967296.0).toLong
+    val toks = split(trim(text), "\\s+")
+
+    def blockKey(docId: Column, k: Column, tag: String): Column =
+      Curation.hashUniform(concat(lit(s"$seed:"), docId.cast("string"),
+        lit(":"), k.cast("string"), lit(tag)))
+
+    val base = df.select(id.as("id"), toks.as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("nb", ceil(col("n").cast("double") / blockSize).cast("int"))
+    // per block: (corrupt?, 0-based offset of the span inside the block)
+    val withDecisions = base.withColumn("dec",
+      transform(sequence(lit(0), col("nb") - 1), k => {
+        val blockLen = least(lit(blockSize), col("n") - k * blockSize)
+        val eligible = blockLen >= spanLen + 1
+        val corrupt = eligible &&
+          blockKey(col("id"), k, "") < threshold
+        // guard: ineligible blocks would pmod by <= 0 (null); their offset
+        // is never used, pin it to 0 so both engines agree bit-for-bit
+        val off = when(eligible,
+          pmod(blockKey(col("id"), k, ":o"), (blockLen - spanLen + 1).cast("long")))
+          .otherwise(lit(0L))
+        struct(corrupt.as("c"), off.cast("int").as("o"))
+      }))
+    // sentinel index per block = corrupted blocks before it (0-based)
+    val withIdx = withDecisions.withColumn("sidx",
+      transform(sequence(lit(0), col("nb") - 1), k =>
+        size(filter(slice(col("dec"), lit(1), k), d => d.getField("c")))))
+    def blockToks(k: Column): Column = {
+      val blockLen = least(lit(blockSize), col("n") - k * blockSize)
+      slice(col("toks"), k * blockSize + 1, blockLen)
+    }
+    def sentinel(i: Column): Column =
+      concat(lit("<extra_id_"), i.cast("string"), lit(">"))
+    val inputToks = flatten(transform(sequence(lit(0), col("nb") - 1), k => {
+      val d = element_at(col("dec"), k + 1)
+      val s = element_at(col("sidx"), k + 1)
+      val bt = blockToks(k)
+      when(d.getField("c"),
+        concat(slice(bt, lit(1), d.getField("o")), array(sentinel(s)),
+          slice(bt, d.getField("o") + spanLen + 1,
+            size(bt) - d.getField("o") - spanLen)))
+        .otherwise(bt)
+    }))
+    val nSpans = size(filter(col("dec"), d => d.getField("c")))
+    val targetToks = concat(
+      flatten(transform(filter(sequence(lit(0), col("nb") - 1), k =>
+        element_at(col("dec"), k + 1).getField("c")), k => {
+        val d = element_at(col("dec"), k + 1)
+        val s = element_at(col("sidx"), k + 1)
+        concat(array(sentinel(s)),
+          slice(blockToks(k), d.getField("o") + 1, lit(spanLen)))
+      })),
+      array(sentinel(nSpans))) // terminator sentinel
+    withIdx.select(col("id"),
+      array_join(inputToks, " ").as("input_text"),
+      array_join(targetToks, " ").as("target_text"),
+      nSpans.as("n_spans"),
+      col("n").cast("long").as("n_tokens"),
+      (nSpans * spanLen).cast("long").as("n_masked"))
+  }
+}

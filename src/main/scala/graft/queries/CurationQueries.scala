@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{AuditedPipeline, Curation, TextAnalysis}
+import graft.ops.{AuditedPipeline, Conversations, Curation, Synthetic, TextAnalysis}
 
 /** Dataset-curation operators as gate queries over the documents table —
   * decontamination, deterministic sampling, repetition metrics, PII
@@ -35,6 +35,33 @@ object CurationQueries {
     when(col("doc_id") % 13 === 0, lit(" call +1 555 123 4567")).otherwise(""))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // chat/SFT conversation assembly: 10-hour inactivity gap splits each
+    // user's event log into conversations with ordered transcripts (the
+    // turns array is exercised by the gate twin; this gate pins the
+    // rendered transcript, which fixes turn order anyway)
+    "pipe_conversations" -> ((s, d) =>
+      Conversations.assemble(CoreQueries.events(s, d), col("user_id"),
+        col("ts"), col("event_id"), col("event_type"), col("props"),
+        gapMinutes = 600)
+        .select("conv_id", "who", "n_turns", "started_at", "ended_at",
+          "transcript", "n_tokens")),
+
+    // T5 span corruption: 16-token blocks, 3-token spans, rate 0.5 —
+    // every mask decision is seeded md5 arithmetic the oracle replays
+    "pipe_span_corrupt" -> ((s, d) =>
+      Synthetic.spanCorrupt(t(s, d, "documents"), col("doc_id"), col("text"),
+        blockSize = 16, spanLen = 3, rate = 0.5, seed = "span")),
+
+    // the SFT curation gate over assembled conversations: 2..40 turns,
+    // token budget, and at least one 'click' turn (the required-role rule)
+    "pipe_conversations_gate" -> ((s, d) =>
+      Conversations.gate(
+        Conversations.assemble(CoreQueries.events(s, d), col("user_id"),
+          col("ts"), col("event_id"), col("event_type"), col("props"),
+          gapMinutes = 600),
+        minTurns = 2, maxTurns = 40, maxTokens = 120, requiredRole = "click")
+        .select("conv_id", "who", "n_turns", "n_tokens")),
+
     // benchmark decontamination: src0 is the "benchmark", the rest is the
     // training corpus; flag corpus docs sharing any 5-gram with src0
     "pipe_decontaminate" -> ((s, d) => {
@@ -515,7 +542,84 @@ object CurationQueries {
        |      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', ' ', 'g')),
        |    '\\s+', ' ', 'g'))""".stripMargin
 
+  // shared conversation-assembly CTE chain: gap flags -> session cumsum ->
+  // per-conversation aggregation (ordered string_agg = the transcript)
+  private val duckConvCtes =
+    """WITH f AS (
+      |  SELECT user_id, ts, event_id, event_type, props,
+      |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |g AS (SELECT *, CASE WHEN prev_ts IS NULL THEN 1
+      |                     WHEN epoch_us(ts) - epoch_us(prev_ts) > 36000000000 THEN 1
+      |                     ELSE 0 END AS nc FROM f),
+      |h AS (SELECT *, sum(nc) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                              ROWS UNBOUNDED PRECEDING) - 1 AS ci FROM g),
+      |conv AS (
+      |  SELECT user_id * 1000000 + ci AS conv_id, user_id AS who,
+      |         count(*) AS n_turns, min(ts) AS started_at, max(ts) AS ended_at,
+      |         string_agg(event_type || ': ' || props, chr(10) ORDER BY ts, event_id) AS transcript,
+      |         bool_or(event_type = 'click') AS has_click
+      |  FROM h GROUP BY user_id, ci),
+      |convt AS (
+      |  SELECT *, CAST(len(string_split_regex(trim(transcript), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM conv)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "pipe_conversations" ->
+      s"""$duckConvCtes
+         |SELECT conv_id, who, n_turns, started_at, ended_at, transcript, n_tokens
+         |FROM convt""".stripMargin,
+
+    "pipe_conversations_gate" ->
+      s"""$duckConvCtes
+         |SELECT conv_id, who, n_turns, n_tokens
+         |FROM convt
+         |WHERE n_turns BETWEEN 2 AND 40 AND n_tokens <= 120 AND has_click""".stripMargin,
+
+    // span corruption: replay every md5 block decision, offset, sentinel
+    // index, and the input/target reassembly in list arithmetic.
+    // list_slice is (start, stop) INCLUSIVE here vs Spark's (start, len).
+    "pipe_span_corrupt" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |           FROM documents),
+        |b AS (SELECT doc_id, toks, len(toks) AS n,
+        |        CAST(ceil(len(toks)::DOUBLE / 16) AS INTEGER) AS nb FROM t),
+        |d AS (SELECT *, list_transform(range(0, nb), k -> struct_pack(
+        |        c := least(16, n - k*16) >= 4 AND
+        |             ('0x'||substr(md5('span:'||doc_id||':'||k),1,8))::BIGINT < 2147483648,
+        |        o := CASE WHEN least(16, n - k*16) >= 4
+        |               THEN ('0x'||substr(md5('span:'||doc_id||':'||k||':o'),1,8))::BIGINT
+        |                    % (least(16, n - k*16) - 2)
+        |               ELSE 0 END)) AS dec
+        |      FROM b),
+        |s AS (SELECT *, list_transform(range(0, nb),
+        |        k -> len(list_filter(list_slice(dec, 1, k), x -> x.c))) AS sidx
+        |      FROM d),
+        |asm AS (
+        |  SELECT doc_id, n, dec,
+        |    flatten(list_transform(range(0, nb), k ->
+        |      CASE WHEN dec[k+1].c THEN
+        |        list_concat(list_concat(
+        |          list_slice(list_slice(toks, k*16+1, least((k+1)*16, n)), 1, dec[k+1].o),
+        |          ['<extra_id_'||sidx[k+1]||'>']),
+        |          list_slice(list_slice(toks, k*16+1, least((k+1)*16, n)),
+        |                     dec[k+1].o + 4,
+        |                     len(list_slice(toks, k*16+1, least((k+1)*16, n)))))
+        |      ELSE list_slice(toks, k*16+1, least((k+1)*16, n)) END)) AS input_toks,
+        |    list_concat(
+        |      flatten(list_transform(list_filter(range(0, nb), k -> dec[k+1].c), k ->
+        |        list_concat(['<extra_id_'||sidx[k+1]||'>'],
+        |          list_slice(list_slice(toks, k*16+1, least((k+1)*16, n)),
+        |                     dec[k+1].o + 1, dec[k+1].o + 3)))),
+        |      ['<extra_id_'||len(list_filter(dec, x -> x.c))||'>']) AS target_toks
+        |  FROM s)
+        |SELECT doc_id AS id, array_to_string(input_toks, ' ') AS input_text,
+        |       array_to_string(target_toks, ' ') AS target_text,
+        |       CAST(len(list_filter(dec, x -> x.c)) AS INTEGER) AS n_spans,
+        |       CAST(n AS BIGINT) AS n_tokens,
+        |       CAST(len(list_filter(dec, x -> x.c)) * 3 AS BIGINT) AS n_masked
+        |FROM asm""".stripMargin,
+
     // quantile_cont interpolates exactly like Spark's exact percentile
     // (the q23 parity); round(…, 4) absorbs the last-ulp interpolation
     // difference in the clamped values

@@ -99,6 +99,13 @@ object SearchQueries {
       Eval.passAtK(t(s, d, "events").select("user_id", "value"),
         col("user_id"), col("value") > 100.0, ks = Seq(1, 5, 10))),
 
+    // best-of-n: per user-task, the top event by (value desc, event_id asc)
+    // with the margin over the runner-up
+    "pipe_best_of_n" -> ((s, d) =>
+      graft.ops.Preferences.bestOfN(
+        t(s, d, "events").select("user_id", "event_id", "value"),
+        col("user_id"), col("event_id"), col("value"))),
+
     // Bradley-Terry strengths over event-type "arena battles": each user's
     // consecutive events (event_id order) fight, higher value wins, ties
     // and same-type pairs are skipped; 5 MM rounds
@@ -455,6 +462,19 @@ object SearchQueries {
          |       ${pk(1)}, ${pk(5)}, ${pk(10)}
          |FROM g""".stripMargin
     },
+
+    "pipe_best_of_n" ->
+      """WITH r AS (
+        |  SELECT user_id AS task_id, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY value DESC, event_id ASC) AS rn,
+        |         lead(value) OVER (PARTITION BY user_id
+        |           ORDER BY value DESC, event_id ASC) AS runner_up,
+        |         count(*) OVER (PARTITION BY user_id) AS n_samples
+        |  FROM events)
+        |SELECT task_id, event_id AS best_id, value AS best_score,
+        |       value - runner_up AS margin, n_samples
+        |FROM r WHERE rn = 1""".stripMargin,
 
     // Bradley-Terry: same battle derivation, then 5 unrolled MM rounds —
     // each: denominator join, raw update, rescale to sum = #items

@@ -522,6 +522,76 @@ object ScaleProbe {
     println(s"  shard sizes: ${shardSizes.getLong(0)}..${shardSizes.getLong(1)} " +
       s"(want ±1 around ${n / 256})")
 
+    println(s"== generation-eval scoring (one native pass per pair) ==")
+    // word-ish synthetic pairs: ~40 "words" each, ref = cand with a tail
+    // perturbation so clipping and the brevity penalty both engage
+    val gePairs = spark.range(math.min(n / 10, 2_000_000L)).select(
+      col("id"),
+      concat_ws(" ", (0 until 40).map(j =>
+        concat(lit("w"), ((col("id") + j) % 997).cast("string"))): _*).as("cand"),
+      concat_ws(" ", (0 until 36).map(j =>
+        concat(lit("w"), ((col("id") + j) % 997).cast("string"))): _*).as("ref"))
+    val geBleu = time(f"sentenceBleu (${math.min(n / 10, 2_000_000L)}%,d pairs × ~40 words)") {
+      graft.ops.GenEval.sentenceBleu(gePairs, col("id"), col("cand"), col("ref"))
+        .agg(sum("bleu")).head().getDouble(0)
+    }
+    println(f"  mean bleu ${geBleu / math.min(n / 10, 2_000_000L)}%.4f")
+    time(f"chrF (${math.min(n / 20, 1_000_000L)}%,d pairs, char 1..6-grams)") {
+      graft.ops.GenEval.chrF(gePairs.limit(math.min(n / 20, 1_000_000L).toInt),
+        col("id"), col("cand"), col("ref"))
+        .agg(sum("chrf")).head().getDouble(0)
+    }
+
+    println(s"== edit-distance join (q-gram prefix filter, never all-pairs) ==")
+    // diverse three-word strings (the realistic title/URL-slug case — most
+    // pairs are many edits apart) + planted 1-edit typos. An adversarial
+    // all-strings-near-each-other corpus is OUTPUT-size-dominated (the true
+    // pair set itself is huge) — no exact join beats its own output.
+    val edN = math.min(n / 20, 1_000_000L)
+    def edWords(id: Column) = concat_ws(" ",
+      concat(lit("w"), ((id * 7919) % 104729).cast("string")),
+      concat(lit("w"), ((id * 104729 + 13) % 7919).cast("string")),
+      concat(lit("w"), ((id * 31 + 5) % 4999).cast("string")))
+    val edBase = spark.range(edN).select(col("id"), edWords(col("id")).as("s"))
+    val edTypos = spark.range(edN / 100).select((col("id") + edN).as("id"),
+      substr(edWords(col("id")), lit(1), length(edWords(col("id"))) - 1).as("s")) // 1 deletion
+    val edPairs = time(f"editDistancePairs ($edN%,d + ${edN / 100}%,d strings, d=1)") {
+      graft.ops.Dedup.editDistancePairs(
+        edBase.unionByName(edTypos), col("id"), col("s"), maxDist = 1).count()
+    }
+    println(f"  pairs $edPairs%,d (>= ${edN / 100}%,d planted)")
+
+    println(s"== cluster topics (c-TF-IDF over kmeans cells) ==")
+    val ctN = math.min(n / 10, 2_000_000L)
+    val ctEmb = spark.range(ctN).select(col("id"),
+      array((0 until 8).map(j => ((col("id") + j) % 16).cast("double") / 16): _*)
+        .as("emb"))
+    val ctDocs = spark.range(ctN).select(col("id"),
+      concat_ws(" ", (0 until 20).map(j =>
+        concat(lit("t"), ((col("id") * 3 + j) % 4999).cast("string"))): _*).as("text"))
+    val ctRows = time(f"clusterTopics ($ctN%,d docs, C=64, 20-word docs)") {
+      graft.ops.Topics.clusterTopics(ctDocs, col("id"), col("text"),
+        ctEmb, col("id"), col("emb"), nClusters = 64, iters = 2, dim = 8,
+        topK = 10).count()
+    }
+    println(f"  report rows $ctRows%,d")
+
+    println(s"== bradley-terry (pairs collapse once; rounds cost O(distinct pairs)) ==")
+    val btItems = 1000L
+    val btCmp = spark.range(n).select(col("id"),
+      (col("id") % btItems).as("a"), ((col("id") * 31 + 7) % btItems).as("b"))
+      .filter(col("a") =!= col("b"))
+      // deterministic winner bias toward the smaller id — a real signal
+      .select(when((col("id") % 10) < 6, least(col("a"), col("b")))
+          .otherwise(greatest(col("a"), col("b"))).as("w"),
+        when((col("id") % 10) < 6, greatest(col("a"), col("b")))
+          .otherwise(least(col("a"), col("b"))).as("l"))
+    val btOut = time(f"bradleyTerry ($n%,d comparisons, ${btItems}%,d items, 5 rounds)") {
+      graft.ops.Preferences.bradleyTerry(btCmp, col("w"), col("l"), iters = 5)
+        .agg(sum("strength"), count(lit(1))).head()
+    }
+    println(f"  sum(strength) ${btOut.getDouble(0)}%.3f over ${btOut.getLong(1)}%,d items (want ≈ items)")
+
     spark.stop()
   }
 }

@@ -1,0 +1,62 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Worked-example contracts for conversation assembly; the oracle gates
+  * (pipe_conversations / pipe_conversations_gate) pin the full chain
+  * against DuckDB at corpus shape.
+  */
+class ConversationsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def ts(min: Long) = new Timestamp(min * 60_000L)
+
+  test("gap splits, turn order, transcript rendering, token count") {
+    val events = Seq(
+      // user 1: two conversations split by a 45-min gap (gap = 30)
+      (1L, ts(0), 10L, "user", "hello there"),
+      (1L, ts(5), 11L, "assistant", "hi"),
+      (1L, ts(50), 12L, "user", "back again"),
+      // user 2: one conversation; same-timestamp turns order by turn id
+      (2L, ts(0), 20L, "user", "a"),
+      (2L, ts(0), 21L, "assistant", "b"))
+      .toDF("who", "at", "turn_id", "role", "text")
+    val out = Conversations.assemble(events, col("who"), col("at"),
+        col("turn_id"), col("role"), col("text"), gapMinutes = 30)
+      .collect().map(r => r.getAs[Long]("conv_id") -> r).toMap
+    assert(out.keySet == Set(1000000L, 1000001L, 2000000L))
+    val c0 = out(1000000L)
+    assert(c0.getAs[Long]("n_turns") == 2)
+    assert(c0.getAs[String]("transcript") == "user: hello there\nassistant: hi")
+    assert(c0.getAs[Long]("n_tokens") == 5) // "user:","hello","there","assistant:","hi"
+    assert(out(1000001L).getAs[String]("transcript") == "user: back again")
+    // tie on timestamp broken by turn id
+    assert(out(2000000L).getAs[String]("transcript") == "user: a\nassistant: b")
+    // a gap of exactly gapMinutes does NOT split (strict >)
+    val edge = Seq((3L, ts(0), 1L, "u", "x"), (3L, ts(30), 2L, "u", "y"))
+      .toDF("who", "at", "turn_id", "role", "text")
+    val e = Conversations.assemble(edge, col("who"), col("at"), col("turn_id"),
+      col("role"), col("text"), gapMinutes = 30).collect()
+    assert(e.length == 1 && e.head.getAs[Long]("n_turns") == 2)
+  }
+
+  test("gate enforces turn bounds, token budget, and required role") {
+    val events = Seq(
+      (1L, ts(0), 1L, "user", "q"), (1L, ts(1), 2L, "assistant", "a"),
+      (2L, ts(0), 3L, "user", "no reply here"),
+      (3L, ts(0), 4L, "user", "way too long"), (3L, ts(1), 5L, "assistant", "x y z w v u t s r q p o"))
+      .toDF("who", "at", "turn_id", "role", "text")
+    val convs = Conversations.assemble(events, col("who"), col("at"),
+      col("turn_id"), col("role"), col("text"), gapMinutes = 30)
+    val kept = Conversations.gate(convs, minTurns = 2, maxTurns = 10,
+        maxTokens = 10, requiredRole = "assistant")
+      .select("who").as[Long].collect().toSet
+    // user 1 passes; user 2 has 1 turn + no assistant; user 3 blows the budget
+    assert(kept == Set(1L))
+  }
+}

@@ -43,8 +43,13 @@ class DeterminismSpec extends AnyFunSuite {
 
   // pipe_audit_trail joins the list: the drop-reason ledger is the round-5
   // flagship gate (window dedup + contamination join + hash sample) and its
-  // (id, stage, reason) rows must never depend on scheduling or grouping
-  for (name <- Seq("pipe_label_noise", "pipe_knn_graph", "pipe_audit_trail")) {
+  // (id, stage, reason) rows must never depend on scheduling or grouping.
+  // pipe_cluster_topics: kmeans + global term counts + a rank cut on a
+  // rounded float score — the same risk profile that put label_noise here.
+  // pipe_bradley_terry: 5 rounds of float MM division chains whose
+  // aggregation grouping must not leak into the round-6 strengths.
+  for (name <- Seq("pipe_label_noise", "pipe_knn_graph", "pipe_audit_trail",
+    "pipe_cluster_topics", "pipe_bradley_terry")) {
     test(s"$name is bitwise stable across reruns and shuffle partitionings") {
       val a = canonical(name, 4)
       val b = canonical(name, 4)  // same partitioning: pure rerun stability

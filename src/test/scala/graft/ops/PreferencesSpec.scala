@@ -49,4 +49,19 @@ class PreferencesSpec extends AnyFunSuite {
     val total = out.values.map(_.getDouble(4)).sum
     assert(math.abs(total - 3.0) < 1e-5)
   }
+
+  test("bestOfN picks the argmax with id tie-break; singleton margin is NULL") {
+    val samples = Seq(
+      (1L, 10L, 0.3), (1L, 11L, 0.9), (1L, 12L, 0.7),
+      (2L, 20L, 0.5), (2L, 21L, 0.5), // tie → smaller id wins, margin 0
+      (3L, 30L, 0.4))                 // singleton → margin NULL
+      .toDF("task", "sid", "score")
+    val out = Preferences.bestOfN(samples, col("task"), col("sid"), col("score"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 11L && out(1L).getDouble(2) == 0.9)
+    assert(math.abs(out(1L).getDouble(3) - 0.2) < 1e-12)
+    assert(out(1L).getLong(4) == 3)
+    assert(out(2L).getLong(1) == 20L && out(2L).getDouble(3) == 0.0)
+    assert(out(3L).isNullAt(3))
+  }
 }

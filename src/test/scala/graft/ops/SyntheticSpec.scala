@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Reconstruction and rate contracts for T5 span corruption; the oracle
+  * gate (pipe_span_corrupt) pins every md5 decision against DuckDB.
+  */
+class SyntheticSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val sentinel = "<extra_id_(\\d+)>".r
+
+  test("splicing target spans back into the input reconstructs the original") {
+    val docs = (0L until 50L).map(i =>
+      (i, (0 until 40).map(j => s"w${(i * 7 + j) % 90}").mkString(" ")))
+      .toDF("id", "text")
+    val out = Synthetic.spanCorrupt(docs, col("id"), col("text"),
+      blockSize = 8, spanLen = 2, rate = 0.7, seed = "s").collect()
+    assert(out.length == 50)
+    val original = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    var sawSpan = false
+    for (r <- out) {
+      val (id, input, target, nSpans) =
+        (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3))
+      // target = <id_0> span0 <id_1> span1 ... <id_n> (terminator)
+      val spans = sentinel.split(target).map(_.trim).filter(_.nonEmpty)
+      assert(spans.length == nSpans, s"doc $id span count")
+      if (nSpans > 0) sawSpan = true
+      // replace sentinel k in the input with target span k → original text
+      var rebuilt = input
+      for ((span, k) <- spans.zipWithIndex)
+        rebuilt = rebuilt.replace(s"<extra_id_$k>", span)
+      assert(rebuilt == original(id), s"doc $id reconstruction")
+      assert(r.getLong(5) == nSpans * 2L) // n_masked
+    }
+    assert(sawSpan, "rate 0.7 over 50×5 blocks must corrupt something")
+  }
+
+  test("masked fraction tracks rate*spanLen/blockSize; rate 0 masks nothing") {
+    val docs = (0L until 200L).map(i =>
+      (i, (0 until 64).map(j => s"t$j").mkString(" "))).toDF("id", "text")
+    val out = Synthetic.spanCorrupt(docs, col("id"), col("text"),
+      blockSize = 16, spanLen = 3, rate = 0.8)
+      .agg(sum("n_masked"), sum("n_tokens")).head()
+    val frac = out.getLong(0).toDouble / out.getLong(1)
+    val want = 0.8 * 3 / 16 // = 0.15, the T5 setting
+    assert(math.abs(frac - want) < 0.03, s"masked frac $frac vs $want")
+
+    val none = Synthetic.spanCorrupt(docs, col("id"), col("text"), rate = 0.0)
+      .agg(sum("n_spans")).head().getLong(0)
+    assert(none == 0L)
+  }
+
+  test("blocks shorter than spanLen+1 never corrupt (tiny docs pass through)") {
+    val docs = Seq((1L, "a b c"), (2L, "only")).toDF("id", "text")
+    val out = Synthetic.spanCorrupt(docs, col("id"), col("text"),
+        blockSize = 16, spanLen = 3, rate = 1.0)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(3) == 0 && out(1L).getString(1) == "a b c")
+    assert(out(2L).getInt(3) == 0)
+    assert(out(1L).getString(2) == "<extra_id_0>") // empty-terminator target
+  }
+}

@@ -702,4 +702,39 @@ class EventStreamsSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("generation-eval scoring is stateless — streams equal to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // the per-pair metrics are pure row-local selects (the native
+    // clipped-overlap kernel), so live scoring of generated-vs-reference
+    // pairs runs the exact batch definition with no state or watermark
+    val input = MemoryStream[(Long, String, String)]
+    val df = input.toDF().toDF("id", "cand", "ref")
+    val scored = graft.ops.GenEval.sentenceBleu(df, col("id"), col("cand"), col("ref"))
+      .join(graft.ops.GenEval.chrF(df, col("id"), col("cand"), col("ref"))
+        .select(col("pair_id"), col("chrf")), Seq("pair_id"))
+    val q = scored.writeStream.format("memory").queryName("geneval_out")
+      .outputMode("append").start()
+    val pairsData = Seq(
+      (1L, "the cat sat on the mat", "the cat sat on a mat"),
+      (2L, "totally unrelated words", "nothing shared here at all"),
+      (3L, "same text", "same text"))
+    try {
+      input.addData(pairsData: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("geneval_out")
+        .select("pair_id", "bleu", "chrf")
+        .as[(Long, Double, Double)].collect().toSet
+      val batchDf = pairsData.toDF("id", "cand", "ref")
+      val batch = graft.ops.GenEval.sentenceBleu(
+          batchDf, col("id"), col("cand"), col("ref"))
+        .join(graft.ops.GenEval.chrF(batchDf, col("id"), col("cand"), col("ref"))
+          .select(col("pair_id"), col("chrf")), Seq("pair_id"))
+        .select("pair_id", "bleu", "chrf")
+        .as[(Long, Double, Double)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed.exists { case (id, b, c) => id == 3L && b == 1.0 && c == 100.0 })
+    } finally q.stop()
+  }
 }
