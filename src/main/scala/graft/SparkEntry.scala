@@ -58,5 +58,6 @@ object SparkEntry {
     "pipe_entropy", "pipe_media_neardup", "pipe_image_gate", "pipe_exif",
     "pipe_dedup_lsh_incremental",
     "pipe_bleu", "pipe_chrf", "pipe_edit_join", "pipe_cluster_topics",
-    "pipe_bradley_terry", "pipe_conversations", "pipe_span_corrupt")
+    "pipe_bradley_terry", "pipe_conversations", "pipe_span_corrupt",
+    "pipe_wordpiece")
 }

@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Row-local WordPiece encoding under a trained vocabulary (see
+  * [[graft.ops.WordPiece]]): per word, greedy LONGEST-match-first — the
+  * BERT `##`-continuation algorithm (Devlin et al. 2019; Wu et al. 2016).
+  * A word with any unmatchable position (or longer than `maxWordLen`)
+  * encodes as one `unk` token — the whole word, not a partial prefix
+  * (BERT's rule). The vocabulary rides inside the expression and
+  * serializes with the plan — bounded metadata, no shuffle, no UDF.
+  *
+  * Positions are CODE POINTS (matching DuckDB's substr semantics, so the
+  * greedy segmentation replays exactly in the SQL oracle).
+  */
+object WordPieceEncode {
+  def encode(text: Column, vocab: Seq[String], unk: String = "[UNK]",
+      maxWordLen: Int = 100): Column =
+    GraftColumnBridge.column(WordPieceEncodeExpr(
+      GraftColumnBridge.expression(text), vocab, unk, maxWordLen))
+}
+
+case class WordPieceEncodeExpr(child: Expression, vocab: Seq[String],
+    unk: String, maxWordLen: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"wordpiece_encode expects STRING, got ${child.dataType.simpleString}")
+
+  @transient private lazy val pieces: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](vocab.size * 2)
+    vocab.foreach(s.add)
+    s
+  }
+  @transient private lazy val maxPieceCp: Int =
+    if (vocab.isEmpty) 0
+    else vocab.iterator.map(p => p.codePointCount(0, p.length)).max
+
+  private def encodeWord(word: String, out: java.util.ArrayList[UTF8String]): Unit = {
+    if (word.isEmpty) return
+    // code-point start offsets (UTF-16 indices), cps(n) = word.length
+    val nCp = word.codePointCount(0, word.length)
+    if (nCp > maxWordLen) { out.add(UTF8String.fromString(unk)); return }
+    val cps = new Array[Int](nCp + 1)
+    var o = 0
+    var i = 0
+    while (i < nCp) { cps(i) = o; o = word.offsetByCodePoints(o, 1); i += 1 }
+    cps(nCp) = word.length
+
+    val acc = new java.util.ArrayList[UTF8String]()
+    var pos = 0
+    while (pos < nCp) {
+      // longest candidate first; continuations carry the "##" prefix
+      var end = math.min(nCp, pos + maxPieceCp)
+      var matched: String = null
+      while (matched == null && end > pos) {
+        val body = word.substring(cps(pos), cps(end))
+        // the form rule both engines share: word-initial positions match
+        // only non-## pieces (a raw "##x" word can't hijack a continuation
+        // entry), later positions only ##-prefixed ones
+        val cand = if (pos == 0) body else "##" + body
+        if (!(pos == 0 && body.startsWith("##")) && pieces.contains(cand))
+          matched = cand
+        else end -= 1
+      }
+      if (matched == null) { out.add(UTF8String.fromString(unk)); return }
+      acc.add(UTF8String.fromString(matched))
+      pos = end
+    }
+    out.addAll(acc)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = Tokenize.words(input.asInstanceOf[UTF8String])
+    val out = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    while (i < words.length) { encodeWord(words(i), out); i += 1 }
+    new GenericArrayData(out.toArray(new Array[UTF8String](out.size())))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordPieceEncodeExpr =
+    copy(child = newChild)
+}

@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** WordPiece tokenizer (Wu et al. 2016 "Google's Neural Machine
+  * Translation System"; the BERT tokenizer, Devlin et al. 2019) — the
+  * third tokenizer family next to [[Bpe]] (frequency merges) and
+  * [[Unigram]] (likelihood pruning). WordPiece is BPE-shaped training
+  * with a LIKELIHOOD merge criterion — pick the pair maximizing
+  *
+  *   score(a, b) = count(ab) / (count(a) · count(b))
+  *
+  * (the merge that most increases corpus likelihood under a unigram
+  * model) — and greedy longest-match-first encoding with `##`
+  * continuation pieces.
+  *
+  * Corpus-scale split is the same as [[Bpe.train]]: the ONLY corpus-sized
+  * work is one word-frequency aggregation; the merge loop runs
+  * driver-side over the capped dictionary with incremental pair/symbol
+  * count maintenance. Encoding is a row-local native expression
+  * ([[graft.functions.WordPieceEncodeExpr]]) over the broadcast
+  * vocabulary.
+  */
+object WordPiece {
+
+  /** Learn a WordPiece vocabulary of (at most) `vocabSize` pieces. Words
+    * segment initially as first-code-point + `##`-prefixed continuations;
+    * the returned vocabulary is the sorted initial alphabet followed by
+    * merged pieces in merge order. Deterministic: scores compare exactly
+    * (BigInt cross-multiplication, no float division), ties break
+    * lexicographically on (a, b); the dictionary cut breaks
+    * (freq desc, word asc).
+    */
+  def train(df: DataFrame, text: Column, vocabSize: Int,
+      maxWords: Int = 50000, lowercase: Boolean = true): Seq[String] = {
+    require(vocabSize > 0 && maxWords > 0,
+      s"need vocabSize > 0, maxWords > 0; got $vocabSize, $maxWords")
+    val t = if (lowercase) lower(text) else text
+    val wordFreq = df
+      .select(explode(split(trim(t), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w").asc)
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    trainFromCounts(wordFreq, vocabSize)
+  }
+
+  /** The likelihood merge loop over a (word, frequency) dictionary. */
+  def trainFromCounts(wordFreq: Seq[(String, Long)],
+      vocabSize: Int): Seq[String] = {
+    // initial segmentation: first code point bare, the rest ##-prefixed
+    val words: Array[Array[String]] = wordFreq.map { case (w, _) =>
+      val cps = w.codePoints().toArray
+      cps.indices.map { i =>
+        val s = new String(Character.toChars(cps(i)))
+        if (i == 0) s else "##" + s
+      }.toArray
+    }.toArray
+    val freqs: Array[Long] = wordFreq.map(_._2).toArray
+
+    val symCount = mutable.HashMap.empty[String, Long]
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val index = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+
+    def addWord(i: Int, sign: Long): Unit = {
+      val w = words(i)
+      var j = 0
+      while (j < w.length) {
+        val c = symCount.getOrElse(w(j), 0L) + sign * freqs(i)
+        if (c == 0L) symCount.remove(w(j)) else symCount(w(j)) = c
+        if (j + 1 < w.length) {
+          val p = (w(j), w(j + 1))
+          val pc = pairCount.getOrElse(p, 0L) + sign * freqs(i)
+          if (pc == 0L) pairCount.remove(p) else pairCount(p) = pc
+          if (sign > 0) index.getOrElseUpdate(p, mutable.Set.empty) += i
+          else index.get(p).foreach { s => s -= i; if (s.isEmpty) index.remove(p) }
+        }
+        j += 1
+      }
+    }
+    words.indices.foreach(addWord(_, 1L))
+
+    val alphabet = symCount.keys.toSeq.sorted
+    val merges = mutable.ArrayBuffer.empty[String]
+    def mergedToken(a: String, b: String): String = a + b.stripPrefix("##")
+
+    var done = false
+    while (alphabet.size + merges.size < vocabSize && !done) {
+      // argmax of c_ab/(c_a*c_b) — compared exactly as BigInt cross
+      // products (freq³ overflows a long at corpus scale)
+      var best: (String, String) = null
+      var bestNum = BigInt(0); var bestDen = BigInt(1)
+      for ((p, c) <- pairCount if c >= 2) {
+        val num = BigInt(c)
+        val den = BigInt(symCount(p._1)) * BigInt(symCount(p._2))
+        val cmp = num * bestDen - bestNum * den
+        if (best == null || cmp > 0 || (cmp == 0 &&
+            (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+          best = p; bestNum = num; bestDen = den
+        }
+      }
+      if (best == null) done = true
+      else {
+        val token = mergedToken(best._1, best._2)
+        merges += token
+        val affected = index.getOrElse(best, mutable.Set.empty).toArray
+        for (i <- affected) {
+          addWord(i, -1L)
+          words(i) = mergeWord(words(i), best._1, best._2, token)
+          addWord(i, 1L)
+        }
+      }
+    }
+    alphabet ++ merges.toSeq
+  }
+
+  private def mergeWord(w: Array[String], a: String, b: String,
+      merged: String): Array[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    var j = 0
+    while (j < w.length) {
+      if (j + 1 < w.length && w(j) == a && w(j + 1) == b) {
+        out += merged; j += 2 // left-first, non-overlapping
+      } else { out += w(j); j += 1 }
+    }
+    out.toArray
+  }
+
+  /** Encode text into WordPiece tokens (array<string>): whitespace
+    * pre-tokenize, then greedy longest-match with `##` continuations;
+    * unmatchable or over-long words become one `unk` token. Row-local
+    * native expression; `lowercase` must match training.
+    */
+  def encode(text: Column, vocab: Seq[String], lowercase: Boolean = true,
+      unk: String = "[UNK]", maxWordLen: Int = 100): Column =
+    graft.functions.WordPieceEncode.encode(
+      if (lowercase) lower(text) else text, vocab, unk, maxWordLen)
+
+  /** Subword token count under a trained vocabulary. */
+  def tokenCount(text: Column, vocab: Seq[String],
+      lowercase: Boolean = true): Column =
+    size(encode(text, vocab, lowercase))
+}

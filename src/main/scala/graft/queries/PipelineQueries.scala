@@ -25,6 +25,21 @@ object PipelineQueries {
     "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r",
     "s" -> "t", "m" -> "er", "a" -> "t", "l" -> "u")
 
+  /** Fixed vocabulary for the pipe_wordpiece gate: ascii letters/digits/
+    * common punctuation as both word-initial and `##`-continuation pieces,
+    * plus multi-char merges (incl. chains like `the`/`##ing`) so greedy
+    * longest-match is genuinely exercised. CJK text encodes to [UNK] —
+    * the unmatchable-word path is part of the gate.
+    */
+  val wpGateVocab: Seq[String] = {
+    val singles = (('a' to 'z') ++ ('0' to '9')).map(_.toString) ++
+      Seq(".", ",", "!", "?", "'", "-", ":", ";", "(", ")")
+    singles ++ singles.map("##" + _) ++ Seq(
+      "th", "the", "##he", "##er", "##ing", "##ed", "##es", "##on", "##nd",
+      "an", "and", "in", "re", "##re", "##at", "##or", "##en", "##ti",
+      "wh", "##ch", "##ll", "st", "##st", "co", "##ou", "pr", "de", "ma")
+  }
+
   /** DuckDB replay of BPE encoding under [[bpeGateMerges]]. Greedy
     * lowest-rank-first encoding is equivalent to applying the merges in
     * rank order, each as a left-first non-overlapping pair rewrite run to
@@ -412,6 +427,22 @@ object PipelineQueries {
     // fixed merge table
     "pipe_bpe_vocab" -> ((s, d) =>
       graft.ops.Bpe.vocabulary(t(s, d, "documents"), col("text"), bpeGateMerges)),
+
+    // WordPiece greedy longest-match encode under the fixed gate vocabulary
+    // (training is driver-side likelihood merges, pinned by WordPieceSpec's
+    // worked example — same split as BPE). The full piece sequence,
+    // including [UNK] for unmatchable words (all CJK here), is DuckDB-
+    // oracled: the oracle precomputes each (word, pos)'s longest vocab
+    // match and follows it with a recursive CTE.
+    "pipe_wordpiece" -> ((s, d) => {
+      val toks = graft.ops.WordPiece.encode(col("text"), wpGateVocab)
+      t(s, d, "documents")
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"),
+          array_join(col("toks"), "|").as("wp_str"),
+          size(col("toks")).as("n_wp"),
+          size(filter(col("toks"), x => x === "[UNK]")).as("n_unk"))
+    }),
 
     // the tokenizer's final artifact: every document as its embedding-table
     // id sequence (encode -> broadcast vocab-id join -> in-order fingerprint)
@@ -1149,6 +1180,63 @@ s"""WITH toksrc AS (
         |  (SELECT unnest(string_split_regex(trim(lower(text)),'\s+')) AS tok FROM documents)
         |WHERE tok <> ''
         |GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20""".stripMargin,
+    // WordPiece: per distinct word precompute the longest vocab match at
+    // every code-point position (word-initial = non-## piece, later = ##
+    // body), follow the greedy path with a recursive CTE (the path is a
+    // function, so the recursion is linear), [UNK] words that fail or
+    // exceed 100 code points, then reassemble per doc in word order
+    "pipe_wordpiece" -> {
+      val vals = wpGateVocab
+        .map(p => s"('${p.replace("'", "''")}')").mkString(", ")
+      s"""WITH RECURSIVE v(piece) AS (VALUES $vals),
+         |ds AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+         |       FROM documents),
+         |dw AS (SELECT doc_id, i, ws[i] AS word
+         |       FROM ds, unnest(generate_series(1, len(ws))) AS t(i)),
+         |w AS (SELECT DISTINCT word FROM dw),
+         |pos AS (SELECT word, unnest(generate_series(1, length(word))) AS pos
+         |        FROM w WHERE length(word) >= 1),
+         |lm AS (
+         |  SELECT word, pos, piece, plen FROM (
+         |    SELECT p.word, p.pos, v.piece,
+         |           CASE WHEN p.pos = 1 THEN length(v.piece)
+         |                ELSE length(v.piece) - 2 END AS plen,
+         |           row_number() OVER (PARTITION BY p.word, p.pos ORDER BY
+         |             CASE WHEN p.pos = 1 THEN length(v.piece)
+         |                  ELSE length(v.piece) - 2 END DESC, v.piece ASC) AS rn
+         |    FROM pos p JOIN v ON
+         |      CASE WHEN p.pos = 1
+         |           THEN v.piece NOT LIKE '##%'
+         |                AND substr(p.word, 1, length(v.piece)) = v.piece
+         |           ELSE v.piece LIKE '##%' AND length(v.piece) > 2
+         |                AND substr(p.word, p.pos, length(v.piece) - 2)
+         |                    = substr(v.piece, 3, length(v.piece) - 2) END)
+         |  WHERE rn = 1),
+         |seg AS (
+         |  SELECT word, 1 AS pos, CAST('' AS VARCHAR) AS pieces, 0 AS np
+         |  FROM w WHERE length(word) <= 100
+         |  UNION ALL
+         |  SELECT s.word, s.pos + lm.plen,
+         |         CASE WHEN s.pieces = '' THEN lm.piece
+         |              ELSE s.pieces || '|' || lm.piece END,
+         |         s.np + 1
+         |  FROM seg s JOIN lm ON lm.word = s.word AND lm.pos = s.pos
+         |  WHERE s.pos <= length(s.word)),
+         |done AS (SELECT word, pieces, np FROM seg WHERE pos = length(word) + 1),
+         |encw AS (
+         |  SELECT w.word, coalesce(d.pieces, '[UNK]') AS pieces,
+         |         coalesce(d.np, 1) AS np,
+         |         CASE WHEN d.word IS NULL THEN 1 ELSE 0 END AS unk
+         |  FROM w LEFT JOIN done d USING (word))
+         |SELECT dw.doc_id,
+         |       coalesce(string_agg(e.pieces, '|' ORDER BY dw.i)
+         |                  FILTER (WHERE e.np > 0), '') AS wp_str,
+         |       CAST(coalesce(sum(e.np) FILTER (WHERE e.np > 0), 0) AS INTEGER) AS n_wp,
+         |       CAST(coalesce(sum(e.unk), 0) AS INTEGER) AS n_unk
+         |FROM dw JOIN encw e ON e.word = dw.word
+         |GROUP BY dw.doc_id""".stripMargin
+    },
+
     "pipe_bpe" ->
       s"""$bpeEncCte
          |SELECT doc_id,

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Worked-example contracts for WordPiece training (likelihood merges) and
+  * greedy longest-match encoding; the oracle gate (pipe_wordpiece) pins
+  * the encode path against DuckDB at corpus shape.
+  */
+class WordPieceSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("training picks the likelihood-max pair, not the frequency-max one") {
+    // the classic corpus: hug×10 pug×5 pun×12 bun×4 hugs×5.
+    // pair (##u,##g) is the most FREQUENT (20) but every 1/36-scored pair
+    // ties below (##g,##s) = 5/(20·5) = 1/20 — likelihood picks ##gs first.
+    val counts = Seq("hug" -> 10L, "pug" -> 5L, "pun" -> 12L,
+      "bun" -> 4L, "hugs" -> 5L)
+    val alphabet = Seq("##g", "##n", "##s", "##u", "b", "h", "p")
+    val vocab = WordPiece.trainFromCounts(counts, vocabSize = alphabet.size + 2)
+    assert(vocab.take(alphabet.size) == alphabet)
+    assert(vocab(alphabet.size) == "##gs")
+    // second round: every remaining pair ties at 1/36 → lexicographic
+    // tie-break on (a, b) picks (##u, ##g) → "##ug"
+    assert(vocab(alphabet.size + 1) == "##ug")
+  }
+
+  test("greedy longest-match encode with ## continuations, [UNK], length cap") {
+    val vocab = Seq("h", "hu", "hug", "##u", "##g", "##s", "##gs", "x")
+    val rows = Seq(
+      (1L, "hugs"),          // longest-first: hug + ##s (not hu|##g|##s)
+      (2L, "hugshugs"),      // hug ##s... then no 'h' continuation → ##?
+      (3L, "zebra"),         // no initial match → [UNK]
+      (4L, "hz"),            // matches h, then no ##z → whole word [UNK]
+      (5L, "x " + "y" * 101),// second word exceeds maxWordLen → [UNK]
+      (6L, "  "))            // only whitespace → zero tokens
+    val df = rows.toDF("id", "text")
+    val out = df.select(col("id"),
+        WordPiece.encode(col("text"), vocab, lowercase = false).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) == Seq("hug", "##s"))
+    // "hugshugs": hug ##s then position 'h' needs ##h — absent → [UNK]
+    assert(out(2L) == Seq("[UNK]"))
+    assert(out(3L) == Seq("[UNK]"))
+    assert(out(4L) == Seq("[UNK]"))
+    assert(out(5L) == Seq("x", "[UNK]"))
+    assert(out(6L) == Seq.empty)
+  }
+
+  test("code-point semantics: astral-plane pieces match whole, not by half") {
+    val heart = new String(Character.toChars(0x1F49C)) // 💜 (surrogate pair)
+    val vocab = Seq("a", "##" + heart, heart)
+    val df = Seq((1L, s"a$heart"), (2L, heart)).toDF("id", "text")
+    val out = df.select(col("id"),
+        WordPiece.encode(col("text"), vocab, lowercase = false).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) == Seq("a", "##" + heart))
+    assert(out(2L) == Seq(heart))
+  }
+
+  test("train → encode round-trip: concatenating pieces rebuilds each word") {
+    val docs = Seq.fill(30)("the merger ingested longer strings").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val vocab = WordPiece.train(docs, col("text"), vocabSize = 60)
+    val out = docs.select(WordPiece.encode(col("text"), vocab).as("t"))
+      .head().getSeq[String](0)
+    assert(!out.contains("[UNK]"))
+    val rebuilt = out.foldLeft(Seq.empty[String]) { (acc, p) =>
+      if (p.startsWith("##")) acc.init :+ (acc.last + p.drop(2)) else acc :+ p
+    }
+    assert(rebuilt == Seq("the", "merger", "ingested", "longer", "strings"))
+  }
+}
