@@ -59,6 +59,13 @@ object FunctionRegistry {
       TypedCol(fn(args.head.col), out)
     }
 
+  private def text2(name: String, out: DType)(fn: (Column, Column) => Column) =
+    arity(name, 2) { (args, pos) =>
+      if (args.head.dtype != TText || args(1).dtype != TText)
+        fail(pos, s"$name expects two TEXT arguments")
+      TypedCol(fn(args.head.col, args(1).col), out)
+    }
+
   private def bytes1(name: String, out: DType)(fn: Column => Column) =
     arity(name, 1) { (args, pos) =>
       if (args.head.dtype != TBytes) fail(pos, s"$name expects a BYTES argument")
@@ -216,6 +223,14 @@ object FunctionRegistry {
       round(graft.functions.TextEntropy.textEntropy(t)
         .getField("word_entropy"), 6)
     },
+    // generation-eval metrics (ops/GenEval — BLEU/chrF/ROUGE as scalars),
+    // so a DTL script scores candidate-vs-reference text pairs in-language;
+    // plus the raw levenshtein for fuzzy matching
+    text2("bleu", TDouble)((c, r) => graft.ops.GenEval.bleuScore(c, r)),
+    text2("chrf", TDouble)((c, r) => graft.ops.GenEval.chrfScore(c, r)),
+    text2("rouge2_f1", TDouble)((c, r) => graft.ops.GenEval.rougeNF1(c, r, 2)),
+    text2("rouge_l_f1", TDouble)(graft.ops.GenEval.rougeLF1),
+    text2("edit_distance", TInt32)((a, b) => levenshtein(a, b)),
     arity("hash_uniform", 1) { (args, pos) =>
       if (args.head.dtype.isInstanceOf[TExt])
         fail(pos, "hash_uniform is not defined for extension types")

@@ -161,6 +161,71 @@ object GenEval {
         .otherwise(lit(100.0) * fSum / nIncl.cast("double")), 6).as("chrf"))
   }
 
+  // ------------------------------------------------ scalar (Column) forms
+  // the same formulas as the DataFrame ops, as single Columns — the shape
+  // the DTL function registry and ad-hoc select() calls consume
+
+  /** Scalar smoothed sentence BLEU-maxN (identical arithmetic to
+    * [[sentenceBleu]]'s `bleu` column), rounded to 6.
+    */
+  def bleuScore(cand: Column, ref: Column, maxN: Int = 4): Column = {
+    val st = GenEvalStats.matchStats(cand, ref, maxN, charMode = false)
+    val cl = st.getField("cand_len")
+    val rl = st.getField("ref_len")
+    val prod = (1 to maxN).map { n =>
+      val m = element_at(st.getField("matches"), n).cast("double")
+      val t = element_at(st.getField("cand_totals"), n).cast("double")
+      if (n == 1) m / t else (m + 1.0) / (t + 1.0)
+    }.reduce(_ * _)
+    val bp = when(cl >= rl, 1.0)
+      .otherwise(exp(lit(1.0) - rl.cast("double") / cl))
+    round(when(cl === 0 || element_at(st.getField("matches"), 1) === 0, 0.0)
+      .otherwise(bp * geoMean(prod, maxN)), 6)
+  }
+
+  /** Scalar chrF (identical arithmetic to [[chrF]]'s `chrf` column). */
+  def chrfScore(cand: Column, ref: Column, maxN: Int = 6,
+      beta: Double = 2.0): Column = {
+    val st = GenEvalStats.matchStats(cand, ref, maxN, charMode = true)
+    val b2 = beta * beta
+    val perN = (1 to maxN).map { n =>
+      val m = element_at(st.getField("matches"), n).cast("double")
+      val tc = element_at(st.getField("cand_totals"), n)
+      val tr = element_at(st.getField("ref_totals"), n)
+      val p = when(tc === 0, 0.0).otherwise(m / tc.cast("double"))
+      val r = when(tr === 0, 0.0).otherwise(m / tr.cast("double"))
+      val f = when(lit(b2) * p + r === 0.0, 0.0)
+        .otherwise(lit(1.0 + b2) * p * r / (lit(b2) * p + r))
+      (when(tc + tr > 0, f), when(tc + tr > 0, 1).otherwise(0))
+    }
+    val fSum = perN.map(_._1).map(c => coalesce(c, lit(0.0))).reduce(_ + _)
+    val nIncl = perN.map(_._2).reduce(_ + _)
+    round(when(nIncl === 0, 0.0)
+      .otherwise(lit(100.0) * fSum / nIncl.cast("double")), 6)
+  }
+
+  /** Scalar ROUGE-N F1 (identical arithmetic to [[rougeN]]'s `f1`). */
+  def rougeNF1(cand: Column, ref: Column, n: Int): Column = {
+    val st = GenEvalStats.matchStats(cand, ref, n, charMode = false)
+    val m = element_at(st.getField("matches"), n).cast("double")
+    val tc = element_at(st.getField("cand_totals"), n)
+    val tr = element_at(st.getField("ref_totals"), n)
+    val p = when(tc === 0, 0.0).otherwise(m / tc.cast("double"))
+    val r = when(tr === 0, 0.0).otherwise(m / tr.cast("double"))
+    round(when(p + r === 0.0, 0.0).otherwise(lit(2.0) * p * r / (p + r)), 6)
+  }
+
+  /** Scalar ROUGE-L F1 (identical arithmetic to [[rougeL]]'s `f1`). */
+  def rougeLF1(cand: Column, ref: Column): Column = {
+    val st = GenEvalStats.matchStats(cand, ref, 1, charMode = false)
+    val l = GenEvalStats.lcsLen(cand, ref).cast("double")
+    val cl = st.getField("cand_len")
+    val rl = st.getField("ref_len")
+    val p = when(cl === 0, 0.0).otherwise(l / cl.cast("double"))
+    val r = when(rl === 0, 0.0).otherwise(l / rl.cast("double"))
+    round(when(p + r === 0.0, 0.0).otherwise(lit(2.0) * p * r / (p + r)), 6)
+  }
+
   /** Per-pair ROUGE-L: longest-common-subsequence F1 over words,
     *   P = LCS/cand_len, R = LCS/ref_len, F1 as in [[rougeN]], rounded 6.
     * The LCS is a row-local O(|c|·|r|) native DP — no SQL oracle exists

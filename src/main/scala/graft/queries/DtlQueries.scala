@@ -38,6 +38,23 @@ object DtlQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the generation-eval scalars in-language: score candidate-vs-reference
+    // pairs (self-join via qualified names, the A6/A7 theta-join machinery)
+    // with BLEU / chrF / ROUGE-2 / levenshtein without leaving DTL
+    "dtl_gen_eval" -> ((s, d) => run(s, d,
+      """WITH cand_docs AS IMPORT 'documents';
+        |WITH ref_docs AS IMPORT 'documents';
+        |WITH pairs AS
+        |  SELECT cand_docs.doc_id AS doc_id, cand_docs.text AS cand,
+        |         ref_docs.text AS ref
+        |  FROM cand_docs
+        |  JOIN ref_docs ON cand_docs.doc_id + 1 = ref_docs.doc_id;
+        |WITH output AS
+        |  SELECT doc_id, bleu(cand, ref) AS bleu, chrf(cand, ref) AS chrf,
+        |         rouge2_f1(cand, ref) AS r2, edit_distance(cand, ref) AS ed
+        |  FROM pairs;
+        |EXPORT output TO 'output';""".stripMargin)),
+
     "dtl_project_rename" -> ((s, d) => run(s, d,
       """WITH lineitem AS IMPORT 'lineitem';
         |WITH output AS SELECT l_orderkey AS okey, l_linenumber AS line, l_quantity AS qty FROM lineitem;
@@ -319,6 +336,40 @@ object DtlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // compose the shared GenEval oracle CTE chains over the +1 pairing
+    "dtl_gen_eval" -> {
+      val pairSql = "SELECT a.doc_id AS doc_id, 'x' AS source, " +
+        "a.text AS cand, b.text AS ref FROM documents a " +
+        "JOIN documents b ON a.doc_id + 1 = b.doc_id"
+      GenEvalQueries.wordCtes(pairSql) + ",\n" +
+        GenEvalQueries.chrfCtes + ",\n" +
+        """bpc AS (SELECT *,
+          |          CASE WHEN cand_len >= ref_len THEN 1.0
+          |               ELSE exp(1.0 - ref_len::DOUBLE / cand_len) END AS bp0
+          |        FROM stats),
+          |edv AS (SELECT doc_id, levenshtein(cand, ref) AS ed FROM pairs)
+          |SELECT b.doc_id,
+          |       round(CASE WHEN b.cand_len = 0 OR b.m1 = 0 THEN 0.0
+          |             ELSE b.bp0 * sqrt(sqrt(
+          |               (b.m1::DOUBLE / b.t1::DOUBLE)
+          |               * ((b.m2 + 1.0) / (b.t2 + 1.0))
+          |               * ((b.m3 + 1.0) / (b.t3 + 1.0))
+          |               * ((b.m4 + 1.0) / (b.t4 + 1.0)))) END, 6) AS bleu,
+          |       cv.chrf AS chrf,
+          |       round(CASE WHEN (CASE WHEN b.t2 = 0 THEN 0.0 ELSE b.m2::DOUBLE / b.t2::DOUBLE END)
+          |                     + (CASE WHEN b.r2 = 0 THEN 0.0 ELSE b.m2::DOUBLE / b.r2::DOUBLE END) = 0.0
+          |                  THEN 0.0
+          |                  ELSE 2.0 * (CASE WHEN b.t2 = 0 THEN 0.0 ELSE b.m2::DOUBLE / b.t2::DOUBLE END)
+          |                           * (CASE WHEN b.r2 = 0 THEN 0.0 ELSE b.m2::DOUBLE / b.r2::DOUBLE END)
+          |                       / ((CASE WHEN b.t2 = 0 THEN 0.0 ELSE b.m2::DOUBLE / b.t2::DOUBLE END)
+          |                          + (CASE WHEN b.r2 = 0 THEN 0.0 ELSE b.m2::DOUBLE / b.r2::DOUBLE END))
+          |             END, 6) AS r2,
+          |       CAST(edv.ed AS INTEGER) AS ed
+          |FROM bpc b
+          |JOIN chrfv cv ON cv.doc_id = b.doc_id
+          |JOIN edv ON edv.doc_id = b.doc_id""".stripMargin
+    },
+
     "dtl_fill_forward" ->
       """SELECT event_id, user_id,
         |  last_value(nullif(event_type, 'click') IGNORE NULLS)

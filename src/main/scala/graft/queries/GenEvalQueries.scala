@@ -47,15 +47,21 @@ object GenEvalQueries {
     "pipe_rouge_l" -> ((s, d) =>
       GenEval.rougeL(pairs(s, d), col("doc_id"), col("cand"), col("ref"))))
 
+  /** The default gate pairing: each doc against the next doc of its
+    * source. DtlQueries reuses the CTE builders below with its own
+    * pairing, so they are parameterized on the pairs subquery.
+    */
+  private[queries] val defaultPairsSql =
+    """SELECT doc_id, source, text AS cand,
+      |         lead(text) OVER (PARTITION BY source ORDER BY doc_id) AS ref
+      |  FROM documents QUALIFY ref IS NOT NULL""".stripMargin
+
   // shared oracle CTEs: the pairing, tokenized words, and per-(pair, n)
   // clipped matches for word n-grams 1..4 (mirrors GenEvalStats: trim
   // strips spaces, split keeps interior empties, grams space-joined)
-  private val duckWordCtes =
-    """WITH pairs AS (
-      |  SELECT doc_id, source, text AS cand,
-      |         lead(text) OVER (PARTITION BY source ORDER BY doc_id) AS ref
-      |  FROM documents QUALIFY ref IS NOT NULL),
-      |u AS (SELECT doc_id, source,
+  private[queries] def wordCtes(pairsSql: String): String =
+    "WITH pairs AS (" + pairsSql + "),\n" +
+    """u AS (SELECT doc_id, source,
       |        string_split_regex(trim(cand), '\s+') AS cw,
       |        string_split_regex(trim(ref), '\s+') AS rw FROM pairs),
       |tot AS (SELECT doc_id, source, len(cw) AS cand_len, len(rw) AS ref_len FROM u),
@@ -87,6 +93,68 @@ object GenEvalQueries {
       |         greatest(t.ref_len - 1, 0) AS r2
       |  FROM tot t LEFT JOIN mm ON mm.doc_id = t.doc_id
       |  GROUP BY t.doc_id, t.source, t.cand_len, t.ref_len)""".stripMargin
+
+  private val duckWordCtes = wordCtes(defaultPairsSql)
+
+  /** chrF CTE chain (no WITH keyword; c-prefixed names so it composes
+    * with [[wordCtes]] in one query): references a `pairs` CTE, ends in
+    * `chrfv(doc_id, cand_chars, ref_chars, chrf)`. Char 1..6-grams over
+    * whitespace-stripped code points ([ \t\n\x0b\f\r] — exactly
+    * GenEvalStats' set), beta² = 4; the six F terms add in a FIXED
+    * order (double addition is not associative and an aggregate's order
+    * is engine-chosen).
+    */
+  private[queries] val chrfCtes: String =
+    """cu AS (SELECT doc_id,
+      |        regexp_replace(cand, '[ \t\n\x0b\f\r]', '', 'g') AS cs,
+      |        regexp_replace(ref, '[ \t\n\x0b\f\r]', '', 'g') AS rs FROM pairs),
+      |cns(n) AS (VALUES (1), (2), (3), (4), (5), (6)),
+      |ccg AS (SELECT doc_id, n, unnest(list_transform(
+      |         range(1, greatest(length(cs) - n + 2, 1)), i -> substr(cs, i, n))) AS g
+      |       FROM cu CROSS JOIN cns),
+      |crg AS (SELECT doc_id, n, unnest(list_transform(
+      |         range(1, greatest(length(rs) - n + 2, 1)), i -> substr(rs, i, n))) AS g
+      |       FROM cu CROSS JOIN cns),
+      |ccgc AS (SELECT doc_id, n, g, count(*) AS c FROM ccg GROUP BY doc_id, n, g),
+      |crgc AS (SELECT doc_id, n, g, count(*) AS c FROM crg GROUP BY doc_id, n, g),
+      |cmm AS (SELECT c.doc_id, c.n, sum(least(c.c, r.c)) AS m
+      |       FROM ccgc c JOIN crgc r ON r.doc_id = c.doc_id AND r.n = c.n AND r.g = c.g
+      |       GROUP BY c.doc_id, c.n),
+      |cpern AS (
+      |  SELECT cu.doc_id, cns.n,
+      |         greatest(length(cu.cs) - cns.n + 1, 0) AS tc,
+      |         greatest(length(cu.rs) - cns.n + 1, 0) AS tr,
+      |         coalesce(cmm.m, 0) AS m
+      |  FROM cu CROSS JOIN cns
+      |  LEFT JOIN cmm ON cmm.doc_id = cu.doc_id AND cmm.n = cns.n),
+      |cf AS (SELECT doc_id, n, tc, tr,
+      |        CASE WHEN tc = 0 THEN 0.0 ELSE m::DOUBLE / tc::DOUBLE END AS p,
+      |        CASE WHEN tr = 0 THEN 0.0 ELSE m::DOUBLE / tr::DOUBLE END AS r
+      |      FROM cpern),
+      |cfs AS (SELECT doc_id, n,
+      |         CASE WHEN tc + tr > 0 THEN
+      |           CASE WHEN 4.0 * p + r = 0.0 THEN 0.0
+      |                ELSE 5.0 * p * r / (4.0 * p + r) END
+      |         ELSE 0.0 END AS fn,
+      |         CASE WHEN tc + tr > 0 THEN 1 ELSE 0 END AS incl
+      |       FROM cf),
+      |cpv AS (SELECT doc_id,
+      |         max(CASE WHEN n = 1 THEN fn END) AS f1,
+      |         max(CASE WHEN n = 2 THEN fn END) AS f2,
+      |         max(CASE WHEN n = 3 THEN fn END) AS f3,
+      |         max(CASE WHEN n = 4 THEN fn END) AS f4,
+      |         max(CASE WHEN n = 5 THEN fn END) AS f5,
+      |         max(CASE WHEN n = 6 THEN fn END) AS f6,
+      |         sum(incl) AS n_incl
+      |       FROM cfs GROUP BY doc_id),
+      |chrfv AS (
+      |  SELECT cu.doc_id, length(cu.cs)::BIGINT AS cand_chars,
+      |         length(cu.rs)::BIGINT AS ref_chars,
+      |         round(CASE WHEN cpv.n_incl = 0 THEN 0.0
+      |                    ELSE 100.0 * (f1 + f2 + f3 + f4 + f5 + f6)
+      |                         / cpv.n_incl::DOUBLE
+      |               END, 6) AS chrf
+      |  FROM cu JOIN cpv ON cpv.doc_id = cu.doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "pipe_bleu" ->
@@ -139,63 +207,8 @@ object GenEvalQueries {
          |                  ELSE 2.0 * p * r / (p + r) END, 6) AS f1
          |FROM pr""".stripMargin,
 
-    // chrF: char 1..6-grams over whitespace-stripped code points
-    // ([ \t\n\x0b\f\r] — exactly GenEvalStats' set), beta^2 = 4
     "pipe_chrf" ->
-      """WITH pairs AS (
-        |  SELECT doc_id, text AS cand,
-        |         lead(text) OVER (PARTITION BY source ORDER BY doc_id) AS ref
-        |  FROM documents QUALIFY ref IS NOT NULL),
-        |u AS (SELECT doc_id,
-        |        regexp_replace(cand, '[ \t\n\x0b\f\r]', '', 'g') AS cs,
-        |        regexp_replace(ref, '[ \t\n\x0b\f\r]', '', 'g') AS rs FROM pairs),
-        |ns(n) AS (VALUES (1), (2), (3), (4), (5), (6)),
-        |cg AS (SELECT doc_id, n, unnest(list_transform(
-        |         range(1, greatest(length(cs) - n + 2, 1)), i -> substr(cs, i, n))) AS g
-        |       FROM u CROSS JOIN ns),
-        |rg AS (SELECT doc_id, n, unnest(list_transform(
-        |         range(1, greatest(length(rs) - n + 2, 1)), i -> substr(rs, i, n))) AS g
-        |       FROM u CROSS JOIN ns),
-        |cgc AS (SELECT doc_id, n, g, count(*) AS c FROM cg GROUP BY doc_id, n, g),
-        |rgc AS (SELECT doc_id, n, g, count(*) AS c FROM rg GROUP BY doc_id, n, g),
-        |mm AS (SELECT c.doc_id, c.n, sum(least(c.c, r.c)) AS m
-        |       FROM cgc c JOIN rgc r ON r.doc_id = c.doc_id AND r.n = c.n AND r.g = c.g
-        |       GROUP BY c.doc_id, c.n),
-        |pern AS (
-        |  SELECT u.doc_id, ns.n,
-        |         greatest(length(u.cs) - ns.n + 1, 0) AS tc,
-        |         greatest(length(u.rs) - ns.n + 1, 0) AS tr,
-        |         coalesce(mm.m, 0) AS m
-        |  FROM u CROSS JOIN ns
-        |  LEFT JOIN mm ON mm.doc_id = u.doc_id AND mm.n = ns.n),
-        |f AS (SELECT doc_id, n, tc, tr,
-        |        CASE WHEN tc = 0 THEN 0.0 ELSE m::DOUBLE / tc::DOUBLE END AS p,
-        |        CASE WHEN tr = 0 THEN 0.0 ELSE m::DOUBLE / tr::DOUBLE END AS r
-        |      FROM pern),
-        |fs AS (SELECT doc_id, n,
-        |         CASE WHEN tc + tr > 0 THEN
-        |           CASE WHEN 4.0 * p + r = 0.0 THEN 0.0
-        |                ELSE 5.0 * p * r / (4.0 * p + r) END
-        |         ELSE 0.0 END AS fn,
-        |         CASE WHEN tc + tr > 0 THEN 1 ELSE 0 END AS incl
-        |       FROM f),
-        |-- pivoted so the six F terms add in a FIXED order (f1+f2+...+f6),
-        |-- matching the Spark side's left-fold — double addition is not
-        |-- associative, and an aggregate's order is engine-chosen
-        |pv AS (SELECT doc_id,
-        |         max(CASE WHEN n = 1 THEN fn END) AS f1,
-        |         max(CASE WHEN n = 2 THEN fn END) AS f2,
-        |         max(CASE WHEN n = 3 THEN fn END) AS f3,
-        |         max(CASE WHEN n = 4 THEN fn END) AS f4,
-        |         max(CASE WHEN n = 5 THEN fn END) AS f5,
-        |         max(CASE WHEN n = 6 THEN fn END) AS f6,
-        |         sum(incl) AS n_incl
-        |       FROM fs GROUP BY doc_id)
-        |SELECT u.doc_id AS pair_id, length(u.cs)::BIGINT AS cand_chars,
-        |       length(u.rs)::BIGINT AS ref_chars,
-        |       round(CASE WHEN pv.n_incl = 0 THEN 0.0
-        |                  ELSE 100.0 * (f1 + f2 + f3 + f4 + f5 + f6)
-        |                       / pv.n_incl::DOUBLE
-        |             END, 6) AS chrf
-        |FROM u JOIN pv ON pv.doc_id = u.doc_id""".stripMargin)
+      ("WITH pairs AS (" + defaultPairsSql + "),\n" + chrfCtes + "\n" +
+        """SELECT doc_id AS pair_id, cand_chars, ref_chars, chrf
+          |FROM chrfv""".stripMargin))
 }
