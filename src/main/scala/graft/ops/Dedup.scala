@@ -380,8 +380,21 @@ object Dedup {
   }
 
   /** EXACT edit-distance similarity join — all pairs with
-    * levenshtein ≤ maxDist — without the O(n²) cross join: q-gram prefix
-    * filtering (Gravano et al. VLDB'01 q-gram count bound + the
+    * levenshtein ≤ maxDist — without the O(n²) cross join. Two candidate
+    * schemes, auto-selected:
+    *
+    *  - `maxDist` ≤ 2 (the typo/near-duplicate regime): DELETION
+    *    NEIGHBORHOODS (FastSS — Bocek et al. 2007, "Fast Similarity
+    *    Search in Large Dictionaries"): two strings within distance d
+    *    share a variant obtained by deleting ≤ d code points from each,
+    *    so each string emits its ≤ Σ_{k≤d} C(len,k) deletion variants and
+    *    candidates are pairs sharing one. Buckets are near-unique even on
+    *    tiny alphabets — the regime where q-gram prefixes go hot (a
+    *    digits-and-dashes corpus has ~10² distinct 2-grams, so every
+    *    prefix bucket is huge; deletion variants stay distinct).
+    *  - larger `maxDist`: q-gram prefix filtering as below.
+    *
+    * The q-gram path (Gravano et al. VLDB'01 q-gram count bound + the
     * Chaudhuri/Xiao prefix-filter principle, as in [[ngramJaccardPairs]]).
     * d edits destroy at most q·d of a string's positional q-grams, so two
     * strings within distance d share at least max(|Gₐ|,|G_b|) − q·d grams —
@@ -404,8 +417,14 @@ object Dedup {
     * covers hot grams. Returns (id_a, id_b, dist), id_a < id_b.
     */
   def editDistancePairs(df: DataFrame, id: Column, str: Column,
-      maxDist: Int, q: Int = 2): DataFrame = {
+      maxDist: Int, q: Int = 2,
+      algorithm: String = "auto"): DataFrame = {
     require(maxDist >= 0 && q > 0, s"need maxDist >= 0, q > 0; got $maxDist, $q")
+    require(Set("auto", "qgram", "deletion")(algorithm),
+      s"algorithm must be auto|qgram|deletion, got $algorithm")
+    val useDeletion = algorithm == "deletion" ||
+      (algorithm == "auto" && maxDist <= 2 && maxDist >= 1)
+    if (useDeletion) return editDistancePairsDeletion(df, id, str, maxDist)
     val s = df.select(id.as("id"), str.as("s")).filter(col("s").isNotNull)
     // positional q-grams, row-local (guard: sequence(1, 0) would DESCEND)
     val grams = s
@@ -436,13 +455,71 @@ object Dedup {
         col("sid") =!= col("id"))
       .select(least(col("sid"), col("id")).as("id_a"),
         greatest(col("sid"), col("id")).as("id_b"))
-    candidates.unionByName(shortCands).dropDuplicates("id_a", "id_b")
+    verifyEditDistance(candidates.unionByName(shortCands), s, maxDist)
+  }
+
+  /** FastSS deletion-neighborhood candidates for maxDist ∈ {1, 2}: each
+    * string emits every variant reachable by deleting ≤ maxDist code
+    * points (itself included); strings within distance d MUST share one.
+    * Variant generation is row-local HOF arithmetic over code points
+    * (Spark `substr`/`length` are code-point-based, matching the oracle's
+    * DuckDB semantics); candidates are a hash self-join on the variant
+    * string, then the shared length-filter + threshold-levenshtein verify.
+    *
+    * Variant counts are 1+n for d=1 and ~n²/2 for d=2, so the path guards
+    * string length (4096 / 256 code points) with a loud `raise_error` —
+    * beyond that, use `algorithm = "qgram"`. Identical strings share all
+    * variants (k copies → k² candidate rows): run [[dedupExact]] first on
+    * duplicate-heavy corpora.
+    */
+  private def editDistancePairsDeletion(df: DataFrame, id: Column,
+      str: Column, maxDist: Int): DataFrame = {
+    require(maxDist == 1 || maxDist == 2, s"deletion path needs maxDist 1|2, got $maxDist")
+    val maxLen = if (maxDist == 1) 4096 else 256
+    val s = df.select(id.as("id"), str.as("s")).filter(col("s").isNotNull)
+    val n = length(col("s"))
+    def delAt(i: Column): Column =
+      concat(substr(col("s"), lit(1), i - 1), substr(col("s"), i + 1, n - i))
+    def delAt2(i: Column, j: Column): Column = // i < j, both removed
+      concat(substr(col("s"), lit(1), i - 1),
+        substr(col("s"), i + 1, j - i - 1),
+        substr(col("s"), j + 1, n - j))
+    val del1 = when(n === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), n), i => delAt(i)))
+    val sigsRaw =
+      if (maxDist == 1) concat(array(col("s")), del1)
+      else concat(array(col("s")), del1,
+        when(n < 2, array().cast("array<string>"))
+          .otherwise(flatten(transform(sequence(lit(1), n - 1), i =>
+            transform(sequence(i + 1, n), j => delAt2(i, j))))))
+    val sigs = when(n > maxLen,
+        raise_error(concat(lit(s"editDistancePairs deletion path: string of "),
+          n.cast("string"),
+          lit(s" code points exceeds the $maxLen cap at maxDist=$maxDist; " +
+            "use algorithm=\"qgram\""))).cast("array<string>"))
+      .otherwise(array_distinct(sigsRaw))
+    val sigRows = s.select(col("id"), n.as("len"), explode(sigs).as("sig"))
+    val candidates = sigRows
+      .select(col("sig"), col("id").as("id_a"), col("len").as("len_a"))
+      .join(sigRows.select(col("sig"), col("id").as("id_b"), col("len").as("len_b")),
+        Seq("sig"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("len_a") - col("len_b")) <= maxDist)
+      .select("id_a", "id_b")
+    verifyEditDistance(candidates, s, maxDist)
+  }
+
+  /** Shared tail of both edit-distance candidate schemes: dedupe, fetch
+    * both strings, verify with the banded threshold levenshtein.
+    */
+  private def verifyEditDistance(candidates: DataFrame, s: DataFrame,
+      maxDist: Int): DataFrame =
+    candidates.dropDuplicates("id_a", "id_b")
       .join(s.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
       .join(s.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
       .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
       .filter(col("dist") =!= -1)
       .select("id_a", "id_b", "dist")
-  }
 
   /** O(n²) cross-join twin of [[editDistancePairs]] — correctness reference
     * at test scale only; never ship this plan.

@@ -30,12 +30,14 @@ object Preferences {
     *
     * Scale shape: comparisons collapse ONCE into a per-ordered-pair count
     * frame (one shuffle over the raw table — the only pass over the big
-    * data); each MM round joins the tiny (item, s) frame onto the pair
-    * counts twice (hash joins on item id), aggregates the denominator by
-    * item, and rescales via a broadcast single-row sum — per-round cost is
-    * O(#distinct pairs), never O(#comparisons). Per-round state is pinned
-    * (localCheckpoint, or reliable `checkpointDir` for production runs)
-    * exactly like the other iterative ops.
+    * data), pinned PRE-PARTITIONED on j (the PageRank edge trick): each MM
+    * round joins s onto that layout by j with no pair-frame exchange, pays
+    * exactly ONE pair-frame exchange onto i, where the si join and the
+    * denominator aggregation both reuse the i-partitioning; the rescale is
+    * a broadcast single-row sum. Per-round cost is O(#distinct pairs),
+    * never O(#comparisons). Per-round state is pinned (localCheckpoint, or
+    * reliable `checkpointDir` for production runs) exactly like the other
+    * iterative ops.
     */
   def bradleyTerry(comparisons: DataFrame, winner: Column, loser: Column,
       iters: Int, checkpointDir: Option[String] = None): DataFrame = {
@@ -63,12 +65,16 @@ object Preferences {
       (sum(col("nij")) - sum(col("wins_ij"))).as("losses"),
       sum(col("nij")).as("n_comparisons"))
     val nItems = wins.count()
+    // pin the pair frame laid out by j once: every round's sj join then
+    // reuses it, so the only per-round pair-frame exchange is the one onto
+    // i that the si join and denominator aggregation share
+    val nByJ = pin(n.repartition(col("j")))
 
     var s = pin(wins.select(col("i"), lit(1.0).as("s")))
     for (_ <- 1 to iters) {
-      val joined = n
-        .join(s.select(col("i"), col("s").as("si")), Seq("i"))
+      val joined = nByJ
         .join(s.select(col("i").as("j"), col("s").as("sj")), Seq("j"))
+        .join(s.select(col("i"), col("s").as("si")), Seq("i"))
       val denom = joined.groupBy("i")
         .agg(sum(col("nij").cast("double") / (col("si") + col("sj"))).as("den"))
       val raw = wins.join(denom, Seq("i"))

@@ -555,11 +555,22 @@ object ScaleProbe {
     val edBase = spark.range(edN).select(col("id"), edWords(col("id")).as("s"))
     val edTypos = spark.range(edN / 100).select((col("id") + edN).as("id"),
       substr(edWords(col("id")), lit(1), length(edWords(col("id"))) - 1).as("s")) // 1 deletion
-    val edPairs = time(f"editDistancePairs ($edN%,d + ${edN / 100}%,d strings, d=1)") {
+    val edPairs = time(f"editDistancePairs ($edN%,d + ${edN / 100}%,d strings, d=1, deletion sigs)") {
       graft.ops.Dedup.editDistancePairs(
         edBase.unionByName(edTypos), col("id"), col("s"), maxDist = 1).count()
     }
     println(f"  pairs $edPairs%,d (>= ${edN / 100}%,d planted)")
+    // the general-d q-gram path, at reduced n: its candidate volume is
+    // Σ_prefix-gram cnt² — on synthetic small-alphabet strings every gram
+    // is hot, the adversarial case (real-text gram vocabularies are far
+    // richer); the deletion path above is the scale answer for d <= 2
+    val edQ = edN / 20
+    val edQPairs = time(f"editDistancePairs ($edQ%,d strings, d=2, qgram path)") {
+      graft.ops.Dedup.editDistancePairs(
+        edBase.filter(col("id") < edQ).unionByName(edTypos.filter(col("id") < edN + edQ / 10)),
+        col("id"), col("s"), maxDist = 2, algorithm = "qgram").count()
+    }
+    println(f"  pairs $edQPairs%,d")
 
     println(s"== cluster topics (c-TF-IDF over kmeans cells) ==")
     val ctN = math.min(n / 10, 2_000_000L)

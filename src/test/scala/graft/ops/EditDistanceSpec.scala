@@ -14,9 +14,10 @@ class EditDistanceSpec extends AnyFunSuite {
   import TestSpark.spark
   import spark.implicits._
 
-  private def run(rows: Seq[(Long, String)], d: Int, q: Int = 2) = {
+  private def run(rows: Seq[(Long, String)], d: Int, q: Int = 2,
+      algorithm: String = "auto") = {
     val df = rows.toDF("id", "s")
-    val fast = Dedup.editDistancePairs(df, col("id"), col("s"), d, q)
+    val fast = Dedup.editDistancePairs(df, col("id"), col("s"), d, q, algorithm)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     val naive = Dedup.editDistancePairsNaive(df, col("id"), col("s"), d)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
@@ -52,6 +53,25 @@ class EditDistanceSpec extends AnyFunSuite {
     assert(fast == Set((1L, 2L, 2)))
     val (fast3, naive3) = run(rows, d = 3)
     assert(fast3 == naive3 && fast3.contains((1L, 3L, 3)))
+  }
+
+  test("deletion and qgram schemes return identical pair sets (d = 1 and 2)") {
+    val rows = Seq(
+      1L -> "the quick brown fox",
+      2L -> "the quick brown fix",      // sub: d=1
+      3L -> "the quick brwn fox",       // del: d=1 from 1, d=2 from 2
+      4L -> "te quik brown fox",        // two deletions: d=2 from 1
+      5L -> "x", 6L -> "y", 7L -> "",   // degenerate lengths
+      8L -> "aaaaaaaa", 9L -> "aaaabaaa",
+      10L -> "数据清洗管道", 11L -> "数据清理管道")
+    for (d <- Seq(1, 2)) {
+      val (viaDeletion, naive) = run(rows, d, algorithm = "deletion")
+      val (viaQgram, _) = run(rows, d, algorithm = "qgram")
+      assert(viaDeletion == naive, s"deletion vs naive at d=$d")
+      assert(viaQgram == naive, s"qgram vs naive at d=$d")
+    }
+    val (d2, _) = run(rows, 2, algorithm = "deletion")
+    assert(d2.contains((1L, 4L, 2)))
   }
 
   test("larger random-ish corpus with planted edits agrees exactly") {
