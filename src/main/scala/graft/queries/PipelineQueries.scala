@@ -428,6 +428,27 @@ object PipelineQueries {
     "pipe_bpe_vocab" -> ((s, d) =>
       graft.ops.Bpe.vocabulary(t(s, d, "documents"), col("text"), bpeGateMerges)),
 
+    // tokenizer fertility report — the standard tokenizer-eval table: per
+    // language, subword tokens per word and non-whitespace chars per token
+    // under the fixed BPE merge table (a tokenizer trained on English text
+    // shows higher fertility on zh — exactly what this surfaces)
+    "pipe_tokenizer_fertility" -> ((s, d) => {
+      val nw = size(filter(split(trim(lower(col("text"))), "\\s+"),
+        w => length(w) > 0)).cast("long")
+      val nb = graft.ops.Bpe.tokenCount(col("text"), bpeGateMerges).cast("long")
+      val nc = length(regexp_replace(lower(col("text")),
+        "[ \\t\\n\\x0B\\f\\r]", "")).cast("long")
+      t(s, d, "documents")
+        .select(col("lang"), nw.as("nw"), nb.as("nb"), nc.as("nc"))
+        .groupBy("lang")
+        .agg(sum("nw").as("n_words"), sum("nb").as("n_tokens"),
+          sum("nc").as("n_chars"))
+        .withColumn("tokens_per_word",
+          round(col("n_tokens").cast("double") / col("n_words"), 6))
+        .withColumn("chars_per_token",
+          round(col("n_chars").cast("double") / col("n_tokens"), 6))
+    }),
+
     // WordPiece greedy longest-match encode under the fixed gate vocabulary
     // (training is driver-side likelihood merges, pinned by WordPieceSpec's
     // worked example — same split as BPE). The full piece sequence,
@@ -1180,6 +1201,32 @@ s"""WITH toksrc AS (
         |  (SELECT unnest(string_split_regex(trim(lower(text)),'\s+')) AS tok FROM documents)
         |WHERE tok <> ''
         |GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20""".stripMargin,
+    // fertility: the BPE encode CTE gives per-word subword strings; token
+    // count per doc = total split sizes, words/chars counted identically
+    // to the Spark side (empty words dropped, the exact \s char class)
+    "pipe_tokenizer_fertility" ->
+      s"""$bpeEncCte,
+         |per_doc AS (
+         |  SELECT w.doc_id,
+         |         len(w.ws) AS nw,
+         |         list_sum(list_transform(e.toks, t -> len(string_split(t, ' ')))) AS nb
+         |  FROM words w JOIN enc e ON e.doc_id = w.doc_id),
+         |chars AS (
+         |  SELECT doc_id, lang,
+         |         length(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]', '', 'g')) AS nc
+         |  FROM documents),
+         |g AS (
+         |  SELECT c.lang,
+         |         CAST(sum(p.nw) AS BIGINT) AS n_words,
+         |         CAST(sum(p.nb) AS BIGINT) AS n_tokens,
+         |         CAST(sum(c.nc) AS BIGINT) AS n_chars
+         |  FROM per_doc p JOIN chars c ON c.doc_id = p.doc_id
+         |  GROUP BY c.lang)
+         |SELECT lang, n_words, n_tokens, n_chars,
+         |       round(n_tokens::DOUBLE / n_words, 6) AS tokens_per_word,
+         |       round(n_chars::DOUBLE / n_tokens, 6) AS chars_per_token
+         |FROM g""".stripMargin,
+
     // WordPiece: per distinct word precompute the longest vocab match at
     // every code-point position (word-initial = non-## piece, later = ##
     // body), follow the greedy path with a recursive CTE (the path is a
