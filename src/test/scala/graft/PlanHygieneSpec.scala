@@ -354,4 +354,36 @@ class PlanHygieneSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
     }
   }
+
+  test("generation-eval metrics are a single row-local projection (no shuffle)") {
+    // the per-pair metrics must stay scan → project: one Exchange is the
+    // pairing window's, and NOTHING else may appear
+    val p = plan("pipe_bleu")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
+      !p.contains("BroadcastHashJoin"), s"bleu scoring grew a join:\n$p")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).length <= 1,
+      s"bleu scoring shuffles beyond the pairing window:\n$p")
+  }
+
+  test("edit-distance join is never all-pairs on the corpus side") {
+    val p = plan("pipe_edit_join")
+    assert(!p.contains("CartesianProduct"), s"cross join in edit join:\n$p")
+    // the one permitted nested-loop is the degenerate gramless bucket —
+    // its build side is the broadcast set of near-empty strings (len < q)
+    assert("\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+      s"unexpected extra nested-loop join:\n$p")
+  }
+
+  test("span corruption is row-local: zero exchanges") {
+    val p = plan("pipe_span_corrupt")
+    assert(!p.contains("Exchange"), s"span corruption shuffled:\n$p")
+  }
+
+  test("conversation assembly reuses the user-key exchange for the agg") {
+    // window partitioned by who, then groupBy (who, conv_idx): subset
+    // partitioning must satisfy the aggregation — exactly one Exchange
+    val p = plan("pipe_conversations")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).length <= 1,
+      s"conversation agg re-shuffled after the user window:\n$p")
+  }
 }
