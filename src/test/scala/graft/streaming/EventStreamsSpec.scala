@@ -737,4 +737,38 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(streamed.exists { case (id, b, c) => id == 3L && b == 1.0 && c == 100.0 })
     } finally q.stop()
   }
+
+  test("span corruption and WordPiece encode are stateless on streams") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // both are row-local (HOF arithmetic / native expression), so live
+    // pretraining-example generation runs the exact batch definitions
+    val vocab = Seq("d", "o", "c", "##o", "##c", "doc", "##0", "##1", "##2",
+      "w", "##o", "##r", "##d", "word")
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    val q = graft.ops.Synthetic.spanCorrupt(df, col("doc_id"), col("text"),
+        blockSize = 4, spanLen = 1, rate = 0.9, seed = "st")
+      .withColumn("wp", graft.ops.WordPiece.encode(col("input_text"), vocab))
+      .writeStream.format("memory").queryName("synth_out")
+      .outputMode("append").start()
+    val docs = (0L until 20L).map(i => (i, s"doc$i word doc word doc$i word"))
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("synth_out")
+        .select("id", "input_text", "target_text", "wp")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getSeq[String](3))).toSet
+      val batchDf = docs.toDF("doc_id", "text")
+      val batch = graft.ops.Synthetic.spanCorrupt(batchDf, col("doc_id"),
+          col("text"), blockSize = 4, spanLen = 1, rate = 0.9, seed = "st")
+        .withColumn("wp", graft.ops.WordPiece.encode(col("input_text"), vocab))
+        .select("id", "input_text", "target_text", "wp")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getSeq[String](3))).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
 }
