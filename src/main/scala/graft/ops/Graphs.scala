@@ -87,6 +87,130 @@ object Graphs {
       seeds = Some(seeds.select(seedId.cast("bigint").as("node_id"))
         .filter(col("node_id").isNotNull).distinct()))
 
+  /** HITS hubs-and-authorities (Kleinberg 1999, "Authoritative Sources in a
+    * Hyperlinked Environment") — the complement to [[pagerank]] for crawl
+    * curation: authority scores surface content pages many good hubs point
+    * at, hub scores surface link/directory pages (often boilerplate to
+    * down-weight). `iters` mutual-reinforcement rounds, each half-step
+    * L1-normalized so scores stay a probability-like distribution:
+    *
+    *   a'(v) = Σ_{u→v} h(u)    a = a' / Σ_v a'(v)
+    *   h'(u) = Σ_{u→v} a(v)    h = h' / Σ_u h'(u)
+    *
+    * from h₀ = 1 on every node (the initial scale cancels at the first
+    * normalization). Fixed iteration count keeps the result deterministic;
+    * scores are reported rounded to 6 decimals, far above cross-engine
+    * float-summation noise. Returns (node_id, in_deg, out_deg, auth, hub)
+    * for every node in src ∪ dst.
+    *
+    * Scale shape: the edge list is pinned TWICE, hash-laid-out by src and
+    * by dst — the authority half-step joins the O(N) hub frame onto the
+    * src layout, the hub half-step joins the O(N) authority frame onto the
+    * dst layout, so neither half-step ever re-exchanges the O(E) edge side
+    * (at 100 TB: the edge table bucketed by src and its by-dst twin). Each
+    * normalization constant is a broadcast single-row aggregate — never a
+    * driver collect.
+    */
+  def hits(edges: DataFrame, src: Column, dst: Column, iters: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1, s"need iters >= 1; got $iters")
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def pin(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val eBySrc = pin(canonEdges(edges, src, dst).repartition(col("src")))
+    val eByDst = pin(eBySrc.repartition(col("dst")))
+    val nodes = pin(degrees(eBySrc, col("src"), col("dst")))
+    require(!eBySrc.isEmpty, "hits: empty graph")
+
+    var hubs = nodes.select(col("node_id"), lit(1.0).as("hub"))
+    var auths = nodes.select(col("node_id"), lit(0.0).as("auth"))
+    for (_ <- 1 to iters) {
+      // authority half-step: hubs flow along edges src → dst
+      val araw = eBySrc.join(hubs, col("node_id") === col("src"))
+        .groupBy(col("dst")).agg(sum(col("hub")).as("s"))
+      val anorm = araw.agg(sum(col("s")).as("t"))
+      auths = pin(nodes.select(col("node_id"))
+        .join(araw, col("node_id") === col("dst"), "left")
+        .crossJoin(broadcast(anorm))
+        .select(col("node_id"),
+          (coalesce(col("s"), lit(0.0)) / col("t")).as("auth")))
+      // hub half-step: authorities flow back dst → src
+      val hraw = eByDst.join(auths, col("node_id") === col("dst"))
+        .groupBy(col("src")).agg(sum(col("auth")).as("s"))
+      val hnorm = hraw.agg(sum(col("s")).as("t"))
+      hubs = pin(nodes.select(col("node_id"))
+        .join(hraw, col("node_id") === col("src"), "left")
+        .crossJoin(broadcast(hnorm))
+        .select(col("node_id"),
+          (coalesce(col("s"), lit(0.0)) / col("t")).as("hub")))
+    }
+    nodes.join(auths, Seq("node_id")).join(hubs, Seq("node_id"))
+      .select(col("node_id"), col("in_deg"), col("out_deg"),
+        round(col("auth"), 6).as("auth"), round(col("hub"), 6).as("hub"))
+  }
+
+  /** Exact per-node triangle count over the UNDIRECTED version of the edge
+    * list (direction dropped, self-loops and parallel edges removed) — the
+    * link-farm / spam-cluster density signal: organic link neighborhoods
+    * are triangle-sparse, collusion rings are cliques. Returns
+    * (node_id, n_triangles) for every node of the undirected graph, 0 for
+    * nodes in no triangle. Integer-exact, so the oracle comparison is
+    * bitwise.
+    *
+    * Algorithm — degree-ordered wedge join (the standard distributed
+    * formulation; Suri & Vassilvitskii 2011, "Counting Triangles and the
+    * Curse of the Last Reducer"): orient every undirected edge from its
+    * lower-(degree, id) endpoint to the higher; each triangle then has
+    * exactly one node with two out-edges, so joining wedges (u→v, u→w) with
+    * the oriented edge v→w counts each triangle once. The orientation
+    * bounds every out-degree by O(√E), so wedge volume is O(E^1.5) worst
+    * case instead of Σ deg² — the hot-node (celebrity host) explosion a
+    * naive neighbor join hits at crawl scale. Three hash shuffles total
+    * (degree agg, wedge self-join on u, wedge⨝edge on (v, w)); nothing
+    * quadratic in a node's raw degree ever materializes.
+    */
+  def triangles(edges: DataFrame, src: Column, dst: Column): DataFrame = {
+    // canonical undirected edge set: (a, b) with a < b, no self-loops
+    val und = edges
+      .select(src.cast("bigint").as("s"), dst.cast("bigint").as("d"))
+      .filter(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node_id"))
+      .unionAll(und.select(col("b")))
+      .groupBy("node_id").agg(count(lit(1)).as("deg"))
+    // orient each edge low→high in (deg, id) order; carry the endpoint
+    // ranks so the wedge join can emit (v, w) already canonically ordered
+    val ranked = und
+      .join(deg.withColumnRenamed("node_id", "a").withColumnRenamed("deg", "da"), "a")
+      .join(deg.withColumnRenamed("node_id", "b").withColumnRenamed("deg", "db"), "b")
+    val oriented = ranked.select(
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")), col("a"))
+        .otherwise(col("b")).as("u"),
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")),
+        struct(col("b").as("id"), col("db").as("dg")))
+        .otherwise(struct(col("a").as("id"), col("da").as("dg"))).as("v"))
+    // wedges u→v, u→w with v before w in the same (deg, id) order, so the
+    // closing edge (v, w) is itself oriented v→w
+    val l = oriented.select(col("u"), col("v").as("x"))
+    val r = oriented.select(col("u"), col("v").as("y"))
+    val wedges = l.join(r, Seq("u"))
+      .filter(col("x.dg") < col("y.dg") ||
+        (col("x.dg") === col("y.dg") && col("x.id") < col("y.id")))
+      .select(col("u"), col("x.id").as("v"), col("y.id").as("w"))
+    val tri = wedges.join(
+      oriented.select(col("u").as("v"), col("v.id").as("w")), Seq("v", "w"))
+    val counts = tri
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node_id"))
+      .groupBy("node_id").agg(count(lit(1)).as("n_triangles"))
+    deg.select(col("node_id"))
+      .join(counts, Seq("node_id"), "left")
+      .select(col("node_id"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
   private def pagerankImpl(edges: DataFrame, src: Column, dst: Column,
       iters: Int, damping: Double, checkpointDir: Option[String],
       seeds: Option[DataFrame]): DataFrame = {

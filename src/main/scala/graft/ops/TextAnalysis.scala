@@ -200,6 +200,30 @@ object TextAnalysis {
     trim(regexp_replace(unescaped, "\\s+", " "))
   }
 
+  /** Hyperlink extraction from raw HTML — the crawl pass that turns pages
+    * into a link graph ([[graft.ops.Graphs]] consumes the (page, href-host)
+    * pairs) and anchor-text corpora. One row per `<a … href="…">…</a>`
+    * occurrence: 1-based `link_idx` in document order, the raw `href`
+    * value, and the tag-stripped whitespace-normalized anchor text.
+    * Same deliberately regex-simple contract as [[stripHtml]] (href must be
+    * double-quoted; anchors without a closing `</a>` are skipped), chosen
+    * for an exact cross-engine twin. Documents with no links yield no rows.
+    * Row-local explode — scan-speed, no shuffle; compose with
+    * [[graft.ops.Urls.host]] / [[graft.ops.Urls.canonicalize]] for the
+    * edge list.
+    */
+  def htmlLinks(df: org.apache.spark.sql.DataFrame, id: Column,
+      html: Column): org.apache.spark.sql.DataFrame = {
+    val re = "(?is)<a\\s[^>]*href\\s*=\\s*\"([^\"]*)\"[^>]*>(.*?)</a>"
+    df.select(id.as("id"),
+        posexplode(regexp_extract_all(html, lit(re), lit(0))))
+      .select(col("id"), (col("pos") + 1).as("link_idx"),
+        regexp_extract(col("col"), re, 1).as("href"),
+        trim(regexp_replace(
+          regexp_replace(regexp_extract(col("col"), re, 2), "<[^>]*>", " "),
+          "\\s+", " ")).as("anchor"))
+  }
+
   /** Per-document n-gram novelty — the memorization-risk / boilerplate
     * metric: of a document's DISTINCT word `k`-grams, what fraction occurs
     * in no other document (corpus document frequency 1)? Low novelty means

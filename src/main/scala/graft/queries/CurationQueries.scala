@@ -444,6 +444,30 @@ object CurationQueries {
         when(col("doc_id") % 4 === 0, lit(htmlPlantPost)).otherwise(lit("")))
       t(s, d, "documents")
         .select(col("doc_id"), TextAnalysis.stripHtml(aug).as("clean"))
+    }),
+
+    // hyperlink extraction over planted anchors: absolute links with junk
+    // (www/port/utm/fragment, mixed-case tag), a relative link, a no-href
+    // anchor that must NOT match; each extracted href also resolved to its
+    // canonical host — the page→host edge list of a crawl
+    "pipe_html_links" -> ((s, d) => {
+      val idStr = col("doc_id").cast("string")
+      val aug = concat(
+        when(col("doc_id") % 3 === 0, concat(
+          lit("<div>intro <a class=\"m\" href=\"https://WWW.Example"),
+          (col("doc_id") % 7).cast("string"),
+          lit(".com:443/p/"), idStr,
+          lit("/?utm_source=feed&q=1#frag\">read <b>doc "), idStr,
+          lit("</b>  now</a></div>"))).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          lit("<A HREF=\"/local/path\">Local  page</A>" +
+            "<a name=\"x\">not a link</a>")).otherwise(lit("")),
+        col("text"))
+      val links = TextAnalysis.htmlLinks(
+        t(s, d, "documents").select(col("doc_id"), aug.as("html")),
+        col("doc_id"), col("html"))
+      links.select(col("id").as("doc_id"), col("href"), col("anchor"),
+        graft.ops.Urls.host(col("href")).as("host"))
     })
   )
 
@@ -1341,6 +1365,43 @@ object CurationQueries {
          |FROM documents""".stripMargin,
 
     // length-bucketed batching: same md5 order, same integer-floor bucket /
+    // hyperlink extraction: identical (?is) match regex, same tag-strip +
+    // whitespace-normalize on the anchor group, same host derivation
+    // (lowercase, strip scheme/www, stop at port)
+    "pipe_html_links" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN doc_id % 3 = 0 THEN
+         |       '<div>intro <a class="m" href="https://WWW.Example'
+         |         || CAST(doc_id % 7 AS VARCHAR) || '.com:443/p/'
+         |         || CAST(doc_id AS VARCHAR)
+         |         || '/?utm_source=feed&q=1#frag">read <b>doc '
+         |         || CAST(doc_id AS VARCHAR) || '</b>  now</a></div>'
+         |     ELSE '' END)
+         |    || (CASE WHEN doc_id % 4 = 0 THEN
+         |          '<A HREF="/local/path">Local  page</A><a name="x">not a link</a>'
+         |        ELSE '' END)
+         |    || text AS html
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_extract_all(html,
+         |      '(?is)<a\\s[^>]*href\\s*=\\s*"([^"]*)"[^>]*>(.*?)</a>', 0)) AS mt
+         |  FROM aug)
+         |SELECT doc_id,
+         |  regexp_extract(mt,
+         |    '(?is)<a\\s[^>]*href\\s*=\\s*"([^"]*)"[^>]*>(.*?)</a>', 1) AS href,
+         |  trim(regexp_replace(regexp_replace(
+         |    regexp_extract(mt,
+         |      '(?is)<a\\s[^>]*href\\s*=\\s*"([^"]*)"[^>]*>(.*?)</a>', 2),
+         |    '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) AS anchor,
+         |  regexp_replace(
+         |    regexp_extract(lower(trim(regexp_extract(mt,
+         |      '(?is)<a\\s[^>]*href\\s*=\\s*"([^"]*)"[^>]*>(.*?)</a>', 1))),
+         |      '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1),
+         |    '^www\\.', '') AS host
+         |FROM m""".stripMargin,
+
     // batch arithmetic, windowed per-batch max
     "pipe_length_batches" ->
       s"""WITH b AS (

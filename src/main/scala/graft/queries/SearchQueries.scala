@@ -46,6 +46,28 @@ object SearchQueries {
         seeds, col("s_suppkey"), iters = 5, damping = 0.85)
     }),
 
+    // HITS hubs/authorities over the same fulfilment graph: 5 mutual-
+    // reinforcement rounds, L1-normalized per half-step (suppliers are the
+    // hub side, customers the authority side of this bipartite instance)
+    "pipe_hits" -> ((s, d) => {
+      val e = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("src"), (col("o_custkey") + 100000L).as("dst"))
+      Graphs.hits(e, col("src"), col("dst"), iters = 5)
+    }),
+
+    // exact triangle census over the part co-occurrence graph (parts
+    // sharing an order are linked) — the link-farm density signal;
+    // degree-ordered wedge join, integer-exact
+    "pipe_triangles" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val e = li.as("x").join(li.as("y"), Seq("ok"))
+        .filter(col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      Graphs.triangles(e, col("src"), col("dst"))
+    }),
+
     // BM25 top-10 per query over the documents corpus
     "pipe_bm25" -> ((s, d) => {
       val qdf = s.createDataFrame(bm25Queries).toDF("query_id", "qtext")
@@ -241,6 +263,32 @@ object SearchQueries {
   private val pprIterChain =
     (1 to 5).map(i => duckPprRound(s"p${i - 1}", s"p$i")).mkString(",\n")
 
+  // one HITS round in DuckDB: authority half-step (hub mass flows src→dst,
+  // L1-normalized), then hub half-step (authority mass flows dst→src,
+  // L1-normalized) — the same coalesce/divide arithmetic the Scala side
+  // evaluates, so both engines round identical doubles. The L1 constant is
+  // a window sum (adding exact zeros for no-inflow nodes, which cannot
+  // change a float sum) so every CTE is referenced exactly ONCE — a chain
+  // that references each predecessor twice re-expands exponentially in
+  // engines that inline CTEs
+  private def duckHitsRound(i: Int): String = {
+    val (hp, a, h) = (s"h${i - 1}", s"a$i", s"h$i")
+    s"""$a AS (SELECT n.node_id,
+       |    coalesce(r.s, 0) / sum(coalesce(r.s, 0)) OVER () AS auth
+       |  FROM nodes n LEFT JOIN (
+       |    SELECT e.dst AS node_id, sum(hh.hub) AS s
+       |    FROM e JOIN $hp hh ON hh.node_id = e.src GROUP BY e.dst) r
+       |  ON r.node_id = n.node_id),
+       |$h AS (SELECT n.node_id,
+       |    coalesce(r.s, 0) / sum(coalesce(r.s, 0)) OVER () AS hub
+       |  FROM nodes n LEFT JOIN (
+       |    SELECT e.src AS node_id, sum(aa.auth) AS s
+       |    FROM e JOIN $a aa ON aa.node_id = e.dst GROUP BY e.src) r
+       |  ON r.node_id = n.node_id)""".stripMargin
+  }
+
+  private val hitsIterChain = (1 to 5).map(duckHitsRound).mkString(",\n")
+
   // BM25 pieces shared with the Spark operator contract: lowercased
   // whitespace tokens, dl = raw token count, avgdl = exact sum/count
   private val duckBm25Values = bm25Queries
@@ -328,6 +376,45 @@ object SearchQueries {
          |$pprIterChain
          |SELECT d.node_id, d.in_deg, d.out_deg, round(p5.rank, 6) AS rank
          |FROM degs d JOIN p5 ON p5.node_id = d.node_id""".stripMargin,
+
+    "pipe_hits" ->
+      s"""WITH e AS (
+         |  SELECT DISTINCT l_suppkey AS src, 100000 + o_custkey AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |nodes AS (SELECT src AS node_id FROM e UNION SELECT dst FROM e),
+         |deg AS (
+         |  SELECT n.node_id,
+         |         coalesce(i.c, 0) AS in_deg, coalesce(o.c, 0) AS out_deg
+         |  FROM nodes n
+         |  LEFT JOIN (SELECT dst, count(*) AS c FROM e GROUP BY dst) i ON i.dst = n.node_id
+         |  LEFT JOIN (SELECT src, count(*) AS c FROM e GROUP BY src) o ON o.src = n.node_id),
+         |h0 AS (SELECT node_id, 1.0 AS hub FROM nodes),
+         |$hitsIterChain
+         |SELECT d.node_id, d.in_deg, d.out_deg,
+         |       round(a5.auth, 6) AS auth, round(h5.hub, 6) AS hub
+         |FROM deg d
+         |JOIN a5 ON a5.node_id = d.node_id
+         |JOIN h5 ON h5.node_id = d.node_id""".stripMargin,
+
+    // triangles: canonical a<b edge set, each triangle enumerated once as
+    // e1=(u,v), e2=(v,w), e3=(u,w) with u<v<w, then per-node explode
+    "pipe_triangles" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e0 AS (
+        |  SELECT DISTINCT x.pk AS a, y.pk AS b
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |nodes AS (SELECT a AS node_id FROM e0 UNION SELECT b FROM e0),
+        |tri AS (
+        |  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        |  FROM e0 e1
+        |  JOIN e0 e2 ON e2.a = e1.b
+        |  JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tn AS (SELECT u AS node_id FROM tri
+        |       UNION ALL SELECT v FROM tri
+        |       UNION ALL SELECT w FROM tri),
+        |c AS (SELECT node_id, count(*) AS n FROM tn GROUP BY node_id)
+        |SELECT n.node_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_triangles
+        |FROM nodes n LEFT JOIN c ON c.node_id = n.node_id""".stripMargin,
 
     "pipe_bm25" ->
       s"""$duckBm25Cte

@@ -453,6 +453,24 @@ class CurationSpec extends AnyFunSuite {
     assert(out(5L) == "kept")
   }
 
+  test("htmlLinks extracts href + stripped anchor per occurrence, in order") {
+    val rows = Seq(
+      (1L, "x <a href=\"https://a.com/1\">first <b>link</b></a> y " +
+        "<A CLASS=\"z\" HREF=\"/rel\">  Second\n link </A> z"),
+      (2L, "<a name=\"no-href\">not a link</a> plain text"),
+      (3L, "<a href=\"http://dup.com\">d</a><a href=\"http://dup.com\">d</a>"),
+      (4L, "unclosed <a href=\"http://x.com\">dangling")
+    ).toDF("id", "t")
+    val out = TextAnalysis.htmlLinks(rows, col("id"), col("t"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3)))
+    assert(out.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 1, "https://a.com/1", "first link"),
+      (1L, 2, "/rel", "Second link"))) // mixed-case tag matched, anchor normalized
+    assert(!out.exists(_._1 == 2L)) // href-less anchor is not a link
+    assert(out.filter(_._1 == 3L).map(_._2).toSeq == Seq(1, 2)) // dup kept, indexed
+    assert(!out.exists(_._1 == 4L)) // no closing </a> → skipped
+  }
+
   test("normalizeText folds typographic unicode and collapses whitespace") {
     val rows = Seq(
       (1L, " \u201CQuoted\u2014text\u201D\u2026 and\u00A0more \u2018x\u2019 \u200Bend "),

@@ -73,6 +73,55 @@ class SearchOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("hits: a cycle is uniform on both sides") {
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val r = Graphs.hits(cycle, col("s"), col("d"), iters = 7)
+      .collect().map(x => x.getLong(0) -> (x.getDouble(3), x.getDouble(4))).toMap
+    r.values.foreach { case (a, h) =>
+      assert(math.abs(a - 1.0 / 3) < 1e-6 && math.abs(h - 1.0 / 3) < 1e-6)
+    }
+  }
+
+  test("hits: authority concentrates on the common target, hubs on pointers") {
+    // 1→3, 2→3: node 3 is the sole authority, 1 and 2 split the hub mass
+    val e = Seq((1L, 3L), (2L, 3L)).toDF("s", "d")
+    val r = Graphs.hits(e, col("s"), col("d"), iters = 3)
+      .collect().map(x => x.getLong(0) -> (x.getDouble(3), x.getDouble(4))).toMap
+    assert(r(3L) == (1.0, 0.0))
+    assert(r(1L) == (0.0, 0.5) && r(2L) == (0.0, 0.5))
+  }
+
+  test("hits: L1 sums are 1 each side; checkpoint dir matches localCheckpoint") {
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 4L), (4L, 1L)).toDF("s", "d")
+    val rows = Graphs.hits(e, col("s"), col("d"), iters = 5).collect()
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-5)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-5)
+    val dir = java.nio.file.Files.createTempDirectory("hits_ckpt").toString
+    val b = Graphs.hits(e, col("s"), col("d"), iters = 5,
+        checkpointDir = Some(dir))
+      .collect().map(x => x.getLong(0) -> (x.getDouble(3), x.getDouble(4))).toMap
+    val a = rows.map(x => x.getLong(0) -> (x.getDouble(3), x.getDouble(4))).toMap
+    assert(a == b)
+  }
+
+  test("triangles: counts per node, direction/duplicates/self-loops ignored") {
+    // triangle {1,2,3} (one edge reversed, one duplicated) + pendant 3→4,
+    // self-loop 2→2
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 2L), (2L, 2L), (3L, 4L))
+      .toDF("s", "d")
+    val r = Graphs.triangles(e, col("s"), col("d"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("triangles: a 4-clique has C(3,2)=3 per node; wedge join is exact") {
+    val nodes = Seq(1L, 2L, 3L, 4L)
+    val e = (for { a <- nodes; b <- nodes if a < b } yield (a, b)).toDF("s", "d")
+    val r = Graphs.triangles(e, col("s"), col("d"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == nodes.map(_ -> 3L).toMap) // 4 triangles, each node in 3
+  }
+
   // ---- Retrieval ----
 
   private val corpus = Seq(
