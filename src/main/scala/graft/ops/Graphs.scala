@@ -153,9 +153,12 @@ object Graphs {
     * list (direction dropped, self-loops and parallel edges removed) — the
     * link-farm / spam-cluster density signal: organic link neighborhoods
     * are triangle-sparse, collusion rings are cliques. Returns
-    * (node_id, n_triangles) for every node of the undirected graph, 0 for
-    * nodes in no triangle. Integer-exact, so the oracle comparison is
-    * bitwise.
+    * (node_id, degree, n_triangles, clustering) for every node of the
+    * undirected graph — n_triangles 0 for nodes in no triangle, and
+    * clustering the local clustering coefficient 2T/(d(d−1)) (0 when
+    * d < 2), rounded to 6 decimals: ~1 flags a collusion clique, ~0 an
+    * organic hub. Counts are integer-exact, so the oracle comparison is
+    * bitwise on them.
     *
     * Algorithm — degree-ordered wedge join (the standard distributed
     * formulation; Suri & Vassilvitskii 2011, "Counting Triangles and the
@@ -205,10 +208,13 @@ object Graphs {
     val counts = tri
       .select(explode(array(col("u"), col("v"), col("w"))).as("node_id"))
       .groupBy("node_id").agg(count(lit(1)).as("n_triangles"))
-    deg.select(col("node_id"))
-      .join(counts, Seq("node_id"), "left")
-      .select(col("node_id"),
+    deg.join(counts, Seq("node_id"), "left")
+      .select(col("node_id"), col("deg").as("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("clustering",
+        when(col("degree") < 2, lit(0.0)).otherwise(
+          round(lit(2.0) * col("n_triangles") /
+            (col("degree") * (col("degree") - 1)), 6)))
   }
 
   private def pagerankImpl(edges: DataFrame, src: Column, dst: Column,

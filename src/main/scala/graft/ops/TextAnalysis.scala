@@ -224,6 +224,44 @@ object TextAnalysis {
           "\\s+", " ")).as("anchor"))
   }
 
+  /** Flesch readability metrics — the grade-level heuristic behind
+    * educational-quality curation cuts (too-simple boilerplate and
+    * unreadable spam both score away from the useful band). Heuristic
+    * counting contract, chosen for exact cross-engine twins:
+    * words = whitespace tokens of the trimmed text; sentences = runs of
+    * `[.!?]` (min 1); syllables = vowel-group (`[aeiouy]+`) count of each
+    * lowercased word, min 1 per word. Then
+    * flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+    * (Flesch 1948 reading ease) and fk_grade = 0.39·(words/sentences) +
+    * 11.8·(syllables/words) − 15.59 (Kincaid et al. 1975), both rounded
+    * to 6 decimals — all divisions are exact-integer-over-exact-integer,
+    * so both engines evaluate identical IEEE doubles. Docs without words
+    * are omitted (no denominator), mirroring the gopher contract.
+    * Row-local codegen'd HOF arithmetic — scan speed, no shuffle.
+    */
+  def readability(df: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    val nSyl = aggregate(split(col("__t"), "\\s+"), lit(0L), (acc, w) =>
+      acc + greatest(
+        size(regexp_extract_all(lower(w), lit("[aeiouy]+"), lit(0))),
+        lit(1)).cast("long"))
+    df.select(id.as("id"), trim(text).as("__t"))
+      .filter(length(col("__t")) > 0)
+      .select(col("id"),
+        size(split(col("__t"), "\\s+")).cast("bigint").as("n_words"),
+        greatest(size(regexp_extract_all(col("__t"), lit("[.!?]+"), lit(0))),
+          lit(1)).cast("bigint").as("n_sentences"),
+        nSyl.as("n_syllables"))
+      .withColumn("flesch",
+        round(lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+          - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")), 6))
+      .withColumn("fk_grade",
+        round(lit(0.39) * (col("n_words").cast("double") / col("n_sentences"))
+          + lit(11.8) * (col("n_syllables").cast("double") / col("n_words"))
+          - lit(15.59), 6))
+  }
+
   /** Per-document n-gram novelty — the memorization-risk / boilerplate
     * metric: of a document's DISTINCT word `k`-grams, what fraction occurs
     * in no other document (corpus document frequency 1)? Low novelty means

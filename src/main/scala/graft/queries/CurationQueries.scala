@@ -468,7 +468,13 @@ object CurationQueries {
         col("doc_id"), col("html"))
       links.select(col("id").as("doc_id"), col("href"), col("anchor"),
         graft.ops.Urls.host(col("href")).as("host"))
-    })
+    }),
+
+    // Flesch reading-ease / FK grade over the documents corpus: exact
+    // integer word/sentence/vowel-group counts, identical IEEE arithmetic
+    "pipe_readability" -> ((s, d) =>
+      TextAnalysis.readability(t(s, d, "documents"), col("doc_id"), col("text"))
+        .withColumnRenamed("id", "doc_id"))
   )
 
   /** Planted markup for pipe_strip_html (quote-free, SQL-literal-safe). */
@@ -1401,6 +1407,31 @@ object CurationQueries {
          |      '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1),
          |    '^www\\.', '') AS host
          |FROM m""".stripMargin,
+
+    // readability: same whitespace word split, [.!?]+ sentence runs (min
+    // 1), per-word [aeiouy]+ vowel groups (min 1), same literal arithmetic
+    // order so both engines round identical doubles
+    "pipe_readability" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, trim(text) AS t FROM documents
+         |  WHERE length(trim(text)) > 0),
+         |w AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split_regex(t, '\\s+')) AS BIGINT) AS n_words,
+         |    CAST(greatest(len(regexp_extract_all(t, '[.!?]+')), 1) AS BIGINT)
+         |      AS n_sentences,
+         |    CAST(list_sum(list_transform(string_split_regex(t, '\\s+'),
+         |      x -> greatest(len(regexp_extract_all(lower(x), '[aeiouy]+')), 1)))
+         |      AS BIGINT) AS n_syllables
+         |  FROM b)
+         |SELECT doc_id, n_words, n_sentences, n_syllables,
+         |  round(206.835
+         |    - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+         |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6) AS flesch,
+         |  round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+         |    + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+         |    - 15.59, 6) AS fk_grade
+         |FROM w""".stripMargin,
 
     // batch arithmetic, windowed per-batch max
     "pipe_length_batches" ->

@@ -412,9 +412,16 @@ object SearchQueries {
         |tn AS (SELECT u AS node_id FROM tri
         |       UNION ALL SELECT v FROM tri
         |       UNION ALL SELECT w FROM tri),
-        |c AS (SELECT node_id, count(*) AS n FROM tn GROUP BY node_id)
-        |SELECT n.node_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_triangles
-        |FROM nodes n LEFT JOIN c ON c.node_id = n.node_id""".stripMargin,
+        |c AS (SELECT node_id, count(*) AS n FROM tn GROUP BY node_id),
+        |d AS (SELECT node_id, count(*) AS degree FROM
+        |        (SELECT a AS node_id FROM e0 UNION ALL SELECT b FROM e0)
+        |      GROUP BY node_id)
+        |SELECT d.node_id, CAST(d.degree AS BIGINT) AS degree,
+        |  CAST(coalesce(c.n, 0) AS BIGINT) AS n_triangles,
+        |  CASE WHEN d.degree < 2 THEN 0.0
+        |       ELSE round(2.0 * coalesce(c.n, 0) / (d.degree * (d.degree - 1)), 6)
+        |  END AS clustering
+        |FROM d LEFT JOIN c ON c.node_id = d.node_id""".stripMargin,
 
     "pipe_bm25" ->
       s"""$duckBm25Cte

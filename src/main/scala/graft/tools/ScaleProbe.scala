@@ -444,6 +444,41 @@ object ScaleProbe {
     // drifts from the exact mass of 1 — expected, not a solver error
     println(f"  nodes ${prTop.getLong(0)}%,d, rounded-rank mass ${prTop.getDouble(1)}%.4f (exact mass 1; 6dp grid ~ rank at this N), top ${prTop.getDouble(2)}%.6f")
 
+    println(s"== hits (dual pinned edge layouts, score-only per-round exchange) ==")
+    val hitsRes = time(f"hits ($prE%,d edges, ~$prNodes%,d nodes, 5 iters)") {
+      graft.ops.Graphs.hits(prEdges, col("s"), col("t"), iters = 5)
+        .agg(count(lit(1)).as("n"), sum("auth").as("am"), sum("hub").as("hm")).head()
+    }
+    println(f"  nodes ${hitsRes.getLong(0)}%,d, rounded auth mass ${hitsRes.getDouble(1)}%.4f" +
+      f" / hub mass ${hitsRes.getDouble(2)}%.4f (exact 1 each; 6dp rounding grid at this N)")
+
+    println(s"== triangles (degree-ordered wedges: a degree-1M hub contributes ZERO wedges) ==")
+    // 10k planted 10-cliques (the only triangle source), a 5M-edge random
+    // BIPARTITE background (even→odd ids: no odd cycles, so no triangles),
+    // and one celebrity node with 1M edges — naive neighbor-join wedges at
+    // that hub would be C(1M,2) ≈ 5e11; (degree, id) orientation points
+    // every hub edge INTO the hub, so it closes wedges but never opens them
+    val nCliques = 10_000L
+    val pairIdx = (for { i <- 0 until 10; j <- i + 1 until 10 } yield (i, j))
+      .toDF("pi", "pj")
+    val cliqueEdges = spark.range(nCliques).crossJoin(broadcast(pairIdx))
+      .select((col("id") * 10 + col("pi")).as("s"),
+        (col("id") * 10 + col("pj")).as("t"))
+    val triBase = 1_000_000_000L
+    val bgE = math.max(n / 4, 5_000_000L)
+    val bg = spark.range(bgE).select(
+      (lit(triBase) + pmod(xxhash64(col("id") * 17L), lit(1_000_000L)) * 2L).as("s"),
+      (lit(triBase) + pmod(xxhash64(col("id") * 31L + 3L), lit(1_000_000L)) * 2L + 1L).as("t"))
+    val celeb = spark.range(1_000_000L).select(
+      lit(2_000_000_000L).as("s"), (lit(triBase) + col("id") * 2L).as("t"))
+    val triSum = time(f"triangles (${nCliques * 45 + bgE + 1_000_000L}%,d edges incl. the hub)") {
+      graft.ops.Graphs.triangles(
+        cliqueEdges.unionAll(bg).unionAll(celeb), col("s"), col("t"))
+        .agg(sum("n_triangles")).as[Long].head()
+    }
+    println(f"  triangle incidences $triSum%,d (expected ${nCliques * 360}%,d = " +
+      "10k cliques x 3xC(10,3); background and hub add none)")
+
     println(s"== token-stream windowing (two-phase prefix sum, no global window) ==")
     val twRes = time(f"tokenWindows ($n%,d docs, 2048-token windows)") {
       graft.ops.Curation.tokenWindows(

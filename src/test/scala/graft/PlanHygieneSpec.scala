@@ -379,6 +379,20 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"span corruption shuffled:\n$p")
   }
 
+  test("html link extraction is row-local: zero exchanges") {
+    val p = plan("pipe_html_links")
+    assert(!p.contains("Exchange"), s"link extraction shuffled:\n$p")
+  }
+
+  test("triangle counting: hash joins only, never cartesian") {
+    // the wedge self-join and the closing-edge join must both key on
+    // hashable columns; an all-pairs fallback would be quadratic in E
+    val p = plan("pipe_triangles")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle counting fell back to an all-pairs join:\n$p")
+  }
+
   test("conversation assembly reuses the user-key exchange for the agg") {
     // window partitioned by who, then groupBy (who, conv_idx): subset
     // partitioning must satisfy the aggregation — exactly one Exchange

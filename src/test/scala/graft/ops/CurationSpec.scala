@@ -471,6 +471,27 @@ class CurationSpec extends AnyFunSuite {
     assert(!out.exists(_._1 == 4L)) // no closing </a> → skipped
   }
 
+  test("readability: hand-counted Flesch and FK grade; empty docs omitted") {
+    val rows = Seq(
+      (1L, "The cat sat. The dog ran!"), // 6 words, 2 sentences, 6 syllables
+      (2L, "mhm"), // no vowel group → syllable floor of 1
+      (3L, "   "), // whitespace-only: omitted
+      (4L, "Incomprehensibility") // 1 word, 1 sentence-floor, 7 groups
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(rows, col("doc_id"), col("text"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    assert(!out.contains(3L))
+    // doc 1: wps = 3, spw = 1 → flesch 206.835 − 3.045 − 84.6 = 119.19
+    assert(out(1L)._1 == 6L && out(1L)._2 == 2L && out(1L)._3 == 6L)
+    assert(math.abs(out(1L)._4 - 119.19) < 1e-9)
+    assert(math.abs(out(1L)._5 - (0.39 * 3 + 11.8 - 15.59)) < 1e-9)
+    assert(out(2L) == ((1L, 1L, 1L, 121.22, -3.4)))
+    // incomprehensibility: [i][o][e][e][i][i][i][y] = 8 vowel groups
+    assert(out(4L)._3 == 8L)
+  }
+
   test("normalizeText folds typographic unicode and collapses whitespace") {
     val rows = Seq(
       (1L, " \u201CQuoted\u2014text\u201D\u2026 and\u00A0more \u2018x\u2019 \u200Bend "),

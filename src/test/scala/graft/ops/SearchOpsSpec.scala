@@ -110,16 +110,24 @@ class SearchOpsSpec extends AnyFunSuite {
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 2L), (2L, 2L), (3L, 4L))
       .toDF("s", "d")
     val r = Graphs.triangles(e, col("s"), col("d"))
-      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
-    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+      .collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3)))
+      .toMap
+    assert(r == Map(
+      1L -> (2L, 1L, 1.0), 2L -> (2L, 1L, 1.0),
+      3L -> (3L, 1L, 0.333333), // 2·1/(3·2), rounded to 6 dp
+      4L -> (1L, 0L, 0.0))) // degree < 2 → clustering defined as 0
   }
 
   test("triangles: a 4-clique has C(3,2)=3 per node; wedge join is exact") {
     val nodes = Seq(1L, 2L, 3L, 4L)
     val e = (for { a <- nodes; b <- nodes if a < b } yield (a, b)).toDF("s", "d")
     val r = Graphs.triangles(e, col("s"), col("d"))
-      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
-    assert(r == nodes.map(_ -> 3L).toMap) // 4 triangles, each node in 3
+      .collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3)))
+      .toMap
+    // 4 triangles, each node in 3 of them; clique ⇒ clustering 1 everywhere
+    assert(r == nodes.map(_ -> ((3L, 3L, 1.0))).toMap)
   }
 
   // ---- Retrieval ----

@@ -738,6 +738,39 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("htmlLinks link extraction is stateless on streams") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // a row-local regex explode, so live crawl pages yield their link
+    // edges with no state or watermark — the streaming head of the
+    // link-graph pipeline
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("page_id", "html")
+    val q = graft.ops.TextAnalysis.htmlLinks(df, col("page_id"), col("html"))
+      .withColumn("host", graft.ops.Urls.host(col("href")))
+      .writeStream.format("memory").queryName("links_out")
+      .outputMode("append").start()
+    val pages = Seq(
+      (1L, "<a href=\"https://a.com/x\">one</a> <a href=\"https://b.com/\">two</a>"),
+      (2L, "no links here"),
+      (3L, "<A HREF=\"HTTPS://WWW.C.com:443/p\">up <b>case</b></A>"))
+    try {
+      input.addData(pages: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("links_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3),
+          r.getString(4))).toSet
+      val batch = graft.ops.TextAnalysis.htmlLinks(
+          pages.toDF("page_id", "html"), col("page_id"), col("html"))
+        .withColumn("host", graft.ops.Urls.host(col("href")))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+          r.getString(3), r.getString(4))).toSet
+      assert(streamed == batch)
+      assert(streamed.map(_._5).contains("c.com")) // host folded, port dropped
+      assert(!streamed.exists(_._1 == 2L))
+    } finally q.stop()
+  }
+
   test("span corruption and WordPiece encode are stateless on streams") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
