@@ -435,11 +435,18 @@ object Dedup {
           .as("g"))
     val freq = grams.groupBy("g").agg(count(lit(1)).as("df"))
     val prefixLen = q * maxDist + 1
+    // the prefix frame is PINNED before the self-join: its two aliased
+    // references are textually different subplans (id→id_a vs id_b), so
+    // Catalyst's ReuseExchange never fires and an unpinned frame would
+    // recompute the grams→frequency→window pipeline once per side —
+    // measured 2× end-to-end on a prefix-hot corpus. The pin is
+    // (q·d+1)·n thin rows, executor-local.
     val prefixes = grams.join(freq, Seq("g"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df").asc, col("g").asc)))
       .filter(col("rn") <= prefixLen)
       .select(col("g"), col("id"), col("len"))
+      .localCheckpoint()
     val candidates = prefixes.select(col("g"), col("id").as("id_a"), col("len").as("len_a"))
       .join(prefixes.select(col("g"), col("id").as("id_b"), col("len").as("len_b")),
         Seq("g"))

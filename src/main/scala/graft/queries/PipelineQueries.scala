@@ -108,7 +108,7 @@ object PipelineQueries {
       Dedup.editDistancePairs(
         t(s, d, "documents").select(col("doc_id"),
           array_join(slice(split(trim(col("text")), "\\s+"), 1, 5), " ").as("head5")),
-        col("doc_id"), col("head5"), maxDist = 9, q = 2)),
+        col("doc_id"), col("head5"), maxDist = 5, q = 3)),
 
     // duplicate clusters: LSH pairs → connected components → (doc, cluster)
     "pipe_dedup_clusters" -> ((s, d) => {
@@ -847,8 +847,8 @@ object PipelineQueries {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |       CAST(levenshtein(a.h, b.h) AS INTEGER) AS dist
         |FROM s a JOIN s b
-        |  ON a.doc_id < b.doc_id AND abs(length(a.h) - length(b.h)) <= 9
-        |WHERE levenshtein(a.h, b.h) <= 9""".stripMargin,
+        |  ON a.doc_id < b.doc_id AND abs(length(a.h) - length(b.h)) <= 5
+        |WHERE levenshtein(a.h, b.h) <= 5""".stripMargin,
     "pipe_dedup_clusters" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, $duckShingles AS sh FROM documents WHERE len(string_split_regex(trim(lower(text)),'\\s+')) >= 3),
          |pairs AS (
