@@ -213,6 +213,9 @@ object FunctionRegistry {
       round(st.getField("top_freq").cast("double") /
         greatest(st.getField("n_words").cast("double"), lit(1.0)), 6)
     },
+    // Flesch reading ease (rounded to 6; NULL for blank text) — the
+    // grade-level band filter of educational-quality curation
+    text1("flesch", TDouble)(graft.ops.TextAnalysis.fleschScore),
     // Shannon entropy signals (nats, rounded to 6) — the model-free
     // gibberish / template-boilerplate gates
     text1("char_entropy", TDouble) { t =>

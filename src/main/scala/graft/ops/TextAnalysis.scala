@@ -307,6 +307,67 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("tok").asc)
       .limit(k)
 
+  /** Scalar Flesch reading ease — the single-column form of [[readability]]
+    * for the DTL registry and SQL surface: identical counting contract and
+    * arithmetic, NULL for wordless (blank) text instead of omission.
+    */
+  def fleschScore(text: Column): Column = {
+    val t = trim(text)
+    val nW = size(split(t, "\\s+")).cast("double")
+    val nS = greatest(size(regexp_extract_all(t, lit("[.!?]+"), lit(0))),
+      lit(1)).cast("double")
+    val nSyl = aggregate(split(t, "\\s+"), lit(0L), (acc, w) =>
+      acc + greatest(
+        size(regexp_extract_all(lower(w), lit("[aeiouy]+"), lit(0))),
+        lit(1)).cast("long")).cast("double")
+    when(length(t) === 0, lit(null).cast("double"))
+      .otherwise(round(
+        lit(206.835) - lit(1.015) * (nW / nS) - lit(84.6) * (nSyl / nW), 6))
+  }
+
+  /** PMI bigram collocations — phrase-vocabulary induction (Church & Hanks
+    * 1990, word-association ratios): for every ADJACENT lowercased word
+    * pair occurring at least `minCount` times,
+    *
+    *   pmi = ln( c_ab · N / (c_a · c_b) )
+    *
+    * where c_ab counts the bigram, c_a / c_b count the words in bigram
+    * LEFT / RIGHT position and N is the total bigram count — PMI is a pure
+    * function of four exact integer counts (result rounded to 6 decimals),
+    * so any engine reproduces it. High-PMI frequent pairs ("new york")
+    * merge into phrase tokens before tokenizer training; low-PMI frequent
+    * pairs are boilerplate glue. Returns
+    * (w1, w2, n_pair, n_left, n_right, pmi).
+    *
+    * Scale shape: one row-local bigram explode, ONE corpus-sized (w1, w2)
+    * count aggregate (partial+final) — the marginals and the total are
+    * aggregates of the pinned pair-count table, never a second corpus
+    * pass — and the total joins back as a broadcast single-row frame.
+    */
+  def collocations(df: org.apache.spark.sql.DataFrame, text: Column,
+      minCount: Long): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val toks = filter(words(lower(text)), w => w =!= "")
+    val bgType = "array<struct<w1:string,w2:string>>"
+    val bg = df.select(explode(when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1), i =>
+          struct(element_at(toks, i).as("w1"),
+            element_at(toks, i + 1).as("w2"))))
+      .otherwise(array().cast(bgType))).as("b"))
+    val pairs = bg.groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .localCheckpoint() // referenced four times below; pin once
+    val left = pairs.groupBy("w1").agg(sum("n_pair").as("n_left"))
+    val right = pairs.groupBy("w2").agg(sum("n_pair").as("n_right"))
+    val total = pairs.agg(sum("n_pair").as("n_total"))
+    pairs.filter(col("n_pair") >= minCount)
+      .join(left, Seq("w1")).join(right, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_left"), col("n_right"),
+        round(log((col("n_pair").cast("double") * col("n_total")) /
+          (col("n_left").cast("double") * col("n_right"))), 6).as("pmi"))
+  }
+
   /** Corpus-level n-gram heavy hitters: the `k` word n-grams appearing in
     * the most documents (document frequency; each document counts a gram
     * once), ties broken by gram. The boilerplate detector — grams whose

@@ -474,7 +474,12 @@ object CurationQueries {
     // integer word/sentence/vowel-group counts, identical IEEE arithmetic
     "pipe_readability" -> ((s, d) =>
       TextAnalysis.readability(t(s, d, "documents"), col("doc_id"), col("text"))
-        .withColumnRenamed("id", "doc_id"))
+        .withColumnRenamed("id", "doc_id")),
+
+    // PMI bigram collocations over the documents corpus, pairs seen >= 3
+    // times: four exact integer counts and one logarithm
+    "pipe_collocations" -> ((s, d) =>
+      TextAnalysis.collocations(t(s, d, "documents"), col("text"), minCount = 3L))
   )
 
   /** Planted markup for pipe_strip_html (quote-free, SQL-literal-safe). */
@@ -1432,6 +1437,30 @@ object CurationQueries {
          |    + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
          |    - 15.59, 6) AS fk_grade
          |FROM w""".stripMargin,
+
+    // collocations: same lowercase/trim/split tokens, marginals summed
+    // from the pair table, identical PMI expression
+    "pipe_collocations" ->
+      s"""WITH t AS (
+         |  SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |                     w -> w <> '') AS ts
+         |  FROM documents),
+         |bg AS (
+         |  SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+         |           i -> struct_pack(w1 := ts[i], w2 := ts[i + 1]))) AS s
+         |  FROM t WHERE len(ts) >= 2),
+         |p AS (SELECT s.w1 AS w1, s.w2 AS w2, count(*) AS n_pair
+         |      FROM bg GROUP BY 1, 2),
+         |l AS (SELECT w1, sum(n_pair) AS n_left FROM p GROUP BY 1),
+         |r AS (SELECT w2, sum(n_pair) AS n_right FROM p GROUP BY 1),
+         |n AS (SELECT sum(n_pair) AS nt FROM p)
+         |SELECT p.w1, p.w2, CAST(p.n_pair AS BIGINT) AS n_pair,
+         |  CAST(l.n_left AS BIGINT) AS n_left,
+         |  CAST(r.n_right AS BIGINT) AS n_right,
+         |  round(ln((CAST(p.n_pair AS DOUBLE) * n.nt)
+         |        / (CAST(l.n_left AS DOUBLE) * r.n_right)), 6) AS pmi
+         |FROM p JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
+         |WHERE p.n_pair >= 3""".stripMargin,
 
     // batch arithmetic, windowed per-batch max
     "pipe_length_batches" ->

@@ -120,6 +120,15 @@ object DtlQueries {
         |  WHERE word_entropy(text) > 2.0;
         |EXPORT output TO 'output';""".stripMargin)),
 
+    // readability band filter in-language: the educational-quality cut
+    "dtl_readability" -> ((s, d) => run(s, d,
+      """WITH documents AS IMPORT 'documents';
+        |WITH output AS
+        |  SELECT doc_id, flesch(text) AS flesch
+        |  FROM documents
+        |  WHERE flesch(text) > 50.0;
+        |EXPORT output TO 'output';""".stripMargin)),
+
     // the mergeable-sketch aggregates on the language surface: a DTL user
     // gets corpus-scale distinct counts and quantiles with bounded
     // aggregation buffers — and, unlike approx_count_distinct, both are
@@ -430,6 +439,24 @@ object DtlQueries {
       """SELECT 'site' || (doc_id % 5) || '.com' AS domain,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM documents GROUP BY 1""".stripMargin,
+    "dtl_readability" ->
+      """WITH b AS (
+        |  SELECT doc_id, trim(text) AS t FROM documents
+        |  WHERE length(trim(text)) > 0),
+        |w AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(t, '\s+')) AS BIGINT) AS nw,
+        |    CAST(greatest(len(regexp_extract_all(t, '[.!?]+')), 1) AS BIGINT) AS ns,
+        |    CAST(list_sum(list_transform(string_split_regex(t, '\s+'),
+        |      x -> greatest(len(regexp_extract_all(lower(x), '[aeiouy]+')), 1)))
+        |      AS BIGINT) AS sy
+        |  FROM b),
+        |f AS (
+        |  SELECT doc_id,
+        |    round(206.835 - 1.015 * (CAST(nw AS DOUBLE) / ns)
+        |      - 84.6 * (CAST(sy AS DOUBLE) / nw), 6) AS flesch
+        |  FROM w)
+        |SELECT doc_id, flesch FROM f WHERE flesch > 50.0""".stripMargin,
     "dtl_entropy" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS wd

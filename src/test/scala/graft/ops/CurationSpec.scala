@@ -492,6 +492,20 @@ class CurationSpec extends AnyFunSuite {
     assert(out(4L)._3 == 8L)
   }
 
+  test("collocations: PMI from exact bigram counts, marginals positional") {
+    val rows = Seq("a b a b", "b a", "  ", "solo").toDF("text")
+    val out = TextAnalysis.collocations(rows, col("text"), minCount = 2L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // bigrams: (a,b)x2, (b,a)x2 → N=4, left a=2 b=2, right b=2 a=2
+    // pmi = ln(2·4/(2·2)) = ln 2 for both
+    val ln2 = BigDecimal(math.log(2)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == Map(("a", "b") -> (2L, 2L, 2L, ln2),
+      ("b", "a") -> (2L, 2L, 2L, ln2)))
+  }
+
   test("normalizeText folds typographic unicode and collapses whitespace") {
     val rows = Seq(
       (1L, " \u201CQuoted\u2014text\u201D\u2026 and\u00A0more \u2018x\u2019 \u200Bend "),
