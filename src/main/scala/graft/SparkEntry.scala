@@ -59,5 +59,7 @@ object SparkEntry {
     "pipe_dedup_lsh_incremental",
     "pipe_bleu", "pipe_chrf", "pipe_edit_join", "pipe_cluster_topics",
     "pipe_bradley_terry", "pipe_conversations", "pipe_span_corrupt",
-    "pipe_wordpiece")
+    "pipe_wordpiece",
+    "pipe_hits", "pipe_triangles", "pipe_kcore", "pipe_html_links",
+    "pipe_readability", "pipe_collocations")
 }

@@ -217,6 +217,60 @@ object Graphs {
             (col("degree") * (col("degree") - 1)), 6)))
   }
 
+  /** k-core of the UNDIRECTED graph (Seidman 1983 "Network structure and
+    * minimum degree"; Batagelj–Zaveršnik peeling): iteratively remove
+    * nodes of degree < k until every survivor keeps ≥ k neighbors inside
+    * the surviving subgraph — the link-farm extraction / periphery-pruning
+    * tool (organic pages peel away in early rounds; dense collusion cores
+    * survive). Direction, self-loops and parallel edges are dropped first.
+    * Returns (node_id, core_deg): the k-core members with their degree
+    * INSIDE the core. Deterministic — the k-core is unique, so removal
+    * order cannot matter; integer-exact for a bitwise oracle compare.
+    *
+    * Per round: the pinned bidirectional edge list is filtered to
+    * surviving endpoints (two hash joins against the pinned alive set),
+    * one degree aggregate, one filter. The alive-set COUNT is the
+    * convergence check — peeling only shrinks the set, so an unchanged
+    * count IS set equality (no checksum or anti-join needed; one bounded
+    * action per round). O(rounds · E) with rounds bounded by the peel
+    * depth; loud throw after `maxRounds`. Per-round state pins to
+    * executor-local blocks, or to a reliable checkpoint when
+    * `checkpointDir` is set.
+    */
+  def kcore(edges: DataFrame, src: Column, dst: Column, k: Int,
+      maxRounds: Int = 64, checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1 && maxRounds >= 1,
+      s"need k >= 1, maxRounds >= 1; got $k, $maxRounds")
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def pin(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val und = edges
+      .select(src.cast("bigint").as("s"), dst.cast("bigint").as("d"))
+      .filter(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
+      .distinct()
+    val ed = pin(und.select(col("a").as("n"), col("b").as("m"))
+      .unionAll(und.select(col("b").as("n"), col("a").as("m"))))
+    var alive = pin(ed.select(col("n").as("node_id")).distinct())
+    var aliveCount = alive.count()
+    var round = 0
+    var core: DataFrame = null
+    while (core == null) {
+      round += 1
+      require(round <= maxRounds,
+        s"kcore: not converged after $maxRounds rounds; raise maxRounds")
+      val deg = ed
+        .join(alive.select(col("node_id").as("n")), Seq("n"))
+        .join(alive.select(col("node_id").as("m")), Seq("m"))
+        .groupBy(col("n").as("node_id")).agg(count(lit(1)).as("core_deg"))
+      val next = pin(deg.filter(col("core_deg") >= k))
+      val c = next.count()
+      if (c == aliveCount) core = next
+      else { aliveCount = c; alive = next.select("node_id") }
+    }
+    core
+  }
+
   private def pagerankImpl(edges: DataFrame, src: Column, dst: Column,
       iters: Int, damping: Double, checkpointDir: Option[String],
       seeds: Option[DataFrame]): DataFrame = {

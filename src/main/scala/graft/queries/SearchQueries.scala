@@ -68,6 +68,17 @@ object SearchQueries {
       Graphs.triangles(e, col("src"), col("dst"))
     }),
 
+    // 80-core of the part co-occurrence graph: 6 peel rounds drop the
+    // ~7% periphery at this SF — the link-farm core-extraction shape
+    "pipe_kcore" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val e = li.as("x").join(li.as("y"), Seq("ok"))
+        .filter(col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      Graphs.kcore(e, col("src"), col("dst"), k = 80)
+    }),
+
     // BM25 top-10 per query over the documents corpus
     "pipe_bm25" -> ((s, d) => {
       val qdf = s.createDataFrame(bm25Queries).toDF("query_id", "qtext")
@@ -289,6 +300,21 @@ object SearchQueries {
 
   private val hitsIterChain = (1 to 5).map(duckHitsRound).mkString(",\n")
 
+  // one k-core peel round in DuckDB: degree over edges whose BOTH endpoints
+  // survive, then the >= k cut. MATERIALIZED: each alive set is referenced
+  // twice, and an inlined 12-round chain re-expands 2^12-fold
+  private def duckKcoreRound(r: Int, k: Int): String =
+    s"""d$r AS MATERIALIZED (
+       |  SELECT n AS node_id, count(*) AS core_deg FROM ed
+       |  JOIN a${r - 1} x ON x.node_id = ed.n
+       |  JOIN a${r - 1} y ON y.node_id = ed.m
+       |  GROUP BY n),
+       |a$r AS MATERIALIZED (SELECT node_id FROM d$r WHERE core_deg >= $k)""".stripMargin
+
+  // 12 unrolled rounds: the peel converges in 6 at sf0.01 and sf0.1, and
+  // converged rounds are idempotent, so extra rounds change nothing
+  private val kcoreChain = (1 to 12).map(duckKcoreRound(_, 80)).mkString(",\n")
+
   // BM25 pieces shared with the Spark operator contract: lowercased
   // whitespace tokens, dl = raw token count, avgdl = exact sum/count
   private val duckBm25Values = bm25Queries
@@ -422,6 +448,18 @@ object SearchQueries {
         |       ELSE round(2.0 * coalesce(c.n, 0) / (d.degree * (d.degree - 1)), 6)
         |  END AS clustering
         |FROM d LEFT JOIN c ON c.node_id = d.node_id""".stripMargin,
+
+    "pipe_kcore" ->
+      s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |e0 AS (
+         |  SELECT DISTINCT x.pk AS a, y.pk AS b
+         |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+         |ed AS MATERIALIZED (
+         |  SELECT a AS n, b AS m FROM e0 UNION ALL SELECT b, a FROM e0),
+         |a0 AS MATERIALIZED (SELECT DISTINCT n AS node_id FROM ed),
+         |$kcoreChain
+         |SELECT node_id, CAST(core_deg AS BIGINT) AS core_deg
+         |FROM d12 WHERE core_deg >= 80""".stripMargin,
 
     "pipe_bm25" ->
       s"""$duckBm25Cte

@@ -130,6 +130,29 @@ class SearchOpsSpec extends AnyFunSuite {
     assert(r == nodes.map(_ -> ((3L, 3L, 1.0))).toMap)
   }
 
+  test("kcore: pendant peels, cascade empties a path, clique survives") {
+    // triangle {1,2,3} + pendant 3→4: 2-core is the triangle, each deg 2
+    val e1 = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("s", "d")
+    val r1 = Graphs.kcore(e1, col("s"), col("d"), k = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r1 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // path 1-2-3-4-5 at k=2: endpoints peel round after round → empty
+    val e2 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "d")
+    assert(Graphs.kcore(e2, col("s"), col("d"), k = 2).isEmpty)
+    // 4-clique + chain tail at k=3: exactly the clique, each deg 3
+    val nodes = Seq(1L, 2L, 3L, 4L)
+    val e3 = ((for { a <- nodes; b <- nodes if a < b } yield (a, b)) ++
+      Seq((4L, 5L), (5L, 6L))).toDF("s", "d")
+    val r3 = Graphs.kcore(e3, col("s"), col("d"), k = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r3 == nodes.map(_ -> 3L).toMap)
+    // maxRounds too small throws loudly
+    val err = intercept[IllegalArgumentException] {
+      Graphs.kcore(e2, col("s"), col("d"), k = 2, maxRounds = 1).collect()
+    }
+    assert(err.getMessage.contains("not converged"))
+  }
+
   // ---- Retrieval ----
 
   private val corpus = Seq(
