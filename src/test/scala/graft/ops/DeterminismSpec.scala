@@ -48,8 +48,11 @@ class DeterminismSpec extends AnyFunSuite {
   // rounded float score — the same risk profile that put label_noise here.
   // pipe_bradley_terry: 5 rounds of float MM division chains whose
   // aggregation grouping must not leak into the round-6 strengths.
+  // pipe_hits: two rounded-float L1 normalizations per round whose sums
+  // must not leak aggregation-grouping order into the 6dp scores.
+  // pipe_kcore: iterative peel whose per-round counts gate convergence.
   for (name <- Seq("pipe_label_noise", "pipe_knn_graph", "pipe_audit_trail",
-    "pipe_cluster_topics", "pipe_bradley_terry")) {
+    "pipe_cluster_topics", "pipe_bradley_terry", "pipe_hits", "pipe_kcore")) {
     test(s"$name is bitwise stable across reruns and shuffle partitionings") {
       val a = canonical(name, 4)
       val b = canonical(name, 4)  // same partitioning: pure rerun stability
