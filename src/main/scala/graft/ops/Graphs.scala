@@ -271,6 +271,52 @@ object Graphs {
     core
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007, "Near linear time
+    * algorithm to detect community structures") over the UNDIRECTED graph —
+    * community detection for host/domain graphs (a domain-cluster id to
+    * quota or mixture-balance on, where connected components are too
+    * coarse). Labels start as the node id; each round every node adopts
+    * the most frequent label among its NEIGHBORS, ties broken by the
+    * SMALLEST label — a total order, so the result is deterministic.
+    * FIXED `iters` rounds (synchronous LPA can oscillate on bipartite
+    * structures; a fixed round count keeps the operator deterministic and
+    * oracle-replayable — run more rounds for finer convergence). Returns
+    * (node_id, label). Every node in src ∪ dst has ≥ 1 neighbor by
+    * construction, so every node votes every round.
+    *
+    * Per round: the label frame exchanges onto the pinned by-neighbor edge
+    * layout (the O(E) edge side never re-shuffles), one (node, label)
+    * partial-aggregated count, one per-node argmax aggregate — the
+    * min-of-struct((-count, label)) trick, so the tie-break needs no
+    * window.
+    */
+  def labelPropagation(edges: DataFrame, src: Column, dst: Column,
+      iters: Int, checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1, s"need iters >= 1; got $iters")
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def pin(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val und = canonEdges(edges, src, dst).filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val ed = pin(und.select(col("a").as("n"), col("b").as("m"))
+      .unionAll(und.select(col("b").as("n"), col("a").as("m")))
+      .repartition(col("m")))
+    var labels = pin(ed.select(col("n").as("node_id")).distinct()
+      .select(col("node_id"), col("node_id").as("label")))
+    for (_ <- 1 to iters) {
+      val votes = ed
+        .join(labels.select(col("node_id").as("m"), col("label")), Seq("m"))
+        .groupBy(col("n"), col("label")).agg(count(lit(1)).as("cnt"))
+      val next = votes.groupBy(col("n").as("node_id"))
+        .agg(min(struct((col("cnt") * -1).as("nc"), col("label").as("l"))).as("mx"))
+        .select(col("node_id"), col("mx.l").as("label"))
+      labels = pin(next)
+    }
+    labels
+  }
+
   private def pagerankImpl(edges: DataFrame, src: Column, dst: Column,
       iters: Int, damping: Double, checkpointDir: Option[String],
       seeds: Option[DataFrame]): DataFrame = {

@@ -79,6 +79,17 @@ object SearchQueries {
       Graphs.kcore(e, col("src"), col("dst"), k = 80)
     }),
 
+    // 4 synchronous label-propagation rounds over the part co-occurrence
+    // graph: min-tie-break majority vote, deterministic community ids
+    "pipe_communities" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val e = li.as("x").join(li.as("y"), Seq("ok"))
+        .filter(col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      Graphs.labelPropagation(e, col("src"), col("dst"), iters = 4)
+    }),
+
     // BM25 top-10 per query over the documents corpus
     "pipe_bm25" -> ((s, d) => {
       val qdf = s.createDataFrame(bm25Queries).toDF("query_id", "qtext")
@@ -315,6 +326,21 @@ object SearchQueries {
   // converged rounds are idempotent, so extra rounds change nothing
   private val kcoreChain = (1 to 12).map(duckKcoreRound(_, 80)).mkString(",\n")
 
+  // one synchronous LPA round in DuckDB: neighbor-label counts, then the
+  // (count DESC, label ASC) argmax per node — the same total order the
+  // Scala min-of-struct((-cnt, label)) evaluates
+  private def duckLpaRound(r: Int): String =
+    s"""c$r AS MATERIALIZED (
+       |  SELECT ed.n AS n, l.label AS label, count(*) AS cnt
+       |  FROM ed JOIN l${r - 1} l ON l.node_id = ed.m GROUP BY 1, 2),
+       |l$r AS MATERIALIZED (
+       |  SELECT n AS node_id, label FROM (
+       |    SELECT n, label,
+       |      row_number() OVER (PARTITION BY n ORDER BY cnt DESC, label ASC) AS rn
+       |    FROM c$r) t WHERE rn = 1)""".stripMargin
+
+  private val lpaChain = (1 to 4).map(duckLpaRound).mkString(",\n")
+
   // BM25 pieces shared with the Spark operator contract: lowercased
   // whitespace tokens, dl = raw token count, avgdl = exact sum/count
   private val duckBm25Values = bm25Queries
@@ -460,6 +486,17 @@ object SearchQueries {
          |$kcoreChain
          |SELECT node_id, CAST(core_deg AS BIGINT) AS core_deg
          |FROM d12 WHERE core_deg >= 80""".stripMargin,
+
+    "pipe_communities" ->
+      s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |e0 AS (
+         |  SELECT DISTINCT x.pk AS a, y.pk AS b
+         |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+         |ed AS MATERIALIZED (
+         |  SELECT a AS n, b AS m FROM e0 UNION ALL SELECT b, a FROM e0),
+         |l0 AS MATERIALIZED (SELECT DISTINCT n AS node_id, n AS label FROM ed),
+         |$lpaChain
+         |SELECT node_id, label FROM l4""".stripMargin,
 
     "pipe_bm25" ->
       s"""$duckBm25Cte

@@ -153,6 +153,28 @@ class SearchOpsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("not converged"))
   }
 
+  test("labelPropagation: two cliques bridged keep separate communities") {
+    // cliques {1,2,3} and {10,11,12} joined by one bridge 3–10: after a few
+    // rounds each clique agrees on its minimum id; the bridge endpoints
+    // stay with their own clique's majority
+    val cl = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L)).toDF("s", "d")
+    val r = Graphs.labelPropagation(cl, col("s"), col("d"), iters = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(Set(1L, 2L, 3L).map(r) == Set(1L))
+    assert(Set(10L, 11L, 12L).map(r) == Set(r(10L)) && r(10L) <= 10L)
+    assert(r(10L) != r(3L) || r.values.toSet.size == 1) // distinct communities
+  }
+
+  test("labelPropagation round 1 is the exact min-tie-break neighbor vote") {
+    // star 1–{2,3,4}: after round 1 the center adopts min neighbor label 2,
+    // every leaf adopts the center's label 1
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("s", "d")
+    val r = Graphs.labelPropagation(e, col("s"), col("d"), iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
   // ---- Retrieval ----
 
   private val corpus = Seq(
