@@ -61,5 +61,6 @@ object SparkEntry {
     "pipe_bradley_terry", "pipe_conversations", "pipe_span_corrupt",
     "pipe_wordpiece",
     "pipe_hits", "pipe_triangles", "pipe_kcore", "pipe_html_links",
-    "pipe_readability", "pipe_collocations")
+    "pipe_readability", "pipe_collocations", "pipe_communities",
+    "pipe_cooccurrence")
 }

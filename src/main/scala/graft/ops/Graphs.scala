@@ -271,6 +271,42 @@ object Graphs {
     core
   }
 
+  /** Weighted co-occurrence graph from (group, item) incidence — the
+    * bipartite PROJECTION that builds every co-X graph this module
+    * consumes: parts co-ordered (group = order), hosts co-linked (group =
+    * page), terms co-occurring (group = document). One undirected edge
+    * (a, b), a < b, per item pair sharing ≥ `minCount` groups, weighted by
+    * the number of shared groups. Exact integer counts.
+    *
+    * Scale shape: one self-join keyed on the group id (never all-pairs
+    * ACROSS groups) + one (a, b) count aggregate. The per-group pair
+    * explosion is quadratic in GROUP size — the classic hot-group skew —
+    * so `maxGroupSize` drops groups above the cap (the boilerplate /
+    * celebrity-group guard, same contract as substring dedup's
+    * `maxDocFreq`): a group of 10⁶ items would alone emit 5·10¹¹ pairs.
+    * Dropped-group counts are the caller's to report; the cap is a loud,
+    * documented contract, not silent truncation — groups AT the cap are
+    * kept.
+    */
+  def coOccurrence(df: DataFrame, group: Column, item: Column,
+      minCount: Long = 1L, maxGroupSize: Long = 10000L): DataFrame = {
+    require(minCount >= 1 && maxGroupSize >= 2,
+      s"need minCount >= 1, maxGroupSize >= 2; got $minCount, $maxGroupSize")
+    val gi = df.select(group.as("g"), item.cast("bigint").as("i"))
+      .filter(col("g").isNotNull && col("i").isNotNull)
+      .distinct()
+    val sized = gi.join(
+      gi.groupBy("g").agg(count(lit(1)).as("__gs"))
+        .filter(col("__gs") <= maxGroupSize)
+        .select(col("g")),
+      Seq("g"))
+    val pairs = sized.select(col("g"), col("i").as("a"))
+      .join(sized.select(col("g"), col("i").as("b")), Seq("g"))
+      .filter(col("a") < col("b"))
+    pairs.groupBy("a", "b").agg(count(lit(1)).as("weight"))
+      .filter(col("weight") >= minCount)
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007, "Near linear time
     * algorithm to detect community structures") over the UNDIRECTED graph —
     * community detection for host/domain graphs (a domain-cluster id to

@@ -79,6 +79,12 @@ object SearchQueries {
       Graphs.kcore(e, col("src"), col("dst"), k = 80)
     }),
 
+    // weighted bipartite projection: parts co-ordered in >= 2 orders,
+    // hot-group guard at the default cap
+    "pipe_cooccurrence" -> ((s, d) =>
+      Graphs.coOccurrence(t(s, d, "lineitem"),
+        col("l_orderkey"), col("l_partkey"), minCount = 2L)),
+
     // 4 synchronous label-propagation rounds over the part co-occurrence
     // graph: min-tie-break majority vote, deterministic community ids
     "pipe_communities" -> ((s, d) => {
@@ -486,6 +492,14 @@ object SearchQueries {
          |$kcoreChain
          |SELECT node_id, CAST(core_deg AS BIGINT) AS core_deg
          |FROM d12 WHERE core_deg >= 80""".stripMargin,
+
+    "pipe_cooccurrence" ->
+      """WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+        |sz AS (SELECT g FROM gi GROUP BY g HAVING count(*) <= 10000)
+        |SELECT x.i AS a, y.i AS b, CAST(count(*) AS BIGINT) AS weight
+        |FROM gi x JOIN gi y ON x.g = y.g AND x.i < y.i
+        |JOIN sz ON sz.g = x.g
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
 
     "pipe_communities" ->
       s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

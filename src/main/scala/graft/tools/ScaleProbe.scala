@@ -452,6 +452,13 @@ object ScaleProbe {
     println(f"  nodes ${hitsRes.getLong(0)}%,d, rounded auth mass ${hitsRes.getDouble(1)}%.4f" +
       f" / hub mass ${hitsRes.getDouble(2)}%.4f (exact 1 each; 6dp rounding grid at this N)")
 
+    println(s"== label propagation (pinned by-neighbor edges, label-only per-round exchange) ==")
+    val lpaRes = time(f"labelPropagation ($prE%,d edges, ~$prNodes%,d nodes, 3 rounds)") {
+      graft.ops.Graphs.labelPropagation(prEdges, col("s"), col("t"), iters = 3)
+        .agg(count(lit(1)).as("n"), countDistinct(col("label")).as("k")).head()
+    }
+    println(f"  nodes ${lpaRes.getLong(0)}%,d → ${lpaRes.getLong(1)}%,d communities after 3 rounds")
+
     println(s"== triangles (degree-ordered wedges: a degree-1M hub contributes ZERO wedges) ==")
     // 10k planted 10-cliques (the only triangle source), a 5M-edge random
     // BIPARTITE background (even→odd ids: no odd cycles, so no triangles),

@@ -153,6 +153,25 @@ class SearchOpsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("not converged"))
   }
 
+  test("coOccurrence: weighted projection, dup incidence ignored, cap drops hot group") {
+    val inc = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 10L), (2L, 11L), (2L, 11L), // duplicate incidence counts once
+      (3L, 10L), (3L, 11L),
+      (9L, 20L), (9L, 21L), (9L, 22L) // hot group, dropped at cap 2
+    ).toDF("g", "i")
+    val r = Graphs.coOccurrence(inc, col("g"), col("i"),
+        minCount = 2L, maxGroupSize = 2L)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    // groups 1 (size 3) and 9 (size 3) exceed the cap of 2 → only groups
+    // 2 and 3 project; (10,11) shared by both
+    assert(r == Map((10L, 11L) -> 2L))
+    val r2 = Graphs.coOccurrence(inc, col("g"), col("i"), minCount = 2L)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(r2 == Map((10L, 11L) -> 3L, (10L, 12L) -> 1L, (11L, 12L) -> 1L)
+      .filter(_._2 >= 2)) // default cap keeps all groups; minCount 2 cuts
+  }
+
   test("labelPropagation: two cliques bridged keep separate communities") {
     // cliques {1,2,3} and {10,11,12} joined by one bridge 3–10: after a few
     // rounds each clique agrees on its minimum id; the bridge endpoints
