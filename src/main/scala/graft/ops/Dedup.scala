@@ -407,10 +407,19 @@ object Dedup {
     *
     * Candidates then pass the |len_a − len_b| ≤ d filter and exact
     * verification with Spark's threshold levenshtein (early-exits its DP
-    * band at d — O(d·min(len)) per pair, not len²). Strings shorter than q
-    * have no grams; they pair through a broadcast degenerate bucket against
-    * strings of length ≤ q−1+d (bounded by construction: only near-empty
-    * strings live there).
+    * band at d — O(d·min(len)) per pair, not len²).
+    *
+    * SHORT strings void the count bound: a string with ≤ q·d grams (length
+    * ≤ q·(d+1) − 1) can sit within d edits of a length-compatible partner
+    * while sharing ZERO grams (max(|Gₐ|,|G_b|) − q·d ≤ 0 when BOTH sides
+    * are that short — one long side restores the bound, because the length
+    * filter caps |G_b| ≤ |Gₐ| + d). So every short×short pair goes through
+    * a broadcast degenerate bucket instead: all strings of length
+    * ≤ q·(d+1) − 1 pair against each other under the length filter and the
+    * same levenshtein verify. The bucket is broadcast-sized by CONTRACT,
+    * not construction — at d where most of the corpus is "short" the
+    * guarantee is inherently vacuous and NO gram scheme can filter; use the
+    * deletion path (d ≤ 2) or accept the length-blocked quadratic.
     *
     * Shuffles: gram-frequency agg, per-string prefix window, prefix join,
     * verify join — all hash-partitioned, never all-pairs; AQE skew handling
@@ -446,22 +455,24 @@ object Dedup {
         Window.partitionBy(col("id")).orderBy(col("df").asc, col("g").asc)))
       .filter(col("rn") <= prefixLen)
       .select(col("g"), col("id"), col("len"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: pin on first action, no job at build
     val candidates = prefixes.select(col("g"), col("id").as("id_a"), col("len").as("len_a"))
       .join(prefixes.select(col("g"), col("id").as("id_b"), col("len").as("len_b")),
         Seq("g"))
       .filter(col("id_a") < col("id_b") &&
         abs(col("len_a") - col("len_b")) <= maxDist)
       .select("id_a", "id_b")
-    // degenerate bucket: gramless strings (len < q) vs anything short
-    // enough to be within d edits — the short side is tiny, broadcast it
-    val short = s.filter(length(col("s")) < q)
-      .select(col("id").as("sid"), col("s").as("ss"))
+    // degenerate short×short bucket (see scaladoc): strings with ≤ q·d
+    // grams pair against each other under the length filter — the count
+    // bound is vacuous for them. Covers the gramless len < q case too.
+    val shortLen = q * (maxDist + 1) - 1
+    val short = s.filter(length(col("s")) <= shortLen)
+      .select(col("id").as("sid"), length(col("s")).as("slen"))
     val shortCands = broadcast(short)
-      .join(s.filter(length(col("s")) <= lit(q - 1 + maxDist)),
-        col("sid") =!= col("id"))
-      .select(least(col("sid"), col("id")).as("id_a"),
-        greatest(col("sid"), col("id")).as("id_b"))
+      .join(s.filter(length(col("s")) <= shortLen),
+        col("sid") < col("id") &&
+          abs(col("slen") - length(col("s"))) <= maxDist)
+      .select(col("sid").as("id_a"), col("id").as("id_b"))
     verifyEditDistance(candidates.unionByName(shortCands), s, maxDist)
   }
 

@@ -27,11 +27,31 @@ object Graphs {
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
 
-  /** In/out degree per node over the distinct edge set. Nodes appearing only
-    * as a source have in_deg 0 and vice versa.
+  /** Canonical UNDIRECTED edge set: distinct (a, b) BIGINT pairs with
+    * a < b, nulls and self-loops dropped — the shared normalization of
+    * every undirected-graph operator here (triangles, kcore,
+    * labelPropagation), kept in ONE place so the null/self-loop/duplicate
+    * semantics cannot drift between them.
     */
-  def degrees(edges: DataFrame, src: Column, dst: Column): DataFrame = {
-    val e = canonEdges(edges, src, dst)
+  private def undirectedEdges(edges: DataFrame, src: Column, dst: Column): DataFrame =
+    edges.select(src.cast("bigint").as("s"), dst.cast("bigint").as("d"))
+      .filter(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
+      .distinct()
+
+  /** Both directions of a canonical undirected edge set: every (a, b)
+    * appears as n→m AND m→n.
+    */
+  private def bidirectional(und: DataFrame): DataFrame =
+    und.select(col("a").as("n"), col("b").as("m"))
+      .unionAll(und.select(col("b").as("n"), col("a").as("m")))
+
+  /** [[degrees]] over an ALREADY-canonical (src, dst) distinct edge frame —
+    * the internal entry point, so operators holding a pinned canonical
+    * frame don't pay canonEdges' cast/filter/distinct exchange a second
+    * time.
+    */
+  private def degreesOfCanon(e: DataFrame): DataFrame = {
     val out = e.groupBy(col("src").as("node_id")).agg(count(lit(1)).as("out_deg"))
     val in = e.groupBy(col("dst").as("node_id")).agg(count(lit(1)).as("in_deg"))
     out.join(in, Seq("node_id"), "full")
@@ -39,6 +59,12 @@ object Graphs {
         coalesce(col("in_deg"), lit(0L)).as("in_deg"),
         coalesce(col("out_deg"), lit(0L)).as("out_deg"))
   }
+
+  /** In/out degree per node over the distinct edge set. Nodes appearing only
+    * as a source have in_deg 0 and vice versa.
+    */
+  def degrees(edges: DataFrame, src: Column, dst: Column): DataFrame =
+    degreesOfCanon(canonEdges(edges, src, dst))
 
   /** PageRank by `iters` power iterations at damping `d` (Page et al. 1999,
     * "The PageRank Citation Ranking"): starting from r = 1/N,
@@ -119,11 +145,11 @@ object Graphs {
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val eBySrc = pin(canonEdges(edges, src, dst).repartition(col("src")))
     val eByDst = pin(eBySrc.repartition(col("dst")))
-    val nodes = pin(degrees(eBySrc, col("src"), col("dst")))
+    val nodes = pin(degreesOfCanon(eBySrc))
     require(!eBySrc.isEmpty, "hits: empty graph")
 
     var hubs = nodes.select(col("node_id"), lit(1.0).as("hub"))
-    var auths = nodes.select(col("node_id"), lit(0.0).as("auth"))
+    var auths: DataFrame = null
     for (_ <- 1 to iters) {
       // authority half-step: hubs flow along edges src → dst
       val araw = eBySrc.join(hubs, col("node_id") === col("src"))
@@ -173,12 +199,7 @@ object Graphs {
     * quadratic in a node's raw degree ever materializes.
     */
   def triangles(edges: DataFrame, src: Column, dst: Column): DataFrame = {
-    // canonical undirected edge set: (a, b) with a < b, no self-loops
-    val und = edges
-      .select(src.cast("bigint").as("s"), dst.cast("bigint").as("d"))
-      .filter(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
-      .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
-      .distinct()
+    val und = undirectedEdges(edges, src, dst)
     val deg = und.select(col("a").as("node_id"))
       .unionAll(und.select(col("b")))
       .groupBy("node_id").agg(count(lit(1)).as("deg"))
@@ -244,13 +265,7 @@ object Graphs {
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     def pin(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    val und = edges
-      .select(src.cast("bigint").as("s"), dst.cast("bigint").as("d"))
-      .filter(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
-      .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
-      .distinct()
-    val ed = pin(und.select(col("a").as("n"), col("b").as("m"))
-      .unionAll(und.select(col("b").as("n"), col("a").as("m"))))
+    val ed = pin(bidirectional(undirectedEdges(edges, src, dst)))
     var alive = pin(ed.select(col("n").as("node_id")).distinct())
     var aliveCount = alive.count()
     var round = 0
@@ -317,8 +332,10 @@ object Graphs {
     * FIXED `iters` rounds (synchronous LPA can oscillate on bipartite
     * structures; a fixed round count keeps the operator deterministic and
     * oracle-replayable — run more rounds for finer convergence). Returns
-    * (node_id, label). Every node in src ∪ dst has ≥ 1 neighbor by
-    * construction, so every node votes every round.
+    * (node_id, label) for EVERY node in src ∪ dst: nodes whose only edges
+    * are self-loops have no neighbors to vote with and keep their own id
+    * as the label (matching pagerank/hits/degrees, which also retain
+    * them); every other node votes every round.
     *
     * Per round: the label frame exchanges onto the pinned by-neighbor edge
     * layout (the O(E) edge side never re-shuffles), one (node, label)
@@ -332,12 +349,7 @@ object Graphs {
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     def pin(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    val und = canonEdges(edges, src, dst).filter(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .distinct()
-    val ed = pin(und.select(col("a").as("n"), col("b").as("m"))
-      .unionAll(und.select(col("b").as("n"), col("a").as("m")))
+    val ed = pin(bidirectional(undirectedEdges(edges, src, dst))
       .repartition(col("m")))
     var labels = pin(ed.select(col("n").as("node_id")).distinct()
       .select(col("node_id"), col("node_id").as("label")))
@@ -350,7 +362,14 @@ object Graphs {
         .select(col("node_id"), col("mx.l").as("label"))
       labels = pin(next)
     }
-    labels
+    // nodes with ONLY self-loop edges never entered `ed` (no neighbors to
+    // vote with) but belong to src ∪ dst — they keep their own id
+    val allNodes = edges
+      .select(explode(array(src.cast("bigint"), dst.cast("bigint"))).as("node_id"))
+      .filter(col("node_id").isNotNull).distinct()
+    allNodes.join(labels, Seq("node_id"), "left")
+      .select(col("node_id"),
+        coalesce(col("label"), col("node_id")).as("label"))
   }
 
   private def pagerankImpl(edges: DataFrame, src: Column, dst: Column,

@@ -356,7 +356,8 @@ object TextAnalysis {
       .otherwise(array().cast(bgType))).as("b"))
     val pairs = bg.groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .agg(count(lit(1)).as("n_pair"))
-      .localCheckpoint() // referenced four times below; pin once
+      .localCheckpoint(false) // referenced four times below; pin on first
+      // action (lazy: building the frame must not launch jobs)
     val left = pairs.groupBy("w1").agg(sum("n_pair").as("n_left"))
     val right = pairs.groupBy("w2").agg(sum("n_pair").as("n_right"))
     val total = pairs.agg(sum("n_pair").as("n_total"))

@@ -328,9 +328,12 @@ object SearchQueries {
        |  GROUP BY n),
        |a$r AS MATERIALIZED (SELECT node_id FROM d$r WHERE core_deg >= $k)""".stripMargin
 
-  // 12 unrolled rounds: the peel converges in 6 at sf0.01 and sf0.1, and
-  // converged rounds are idempotent, so extra rounds change nothing
-  private val kcoreChain = (1 to 12).map(duckKcoreRound(_, 80)).mkString(",\n")
+  // 16 unrolled rounds: the peel converges in 6 at sf0.01 and sf0.1, and
+  // converged rounds are idempotent, so extra rounds change nothing. The
+  // final select appends a LOUD (-1, -1) sentinel row iff the last two
+  // alive sets still differ — a not-yet-converged unroll then fails the
+  // gate visibly instead of silently comparing a frontier to the true core
+  private val kcoreChain = (1 to 16).map(duckKcoreRound(_, 80)).mkString(",\n")
 
   // one synchronous LPA round in DuckDB: neighbor-label counts, then the
   // (count DESC, label ASC) argmax per node — the same total order the
@@ -461,7 +464,6 @@ object SearchQueries {
         |e0 AS (
         |  SELECT DISTINCT x.pk AS a, y.pk AS b
         |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
-        |nodes AS (SELECT a AS node_id FROM e0 UNION SELECT b FROM e0),
         |tri AS (
         |  SELECT e1.a AS u, e1.b AS v, e2.b AS w
         |  FROM e0 e1
@@ -491,7 +493,10 @@ object SearchQueries {
          |a0 AS MATERIALIZED (SELECT DISTINCT n AS node_id FROM ed),
          |$kcoreChain
          |SELECT node_id, CAST(core_deg AS BIGINT) AS core_deg
-         |FROM d12 WHERE core_deg >= 80""".stripMargin,
+         |FROM d16 WHERE core_deg >= 80
+         |UNION ALL
+         |SELECT -1, -1 WHERE (SELECT count(*) FROM a15)
+         |                 <> (SELECT count(*) FROM a16)""".stripMargin,
 
     "pipe_cooccurrence" ->
       """WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),

@@ -45,6 +45,22 @@ class EditDistanceSpec extends AnyFunSuite {
     assert(!fast.exists { case (a, b, _) => a == 4L || b == 4L })
   }
 
+  test("short strings whose q-gram count bound is vacuous still pair (large d)") {
+    // with q=2, d=5 the count bound max(|Ga|,|Gb|) − q·d is ≤ 0 whenever
+    // both sides have ≤ 10 grams — "abc" and "axbxc" share ZERO 2-grams yet
+    // sit at distance 2; the qgram path must route them through the
+    // short×short bucket, not lose them
+    val rows = Seq(
+      1L -> "abc",
+      2L -> "axbxc",        // dist 2 from 1, zero shared 2-grams
+      3L -> "qqqqq",        // within d=5 of 1 and 2 by raw distance
+      4L -> "zzzzzzzzzzzzzzzzzzzz", // 20 chars: long, far from all
+      5L -> "")
+    val (fast, naive) = run(rows, d = 5, algorithm = "qgram")
+    assert(fast == naive)
+    assert(fast.contains((1L, 2L, 2)))
+  }
+
   test("pairs at exactly maxDist are kept; maxDist+1 dropped") {
     val rows = Seq(1L -> "abcdef", 2L -> "abxxef", 3L -> "xyzdef")
     // d(1,2)=2, d(1,3)=3
