@@ -286,6 +286,69 @@ object Graphs {
     core
   }
 
+  /** WEIGHTED PageRank — the [[pagerank]] update with each out-edge
+    * carrying mass proportional to its weight instead of 1/outdeg:
+    *
+    *   r'(v) = (1-d)/N + d · ( Σ_{u→v} r(u)·w(u,v)/W_out(u) + D/N )
+    *
+    * the natural rank for graphs whose edges ARE counts — host graphs
+    * weighted by link multiplicity, or [[coOccurrence]] projections
+    * weighted by shared-group counts (feed each undirected edge in both
+    * directions). Parallel (src, dst) edges SUM their weights; null or
+    * non-positive weights are dropped. Dangling mass (nodes with no
+    * positive out-weight) redistributes uniformly as in [[pagerank]].
+    * Returns (node_id, in_w, out_w, rank), weights and rank rounded to 6
+    * decimals. Identical per-iteration plan shape and cost to
+    * [[pagerank]]: edges pinned once pre-partitioned on src, one O(N)
+    * rank-frame exchange + one keyed aggregate per round, dangling mass a
+    * broadcast 1-row aggregate.
+    */
+  def weightedPagerank(edges: DataFrame, src: Column, dst: Column,
+      weight: Column, iters: Int, damping: Double = 0.85,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 0 && damping > 0 && damping < 1,
+      s"need iters >= 0, 0 < damping < 1; got $iters, $damping")
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def pin(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val e = pin(edges
+      .select(src.cast("bigint").as("src"), dst.cast("bigint").as("dst"),
+        weight.cast("double").as("w"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("w").isNotNull && col("w") > 0)
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+      .repartition(col("src")))
+    val outW = e.groupBy(col("src").as("node_id")).agg(sum("w").as("out_w"))
+    val inW = e.groupBy(col("dst").as("node_id")).agg(sum("w").as("in_w"))
+    val nodes = pin(outW.join(inW, Seq("node_id"), "full")
+      .select(col("node_id"),
+        coalesce(col("in_w"), lit(0.0)).as("in_w"),
+        coalesce(col("out_w"), lit(0.0)).as("out_w")))
+    val n = nodes.count()
+    require(n > 0, "weightedPagerank: empty graph")
+    var ranks = nodes.select(col("node_id"), lit(1.0 / n).as("rank"))
+    for (_ <- 1 to iters) {
+      val withW = ranks.join(nodes.select(col("node_id"), col("out_w")), Seq("node_id"))
+      val dangling = withW.filter(col("out_w") === 0)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dang"))
+      val contribs = withW.filter(col("out_w") > 0)
+        .join(e, col("node_id") === col("src"))
+        .select(col("dst"), (col("rank") * col("w") / col("out_w")).as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("inflow"))
+      val next = nodes
+        .join(contribs, col("node_id") === col("dst"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node_id"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("inflow"), lit(0.0)) + col("dang") / n))
+            .as("rank"))
+      ranks = pin(next)
+    }
+    nodes.join(ranks, Seq("node_id"))
+      .select(col("node_id"), round(col("in_w"), 6).as("in_w"),
+        round(col("out_w"), 6).as("out_w"), round(col("rank"), 6).as("rank"))
+  }
+
   /** Weighted co-occurrence graph from (group, item) incidence — the
     * bipartite PROJECTION that builds every co-X graph this module
     * consumes: parts co-ordered (group = order), hosts co-linked (group =

@@ -79,6 +79,16 @@ object SearchQueries {
       Graphs.kcore(e, col("src"), col("dst"), k = 80)
     }),
 
+    // weighted PageRank over the co-occurrence projection fed in both
+    // directions — the composed weighted-host-graph ranking recipe
+    "pipe_pagerank_weighted" -> ((s, d) => {
+      val co = Graphs.coOccurrence(t(s, d, "lineitem"),
+        col("l_orderkey"), col("l_partkey"))
+      val e = co.select(col("a").as("src"), col("b").as("dst"), col("weight"))
+        .unionAll(co.select(col("b"), col("a"), col("weight")))
+      Graphs.weightedPagerank(e, col("src"), col("dst"), col("weight"), iters = 5)
+    }),
+
     // weighted bipartite projection: parts co-ordered in >= 2 orders,
     // hot-group guard at the default cap
     "pipe_cooccurrence" -> ((s, d) =>
@@ -335,6 +345,26 @@ object SearchQueries {
   // gate visibly instead of silently comparing a frontier to the true core
   private val kcoreChain = (1 to 16).map(duckKcoreRound(_, 80)).mkString(",\n")
 
+  // one WEIGHTED PageRank round in DuckDB: inflow = sum of
+  // rank·w/out_weight over in-edges — the same literal arithmetic the
+  // Scala side evaluates; MATERIALIZED since each round references its
+  // predecessor twice (dangling subquery + inflow join)
+  private def duckWprRound(r: Int): String =
+    s"""w$r AS MATERIALIZED (
+       |  SELECT nd.node_id,
+       |    (1.0 - 0.85) / nn.n + 0.85 * (coalesce(inf.s, 0) +
+       |      (SELECT coalesce(sum(r.rank), 0) FROM w${r - 1} r
+       |       JOIN nodes d2 ON d2.node_id = r.node_id WHERE d2.out_w = 0) / nn.n) AS rank
+       |  FROM nodes nd CROSS JOIN nn
+       |  LEFT JOIN (
+       |    SELECT e.dst AS node_id, sum(r.rank * e.w / d3.out_w) AS s
+       |    FROM w${r - 1} r
+       |    JOIN nodes d3 ON d3.node_id = r.node_id AND d3.out_w > 0
+       |    JOIN e ON e.src = r.node_id
+       |    GROUP BY e.dst) inf ON inf.node_id = nd.node_id)""".stripMargin
+
+  private val wprChain = (1 to 5).map(duckWprRound).mkString(",\n")
+
   // one synchronous LPA round in DuckDB: neighbor-label counts, then the
   // (count DESC, label ASC) argmax per node — the same total order the
   // Scala min-of-struct((-cnt, label)) evaluates
@@ -497,6 +527,30 @@ object SearchQueries {
          |UNION ALL
          |SELECT -1, -1 WHERE (SELECT count(*) FROM a15)
          |                 <> (SELECT count(*) FROM a16)""".stripMargin,
+
+    "pipe_pagerank_weighted" ->
+      s"""WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+         |sz AS (SELECT g FROM gi GROUP BY g HAVING count(*) <= 10000),
+         |cp AS MATERIALIZED (
+         |  SELECT x.i AS a, y.i AS b, count(*) AS wt
+         |  FROM gi x JOIN gi y ON x.g = y.g AND x.i < y.i
+         |  JOIN sz ON sz.g = x.g
+         |  GROUP BY 1, 2),
+         |e AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst, CAST(wt AS DOUBLE) AS w FROM cp
+         |  UNION ALL SELECT b, a, CAST(wt AS DOUBLE) FROM cp),
+         |ow AS (SELECT src AS node_id, sum(w) AS out_w FROM e GROUP BY 1),
+         |iw AS (SELECT dst AS node_id, sum(w) AS in_w FROM e GROUP BY 1),
+         |nodes AS MATERIALIZED (
+         |  SELECT coalesce(o.node_id, i.node_id) AS node_id,
+         |    coalesce(i.in_w, 0) AS in_w, coalesce(o.out_w, 0) AS out_w
+         |  FROM ow o FULL JOIN iw i ON i.node_id = o.node_id),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |w0 AS (SELECT node_id, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+         |$wprChain
+         |SELECT nd.node_id, round(nd.in_w, 6) AS in_w,
+         |  round(nd.out_w, 6) AS out_w, round(w5.rank, 6) AS rank
+         |FROM nodes nd JOIN w5 ON w5.node_id = nd.node_id""".stripMargin,
 
     "pipe_cooccurrence" ->
       """WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),

@@ -153,6 +153,32 @@ class SearchOpsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("not converged"))
   }
 
+  test("weightedPagerank: mass follows weight; equal weights match pagerank") {
+    // 1→2 carries 3× the weight of 1→3: node 2 must outrank node 3
+    val e = Seq((1L, 2L, 3L), (1L, 3L, 1L)).toDF("s", "d", "w")
+    val r = Graphs.weightedPagerank(e, col("s"), col("d"), col("w"), iters = 5)
+      .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(r(2L) > r(3L) && r(3L) > r(1L))
+    assert(math.abs(r.values.sum - 1.0) < 1e-5)
+    // all-equal weights reduce to the unweighted update exactly
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("s", "d")
+    val unw = Graphs.pagerank(g, col("s"), col("d"), iters = 5)
+      .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    val wtd = Graphs.weightedPagerank(g.withColumn("w", lit(7L)),
+        col("s"), col("d"), col("w"), iters = 5)
+      .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(unw.keySet == wtd.keySet &&
+      unw.forall { case (k, v) => math.abs(wtd(k) - v) < 1e-9 })
+    // parallel edges sum; zero/negative/null weights drop
+    val p = Seq((1L, 2L, 2L), (1L, 2L, 1L), (1L, 3L, 3L), (1L, 4L, 0L))
+      .toDF("s", "d", "w")
+    val rp = Graphs.weightedPagerank(p, col("s"), col("d"), col("w"), iters = 1)
+      .collect().map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(3))).toMap
+    assert(rp(2L)._1 == 3.0 && rp(3L)._1 == 3.0) // in_w: 2+1 summed, 3
+    assert(rp(2L)._2 == rp(3L)._2) // equal total weight → equal rank
+    assert(!rp.contains(4L)) // zero-weight edge contributes no node
+  }
+
   test("coOccurrence: weighted projection, dup incidence ignored, cap drops hot group") {
     val inc = Seq(
       (1L, 10L), (1L, 11L), (1L, 12L),
