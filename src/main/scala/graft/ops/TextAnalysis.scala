@@ -307,6 +307,25 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("tok").asc)
       .limit(k)
 
+  /** Sentence segmentation — the row-explode that sentence-level ops
+    * (sentence dedup, per-sentence PII/readability, translation-pair
+    * mining) run on. Heuristic contract with an exact cross-engine twin
+    * and NO lookbehind (RE2 engines have none): a sentence is a maximal
+    * run of non-terminator characters plus its trailing `[.!?]` run —
+    * `[^.!?]+[.!?]*` — whitespace-trimmed, empties dropped. Returns
+    * (id, sent_idx, sentence); sent_idx is the 1-based position in the RAW
+    * match sequence, so it stays stable but gaps where a whitespace-only
+    * trailing match dropped. Row-local regex explode; scan speed, no
+    * shuffle.
+    */
+  def sentences(df: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column): org.apache.spark.sql.DataFrame =
+    df.select(id.as("id"),
+        posexplode(regexp_extract_all(text, lit("[^.!?]+[.!?]*"), lit(0))))
+      .select(col("id"), (col("pos") + 1).as("sent_idx"),
+        trim(col("col")).as("sentence"))
+      .filter(length(col("sentence")) > 0)
+
   /** Scalar Flesch reading ease — the single-column form of [[readability]]
     * for the DTL registry and SQL surface: identical counting contract and
     * arithmetic, NULL for wordless (blank) text instead of omission.

@@ -479,7 +479,23 @@ object CurationQueries {
     // PMI bigram collocations over the documents corpus, pairs seen >= 3
     // times: four exact integer counts and one logarithm
     "pipe_collocations" -> ((s, d) =>
-      TextAnalysis.collocations(t(s, d, "documents"), col("text"), minCount = 3L))
+      TextAnalysis.collocations(t(s, d, "documents"), col("text"), minCount = 3L)),
+
+    // sentence segmentation over planted terminator traffic (the synthetic
+    // corpus has no sentence punctuation of its own); order index dropped:
+    // the oracle compare is a sorted multiset, and DuckDB's unnest carries
+    // no ordinality here
+    "pipe_sentences" -> ((s, d) => {
+      val aug = concat(
+        when(col("doc_id") % 3 === 0,
+          lit("First part. Second one!! Is this third? ")).otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 4 === 0, lit(" .. trailing and more...")).otherwise(lit("")))
+      TextAnalysis.sentences(
+        t(s, d, "documents").select(col("doc_id"), aug.as("aug")),
+        col("doc_id"), col("aug"))
+        .select(col("id").as("doc_id"), col("sentence"))
+    })
   )
 
   /** Planted markup for pipe_strip_html (quote-free, SQL-literal-safe). */
@@ -1461,6 +1477,22 @@ object CurationQueries {
          |        / (CAST(l.n_left AS DOUBLE) * r.n_right)), 6) AS pmi
          |FROM p JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
          |WHERE p.n_pair >= 3""".stripMargin,
+
+    // sentences: same planted terminators, same lookbehind-free run regex,
+    // trim, empties dropped
+    "pipe_sentences" ->
+      s"""SELECT doc_id, sentence FROM (
+         |  SELECT doc_id,
+         |    trim(unnest(regexp_extract_all(
+         |      (CASE WHEN doc_id % 3 = 0
+         |            THEN 'First part. Second one!! Is this third? '
+         |            ELSE '' END)
+         |      || text
+         |      || (CASE WHEN doc_id % 4 = 0
+         |               THEN ' .. trailing and more...' ELSE '' END),
+         |      '[^.!?]+[.!?]*', 0))) AS sentence
+         |  FROM documents) t
+         |WHERE length(sentence) > 0""".stripMargin,
 
     // batch arithmetic, windowed per-batch max
     "pipe_length_batches" ->

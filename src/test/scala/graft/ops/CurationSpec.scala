@@ -492,6 +492,28 @@ class CurationSpec extends AnyFunSuite {
     assert(out(4L)._3 == 8L)
   }
 
+  test("sentences: terminator runs split, index stable, empties dropped") {
+    val rows = Seq(
+      (1L, "One. Two!! Three? "),
+      (2L, "no terminator at all"),
+      (3L, ""),
+      (4L, "..leading and..inner"),
+      (5L, "tail space after dot.   ")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.sentences(rows, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(out.filter(_._1 == 1L).map(x => (x._2, x._3)).toSeq ==
+      Seq((1, "One."), (2, "Two!!"), (3, "Three?")))
+    assert(out.filter(_._1 == 2L).map(_._3).toSeq == Seq("no terminator at all"))
+    assert(!out.exists(_._1 == 3L))
+    // leading terminators are skipped; inner ".." terminates the first run
+    assert(out.filter(_._1 == 4L).map(_._3).toSeq ==
+      Seq("leading and..", "inner"))
+    // the whitespace-only tail match drops, leaving the index gap
+    assert(out.filter(_._1 == 5L).map(x => (x._2, x._3)).toSeq ==
+      Seq((1, "tail space after dot.")))
+  }
+
   test("collocations: PMI from exact bigram counts, marginals positional") {
     val rows = Seq("a b a b", "b a", "  ", "solo").toDF("text")
     val out = TextAnalysis.collocations(rows, col("text"), minCount = 2L)
