@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Embedding covariance and PCA — the linear-algebra preprocessing of an
+  * embedding pipeline: mean-centering statistics, the covariance matrix,
+  * top-k principal components (dimensionality reduction / whitening before
+  * ANN indexing or semantic dedup — the same rotation family OPQ trains its
+  * codebooks under), and the row-local projection.
+  *
+  * Scale contract: the corpus contributes ONE aggregate pass whose partial
+  * buffers are d(+d²) doubles per partition — rows never shuffle. The only
+  * driver-side object is the d×d covariance itself (bounded metadata, like
+  * the k-means centroid and PQ codebook frames): d = 1024 is 8 MB; the
+  * eigensolve is a driver loop over that matrix, never over data.
+  */
+object Pca {
+
+  /** Buffer wrapper so the element-wise partial vector rides the standard
+    * product encoder (the Sketches.scala recipe).
+    */
+  case class VecBuf(v: Array[Double])
+
+  /** Element-wise sum of equal-length double arrays as a typed Aggregator:
+    * the mergeable buffer IS the partial sum vector. An empty buffer adopts
+    * the first input's length; a length mismatch throws loudly (ragged
+    * embedding columns are a data bug, not something to average over).
+    */
+  private class VecSumAgg extends Aggregator[Seq[Double], VecBuf, Seq[Double]] {
+    def zero: VecBuf = VecBuf(Array.emptyDoubleArray)
+    private def add(a: Array[Double], b: Array[Double]): Array[Double] =
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else {
+        require(a.length == b.length,
+          s"embedding length mismatch: ${a.length} vs ${b.length}")
+        val out = new Array[Double](a.length)
+        var i = 0
+        while (i < a.length) { out(i) = a(i) + b(i); i += 1 }
+        out
+      }
+    def reduce(acc: VecBuf, x: Seq[Double]): VecBuf =
+      VecBuf(add(acc.v, if (x == null) Array.emptyDoubleArray else x.toArray))
+    def merge(a: VecBuf, b: VecBuf): VecBuf = VecBuf(add(a.v, b.v))
+    def finish(acc: VecBuf): Seq[Double] = acc.v.toSeq
+    def bufferEncoder: Encoder[VecBuf] = Encoders.product[VecBuf]
+    def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
+  }
+
+  private def vecSum(c: Column): Column =
+    udaf(new VecSumAgg, ExpressionEncoder[Seq[Double]]()).apply(c)
+
+  /** Mean vector and POPULATION covariance (divide by n) of an
+    * array<float/double> embedding column, in ONE aggregate pass over the
+    * corpus: per row the flattened d² outer product and the d vector enter
+    * two [[VecSumAgg]] buffers, so the shuffle carries d²+d doubles per
+    * partition. NULL vectors are dropped. Returns a single row
+    * (n, mean: array<double> of d, cov: array<double> row-major d×d) with
+    * cov[i·d+j] = Σxᵢxⱼ/n − mean_i·mean_j.
+    */
+  def covariance(df: DataFrame, vec: Column): DataFrame = {
+    val v = transform(vec, x => x.cast("double"))
+    val outer = flatten(transform(v, x => transform(v, y => x * y)))
+    val agg = df.filter(vec.isNotNull)
+      .agg(count(lit(1)).as("n"), vecSum(v).as("sx"), vecSum(outer).as("sxx"))
+    agg.select(col("n"),
+        transform(col("sx"), e => e / col("n")).as("mean"),
+        col("sxx"))
+      .select(col("n"), col("mean"),
+        transform(sequence(lit(0), size(col("sxx")) - 1), k =>
+          element_at(col("sxx"), k + 1) / col("n") -
+            element_at(col("mean"), floor(k / size(col("mean"))).cast("int") + 1) *
+            element_at(col("mean"), pmod(k, size(col("mean"))).cast("int") + 1))
+          .as("cov"))
+  }
+
+  /** Top-`k` principal components of the embedding column: [[covariance]]
+    * (one corpus pass), then DETERMINISTIC power iteration with deflation
+    * on the collected d×d matrix — start vector = the basis vector of the
+    * largest diagonal entry (ties → lowest index), `iters` fixed
+    * multiply-normalize rounds per component, deflate C ← C − λvvᵀ, and
+    * each component's sign fixed so its largest-|coordinate| entry is
+    * positive. Returns (component, eigenvalue, vector) with component
+    * 0-based in decreasing-eigenvalue order.
+    */
+  def principalComponents(df: DataFrame, vec: Column, k: Int,
+      iters: Int = 100): DataFrame = {
+    require(k >= 1 && iters >= 1, s"need k >= 1, iters >= 1; got $k, $iters")
+    val spark = df.sparkSession
+    val row = covariance(df, vec).head()
+    val cov = row.getSeq[Double](2).toArray
+    val d = row.getSeq[Double](1).length
+    require(k <= d, s"k = $k exceeds dimension $d")
+    val c = Array.tabulate(d, d)((i, j) => cov(i * d + j))
+    val comps = Vector.newBuilder[(Int, Double, Seq[Double])]
+    for (comp <- 0 until k) {
+      var v = new Array[Double](d)
+      var best = 0
+      for (i <- 1 until d) if (c(i)(i) > c(best)(best)) best = i
+      v(best) = 1.0
+      var lambda = 0.0
+      for (_ <- 1 to iters) {
+        val w = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * v(j)).sum)
+        val norm = math.sqrt(w.map(x => x * x).sum)
+        if (norm > 0) { for (i <- 0 until d) w(i) /= norm }
+        lambda = (0 until d).map(i => (0 until d).map(j =>
+          w(i) * c(i)(j) * w(j)).sum).sum
+        v = w
+      }
+      // sign convention: largest-|coordinate| entry positive
+      val m = (0 until d).maxBy(i => (math.abs(v(i)), -i))
+      if (v(m) < 0) for (i <- 0 until d) v(i) = -v(i)
+      comps += ((comp, lambda, v.toSeq))
+      for (i <- 0 until d; j <- 0 until d) c(i)(j) -= lambda * v(i) * v(j)
+    }
+    import spark.implicits._
+    comps.result().toDF("component", "eigenvalue", "vector")
+  }
+
+  /** Row-local projection of the embedding column onto `components` (the
+    * [[principalComponents]] frame, collected and inlined as literal
+    * arrays — k×d bounded metadata): appends `proj`, the length-k array of
+    * centered dot products (x − mean)·vᶜ. One scan, no shuffle.
+    */
+  def project(df: DataFrame, vec: Column, components: DataFrame,
+      mean: Seq[Double]): DataFrame = {
+    val comps = components.select(col("component"), col("vector"))
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1))
+    require(comps.nonEmpty, "project: no components")
+    val meanCol = array(mean.map(lit): _*)
+    val centered = zip_with(transform(vec, x => x.cast("double")), meanCol,
+      (x, m) => x - m)
+    val projCols = comps.map { cv =>
+      aggregate(zip_with(centered, array(cv.map(lit): _*), (x, c) => x * c),
+        lit(0.0), (acc, e) => acc + e)
+    }
+    df.withColumn("proj", array(projCols: _*))
+  }
+}

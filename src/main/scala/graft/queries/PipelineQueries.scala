@@ -361,6 +361,18 @@ object PipelineQueries {
           .as("codes_fp"))
     }),
 
+    // one-pass mean+covariance of the embedding corpus, exploded to
+    // (i, j, cov) entries — the PCA/whitening statistics
+    "pipe_embed_covariance" -> ((s, d) =>
+      graft.ops.Pca.covariance(t(s, d, "embeddings"), col("embedding"))
+        .select(posexplode(col("cov")))
+        .select(floor(col("pos") / 64).cast("int").as("i"),
+          pmod(col("pos"), lit(64)).cast("int").as("j"),
+          (round(col("col"), 6) + lit(0.0)).as("cov"))),
+          // + 0.0 on BOTH sides: IEEE -0.0 + 0.0 = +0.0, so a rounded
+          // negative-underflow entry stringifies as "0" in each engine
+          // (DuckDB's round keeps -0.0; Spark's BigDecimal round cannot)
+
     // brute-force cosine top-5 for three query vectors (exact ANN baseline)
     "pipe_embed_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -840,6 +852,19 @@ object PipelineQueries {
          |  round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
          |FROM t a JOIN t b ON a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8""".stripMargin,
+    "pipe_embed_covariance" ->
+      """WITH x AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         CAST(unnest(embedding) AS DOUBLE) AS xi
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |n AS (SELECT count(*) AS c FROM embeddings WHERE embedding IS NOT NULL),
+        |m AS (SELECT i, sum(xi) / n.c AS mu FROM x CROSS JOIN n GROUP BY i, n.c),
+        |s AS (SELECT a.i AS i, b.i AS j, sum(a.xi * b.xi) AS sxx
+        |      FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY 1, 2)
+        |SELECT CAST(s.i - 1 AS INTEGER) AS i, CAST(s.j - 1 AS INTEGER) AS j,
+        |  round(sxx / n.c - ma.mu * mb.mu, 6) + 0.0 AS cov
+        |FROM s CROSS JOIN n
+        |JOIN m ma ON ma.i = s.i JOIN m mb ON mb.i = s.j""".stripMargin,
     "pipe_edit_join" ->
       """WITH s AS (SELECT doc_id,
         |  list_aggregate(list_slice(string_split_regex(trim(text), '\s+'), 1, 5),

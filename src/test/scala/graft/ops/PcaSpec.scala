@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Covariance is DuckDB-oracled (pipe_embed_covariance); these specs pin
+  * the hand-checkable algebra and the eigensolver, which has no SQL twin
+  * (power iteration is a driver loop; eigenvector sign/rotation freedom
+  * makes a cross-engine hash compare meaningless anyway — the sign
+  * convention here is part of THIS operator's contract).
+  */
+class PcaSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val data = Seq(
+    (1L, Seq(1.0f, 2.0f)),
+    (2L, Seq(3.0f, 4.0f))
+  ).toDF("id", "v")
+
+  test("covariance: hand example exact; null vectors dropped") {
+    val row = Pca.covariance(
+      data.unionByName(Seq((3L, null.asInstanceOf[Seq[Float]])).toDF("id", "v")),
+      col("v")).head()
+    assert(row.getLong(0) == 2L)
+    assert(row.getSeq[Double](1) == Seq(2.0, 3.0)) // means
+    // centered rows (-1,-1),(1,1): population cov = [[1,1],[1,1]]
+    assert(row.getSeq[Double](2) == Seq(1.0, 1.0, 1.0, 1.0))
+  }
+
+  test("principalComponents: eigenpair of the rank-1 covariance; deflation zeroes the rest") {
+    val pcs = Pca.principalComponents(data, col("v"), k = 2)
+      .collect().sortBy(_.getInt(0))
+    val (l1, v1) = (pcs(0).getDouble(1), pcs(0).getSeq[Double](2))
+    assert(math.abs(l1 - 2.0) < 1e-9) // [[1,1],[1,1]] has eigenvalues 2, 0
+    val r = 1.0 / math.sqrt(2)
+    assert(math.abs(v1(0) - r) < 1e-9 && math.abs(v1(1) - r) < 1e-9)
+    assert(math.abs(pcs(1).getDouble(1)) < 1e-9) // deflated residual ~ 0
+  }
+
+  test("project: centered dots onto components; variance equals eigenvalue") {
+    val pcs = Pca.principalComponents(data, col("v"), k = 1)
+    val proj = Pca.project(data, col("v"), pcs, mean = Seq(2.0, 3.0))
+      .select(col("id"), element_at(col("proj"), 1).as("p"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val r2 = math.sqrt(2)
+    assert(math.abs(proj(1L) + r2) < 1e-9 && math.abs(proj(2L) - r2) < 1e-9)
+    val variance = proj.values.map(p => p * p).sum / proj.size
+    assert(math.abs(variance - 2.0) < 1e-9) // projected variance = lambda1
+  }
+
+  test("ragged embedding lengths throw loudly") {
+    val bad = Seq(Seq(1.0f, 2.0f), Seq(1.0f)).toDF("v")
+    val err = intercept[Exception] {
+      Pca.covariance(bad, col("v")).head()
+    }
+    assert(err.getMessage.contains("length mismatch") ||
+      Option(err.getCause).exists(_.getMessage.contains("length mismatch")))
+  }
+}
