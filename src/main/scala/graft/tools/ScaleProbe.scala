@@ -452,6 +452,20 @@ object ScaleProbe {
     println(f"  nodes ${hitsRes.getLong(0)}%,d, rounded auth mass ${hitsRes.getDouble(1)}%.4f" +
       f" / hub mass ${hitsRes.getDouble(2)}%.4f (exact 1 each; 6dp rounding grid at this N)")
 
+    println(s"== embedding covariance (one pass, d²+d partial buffers) ==")
+    val covN = math.min(n / 10, 2_000_000L)
+    val covDim = 64
+    val covEmb = spark.range(covN).select(col("id"),
+      transform(sequence(lit(1), lit(covDim)), i =>
+        (pmod(xxhash64(col("id") * 31L + i.cast("long")), lit(1000L)) / 500.0 - 1.0)
+          .cast("float")).as("emb"))
+    val covRes = time(f"Pca.covariance ($covN%,d x $covDim vectors)") {
+      graft.ops.Pca.covariance(covEmb, col("emb")).head()
+    }
+    println(f"  n ${covRes.getLong(0)}%,d, mean[0] ${covRes.getSeq[Double](1).head}%.4f, " +
+      f"var[0] ${covRes.getSeq[Double](2).head}%.4f (hash-uniform in [-1,1): " +
+      "mean ~ 0, var ~ 1/3)")
+
     println(s"== label propagation (pinned by-neighbor edges, label-only per-round exchange) ==")
     val lpaRes = time(f"labelPropagation ($prE%,d edges, ~$prNodes%,d nodes, 3 rounds)") {
       graft.ops.Graphs.labelPropagation(prEdges, col("s"), col("t"), iters = 3)

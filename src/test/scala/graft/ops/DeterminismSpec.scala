@@ -51,8 +51,12 @@ class DeterminismSpec extends AnyFunSuite {
   // pipe_hits: two rounded-float L1 normalizations per round whose sums
   // must not leak aggregation-grouping order into the 6dp scores.
   // pipe_kcore: iterative peel whose per-round counts gate convergence.
+  // pipe_pagerank_weighted: float weight/out-weight divisions per round.
+  // pipe_embed_covariance: 4,096 float sums crossing zero — the −0.0
+  // normalization and grouping order must hold under any partitioning.
   for (name <- Seq("pipe_label_noise", "pipe_knn_graph", "pipe_audit_trail",
-    "pipe_cluster_topics", "pipe_bradley_terry", "pipe_hits", "pipe_kcore")) {
+    "pipe_cluster_topics", "pipe_bradley_terry", "pipe_hits", "pipe_kcore",
+    "pipe_pagerank_weighted", "pipe_embed_covariance")) {
     test(s"$name is bitwise stable across reruns and shuffle partitionings") {
       val a = canonical(name, 4)
       val b = canonical(name, 4)  // same partitioning: pure rerun stability
