@@ -80,10 +80,17 @@ object Pca {
     * (n, mean: array<double> of d, cov: array<double> row-major d×d) with
     * cov[i·d+j] = Σxᵢxⱼ/n − mean_i·mean_j.
     */
+  /** The [[MomentsAgg]] as a ready aggregate Column over an array column —
+    * usable in any groupBy, including streaming windowed aggregation (the
+    * buffer is mergeable, so incremental state updates are exact). Yields
+    * a struct (n, sx, sxx).
+    */
+  def momentsAgg(vec: Column): Column =
+    udaf(new MomentsAgg, ExpressionEncoder[Seq[Double]]())
+      .apply(transform(vec, x => x.cast("double")))
+
   def covariance(df: DataFrame, vec: Column): DataFrame = {
-    val v = transform(vec, x => x.cast("double"))
-    val m = df.filter(vec.isNotNull)
-      .agg(udaf(new MomentsAgg, ExpressionEncoder[Seq[Double]]()).apply(v).as("m"))
+    val m = df.filter(vec.isNotNull).agg(momentsAgg(vec).as("m"))
     val agg = m.select(col("m.n").as("n"), col("m.sx").as("sx"),
       col("m.sxx").as("sxx"))
     agg.select(col("n"),

@@ -738,6 +738,41 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed moments aggregate streams equal to batch (covariance state merges)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // the covariance Moments buffer is mergeable, so a live window holds
+    // exact incremental state; integer-valued inputs make every sum exact,
+    // so streaming must equal batch BITWISE whatever the merge order
+    val input = MemoryStream[(Long, java.sql.Timestamp, Seq[Double])]
+    val df = input.toDF().toDF("id", "ts", "vec")
+    val q = df.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.ops.Pca.momentsAgg(col("vec")).as("m"))
+      .select(col("window.start").as("ws"), col("m.n").as("n"),
+        col("m.sx").as("sx"), col("m.sxx").as("sxx"))
+      .writeStream.format("memory").queryName("mom_out")
+      .outputMode("complete").start()
+    val rows = (1 to 100).map { i =>
+      (i.toLong, new java.sql.Timestamp((i % 90) * 60000L),
+        Seq((i % 7).toDouble, (i % 3).toDouble))
+    }
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      def canon(r: org.apache.spark.sql.Row) =
+        (r.getTimestamp(0), r.getLong(1), r.getSeq[Double](2), r.getSeq[Double](3))
+      val streamed = spark.table("mom_out").collect().map(canon).toSet
+      val batch = rows.toDF("id", "ts", "vec")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(graft.ops.Pca.momentsAgg(col("vec")).as("m"))
+        .select(col("window.start").as("ws"), col("m.n").as("n"),
+          col("m.sx").as("sx"), col("m.sxx").as("sxx"))
+        .collect().map(canon).toSet
+      assert(streamed == batch && streamed.size == 2) // two hour windows
+    } finally q.stop()
+  }
+
   test("htmlLinks link extraction is stateless on streams") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
