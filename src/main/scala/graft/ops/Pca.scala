@@ -150,19 +150,26 @@ object Pca {
   /** Row-local projection of the embedding column onto `components` (the
     * [[principalComponents]] frame, collected and inlined as literal
     * arrays — k×d bounded metadata): appends `proj`, the length-k array of
-    * centered dot products (x − mean)·vᶜ. One scan, no shuffle.
+    * centered dot products (x − mean)·vᶜ. With `whiten = true` each
+    * coordinate divides by √eigenvalue, so the projected corpus has unit
+    * variance per component — the PCA-whitening input contrastive and
+    * clustering recipes expect (components with eigenvalue ≤ 0 pass
+    * through unscaled rather than dividing by zero). One scan, no shuffle.
     */
   def project(df: DataFrame, vec: Column, components: DataFrame,
-      mean: Seq[Double]): DataFrame = {
-    val comps = components.select(col("component"), col("vector"))
-      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1))
+      mean: Seq[Double], whiten: Boolean = false): DataFrame = {
+    val comps = components.select(col("component"), col("vector"), col("eigenvalue"))
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getSeq[Double](1), r.getDouble(2)))
     require(comps.nonEmpty, "project: no components")
     val meanCol = array(mean.map(lit): _*)
     val centered = zip_with(transform(vec, x => x.cast("double")), meanCol,
       (x, m) => x - m)
-    val projCols = comps.map { cv =>
-      aggregate(zip_with(centered, array(cv.map(lit): _*), (x, c) => x * c),
+    val projCols = comps.map { case (cv, ev) =>
+      val dot = aggregate(
+        zip_with(centered, array(cv.map(lit): _*), (x, c) => x * c),
         lit(0.0), (acc, e) => acc + e)
+      if (whiten && ev > 0) dot / math.sqrt(ev) else dot
     }
     df.withColumn("proj", array(projCols: _*))
   }

@@ -50,6 +50,15 @@ class PcaSpec extends AnyFunSuite {
     assert(math.abs(variance - 2.0) < 1e-9) // projected variance = lambda1
   }
 
+  test("whitened projection has unit variance per component") {
+    val pcs = Pca.principalComponents(data, col("v"), k = 1)
+    val proj = Pca.project(data, col("v"), pcs, mean = Seq(2.0, 3.0),
+        whiten = true)
+      .select(element_at(col("proj"), 1)).as[Double].collect()
+    val variance = proj.map(p => p * p).sum / proj.length
+    assert(math.abs(variance - 1.0) < 1e-9)
+  }
+
   test("ragged embedding lengths throw loudly") {
     val bad = Seq(Seq(1.0f, 2.0f), Seq(1.0f)).toDF("v")
     val err = intercept[Exception] {
