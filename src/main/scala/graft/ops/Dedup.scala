@@ -379,6 +379,74 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** EXACT asymmetric CONTAINMENT join: all ORDERED pairs (a, b), a ≠ b,
+    * with |Sₐ ∩ S_b| / |Sₐ| ≥ t over word `shingleSize`-shingle sets — the
+    * quote / subset-document detector Jaccard structurally misses: a short
+    * doc quoted whole inside a long one has tiny Jaccard (the union is the
+    * long doc) but containment ≈ 1. Exactness argument is the asymmetric
+    * prefix filter (Chaudhuri et al. ICDE'06): if |Sₐ ∩ S_b| ≥ ⌈t·|Sₐ|⌉
+    * then under ANY consistent global token order the first
+    * |Sₐ| − ⌈t·|Sₐ|⌉ + 1 tokens of a must intersect S_b (pigeonhole over
+    * a's own set) — so the CONTAINED side probes with its prefix while the
+    * CONTAINING side is a FULL inverted index (no prefix can bound b: the
+    * matching tokens may sit anywhere in b's frequency order).
+    *
+    * Scale shape: probe volume is ~(1−t)·corpus tokens and the
+    * frequency-ascending prefix order keeps probed tokens rare; the
+    * postings side is the same one-row-per-(token, doc) explode BM25
+    * builds, with hot-token skew left to AQE's skew join. Verify fetches
+    * both shingle sets for candidates only. Returns
+    * (id_a, id_b, containment): a is the contained side, rounded to 6.
+    */
+  def containmentPairs(df: DataFrame, id: Column, text: Column,
+      shingleSize: Int = 3, threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"need 0 < threshold <= 1, got $threshold")
+    val shingled = df.select(id.as("id"),
+        TextAnalysis.shingles(text, shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val tokens = shingled.select(col("id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("tok"))
+    val freq = tokens.groupBy("tok").agg(count(lit(1)).as("df"))
+    val prefixes = tokens.join(freq, Seq("tok"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df").asc, col("tok").asc)))
+      .filter(col("rn") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select(col("tok"), col("id"))
+    val candidates = prefixes.select(col("tok"), col("id").as("id_a"))
+      .join(tokens.select(col("tok"), col("id").as("id_b")), Seq("tok"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      // threshold the TRUE containment; round only for display (the
+      // ngramJaccardPairs rationale)
+      .filter(col("inter").cast("double") / size(col("sh_a")) >= threshold)
+      .withColumn("containment",
+        round(col("inter").cast("double") / size(col("sh_a")), 6))
+      .select("id_a", "id_b", "containment")
+  }
+
+  /** O(n²) cross-join twin of [[containmentPairs]] — correctness reference
+    * at test scale only; never ship this plan.
+    */
+  def containmentPairsNaive(df: DataFrame, id: Column, text: Column,
+      shingleSize: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val t = df.select(id.as("id"), TextAnalysis.shingles(text, shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+    t.select(col("id").as("id_a"), col("sh").as("sh_a"))
+      .crossJoin(t.select(col("id").as("id_b"), col("sh").as("sh_b")))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .filter(col("inter").cast("double") / size(col("sh_a")) >= threshold)
+      .withColumn("containment",
+        round(col("inter").cast("double") / size(col("sh_a")), 6))
+      .select("id_a", "id_b", "containment")
+  }
+
   /** EXACT edit-distance similarity join — all pairs with
     * levenshtein ≤ maxDist — without the O(n²) cross join. Two candidate
     * schemes, auto-selected:

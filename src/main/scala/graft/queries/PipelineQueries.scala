@@ -101,6 +101,19 @@ object PipelineQueries {
       Dedup.ngramJaccardPairs(t(s, d, "documents"), col("doc_id"), col("text"),
         shingleSize = 3, threshold = 0.8)),
 
+    // asymmetric containment with planted quote docs: every doc_id % 40
+    // == 0 also contributes a (10000 + id) "quote" row holding its own
+    // first 15 words — fully CONTAINED (containment 1.0) in its source
+    // though the Jaccard is tiny, the case the symmetric join misses
+    "pipe_containment" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val quotes = docs.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"),
+          array_join(slice(split(trim(col("text")), "\\s+"), 1, 15), " ").as("text"))
+      Dedup.containmentPairs(docs.unionByName(quotes),
+        col("doc_id"), col("text"), shingleSize = 3, threshold = 0.6)
+    }),
+
     // exact edit-distance pairs (levenshtein <= 9) over each doc's first
     // five words — q-gram prefix-filtered, never all-pairs; the surface has
     // both exact-duplicate (dist 0) and near-miss (5..9) pairs at sf0.01
@@ -852,6 +865,25 @@ object PipelineQueries {
          |  round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
          |FROM t a JOIN t b ON a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8""".stripMargin,
+    "pipe_containment" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000,
+         |    list_aggregate(list_slice(string_split_regex(trim(text), '\\s+'), 1, 15),
+         |                   'string_agg', ' ')
+         |  FROM documents WHERE doc_id % 40 = 0),
+         |t AS (SELECT doc_id, $duckShingles AS sh FROM aug
+         |      WHERE len(string_split_regex(trim(lower(text)),'\\s+')) >= 3),
+         |e AS (SELECT doc_id, unnest(sh) AS g FROM t),
+         |sz AS (SELECT doc_id, len(sh) AS n FROM t),
+         |i AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+         |      FROM e a JOIN e b ON a.g = b.g AND a.doc_id <> b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT ia AS id_a, ib AS id_b,
+         |       round(CAST(c AS DOUBLE) / sz.n, 6) AS containment
+         |FROM i JOIN sz ON sz.doc_id = i.ia
+         |WHERE CAST(c AS DOUBLE) / sz.n >= 0.6""".stripMargin,
     "pipe_embed_covariance" ->
       """WITH x AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,

@@ -38,6 +38,30 @@ class OpsSpec extends AnyFunSuite {
     assert(out.length == 4)
   }
 
+  test("containmentPairs: matches naive; catches the quote Jaccard misses") {
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps"), // fully contained in 1 (a "quote")
+      (3L, "completely different words about catalyst optimizer rules engine"),
+      (4L, "the quick brown fox jumps over the lazy dog near the river bank today") // dup of 1
+    ).toDF("doc_id", "text")
+    val fast = Dedup.containmentPairs(rows, col("doc_id"), col("text"),
+        shingleSize = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val naive = Dedup.containmentPairsNaive(rows, col("doc_id"), col("text"),
+        shingleSize = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(fast == naive)
+    assert(fast((2L, 1L)) == 1.0 && fast((2L, 4L)) == 1.0) // quote → sources
+    assert(!fast.contains((1L, 2L))) // reverse direction far below t
+    assert(fast((1L, 4L)) == 1.0 && fast((4L, 1L)) == 1.0) // exact dup both ways
+    // the same quote pair under symmetric Jaccard at the same threshold: absent
+    val jac = Dedup.ngramJaccardPairs(rows, col("doc_id"), col("text"),
+        shingleSize = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)) && !jac.contains((2L, 1L)))
+  }
+
   test("incremental LSH probe: batch pairs found, history-internal pairs excluded") {
     // history holds the exact-dup pair (1,5): already found by the ingest
     // that indexed it, so the incremental probe must NOT re-emit it
