@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.PipelineQueries.queries ++
       graft.queries.CurationQueries.queries ++
       graft.queries.SearchQueries.queries ++
-      graft.queries.GenEvalQueries.queries
+      graft.queries.GenEvalQueries.queries ++
+      graft.queries.CodeDataQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,7 +31,8 @@ object SparkEntry {
       graft.queries.PipelineQueries.oracle ++
       graft.queries.CurationQueries.oracle ++
       graft.queries.SearchQueries.oracle ++
-      graft.queries.GenEvalQueries.oracle
+      graft.queries.GenEvalQueries.oracle ++
+      graft.queries.CodeDataQueries.oracle
 
   /** Queries intentionally without an oracle: only ROUGE-L — its LCS is a
     * sequential DP no SQL can express; the op is spec-verified against a
@@ -62,5 +64,6 @@ object SparkEntry {
     "pipe_wordpiece",
     "pipe_hits", "pipe_triangles", "pipe_kcore", "pipe_html_links",
     "pipe_readability", "pipe_collocations", "pipe_communities",
-    "pipe_cooccurrence")
+    "pipe_cooccurrence",
+    "pipe_c4_span_dedup", "pipe_code_gate")
 }

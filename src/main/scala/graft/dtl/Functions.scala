@@ -198,6 +198,14 @@ object FunctionRegistry {
     // form of the drop-reason contract (ops/Provenance.scala)
     text1("gopher_reason")(graft.ops.Curation.gopherReason),
     text1("url_canonical")(graft.ops.Urls.canonicalize),
+    // C4 cleaning (ops/C4): line filter and the list-free page-gate reason
+    // (lorem ipsum / curly brace / <3 sentences; NULL = keep). Bad-word
+    // screening needs a configured list — Scala API only.
+    text1("c4_clean_lines")(t => graft.ops.C4.cleanLines(t)),
+    text1("c4_reason")(t => graft.ops.C4.docReason(t, Nil)),
+    // code-corpus quality gate (ops/CodeFilters), default thresholds
+    text1("code_keep", TBool)(graft.ops.CodeFilters.codeKeep),
+    text1("code_reason")(graft.ops.CodeFilters.codeReason),
     // host for grouping by domain (lowercase, www/port stripped; empty for
     // non-absolute input) — pairs with url_canonical for in-language
     // crawl triage (per-domain counts, quota decisions)

@@ -85,7 +85,26 @@ object GraftFunctions {
     "strip_exif" -> { args => StripExifExpr(args.head) },
     "image_dhash_canonical" -> { args => ImageDhashCanonicalExpr(args.head) },
     "image_dhash_all" -> { args => ImageDhashAllExpr(args.head) },
-    "deflate_ratio" -> { args => DeflateRatioExpr(args.head) })
+    "deflate_ratio" -> { args => DeflateRatioExpr(args.head) },
+    // C4 / code-quality cleaning scalars (composed-Column chains, bridged
+    // like url_canonical). c4_reason checks the list-free page rules
+    // (lorem ipsum / curly brace / sentence count) — bad-word screening
+    // needs a configured list, so it lives on the Scala API (ops.C4).
+    "c4_clean_lines" -> { args =>
+      org.apache.spark.sql.GraftColumnBridge.catalystExpression(
+        graft.ops.C4.cleanLines(
+          org.apache.spark.sql.GraftColumnBridge.column(args.head)))
+    },
+    "c4_reason" -> { args =>
+      org.apache.spark.sql.GraftColumnBridge.catalystExpression(
+        graft.ops.C4.docReason(
+          org.apache.spark.sql.GraftColumnBridge.column(args.head), Nil))
+    },
+    "code_reason" -> { args =>
+      org.apache.spark.sql.GraftColumnBridge.catalystExpression(
+        graft.ops.CodeFilters.codeReason(
+          org.apache.spark.sql.GraftColumnBridge.column(args.head)))
+    })
 
   /** Imperative per-session registration. */
   def register(spark: SparkSession): Unit =

@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** C4-style heuristic web cleaning (Raffel et al. 2020, "Exploring the
+  * Limits of Transfer Learning with a Unified Text-to-Text Transformer",
+  * §2.2) — the classic line filter + page gate + three-sentence-span dedup
+  * recipe, complementing the Gopher rules ([[Curation.gopherMetrics]]) and
+  * CCNet passes ([[Dedup.dedupLines]]) already here. The reference engine's
+  * own surface has no cleaning heuristics (its WHERE is the only filter —
+  * `/root/reference/ast_to_ir.py:592-617`), so this is extension territory:
+  * the published rules, made deterministic and engine-portable.
+  *
+  * Every rule is written to reproduce bit-for-bit in any regex engine that
+  * supports RE2 syntax (no lookaround, no backreferences), so the DuckDB
+  * oracle replays each decision literally.
+  */
+object C4 {
+
+  /** The published line-keep rule, on an already-trimmed line: ends in a
+    * terminal punctuation mark (`.`/`!`/`?`, optionally followed by one
+    * closing quote — the paper's "end quotation mark"), has at least
+    * `minWords` whitespace words, and does not mention javascript (the
+    * paper drops any line with the word "Javascript").
+    */
+  def lineKeep(line: Column, minWords: Int = 5): Column =
+    line.rlike("[.!?][\"'”’]?$") &&
+      size(split(line, "\\s+")) >= minWords &&
+      !lower(line).rlike("\\bjavascript\\b")
+
+  /** Apply [[lineKeep]] per newline-separated line (lines trimmed first),
+    * keep survivors in order joined by newlines. Row-local — scan speed,
+    * no shuffle, stays inside whole-stage codegen.
+    */
+  def cleanLines(text: Column, minWords: Int = 5): Column =
+    array_join(
+      filter(transform(split(text, "\n"), l => trim(l)),
+        l => lineKeep(l, minWords)),
+      "\n")
+
+  /** Sentence count under the [[TextAnalysis.sentences]] contract
+    * (`[^.!?]+[.!?]*` maximal runs, whitespace-only matches excluded). */
+  def sentenceCount(text: Column): Column =
+    size(filter(regexp_extract_all(text, lit("[^.!?]+[.!?]*"), lit(0)),
+      m => length(trim(m)) > 0))
+
+  /** Page-level drop reason over the line-filtered text, NULL = keep; the
+    * first failing rule in the published order: "lorem_ipsum" (placeholder
+    * text), "curly_brace" (code exclusion), "bad_word" (word-boundary hit
+    * against `badWords` — the paper uses the public "List of Dirty, Naughty,
+    * Obscene or Otherwise Bad Words"; the list is a parameter here, each
+    * entry lowercase `[a-z0-9 ]+` so the same pattern runs in every
+    * engine), "too_few_sentences" (< `minSentences` after line filtering).
+    * `reason.isNull` is the keep decision, [[graft.ops.AuditedPipeline.gateWhy]]-ready.
+    */
+  def docReason(cleanText: Column, badWords: Seq[String],
+      minSentences: Int = 3): Column = {
+    badWords.foreach(w => require(w.matches("[a-z0-9 ]+"),
+      s"bad word must be lowercase [a-z0-9 ]+, got '$w'"))
+    val lt = lower(cleanText)
+    val badHit = badWords
+      .map(w => lt.rlike("\\b" + w + "\\b"))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    when(lt.contains("lorem ipsum"), "lorem_ipsum")
+      .when(cleanText.contains("{"), "curly_brace")
+      .when(badHit, "bad_word")
+      .when(sentenceCount(cleanText) < minSentences, "too_few_sentences")
+      .otherwise(lit(null).cast("string"))
+  }
+
+  /** The full C4 page pass: line filter then page gate. Returns (id,
+    * clean_text, n_lines, n_lines_kept, n_sentences, reason, keep) — one
+    * row per input page, dropped pages still present with their reason so
+    * the caller chooses between `filter(keep)` and an audit ledger.
+    * Entirely row-local: zero shuffles, zero joins.
+    */
+  def c4Gate(df: DataFrame, id: Column, text: Column,
+      badWords: Seq[String], minLineWords: Int = 5,
+      minSentences: Int = 3): DataFrame =
+    df.select(id.as("id"), text.as("__text"))
+      .withColumn("clean_text", cleanLines(col("__text"), minLineWords))
+      .withColumn("n_lines", size(split(col("__text"), "\n")))
+      .withColumn("n_lines_kept",
+        when(length(col("clean_text")) === 0, 0)
+          .otherwise(size(split(col("clean_text"), "\n"))))
+      .withColumn("n_sentences", sentenceCount(col("clean_text")))
+      .withColumn("reason", docReason(col("clean_text"), badWords, minSentences))
+      .withColumn("keep", col("reason").isNull)
+      .select("id", "clean_text", "n_lines", "n_lines_kept", "n_sentences",
+        "reason", "keep")
+
+  /** C4's dedup move: discard all but one occurrence of any `n`-sentence
+    * span that appears more than once in the CORPUS (within-page repeats
+    * count too). The one kept occurrence is the lexicographically smallest
+    * (id, span_start); a dropped occurrence removes its `n` member
+    * sentences (union when dropped spans overlap). Sentences follow the
+    * [[TextAnalysis.sentences]] contract, normalized (lowercase, whitespace
+    * collapsed) for matching but reassembled from the ORIGINAL sentence
+    * text, space-joined — like [[Dedup.removeSharedPassages]], original
+    * inter-sentence whitespace is not preserved.
+    *
+    * Returns (id, clean_text, n_kept, n_dropped), one row per input row.
+    *
+    * Scale shape — the [[Dedup.dedupLines]] recipe at span granularity:
+    * span keys are built ROW-LOCALLY (an md5 per sliding window over the
+    * in-row sentence array — no per-doc window exchange), then ONE
+    * span-key-partitioned row_number window marks non-first occurrences, a
+    * per-doc position aggregate collects drops, and one join back on id
+    * reassembles. Nothing quadratic, nothing buffered per span group
+    * beyond the window sort.
+    */
+  def spanDedup(df: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame = {
+    require(n >= 2, s"span length must be >= 2, got $n")
+    val base = df.select(id.as("id"), text.as("__text"))
+      .withColumn("sents", expr(
+        "filter(transform(regexp_extract_all(__text, '[^.!?]+[.!?]*', 0)," +
+          " x -> trim(x)), x -> length(x) > 0)"))
+      .withColumn("norms",
+        expr("transform(sents, x -> lower(regexp_replace(x, '\\\\s+', ' ')))"))
+    // spans row-locally: (start k 1-based, md5 of the chr(1)-joined window);
+    // docs with fewer than n sentences contribute no spans
+    val occ = base.filter(size(col("norms")) >= n)
+      .withColumn("sp", explode(expr(
+        s"transform(sequence(1, size(norms) - ${n - 1}), " +
+          s"i -> named_struct('k', i, 'key', md5(cast(array_join(slice(norms, i, $n), chr(1)) AS binary))))")))
+      .select(col("id"), col("sp.k").as("k"), col("sp.key").as("key"))
+    val wKey = Window.partitionBy("key").orderBy(col("id").asc, col("k").asc)
+    val drops = occ.withColumn("rn", row_number().over(wKey))
+      .filter(col("rn") > 1)
+      .select(col("id"), explode(sequence(col("k"), col("k") + lit(n - 1))).as("dk"))
+      .groupBy("id").agg(collect_set(col("dk")).as("drop_ks"))
+    base.join(drops, Seq("id"), "left")
+      .withColumn("__dk", coalesce(col("drop_ks"), array().cast("array<int>")))
+      .withColumn("__kept", filter(col("sents"),
+        (_, i) => !array_contains(col("__dk"), i + 1)))
+      .select(col("id"),
+        array_join(col("__kept"), " ").as("clean_text"),
+        size(col("__kept")).as("n_kept"),
+        (size(col("sents")) - size(col("__kept"))).as("n_dropped"))
+  }
+}

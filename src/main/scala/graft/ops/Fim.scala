@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fill-in-the-middle (FIM) transformation (Bavarian et al. 2022,
+  * "Efficient Training of Language Models to Fill in the Middle") — the
+  * standard code-model data augmentation: a deterministic fraction of
+  * documents is split at two uniform character positions into
+  * (prefix, middle, suffix) and re-rendered in PSM order
+  * `<PRE>prefix<SUF>suffix<MID>middle`, teaching a left-to-right model to
+  * infill. The paper's key result is that this transformation is applied
+  * at the DATA level at a fixed rate (50% in the paper) with no loss of
+  * left-to-right capability.
+  *
+  * Determinism contract: all three random choices (apply? cut1 cut2) are
+  * [[Curation.hashUniform]] md5 arithmetic on the document key — same
+  * document, same decision on every run, any partitioning, any engine
+  * (the DuckDB oracle replays every decision). Entirely row-local: zero
+  * shuffles; character positions, so it composes BEFORE tokenization.
+  */
+object Fim {
+
+  /** Returns (id, fim_applied, cut_lo, cut_hi, out_text), one row per
+    * input row; cut_lo/cut_hi are the two character cut points (0-based
+    * prefix length / prefix+middle length, NULL when not applied), drawn
+    * uniformly from [0, len] so empty prefix/middle/suffix all occur.
+    * NULL text passes through NULL (not an applied transform).
+    */
+  def fimTransform(df: DataFrame, id: Column, text: Column,
+      rate: Double = 0.5, preTok: String = "<PRE>", sufTok: String = "<SUF>",
+      midTok: String = "<MID>"): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    val base = df.select(id.as("id"), text.as("__text"),
+      Curation.hashUniform(concat(id.cast("string"), lit(":fim"))).as("__h"),
+      Curation.hashUniform(concat(id.cast("string"), lit(":fim:a"))).as("__ha"),
+      Curation.hashUniform(concat(id.cast("string"), lit(":fim:b"))).as("__hb"))
+    val len = length(col("__text"))
+    val applied = (col("__h") < (rate * 4294967296.0).toLong) && len.isNotNull
+    val c1 = col("__ha") % (len.cast("long") + lit(1L))
+    val c2 = col("__hb") % (len.cast("long") + lit(1L))
+    val lo = least(c1, c2).cast("int")
+    val hi = greatest(c1, c2).cast("int")
+    val prefix = col("__text").substr(lit(1), lo)
+    val middle = col("__text").substr(lo + 1, hi - lo)
+    val suffix = col("__text").substr(hi + 1, len - hi)
+    base.select(col("id"), applied.as("fim_applied"),
+      when(applied, lo).otherwise(lit(null).cast("int")).as("cut_lo"),
+      when(applied, hi).otherwise(lit(null).cast("int")).as("cut_hi"),
+      when(applied,
+        concat(lit(preTok), prefix, lit(sufTok), suffix, lit(midTok), middle))
+        .otherwise(col("__text")).as("out_text"))
+  }
+}

@@ -109,6 +109,26 @@ object DtlQueries {
         |  SELECT domain, count() AS n FROM hosts GROUP BY domain;
         |EXPORT output TO 'output';""".stripMargin)),
 
+    // C4 page-gate + code-quality triage in-language: the round-5 cleaning
+    // scalars driving a per-document keep/drop decision end-to-end
+    "dtl_code_triage" -> ((s, d) => run(s, d,
+      """WITH documents AS IMPORT 'documents';
+        |WITH aug AS
+        |  SELECT doc_id,
+        |    concat(text,
+        |      if(doc_id % 3 = 0,
+        |         ' Lorem ipsum fills the rest. Second sentence here. Third sentence done.',
+        |         ' First real sentence. Second real sentence. Third real sentence.')) AS t,
+        |    concat('line one is short\n',
+        |      if(doc_id % 4 = 0,
+        |         '0000 1111 2222 3333 4444 5555 6666 7777 8888 9999\n.., ;; :: !! ?? 0101\n',
+        |         'def handler(): return value\n')) AS code_t
+        |  FROM documents;
+        |WITH output AS
+        |  SELECT doc_id, c4_reason(t) AS c4_why, code_reason(code_t) AS code_why
+        |  FROM aug;
+        |EXPORT output TO 'output';""".stripMargin)),
+
     // entropy signals in-language: the model-free gibberish gate a DTL
     // cleaning script filters on
     "dtl_entropy" -> ((s, d) => run(s, d,
@@ -435,6 +455,42 @@ object DtlQueries {
       """SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n,
         | min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "dtl_code_triage" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || (CASE WHEN doc_id % 3 = 0
+        |      THEN ' Lorem ipsum fills the rest. Second sentence here. Third sentence done.'
+        |      ELSE ' First real sentence. Second real sentence. Third real sentence.' END) AS t,
+        |    'line one is short' || chr(10) ||
+        |    (CASE WHEN doc_id % 4 = 0
+        |      THEN '0000 1111 2222 3333 4444 5555 6666 7777 8888 9999' || chr(10) || '.., ;; :: !! ?? 0101' || chr(10)
+        |      ELSE 'def handler(): return value' || chr(10) END) AS code_t
+        |  FROM documents),
+        |c4 AS (SELECT doc_id, t, code_t,
+        |  len(list_filter(list_transform(regexp_extract_all(t, '[^.!?]+[.!?]*'),
+        |    x -> trim(x)), x -> len(x) > 0)) AS n_sent FROM aug),
+        |cm AS (SELECT doc_id, t, n_sent, code_t,
+        |  string_split(code_t, chr(10)) AS ls FROM c4),
+        |cx AS (SELECT doc_id, t, n_sent, code_t,
+        |  list_max(list_transform(ls, l -> len(l))) AS maxl,
+        |  round(CAST(list_sum(list_transform(ls, l -> len(l))) AS DOUBLE) / len(ls), 6) AS avgl,
+        |  round(CAST(len(regexp_replace(code_t, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        |        / greatest(len(code_t), 1), 6) AS af,
+        |  (contains(lower(substr(code_t, 1, 500)), 'auto-generated')
+        |   OR contains(lower(substr(code_t, 1, 500)), 'autogenerated')
+        |   OR contains(lower(substr(code_t, 1, 500)), 'generated by')
+        |   OR contains(lower(substr(code_t, 1, 500)), 'do not edit')) AS autogen
+        |  FROM cm)
+        |SELECT doc_id,
+        |  CASE WHEN contains(lower(t), 'lorem ipsum') THEN 'lorem_ipsum'
+        |       WHEN contains(t, '{') THEN 'curly_brace'
+        |       WHEN n_sent < 3 THEN 'too_few_sentences' END AS c4_why,
+        |  CASE WHEN maxl > 1000 THEN 'max_line_len'
+        |       WHEN avgl > 100.0 THEN 'avg_line_len'
+        |       WHEN af < 0.25 THEN 'alpha_frac'
+        |       WHEN autogen THEN 'auto_generated' END AS code_why
+        |FROM cx""".stripMargin,
+
     "dtl_url_host" ->
       """SELECT 'site' || (doc_id % 5) || '.com' AS domain,
         |       CAST(count(*) AS BIGINT) AS n

@@ -74,6 +74,19 @@ object ExtensionsCheck {
       "strip_exif passes non-JPEG bytes through")
     println("round-5 functions: OK")
 
+    // C4 + code-gate scalars on the injected SQL surface
+    val c4 = spark.sql(
+      "SELECT c4_clean_lines('Keep this line of five words.\nnope') AS cl, " +
+        "c4_reason('One good sentence here today.') AS r1, " +
+        "c4_reason('S one is fine. S two is fine. Lorem ipsum sits here.') AS r2, " +
+        "code_reason('ok line') AS cr1, " +
+        "code_reason(repeat('x', 1200)) AS cr2").head()
+    assert(c4.getString(0) == "Keep this line of five words.", s"cl: ${c4.getString(0)}")
+    assert(c4.getString(1) == "too_few_sentences")
+    assert(c4.getString(2) == "lorem_ipsum")
+    assert(c4.isNullAt(3) && c4.getString(4) == "max_line_len")
+    println("c4/code functions: OK")
+
     // injected optimizer rule: SQL abs-distance join plans as a hash join
     Seq((1L, 10L), (2L, 500L)).toDF("lid", "lv").createOrReplaceTempView("l")
     Seq((9L, 12L), (8L, 100L)).toDF("rid", "rv").createOrReplaceTempView("r")

@@ -1,0 +1,175 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class C4FimCodeSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  // ---- C4 line filter + page gate ----
+
+  test("c4 lineKeep: terminal punctuation, word count, javascript") {
+    val lines = Seq(
+      ("This line has five words today.", true),
+      ("This line has five words today!", true),
+      ("Did this line have five words?", true),
+      ("He said it ends with a quote here.\"", true), // end quotation mark
+      ("no terminal punctuation on this line at all", false),
+      ("Too short.", false),                          // < 5 words
+      ("Enable JavaScript to view this entire page properly.", false),
+      ("", false))
+    val got = lines.map(_._1).toDF("l")
+      .select(col("l"), C4.lineKeep(col("l")).as("k")).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    lines.foreach { case (l, want) => assert(got(l) == want, s"line: '$l'") }
+  }
+
+  test("c4 gate reasons fire in the published order") {
+    val good = "One good sentence sits right here.\nA second good sentence follows it now.\nA third good sentence closes the page."
+    val docs = Seq(
+      (1L, good),
+      (2L, good + "\nThis page quotes lorem ipsum { and } a badword right here."),
+      (3L, good + "\nThis config sentence uses { curly } braces in prose."),
+      (4L, good + "\nSadly a plantedbadword appears in this sentence too."),
+      (5L, "Only one good sentence lives on this page."),
+      (6L, "no punctuation no keeping\nshort line")).toDF("id", "text")
+    val got = C4.c4Gate(docs, col("id"), col("text"), badWords = Seq("plantedbadword"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(5)), r.getBoolean(6))).toMap
+    assert(got(1L) == (None, true))
+    assert(got(2L) == (Some("lorem_ipsum"), false)) // lorem wins over curly+bad
+    assert(got(3L) == (Some("curly_brace"), false))
+    assert(got(4L) == (Some("bad_word"), false))
+    assert(got(5L) == (Some("too_few_sentences"), false))
+    assert(got(6L) == (Some("too_few_sentences"), false)) // all lines dropped
+  }
+
+  test("c4 gate counts lines and sentences on the cleaned text") {
+    val text = "Keep this first good sentence right here.\nbad line\nKeep this second good sentence here too.\nKeep a third good sentence for the gate."
+    val r = C4.c4Gate(Seq((1L, text)).toDF("id", "text"), col("id"),
+      col("text"), badWords = Nil).collect()(0)
+    assert(r.getInt(2) == 4)  // n_lines
+    assert(r.getInt(3) == 3)  // n_lines_kept
+    assert(r.getInt(4) == 3)  // n_sentences
+    assert(r.getBoolean(6))
+  }
+
+  // ---- C4 span dedup ----
+
+  private val spanDocs = Seq(
+    (1L, "Alpha opens the page. Shared one here. Shared two here. Shared three here. Omega closes one."),
+    (2L, "Beta opens the page. Shared one here. Shared two here. Shared three here. Omega closes two."),
+    (3L, "Gamma has no shared block. Just two more sentences. And one final closer."),
+    (4L, "Too short. Only two sentences."))
+
+  test("spanDedup keeps the first occurrence, strips later ones") {
+    val got = C4.spanDedup(spanDocs.toDF("id", "text"), col("id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    // doc 1 is the keeper: untouched
+    assert(got(1L)._2 == 5 && got(1L)._3 == 0)
+    // doc 2 loses exactly the shared 3-sentence block
+    assert(got(2L) == (("Beta opens the page. Omega closes two.", 2, 3)))
+    // docs without duplicated spans are untouched
+    assert(got(3L)._3 == 0)
+    assert(got(4L) == (("Too short. Only two sentences.", 2, 0)))
+  }
+
+  test("spanDedup collapses within-doc repeats and unions overlapping drops") {
+    // the same sentence repeated 5 times: spans (1,2,3) all share one key;
+    // span 1 is kept, spans 2..3 drop sentences 2..5 -> only s1..s3 remain
+    // (kept span members 1..3 minus union of {2..4},{3..5} = {1})
+    val doc = Seq((9L, "Echo echo echo. Echo echo echo. Echo echo echo. Echo echo echo. Echo echo echo."))
+      .toDF("id", "text")
+    val r = C4.spanDedup(doc, col("id"), col("text")).collect()(0)
+    assert(r.getInt(2) == 1 && r.getInt(3) == 4,
+      s"want 1 kept / 4 dropped, got ${r.getInt(2)}/${r.getInt(3)}")
+    assert(r.getString(1) == "Echo echo echo.")
+  }
+
+  test("spanDedup normalization matches case and whitespace variants") {
+    val docs = Seq(
+      (1L, "First shared sentence here. Second shared sentence here. Third shared sentence here. Tail one."),
+      (2L, "FIRST   shared sentence here. second SHARED sentence here. third shared SENTENCE here. Tail two."))
+      .toDF("id", "text")
+    val got = C4.spanDedup(docs, col("id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(got(1L) == 0 && got(2L) == 3) // doc 2's variant-cased span dedups
+  }
+
+  // ---- FIM ----
+
+  test("fim reassembly recovers the original text at rate 1") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val out = Fim.fimTransform(docs, col("doc_id"), col("text"), rate = 1.0)
+    assert(out.filter(!col("fim_applied")).isEmpty)
+    // parse <PRE>p<SUF>s<MID>m back into p+m+s and compare with the input
+    val rebuilt = out.select(col("id").as("doc_id"),
+      regexp_extract(col("out_text"), "(?s)^<PRE>(.*)<SUF>(.*)<MID>(.*)$", 1).as("p"),
+      regexp_extract(col("out_text"), "(?s)^<PRE>(.*)<SUF>(.*)<MID>(.*)$", 2).as("s"),
+      regexp_extract(col("out_text"), "(?s)^<PRE>(.*)<SUF>(.*)<MID>(.*)$", 3).as("m"))
+    val bad = rebuilt.join(docs, "doc_id")
+      .filter(concat(col("p"), col("m"), col("s")) =!= col("text"))
+    assert(bad.isEmpty, "prefix+middle+suffix must equal the original text")
+  }
+
+  test("fim rate 0 is the identity; rate is monotone on the same keys") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val off = Fim.fimTransform(docs, col("doc_id"), col("text"), rate = 0.0)
+    assert(off.filter(col("fim_applied")).isEmpty)
+    assert(off.join(docs, col("id") === col("doc_id"))
+      .filter(col("out_text") =!= col("text")).isEmpty)
+    val lo = Fim.fimTransform(docs, col("doc_id"), col("text"), rate = 0.25)
+      .filter(col("fim_applied")).select("id")
+    val hi = Fim.fimTransform(docs, col("doc_id"), col("text"), rate = 0.75)
+      .filter(col("fim_applied")).select("id")
+    assert(lo.exceptAll(hi).isEmpty, "a doc FIMed at 0.25 must be FIMed at 0.75")
+  }
+
+  test("fim decisions are partitioning-invariant") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val a = Fim.fimTransform(docs.repartition(3), col("doc_id"), col("text"))
+      .orderBy("id").collect().toSeq
+    val b = Fim.fimTransform(docs.repartition(17), col("doc_id"), col("text"))
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+
+  // ---- code quality gate ----
+
+  test("code gate reasons fire in the documented order") {
+    val docs = Seq(
+      (1L, "def f():\n    return 1\n# a fine handwritten file"),
+      (2L, "short\n" + "x" * 1200),
+      (3L, ("y" * 150 + "\n") * 4 + "tail"),
+      (4L, "0101 1010 111000 2345, 9999!\n.., ;;; 0000 111"),
+      (5L, "# auto-generated by protoc, do not edit\ncode()"),
+      (6L, "x" * 1200 + "\n# auto-generated too")).toDF("id", "text")
+    val got = CodeFilters.codeMetrics(docs, col("id"), col("text"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(6))).toMap
+    assert(got(1L).isEmpty)
+    assert(got(2L).contains("max_line_len"))
+    assert(got(3L).contains("avg_line_len"))
+    assert(got(4L).contains("alpha_frac"))
+    assert(got(5L).contains("auto_generated"))
+    assert(got(6L).contains("max_line_len")) // order: max wins over autogen
+  }
+
+  test("codeReason matches codeMetrics at default thresholds") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit("\n" + "q" * 1100)).otherwise(lit("")))
+          .as("text"))
+    val viaMetrics = CodeFilters.codeMetrics(docs, col("doc_id"), col("text"))
+      .select(col("id"), col("reason"))
+    val viaScalar = docs.select(col("doc_id").as("id"),
+      CodeFilters.codeReason(col("text")).as("reason"))
+    assert(viaMetrics.exceptAll(viaScalar).isEmpty &&
+      viaScalar.exceptAll(viaMetrics).isEmpty)
+  }
+}
