@@ -477,10 +477,24 @@ object Curation {
       domain: Column, weights: Map[String, Double], budget: Long,
       nBuckets: Int = 4096): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    require(nBuckets > 0 && 4294967296L % nBuckets == 0,
-      s"nBuckets must be a power of two dividing 2^32, got $nBuckets")
     weights.values.foreach(w =>
       require(w >= 0 && w <= 1, s"weights must be in [0,1], got $w"))
+    mixtureByBudgets(df, id, tokens, domain,
+      weights.map { case (d, w) => d -> math.floor(w * budget).toLong },
+      nBuckets)
+  }
+
+  /** [[mixtureByBudget]] with per-domain token budgets given DIRECTLY —
+    * the form allocation planners ([[unimaxMixture]]) feed. Same two-phase
+    * bucketed cut, same determinism contract.
+    */
+  def mixtureByBudgets(df: DataFrame, id: Column, tokens: Column,
+      domain: Column, budgets: Map[String, Long],
+      nBuckets: Int = 4096): DataFrame = {
+    require(nBuckets > 0 && 4294967296L % nBuckets == 0,
+      s"nBuckets must be a power of two dividing 2^32, got $nBuckets")
+    budgets.values.foreach(b =>
+      require(b >= 0, s"per-domain budgets must be >= 0, got $b"))
     val width = 4294967296L / nBuckets
     val spark = df.sparkSession
     import spark.implicits._
@@ -488,7 +502,7 @@ object Curation {
     val outCols = df.columns.map(col).toSeq
     val base = df
       .filter(domain.isNotNull && tokens.isNotNull && tokens >= 0)
-      .filter(domain.isin(weights.keys.toSeq: _*))
+      .filter(domain.isin(budgets.keys.toSeq: _*))
       .withColumn("__mx_d", domain.cast("string"))
       .withColumn("__mx_h", hashUniform(id))
       .withColumn("__mx_b", (col("__mx_h") / width).cast("int"))
@@ -499,7 +513,7 @@ object Curation {
       .collect()
     val cuts: Seq[(String, Int, Long)] = hist
       .groupBy(_.getString(0)).toSeq.map { case (d, rows) =>
-        val dBudget = math.floor(weights(d) * budget).toLong
+        val dBudget = budgets(d)
         val sorted = rows.map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
         var cum = 0L
         var boundary = Int.MaxValue // every bucket fits entirely
@@ -526,6 +540,71 @@ object Curation {
       .filter(col("__mx_cum") <= col("__mx_res"))
       .drop("__mx_cum")
     fullKeep.unionByName(boundaryKeep).select(outCols: _*)
+  }
+
+  /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and More
+    * Effective Language Sampling for Large-Scale Multilingual Pretraining"):
+    * distribute a total token budget across domains as uniformly as
+    * possible, capping every domain at `maxEpochs` repetitions of its own
+    * size — water-filling with per-domain caps. Returns one row per domain:
+    * (domain, n_tokens, cap, alloc).
+    *
+    * Exact deterministic contract (replayable in any engine): cap_d =
+    * floor(maxEpochs · n_tokens_d) (IEEE double product); domains process
+    * in (cap asc, domain asc) order; a domain SATURATES when
+    * cap · remaining_domains <= remaining_budget (pure int64 arithmetic)
+    * and takes its cap; every non-saturated domain takes the integer share
+    * floor(remaining/m) computed at the FIRST non-saturated position
+    * (caps ascending make saturation prefix-closed, so this matches the
+    * sequential fold up to the < m leftover tokens the uniform share
+    * leaves unspent — documented, deterministic).
+    *
+    * Scale shape: one corpus aggregate to |domains| rows; the single-
+    * partition windows after it run over bounded metadata (the
+    * [[mixtureByBudget]] phase-1 histogram argument — do not "fix" them
+    * into a shuffle, and do not feed millions of domains).
+    */
+  def unimaxAllocation(df: DataFrame, domain: Column, tokens: Column,
+      budget: Long, maxEpochs: Double): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(maxEpochs > 0, s"maxEpochs must be positive, got $maxEpochs")
+    val stats = df.filter(domain.isNotNull && tokens.isNotNull)
+      .groupBy(domain.cast("string").as("domain"))
+      .agg(sum(tokens.cast("long")).as("n_tokens"))
+      .withColumn("cap",
+        floor(lit(maxEpochs) * col("n_tokens").cast("double")).cast("long"))
+    val wOrd = Window.orderBy(col("cap").asc, col("domain").asc)
+    val ranked = stats
+      .withColumn("i", row_number().over(wOrd))
+      .withColumn("pfx", coalesce(sum(col("cap")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("m",
+        count(lit(1)).over(Window.partitionBy()) - col("i") + lit(1L))
+      .withColumn("rem", lit(budget) - col("pfx"))
+      .withColumn("sat", col("cap") * col("m") <= col("rem"))
+      .withColumn("share", expr("rem div m"))
+    // tau = the share at the first non-saturated position (1 row; NULL when
+    // everything saturates, i.e. budget >= sum of caps)
+    val tau = ranked.filter(!col("sat"))
+      .agg(min_by(col("share"), col("i")).as("__tau"))
+    ranked.crossJoin(broadcast(tau))
+      .select(col("domain"), col("n_tokens"), col("cap"),
+        when(col("sat"), col("cap")).otherwise(col("__tau")).as("alloc"))
+  }
+
+  /** [[unimaxAllocation]] composed with the budget cut: allocate, then keep
+    * each domain's deterministic hash-order token prefix via
+    * [[mixtureByBudgets]]. The allocation collect is |domains| rows —
+    * bounded metadata.
+    */
+  def unimaxMixture(df: DataFrame, id: Column, tokens: Column,
+      domain: Column, budget: Long, maxEpochs: Double,
+      nBuckets: Int = 4096): DataFrame = {
+    val alloc = unimaxAllocation(df, domain, tokens, budget, maxEpochs)
+      .select("domain", "alloc").collect()
+    val budgets = alloc.map(r => r.getString(0) -> r.getLong(1))
+      .filter(_._2 > 0).toMap
+    mixtureByBudgets(df, id, tokens, domain, budgets, nBuckets)
   }
 
   /** Deterministic shard assignment + position: `shard = hash(key) mod n`,

@@ -148,6 +148,46 @@ object Similarity {
     (assign(cents), cents)
   }
 
+  /** Prototypicality pruning — the diversification half of D4 (Tirumala et
+    * al. 2023, "D4: Improving LLM Pretraining via Document De-Duplication
+    * and Diversification", applying Sorscher et al. 2022's SSL-prototypes
+    * metric): cluster the embeddings, rank every point within its cluster
+    * by squared L2 distance to the centroid, and KEEP the `keepFrac` LEAST
+    * prototypical points (farthest-first, ties to the smaller id) — the
+    * dense near-centroid core is semantically redundant and contributes
+    * the least marginal signal per token. Returns (vec_id, centroid_id,
+    * dist, rk) for kept points; dist is integer-exact under the
+    * [[kmeansQuantized]] quantization, so the whole pipeline replays in SQL.
+    *
+    * Scale shape: [[kmeansQuantized]] (row-local assignment, k×(dim+1)
+    * partials) + ONE broadcast join against the k-row centroid frame for
+    * the distance + one centroid_id-keyed window. Nothing quadratic; the
+    * per-cluster sort is the unavoidable rank semantics, hash-partitioned
+    * across clusters.
+    */
+  def prototypePrune(df: DataFrame, id: Column, vec: Column,
+      keepFrac: Double, k: Int, iters: Int, dim: Int,
+      scale: Double = 1000.0,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0,
+      s"keepFrac must be in (0,1], got $keepFrac")
+    val (assigned, cents) = kmeansQuantized(df, id, vec, k, iters, dim,
+      scale, checkpointDir)
+    val withDist = assigned
+      .join(broadcast(cents), Seq("centroid_id"))
+      .withColumn("dist", graft.functions.VecMath.squaredDistance(
+        col("qv"), col("centroid_vec")))
+    val wRank = Window.partitionBy("centroid_id")
+      .orderBy(col("dist").desc, col("vec_id").asc)
+    val wAll = Window.partitionBy("centroid_id")
+    withDist
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("cn", count(lit(1)).over(wAll))
+      .filter(col("rk") <= ceil(lit(keepFrac) * col("cn").cast("double")))
+      .select(col("vec_id"), col("centroid_id"), col("dist"),
+        col("rk").cast("int").as("rk"))
+  }
+
   /** IVF assignment driven by k-means-refined centroids (vs [[ivfAssign]]'s
     * random sample): run [[kmeansQuantized]], de-scale its centroids back to
     * embedding space, and assign ORIGINAL vectors to them with the same

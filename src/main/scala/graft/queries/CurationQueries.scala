@@ -154,6 +154,18 @@ object CurationQueries {
         budget = 6000L)
         .select("doc_id", "source", "n_chars")),
 
+    // UniMax water-filling mixture: budget 100k chars over all 20 sources
+    // at a 0.7-epoch cap — at sf0.01 the ~9 smallest sources saturate at
+    // their caps and the rest split the remainder uniformly, so BOTH
+    // allocation paths see traffic; the oracle replays the integer
+    // water-filling and the hash-prefix cut end-to-end
+    "pipe_unimax" -> ((s, d) =>
+      Curation.unimaxMixture(
+        t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+        col("doc_id"), col("n_chars"), col("source"),
+        budget = 100000L, maxEpochs = 0.7)
+        .select("doc_id", "source", "n_chars")),
+
     // deterministic train/valid/test split: disjoint md5 cuts, stable
     // under corpus growth (a doc keeps its split forever)
     "pipe_split" -> ((s, d) =>
@@ -786,6 +798,35 @@ object CurationQueries {
          |SELECT doc_id, source, n_chars FROM c
          |WHERE cum <= CASE source WHEN 'src1' THEN 3000
          |                         WHEN 'src2' THEN 1800 ELSE 1200 END""".stripMargin,
+    "pipe_unimax" ->
+      s"""WITH st AS (SELECT source AS dom, CAST(sum(n_chars) AS BIGINT) AS s
+         |            FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+         |            GROUP BY source),
+         |cp AS (SELECT dom, s,
+         |        CAST(floor(CAST(0.7 AS DOUBLE) * CAST(s AS DOUBLE)) AS BIGINT) AS cap
+         |       FROM st),
+         |rk AS (SELECT dom, cap,
+         |        row_number() OVER (ORDER BY cap, dom) AS i,
+         |        coalesce(sum(cap) OVER (ORDER BY cap, dom
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx,
+         |        count(*) OVER () AS n
+         |       FROM cp),
+         |rr AS (SELECT *, 100000 - pfx AS rem, n - i + 1 AS m FROM rk),
+         |ss AS (SELECT *, cap * m <= rem AS sat, rem // m AS share FROM rr),
+         |al AS (SELECT dom, CASE WHEN sat THEN cap ELSE
+         |         (SELECT share FROM ss WHERE NOT sat ORDER BY i LIMIT 1) END AS alloc
+         |       FROM ss),
+         |h AS (SELECT doc_id, source, n_chars, $duckHash AS hv
+         |      FROM documents
+         |      WHERE source IS NOT NULL AND n_chars IS NOT NULL AND n_chars >= 0),
+         |c AS (SELECT h.*, SUM(n_chars) OVER (PARTITION BY source
+         |        ORDER BY hv, doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM h)
+         |SELECT c.doc_id, c.source, c.n_chars
+         |FROM c JOIN al ON al.dom = c.source
+         |WHERE c.cum <= al.alloc AND al.alloc > 0""".stripMargin,
+
     "pipe_split" ->
       s"""WITH h AS (SELECT doc_id, $duckHash AS hv FROM documents)
          |SELECT doc_id,

@@ -279,6 +279,13 @@ object PipelineQueries {
       assigned.select("vec_id", "centroid_id")
     }),
 
+    // D4 prototypicality pruning: keep the 60% LEAST prototypical points
+    // per kmeans cell (farthest from centroid, ties to smaller id) — the
+    // diversification step that drops the semantically redundant core
+    "pipe_d4_prune" -> ((s, d) =>
+      Similarity.prototypePrune(t(s, d, "embeddings"), col("vec_id"),
+        col("embedding"), keepFrac = 0.6, k = 8, iters = 2, dim = 64)),
+
     // topic-diversity sampling: kmeans cells as strata, at most 40 docs
     // per cell in hash order — the cluster-balanced cut that stops one
     // dense topic from dominating a mixture (SemDeDup's sampling sibling);
@@ -1164,6 +1171,32 @@ s"""WITH toksrc AS (
          |           centroid_id ASC) AS rn
          |  FROM q CROSS JOIN c2)
          |SELECT vec_id, centroid_id FROM af WHERE rn = 1""".stripMargin,
+
+    // pipe_kmeans' assignment chain with the final distance carried, then
+    // the per-cell farthest-first cut
+    "pipe_d4_prune" ->
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> round(x * 1000)) AS qv
+         |           FROM embeddings),
+         |c0 AS (SELECT vec_id AS centroid_id, qv AS cv FROM q
+         |       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+         |${duckKmeansRound("c0", "a0", "c1")},
+         |${duckKmeansRound("c1", "a1", "c2")},
+         |af AS (
+         |  SELECT vec_id, centroid_id,
+         |         list_sum(list_transform(qv, (x, i) -> (x - cv[i]) * (x - cv[i]))) AS dist,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY
+         |           list_sum(list_transform(qv, (x, i) -> (x - cv[i]) * (x - cv[i]))) ASC,
+         |           centroid_id ASC) AS rn
+         |  FROM q CROSS JOIN c2),
+         |asg AS (SELECT vec_id, centroid_id, dist FROM af WHERE rn = 1),
+         |rk AS (SELECT *,
+         |         row_number() OVER (PARTITION BY centroid_id
+         |           ORDER BY dist DESC, vec_id ASC) AS rk,
+         |         count(*) OVER (PARTITION BY centroid_id) AS cn
+         |       FROM asg)
+         |SELECT vec_id, centroid_id, CAST(dist AS DOUBLE) AS dist,
+         |       CAST(rk AS INTEGER) AS rk
+         |FROM rk WHERE rk <= ceil(CAST(0.6 AS DOUBLE) * cn)""".stripMargin,
 
     // pipe_kmeans' assignment chain, then the per-cell hash-order cut
     "pipe_cluster_balance" ->

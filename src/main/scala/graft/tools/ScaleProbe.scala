@@ -659,6 +659,37 @@ object ScaleProbe {
     }
     println(f"  sum(strength) ${btOut.getDouble(0)}%.3f over ${btOut.getLong(1)}%,d items (want ≈ items)")
 
+    println(s"== C4 three-sentence-span dedup (row-local spans, one key window) ==")
+    // every doc: 6 unique sentences; 1-in-50 docs append the SAME 3-sentence
+    // boilerplate block — exactly one interior span dedups per planted doc
+    val c4N = math.min(n / 10, 2_000_000L)
+    val c4Docs = spark.range(c4N).select(col("id"),
+      concat(
+        concat_ws(" ", (0 until 6).map(j =>
+          concat(lit("Sentence s"), ((col("id") * 13 + j * 7919) % 1000000007L).cast("string"),
+            lit(" here."))): _*),
+        when(col("id") % 50 === 0,
+          lit(" Shared block one. Shared block two. Shared block three."))
+          .otherwise(lit(""))).as("text"))
+    val c4Out = time(f"spanDedup ($c4N%,d docs, ${c4N / 50}%,d planted shared blocks)") {
+      graft.ops.C4.spanDedup(c4Docs, col("id"), col("text"))
+        .agg(sum(when(col("n_dropped") > 0, 1L).otherwise(0L)),
+          sum(col("n_dropped"))).head()
+    }
+    println(f"  docs cut ${c4Out.getLong(0)}%,d (want ${c4N / 50 - 1}%,d), " +
+      f"sentences dropped ${c4Out.getLong(1)}%,d (want ${(c4N / 50 - 1) * 3}%,d)")
+
+    println(s"== unimax allocation + budget cut (one corpus agg + bucketed cut) ==")
+    val umN = n
+    val umDocs = spark.range(umN).select(col("id"),
+      concat(lit("d"), (col("id") % 100).cast("string")).as("dom"),
+      (lit(50L) + col("id") % 100).as("tok"))
+    val umKept = time(f"unimaxMixture ($umN%,d docs, 100 domains)") {
+      graft.ops.Curation.unimaxMixture(umDocs, col("id"), col("tok"),
+        col("dom"), budget = umN, maxEpochs = 0.5).count()
+    }
+    println(f"  kept $umKept%,d rows (~${umN / 100}%,d tokens/domain)")
+
     spark.stop()
   }
 }

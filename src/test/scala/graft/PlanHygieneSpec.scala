@@ -400,4 +400,39 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert("\\(\\d+\\) Exchange".r.findAllIn(p).length <= 1,
       s"conversation agg re-shuffled after the user window:\n$p")
   }
+
+  test("FIM transform is row-local: zero exchanges") {
+    val p = plan("pipe_fim")
+    assert(!p.contains("Exchange"), s"fim must not shuffle:\n$p")
+  }
+
+  test("C4 page gate is row-local: zero exchanges") {
+    val p = plan("pipe_c4_rules")
+    assert(!p.contains("Exchange"), s"c4 gate must not shuffle:\n$p")
+  }
+
+  test("code quality gate is row-local: zero exchanges") {
+    val p = plan("pipe_code_gate")
+    assert(!p.contains("Exchange"), s"code gate must not shuffle:\n$p")
+  }
+
+  test("C4 span dedup: spans built row-locally, exchanges keyed on key/id only") {
+    val p = plan("pipe_c4_span_dedup")
+    // span construction is an in-row transform + explode — a per-doc lead()
+    // window formulation would add an id-keyed exchange BEFORE the span
+    // frame; the only hash exchanges allowed are the span-key window, the
+    // per-doc drop aggregate, and the reassembly join
+    val hashes = "hashpartitioning\\((\\w+)".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(hashes.subsetOf(Set("key", "id", "doc_id")),
+      s"unexpected hash exchange keys $hashes:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("unimax: stats aggregate partial-then-final; cut shuffles like the mixture") {
+    val p = plan("pipe_unimax")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // corpus-sized exchanges only for the domain stats agg and the
+    // (domain, bucket) histogram/boundary machinery — never a corpus sort
+    assert(!p.contains("global Sort"), s"unimax must not globally sort:\n$p")
+  }
 }

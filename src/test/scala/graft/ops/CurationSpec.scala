@@ -612,4 +612,48 @@ class CurationSpec extends AnyFunSuite {
     assert(Curation.balancedSample(withNull, col("id"), col("lab"), 50)
       .filter(col("lab").isNull).isEmpty)
   }
+
+  test("unimaxAllocation: caps bind below the uniform share, mixed regime") {
+    // sizes 100 / 200 / 10000 at 2.0 epochs, budget 3000: caps 200/400/20000
+    // process ascending: 200*3<=3000 sat; 400*2<=2800 sat; big one gets
+    // floor(2400/1) = 2400
+    val df = ((1 to 1).map(_ => ("a", 100L)) ++ (1 to 1).map(_ => ("b", 200L)) ++
+      (1 to 1).map(_ => ("c", 10000L))).toDF("dom", "tok")
+    val got = Curation.unimaxAllocation(df, col("dom"), col("tok"),
+        budget = 3000L, maxEpochs = 2.0)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got("a") == ((200L, 200L)))
+    assert(got("b") == ((400L, 400L)))
+    assert(got("c") == ((20000L, 2400L)))
+  }
+
+  test("unimaxAllocation: all saturated / none saturated extremes") {
+    val df = Seq(("a", 100L), ("b", 300L)).toDF("dom", "tok")
+    // huge budget: everyone takes its cap (tau row is NULL and unused)
+    val hi = Curation.unimaxAllocation(df, col("dom"), col("tok"), 10000L, 1.0)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(hi == Map("a" -> 100L, "b" -> 300L))
+    // tiny budget: nobody saturates, both get floor(B/2)
+    val lo = Curation.unimaxAllocation(df, col("dom"), col("tok"), 101L, 1.0)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(lo == Map("a" -> 50L, "b" -> 50L))
+  }
+
+  test("unimaxMixture output tokens respect every domain allocation") {
+    val df = (1 to 600).map(i => (i.toLong, s"d${i % 3}", 10L + i % 7))
+      .toDF("id", "dom", "tok")
+    val alloc = Curation.unimaxAllocation(df, col("dom"), col("tok"), 5000L, 0.8)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val kept = Curation.unimaxMixture(df, col("id"), col("tok"), col("dom"),
+        5000L, 0.8)
+      .groupBy("dom").agg(org.apache.spark.sql.functions.sum("tok").as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    kept.foreach { case (d, s) =>
+      assert(s <= alloc(d), s"domain $d kept $s > alloc ${alloc(d)}") }
+    // the cut is a maximal hash-order prefix: adding the next doc in hash
+    // order would exceed the allocation (checked via total shortfall < max
+    // doc size per domain)
+    kept.foreach { case (d, s) => assert(alloc(d) - s < 17,
+      s"domain $d left more than one doc of budget unused") }
+  }
 }

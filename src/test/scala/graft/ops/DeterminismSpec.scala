@@ -54,9 +54,16 @@ class DeterminismSpec extends AnyFunSuite {
   // pipe_pagerank_weighted: float weight/out-weight divisions per round.
   // pipe_embed_covariance: 4,096 float sums crossing zero — the −0.0
   // normalization and grouping order must hold under any partitioning.
+  // pipe_d4_prune: the kmeans chain again, plus a farthest-first window cut
+  // on the integer-exact distance — same risk profile as cluster_topics.
+  // pipe_c4_span_dedup: corpus-wide span keeper selection via row_number
+  // over (id, k) — must not depend on which partition sees a span first.
+  // pipe_unimax: driver-side collect of the allocation frame feeds the
+  // budget cut — the collect's row order must never matter.
   for (name <- Seq("pipe_label_noise", "pipe_knn_graph", "pipe_audit_trail",
     "pipe_cluster_topics", "pipe_bradley_terry", "pipe_hits", "pipe_kcore",
-    "pipe_pagerank_weighted", "pipe_embed_covariance")) {
+    "pipe_pagerank_weighted", "pipe_embed_covariance",
+    "pipe_d4_prune", "pipe_c4_span_dedup", "pipe_unimax")) {
     test(s"$name is bitwise stable across reruns and shuffle partitionings") {
       val a = canonical(name, 4)
       val b = canonical(name, 4)  // same partitioning: pure rerun stability

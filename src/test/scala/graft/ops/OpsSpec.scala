@@ -1098,4 +1098,27 @@ class OpsSpec extends AnyFunSuite {
     assert(out(4L) == ((2, 0L, 0.0)))
     assert(!out.contains(5L))
   }
+
+  test("prototypePrune keeps the farthest-first fraction per cluster") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // two well-separated 1-D clusters around 0 and 100; within each, points
+    // at increasing distance from the centroid. keepFrac 0.5 must keep the
+    // outliers and drop the near-centroid core.
+    val pts = Seq(
+      (1L, 0.00f), (2L, 0.01f), (3L, 0.02f), (4L, 0.30f),
+      (11L, 100.0f), (12L, 100.01f), (13L, 100.02f), (14L, 100.4f))
+      .map { case (i, v) => (i, Seq(v)) }.toDF("vec_id", "embedding")
+    val kept = Similarity.prototypePrune(pts, col("vec_id"), col("embedding"),
+        keepFrac = 0.5, k = 2, iters = 3, dim = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.size == 4, s"expected 2 per cluster, got $kept")
+    assert(kept.contains(4L) && kept.contains(14L),
+      "the farthest point of each cluster must survive")
+    assert(!kept.contains(2L) && !kept.contains(12L),
+      "near-centroid core must be pruned")
+    // keepFrac 1.0 keeps everything
+    assert(Similarity.prototypePrune(pts, col("vec_id"), col("embedding"),
+      1.0, 2, 3, 1).count() == 8)
+  }
 }

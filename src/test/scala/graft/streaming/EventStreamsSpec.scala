@@ -839,4 +839,50 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("C4 gate, code gate and FIM are stateless on streams") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // all three are row-local (line/sentence rules, metric arithmetic, md5
+    // cut points), so a live crawl cleans and FIM-transforms with the exact
+    // batch definitions — no state, no watermark
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    val docs = (0L until 30L).map(i => (i,
+      s"Good sentence number $i keeps the page alive.\nshort\n" +
+        (if (i % 3 == 0) "A sentence with lorem ipsum inside it here.\n" else "") +
+        "Another good line with plenty of words here.\nA third fine sentence closes the page."))
+    val gq = graft.ops.C4.c4Gate(df, col("doc_id"), col("text"),
+        badWords = Seq("plantedbadword"))
+      .withColumn("code_why", graft.ops.CodeFilters.codeReason(col("clean_text")))
+      .writeStream.format("memory").queryName("c4_gate_out")
+      .outputMode("append").start()
+    val fq = graft.ops.Fim.fimTransform(df, col("doc_id"), col("text"),
+        rate = 0.5)
+      .writeStream.format("memory").queryName("c4_fim_out")
+      .outputMode("append").start()
+    try {
+      input.addData(docs: _*)
+      gq.processAllAvailable(); fq.processAllAvailable()
+      val sGate = spark.table("c4_gate_out")
+        .select("id", "clean_text", "reason", "code_why")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3))).toSet
+      val bGate = graft.ops.C4.c4Gate(docs.toDF("doc_id", "text"),
+          col("doc_id"), col("text"), badWords = Seq("plantedbadword"))
+        .withColumn("code_why", graft.ops.CodeFilters.codeReason(col("clean_text")))
+        .select("id", "clean_text", "reason", "code_why")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3))).toSet
+      assert(sGate == bGate)
+      assert(sGate.exists(_._3 == "lorem_ipsum"))
+      val sFim = spark.table("c4_fim_out").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1), r.getString(4))).toSet
+      val bFim = graft.ops.Fim.fimTransform(docs.toDF("doc_id", "text"),
+          col("doc_id"), col("text"), rate = 0.5)
+        .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(4))).toSet
+      assert(sFim == bFim)
+      assert(sFim.exists(_._2), "some docs must be FIMed at rate 0.5")
+    } finally { gq.stop(); fq.stop() }
+  }
 }

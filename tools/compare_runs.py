@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Dev tooling: rerun-determinism compare of two graft.Verify output dirs.
+
+Usage: python3 tools/compare_runs.py <outDirA> <outDirB>
+
+For every query present in both dirs, loads the parquet output and reports:
+  IDENTICAL   — same rows in the same order (bit-level via stringified repr)
+  ORDER-ONLY  — same multiset of rows, different within-file order (the
+                driver's sorted-row hash compare is order-blind, so this is
+                benign; reported so ObjectHashAggregate-style iteration-order
+                noise stays visible)
+  DIFFERENT   — row multisets differ (a real nondeterminism)
+Exits 1 if any DIFFERENT.
+"""
+import sys, glob, os
+from collections import Counter
+import pyarrow.parquet as pq
+
+
+def rows(outdir, name):
+    files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
+    if not files:
+        return None
+    t = pq.ParquetDataset(files).read()
+    cols = sorted(t.column_names)
+    t = t.select(cols)
+    return [tuple(str(v) for v in r) for r in zip(*(t.column(c).to_pylist() for c in cols))]
+
+
+def main():
+    a, b = sys.argv[1], sys.argv[2]
+    names = sorted(set(os.listdir(a)) & set(os.listdir(b)))
+    names = [n for n in names if os.path.isdir(f"{a}/{n}")]
+    ident = order_only = diff = 0
+    for n in names:
+        ra, rb = rows(a, n), rows(b, n)
+        if ra is None or rb is None:
+            print(f"MISSING {n}")
+            diff += 1
+            continue
+        if ra == rb:
+            ident += 1
+        elif Counter(ra) == Counter(rb):
+            print(f"ORDER-ONLY {n} ({len(ra)} rows)")
+            order_only += 1
+        else:
+            ca, cb = Counter(ra), Counter(rb)
+            only_a = list((ca - cb).elements())[:3]
+            only_b = list((cb - ca).elements())[:3]
+            print(f"DIFFERENT {n}: {len(ra)} vs {len(rb)} rows; "
+                  f"only-in-A sample {only_a}; only-in-B sample {only_b}")
+            diff += 1
+    print(f"== {len(names)} queries: {ident} identical, "
+          f"{order_only} order-only, {diff} different ==")
+    sys.exit(1 if diff else 0)
+
+
+if __name__ == "__main__":
+    main()
