@@ -206,6 +206,9 @@ object FunctionRegistry {
     // code-corpus quality gate (ops/CodeFilters), default thresholds
     text1("code_keep", TBool)(graft.ops.CodeFilters.codeKeep),
     text1("code_reason")(graft.ops.CodeFilters.codeReason),
+    // encoding repair (functions/FixEncoding): invert a UTF-8-as-Latin-1
+    // mis-decode; unrepairable text passes through unchanged
+    text1("fix_mojibake")(graft.functions.FixEncoding.fixMojibake),
     // host for grouping by domain (lowercase, www/port stripped; empty for
     // non-absolute input) — pairs with url_canonical for in-language
     // crawl triage (per-domain counts, quota decisions)

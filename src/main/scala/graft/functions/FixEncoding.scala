@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Mojibake repair — the encoding-fix pass every web-crawl pipeline runs
+  * (the core transformation of the ftfy family of tools): text that was
+  * UTF-8 ENCODED but then DECODED as Latin-1/Windows-1252 renders "Café"
+  * as "CafÃ©" and a right quote as "â€™". The repair inverts the wrong
+  * decode: map each char back to the byte it mis-rendered (identity for
+  * U+0000..U+00FF, the Windows-1252 table for the 27 punctuation/symbol
+  * chars cp1252 places in 0x80..0x9F), then strictly re-decode the byte
+  * string as UTF-8.
+  *
+  * Deterministic contract (no scoring heuristics), SEGMENT-WISE like the
+  * ftfy family: chars that cannot map back to a byte (real em-dashes,
+  * CJK, emoji) and byte runs that are not valid UTF-8 (a genuine Latin-1
+  * "café") pass through UNCHANGED — each valid multi-byte UTF-8 sequence
+  * in the reverse-mapped byte string independently collapses to its true
+  * char. A round applies iff at least one sequence collapsed; repeats to
+  * a fixpoint (max 4 rounds) so twice-mangled text ("CafÃƒÂ©") repairs
+  * too, and mixed content ("don’t rÃ©sumÃ©" after one round) finishes
+  * repairing without the already-clean part blocking it. The inherent
+  * ambiguity — genuine text that deliberately spells a valid mojibake
+  * sequence — resolves toward repair, documented rather than scored.
+  *
+  * Row-local, stateless (streams unchanged); no SQL twin (DuckDB has no
+  * byte-level charset decode), so the gate plants known mojibake and
+  * oracles the EXPECTED literals independently, like the media decoders.
+  */
+object FixEncoding {
+
+  // Windows-1252 0x80..0x9F → Unicode (0 = undefined position)
+  private val cp1252: Array[Int] = Array(
+    0x20AC, 0, 0x201A, 0x0192, 0x201E, 0x2026, 0x2020, 0x2021,
+    0x02C6, 0x2030, 0x0160, 0x2039, 0x0152, 0, 0x017D, 0,
+    0, 0x2018, 0x2019, 0x201C, 0x201D, 0x2022, 0x2013, 0x2014,
+    0x02DC, 0x2122, 0x0161, 0x203A, 0x0153, 0, 0x017E, 0x0178)
+
+  private val reverse: java.util.HashMap[Int, Byte] = {
+    val m = new java.util.HashMap[Int, Byte]()
+    var i = 0
+    while (i < 32) {
+      if (cp1252(i) != 0) m.put(cp1252(i), (0x80 + i).toByte)
+      i += 1
+    }
+    m
+  }
+
+  /** byte (0..255) → the char a Latin-1/cp1252 mis-decode renders it as —
+    * the exact inverse of the reverse map, so unrepairable bytes
+    * round-trip to their original chars.
+    */
+  private def forward(b: Int): Char =
+    if (b >= 0x80 && b < 0xA0 && cp1252(b - 0x80) != 0) cp1252(b - 0x80).toChar
+    else b.toChar
+
+  /** One segment-wise repair round: None when no sequence collapsed. */
+  private def fixOnce(s: String): Option[String] = {
+    val n = s.length
+    // reverse-map chars to bytes; a char with no byte form splits the text
+    // into independently-decoded byte runs (the char itself passes through)
+    val bytes = new Array[Int](n) // -1 = unmappable char at this position
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i).toInt
+      bytes(i) =
+        if (c <= 0xFF) c
+        else if (reverse.containsKey(c)) reverse.get(c) & 0xFF
+        else -1
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(n)
+    var repaired = false
+    i = 0
+    while (i < n) {
+      val b0 = bytes(i)
+      if (b0 == -1) { sb.append(s.charAt(i)); i += 1 }
+      else if (b0 < 0x80) { sb.append(b0.toChar); i += 1 }
+      else {
+        val len =
+          if ((b0 & 0xE0) == 0xC0) 2
+          else if ((b0 & 0xF0) == 0xE0) 3
+          else if ((b0 & 0xF8) == 0xF0) 4
+          else 0
+        var ok = len > 0 && i + len <= n
+        var j = 1
+        while (ok && j < len) { ok = bytes(i + j) >= 0x80 && bytes(i + j) <= 0xBF; j += 1 }
+        if (ok) {
+          var cp = b0 & (0x3F >> (len - 1))
+          j = 1
+          while (j < len) { cp = (cp << 6) | (bytes(i + j) & 0x3F); j += 1 }
+          val minCp = len match { case 2 => 0x80; case 3 => 0x800; case _ => 0x10000 }
+          if (cp >= minCp && cp <= 0x10FFFF && !(cp >= 0xD800 && cp <= 0xDFFF)) {
+            sb.appendCodePoint(cp); repaired = true; i += len
+          } else { sb.append(forward(b0)); i += 1 }
+        } else { sb.append(forward(b0)); i += 1 }
+      }
+    }
+    if (repaired) Some(sb.toString) else None
+  }
+
+  def fix(s: UTF8String): UTF8String = {
+    if (s == null) return null
+    var cur = s.toString
+    var rounds = 0
+    var changed = true
+    while (changed && rounds < 4) {
+      fixOnce(cur) match {
+        case Some(next) => cur = next; rounds += 1
+        case None => changed = false
+      }
+    }
+    if (rounds == 0) s else UTF8String.fromString(cur)
+  }
+
+  def fixMojibake(text: Column): Column =
+    GraftColumnBridge.column(FixMojibakeExpr(GraftColumnBridge.expression(text)))
+}
+
+case class FixMojibakeExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "fix_mojibake"
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a STRING argument, got ${child.dataType.catalogString}")
+  override def nullSafeEval(text: Any): Any =
+    FixEncoding.fix(text.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): FixMojibakeExpr =
+    copy(child = newChild)
+}

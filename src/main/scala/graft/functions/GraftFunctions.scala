@@ -90,6 +90,7 @@ object GraftFunctions {
     // like url_canonical). c4_reason checks the list-free page rules
     // (lorem ipsum / curly brace / sentence count) — bad-word screening
     // needs a configured list, so it lives on the Scala API (ops.C4).
+    "fix_mojibake" -> { args => FixMojibakeExpr(args.head) },
     "c4_clean_lines" -> { args =>
       org.apache.spark.sql.GraftColumnBridge.catalystExpression(
         graft.ops.C4.cleanLines(

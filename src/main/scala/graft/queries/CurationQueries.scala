@@ -254,6 +254,25 @@ object CurationQueries {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // encoding repair over planted mojibake: single- and double-mangled
+    // UTF-8-as-Latin-1 suffixes fix to their clean forms; the %13 stripe
+    // plants GENUINE Latin-1-range text (a real é byte is invalid UTF-8)
+    // which passes through unchanged even when co-planted with repairable
+    // stripes (the repair is segment-wise). The oracle is INDEPENDENT: it
+    // writes the expected literals, never replaying the byte-level decode
+    // (DuckDB has none).
+    "pipe_fix_encoding" -> ((s, d) => {
+      val aug = concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(mojiCafe)).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(mojiQuote)).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(mojiNaive)).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(mojiDouble)).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, lit(genuineLatin)).otherwise(lit("")))
+      t(s, d, "documents").select(col("doc_id"),
+          graft.functions.FixEncoding.fixMojibake(aug).as("fixed"),
+          (graft.functions.FixEncoding.fixMojibake(aug) =!= aug).as("changed"))
+    }),
+
     // canonical text normalization over planted typographic-unicode mess
     "pipe_normalize" -> ((s, d) => {
       val aug = concat(col("text"),
@@ -530,6 +549,19 @@ object CurationQueries {
     */
   private val normalizePlant =
     " \u201CQuoted\u2014text\u201D\u2026 and\u00A0more \u2018x\u2019 \u200Bend"
+
+  // mojibake plants (unicode escapes; quote-free so they embed in SQL
+  // literals): each is the UTF-8-as-Latin-1/cp1252 mis-rendering of its
+  // `fixed*` twin below
+  private val mojiCafe = " Caf\u00C3\u00A9"               // " Caf\u00C3\u00A9"
+  private val fixedCafe = " Caf\u00E9"                    // " Caf\u00E9"
+  private val mojiQuote = " don\u00E2\u20AC\u2122t"       // " don\u00E2\u20AC\u2122t"
+  private val fixedQuote = " don\u2019t"                  // " don\u2019t"
+  private val mojiNaive = " na\u00C3\u00AFve"             // " na\u00C3\u00AFve"
+  private val fixedNaive = " na\u00EFve"                  // " na\u00EFve"
+  private val mojiDouble = " r\u00C3\u0192\u00C2\u00A9sum\u00C3\u0192\u00C2\u00A9" // twice-mangled \u00E9
+  private val fixedDouble = " r\u00E9sum\u00E9"           // " r\u00E9sum\u00E9"
+  private val genuineLatin = " touch\u00E9 caf\u00E9"     // real \u00E9 bytes: NOT valid UTF-8
 
   /** Shared-boilerplate clone body for the audit-trail dedup stage — ≥50
     * words, no symbols/bullets/ellipsis, ≥2 distinct stopwords, so the
@@ -971,6 +1003,28 @@ object CurationQueries {
 
     // temperature mixture: same sqrt/round/floor-threshold arithmetic
     "pipe_temperature_mix" -> temperatureMixOracle,
+
+    // independent oracle: expected literals per stripe, never replaying the
+    // byte-level decode; the repair is segment-wise, so every repairable
+    // suffix fixes and the genuine-Latin-1 %13 suffix stays verbatim (its
+    // real é byte is invalid UTF-8) regardless of which stripes co-occur
+    "pipe_fix_encoding" ->
+      s"""WITH b AS (SELECT doc_id, text,
+         |  (CASE WHEN doc_id % 3 = 0 THEN '$mojiCafe' ELSE '' END) AS s3,
+         |  (CASE WHEN doc_id % 3 = 0 THEN '$fixedCafe' ELSE '' END) AS f3,
+         |  (CASE WHEN doc_id % 5 = 0 THEN '$mojiQuote' ELSE '' END) AS s5,
+         |  (CASE WHEN doc_id % 5 = 0 THEN '$fixedQuote' ELSE '' END) AS f5,
+         |  (CASE WHEN doc_id % 7 = 0 THEN '$mojiNaive' ELSE '' END) AS s7,
+         |  (CASE WHEN doc_id % 7 = 0 THEN '$fixedNaive' ELSE '' END) AS f7,
+         |  (CASE WHEN doc_id % 11 = 0 THEN '$mojiDouble' ELSE '' END) AS s11,
+         |  (CASE WHEN doc_id % 11 = 0 THEN '$fixedDouble' ELSE '' END) AS f11,
+         |  (CASE WHEN doc_id % 13 = 0 THEN '$genuineLatin' ELSE '' END) AS s13
+         | FROM documents),
+         |c AS (SELECT doc_id,
+         |        text || s3 || s5 || s7 || s11 || s13 AS aug,
+         |        text || f3 || f5 || f7 || f11 || s13 AS fixed
+         |      FROM b)
+         |SELECT doc_id, fixed, fixed <> aug AS changed FROM c""".stripMargin,
 
     // token windows: a plain global running sum over the same md5 order —
     // the engine's bucketed two-phase prefix sum must equal it exactly

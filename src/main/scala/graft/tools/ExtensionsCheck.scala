@@ -87,6 +87,14 @@ object ExtensionsCheck {
     assert(c4.isNullAt(3) && c4.getString(4) == "max_line_len")
     println("c4/code functions: OK")
 
+    // encoding repair on the injected SQL surface
+    val fm = spark.sql(
+      "SELECT fix_mojibake('CafÃ©') AS a, " +
+        "fix_mojibake('plain') AS b").head()
+    assert(fm.getString(0) == "Café", s"fix_mojibake: ${fm.getString(0)}")
+    assert(fm.getString(1) == "plain")
+    println("fix_mojibake: OK")
+
     // injected optimizer rule: SQL abs-distance join plans as a hash join
     Seq((1L, 10L), (2L, 500L)).toDF("lid", "lv").createOrReplaceTempView("l")
     Seq((9L, 12L), (8L, 100L)).toDF("rid", "rv").createOrReplaceTempView("r")

@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class FixEncodingSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def fix(s: String): String =
+    Seq(Tuple1(s)).toDF("t")
+      .select(FixEncoding.fixMojibake(col("t"))).collect()(0).getString(0)
+
+  test("repairs the classic UTF-8-as-Latin-1 mis-decodes") {
+    assert(fix("CafÃ©") == "Café")
+    assert(fix("donâ€™t") == "don’t")
+    assert(fix("naÃ¯ve rÃ©sumÃ©") == "naïve résumé")
+    // left double quote mis-renders via cp1252 0x9C (œ); the right one ends
+    // in byte 0x9D — UNDEFINED in cp1252, mis-rendering as the raw C1
+    // control U+009D (embedded below) — both must reverse-map
+    assert(fix("â€œquotedâ€") == "“quoted”")
+  }
+
+  test("repairs twice-mangled text to a fixpoint") {
+    assert(fix("CafÃƒÂ©") == "Café")
+    assert(fix("donÃ¢â‚¬â„¢t") == "don’t") // quote mangled twice
+  }
+
+  test("leaves genuine text alone: ASCII, real Latin-1 bytes, already-clean unicode") {
+    assert(fix("plain ascii text.") == "plain ascii text.")
+    assert(fix("touché café") == "touché café")   // é byte is invalid UTF-8
+    // every char here IS byte-mappable (cp1252 0x93/0x94/0x97, Latin-1 ï),
+    // but the mapped bytes are not valid UTF-8 — so no repair fires
+    assert(fix("“clean” — naïve") == "“clean” — naïve")
+    assert(fix("") == "")
+  }
+
+  test("repair is idempotent and segment-wise on mixed content") {
+    val samples = Seq("CafÃ©", "donâ€™t", "touché café", "a b c",
+      "mixed CafÃ© with touché", "donâ€™t rÃƒÂ©sumÃƒÂ©")
+    samples.foreach { s =>
+      val once = fix(s)
+      assert(fix(once) == once, s"not idempotent on '$s'")
+    }
+    // the unrepairable real-é segment passes through; the mojibake fixes
+    assert(fix("mixed CafÃ© with touché") == "mixed Café with touché")
+    // mixed single+double mangling: the clean quote after round one must
+    // not block the second round on the still-mangled résumé
+    assert(fix("donâ€™t rÃƒÂ©sumÃƒÂ©") == "don’t résumé")
+  }
+
+  test("NULL passes through; streams unchanged (stateless)") {
+    val r = Seq(Tuple1(null.asInstanceOf[String])).toDF("t")
+      .select(FixEncoding.fixMojibake(col("t"))).collect()(0)
+    assert(r.isNullAt(0))
+  }
+}
