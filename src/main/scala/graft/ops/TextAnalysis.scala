@@ -224,6 +224,70 @@ object TextAnalysis {
           "\\s+", " ")).as("anchor"))
   }
 
+  /** Block-level boilerplate removal / main-content extraction — the
+    * jusText/trafilatura recipe (Pomikálek 2011, "Removing Boilerplate and
+    * Duplicate Content from Web Corpora") reduced to a deterministic
+    * cross-engine contract: split the page into blocks at block-level
+    * tags, score each block, keep the prose. A block is GOOD iff
+    *  - it has at least `minWords` words (whitespace tokens of its
+    *    tag-stripped, entity-unescaped, whitespace-collapsed text),
+    *  - its link-word fraction (words inside `<a>…</a>` anchors / words,
+    *    rounded to 6) is at most `maxLinkFrac` — navigation and footer
+    *    link clusters fail here,
+    *  - its stopword fraction (lowercased words in a fixed 8-word English
+    *    function-word list, rounded to 6) is at least `minStopFrac` —
+    *    keyword lists and code fail here (jusText's "stoplist density").
+    * Returns (id, content, n_blocks, n_good): content = good blocks'
+    * texts newline-joined in order, n_blocks counts nonempty blocks.
+    * script/style/comment stripping happens before block splitting (same
+    * regexes as [[stripHtml]]). The tag-name match requires `>`/space/`/`
+    * after the name (RE2-safe, no lookahead), so `<pre>` is not split as
+    * `<p>`. Entirely row-local HOF work — scan speed, no shuffle,
+    * stateless on streams.
+    */
+  def extractContent(df: org.apache.spark.sql.DataFrame, id: Column,
+      html: Column, minWords: Int = 10, maxLinkFrac: Double = 0.5,
+      minStopFrac: Double = 0.05): org.apache.spark.sql.DataFrame = {
+    val blockPat = "(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|th|br|" +
+      "section|article|header|footer|nav|blockquote)(?:>|[\\s/][^>]*>)"
+    val preClean = regexp_replace(regexp_replace(html,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " "),
+      "(?s)<!--.*?-->", " ")
+    // per-block: cleaned text + anchor-only text, then word/link/stop counts
+    val clean = "trim(regexp_replace(" +
+      "replace(replace(replace(replace(replace(replace(" +
+      "regexp_replace(%s, '<[^>]*>', ' ')," +
+      " '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>')," +
+      " '&quot;', '\"'), '&#39;', '\\''), '&amp;', '&')," +
+      " '\\\\s+', ' '))"
+    df.select(id.as("id"), preClean.as("__pc"))
+      .withColumn("__blocks", split(col("__pc"), blockPat))
+      .withColumn("__m", expr(
+        s"""transform(__blocks, b -> named_struct(
+           |  'txt', ${clean.format("b")},
+           |  'ltxt', ${clean.format(
+                "array_join(regexp_extract_all(b, '(?is)<a[^>]*>(.*?)</a>', 1), ' ')")}))"""
+          .stripMargin))
+      .withColumn("__sc", expr(
+        """transform(__m, s -> named_struct(
+          |  'txt', s.txt,
+          |  'nw', size(filter(split(s.txt, ' '), w -> w != '')),
+          |  'lw', size(filter(split(s.ltxt, ' '), w -> w != '')),
+          |  'sw', size(filter(split(lower(s.txt), ' '),
+          |          w -> w IN ('the','a','of','and','to','in','is','it')))))"""
+          .stripMargin))
+      .withColumn("__ne", expr("filter(__sc, s -> s.nw > 0)"))
+      .withColumn("__good", expr(
+        s"""filter(__ne, s -> s.nw >= $minWords
+           |  AND round(s.lw / cast(s.nw AS double), 6) <= $maxLinkFrac
+           |  AND round(s.sw / cast(s.nw AS double), 6) >= $minStopFrac)"""
+          .stripMargin))
+      .select(col("id"),
+        expr("array_join(transform(__good, s -> s.txt), '\\n')").as("content"),
+        size(col("__ne")).as("n_blocks"),
+        size(col("__good")).as("n_good"))
+  }
+
   /** Flesch readability metrics — the grade-level heuristic behind
     * educational-quality curation cuts (too-simple boilerplate and
     * unreadable spam both score away from the useful band). Heuristic

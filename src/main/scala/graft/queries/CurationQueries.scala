@@ -254,6 +254,24 @@ object CurationQueries {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // jusText-style main-content extraction: nav/footer link clusters, a
+    // zero-stopword keyword list and a too-short block all classify as
+    // boilerplate; the known-good prose block and (usually) the soup
+    // paragraph survive — every rule path sees traffic, and the soup
+    // block's varying word/stopword counts exercise the metric arithmetic
+    "pipe_extract_content" -> ((s, d) => {
+      val page = concat(
+        lit(navBlock), lit(goodBlock),
+        lit("<p>"), col("text"), lit("</p>"),
+        when(col("doc_id") % 3 === 0, lit(listBlock)).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(shortBlock)).otherwise(lit("")),
+        lit(footBlock))
+      TextAnalysis.extractContent(
+        t(s, d, "documents").select(col("doc_id"), page.as("h")),
+        col("doc_id"), col("h"))
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // encoding repair over planted mojibake: single- and double-mangled
     // UTF-8-as-Latin-1 suffixes fix to their clean forms; the %13 stripe
     // plants GENUINE Latin-1-range text (a real é byte is invalid UTF-8)
@@ -549,6 +567,25 @@ object CurationQueries {
     */
   private val normalizePlant =
     " \u201CQuoted\u2014text\u201D\u2026 and\u00A0more \u2018x\u2019 \u200Bend"
+
+  // content-extraction plants (double quotes only — SQL-literal safe):
+  // a link-dense nav block, a known-good prose block, a zero-stopword
+  // keyword list, a too-short block, and a link-heavy footer
+  private val navBlock = "<div class=\"nav\"><a href=\"/home\">Home page link</a> <a href=\"/about\">About our site</a></div>"
+  private val goodBlock = "<p>The quick brown fox and the lazy dog keep the content of this page alive and well.</p>"
+  private val listBlock = "<ul><li>alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu</li></ul>"
+  private val shortBlock = "<p>Too short.</p>"
+  private val footBlock = "<footer>Copyright links: <a href=\"/terms\">the terms of the service and all of it</a></footer>"
+
+  // the stripHtml-identical tag-strip + unescape + collapse chain, as a
+  // DuckDB expression over `e`
+  private def duckCleanBlock(e: String): String =
+    "trim(regexp_replace(" +
+      "replace(replace(replace(replace(replace(replace(" +
+      s"regexp_replace($e, '<[^>]*>', ' ', 'g')," +
+      " '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>')," +
+      " '&quot;', '\"'), '&#39;', ''''), '&amp;', '&')," +
+      " '\\s+', ' ', 'g'))"
 
   // mojibake plants (unicode escapes; quote-free so they embed in SQL
   // literals): each is the UTF-8-as-Latin-1/cp1252 mis-rendering of its
@@ -1003,6 +1040,43 @@ object CurationQueries {
 
     // temperature mixture: same sqrt/round/floor-threshold arithmetic
     "pipe_temperature_mix" -> temperatureMixOracle,
+
+    // full replay: same pre-clean, same block split, same per-block
+    // tag-strip/unescape/collapse, same word/link/stopword counting and
+    // rounded-fraction rules
+    "pipe_extract_content" ->
+      s"""WITH p AS (SELECT doc_id,
+         |  '$navBlock' || '$goodBlock' || '<p>' || text || '</p>'
+         |  || (CASE WHEN doc_id % 3 = 0 THEN '$listBlock' ELSE '' END)
+         |  || (CASE WHEN doc_id % 5 = 0 THEN '$shortBlock' ELSE '' END)
+         |  || '$footBlock' AS h FROM documents),
+         |pc AS (SELECT doc_id, regexp_replace(regexp_replace(h,
+         |         '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+         |         '(?s)<!--.*?-->', ' ', 'g') AS s FROM p),
+         |bl AS (SELECT doc_id, string_split_regex(s,
+         |         '(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|th|br|section|article|header|footer|nav|blockquote)(?:>|[\\s/][^>]*>)') AS blocks
+         |       FROM pc),
+         |m AS (SELECT doc_id, list_transform(blocks, b -> struct_pack(
+         |        txt := ${duckCleanBlock("b")},
+         |        ltxt := ${duckCleanBlock(
+                    "coalesce(array_to_string(regexp_extract_all(b, '(?is)<a[^>]*>(.*?)</a>', 1), ' '), '')")})) AS ms
+         |      FROM bl),
+         |sc AS (SELECT doc_id, list_transform(ms, s -> struct_pack(
+         |        txt := s.txt,
+         |        nw := len(list_filter(string_split(s.txt, ' '), w -> w <> '')),
+         |        lw := len(list_filter(string_split(s.ltxt, ' '), w -> w <> '')),
+         |        sw := len(list_filter(string_split(lower(s.txt), ' '),
+         |                w -> list_contains(['the','a','of','and','to','in','is','it'], w))))) AS scs
+         |       FROM m),
+         |ne AS (SELECT doc_id, list_filter(scs, s -> s.nw > 0) AS nes FROM sc),
+         |g AS (SELECT doc_id, nes, list_filter(nes, s -> s.nw >= 10
+         |        AND round(s.lw / CAST(s.nw AS DOUBLE), 6) <= 0.5
+         |        AND round(s.sw / CAST(s.nw AS DOUBLE), 6) >= 0.05) AS good FROM ne)
+         |SELECT doc_id,
+         |  array_to_string(list_transform(good, s -> s.txt), chr(10)) AS content,
+         |  CAST(len(nes) AS INTEGER) AS n_blocks,
+         |  CAST(len(good) AS INTEGER) AS n_good
+         |FROM g""".stripMargin,
 
     // independent oracle: expected literals per stripe, never replaying the
     // byte-level decode; the repair is segment-wise, so every repairable

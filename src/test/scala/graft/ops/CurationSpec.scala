@@ -471,6 +471,33 @@ class CurationSpec extends AnyFunSuite {
     assert(!out.exists(_._1 == 4L)) // no closing </a> → skipped
   }
 
+  test("extractContent: each jusText rule fires; pre not split; no-good doc yields ''") {
+    val prose = "The quick brown fox and the lazy dog keep the content " +
+      "of this page alive and well." // 17 words, plenty of stopwords
+    val rows = Seq(
+      // good prose + a link-dense block (>50% link words) + a zero-stopword
+      // keyword list + a too-short block: only the prose survives
+      (1L, s"<p>$prose</p>" +
+        "<div><a href=\"/a\">the first of the long links here</a> " +
+        "<a href=\"/b\">and the second of the links too</a> x</div>" +
+        "<ul><li>alpha beta gamma delta epsilon zeta eta theta iota kappa</li></ul>" +
+        "<p>Too short.</p>"),
+      // <pre> must NOT split as <p>; script body gone before splitting
+      (2L, s"<pre>code</pre><script>var x = 1;</script><p>$prose</p>"),
+      // nothing qualifies → content is the empty string, not null
+      (3L, "<p>tiny</p><p>also tiny</p>"),
+      // no block tags at all: the whole page is one block
+      (4L, prose)
+    ).toDF("id", "t")
+    val out = TextAnalysis.extractContent(rows, col("id"), col("t"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L) == ((prose, 4, 1))) // 4 nonempty blocks, 1 good
+    assert(out(2L) == ((prose, 2, 1))) // "code" is its own (non-good) block
+    assert(out(3L) == (("", 2, 0)))
+    assert(out(4L) == ((prose, 1, 1)))
+  }
+
   test("readability: hand-counted Flesch and FK grade; empty docs omitted") {
     val rows = Seq(
       (1L, "The cat sat. The dog ran!"), // 6 words, 2 sentences, 6 syllables
