@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Credential / secret scanning and redaction for code corpora — the
+  * published pre-training hygiene pass (Kocetkov et al. 2022, "The Stack",
+  * §5 runs detect-secrets; Li et al. 2023, "StarCoder", redacts keys before
+  * release): API keys, tokens and private-key blocks committed to public
+  * repos must not survive into training data, both to protect the key
+  * owners and to stop the model memorizing live credentials.
+  *
+  * Detection is a fixed, ordered list of well-known public token shapes
+  * (the same family truffleHog / detect-secrets / GitHub secret scanning
+  * publish): AWS access key ids, GitHub personal-access tokens, Slack
+  * tokens, Google API keys, JWTs, PEM private-key blocks, and the generic
+  * `password = "…"` assignment form. Every pattern is RE2-safe (no
+  * lookaround, no backreferences, bounded repetition) so the identical
+  * regex runs in Spark's java.util.regex and DuckDB's RE2 with the same
+  * leftmost-first semantics — the whole scan replays exactly in the SQL
+  * oracle. Entirely row-local regexp work: scan speed, no shuffle,
+  * stateless on streams.
+  */
+object Secrets {
+
+  /** (kind, pattern) in fixed scan order. Order matters for [[redact]]:
+    * private-key blocks first (their base64 body could partially match
+    * token shapes), the generic assignment form last (its value charset is
+    * deliberately broad). Replacements never re-match: `[SECRET:<kind>]`
+    * contains no token-shaped runs.
+    */
+  val patterns: Seq[(String, String)] = Seq(
+    // whole PEM block when the END marker is within 1000 body chars
+    // (RE2's repetition cap), else the BEGIN header alone
+    "private_key" -> ("-----BEGIN [A-Z ]{0,24}PRIVATE KEY-----" +
+      "(?:[A-Za-z0-9+/=\\s]{0,1000}-----END [A-Z ]{0,24}PRIVATE KEY-----)?"),
+    "jwt" -> "\\beyJ[A-Za-z0-9_-]{8,}\\.[A-Za-z0-9_-]{8,}\\.[A-Za-z0-9_-]{8,}",
+    "aws_access_key" -> "\\b(?:AKIA|ASIA|ABIA|ACCA)[0-9A-Z]{16}\\b",
+    "github_token" -> "\\bgh[pousr]_[A-Za-z0-9]{36}\\b",
+    "slack_token" -> "\\bxox[baprs]-[0-9A-Za-z-]{10,48}",
+    "google_api_key" -> "\\bAIza[0-9A-Za-z_-]{35}",
+    "assigned_secret" -> ("(?i)\\b(?:api_?key|secret|token|passwd|password)" +
+      "['\"]?\\s*[:=]\\s*['\"][^'\"\\s]{12,64}['\"]"))
+
+  /** Redacted text: each detected secret replaced by `[SECRET:<kind>]`,
+    * patterns applied in [[patterns]] order. Row-local codegen'd regexps.
+    */
+  def redact(text: Column): Column =
+    patterns.foldLeft(text) { case (c, (kind, pat)) =>
+      regexp_replace(c, pat, s"[SECRET:$kind]")
+    }
+
+  /** Per-document scan report: (id, redacted, n_secrets, kinds) where
+    * `kinds` is the comma-joined list of detected kinds in scan order and
+    * counts are taken on the ORIGINAL text (a later pattern can overlap an
+    * earlier pattern's match; counting pre-redaction keeps each kind's
+    * count independent of the others). Documents with no hits pass through
+    * with `n_secrets = 0`, `kinds = ''`, text unchanged.
+    */
+  def scan(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val counts = patterns.map { case (kind, pat) =>
+      kind -> size(regexp_extract_all(text, lit(pat), lit(0)))
+    }
+    val total = counts.map(_._2).reduce(_ + _)
+    val kinds = array_join(
+      filter(array(counts.map { case (k, c) =>
+        when(c > 0, lit(k)).otherwise(lit(null).cast("string"))
+      }: _*), c => c.isNotNull), ",")
+    df.select(id.as("id"), redact(text).as("redacted"),
+      total.as("n_secrets"), kinds.as("kinds"))
+  }
+}
