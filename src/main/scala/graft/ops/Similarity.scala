@@ -601,4 +601,79 @@ object Similarity {
       .filter(col("centroid_id").isin(probes.toIndexedSeq: _*))
     pqSearch(encoded, codebooks, query, dim, topK, scale)
   }
+
+  // ------------------------------------------------------ bitext mining
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
+    * Parallel Corpus Mining with Multilingual Sentence Embeddings" — the
+    * CCMatrix / LASER recipe, Schwenk et al. 2021): mine translation pairs
+    * from two monolingual embedding corpora by scoring each candidate pair
+    * with its cosine RELATIVE to both endpoints' neighborhoods —
+    * `margin(x,y) = cos(x,y) / ((avgₖNN(x) + avgₖNN(y)) / 2)` — then
+    * keeping mutual-best pairs ("max" retrieval strategy, §3): hubness-prone
+    * absolute cosine thresholds fail where the relative margin doesn't.
+    *
+    * Determinism contract: cosines are quantized to integer millionths, so
+    * the top-k neighborhood sums are EXACT integer arithmetic; the margin
+    * is one IEEE division of exact integers (bit-identical in any engine),
+    * rounded to 6. Ties break by id everywhere.
+    *
+    * This form scores the full src×tgt matrix with `tgt` broadcast —
+    * eval/gate scale. At corpus scale, build candidate scores with the IVF
+    * [[knnGraph]] machinery per side (exactly how CCMatrix uses faiss) and
+    * feed them to [[marginFromScores]]: margins computed over candidate
+    * subsets are the published approximation.
+    *
+    * Returns (src_id, tgt_id, cosine, margin): the mutual-best pairs with
+    * margin ≥ threshold.
+    */
+  def marginMining(src: DataFrame, srcId: Column, srcVec: Column,
+      tgt: DataFrame, tgtId: Column, tgtVec: Column,
+      k: Int = 4, threshold: Double = 1.0): DataFrame = {
+    val s = src.select(srcId.as("src_id"), srcVec.cast("array<double>").as("sv"))
+    val t = tgt.select(tgtId.as("tgt_id"), tgtVec.cast("array<double>").as("tv"))
+    val scored = s.crossJoin(broadcast(t))
+      .select(col("src_id"), col("tgt_id"),
+        round(cosine(col("sv"), col("tv")) * 1e6, 0).cast("long").as("ci"))
+    marginFromScores(scored, k, threshold)
+  }
+
+  /** Margin scoring over a prepared candidate frame (src_id, tgt_id, ci)
+    * where `ci` = cosine in integer millionths. Neighborhood averages, the
+    * margin, and the mutual-best cut — the scale path feeds this from
+    * IVF-bounded candidates. Plan: two windowed top-k passes + two
+    * aggregate joins, all hash-partitioned on the endpoint ids; nothing is
+    * ever a global sort.
+    */
+  def marginFromScores(scored: DataFrame, k: Int,
+      threshold: Double): DataFrame = {
+    val wF = Window.partitionBy(col("src_id"))
+      .orderBy(col("ci").desc, col("tgt_id").asc)
+    val wB = Window.partitionBy(col("tgt_id"))
+      .orderBy(col("ci").desc, col("src_id").asc)
+    val fwd = scored.withColumn("rf", row_number().over(wF))
+      .filter(col("rf") <= k)
+      .groupBy("src_id").agg(sum("ci").as("fs"), count(lit(1)).as("fn"))
+    val bwd = scored.withColumn("rb", row_number().over(wB))
+      .filter(col("rb") <= k)
+      .groupBy("tgt_id").agg(sum("ci").as("bs"), count(lit(1)).as("bn"))
+    // margin = ci / ((fs/fn + bs/bn) / 2); with fn = bn = k this is the
+    // exact-integer 2k·ci/(fs+bs), but candidate frames may hold < k
+    // neighbors per endpoint, so keep the per-side counts explicit
+    val m = scored.join(fwd, "src_id").join(bwd, "tgt_id")
+      .withColumn("margin", round(
+        col("ci").cast("double") * 2.0 /
+          (col("fs").cast("double") / col("fn").cast("double") +
+            col("bs").cast("double") / col("bn").cast("double")), 6))
+    val rF = Window.partitionBy(col("src_id"))
+      .orderBy(col("margin").desc, col("tgt_id").asc)
+    val rB = Window.partitionBy(col("tgt_id"))
+      .orderBy(col("margin").desc, col("src_id").asc)
+    m.withColumn("bf", row_number().over(rF))
+      .withColumn("bb", row_number().over(rB))
+      .filter(col("bf") === 1 && col("bb") === 1 &&
+        col("margin") >= threshold)
+      .select(col("src_id"), col("tgt_id"),
+        round(col("ci").cast("double") / 1e6, 6).as("cosine"), col("margin"))
+  }
 }

@@ -152,6 +152,19 @@ object SearchQueries {
         col("embedding"), col("label"),
         k = 5, nClusters = 8, nProbe = 2, iters = 2, dim = 64)),
 
+    // margin-based bitext mining over the embeddings table split into two
+    // "languages" by vec_id parity: mutual-best pairs by the Artetxe &
+    // Schwenk ratio margin over k=4 neighborhoods, threshold 1.0 —
+    // exact-integer cosine millionths make every neighborhood sum and the
+    // margin division bit-reproducible
+    "pipe_bitext_margin" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.marginMining(
+        e.filter(col("vec_id") % 2 === 0), col("vec_id"), col("embedding"),
+        e.filter(col("vec_id") % 2 === 1), col("vec_id"), col("embedding"),
+        k = 4, threshold = 1.0)
+    }),
+
     // pass@k over events-as-eval-runs: task = user, attempt passes when
     // value > 100 (~18% pass rate), k = 1/5/10 — exercises the NULL
     // (n < k), saturated (n - c < k) and product paths
@@ -635,6 +648,39 @@ object SearchQueries {
          |          ORDER BY d2 ASC, nb_id ASC) AS INTEGER) AS rn
          |      FROM cand)
          |WHERE rn <= 5""".stripMargin,
+
+    // same integer-millionths cosine quantization, neighborhood sums and
+    // margin division as the operator; mutual-best = rank 1 in BOTH
+    // margin windows
+    "pipe_bitext_margin" ->
+      """WITH s AS (SELECT vec_id AS src_id, embedding::DOUBLE[] AS sv
+        |           FROM embeddings WHERE vec_id % 2 = 0),
+        |tt AS (SELECT vec_id AS tgt_id, embedding::DOUBLE[] AS tv
+        |       FROM embeddings WHERE vec_id % 2 = 1),
+        |sc AS (SELECT src_id, tgt_id,
+        |         CAST(round(list_cosine_similarity(sv, tv) * 1000000, 0) AS BIGINT) AS ci
+        |       FROM s, tt),
+        |f AS (SELECT src_id, sum(ci) AS fs, count(*) AS fn FROM (
+        |        SELECT src_id, ci, row_number() OVER (PARTITION BY src_id
+        |          ORDER BY ci DESC, tgt_id ASC) AS rf FROM sc)
+        |      WHERE rf <= 4 GROUP BY src_id),
+        |b AS (SELECT tgt_id, sum(ci) AS bs, count(*) AS bn FROM (
+        |        SELECT tgt_id, ci, row_number() OVER (PARTITION BY tgt_id
+        |          ORDER BY ci DESC, src_id ASC) AS rb FROM sc)
+        |      WHERE rb <= 4 GROUP BY tgt_id),
+        |m AS (SELECT sc.src_id, sc.tgt_id, ci,
+        |        round(CAST(ci AS DOUBLE) * 2.0 /
+        |          (CAST(fs AS DOUBLE) / CAST(fn AS DOUBLE)
+        |           + CAST(bs AS DOUBLE) / CAST(bn AS DOUBLE)), 6) AS margin
+        |      FROM sc JOIN f USING (src_id) JOIN b USING (tgt_id)),
+        |r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY src_id
+        |          ORDER BY margin DESC, tgt_id ASC) AS bf,
+        |        row_number() OVER (PARTITION BY tgt_id
+        |          ORDER BY margin DESC, src_id ASC) AS bb FROM m)
+        |SELECT src_id, tgt_id,
+        |  round(CAST(ci AS DOUBLE) / 1000000.0, 6) AS cosine, margin
+        |FROM r WHERE bf = 1 AND bb = 1 AND margin >= 1.0""".stripMargin,
 
     "pipe_label_noise" ->
       s"""WITH q AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> round(x * 1000)) AS qv

@@ -373,6 +373,45 @@ class SearchOpsSpec extends AnyFunSuite {
       "reliable checkpoint dir was never written")
   }
 
+  // ---- margin-based bitext mining ----
+
+  test("marginFromScores: hand-computed margins; margin reassigns the hub pair") {
+    // tgt u is a "hub": high cosine to BOTH srcs. Raw-cosine argmax pairs
+    // a with u (0.90 > 0.80); the margin penalizes u's rich neighborhood
+    // and reassigns a to its specialized partner v — Artetxe & Schwenk's
+    // motivating case.
+    val scored = Seq(
+      (0L, 10L, 900000L), (0L, 11L, 800000L),
+      (1L, 10L, 850000L), (1L, 11L, 400000L)
+    ).toDF("src_id", "tgt_id", "ci")
+    val out = Similarity.marginFromScores(scored, k = 2, threshold = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    // margin(a,v) = 2·800000/(1700000/2 + 1200000/2) = 1600000/1450000
+    // margin(b,u) = 2·850000/(1250000/2 + 1750000/2) = 1700000/1500000
+    assert(out == Map(
+      (0L, 11L) -> ((0.8, 1.103448)),
+      (1L, 10L) -> ((0.85, 1.133333))), s"got $out")
+  }
+
+  test("marginMining: mutual-best pairs are one-to-one; below-threshold drops") {
+    val src = Seq((0L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0)),
+      (4L, Array(0.7, 0.7))).toDF("vec_id", "embedding")
+    val tgt = Seq((1L, Array(0.9, 0.1)), (3L, Array(0.1, 0.9)),
+      (5L, Array(-1.0, 0.0))).toDF("vec_id", "embedding")
+    val rows = Similarity.marginMining(src, col("vec_id"), col("embedding"),
+      tgt, col("vec_id"), col("embedding"), k = 2, threshold = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    // one-to-one: no src or tgt appears twice
+    assert(rows.map(_._1).distinct.length == rows.length)
+    assert(rows.map(_._2).distinct.length == rows.length)
+    // the aligned pairs dominate; the anti-aligned tgt 5 never pairs
+    val pairs = rows.map(r => (r._1, r._2)).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((2L, 3L)), s"got $pairs")
+    assert(!rows.exists(_._2 == 5L))
+    assert(rows.forall(_._3 >= 1.0))
+  }
+
   // ---- RRF fusion ----
 
   test("rrfFuse: doc in both lists beats the same-rank doc in one list") {
