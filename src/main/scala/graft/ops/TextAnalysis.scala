@@ -212,6 +212,48 @@ object TextAnalysis {
     * [[graft.ops.Urls.host]] / [[graft.ops.Urls.canonicalize]] for the
     * edge list.
     */
+  /** Page-metadata extraction from raw HTML — the crawl-curation fields a
+    * date/provenance filter needs (C4 keeps pages with a parseable date;
+    * RefinedWeb tracks canonical URLs for cross-crawl dedup; trafilatura
+    * extracts exactly these): the `<title>`, the OpenGraph title, the
+    * `rel="canonical"` link, the published timestamp (OpenGraph
+    * `article:published_time` first, then the first `<time datetime>` —
+    * precedence documented), and `published_date` parsed from its ISO
+    * `YYYY-MM-DD` prefix (NULL when absent or malformed — the filterable
+    * column). Deliberately regex-simple contract like [[htmlLinks]]:
+    * attributes must be double-quoted, `property` before `content`; titles
+    * get the [[stripHtml]] unescape/collapse treatment. Entirely row-local
+    * regexp_extract work — scan speed, no shuffle, stateless on streams.
+    */
+  def htmlMeta(df: org.apache.spark.sql.DataFrame, id: Column,
+      html: Column): org.apache.spark.sql.DataFrame = {
+    def first(pat: String): Column = {
+      val m = regexp_extract(html, pat, 1)
+      when(m =!= "", m).otherwise(lit(null).cast("string"))
+    }
+    val cleanTitle = {
+      val raw = first("(?is)<title[^>]*>(.*?)</title>")
+      val unescaped = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+        "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+        .foldLeft(regexp_replace(raw, "<[^>]*>", " ")) {
+          case (c, (e, r)) => regexp_replace(c, java.util.regex.Pattern.quote(e), r)
+        }
+      trim(regexp_replace(unescaped, "\\s+", " "))
+    }
+    val published = coalesce(
+      first("(?is)<meta[^>]*property\\s*=\\s*\"article:published_time\"[^>]*content\\s*=\\s*\"([^\"]*)\""),
+      first("(?is)<time[^>]*datetime\\s*=\\s*\"([^\"]*)\""))
+    df.select(id.as("id"),
+      cleanTitle.as("title"),
+      first("(?is)<meta[^>]*property\\s*=\\s*\"og:title\"[^>]*content\\s*=\\s*\"([^\"]*)\"").as("og_title"),
+      first("(?is)<link[^>]*rel\\s*=\\s*\"canonical\"[^>]*href\\s*=\\s*\"([^\"]*)\"").as("canonical"),
+      published.as("published"),
+      // try_to_date: a crawl page's malformed datetime attribute must
+      // yield NULL, never an ANSI parse error
+      try_to_date(when(published.rlike("^\\d{4}-\\d{2}-\\d{2}"),
+        substring(published, 1, 10))).as("published_date"))
+  }
+
   def htmlLinks(df: org.apache.spark.sql.DataFrame, id: Column,
       html: Column): org.apache.spark.sql.DataFrame = {
     val re = "(?is)<a\\s[^>]*href\\s*=\\s*\"([^\"]*)\"[^>]*>(.*?)</a>"

@@ -272,6 +272,38 @@ object CurationQueries {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // page-metadata extraction: title (entity + nested-tag cleanup), og
+    // title, canonical link, published timestamp with meta-over-<time>
+    // precedence, and the ISO date parse incl. a shape-valid but
+    // calendar-invalid trap (2024-99-99 -> NULL via try_to_date)
+    "pipe_html_meta" -> ((s, d) => {
+      val did = col("doc_id").cast("string")
+      val page = concat(
+        lit("<head><title>News &amp; <b>views</b> "), did, lit("</title>"),
+        when(col("doc_id") % 3 === 0,
+          lit("<meta property=\"og:title\" content=\"OG Title\"/>")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("<link rel=\"canonical\" href=\"https://ex.com/p/"), did,
+            lit("\"/>"))).otherwise(lit("")),
+        when(col("doc_id") % 9 === 0,
+          lit("<meta property=\"article:published_time\" content=\"2024-99-99T00:00:00\"/>"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          lit("<meta property=\"article:published_time\" content=\"2023-07-04T10:00:00Z\"/>"))
+          .otherwise(lit("")),
+        lit("</head><body>"),
+        when(col("doc_id") % 7 === 0,
+          lit("<time datetime=\"2022-01-31T08:00:00\">then</time>")).otherwise(lit("")),
+        col("text"), lit("</body>"))
+      TextAnalysis.htmlMeta(
+        t(s, d, "documents").select(col("doc_id"), page.as("h")),
+        col("doc_id"), col("h"))
+        .withColumnRenamed("id", "doc_id")
+        // compare the DATE column as its string form: a NULL date arrives
+        // as NaT from DuckDB's typed frame but None from parquet
+        .withColumn("published_date", col("published_date").cast("string"))
+    }),
+
     // encoding repair over planted mojibake: single- and double-mangled
     // UTF-8-as-Latin-1 suffixes fix to their clean forms; the %13 stripe
     // plants GENUINE Latin-1-range text (a real é byte is invalid UTF-8)
@@ -1077,6 +1109,34 @@ object CurationQueries {
          |  CAST(len(nes) AS INTEGER) AS n_blocks,
          |  CAST(len(good) AS INTEGER) AS n_good
          |FROM g""".stripMargin,
+
+    // same first-match regexes, entity/cleanup chain, meta-over-<time>
+    // precedence and try-date semantics (try_cast mirrors try_to_date on
+    // the calendar-invalid 2024-99-99 trap)
+    "pipe_html_meta" ->
+      s"""WITH p AS (SELECT doc_id,
+         |  '<head><title>News &amp; <b>views</b> ' || doc_id || '</title>'
+         |  || (CASE WHEN doc_id % 3 = 0 THEN '<meta property="og:title" content="OG Title"/>' ELSE '' END)
+         |  || (CASE WHEN doc_id % 4 = 0 THEN '<link rel="canonical" href="https://ex.com/p/' || doc_id || '"/>' ELSE '' END)
+         |  || (CASE WHEN doc_id % 9 = 0 THEN '<meta property="article:published_time" content="2024-99-99T00:00:00"/>' ELSE '' END)
+         |  || (CASE WHEN doc_id % 5 = 0 THEN '<meta property="article:published_time" content="2023-07-04T10:00:00Z"/>' ELSE '' END)
+         |  || '</head><body>'
+         |  || (CASE WHEN doc_id % 7 = 0 THEN '<time datetime="2022-01-31T08:00:00">then</time>' ELSE '' END)
+         |  || text || '</body>' AS h FROM documents),
+         |e AS (SELECT doc_id,
+         |  nullif(regexp_extract(h, '(?is)<title[^>]*>(.*?)</title>', 1), '') AS rawtitle,
+         |  nullif(regexp_extract(h, '(?is)<meta[^>]*property\\s*=\\s*"og:title"[^>]*content\\s*=\\s*"([^"]*)"', 1), '') AS og_title,
+         |  nullif(regexp_extract(h, '(?is)<link[^>]*rel\\s*=\\s*"canonical"[^>]*href\\s*=\\s*"([^"]*)"', 1), '') AS canonical,
+         |  coalesce(
+         |    nullif(regexp_extract(h, '(?is)<meta[^>]*property\\s*=\\s*"article:published_time"[^>]*content\\s*=\\s*"([^"]*)"', 1), ''),
+         |    nullif(regexp_extract(h, '(?is)<time[^>]*datetime\\s*=\\s*"([^"]*)"', 1), '')) AS published
+         |  FROM p)
+         |SELECT doc_id,
+         |  ${duckCleanBlock("rawtitle")} AS title,
+         |  og_title, canonical, published,
+         |  CAST(CASE WHEN regexp_matches(published, '^\\d{4}-\\d{2}-\\d{2}')
+         |       THEN try_cast(substr(published, 1, 10) AS DATE) END AS VARCHAR) AS published_date
+         |FROM e""".stripMargin,
 
     // independent oracle: expected literals per stripe, never replaying the
     // byte-level decode; the repair is segment-wise, so every repairable

@@ -498,6 +498,36 @@ class CurationSpec extends AnyFunSuite {
     assert(out(4L) == ((prose, 1, 1)))
   }
 
+  test("htmlMeta: title cleanup, precedence, absent fields, bad-date traps") {
+    val rows = Seq(
+      // entity + nested tag in title; meta published_time beats <time>
+      (1L, "<title> News &amp; <b>views</b> </title>" +
+        "<meta property=\"article:published_time\" content=\"2023-07-04T10:00:00Z\"/>" +
+        "<time datetime=\"2022-01-31T08:00:00\">then</time>"),
+      // no meta: the first <time datetime> supplies published
+      (2L, "<title>T2</title><time datetime=\"2022-01-31T08:00:00\">x</time>" +
+        "<link rel=\"canonical\" href=\"https://ex.com/a\"/>" +
+        "<meta property=\"og:title\" content=\"OG2\"/>"),
+      // nothing at all -> all NULL
+      (3L, "<p>plain</p>"),
+      // shape-valid calendar-invalid date -> published kept, date NULL
+      (4L, "<meta property=\"article:published_time\" content=\"2024-99-99T00:00:00\"/>"),
+      // non-ISO prefix -> date NULL without an ANSI error
+      (5L, "<time datetime=\"July 4, 2023\">x</time>")
+    ).toDF("id", "h")
+    val out = TextAnalysis.htmlMeta(rows, col("id"), col("h"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), Option(r.getString(2)), Option(r.getString(3)),
+          Option(r.getString(4)), Option(r.getDate(5)).map(_.toString)))).toMap
+    assert(out(1L) == ((Some("News & views"), None, None,
+      Some("2023-07-04T10:00:00Z"), Some("2023-07-04"))))
+    assert(out(2L) == ((Some("T2"), Some("OG2"), Some("https://ex.com/a"),
+      Some("2022-01-31T08:00:00"), Some("2022-01-31"))))
+    assert(out(3L) == ((None, None, None, None, None)))
+    assert(out(4L) == ((None, None, None, Some("2024-99-99T00:00:00"), None)))
+    assert(out(5L) == ((None, None, None, Some("July 4, 2023"), None)))
+  }
+
   test("readability: hand-counted Flesch and FK grade; empty docs omitted") {
     val rows = Seq(
       (1L, "The cat sat. The dog ran!"), // 6 words, 2 sentences, 6 syllables
