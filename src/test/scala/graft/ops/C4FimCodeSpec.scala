@@ -159,6 +159,34 @@ class C4FimCodeSpec extends AnyFunSuite {
     assert(got(6L).contains("max_line_len")) // order: max wins over autogen
   }
 
+  test("licenseDetect: SPDX beats phrase, precedence, head bound, unknown") {
+    val rows = Seq(
+      // SPDX tag wins even with a copyleft phrase present
+      (1L, "// SPDX-License-Identifier: Apache-2.0\n" +
+        "// under the GNU General Public License\ncode"),
+      // phrase match, whitespace-collapsed and case-folded
+      (2L, "/* Permission  is HEREBY granted,\n free of charge */"),
+      // LGPL must not be claimed by the GPL rule
+      (3L, "// GNU Lesser General Public License v2.1"),
+      // MIT+GPL co-planted: the earlier (copyleft) table row claims it
+      (4L, "// gnu general public license\n" +
+        "// permission is hereby granted, free of charge"),
+      // license text past the head bound is invisible
+      (5L, ("x" * 4100) + " permission is hereby granted, free of charge"),
+      // nothing -> NULL license, NOT permissive
+      (6L, "plain code, no license at all")
+    ).toDF("id", "t")
+    val out = CodeFilters.licenseDetect(rows, col("id"), col("t"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), Option(r.getString(2)), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((Some("Apache-2.0"), Some("spdx"), true)))
+    assert(out(2L) == ((Some("MIT"), Some("phrase"), true)))
+    assert(out(3L) == ((Some("LGPL-2.1"), Some("phrase"), false)))
+    assert(out(4L) == ((Some("GPL-2.0"), Some("phrase"), false)))
+    assert(out(5L) == ((None, None, false)))
+    assert(out(6L) == ((None, None, false)))
+  }
+
   test("codeReason matches codeMetrics at default thresholds") {
     val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
       .select(col("doc_id"),
