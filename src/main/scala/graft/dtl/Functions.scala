@@ -209,6 +209,16 @@ object FunctionRegistry {
     // encoding repair (functions/FixEncoding): invert a UTF-8-as-Latin-1
     // mis-decode; unrepairable text passes through unchanged
     text1("fix_mojibake")(graft.functions.FixEncoding.fixMojibake),
+    // secret scanning (ops/Secrets): detection count and [SECRET:<kind>]
+    // redaction — the code-corpus hygiene pass in-language
+    text1("n_secrets", TInt32)(graft.ops.Secrets.count),
+    text1("redact_secrets")(graft.ops.Secrets.redact),
+    // license detection (ops/CodeFilters): SPDX-or-phrase id (NULL =
+    // unknown) and The Stack's permissive admission decision
+    text1("license_id")(graft.ops.CodeFilters.licenseOf),
+    text1("license_permissive", TBool)(graft.ops.CodeFilters.licensePermissive),
+    // page title (ops/TextAnalysis.htmlMeta's scalar form)
+    text1("html_title")(graft.ops.TextAnalysis.htmlTitle),
     // host for grouping by domain (lowercase, www/port stripped; empty for
     // non-absolute input) — pairs with url_canonical for in-language
     // crawl triage (per-domain counts, quota decisions)

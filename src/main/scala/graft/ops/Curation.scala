@@ -56,6 +56,49 @@ object Curation {
         round(col("n_overlap").cast("double") / col("n_shingles"), 6).as("contam_ratio"))
   }
 
+  /** Per-benchmark contamination REPORT — the audit table a lab publishes
+    * next to a model card (GPT-3 appendix C; PaLM §7; Llama's eval-contam
+    * tables): for each named benchmark, how many corpus documents overlap
+    * it and how badly. Same machinery as [[decontaminate]] (distinct
+    * benchmark shingles broadcast, corpus never shuffled — the join output
+    * is only overlap HITS, far smaller than the corpus), then one rollup
+    * per benchmark. Returns (benchmark, n_docs_contaminated,
+    * n_overlap_total, n_shingles_total, contam_ratio, worst_doc,
+    * worst_overlap): the ratio is one division of exact longs
+    * (sum-overlap / sum-shingles over contaminated docs) — deterministic
+    * under any summation order, unlike a mean of per-doc float ratios;
+    * `worst_doc` ties break to the smaller id.
+    */
+  def contaminationReport(corpus: DataFrame, id: Column, text: Column,
+      benchmarks: DataFrame, benchName: Column, benchText: Column,
+      shingleSize: Int = 5, minOverlap: Int = 1): DataFrame = {
+    val benchShingles = benchmarks
+      .select(benchName.as("benchmark"),
+        explode(shingleSet(benchText, shingleSize)).as("shingle"))
+      .distinct()
+    val docShingles = corpus
+      .select(id.as("id"), shingleSet(text, shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), size(col("sh")).as("n_shingles"),
+        explode(col("sh")).as("shingle"))
+    docShingles
+      .join(broadcast(benchShingles), Seq("shingle"))
+      .groupBy(col("benchmark"), col("id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+      .groupBy("benchmark")
+      .agg(count(lit(1)).as("n_docs_contaminated"),
+        sum("n_overlap").as("n_overlap_total"),
+        sum("n_shingles").cast("long").as("n_shingles_total"),
+        min(struct((-col("n_overlap")).as("neg"), col("id"))).as("__w"))
+      .select(col("benchmark"), col("n_docs_contaminated"),
+        col("n_overlap_total"), col("n_shingles_total"),
+        round(col("n_overlap_total").cast("double") /
+          col("n_shingles_total").cast("double"), 6).as("contam_ratio"),
+        col("__w.id").as("worst_doc"),
+        (-col("__w.neg")).as("worst_overlap"))
+  }
+
   /** Uniform hash of an arbitrary key into `[0, 2^32)` — the first 8 hex
     * chars of md5 of the key's string form. md5 (not xxhash64) so any engine
     * can reproduce the exact sample: the hex prefix compares identically as

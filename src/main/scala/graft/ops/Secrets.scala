@@ -50,6 +50,13 @@ object Secrets {
       regexp_replace(c, pat, s"[SECRET:$kind]")
     }
 
+  /** Total detection count on the original text, all kinds — the
+    * single-column form a DTL/SQL cleaning script filters on. */
+  def count(text: Column): Column =
+    patterns.map { case (_, pat) =>
+      size(regexp_extract_all(text, lit(pat), lit(0)))
+    }.reduce(_ + _)
+
   /** Per-document scan report: (id, redacted, n_secrets, kinds) where
     * `kinds` is the comma-joined list of detected kinds in scan order and
     * counts are taken on the ORIGINAL text (a later pattern can overlap an
@@ -61,7 +68,7 @@ object Secrets {
     val counts = patterns.map { case (kind, pat) =>
       kind -> size(regexp_extract_all(text, lit(pat), lit(0)))
     }
-    val total = counts.map(_._2).reduce(_ + _)
+    val total = count(text)
     val kinds = array_join(
       filter(array(counts.map { case (k, c) =>
         when(c > 0, lit(k)).otherwise(lit(null).cast("string"))

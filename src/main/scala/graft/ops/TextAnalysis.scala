@@ -225,26 +225,33 @@ object TextAnalysis {
     * get the [[stripHtml]] unescape/collapse treatment. Entirely row-local
     * regexp_extract work — scan speed, no shuffle, stateless on streams.
     */
+  /** First capture of `pat` in `html`, NULL when absent. */
+  private def firstMatch(html: Column, pat: String): Column = {
+    val m = regexp_extract(html, pat, 1)
+    when(m =!= "", m).otherwise(lit(null).cast("string"))
+  }
+
+  /** Cleaned `<title>` text (nested tags stripped, entities unescaped,
+    * whitespace collapsed; NULL when absent) — the single-column scalar
+    * form of [[htmlMeta]]'s `title`. */
+  def htmlTitle(html: Column): Column = {
+    val raw = firstMatch(html, "(?is)<title[^>]*>(.*?)</title>")
+    val unescaped = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(regexp_replace(raw, "<[^>]*>", " ")) {
+        case (c, (e, r)) => regexp_replace(c, java.util.regex.Pattern.quote(e), r)
+      }
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
   def htmlMeta(df: org.apache.spark.sql.DataFrame, id: Column,
       html: Column): org.apache.spark.sql.DataFrame = {
-    def first(pat: String): Column = {
-      val m = regexp_extract(html, pat, 1)
-      when(m =!= "", m).otherwise(lit(null).cast("string"))
-    }
-    val cleanTitle = {
-      val raw = first("(?is)<title[^>]*>(.*?)</title>")
-      val unescaped = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
-        "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
-        .foldLeft(regexp_replace(raw, "<[^>]*>", " ")) {
-          case (c, (e, r)) => regexp_replace(c, java.util.regex.Pattern.quote(e), r)
-        }
-      trim(regexp_replace(unescaped, "\\s+", " "))
-    }
+    def first(pat: String): Column = firstMatch(html, pat)
     val published = coalesce(
       first("(?is)<meta[^>]*property\\s*=\\s*\"article:published_time\"[^>]*content\\s*=\\s*\"([^\"]*)\""),
       first("(?is)<time[^>]*datetime\\s*=\\s*\"([^\"]*)\""))
     df.select(id.as("id"),
-      cleanTitle.as("title"),
+      htmlTitle(html).as("title"),
       first("(?is)<meta[^>]*property\\s*=\\s*\"og:title\"[^>]*content\\s*=\\s*\"([^\"]*)\"").as("og_title"),
       first("(?is)<link[^>]*rel\\s*=\\s*\"canonical\"[^>]*href\\s*=\\s*\"([^\"]*)\"").as("canonical"),
       published.as("published"),

@@ -73,6 +73,19 @@ object CurationQueries {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // per-benchmark contamination report: each source slice doubles as a
+    // named benchmark, the remainder is the training corpus — every
+    // benchmark gets a rollup row with exact-integer ratio arithmetic
+    "pipe_contamination_report" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Curation.contaminationReport(
+        docs.filter(col("source") =!= "src0" && col("source") =!= "src1"),
+        col("doc_id"), col("text"),
+        docs.filter(col("source").isin("src0", "src1")),
+        col("source"), col("text"),
+        shingleSize = 5, minOverlap = 1)
+    }),
+
     // per-language deterministic sampling: keep all zh, half en, a quarter
     // of everything else — reproducible on any engine via md5
     "pipe_sample_stratified" -> ((s, d) =>
@@ -832,6 +845,31 @@ object CurationQueries {
          |SELECT doc_id, n_shingles, n_overlap,
          |       round(n_overlap::DOUBLE / n_shingles, 6) AS contam_ratio
          |FROM j WHERE n_overlap >= 1""".stripMargin,
+    "pipe_contamination_report" ->
+      s"""WITH ds AS (SELECT doc_id, ${duckShingles(5)} AS sh FROM documents
+         |            WHERE source NOT IN ('src0', 'src1')
+         |              AND len(string_split_regex(trim(lower(text)),'\\s+')) >= 5),
+         |     bs AS (SELECT DISTINCT source AS benchmark, unnest(sh) AS shingle FROM
+         |            (SELECT source, ${duckShingles(5)} AS sh FROM documents
+         |             WHERE source IN ('src0', 'src1')
+         |               AND len(string_split_regex(trim(lower(text)),'\\s+')) >= 5)),
+         |     bl AS (SELECT benchmark, list(shingle) AS benchlist FROM bs GROUP BY benchmark),
+         |     j AS (SELECT bl.benchmark, ds.doc_id, CAST(len(sh) AS INTEGER) AS n_shingles,
+         |                  CAST(len(list_intersect(sh, benchlist)) AS BIGINT) AS n_overlap
+         |           FROM ds, bl),
+         |     k AS (SELECT * FROM j WHERE n_overlap >= 1),
+         |     w AS (SELECT benchmark, doc_id AS worst_doc, n_overlap AS worst_overlap,
+         |             row_number() OVER (PARTITION BY benchmark
+         |               ORDER BY n_overlap DESC, doc_id ASC) AS rn FROM k),
+         |     agg AS (SELECT benchmark,
+         |               CAST(count(*) AS BIGINT) AS n_docs_contaminated,
+         |               CAST(sum(n_overlap) AS BIGINT) AS n_overlap_total,
+         |               CAST(sum(n_shingles) AS BIGINT) AS n_shingles_total
+         |             FROM k GROUP BY benchmark)
+         |SELECT agg.benchmark, n_docs_contaminated, n_overlap_total, n_shingles_total,
+         |  round(CAST(n_overlap_total AS DOUBLE) / CAST(n_shingles_total AS DOUBLE), 6) AS contam_ratio,
+         |  w.worst_doc, w.worst_overlap
+         |FROM agg JOIN w ON agg.benchmark = w.benchmark AND w.rn = 1""".stripMargin,
     "pipe_sample_stratified" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE $duckHash <

@@ -129,6 +129,29 @@ object DtlQueries {
         |  FROM aug;
         |EXPORT output TO 'output';""".stripMargin)),
 
+    // crawl/code triage with the round-5 hygiene scalars: page title, the
+    // license admission decision, secret counting and redaction — a DTL
+    // script runs the whole pass and keeps a doc iff it is clean or
+    // permissively licensed
+    "dtl_crawl_triage" -> ((s, d) => run(s, d,
+      """WITH documents AS IMPORT 'documents';
+        |WITH aug AS
+        |  SELECT doc_id,
+        |    concat('<title> News &amp;  deals ',
+        |      concat(to_text(doc_id), ' </title>')) AS page,
+        |    concat(if(doc_id % 4 = 0, '// SPDX-License-Identifier: MIT\n',
+        |             '// no license\n'),
+        |      concat(text,
+        |        if(doc_id % 3 = 0, ' password = "0123456789abcdef0123"', ''))) AS src
+        |  FROM documents;
+        |WITH output AS
+        |  SELECT doc_id, html_title(page) AS title,
+        |    license_id(src) AS license, license_permissive(src) AS permitted,
+        |    n_secrets(src) AS n_sec, redact_secrets(src) AS clean_src
+        |  FROM aug
+        |  WHERE to_int64(n_secrets(src)) = 0 OR license_permissive(src);
+        |EXPORT output TO 'output';""".stripMargin)),
+
     // entropy signals in-language: the model-free gibberish gate a DTL
     // cleaning script filters on
     "dtl_entropy" -> ((s, d) => run(s, d,
@@ -364,6 +387,50 @@ object DtlQueries {
         |EXPORT output TO 'output';""".stripMargin))
   )
 
+  // crawl-triage oracle: replays the title cleanup, the SAME secret
+  // patterns / license phrase table as the operators (constants shared),
+  // and the keep disjunction
+  private def crawlTriageOracle: String = {
+    val pats = graft.ops.Secrets.patterns
+      .map { case (k, p) => (k, p.replace("'", "''")) }
+    val redact = pats.foldLeft("src") { case (e, (k, p)) =>
+      s"regexp_replace($e, '$p', '[SECRET:$k]', 'g')"
+    }
+    val cnt = pats.map { case (_, p) =>
+      s"len(regexp_extract_all(src, '$p'))"
+    }.mkString(" + ")
+    val licCases = graft.ops.CodeFilters.licensePhrases.map { case (l, p) =>
+      s"WHEN contains(cl, '$p') THEN '$l'"
+    }.mkString("\n        |    ")
+    val ids = graft.ops.CodeFilters.permissiveIds.toSeq.sorted
+      .map(i => s"'$i'").mkString(", ")
+    s"""WITH aug AS (SELECT doc_id,
+       |  '<title> News &amp;  deals ' || doc_id || ' </title>' AS page,
+       |  (CASE WHEN doc_id % 4 = 0 THEN '// SPDX-License-Identifier: MIT' ELSE '// no license' END)
+       |  || chr(10) || text
+       |  || (CASE WHEN doc_id % 3 = 0 THEN ' password = "0123456789abcdef0123"' ELSE '' END) AS src
+       | FROM documents),
+       |c AS (SELECT doc_id, page, src,
+       |  regexp_extract(substr(src, 1, 4000),
+       |    '(?i)SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)', 1) AS spdx,
+       |  lower(regexp_replace(substr(src, 1, 4000), '\\s+', ' ', 'g')) AS cl,
+       |  CAST($cnt AS INTEGER) AS n_sec FROM aug),
+       |l AS (SELECT doc_id, page, src, n_sec,
+       |  CASE WHEN spdx <> '' THEN spdx ELSE (CASE
+       |    $licCases END) END AS license FROM c)
+       |SELECT doc_id,
+       |  trim(regexp_replace(
+       |    replace(replace(replace(replace(replace(replace(
+       |      regexp_replace(nullif(regexp_extract(page, '(?is)<title[^>]*>(.*?)</title>', 1), ''),
+       |        '<[^>]*>', ' ', 'g'),
+       |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+       |      '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+       |    '\\s+', ' ', 'g')) AS title,
+       |  license, coalesce(lower(license) IN ($ids), false) AS permitted,
+       |  n_sec, $redact AS clean_src
+       |FROM l WHERE n_sec = 0 OR coalesce(lower(license) IN ($ids), false)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     // compose the shared GenEval oracle CTE chains over the +1 pairing
     "dtl_gen_eval" -> {
@@ -490,6 +557,8 @@ object DtlQueries {
         |       WHEN af < 0.25 THEN 'alpha_frac'
         |       WHEN autogen THEN 'auto_generated' END AS code_why
         |FROM cx""".stripMargin,
+
+    "dtl_crawl_triage" -> crawlTriageOracle,
 
     "dtl_url_host" ->
       """SELECT 'site' || (doc_id % 5) || '.com' AS domain,

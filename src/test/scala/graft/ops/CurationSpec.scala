@@ -498,6 +498,30 @@ class CurationSpec extends AnyFunSuite {
     assert(out(4L) == ((prose, 1, 1)))
   }
 
+  test("contaminationReport: per-benchmark rollup, exact ratio, worst doc") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // 2 of 2 shingles hit devset
+      (2L, "alpha beta gamma delta epsilon nine ten"), // 1 of 3 hits devset
+      (3L, "one two three four five six seven"), // hits testset only
+      (4L, "totally different words in this document here") // clean
+    ).toDF("id", "text")
+    val bench = Seq(
+      ("devset", "alpha beta gamma delta epsilon zeta"),
+      ("testset", "one two three four five six")
+    ).toDF("b", "t")
+    val out = Curation.contaminationReport(corpus, col("id"), col("text"),
+      bench, col("b"), col("t"), shingleSize = 5, minOverlap = 1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    // devset: doc1 overlap 2/2, doc2 overlap 1/3 -> 2 docs, 3/5 total,
+    // worst = doc1 (overlap 2)
+    assert(out("devset") == ((2L, 3L, 5L, 0.6, 1L, 2L)), s"got $out")
+    // testset: doc3 shares its first two 5-gram windows
+    assert(out("testset") == ((1L, 2L, 3L, 0.666667, 3L, 2L)), s"got $out")
+    assert(out.size == 2) // the clean doc contributes to no benchmark
+  }
+
   test("htmlMeta: title cleanup, precedence, absent fields, bad-date traps") {
     val rows = Seq(
       // entity + nested tag in title; meta published_time beats <time>
