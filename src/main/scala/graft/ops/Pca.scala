@@ -173,4 +173,49 @@ object Pca {
     }
     df.withColumn("proj", array(projCols: _*))
   }
+
+  /** The very sparse random-projection coefficient r_ij ∈ {+1, −1, 0} with
+    * P = {1/6, 1/6, 2/3} (Achlioptas 2003; Li, Hastie & Church 2006) — from
+    * md5 so ANY engine regenerates the identical matrix: the first 8 hex
+    * chars of md5("rp:seed:i:j") mod 6 → 0 ↦ +1, 1 ↦ −1, else 0.
+    */
+  def rpCoef(seed: String, i: Int, j: Int): Int = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp:$seed:$i:$j".getBytes("UTF-8"))
+    val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+      ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+    (v % 6) match { case 0 => 1; case 1 => -1; case _ => 0 }
+  }
+
+  /** Johnson–Lindenstrauss sparse random projection — the data-independent
+    * dimensionality cut that needs NO training pass where [[covariance]] +
+    * eigensolve need one: distances are preserved within (1 ± ε) at
+    * k = O(log n / ε²) output dims, and 2/3 of the coefficients are zero so
+    * the per-row cost is ~d·k/3 multiply-adds. The 100 TB role: shrink
+    * embeddings before LSH / kNN candidate generation (hyperplane LSH is
+    * itself the sign of a dense RP — this is the k-dimensional general
+    * form), or sketch a corpus for cross-corpus overlap estimation, with
+    * zero driver state and zero shuffles — the matrix never exists as data,
+    * only as md5 arithmetic any engine can regenerate ([[rpCoef]]).
+    *
+    * Determinism contract: inputs are quantized to integers
+    * (`round(x·scale)`, the [[Similarity.kmeansQuantized]] convention), so
+    * every projected coordinate is a sum of exact integers in doubles —
+    * bit-identical in any engine and under any evaluation order — returned
+    * as `array<long>`. Appends `proj` (length `dimOut`). Each coordinate is
+    * one native single-pass dot product ([[graft.functions.VecMath]])
+    * against a literal coefficient row — whole-stage codegen, no HOF
+    * lambda-call overhead, no shuffle.
+    */
+  def randomProject(df: DataFrame, vec: Column, dimIn: Int, dimOut: Int,
+      seed: String = "0", scale: Double = 1000.0): DataFrame = {
+    require(dimOut > 0 && dimIn > 0, "randomProject: dims must be positive")
+    val q = transform(vec, x => round(x.cast("double") * scale, 0))
+    val projCols = (0 until dimOut).map { j =>
+      val coefs = (0 until dimIn).map(i => rpCoef(seed, i, j).toDouble)
+      graft.functions.VecMath.dotProduct(q, array(coefs.map(lit): _*))
+        .cast("long")
+    }
+    df.withColumn("proj", array(projCols: _*))
+  }
 }

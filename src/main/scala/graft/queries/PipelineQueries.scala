@@ -393,6 +393,19 @@ object PipelineQueries {
           // negative-underflow entry stringifies as "0" in each engine
           // (DuckDB's round keeps -0.0; Spark's BigDecimal round cannot)
 
+    // JL sparse random projection 64 -> 16: the md5-derived ±1/0 matrix
+    // regenerates in SQL, quantized inputs make every coordinate an exact
+    // integer — compared whole via fingerprint plus two raw coordinates
+    "pipe_random_projection" -> ((s, d) =>
+      graft.ops.Pca.randomProject(t(s, d, "embeddings"),
+        col("embedding"), dimIn = 64, dimOut = 16)
+        .select(col("vec_id"),
+          md5(concat_ws(",",
+            transform(col("proj"), c => c.cast("string"))).cast("binary"))
+            .as("proj_fp"),
+          col("proj").getItem(0).as("y0"),
+          col("proj").getItem(15).as("y15"))),
+
     // brute-force cosine top-5 for three query vectors (exact ANN baseline)
     "pipe_embed_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -1799,6 +1812,21 @@ s"""WITH toksrc AS (
         |         ELSE CAST(greatest(-127.0, least(127.0, floor(x * 127.0 / mx + 0.5))) AS TINYINT) END),
         |    ',')) AS codes_fp
         |FROM m""".stripMargin,
+    "pipe_random_projection" ->
+      """WITH m AS (SELECT i, j,
+        |    CASE (('0x' || substr(md5('rp:0:' || i || ':' || j), 1, 8))::BIGINT % 6)
+        |      WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS c
+        |  FROM generate_series(0, 63) g1(i), generate_series(0, 15) g2(j)),
+        |q AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> round(x * 1000, 0)) AS qv
+        |      FROM embeddings),
+        |p AS (SELECT vec_id, j, CAST(sum(qv[i + 1] * c) AS BIGINT) AS y
+        |      FROM q, m GROUP BY vec_id, j),
+        |a AS (SELECT vec_id, list(y ORDER BY j) AS proj FROM p GROUP BY vec_id)
+        |SELECT vec_id,
+        |  md5(array_to_string(proj, ',')) AS proj_fp,
+        |  proj[1] AS y0, proj[16] AS y15
+        |FROM a""".stripMargin,
+
     "pipe_embed_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3),
         |     c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),

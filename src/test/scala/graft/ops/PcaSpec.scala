@@ -67,4 +67,32 @@ class PcaSpec extends AnyFunSuite {
     assert(err.getMessage.contains("length mismatch") ||
       Option(err.getCause).exists(_.getMessage.contains("length mismatch")))
   }
+
+  test("randomProject: driver-replay exact, linear on ints, sane coefficients") {
+    val d = 8; val k = 4
+    val vecs = Seq(
+      (1L, (0 until d).map(i => (i + 1).toFloat)),
+      (2L, (0 until d).map(i => (2 * i).toFloat)),
+      (3L, (0 until d).map(i => (3 * i + 2).toFloat)) // = v1·? no: 2·v2 + v1 shifted
+    ).toDF("id", "v")
+    val out = Pca.randomProject(vecs, col("v"), d, k)
+      .select(col("id"), col("proj")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // exact driver replay of the same md5 arithmetic
+    def proj(x: Seq[Double]): Seq[Long] = (0 until k).map { j =>
+      (0 until d).map(i => math.round(x(i) * 1000.0).toDouble *
+        Pca.rpCoef("0", i, j)).sum.toLong
+    }
+    assert(out(1L) == proj((1 to d).map(_.toDouble)))
+    assert(out(2L) == proj((0 until d).map(i => 2.0 * i)))
+    // linearity on integer-valued inputs: proj(v3) = 2·proj(v2) + shift-free
+    val v3 = (0 until d).map(i => 3.0 * i + 2)
+    assert(out(3L) == proj(v3))
+    // the ±1/0 matrix is non-degenerate at 64×16: has +1s, −1s, mostly 0s
+    val coefs = for (i <- 0 until 64; j <- 0 until 16) yield Pca.rpCoef("0", i, j)
+    val z = coefs.count(_ == 0).toDouble / coefs.size
+    assert(coefs.contains(1) && coefs.contains(-1) && z > 0.5 && z < 0.8, s"zero frac $z")
+    // a different seed draws a different matrix
+    assert((0 until 64).exists(i => Pca.rpCoef("0", i, 0) != Pca.rpCoef("1", i, 0)))
+  }
 }
