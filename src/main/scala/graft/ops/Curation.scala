@@ -771,6 +771,36 @@ object Curation {
     df.withColumn("split", expr.otherwise(defaultSplit))
   }
 
+  /** Train/eval split-LEAKAGE audit — the check Lee et al. 2022 made
+    * mandatory by finding near-duplicate train/validation pairs inside C4
+    * itself: hash splits ([[assignSplit]]) are disjoint by KEY, but two
+    * near-identical documents with different keys still land in different
+    * splits and leak eval content into training. Runs the banded MinHash
+    * near-dup join over the whole corpus and keeps the verified pairs that
+    * CROSS split boundaries. Returns (id_a, id_b, jaccard, split_a,
+    * split_b) — the quarantine list an eval pipeline subtracts before
+    * scoring. Scale shape = [[Dedup.minhashLsh]] (banded candidates, exact
+    * verification) plus two id-keyed hash joins against the narrow
+    * (id, split) frame; the corpus text never shuffles beyond the LSH pass.
+    */
+  def splitLeakage(df: DataFrame, id: Column, text: Column,
+      cuts: Seq[(String, Double)], defaultSplit: String = "train",
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val splits = assignSplit(df.select(id.as("id")), col("id"), cuts,
+      defaultSplit)
+    val pairs = Dedup.minhashLsh(df, id, text, shingleSize, numHashes,
+      bands, threshold)
+    pairs
+      .join(splits.select(col("id").as("id_a"), col("split").as("split_a")),
+        "id_a")
+      .join(splits.select(col("id").as("id_b"), col("split").as("split_b")),
+        "id_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        col("split_a"), col("split_b"))
+  }
+
   /** Deterministic global shuffle: appends `pos` — each row's 0-based
     * position in the seed-keyed pseudo-random total order `(md5(seed|key),
     * key)`. Same seed → byte-identical order on any cluster size, across

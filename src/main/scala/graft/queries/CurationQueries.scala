@@ -186,6 +186,13 @@ object CurationQueries {
         cuts = Seq(("test", 0.1), ("valid", 0.1)))
         .select("doc_id", "split")),
 
+    // split-leakage audit: verified near-dup pairs whose endpoints fall in
+    // different md5 splits — the eval-contamination quarantine list; wide
+    // cuts (20/20/60) so the planted dup pairs cross boundaries often
+    "pipe_split_leakage" -> ((s, d) =>
+      Curation.splitLeakage(t(s, d, "documents"), col("doc_id"), col("text"),
+        cuts = Seq(("test", 0.2), ("valid", 0.2)))),
+
     // GPT-style token-stream windowing: doc spans + window ranges over the
     // seed-shuffled concatenation
     "pipe_token_windows" -> ((s, d) =>
@@ -965,6 +972,25 @@ object CurationQueries {
          |SELECT c.doc_id, c.source, c.n_chars
          |FROM c JOIN al ON al.dom = c.source
          |WHERE c.cum <= al.alloc AND al.alloc > 0""".stripMargin,
+
+    // exact-Jaccard pair set (LSH at 16x4 bands has full recall at 0.8 on
+    // the gate corpus, same contract as pipe_dedup_minhash) + the md5
+    // split replay on both endpoints + the cross-boundary filter
+    "pipe_split_leakage" ->
+      s"""WITH t AS (SELECT doc_id, ${duckShingles(3)} AS sh FROM documents
+         |           WHERE len(string_split_regex(trim(lower(text)),'\\s+')) >= 3),
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN $duckHash < CAST(floor(0.2 * 4294967296.0) AS BIGINT) THEN 'test'
+         |       WHEN $duckHash < CAST(floor(0.4 * 4294967296.0) AS BIGINT) THEN 'valid'
+         |       ELSE 'train' END AS split
+         |  FROM documents),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8)
+         |SELECT id_a, id_b, jaccard, sa.split AS split_a, sb.split AS split_b
+         |FROM p JOIN sp sa ON sa.doc_id = p.id_a JOIN sp sb ON sb.doc_id = p.id_b
+         |WHERE sa.split <> sb.split""".stripMargin,
 
     "pipe_split" ->
       s"""WITH h AS (SELECT doc_id, $duckHash AS hv FROM documents)

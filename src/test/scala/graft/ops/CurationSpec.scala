@@ -498,6 +498,27 @@ class CurationSpec extends AnyFunSuite {
     assert(out(4L) == ((prose, 1, 1)))
   }
 
+  test("splitLeakage = minhash pairs restricted to split-crossing endpoints") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // 40 docs in 20 identical pairs: (i, i+100) share text; split by hash
+    val docs = (0L until 20L).flatMap(i =>
+      Seq((i, s"$base doc $i"), (i + 100L, s"$base doc $i")))
+      .toDF("doc_id", "text")
+    val cuts = Seq(("test", 0.3), ("valid", 0.3))
+    val out = Curation.splitLeakage(docs, col("doc_id"), col("text"), cuts)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3), r.getString(4)))
+    assert(out.nonEmpty, "no leakage pairs found at 30/30/40 cuts")
+    // every reported pair crosses a boundary
+    assert(out.forall(p => p._3 != p._4))
+    // and the pair set is exactly the near-dup pairs whose splits differ
+    val splits = Curation.assignSplit(docs.select("doc_id"), col("doc_id"), cuts)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val allPairs = Dedup.minhashLsh(docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = allPairs.filter(p => splits(p._1) != splits(p._2)).toSet
+    assert(out.map(p => (p._1, p._2)).toSet == expected)
+  }
+
   test("contaminationReport: per-benchmark rollup, exact ratio, worst doc") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"), // 2 of 2 shingles hit devset
