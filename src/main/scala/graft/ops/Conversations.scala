@@ -83,4 +83,37 @@ object Conversations {
     convs.filter(col("n_turns") >= minTurns && col("n_turns") <= maxTurns &&
       col("n_tokens") <= maxTokens &&
       exists(col("turns"), t => t.getField("role") === requiredRole))
+
+  /** ChatML-style template rendering WITH LOSS-MASK SPANS — the step that
+    * turns an assembled conversation into the (training string, supervised
+    * spans) pair an SFT dataloader consumes: loss is computed only on the
+    * assistant turns' content, never on user turns or template tokens (the
+    * standard instruction-tuning masking rule). Each turn renders as
+    * `<|role|>\n` + text + `<|end|>\n`; `spans` holds the 0-based
+    * [start, end) character ranges of each `maskRole` turn's raw text
+    * inside `rendered`, in turn order — `substring(rendered, start, end)`
+    * is exactly the turn text (property-pinned in spec).
+    *
+    * Entirely row-local: one `aggregate` HOF threads the running character
+    * offset through the turns array — no explode, no shuffle; character
+    * counting matches any engine's `length()`. Appends (rendered, spans).
+    */
+  def renderMasked(convs: DataFrame, maskRole: String): DataFrame = {
+    val piece = "concat('<|', t.role, '|>\\n', t.text, '<|end|>\\n')"
+    convs
+      .withColumn("rendered",
+        expr(s"array_join(transform(turns, t -> $piece), '')"))
+      .withColumn("spans", expr(
+        s"""aggregate(turns,
+           |  named_struct('off', 0L,
+           |    'sp', cast(array() as array<struct<s: bigint, e: bigint>>)),
+           |  (acc, t) -> named_struct(
+           |    'off', acc.off + length($piece),
+           |    'sp', if(t.role = '$maskRole',
+           |      array_append(acc.sp, named_struct(
+           |        's', acc.off + length(t.role) + 5L,
+           |        'e', acc.off + length(t.role) + 5L + length(t.text))),
+           |      acc.sp)),
+           |  acc -> acc.sp)""".stripMargin))
+  }
 }

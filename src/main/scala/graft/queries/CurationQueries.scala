@@ -46,6 +46,21 @@ object CurationQueries {
         .select("conv_id", "who", "n_turns", "started_at", "ended_at",
           "transcript", "n_tokens")),
 
+    // ChatML-style SFT rendering with loss-mask spans: one row per masked
+    // ('click'-role) turn with its [start, end) character range inside the
+    // rendered training string, plus the rendered fingerprint
+    "pipe_chat_render" -> ((s, d) =>
+      Conversations.renderMasked(
+        Conversations.assemble(CoreQueries.events(s, d), col("user_id"),
+          col("ts"), col("event_id"), col("event_type"), col("props"),
+          gapMinutes = 600),
+        maskRole = "click")
+        .select(col("conv_id"), md5(col("rendered").cast("binary")).as("rendered_fp"),
+          posexplode(col("spans")))
+        .select(col("conv_id"), col("rendered_fp"),
+          (col("pos") + 1).as("span_idx"),
+          col("col.s").as("mask_start"), col("col.e").as("mask_end"))),
+
     // T5 span corruption: 16-token blocks, 3-token spans, rate 0.5 —
     // every mask decision is seeded md5 arithmetic the oracle replays
     "pipe_span_corrupt" -> ((s, d) =>
@@ -739,7 +754,7 @@ object CurationQueries {
       |h AS (SELECT *, sum(nc) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |                              ROWS UNBOUNDED PRECEDING) - 1 AS ci FROM g),
       |conv AS (
-      |  SELECT user_id * 1000000 + ci AS conv_id, user_id AS who,
+      |  SELECT CAST(user_id * 1000000 + ci AS BIGINT) AS conv_id, user_id AS who,
       |         count(*) AS n_turns, min(ts) AS started_at, max(ts) AS ended_at,
       |         string_agg(event_type || ': ' || props, chr(10) ORDER BY ts, event_id) AS transcript,
       |         bool_or(event_type = 'click') AS has_click
@@ -759,6 +774,32 @@ object CurationQueries {
          |SELECT conv_id, who, n_turns, n_tokens
          |FROM convt
          |WHERE n_turns BETWEEN 2 AND 40 AND n_tokens <= 120 AND has_click""".stripMargin,
+
+    // same turn pieces ('<|role|>\n' text '<|end|>\n'), running offsets as
+    // a window prefix sum, mask spans for the 'click' role, and the
+    // rendered-string fingerprint per conversation
+    "pipe_chat_render" ->
+      s"""$duckConvCtes,
+         |p AS (SELECT CAST(user_id * 1000000 + ci AS BIGINT) AS conv_id, ts, event_id,
+         |        event_type AS role, props AS txt,
+         |        5 + len(event_type) + len(props) + 8 AS piece_len
+         |      FROM h),
+         |o AS (SELECT *, coalesce(sum(piece_len) OVER (PARTITION BY conv_id
+         |        ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+         |      FROM p),
+         |r AS (SELECT conv_id,
+         |        md5(string_agg('<|' || role || '|>' || chr(10) || txt || '<|end|>' || chr(10),
+         |          '' ORDER BY ts, event_id)) AS rendered_fp
+         |      FROM p GROUP BY conv_id),
+         |m AS (SELECT conv_id, ts, event_id,
+         |        off + len(role) + 5 AS s, off + len(role) + 5 + len(txt) AS e
+         |      FROM o WHERE role = 'click'),
+         |mi AS (SELECT conv_id, s, e,
+         |        row_number() OVER (PARTITION BY conv_id ORDER BY ts, event_id) AS span_idx
+         |      FROM m)
+         |SELECT mi.conv_id, r.rendered_fp, CAST(span_idx AS INTEGER) AS span_idx,
+         |  CAST(s AS BIGINT) AS mask_start, CAST(e AS BIGINT) AS mask_end
+         |FROM mi JOIN r USING (conv_id)""".stripMargin,
 
     // span corruption: replay every md5 block decision, offset, sentinel
     // index, and the input/target reassembly in list arithmetic.

@@ -59,4 +59,31 @@ class ConversationsSpec extends AnyFunSuite {
     // user 1 passes; user 2 has 1 turn + no assistant; user 3 blows the budget
     assert(kept == Set(1L))
   }
+
+  test("renderMasked: spans address exactly the assistant turns' raw text") {
+    val events = Seq(
+      (1L, ts(0), 1L, "user", "what is two plus two"),
+      (1L, ts(1), 2L, "assistant", "four"),
+      (1L, ts(2), 3L, "user", "thanks"),
+      (1L, ts(3), 4L, "assistant", "any time"),
+      (2L, ts(0), 5L, "user", "no assistant reply in this one"))
+      .toDF("who", "at", "turn_id", "role", "text")
+    val convs = Conversations.assemble(events, col("who"), col("at"),
+      col("turn_id"), col("role"), col("text"), gapMinutes = 30)
+    val out = Conversations.renderMasked(convs, maskRole = "assistant")
+      .select("who", "rendered", "spans")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getSeq[org.apache.spark.sql.Row](2)
+          .map(s => (s.getLong(0), s.getLong(1)))))).toMap
+    val (rendered, spans) = out(1L)
+    // the exact template, turns in order
+    assert(rendered ==
+      "<|user|>\nwhat is two plus two<|end|>\n<|assistant|>\nfour<|end|>\n" +
+      "<|user|>\nthanks<|end|>\n<|assistant|>\nany time<|end|>\n")
+    // every span substrings back to the turn's raw text
+    assert(spans.map { case (s, e) => rendered.substring(s.toInt, e.toInt) }
+      == Seq("four", "any time"))
+    // no assistant turn -> rendered but zero spans
+    assert(out(2L)._2.isEmpty && out(2L)._1.startsWith("<|user|>\n"))
+  }
 }
