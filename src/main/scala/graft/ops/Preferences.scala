@@ -113,4 +113,39 @@ object Preferences {
         (col("score") - col("runner_up")).as("margin"),
         col("n_samples"))
   }
+
+  /** Group-relative advantage normalization — the GRPO preprocessing step
+    * (Shao et al. 2024, DeepSeekMath §4: the per-prompt z-score replaces
+    * the learned value baseline) and the classic REINFORCE
+    * leave-nothing-out baseline: for each task's group of sampled rollouts,
+    * `advantage = (reward − mean(group)) / std(group)` with population std
+    * and a zero-variance guard (a group of identical rewards carries no
+    * signal — advantage 0, never a division blow-up).
+    *
+    * Determinism contract: rewards should be integer-valued (quantize
+    * upstream if needed) so the group sum and sum-of-squares are exact;
+    * mean/variance/z-score are then a FIXED sequence of IEEE divisions any
+    * engine reproduces bit-for-bit, rounded to 6. One hash shuffle on the
+    * task key; mean/std via partial-aggregated sum/sumsq/count, never a
+    * per-group buffer. Returns every rollout with (reward, advantage,
+    * n_group).
+    */
+  def groupAdvantages(samples: DataFrame, task: Column, sampleId: Column,
+      reward: Column): DataFrame = {
+    val base = samples.select(task.as("task_id"), sampleId.as("sample_id"),
+      reward.cast("double").as("reward"))
+    val stats = base.groupBy("task_id").agg(
+      sum(col("reward")).as("__s"),
+      sum(col("reward") * col("reward")).as("__ss"),
+      count(lit(1)).cast("double").as("__n"))
+    base.join(stats, "task_id")
+      .withColumn("__mean", col("__s") / col("__n"))
+      .withColumn("__var",
+        (col("__ss") - col("__s") * col("__s") / col("__n")) / col("__n"))
+      .select(col("task_id"), col("sample_id"), col("reward"),
+        when(col("__var") <= 0.0, 0.0)
+          .otherwise(round((col("reward") - col("__mean")) /
+            sqrt(col("__var")), 6)).as("advantage"),
+        col("__n").cast("long").as("n_group"))
+  }
 }

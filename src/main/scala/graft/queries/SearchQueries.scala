@@ -179,6 +179,15 @@ object SearchQueries {
         t(s, d, "events").select("user_id", "event_id", "value"),
         col("user_id"), col("event_id"), col("value"))),
 
+    // GRPO group-relative advantages: task = user, rollout = event, reward
+    // = floor(value) so sums/sumsq are exact integers and the z-score is a
+    // fixed IEEE division sequence; zero-variance groups pin to 0
+    "pipe_group_advantage" -> ((s, d) =>
+      Preferences.groupAdvantages(
+        t(s, d, "events").select(col("user_id"), col("event_id"),
+          floor(col("value")).as("r")),
+        col("user_id"), col("event_id"), col("r"))),
+
     // Bradley-Terry strengths over event-type "arena battles": each user's
     // consecutive events (event_id order) fight, higher value wins, ties
     // and same-type pairs are skipped; 5 MM rounds
@@ -763,6 +772,20 @@ object SearchQueries {
         |SELECT task_id, event_id AS best_id, value AS best_score,
         |       value - runner_up AS margin, n_samples
         |FROM r WHERE rn = 1""".stripMargin,
+
+    // same exact-integer sum/sumsq stats, identical division sequence for
+    // mean/var/z-score, zero-variance pin to 0
+    "pipe_group_advantage" ->
+      """WITH b AS (SELECT user_id AS task_id, event_id AS sample_id,
+        |             CAST(floor(value) AS DOUBLE) AS reward FROM events),
+        |st AS (SELECT task_id, sum(reward) AS s, sum(reward * reward) AS ss,
+        |         CAST(count(*) AS DOUBLE) AS n
+        |       FROM b GROUP BY task_id)
+        |SELECT b.task_id, b.sample_id, b.reward,
+        |  CASE WHEN (ss - s * s / n) / n <= 0.0 THEN 0.0
+        |       ELSE round((reward - s / n) / sqrt((ss - s * s / n) / n), 6) END AS advantage,
+        |  CAST(n AS BIGINT) AS n_group
+        |FROM b JOIN st USING (task_id)""".stripMargin,
 
     // Bradley-Terry: same battle derivation, then 5 unrolled MM rounds —
     // each: denominator join, raw update, rescale to sum = #items

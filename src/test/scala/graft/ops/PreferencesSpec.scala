@@ -64,4 +64,25 @@ class PreferencesSpec extends AnyFunSuite {
     assert(out(2L).getLong(1) == 20L && out(2L).getDouble(3) == 0.0)
     assert(out(3L).isNullAt(3))
   }
+
+  test("groupAdvantages: hand z-scores; zero-variance group pins to 0") {
+    val rolls = Seq(
+      // task 1: rewards 1, 3, 5 -> mean 3, pop-var 8/3
+      (1L, 10L, 1.0), (1L, 11L, 3.0), (1L, 12L, 5.0),
+      // task 2: identical rewards -> zero variance -> advantage 0
+      (2L, 20L, 7.0), (2L, 21L, 7.0),
+      // task 3: single rollout -> its own mean, variance 0
+      (3L, 30L, 4.0)
+    ).toDF("task", "id", "r")
+    val out = Preferences.groupAdvantages(rolls, col("task"), col("id"), col("r"))
+      .collect().map(r => r.getLong(1) ->
+        ((r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    val sd = math.sqrt(8.0 / 3.0)
+    assert(out(10L) == ((1.0, BigDecimal(-2.0 / sd).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble, 3L)))
+    assert(out(11L)._2 == 0.0 && out(12L)._2 > 0)
+    assert(out(12L)._2 == -out(10L)._2) // symmetric around the mean
+    assert(out(20L)._2 == 0.0 && out(21L)._2 == 0.0)
+    assert(out(30L) == ((4.0, 0.0, 1L)))
+  }
 }
