@@ -99,6 +99,43 @@ object GenEval {
         .otherwise(bp * geoMean(prod, maxN)), 6).as("bleu")): _*)
   }
 
+  /** Self-BLEU diversity of a candidate group (Zhu et al. 2018, Texygen —
+    * the standard mode-collapse metric for synthetic/generated data): each
+    * of a task's candidates is BLEU-scored against each OTHER candidate as
+    * reference; a high mean says the generator repeats itself.
+    * `diversity = 1 − selfBleu` is the column a synthetic-data pipeline
+    * thresholds on. Per-group work is bounded: the first `maxPerGroup`
+    * candidates in id order enter the pairing (k·(k−1) scored pairs per
+    * group, each a row-local native kernel call), so a hot task can never
+    * go quadratic in its sample count. Per-pair scores quantize to integer
+    * millionths before the mean, making the aggregate order-independent.
+    * Returns (group, n_pairs, self_bleu, diversity); singleton groups have
+    * no pairs and are absent. One shuffle on the group key.
+    */
+  def selfBleu(df: DataFrame, group: Column, id: Column, text: Column,
+      maxPerGroup: Int = 5, maxN: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxPerGroup >= 2, "selfBleu needs at least 2 candidates per group")
+    val w = Window.partitionBy(col("g")).orderBy(col("id"))
+    val topk = df.select(group.as("g"), id.as("id"), text.as("t"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= maxPerGroup)
+      .select("g", "id", "t")
+    val pairs = topk.as("a").join(topk.as("b"),
+      col("a.g") === col("b.g") && col("a.id") =!= col("b.id"))
+      .select(col("a.g").as("g"), col("a.t").as("cand"), col("b.t").as("ref"))
+    val scored = sentenceBleu(pairs, col("g"), col("cand"), col("ref"), maxN)
+    scored
+      .select(col("pair_id").as("group"),
+        round(col("bleu") * 1e6, 0).cast("long").as("ci"))
+      .groupBy("group")
+      .agg(count(lit(1)).as("n_pairs"), sum("ci").as("__s"))
+      .select(col("group"), col("n_pairs"),
+        round(col("__s").cast("double") /
+          (col("n_pairs").cast("double") * 1e6), 6).as("self_bleu"),
+        round(lit(1.0) - col("__s").cast("double") /
+          (col("n_pairs").cast("double") * 1e6), 6).as("diversity"))
+  }
+
   /** Per-pair ROUGE-N: clipped n-gram precision/recall/F1,
     *   P = m/t_cand, R = m/t_ref (0 when the denominator is 0),
     *   F1 = 2·P·R/(P+R) (0 when P+R = 0),

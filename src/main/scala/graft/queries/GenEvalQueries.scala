@@ -45,7 +45,16 @@ object GenEvalQueries {
     // ROUGE-L (LCS F1) per pair — no SQL oracle exists for the sequential
     // LCS DP; spec-verified against brute force, gate-checked rows-only
     "pipe_rouge_l" -> ((s, d) =>
-      GenEval.rougeL(pairs(s, d), col("doc_id"), col("cand"), col("ref"))))
+      GenEval.rougeL(pairs(s, d), col("doc_id"), col("cand"), col("ref"))),
+
+    // Self-BLEU diversity per source over the first 5 docs (k·(k−1)=20
+    // pairs per group), scores in integer millionths before the mean
+    "pipe_self_bleu" -> ((s, d) =>
+      GenEval.selfBleu(
+        t(s, d, "documents").select(col("source"), col("doc_id"),
+          substring(col("text"), 1, 200).as("t")),
+        col("source"), col("doc_id"), col("t"))
+        .withColumnRenamed("group", "source")))
 
   /** The default gate pairing: each doc against the next doc of its
     * source. DtlQueries reuses the CTE builders below with its own
@@ -210,5 +219,38 @@ object GenEvalQueries {
     "pipe_chrf" ->
       ("WITH pairs AS (" + defaultPairsSql + "),\n" + chrfCtes + "\n" +
         """SELECT doc_id AS pair_id, cand_chars, ref_chars, chrf
-          |FROM chrfv""".stripMargin))
+          |FROM chrfv""".stripMargin),
+
+    // same smoothed sentence-BLEU arithmetic as pipe_bleu over the
+    // all-ordered-pairs-of-first-5 pairing, integer-millionth mean
+    "pipe_self_bleu" -> {
+      val selfPairs =
+        """SELECT a.doc_id * 1000000 + b.doc_id AS doc_id, a.source,
+          |       a.t AS cand, b.t AS ref
+          |FROM (SELECT doc_id, source, substr(text, 1, 200) AS t,
+          |        row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+          |      FROM documents) a
+          |JOIN (SELECT doc_id, source, substr(text, 1, 200) AS t,
+          |        row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+          |      FROM documents) b
+          |  ON a.source = b.source AND a.doc_id <> b.doc_id
+          |WHERE a.rn <= 5 AND b.rn <= 5""".stripMargin
+      s"""${wordCtes(selfPairs)},
+         |bpc AS (SELECT *,
+         |          CASE WHEN cand_len >= ref_len THEN 1.0
+         |               ELSE exp(1.0 - ref_len::DOUBLE / cand_len) END AS bp0
+         |        FROM stats),
+         |sc AS (SELECT source,
+         |         CAST(round(round(CASE WHEN cand_len = 0 OR m1 = 0 THEN 0.0
+         |           ELSE bp0 * sqrt(sqrt(
+         |             (m1::DOUBLE / t1::DOUBLE)
+         |             * ((m2 + 1.0) / (t2 + 1.0))
+         |             * ((m3 + 1.0) / (t3 + 1.0))
+         |             * ((m4 + 1.0) / (t4 + 1.0)))) END, 6) * 1000000, 0) AS BIGINT) AS ci
+         |       FROM bpc)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  round(sum(ci)::DOUBLE / (count(*) * 1000000.0), 6) AS self_bleu,
+         |  round(1.0 - sum(ci)::DOUBLE / (count(*) * 1000000.0), 6) AS diversity
+         |FROM sc GROUP BY source""".stripMargin
+    })
 }

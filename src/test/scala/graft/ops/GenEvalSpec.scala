@@ -173,4 +173,28 @@ class GenEvalSpec extends AnyFunSuite {
     assert(row.getLong(1) == 7 && row.getLong(2) == 7)
     assert(row.getDouble(3) == 100.0)
   }
+
+  test("selfBleu: clones score 1, disjoint texts 0, singleton absent, cap holds") {
+    val s1 = "the quick brown fox jumps over the lazy dog today"
+    val s2 = "completely different words appear in this second candidate here now"
+    val rows = Seq(
+      // group A: three identical candidates -> every pair BLEU 1
+      (1L, 10L, s1), (1L, 11L, s1), (1L, 12L, s1),
+      // group B: two word-disjoint candidates -> unigram precision 0
+      (2L, 20L, s1), (2L, 21L, s2),
+      // group C: one candidate -> no pairs
+      (3L, 30L, s1)
+    ).toDF("g", "id", "t")
+    val out = GenEval.selfBleu(rows, col("g"), col("id"), col("t"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((6L, 1.0, 0.0))) // 3·2 ordered pairs, all identical
+    assert(out(2L) == ((2L, 0.0, 1.0)))
+    assert(!out.contains(3L))
+    // maxPerGroup caps the pairing: 5 clones at cap 3 -> 6 pairs, not 20
+    val many = (0L until 5L).map(i => (9L, i, s1)).toDF("g", "id", "t")
+    val capped = GenEval.selfBleu(many, col("g"), col("id"), col("t"),
+      maxPerGroup = 3).collect().head
+    assert(capped.getLong(1) == 6L && capped.getDouble(2) == 1.0)
+  }
 }
