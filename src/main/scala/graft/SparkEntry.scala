@@ -65,5 +65,9 @@ object SparkEntry {
     "pipe_hits", "pipe_triangles", "pipe_kcore", "pipe_html_links",
     "pipe_readability", "pipe_collocations", "pipe_communities",
     "pipe_cooccurrence",
-    "pipe_c4_span_dedup", "pipe_code_gate")
+    "pipe_c4_span_dedup", "pipe_code_gate",
+    "pipe_extract_content", "pipe_secrets", "pipe_license", "pipe_html_meta",
+    "pipe_bitext_margin", "pipe_random_projection", "pipe_split_leakage",
+    "pipe_contamination_report", "pipe_chat_render", "pipe_group_advantage",
+    "pipe_self_bleu")
 }

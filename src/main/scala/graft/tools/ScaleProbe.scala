@@ -690,6 +690,34 @@ object ScaleProbe {
     }
     println(f"  kept $umKept%,d rows (~${umN / 100}%,d tokens/domain)")
 
+    println(s"== bitext margin scoring over an IVF-sized candidate frame ==")
+    // the scale path: knnGraph emits ~k candidates per point; marginFromScores
+    // then pays two windowed top-k passes + two aggregate joins on the ids —
+    // probe it at n/2 candidates (src fan-out 8) to show the windows and
+    // joins hold without any global sort
+    val mmN = n / 2
+    val cand = spark.range(mmN).select(
+      (col("id") / 8).as("src_id"),
+      pmod(xxhash64(col("id")), lit(mmN / 4)).as("tgt_id"),
+      (pmod(xxhash64(col("id"), lit(1)), lit(2000001L)) - 1000000L).as("ci"))
+    val bmKept = time(f"marginFromScores ($mmN%,d candidate scores, k=4)") {
+      graft.ops.Similarity.marginFromScores(cand, k = 4, threshold = 1.0).count()
+    }
+    println(f"  mutual-best pairs: $bmKept%,d")
+
+    println(s"== secret scan over $n rows (row-local regexp surface) ==")
+    val secDocs = spark.range(n).select(col("id"),
+      concat(lit("code line x = 1 token "),
+        when(col("id") % 100 === 0,
+          concat(lit("AKIA"), upper(substring(md5(col("id").cast("string")), 1, 16))))
+          .otherwise(lit("none")),
+        lit(" tail")).as("text"))
+    val secHits = time(f"Secrets.scan ($n%,d docs, 1%% planted keys)") {
+      graft.ops.Secrets.scan(secDocs, col("id"), col("text"))
+        .agg(sum("n_secrets")).as[Long].head()
+    }
+    println(f"  hits $secHits%,d (want ${n / 100}%,d)")
+
     spark.stop()
   }
 }
