@@ -17,9 +17,11 @@ trait Exporter {
 }
 
 /** Parquet by default (reference parity: `<dir>/<name>.parquet`, io.py:41);
-  * names carrying an explicit `.csv` / `.json` / `.orc` / `.parquet`
+  * names carrying an explicit `.csv` / `.tsv` / `.json` / `.jsonl` /
+  * `.orc` / `.parquet`
   * extension select that format (connector extension per SURVEY.md §2 D).
-  * CSV reads with header + schema inference; JSON is line-delimited; ORC is
+  * CSV/TSV read with header + schema inference; JSON is line-delimited
+  * (`.jsonl` is an alias — the training-data interchange format); ORC is
   * Spark's built-in columnar alternative (same pushdown/pruning story as
   * parquet); TXT reads one row per line into a single `value` TEXT column
   * (the raw-crawl shape — WET-style dumps), and on export writes the
@@ -32,7 +34,12 @@ final class FilesystemImporter(spark: SparkSession, inputDir: String) extends Im
       case Some("csv") =>
         spark.read.option("header", "true").option("inferSchema", "true")
           .csv(s"$inputDir/$name")
-      case Some("json") => spark.read.json(s"$inputDir/$name")
+      case Some("tsv") =>
+        spark.read.option("header", "true").option("inferSchema", "true")
+          .option("sep", "\t").csv(s"$inputDir/$name")
+      // Spark's json source IS line-delimited — `.jsonl` (the de-facto
+      // training-data interchange format) is the same reader
+      case Some("json") | Some("jsonl") => spark.read.json(s"$inputDir/$name")
       case Some("orc") => spark.read.orc(s"$inputDir/$name")
       case Some("parquet") => spark.read.parquet(s"$inputDir/$name")
       case Some("txt") => spark.read.text(s"$inputDir/$name")
@@ -63,7 +70,11 @@ final class FilesystemExporter(outputDir: String) extends Exporter {
     Io.extensionOf(name) match {
       case Some("csv") =>
         df.write.mode("overwrite").option("header", "true").csv(s"$outputDir/$name")
-      case Some("json") => df.write.mode("overwrite").json(s"$outputDir/$name")
+      case Some("tsv") =>
+        df.write.mode("overwrite").option("header", "true").option("sep", "\t")
+          .csv(s"$outputDir/$name")
+      case Some("json") | Some("jsonl") =>
+        df.write.mode("overwrite").json(s"$outputDir/$name")
       case Some("orc") => df.write.mode("overwrite").orc(s"$outputDir/$name")
       case Some("parquet") => df.write.mode("overwrite").parquet(s"$outputDir/$name")
       case Some("txt") =>

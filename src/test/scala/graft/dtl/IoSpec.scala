@@ -30,6 +30,33 @@ class IoSpec extends AnyFunSuite {
     assert(pq.collect().map(_.getString(1)).sorted.toSeq == Seq("B", "C"))
   }
 
+  test("jsonl and tsv round-trip through the engine") {
+    val dir = java.nio.file.Files.createTempDirectory("dtl-jsonl").toString
+    Seq((1L, "a\tx"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .write.json(s"$dir/input.jsonl")
+
+    new Engine(spark).run(
+      """WITH t AS IMPORT 'input.jsonl';
+        |WITH big AS SELECT k, upper(v) AS uv FROM t WHERE to_int64(k) >= 2;
+        |EXPORT big TO 'out.jsonl';
+        |EXPORT big TO 'out.tsv';""".stripMargin,
+      new FilesystemImporter(spark, dir),
+      new FilesystemExporter(dir))
+
+    // .jsonl writes line-delimited JSON readable by the plain json reader
+    val jl = spark.read.json(s"$dir/out.jsonl")
+    assert(jl.collect().map(_.getAs[String]("uv")).sorted.toSeq == Seq("B", "C"))
+    // raw bytes: one object per line
+    val lines = spark.read.text(s"$dir/out.jsonl")
+      .collect().map(_.getString(0)).filter(_.nonEmpty)
+    assert(lines.length == 2 && lines.forall(l => l.startsWith("{") && l.endsWith("}")))
+    // .tsv re-imports with the same values (header + tab separation); the
+    // embedded tab in a value is CSV-quoted, not a column break
+    val back = new FilesystemImporter(spark, dir).importTable("out.tsv")
+    assert(back.columns.sorted.toSeq == Seq("k", "uv"))
+    assert(back.count() == 2)
+  }
+
   test("orc round-trips through the engine with pushdown intact") {
     val dir = java.nio.file.Files.createTempDirectory("dtl-orc").toString
     Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
