@@ -68,7 +68,9 @@ object Secrets {
     val counts = patterns.map { case (kind, pat) =>
       kind -> size(regexp_extract_all(text, lit(pat), lit(0)))
     }
-    val total = count(text)
+    // reuse the per-kind counts — `count(text)` here would run every
+    // pattern a second time in the same projection
+    val total = counts.map(_._2).reduce(_ + _)
     val kinds = array_join(
       filter(array(counts.map { case (k, c) =>
         when(c > 0, lit(k)).otherwise(lit(null).cast("string"))

@@ -250,6 +250,8 @@ object TextAnalysis {
     val published = coalesce(
       first("(?is)<meta[^>]*property\\s*=\\s*\"article:published_time\"[^>]*content\\s*=\\s*\"([^\"]*)\""),
       first("(?is)<time[^>]*datetime\\s*=\\s*\"([^\"]*)\""))
+    val robots = first(
+      "(?is)<meta[^>]*name\\s*=\\s*\"robots\"[^>]*content\\s*=\\s*\"([^\"]*)\"")
     df.select(id.as("id"),
       htmlTitle(html).as("title"),
       first("(?is)<meta[^>]*property\\s*=\\s*\"og:title\"[^>]*content\\s*=\\s*\"([^\"]*)\"").as("og_title"),
@@ -258,7 +260,11 @@ object TextAnalysis {
       // try_to_date: a crawl page's malformed datetime attribute must
       // yield NULL, never an ANSI parse error
       try_to_date(when(published.rlike("^\\d{4}-\\d{2}-\\d{2}"),
-        substring(published, 1, 10))).as("published_date"))
+        substring(published, 1, 10))).as("published_date"),
+      // the robots-directive compliance bit a responsible crawl pipeline
+      // honors: a <meta name="robots"> containing the noindex token means
+      // the page asked to stay out of the corpus (missing meta = false)
+      coalesce(lower(robots).contains("noindex"), lit(false)).as("noindex"))
   }
 
   def htmlLinks(df: org.apache.spark.sql.DataFrame, id: Column,

@@ -326,6 +326,8 @@ object CurationQueries {
         when(col("doc_id") % 5 === 0,
           lit("<meta property=\"article:published_time\" content=\"2023-07-04T10:00:00Z\"/>"))
           .otherwise(lit("")),
+        when(col("doc_id") % 6 === 0,
+          lit("<meta name=\"robots\" content=\"NOINDEX, nofollow\"/>")).otherwise(lit("")),
         lit("</head><body>"),
         when(col("doc_id") % 7 === 0,
           lit("<time datetime=\"2022-01-31T08:00:00\">then</time>")).otherwise(lit("")),
@@ -1225,6 +1227,7 @@ object CurationQueries {
          |  || (CASE WHEN doc_id % 4 = 0 THEN '<link rel="canonical" href="https://ex.com/p/' || doc_id || '"/>' ELSE '' END)
          |  || (CASE WHEN doc_id % 9 = 0 THEN '<meta property="article:published_time" content="2024-99-99T00:00:00"/>' ELSE '' END)
          |  || (CASE WHEN doc_id % 5 = 0 THEN '<meta property="article:published_time" content="2023-07-04T10:00:00Z"/>' ELSE '' END)
+         |  || (CASE WHEN doc_id % 6 = 0 THEN '<meta name="robots" content="NOINDEX, nofollow"/>' ELSE '' END)
          |  || '</head><body>'
          |  || (CASE WHEN doc_id % 7 = 0 THEN '<time datetime="2022-01-31T08:00:00">then</time>' ELSE '' END)
          |  || text || '</body>' AS h FROM documents),
@@ -1234,13 +1237,17 @@ object CurationQueries {
          |  nullif(regexp_extract(h, '(?is)<link[^>]*rel\\s*=\\s*"canonical"[^>]*href\\s*=\\s*"([^"]*)"', 1), '') AS canonical,
          |  coalesce(
          |    nullif(regexp_extract(h, '(?is)<meta[^>]*property\\s*=\\s*"article:published_time"[^>]*content\\s*=\\s*"([^"]*)"', 1), ''),
-         |    nullif(regexp_extract(h, '(?is)<time[^>]*datetime\\s*=\\s*"([^"]*)"', 1), '')) AS published
+         |    nullif(regexp_extract(h, '(?is)<time[^>]*datetime\\s*=\\s*"([^"]*)"', 1), '')) AS published,
+         |  coalesce(contains(lower(regexp_extract(h,
+         |    '(?is)<meta[^>]*name\\s*=\\s*"robots"[^>]*content\\s*=\\s*"([^"]*)"', 1)),
+         |    'noindex'), false) AS noindex
          |  FROM p)
          |SELECT doc_id,
          |  ${duckCleanBlock("rawtitle")} AS title,
          |  og_title, canonical, published,
          |  CAST(CASE WHEN regexp_matches(published, '^\\d{4}-\\d{2}-\\d{2}')
-         |       THEN try_cast(substr(published, 1, 10) AS DATE) END AS VARCHAR) AS published_date
+         |       THEN try_cast(substr(published, 1, 10) AS DATE) END AS VARCHAR) AS published_date,
+         |  noindex
          |FROM e""".stripMargin,
 
     // independent oracle: expected literals per stripe, never replaying the

@@ -558,10 +558,16 @@ class CurationSpec extends AnyFunSuite {
       // shape-valid calendar-invalid date -> published kept, date NULL
       (4L, "<meta property=\"article:published_time\" content=\"2024-99-99T00:00:00\"/>"),
       // non-ISO prefix -> date NULL without an ANSI error
-      (5L, "<time datetime=\"July 4, 2023\">x</time>")
+      (5L, "<time datetime=\"July 4, 2023\">x</time>"),
+      // robots noindex in any case/position flips the compliance bit
+      (6L, "<meta name=\"robots\" content=\"nofollow, NOINDEX\"/><title>T6</title>")
     ).toDF("id", "h")
-    val out = TextAnalysis.htmlMeta(rows, col("id"), col("h"))
-      .collect().map(r => r.getLong(0) ->
+    val all = TextAnalysis.htmlMeta(rows, col("id"), col("h")).collect()
+    // the robots bit: set only where the noindex token appears
+    assert(all.map(r => r.getLong(0) -> r.getBoolean(6)).toMap ==
+      Map(1L -> false, 2L -> false, 3L -> false, 4L -> false, 5L -> false,
+        6L -> true))
+    val out = all.map(r => r.getLong(0) ->
         ((Option(r.getString(1)), Option(r.getString(2)), Option(r.getString(3)),
           Option(r.getString(4)), Option(r.getDate(5)).map(_.toString)))).toMap
     assert(out(1L) == ((Some("News & views"), None, None,
@@ -571,6 +577,7 @@ class CurationSpec extends AnyFunSuite {
     assert(out(3L) == ((None, None, None, None, None)))
     assert(out(4L) == ((None, None, None, Some("2024-99-99T00:00:00"), None)))
     assert(out(5L) == ((None, None, None, Some("July 4, 2023"), None)))
+    assert(out(6L) == ((Some("T6"), None, None, None, None)))
   }
 
   test("readability: hand-counted Flesch and FK grade; empty docs omitted") {
