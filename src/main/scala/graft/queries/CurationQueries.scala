@@ -341,6 +341,31 @@ object CurationQueries {
         .withColumn("published_date", col("published_date").cast("string"))
     }),
 
+    // the crawl pipeline end-to-end: robots gate -> content extraction ->
+    // secret scan/redaction, all from one planted page per doc
+    "pipe_crawl_e2e" -> ((s, d) => {
+      val did = col("doc_id").cast("string")
+      val page = concat(
+        lit("<title>Crawl &amp; clean "), did, lit("</title>"),
+        when(col("doc_id") % 23 === 0,
+          lit("<meta name=\"robots\" content=\"noindex\"/>")).otherwise(lit("")),
+        lit(navBlock), lit(goodBlock),
+        lit("<p>"), col("text"),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" key AKIA"),
+            upper(substring(md5(concat(did, lit(":ck"))), 1, 16)))).otherwise(lit("")),
+        lit("</p>"), lit(footBlock))
+      val withPage = t(s, d, "documents").select(col("doc_id"), page.as("h"))
+      val meta = TextAnalysis.htmlMeta(withPage, col("doc_id"), col("h"))
+        .select(col("id").as("mid"), col("noindex"))
+      TextAnalysis.extractContent(withPage, col("doc_id"), col("h"))
+        .join(meta, col("id") === col("mid"))
+        .filter(!col("noindex"))
+        .select(col("id").as("doc_id"), col("n_blocks"), col("n_good"),
+          graft.ops.Secrets.count(col("content")).as("n_sec"),
+          md5(graft.ops.Secrets.redact(col("content")).cast("binary")).as("clean_fp"))
+    }),
+
     // encoding repair over planted mojibake: single- and double-mangled
     // UTF-8-as-Latin-1 suffixes fix to their clean forms; the %13 stripe
     // plants GENUINE Latin-1-range text (a real é byte is invalid UTF-8)
@@ -645,6 +670,36 @@ object CurationQueries {
   private val listBlock = "<ul><li>alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu</li></ul>"
   private val shortBlock = "<p>Too short.</p>"
   private val footBlock = "<footer>Copyright links: <a href=\"/terms\">the terms of the service and all of it</a></footer>"
+
+  /** The DuckDB twin of TextAnalysis.extractContent's block chain, FROM a
+    * `p(doc_id, h)` CTE: pre-clean, block split, per-block clean + anchor
+    * text, word/link/stopword counts, nonempty + good filters. Ends in
+    * `g(doc_id, nes, good)`. Shared by pipe_extract_content and the
+    * composed pipe_crawl_e2e.
+    */
+  private def duckExtractCtes: String =
+    s"""pc AS (SELECT doc_id, regexp_replace(regexp_replace(h,
+       |         '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+       |         '(?s)<!--.*?-->', ' ', 'g') AS s FROM p),
+       |bl AS (SELECT doc_id, string_split_regex(s,
+       |         '(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|th|br|section|article|header|footer|nav|blockquote)(?:>|[\\s/][^>]*>)') AS blocks
+       |       FROM pc),
+       |m AS (SELECT doc_id, list_transform(blocks, b -> struct_pack(
+       |        txt := ${duckCleanBlock("b")},
+       |        ltxt := ${duckCleanBlock(
+                  "coalesce(array_to_string(regexp_extract_all(b, '(?is)<a[^>]*>(.*?)</a>', 1), ' '), '')")})) AS ms
+       |      FROM bl),
+       |sc AS (SELECT doc_id, list_transform(ms, s -> struct_pack(
+       |        txt := s.txt,
+       |        nw := len(list_filter(string_split(s.txt, ' '), w -> w <> '')),
+       |        lw := len(list_filter(string_split(s.ltxt, ' '), w -> w <> '')),
+       |        sw := len(list_filter(string_split(lower(s.txt), ' '),
+       |                w -> list_contains(['the','a','of','and','to','in','is','it'], w))))) AS scs
+       |       FROM m),
+       |ne AS (SELECT doc_id, list_filter(scs, s -> s.nw > 0) AS nes FROM sc),
+       |g AS (SELECT doc_id, nes, list_filter(nes, s -> s.nw >= 10
+       |        AND round(s.lw / CAST(s.nw AS DOUBLE), 6) <= 0.5
+       |        AND round(s.sw / CAST(s.nw AS DOUBLE), 6) >= 0.05) AS good FROM ne)""".stripMargin
 
   // the stripHtml-identical tag-strip + unescape + collapse chain, as a
   // DuckDB expression over `e`
@@ -1189,33 +1244,45 @@ object CurationQueries {
          |  || (CASE WHEN doc_id % 3 = 0 THEN '$listBlock' ELSE '' END)
          |  || (CASE WHEN doc_id % 5 = 0 THEN '$shortBlock' ELSE '' END)
          |  || '$footBlock' AS h FROM documents),
-         |pc AS (SELECT doc_id, regexp_replace(regexp_replace(h,
-         |         '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
-         |         '(?s)<!--.*?-->', ' ', 'g') AS s FROM p),
-         |bl AS (SELECT doc_id, string_split_regex(s,
-         |         '(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|th|br|section|article|header|footer|nav|blockquote)(?:>|[\\s/][^>]*>)') AS blocks
-         |       FROM pc),
-         |m AS (SELECT doc_id, list_transform(blocks, b -> struct_pack(
-         |        txt := ${duckCleanBlock("b")},
-         |        ltxt := ${duckCleanBlock(
-                    "coalesce(array_to_string(regexp_extract_all(b, '(?is)<a[^>]*>(.*?)</a>', 1), ' '), '')")})) AS ms
-         |      FROM bl),
-         |sc AS (SELECT doc_id, list_transform(ms, s -> struct_pack(
-         |        txt := s.txt,
-         |        nw := len(list_filter(string_split(s.txt, ' '), w -> w <> '')),
-         |        lw := len(list_filter(string_split(s.ltxt, ' '), w -> w <> '')),
-         |        sw := len(list_filter(string_split(lower(s.txt), ' '),
-         |                w -> list_contains(['the','a','of','and','to','in','is','it'], w))))) AS scs
-         |       FROM m),
-         |ne AS (SELECT doc_id, list_filter(scs, s -> s.nw > 0) AS nes FROM sc),
-         |g AS (SELECT doc_id, nes, list_filter(nes, s -> s.nw >= 10
-         |        AND round(s.lw / CAST(s.nw AS DOUBLE), 6) <= 0.5
-         |        AND round(s.sw / CAST(s.nw AS DOUBLE), 6) >= 0.05) AS good FROM ne)
+         |$duckExtractCtes
          |SELECT doc_id,
          |  array_to_string(list_transform(good, s -> s.txt), chr(10)) AS content,
          |  CAST(len(nes) AS INTEGER) AS n_blocks,
          |  CAST(len(good) AS INTEGER) AS n_good
          |FROM g""".stripMargin,
+
+    // the crawl pipeline end-to-end: page -> robots-noindex gate ->
+    // main-content extraction -> secret count + redaction; every stage's
+    // SQL twin composes into one oracle over the same planted pages
+    "pipe_crawl_e2e" -> {
+      val pats = graft.ops.Secrets.patterns
+        .map { case (k, pt) => (k, pt.replace("'", "''")) }
+      val redact = pats.foldLeft("content") { case (e, (k, pt)) =>
+        s"regexp_replace($e, '$pt', '[SECRET:$k]', 'g')"
+      }
+      val cnt = pats.map { case (_, pt) =>
+        s"len(regexp_extract_all(content, '$pt'))"
+      }.mkString(" + ")
+      s"""WITH p AS (SELECT doc_id,
+         |  '<title>Crawl &amp; clean ' || doc_id || '</title>'
+         |  || (CASE WHEN doc_id % 23 = 0 THEN '<meta name="robots" content="noindex"/>' ELSE '' END)
+         |  || '$navBlock' || '$goodBlock' || '<p>' || text
+         |  || (CASE WHEN doc_id % 13 = 0 THEN ' key AKIA' || upper(substr(md5(doc_id || ':ck'), 1, 16)) ELSE '' END)
+         |  || '</p>' || '$footBlock' AS h FROM documents),
+         |$duckExtractCtes,
+         |nx AS (SELECT doc_id, coalesce(contains(lower(regexp_extract(h,
+         |         '(?is)<meta[^>]*name\\s*=\\s*"robots"[^>]*content\\s*=\\s*"([^"]*)"', 1)),
+         |         'noindex'), false) AS noindex FROM p),
+         |ct AS (SELECT doc_id,
+         |         coalesce(array_to_string(list_transform(good, s -> s.txt), chr(10)), '') AS content,
+         |         CAST(len(nes) AS INTEGER) AS n_blocks,
+         |         CAST(len(good) AS INTEGER) AS n_good FROM g)
+         |SELECT ct.doc_id, n_blocks, n_good,
+         |  CAST($cnt AS INTEGER) AS n_sec,
+         |  md5($redact) AS clean_fp
+         |FROM ct JOIN nx ON nx.doc_id = ct.doc_id
+         |WHERE NOT noindex""".stripMargin
+    },
 
     // same first-match regexes, entity/cleanup chain, meta-over-<time>
     // precedence and try-date semantics (try_cast mirrors try_to_date on
