@@ -114,6 +114,46 @@ object Preferences {
         col("n_samples"))
   }
 
+  /** DPO training-pair construction (Rafailov et al. 2023 — direct
+    * preference optimization consumes (prompt, chosen, rejected) triples):
+    * per task, pair the best-scoring rollout against the worst, keeping
+    * the pair only when the score margin clears `minMargin` — a pair the
+    * reward model barely separates teaches noise, the standard filter in
+    * RLAIF/UltraFeedback-style pipelines. Ties break by id on both ends
+    * (smaller id wins "chosen", smaller id wins "rejected" among equals),
+    * so the pair set is deterministic. Returns (task_id, chosen_id,
+    * rejected_id, chosen_score, rejected_score, margin); singleton tasks
+    * and zero-margin tasks produce no row. Both argmax and argmin come
+    * from ONE window pass over the same task partitioning.
+    */
+  def dpoPairs(samples: DataFrame, task: Column, sampleId: Column,
+      score: Column, minMargin: Double = 0.0): DataFrame = {
+    val base = samples.select(task.as("task_id"), sampleId.as("sample_id"),
+      score.cast("double").as("score"))
+    val wBest = Window.partitionBy(col("task_id"))
+      .orderBy(col("score").desc, col("sample_id").asc)
+    val wWorst = Window.partitionBy(col("task_id"))
+      .orderBy(col("score").asc, col("sample_id").asc)
+    base
+      .withColumn("rb", row_number().over(wBest))
+      .withColumn("rw", row_number().over(wWorst))
+      .groupBy("task_id")
+      .agg(
+        max(when(col("rb") === 1,
+          struct(col("sample_id"), col("score")))).as("__c"),
+        max(when(col("rw") === 1,
+          struct(col("sample_id"), col("score")))).as("__r"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2)
+      .select(col("task_id"),
+        col("__c.sample_id").as("chosen_id"),
+        col("__r.sample_id").as("rejected_id"),
+        col("__c.score").as("chosen_score"),
+        col("__r.score").as("rejected_score"),
+        (col("__c.score") - col("__r.score")).as("margin"))
+      .filter(col("margin") > minMargin)
+  }
+
   /** Group-relative advantage normalization — the GRPO preprocessing step
     * (Shao et al. 2024, DeepSeekMath §4: the per-prompt z-score replaces
     * the learned value baseline) and the classic REINFORCE

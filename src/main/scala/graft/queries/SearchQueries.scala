@@ -179,6 +179,13 @@ object SearchQueries {
         t(s, d, "events").select("user_id", "event_id", "value"),
         col("user_id"), col("event_id"), col("value"))),
 
+    // DPO pair construction: per user-task, best vs worst event by value
+    // with a 10-point minimum margin; ties to the smaller event id
+    "pipe_dpo_pairs" -> ((s, d) =>
+      Preferences.dpoPairs(
+        t(s, d, "events").select(col("user_id"), col("event_id"), col("value")),
+        col("user_id"), col("event_id"), col("value"), minMargin = 10.0)),
+
     // GRPO group-relative advantages: task = user, rollout = event, reward
     // = floor(value) so sums/sumsq are exact integers and the z-score is a
     // fixed IEEE division sequence; zero-variance groups pin to 0
@@ -772,6 +779,23 @@ object SearchQueries {
         |SELECT task_id, event_id AS best_id, value AS best_score,
         |       value - runner_up AS margin, n_samples
         |FROM r WHERE rn = 1""".stripMargin,
+
+    // same two windows over the task partitioning, same tie-breaks and
+    // margin filter
+    "pipe_dpo_pairs" ->
+      """WITH r AS (SELECT user_id AS task_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rb,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value ASC, event_id ASC) AS rw,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events),
+        |c AS (SELECT task_id, event_id AS chosen_id, value AS chosen_score, n
+        |      FROM r WHERE rb = 1),
+        |w AS (SELECT task_id, event_id AS rejected_id, value AS rejected_score
+        |      FROM r WHERE rw = 1)
+        |SELECT c.task_id, chosen_id, rejected_id, chosen_score, rejected_score,
+        |  chosen_score - rejected_score AS margin
+        |FROM c JOIN w USING (task_id)
+        |WHERE n >= 2 AND chosen_score - rejected_score > 10.0""".stripMargin,
 
     // same exact-integer sum/sumsq stats, identical division sequence for
     // mean/var/z-score, zero-variance pin to 0

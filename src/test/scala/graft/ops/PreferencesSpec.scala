@@ -65,6 +65,24 @@ class PreferencesSpec extends AnyFunSuite {
     assert(out(3L).isNullAt(3))
   }
 
+  test("dpoPairs: best-vs-worst with margin filter; ties to smaller id") {
+    val rolls = Seq(
+      (1L, 10L, 1.0), (1L, 11L, 9.0), (1L, 12L, 5.0), // margin 8
+      (2L, 20L, 4.0), (2L, 21L, 4.5),                 // margin 0.5: filtered
+      (3L, 30L, 7.0),                                 // singleton: no pair
+      (4L, 40L, 2.0), (4L, 41L, 9.0), (4L, 42L, 2.0), // worst tie -> id 40
+      (5L, 50L, 9.0), (5L, 51L, 9.0)                  // all equal: margin 0
+    ).toDF("task", "id", "r")
+    val out = Preferences.dpoPairs(rolls, col("task"), col("id"), col("r"),
+      minMargin = 1.0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(out(1L) == ((11L, 10L, 9.0, 1.0, 8.0)))
+    assert(out(4L) == ((41L, 40L, 9.0, 2.0, 7.0)))
+    assert(out.keySet == Set(1L, 4L)) // 2 under margin, 3 singleton, 5 zero
+  }
+
   test("groupAdvantages: hand z-scores; zero-variance group pins to 0") {
     val rolls = Seq(
       // task 1: rewards 1, 3, 5 -> mean 3, pop-var 8/3
