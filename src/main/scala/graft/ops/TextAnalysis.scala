@@ -65,6 +65,35 @@ object TextAnalysis {
     }.otherwise("und")
   }
 
+  /** Category wordlist tagging — the lexicon pass behind C4's bad-word
+    * screen, public toxicity word filters, and topic tagging for mixture
+    * decisions: for each named category, how many of the document's
+    * (lowercased, whitespace) words appear in the category's list, plus
+    * that count as a fraction of the document. One tokenize per row; each
+    * category is a HOF membership filter against its literal array —
+    * row-local, scan speed, stateless on streams; the lists are broadcast
+    * literals, never a join. Returns (id, n_words, then `<cat>_hits` and
+    * `<cat>_frac` per category in input order; fractions round to 6 with
+    * a zero-word guard). Word lists are matched exactly (lowercase both
+    * sides upstream); multi-word phrases belong in
+    * [[graft.ops.Curation.decontaminate]]-style shingle machinery instead.
+    */
+  def wordlistTags(df: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column,
+      categories: Seq[(String, Seq[String])]): org.apache.spark.sql.DataFrame = {
+    require(categories.nonEmpty, "wordlistTags: at least one category")
+    val ws = filter(words(lower(text)), w => w =!= "")
+    val nWords = size(ws)
+    val cols = categories.flatMap { case (cat, list) =>
+      val hits = size(filter(ws,
+        w => array_contains(typedlit(list.map(_.toLowerCase)), w)))
+      Seq(hits.as(s"${cat}_hits"),
+        round(hits.cast("double") /
+          greatest(nWords, lit(1)).cast("double"), 6).as(s"${cat}_frac"))
+    }
+    df.select((id.as("id") +: nWords.as("n_words") +: cols): _*)
+  }
+
   /** Heuristic quality score in [0,1]: blends length, punctuation ratio,
     * mean word length and all-caps ratio — the standard cheap pre-filter
     * shape for corpus cleaning.

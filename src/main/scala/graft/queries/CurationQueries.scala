@@ -341,6 +341,22 @@ object CurationQueries {
         .withColumn("published_date", col("published_date").cast("string"))
     }),
 
+    // category wordlist tagging: toxicity-style and topic lexicons counted
+    // per doc; plants put both categories on their own stripes (soup words
+    // that naturally match simply add to both engines identically)
+    "pipe_wordlist_tags" -> ((s, d) => {
+      val aug = concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit(" risky unsafe harmful")).otherwise(lit("")),
+        when(col("doc_id") % 6 === 0,
+          lit(" science physics quantum physics")).otherwise(lit("")))
+      TextAnalysis.wordlistTags(
+        t(s, d, "documents").select(col("doc_id"), aug.as("t2")),
+        col("doc_id"), col("t2"),
+        Seq("toxic" -> Seq("risky", "unsafe", "harmful"),
+          "science" -> Seq("science", "physics", "quantum")))
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // the crawl pipeline end-to-end: robots gate -> content extraction ->
     // secret scan/redaction, all from one planted page per doc
     "pipe_crawl_e2e" -> ((s, d) => {
@@ -1250,6 +1266,24 @@ object CurationQueries {
          |  CAST(len(nes) AS INTEGER) AS n_blocks,
          |  CAST(len(good) AS INTEGER) AS n_good
          |FROM g""".stripMargin,
+
+    // same tokenize + per-category membership filters + rounded fractions
+    "pipe_wordlist_tags" ->
+      """WITH aug AS (SELECT doc_id, text
+        |    || (CASE WHEN doc_id % 4 = 0 THEN ' risky unsafe harmful' ELSE '' END)
+        |    || (CASE WHEN doc_id % 6 = 0 THEN ' science physics quantum physics' ELSE '' END) AS t2
+        |  FROM documents),
+        |w AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(t2)), '\s+'), x -> x <> '') AS ws
+        |  FROM aug),
+        |c AS (SELECT doc_id, CAST(len(ws) AS INTEGER) AS n_words,
+        |    CAST(len(list_filter(ws, x -> list_contains(['risky','unsafe','harmful'], x))) AS INTEGER) AS toxic_hits,
+        |    CAST(len(list_filter(ws, x -> list_contains(['science','physics','quantum'], x))) AS INTEGER) AS science_hits
+        |  FROM w)
+        |SELECT doc_id, n_words,
+        |  toxic_hits, round(toxic_hits::DOUBLE / greatest(n_words, 1), 6) AS toxic_frac,
+        |  science_hits, round(science_hits::DOUBLE / greatest(n_words, 1), 6) AS science_frac
+        |FROM c""".stripMargin,
 
     // the crawl pipeline end-to-end: page -> robots-noindex gate ->
     // main-content extraction -> secret count + redaction; every stage's

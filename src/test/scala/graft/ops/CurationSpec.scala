@@ -498,6 +498,23 @@ class CurationSpec extends AnyFunSuite {
     assert(out(4L) == ((prose, 1, 1)))
   }
 
+  test("wordlistTags: exact counts and fractions, case-folded, punctuation-exact") {
+    val rows = Seq(
+      (1L, "Risky data UNSAFE risky"), // 4 words, 3 toxic (case-folded)
+      (2L, "   "),                     // blank: 0 words, fractions 0
+      (3L, "physics. quantum x y")     // "physics." is not the word "physics"
+    ).toDF("id", "t")
+    val out = TextAnalysis.wordlistTags(rows, col("id"), col("t"),
+      Seq("toxic" -> Seq("risky", "unsafe", "harmful"),
+        "science" -> Seq("science", "physics", "quantum")))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getDouble(3), r.getInt(4), r.getDouble(5))))
+      .toMap
+    assert(out(1L) == ((4, 3, 0.75, 0, 0.0)))
+    assert(out(2L) == ((0, 0, 0.0, 0, 0.0)))
+    assert(out(3L) == ((4, 0, 0.0, 1, 0.25)))
+  }
+
   test("splitLeakage = minhash pairs restricted to split-crossing endpoints") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     // 40 docs in 20 identical pairs: (i, i+100) share text; split by hash
