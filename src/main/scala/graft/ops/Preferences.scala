@@ -154,6 +154,47 @@ object Preferences {
       .filter(col("margin") > minMargin)
   }
 
+  /** Length-debiased reward scores — the verbosity-bias correction behind
+    * length-controlled AlpacaEval (Dubois et al. 2024) and the
+    * reward-model length-bias literature: reward models systematically
+    * prefer longer answers, so per task we fit the closed-form least
+    * squares `score ≈ a + b·len` over the task's rollouts and keep the
+    * RESIDUAL `debiased = score − (a + b·len)` — what survives is the
+    * quality signal orthogonal to verbosity. Degenerate tasks (all
+    * rollouts the same length) get slope 0, residual = score − mean.
+    *
+    * Determinism contract: scores and lengths should be integer-valued so
+    * the five regression sums (n, Σx, Σy, Σxy, Σx²) are exact; slope,
+    * intercept and residual are then a fixed IEEE sequence, rounded to 6.
+    * One hash shuffle on the task key, partial-aggregated sums. Returns
+    * every rollout with (score, len, debiased).
+    */
+  def lengthDebias(samples: DataFrame, task: Column, sampleId: Column,
+      score: Column, len: Column): DataFrame = {
+    val base = samples.select(task.as("task_id"), sampleId.as("sample_id"),
+      score.cast("double").as("score"), len.cast("double").as("len"))
+    val stats = base.groupBy("task_id").agg(
+      count(lit(1)).cast("double").as("__n"),
+      sum(col("len")).as("__sx"),
+      sum(col("score")).as("__sy"),
+      sum(col("len") * col("score")).as("__sxy"),
+      sum(col("len") * col("len")).as("__sxx"))
+    base.join(stats, "task_id")
+      .withColumn("__den",
+        col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("__b", when(col("__den") <= 0.0, 0.0)
+        .otherwise((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+          col("__den")))
+      .withColumn("__a",
+        (col("__sy") - col("__b") * col("__sx")) / col("__n"))
+      .select(col("task_id"), col("sample_id"), col("score"),
+        col("len").cast("long").as("len"),
+        // + 0.0 folds IEEE −0.0 (a residual that rounds to zero from
+        // below) to +0.0 so it prints identically in every engine
+        (round(col("score") - (col("__a") + col("__b") * col("len")), 6)
+          + lit(0.0)).as("debiased"))
+  }
+
   /** Group-relative advantage normalization — the GRPO preprocessing step
     * (Shao et al. 2024, DeepSeekMath §4: the per-prompt z-score replaces
     * the learned value baseline) and the classic REINFORCE

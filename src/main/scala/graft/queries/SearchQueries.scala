@@ -179,6 +179,15 @@ object SearchQueries {
         t(s, d, "events").select("user_id", "event_id", "value"),
         col("user_id"), col("event_id"), col("value"))),
 
+    // length-debiased rewards: reward = floor(value), length = len(props)
+    // — both integers, so the per-task regression sums are exact and the
+    // residual arithmetic replays bit-for-bit
+    "pipe_length_debias" -> ((s, d) =>
+      Preferences.lengthDebias(
+        t(s, d, "events").select(col("user_id"), col("event_id"),
+          floor(col("value")).as("r"), length(col("props")).as("l")),
+        col("user_id"), col("event_id"), col("r"), col("l"))),
+
     // DPO pair construction: per user-task, best vs worst event by value
     // with a 10-point minimum margin; ties to the smaller event id
     "pipe_dpo_pairs" -> ((s, d) =>
@@ -779,6 +788,24 @@ object SearchQueries {
         |SELECT task_id, event_id AS best_id, value AS best_score,
         |       value - runner_up AS margin, n_samples
         |FROM r WHERE rn = 1""".stripMargin,
+
+    // same five exact regression sums, identical slope/intercept/residual
+    // division sequence, zero-variance slope pin
+    "pipe_length_debias" ->
+      """WITH b AS (SELECT user_id AS task_id, event_id AS sample_id,
+        |    CAST(floor(value) AS DOUBLE) AS score,
+        |    CAST(len(props) AS DOUBLE) AS x FROM events),
+        |st AS (SELECT task_id, CAST(count(*) AS DOUBLE) AS n,
+        |    sum(x) AS sx, sum(score) AS sy,
+        |    sum(x * score) AS sxy, sum(x * x) AS sxx
+        |  FROM b GROUP BY task_id),
+        |k AS (SELECT task_id, n, sx, sy,
+        |    CASE WHEN n * sxx - sx * sx <= 0.0 THEN 0.0
+        |         ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope
+        |  FROM st)
+        |SELECT b.task_id, b.sample_id, b.score, CAST(b.x AS BIGINT) AS len,
+        |  round(b.score - ((sy - slope * sx) / n + slope * b.x), 6) + 0.0 AS debiased
+        |FROM b JOIN k USING (task_id)""".stripMargin,
 
     // same two windows over the task partitioning, same tie-breaks and
     // margin filter

@@ -65,6 +65,26 @@ class PreferencesSpec extends AnyFunSuite {
     assert(out(3L).isNullAt(3))
   }
 
+  test("lengthDebias: hand least-squares residuals; flat-length fallback") {
+    val rolls = Seq(
+      // task 1: y = 2x - 1 exactly -> all residuals +0.0 (never -0.0)
+      (1L, 10L, 1.0, 1L), (1L, 11L, 3.0, 2L), (1L, 12L, 5.0, 3L),
+      // task 2: slope 1.5, intercept -0.5 -> residuals 0.5, -1, 0.5
+      (2L, 20L, 0.0, 0L), (2L, 21L, 0.0, 1L), (2L, 22L, 3.0, 2L),
+      // task 3: all same length -> slope 0, residual = score - mean
+      (3L, 30L, 4.0, 10L), (3L, 31L, 8.0, 10L)
+    ).toDF("task", "id", "r", "l")
+    val out = Preferences.lengthDebias(rolls, col("task"), col("id"),
+      col("r"), col("l"))
+      .collect().map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    for (id <- Seq(10L, 11L, 12L)) {
+      assert(out(id) == 0.0)
+      assert(1.0 / out(id) > 0, s"residual for $id is -0.0") // sign check
+    }
+    assert(out(20L) == 0.5 && out(21L) == -1.0 && out(22L) == 0.5)
+    assert(out(30L) == -2.0 && out(31L) == 2.0)
+  }
+
   test("dpoPairs: best-vs-worst with margin filter; ties to smaller id") {
     val rolls = Seq(
       (1L, 10L, 1.0), (1L, 11L, 9.0), (1L, 12L, 5.0), // margin 8
