@@ -105,6 +105,34 @@ object GraftFunctions {
       org.apache.spark.sql.GraftColumnBridge.catalystExpression(
         graft.ops.CodeFilters.codeReason(
           org.apache.spark.sql.GraftColumnBridge.column(args.head)))
+    },
+    // code/crawl hygiene scalars (composed-Column chains, bridged like
+    // url_canonical): secret redaction + counting, The Stack's license
+    // admission pair, and the cleaned page title
+    "redact_secrets" -> { args =>
+      org.apache.spark.sql.GraftColumnBridge.catalystExpression(
+        graft.ops.Secrets.redact(
+          org.apache.spark.sql.GraftColumnBridge.column(args.head)))
+    },
+    "n_secrets" -> { args =>
+      org.apache.spark.sql.GraftColumnBridge.catalystExpression(
+        graft.ops.Secrets.count(
+          org.apache.spark.sql.GraftColumnBridge.column(args.head)))
+    },
+    "license_id" -> { args =>
+      org.apache.spark.sql.GraftColumnBridge.catalystExpression(
+        graft.ops.CodeFilters.licenseOf(
+          org.apache.spark.sql.GraftColumnBridge.column(args.head)))
+    },
+    "license_permissive" -> { args =>
+      org.apache.spark.sql.GraftColumnBridge.catalystExpression(
+        graft.ops.CodeFilters.licensePermissive(
+          org.apache.spark.sql.GraftColumnBridge.column(args.head)))
+    },
+    "html_title" -> { args =>
+      org.apache.spark.sql.GraftColumnBridge.catalystExpression(
+        graft.ops.TextAnalysis.htmlTitle(
+          org.apache.spark.sql.GraftColumnBridge.column(args.head)))
     })
 
   /** Imperative per-session registration. */
