@@ -341,6 +341,27 @@ object CurationQueries {
         .withColumn("published_date", col("published_date").cast("string"))
     }),
 
+    // WebDataset shard export/import round trip: write the corpus as tar
+    // shards (seeded md5 order, 4 shards) into a temp dir, read it back,
+    // fingerprint every member — the oracle reconstructs shard assignment
+    // and payload fingerprints WITHOUT any tar machinery, so the whole
+    // write->read path must be byte-transparent to pass
+    "pipe_webdataset" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("wds_gate").toString
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"),
+        concat(lit("{\"id\": "), col("doc_id").cast("string"), lit("}")).as("meta"))
+      graft.ops.WebDataset.writeShards(docs, col("doc_id"),
+        Seq("txt" -> col("text").cast("binary"),
+          "json" -> col("meta").cast("binary")),
+        seed = "wd", nShards = 4, dir = dir)
+      graft.ops.WebDataset.readShards(s, s"$dir/shard-*.tar")
+        .select(col("key").cast("long").as("doc_id"), col("ext"),
+          regexp_extract(col("shard"), "shard-(\\d+)\\.tar", 1)
+            .cast("int").as("shard"),
+          length(col("data")).as("n_bytes"),
+          md5(col("data")).as("fp"))
+    }),
+
     // category wordlist tagging: toxicity-style and topic lexicons counted
     // per doc; plants put both categories on their own stripes (soup words
     // that naturally match simply add to both engines identically)
@@ -1266,6 +1287,24 @@ object CurationQueries {
          |  CAST(len(nes) AS INTEGER) AS n_blocks,
          |  CAST(len(good) AS INTEGER) AS n_good
          |FROM g""".stripMargin,
+
+    // no tar anywhere: the oracle rebuilds the md5 shuffle order (string
+    // tiebreak — writeShards keys are strings), round-robin shards, and
+    // payload byte-lengths/md5s straight from the table
+    "pipe_webdataset" ->
+      """WITH h AS (SELECT doc_id, text,
+        |    CAST(row_number() OVER (
+        |      ORDER BY ('0x' || substr(md5('wd|' || doc_id), 1, 8))::BIGINT,
+        |               CAST(doc_id AS VARCHAR)) AS BIGINT) - 1 AS pos
+        |  FROM documents),
+        |b AS (SELECT doc_id, CAST(pos % 4 AS INTEGER) AS shard, text,
+        |    '{"id": ' || doc_id || '}' AS meta FROM h)
+        |SELECT doc_id, 'txt' AS ext, shard,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  md5(text) AS fp FROM b
+        |UNION ALL
+        |SELECT doc_id, 'json', shard,
+        |  CAST(octet_length(encode(meta)) AS INTEGER), md5(meta) FROM b""".stripMargin,
 
     // same tokenize + per-category membership filters + rounded fractions
     "pipe_wordlist_tags" ->

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class WebDatasetSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def sampleDf = (0L until 20L).map { i =>
+    // binary member includes non-UTF8 bytes and an empty payload case
+    val bin =
+      if (i == 7L) Array.empty[Byte]
+      else Array[Byte](0xFF.toByte, 0x00, (i % 127).toByte, 0x89.toByte)
+    (i, s"text of sample $i", bin)
+  }.toDF("id", "txt", "img")
+
+  private def write(dir: String): Unit =
+    WebDataset.writeShards(sampleDf, col("id"),
+      Seq("txt" -> col("txt").cast("binary"), "img" -> col("img")),
+      seed = "wds", nShards = 3, dir = dir)
+
+  test("round-trip: every member's bytes survive; samples group adjacently") {
+    val dir = java.nio.file.Files.createTempDirectory("wds").toString
+    write(dir)
+    val back = WebDataset.readShards(spark, s"$dir/shard-*.tar")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getAs[Array[Byte]](3)))
+    assert(back.length == 40) // 20 samples x 2 members
+    val byKey = back.map(m => (m._2, m._3) -> m._4).toMap
+    for (i <- 0L until 20L) {
+      assert(new String(byKey((s"$i", "txt")), "UTF-8") == s"text of sample $i")
+      assert(byKey((s"$i", "img")).toSeq ==
+        (if (i == 7L) Seq.empty else Seq(0xFF.toByte, 0x00, (i % 127).toByte, 0x89.toByte)))
+    }
+    // WebDataset contract: a sample's members are consecutive in the tar,
+    // txt then img (the given ext order)
+    back.groupBy(_._1).values.foreach { members =>
+      members.grouped(2).foreach { pair =>
+        assert(pair.map(_._2).distinct.length == 1, "sample split apart")
+        assert(pair.map(_._3).toSeq == Seq("txt", "img"))
+      }
+    }
+    // all three shards exist and sizes are balanced +-1 sample
+    val counts = back.groupBy(_._1).view.mapValues(_.length / 2).values.toSeq
+    assert(counts.length == 3 && counts.max - counts.min <= 1, s"$counts")
+  }
+
+  test("rewrites are byte-identical (canonical headers, seeded order)") {
+    val d1 = java.nio.file.Files.createTempDirectory("wds1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("wds2").toString
+    write(d1); write(d2)
+    for (s <- 0 until 3) {
+      val f = f"shard-$s%06d.tar"
+      val a = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(d1, f))
+      val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(d2, f))
+      assert(a.length % 512 == 0 && a.sameElements(b), s"$f differs")
+    }
+  }
+
+  test("tar bytes are valid ustar: magic, checksum, padding, terminator") {
+    val bytes = WebDataset.tarBytes(Seq(
+      "0.txt" -> "hello".getBytes("UTF-8"),
+      "0.bin" -> Array[Byte](1, 2, 3)))
+    assert(bytes.length == 4 * 512 + 2 * 512) // 2 headers + 2 padded bodies + terminator
+    assert(new String(bytes, 257, 5, "UTF-8") == "ustar")
+    // checksum: header bytes with the chksum field as spaces
+    val stored = java.lang.Long.parseLong(
+      new String(bytes, 148, 6, "UTF-8"), 8)
+    val sum = (0 until 512).map { i =>
+      if (i >= 148 && i < 156) ' '.toInt else bytes(i) & 0xff
+    }.sum
+    assert(stored == sum, s"checksum $stored != $sum")
+    // trailing zero blocks
+    assert(bytes.takeRight(1024).forall(_ == 0))
+  }
+}
