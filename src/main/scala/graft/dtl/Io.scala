@@ -25,7 +25,8 @@ trait Exporter {
   * Spark's built-in columnar alternative (same pushdown/pruning story as
   * parquet); TXT reads one row per line into a single `value` TEXT column
   * (the raw-crawl shape — WET-style dumps), and on export writes the
-  * single text column back line-per-row.
+  * single text column back line-per-row. `.tar` imports WebDataset shards
+  * (one row per member; glob names like `shards/shard-*.tar` work).
   */
 final class FilesystemImporter(spark: SparkSession, inputDir: String) extends Importer {
   private val cache = mutable.Map.empty[String, DataFrame]
@@ -48,6 +49,9 @@ final class FilesystemImporter(spark: SparkSession, inputDir: String) extends Im
       // the CommonCrawl entry point, one shuffle-free task per member
       case Some("wet") => graft.ops.Warc.readWet(spark, s"$inputDir/$name")
       case Some("warc") => graft.ops.Warc.readRecords(spark, s"$inputDir/$name")
+      // WebDataset shards: one (shard, key, ext, data) row per tar member,
+      // one shuffle-free task per shard file
+      case Some("tar") => graft.ops.WebDataset.readShards(spark, s"$inputDir/$name")
       case _ => spark.read.parquet(s"$inputDir/$name.parquet")
     })
 }

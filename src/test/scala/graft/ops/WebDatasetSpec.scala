@@ -59,6 +59,22 @@ class WebDatasetSpec extends AnyFunSuite {
     }
   }
 
+  test("a DTL script curates a WebDataset corpus via IMPORT '*.tar'") {
+    val dir = java.nio.file.Files.createTempDirectory("wds_dtl").toString
+    write(dir)
+    new graft.dtl.Engine(spark).run(
+      """WITH shards AS IMPORT 'shard-*.tar';
+        |WITH output AS
+        |  SELECT key, ext FROM shards WHERE ext = 'txt';
+        |EXPORT output TO 'texts';""".stripMargin,
+      new graft.dtl.FilesystemImporter(spark, dir),
+      new graft.dtl.FilesystemExporter(dir))
+    val back = spark.read.parquet(s"$dir/texts.parquet")
+    assert(back.count() == 20)
+    assert(back.select("key").as[String].collect().toSet ==
+      (0L until 20L).map(_.toString).toSet)
+  }
+
   test("tar bytes are valid ustar: magic, checksum, padding, terminator") {
     val bytes = WebDataset.tarBytes(Seq(
       "0.txt" -> "hello".getBytes("UTF-8"),
