@@ -69,5 +69,7 @@ object SparkEntry {
     "pipe_extract_content", "pipe_secrets", "pipe_license", "pipe_html_meta",
     "pipe_bitext_margin", "pipe_random_projection", "pipe_split_leakage",
     "pipe_contamination_report", "pipe_chat_render", "pipe_group_advantage",
-    "pipe_self_bleu")
+    "pipe_self_bleu",
+    "pipe_wordlist_tags", "pipe_dpo_pairs", "pipe_length_debias",
+    "pipe_crawl_e2e", "pipe_webdataset")
 }
