@@ -165,6 +165,36 @@ object EventStreams {
         col("body").as("text"))
   }
 
+  /** Live WebDataset ingestion — the multimodal twin of
+    * [[wetIngestStream]]: watch a directory for arriving `shard-*.tar`
+    * files (how a crawl or generation job hands shards to curation) and
+    * emit (shard, key, ext, data) member rows as each shard lands. Same
+    * shape: the binaryFile streaming source reads whole files, the shared
+    * row-local tar walk ([[graft.ops.WebDataset.parseTar]]) explodes
+    * members in the reading task — per-file work, no state, no shuffle;
+    * the stateless hygiene chain (secret redaction, image gating) composes
+    * downstream unchanged.
+    */
+  def wdsIngestStream(spark: org.apache.spark.sql.SparkSession, dir: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    import spark.implicits._
+    val binSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    spark.readStream.format("binaryFile").options(options)
+      .schema(binSchema).load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) => graft.ops.WebDataset.parseTar(p, bytes) }
+      .toDF("shard", "key", "ext", "data")
+  }
+
   /** Live classifier monitoring, half 1: per event-time window, the
     * tie-aware ROC AUC of a scored stream through the bounded
     * [[graft.ops.Eval.AucBinnedAgg]] — state per window is the per-grid

@@ -149,6 +149,33 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming WebDataset ingestion picks up arriving shards, equals batch") {
+    val wdir = java.nio.file.Files.createTempDirectory("wds_stream")
+    def shard(name: String, keys: Range): Unit =
+      java.nio.file.Files.write(wdir.resolve(name),
+        graft.ops.WebDataset.tarBytes(keys.flatMap(i => Seq(
+          s"$i.txt" -> s"sample $i".getBytes("UTF-8"),
+          s"$i.bin" -> Array[Byte](i.toByte, 0xFF.toByte)))))
+    shard("shard-000000.tar", 0 until 10)
+    val q = EventStreams.wdsIngestStream(spark, s"$wdir/shard-*.tar")
+      .writeStream.format("memory").queryName("wds_stream_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("wds_stream_out").count() == 20)
+      // a new shard lands mid-stream; only its members are appended
+      shard("shard-000001.tar", 10 until 15)
+      q.processAllAvailable()
+      val got = spark.table("wds_stream_out").collect()
+        .map(r => (r.getString(1), r.getString(2),
+          r.getAs[Array[Byte]](3).toSeq)).toSet
+      val batch = graft.ops.WebDataset.readShards(spark, s"$wdir/shard-*.tar")
+        .collect().map(r => (r.getString(1), r.getString(2),
+          r.getAs[Array[Byte]](3).toSeq)).toSet
+      assert(got == batch && got.size == 30)
+    } finally q.stop()
+  }
+
   test("streaming AUC and calibration equal their batch twins per window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Boolean, Double)]
