@@ -435,4 +435,21 @@ class PlanHygieneSpec extends AnyFunSuite {
     // (domain, bucket) histogram/boundary machinery — never a corpus sort
     assert(!p.contains("global Sort"), s"unimax must not globally sort:\n$p")
   }
+
+  test("bitext margin: the score matrix broadcasts the tgt side, never a CartesianProduct") {
+    val p = plan("pipe_bitext_margin")
+    // the exact gate-scale form is an explicit broadcast cross (the scale
+    // path feeds marginFromScores from IVF candidates instead); the margin
+    // windows/joins then hash-partition on the endpoint ids
+    assert(p.contains("BroadcastExchange"), "tgt side must broadcast")
+    assert(!p.contains("CartesianProduct"), s"cartesian in bitext plan:\n$p")
+  }
+
+  test("crawl hygiene ops are row-local: zero exchanges before any agg") {
+    for (name <- Seq("pipe_extract_content", "pipe_html_meta", "pipe_license",
+        "pipe_wordlist_tags")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange"), s"$name must be shuffle-free:\n$p")
+    }
+  }
 }
