@@ -114,6 +114,34 @@ object Preferences {
         col("n_samples"))
   }
 
+  /** Pairwise win-rate matrix with Wilson lower bounds — the arena
+    * leaderboard's raw table (what Bradley–Terry then aggregates into
+    * strengths): per unordered model pair (a < b), battle count, a's wins
+    * and win rate, and the Wilson score interval's lower bound at z = 1.96
+    * (Wilson 1927 — the standard small-n-honest ranking statistic: a 2/2
+    * record must not outrank a 95/100 one). Counts are exact integers;
+    * rate and bound are a fixed IEEE expression over them, rounded to 6.
+    * One count aggregate over ordered pairs — O(distinct pairs) output,
+    * never O(battles).
+    */
+  def winRates(battles: DataFrame, winner: Column, loser: Column,
+      z: Double = 1.96): DataFrame = {
+    val canon = battles.select(
+      least(winner, loser).as("item_a"), greatest(winner, loser).as("item_b"),
+      when(winner < loser, 1L).otherwise(0L).as("a_win"))
+    val g = canon.groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("n_battles"), sum("a_win").as("a_wins"))
+    val n = col("n_battles").cast("double")
+    val p = col("a_wins").cast("double") / n
+    val z2 = z * z
+    val wilson = (p + lit(z2) / (lit(2.0) * n) -
+      lit(z) * sqrt(p * (lit(1.0) - p) / n + lit(z2) / (lit(4.0) * n * n))) /
+      (lit(1.0) + lit(z2) / n)
+    g.select(col("item_a"), col("item_b"), col("n_battles"), col("a_wins"),
+      round(p, 6).as("win_rate_a"),
+      round(wilson, 6).as("wilson_low_a"))
+  }
+
   /** DPO training-pair construction (Rafailov et al. 2023 — direct
     * preference optimization consumes (prompt, chosen, rejected) triples):
     * per task, pair the best-scoring rollout against the worst, keeping

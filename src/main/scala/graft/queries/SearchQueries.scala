@@ -204,6 +204,25 @@ object SearchQueries {
           floor(col("value")).as("r")),
         col("user_id"), col("event_id"), col("r"))),
 
+    // pairwise win-rate matrix over the same arena battles as
+    // bradley_terry, with Wilson lower bounds from exact integer counts
+    "pipe_win_rates" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("event_id"))
+      val battles = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+          lead(col("event_type"), 1).over(w).as("opp_type"),
+          lead(col("value"), 1).over(w).as("opp_value"))
+        .filter(col("opp_type").isNotNull && col("event_type") =!= col("opp_type")
+          && col("value") =!= col("opp_value"))
+        .select(
+          when(col("value") > col("opp_value"), col("event_type"))
+            .otherwise(col("opp_type")).as("winner"),
+          when(col("value") > col("opp_value"), col("opp_type"))
+            .otherwise(col("event_type")).as("loser"))
+      Preferences.winRates(battles, col("winner"), col("loser"))
+    }),
+
     // Bradley-Terry strengths over event-type "arena battles": each user's
     // consecutive events (event_id order) fight, higher value wins, ties
     // and same-type pairs are skipped; 5 MM rounds
@@ -837,6 +856,31 @@ object SearchQueries {
         |       ELSE round((reward - s / n) / sqrt((ss - s * s / n) / n), 6) END AS advantage,
         |  CAST(n AS BIGINT) AS n_group
         |FROM b JOIN st USING (task_id)""".stripMargin,
+
+    // same battle derivation as bradley_terry, canonical (a < b) pairs,
+    // exact counts, the identical Wilson expression order
+    "pipe_win_rates" ->
+      """WITH b AS (
+        |  SELECT CASE WHEN value > opp_value THEN event_type ELSE opp_type END AS winner,
+        |         CASE WHEN value > opp_value THEN opp_type ELSE event_type END AS loser
+        |  FROM (SELECT user_id, event_id, event_type, value,
+        |          lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS opp_type,
+        |          lead(value) OVER (PARTITION BY user_id ORDER BY event_id) AS opp_value
+        |        FROM events)
+        |  WHERE opp_type IS NOT NULL AND event_type <> opp_type AND value <> opp_value),
+        |c AS (SELECT least(winner, loser) AS item_a, greatest(winner, loser) AS item_b,
+        |        CASE WHEN winner < loser THEN 1 ELSE 0 END AS a_win FROM b),
+        |g AS (SELECT item_a, item_b, CAST(count(*) AS BIGINT) AS n_battles,
+        |        CAST(sum(a_win) AS BIGINT) AS a_wins
+        |      FROM c GROUP BY item_a, item_b),
+        |k AS (SELECT *, CAST(n_battles AS DOUBLE) AS n,
+        |        a_wins::DOUBLE / CAST(n_battles AS DOUBLE) AS p FROM g)
+        |SELECT item_a, item_b, n_battles, a_wins,
+        |  round(p, 6) AS win_rate_a,
+        |  round((p + (1.96 * 1.96) / (2.0 * n)
+        |         - 1.96 * sqrt(p * (1.0 - p) / n + (1.96 * 1.96) / (4.0 * n * n)))
+        |        / (1.0 + (1.96 * 1.96) / n), 6) AS wilson_low_a
+        |FROM k""".stripMargin,
 
     // Bradley-Terry: same battle derivation, then 5 unrolled MM rounds —
     // each: denominator join, raw update, rescale to sum = #items

@@ -65,6 +65,35 @@ class PreferencesSpec extends AnyFunSuite {
     assert(out(3L).isNullAt(3))
   }
 
+  test("winRates: canonical pairs, exact counts, hand Wilson bound") {
+    val battles = Seq(
+      // m1 beats m2 three times, loses once (recorded in both directions)
+      ("m1", "m2"), ("m1", "m2"), ("m2", "m1"), ("m1", "m2"),
+      // m3 sweeps m1 twice
+      ("m3", "m1"), ("m3", "m1")
+    ).toDF("w", "l")
+    val out = Preferences.winRates(battles, col("w"), col("l"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // (m1, m2): 4 battles, m1 wins 3 -> p = 0.75
+    val (n, w) = (4.0, 3.0); val p = w / n; val z = 1.96; val z2 = z * z
+    val wilson = BigDecimal((p + z2 / (2 * n) -
+      z * math.sqrt(p * (1 - p) / n + z2 / (4 * n * n))) / (1 + z2 / n))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(("m1", "m2")) == ((4L, 3L, 0.75, wilson)))
+    // (m1, m3): m1 is the canonical 'a' side but lost both -> rate 0
+    assert(out(("m1", "m3")) == ((2L, 0L, 0.0, 0.0)))
+    assert(out.size == 2)
+    // the small-n honesty property: 2/2 must NOT outrank 95/100 by bound
+    val big = Preferences.winRates(
+      ((1 to 95).map(_ => ("a", "b")) ++ (1 to 5).map(_ => ("b", "a"))).toDF("w", "l"),
+      col("w"), col("l")).head().getDouble(5)
+    val tiny = Preferences.winRates(
+      Seq(("a", "b"), ("a", "b")).toDF("w", "l"), col("w"), col("l"))
+      .head().getDouble(5)
+    assert(big > tiny, s"95/100 bound $big must beat 2/2 bound $tiny")
+  }
+
   test("lengthDebias: hand least-squares residuals; flat-length fallback") {
     val rolls = Seq(
       // task 1: y = 2x - 1 exactly -> all residuals +0.0 (never -0.0)
