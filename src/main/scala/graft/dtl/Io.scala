@@ -103,6 +103,14 @@ final class FilesystemExporter(outputDir: String) extends Exporter {
             lit("\r\nContent-Length: "), octet_length(col("text")).cast("string"),
             lit("\r\n\r\n"), col("text"), lit("\r\n")).as("value"))
           .write.mode("overwrite").text(s"$outputDir/$name")
+      // import-only formats: falling through to the parquet default would
+      // silently write '<name>.tar.parquet' — reject loudly instead
+      case Some("tar") => throw DtlError(
+        "EXPORT to '.tar' is not supported: WebDataset shards need key/ext " +
+          "member framing — use graft.ops.WebDataset.writeShards ('.tar' is import-only)")
+      case Some("warc") => throw DtlError(
+        "EXPORT to '.warc' is not supported ('.warc' is import-only); " +
+          "EXPORT to '.wet' writes conversion records from (url, date, text)")
       case _ => df.write.mode("overwrite").parquet(s"$outputDir/$name.parquet")
     }
   }

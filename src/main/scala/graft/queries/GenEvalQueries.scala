@@ -29,14 +29,29 @@ object GenEvalQueries {
     "pipe_bleu" -> ((s, d) =>
       GenEval.sentenceBleu(pairs(s, d), col("doc_id"), col("cand"), col("ref"))),
 
-    // corpus BLEU-4 per source (summed counts, unsmoothed)
+    // corpus BLEU-4 per source (summed counts, unsmoothed). Scores are
+    // emitted as integer millionths (BIGINT): the 6-dp DOUBLE form is
+    // bit-ambiguous across engines (Spark's BigDecimal round vs DuckDB's
+    // C round can disagree by 1 ulp of representation for the same
+    // decimal), which broke the driver's full-precision hash in r4/r5;
+    // the integer form is the pattern that keeps pipe_self_bleu green.
     "pipe_bleu_corpus" -> ((s, d) =>
       GenEval.corpusBleu(pairs(s, d), Seq("source" -> col("source")),
-        col("cand"), col("ref"))),
+        col("cand"), col("ref"))
+        .select(col("source"), col("n_pairs"), col("cand_len"),
+          col("ref_len"),
+          round(col("bp") * 1e6, 0).cast("long").as("bp_ppm"),
+          round(col("bleu") * 1e6, 0).cast("long").as("bleu_ppm"))),
 
-    // ROUGE-2 precision/recall/F1 per pair
+    // ROUGE-2 precision/recall/F1 per pair, scores as integer millionths
+    // (BIGINT) for the same cross-engine hash stability as pipe_bleu_corpus
     "pipe_rouge" -> ((s, d) =>
-      GenEval.rougeN(pairs(s, d), col("doc_id"), col("cand"), col("ref"), n = 2)),
+      GenEval.rougeN(pairs(s, d), col("doc_id"), col("cand"), col("ref"), n = 2)
+        .select(col("pair_id"), col("matches"), col("cand_ngrams"),
+          col("ref_ngrams"),
+          round(col("precision") * 1e6, 0).cast("long").as("precision_ppm"),
+          round(col("recall") * 1e6, 0).cast("long").as("recall_ppm"),
+          round(col("f1") * 1e6, 0).cast("long").as("f1_ppm"))),
 
     // chrF (character 1..6-grams, beta=2) per pair
     "pipe_chrf" -> ((s, d) =>
@@ -85,7 +100,7 @@ object GenEvalQueries {
       |       FROM u CROSS JOIN ns),
       |cgc AS (SELECT doc_id, n, g, count(*) AS c FROM cg GROUP BY doc_id, n, g),
       |rgc AS (SELECT doc_id, n, g, count(*) AS c FROM rg GROUP BY doc_id, n, g),
-      |mm AS (SELECT c.doc_id, c.n, sum(least(c.c, r.c)) AS m
+      |mm AS (SELECT c.doc_id, c.n, CAST(sum(least(c.c, r.c)) AS BIGINT) AS m
       |       FROM cgc c JOIN rgc r ON r.doc_id = c.doc_id AND r.n = c.n AND r.g = c.g
       |       GROUP BY c.doc_id, c.n),
       |stats AS (
@@ -185,23 +200,27 @@ object GenEvalQueries {
     "pipe_bleu_corpus" ->
       s"""$duckWordCtes,
          |g AS (SELECT source, count(*) AS n_pairs,
-         |        sum(cand_len) AS cand_len, sum(ref_len) AS ref_len,
-         |        sum(m1) AS m1, sum(m2) AS m2, sum(m3) AS m3, sum(m4) AS m4,
-         |        sum(t1) AS t1, sum(t2) AS t2, sum(t3) AS t3, sum(t4) AS t4
+         |        CAST(sum(cand_len) AS BIGINT) AS cand_len,
+         |        CAST(sum(ref_len) AS BIGINT) AS ref_len,
+         |        CAST(sum(m1) AS BIGINT) AS m1, CAST(sum(m2) AS BIGINT) AS m2,
+         |        CAST(sum(m3) AS BIGINT) AS m3, CAST(sum(m4) AS BIGINT) AS m4,
+         |        CAST(sum(t1) AS BIGINT) AS t1, CAST(sum(t2) AS BIGINT) AS t2,
+         |        CAST(sum(t3) AS BIGINT) AS t3, CAST(sum(t4) AS BIGINT) AS t4
          |      FROM stats GROUP BY source),
          |bpc AS (SELECT *,
          |          CASE WHEN cand_len >= ref_len THEN 1.0
          |               ELSE exp(1.0 - ref_len::DOUBLE / cand_len) END AS bp0
          |        FROM g)
          |SELECT source, n_pairs, cand_len, ref_len,
-         |       round(CASE WHEN cand_len = 0 THEN 0.0 ELSE bp0 END, 6) AS bp,
-         |       round(CASE WHEN cand_len = 0
+         |       CAST(round(round(CASE WHEN cand_len = 0 THEN 0.0 ELSE bp0 END, 6)
+         |            * 1000000, 0) AS BIGINT) AS bp_ppm,
+         |       CAST(round(round(CASE WHEN cand_len = 0
          |                  OR m1 = 0 OR t1 = 0 OR m2 = 0 OR t2 = 0
          |                  OR m3 = 0 OR t3 = 0 OR m4 = 0 OR t4 = 0 THEN 0.0
          |             ELSE bp0 * sqrt(sqrt(
          |               (m1::DOUBLE / t1::DOUBLE) * (m2::DOUBLE / t2::DOUBLE)
          |               * (m3::DOUBLE / t3::DOUBLE) * (m4::DOUBLE / t4::DOUBLE)))
-         |             END, 6) AS bleu
+         |             END, 6) * 1000000, 0) AS BIGINT) AS bleu_ppm
          |FROM bpc""".stripMargin,
 
     "pipe_rouge" ->
@@ -211,9 +230,11 @@ object GenEvalQueries {
          |         CASE WHEN r2 = 0 THEN 0.0 ELSE m2::DOUBLE / r2::DOUBLE END AS r
          |       FROM stats)
          |SELECT doc_id AS pair_id, matches, cand_ngrams, ref_ngrams,
-         |       round(p, 6) AS precision, round(r, 6) AS recall,
-         |       round(CASE WHEN p + r = 0.0 THEN 0.0
-         |                  ELSE 2.0 * p * r / (p + r) END, 6) AS f1
+         |       CAST(round(round(p, 6) * 1000000, 0) AS BIGINT) AS precision_ppm,
+         |       CAST(round(round(r, 6) * 1000000, 0) AS BIGINT) AS recall_ppm,
+         |       CAST(round(round(CASE WHEN p + r = 0.0 THEN 0.0
+         |                  ELSE 2.0 * p * r / (p + r) END, 6) * 1000000, 0)
+         |            AS BIGINT) AS f1_ppm
          |FROM pr""".stripMargin,
 
     "pipe_chrf" ->

@@ -146,11 +146,22 @@ object SearchQueries {
 
     // kNN label agreement over the labeled embeddings: 8 quantized-kmeans
     // cells (2 Lloyd rounds), 2-probe candidate sets, 5 nearest by exact
-    // integer squared L2
+    // integer squared L2. The agreement fraction is emitted as integer
+    // millionths (BIGINT) computed straight from the integer counts —
+    // the rounded-DOUBLE form hash-diverged from DuckDB in r4/r5 (≤1-ulp
+    // representation split that survives round(,6)); n_agree·1e6 is exact
+    // in a double and the division correctly rounded, so this integer is
+    // bit-identical in any IEEE engine.
     "pipe_label_noise" -> ((s, d) =>
       Labels.knnLabelCheck(t(s, d, "embeddings"), col("vec_id"),
         col("embedding"), col("label"),
-        k = 5, nClusters = 8, nProbe = 2, iters = 2, dim = 64)),
+        k = 5, nClusters = 8, nProbe = 2, iters = 2, dim = 64)
+        .select(col("vec_id"), col("label"), col("n_neighbors"),
+          col("n_agree"),
+          round(col("n_agree").cast("double") * 1e6 /
+            col("n_neighbors").cast("double"), 0).cast("long")
+            .as("agree_ppm"),
+          col("majority_label"))),
 
     // margin-based bitext mining over the embeddings table split into two
     // "languages" by vec_id parity: mutual-best pairs by the Artetxe &
@@ -768,10 +779,12 @@ object SearchQueries {
          |        FROM votes) WHERE vr = 1),
          |stats AS (
          |  SELECT vec_id, count(*) AS n_neighbors,
-         |         sum(CASE WHEN nb_label = label THEN 1 ELSE 0 END) AS n_agree
+         |         CAST(sum(CASE WHEN nb_label = label THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_agree
          |  FROM knn GROUP BY vec_id)
          |SELECT e.vec_id, e.label, s.n_neighbors, s.n_agree,
-         |       round(CAST(s.n_agree AS DOUBLE) / s.n_neighbors, 6) AS agree_frac,
+         |       CAST(round(CAST(s.n_agree AS DOUBLE) * 1000000
+         |            / CAST(s.n_neighbors AS DOUBLE), 0) AS BIGINT) AS agree_ppm,
          |       m.majority_label
          |FROM embeddings e
          |LEFT JOIN stats s ON s.vec_id = e.vec_id

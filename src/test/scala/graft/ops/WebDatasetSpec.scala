@@ -80,15 +80,65 @@ class WebDatasetSpec extends AnyFunSuite {
       "0.txt" -> "hello".getBytes("UTF-8"),
       "0.bin" -> Array[Byte](1, 2, 3)))
     assert(bytes.length == 4 * 512 + 2 * 512) // 2 headers + 2 padded bodies + terminator
+    // POSIX magic/version: 'ustar' + NUL, then "00" (not the GNU
+    // 'ustar  \0' nor a pre-POSIX blank) — strict validators classify the
+    // header family from these 8 bytes
     assert(new String(bytes, 257, 5, "UTF-8") == "ustar")
-    // checksum: header bytes with the chksum field as spaces
+    assert(bytes(262) == 0 && bytes(263) == '0'.toByte && bytes(264) == '0'.toByte)
+    // checksum: six octal digits + NUL + space (POSIX form), summing the
+    // header with the chksum field as spaces
     val stored = java.lang.Long.parseLong(
       new String(bytes, 148, 6, "UTF-8"), 8)
+    assert(bytes(154) == 0 && bytes(155) == ' '.toByte)
     val sum = (0 until 512).map { i =>
       if (i >= 148 && i < 156) ' '.toInt else bytes(i) & 0xff
     }.sum
     assert(stored == sum, s"checksum $stored != $sum")
+    // mode/uid/gid/size/mtime are NUL-terminated octal (POSIX)
+    assert(bytes(107) == 0 && bytes(115) == 0 && bytes(123) == 0)
+    assert(bytes(135) == 0 && bytes(147) == 0)
     // trailing zero blocks
     assert(bytes.takeRight(1024).forall(_ == 0))
+  }
+
+  test("parseTar skips PAX/GNU-longname/directory members (external shards)") {
+    // hand-build a tar the way Python tarfile (PAX default) would lay it
+    // out: pax-header record, then the real member; plus a directory and a
+    // GNU longname record — only the two regular files must surface
+    def member(name: String, data: Array[Byte], typeflag: Byte): Array[Byte] = {
+      val h = WebDataset.tarHeader(name, data.length.toLong)
+      h(156) = typeflag
+      // re-checksum after the typeflag change
+      for (i <- 148 until 156) h(i) = ' '.toByte
+      val sum = h.map(_ & 0xff).sum
+      val cs = f"$sum%06o\u0000 ".getBytes("UTF-8")
+      System.arraycopy(cs, 0, h, 148, cs.length)
+      val pad = (512 - (data.length % 512)) % 512
+      h ++ data ++ new Array[Byte](pad)
+    }
+    val pax = "30 mtime=1700000000.123\n".getBytes("UTF-8")
+    val tar =
+      member("./PaxHeaders/a.txt", pax, 'x'.toByte) ++
+      member("a.txt", "alpha".getBytes("UTF-8"), '0'.toByte) ++
+      member("subdir/", Array.empty[Byte], '5'.toByte) ++
+      member("././@LongLink", ("x" * 120 + "\u0000").getBytes("UTF-8"), 'L'.toByte) ++
+      member("b.bin", Array[Byte](9, 8, 7), 0.toByte) ++ // pre-POSIX NUL flag
+      new Array[Byte](1024)
+    val rows = WebDataset.parseTar("/x/shard-000000.tar", tar)
+    assert(rows.map(r => (r._2, r._3)) == Seq(("a", "txt"), ("b", "bin")))
+    assert(new String(rows.head._4, "UTF-8") == "alpha")
+    assert(rows(1)._4.toSeq == Seq[Byte](9, 8, 7))
+  }
+
+  test("EXPORT to '.tar' and '.warc' are rejected loudly (import-only)") {
+    val dir = java.nio.file.Files.createTempDirectory("wds_exp").toString
+    val exporter = new graft.dtl.FilesystemExporter(dir)
+    val df = sampleDf.select(col("id"), col("txt"))
+    val e1 = intercept[graft.dtl.DtlError](exporter.exportTable("out.tar", df))
+    assert(e1.getMessage.contains("writeShards"))
+    val e2 = intercept[graft.dtl.DtlError](exporter.exportTable("out.warc", df))
+    assert(e2.getMessage.contains("import-only"))
+    // nothing got written under the rejected names
+    assert(!new java.io.File(s"$dir/out.tar.parquet").exists())
   }
 }

@@ -26,10 +26,14 @@ def canon(df):
     return list(df.columns), rows
 
 def norm(v):
+    # Full-precision float comparison (repr round-trips the exact double):
+    # the driver hashes full precision, and a ≤1-ulp cross-engine split in a
+    # round(,6) DOUBLE is invisible at %.9g — r4/r5 taught us the lenient
+    # form cannot reproduce driver hash failures.
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        return repr(v)
     return str(v)
 
 def main():
