@@ -30,5 +30,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // local[32] runs 32 concurrent tasks in ONE JVM: at 8g the heavy
+  // graph/join gates (triangles' wedge stage, edit_join's candidate
+  // verify) spent their run-to-run variance in GC — 32g on this 128 GiB
+  // box gives each task ~1 GiB of execution-memory headroom, the same
+  // per-task budget a real executor would get.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

@@ -25,9 +25,11 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors).toString)
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -49,17 +51,33 @@ object Bench {
           false
       }
 
+    // SPARK_GRAFT_BENCH_ONLY=q01,pipe_triangles — dev-loop subset filter;
+    // the driver never sets it, so round benches always cover the full list
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.headline.filter(SparkEntry.queries.contains)
+      .filter(n => only.forall(_.contains(n)))
     // JVM/codegen warmup on the smallest SF so measured times are steady-state
     names.foreach(exec(_, "/root/testdata/sf0.001"))
     // median of `iters` successful runs; a failed run must not contribute its
     // (fast) failure duration. A query with no successful run reports -1.
     val results = names.map { name =>
-      val times = (1 to iters).flatMap { _ =>
+      // one untimed warmup at the TARGET SF: the sf0.001 pass warms JIT and
+      // codegen but not the target-scale path (page cache for the bigger
+      // parquet, AQE's at-scale plan choices, scaled hash tables) — per-
+      // iteration traces showed the max was ALWAYS iteration 1 by 1.5-2x,
+      // i.e. warm-in, not steady-state variance
+      exec(name, sfDir)
+      val raw = (1 to iters).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok = exec(name, sfDir)
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
-      }.sorted
+      }
+      // iteration order on stderr: variance diagnosis needs to see WHICH
+      // run was slow (a cold first iteration vs a genuine mid-run outlier)
+      System.err.println(
+        s"[bench] $name iters: ${raw.map(t => f"$t%.2f").mkString(" ")}")
+      val times = raw.sorted
       val median =
         if (times.isEmpty) -1.0
         else if (times.size % 2 == 1) times(times.size / 2)

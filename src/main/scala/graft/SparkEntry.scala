@@ -34,11 +34,13 @@ object SparkEntry {
       graft.queries.GenEvalQueries.oracle ++
       graft.queries.CodeDataQueries.oracle
 
-  /** Queries intentionally without an oracle: only ROUGE-L — its LCS is a
-    * sequential DP no SQL can express; the op is spec-verified against a
-    * brute-force reference instead (GenEvalSpec) and gate-checked rows-only.
+  /** Queries intentionally without an oracle: none — since round 6 even
+    * ROUGE-L's LCS DP is oracled, as a DuckDB recursive CTE over the DP's
+    * anti-diagonals (each diagonal is dependency-free and rides one
+    * recursion step as a list; see GenEvalQueries). The op additionally
+    * stays spec-verified against a brute-force reference (GenEvalSpec).
     */
-  def noOracle: Set[String] = Set("pipe_rouge_l")
+  def noOracle: Set[String] = Set.empty
 
   /** Perf-indicative subset used by Bench (full map is correctness surface). */
   def headline: Seq[String] = Seq(

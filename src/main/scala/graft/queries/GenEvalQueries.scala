@@ -57,10 +57,17 @@ object GenEvalQueries {
     "pipe_chrf" -> ((s, d) =>
       GenEval.chrF(pairs(s, d), col("doc_id"), col("cand"), col("ref"))),
 
-    // ROUGE-L (LCS F1) per pair — no SQL oracle exists for the sequential
-    // LCS DP; spec-verified against brute force, gate-checked rows-only
+    // ROUGE-L (LCS F1) per pair, scores as integer millionths. The LCS DP
+    // looks sequential, but its ANTI-DIAGONALS are dependency-free (cell
+    // (i,j) reads only diagonals d-1 and d-2), so the DuckDB oracle runs
+    // the exact DP as a recursive CTE carrying each diagonal as a list —
+    // a real oracle for the one gate that was rows-only through round 5.
     "pipe_rouge_l" -> ((s, d) =>
-      GenEval.rougeL(pairs(s, d), col("doc_id"), col("cand"), col("ref"))),
+      GenEval.rougeL(pairs(s, d), col("doc_id"), col("cand"), col("ref"))
+        .select(col("pair_id"), col("lcs"), col("cand_len"), col("ref_len"),
+          round(col("precision") * 1e6, 0).cast("long").as("precision_ppm"),
+          round(col("recall") * 1e6, 0).cast("long").as("recall_ppm"),
+          round(col("f1") * 1e6, 0).cast("long").as("f1_ppm"))),
 
     // Self-BLEU diversity per source over the first 5 docs (k·(k−1)=20
     // pairs per group), scores in integer millionths before the mean
@@ -241,6 +248,53 @@ object GenEvalQueries {
       ("WITH pairs AS (" + defaultPairsSql + "),\n" + chrfCtes + "\n" +
         """SELECT doc_id AS pair_id, cand_chars, ref_chars, chrf
           |FROM chrfv""".stripMargin),
+
+    // ROUGE-L oracle: the word-LCS DP run over anti-diagonals d = i + j.
+    // Every cell on diagonal d reads only diagonals d-1 ((i-1,j) and
+    // (i,j-1)) and d-2 ((i-1,j-1)), so a diagonal has NO internal
+    // dependencies and rides one recursion step as a list:
+    //   cur[k]  (k = i+1, 1-based) = L(i, d-i)
+    //   next[k] = prev[k-1] + 1            if cw[i] = rw[j]   (j = d+1-i)
+    //           = max(cur[k-1], cur[k])    otherwise
+    // 0 outside 1 ≤ i ≤ lc, 1 ≤ j ≤ lr (the DP's zero row/column). The
+    // recursion runs lc+lr steps (≤ ~200 at these document lengths) over
+    // one row per pair; the answer is cur[lc+1] at d = lc+lr.
+    "pipe_rouge_l" ->
+      ("WITH RECURSIVE pairs AS (" + defaultPairsSql + "),\n" +
+        """tok AS (SELECT doc_id,
+          |         string_split_regex(trim(cand), '\s+') AS cw,
+          |         string_split_regex(trim(ref), '\s+') AS rw FROM pairs),
+          |dims AS (SELECT doc_id, cw, rw, len(cw) AS lc, len(rw) AS lr FROM tok),
+          |dp AS (
+          |  SELECT doc_id, cw, rw, lc, lr, 0 AS d,
+          |         list_transform(range(0, lc + 1), x -> 0) AS prev,
+          |         list_transform(range(0, lc + 1), x -> 0) AS cur
+          |  FROM dims
+          |  UNION ALL
+          |  SELECT doc_id, cw, rw, lc, lr, d + 1, cur,
+          |         list_transform(range(1, lc + 2), k ->
+          |           CASE WHEN k - 1 < 1 OR d + 2 - k < 1
+          |                     OR k - 1 > lc OR d + 2 - k > lr THEN 0
+          |                WHEN cw[k - 1] = rw[d + 2 - k] THEN prev[k - 1] + 1
+          |                ELSE greatest(cur[k - 1], cur[k]) END)
+          |  FROM dp WHERE d < lc + lr),
+          |fin AS (SELECT doc_id, CAST(cur[lc + 1] AS BIGINT) AS lcs,
+          |               CAST(lc AS BIGINT) AS cand_len,
+          |               CAST(lr AS BIGINT) AS ref_len
+          |        FROM dp WHERE d = lc + lr),
+          |pr AS (SELECT doc_id, lcs, cand_len, ref_len,
+          |         CASE WHEN cand_len = 0 THEN 0.0
+          |              ELSE lcs::DOUBLE / cand_len::DOUBLE END AS p,
+          |         CASE WHEN ref_len = 0 THEN 0.0
+          |              ELSE lcs::DOUBLE / ref_len::DOUBLE END AS r
+          |       FROM fin)
+          |SELECT doc_id AS pair_id, lcs, cand_len, ref_len,
+          |       CAST(round(round(p, 6) * 1000000, 0) AS BIGINT) AS precision_ppm,
+          |       CAST(round(round(r, 6) * 1000000, 0) AS BIGINT) AS recall_ppm,
+          |       CAST(round(round(CASE WHEN p + r = 0.0 THEN 0.0
+          |                  ELSE 2.0 * p * r / (p + r) END, 6) * 1000000, 0)
+          |            AS BIGINT) AS f1_ppm
+          |FROM pr""".stripMargin),
 
     // same smoothed sentence-BLEU arithmetic as pipe_bleu over the
     // all-ordered-pairs-of-first-5 pairing, integer-millionth mean

@@ -411,6 +411,29 @@ class CurationSpec extends AnyFunSuite {
     assert(out(4L) == "")
   }
 
+  test("gopherMetrics counts EVERY canonical stopword (list-derived window)") {
+    // regression pin for the early-exit word-length window: it must be
+    // DERIVED from Curation.gopherStopwords, so this test enumerates the
+    // list itself — if a 9th stopword (or a longer/shorter one) is ever
+    // added, this spec exercises it with no edits, and a hardcoded
+    // mask/window fails loudly here.
+    val stops = Curation.gopherStopwords
+    assert(graft.functions.GopherStats.stopwords.toSeq == stops,
+      "GopherStats must bind the canonical Curation list")
+    val all = (("pad " * 60).trim + " " + stops.mkString(" ")).trim
+    val docs = (stops.zipWithIndex.map { case (w, i) =>
+      // each stopword alone (uppercased: the match is case-insensitive)
+      (i.toLong, ("pad " * 60).trim + " " + w.toUpperCase)
+    } :+ (999L, all)).toSeq.toDF("doc_id", "text")
+    val hits = Curation.gopherMetrics(docs, col("doc_id"), col("text"))
+      .select(col("id"), col("stop_hits")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    stops.indices.foreach { i =>
+      assert(hits(i.toLong) == 1, s"stopword '${stops(i)}' not counted")
+    }
+    assert(hits(999L) == stops.length, s"full list: got ${hits(999L)}")
+  }
+
   test("temperatureMixture keeps null-domain rows under the default rate path") {
     val df = ((0L until 400L).map(i => (i, "a")) ++
       (400L until 800L).map(i => (i, null.asInstanceOf[String]))).toDF("id", "dom")
