@@ -64,6 +64,12 @@ object Ast {
   sealed trait TableExpr { def pos: Pos; var endPos: Pos = Pos(-1, -1) }
   final case class ImportExpr(location: String, pos: Pos) extends TableExpr
   final case class TableRef(name: String, pos: Pos) extends TableExpr
+  /** Table-valued pipeline operator (extension; registry in TableOps):
+    * `APPLY 'op' TO <table> [WITH (name = literal, ...)]`. Options are
+    * static literals only — the op is configured, never row-dependent.
+    */
+  final case class ApplyExpr(op: String, source: TableExpr,
+      opts: List[(String, Expr)], pos: Pos) extends TableExpr
   final case class SelectExpr(
       distinct: DistinctMode,
       bindings: List[Binding],

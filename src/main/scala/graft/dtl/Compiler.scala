@@ -33,7 +33,8 @@ final class Compiler(
     importer: Importer,
     registry: FunctionRegistry,
     needsOrder: Boolean,
-    tracing: Boolean = false) {
+    tracing: Boolean = false,
+    tableOps: Map[String, TableOps.TableOp] = TableOps.default) {
 
   final case class SCol(name: String, internal: String,
       namespaces: Set[Option[String]], dtype: DType)
@@ -327,6 +328,7 @@ final class Compiler(
     case TableRef(name, pos) =>
       val t = env.getOrElse(name, throw DtlError(s"unknown table '$name'", pos.line, pos.col))
       refresh(t) // fresh internals so self-joins never collide
+    case a: ApplyExpr => compileApply(a, env)
     case sel: SelectExpr => compileSelect(sel, env)
     case SetOpExpr(op, left, right, pos) =>
       val lt = traceNested(left, compileTable(left, env))
@@ -360,6 +362,68 @@ final class Compiler(
       // (downstream CONSECUTIVE ops report their standard no-order error;
       // statement traces still snapshot the result, without row mappings)
       CTable(combined, lt.cols.map(c => c.copy(namespaces = Set(None))), Nil, Nil)
+  }
+
+  /** `APPLY 'op' TO src WITH (...)`: run a registered table-valued pipeline
+    * operator (TableOps) over the source's VISIBLE columns; the op's output
+    * schema defines the new scope, typed through the same Spark→DTL map as
+    * IMPORT (arrays and other non-DTL types land as EXT — selectable and
+    * exportable, not operable).
+    *
+    * Row semantics follow set operations: an APPLY defines no row order
+    * (CONSECUTIVE downstream reports its standard error). Provenance does
+    * NOT stop, though: when tracing, the mapping from source rows to output
+    * rows is recovered RELATIONALLY — a null-safe equality join on the
+    * columns the output SHARES with the input (the AggLineage machinery) —
+    * classified many-to-many with src-totality off, the honest class for a
+    * black-box table operator. An op sharing no column names with its input
+    * (e.g. pair generators renaming ids) traces as a lineage boundary, like
+    * a set op.
+    */
+  private def compileApply(a: ApplyExpr,
+      env: collection.Map[String, CTable]): CTable = {
+    val in = traceNested(a.source, compileTable(a.source, env))
+    // evaluate the static option literals (parser guarantees literal shape)
+    val opts = mutable.LinkedHashMap.empty[String, Any]
+    for ((name, lit) <- a.opts) {
+      if (opts.contains(name))
+        throw DtlError(s"APPLY '${a.op}': duplicate option '$name'",
+          a.pos.line, a.pos.col)
+      opts(name) = lit match {
+        case IntLit(v, _) => java.lang.Long.valueOf(v)
+        case FloatLit(v, _) => java.lang.Double.valueOf(v)
+        case StringLit(v, _) => v
+        case BoolLit(v, _) => java.lang.Boolean.valueOf(v)
+        case other => throw DtlError(
+          s"APPLY '${a.op}': option '$name' must be a literal", other.pos.line,
+          other.pos.col)
+      }
+    }
+    val visible = in.df.select(in.cols.map(c => col(c.internal).as(c.name)): _*)
+    val out = TableOps.run(tableOps, a.op, visible, opts.toMap, a.pos)
+    val cols = out.schema.fields.toList.map { f =>
+      SCol(f.name, fresh(), Set(None), DType.fromSpark(f.dataType))
+    }
+    val projected = out.select(cols.map(c => col(c.name).as(c.internal)): _*)
+    val lineage =
+      if (!tracing) Nil
+      else {
+        val shared = in.cols.filter(c => cols.exists(_.name == c.name))
+        if (shared.isEmpty) Nil
+        else {
+          // source frame carrying its rids plus the shared columns RENAMED
+          // to the output's internal names, so the trace-time key join binds
+          val keyed = shared.map { c =>
+            val outInternal = cols.find(_.name == c.name).get.internal
+            col(c.internal).as(outInternal)
+          } ++ in.rids.map(r => col(r.col))
+          val srcDf = in.df.select(keyed: _*)
+          List(AggLineage(srcDf, in.rids,
+            shared.map(c => cols.find(_.name == c.name).get.internal),
+            multiplied = true))
+        }
+      }
+    CTable(projected, cols, Nil, Nil, lineage)
   }
 
   /** UPDATE: rebind the target to a same-shape table with SET columns
@@ -750,7 +814,8 @@ final class Compiler(
     */
   var nestedTrace: Option[(TableExpr, CTable) => CTable] = None
   private def traceNested(te: TableExpr, t: CTable): CTable = te match {
-    case _: SelectExpr | _: SetOpExpr => nestedTrace.fold(t)(f => f(te, t))
+    case _: SelectExpr | _: SetOpExpr | _: ApplyExpr =>
+      nestedTrace.fold(t)(f => f(te, t))
     case _ => t
   }
 

@@ -15,7 +15,8 @@ import Ast._
   */
 final class Engine(
     val spark: SparkSession,
-    val registry: FunctionRegistry = FunctionRegistry.default) {
+    val registry: FunctionRegistry = FunctionRegistry.default,
+    val tableOps: Map[String, TableOps.TableOp] = TableOps.default) {
 
   // the engine's optimizer rules ride along with it: a DTL theta join like
   // `ON abs(x - y) <= tol` plans as a bucketed hash join, not a nested loop
@@ -27,7 +28,8 @@ final class Engine(
       tracer: Option[Tracer] = None): Unit = {
     val stmts = Parser.parse(source)
     val compiler = new Compiler(importer, registry,
-      needsOrder = usesConsecutive(stmts), tracing = tracer.isDefined)
+      needsOrder = usesConsecutive(stmts), tracing = tracer.isDefined,
+      tableOps = tableOps)
     val manifest = new ManifestBuilder(source)
     val env = mutable.Map.empty[String, compiler.CTable]
     val txStack = new TxStack[compiler.CTable]
@@ -106,7 +108,8 @@ final class Engine(
     */
   def explain(source: String, importer: Importer): Map[String, String] = {
     val stmts = Parser.parse(source)
-    val compiler = new Compiler(importer, registry, needsOrder = usesConsecutive(stmts))
+    val compiler = new Compiler(importer, registry,
+      needsOrder = usesConsecutive(stmts), tableOps = tableOps)
     val env = mutable.Map.empty[String, compiler.CTable]
     val out = mutable.LinkedHashMap.empty[String, String]
     val txStack = new TxStack[compiler.CTable]
@@ -184,6 +187,7 @@ final class Engine(
           s.groupBy.exists(_.consecutive) ||
           inTable(s.from.source) || s.joins.exists(j => inTable(j.table.source))
       case SetOpExpr(_, l, r, _) => inTable(l) || inTable(r)
+      case ApplyExpr(_, src, _, _) => inTable(src)
       case _ => false
     }
     stmts.exists {

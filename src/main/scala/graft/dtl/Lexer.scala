@@ -51,7 +51,9 @@ object Lexer {
     "HAVING", "IS", "NULL", "IN", "BETWEEN",
     // boolean operators (reference lexes & | ! with no grammar; we add both
     // symbol and keyword forms):
-    "AND", "OR", "NOT")
+    "AND", "OR", "NOT",
+    // table-valued pipeline operators (extension; see TableOps):
+    "APPLY")
 
   private def isIdStart(c: Char) = c.isLetter && c < 128 || c == '_'
   private def isIdCont(c: Char) =

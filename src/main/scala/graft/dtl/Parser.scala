@@ -168,7 +168,51 @@ final class Parser(tokens: Vector[Token]) {
     if (isPunct("(")) { advance(); val te = parseTableExpr(); eatPunct(")"); te }
     else if (isKw("IMPORT")) { advance(); withEnd(ImportExpr(eatString(), p)) }
     else if (isKw("SELECT")) parseSelect()
+    else if (isKw("APPLY")) parseApply()
     else withEnd(TableRef(eatName(), p))
+  }
+
+  /** `APPLY 'op' TO <primary-table> [WITH (name = literal {, ...})]` —
+    * table-valued pipeline operators (see TableOps). Options are static
+    * literals: APPLY configures an operator, it never evaluates per row.
+    */
+  private def parseApply(): TableExpr = {
+    val p = pos
+    eatKw("APPLY")
+    val opName = eatString()
+    eatKw("TO")
+    val src = parsePrimaryTableExpr()
+    val opts = List.newBuilder[(String, Expr)]
+    if (isKw("WITH")) {
+      advance(); eatPunct("(")
+      def one(): Unit = {
+        val n = eatName(); eatPunct("=")
+        opts += (n -> parseOptLiteral())
+      }
+      one()
+      while (isPunct(",")) { advance(); one() }
+      eatPunct(")")
+    }
+    withEnd(ApplyExpr(opName, src, opts.result(), p))
+  }
+
+  private def parseOptLiteral(): Expr = {
+    val p = pos
+    cur match {
+      case Token.Keyword("TRUE", _, _) => advance(); BoolLit(true, p)
+      case Token.Keyword("FALSE", _, _) => advance(); BoolLit(false, p)
+      case Token.IntLit(v, _, _, _) => advance(); IntLit(v, p)
+      case Token.FloatLit(v, _, _, _) => advance(); FloatLit(v, p)
+      case Token.StringLit(v, _, _, _) => advance(); StringLit(v, p)
+      case Token.Punct("-", _, _) =>
+        advance()
+        cur match {
+          case Token.IntLit(v, _, _, _) => advance(); IntLit(-v, p)
+          case Token.FloatLit(v, _, _, _) => advance(); FloatLit(-v, p)
+          case _ => err("expected a numeric literal after '-'")
+        }
+      case _ => err("expected a literal (APPLY options are static)")
+    }
   }
 
   private def parseSelect(): SelectExpr = {

@@ -1,0 +1,149 @@
+package graft.dtl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Registry of TABLE-VALUED pipeline operators callable from DTL:
+  *
+  * {{{
+  *   WITH pairs AS APPLY 'minhash_pairs' TO docs
+  *     WITH (id = 'doc_id', text = 'text', bands = 16);
+  * }}}
+  *
+  * This is the bridge between the engine's two halves: the DTL language
+  * (scalar functions, SELECT relational algebra) and the whole-table
+  * pipeline operators (dedup candidate generation, connected components,
+  * kNN graphs) whose semantics no single SELECT can express. The reference
+  * has no such operators at all; the form is an extension in the spirit of
+  * SQL's polymorphic table functions.
+  *
+  * Contract: an op receives the source table under its VISIBLE column
+  * names plus a static option map (literals only — APPLY is declarative,
+  * options cannot reference columns), and returns a new DataFrame whose
+  * schema defines the result scope. Like set operations, an APPLY result
+  * defines no row order; provenance is traced relationally as a
+  * many-to-many mapping on the columns the output shares with the input
+  * (see Compiler.compileTable's ApplyExpr case).
+  *
+  * Every option is validated by name up front — a typo like `band = 16`
+  * fails loudly with the op's accepted option list instead of silently
+  * running with the default.
+  */
+object TableOps {
+
+  /** Typed accessor over the option map; all misses/mismatches surface as
+    * positioned [[DtlError]]s naming the op.
+    */
+  final class OpArgs private[TableOps] (op: String, opts: Map[String, Any],
+      line: Int, colNo: Int) {
+    private def bad(k: String, want: String, got: Any): Nothing =
+      throw DtlError(s"APPLY '$op': option '$k' expects $want, got '$got'",
+        line, colNo)
+    def str(k: String, default: => String): String = opts.get(k) match {
+      case Some(s: String) => s
+      case Some(other) => bad(k, "a string literal", other)
+      case None => default
+    }
+    def int(k: String, default: => Int): Int = opts.get(k) match {
+      case Some(l: java.lang.Long) => l.toInt
+      case Some(other) => bad(k, "an integer literal", other)
+      case None => default
+    }
+    def dbl(k: String, default: => Double): Double = opts.get(k) match {
+      case Some(d: java.lang.Double) => d.doubleValue
+      case Some(l: java.lang.Long) => l.toDouble
+      case Some(other) => bad(k, "a numeric literal", other)
+      case None => default
+    }
+    def bool(k: String, default: => Boolean): Boolean = opts.get(k) match {
+      case Some(b: java.lang.Boolean) => b.booleanValue
+      case Some(other) => bad(k, "TRUE or FALSE", other)
+      case None => default
+    }
+  }
+
+  /** One registered table op: the option names it accepts (validated before
+    * the op runs) and the DataFrame transform.
+    */
+  final case class TableOp(options: Set[String], summary: String,
+      fn: (DataFrame, OpArgs) => DataFrame)
+
+  /** Resolve + validate + run `opName` from `registry`. */
+  def run(registry: Map[String, TableOp], opName: String, input: DataFrame,
+      opts: Map[String, Any], pos: Ast.Pos): DataFrame = {
+    val op = registry.getOrElse(opName, throw DtlError(
+      s"unknown table op '$opName' — available: " +
+        registry.keys.toSeq.sorted.mkString(", "), pos.line, pos.col))
+    val unknown = opts.keySet -- op.options
+    if (unknown.nonEmpty)
+      throw DtlError(
+        s"APPLY '$opName' does not accept option(s) ${unknown.toSeq.sorted.mkString(", ")}" +
+          s" — accepted: ${op.options.toSeq.sorted.mkString(", ")}",
+        pos.line, pos.col)
+    val out =
+      try op.fn(input, new OpArgs(opName, opts, pos.line, pos.col))
+      catch {
+        case e: DtlError => throw e
+        case e: IllegalArgumentException =>
+          // op-level require() messages (e.g. "bands must divide numHashes")
+          // become positioned DTL errors
+          throw DtlError(s"APPLY '$opName': ${e.getMessage}", pos.line, pos.col)
+      }
+    out
+  }
+
+  /** The default registry: the pipeline ops whose table-in/table-out shape
+    * fits a single-source APPLY. Column-name options default to the gate
+    * tables' conventions (doc_id/text, id_a/id_b, vec_id/embedding).
+    */
+  val default: Map[String, TableOp] = Map(
+    "minhash_pairs" -> TableOp(
+      Set("id", "text", "shingle_size", "num_hashes", "bands", "threshold"),
+      "MinHash+LSH candidate pairs verified by exact shingle Jaccard -> (id_a, id_b, jaccard)",
+      (df, a) => graft.ops.Dedup.minhashLsh(df,
+        col(a.str("id", "doc_id")), col(a.str("text", "text")),
+        shingleSize = a.int("shingle_size", 3),
+        numHashes = a.int("num_hashes", 64),
+        bands = a.int("bands", 16),
+        threshold = a.dbl("threshold", 0.8))),
+
+    "ngram_pairs" -> TableOp(
+      Set("id", "text", "shingle_size", "threshold"),
+      "EXACT n-gram Jaccard pairs via prefix filtering -> (id_a, id_b, jaccard)",
+      (df, a) => graft.ops.Dedup.ngramJaccardPairs(df,
+        col(a.str("id", "doc_id")), col(a.str("text", "text")),
+        shingleSize = a.int("shingle_size", 3),
+        threshold = a.dbl("threshold", 0.8))),
+
+    "containment_pairs" -> TableOp(
+      Set("id", "text", "shingle_size", "threshold"),
+      "asymmetric shingle-containment pairs (quote/subset detection) -> (id_a, id_b, containment)",
+      (df, a) => graft.ops.Dedup.containmentPairs(df,
+        col(a.str("id", "doc_id")), col(a.str("text", "text")),
+        shingleSize = a.int("shingle_size", 3),
+        threshold = a.dbl("threshold", 0.6))),
+
+    "edit_pairs" -> TableOp(
+      Set("id", "text", "max_dist", "q"),
+      "exact edit-distance pairs, q-gram/deletion-variant prefix filtered -> (id_a, id_b, dist)",
+      (df, a) => graft.ops.Dedup.editDistancePairs(df,
+        col(a.str("id", "doc_id")), col(a.str("text", "text")),
+        maxDist = a.int("max_dist", 2), q = a.int("q", 3))),
+
+    "components" -> TableOp(
+      Set("src", "dst"),
+      "connected components over an edge table (large-star/small-star) -> (id, cluster_id)",
+      (df, a) => graft.ops.Dedup.clusters(df.select(
+        col(a.str("src", "id_a")).as("id_a"),
+        col(a.str("dst", "id_b")).as("id_b")))),
+
+    "knn_graph" -> TableOp(
+      Set("id", "vec", "k", "n_clusters", "n_probe", "iters", "dim"),
+      "IVF-bounded kNN edges over an embedding column -> (vec_id, nb_id, d2, rank)",
+      (df, a) => graft.ops.Similarity.knnGraph(df,
+        col(a.str("id", "vec_id")), col(a.str("vec", "embedding")),
+        k = a.int("k", 5), nClusters = a.int("n_clusters", 8),
+        nProbe = a.int("n_probe", 2), iters = a.int("iters", 2),
+        dim = a.int("dim", 64)))
+  )
+}

@@ -384,6 +384,25 @@ object DtlQueries {
         |WITH big AS SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_totalprice > 400000.0;
         |WITH per_cust AS SELECT o_custkey, count() AS n_big, sum(o_totalprice) AS total FROM big GROUP BY o_custkey;
         |WITH output AS SELECT o_custkey, n_big FROM per_cust WHERE n_big >= 2;
+        |EXPORT output TO 'output';""".stripMargin)),
+
+    // the whole dedup pipeline IN-LANGUAGE via table-valued APPLY ops:
+    // import -> MinHash/LSH candidate pairs -> connected components ->
+    // relational post-processing (cluster sizes) -> export. This is the
+    // bridge between the DTL surface and the table-op registry (TableOps);
+    // the oracle replays pairs + components + sizes from scratch in SQL.
+    "dtl_dedup_pipeline" -> ((s, d) => run(s, d,
+      """WITH docs AS IMPORT 'documents';
+        |WITH pairs AS APPLY 'minhash_pairs' TO docs
+        |  WITH (id = 'doc_id', text = 'text', shingle_size = 3,
+        |        num_hashes = 64, bands = 16, threshold = 0.8);
+        |WITH clusters AS APPLY 'components' TO pairs;
+        |WITH sizes AS
+        |  SELECT cluster_id, count() AS cluster_size FROM clusters GROUP BY cluster_id;
+        |WITH output AS
+        |  SELECT c.id AS doc_id, c.cluster_id AS cluster_id, s.cluster_size AS cluster_size
+        |  FROM clusters AS c
+        |  JOIN sizes AS s ON c.cluster_id = s.cluster_id;
         |EXPORT output TO 'output';""".stripMargin))
   )
 
@@ -744,6 +763,30 @@ object DtlQueries {
         |          + len(regexp_extract_all(text, '\+?\d[\d\- ]{7,}\d')) AS INTEGER) AS n_pii,
         |       round((n - d)::DOUBLE / greatest(n, 1), 6) AS dup_frac,
         |       round(topf::DOUBLE / greatest(n, 1), 6) AS top_frac
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    // pairs (exact Jaccard >= 0.8 over 3-gram shingles, the minhash_pairs
+    // verify contract) -> min-label connected components -> cluster sizes —
+    // the same reach CTE as pipe_dedup_clusters plus the size join
+    "dtl_dedup_pipeline" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, ${PipelineQueries.duckShingles} AS sh FROM documents
+         |  WHERE len(string_split_regex(trim(lower(text)),'\\s+')) >= 3),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+         |reach AS (
+         |  SELECT src AS id, src AS label FROM edges
+         |  UNION
+         |  SELECT e.src AS id, r.label
+         |  FROM edges e JOIN reach r ON e.dst = r.id),
+         |cl AS (SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+         |       FROM reach GROUP BY id),
+         |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY cluster_id)
+         |SELECT cl.doc_id, cl.cluster_id, sz.cluster_size
+         |FROM cl JOIN sz USING (cluster_id)""".stripMargin
   )
 }

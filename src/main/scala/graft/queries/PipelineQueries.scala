@@ -799,7 +799,7 @@ object PipelineQueries {
        |  range(1, greatest(len(string_split_regex(trim(lower(text)),'\\s+')) - ${k - 2}, 1)),
        |  i -> list_aggregate(list_slice(string_split_regex(trim(lower(text)),'\\s+'), i, i+${k - 1}), 'string_agg', ' ')))""".stripMargin
 
-  private val duckShingles = duckShinglesK(3)
+  private[queries] val duckShingles = duckShinglesK(3)
 
   // DuckDB twin of ZOrder.spread: the 64-bit Morton magic-number chain
   private def duckSpread(e: String): String = {

@@ -1,0 +1,140 @@
+package graft.dtl
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** The APPLY table-expression form: table-valued pipeline operators callable
+  * from DTL scripts (TableOps registry) — grammar, option validation,
+  * composition with relational statements, custom registries, and the
+  * relational many-to-many provenance mapping.
+  */
+class ApplySpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+
+  test("APPLY 'components' runs connected components in-script") {
+    val out = new Engine(spark).runSimple(
+      """WITH pairs AS IMPORT 'pairs';
+        |WITH clusters AS APPLY 'components' TO pairs;
+        |WITH output AS SELECT id, cluster_id FROM clusters;
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("pairs" -> edges))("output")
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("APPLY options configure the op; results compose with SELECT") {
+    // two identical docs + one distinct; minhash pairs at threshold 0.8
+    // finds exactly the identical pair, and the sizes SELECT runs over it
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven")).toDF("doc_id", "text")
+    val out = new Engine(spark).runSimple(
+      """WITH docs AS IMPORT 'docs';
+        |WITH pairs AS APPLY 'minhash_pairs' TO docs
+        |  WITH (id = 'doc_id', text = 'text', bands = 16, num_hashes = 64,
+        |        threshold = 0.8);
+        |WITH output AS SELECT id_a, id_b FROM pairs;
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("docs" -> docs))("output")
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L)))
+  }
+
+  test("unknown op / unknown option / bad type / duplicate fail loudly") {
+    val e1 = intercept[DtlError](new Engine(spark).runSimple(
+      "WITH pairs AS IMPORT 'pairs'; WITH c AS APPLY 'nope' TO pairs; EXPORT c TO 'o';",
+      Map("pairs" -> edges)))
+    assert(e1.getMessage.contains("unknown table op 'nope'") &&
+      e1.getMessage.contains("minhash_pairs"), e1.getMessage)
+
+    val e2 = intercept[DtlError](new Engine(spark).runSimple(
+      "WITH pairs AS IMPORT 'pairs'; WITH c AS APPLY 'components' TO pairs WITH (scr = 'id_a'); EXPORT c TO 'o';",
+      Map("pairs" -> edges)))
+    assert(e2.getMessage.contains("does not accept option(s) scr") &&
+      e2.getMessage.contains("src"), e2.getMessage)
+
+    val e3 = intercept[DtlError](new Engine(spark).runSimple(
+      "WITH pairs AS IMPORT 'pairs'; WITH c AS APPLY 'components' TO pairs WITH (src = 3); EXPORT c TO 'o';",
+      Map("pairs" -> edges)))
+    assert(e3.getMessage.contains("expects a string literal"), e3.getMessage)
+
+    val e4 = intercept[DtlError](new Engine(spark).runSimple(
+      "WITH pairs AS IMPORT 'pairs'; WITH c AS APPLY 'components' TO pairs WITH (src = 'id_a', src = 'id_b'); EXPORT c TO 'o';",
+      Map("pairs" -> edges)))
+    assert(e4.getMessage.contains("duplicate option 'src'"), e4.getMessage)
+
+    // options must be literals, never expressions over columns
+    val e5 = intercept[DtlError](new Engine(spark).runSimple(
+      "WITH pairs AS IMPORT 'pairs'; WITH c AS APPLY 'components' TO pairs WITH (src = id_a); EXPORT c TO 'o';",
+      Map("pairs" -> edges)))
+    assert(e5.getMessage.contains("literal"), e5.getMessage)
+  }
+
+  test("a caller-registered op runs under a custom registry") {
+    val custom = TableOps.default + ("keep_short" -> TableOps.TableOp(
+      Set("max_len"), "rows whose text is at most max_len chars",
+      (df, a) => df.filter(length(col("text")) <= a.int("max_len", 10))))
+    val docs = Seq((1L, "short"), (2L, "a much longer text")).toDF("doc_id", "text")
+    val out = new Engine(spark, tableOps = custom).runSimple(
+      """WITH docs AS IMPORT 'docs';
+        |WITH output AS APPLY 'keep_short' TO docs WITH (max_len = 8);
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("docs" -> docs))("output")
+    assert(out.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("provenance: APPLY maps source rows relationally, classified m:m") {
+    val custom = TableOps.default + ("keep_short" -> TableOps.TableOp(
+      Set("max_len"), "rows whose text is at most max_len chars",
+      (df, a) => df.filter(length(col("text")) <= a.int("max_len", 10))))
+    val docs = Seq((1L, "short"), (2L, "a much longer text"), (3L, "tiny"))
+      .toDF("doc_id", "text")
+    val tracer = new InMemoryTracer
+    new Engine(spark, tableOps = custom).runSimple(
+      """WITH docs AS IMPORT 'docs';
+        |WITH kept AS APPLY 'keep_short' TO docs WITH (max_len = 8);
+        |EXPORT kept TO 'out';""".stripMargin,
+      Map("docs" -> docs), Some(tracer))
+    // shared columns (doc_id, text) recover the row mapping: the 2 kept
+    // rows each map back to their source row
+    val m = tracer.mappings(("docs", "kept"))
+    assert(m.count() == 2)
+    assert(m.select("src_rid").distinct().count() == 2)
+    // black-box table op: honest classification is many_to_many, not total
+    assert(tracer.manifest.exists(_.contains("many_to_many")),
+      tracer.manifest.getOrElse(""))
+  }
+
+  test("provenance: a pair-generating APPLY is a lineage boundary (like set ops)") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val tracer = new InMemoryTracer
+    new Engine(spark).runSimple(
+      """WITH docs AS IMPORT 'docs';
+        |WITH pairs AS APPLY 'minhash_pairs' TO docs
+        |  WITH (id = 'doc_id', text = 'text');
+        |EXPORT pairs TO 'out';""".stripMargin,
+      Map("docs" -> docs), Some(tracer))
+    // output shares no column names with the input -> snapshot, no mapping
+    assert(tracer.snapshots.contains("pairs"))
+    assert(!tracer.mappings.contains(("docs", "pairs")))
+  }
+
+  test("op-level require() failures surface as positioned DTL errors") {
+    val docs = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val e = intercept[DtlError](new Engine(spark).runSimple(
+      """WITH docs AS IMPORT 'docs';
+        |WITH p AS APPLY 'minhash_pairs' TO docs
+        |  WITH (bands = 7, num_hashes = 64);
+        |EXPORT p TO 'o';""".stripMargin,
+      Map("docs" -> docs)))
+    assert(e.getMessage.contains("bands must divide numHashes"), e.getMessage)
+    assert(e.getMessage.contains("line 2"), e.getMessage)
+  }
+}
