@@ -31,6 +31,17 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(missing == SparkEntry.noOracle, s"queries without oracle: $missing")
   }
 
+  test("README's gate count matches SparkEntry.queries (it has drifted twice)") {
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    val m = "ALL (\\d+) gate queries".r.findFirstMatchIn(readme)
+    assert(m.isDefined, "README no longer states the gate count as " +
+      "'ALL <n> gate queries' — keep the claim and this pin in sync")
+    assert(m.get.group(1).toInt == SparkEntry.queries.size,
+      s"README claims ${m.get.group(1)} gate queries but SparkEntry has " +
+        s"${SparkEntry.queries.size} — update the README paragraph")
+  }
+
   for (name <- SparkEntry.queries.keys.toSeq.sorted) {
     test(s"$name executes at sf0.001") {
       val df = SparkEntry.queries(name)(spark, sf)
