@@ -14,6 +14,10 @@ object Ast {
   final case class IntLit(value: Long, pos: Pos) extends Expr
   final case class FloatLit(value: Double, pos: Pos) extends Expr
   final case class StringLit(value: String, pos: Pos) extends Expr
+  /** Bytes literal `b'...'` — the reference's nodes.py:22-45 ByteString,
+    * whose lexer path the reference never finished; live here.
+    */
+  final case class BytesLit(value: Array[Byte], pos: Pos) extends Expr
   final case class ColumnRef(table: Option[String], name: String, pos: Pos) extends Expr
   final case class FuncCall(name: String, args: List[Expr], pos: Pos) extends Expr
   final case class Binary(op: String, left: Expr, right: Expr, pos: Pos) extends Expr

@@ -211,6 +211,7 @@ final class Compiler(
     case IntLit(v, _) => TypedCol(lit(v), TInt64)
     case FloatLit(v, _) => TypedCol(lit(v), TDouble)
     case StringLit(v, _) => TypedCol(lit(v), TText)
+    case BytesLit(v, _) => TypedCol(lit(v), TBytes)
     case ColumnRef(table, name, pos) =>
       val c = resolve(scope, table, name, pos)
       TypedCol(col(c.internal), c.dtype)
@@ -793,6 +794,7 @@ final class Compiler(
     case IntLit(v, _) => ("i", v)
     case FloatLit(v, _) => ("f", v)
     case StringLit(v, _) => ("s", v)
+    case BytesLit(v, _) => ("by", v.toSeq)
     case ColumnRef(t, n, p) => ("c", resolve(scope, t, n, p).internal)
     case FuncCall(n, args, _) => ("fn", n, args.map(strip(_, scope)))
     case Binary(op, l, r, _) => ("bin", op, strip(l, scope), strip(r, scope))

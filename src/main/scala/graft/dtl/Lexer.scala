@@ -24,6 +24,12 @@ object Token {
   final case class IntLit(value: Long, text: String, line: Int, col: Int) extends Token
   final case class FloatLit(value: Double, text: String, line: Int, col: Int) extends Token
   final case class StringLit(value: String, text: String, line: Int, col: Int) extends Token
+  /** `b'...'` bytes literal — the reference declares the token and AST node
+    * (tokens.py:27-48, nodes.py:22-45) but its lexer never emits them; here
+    * the syntax is live. Python semantics: chars are code points ≤ 0xFF
+    * mapping 1:1 to bytes, `\xHH` escapes arbitrary bytes.
+    */
+  final case class BytesLit(value: Array[Byte], text: String, line: Int, col: Int) extends Token
   final case class Punct(text: String, line: Int, col: Int) extends Token
   final case class Eof(line: Int, col: Int) extends Token { def text = "<eof>" }
 }
@@ -79,6 +85,46 @@ object Lexer {
         while (i < src.length && !(peek() == '*' && peek(1) == '/')) bump()
         if (i >= src.length) throw DtlError("unterminated block comment", l0, c0)
         bump(); bump()
+      } else if (c == 'b' && peek(1) == '\'') {
+        // bytes literal b'...': same escapes as strings plus \xHH; code
+        // points above 0xFF have no single-byte mapping and are rejected
+        val s0 = i
+        bump(); bump() // 'b' and the opening quote
+        val buf = new java.io.ByteArrayOutputStream()
+        var closed = false
+        while (i < src.length && !closed) {
+          val ch = bump()
+          if (ch == '\'') closed = true
+          else if (ch == '\\' && i < src.length) {
+            val esc = bump()
+            esc match {
+              case 'x' | 'X' =>
+                if (i + 1 >= src.length)
+                  throw DtlError("truncated \\x escape in bytes literal", l0, c0)
+                val hex = s"${bump()}${bump()}"
+                val v = try Integer.parseInt(hex, 16)
+                catch { case _: NumberFormatException =>
+                  throw DtlError(s"invalid \\x escape '\\x$hex' in bytes literal", l0, c0) }
+                buf.write(v)
+              case 'a' => buf.write(0x07); case 'b' => buf.write('\b'.toInt)
+              case 'f' => buf.write('\f'.toInt); case 'n' => buf.write('\n'.toInt)
+              case 'r' => buf.write('\r'.toInt); case 't' => buf.write('\t'.toInt)
+              case 'v' => buf.write(0x0b)
+              case other =>
+                if (other > 0xFF)
+                  throw DtlError(s"bytes literal can only hold code points <= 0xFF, got '$other'", l0, c0)
+                buf.write(other.toInt)
+            }
+          } else {
+            if (ch > 0xFF)
+              throw DtlError(
+                s"bytes literal can only hold code points <= 0xFF, got '$ch' — use \\xHH",
+                l0, c0)
+            buf.write(ch.toInt)
+          }
+        }
+        if (!closed) throw DtlError("unterminated bytes literal", l0, c0)
+        out += Token.BytesLit(buf.toByteArray, src.substring(s0, i), l0, c0)
       } else if (isIdStart(c)) {
         val sb = new StringBuilder
         while (i < src.length && isIdCont(peek())) sb += bump()

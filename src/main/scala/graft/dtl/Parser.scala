@@ -409,6 +409,7 @@ final class Parser(tokens: Vector[Token]) {
       case Token.IntLit(v, _, _, _) => advance(); IntLit(v, p)
       case Token.FloatLit(v, _, _, _) => advance(); FloatLit(v, p)
       case Token.StringLit(v, _, _, _) => advance(); StringLit(v, p)
+      case Token.BytesLit(v, _, _, _) => advance(); BytesLit(v, p)
       case Token.Punct("(", _, _) =>
         advance(); val e = parseExpr(); eatPunct(")"); e
       case Token.Name(n, _, _) =>

@@ -718,6 +718,63 @@ object ScaleProbe {
     }
     println(f"  hits $secHits%,d (want ${n / 100}%,d)")
 
+    println(s"== edit-distance join on a digits/ID corpus (the q-gram killer) ==")
+    // 13-char "usr-<9 hex>" ids: every 3-gram is drawn from 16 hex chars +
+    // a shared prefix, so q-gram document frequencies are astronomically
+    // hot (≤ 4096 distinct grams over millions of rows) and prefix
+    // filtering degenerates toward all-pairs — the corpus shape that
+    // motivated the FastSS deletion-variant path, which auto-selects at
+    // maxDist <= 2. Hashed ids keep the TRUE pair graph sparse; the plant
+    // (every 100th row = a one-DELETION variant of its successor's id,
+    // edit distance exactly 1) is the needle set.
+    val idN = math.min(n / 4, 5_000_000L)
+    val base = substring(md5(col("id").cast("string")), 1, 9)
+    val succ = substring(md5((col("id") + 1).cast("string")), 1, 9)
+    val idDocs = spark.range(idN).select(col("id"),
+      when(col("id") % 100 === 0,
+        concat(lit("usr-"), substring(succ, 2, 8))) // drop one code point
+        .otherwise(concat(lit("usr-"), base)).as("s"))
+    val idPairs = time(f"editDistancePairs ($idN%,d ID strings, maxDist=1)") {
+      graft.ops.Dedup.editDistancePairs(idDocs, col("id"), col("s"),
+        maxDist = 1, q = 3).count()
+    }
+    // candidate volume of the deletion scheme (mirrors the op's signature
+    // stage: string + every 1-deletion variant, self-joined) — the
+    // candidate:verified ratio is the number that says "never all-pairs"
+    val sigs = idDocs.select(col("id"), length(col("s")).as("len"),
+      explode(concat(array(col("s")),
+        expr("transform(sequence(1, length(s)), i -> concat(substring(s, 1, i - 1), substring(s, i + 1)))")))
+        .as("sig"))
+    val idCands = time("  candidate stage alone (signature self-join)") {
+      sigs.select(col("sig"), col("id").as("id_a"), col("len").as("len_a"))
+        .join(sigs.select(col("sig"), col("id").as("id_b"), col("len").as("len_b")), Seq("sig"))
+        .filter(col("id_a") < col("id_b") && abs(col("len_a") - col("len_b")) <= 1)
+        .select("id_a", "id_b").dropDuplicates("id_a", "id_b").count()
+    }
+    println(f"  verified pairs $idPairs%,d (planted ${idN / 100}%,d), " +
+      f"candidates $idCands%,d — ratio ${idCands.toDouble / idPairs}%.2f:1 " +
+      f"of ${idN * (idN - 1) / 2}%,d possible")
+
+    println(s"== containment join with a hot-token stripe ==")
+    // every doc shares the 3 header tokens (one white-hot shingle stripe
+    // for the postings side — AQE's skew handling, not the prefix filter,
+    // has to absorb it), then 12 unique tokens; every 40th doc also
+    // contributes a (conN + id) quote row = its parent's first 8 tokens,
+    // fully contained though the Jaccard is tiny
+    val conN = math.min(n / 10, 2_000_000L)
+    val conBody = (1 to 12).map(k =>
+      substring(md5(concat(col("id").cast("string"), lit(s"#$k"))), 1, 8))
+    val conDocs = spark.range(conN).select(col("id"),
+      concat_ws(" ", lit("the shared header") +: conBody: _*).as("text"))
+    val quotes = conDocs.filter(col("id") % 40 === 0)
+      .select((col("id") + conN).as("id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 8)).as("text"))
+    val conPairs = time(f"containmentPairs ($conN%,d docs + ${conN / 40}%,d planted quotes, t=0.6)") {
+      graft.ops.Dedup.containmentPairs(conDocs.unionByName(quotes),
+        col("id"), col("text"), shingleSize = 3, threshold = 0.6).count()
+    }
+    println(f"  pairs $conPairs%,d (planted ${conN / 40}%,d)")
+
     spark.stop()
   }
 }

@@ -1,0 +1,64 @@
+package graft.dtl
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** `b'...'` bytes literals — the token + AST node the reference declares
+  * (tokens.py:27-48, nodes.py:22-45) but never lexes; live here with Python
+  * bytes-literal semantics (code points ≤ 0xFF map 1:1, `\xHH` escapes).
+  */
+class BytesLiteralSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("bytes literal equality against a BYTES column") {
+    val out = new Engine(spark).runSimple(
+      """WITH t AS IMPORT 't';
+        |WITH output AS SELECT id FROM t WHERE to_bytes(s) = b'abc';
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("t" -> Seq((1L, "abc"), (2L, "abd"), (3L, "abc")).toDF("id", "s")))("output")
+    assert(out.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("\\xHH and C-style escapes produce the exact bytes") {
+    val out = new Engine(spark).runSimple(
+      """WITH t AS IMPORT 't';
+        |WITH output AS
+        |  SELECT id, byte_length(b'\x00\xff\n\t\\') AS n,
+        |         b'\x61\x62' = to_bytes('ab') AS hex_eq
+        |  FROM t;
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("t" -> Seq(Tuple1(1L)).toDF("id")))("output")
+    val row = out.collect().head
+    assert(row.getInt(1) == 5)
+    assert(row.getBoolean(2))
+  }
+
+  test("strict typing: bytes never silently compare to TEXT") {
+    val e = intercept[DtlError](new Engine(spark).runSimple(
+      """WITH t AS IMPORT 't';
+        |WITH output AS SELECT id FROM t WHERE s = b'abc';
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("t" -> Seq((1L, "abc")).toDF("id", "s"))))
+    assert(e.getMessage.contains("same type"), e.getMessage)
+  }
+
+  test("lexer rejections: unterminated, non-Latin-1 code point, bad hex") {
+    val e1 = intercept[DtlError](Parser.parse("WITH x AS SELECT b'oops FROM t;"))
+    assert(e1.getMessage.contains("unterminated bytes literal"), e1.getMessage)
+    val e2 = intercept[DtlError](Parser.parse("WITH x AS SELECT b'€' FROM t;"))
+    assert(e2.getMessage.contains("<= 0xFF"), e2.getMessage)
+    val e3 = intercept[DtlError](Parser.parse("WITH x AS SELECT b'\\xZZ' FROM t;"))
+    assert(e3.getMessage.contains("invalid \\x escape"), e3.getMessage)
+  }
+
+  test("an identifier starting with b is still an identifier") {
+    // `b` only opens a bytes literal when immediately followed by a quote
+    val out = new Engine(spark).runSimple(
+      """WITH t AS IMPORT 't';
+        |WITH output AS SELECT bval FROM t WHERE bval > 1;
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("t" -> Seq(Tuple1(1L), Tuple1(2L)).toDF("bval")))("output")
+    assert(out.collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+}
