@@ -57,6 +57,15 @@ final class FilesystemImporter(spark: SparkSession, inputDir: String) extends Im
 }
 
 private[dtl] object Io {
+  /** First SQLException in a throwable's cause chain — Spark wraps database
+    * errors (missing table, connection refused) in SparkException layers.
+    */
+  def sqlCause(t: Throwable): Option[java.sql.SQLException] = t match {
+    case null => None
+    case e: java.sql.SQLException => Some(e)
+    case e => sqlCause(e.getCause)
+  }
+
   /** A format extension only counts when there IS a dot: a table literally
     * named `csv`/`json`/`parquet` keeps the reference's `<name>.parquet`
     * contract.
@@ -119,6 +128,60 @@ final class FilesystemExporter(outputDir: String) extends Exporter {
 final class InMemoryImporter(tables: Map[String, DataFrame]) extends Importer {
   def importTable(name: String): DataFrame =
     tables.getOrElse(name, throw DtlError(s"unknown import: '$name'"))
+}
+
+/** JDBC connector (SURVEY §2 D's last connector row): `IMPORT 'name'`
+  * reads database table `name` over `spark.read.jdbc`. Scale posture: a
+  * JDBC source is DIMENSION-scale by nature — one database round trip per
+  * partition — so by default the read is a single partition (the
+  * broadcast-side shape); for larger tables pass `partitionColumn` /
+  * `lowerBound` / `upperBound` / `numPartitions` through `options` and
+  * Spark issues one bounded range query per partition. Filters and column
+  * pruning push down into the database (Catalyst's JDBC pushdown), so a
+  * DTL `WHERE` on an imported JDBC table becomes a SQL predicate at the
+  * source.
+  */
+final class JdbcImporter(spark: SparkSession, url: String,
+    options: Map[String, String] = Map.empty) extends Importer {
+  private val cache = mutable.Map.empty[String, DataFrame]
+  def importTable(name: String): DataFrame =
+    cache.getOrElseUpdate(name,
+      try {
+        val props = new java.util.Properties()
+        options.foreach { case (k, v) => props.setProperty(k, v) }
+        spark.read.options(options).jdbc(url, name, props)
+      } catch {
+        case e: Exception if Io.sqlCause(e).isDefined =>
+          throw DtlError(
+            s"JDBC import of '$name' from $url failed: ${Io.sqlCause(e).get.getMessage}")
+      })
+}
+
+/** JDBC exporter twin: `EXPORT t TO 'name'` overwrites database table
+  * `name`. `columnTypes` maps exported table names to a Spark
+  * `createTableColumnTypes` clause (e.g. `"n_name VARCHAR(64)"`) for
+  * databases whose default string mapping is unqueryable (Derby: CLOB).
+  * Writes are INSERT-per-partition; size `df` partitions to what the
+  * database can absorb — an analytics export lands summaries, not corpora.
+  */
+final class JdbcExporter(url: String,
+    options: Map[String, String] = Map.empty,
+    columnTypes: Map[String, String] = Map.empty) extends Exporter {
+  private val seen = mutable.Set.empty[String]
+  def exportTable(name: String, df: DataFrame): Unit = {
+    if (!seen.add(name)) throw DtlError(s"duplicate export: '$name'")
+    try {
+      val props = new java.util.Properties()
+      options.foreach { case (k, v) => props.setProperty(k, v) }
+      val w = df.write.mode("overwrite").options(options)
+      columnTypes.get(name).fold(w)(t => w.option("createTableColumnTypes", t))
+        .jdbc(url, name, props)
+    } catch {
+      case e: Exception if Io.sqlCause(e).isDefined =>
+        throw DtlError(
+          s"JDBC export of '$name' to $url failed: ${Io.sqlCause(e).get.getMessage}")
+    }
+  }
 }
 
 final class InMemoryExporter extends Exporter {

@@ -403,7 +403,31 @@ object DtlQueries {
         |  SELECT c.id AS doc_id, c.cluster_id AS cluster_id, s.cluster_size AS cluster_size
         |  FROM clusters AS c
         |  JOIN sizes AS s ON c.cluster_id = s.cluster_id;
-        |EXPORT output TO 'output';""".stripMargin))
+        |EXPORT output TO 'output';""".stripMargin)),
+
+    // JDBC connector end-to-end: the nation dimension staged into an
+    // EMBEDDED Derby database (the in-JVM stand-in for a warehouse — the
+    // same spark.read.jdbc path any real database takes), then imported
+    // back through the DTL surface via JdbcImporter and filtered
+    // in-language. VARCHAR column types are forced on write because
+    // Derby's default Spark string mapping (CLOB) is unqueryable.
+    "dtl_jdbc" -> ((s, d) => {
+      System.setProperty("derby.stream.error.file", "/tmp/graft_derby.log")
+      val dbDir = java.nio.file.Files.createTempDirectory("graft_jdbc").toString
+      val url = s"jdbc:derby:$dbDir/db;create=true"
+      CoreQueries.t(s, d, "nation").write.mode("overwrite")
+        .option("createTableColumnTypes", "n_name VARCHAR(64)")
+        .jdbc(url, "nation", new java.util.Properties())
+      val exporter = new InMemoryExporter
+      new Engine(s).run(
+        """WITH nation AS IMPORT 'nation';
+          |WITH output AS
+          |  SELECT n_nationkey, n_name FROM nation
+          |  WHERE to_int64(n_regionkey) = 1;
+          |EXPORT output TO 'output';""".stripMargin,
+        new graft.dtl.JdbcImporter(s, url), exporter)
+      exporter.results("output")
+    })
   )
 
   // crawl-triage oracle: replays the title cleanup, the SAME secret
@@ -787,6 +811,11 @@ object DtlQueries {
          |       FROM reach GROUP BY id),
          |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY cluster_id)
          |SELECT cl.doc_id, cl.cluster_id, sz.cluster_size
-         |FROM cl JOIN sz USING (cluster_id)""".stripMargin
+         |FROM cl JOIN sz USING (cluster_id)""".stripMargin,
+
+    // the Derby round trip is content-transparent, so the oracle is the
+    // plain relational result over the source parquet
+    "dtl_jdbc" ->
+      """SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 1""".stripMargin
   )
 }

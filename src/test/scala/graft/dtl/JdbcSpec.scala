@@ -1,0 +1,65 @@
+package graft.dtl
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** JDBC connector (JdbcImporter/JdbcExporter) against an EMBEDDED Derby
+  * database — the in-JVM stand-in for a warehouse; the code path
+  * (spark.read/write.jdbc) is the one any real database takes.
+  */
+class JdbcSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  System.setProperty("derby.stream.error.file", "/tmp/graft_derby.log")
+  private def freshUrl(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jdbc_spec").toString
+    s"jdbc:derby:$dir/db;create=true"
+  }
+
+  test("a DTL script round-trips through a database: JDBC in, JDBC out") {
+    val url = freshUrl()
+    val docs = Seq((1L, "alpha", 10L), (2L, "beta", 20L), (3L, "gamma", 30L))
+      .toDF("id", "name", "v")
+    docs.write.mode("overwrite")
+      .option("createTableColumnTypes", "name VARCHAR(32)")
+      .jdbc(url, "docs", new java.util.Properties())
+
+    new Engine(spark).run(
+      """WITH docs AS IMPORT 'docs';
+        |WITH output AS SELECT id, v + v AS v2 FROM docs WHERE v > 10;
+        |EXPORT output TO 'summary';""".stripMargin,
+      new JdbcImporter(spark, url),
+      new JdbcExporter(url))
+
+    val back = spark.read.jdbc(url, "summary", new java.util.Properties())
+    assert(back.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq ==
+      Seq((2L, 40L), (3L, 60L)))
+  }
+
+  test("partitioned JDBC read honors the range options") {
+    val url = freshUrl()
+    (0L until 100L).toDF("id").withColumn("v", org.apache.spark.sql.functions.col("id") * 2)
+      .write.mode("overwrite").jdbc(url, "big", new java.util.Properties())
+    val imp = new JdbcImporter(spark, url, Map(
+      "partitionColumn" -> "id", "lowerBound" -> "0",
+      "upperBound" -> "100", "numPartitions" -> "4"))
+    val df = imp.importTable("big")
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.count() == 100)
+  }
+
+  test("missing table and duplicate export fail as DtlErrors") {
+    val url = freshUrl()
+    // boot the database so the failure is 'table missing', not 'db missing'
+    Seq(Tuple1(1L)).toDF("x").write.mode("overwrite")
+      .jdbc(url, "boot", new java.util.Properties())
+    val e1 = intercept[DtlError](new JdbcImporter(spark, url).importTable("nope"))
+    assert(e1.getMessage.contains("JDBC import of 'nope'"), e1.getMessage)
+
+    val exp = new JdbcExporter(url)
+    exp.exportTable("t1", Seq(Tuple1(1L)).toDF("x"))
+    val e2 = intercept[DtlError](exp.exportTable("t1", Seq(Tuple1(2L)).toDF("x")))
+    assert(e2.getMessage.contains("duplicate export"), e2.getMessage)
+  }
+}
