@@ -15,6 +15,7 @@ object Main {
     var outputDir: Option[String] = None
     var traceDir: Option[String] = None
     var traceLevel: String = "internal"
+    var traceFormat: String = "native"
     var explain = false
     def value(i: Int, flag: String): String = {
       if (i + 1 >= args.length) {
@@ -33,6 +34,14 @@ object Main {
           if (!graft.dtl.Tracer.levelRank.contains(traceLevel)) {
             System.err.println(s"dtl: unknown trace level '$traceLevel' " +
               s"(expected one of ${graft.dtl.Tracer.levelRank.keys.toSeq.sorted.mkString(", ")})")
+            sys.exit(2)
+          }
+          i += 2
+        case f @ "--trace-format" => // native | reference
+          traceFormat = value(i, f)
+          if (traceFormat != "native" && traceFormat != "reference") {
+            System.err.println(
+              s"dtl: unknown trace format '$traceFormat' (expected native or reference)")
             sys.exit(2)
           }
           i += 2
@@ -69,7 +78,13 @@ object Main {
           .foreach { case (name, plan) => println(s"== $name ==\n$plan") }
       else
         new Engine(spark).run(source, new FilesystemImporter(spark, in),
-          new FilesystemExporter(out), traceDir.map(new FilesystemTracer(_, traceLevel)))
+          new FilesystemExporter(out), traceDir.map { d =>
+            if (traceFormat == "reference")
+              // the reference's trace.json + arrays/<uuid>.parquet layout
+              // (one file per column) for consumers of that format
+              new graft.dtl.ReferenceFormatTracer(d, traceLevel)
+            else new FilesystemTracer(d, traceLevel)
+          })
     } catch {
       case e: graft.dtl.DtlError =>
         System.err.println(s"dtl: ${e.getMessage}")

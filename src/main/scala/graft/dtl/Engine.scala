@@ -87,6 +87,9 @@ final class Engine(
     compiler.joinTrace = None
     for (tr <- tracer) {
       tr.writeManifest(manifest.toJson)
+      // structured hook AFTER the json, BEFORE the caches are released —
+      // format converters re-read the traced snapshots here
+      tr.writeManifestData(manifest)
       // filesystem tracers have written everything durably — free the traced
       // intermediates instead of pinning one cache entry per statement for
       // the life of the session

@@ -30,6 +30,12 @@ trait Tracer {
   def traceMapping(src: String, tgt: String, pairs: DataFrame): Unit
   /** Called once at the end of the run with the manifest JSON. */
   def writeManifest(json: String): Unit
+  /** Called once after [[writeManifest]], while traced intermediates are
+    * still cached, with STRUCTURED access to the manifest — the hook
+    * format-converting tracers (e.g. [[ReferenceFormatTracer]]) build their
+    * artifacts from. Default no-op.
+    */
+  def writeManifestData(m: ManifestBuilder): Unit = ()
   /** True when the tracer keeps live (unmaterialized) plans after the run —
     * the engine must then leave traced intermediates cached. Filesystem
     * tracers write eagerly and return false.
@@ -81,6 +87,126 @@ final class FilesystemTracer(dir: String,
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/trace.json"), json)
 }
 
+/** Writes the REFERENCE's on-disk trace layout (io.py:105-123 +
+  * manifest.py): `<dir>/trace.json` with
+  * `{source, snapshots: [{start:{lineno,column}, end, columns:
+  * [{name, array: <uuid>}]}], mappings: [{src_array, tgt_array,
+  * src_index_array, tgt_index_array}]}` and ONE parquet FILE per traced
+  * column at `<dir>/arrays/<uuid>.parquet`, each holding a single column
+  * named `values` — byte-layout a reference-format consumer parses
+  * unchanged. Line/column numbers are 0-based on both sides
+  * (reference lexer.py:61-75).
+  *
+  * Faithfulness notes (documented divergences, both strictly more general
+  * than what they replace):
+  *  - row mappings are emitted as ManyToManyMapping (both index arrays)
+  *    regardless of the structural class — every reference mapping type is
+  *    reconstructible from the m:m pair form, and our filtered/collapsed
+  *    variants have no positional identity form at all;
+  *  - the mapping's `src_array`/`tgt_array` anchors are the FIRST column
+  *    arrays of the two tables: row identity is table-level in this engine,
+  *    where the reference tracks it per derived column.
+  *
+  * Positions are assigned by `__rid` order, so the arrays of one table are
+  * index-aligned with each other and with every index array that references
+  * the table. Conversion cost: one ordering window per snapshot + one join
+  * per mapping — a format-compatibility layer for reference-scale traces,
+  * not the scale path (that is [[FilesystemTracer]]'s sharded parquet).
+  */
+final class ReferenceFormatTracer(dir: String,
+    override val level: String = "statement") extends Tracer {
+  import org.apache.spark.sql.functions.{col, row_number}
+  import org.apache.spark.sql.expressions.Window
+
+  private val snaps = mutable.LinkedHashMap.empty[String, DataFrame]
+  private val maps = mutable.LinkedHashMap.empty[(String, String), DataFrame]
+  def traceSnapshot(name: String, statementIndex: Int, df: DataFrame): Unit =
+    snaps(name) = df
+  def traceMapping(src: String, tgt: String, pairs: DataFrame): Unit =
+    maps((src, tgt)) = pairs
+  def writeManifest(json: String): Unit = () // built in writeManifestData
+
+  private def writeArray(df: DataFrame, id: java.util.UUID): Unit = {
+    val arrays = java.nio.file.Paths.get(dir, "arrays")
+    java.nio.file.Files.createDirectories(arrays)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ref_array")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = tmp.toFile.listFiles().find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no parquet part in $tmp"))
+    java.nio.file.Files.move(part.toPath, arrays.resolve(s"$id.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile): Unit
+  }
+
+  // deterministic array ids: a rerun of the same script yields the same
+  // trace layout (the reference uses uuid4; determinism is a free upgrade)
+  private def arrayId(key: String): java.util.UUID =
+    java.util.UUID.nameUUIDFromBytes(key.getBytes("UTF-8"))
+
+  override def writeManifestData(m: ManifestBuilder): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val colIds = mutable.LinkedHashMap.empty[(String, String), java.util.UUID]
+    // positions frame per table, cached: every mapping join re-reads it
+    val positioned = snaps.map { case (name, df) =>
+      name -> df
+        .withColumn("__pos",
+          row_number().over(Window.orderBy(col("__rid"))).cast("long") - 1L)
+        .persist()
+    }
+    for ((name, df) <- positioned; c <- df.columns
+         if c != "__rid" && c != "__pos") {
+      val id = arrayId(s"snapshot/$name/$c")
+      colIds((name, c)) = id
+      writeArray(df.orderBy("__pos").select(col(c).as("values")), id)
+    }
+    val mappingJsons = mutable.ListBuffer.empty[String]
+    for (((src, tgt), pairs) <- maps
+         if positioned.contains(src) && positioned.contains(tgt)) {
+      val sPos = positioned(src).select(col("__rid").as("__srid"), col("__pos").as("__spos"))
+      val tPos = positioned(tgt).select(col("__rid").as("__trid"), col("__pos").as("__tpos"))
+      val idx = pairs
+        .join(sPos, pairs("src_rid") === sPos("__srid"))
+        .join(tPos, pairs("tgt_rid") === tPos("__trid"))
+        .select(col("__spos").as("src_index"), col("__tpos").as("tgt_index"))
+        .orderBy("src_index", "tgt_index")
+        .persist()
+      val sIdx = arrayId(s"mapping/$src/$tgt/src_index")
+      val tIdx = arrayId(s"mapping/$src/$tgt/tgt_index")
+      writeArray(idx.select(col("src_index").as("values")), sIdx)
+      writeArray(idx.select(col("tgt_index").as("values")), tIdx)
+      idx.unpersist(blocking = false)
+      val srcAnchor = colIds.collectFirst { case ((t, _), id) if t == src => id }
+      val tgtAnchor = colIds.collectFirst { case ((t, _), id) if t == tgt => id }
+      for (sa <- srcAnchor; ta <- tgtAnchor)
+        mappingJsons += s"""{"src_array":"$sa","tgt_array":"$ta","src_index_array":"$sIdx","tgt_index_array":"$tIdx"}"""
+    }
+    positioned.values.foreach(_.unpersist(blocking = false))
+    val snapJsons = m.snapshotEntries.collect {
+      case (name, _, cols, _, span) if snaps.contains(name) =>
+        val (s, e) = span.getOrElse((Ast.Pos(-1, -1), Ast.Pos(-1, -1)))
+        val colJson = cols.filter(c => colIds.contains((name, c)))
+          .map(c => s"""{"name":${jsonQ(c)},"array":"${colIds((name, c))}"}""")
+          .mkString("[", ",", "]")
+        s"""{"start":{"lineno":${s.line},"column":${s.col}},""" +
+          s""""end":{"lineno":${e.line},"column":${e.col}},"columns":$colJson}"""
+    }
+    val json = s"""{"source":${jsonQ(m.sourceText)},""" +
+      s""""snapshots":${snapJsons.mkString("[", ",", "]")},""" +
+      s""""mappings":${mappingJsons.mkString("[", ",", "]")}}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "trace.json"), json): Unit
+  }
+
+  private def jsonQ(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+}
+
 /** Accumulates manifest entries during a traced run.
   *
   * Mirrors the reference manifest (manifest.py:17-58): snapshots carry the
@@ -96,6 +222,11 @@ final class ManifestBuilder(source: String) {
   private val snapshots =
     mutable.ListBuffer.empty[(String, Int, Seq[String], String, Option[(Ast.Pos, Ast.Pos)])]
   private val mappings = mutable.ListBuffer.empty[(String, String, String, Boolean)]
+  /** Structured views for format-converting tracers. */
+  def sourceText: String = source
+  def snapshotEntries: Seq[(String, Int, Seq[String], String, Option[(Ast.Pos, Ast.Pos)])] =
+    snapshots.toSeq
+  def mappingEntries: Seq[(String, String, String, Boolean)] = mappings.toSeq
   def addSnapshot(name: String, statementIndex: Int, columns: Seq[String],
       level: String = "statement", span: Option[(Ast.Pos, Ast.Pos)] = None): Unit =
     snapshots += ((name, statementIndex, columns, level, span))

@@ -1,0 +1,95 @@
+package graft.dtl
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** [[ReferenceFormatTracer]] writes the reference's exact on-disk trace
+  * layout (io.py:105-123 + manifest.py): this spec consumes the artifacts
+  * the way a reference-format consumer would — parse trace.json, load each
+  * column by its array UUID from `arrays/<uuid>.parquet` (single FILE, one
+  * `values` column), reassemble tables positionally, and follow a mapping's
+  * index arrays.
+  */
+class ReferenceTraceSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def runTraced(): (String, Map[String, DataFrameish]) = {
+    val dir = java.nio.file.Files.createTempDirectory("reftrace").toString
+    val tracer = new ReferenceFormatTracer(dir)
+    val out = new Engine(spark).runSimple(
+      """WITH input AS IMPORT 'input';
+        |WITH filtered AS SELECT a, b FROM input WHERE a > 2;
+        |EXPORT filtered TO 'out';""".stripMargin,
+      Map("input" -> Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("a", "b")),
+      Some(tracer))
+    (dir, out.map { case (k, v) => k -> DataFrameish(v.collect().map(r =>
+      (r.getLong(0), r.getLong(1))).sorted.toSeq) })
+  }
+  private case class DataFrameish(rows: Seq[(Long, Long)])
+
+  test("trace.json + arrays/<uuid>.parquet reassemble the traced tables") {
+    val (dir, _) = runTraced()
+    val json = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "trace.json"))
+    assert(json.contains("\"source\"") && json.contains("\"snapshots\"") &&
+      json.contains("\"mappings\""), json.take(200))
+    // reference location schema, 0-based
+    assert(json.contains("\"lineno\"") && json.contains("\"column\""))
+
+    // consumer path: find each snapshot's columns and load them by uuid
+    val colRe = """\{"name":"([^"]+)","array":"([0-9a-f-]{36})"\}""".r
+    val cols = colRe.findAllMatchIn(json).map(m => m.group(1) -> m.group(2)).toSeq
+    assert(cols.nonEmpty)
+    for ((_, uuid) <- cols) {
+      val f = new java.io.File(s"$dir/arrays/$uuid.parquet")
+      assert(f.isFile, s"array $uuid must be a single parquet FILE")
+      val arr = spark.read.parquet(f.getPath)
+      assert(arr.columns.toSeq == Seq("values"), arr.columns.toSeq)
+    }
+
+    // the three snapshots (input, filtered, out) each carry columns a and b:
+    // input's a-array has 4 values, filtered's has 2, index-aligned with b
+    val byName = cols.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val aSizes = byName("a").map(u =>
+      spark.read.parquet(s"$dir/arrays/$u.parquet").count()).sorted
+    assert(aSizes == Seq(2L, 2L, 4L), aSizes)
+  }
+
+  test("mapping index arrays follow the reference m:m contract") {
+    val (dir, _) = runTraced()
+    val json = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "trace.json"))
+    val mapRe =
+      ("""\{"src_array":"([0-9a-f-]{36})","tgt_array":"([0-9a-f-]{36})",""" +
+        """"src_index_array":"([0-9a-f-]{36})","tgt_index_array":"([0-9a-f-]{36})"\}""").r
+    val ms = mapRe.findAllMatchIn(json).toSeq
+    assert(ms.nonEmpty, json)
+    for (m <- ms) {
+      val src = spark.read.parquet(s"$dir/arrays/${m.group(1)}.parquet").count()
+      val sIdx = spark.read.parquet(s"$dir/arrays/${m.group(3)}.parquet")
+        .collect().map(_.getLong(0))
+      val tIdx = spark.read.parquet(s"$dir/arrays/${m.group(4)}.parquet")
+        .collect().map(_.getLong(0))
+      // index arrays are ALIGNED pairs of valid 0-based positions
+      assert(sIdx.length == tIdx.length)
+      assert(sIdx.forall(i => i >= 0 && i < src))
+    }
+    // the input(4 rows) -> filtered(2 rows) mapping keeps exactly 2 pairs,
+    // and following them reproduces the filter: the mapped input values
+    // are exactly the ones > 2
+    val colRe = """\{"name":"a","array":"([0-9a-f-]{36})"\}""".r
+    val aArrays = colRe.findAllMatchIn(json).map(_.group(1)).toSeq
+    val inputA = aArrays.map(u => u ->
+      spark.read.parquet(s"$dir/arrays/$u.parquet")
+        .collect().map(_.getLong(0)).toSeq)
+      .find(_._2.length == 4).get
+    val twoPair = ms.find(m =>
+      spark.read.parquet(s"$dir/arrays/${m.group(3)}.parquet").count() == 2 &&
+        inputA._2.length == 4).get
+    val srcIdx = spark.read.parquet(s"$dir/arrays/${twoPair.group(3)}.parquet")
+      .collect().map(_.getLong(0))
+    val mappedVals = srcIdx.map(i => inputA._2(i.toInt)).sorted.toSeq
+    assert(mappedVals == Seq(3L, 4L), mappedVals)
+  }
+}
