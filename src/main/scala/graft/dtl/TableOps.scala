@@ -125,7 +125,7 @@ object TableOps {
 
     "edit_pairs" -> TableOp(
       Set("id", "text", "max_dist", "q"),
-      "exact edit-distance pairs, q-gram/deletion-variant prefix filtered -> (id_a, id_b, dist)",
+      "exact edit-distance pairs (deletion-variant/PassJoin-partition candidates) -> (id_a, id_b, dist)",
       (df, a) => graft.ops.Dedup.editDistancePairs(df,
         col(a.str("id", "doc_id")), col(a.str("text", "text")),
         maxDist = a.int("max_dist", 2), q = a.int("q", 3))),

@@ -497,11 +497,19 @@ object Dedup {
       maxDist: Int, q: Int = 2,
       algorithm: String = "auto"): DataFrame = {
     require(maxDist >= 0 && q > 0, s"need maxDist >= 0, q > 0; got $maxDist, $q")
-    require(Set("auto", "qgram", "deletion")(algorithm),
-      s"algorithm must be auto|qgram|deletion, got $algorithm")
+    require(Set("auto", "qgram", "deletion", "partition")(algorithm),
+      s"algorithm must be auto|qgram|deletion|partition, got $algorithm")
     val useDeletion = algorithm == "deletion" ||
       (algorithm == "auto" && maxDist <= 2 && maxDist >= 1)
     if (useDeletion) return editDistancePairsDeletion(df, id, str, maxDist)
+    // at d >= 3 the q-gram count bound goes vacuous on gram-poor corpora
+    // (measured on the sf0.1 head5 gate surface: 375 distinct 3-grams over
+    // 5k strings put 47% of ALL pairs in the candidate set); the PassJoin
+    // partition scheme keys candidates on exact position-windowed segments
+    // and stays selective there, so auto prefers it
+    val usePartition = algorithm == "partition" ||
+      (algorithm == "auto" && maxDist >= 3)
+    if (usePartition) return editDistancePairsPartition(df, id, str, maxDist)
     val s = df.select(id.as("id"), str.as("s")).filter(col("s").isNotNull)
     // positional q-grams, row-local (guard: sequence(1, 0) would DESCEND)
     val grams = s
@@ -593,6 +601,89 @@ object Dedup {
         abs(col("len_a") - col("len_b")) <= maxDist)
       .select("id_a", "id_b")
     verifyEditDistance(candidates, s, maxDist)
+  }
+
+  /** PassJoin partition candidates (Li, Deng & Feng, ICDE 2011 "PassJoin: A
+    * Partition-based Method for Similarity Joins"): every INDEXED string is
+    * split into k = maxDist+1 contiguous segments (even partition — first
+    * k − (L mod k) segments of length ⌊L/k⌋, the rest one longer); if
+    * ed(r, s) ≤ maxDist then, by pigeonhole over the ≤ maxDist edit
+    * operations, at least one of s's segments survives untouched and occurs
+    * VERBATIM in r — within the paper's multi-match-aware position window
+    * (the i preceding segments absorb at most i edits of left shift, the
+    * k−1−i following at most that much right shift, further tightened by
+    * the length difference Δ). Candidates therefore join on
+    * (segment text, segment index, indexed length) — exact multi-char keys
+    * at pinned positions, which stay selective on the gram-poor corpora
+    * where q-gram prefixes degenerate toward all-pairs (few distinct grams
+    * ⇒ every prefix is hot).
+    *
+    * Cost shape: index side emits k rows per string; probe side ≤
+    * (2d+1)·k·(window ≤ 2·min(i, k−1−i)+1) keys per string — O(d²·|s|)
+    * row-local work, thin rows, one hash join, then the shared
+    * banded-levenshtein verify on candidates only. Strings of length ≤
+    * maxDist have degenerate (empty) segments and route through a
+    * broadcast tiny-bucket against strings of length ≤ 2·maxDist (the only
+    * lengths the length filter admits for them).
+    */
+  private def editDistancePairsPartition(df: DataFrame, id: Column,
+      str: Column, maxDist: Int): DataFrame = {
+    require(maxDist >= 1, s"partition path needs maxDist >= 1, got $maxDist")
+    val k = maxDist + 1
+    val s = df.select(id.as("id"), str.as("s")).filter(col("s").isNotNull)
+    val slen = length(col("s"))
+    // even-partition geometry for a string of length L, 0-based segment i
+    def segStart(L: Column, i: Column): Column = {
+      val b = floor(L.cast("double") / k).cast("int")
+      val cut = lit(k) - (L % k).cast("int")
+      when(i < cut, i * b).otherwise(i * b + (i - cut))
+    }
+    def segLen(L: Column, i: Column): Column = {
+      val b = floor(L.cast("double") / k).cast("int")
+      val cut = lit(k) - (L % k).cast("int")
+      when(i < cut, b).otherwise(b + 1)
+    }
+    val main = s.filter(slen > maxDist)
+    val segs = main.select(col("id"), slen.as("L"),
+        explode(transform(sequence(lit(0), lit(k - 1)), i =>
+          struct(i.cast("int").as("i"),
+            col("s").substr(segStart(slen, i) + 1, segLen(slen, i)).as("sub"))))
+          .as("g"))
+      .select(col("id"), col("L"), col("g.i").as("i"), col("g.sub").as("sub"))
+    val emptyKeys = array().cast("array<struct<L:int,i:int,sub:string>>")
+    val probeKeys = flatten(transform(
+      sequence(slen - maxDist, slen + maxDist), L =>
+        flatten(transform(sequence(lit(0), lit(k - 1)), i => {
+          val p = segStart(L, i)
+          val l = segLen(L, i)
+          val delta = slen - L
+          val lo = greatest(lit(0), p - i, p + delta - (lit(k - 1) - i))
+          val hi = least(slen - l, p + i, p + delta + (lit(k - 1) - i))
+          when(L <= maxDist || hi < lo, emptyKeys)
+            .otherwise(transform(sequence(lo, hi), qq =>
+              struct(L.cast("int").as("L"), i.cast("int").as("i"),
+                col("s").substr(qq + 1, l).as("sub"))))
+        }))))
+    val probes = main.select(col("id"), explode(array_distinct(probeKeys)).as("p"))
+      .select(col("id"), col("p.L").as("L"), col("p.i").as("i"),
+        col("p.sub").as("sub"))
+    val cands = probes.alias("pr").join(segs.alias("sg"),
+        col("pr.sub") === col("sg.sub") && col("pr.i") === col("sg.i") &&
+          col("pr.L") === col("sg.L") && col("pr.id") =!= col("sg.id"))
+      .select(least(col("pr.id"), col("sg.id")).as("id_a"),
+        greatest(col("pr.id"), col("sg.id")).as("id_b"))
+    // degenerate lengths: |s| <= maxDist means some segments are empty, so
+    // the pigeonhole key is vacuous — pair the tiny bucket directly against
+    // every string the |Δ| <= d length filter could admit (length <= 2d)
+    val tiny = s.filter(slen <= maxDist)
+      .select(col("id").as("tid"), col("s").as("ts"))
+    val tinyCands = broadcast(tiny)
+      .join(s.filter(slen <= 2 * maxDist),
+        col("tid") =!= col("id") &&
+          abs(length(col("ts")) - slen) <= maxDist)
+      .select(least(col("tid"), col("id")).as("id_a"),
+        greatest(col("tid"), col("id")).as("id_b"))
+    verifyEditDistance(cands.unionByName(tinyCands), s, maxDist)
   }
 
   /** Shared tail of both edit-distance candidate schemes: dedupe, fetch

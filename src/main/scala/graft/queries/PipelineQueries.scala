@@ -115,7 +115,9 @@ object PipelineQueries {
     }),
 
     // exact edit-distance pairs (levenshtein <= 9) over each doc's first
-    // five words — q-gram prefix-filtered, never all-pairs; the surface has
+    // five words — PassJoin partition-filtered (auto at d >= 3; the head5
+    // corpus has only ~375 distinct 3-grams, which degenerated the q-gram
+    // prefix filter to 47% of all-pairs), never all-pairs; the surface has
     // both exact-duplicate (dist 0) and near-miss (5..9) pairs at sf0.01
     "pipe_edit_join" -> ((s, d) =>
       Dedup.editDistancePairs(

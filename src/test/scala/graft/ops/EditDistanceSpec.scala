@@ -90,6 +90,41 @@ class EditDistanceSpec extends AnyFunSuite {
     assert(d2.contains((1L, 4L, 2)))
   }
 
+  test("partition (PassJoin) scheme matches naive across d = 1..5") {
+    // corners for the segment scheme: lengths straddling k boundaries
+    // (empty-segment tiny bucket, L = k, L % k != 0), shifts that stress
+    // the multi-match-aware window at both ends, unicode, repeats
+    val rows = Seq(
+      1L -> "the quick brown fox",
+      2L -> "quick brown fox",          // 4-char prefix deletion: big left shift
+      3L -> "the quick brown foxxxxx",  // suffix insertions: right shift
+      4L -> "the quick brown fix",
+      5L -> "abcde", 6L -> "abxde", 7L -> "vwxyz",
+      8L -> "ab", 9L -> "ba", 10L -> "",    // tiny bucket (|s| <= d for d >= 2)
+      11L -> "aaaaaaaaaaaa", 12L -> "aaaabaaaaaa",
+      13L -> "数据清洗管道工具", 14L -> "数据清理管道工具x")
+    for (d <- 1 to 5) {
+      val (fast, naive) = run(rows, d, algorithm = "partition")
+      assert(fast == naive, s"partition vs naive at d=$d: " +
+        s"missing=${naive -- fast} extra=${fast -- naive}")
+    }
+  }
+
+  test("all three schemes agree on the gate-shaped corpus at d = 3") {
+    val w = Seq("merchant", "owner", "parent", "order", "part", "supply")
+    val rows = (0 until 150).map { i =>
+      (i.toLong, s"${w(i % 6)} ${w((i / 6) % 6)} ${w((i / 36) % 6)}")
+    } ++ (0 until 30).map { i =>
+      (500L + i, s"${w(i % 6)} ${w((i / 6) % 6)} ${w((i / 36) % 6)}".drop(1 + i % 3))
+    }
+    val (viaPartition, naive) = run(rows, d = 3, algorithm = "partition")
+    val (viaQgram, _) = run(rows, d = 3, algorithm = "qgram")
+    assert(viaPartition == naive,
+      s"missing=${naive -- viaPartition} extra=${viaPartition -- naive}")
+    assert(viaQgram == naive)
+    assert(naive.nonEmpty)
+  }
+
   test("larger random-ish corpus with planted edits agrees exactly") {
     // deterministic pseudo-corpus: base words permuted by arithmetic, plus
     // planted 1..3-edit variants — enough collisions to stress the prefix
