@@ -144,6 +144,42 @@ object TableOps {
         col(a.str("id", "vec_id")), col(a.str("vec", "embedding")),
         k = a.int("k", 5), nClusters = a.int("n_clusters", 8),
         nProbe = a.int("n_probe", 2), iters = a.int("iters", 2),
-        dim = a.int("dim", 64)))
+        dim = a.int("dim", 64))),
+
+    // ------------------------------------------------- curation table ops
+    "gopher_metrics" -> TableOp(
+      Set("id", "text"),
+      "Gopher quality-rule metrics + keep decision per document",
+      (df, a) => graft.ops.Curation.gopherMetrics(df,
+        col(a.str("id", "doc_id")), col(a.str("text", "text")))),
+
+    "sample" -> TableOp(
+      Set("key", "rate"),
+      "deterministic hash-Bernoulli sample: keep iff md5(key) < rate * 2^32",
+      (df, a) => graft.ops.Curation.hashSample(df,
+        col(a.str("key", "doc_id")), a.dbl("rate", 0.1))),
+
+    "temperature_mix" -> TableOp(
+      Set("id", "domain", "alpha", "target_rows"),
+      "temperature-scaled domain mixture: keep rates proportional to n^alpha",
+      (df, a) => graft.ops.Curation.temperatureMixture(df,
+        col(a.str("id", "doc_id")), col(a.str("domain", "source")),
+        alpha = a.dbl("alpha", 0.5),
+        targetRows = a.int("target_rows", 1000).toLong)),
+
+    "split" -> TableOp(
+      Set("key", "valid_rate", "test_rate"),
+      "deterministic train/valid/test assignment by disjoint md5 cuts (+split column)",
+      (df, a) => graft.ops.Curation.assignSplit(df,
+        col(a.str("key", "doc_id")),
+        Seq("valid" -> a.dbl("valid_rate", 0.05),
+          "test" -> a.dbl("test_rate", 0.05)))),
+
+    "global_shuffle" -> TableOp(
+      Set("key", "seed", "n_buckets"),
+      "seed-keyed deterministic total order (+pos column), one corpus shuffle",
+      (df, a) => graft.ops.Curation.globalShuffle(df,
+        col(a.str("key", "doc_id")), a.str("seed", "dtl"),
+        nBuckets = a.int("n_buckets", 1024)))
   )
 }

@@ -625,6 +625,12 @@ object Dedup {
     * maxDist have degenerate (empty) segments and route through a
     * broadcast tiny-bucket against strings of length ≤ 2·maxDist (the only
     * lengths the length filter admits for them).
+    *
+    * Regime note: segment selectivity is exponential in segment length
+    * |s|/(d+1) — when d approaches |s| (e.g. d=5 on 13-char ids) segments
+    * shrink to 1-2 chars and these keys go hot just like q-grams. No
+    * filtering scheme survives that regime because the TRUE pair set is
+    * itself dense there; pick d meaningfully below the string length.
     */
   private def editDistancePairsPartition(df: DataFrame, id: Column,
       str: Column, maxDist: Int): DataFrame = {

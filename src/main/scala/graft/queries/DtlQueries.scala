@@ -427,7 +427,22 @@ object DtlQueries {
           |EXPORT output TO 'output';""".stripMargin,
         new graft.dtl.JdbcImporter(s, url), exporter)
       exporter.results("output")
-    })
+    }),
+
+    // the curation half of the table-op registry, chained in-language:
+    // deterministic hash sample -> temperature-scaled domain mixture ->
+    // train/valid/test split -> relational report. Every keep decision is
+    // md5 arithmetic, so the oracle replays the exact chain.
+    "dtl_mix_pipeline" -> ((s, d) => run(s, d,
+      """WITH docs AS IMPORT 'documents';
+        |WITH sampled AS APPLY 'sample' TO docs WITH (key = 'doc_id', rate = 0.5);
+        |WITH mixed AS APPLY 'temperature_mix' TO sampled
+        |  WITH (id = 'doc_id', domain = 'source', alpha = 0.5, target_rows = 150);
+        |WITH splits AS APPLY 'split' TO mixed
+        |  WITH (key = 'doc_id', valid_rate = 0.2, test_rate = 0.2);
+        |WITH output AS
+        |  SELECT source, split, count() AS n FROM splits GROUP BY source, split;
+        |EXPORT output TO 'output';""".stripMargin))
   )
 
   // crawl-triage oracle: replays the title cleanup, the SAME secret
@@ -816,6 +831,32 @@ object DtlQueries {
     // the Derby round trip is content-transparent, so the oracle is the
     // plain relational result over the source parquet
     "dtl_jdbc" ->
-      """SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 1""".stripMargin
+      """SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 1""".stripMargin,
+
+    // sample -> temperature mixture (rates over the SAMPLED stats) ->
+    // split cuts -> report; every stage is the md5 fixed-point arithmetic
+    // the operators use (hash = first 8 md5 hex digits as int64)
+    "dtl_mix_pipeline" -> {
+      val h = "('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT"
+      s"""WITH sampled AS (
+         |  SELECT doc_id, source FROM documents
+         |  WHERE $h < CAST(floor(0.5 * 4294967296.0) AS BIGINT)),
+         |s AS (SELECT source AS dom, count(*) AS n FROM sampled GROUP BY source),
+         |p AS (SELECT dom, n, pow(CAST(n AS DOUBLE), 0.5) AS pw FROM s),
+         |z AS (SELECT sum(pw) AS z FROM p),
+         |r AS (SELECT dom, round(least(1.0, 150.0 * pw / (z.z * n)), 6) AS rate
+         |      FROM p CROSS JOIN z),
+         |mixed AS (
+         |  SELECT d.doc_id, d.source FROM sampled d
+         |  JOIN r ON r.dom IS NOT DISTINCT FROM d.source
+         |  WHERE $h < CAST(floor(rate * 4294967296.0) AS BIGINT)),
+         |sp AS (
+         |  SELECT source,
+         |         CASE WHEN $h < CAST(floor(0.2 * 4294967296.0) AS BIGINT) THEN 'valid'
+         |              WHEN $h < CAST(floor((0.2 + 0.2) * 4294967296.0) AS BIGINT) THEN 'test'
+         |              ELSE 'train' END AS split
+         |  FROM mixed)
+         |SELECT source, split, count(*) AS n FROM sp GROUP BY source, split""".stripMargin
+    }
   )
 }

@@ -126,6 +126,26 @@ class ApplySpec extends AnyFunSuite {
     assert(!tracer.mappings.contains(("docs", "pairs")))
   }
 
+  test("curation ops compose: gopher gate then deterministic shuffle") {
+    val docs = Seq(
+      (1L, ("word " * 60).trim + " the data should be of use and that we have seen with it"),
+      (2L, "too short"),
+      (3L, ("term " * 55).trim + " the data should be of use and that we have seen with it"))
+      .toDF("doc_id", "text")
+    val out = new Engine(spark).runSimple(
+      """WITH docs AS IMPORT 'docs';
+        |WITH metrics AS APPLY 'gopher_metrics' TO docs;
+        |WITH kept AS SELECT id FROM metrics WHERE keep;
+        |WITH ordered AS APPLY 'global_shuffle' TO kept
+        |  WITH (key = 'id', seed = 'spec', n_buckets = 8);
+        |WITH output AS SELECT id, pos FROM ordered;
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("docs" -> docs))("output")
+    val rows = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set(1L, 3L), rows) // doc 2 fails the word count
+    assert(rows.values.toSet == Set(0L, 1L)) // dense shuffle positions
+  }
+
   test("op-level require() failures surface as positioned DTL errors") {
     val docs = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
     val e = intercept[DtlError](new Engine(spark).runSimple(
