@@ -73,5 +73,9 @@ object SparkEntry {
     "pipe_contamination_report", "pipe_chat_render", "pipe_group_advantage",
     "pipe_self_bleu",
     "pipe_wordlist_tags", "pipe_dpo_pairs", "pipe_length_debias",
-    "pipe_crawl_e2e", "pipe_webdataset")
+    "pipe_crawl_e2e", "pipe_webdataset",
+    // round 6: ROUGE-L (now oracled), the in-language APPLY dedup pipeline
+    // (measures the DTL/table-op layer's overhead over the raw ops), and
+    // the JDBC round trip
+    "pipe_rouge_l", "dtl_dedup_pipeline", "dtl_jdbc")
 }
