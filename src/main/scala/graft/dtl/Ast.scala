@@ -69,10 +69,11 @@ object Ast {
   final case class ImportExpr(location: String, pos: Pos) extends TableExpr
   final case class TableRef(name: String, pos: Pos) extends TableExpr
   /** Table-valued pipeline operator (extension; registry in TableOps):
-    * `APPLY 'op' TO <table> [WITH (name = literal, ...)]`. Options are
-    * static literals only — the op is configured, never row-dependent.
+    * `APPLY 'op' TO <table> {, <table>} [WITH (name = literal, ...)]`.
+    * Options are static literals only — the op is configured, never
+    * row-dependent. Arity is declared per op and validated at compile.
     */
-  final case class ApplyExpr(op: String, source: TableExpr,
+  final case class ApplyExpr(op: String, sources: List[TableExpr],
       opts: List[(String, Expr)], pos: Pos) extends TableExpr
   final case class SelectExpr(
       distinct: DistinctMode,

@@ -383,7 +383,7 @@ final class Compiler(
     */
   private def compileApply(a: ApplyExpr,
       env: collection.Map[String, CTable]): CTable = {
-    val in = traceNested(a.source, compileTable(a.source, env))
+    val ins = a.sources.map(src => traceNested(src, compileTable(src, env)))
     // evaluate the static option literals (parser guarantees literal shape)
     val opts = mutable.LinkedHashMap.empty[String, Any]
     for ((name, lit) <- a.opts) {
@@ -400,15 +400,19 @@ final class Compiler(
           other.pos.col)
       }
     }
-    val visible = in.df.select(in.cols.map(c => col(c.internal).as(c.name)): _*)
-    val out = TableOps.run(tableOps, a.op, visible, opts.toMap, a.pos)
+    val visibles = ins.map(in =>
+      in.df.select(in.cols.map(c => col(c.internal).as(c.name)): _*))
+    val out = TableOps.run(tableOps, a.op, visibles, opts.toMap, a.pos)
     val cols = out.schema.fields.toList.map { f =>
       SCol(f.name, fresh(), Set(None), DType.fromSpark(f.dataType))
     }
     val projected = out.select(cols.map(c => col(c.name).as(c.internal)): _*)
+    // one relational m:m mapping per INPUT that shares column names with
+    // the output (a multi-input op typically passes one side's rows
+    // through — that side traces; pure-derivation sides are boundaries)
     val lineage =
       if (!tracing) Nil
-      else {
+      else ins.flatMap { in =>
         val shared = in.cols.filter(c => cols.exists(_.name == c.name))
         if (shared.isEmpty) Nil
         else {

@@ -190,7 +190,7 @@ final class Engine(
           s.groupBy.exists(_.consecutive) ||
           inTable(s.from.source) || s.joins.exists(j => inTable(j.table.source))
       case SetOpExpr(_, l, r, _) => inTable(l) || inTable(r)
-      case ApplyExpr(_, src, _, _) => inTable(src)
+      case ApplyExpr(_, srcs, _, _) => srcs.exists(inTable)
       case _ => false
     }
     stmts.exists {

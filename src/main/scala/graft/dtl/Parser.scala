@@ -172,16 +172,24 @@ final class Parser(tokens: Vector[Token]) {
     else withEnd(TableRef(eatName(), p))
   }
 
-  /** `APPLY 'op' TO <primary-table> [WITH (name = literal {, ...})]` —
-    * table-valued pipeline operators (see TableOps). Options are static
-    * literals: APPLY configures an operator, it never evaluates per row.
+  /** `APPLY 'op' TO <primary-table> {, <primary-table>}
+    * [WITH (name = literal {, ...})]` — table-valued pipeline operators
+    * (see TableOps). Options are static literals: APPLY configures an
+    * operator, it never evaluates per row. A comma extends the input list
+    * only when it is NOT the reference's comma-JOIN delimiter (`, JOIN`),
+    * so APPLY composes inside a SELECT's FROM clause unambiguously.
     */
   private def parseApply(): TableExpr = {
     val p = pos
     eatKw("APPLY")
     val opName = eatString()
     eatKw("TO")
-    val src = parsePrimaryTableExpr()
+    val srcs = List.newBuilder[TableExpr]
+    srcs += parsePrimaryTableExpr()
+    while (isPunct(",") && !peekIsJoin) {
+      advance()
+      srcs += parsePrimaryTableExpr()
+    }
     val opts = List.newBuilder[(String, Expr)]
     if (isKw("WITH")) {
       advance(); eatPunct("(")
@@ -193,7 +201,7 @@ final class Parser(tokens: Vector[Token]) {
       while (isPunct(",")) { advance(); one() }
       eatPunct(")")
     }
-    withEnd(ApplyExpr(opName, src, opts.result(), p))
+    withEnd(ApplyExpr(opName, srcs.result(), opts.result(), p))
   }
 
   private def parseOptLiteral(): Expr = {

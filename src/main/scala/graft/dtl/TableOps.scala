@@ -62,18 +62,29 @@ object TableOps {
     }
   }
 
-  /** One registered table op: the option names it accepts (validated before
-    * the op runs) and the DataFrame transform.
+  /** One registered table op: the option names it accepts (validated
+    * before the op runs), its input arity, and the transform over exactly
+    * `arity` input tables.
     */
   final case class TableOp(options: Set[String], summary: String,
-      fn: (DataFrame, OpArgs) => DataFrame)
+      fn: (Seq[DataFrame], OpArgs) => DataFrame, arity: Int = 1)
+
+  /** Convenience constructor for the common single-input op. */
+  def op1(options: Set[String], summary: String)(
+      fn: (DataFrame, OpArgs) => DataFrame): TableOp =
+    TableOp(options, summary, (dfs, a) => fn(dfs.head, a), arity = 1)
 
   /** Resolve + validate + run `opName` from `registry`. */
-  def run(registry: Map[String, TableOp], opName: String, input: DataFrame,
-      opts: Map[String, Any], pos: Ast.Pos): DataFrame = {
+  def run(registry: Map[String, TableOp], opName: String,
+      inputs: Seq[DataFrame], opts: Map[String, Any],
+      pos: Ast.Pos): DataFrame = {
     val op = registry.getOrElse(opName, throw DtlError(
       s"unknown table op '$opName' — available: " +
         registry.keys.toSeq.sorted.mkString(", "), pos.line, pos.col))
+    if (inputs.length != op.arity)
+      throw DtlError(
+        s"APPLY '$opName' takes ${op.arity} input table(s), got ${inputs.length}",
+        pos.line, pos.col)
     val unknown = opts.keySet -- op.options
     if (unknown.nonEmpty)
       throw DtlError(
@@ -81,7 +92,7 @@ object TableOps {
           s" — accepted: ${op.options.toSeq.sorted.mkString(", ")}",
         pos.line, pos.col)
     val out =
-      try op.fn(input, new OpArgs(opName, opts, pos.line, pos.col))
+      try op.fn(inputs, new OpArgs(opName, opts, pos.line, pos.col))
       catch {
         case e: DtlError => throw e
         case e: IllegalArgumentException =>
@@ -97,9 +108,9 @@ object TableOps {
     * tables' conventions (doc_id/text, id_a/id_b, vec_id/embedding).
     */
   val default: Map[String, TableOp] = Map(
-    "minhash_pairs" -> TableOp(
+    "minhash_pairs" -> op1(
       Set("id", "text", "shingle_size", "num_hashes", "bands", "threshold"),
-      "MinHash+LSH candidate pairs verified by exact shingle Jaccard -> (id_a, id_b, jaccard)",
+      "MinHash+LSH candidate pairs verified by exact shingle Jaccard -> (id_a, id_b, jaccard)")(
       (df, a) => graft.ops.Dedup.minhashLsh(df,
         col(a.str("id", "doc_id")), col(a.str("text", "text")),
         shingleSize = a.int("shingle_size", 3),
@@ -107,39 +118,39 @@ object TableOps {
         bands = a.int("bands", 16),
         threshold = a.dbl("threshold", 0.8))),
 
-    "ngram_pairs" -> TableOp(
+    "ngram_pairs" -> op1(
       Set("id", "text", "shingle_size", "threshold"),
-      "EXACT n-gram Jaccard pairs via prefix filtering -> (id_a, id_b, jaccard)",
+      "EXACT n-gram Jaccard pairs via prefix filtering -> (id_a, id_b, jaccard)")(
       (df, a) => graft.ops.Dedup.ngramJaccardPairs(df,
         col(a.str("id", "doc_id")), col(a.str("text", "text")),
         shingleSize = a.int("shingle_size", 3),
         threshold = a.dbl("threshold", 0.8))),
 
-    "containment_pairs" -> TableOp(
+    "containment_pairs" -> op1(
       Set("id", "text", "shingle_size", "threshold"),
-      "asymmetric shingle-containment pairs (quote/subset detection) -> (id_a, id_b, containment)",
+      "asymmetric shingle-containment pairs (quote/subset detection) -> (id_a, id_b, containment)")(
       (df, a) => graft.ops.Dedup.containmentPairs(df,
         col(a.str("id", "doc_id")), col(a.str("text", "text")),
         shingleSize = a.int("shingle_size", 3),
         threshold = a.dbl("threshold", 0.6))),
 
-    "edit_pairs" -> TableOp(
+    "edit_pairs" -> op1(
       Set("id", "text", "max_dist", "q"),
-      "exact edit-distance pairs (deletion-variant/PassJoin-partition candidates) -> (id_a, id_b, dist)",
+      "exact edit-distance pairs (deletion-variant/PassJoin-partition candidates) -> (id_a, id_b, dist)")(
       (df, a) => graft.ops.Dedup.editDistancePairs(df,
         col(a.str("id", "doc_id")), col(a.str("text", "text")),
         maxDist = a.int("max_dist", 2), q = a.int("q", 3))),
 
-    "components" -> TableOp(
+    "components" -> op1(
       Set("src", "dst"),
-      "connected components over an edge table (large-star/small-star) -> (id, cluster_id)",
+      "connected components over an edge table (large-star/small-star) -> (id, cluster_id)")(
       (df, a) => graft.ops.Dedup.clusters(df.select(
         col(a.str("src", "id_a")).as("id_a"),
         col(a.str("dst", "id_b")).as("id_b")))),
 
-    "knn_graph" -> TableOp(
+    "knn_graph" -> op1(
       Set("id", "vec", "k", "n_clusters", "n_probe", "iters", "dim"),
-      "IVF-bounded kNN edges over an embedding column -> (vec_id, nb_id, d2, rank)",
+      "IVF-bounded kNN edges over an embedding column -> (vec_id, nb_id, d2, rank)")(
       (df, a) => graft.ops.Similarity.knnGraph(df,
         col(a.str("id", "vec_id")), col(a.str("vec", "embedding")),
         k = a.int("k", 5), nClusters = a.int("n_clusters", 8),
@@ -147,39 +158,63 @@ object TableOps {
         dim = a.int("dim", 64))),
 
     // ------------------------------------------------- curation table ops
-    "gopher_metrics" -> TableOp(
+    "gopher_metrics" -> op1(
       Set("id", "text"),
-      "Gopher quality-rule metrics + keep decision per document",
+      "Gopher quality-rule metrics + keep decision per document")(
       (df, a) => graft.ops.Curation.gopherMetrics(df,
         col(a.str("id", "doc_id")), col(a.str("text", "text")))),
 
-    "sample" -> TableOp(
+    "sample" -> op1(
       Set("key", "rate"),
-      "deterministic hash-Bernoulli sample: keep iff md5(key) < rate * 2^32",
+      "deterministic hash-Bernoulli sample: keep iff md5(key) < rate * 2^32")(
       (df, a) => graft.ops.Curation.hashSample(df,
         col(a.str("key", "doc_id")), a.dbl("rate", 0.1))),
 
-    "temperature_mix" -> TableOp(
+    "temperature_mix" -> op1(
       Set("id", "domain", "alpha", "target_rows"),
-      "temperature-scaled domain mixture: keep rates proportional to n^alpha",
+      "temperature-scaled domain mixture: keep rates proportional to n^alpha")(
       (df, a) => graft.ops.Curation.temperatureMixture(df,
         col(a.str("id", "doc_id")), col(a.str("domain", "source")),
         alpha = a.dbl("alpha", 0.5),
         targetRows = a.int("target_rows", 1000).toLong)),
 
-    "split" -> TableOp(
+    "split" -> op1(
       Set("key", "valid_rate", "test_rate"),
-      "deterministic train/valid/test assignment by disjoint md5 cuts (+split column)",
+      "deterministic train/valid/test assignment by disjoint md5 cuts (+split column)")(
       (df, a) => graft.ops.Curation.assignSplit(df,
         col(a.str("key", "doc_id")),
         Seq("valid" -> a.dbl("valid_rate", 0.05),
           "test" -> a.dbl("test_rate", 0.05)))),
 
-    "global_shuffle" -> TableOp(
+    "global_shuffle" -> op1(
       Set("key", "seed", "n_buckets"),
-      "seed-keyed deterministic total order (+pos column), one corpus shuffle",
+      "seed-keyed deterministic total order (+pos column), one corpus shuffle")(
       (df, a) => graft.ops.Curation.globalShuffle(df,
         col(a.str("key", "doc_id")), a.str("seed", "dtl"),
-        nBuckets = a.int("n_buckets", 1024)))
+        nBuckets = a.int("n_buckets", 1024))),
+
+    // ------------------------------------------------ multi-input table ops
+    "decontaminate" -> TableOp(
+      Set("id", "text", "bench_text", "shingle_size", "min_overlap"),
+      "drop corpus docs sharing >= min_overlap shingles with the benchmark table (2 inputs: corpus, benchmarks)",
+      (dfs, a) => graft.ops.Curation.decontaminate(
+        dfs(0), col(a.str("id", "doc_id")), col(a.str("text", "text")),
+        dfs(1), col(a.str("bench_text", "text")),
+        shingleSize = a.int("shingle_size", 5),
+        minOverlap = a.int("min_overlap", 1)), arity = 2),
+
+    "soft_weights" -> TableOp(
+      Set("id"),
+      "1/|cluster| training weights from near-dup pairs (2 inputs: docs, pairs with id_a/id_b)",
+      (dfs, a) => graft.ops.Dedup.softDedupWeights(
+        dfs(0), col(a.str("id", "doc_id")), dfs(1)), arity = 2),
+
+    "snapshot_diff" -> TableOp(
+      Set("id", "fingerprint"),
+      "added/removed/changed/unchanged between two crawl snapshots (2 inputs: old, new)",
+      (dfs, a) => graft.ops.Snapshot.diff(
+        dfs(0), col(a.str("id", "doc_id")), col(a.str("fingerprint", "fp")),
+        dfs(1), col(a.str("id", "doc_id")), col(a.str("fingerprint", "fp"))),
+      arity = 2)
   )
 }

@@ -16,7 +16,7 @@ object CurationQueries {
   /** DuckDB builder matching TextAnalysis.shingles(text, k) (distinct word
     * k-grams of lowercased text, space-joined).
     */
-  private def duckShingles(k: Int): String =
+  private[queries] def duckShingles(k: Int): String =
     s"""list_distinct(list_transform(
        |  range(1, greatest(len(string_split_regex(trim(lower(text)),'\\s+')) - ${k - 2}, 1)),
        |  i -> list_aggregate(list_slice(string_split_regex(trim(lower(text)),'\\s+'), i, i+${k - 1}), 'string_agg', ' ')))""".stripMargin

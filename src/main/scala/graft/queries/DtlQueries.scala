@@ -442,6 +442,20 @@ object DtlQueries {
         |  WITH (key = 'doc_id', valid_rate = 0.2, test_rate = 0.2);
         |WITH output AS
         |  SELECT source, split, count() AS n FROM splits GROUP BY source, split;
+        |EXPORT output TO 'output';""".stripMargin)),
+
+    // multi-input APPLY: benchmark decontamination in-language — the src0
+    // slice doubles as the benchmark set, the rest is the training corpus
+    // (pipe_decontaminate's split, driven from DTL end-to-end)
+    "dtl_decontaminate" -> ((s, d) => run(s, d,
+      """WITH docs AS IMPORT 'documents';
+        |WITH corpus AS SELECT doc_id, text FROM docs WHERE source != 'src0';
+        |WITH bench AS SELECT text FROM docs WHERE source = 'src0';
+        |WITH contaminated AS APPLY 'decontaminate' TO corpus, bench
+        |  WITH (shingle_size = 5, min_overlap = 1);
+        |WITH output AS
+        |  SELECT id AS doc_id, n_shingles, n_overlap, contam_ratio
+        |  FROM contaminated;
         |EXPORT output TO 'output';""".stripMargin))
   )
 
@@ -857,6 +871,21 @@ object DtlQueries {
          |              ELSE 'train' END AS split
          |  FROM mixed)
          |SELECT source, split, count(*) AS n FROM sp GROUP BY source, split""".stripMargin
-    }
+    },
+
+    // pipe_decontaminate's oracle shape over the same in-language split
+    "dtl_decontaminate" ->
+      s"""WITH ds AS (SELECT doc_id, ${CurationQueries.duckShingles(5)} AS sh FROM documents
+         |            WHERE source <> 'src0' AND len(string_split_regex(trim(lower(text)),'\\s+')) >= 5),
+         |     bs AS (SELECT DISTINCT unnest(sh) AS shingle FROM
+         |            (SELECT ${CurationQueries.duckShingles(5)} AS sh FROM documents
+         |             WHERE source = 'src0' AND len(string_split_regex(trim(lower(text)),'\\s+')) >= 5)),
+         |     bl AS (SELECT list(shingle) AS benchlist FROM bs),
+         |     j AS (SELECT doc_id, CAST(len(sh) AS INTEGER) AS n_shingles,
+         |                  CAST(len(list_intersect(sh, benchlist)) AS BIGINT) AS n_overlap
+         |           FROM ds, bl)
+         |SELECT doc_id, n_shingles, n_overlap,
+         |       round(n_overlap::DOUBLE / n_shingles, 6) AS contam_ratio
+         |FROM j WHERE n_overlap >= 1""".stripMargin
   )
 }

@@ -76,8 +76,8 @@ class ApplySpec extends AnyFunSuite {
   }
 
   test("a caller-registered op runs under a custom registry") {
-    val custom = TableOps.default + ("keep_short" -> TableOps.TableOp(
-      Set("max_len"), "rows whose text is at most max_len chars",
+    val custom = TableOps.default + ("keep_short" -> TableOps.op1(
+      Set("max_len"), "rows whose text is at most max_len chars")(
       (df, a) => df.filter(length(col("text")) <= a.int("max_len", 10))))
     val docs = Seq((1L, "short"), (2L, "a much longer text")).toDF("doc_id", "text")
     val out = new Engine(spark, tableOps = custom).runSimple(
@@ -89,8 +89,8 @@ class ApplySpec extends AnyFunSuite {
   }
 
   test("provenance: APPLY maps source rows relationally, classified m:m") {
-    val custom = TableOps.default + ("keep_short" -> TableOps.TableOp(
-      Set("max_len"), "rows whose text is at most max_len chars",
+    val custom = TableOps.default + ("keep_short" -> TableOps.op1(
+      Set("max_len"), "rows whose text is at most max_len chars")(
       (df, a) => df.filter(length(col("text")) <= a.int("max_len", 10))))
     val docs = Seq((1L, "short"), (2L, "a much longer text"), (3L, "tiny"))
       .toDF("doc_id", "text")
@@ -144,6 +144,65 @@ class ApplySpec extends AnyFunSuite {
     val rows = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rows.keySet == Set(1L, 3L), rows) // doc 2 fails the word count
     assert(rows.values.toSet == Set(0L, 1L)) // dense shuffle positions
+  }
+
+  test("multi-input APPLY: soft dedup weights over docs + in-script pairs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven")).toDF("doc_id", "text")
+    val out = new Engine(spark).runSimple(
+      """WITH docs AS IMPORT 'docs';
+        |WITH pairs AS APPLY 'minhash_pairs' TO docs;
+        |WITH weighted AS APPLY 'soft_weights' TO docs, pairs;
+        |WITH output AS SELECT id, weight FROM weighted;
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("docs" -> docs))("output")
+    val w = out.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w == Map(1L -> 0.5, 2L -> 0.5, 3L -> 1.0), w)
+  }
+
+  test("multi-input APPLY: decontaminate corpus against a benchmark table") {
+    val corpus = Seq(
+      (1L, "one two three four five six seven eight"),
+      (2L, "totally unrelated text with different words here"))
+      .toDF("doc_id", "text")
+    val bench = Seq(Tuple1("xx one two three four five yy")).toDF("text")
+    val out = new Engine(spark).runSimple(
+      """WITH corpus AS IMPORT 'corpus';
+        |WITH bench AS IMPORT 'bench';
+        |WITH contaminated AS APPLY 'decontaminate' TO corpus, bench
+        |  WITH (shingle_size = 5, min_overlap = 1);
+        |WITH output AS SELECT id FROM contaminated;
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("corpus" -> corpus, "bench" -> bench))("output")
+    assert(out.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("arity mismatch fails loudly") {
+    val e = intercept[DtlError](new Engine(spark).runSimple(
+      "WITH pairs AS IMPORT 'pairs'; WITH c AS APPLY 'soft_weights' TO pairs; EXPORT c TO 'o';",
+      Map("pairs" -> edges)))
+    assert(e.getMessage.contains("takes 2 input table(s), got 1"), e.getMessage)
+    val e2 = intercept[DtlError](new Engine(spark).runSimple(
+      "WITH pairs AS IMPORT 'pairs'; WITH c AS APPLY 'components' TO pairs, pairs; EXPORT c TO 'o';",
+      Map("pairs" -> edges)))
+    assert(e2.getMessage.contains("takes 1 input table(s), got 2"), e2.getMessage)
+  }
+
+  test("APPLY's input-list comma does not eat the reference's comma-JOIN") {
+    // `FROM APPLY ... TO pairs, JOIN other ON ...`: the comma belongs to
+    // the SELECT's join list, not APPLY's input list
+    val out = new Engine(spark).runSimple(
+      """WITH pairs AS IMPORT 'pairs';
+        |WITH names AS IMPORT 'names';
+        |WITH output AS
+        |  SELECT id, cluster_id, label
+        |  FROM (APPLY 'components' TO pairs) AS c, JOIN names ON c.id = names.nid;
+        |EXPORT output TO 'output';""".stripMargin,
+      Map("pairs" -> edges,
+        "names" -> Seq((1L, "a"), (2L, "b"), (10L, "x")).toDF("nid", "label")))("output")
+    assert(out.count() == 3)
   }
 
   test("op-level require() failures surface as positioned DTL errors") {
