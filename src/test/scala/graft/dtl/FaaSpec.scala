@@ -1,0 +1,61 @@
+package graft.dtl
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Mirror of the reference's FAA smoke tests
+  * (/root/reference/tests/test_faa.py) over ITS OWN parquet fixtures —
+  * real-world files the engine did not write (date32 columns, 60k rows,
+  * pyarrow metadata), read-only. The reference only smoke-imports; we also
+  * run a representative relational query end-to-end so the foreign
+  * schema's DATE and nullable columns flow through the compiler.
+  * `test_import_flights` is omitted: the fixture directory ships no
+  * flights.parquet, so the reference's own test cannot pass either.
+  */
+class FaaSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val faa = "/root/reference/tests/data/faa"
+  private def available = new java.io.File(faa).isDirectory
+
+  for (table <- Seq("aircraft", "aircraft_models", "airports", "carriers")) {
+    test(s"IMPORT '$table' (test_faa.py smoke)") {
+      assume(available, s"$faa not present")
+      val exporter = new InMemoryExporter
+      new Engine(spark).run(
+        s"""WITH $table AS IMPORT '$table';
+           |WITH output AS SELECT * FROM $table;
+           |EXPORT output TO 'output';""".stripMargin,
+        new FilesystemImporter(spark, faa), exporter)
+      assert(exporter.results("output").count() > 0)
+    }
+  }
+
+  test("FAA tables import and join through the full engine") {
+    assume(available, s"$faa not present")
+    val exporter = new InMemoryExporter
+    new Engine(spark).run(
+      """WITH aircraft AS IMPORT 'aircraft';
+        |WITH aircraft_models AS IMPORT 'aircraft_models';
+        |WITH carriers AS IMPORT 'carriers';
+        |WITH output AS
+        |  SELECT manufacturer, count() AS n_aircraft
+        |  FROM aircraft
+        |  JOIN aircraft_models
+        |    ON aircraft.aircraft_model_code = aircraft_models.aircraft_model_code
+        |  GROUP BY manufacturer
+        |  ORDER BY n_aircraft DESC, manufacturer
+        |  LIMIT 5;
+        |EXPORT output TO 'output';""".stripMargin,
+      new FilesystemImporter(spark, faa), exporter)
+    val top = exporter.results("output").collect()
+    assert(top.length == 5)
+    assert(top.head.getLong(1) >= top.last.getLong(1))
+    assert(top.map(_.getLong(1)).sum > 0)
+    // date32 columns survive the import as DATE (strict type map)
+    val ac = new FilesystemImporter(spark, faa).importTable("aircraft")
+    assert(ac.schema("last_action_date").dataType ==
+      org.apache.spark.sql.types.DateType)
+    assert(ac.count() == 3599)
+  }
+}
