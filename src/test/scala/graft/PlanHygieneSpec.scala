@@ -43,6 +43,26 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("DTL WHERE and projection reach the parquet scan through the compiler") {
+    // the compiler renames every column to a fresh internal name at IMPORT;
+    // Catalyst must still push the DTL predicate into the scan and prune
+    // the ReadSchema to the referenced columns — otherwise every DTL script
+    // would read whole rows of a 100 TB table
+    val exporter = new graft.dtl.InMemoryExporter
+    new Engine(spark).run(
+      """WITH lineitem AS IMPORT 'lineitem';
+        |WITH output AS SELECT l_orderkey FROM lineitem WHERE l_quantity > 45.0;
+        |EXPORT output TO 'output';""".stripMargin,
+      new graft.dtl.FilesystemImporter(spark, "/root/testdata/sf0.001"), exporter)
+    val p = exporter.results("output").queryExecution.explainString(FormattedMode)
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(l_quantity"),
+      s"DTL filter not pushed to the scan:\n$p")
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(rs.contains("l_orderkey") && rs.contains("l_quantity") &&
+      !rs.contains("l_extendedprice"),
+      s"DTL projection not pruned at the scan: $rs")
+  }
+
   test("minhash LSH bucket join is never all-pairs") {
     val p = plan("pipe_dedup_minhash")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
