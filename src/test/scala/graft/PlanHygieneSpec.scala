@@ -388,8 +388,10 @@ class PlanHygieneSpec extends AnyFunSuite {
   test("edit-distance join is never all-pairs on the corpus side") {
     val p = plan("pipe_edit_join")
     assert(!p.contains("CartesianProduct"), s"cross join in edit join:\n$p")
-    // the one permitted nested-loop is the degenerate gramless bucket —
-    // its build side is the broadcast set of near-empty strings (len < q)
+    // the one permitted nested-loop is the degenerate-length bucket — its
+    // build side is the broadcast set of near-empty strings (len < q for
+    // the qgram scheme; len <= maxDist for the PassJoin partition scheme
+    // the gate uses since round 6)
     assert("\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
       s"unexpected extra nested-loop join:\n$p")
   }
