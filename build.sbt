@@ -32,8 +32,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // local[32] runs 32 concurrent tasks in ONE JVM: at 8g the heavy
   // graph/join gates (triangles' wedge stage, edit_join's candidate
-  // verify) spent their run-to-run variance in GC — 32g on this 128 GiB
-  // box gives each task ~1 GiB of execution-memory headroom, the same
-  // per-task budget a real executor would get.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // verify) spent their run-to-run variance in GC — 32g on a >=64 GiB box
+  // gives each task ~1 GiB of execution-memory headroom, the same per-task
+  // budget a real executor would get. The default is gated on detected
+  // physical memory so smaller hosts still start: SPARK_DRIVER_MEM
+  // overrides either way.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", {
+    val phys = java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getTotalMemorySize
+      case _ => 0L
+    }
+    if (phys >= 64L * 1024 * 1024 * 1024) "32g" else "8g"
+  })}",
 ) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

@@ -40,7 +40,12 @@ final class Compiler(
       namespaces: Set[Option[String]], dtype: DType)
 
   /** A provenance row-id column carried through the plan: `src` is the
-    * upstream traced table, `col` the internal column holding its row id.
+    * upstream traced table, `srcIdx` the statement index of the snapshot
+    * instance the row ids were assigned by (-1 for unsnapshotted origins,
+    * i.e. raw imports) — names alone are ambiguous once UPDATE/INSERT or a
+    * repeated WITH rebinds them, and monotonically_increasing_id values
+    * collide across snapshot instances — and `col` the internal column
+    * holding its row id.
     * The cardinality flags accumulate STRUCTURALLY as operators apply —
     * `multiplied` once any join could fan a source row out, `filtered` once
     * any WHERE/HAVING/LIMIT could drop rows, `collapsed` once DISTINCT keeps
@@ -48,7 +53,7 @@ final class Compiler(
     * as the reference's typed mapping classes (mappings.py:9-38) without a
     * single extra pass over the data.
     */
-  final case class Rid(src: String, col: String,
+  final case class Rid(src: String, srcIdx: Int, col: String,
       multiplied: Boolean = false, filtered: Boolean = false,
       collapsed: Boolean = false)
 
@@ -321,7 +326,7 @@ final class Compiler(
         SCol(f.name, fresh(), Set(None), DType.fromSpark(f.dataType))
       }
       val ord = if (needsOrder) List(fresh("ord")) else Nil
-      val rid = if (tracing) List(Rid(location, fresh("rid"))) else Nil
+      val rid = if (tracing) List(Rid(location, -1, fresh("rid"))) else Nil
       val proj = cols.map(c => col(c.name).as(c.internal)) ++
         ord.map(o => monotonically_increasing_id().as(o)) ++
         rid.map(r => monotonically_increasing_id().as(r.col))
@@ -889,20 +894,22 @@ final class Compiler(
     val snapshot = df.select(t.cols.map(c => col(c.internal).as(c.name)) :+ col(ownRid).as("__rid"): _*)
     tracer.traceSnapshot(name, statementIndex, snapshot)
     manifest.addSnapshot(name, statementIndex, t.cols.map(_.name), level, span)
-    for ((src, group) <- t.rids.groupBy(_.src)) {
+    for (((src, srcIdx), group) <- t.rids.groupBy(r => (r.src, r.srcIdx))) {
       val pairs = group.map { r =>
         df.select(col(r.col).as("src_rid"), col(ownRid).as("tgt_rid"))
       }.reduce(_ union _).filter(col("src_rid").isNotNull)
-      tracer.traceMapping(src, name, pairs)
+      tracer.traceMapping(src, srcIdx, name, statementIndex, pairs)
       val multiplied = group.exists(_.multiplied)
       val collapsed = group.exists(_.collapsed)
       val srcTotal = !multiplied && !collapsed && !group.exists(_.filtered)
-      manifest.addMapping(src, name, mappingKind(multiplied, collapsed), srcTotal)
+      manifest.addMapping(src, srcIdx, name, statementIndex,
+        mappingKind(multiplied, collapsed), srcTotal)
     }
     // lineage across an aggregation: many-to-one mapping by null-safe
     // key-equality join between the pre-agg rows (still carrying their
     // upstream row ids) and the aggregated table
-    for (al <- t.aggLineages; (src, group) <- al.srcRids.groupBy(_.src)) {
+    for (al <- t.aggLineages;
+         ((src, srcIdx), group) <- al.srcRids.groupBy(r => (r.src, r.srcIdx))) {
       val tgtKeys = al.keyCols.map(k => (k, fresh("tk")))
       val tgt = df.select(col(ownRid).as("tgt_rid") +: tgtKeys.map { case (k, n) => col(k).as(n) }: _*)
       val joinCond = tgtKeys.map { case (k, n) => al.srcDf(k) <=> col(n) }.reduce(_ && _)
@@ -910,12 +917,13 @@ final class Compiler(
         al.srcDf.join(tgt, joinCond)
           .select(al.srcDf(r.col).as("src_rid"), col("tgt_rid"))
       }.reduce(_ union _).filter(col("src_rid").isNotNull)
-      tracer.traceMapping(src, name, pairs)
+      tracer.traceMapping(src, srcIdx, name, statementIndex, pairs)
       val multiplied = group.exists(_.multiplied) || al.multiplied
       val srcTotal = !multiplied && !al.filtered && !group.exists(_.filtered)
-      manifest.addMapping(src, name, mappingKind(multiplied, collapsed = true), srcTotal)
+      manifest.addMapping(src, srcIdx, name, statementIndex,
+        mappingKind(multiplied, collapsed = true), srcTotal)
     }
-    CTable(df, t.cols, t.ordCols, List(Rid(name, ownRid)))
+    CTable(df, t.cols, t.ordCols, List(Rid(name, statementIndex, ownRid)))
   }
 
   // traced intermediates pinned by traceStatement; released by Engine.run

@@ -45,7 +45,16 @@ object TableOps {
       case None => default
     }
     def int(k: String, default: => Int): Int = opts.get(k) match {
-      case Some(l: java.lang.Long) => l.toInt
+      case Some(l: java.lang.Long) =>
+        if (l.longValue < Int.MinValue || l.longValue > Int.MaxValue)
+          bad(k, s"an integer in [${Int.MinValue}, ${Int.MaxValue}]", l)
+        else l.intValue
+      case Some(other) => bad(k, "an integer literal", other)
+      case None => default
+    }
+    /** Row-count-sized options (e.g. target_rows) that must not wrap at 2^31. */
+    def long(k: String, default: => Long): Long = opts.get(k) match {
+      case Some(l: java.lang.Long) => l.longValue
       case Some(other) => bad(k, "an integer literal", other)
       case None => default
     }
@@ -157,6 +166,51 @@ object TableOps {
         nProbe = a.int("n_probe", 2), iters = a.int("iters", 2),
         dim = a.int("dim", 64))),
 
+    // ----------------------------------------------------- graph table ops
+    "pagerank" -> op1(
+      Set("src", "dst", "iters", "damping"),
+      "PageRank over an edge table (uniform dangling redistribution) -> (node_id, rank)")(
+      (df, a) => graft.ops.Graphs.pagerank(df,
+        col(a.str("src", "src")), col(a.str("dst", "dst")),
+        iters = a.int("iters", 5), damping = a.dbl("damping", 0.85))),
+
+    "triangles" -> op1(
+      Set("src", "dst"),
+      "per-node triangle counts (degree-ordered wedge join) -> (node_id, n_triangles)")(
+      (df, a) => graft.ops.Graphs.triangles(df,
+        col(a.str("src", "src")), col(a.str("dst", "dst")))),
+
+    "kcore" -> op1(
+      Set("src", "dst", "k", "max_rounds"),
+      "k-core of an undirected edge table (monotone peeling) -> surviving (node_id, core_deg)")(
+      (df, a) => graft.ops.Graphs.kcore(df,
+        col(a.str("src", "src")), col(a.str("dst", "dst")),
+        k = a.int("k", 2), maxRounds = a.int("max_rounds", 64))),
+
+    // ------------------------------------------- retrieval / report table ops
+    "bm25_topk" -> TableOp(
+      Set("id", "text", "query_id", "query_text", "top_k", "k1", "b"),
+      "BM25 top-k docs per query (2 inputs: docs, queries) -> (query_id, doc_id, score, rank)",
+      (dfs, a) => graft.ops.Retrieval.bm25TopK(
+        dfs(0), col(a.str("id", "doc_id")), col(a.str("text", "text")),
+        dfs(1), col(a.str("query_id", "query_id")),
+        col(a.str("query_text", "qtext")),
+        topK = a.int("top_k", 10), k1 = a.dbl("k1", 1.2), b = a.dbl("b", 0.75)),
+      arity = 2),
+
+    "corpus_report" -> op1(
+      Set("slice", "text"),
+      "per-slice corpus health report (docs/tokens/quality/length quartiles/dup rate)")(
+      (df, a) => graft.ops.Audit.corpusReport(df,
+        col(a.str("slice", "source")), col(a.str("text", "text")))),
+
+    "corpus_report_sketch" -> op1(
+      Set("slice", "text", "k", "p"),
+      "corpus report on bounded-memory mergeable sketches (the 100 TB form)")(
+      (df, a) => graft.ops.Audit.corpusReportSketched(df,
+        col(a.str("slice", "source")), col(a.str("text", "text")),
+        k = a.int("k", 256), p = a.int("p", 4))),
+
     // ------------------------------------------------- curation table ops
     "gopher_metrics" -> op1(
       Set("id", "text"),
@@ -176,7 +230,7 @@ object TableOps {
       (df, a) => graft.ops.Curation.temperatureMixture(df,
         col(a.str("id", "doc_id")), col(a.str("domain", "source")),
         alpha = a.dbl("alpha", 0.5),
-        targetRows = a.int("target_rows", 1000).toLong)),
+        targetRows = a.long("target_rows", 1000L))),
 
     "split" -> op1(
       Set("key", "valid_rate", "test_rate"),

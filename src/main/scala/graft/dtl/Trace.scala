@@ -26,8 +26,15 @@ import scala.collection.mutable
 trait Tracer {
   /** Snapshot of a statement-level table: visible columns plus `__rid`. */
   def traceSnapshot(name: String, statementIndex: Int, df: DataFrame): Unit
-  /** Mapping pairs (src_rid, tgt_rid) between two traced tables. */
-  def traceMapping(src: String, tgt: String, pairs: DataFrame): Unit
+  /** Mapping pairs (src_rid, tgt_rid) between two traced SNAPSHOT INSTANCES,
+    * identified by (name, statement index): a rebinding script (UPDATE /
+    * INSERT / repeated WITH) snapshots the same name once per statement, and
+    * row ids are only meaningful against the instance that assigned them —
+    * monotonically_increasing_id values collide across instances.
+    * `srcIdx` is -1 when the source was never snapshotted (a raw import).
+    */
+  def traceMapping(src: String, srcIdx: Int, tgt: String, tgtIdx: Int,
+      pairs: DataFrame): Unit
   /** Called once at the end of the run with the manifest JSON. */
   def writeManifest(json: String): Unit
   /** Called once after [[writeManifest]], while traced intermediates are
@@ -61,28 +68,55 @@ object Tracer {
     "export" -> 0, "statement" -> 0, "table_expression" -> 1, "internal" -> 2)
 }
 
+/** Name-keyed latest-wins view (convenient for tests and embedding); the
+  * instance-exact (name, statement index) view is kept alongside for scripts
+  * that rebind names.
+  */
 final class InMemoryTracer(override val level: String = "internal") extends Tracer {
   val snapshots = mutable.LinkedHashMap.empty[String, DataFrame]
   val mappings = mutable.LinkedHashMap.empty[(String, String), DataFrame]
+  val snapshotInstances = mutable.LinkedHashMap.empty[(String, Int), DataFrame]
+  val mappingInstances =
+    mutable.LinkedHashMap.empty[((String, Int), (String, Int)), DataFrame]
   var manifest: Option[String] = None
-  def traceSnapshot(name: String, statementIndex: Int, df: DataFrame): Unit =
+  def traceSnapshot(name: String, statementIndex: Int, df: DataFrame): Unit = {
     snapshots(name) = df
-  def traceMapping(src: String, tgt: String, pairs: DataFrame): Unit =
+    snapshotInstances((name, statementIndex)) = df
+  }
+  def traceMapping(src: String, srcIdx: Int, tgt: String, tgtIdx: Int,
+      pairs: DataFrame): Unit = {
     mappings((src, tgt)) = pairs
+    mappingInstances(((src, srcIdx), (tgt, tgtIdx))) = pairs
+  }
   def writeManifest(json: String): Unit = manifest = Some(json)
   override def retainsPlans: Boolean = true
 }
 
 /** Writes `<dir>/<name>.snapshot.parquet`, `<dir>/<src>__<tgt>.mapping.parquet`
   * and `<dir>/trace.json` (≙ reference io.py:105-123 filesystem tracer).
+  * A rebound name keeps the plain path for its FIRST snapshot; later
+  * instances get `<name>@<statementIndex>` so no snapshot overwrites another
+  * (the manifest's `path` fields follow the same rule, see
+  * [[ManifestBuilder.toJson]]).
   */
 final class FilesystemTracer(dir: String,
     override val level: String = "internal") extends Tracer {
   new java.io.File(dir).mkdirs()
-  def traceSnapshot(name: String, statementIndex: Int, df: DataFrame): Unit =
-    df.write.mode("overwrite").parquet(s"$dir/$name.snapshot.parquet")
-  def traceMapping(src: String, tgt: String, pairs: DataFrame): Unit =
-    pairs.write.mode("overwrite").parquet(s"$dir/${src}__$tgt.mapping.parquet")
+  private val firstIdx = mutable.Map.empty[String, Int]
+  // -1 = unsnapshotted origin (an import location): no snapshot file exists
+  // to collide with, keep the plain name
+  private def instName(name: String, idx: Int): String =
+    if (idx == -1 || firstIdx.get(name).forall(_ == idx)) name
+    else s"$name@$idx"
+  def traceSnapshot(name: String, statementIndex: Int, df: DataFrame): Unit = {
+    firstIdx.getOrElseUpdate(name, statementIndex): Unit
+    df.write.mode("overwrite")
+      .parquet(s"$dir/${instName(name, statementIndex)}.snapshot.parquet")
+  }
+  def traceMapping(src: String, srcIdx: Int, tgt: String, tgtIdx: Int,
+      pairs: DataFrame): Unit =
+    pairs.write.mode("overwrite").parquet(
+      s"$dir/${instName(src, srcIdx)}__${instName(tgt, tgtIdx)}.mapping.parquet")
   def writeManifest(json: String): Unit =
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/trace.json"), json)
 }
@@ -94,8 +128,11 @@ final class FilesystemTracer(dir: String,
   * src_index_array, tgt_index_array}]}` and ONE parquet FILE per traced
   * column at `<dir>/arrays/<uuid>.parquet`, each holding a single column
   * named `values` — byte-layout a reference-format consumer parses
-  * unchanged. Line/column numbers are 0-based on both sides
-  * (reference lexer.py:61-75).
+  * unchanged. Line numbers are 0-based on both sides; columns follow the
+  * reference lexer's numbering exactly, including its quirk that the first
+  * character of every non-first line is column 1, not 0 (lexer.py:68-75
+  * resets the column on '\n' and then counts the newline itself) — see
+  * [[refCol]].
   *
   * Faithfulness notes (documented divergences, both strictly more general
   * than what they replace):
@@ -118,12 +155,19 @@ final class ReferenceFormatTracer(dir: String,
   import org.apache.spark.sql.functions.{col, row_number}
   import org.apache.spark.sql.expressions.Window
 
-  private val snaps = mutable.LinkedHashMap.empty[String, DataFrame]
-  private val maps = mutable.LinkedHashMap.empty[(String, String), DataFrame]
+  // keyed by (name, statementIndex): the reference assigns fresh uuid4
+  // arrays per snapshot, so a rebound name (UPDATE / repeated WITH) must
+  // yield one independent snapshot per statement — keying by bare name
+  // would resolve every mapping against the FINAL instance's positions,
+  // whose row ids collide with but don't correspond to the older ones
+  private val snaps = mutable.LinkedHashMap.empty[(String, Int), DataFrame]
+  private val maps =
+    mutable.LinkedHashMap.empty[((String, Int), (String, Int)), DataFrame]
   def traceSnapshot(name: String, statementIndex: Int, df: DataFrame): Unit =
-    snaps(name) = df
-  def traceMapping(src: String, tgt: String, pairs: DataFrame): Unit =
-    maps((src, tgt)) = pairs
+    snaps((name, statementIndex)) = df
+  def traceMapping(src: String, srcIdx: Int, tgt: String, tgtIdx: Int,
+      pairs: DataFrame): Unit =
+    maps(((src, srcIdx), (tgt, tgtIdx))) = pairs
   def writeManifest(json: String): Unit = () // built in writeManifestData
 
   private def writeArray(df: DataFrame, id: java.util.UUID): Unit = {
@@ -143,52 +187,64 @@ final class ReferenceFormatTracer(dir: String,
   private def arrayId(key: String): java.util.UUID =
     java.util.UUID.nameUUIDFromBytes(key.getBytes("UTF-8"))
 
+  // the reference lexer resets column to 0 on a newline and then increments
+  // for the newline char itself (lexer.py:68-75), so the first character of
+  // every line AFTER the first sits at column 1 in its positions; graft's
+  // lexer records it at column 0 — re-apply the quirk on emission so
+  // reference-format consumers map spans back to source identically
+  private def refCol(p: Ast.Pos): Int = if (p.line > 0) p.col + 1 else p.col
+
   override def writeManifestData(m: ManifestBuilder): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    val colIds = mutable.LinkedHashMap.empty[(String, String), java.util.UUID]
-    // positions frame per table, cached: every mapping join re-reads it
-    val positioned = snaps.map { case (name, df) =>
-      name -> df
+    val colIds =
+      mutable.LinkedHashMap.empty[((String, Int), String), java.util.UUID]
+    // positions frame per snapshot instance, cached: every mapping join
+    // re-reads it
+    val positioned = snaps.map { case (key, df) =>
+      key -> df
         .withColumn("__pos",
           row_number().over(Window.orderBy(col("__rid"))).cast("long") - 1L)
         .persist()
     }
-    for ((name, df) <- positioned; c <- df.columns
+    for ((key @ (name, idx), df) <- positioned; c <- df.columns
          if c != "__rid" && c != "__pos") {
-      val id = arrayId(s"snapshot/$name/$c")
-      colIds((name, c)) = id
+      val id = arrayId(s"snapshot/$name/$idx/$c")
+      colIds((key, c)) = id
       writeArray(df.orderBy("__pos").select(col(c).as("values")), id)
     }
     val mappingJsons = mutable.ListBuffer.empty[String]
-    for (((src, tgt), pairs) <- maps
-         if positioned.contains(src) && positioned.contains(tgt)) {
-      val sPos = positioned(src).select(col("__rid").as("__srid"), col("__pos").as("__spos"))
-      val tPos = positioned(tgt).select(col("__rid").as("__trid"), col("__pos").as("__tpos"))
+    // mappings whose source was never snapshotted (srcIdx -1: raw imports)
+    // have no position array to index into and are skipped — the reference
+    // likewise only maps between materialized snapshots
+    for (((sKey @ (sName, sIdxN), tKey @ (tName, tIdxN)), pairs) <- maps
+         if positioned.contains(sKey) && positioned.contains(tKey)) {
+      val sPos = positioned(sKey).select(col("__rid").as("__srid"), col("__pos").as("__spos"))
+      val tPos = positioned(tKey).select(col("__rid").as("__trid"), col("__pos").as("__tpos"))
       val idx = pairs
         .join(sPos, pairs("src_rid") === sPos("__srid"))
         .join(tPos, pairs("tgt_rid") === tPos("__trid"))
         .select(col("__spos").as("src_index"), col("__tpos").as("tgt_index"))
         .orderBy("src_index", "tgt_index")
         .persist()
-      val sIdx = arrayId(s"mapping/$src/$tgt/src_index")
-      val tIdx = arrayId(s"mapping/$src/$tgt/tgt_index")
+      val sIdx = arrayId(s"mapping/$sName/$sIdxN/$tName/$tIdxN/src_index")
+      val tIdx = arrayId(s"mapping/$sName/$sIdxN/$tName/$tIdxN/tgt_index")
       writeArray(idx.select(col("src_index").as("values")), sIdx)
       writeArray(idx.select(col("tgt_index").as("values")), tIdx)
       idx.unpersist(blocking = false)
-      val srcAnchor = colIds.collectFirst { case ((t, _), id) if t == src => id }
-      val tgtAnchor = colIds.collectFirst { case ((t, _), id) if t == tgt => id }
+      val srcAnchor = colIds.collectFirst { case ((k, _), id) if k == sKey => id }
+      val tgtAnchor = colIds.collectFirst { case ((k, _), id) if k == tKey => id }
       for (sa <- srcAnchor; ta <- tgtAnchor)
         mappingJsons += s"""{"src_array":"$sa","tgt_array":"$ta","src_index_array":"$sIdx","tgt_index_array":"$tIdx"}"""
     }
     positioned.values.foreach(_.unpersist(blocking = false))
     val snapJsons = m.snapshotEntries.collect {
-      case (name, _, cols, _, span) if snaps.contains(name) =>
+      case (name, sidx, cols, _, span) if snaps.contains((name, sidx)) =>
         val (s, e) = span.getOrElse((Ast.Pos(-1, -1), Ast.Pos(-1, -1)))
-        val colJson = cols.filter(c => colIds.contains((name, c)))
-          .map(c => s"""{"name":${jsonQ(c)},"array":"${colIds((name, c))}"}""")
+        val colJson = cols.filter(c => colIds.contains(((name, sidx), c)))
+          .map(c => s"""{"name":${jsonQ(c)},"array":"${colIds(((name, sidx), c))}"}""")
           .mkString("[", ",", "]")
-        s"""{"start":{"lineno":${s.line},"column":${s.col}},""" +
-          s""""end":{"lineno":${e.line},"column":${e.col}},"columns":$colJson}"""
+        s"""{"start":{"lineno":${s.line},"column":${refCol(s)}},""" +
+          s""""end":{"lineno":${e.line},"column":${refCol(e)}},"columns":$colJson}"""
     }
     val json = s"""{"source":${jsonQ(m.sourceText)},""" +
       s""""snapshots":${snapJsons.mkString("[", ",", "]")},""" +
@@ -221,18 +277,20 @@ final class ReferenceFormatTracer(dir: String,
 final class ManifestBuilder(source: String) {
   private val snapshots =
     mutable.ListBuffer.empty[(String, Int, Seq[String], String, Option[(Ast.Pos, Ast.Pos)])]
-  private val mappings = mutable.ListBuffer.empty[(String, String, String, Boolean)]
+  private val mappings =
+    mutable.ListBuffer.empty[(String, Int, String, Int, String, Boolean)]
   /** Structured views for format-converting tracers. */
   def sourceText: String = source
   def snapshotEntries: Seq[(String, Int, Seq[String], String, Option[(Ast.Pos, Ast.Pos)])] =
     snapshots.toSeq
-  def mappingEntries: Seq[(String, String, String, Boolean)] = mappings.toSeq
+  def mappingEntries: Seq[(String, Int, String, Int, String, Boolean)] =
+    mappings.toSeq
   def addSnapshot(name: String, statementIndex: Int, columns: Seq[String],
       level: String = "statement", span: Option[(Ast.Pos, Ast.Pos)] = None): Unit =
     snapshots += ((name, statementIndex, columns, level, span))
-  def addMapping(src: String, tgt: String, kind: String = "unknown",
-      srcTotal: Boolean = false): Unit =
-    mappings += ((src, tgt, kind, srcTotal))
+  def addMapping(src: String, srcIdx: Int, tgt: String, tgtIdx: Int,
+      kind: String = "unknown", srcTotal: Boolean = false): Unit =
+    mappings += ((src, srcIdx, tgt, tgtIdx, kind, srcTotal))
 
   private def q(s: String): String =
     "\"" + s.flatMap {
@@ -250,13 +308,19 @@ final class ManifestBuilder(source: String) {
   }
 
   def toJson: String = {
+    // file-name rule mirrors FilesystemTracer.instName: first snapshot of a
+    // name keeps the plain path, later (rebound) instances get @<idx>; an
+    // unsnapshotted source (idx -1, raw import) keeps the plain name
+    val firstIdx = snapshots.groupBy(_._1).view.mapValues(_.head._2).toMap
+    def inst(n: String, i: Int): String =
+      if (i == -1 || firstIdx.get(n).forall(_ == i)) n else s"$n@$i"
     val snaps = snapshots.map { case (n, i, cols, level, span) =>
       s"""{"name":${q(n)},"statement":$i,"level":${q(level)}${spanJson(span)},""" +
-        s""""columns":[${cols.map(q).mkString(",")}],"path":${q(s"$n.snapshot.parquet")}}"""
+        s""""columns":[${cols.map(q).mkString(",")}],"path":${q(s"${inst(n, i)}.snapshot.parquet")}}"""
     }.mkString("[", ",", "]")
-    val maps = mappings.map { case (s, t, kind, srcTotal) =>
+    val maps = mappings.map { case (s, si, t, ti, kind, srcTotal) =>
       s"""{"src":${q(s)},"tgt":${q(t)},"kind":${q(kind)},"src_total":$srcTotal,""" +
-        s""""path":${q(s"${s}__$t.mapping.parquet")}}"""
+        s""""path":${q(s"${inst(s, si)}__${inst(t, ti)}.mapping.parquet")}}"""
     }.mkString("[", ",", "]")
     s"""{"source":${q(source)},"snapshots":$snaps,"mappings":$maps}"""
   }

@@ -21,6 +21,14 @@ object DtlQueries {
   private val dtlNormalizePlant =
     " \u201CQuoted\u2014text\u201D\u2026 and\u00A0more \u2018x\u2019 \u200Bend"
 
+  /** Session-wide embedded-Derby home for dtl_jdbc (see the gate's comment). */
+  private lazy val jdbcDbDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jdbc")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile): Unit))
+    dir.toString
+  }
+
   private def run(s: SparkSession, dir: String, source: String): DataFrame = {
     val exporter = new InMemoryExporter
     new Engine(s).run(source, new FilesystemImporter(s, dir), exporter)
@@ -413,8 +421,12 @@ object DtlQueries {
     // Derby's default Spark string mapping (CLOB) is unqueryable.
     "dtl_jdbc" -> ((s, d) => {
       System.setProperty("derby.stream.error.file", "/tmp/graft_derby.log")
-      val dbDir = java.nio.file.Files.createTempDirectory("graft_jdbc").toString
-      val url = s"jdbc:derby:$dbDir/db;create=true"
+      // ONE database directory per JVM, reused across bench warmups and
+      // iterations: embedded Derby keeps every opened database booted for
+      // the life of the JVM, so a fresh temp dir per execution leaked both
+      // /tmp disk and driver memory. Overwrite-mode rewrites the staged
+      // table in place; the dir is deleted on JVM exit.
+      val url = s"jdbc:derby:$jdbcDbDir/db;create=true"
       CoreQueries.t(s, d, "nation").write.mode("overwrite")
         .option("createTableColumnTypes", "n_name VARCHAR(64)")
         .jdbc(url, "nation", new java.util.Properties())

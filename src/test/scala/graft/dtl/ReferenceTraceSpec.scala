@@ -92,4 +92,70 @@ class ReferenceTraceSpec extends AnyFunSuite {
     val mappedVals = srcIdx.map(i => inputA._2(i.toInt)).sorted.toSeq
     assert(mappedVals == Seq(3L, 4L), mappedVals)
   }
+
+  test("rebound names snapshot per statement instance, like the reference's fresh arrays") {
+    // UPDATE/DELETE rebind `t`: the reference assigns fresh uuid4 arrays per
+    // snapshot, so each instance must get its own arrays and every mapping
+    // must resolve against the instance whose row ids it actually carries —
+    // keying by bare name would join old rids against the FINAL instance
+    // (monotonically_increasing_id values collide across snapshots)
+    val dir = java.nio.file.Files.createTempDirectory("reftrace_rebind").toString
+    val tracer = new ReferenceFormatTracer(dir)
+    new Engine(spark).runSimple(
+      """WITH t AS IMPORT 'input';
+        |UPDATE t SET v = v + 1 WHERE k > 1;
+        |DELETE FROM t WHERE v > 25;
+        |EXPORT t TO 'out';""".stripMargin,
+      Map("input" -> Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")),
+      Some(tracer))
+    val json = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "trace.json"))
+
+    // four snapshot instances: t(3 rows), t updated(3), t deleted(2), out(2)
+    val colRe = """\{"name":"k","array":"([0-9a-f-]{36})"\}""".r
+    val kArrays = colRe.findAllMatchIn(json).map(_.group(1)).toSeq
+    assert(kArrays.length == 4, json)
+    assert(kArrays.distinct.length == 4, "each instance needs its OWN arrays")
+    val kVals = kArrays.map(u => u -> spark.read.parquet(s"$dir/arrays/$u.parquet")
+      .collect().map(_.getLong(0)).toSeq).toMap
+    assert(kVals.values.map(_.length).toSeq.sorted == Seq(2, 2, 3, 3))
+
+    // three resolvable mappings (t0->t1, t1->t2, t2->out); the raw-import
+    // mapping has no snapshotted source and is skipped
+    val mapRe =
+      ("""\{"src_array":"([0-9a-f-]{36})","tgt_array":"([0-9a-f-]{36})",""" +
+        """"src_index_array":"([0-9a-f-]{36})","tgt_index_array":"([0-9a-f-]{36})"\}""").r
+    val ms = mapRe.findAllMatchIn(json).toSeq
+    assert(ms.length == 3, json)
+    for (m <- ms) {
+      val srcN = kVals(m.group(1)).length
+      val tgtN = kVals(m.group(2)).length
+      val sIdx = spark.read.parquet(s"$dir/arrays/${m.group(3)}.parquet")
+        .collect().map(_.getLong(0))
+      val tIdx = spark.read.parquet(s"$dir/arrays/${m.group(4)}.parquet")
+        .collect().map(_.getLong(0))
+      assert(sIdx.length == tIdx.length)
+      assert(sIdx.forall(i => i >= 0 && i < srcN), s"src idx out of range for $srcN-row instance")
+      assert(tIdx.forall(i => i >= 0 && i < tgtN))
+    }
+    // following the delete mapping (3-row src -> 2-row tgt) through the SRC
+    // instance's k array lands on exactly the surviving keys {1, 2}
+    val del = ms.find(m =>
+      kVals(m.group(1)).length == 3 && kVals(m.group(2)).length == 2).get
+    val delSrc = spark.read.parquet(s"$dir/arrays/${del.group(3)}.parquet")
+      .collect().map(_.getLong(0))
+    assert(delSrc.map(i => kVals(del.group(1))(i.toInt)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("columns match the reference lexer's numbering (first char of line n>0 is column 1)") {
+    val (dir, _) = runTraced()
+    val json = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "trace.json"))
+    // line 1's statement body starts at graft column 17 ("WITH filtered AS ")
+    // but the reference's lexer counts the newline char into the next line's
+    // column (lexer.py:68-75), so its first char sits at column 18
+    assert(json.contains("\"start\":{\"lineno\":1,\"column\":18}"), json)
+    // line 0 keeps its raw column (no newline precedes it)
+    assert(json.contains("\"start\":{\"lineno\":0,\"column\":14}"), json)
+  }
 }
