@@ -30,8 +30,11 @@ object WebDataset {
 
   /** POSIX ustar header for one member; mtime pinned to 0 and owner fields
     * zeroed for byte-determinism. Names must fit ustar's 100-byte field.
+    * `typeflag` defaults to regular file; specs use 'L'/'x' to construct
+    * externally-shaped shards (GNU longname / PAX records).
     */
-  private[graft] def tarHeader(name: String, size: Long): Array[Byte] = {
+  private[graft] def tarHeader(name: String, size: Long,
+      typeflag: Byte = '0'): Array[Byte] = {
     val nameB = name.getBytes("UTF-8")
     require(nameB.length <= 100, s"tar member name too long: $name")
     require(size >= 0, s"negative member size for $name")
@@ -46,7 +49,7 @@ object WebDataset {
     put(124, f"$size%011o\u0000") // size: 11 octal digits + NUL
     put(136, "00000000000\u0000") // mtime 0
     put(148, "        ") // chksum field counts as spaces while summing
-    h(156) = '0' // typeflag: regular file
+    h(156) = typeflag
     put(257, "ustar\u0000") // POSIX magic: 'ustar' + NUL
     put(263, "00") // POSIX version
     var sum = 0L
@@ -159,10 +162,11 @@ object WebDataset {
     * rows: externally produced shards routinely interleave PAX extended
     * headers ('x'/'g' — Python tarfile emits one per member when mtime is
     * a float, as the webdataset TarWriter does), GNU long-name records
-    * ('L'/'K') and directory entries ('5'); their header+data blocks are
-    * skipped. Limitation (documented, not resolved): a long-name record's
-    * OVERRIDE of the next member's name is ignored — members whose real
-    * name exceeds ustar's 100 bytes surface under the truncated name.
+    * ('L'/'K') and directory entries ('5'). A GNU 'L' record's data, or a
+    * PAX 'x' record's `path=` field, OVERRIDES the next member's name
+    * (GNU tar manual §"GNU tar Formats"; pax(1) keyword records), so
+    * members whose real name exceeds ustar's 100-byte field surface under
+    * their full name; other special records are skipped.
     */
   private[graft] def parseTar(file: String,
       bytes: Array[Byte]): Seq[(String, String, String, Array[Byte])] = {
@@ -171,26 +175,60 @@ object WebDataset {
       .empty[(String, String, String, Array[Byte])]
     var off = 0
     var done = false
+    var pendingName: String = null // from the preceding 'L' / 'x' record
     while (!done && off + BLOCK <= bytes.length) {
       if (bytes(off) == 0) done = true // zero block terminates
       else {
         var nameEnd = off
         while (nameEnd < off + 100 && bytes(nameEnd) != 0) nameEnd += 1
-        val name = new String(bytes, off, nameEnd - off, "UTF-8")
+        val headerName = new String(bytes, off, nameEnd - off, "UTF-8")
         val sizeStr = new String(bytes, off + 124, 11, "UTF-8").trim
         val size = java.lang.Long.parseLong(sizeStr, 8).toInt
         val typeflag = bytes(off + 156)
+        def data(): Array[Byte] =
+          java.util.Arrays.copyOfRange(bytes, off + BLOCK, off + BLOCK + size)
         if (typeflag == '0'.toByte || typeflag == 0.toByte) {
-          val data = java.util.Arrays.copyOfRange(bytes,
-            off + BLOCK, off + BLOCK + size)
+          val name = if (pendingName != null) pendingName else headerName
+          pendingName = null
           val dot = name.lastIndexOf('.')
           val (k, ext) =
             if (dot <= 0) (name, "") else (name.take(dot), name.drop(dot + 1))
-          out += ((shard, k, ext, data))
+          out += ((shard, k, ext, data()))
+        } else if (typeflag == 'L'.toByte) {
+          // GNU longname: data is the next member's full name, NUL-terminated
+          val d = data()
+          val end = d.indexOf(0.toByte) match { case -1 => d.length; case i => i }
+          pendingName = new String(d, 0, end, "UTF-8")
+        } else if (typeflag == 'x'.toByte) {
+          // PAX extended header: "<len> <key>=<value>\n" records, where
+          // <len> counts the whole record including itself and the newline
+          paxField(data(), "path").foreach(pendingName = _)
+        } else {
+          pendingName = null // 'L'/'x' bind to the IMMEDIATELY next member
         }
         off += BLOCK + ((size + BLOCK - 1) / BLOCK) * BLOCK
       }
     }
     out.toSeq
+  }
+
+  /** Extract one keyword's value from a PAX extended-header payload. */
+  private def paxField(d: Array[Byte], key: String): Option[String] = {
+    var i = 0
+    while (i < d.length) {
+      var sp = i
+      while (sp < d.length && d(sp) != ' '.toByte) sp += 1
+      val len =
+        try new String(d, i, sp - i, "UTF-8").toInt
+        catch { case _: NumberFormatException => return None }
+      if (len <= 0 || i + len > d.length) return None
+      // record bytes: "<len> <key>=<value>\n"
+      val rec = new String(d, sp + 1, i + len - sp - 2, "UTF-8")
+      val eq = rec.indexOf('=')
+      if (eq > 0 && rec.substring(0, eq) == key)
+        return Some(rec.substring(eq + 1))
+      i += len
+    }
+    None
   }
 }

@@ -101,33 +101,64 @@ class WebDatasetSpec extends AnyFunSuite {
     assert(bytes.takeRight(1024).forall(_ == 0))
   }
 
-  test("parseTar skips PAX/GNU-longname/directory members (external shards)") {
+  private def member(name: String, data: Array[Byte], typeflag: Byte): Array[Byte] = {
+    val h = WebDataset.tarHeader(name, data.length.toLong, typeflag)
+    val pad = (512 - (data.length % 512)) % 512
+    h ++ data ++ new Array[Byte](pad)
+  }
+
+  /** One PAX record, self-including-length framed: `<len> <key>=<value>\n`. */
+  private def paxRecord(key: String, value: String): String = {
+    val body = s" $key=$value\n"
+    var len = body.getBytes("UTF-8").length + 1
+    while (s"$len$body".getBytes("UTF-8").length != len)
+      len = s"$len$body".getBytes("UTF-8").length
+    s"$len$body"
+  }
+
+  test("parseTar skips PAX/GNU metadata records and directories (external shards)") {
     // hand-build a tar the way Python tarfile (PAX default) would lay it
-    // out: pax-header record, then the real member; plus a directory and a
-    // GNU longname record — only the two regular files must surface
-    def member(name: String, data: Array[Byte], typeflag: Byte): Array[Byte] = {
-      val h = WebDataset.tarHeader(name, data.length.toLong)
-      h(156) = typeflag
-      // re-checksum after the typeflag change
-      for (i <- 148 until 156) h(i) = ' '.toByte
-      val sum = h.map(_ & 0xff).sum
-      val cs = f"$sum%06o\u0000 ".getBytes("UTF-8")
-      System.arraycopy(cs, 0, h, 148, cs.length)
-      val pad = (512 - (data.length % 512)) % 512
-      h ++ data ++ new Array[Byte](pad)
-    }
-    val pax = "30 mtime=1700000000.123\n".getBytes("UTF-8")
+    // out: pax-header record (mtime only, no path override), then the real
+    // member; plus a directory -- only the two regular files must surface
+    val pax = paxRecord("mtime", "1700000000.123").getBytes("UTF-8")
     val tar =
       member("./PaxHeaders/a.txt", pax, 'x'.toByte) ++
       member("a.txt", "alpha".getBytes("UTF-8"), '0'.toByte) ++
       member("subdir/", Array.empty[Byte], '5'.toByte) ++
-      member("././@LongLink", ("x" * 120 + "\u0000").getBytes("UTF-8"), 'L'.toByte) ++
       member("b.bin", Array[Byte](9, 8, 7), 0.toByte) ++ // pre-POSIX NUL flag
       new Array[Byte](1024)
     val rows = WebDataset.parseTar("/x/shard-000000.tar", tar)
     assert(rows.map(r => (r._2, r._3)) == Seq(("a", "txt"), ("b", "bin")))
     assert(new String(rows.head._4, "UTF-8") == "alpha")
     assert(rows(1)._4.toSeq == Seq[Byte](9, 8, 7))
+  }
+
+  test("GNU 'L' and PAX path= records override the next member's >100-byte name") {
+    // the two layouts external writers actually produce for long names:
+    // GNU tar emits a '././@LongLink' 'L' record whose DATA is the full
+    // NUL-terminated name; Python tarfile (PAX default, as the webdataset
+    // TarWriter uses) emits an 'x' record with a framed `path=` field --
+    // in both, the following member's header carries a truncated name
+    val gnuName = "g" * 110 + ".txt"
+    val paxName = "nested/dir/" + "p" * 105 + ".bin"
+    val tar =
+      member("././@LongLink", (gnuName + "\u0000").getBytes("UTF-8"), 'L'.toByte) ++
+      member(gnuName.take(100), "long gnu".getBytes("UTF-8"), '0'.toByte) ++
+      member("./PaxHeaders/trunc",
+        (paxRecord("mtime", "1.5") + paxRecord("path", paxName)).getBytes("UTF-8"),
+        'x'.toByte) ++
+      member(paxName.take(100), Array[Byte](1, 2), '0'.toByte) ++
+      // an 'L' record binds only to the IMMEDIATELY next member: a
+      // directory in between consumes the override
+      member("././@LongLink", ("ignored".repeat(20) + "\u0000").getBytes("UTF-8"), 'L'.toByte) ++
+      member("subdir/", Array.empty[Byte], '5'.toByte) ++
+      member("c.txt", "plain".getBytes("UTF-8"), '0'.toByte) ++
+      new Array[Byte](1024)
+    val rows = WebDataset.parseTar("/x/shard-000001.tar", tar)
+    assert(rows.map(r => (r._2, r._3)) == Seq(
+      ("g" * 110, "txt"), ("nested/dir/" + "p" * 105, "bin"), ("c", "txt")))
+    assert(new String(rows.head._4, "UTF-8") == "long gnu")
+    assert(rows(1)._4.toSeq == Seq[Byte](1, 2))
   }
 
   test("EXPORT to '.tar' and '.warc' are rejected loudly (import-only)") {
