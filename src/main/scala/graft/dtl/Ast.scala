@@ -118,7 +118,12 @@ object Ast {
     var endPos: Pos = Pos(-1, -1)
   }
   final case class WithStmt(name: String, body: TableExpr, pos: Pos) extends Statement
-  final case class ExportStmt(body: TableExpr, location: String, pos: Pos) extends Statement
+  /** `EXPORT <table> TO 'loc' [WITH (name = literal {, ...})];` — options
+    * configure format-specific writers (today: the WebDataset `.tar`
+    * sharder's key/files/shards/seed); formats that take none reject any.
+    */
+  final case class ExportStmt(body: TableExpr, location: String,
+      options: List[(String, Expr)], pos: Pos) extends Statement
 
   /** Mutation statements — the reference declares these node classes with no
     * fields, grammar, or semantics (nodes.py:332-354, tokens BEGIN/UPDATE in

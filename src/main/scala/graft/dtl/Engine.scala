@@ -40,7 +40,7 @@ final class Engine(
       // own source span
       val stmtName = stmt match {
         case WithStmt(name, _, _) => name
-        case ExportStmt(_, location, _) => location
+        case ExportStmt(_, location, _, _) => location
         case UpdateStmt(name, _, _, _) => name
         case DeleteStmt(name, _, _) => name
         case InsertStmt(name, _, _) => name
@@ -69,11 +69,12 @@ final class Engine(
           for (tr <- tracer) t = compiler.traceStatement(name, idx, t, tr, manifest,
             level = "statement", span = Some((Ast.startPos(body), body.endPos)))
           env(name) = t
-        case ExportStmt(body, location, _) =>
+        case ExportStmt(body, location, options, _) =>
           var t = compiler.compileTable(body, env)
           for (tr <- tracer) t = compiler.traceStatement(location, idx, t, tr, manifest,
             level = "export", span = Some((Ast.startPos(body), body.endPos)))
-          exporter.exportTable(location, compiler.materialize(t))
+          exporter.exportTable(location, compiler.materialize(t),
+            Engine.optValues(location, options))
         case other =>
           for ((name, t0) <- applyMutation(compiler)(other, env, txStack)) {
             var t = t0
@@ -123,7 +124,7 @@ final class Engine(
         val t = compiler.compileTable(body, env)
         env(name) = t
         out(name) = fmt(t)
-      case ExportStmt(body, location, _) =>
+      case ExportStmt(body, location, _, _) =>
         out(location) = fmt(compiler.compileTable(body, env))
       case other =>
         for ((name, t) <- applyMutation(compiler)(other, env, txStack)) {
@@ -195,9 +196,34 @@ final class Engine(
     }
     stmts.exists {
       case WithStmt(_, body, _) => inTable(body)
-      case ExportStmt(body, _, _) => inTable(body)
+      case ExportStmt(body, _, _, _) => inTable(body)
       case InsertStmt(_, body, _) => inTable(body)
       case _ => false
     }
+  }
+}
+
+object Engine {
+  /** Evaluate an EXPORT's static WITH-option literals (parser guarantees
+    * literal shape; mirrors Compiler.compileApply's conversion).
+    */
+  private[dtl] def optValues(location: String,
+      options: List[(String, Ast.Expr)]): Map[String, Any] = {
+    val opts = mutable.LinkedHashMap.empty[String, Any]
+    for ((name, lit) <- options) {
+      if (opts.contains(name))
+        throw DtlError(s"EXPORT '$location': duplicate option '$name'",
+          lit.pos.line, lit.pos.col)
+      opts(name) = lit match {
+        case IntLit(v, _) => java.lang.Long.valueOf(v)
+        case FloatLit(v, _) => java.lang.Double.valueOf(v)
+        case StringLit(v, _) => v
+        case BoolLit(v, _) => java.lang.Boolean.valueOf(v)
+        case other => throw DtlError(
+          s"EXPORT '$location': option '$name' must be a literal",
+          other.pos.line, other.pos.col)
+      }
+    }
+    opts.toMap
   }
 }

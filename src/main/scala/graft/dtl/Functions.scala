@@ -166,8 +166,20 @@ object FunctionRegistry {
       TypedCol(least(args(0).col, args(1).col), args(0).dtype)
     },
     // explicit conversions — the escape hatch strict no-coercion typing needs
-    numeric1("to_int32")(a => TypedCol(a.col.cast("int"), TInt32)),
-    numeric1("to_int64")(a => TypedCol(a.col.cast("bigint"), TInt64)),
+    // explicit narrowing/parsing conversions: numeric casts, and TEXT
+    // parses under ANSI semantics (malformed input fails loudly, like A8
+    // arithmetic — use where keys round-trip through string formats such
+    // as WebDataset member names)
+    arity("to_int32", 1) { (args, pos) =>
+      if (!isNumeric(args.head.dtype) && args.head.dtype != TText)
+        fail(pos, "to_int32 expects a numeric or TEXT argument")
+      TypedCol(args.head.col.cast("int"), TInt32)
+    },
+    arity("to_int64", 1) { (args, pos) =>
+      if (!isNumeric(args.head.dtype) && args.head.dtype != TText)
+        fail(pos, "to_int64 expects a numeric or TEXT argument")
+      TypedCol(args.head.col.cast("bigint"), TInt64)
+    },
     numeric1("to_double")(a => TypedCol(a.col.cast("double"), TDouble)),
     arity("to_text", 1) { (args, pos) =>
       if (args.head.dtype.isInstanceOf[TExt]) fail(pos, "to_text is not defined for extension types")
@@ -279,6 +291,8 @@ object FunctionRegistry {
     bytes1("image_height", TInt32)(b =>
       graft.functions.ImageMeta.imageMeta(b).getField("height")),
     bytes1("byte_length", TInt32)(length),
+    // hex digest for round-trip/content-address checks (DuckDB: md5())
+    bytes1("md5_hex", TText)(org.apache.spark.sql.functions.md5),
     // TEXT → BYTES (UTF-8), the explicit-conversion escape hatch for BYTES
     text1("to_bytes", TBytes)(_.cast("binary")),
     // zlib-ratio repetitiveness signal (spec-gated — no SQL deflate twin)

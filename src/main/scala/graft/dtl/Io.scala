@@ -14,6 +14,15 @@ trait Importer {
 
 trait Exporter {
   def exportTable(name: String, df: DataFrame): Unit
+  /** `EXPORT … WITH (…)` form. Exporters supporting writer options
+    * override this; the default rejects any option loudly rather than
+    * silently ignoring a writer directive.
+    */
+  def exportTable(name: String, df: DataFrame, opts: Map[String, Any]): Unit =
+    if (opts.isEmpty) exportTable(name, df)
+    else throw DtlError(
+      s"EXPORT '$name': this exporter accepts no WITH options " +
+        s"(got ${opts.keys.toSeq.sorted.mkString(", ")})")
 }
 
 /** Parquet by default (reference parity: `<dir>/<name>.parquet`, io.py:41);
@@ -78,6 +87,71 @@ private[dtl] object Io {
 
 final class FilesystemExporter(outputDir: String) extends Exporter {
   private val seen = mutable.Set.empty[String]
+
+  /** WITH-options form: only the `.tar` WebDataset sharder takes options
+    * (key/files/shards/seed); every other format rejects them loudly.
+    */
+  override def exportTable(name: String, df: DataFrame,
+      opts: Map[String, Any]): Unit =
+    if (Io.extensionOf(name).contains("tar")) exportTar(name, df, opts)
+    else if (opts.isEmpty) exportTable(name, df)
+    else throw DtlError(
+      s"EXPORT '$name': WITH options are only supported for '.tar' " +
+        s"WebDataset shards (got ${opts.keys.toSeq.sorted.mkString(", ")})")
+
+  /** `EXPORT t TO 'shards.tar' WITH (key = 'id', files = 'txt:text', …)` —
+    * writes `<outputDir>/<name>/shard-NNNNNN.tar` in WebDataset layout via
+    * [[graft.ops.WebDataset.writeShards]] (deterministic bytes, one shard
+    * per task, nothing collects), the directory `IMPORT '<name>'` reads
+    * back. `files` lists members per sample as comma-separated
+    * `ext:column` pairs (bare `column` uses the column name as the
+    * extension); `shards` (default 1) and `seed` (default "dtl") control
+    * the shard count and the deterministic shuffle order.
+    */
+  private def exportTar(name: String, df: DataFrame,
+      opts: Map[String, Any]): Unit = {
+    if (!seen.add(name)) throw DtlError(s"duplicate export: '$name'")
+    val accepted = Set("key", "files", "shards", "seed")
+    val unknown = opts.keySet -- accepted
+    if (unknown.nonEmpty) throw DtlError(
+      s"EXPORT '$name': unknown option(s) ${unknown.toSeq.sorted.mkString(", ")}" +
+        s" — accepted: ${accepted.toSeq.sorted.mkString(", ")}")
+    def strOpt(k: String): Option[String] = opts.get(k).map {
+      case s: String => s
+      case other => throw DtlError(s"EXPORT '$name': option '$k' expects a string literal, got '$other'")
+    }
+    val key = strOpt("key").getOrElse(
+      throw DtlError(s"EXPORT '$name': '.tar' export requires WITH (key = '<column>', files = '<ext:column>, …')"))
+    val filesSpec = strOpt("files").getOrElse(
+      throw DtlError(s"EXPORT '$name': '.tar' export requires option 'files' (comma-separated ext:column)"))
+    val nShards = opts.get("shards") match {
+      case Some(l: java.lang.Long) if l > 0 && l <= 1000000 => l.intValue
+      case Some(other) => throw DtlError(
+        s"EXPORT '$name': option 'shards' expects a positive integer, got '$other'")
+      case None => 1
+    }
+    val seed = strOpt("seed").getOrElse("dtl")
+    val files = filesSpec.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      .map { spec =>
+        val (ext, colName) = spec.split(':') match {
+          case Array(e, c) => (e.trim, c.trim)
+          case Array(c) => (c.trim, c.trim)
+          case _ => throw DtlError(
+            s"EXPORT '$name': bad files entry '$spec' (want ext:column or column)")
+        }
+        if (!df.columns.contains(colName)) throw DtlError(
+          s"EXPORT '$name': files column '$colName' not in table " +
+            s"(${df.columns.mkString(", ")})")
+        ext -> org.apache.spark.sql.functions.col(colName)
+      }
+    if (files.isEmpty) throw DtlError(s"EXPORT '$name': 'files' lists no members")
+    if (!df.columns.contains(key)) throw DtlError(
+      s"EXPORT '$name': key column '$key' not in table (${df.columns.mkString(", ")})")
+    graft.ops.WebDataset.writeShards(df,
+      org.apache.spark.sql.functions.col(key), files, seed, nShards,
+      s"$outputDir/$name")
+  }
+
   def exportTable(name: String, df: DataFrame): Unit = {
     if (!seen.add(name)) throw DtlError(s"duplicate export: '$name'")
     Io.extensionOf(name) match {
@@ -112,11 +186,13 @@ final class FilesystemExporter(outputDir: String) extends Exporter {
             lit("\r\nContent-Length: "), octet_length(col("text")).cast("string"),
             lit("\r\n\r\n"), col("text"), lit("\r\n")).as("value"))
           .write.mode("overwrite").text(s"$outputDir/$name")
-      // import-only formats: falling through to the parquet default would
-      // silently write '<name>.tar.parquet' — reject loudly instead
+      // WebDataset shards need key/ext member framing, which only the
+      // WITH-options form provides; falling through to the parquet default
+      // would silently write '<name>.tar.parquet' — reject loudly instead
       case Some("tar") => throw DtlError(
-        "EXPORT to '.tar' is not supported: WebDataset shards need key/ext " +
-          "member framing — use graft.ops.WebDataset.writeShards ('.tar' is import-only)")
+        "EXPORT to '.tar' needs writer options: " +
+          "EXPORT t TO 'shards.tar' WITH (key = '<column>', files = '<ext:column>, …' " +
+          "[, shards = N, seed = '…'])")
       case Some("warc") => throw DtlError(
         "EXPORT to '.warc' is not supported ('.warc' is import-only); " +
           "EXPORT to '.wet' writes conversion records from (url, date, text)")

@@ -81,8 +81,9 @@ final class Parser(tokens: Vector[Token]) {
       val body = parseTableExpr()
       eatKw("TO")
       val loc = eatString()
+      val opts = parseWithOptions()
       eatPunct(";")
-      ExportStmt(body, loc, p)
+      ExportStmt(body, loc, opts, p)
     } else if (isKw("UPDATE")) {
       // UPDATE name SET col = expr {, col = expr} [WHERE pred];
       advance()
@@ -190,6 +191,14 @@ final class Parser(tokens: Vector[Token]) {
       advance()
       srcs += parsePrimaryTableExpr()
     }
+    val opts = parseWithOptions()
+    withEnd(ApplyExpr(opName, srcs.result(), opts, p))
+  }
+
+  /** Optional `WITH (name = literal {, ...})` clause (APPLY ops, EXPORT
+    * writer options). Empty when the clause is absent.
+    */
+  private def parseWithOptions(): List[(String, Expr)] = {
     val opts = List.newBuilder[(String, Expr)]
     if (isKw("WITH")) {
       advance(); eatPunct("(")
@@ -201,7 +210,7 @@ final class Parser(tokens: Vector[Token]) {
       while (isPunct(",")) { advance(); one() }
       eatPunct(")")
     }
-    withEnd(ApplyExpr(opName, srcs.result(), opts.result(), p))
+    opts.result()
   }
 
   private def parseOptLiteral(): Expr = {

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.dtl.{Engine, FilesystemImporter, InMemoryExporter}
+import graft.dtl.{Engine, FilesystemExporter, FilesystemImporter, InMemoryExporter}
 
 /** DTL-language queries run through the full engine pipeline
   * (lex → parse → analyze → compile → Spark) against the testdata, each with
@@ -394,6 +394,68 @@ object DtlQueries {
         |WITH output AS SELECT o_custkey, n_big FROM per_cust WHERE n_big >= 2;
         |EXPORT output TO 'output';""".stripMargin)),
 
+    // the graph half of the table-op registry in-language: build the part
+    // co-occurrence edges relationally, then APPLY 'triangles' — same graph
+    // and output shape as pipe_triangles, so its oracle replays verbatim
+    "dtl_graph" -> ((s, d) => run(s, d,
+      """WITH li AS IMPORT 'lineitem';
+        |WITH e AS
+        |  SELECT x.l_partkey AS src, y.l_partkey AS dst
+        |  FROM li AS x JOIN li AS y ON x.l_orderkey = y.l_orderkey
+        |  WHERE x.l_partkey < y.l_partkey;
+        |WITH output AS APPLY 'triangles' TO e WITH (src = 'src', dst = 'dst');
+        |EXPORT output TO 'output';""".stripMargin)),
+
+    // the corpus-report table op from a script — the data-card query a
+    // curation pipeline ends with; mirrors pipe_corpus_report's oracle
+    "dtl_report" -> ((s, d) => run(s, d,
+      """WITH docs AS IMPORT 'documents';
+        |WITH output AS APPLY 'corpus_report' TO docs
+        |  WITH (slice = 'source', text = 'text');
+        |EXPORT output TO 'output';""".stripMargin)),
+
+    // retrieval from a script: BM25 top-10 per query via the 2-input
+    // APPLY — queries arrive as a normal imported table (here an in-memory
+    // importer serving the pipe_bm25 fixture under the name 'queries')
+    "dtl_bm25" -> ((s, d) => {
+      val exporter = new InMemoryExporter
+      val fs = new FilesystemImporter(s, d)
+      val qdf = s.createDataFrame(SearchQueries.bm25Queries).toDF("query_id", "qtext")
+      val importer = new graft.dtl.Importer {
+        def importTable(name: String) =
+          if (name == "queries") qdf else fs.importTable(name)
+      }
+      new Engine(s).run(
+        """WITH docs AS IMPORT 'documents';
+          |WITH q AS IMPORT 'queries';
+          |WITH output AS APPLY 'bm25_topk' TO docs, q WITH (top_k = 10);
+          |EXPORT output TO 'output';""".stripMargin, importer, exporter)
+      exporter.results("output")
+    }),
+
+    // WebDataset round trip IN-LANGUAGE: EXPORT ... TO 'shards.tar' WITH
+    // (key/files/shards/seed) writes canonical ustar shards through
+    // WebDataset.writeShards; a second script imports them back and
+    // fingerprints every member — the oracle rebuilds byte lengths and
+    // md5s straight from the table, so the whole write->read path must be
+    // byte-transparent to pass
+    "dtl_webdataset" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("dtl_wds").toString
+      new Engine(s).run(
+        """WITH docs AS IMPORT 'documents';
+          |WITH sample AS SELECT doc_id, text FROM docs;
+          |EXPORT sample TO 'shards.tar'
+          |  WITH (key = 'doc_id', files = 'txt:text', shards = 4, seed = 'wd');""".stripMargin,
+        new FilesystemImporter(s, d), new FilesystemExporter(dir))
+      run(s, dir,
+        """WITH m AS IMPORT 'shards.tar';
+          |WITH output AS
+          |  SELECT to_int64(key) AS doc_id, ext,
+          |         byte_length(data) AS n_bytes, md5_hex(data) AS fp
+          |  FROM m;
+          |EXPORT output TO 'output';""".stripMargin)
+    }),
+
     // the whole dedup pipeline IN-LANGUAGE via table-valued APPLY ops:
     // import -> MinHash/LSH candidate pairs -> connected components ->
     // relational post-processing (cluster sizes) -> export. This is the
@@ -516,6 +578,20 @@ object DtlQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // the APPLY wrappers run the SAME ops on the SAME inputs as their
+    // pipe_* twins, so those oracles replay verbatim
+    "dtl_graph" -> SearchQueries.oracle("pipe_triangles"),
+    "dtl_report" -> CurationQueries.oracle("pipe_corpus_report"),
+    "dtl_bm25" -> SearchQueries.oracle("pipe_bm25"),
+
+    // member bytes and digests straight from the source table: the tar
+    // write->read chain must be byte-transparent (and UTF-8 exact)
+    "dtl_webdataset" ->
+      """SELECT doc_id, 'txt' AS ext,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  md5(text) AS fp
+        |FROM documents""".stripMargin,
+
     // compose the shared GenEval oracle CTE chains over the +1 pairing
     "dtl_gen_eval" -> {
       val pairSql = "SELECT a.doc_id AS doc_id, 'x' AS source, " +

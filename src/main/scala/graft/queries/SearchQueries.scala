@@ -16,7 +16,7 @@ object SearchQueries {
     * spread of document frequencies (including a repeated term, which the
     * set-semantics contract must count once).
     */
-  private val bm25Queries = Seq(
+  private[queries] val bm25Queries = Seq(
     (0L, "spark join window"),
     (1L, "filter sort merge sort"),
     (2L, "vector scan batch"))

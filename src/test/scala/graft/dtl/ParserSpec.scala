@@ -10,7 +10,7 @@ class ParserSpec extends AnyFunSuite {
   private val z = Pos(0, 0)
   private def strip(s: Statement): Statement = s match {
     case WithStmt(n, b, _) => WithStmt(n, stripT(b), z)
-    case ExportStmt(b, l, _) => ExportStmt(stripT(b), l, z)
+    case ExportStmt(b, l, o, _) => ExportStmt(stripT(b), l, o, z)
   }
   private def stripT(t: TableExpr): TableExpr = t match {
     case ImportExpr(l, _) => ImportExpr(l, z)

@@ -161,15 +161,44 @@ class WebDatasetSpec extends AnyFunSuite {
     assert(rows(1)._4.toSeq == Seq[Byte](1, 2))
   }
 
-  test("EXPORT to '.tar' and '.warc' are rejected loudly (import-only)") {
+  test("EXPORT to '.tar' without options and to '.warc' are rejected loudly") {
     val dir = java.nio.file.Files.createTempDirectory("wds_exp").toString
     val exporter = new graft.dtl.FilesystemExporter(dir)
     val df = sampleDf.select(col("id"), col("txt"))
+    // '.tar' is writable ONLY through the WITH-options form (key/files)
     val e1 = intercept[graft.dtl.DtlError](exporter.exportTable("out.tar", df))
-    assert(e1.getMessage.contains("writeShards"))
+    assert(e1.getMessage.contains("WITH (key ="))
     val e2 = intercept[graft.dtl.DtlError](exporter.exportTable("out.warc", df))
     assert(e2.getMessage.contains("import-only"))
     // nothing got written under the rejected names
     assert(!new java.io.File(s"$dir/out.tar.parquet").exists())
+  }
+
+  test("EXPORT WITH options: tar validation is loud; other formats take none") {
+    val dir = java.nio.file.Files.createTempDirectory("wds_expopt").toString
+    val exporter = new graft.dtl.FilesystemExporter(dir)
+    val df = sampleDf.select(col("id"), col("txt"))
+    def tarErr(opts: Map[String, Any]): String =
+      intercept[graft.dtl.DtlError](
+        exporter.exportTable(s"t${opts.hashCode}.tar", df, opts)).getMessage
+    assert(tarErr(Map("files" -> "txt")).contains("requires WITH (key ="))
+    assert(tarErr(Map("key" -> "id")).contains("'files'"))
+    assert(tarErr(Map("key" -> "id", "files" -> "txt", "band" -> 3L))
+      .contains("unknown option(s) band"))
+    assert(tarErr(Map("key" -> "id", "files" -> "txt:nope"))
+      .contains("column 'nope' not in table"))
+    assert(tarErr(Map("key" -> "id", "files" -> "txt", "shards" -> 0L))
+      .contains("positive integer"))
+    // non-tar formats reject any writer option instead of ignoring it
+    val e = intercept[graft.dtl.DtlError](
+      exporter.exportTable("p.parquet", df, Map("key" -> "id")))
+    assert(e.getMessage.contains("only supported for '.tar'"))
+
+    // happy path: bare column name doubles as the extension; one shard
+    exporter.exportTable("ok.tar", df.select(col("id"), col("txt").cast("binary").as("txt")),
+      Map("key" -> "id", "files" -> "txt"))
+    val rows = WebDataset.readShards(TestSpark.spark, s"$dir/ok.tar/shard-*.tar")
+    assert(rows.count() == df.count())
+    assert(rows.select("ext").distinct().collect().map(_.getString(0)).toSeq == Seq("txt"))
   }
 }
