@@ -46,6 +46,35 @@ class CoreQueriesSpec extends AnyFunSuite {
     test(s"$name executes at sf0.001") {
       val df = SparkEntry.queries(name)(spark, sf)
       assert(df.columns.distinct.length == df.columns.length, "duplicate column names")
+      // scale hygiene, swept over EVERY gate: a Window with no partition
+      // spec moves its whole input to one partition (the WindowExec
+      // warning), so no product operator may plan one over CORPUS-SIZED
+      // input. Top-k global windows belong in TakeOrderedAndProject
+      // (ORDER BY + LIMIT), segmented scans in SegmentedRuns, global
+      // positions in the two-phase bucket histogram. The exhaustively
+      // enumerated exceptions are the BOUNDED-FRAME windows those designs
+      // themselves plan — offset prefix-sums over the bucket histogram
+      // (≤ nBuckets ≈ 1024 rows: globalShuffle and everything composed on
+      // it) and vocab id assignment over the distinct-token table (≤ the
+      // fixed merge-table vocabulary) — and even for those the window's
+      // subtree must contain the Aggregate that collapsed the corpus away.
+      val boundedFrameGates = Set(
+        "pipe_global_shuffle", "pipe_token_windows", "pipe_training_prep",
+        "pipe_curriculum", // log-linear histogram buckets (≤ ~64·2^p)
+        "pipe_bpe_vocab", "pipe_token_ids") // vocab rows ≤ merge table size
+      val globalWindows = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      if (!boundedFrameGates(name)) {
+        if (globalWindows.nonEmpty)
+          fail(s"$name plans a single-partition global Window: ${globalWindows.head}")
+      } else globalWindows.foreach { w =>
+        assert(w.child.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate]),
+          s"$name: exempted global Window no longer sits on a collapsed " +
+            s"(aggregated) frame — the bounded-frame contract broke: $w")
+      }
       assert(df.count() >= 0)
     }
   }
