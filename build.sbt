@@ -44,4 +44,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
     }
     if (phys >= 64L * 1024 * 1024 * 1024) "32g" else "8g"
   })}",
+  // fault the whole heap in at JVM start instead of lazily mid-query: on
+  // virtualized hosts, first-touch page faults against a fragmented/THP-
+  // compacting host land INSIDE GC evacuation pauses (observed: a 123 s
+  // young pause with 4 GB live on an idle 128 GiB box) and poison timings
+  "-XX:+AlwaysPreTouch",
 ) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

@@ -5,8 +5,10 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: times the headline queries on SPARK_GRAFT_SF_DIR and emits
-  * one JSON line {"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...}.
+/** Benchmark main: times EVERY registered gate query on SPARK_GRAFT_SF_DIR
+  * (the headline set with a multi-run spread, the cheap tail with a single
+  * timed run) and emits one JSON line
+  * {"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...}.
   *
   * The line is (a) printed as the FINAL stdout line (build.sbt sets
   * `run / outputStrategy := StdoutOutput` so the forked JVM's stdout passes
@@ -20,7 +22,32 @@ import org.apache.spark.sql.SparkSession
   * on unchanged code — and per-query min/max spread is reported alongside.
   */
 object Bench {
+  // jHiccup-style host-freeze meter: a daemon thread naps 50 ms in a loop;
+  // any oversleep beyond 1 s is time the whole VM was frozen (observed on
+  // the round-7 box: 55-223 s stalls — the GC log shows a 123 s "young
+  // pause" with 4 GB live on an idle 128 GiB host, i.e. the hypervisor
+  // descheduled the guest, not a workload pause; this workload's genuine
+  // young GCs run 6-45 ms). An iteration that ate such a stall measures
+  // the host, not the query — it is discarded and rerun (bounded below),
+  // and the total observed stall is disclosed in the output line.
+  private val stallNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def startStallMeter(): Unit = {
+    val t = new Thread(() => {
+      while (true) {
+        val t0 = System.nanoTime()
+        Thread.sleep(50)
+        val over = System.nanoTime() - t0 - 50L * 1000 * 1000
+        // 500 ms floor: far above CFS wakeup jitter under a fully loaded
+        // 32-thread box, far below the observed multi-second host freezes
+        if (over > 500L * 1000 * 1000) stallNanos.addAndGet(over)
+      }
+    }, "host-stall-meter")
+    t.setDaemon(true)
+    t.start()
+  }
+
   def main(args: Array[String]): Unit = {
+    startStallMeter()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors).toString)
@@ -55,23 +82,47 @@ object Bench {
     // the driver never sets it, so round benches always cover the full list
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val names = SparkEntry.headline.filter(SparkEntry.queries.contains)
-      .filter(n => only.forall(_.contains(n)))
+    val headline = SparkEntry.headline.filter(SparkEntry.queries.contains)
+    // Every registered gate gets a timing signal: the headline set keeps its
+    // `iters`-run spread; the remaining (cheap) gates get `tailIters` runs
+    // (default 1 — enough to catch a regression into the >1 s tail, which
+    // then earns promotion into the headline set). Before round 7, 126 of
+    // the 213 gates were never timed at sf0.1 — a perf regression there was
+    // invisible until a driver timeout.
+    val tailIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_TAIL_ITERS", "1").toInt
+    val tail = SparkEntry.queries.keys.toSeq.sorted.filterNot(headline.toSet)
+    val names = (headline.map((_, iters)) ++ tail.map((_, tailIters)))
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // JVM/codegen warmup on the smallest SF so measured times are steady-state
-    names.foreach(exec(_, "/root/testdata/sf0.001"))
+    names.foreach { case (n, _) => exec(n, "/root/testdata/sf0.001") }
     // median of `iters` successful runs; a failed run must not contribute its
     // (fast) failure duration. A query with no successful run reports -1.
-    val results = names.map { name =>
+    val results = names.map { case (name, nIters) =>
       // one untimed warmup at the TARGET SF: the sf0.001 pass warms JIT and
       // codegen but not the target-scale path (page cache for the bigger
       // parquet, AQE's at-scale plan choices, scaled hash tables) — per-
       // iteration traces showed the max was ALWAYS iteration 1 by 1.5-2x,
       // i.e. warm-in, not steady-state variance
       exec(name, sfDir)
-      val raw = (1 to iters).flatMap { _ =>
+      // an iteration overlapping a detected host freeze (> max(1 s, 20% of
+      // its own duration) of meter-observed stall) is discarded and rerun;
+      // at the attempt cap contaminated runs are kept rather than dropped,
+      // so a genuinely-GC-bound query can never filter itself fast
+      val raw = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var attempts = 0
+      val maxAttempts = nIters * 2 + 1
+      while (raw.size < nIters && attempts < maxAttempts) {
+        attempts += 1
+        val s0 = stallNanos.get()
         val t0 = System.nanoTime()
         val ok = exec(name, sfDir)
-        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+        val dur = (System.nanoTime() - t0) / 1e9
+        val stall = (stallNanos.get() - s0) / 1e9
+        val contaminated = stall > math.max(1.0, dur * 0.2)
+        if (ok && (!contaminated || maxAttempts - attempts < nIters - raw.size))
+          raw += dur
+        else if (ok) System.err.println(
+          f"[bench] $name: discarded $dur%.2f s iteration ($stall%.2f s host stall), rerunning")
       }
       // iteration order on stderr: variance diagnosis needs to see WHICH
       // run was slow (a cold first iteration vs a genuine mid-run outlier)
@@ -91,8 +142,9 @@ object Bench {
       else "\"" + k + f"""\":{"min":${ts.min}%.3f,"max":${ts.max}%.3f,"n":${ts.size}}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val hostStall = stallNanos.get() / 1e9
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"iters":$iters,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"iters":$iters,"host_stall_sec":$hostStall%.1f,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.write(Paths.get(outPath), (line + "\n").getBytes(StandardCharsets.UTF_8))
     spark.stop()

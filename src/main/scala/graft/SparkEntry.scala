@@ -77,5 +77,16 @@ object SparkEntry {
     // round 6: ROUGE-L (now oracled), the in-language APPLY dedup pipeline
     // (measures the DTL/table-op layer's overhead over the raw ops), and
     // the JDBC round trip
-    "pipe_rouge_l", "dtl_dedup_pipeline", "dtl_jdbc")
+    "pipe_rouge_l", "dtl_dedup_pipeline", "dtl_jdbc",
+    // round 7: the first FULL-surface bench (every registered gate now gets
+    // at least one timed run) surfaced these as the >1 s tail — promoted so
+    // they get a multi-run median spread every round instead of one sample
+    "dtl_graph", "dtl_trained_funcs", "pipe_pagerank_weighted",
+    "dtl_gen_eval", "pipe_dedup_ngram", "pipe_pagerank_personalized",
+    "pipe_containment", "pipe_cluster_balance", "pipe_dedup_soft",
+    "dtl_setops", "pipe_dsir", "pipe_embed_neardup", "pipe_dedup_keep_best",
+    "dtl_webdataset", "pipe_dedup_lines", "pipe_token_ids", "dtl_sketch",
+    "pipe_d4_prune", "pipe_retrieval_eval", "dtl_consecutive",
+    "dtl_normalize", "q23_percentiles", "pipe_dedup_simhash",
+    "pipe_contrastive_triples", "dtl_text_pipeline", "pipe_ngram_novelty")
 }

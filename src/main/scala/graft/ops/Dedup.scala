@@ -634,6 +634,17 @@ object Dedup {
     */
   private def editDistancePairsPartition(df: DataFrame, id: Column,
       str: Column, maxDist: Int): DataFrame = {
+    val s = df.select(id.as("id"), str.as("s")).filter(col("s").isNotNull)
+    verifyEditDistance(
+      editDistanceCandidatesPartition(df, id, str, maxDist), s, maxDist)
+  }
+
+  /** Candidate stage of the PassJoin scheme alone (pre-verify, duplicates
+    * retained) — exposed package-wide so ScaleProbe can record the
+    * candidate:verified ratio, the number that certifies "never all-pairs".
+    */
+  private[graft] def editDistanceCandidatesPartition(df: DataFrame, id: Column,
+      str: Column, maxDist: Int): DataFrame = {
     require(maxDist >= 1, s"partition path needs maxDist >= 1, got $maxDist")
     val k = maxDist + 1
     val s = df.select(id.as("id"), str.as("s")).filter(col("s").isNotNull)
@@ -689,7 +700,7 @@ object Dedup {
           abs(length(col("ts")) - slen) <= maxDist)
       .select(least(col("tid"), col("id")).as("id_a"),
         greatest(col("tid"), col("id")).as("id_b"))
-    verifyEditDistance(cands.unionByName(tinyCands), s, maxDist)
+    cands.unionByName(tinyCands)
   }
 
   /** Shared tail of both edit-distance candidate schemes: dedupe, fetch

@@ -803,6 +803,28 @@ object PipelineQueries {
 
   private[queries] val duckShingles = duckShinglesK(3)
 
+  // Near-linear EXACT Jaccard pair CTEs: postings self-join on shared
+  // shingles (cost Σ_g df(g)² over shingle doc-frequencies — near-linear in
+  // postings on natural corpora where most shingles are rare), replacing
+  // the all-pairs `t a JOIN t b` + per-pair list_intersect form that is
+  // quadratic in |documents| and made the sf0.1 oracle audit skip this
+  // family (12.5M list intersections at 5k docs). Any pair with
+  // jaccard ≥ 0.8 shares ≥ 1 shingle, so the postings join loses nothing;
+  // shingle lists are per-doc distinct, so count(*) = |A ∩ B| and
+  // |A ∪ B| = |A| + |B| − c. Yields CTE `jp(id_a, id_b, jac)`.
+  private[queries] val duckJaccardPairCtes =
+    s"""jt AS (SELECT doc_id, $duckShingles AS sh FROM documents WHERE len(string_split_regex(trim(lower(text)),'\\s+')) >= 3),
+       |je AS (SELECT doc_id, unnest(sh) AS g FROM jt),
+       |jsz AS (SELECT doc_id, len(sh) AS n FROM jt),
+       |ji AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+       |      FROM je a JOIN je b ON a.g = b.g AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2),
+       |jp AS (
+       |  SELECT ji.ia AS id_a, ji.ib AS id_b,
+       |         CAST(ji.c AS DOUBLE) / (sa.n + sb.n - ji.c) AS jac
+       |  FROM ji JOIN jsz sa ON sa.doc_id = ji.ia JOIN jsz sb ON sb.doc_id = ji.ib
+       |  WHERE CAST(ji.c AS DOUBLE) / (sa.n + sb.n - ji.c) >= 0.8)""".stripMargin
+
   // DuckDB twin of ZOrder.spread: the 64-bit Morton magic-number chain
   private def duckSpread(e: String): String = {
     val v0 = s"(($e) & 2147483647)"
@@ -866,27 +888,18 @@ object PipelineQueries {
         |FROM documents
         |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')""".stripMargin,
     "pipe_dedup_minhash" ->
-      s"""WITH t AS (SELECT doc_id, $duckShingles AS sh FROM documents WHERE len(string_split_regex(trim(lower(text)),'\\s+')) >= 3)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-         |FROM t a JOIN t b ON a.doc_id < b.doc_id
-         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8""".stripMargin,
+      s"""WITH $duckJaccardPairCtes
+         |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM jp""".stripMargin,
     // full exact pair set restricted to pairs touching the batch — the
     // incremental contract (history-internal pairs belong to the earlier
     // ingest that indexed them)
     "pipe_dedup_lsh_incremental" ->
-      s"""WITH t AS (SELECT doc_id, $duckShingles AS sh FROM documents WHERE len(string_split_regex(trim(lower(text)),'\\s+')) >= 3)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-         |FROM t a JOIN t b ON a.doc_id < b.doc_id
-         |WHERE (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
-         |  AND len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8""".stripMargin,
+      s"""WITH $duckJaccardPairCtes
+         |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM jp
+         |WHERE id_a % 5 = 0 OR id_b % 5 = 0""".stripMargin,
     "pipe_dedup_ngram" ->
-      s"""WITH t AS (SELECT doc_id, $duckShingles AS sh FROM documents WHERE len(string_split_regex(trim(lower(text)),'\\s+')) >= 3)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-         |FROM t a JOIN t b ON a.doc_id < b.doc_id
-         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8""".stripMargin,
+      s"""WITH $duckJaccardPairCtes
+         |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM jp""".stripMargin,
     "pipe_containment" ->
       s"""WITH aug AS (
          |  SELECT doc_id, text FROM documents
@@ -919,21 +932,49 @@ object PipelineQueries {
         |  round(sxx / n.c - ma.mu * mb.mu, 6) + 0.0 AS cov
         |FROM s CROSS JOIN n
         |JOIN m ma ON ma.i = s.i JOIN m mb ON mb.i = s.j""".stripMargin,
+    // near-linear exact formulation (the all-pairs levenshtein form was
+    // quadratic — 12.5M distance computations at 5k docs — and made the
+    // sf0.1 audit skip this gate): position-FREE pigeonhole. If
+    // ed(a,b) <= 5 then, splitting either string into 6 even segments, the
+    // <= 5 edits leave one segment untouched, and an untouched segment
+    // appears VERBATIM (contiguously) in the partner. Candidates therefore
+    // join each string's 6 segments against every partner substring of the
+    // same length (weaker than the engine's position-pinned PassJoin window
+    // but SQL-simple and still complete); levenshtein verifies candidates
+    // only. Strings of length <= 5 have degenerate segments and pair
+    // directly against every length the |Δ| <= 5 filter admits.
     "pipe_edit_join" ->
       """WITH s AS (SELECT doc_id,
         |  list_aggregate(list_slice(string_split_regex(trim(text), '\s+'), 1, 5),
-        |                 'string_agg', ' ') AS h FROM documents)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |       CAST(levenshtein(a.h, b.h) AS INTEGER) AS dist
-        |FROM s a JOIN s b
-        |  ON a.doc_id < b.doc_id AND abs(length(a.h) - length(b.h)) <= 5
+        |                 'string_agg', ' ') AS h FROM documents),
+        |sl AS (SELECT doc_id, h, CAST(length(h) AS INTEGER) AS L FROM s),
+        |seg AS (
+        |  SELECT doc_id, L,
+        |    substring(h,
+        |      CAST(i * (L // 6) + greatest(i - (6 - (L % 6)), 0) + 1 AS INTEGER),
+        |      CAST((L // 6) + (CASE WHEN i >= 6 - (L % 6) THEN 1 ELSE 0 END) AS INTEGER)) AS g
+        |  FROM sl, unnest(generate_series(0, 5)) AS t(i)
+        |  WHERE L >= 6),
+        |lens AS (SELECT DISTINCT CAST(length(g) AS INTEGER) AS gl FROM seg),
+        |sub AS (
+        |  SELECT sl.doc_id, sl.L, substring(sl.h, CAST(p AS INTEGER), lens.gl) AS g
+        |  FROM sl, lens, unnest(generate_series(1, sl.L - lens.gl + 1)) AS t(p)
+        |  WHERE sl.L >= lens.gl),
+        |cand AS (
+        |  SELECT DISTINCT least(seg.doc_id, sub.doc_id) AS id_a,
+        |         greatest(seg.doc_id, sub.doc_id) AS id_b
+        |  FROM seg JOIN sub ON seg.g = sub.g AND seg.doc_id <> sub.doc_id
+        |  WHERE abs(seg.L - sub.L) <= 5
+        |  UNION
+        |  SELECT DISTINCT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id)
+        |  FROM sl a JOIN sl b ON a.doc_id <> b.doc_id
+        |  WHERE a.L <= 5 AND b.L <= 10 AND abs(a.L - b.L) <= 5)
+        |SELECT c.id_a, c.id_b, CAST(levenshtein(a.h, b.h) AS INTEGER) AS dist
+        |FROM cand c JOIN s a ON a.doc_id = c.id_a JOIN s b ON b.doc_id = c.id_b
         |WHERE levenshtein(a.h, b.h) <= 5""".stripMargin,
     "pipe_dedup_clusters" ->
-      s"""WITH RECURSIVE t AS (SELECT doc_id, $duckShingles AS sh FROM documents WHERE len(string_split_regex(trim(lower(text)),'\\s+')) >= 3),
-         |pairs AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-         |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+      s"""WITH RECURSIVE $duckJaccardPairCtes,
+         |pairs AS (SELECT id_a, id_b FROM jp),
          |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
          |          UNION SELECT id_b AS src, id_a AS dst FROM pairs),
          |reach AS (
@@ -958,11 +999,8 @@ object PipelineQueries {
     // clusters CTE as in pipe_dedup_clusters, then 1/size weights with
     // singletons defaulting to 1.0
     "pipe_dedup_soft" ->
-      s"""WITH RECURSIVE t AS (SELECT doc_id, $duckShingles AS sh FROM documents WHERE len(string_split_regex(trim(lower(text)),'\\s+')) >= 3),
-         |pairs AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-         |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+      s"""WITH RECURSIVE $duckJaccardPairCtes,
+         |pairs AS (SELECT id_a, id_b FROM jp),
          |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
          |          UNION SELECT id_b AS src, id_a AS dst FROM pairs),
          |reach AS (
@@ -983,11 +1021,8 @@ object PipelineQueries {
     // (row-level double arithmetic is bit-exact across engines), round only
     // for display — mirrors Dedup.keepBest exactly
     "pipe_dedup_keep_best" ->
-      s"""WITH RECURSIVE t AS (SELECT doc_id, $duckShingles AS sh FROM documents WHERE len(string_split_regex(trim(lower(text)),'\\s+')) >= 3),
-         |pairs AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-         |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+      s"""WITH RECURSIVE $duckJaccardPairCtes,
+         |pairs AS (SELECT id_a, id_b FROM jp),
          |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
          |          UNION SELECT id_b AS src, id_a AS dst FROM pairs),
          |reach AS (

@@ -755,6 +755,54 @@ object ScaleProbe {
       f"candidates $idCands%,d — ratio ${idCands.toDouble / idPairs}%.2f:1 " +
       f"of ${idN * (idN - 1) / 2}%,d possible")
 
+    println(s"== edit-distance join at d=3 (PassJoin partition segments) ==")
+    // the d >= 3 auto path shipped in round 6 on gate-scale evidence only —
+    // this is its at-scale probe. 32-hex strings: k = 4 segments of 8 hex
+    // chars, the SELECTIVE regime (16^8 possible values per positional
+    // key). Every 100th row is a 3-DELETION variant of its successor's
+    // string (code points 5, 13, 21 dropped), so the planted pair's edit
+    // distance is exactly 3 (lengths differ by 3).
+    val pjN = math.min(n / 4, 5_000_000L)
+    val pjHex = md5(col("id").cast("string"))
+    val pjSucc = md5((col("id") + 1).cast("string"))
+    val pjDel3 = concat(substring(pjSucc, 1, 4), substring(pjSucc, 6, 7),
+      substring(pjSucc, 14, 7), substring(pjSucc, 22, 11))
+    val pjDocs = spark.range(pjN).select(col("id"),
+      when(col("id") % 100 === 0, pjDel3).otherwise(pjHex).as("s"))
+    val pjPairs = time(f"editDistancePairs ($pjN%,d 32-hex strings, maxDist=3, partition)") {
+      graft.ops.Dedup.editDistancePairs(pjDocs, col("id"), col("s"),
+        maxDist = 3).count()
+    }
+    val pjCands = time("  candidate stage alone (position-pinned segment join)") {
+      graft.ops.Dedup.editDistanceCandidatesPartition(pjDocs, col("id"),
+        col("s"), maxDist = 3).dropDuplicates("id_a", "id_b").count()
+    }
+    println(f"  verified pairs $pjPairs%,d (planted ${pjN / 100}%,d), " +
+      f"candidates $pjCands%,d — ratio ${pjCands.toDouble / pjPairs}%.2f:1 " +
+      f"of ${pjN * (pjN - 1) / 2}%,d possible")
+    // the segment-HOT boundary the scaladoc warns about (Dedup.scala): d=3
+    // on 13-char "usr-<9 hex>" ids shrinks segments to 3-4 chars over a
+    // 16-char alphabet — ≤ ~16^3 distinct values per positional key, so
+    // keys go hot AND the true pair set is itself dense (random 9-hex
+    // suffixes land within 3 edits at ~4e-6). Reduced n: the candidate
+    // volume is the measurement, not something to survive at 5M.
+    val hotN = math.min(n / 400, 50_000L)
+    val hotDocs = spark.range(hotN).select(col("id"),
+      concat(lit("usr-"),
+        substring(md5(col("id").cast("string")), 1, 9)).as("s"))
+    val hotPairs = time(f"editDistancePairs ($hotN%,d 13-char IDs, maxDist=3 — segment-hot regime)") {
+      graft.ops.Dedup.editDistancePairs(hotDocs, col("id"), col("s"),
+        maxDist = 3).count()
+    }
+    val hotCands = time("  candidate stage alone (hot regime)") {
+      graft.ops.Dedup.editDistanceCandidatesPartition(hotDocs, col("id"),
+        col("s"), maxDist = 3).dropDuplicates("id_a", "id_b").count()
+    }
+    println(f"  verified pairs $hotPairs%,d, candidates $hotCands%,d — " +
+      f"ratio ${hotCands.toDouble / math.max(hotPairs, 1)}%.0f:1 of " +
+      f"${hotN * (hotN - 1) / 2}%,d possible (dense-truth boundary: pick d " +
+      "meaningfully below the string length)")
+
     println(s"== containment join with a hot-token stripe ==")
     // every doc shares the 3 header tokens (one white-hot shingle stripe
     // for the postings side — AQE's skew handling, not the prefix filter,

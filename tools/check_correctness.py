@@ -9,7 +9,7 @@ sorts columns by name and rows by all values, and compares. Optional trailing
 names restrict the run to those queries — for spot-checking new oracles at
 sf0.1, where the quadratic DuckDB dedup references are too slow wholesale.
 """
-import json, sys, glob, math
+import json, sys, glob, math, time
 import duckdb
 import pyarrow.parquet as pq
 
@@ -50,12 +50,14 @@ def main():
         oracle = {n: oracle[n] for n in only}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        t0 = time.time()
         try:
             want = con.sql(sql).df()
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}")
             n_fail += 1
             continue
+        oracle_s = time.time() - t0
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
@@ -76,7 +78,9 @@ def main():
             print(f"FAIL {name}: {msg}")
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(gr)} rows)")
+            # oracle wall time surfaces quadratic DuckDB formulations before
+            # they make a larger-SF audit impractical
+            print(f"PASS {name} ({len(gr)} rows, oracle {oracle_s:.1f}s)")
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
