@@ -1110,21 +1110,20 @@ object CurationQueries {
 
     // exact-Jaccard pair set (LSH at 16x4 bands has full recall at 0.8 on
     // the gate corpus, same contract as pipe_dedup_minhash) + the md5
-    // split replay on both endpoints + the cross-boundary filter
+    // split replay on both endpoints + the cross-boundary filter; pairs
+    // come from the shared near-linear postings CTEs (the all-pairs
+    // list_intersect original took >120 s at sf0.1 and kept this gate out
+    // of the full-surface oracle audit)
     "pipe_split_leakage" ->
-      s"""WITH t AS (SELECT doc_id, ${duckShingles(3)} AS sh FROM documents
-         |           WHERE len(string_split_regex(trim(lower(text)),'\\s+')) >= 3),
+      s"""WITH ${PipelineQueries.duckJaccardPairCtes},
          |sp AS (SELECT doc_id,
          |  CASE WHEN $duckHash < CAST(floor(0.2 * 4294967296.0) AS BIGINT) THEN 'test'
          |       WHEN $duckHash < CAST(floor(0.4 * 4294967296.0) AS BIGINT) THEN 'valid'
          |       ELSE 'train' END AS split
-         |  FROM documents),
-         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-         |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8)
-         |SELECT id_a, id_b, jaccard, sa.split AS split_a, sb.split AS split_b
-         |FROM p JOIN sp sa ON sa.doc_id = p.id_a JOIN sp sb ON sb.doc_id = p.id_b
+         |  FROM documents)
+         |SELECT id_a, id_b, round(jac, 6) AS jaccard,
+         |       sa.split AS split_a, sb.split AS split_b
+         |FROM jp JOIN sp sa ON sa.doc_id = jp.id_a JOIN sp sb ON sb.doc_id = jp.id_b
          |WHERE sa.split <> sb.split""".stripMargin,
 
     "pipe_split" ->

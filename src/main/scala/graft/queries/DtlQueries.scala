@@ -908,15 +908,13 @@ object DtlQueries {
 
     // pairs (exact Jaccard >= 0.8 over 3-gram shingles, the minhash_pairs
     // verify contract) -> min-label connected components -> cluster sizes —
-    // the same reach CTE as pipe_dedup_clusters plus the size join
+    // the same reach CTE as pipe_dedup_clusters plus the size join; pair
+    // generation is the shared near-linear postings form (the all-pairs
+    // list_intersect original took >120 s at sf0.1 and kept this gate out
+    // of the full-surface oracle audit)
     "dtl_dedup_pipeline" ->
-      s"""WITH RECURSIVE t AS (
-         |  SELECT doc_id, ${PipelineQueries.duckShingles} AS sh FROM documents
-         |  WHERE len(string_split_regex(trim(lower(text)),'\\s+')) >= 3),
-         |pairs AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-         |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+      s"""WITH RECURSIVE ${PipelineQueries.duckJaccardPairCtes},
+         |pairs AS (SELECT id_a, id_b FROM jp),
          |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
          |          UNION SELECT id_b AS src, id_a AS dst FROM pairs),
          |reach AS (

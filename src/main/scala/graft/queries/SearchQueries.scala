@@ -329,9 +329,12 @@ object SearchQueries {
   // one PageRank power iteration in DuckDB: inflow = sum of rank/outdeg
   // over in-edges, dangling mass redistributed uniformly; literals written
   // as the SAME arithmetic the Scala side evaluates ((1.0 - 0.85), not
-  // 0.15) so both engines round identical doubles
+  // 0.15) so both engines round identical doubles. MATERIALIZED: each
+  // round reads its predecessor twice (dangling-mass scalar + inflow
+  // join); inlined, a 5-round chain re-expands 2^5-fold over the
+  // lineitem⋈orders edge build (881 s at sf0.1; 7.7 s materialized)
   private def duckPrRound(prev: String, cur: String): String =
-    s"""$cur AS (
+    s"""$cur AS MATERIALIZED (
        |  SELECT d.node_id,
        |    (1.0 - 0.85) / nn.n + 0.85 * (coalesce(inf.s, 0) +
        |      (SELECT coalesce(sum(r.rank), 0) FROM $prev r
@@ -351,9 +354,10 @@ object SearchQueries {
 
   // one personalized power iteration: identical shape, with the uniform
   // 1/n teleport replaced by the per-node seed vector sv (dangling mass
-  // also returns to the seeds)
+  // also returns to the seeds); MATERIALIZED for the same double-reference
+  // reason as duckPrRound
   private def duckPprRound(prev: String, cur: String): String =
-    s"""$cur AS (
+    s"""$cur AS MATERIALIZED (
        |  SELECT d.node_id, d.sv,
        |    (1.0 - 0.85) * d.sv + 0.85 * (coalesce(inf.s, 0) +
        |      (SELECT coalesce(sum(r.rank), 0) FROM $prev r
