@@ -88,16 +88,105 @@ private[dtl] object Io {
 final class FilesystemExporter(outputDir: String) extends Exporter {
   private val seen = mutable.Set.empty[String]
 
-  /** WITH-options form: only the `.tar` WebDataset sharder takes options
-    * (key/files/shards/seed); every other format rejects them loudly.
+  /** WITH-options form. `.tar` takes the WebDataset sharder's options
+    * (key/files/shards/seed); the columnar/record formats (parquet — the
+    * default — plus csv/tsv/json/jsonl/orc) take LAYOUT options, the
+    * data-skipping levers a 100 TB table needs at write time:
+    *
+    *  - `partition_by = 'col[, col…]'` — Hive-style directory layout
+    *    (`col=value/` subdirectories). A filter on the partition column at
+    *    read time prunes whole directories before any file opens; the
+    *    frame is pre-repartitioned on the partition columns so each value
+    *    is written by the tasks that own it (one file per value per owning
+    *    task, NOT #tasks × #values small files — the classic partitioned-
+    *    write trap at scale).
+    *  - `sort_by = 'col[, col…]'` — clusters files on the sort key. With
+    *    no `partition_by` the frame is range-repartitioned on the key, so
+    *    FILES are disjoint key ranges and parquet/ORC row-group min/max
+    *    stats (and any engine's file-level stats) skip everything outside
+    *    a queried range; with `partition_by` rows are sorted within each
+    *    partition directory.
+    *  - `max_records_per_file = N` — caps file size so a hot partition
+    *    value cannot produce one multi-GB file (Spark's
+    *    `maxRecordsPerFile` writer option).
+    *  - `compression = 'zstd'|'snappy'|'gzip'|…` — passed to the writer.
+    *
+    * Unknown options and txt/wet targets (line-framed formats, no layout
+    * semantics) are rejected loudly rather than silently ignored.
     */
   override def exportTable(name: String, df: DataFrame,
       opts: Map[String, Any]): Unit =
     if (Io.extensionOf(name).contains("tar")) exportTar(name, df, opts)
     else if (opts.isEmpty) exportTable(name, df)
-    else throw DtlError(
-      s"EXPORT '$name': WITH options are only supported for '.tar' " +
-        s"WebDataset shards (got ${opts.keys.toSeq.sorted.mkString(", ")})")
+    else exportWithLayout(name, df, opts)
+
+  private def exportWithLayout(name: String, df: DataFrame,
+      opts: Map[String, Any]): Unit = {
+    val ext = Io.extensionOf(name)
+    val layoutFormats = Set("csv", "tsv", "json", "jsonl", "orc", "parquet")
+    if (ext.exists(e => !layoutFormats.contains(e))) throw DtlError(
+      s"EXPORT '$name': WITH layout options are supported for " +
+        s"${layoutFormats.toSeq.sorted.mkString("/")} exports, not '.${ext.get}' " +
+        s"(got ${opts.keys.toSeq.sorted.mkString(", ")})")
+    val accepted =
+      Set("partition_by", "sort_by", "max_records_per_file", "compression")
+    val unknown = opts.keySet -- accepted
+    if (unknown.nonEmpty) throw DtlError(
+      s"EXPORT '$name': unknown option(s) ${unknown.toSeq.sorted.mkString(", ")}" +
+        s" — accepted: ${accepted.toSeq.sorted.mkString(", ")}")
+    def cols(k: String): Seq[String] = opts.get(k) match {
+      case None => Nil
+      case Some(s: String) =>
+        val names = s.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        if (names.isEmpty) throw DtlError(
+          s"EXPORT '$name': option '$k' lists no columns")
+        names.foreach { c =>
+          if (!df.columns.contains(c)) throw DtlError(
+            s"EXPORT '$name': $k column '$c' not in table (${df.columns.mkString(", ")})")
+        }
+        names
+      case Some(other) => throw DtlError(
+        s"EXPORT '$name': option '$k' expects a string of column names, got '$other'")
+    }
+    val partitionCols = cols("partition_by")
+    val sortCols = cols("sort_by")
+    val overlap = partitionCols.toSet intersect sortCols.toSet
+    if (overlap.nonEmpty) throw DtlError(
+      s"EXPORT '$name': column(s) ${overlap.toSeq.sorted.mkString(", ")} appear " +
+        "in both partition_by and sort_by — a partition directory holds one " +
+        "value, sorting on it is a no-op")
+    val maxRecords = opts.get("max_records_per_file") match {
+      case None => None
+      case Some(l: java.lang.Long) if l > 0 => Some(l.longValue)
+      case Some(other) => throw DtlError(
+        s"EXPORT '$name': option 'max_records_per_file' expects a positive integer, got '$other'")
+    }
+    val compression = opts.get("compression") match {
+      case None => None
+      case Some(s: String) => Some(s)
+      case Some(other) => throw DtlError(
+        s"EXPORT '$name': option 'compression' expects a string, got '$other'")
+    }
+    import org.apache.spark.sql.functions.col
+    // route rows before the writer sees them: partitioned writes cluster by
+    // the partition columns (small-file guard), pure sorted writes range-
+    // partition on the sort key so files hold disjoint key ranges
+    val frame =
+      if (partitionCols.nonEmpty)
+        df.repartition(partitionCols.map(col): _*)
+          .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      else if (sortCols.nonEmpty)
+        df.repartitionByRange(sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df
+    writeFormatted(name, frame, { w0 =>
+      var w = w0
+      if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
+      maxRecords.foreach(n => w = w.option("maxRecordsPerFile", n))
+      compression.foreach(c => w = w.option("compression", c))
+      w
+    })
+  }
 
   /** `EXPORT t TO 'shards.tar' WITH (key = 'id', files = 'txt:text', …)` —
     * writes `<outputDir>/<name>/shard-NNNNNN.tar` in WebDataset layout via
@@ -152,18 +241,28 @@ final class FilesystemExporter(outputDir: String) extends Exporter {
       s"$outputDir/$name")
   }
 
-  def exportTable(name: String, df: DataFrame): Unit = {
+  def exportTable(name: String, df: DataFrame): Unit =
+    writeFormatted(name, df, identity)
+
+  /** The one format matrix both export forms share; `configure` applies the
+    * WITH-layout writer directives (partitionBy/maxRecordsPerFile/
+    * compression) and is `identity` for the plain form.
+    */
+  private def writeFormatted(name: String, df: DataFrame,
+      configure: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =>
+        org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]): Unit = {
     if (!seen.add(name)) throw DtlError(s"duplicate export: '$name'")
+    def w = configure(df.write.mode("overwrite"))
     Io.extensionOf(name) match {
       case Some("csv") =>
-        df.write.mode("overwrite").option("header", "true").csv(s"$outputDir/$name")
+        w.option("header", "true").csv(s"$outputDir/$name")
       case Some("tsv") =>
-        df.write.mode("overwrite").option("header", "true").option("sep", "\t")
+        w.option("header", "true").option("sep", "\t")
           .csv(s"$outputDir/$name")
       case Some("json") | Some("jsonl") =>
-        df.write.mode("overwrite").json(s"$outputDir/$name")
-      case Some("orc") => df.write.mode("overwrite").orc(s"$outputDir/$name")
-      case Some("parquet") => df.write.mode("overwrite").parquet(s"$outputDir/$name")
+        w.json(s"$outputDir/$name")
+      case Some("orc") => w.orc(s"$outputDir/$name")
+      case Some("parquet") => w.parquet(s"$outputDir/$name")
       case Some("txt") =>
         if (df.schema.fields.length != 1 ||
             df.schema.fields(0).dataType != org.apache.spark.sql.types.StringType)
@@ -196,7 +295,7 @@ final class FilesystemExporter(outputDir: String) extends Exporter {
       case Some("warc") => throw DtlError(
         "EXPORT to '.warc' is not supported ('.warc' is import-only); " +
           "EXPORT to '.wet' writes conversion records from (url, date, text)")
-      case _ => df.write.mode("overwrite").parquet(s"$outputDir/$name.parquet")
+      case _ => w.parquet(s"$outputDir/$name.parquet")
     }
   }
 }

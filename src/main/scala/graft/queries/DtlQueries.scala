@@ -22,8 +22,20 @@ object DtlQueries {
     " \u201CQuoted\u2014text\u201D\u2026 and\u00A0more \u2018x\u2019 \u200Bend"
 
   /** Session-wide embedded-Derby home for dtl_jdbc (see the gate's comment). */
-  private lazy val jdbcDbDir: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_jdbc")
+  private lazy val jdbcDbDir: String = sessionTempDir("graft_jdbc")
+
+  /** ONE temp dir per JVM for dtl_partitioned_export, overwritten each
+    * execution (bench warmups + iterations would otherwise leak a parquet
+    * tree per run) and deleted on exit. The RESULT DataFrame lazily re-reads
+    * the dir, so it cannot be deleted inline.
+    */
+  private lazy val partExportDir: String = sessionTempDir("dtl_part")
+
+  /** Same lifecycle for dtl_webdataset's shard output. */
+  private lazy val wdsExportDir: String = sessionTempDir("dtl_wds")
+
+  private def sessionTempDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile): Unit))
     dir.toString
@@ -440,7 +452,9 @@ object DtlQueries {
     // md5s straight from the table, so the whole write->read path must be
     // byte-transparent to pass
     "dtl_webdataset" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("dtl_wds").toString
+      // one session-wide dir, rewritten per execution (writeShards commits
+      // over prior runs; bytes are deterministic) — not a leak per bench run
+      val dir = wdsExportDir
       new Engine(s).run(
         """WITH docs AS IMPORT 'documents';
           |WITH sample AS SELECT doc_id, text FROM docs;
@@ -453,6 +467,39 @@ object DtlQueries {
           |  SELECT to_int64(key) AS doc_id, ext,
           |         byte_length(data) AS n_bytes, md5_hex(data) AS fp
           |  FROM m;
+          |EXPORT output TO 'output';""".stripMargin)
+    }),
+
+    // partitioned/sorted parquet export IN-LANGUAGE — the write-time
+    // data-skipping layout a 100 TB table needs: EXPORT ... WITH
+    // (partition_by, sort_by, max_records_per_file, compression) writes
+    // Hive-style `o_orderpriority=<v>/` directories whose files are
+    // o_custkey-sorted (row-group min/max stats cluster on the key); a
+    // second script re-imports the layout, filters on the partition column
+    // (directory pruning, asserted in IoSpec) and aggregates. The oracle
+    // replays the aggregate from the ORIGINAL table, so the whole
+    // export->discover->read path must be value-transparent to pass.
+    "dtl_partitioned_export" -> ((s, d) => {
+      val dir = partExportDir
+      new Engine(s).run(
+        """WITH o AS IMPORT 'orders';
+          |WITH slim AS
+          |  SELECT o_orderkey, o_custkey, o_orderkey % 7 AS bucket,
+          |         o_orderpriority
+          |  FROM o;
+          |EXPORT slim TO 'orders_part.parquet'
+          |  WITH (partition_by = 'o_orderpriority', sort_by = 'o_custkey',
+          |        max_records_per_file = 50000, compression = 'zstd');""".stripMargin,
+        new FilesystemImporter(s, d), new FilesystemExporter(dir))
+      run(s, dir,
+        """WITH p AS IMPORT 'orders_part.parquet';
+          |WITH output AS
+          |  SELECT o_orderpriority, count() AS n_orders,
+          |         sum(o_orderkey) AS key_sum, sum(bucket) AS bucket_sum,
+          |         min(o_custkey) AS min_cust, max(o_custkey) AS max_cust
+          |  FROM p
+          |  WHERE o_orderpriority = '1-URGENT' | o_orderpriority = '3-MEDIUM'
+          |  GROUP BY o_orderpriority;
           |EXPORT output TO 'output';""".stripMargin)
     }),
 
@@ -591,6 +638,19 @@ object DtlQueries {
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |  md5(text) AS fp
         |FROM documents""".stripMargin,
+
+    // the aggregate replayed from the ORIGINAL table: partition directory
+    // routing, per-partition sort, file splitting and zstd compression must
+    // all be value-transparent (Spark reads the partition column back from
+    // the directory names, not the files)
+    "dtl_partitioned_export" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(o_orderkey % 7) AS BIGINT) AS bucket_sum,
+        |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust
+        |FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+        |GROUP BY o_orderpriority""".stripMargin,
 
     // compose the shared GenEval oracle CTE chains over the +1 pairing
     "dtl_gen_eval" -> {

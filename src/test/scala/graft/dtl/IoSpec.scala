@@ -155,4 +155,83 @@ class IoSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains(".wet"))
   }
+
+  // ---- WITH-layout exports: the write-time data-skipping levers ----
+
+  private def layoutFixture(dir: String): Unit =
+    Seq((1L, 10L, "a"), (2L, 30L, "a"), (3L, 20L, "b"), (4L, 40L, "b"),
+        (5L, 25L, "a"), (6L, 15L, "b"), (7L, 35L, "a"), (8L, 5L, "b"))
+      .toDF("id", "k", "grp").write.mode("overwrite").parquet(s"$dir/t.parquet")
+
+  test("EXPORT WITH partition_by writes Hive directories that prune on read") {
+    val dir = java.nio.file.Files.createTempDirectory("dtl-part").toString
+    layoutFixture(dir)
+    new Engine(spark).run(
+      """WITH t AS IMPORT 't';
+        |EXPORT t TO 'out.parquet' WITH (partition_by = 'grp');""".stripMargin,
+      new FilesystemImporter(spark, dir), new FilesystemExporter(dir))
+
+    val sub = new java.io.File(s"$dir/out.parquet").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(sub.toSeq == Seq("grp=a", "grp=b"), sub.mkString(", "))
+
+    val back = spark.read.parquet(s"$dir/out.parquet")
+    assert(back.count() == 8)
+    val pruned = back.filter($"grp" === "a")
+    val plan = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PartitionFilters: [isnotnull(grp"),
+      s"no partition filter:\n$plan")
+    assert(pruned.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 5L, 7L))
+  }
+
+  test("EXPORT WITH sort_by range-partitions: files hold disjoint sorted key ranges") {
+    val dir = java.nio.file.Files.createTempDirectory("dtl-sort").toString
+    layoutFixture(dir)
+    new Engine(spark).run(
+      """WITH t AS IMPORT 't';
+        |EXPORT t TO 'out.parquet'
+        |  WITH (sort_by = 'k', max_records_per_file = 3, compression = 'zstd');""".stripMargin,
+      new FilesystemImporter(spark, dir), new FilesystemExporter(dir))
+
+    val files = new java.io.File(s"$dir/out.parquet").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    // max_records_per_file enforced, each file internally sorted, and the
+    // per-file [min,max] key ranges are pairwise disjoint — exactly the
+    // layout parquet min/max stats skip on
+    val ranges = files.toSeq.map { f =>
+      val ks = spark.read.parquet(f.getPath).select("k").as[Long].collect().toSeq
+      assert(ks.size <= 3, s"${f.getName} has ${ks.size} rows > max_records_per_file")
+      assert(ks == ks.sorted, s"${f.getName} not sorted: $ks")
+      (ks.min, ks.max)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => assert(hi <= lo, s"overlapping file ranges: $ranges")
+      case _ =>
+    }
+    assert(spark.read.parquet(s"$dir/out.parquet").count() == 8)
+  }
+
+  test("EXPORT layout options reject unknowns, bad columns, overlap and line formats") {
+    val dir = java.nio.file.Files.createTempDirectory("dtl-layout-bad").toString
+    layoutFixture(dir)
+    def attempt(stmt: String): DtlError = intercept[DtlError] {
+      new Engine(spark).run(s"WITH t AS IMPORT 't';\n$stmt",
+        new FilesystemImporter(spark, dir),
+        new FilesystemExporter(
+          java.nio.file.Files.createTempDirectory("dtl-layout-out").toString))
+    }
+    assert(attempt("EXPORT t TO 'o.parquet' WITH (nope = 1);")
+      .getMessage.contains("unknown option"))
+    assert(attempt("EXPORT t TO 'o.parquet' WITH (partition_by = 'missing');")
+      .getMessage.contains("not in table"))
+    assert(attempt(
+      "EXPORT t TO 'o.parquet' WITH (partition_by = 'grp', sort_by = 'grp');")
+      .getMessage.contains("both partition_by and sort_by"))
+    assert(attempt("EXPORT t TO 'o.txt' WITH (sort_by = 'k');")
+      .getMessage.contains("not '.txt'"))
+    assert(attempt("EXPORT t TO 'o.parquet' WITH (max_records_per_file = 0);")
+      .getMessage.contains("positive integer"))
+  }
 }
