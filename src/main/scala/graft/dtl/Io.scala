@@ -169,11 +169,16 @@ final class FilesystemExporter(outputDir: String) extends Exporter {
     }
     import org.apache.spark.sql.functions.col
     // route rows before the writer sees them: partitioned writes cluster by
-    // the partition columns (small-file guard), pure sorted writes range-
-    // partition on the sort key so files hold disjoint key ranges
+    // the partition columns via the AQE REBALANCE shuffle — like
+    // repartition(cols) it is the small-file guard (a value is written by
+    // the tasks that own it, not every task), but AQE may SPLIT a hot
+    // value across tasks (optimizeSkewsInRebalancePartitions) instead of
+    // handing one task the 60%-English straggler, and coalesce tiny values
+    // together. Pure sorted writes range-partition on the sort key so
+    // files hold disjoint key ranges (the range sampler absorbs key skew).
     val frame =
       if (partitionCols.nonEmpty)
-        df.repartition(partitionCols.map(col): _*)
+        df.hint("rebalance", partitionCols.map(col): _*)
           .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
       else if (sortCols.nonEmpty)
         df.repartitionByRange(sortCols.map(col): _*)

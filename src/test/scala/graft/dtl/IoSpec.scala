@@ -213,6 +213,29 @@ class IoSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/out.parquet").count() == 8)
   }
 
+  test("a hot partition value splits across multiple files under AQE rebalance") {
+    // partition_by routes through the REBALANCE hint, not repartition(cols):
+    // at 100 TB a hash shuffle on the partition column hands one task the
+    // hot value (the 60%-English straggler); AQE's rebalance skew split
+    // breaks it into advisory-sized chunks instead. Shrink the advisory
+    // size on a child session so the split engages at test scale.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4096")
+    val dir = java.nio.file.Files.createTempDirectory("dtl-skew").toString
+    spark.range(20000).selectExpr("id",
+      "CASE WHEN id % 100 = 0 THEN 'cold' ELSE 'hot' END AS grp")
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    new Engine(s2).run(
+      """WITH t AS IMPORT 't';
+        |EXPORT t TO 'out.parquet' WITH (partition_by = 'grp');""".stripMargin,
+      new FilesystemImporter(s2, dir), new FilesystemExporter(dir))
+    val hotFiles = new java.io.File(s"$dir/out.parquet/grp=hot").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(hotFiles > 1,
+      s"hot partition wrote $hotFiles file(s) — the rebalance skew split did not engage")
+    assert(spark.read.parquet(s"$dir/out.parquet").count() == 20000)
+  }
+
   test("EXPORT layout options reject unknowns, bad columns, overlap and line formats") {
     val dir = java.nio.file.Files.createTempDirectory("dtl-layout-bad").toString
     layoutFixture(dir)
