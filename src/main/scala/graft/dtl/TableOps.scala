@@ -166,6 +166,35 @@ object TableOps {
         nProbe = a.int("n_probe", 2), iters = a.int("iters", 2),
         dim = a.int("dim", 64))),
 
+    // ------------------------------------------------ similarity table ops
+    // the embedding-search family on the language surface: `topk` is the
+    // exact brute-force baseline (broadcast queries x corpus — right when
+    // |queries| is small), `ivf_topk` the scale path (centroid-bucketed
+    // probes; the corpus never shuffles on assignment)
+    "topk" -> TableOp(
+      Set("id", "vec", "query_id", "query_vec", "k"),
+      "exact cosine top-k corpus rows per query (2 inputs: corpus, queries) -> (query_id, vec_id, cosine, rank)",
+      (dfs, a) => graft.ops.Similarity.bruteForceTopK(
+        dfs(0), col(a.str("id", "vec_id")), col(a.str("vec", "embedding")),
+        dfs(1), col(a.str("query_id", "vec_id")),
+        col(a.str("query_vec", "embedding")),
+        k = a.int("k", 10)),
+      arity = 2),
+
+    "ivf_topk" -> TableOp(
+      Set("id", "vec", "query_id", "query_vec", "k", "n_centroids", "n_probe"),
+      "IVF-bucketed approximate cosine top-k (2 inputs: corpus, queries) -> (query_id, vec_id, cosine, rank)",
+      (dfs, a) => {
+        val (assigned, centroids) = graft.ops.Similarity.ivfAssign(
+          dfs(0), col(a.str("id", "vec_id")), col(a.str("vec", "embedding")),
+          nCentroids = a.int("n_centroids", 16))
+        graft.ops.Similarity.ivfTopK(assigned, centroids,
+          dfs(1), col(a.str("query_id", "vec_id")),
+          col(a.str("query_vec", "embedding")),
+          k = a.int("k", 5), nProbe = a.int("n_probe", 4))
+      },
+      arity = 2),
+
     // ----------------------------------------------------- graph table ops
     "pagerank" -> op1(
       Set("src", "dst", "iters", "damping"),

@@ -418,6 +418,19 @@ object DtlQueries {
         |WITH output AS APPLY 'triangles' TO e WITH (src = 'src', dst = 'dst');
         |EXPORT output TO 'output';""".stripMargin)),
 
+    // embedding search in-language: IMPORT the embeddings table (the
+    // array<float> column passes through the wildcard projection and the
+    // APPLY boundary untouched), carve the query set relationally, then
+    // APPLY 'ivf_topk' — same index + probe parameters as pipe_embed_ivf,
+    // so its oracle (md5-ordered centroid selection, argmax assignment,
+    // probe + rank replayed in SQL) applies verbatim
+    "dtl_ann" -> ((s, d) => run(s, d,
+      """WITH emb AS IMPORT 'embeddings';
+        |WITH q AS SELECT * FROM emb WHERE vec_id < 3;
+        |WITH output AS APPLY 'ivf_topk' TO emb, q
+        |  WITH (k = 5, n_probe = 4, n_centroids = 16);
+        |EXPORT output TO 'output';""".stripMargin)),
+
     // the corpus-report table op from a script — the data-card query a
     // curation pipeline ends with; mirrors pipe_corpus_report's oracle
     "dtl_report" -> ((s, d) => run(s, d,
@@ -630,6 +643,7 @@ object DtlQueries {
     "dtl_graph" -> SearchQueries.oracle("pipe_triangles"),
     "dtl_report" -> CurationQueries.oracle("pipe_corpus_report"),
     "dtl_bm25" -> SearchQueries.oracle("pipe_bm25"),
+    "dtl_ann" -> PipelineQueries.oracle("pipe_embed_ivf"),
 
     // member bytes and digests straight from the source table: the tar
     // write->read chain must be byte-transparent (and UTF-8 exact)
