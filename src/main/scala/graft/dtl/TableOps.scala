@@ -150,6 +150,21 @@ object TableOps {
         col(a.str("id", "doc_id")), col(a.str("text", "text")),
         maxDist = a.int("max_dist", 2), q = a.int("q", 3))),
 
+    "dedup_lines" -> op1(
+      Set("id", "text", "min_doc_freq", "keep_first"),
+      "CCNet/RefinedWeb boilerplate pass: drop lines whose normalized form appears in >= min_doc_freq docs -> (id, clean_text, n_kept, n_dropped)")(
+      (df, a) => graft.ops.Dedup.dedupLines(df,
+        col(a.str("id", "doc_id")), col(a.str("text", "text")),
+        minDocFreq = a.int("min_doc_freq", 2),
+        keepFirst = a.bool("keep_first", true))),
+
+    "span_dedup" -> op1(
+      Set("id", "text", "n"),
+      "C4 n-sentence-span dedup: strip every later occurrence of any n-sentence span -> (id, clean_text, n_kept, n_dropped)")(
+      (df, a) => graft.ops.C4.spanDedup(df,
+        col(a.str("id", "doc_id")), col(a.str("text", "text")),
+        n = a.int("n", 3))),
+
     "components" -> op1(
       Set("src", "dst"),
       "connected components over an edge table (large-star/small-star) -> (id, cluster_id)")(

@@ -418,6 +418,38 @@ object DtlQueries {
         |WITH output AS APPLY 'triangles' TO e WITH (src = 'src', dst = 'dst');
         |EXPORT output TO 'output';""".stripMargin)),
 
+    // C4's three-sentence-span dedup in-language: plant the shared span in
+    // DTL itself (concat/if/to_text — the same augmentation
+    // pipe_c4_span_dedup builds with Column expressions), APPLY
+    // 'span_dedup', and rename to the pipe gate's output shape so its
+    // oracle replays verbatim
+    "dtl_span_dedup" -> ((s, d) => run(s, d,
+      s"""WITH docs AS IMPORT 'documents';
+         |WITH aug AS
+         |  SELECT doc_id,
+         |         concat(concat(concat(text, '. '),
+         |             if(doc_id % 4 = 0, '${CodeDataQueries.c4Span} ', '')),
+         |           concat(concat('Unique closing sentence number ',
+         |             to_text(doc_id)), ' ends here.')) AS t2
+         |  FROM docs;
+         |WITH deduped AS APPLY 'span_dedup' TO aug WITH (id = 'doc_id', text = 't2');
+         |WITH output AS
+         |  SELECT id AS doc_id, clean_text, n_kept, n_dropped FROM deduped;
+         |EXPORT output TO 'output';""".stripMargin)),
+
+    // the CCNet/RefinedWeb boilerplate line pass in-language: the word-soup
+    // corpus has no newlines, so lines are carved in DTL (replace space ->
+    // '\n'); words in >= 50 distinct docs are the "boilerplate lines",
+    // dropped everywhere but the smallest-id keeper document
+    "dtl_dedup_lines" -> ((s, d) => run(s, d,
+      """WITH docs AS IMPORT 'documents';
+        |WITH lined AS SELECT doc_id, replace(text, ' ', '\n') AS t2 FROM docs;
+        |WITH deduped AS APPLY 'dedup_lines' TO lined
+        |  WITH (id = 'doc_id', text = 't2', min_doc_freq = 50);
+        |WITH output AS
+        |  SELECT id AS doc_id, clean_text, n_kept, n_dropped FROM deduped;
+        |EXPORT output TO 'output';""".stripMargin)),
+
     // embedding search in-language: IMPORT the embeddings table (the
     // array<float> column passes through the wildcard projection and the
     // APPLY boundary untouched), carve the query set relationally, then
@@ -644,6 +676,39 @@ object DtlQueries {
     "dtl_report" -> CurationQueries.oracle("pipe_corpus_report"),
     "dtl_bm25" -> SearchQueries.oracle("pipe_bm25"),
     "dtl_ann" -> PipelineQueries.oracle("pipe_embed_ivf"),
+    "dtl_span_dedup" -> CodeDataQueries.oracle("pipe_c4_span_dedup"),
+
+    // full replay of the dedupLines contract over DTL-carved word-lines:
+    // docfreq from DISTINCT docs, keeper = smallest id, drops are position-
+    // indexed over the FULL line array, text rebuilt in order
+    "dtl_dedup_lines" ->
+      """WITH lined AS (
+        |  SELECT doc_id, replace(text, ' ', chr(10)) AS t2 FROM documents),
+        |occ AS (
+        |  SELECT doc_id, generate_subscripts(parts, 1) - 1 AS p,
+        |         unnest(parts) AS line
+        |  FROM (SELECT doc_id, string_split(t2, chr(10)) AS parts FROM lined)),
+        |keyed AS (
+        |  SELECT doc_id, p, lower(trim(line)) AS key
+        |  FROM occ WHERE length(lower(trim(line))) > 0),
+        |stats AS (
+        |  SELECT key, count(DISTINCT doc_id) AS ndocs, min(doc_id) AS keeper
+        |  FROM keyed GROUP BY key),
+        |drops AS (
+        |  SELECT k.doc_id, k.p FROM keyed k JOIN stats s USING (key)
+        |  WHERE s.ndocs >= 50 AND k.doc_id <> s.keeper),
+        |rebuilt AS (
+        |  SELECT o.doc_id,
+        |         coalesce(string_agg(CASE WHEN d.p IS NULL THEN o.line END,
+        |           chr(10) ORDER BY o.p), '') AS clean_text,
+        |         count(CASE WHEN d.p IS NULL THEN 1 END) AS n_kept,
+        |         count(d.p) AS n_dropped
+        |  FROM occ o
+        |  LEFT JOIN drops d ON o.doc_id = d.doc_id AND o.p = d.p
+        |  GROUP BY o.doc_id)
+        |SELECT doc_id, clean_text, CAST(n_kept AS INTEGER) AS n_kept,
+        |       CAST(n_dropped AS INTEGER) AS n_dropped
+        |FROM rebuilt""".stripMargin,
 
     // member bytes and digests straight from the source table: the tar
     // write->read chain must be byte-transparent (and UTF-8 exact)

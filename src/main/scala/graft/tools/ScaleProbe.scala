@@ -823,6 +823,35 @@ object ScaleProbe {
     }
     println(f"  pairs $conPairs%,d (planted ${conN / 40}%,d)")
 
+    println(s"== partitioned export under domain skew (rebalance vs hash route) ==")
+    // the dtl_partitioned_export write path at scale: 10M docs, one
+    // 60%-hot domain. repartition(col) hands ONE task the hot value; the
+    // REBALANCE hint keeps per-value routing but lets AQE split the hot
+    // value into advisory-sized chunks across tasks.
+    val peN = math.min(n / 2, 10_000_000L)
+    val peDocs = spark.range(peN).select(col("id"),
+      when(pmod(col("id"), lit(10)) < 6, "en")
+        .otherwise(concat(lit("lang_"), pmod(col("id"), lit(10)))).as("domain"),
+      md5(col("id").cast("string")).as("payload"))
+    val peDir = java.nio.file.Files.createTempDirectory("probe_pexport").toString
+    time(f"partitionBy(domain) via REBALANCE ($peN%,d rows, 60%% hot)") {
+      peDocs.hint("rebalance", col("domain"))
+        .sortWithinPartitions(col("domain"), col("id"))
+        .write.mode("overwrite").partitionBy("domain").parquet(s"$peDir/rb")
+    }
+    val rbHotFiles = new java.io.File(s"$peDir/rb/domain=en").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    time(f"partitionBy(domain) via repartition(col) — the straggler shape") {
+      peDocs.repartition(col("domain"))
+        .sortWithinPartitions(col("domain"), col("id"))
+        .write.mode("overwrite").partitionBy("domain").parquet(s"$peDir/hash")
+    }
+    val hashHotFiles = new java.io.File(s"$peDir/hash/domain=en").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    println(f"  hot-domain files: rebalance $rbHotFiles%,d (parallel tasks), " +
+      f"hash-route $hashHotFiles%,d (one straggler task)")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(peDir))
+
     spark.stop()
   }
 }

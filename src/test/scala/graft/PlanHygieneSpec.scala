@@ -63,6 +63,29 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"DTL projection not pruned at the scan: $rs")
   }
 
+  test("DTL WHERE on a Hive partition column prunes directories through the compiler") {
+    // the dtl_partitioned_export story end-to-end: a WHERE on the partition
+    // column of a re-imported partitioned layout must become a
+    // PartitionFilter (directories never open), not a post-scan filter
+    val dir = java.nio.file.Files.createTempDirectory("dtl-prune").toString
+    val exporter0 = new graft.dtl.FilesystemExporter(dir)
+    new Engine(spark).run(
+      """WITH o AS IMPORT 'orders';
+        |EXPORT o TO 'po.parquet' WITH (partition_by = 'o_orderpriority');""".stripMargin,
+      new graft.dtl.FilesystemImporter(spark, "/root/testdata/sf0.001"), exporter0)
+    val exporter = new graft.dtl.InMemoryExporter
+    new Engine(spark).run(
+      """WITH p AS IMPORT 'po.parquet';
+        |WITH output AS
+        |  SELECT o_orderkey FROM p WHERE o_orderpriority = '1-URGENT';
+        |EXPORT output TO 'output';""".stripMargin,
+      new graft.dtl.FilesystemImporter(spark, dir), exporter)
+    val p = exporter.results("output").queryExecution.explainString(FormattedMode)
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("o_orderpriority"),
+      s"DTL partition predicate did not become a PartitionFilter:\n$p")
+  }
+
   test("minhash LSH bucket join is never all-pairs") {
     val p = plan("pipe_dedup_minhash")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
