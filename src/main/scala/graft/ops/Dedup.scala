@@ -460,7 +460,14 @@ object Dedup {
     *    tiny alphabets — the regime where q-gram prefixes go hot (a
     *    digits-and-dashes corpus has ~10² distinct 2-grams, so every
     *    prefix bucket is huge; deletion variants stay distinct).
-    *  - larger `maxDist`: q-gram prefix filtering as below.
+    *  - `maxDist` = 3 on a SHORT corpus (every string ≤ 24 code points,
+    *    probed with one bounded max(length) action): also deletion
+    *    neighborhoods — this is PassJoin's segment-hot boundary, where
+    *    ≤ 6-char position-pinned segments go white-hot (ScaleProbe's
+    *    13-char ID regime emitted every possible pair as a partition
+    *    candidate) while C(24,≤3) ≤ 2,325 variants/string stay selective.
+    *  - larger `maxDist` / longer strings: PassJoin partition segments,
+    *    falling back to q-gram prefix filtering as below when asked.
     *
     * The q-gram path (Gravano et al. VLDB'01 q-gram count bound + the
     * Chaudhuri/Xiao prefix-filter principle, as in [[ngramJaccardPairs]]).
@@ -487,7 +494,7 @@ object Dedup {
     * same levenshtein verify. The bucket is broadcast-sized by CONTRACT,
     * not construction — at d where most of the corpus is "short" the
     * guarantee is inherently vacuous and NO gram scheme can filter; use the
-    * deletion path (d ≤ 2) or accept the length-blocked quadratic.
+    * deletion path (d ≤ 3) or accept the length-blocked quadratic.
     *
     * Shuffles: gram-frequency agg, per-string prefix window, prefix join,
     * verify join — all hash-partitioned, never all-pairs; AQE skew handling
@@ -500,7 +507,19 @@ object Dedup {
     require(Set("auto", "qgram", "deletion", "partition")(algorithm),
       s"algorithm must be auto|qgram|deletion|partition, got $algorithm")
     val useDeletion = algorithm == "deletion" ||
-      (algorithm == "auto" && maxDist <= 2 && maxDist >= 1)
+      (algorithm == "auto" && maxDist <= 2 && maxDist >= 1) ||
+      // the SEGMENT-HOT boundary fix (round 7, measured in ScaleProbe): at
+      // d = 3 on a short-string corpus, PassJoin segments shrink to <= 6
+      // chars and the position-windowed keys go white-hot — the 13-char ID
+      // probe emitted ALL 1.25B possible pairs as candidates (192,630:1
+      // over truth). Exactly there the deletion neighborhoods stay TINY
+      // (<= C(24,3)+C(24,2)+25 = 2,325 variants/string) and selective, so
+      // auto routes short corpora to FastSS. The length probe is one
+      // bounded partial-aggregate action over the string column only.
+      (algorithm == "auto" && maxDist == 3 && {
+        val r = df.select(max(length(str))).head()
+        !r.isNullAt(0) && r.getInt(0) <= 24
+      })
     if (useDeletion) return editDistancePairsDeletion(df, id, str, maxDist)
     // at d >= 3 the q-gram count bound goes vacuous on gram-poor corpora
     // (measured on the sf0.1 head5 gate surface: 375 distinct 3-grams over
@@ -552,7 +571,7 @@ object Dedup {
     verifyEditDistance(candidates.unionByName(shortCands), s, maxDist)
   }
 
-  /** FastSS deletion-neighborhood candidates for maxDist ∈ {1, 2}: each
+  /** FastSS deletion-neighborhood candidates for maxDist ∈ {1, 2, 3}: each
     * string emits every variant reachable by deleting ≤ maxDist code
     * points (itself included); strings within distance d MUST share one.
     * Variant generation is row-local HOF arithmetic over code points
@@ -568,8 +587,21 @@ object Dedup {
     */
   private def editDistancePairsDeletion(df: DataFrame, id: Column,
       str: Column, maxDist: Int): DataFrame = {
-    require(maxDist == 1 || maxDist == 2, s"deletion path needs maxDist 1|2, got $maxDist")
-    val maxLen = if (maxDist == 1) 4096 else 256
+    val s = df.select(id.as("id"), str.as("s")).filter(col("s").isNotNull)
+    verifyEditDistance(
+      editDistanceCandidatesDeletion(df, id, str, maxDist), s, maxDist)
+  }
+
+  /** Candidate stage of the deletion scheme, package-visible so ScaleProbe
+    * can measure candidate volume separately from verification.
+    */
+  private[graft] def editDistanceCandidatesDeletion(df: DataFrame, id: Column,
+      str: Column, maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 3,
+      s"deletion path needs maxDist 1|2|3, got $maxDist")
+    // per-string variant counts are C(len, <= d): the cap keeps the worst
+    // row at ~41k variants (d=3, len 64 — same order as d=2, len 256)
+    val maxLen = maxDist match { case 1 => 4096; case 2 => 256; case _ => 64 }
     val s = df.select(id.as("id"), str.as("s")).filter(col("s").isNotNull)
     val n = length(col("s"))
     def delAt(i: Column): Column =
@@ -578,14 +610,26 @@ object Dedup {
       concat(substr(col("s"), lit(1), i - 1),
         substr(col("s"), i + 1, j - i - 1),
         substr(col("s"), j + 1, n - j))
-    val del1 = when(n === 0, array().cast("array<string>"))
+    def delAt3(i: Column, j: Column, k: Column): Column = // i < j < k removed
+      concat(substr(col("s"), lit(1), i - 1),
+        substr(col("s"), i + 1, j - i - 1),
+        substr(col("s"), j + 1, k - j - 1),
+        substr(col("s"), k + 1, n - k))
+    val emptyArr = array().cast("array<string>")
+    val del1 = when(n === 0, emptyArr)
       .otherwise(transform(sequence(lit(1), n), i => delAt(i)))
-    val sigsRaw =
-      if (maxDist == 1) concat(array(col("s")), del1)
-      else concat(array(col("s")), del1,
-        when(n < 2, array().cast("array<string>"))
-          .otherwise(flatten(transform(sequence(lit(1), n - 1), i =>
-            transform(sequence(i + 1, n), j => delAt2(i, j))))))
+    val del2 = when(n < 2, emptyArr)
+      .otherwise(flatten(transform(sequence(lit(1), n - 1), i =>
+        transform(sequence(i + 1, n), j => delAt2(i, j)))))
+    val del3 = when(n < 3, emptyArr)
+      .otherwise(flatten(transform(sequence(lit(1), n - 2), i =>
+        flatten(transform(sequence(i + 1, n - 1), j =>
+          transform(sequence(j + 1, n), k => delAt3(i, j, k)))))))
+    val sigsRaw = maxDist match {
+      case 1 => concat(array(col("s")), del1)
+      case 2 => concat(array(col("s")), del1, del2)
+      case _ => concat(array(col("s")), del1, del2, del3)
+    }
     val sigs = when(n > maxLen,
         raise_error(concat(lit(s"editDistancePairs deletion path: string of "),
           n.cast("string"),
@@ -593,14 +637,13 @@ object Dedup {
             "use algorithm=\"qgram\""))).cast("array<string>"))
       .otherwise(array_distinct(sigsRaw))
     val sigRows = s.select(col("id"), n.as("len"), explode(sigs).as("sig"))
-    val candidates = sigRows
+    sigRows
       .select(col("sig"), col("id").as("id_a"), col("len").as("len_a"))
       .join(sigRows.select(col("sig"), col("id").as("id_b"), col("len").as("len_b")),
         Seq("sig"))
       .filter(col("id_a") < col("id_b") &&
         abs(col("len_a") - col("len_b")) <= maxDist)
       .select("id_a", "id_b")
-    verifyEditDistance(candidates, s, maxDist)
   }
 
   /** PassJoin partition candidates (Li, Deng & Feng, ICDE 2011 "PassJoin: A

@@ -790,18 +790,25 @@ object ScaleProbe {
     val hotDocs = spark.range(hotN).select(col("id"),
       concat(lit("usr-"),
         substring(md5(col("id").cast("string")), 1, 9)).as("s"))
-    val hotPairs = time(f"editDistancePairs ($hotN%,d 13-char IDs, maxDist=3 — segment-hot regime)") {
+    // auto now routes this short corpus to FastSS d=3 deletion
+    // neighborhoods (round 7) — measure the fix, then the partition
+    // scheme's candidate volume as the documented boundary it replaces
+    val hotPairs = time(f"editDistancePairs ($hotN%,d 13-char IDs, maxDist=3 — segment-hot regime, auto→deletion)") {
       graft.ops.Dedup.editDistancePairs(hotDocs, col("id"), col("s"),
         maxDist = 3).count()
     }
-    val hotCands = time("  candidate stage alone (hot regime)") {
+    val hotDelCands = time("  deletion candidate stage alone") {
+      graft.ops.Dedup.editDistanceCandidatesDeletion(hotDocs, col("id"),
+        col("s"), maxDist = 3).dropDuplicates("id_a", "id_b").count()
+    }
+    val hotCands = time("  partition candidate stage (the boundary deletion replaces)") {
       graft.ops.Dedup.editDistanceCandidatesPartition(hotDocs, col("id"),
         col("s"), maxDist = 3).dropDuplicates("id_a", "id_b").count()
     }
-    println(f"  verified pairs $hotPairs%,d, candidates $hotCands%,d — " +
-      f"ratio ${hotCands.toDouble / math.max(hotPairs, 1)}%.0f:1 of " +
-      f"${hotN * (hotN - 1) / 2}%,d possible (dense-truth boundary: pick d " +
-      "meaningfully below the string length)")
+    println(f"  verified pairs $hotPairs%,d; deletion candidates $hotDelCands%,d " +
+      f"(${hotDelCands.toDouble / math.max(hotPairs, 1)}%.1f:1) vs partition " +
+      f"candidates $hotCands%,d (${hotCands.toDouble / math.max(hotPairs, 1)}%.0f:1) " +
+      f"of ${hotN * (hotN - 1) / 2}%,d possible")
 
     println(s"== containment join with a hot-token stripe ==")
     // every doc shares the 3 header tokens (one white-hot shingle stripe

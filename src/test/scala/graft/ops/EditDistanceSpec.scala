@@ -110,6 +110,39 @@ class EditDistanceSpec extends AnyFunSuite {
     }
   }
 
+  test("deletion scheme matches naive and partition at d = 3 (segment-hot fix)") {
+    // the ScaleProbe segment-hot shape reduced: short shared-prefix IDs
+    // where PassJoin's <= 4-char segments go white-hot; plus degenerate
+    // lengths, unicode, and a 24-char string at the auto-routing boundary
+    val hot = (0 until 80).map { i =>
+      (i.toLong, f"usr-${(i * 2654435761L).toHexString.take(6)}%s")
+    }
+    val rows = hot ++ Seq(
+      500L -> "usr-000000", 501L -> "usr-000x00",     // d=1 pair
+      502L -> "usr-0zz000", 503L -> "ur-000000",      // d=2/d=3 of 500
+      504L -> "", 505L -> "ab", 506L -> "数据清洗",
+      507L -> "abcdefghijklmnopqrstuvwx")             // len 24: still short
+    for (alg <- Seq("deletion", "partition")) {
+      val (fast, naive) = run(rows, d = 3, algorithm = alg)
+      assert(fast == naive, s"$alg vs naive at d=3: " +
+        s"missing=${naive -- fast} extra=${fast -- naive}")
+      assert(naive.nonEmpty)
+    }
+    // auto routes this short corpus to deletion and stays exact
+    val (auto, naive) = run(rows, d = 3, algorithm = "auto")
+    assert(auto == naive)
+  }
+
+  test("auto at d = 3 stays on partition when any string exceeds 24 code points") {
+    val rows = Seq(
+      1L -> "the quick brown fox jumps over it",   // 32 chars: long corpus
+      2L -> "the quick brown fox jumps over at",
+      3L -> "a completely different sentence here")
+    val (auto, naive) = run(rows, d = 3, algorithm = "auto")
+    val (part, _) = run(rows, d = 3, algorithm = "partition")
+    assert(auto == naive && part == naive && naive.nonEmpty)
+  }
+
   test("all three schemes agree on the gate-shaped corpus at d = 3") {
     val w = Seq("merchant", "owner", "parent", "order", "part", "supply")
     val rows = (0 until 150).map { i =>

@@ -189,10 +189,12 @@ class WebDatasetSpec extends AnyFunSuite {
       .contains("column 'nope' not in table"))
     assert(tarErr(Map("key" -> "id", "files" -> "txt", "shards" -> 0L))
       .contains("positive integer"))
-    // non-tar formats reject any writer option instead of ignoring it
+    // non-tar formats take only the LAYOUT options (partition_by/sort_by/
+    // max_records_per_file/compression) — a tar sharding option like 'key'
+    // is rejected as unknown instead of silently ignored
     val e = intercept[graft.dtl.DtlError](
       exporter.exportTable("p.parquet", df, Map("key" -> "id")))
-    assert(e.getMessage.contains("only supported for '.tar'"))
+    assert(e.getMessage.contains("unknown option(s) key"))
 
     // happy path: bare column name doubles as the extension; one shard
     exporter.exportTable("ok.tar", df.select(col("id"), col("txt").cast("binary").as("txt")),
