@@ -174,11 +174,19 @@ final class FilesystemExporter(outputDir: String) extends Exporter {
     // the tasks that own it, not every task), but AQE may SPLIT a hot
     // value across tasks (optimizeSkewsInRebalancePartitions) instead of
     // handing one task the 60%-English straggler, and coalesce tiny values
-    // together. Pure sorted writes range-partition on the sort key so
-    // files hold disjoint key ranges (the range sampler absorbs key skew).
+    // together. With AQE off the hint would silently NO-OP (Spark logs a
+    // warning and keeps the incoming partitioning — #tasks × #values small
+    // files, the exact trap), so an embedder session without AQE falls
+    // back to plain repartition(cols): the small-file invariant always
+    // holds, only the hot-value split needs AQE. Pure sorted writes
+    // range-partition on the sort key so files hold disjoint key ranges
+    // (the range sampler absorbs key skew).
+    val aqeOn = df.sparkSession.conf
+      .get("spark.sql.adaptive.enabled", "true").toBoolean
     val frame =
       if (partitionCols.nonEmpty)
-        df.hint("rebalance", partitionCols.map(col): _*)
+        (if (aqeOn) df.hint("rebalance", partitionCols.map(col): _*)
+         else df.repartition(partitionCols.map(col): _*))
           .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
       else if (sortCols.nonEmpty)
         df.repartitionByRange(sortCols.map(col): _*)

@@ -529,7 +529,7 @@ object Dedup {
     val usePartition = algorithm == "partition" ||
       (algorithm == "auto" && maxDist >= 3)
     if (usePartition) return editDistancePairsPartition(df, id, str, maxDist)
-    val s = df.select(id.as("id"), str.as("s")).filter(col("s").isNotNull)
+    val s = editIdStr(df, id, str)
     // positional q-grams, row-local (guard: sequence(1, 0) would DESCEND)
     val grams = s
       .select(col("id"), length(col("s")).as("len"),
@@ -585,12 +585,18 @@ object Dedup {
     * variants (k copies → k² candidate rows): run [[dedupExact]] first on
     * duplicate-heavy corpora.
     */
+  /** The one (id, s) projection every edit-join stage derives from —
+    * candidate generation and verification must read the SAME frame shape
+    * or a future normalization tweak desynchronizes them.
+    */
+  private def editIdStr(df: DataFrame, id: Column, str: Column): DataFrame =
+    df.select(id.as("id"), str.as("s")).filter(col("s").isNotNull)
+
   private def editDistancePairsDeletion(df: DataFrame, id: Column,
-      str: Column, maxDist: Int): DataFrame = {
-    val s = df.select(id.as("id"), str.as("s")).filter(col("s").isNotNull)
+      str: Column, maxDist: Int): DataFrame =
     verifyEditDistance(
-      editDistanceCandidatesDeletion(df, id, str, maxDist), s, maxDist)
-  }
+      editDistanceCandidatesDeletion(df, id, str, maxDist),
+      editIdStr(df, id, str), maxDist)
 
   /** Candidate stage of the deletion scheme, package-visible so ScaleProbe
     * can measure candidate volume separately from verification.
@@ -602,7 +608,7 @@ object Dedup {
     // per-string variant counts are C(len, <= d): the cap keeps the worst
     // row at ~41k variants (d=3, len 64 — same order as d=2, len 256)
     val maxLen = maxDist match { case 1 => 4096; case 2 => 256; case _ => 64 }
-    val s = df.select(id.as("id"), str.as("s")).filter(col("s").isNotNull)
+    val s = editIdStr(df, id, str)
     val n = length(col("s"))
     def delAt(i: Column): Column =
       concat(substr(col("s"), lit(1), i - 1), substr(col("s"), i + 1, n - i))
@@ -634,7 +640,8 @@ object Dedup {
         raise_error(concat(lit(s"editDistancePairs deletion path: string of "),
           n.cast("string"),
           lit(s" code points exceeds the $maxLen cap at maxDist=$maxDist; " +
-            "use algorithm=\"qgram\""))).cast("array<string>"))
+            (if (maxDist >= 3) "use algorithm=\"partition\""
+             else "use algorithm=\"qgram\"")))).cast("array<string>"))
       .otherwise(array_distinct(sigsRaw))
     val sigRows = s.select(col("id"), n.as("len"), explode(sigs).as("sig"))
     sigRows
@@ -677,7 +684,7 @@ object Dedup {
     */
   private def editDistancePairsPartition(df: DataFrame, id: Column,
       str: Column, maxDist: Int): DataFrame = {
-    val s = df.select(id.as("id"), str.as("s")).filter(col("s").isNotNull)
+    val s = editIdStr(df, id, str)
     verifyEditDistance(
       editDistanceCandidatesPartition(df, id, str, maxDist), s, maxDist)
   }
@@ -690,7 +697,7 @@ object Dedup {
       str: Column, maxDist: Int): DataFrame = {
     require(maxDist >= 1, s"partition path needs maxDist >= 1, got $maxDist")
     val k = maxDist + 1
-    val s = df.select(id.as("id"), str.as("s")).filter(col("s").isNotNull)
+    val s = editIdStr(df, id, str)
     val slen = length(col("s"))
     // even-partition geometry for a string of length L, 0-based segment i
     def segStart(L: Column, i: Column): Column = {
@@ -763,7 +770,7 @@ object Dedup {
     */
   def editDistancePairsNaive(df: DataFrame, id: Column, str: Column,
       maxDist: Int): DataFrame = {
-    val s = df.select(id.as("id"), str.as("s")).filter(col("s").isNotNull)
+    val s = editIdStr(df, id, str)
     s.select(col("id").as("id_a"), col("s").as("s_a"))
       .crossJoin(s.select(col("id").as("id_b"), col("s").as("s_b")))
       .filter(col("id_a") < col("id_b"))

@@ -685,9 +685,13 @@ object DtlQueries {
       """WITH lined AS (
         |  SELECT doc_id, replace(text, ' ', chr(10)) AS t2 FROM documents),
         |occ AS (
+        |  -- empty/NULL text contributes NO lines (DuckDB string_split('')
+        |  -- is [''], a phantom line the Spark op never sees; its guard
+        |  -- maps empty and NULL text to an empty line array)
         |  SELECT doc_id, generate_subscripts(parts, 1) - 1 AS p,
         |         unnest(parts) AS line
-        |  FROM (SELECT doc_id, string_split(t2, chr(10)) AS parts FROM lined)),
+        |  FROM (SELECT doc_id, string_split(t2, chr(10)) AS parts
+        |        FROM lined WHERE t2 IS NOT NULL AND t2 <> '')),
         |keyed AS (
         |  SELECT doc_id, p, lower(trim(line)) AS key
         |  FROM occ WHERE length(lower(trim(line))) > 0),
@@ -706,9 +710,12 @@ object DtlQueries {
         |  FROM occ o
         |  LEFT JOIN drops d ON o.doc_id = d.doc_id AND o.p = d.p
         |  GROUP BY o.doc_id)
-        |SELECT doc_id, clean_text, CAST(n_kept AS INTEGER) AS n_kept,
-        |       CAST(n_dropped AS INTEGER) AS n_dropped
-        |FROM rebuilt""".stripMargin,
+        |-- every doc keeps a row: empty/NULL-text docs get ('', 0, 0),
+        |-- matching the op's empty-array guard
+        |SELECT l.doc_id, coalesce(r.clean_text, '') AS clean_text,
+        |       CAST(coalesce(r.n_kept, 0) AS INTEGER) AS n_kept,
+        |       CAST(coalesce(r.n_dropped, 0) AS INTEGER) AS n_dropped
+        |FROM lined l LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
 
     // member bytes and digests straight from the source table: the tar
     // write->read chain must be byte-transparent (and UTF-8 exact)
