@@ -27,7 +27,10 @@ object DtlQueries {
   /** ONE temp dir per JVM for dtl_partitioned_export, overwritten each
     * execution (bench warmups + iterations would otherwise leak a parquet
     * tree per run) and deleted on exit. The RESULT DataFrame lazily re-reads
-    * the dir, so it cannot be deleted inline.
+    * the dir, so it cannot be deleted inline. Assumes gate executions are
+    * SEQUENTIAL within a JVM (true for Verify, Bench and the ScalaTest
+    * suites — sbt forks one JVM, suites run serially): two overlapping
+    * executions would race on the overwrite.
     */
   private lazy val partExportDir: String = sessionTempDir("dtl_part")
 
