@@ -27,26 +27,32 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+// local[32] runs 32 concurrent tasks in ONE JVM: at 8g the heavy
+// graph/join gates (triangles' wedge stage, edit_join's candidate verify)
+// spent their run-to-run variance in GC — 32g on a >=64 GiB box gives each
+// task ~1 GiB of execution-memory headroom, the same per-task budget a
+// real executor would get. The default is gated on detected physical
+// memory so smaller hosts still start; SPARK_DRIVER_MEM overrides.
+val graftHeap: String = sys.env.getOrElse("SPARK_DRIVER_MEM", {
+  val phys = java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+    case os: com.sun.management.OperatingSystemMXBean => os.getTotalMemorySize
+    case _ => 0L
+  }
+  if (phys >= 64L * 1024 * 1024 * 1024) "32g" else "8g"
+})
+
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[32] runs 32 concurrent tasks in ONE JVM: at 8g the heavy
-  // graph/join gates (triangles' wedge stage, edit_join's candidate
-  // verify) spent their run-to-run variance in GC — 32g on a >=64 GiB box
-  // gives each task ~1 GiB of execution-memory headroom, the same per-task
-  // budget a real executor would get. The default is gated on detected
-  // physical memory so smaller hosts still start: SPARK_DRIVER_MEM
-  // overrides either way.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", {
-    val phys = java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
-      case os: com.sun.management.OperatingSystemMXBean => os.getTotalMemorySize
-      case _ => 0L
-    }
-    if (phys >= 64L * 1024 * 1024 * 1024) "32g" else "8g"
-  })}",
+  s"-Xmx${graftHeap}",
   // fault the whole heap in at JVM start instead of lazily mid-query: on
   // virtualized hosts, first-touch page faults against a fragmented/THP-
   // compacting host land INSIDE GC evacuation pauses (observed: a 123 s
-  // young pause with 4 GB live on an idle 128 GiB box) and poison timings
+  // young pause with 4 GB live on an idle 128 GiB box) and poison timings.
+  // AlwaysPreTouch only touches pages COMMITTED at start, so -Xms must
+  // equal -Xmx — otherwise the heap still grows (and now pre-touches)
+  // mid-query inside the very GC pauses the flag is meant to protect
+  s"-Xms${graftHeap}",
   "-XX:+AlwaysPreTouch",
 ) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

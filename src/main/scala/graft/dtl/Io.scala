@@ -211,8 +211,7 @@ final class FilesystemExporter(outputDir: String) extends Exporter {
     * the shard count and the deterministic shuffle order.
     */
   private def exportTar(name: String, df: DataFrame,
-      opts: Map[String, Any]): Unit = {
-    if (!seen.add(name)) throw DtlError(s"duplicate export: '$name'")
+      opts: Map[String, Any]): Unit = markSeen(name) {
     val accepted = Set("key", "files", "shards", "seed")
     val unknown = opts.keySet -- accepted
     if (unknown.nonEmpty) throw DtlError(
@@ -261,10 +260,21 @@ final class FilesystemExporter(outputDir: String) extends Exporter {
     * WITH-layout writer directives (partitionBy/maxRecordsPerFile/
     * compression) and is `identity` for the plain form.
     */
+  /** Duplicate-export tracking (io.py:60 parity) that does NOT burn the
+    * name when the export is REJECTED: validation errors (bad schema for
+    * the format, bad options) throw DtlError before anything is written,
+    * and a caller that catches and retries with a fix must not hit a
+    * misleading "duplicate export".
+    */
+  private def markSeen(name: String)(write: => Unit): Unit = {
+    if (!seen.add(name)) throw DtlError(s"duplicate export: '$name'")
+    try write
+    catch { case e: DtlError => seen.remove(name); throw e }
+  }
+
   private def writeFormatted(name: String, df: DataFrame,
       configure: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =>
-        org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]): Unit = {
-    if (!seen.add(name)) throw DtlError(s"duplicate export: '$name'")
+        org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]): Unit = markSeen(name) {
     def w = configure(df.write.mode("overwrite"))
     Io.extensionOf(name) match {
       case Some("csv") =>

@@ -221,8 +221,11 @@ object WebDataset {
       val len =
         try new String(d, i, sp - i, "UTF-8").toInt
         catch { case _: NumberFormatException => return None }
-      if (len <= 0 || i + len > d.length) return None
-      // record bytes: "<len> <key>=<value>\n"
+      // record bytes: "<len> <key>=<value>\n" — len counts the WHOLE
+      // record including the length digits, the space and the trailing
+      // newline, so it must at least reach past the space (a malformed
+      // "1 x=y" would otherwise slice a negative length and throw)
+      if (len <= 0 || i + len > d.length || i + len < sp + 2) return None
       val rec = new String(d, sp + 1, i + len - sp - 2, "UTF-8")
       val eq = rec.indexOf('=')
       if (eq > 0 && rec.substring(0, eq) == key)

@@ -236,6 +236,26 @@ class IoSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/out.parquet").count() == 20000)
   }
 
+  test("a rejected export does not burn the name: retry with fixed options succeeds") {
+    val dir = java.nio.file.Files.createTempDirectory("dtl-retry").toString
+    layoutFixture(dir)
+    val df = spark.read.parquet(s"$dir/t.parquet")
+    val exporter = new FilesystemExporter(dir)
+    // tar export with a missing required option is REJECTED before writing
+    intercept[DtlError](exporter.exportTable("out.tar", df, Map("key" -> "id")))
+    // the retry with corrected options must not hit "duplicate export"
+    exporter.exportTable("out.tar",
+      df.select($"id", $"grp".cast("binary").as("grp")),
+      Map("key" -> "id", "files" -> "txt:grp"))
+    assert(new java.io.File(s"$dir/out.tar").listFiles()
+      .exists(_.getName.endsWith(".tar")))
+    // a SUCCESSFUL export still dup-errors on re-export
+    val e = intercept[DtlError](exporter.exportTable("out.tar",
+      df.select($"id", $"grp".cast("binary").as("grp")),
+      Map("key" -> "id", "files" -> "txt:grp")))
+    assert(e.getMessage.contains("duplicate export"))
+  }
+
   test("EXPORT layout options reject unknowns, bad columns, overlap and line formats") {
     val dir = java.nio.file.Files.createTempDirectory("dtl-layout-bad").toString
     layoutFixture(dir)
