@@ -30,16 +30,23 @@ val jdk17AddOpens = Seq(
 
 // local[32] runs 32 concurrent tasks in ONE JVM: at 8g the heavy
 // graph/join gates (triangles' wedge stage, edit_join's candidate verify)
-// spent their run-to-run variance in GC — 32g on a >=64 GiB box gives each
-// task ~1 GiB of execution-memory headroom, the same per-task budget a
-// real executor would get. The default is gated on detected physical
-// memory so smaller hosts still start; SPARK_DRIVER_MEM overrides.
+// spent their run-to-run variance in GC — 32g gives each task ~1 GiB of
+// execution-memory headroom, the same per-task budget a real executor
+// would get. Because -Xms now equals -Xmx with AlwaysPreTouch (below),
+// every forked JVM HARD-COMMITS its whole heap at startup — and the
+// README's determinism flow runs TWO Verify JVMs concurrently — so the
+// 32g tier is gated on >=96 GiB physical (2×32g + Spark off-heap + OS
+// headroom on the 128 GiB round box), with a 16g middle tier for 64-96
+// GiB hosts where two pre-touched 32g heaps would swap. SPARK_DRIVER_MEM
+// overrides.
 val graftHeap: String = sys.env.getOrElse("SPARK_DRIVER_MEM", {
   val phys = java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
     case os: com.sun.management.OperatingSystemMXBean => os.getTotalMemorySize
     case _ => 0L
   }
-  if (phys >= 64L * 1024 * 1024 * 1024) "32g" else "8g"
+  if (phys >= 96L * 1024 * 1024 * 1024) "32g"
+  else if (phys >= 64L * 1024 * 1024 * 1024) "16g"
+  else "8g"
 })
 
 javaOptions ++= jdk17AddOpens ++ Seq(

@@ -31,6 +31,15 @@ object Bench {
   // the host, not the query — it is discarded and rerun (bounded below),
   // and the total observed stall is disclosed in the output line.
   private val stallNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+  // sub-500 ms contention meter: oversleeps in (10 ms, 500 ms] are too
+  // small for the freeze meter's floor but, accumulated, are exactly the
+  // host-contention signature the round-7 driver anomaly hypothesized
+  // (pipe_pagerank median 12× its solo steady state with only 1.5 s of
+  // DETECTED stall across the whole run). Counted + summed separately so
+  // a per-iteration trace can attribute excess time to the host even when
+  // no single freeze crosses the discard threshold.
+  private val microStallNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val microStalls = new java.util.concurrent.atomic.AtomicLong(0L)
   private def startStallMeter(): Unit = {
     val t = new Thread(() => {
       while (true) {
@@ -40,10 +49,25 @@ object Bench {
         // 500 ms floor: far above CFS wakeup jitter under a fully loaded
         // 32-thread box, far below the observed multi-second host freezes
         if (over > 500L * 1000 * 1000) stallNanos.addAndGet(over)
+        else if (over > 10L * 1000 * 1000) {
+          microStallNanos.addAndGet(over)
+          microStalls.incrementAndGet()
+        }
       }
     }, "host-stall-meter")
     t.setDaemon(true)
     t.start()
+  }
+
+  /** Total stop-the-world GC time since JVM start, from the collector
+    * MXBeans — per-iteration deltas separate "the query allocated/GC'd"
+    * from "the host stalled us" in the iteration trace.
+    */
+  private def gcMillis(): Long = {
+    var total = 0L
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .forEach(b => total += math.max(b.getCollectionTime, 0L))
+    total
   }
 
   def main(args: Array[String]): Unit = {
@@ -76,6 +100,12 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
+      } finally {
+        // the result is fully consumed by the noop sink: drain the
+        // iterative ops' surviving result pins NOW so a 223-gate run can
+        // never accumulate block-store state across executions (Bench runs
+        // gates strictly sequentially, so no in-flight pin can be hit)
+        graft.ops.Pinned.releaseAll(): Unit
       }
 
     // SPARK_GRAFT_BENCH_ONLY=q01,pipe_triangles — dev-loop subset filter;
@@ -114,10 +144,26 @@ object Bench {
       while (raw.size < nIters && attempts < maxAttempts) {
         attempts += 1
         val s0 = stallNanos.get()
+        val m0 = microStallNanos.get()
+        val mc0 = microStalls.get()
+        val g0 = gcMillis()
         val t0 = System.nanoTime()
         val ok = exec(name, sfDir)
         val dur = (System.nanoTime() - t0) / 1e9
         val stall = (stallNanos.get() - s0) / 1e9
+        val micro = (microStallNanos.get() - m0) / 1e9
+        val microN = microStalls.get() - mc0
+        val gc = (gcMillis() - g0) / 1e3
+        // storage-memory telemetry: accumulated pinned/cached state is the
+        // round-7 anomaly's other hypothesis — a per-iteration snapshot
+        // shows whether block storage creeps across the full-surface run
+        val rddInfos = spark.sparkContext.getRDDStorageInfo
+        val storMb = rddInfos.map(_.memSize).sum / (1024 * 1024)
+        System.err.println(
+          f"[bench] $name iter $attempts: $dur%.2f s (gc $gc%.2f s, " +
+            f"stall $stall%.2f s, micro $micro%.2f s/$microN, " +
+            f"storage $storMb MB in ${rddInfos.length} rdds, " +
+            f"pins ${graft.ops.Pinned.liveCount})")
         val contaminated = stall > math.max(1.0, dur * 0.2)
         if (ok && (!contaminated || maxAttempts - attempts < nIters - raw.size))
           raw += dur
@@ -143,8 +189,10 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val hostStall = stallNanos.get() / 1e9
+    val microTotal = microStallNanos.get() / 1e9
+    val gcTotal = gcMillis() / 1e3
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"iters":$iters,"host_stall_sec":$hostStall%.1f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"iters":$iters,"host_stall_sec":$hostStall%.1f,"micro_stall_sec":$microTotal%.1f,"micro_stalls":${microStalls.get()},"gc_sec":$gcTotal%.1f,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.write(Paths.get(outPath), (line + "\n").getBytes(StandardCharsets.UTF_8))
     spark.stop()

@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.CurationQueries.queries ++
       graft.queries.SearchQueries.queries ++
       graft.queries.GenEvalQueries.queries ++
-      graft.queries.CodeDataQueries.queries
+      graft.queries.CodeDataQueries.queries ++
+      graft.queries.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,7 +33,8 @@ object SparkEntry {
       graft.queries.CurationQueries.oracle ++
       graft.queries.SearchQueries.oracle ++
       graft.queries.GenEvalQueries.oracle ++
-      graft.queries.CodeDataQueries.oracle
+      graft.queries.CodeDataQueries.oracle ++
+      graft.queries.StreamingQueries.oracle
 
   /** Queries intentionally without an oracle: none — since round 6 even
     * ROUGE-L's LCS DP is oracled, as a DuckDB recursive CTE over the DP's
@@ -88,5 +90,12 @@ object SparkEntry {
     "dtl_webdataset", "pipe_dedup_lines", "pipe_token_ids", "dtl_sketch",
     "pipe_d4_prune", "pipe_retrieval_eval", "dtl_consecutive",
     "dtl_normalize", "q23_percentiles", "pipe_dedup_simhash",
-    "pipe_contrastive_triples", "dtl_text_pipeline", "pipe_ngram_novelty")
+    "pipe_contrastive_triples", "dtl_text_pipeline", "pipe_ngram_novelty",
+    // round 8: the promotion rule applied to the round-7 DRIVER run's >1 s
+    // tail (several were n=1 singles there and 3-9× the builder's own
+    // numbers with no spread to diagnose): every gate that exceeded 1 s in
+    // BENCH_r07 now gets the 5-iteration median + spread
+    "pipe_vocab", "pipe_warc_ingest", "pipe_url_dedup", "q05_distinct",
+    "pipe_tokenizer_fertility", "q02_filter_project", "q30_json",
+    "q33_resample")
 }

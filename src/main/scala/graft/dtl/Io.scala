@@ -105,7 +105,11 @@ final class FilesystemExporter(outputDir: String) extends Exporter {
     *    FILES are disjoint key ranges and parquet/ORC row-group min/max
     *    stats (and any engine's file-level stats) skip everything outside
     *    a queried range; with `partition_by` rows are sorted within each
-    *    partition directory.
+    *    FILE of the partition directory — not directory-globally: the AQE
+    *    rebalance may split a hot partition value across tasks, whose
+    *    files then overlap in sort-key ranges (row-group min/max skipping
+    *    still applies per file, just with coarser selectivity on hot
+    *    values).
     *  - `max_records_per_file = N` — caps file size so a hot partition
     *    value cannot produce one multi-GB file (Spark's
     *    `maxRecordsPerFile` writer option).
@@ -140,11 +144,15 @@ final class FilesystemExporter(outputDir: String) extends Exporter {
         val names = s.split(',').map(_.trim).filter(_.nonEmpty).toSeq
         if (names.isEmpty) throw DtlError(
           s"EXPORT '$name': option '$k' lists no columns")
-        names.foreach { c =>
-          if (!df.columns.contains(c)) throw DtlError(
-            s"EXPORT '$name': $k column '$c' not in table (${df.columns.mkString(", ")})")
+        // Spark resolves columns case-insensitively by default, so accept
+        // the same spellings the write itself would — and hand the WRITER
+        // the table's canonical name, not the option's casing
+        names.map { c =>
+          df.columns.find(_ == c) // exact spelling wins if both exist
+            .orElse(df.columns.find(_.equalsIgnoreCase(c)))
+            .getOrElse(throw DtlError(
+              s"EXPORT '$name': $k column '$c' not in table (${df.columns.mkString(", ")})"))
         }
-        names
       case Some(other) => throw DtlError(
         s"EXPORT '$name': option '$k' expects a string of column names, got '$other'")
     }

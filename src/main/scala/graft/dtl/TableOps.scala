@@ -69,6 +69,10 @@ object TableOps {
       case Some(other) => bad(k, "TRUE or FALSE", other)
       case None => default
     }
+    /** Whether the option was given — for options whose mere PRESENCE
+      * changes behavior (e.g. edit_pairs' max_len probe skip).
+      */
+    def has(k: String): Boolean = opts.contains(k)
   }
 
   /** One registered table op: the option names it accepts (validated
@@ -144,11 +148,14 @@ object TableOps {
         threshold = a.dbl("threshold", 0.6))),
 
     "edit_pairs" -> op1(
-      Set("id", "text", "max_dist", "q"),
+      Set("id", "text", "max_dist", "q", "max_len"),
       "exact edit-distance pairs (deletion-variant/PassJoin-partition candidates) -> (id_a, id_b, dist)")(
       (df, a) => graft.ops.Dedup.editDistancePairs(df,
         col(a.str("id", "doc_id")), col(a.str("text", "text")),
-        maxDist = a.int("max_dist", 2), q = a.int("q", 3))),
+        maxDist = a.int("max_dist", 2), q = a.int("q", 3),
+        // known string-length upper bound (fixed-width keys): skips the
+        // d=3 routing probe's eager max(length) action
+        maxLenHint = if (a.has("max_len")) Some(a.int("max_len", 0)) else None)),
 
     "dedup_lines" -> op1(
       Set("id", "text", "min_doc_freq", "keep_first"),

@@ -185,6 +185,20 @@ object ImageHash {
     if (all == null) null else all.min
   }
 
+  /** Box-averaged luma grid as a grid²-dim EMBEDDING over real pixel
+    * decode — the content-derived feature vector [[graft.ops.Multimodal]]'s
+    * encoder path rides (block-mean luminance, the classical visual
+    * baseline a model encoder would replace with learned features; same
+    * exact-integer arithmetic as the hashes, so values are
+    * bit-reproducible and SQL-replayable on planted fixtures). Row-major
+    * cell order (gy·grid + gx); values are exact integer block means in
+    * [0, 255]. Null for undecodable bytes.
+    */
+  def embedGrid64(bytes: Array[Byte], grid: Int): Array[Long] = {
+    val img = decodeImage(bytes)
+    if (img == null) null else lumaGridT(img, grid, grid, 0)
+  }
+
   def dhash(bytes: Column): Column =
     GraftColumnBridge.column(ImageDhashExpr(GraftColumnBridge.expression(bytes)))
 
@@ -196,6 +210,10 @@ object ImageHash {
 
   def dhashAll(bytes: Column): Column =
     GraftColumnBridge.column(ImageDhashAllExpr(GraftColumnBridge.expression(bytes)))
+
+  def embed(bytes: Column, grid: Int = 4): Column =
+    GraftColumnBridge.column(
+      ImageEmbedExpr(GraftColumnBridge.expression(bytes), grid))
 }
 
 abstract class ImageHashExpr extends UnaryExpression with CodegenFallback {
@@ -241,5 +259,19 @@ case class ImageDhashAllExpr(child: Expression) extends ImageHashExpr {
       all.map(x => x: Any))
   }
   override protected def withNewChildInternal(newChild: Expression): ImageDhashAllExpr =
+    copy(child = newChild)
+}
+
+case class ImageEmbedExpr(child: Expression, grid: Int) extends ImageHashExpr {
+  require(grid >= 1 && grid <= 64, s"grid must be in [1, 64], got $grid")
+  override def prettyName: String = "image_embed"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(bytes: Any): Any = {
+    val g = ImageHash.embedGrid64(bytes.asInstanceOf[Array[Byte]], grid)
+    if (g == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      g.map(x => x: Any))
+  }
+  override protected def withNewChildInternal(newChild: Expression): ImageEmbedExpr =
     copy(child = newChild)
 }

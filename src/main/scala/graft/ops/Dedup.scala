@@ -502,7 +502,8 @@ object Dedup {
     */
   def editDistancePairs(df: DataFrame, id: Column, str: Column,
       maxDist: Int, q: Int = 2,
-      algorithm: String = "auto"): DataFrame = {
+      algorithm: String = "auto",
+      maxLenHint: Option[Int] = None): DataFrame = {
     require(maxDist >= 0 && q > 0, s"need maxDist >= 0, q > 0; got $maxDist, $q")
     require(Set("auto", "qgram", "deletion", "partition")(algorithm),
       s"algorithm must be auto|qgram|deletion|partition, got $algorithm")
@@ -514,9 +515,15 @@ object Dedup {
       // probe emitted ALL 1.25B possible pairs as candidates (192,630:1
       // over truth). Exactly there the deletion neighborhoods stay TINY
       // (<= C(24,3)+C(24,2)+25 = 2,325 variants/string) and selective, so
-      // auto routes short corpora to FastSS. The length probe is one
-      // bounded partial-aggregate action over the string column only.
-      (algorithm == "auto" && maxDist == 3 && {
+      // auto routes short corpora to FastSS. The routing needs max string
+      // length: `maxLenHint` (an UPPER BOUND is enough — fixed-width keys
+      // like hashes/UUIDs make it free) skips the probe entirely;
+      // otherwise ONE column-pruned max(length) aggregate runs here — an
+      // EAGER action that executes the whole upstream plan at call-build
+      // time and again at the result action when the input is uncached, so
+      // callers with a heavy upstream pipeline should pin the input or
+      // pass the hint.
+      (algorithm == "auto" && maxDist == 3 && maxLenHint.map(_ <= 24).getOrElse {
         val r = df.select(max(length(str))).head()
         !r.isNullAt(0) && r.getInt(0) <= 24
       })
@@ -1143,8 +1150,7 @@ object Dedup {
   def clustersWithRounds(pairs: DataFrame, maxIter: Int = 40,
       checkpointDir: Option[String] = None): (DataFrame, Int) = {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
-    def pin(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    def pin(df: DataFrame): DataFrame = Pinned.pin(df, checkpointDir)
 
     // large-star: every node u computes m = min(Γ(u) ∪ {u}) and re-points
     // its strictly LARGER neighbors at m. Emitted edges (v, m) satisfy
@@ -1206,6 +1212,9 @@ object Dedup {
       val nextSig = fingerprint(next)
       converged = nextSig == edgeSig &&
         next.join(edges, Seq("hi", "lo"), "left_anti").isEmpty
+      // round k−1's blocks are dead here: the anti-join above was its
+      // last reader, and `next` is already materialized
+      Pinned.release(edges)
       edges = next
       edgeSig = nextSig
       i += 1
@@ -1214,10 +1223,13 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"clusters: star contraction did not converge within $maxIter rounds " +
         "— raise maxIter (O(log n) rounds suffice for any real graph)")
-    // converged edges are stars leaf→root; roots label themselves
-    val labels = edges.select(col("hi").as("id"), col("lo").as("cluster_id"))
+    // converged edges are stars leaf→root; roots label themselves. The
+    // O(V) label frame is pinned so the converged edge frame can be
+    // released NOW (see Pinned) — the result is the call's only pin.
+    val labels = pin(edges.select(col("hi").as("id"), col("lo").as("cluster_id"))
       .union(edges.select(col("lo").as("id"), col("lo").as("cluster_id")))
-      .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
+      .groupBy("id").agg(min(col("cluster_id")).as("cluster_id")))
+    Pinned.release(edges)
     (labels, i)
   }
 

@@ -15,6 +15,14 @@ import org.apache.spark.sql.functions._
   * dir is configured, executor-local otherwise) so the logical plan stays
   * O(1) per round instead of O(iters) deep. The dangling-mass term is a
   * single-row aggregate broadcast into the update — never a driver collect.
+  *
+  * Pin lifecycle (round 8, [[Pinned]]): superseded rounds are RELEASED as
+  * soon as the next round materializes, and each operator pins its O(N)
+  * result so the edge/node work frames release at return — at most two
+  * round frames live mid-loop and exactly one frame (the result) outlives
+  * the call (PinnedSpec), instead of every round's blocks waiting on a
+  * driver GC that a long 100 TB session (or the 223-gate bench JVM with
+  * its pre-touched fixed heap) may never run.
   */
 object Graphs {
 
@@ -141,8 +149,7 @@ object Graphs {
       checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, s"need iters >= 1; got $iters")
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
-    def pin(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    def pin(df: DataFrame): DataFrame = Pinned.pin(df, checkpointDir)
     val eBySrc = pin(canonEdges(edges, src, dst).repartition(col("src")))
     val eByDst = pin(eBySrc.repartition(col("dst")))
     val nodes = pin(degreesOfCanon(eBySrc))
@@ -155,24 +162,31 @@ object Graphs {
       val araw = eBySrc.join(hubs, col("node_id") === col("src"))
         .groupBy(col("dst")).agg(sum(col("hub")).as("s"))
       val anorm = araw.agg(sum(col("s")).as("t"))
+      val prevAuths = auths
       auths = pin(nodes.select(col("node_id"))
         .join(araw, col("node_id") === col("dst"), "left")
         .crossJoin(broadcast(anorm))
         .select(col("node_id"),
           (coalesce(col("s"), lit(0.0)) / col("t")).as("auth")))
+      if (prevAuths != null) Pinned.release(prevAuths)
       // hub half-step: authorities flow back dst → src
       val hraw = eByDst.join(auths, col("node_id") === col("dst"))
         .groupBy(col("src")).agg(sum(col("auth")).as("s"))
       val hnorm = hraw.agg(sum(col("s")).as("t"))
+      val prevHubs = hubs
       hubs = pin(nodes.select(col("node_id"))
         .join(hraw, col("node_id") === col("src"), "left")
         .crossJoin(broadcast(hnorm))
         .select(col("node_id"),
           (coalesce(col("s"), lit(0.0)) / col("t")).as("hub")))
+      Pinned.release(prevHubs) // no-op on the lazy round-0 seed
     }
-    nodes.join(auths, Seq("node_id")).join(hubs, Seq("node_id"))
+    // pin the O(N) result, release every work frame (see pagerankImpl)
+    val out = pin(nodes.join(auths, Seq("node_id")).join(hubs, Seq("node_id"))
       .select(col("node_id"), col("in_deg"), col("out_deg"),
-        round(col("auth"), 6).as("auth"), round(col("hub"), 6).as("hub"))
+        round(col("auth"), 6).as("auth"), round(col("hub"), 6).as("hub")))
+    Seq(auths, hubs, nodes, eBySrc, eByDst).foreach(Pinned.release)
+    out
   }
 
   /** Exact per-node triangle count over the UNDIRECTED version of the edge
@@ -263,10 +277,10 @@ object Graphs {
     require(k >= 1 && maxRounds >= 1,
       s"need k >= 1, maxRounds >= 1; got $k, $maxRounds")
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
-    def pin(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    def pin(df: DataFrame): DataFrame = Pinned.pin(df, checkpointDir)
     val ed = pin(bidirectional(undirectedEdges(edges, src, dst)))
-    var alive = pin(ed.select(col("n").as("node_id")).distinct())
+    var alivePin = pin(ed.select(col("n").as("node_id")).distinct())
+    var alive = alivePin
     var aliveCount = alive.count()
     var round = 0
     var core: DataFrame = null
@@ -282,7 +296,12 @@ object Graphs {
       val c = next.count()
       if (c == aliveCount) core = next
       else { aliveCount = c; alive = next.select("node_id") }
+      // the superseded round's blocks are dead once `next` materialized
+      Pinned.release(alivePin)
+      alivePin = next
     }
+    // `core` IS the final pin — the call's only surviving frame
+    Pinned.release(ed)
     core
   }
 
@@ -309,8 +328,7 @@ object Graphs {
     require(iters >= 0 && damping > 0 && damping < 1,
       s"need iters >= 0, 0 < damping < 1; got $iters, $damping")
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
-    def pin(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    def pin(df: DataFrame): DataFrame = Pinned.pin(df, checkpointDir)
     val e = pin(edges
       .select(src.cast("bigint").as("src"), dst.cast("bigint").as("dst"),
         weight.cast("double").as("w"))
@@ -342,11 +360,18 @@ object Graphs {
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("inflow"), lit(0.0)) + col("dang") / n))
             .as("rank"))
+      val prev = ranks
       ranks = pin(next)
+      Pinned.release(prev)
     }
-    nodes.join(ranks, Seq("node_id"))
+    // pin the O(N) result, release every work frame (see pagerankImpl)
+    val out = pin(nodes.join(ranks, Seq("node_id"))
       .select(col("node_id"), round(col("in_w"), 6).as("in_w"),
-        round(col("out_w"), 6).as("out_w"), round(col("rank"), 6).as("rank"))
+        round(col("out_w"), 6).as("out_w"), round(col("rank"), 6).as("rank")))
+    Pinned.release(ranks)
+    Pinned.release(nodes)
+    Pinned.release(e)
+    out
   }
 
   /** Weighted co-occurrence graph from (group, item) incidence — the
@@ -410,8 +435,7 @@ object Graphs {
       iters: Int, checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, s"need iters >= 1; got $iters")
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
-    def pin(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    def pin(df: DataFrame): DataFrame = Pinned.pin(df, checkpointDir)
     val ed = pin(bidirectional(undirectedEdges(edges, src, dst))
       .repartition(col("m")))
     var labels = pin(ed.select(col("n").as("node_id")).distinct()
@@ -423,16 +447,22 @@ object Graphs {
       val next = votes.groupBy(col("n").as("node_id"))
         .agg(min(struct((col("cnt") * -1).as("nc"), col("label").as("l"))).as("mx"))
         .select(col("node_id"), col("mx.l").as("label"))
+      val prev = labels
       labels = pin(next)
+      Pinned.release(prev)
     }
     // nodes with ONLY self-loop edges never entered `ed` (no neighbors to
     // vote with) but belong to src ∪ dst — they keep their own id
     val allNodes = edges
       .select(explode(array(src.cast("bigint"), dst.cast("bigint"))).as("node_id"))
       .filter(col("node_id").isNotNull).distinct()
-    allNodes.join(labels, Seq("node_id"), "left")
+    // pin the O(N) result, release every work frame (see pagerankImpl)
+    val out = pin(allNodes.join(labels, Seq("node_id"), "left")
       .select(col("node_id"),
-        coalesce(col("label"), col("node_id")).as("label"))
+        coalesce(col("label"), col("node_id")).as("label")))
+    Pinned.release(labels)
+    Pinned.release(ed)
+    out
   }
 
   private def pagerankImpl(edges: DataFrame, src: Column, dst: Column,
@@ -441,8 +471,7 @@ object Graphs {
     require(iters >= 0 && damping > 0 && damping < 1,
       s"need iters >= 0, 0 < damping < 1; got $iters, $damping")
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
-    def pin(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    def pin(df: DataFrame): DataFrame = Pinned.pin(df, checkpointDir)
 
     // pin the canonical edge frame ONCE, pre-partitioned on src: every
     // power iteration joins the rank frame onto the edges by src, so
@@ -509,11 +538,21 @@ object Graphs {
             .as("rank"))
       // pin every round: the rank frame is referenced twice next round
       // (dangling mass + contributions), so an unpinned round would run
-      // its joins twice — the barrier is cheaper than the recompute
+      // its joins twice — the barrier is cheaper than the recompute.
+      // Round k−1's blocks are dead the moment round k materializes.
+      val prev = ranks
       ranks = pin(next)
+      Pinned.release(prev)
     }
-    nodes.join(ranks, Seq("node_id"))
+    // pin the O(N) result so every work frame (edges, nodes, final round)
+    // can be released NOW instead of lingering until a driver GC — the
+    // returned frame is the call's only surviving pin
+    val out = pin(nodes.join(ranks, Seq("node_id"))
       .select(col("node_id"), col("in_deg"), col("out_deg"),
-        round(col("rank"), 6).as("rank"))
+        round(col("rank"), 6).as("rank")))
+    Pinned.release(ranks)
+    Pinned.release(nodes)
+    Pinned.release(e)
+    out
   }
 }

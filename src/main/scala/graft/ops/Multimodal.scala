@@ -123,15 +123,39 @@ object Multimodal {
       fakeAudioDecode(media))
   }
 
-  /** STUB feature extraction: fixed-dim pseudo-embedding derived from
-    * content hashes — stands in for a vision/audio encoder. Row-local,
-    * fully codegen'd; at scale this is the shape of a GPU-batched encode
-    * (mapPartitions with batching) with the model call stubbed.
+  /** Content-hash features for media NO decoder recognizes — the
+    * deterministic fallback of [[features]] (and the historical name for
+    * it; non-image media keep this path until an audio/video feature
+    * extractor exists). Row-local, fully codegen'd, SQL-replayable.
     */
-  def fakeFeatures(media: Column, dim: Int = 16): Column =
+  def hashFeatures(media: Column, dim: Int = 16): Column =
     transform(
       sequence(lit(0), lit(dim - 1)),
       i => (pmod(xxhash64(media.getField("bytes"), i), lit(2000L)).cast("double") - 1000.0) / 1000.0)
+
+  /** REAL image embedding: full pixel decode → `grid`×`grid` block-mean
+    * luminance vector ([[graft.functions.ImageHash.embed]] — exact integer
+    * block means in [0, 255], row-major). The content-derived feature
+    * vector of the encoder path; a learned model encoder slots into the
+    * same column shape. NULL for undecodable bytes.
+    */
+  def imageFeatures(bytes: Column, grid: Int = 4): Column =
+    graft.functions.ImageHash.embed(bytes, grid)
+
+  /** Feature-extraction dispatch (the [[decode]] pattern): image mimes get
+    * the REAL pixel-decoded block-luminance embedding scaled to [-1, 1]
+    * (⌈√dim⌉ grid — pass a square dim), everything else (and undecodable
+    * image bytes) the content-hash fallback. Row-local, no shuffle.
+    */
+  def features(media: Column, dim: Int = 16): Column = {
+    val grid = math.sqrt(dim.toDouble).toInt
+    require(grid * grid == dim, s"features dim must be a square, got $dim")
+    coalesce(
+      when(media.getField("mime").startsWith("image/"),
+        transform(imageFeatures(media.getField("bytes"), grid),
+          v => (v.cast("double") - 127.5) / 127.5)),
+      hashFeatures(media, dim))
+  }
 
   /** "Resize": recompute metadata for a target box preserving aspect ratio —
     * pure arithmetic on decoded metadata (no pixel work in the stub).
@@ -159,8 +183,10 @@ object Multimodal {
   /** Partition-parallel batched encode — the exact execution shape of a
     * GPU/model encoder (PySpark's mapInPandas twin in Scala): rows stream
     * per partition, are packed into `batchSize` micro-batches, each batch
-    * goes through one (stubbed) model call, outputs stream back. Swap
-    * [[encodeBatch]] for a real inference call and nothing else changes —
+    * goes through one encoder call, outputs stream back. The encoder is
+    * CONTENT-DERIVED: decodable images embed as their pixel-decoded
+    * block-mean luminance grid (see [[encodeBatch]]); a learned model's
+    * forward pass slots into the same call and nothing else changes —
     * batching amortizes model-call overhead, partitions bound memory.
     */
   def batchedEncode(ds: Dataset[MediaRow], dim: Int = 16, batchSize: Int = 64)(
@@ -171,19 +197,58 @@ object Multimodal {
     }
   }
 
-  /** STUB model call: deterministic pseudo-features per item. A real
-    * implementation would run one forward pass over the whole batch.
+  /** The encoder call: REAL content-derived features — full pixel decode →
+    * √dim-grid block-mean luminance scaled to [-1, 1] (the classical
+    * visual-feature baseline; bit-deterministic for lossless formats) —
+    * with a content-hash fallback for bytes no JDK reader decodes (and for
+    * non-square dims, where no luma grid fits). A learned model encoder
+    * replaces this body with one forward pass over the batch.
     */
-  private def encodeBatch(batch: Seq[MediaRow], dim: Int): Seq[EncodedRow] =
+  private def encodeBatch(batch: Seq[MediaRow], dim: Int): Seq[EncodedRow] = {
+    val grid = math.sqrt(dim.toDouble).toInt
     batch.map { r =>
-      var h = 0xcbf29ce484222325L
-      r.bytes.foreach { b => h ^= b & 0xffL; h *= 0x100000001b3L }
-      val feats = Array.tabulate(dim) { i =>
-        val x = h * (2 * i + 1) + 0x9e3779b97f4a7c15L
-        ((x >>> 11).toDouble / (1L << 53).toDouble).toFloat * 2f - 1f
+      val luma = if (grid * grid == dim)
+        graft.functions.ImageHash.embedGrid64(r.bytes, grid) else null
+      if (luma != null)
+        EncodedRow(r.id, luma.map(v => ((v - 127.5) / 127.5).toFloat))
+      else {
+        var h = 0xcbf29ce484222325L
+        r.bytes.foreach { b => h ^= b & 0xffL; h *= 0x100000001b3L }
+        val feats = Array.tabulate(dim) { i =>
+          val x = h * (2 * i + 1) + 0x9e3779b97f4a7c15L
+          ((x >>> 11).toDouble / (1L << 53).toDouble).toFloat * 2f - 1f
+        }
+        EncodedRow(r.id, feats)
       }
-      EncodedRow(r.id, feats)
     }
+  }
+
+  /** Planted `grid`×`grid`-block BMP for the image-embed gate: every
+    * `cell`×`cell` block is ONE constant gray value derived from
+    * (id, block index) by the md5 hex-slice arithmetic every oracle
+    * mirrors — and BT.601 luma of gray (v,v,v) is exactly v
+    * ((299+587+114)·v / 1000), so the REAL decode + block-mean embedding
+    * of this image IS the planted value vector, SQL-reproducible from id
+    * alone. Lossless 24-bit BMP via the JDK writer.
+    */
+  def plantedGridBmp(id: Long, grid: Int = 4, cell: Int = 8): Array[Byte] = {
+    val side = grid * cell
+    val img = new java.awt.image.BufferedImage(
+      side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (gy <- 0 until grid; gx <- 0 until grid) {
+      val hex = md.digest(s"$id:${gy * grid + gx}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val v = (java.lang.Long.parseLong(hex.substring(0, 8), 16) % 256).toInt
+      val rgb = (v << 16) | (v << 8) | v
+      for (y <- gy * cell until (gy + 1) * cell;
+           x <- gx * cell until (gx + 1) * cell)
+        img.setRGB(x, y, rgb)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", baos)
+    baos.toByteArray
+  }
 
   // ---------------------------------------------------- image quality gate
 

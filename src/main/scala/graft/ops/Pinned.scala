@@ -1,0 +1,124 @@
+package graft.ops
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Explicit lifecycle for the per-round state that iterative operators pin
+  * (pagerank/HITS/k-core/LPA, star-contraction clustering, Bradley–Terry,
+  * quantized k-means): [[pin]] materializes a frame and truncates its
+  * lineage exactly like the per-op `localCheckpoint`/`checkpoint` helpers
+  * it replaces, and [[release]] frees a pinned frame's backing storage the
+  * moment the loop supersedes it.
+  *
+  * Why explicit release instead of GC: a locally-checkpointed frame holds
+  * executor block-store memory (or checkpoint files, for reliable
+  * checkpoints) until the ContextCleaner notices the wrapper is
+  * unreachable — which needs a DRIVER GC cycle. A long-lived session
+  * running hundreds of iterative queries (the driver's 221-gate bench, or
+  * a 100 TB production session) accumulates every superseded round's
+  * blocks in the meantime, and a large pre-touched heap (build.sbt's
+  * `-Xms=-Xmx` + AlwaysPreTouch) makes full GCs rare by design — the exact
+  * combination that let superseded rounds pile up unreclaimed. Each loop
+  * now releases round k−1 as soon as round k is materialized, and pins its
+  * final RESULT so the edge/node work frames can be released too: at most
+  * two round frames are ever live mid-loop (asserted in PinnedSpec via the
+  * [[highWater]] hook) and exactly one frame — the returned result —
+  * outlives the call, reclaimed by the ContextCleaner when the caller
+  * drops it (or immediately via [[release]]).
+  */
+object Pinned {
+  // pin()-produced RDDs not yet released, id → weak ref (weak so tracking
+  // never defeats the ContextCleaner for callers who just drop frames) —
+  // release() is idempotent and refuses to touch frames it did not pin, so
+  // a stray call on a lazy frame (or a double release) can never unpersist
+  // shared state
+  private val livePins = new java.util.concurrent.ConcurrentHashMap[
+    Int, java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]]]()
+  private val highWaterMark = new AtomicInteger(0)
+
+  // Spark WARNs once per unpersist of a locally-checkpointed RDD ("lineage
+  // has been truncated and cannot be recomputed") — here that is the
+  // DESIGN (released frames are dead by contract), and one WARN per round
+  // per iterative query would drown real warnings in a 221-gate run. The
+  // pinned internal RDD is always a MapPartitionsRDD, so only that logger
+  // is raised; it logs nothing else at WARN in this codebase's paths.
+  private lazy val muteUnpersistWarn: Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
+
+  /** Materialize `df` with truncated lineage: a RELIABLE checkpoint
+    * (survives executor loss — set a dir for multi-hour production runs)
+    * when `checkpointDir` is configured on the context, else executor
+    * block storage (`localCheckpoint`). The caller owns the frame and
+    * should [[release]] it once superseded.
+    */
+  def pin(df: DataFrame, checkpointDir: Option[String]): DataFrame = {
+    val out = if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    out.queryExecution.analyzed match {
+      case lr: LogicalRDD =>
+        livePins.put(lr.rdd.id, new java.lang.ref.WeakReference(lr.rdd))
+        val live = livePins.size
+        highWaterMark.updateAndGet(m => math.max(m, live)): Unit
+      case _ => ()
+    }
+    out
+  }
+
+  /** Free a [[pin]]-produced frame's backing blocks (and, for reliable
+    * checkpoints, its files). No-op on frames not produced by [[pin]] and
+    * on already-released frames, so loops can call it unconditionally on
+    * whatever variable held the previous round — including the initial
+    * lazy seed frame. The frame is UNUSABLE afterwards: lineage was
+    * truncated at pin time, so there is nothing to recompute from. Only
+    * call it once every plan referencing the frame has been materialized.
+    */
+  def release(df: DataFrame): Unit = df.queryExecution.analyzed match {
+    case lr: LogicalRDD if livePins.remove(lr.rdd.id) != null => free(lr.rdd)
+    case _ => ()
+  }
+
+  /** Drain EVERY live pin — for sequential per-query harnesses (Bench)
+    * between executions, when all returned frames are fully consumed and
+    * the JVM lives on to run hundreds more queries. NOT safe while any
+    * query is in flight (Verify runs gates concurrently — its pins are
+    * left to the JVM exit instead). Returns the number freed.
+    */
+  def releaseAll(): Int = {
+    var n = 0
+    livePins.keySet().forEach { id =>
+      val ref = livePins.remove(id)
+      if (ref != null) {
+        Option(ref.get).foreach(free)
+        n += 1
+      }
+    }
+    n
+  }
+
+  private def free(rdd: org.apache.spark.rdd.RDD[_]): Unit = {
+    muteUnpersistWarn
+    rdd.getCheckpointFile.foreach { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      try {
+        path.getFileSystem(rdd.sparkContext.hadoopConfiguration)
+          .delete(path, true)
+        ()
+      } catch { case _: java.io.IOException => () } // best-effort cleanup
+    }
+    rdd.unpersist(blocking = false): Unit
+  }
+
+  /** Pinned frames currently live across the whole JVM (test hook). */
+  def liveCount: Int = livePins.size
+
+  /** High-water mark of concurrently live pins since the last
+    * [[resetHighWater]] (test hook; JVM-global, so meaningful only when a
+    * single operator runs at a time — the spec's situation).
+    */
+  def highWater: Int = highWaterMark.get
+
+  def resetHighWater(): Unit = highWaterMark.set(livePins.size)
+}

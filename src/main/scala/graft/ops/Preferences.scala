@@ -44,8 +44,7 @@ object Preferences {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     checkpointDir.foreach(
       comparisons.sparkSession.sparkContext.setCheckpointDir)
-    def pin(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    def pin(df: DataFrame): DataFrame = graft.ops.Pinned.pin(df, checkpointDir)
 
     // one pass over the raw comparisons → per-ordered-pair win counts
     val w = pin(comparisons
@@ -70,6 +69,8 @@ object Preferences {
     // i that the si join and denominator aggregation share
     val nByJ = pin(n.repartition(col("j")))
 
+    // w fed only the construction of n — releasable once n is pinned
+    graft.ops.Pinned.release(w)
     var s = pin(wins.select(col("i"), lit(1.0).as("s")))
     for (_ <- 1 to iters) {
       val joined = nByJ
@@ -80,12 +81,17 @@ object Preferences {
       val raw = wins.join(denom, Seq("i"))
         .select(col("i"), (col("wins").cast("double") / col("den")).as("s"))
       val total = raw.agg(sum(col("s")).as("tot"))
+      val prev = s
       s = pin(raw.crossJoin(broadcast(total))
         .select(col("i"), (col("s") * nItems.toDouble / col("tot")).as("s")))
+      graft.ops.Pinned.release(prev)
     }
-    wins.join(s, Seq("i"))
+    // pin the O(items) result, release every work frame (see Pinned)
+    val out = pin(wins.join(s, Seq("i"))
       .select(col("i").as("item_id"), col("wins"), col("losses"),
-        col("n_comparisons"), round(col("s"), 6).as("strength"))
+        col("n_comparisons"), round(col("s"), 6).as("strength")))
+    Seq(s, nByJ, n).foreach(graft.ops.Pinned.release)
+    out
   }
 
   /** Best-of-n selection over scored samples — rejection sampling /

@@ -110,8 +110,7 @@ object Similarity {
     // when a dir is configured, executor-local blocks otherwise — same
     // contract as Dedup.clusters
     checkpointDir.foreach(corpus.sparkSession.sparkContext.setCheckpointDir)
-    def pin(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    def pin(df: DataFrame): DataFrame = graft.ops.Pinned.pin(df, checkpointDir)
     val q = corpus.select(id.as("vec_id"),
       transform(vec.cast("array<double>"), x => round(x * scale)).as("qv"))
     def assign(cents: DataFrame): DataFrame =
@@ -141,10 +140,17 @@ object Similarity {
       // by iters≈8) and recomputes every earlier round at the final action.
       // The checkpointed frame is tiny and stays distributed (no driver
       // collect), which also keeps k×dim unbounded-safe.
+      val prev = cents
       cents = pin(cents.join(refreshed, Seq("centroid_id"), "left")
         .select(col("centroid_id"),
           coalesce(col("new_vec"), col("centroid_vec")).as("centroid_vec")))
+      // round k−1's k-row frame is dead once round k materialized (no-op
+      // on the lazy round-0 seed) — see Pinned for why explicit release
+      graft.ops.Pinned.release(prev)
     }
+    // the returned assignment is lazy over the FINAL pinned centroid frame
+    // (the call's only surviving pin — callers may Pinned.release(cents)
+    // once both returned frames are consumed)
     (assign(cents), cents)
   }
 

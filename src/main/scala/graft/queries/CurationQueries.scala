@@ -347,7 +347,9 @@ object CurationQueries {
     // and payload fingerprints WITHOUT any tar machinery, so the whole
     // write->read path must be byte-transparent to pass
     "pipe_webdataset" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("wds_gate").toString
+      // generation-bounded scratch (round 8): the old per-execution
+      // createTempDirectory leaked one shard tree per bench iteration
+      val dir = GateScratch.dir("wds_gate")
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"),
         concat(lit("{\"id\": "), col("doc_id").cast("string"), lit("}")).as("meta"))
       graft.ops.WebDataset.writeShards(docs, col("doc_id"),

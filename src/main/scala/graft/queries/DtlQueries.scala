@@ -24,19 +24,6 @@ object DtlQueries {
   /** Session-wide embedded-Derby home for dtl_jdbc (see the gate's comment). */
   private lazy val jdbcDbDir: String = sessionTempDir("graft_jdbc")
 
-  /** ONE temp dir per JVM for dtl_partitioned_export, overwritten each
-    * execution (bench warmups + iterations would otherwise leak a parquet
-    * tree per run) and deleted on exit. The RESULT DataFrame lazily re-reads
-    * the dir, so it cannot be deleted inline. Assumes gate executions are
-    * SEQUENTIAL within a JVM (true for Verify, Bench and the ScalaTest
-    * suites — sbt forks one JVM, suites run serially): two overlapping
-    * executions would race on the overwrite.
-    */
-  private lazy val partExportDir: String = sessionTempDir("dtl_part")
-
-  /** Same lifecycle for dtl_webdataset's shard output. */
-  private lazy val wdsExportDir: String = sessionTempDir("dtl_wds")
-
   private def sessionTempDir(prefix: String): String = {
     val dir = java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
@@ -500,9 +487,9 @@ object DtlQueries {
     // md5s straight from the table, so the whole write->read path must be
     // byte-transparent to pass
     "dtl_webdataset" -> ((s, d) => {
-      // one session-wide dir, rewritten per execution (writeShards commits
-      // over prior runs; bytes are deterministic) — not a leak per bench run
-      val dir = wdsExportDir
+      // fresh generation-bounded scratch dir per execution: overlapping
+      // executions never share a path, old generations are reaped
+      val dir = GateScratch.dir("dtl_wds")
       new Engine(s).run(
         """WITH docs AS IMPORT 'documents';
           |WITH sample AS SELECT doc_id, text FROM docs;
@@ -528,7 +515,7 @@ object DtlQueries {
     // replays the aggregate from the ORIGINAL table, so the whole
     // export->discover->read path must be value-transparent to pass.
     "dtl_partitioned_export" -> ((s, d) => {
-      val dir = partExportDir
+      val dir = GateScratch.dir("dtl_part")
       new Engine(s).run(
         """WITH o AS IMPORT 'orders';
           |WITH slim AS
@@ -581,19 +568,30 @@ object DtlQueries {
       // ONE database directory per JVM, reused across bench warmups and
       // iterations: embedded Derby keeps every opened database booted for
       // the life of the JVM, so a fresh temp dir per execution leaked both
-      // /tmp disk and driver memory. Overwrite-mode rewrites the staged
-      // table in place; the dir is deleted on JVM exit.
+      // /tmp disk and driver memory. The staged TABLE, though, is unique
+      // per execution (the returned frame re-reads it lazily — an
+      // overwrite-in-place raced under concurrent executions); stale
+      // generations are dropped 4 executions later, so the window the
+      // 25-row dim survives is bounded like GateScratch dirs.
+      val gen = GateScratch.nextGen("dtl_jdbc_table")
+      val table = s"nation_g$gen"
       val url = s"jdbc:derby:$jdbcDbDir/db;create=true"
       CoreQueries.t(s, d, "nation").write.mode("overwrite")
         .option("createTableColumnTypes", "n_name VARCHAR(64)")
-        .jdbc(url, "nation", new java.util.Properties())
+        .jdbc(url, table, new java.util.Properties())
+      if (gen > 4) {
+        val c = java.sql.DriverManager.getConnection(url)
+        try { c.createStatement().execute(s"DROP TABLE nation_g${gen - 4}"): Unit }
+        catch { case _: java.sql.SQLException => () } // already dropped
+        finally c.close()
+      }
       val exporter = new InMemoryExporter
       new Engine(s).run(
-        """WITH nation AS IMPORT 'nation';
-          |WITH output AS
-          |  SELECT n_nationkey, n_name FROM nation
-          |  WHERE to_int64(n_regionkey) = 1;
-          |EXPORT output TO 'output';""".stripMargin,
+        s"""WITH nation AS IMPORT '$table';
+           |WITH output AS
+           |  SELECT n_nationkey, n_name FROM nation
+           |  WHERE to_int64(n_regionkey) = 1;
+           |EXPORT output TO 'output';""".stripMargin,
         new graft.dtl.JdbcImporter(s, url), exporter)
       exporter.results("output")
     }),

@@ -1,0 +1,53 @@
+package graft.queries
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+/** Per-execution scratch directories for gate queries that write a
+  * filesystem artifact and lazily re-read it (WebDataset shards,
+  * partitioned exports, WET fixtures).
+  *
+  * Round 7 used ONE session-wide dir per gate, overwritten each execution —
+  * safe only under the driver's sequential execution (the assumption was
+  * documented on the dirs); one concurrency change in the driver would
+  * have silently corrupted three gates. Each [[dir]] call now returns a
+  * FRESH `gen-<k>` subdir under one session-scoped parent, so overlapping
+  * executions never share a path, while growth stays bounded: only the
+  * last `keep` generations per label survive (a 5-iteration bench run
+  * holds ≤ `keep` corpus-sized trees, not one per execution), and the
+  * parent dies with the JVM.
+  *
+  * `keep` is a consumption-lifetime contract, not GC: a gate's returned
+  * frame lazily re-reads its own generation, which survives `keep`
+  * further executions of the SAME gate — ample for both the driver
+  * (consumes each result fully before re-executing) and concurrent use
+  * (overlapping executions hold distinct fresh generations).
+  */
+object GateScratch {
+  private val parents = new ConcurrentHashMap[String, java.nio.file.Path]()
+  private val gens = new ConcurrentHashMap[String, AtomicLong]()
+
+  def dir(label: String, keep: Int = 4): String = {
+    val parent = parents.computeIfAbsent(label, l => {
+      val p = java.nio.file.Files.createTempDirectory(l)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(p.toFile): Unit))
+      p
+    })
+    val gen = gens.computeIfAbsent(label, _ => new AtomicLong(0L))
+      .incrementAndGet()
+    val d = parent.resolve(s"gen-$gen")
+    java.nio.file.Files.createDirectories(d)
+    if (gen > keep)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        parent.resolve(s"gen-${gen - keep}").toFile): Unit
+    d.toString
+  }
+
+  /** Monotone per-label counter without a directory — for gates that need
+    * a unique NAME per execution inside a shared resource (the Derby
+    * database's staged table).
+    */
+  def nextGen(label: String): Long =
+    gens.computeIfAbsent(label, _ => new AtomicLong(0L)).incrementAndGet()
+}

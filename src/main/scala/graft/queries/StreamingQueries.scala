@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.EventStreams
+
+/** Structured-Streaming gates with DRIVER-side DuckDB oracles — before
+  * round 8 the stream-equals-batch claim was pinned only in
+  * EventStreamsSpec; this runs a real bounded stream through the round
+  * gate so the oracle checks it every round.
+  *
+  * Shape: the events parquet becomes a file-source stream (readStream →
+  * watermarked windowed aggregate → foreachBatch parquet sink,
+  * Trigger.AvailableNow — the run-to-completion mode for bounded
+  * backfills), and the gate returns the re-read result. Complete output
+  * mode holds all windows in state — right for a bounded gate replay; an
+  * unbounded production stream uses the same plan in append mode where
+  * the 2-hour watermark evicts finalized windows (EventStreamsSpec pins
+  * that path).
+  */
+object StreamingQueries {
+
+  /** The streaming file source lists a DIRECTORY; each sf dir ships
+    * events.parquet as a single file, so it is symlinked once per
+    * (JVM, input dir) into a session-scoped dir (no data copy).
+    */
+  private val eventsDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def eventsStreamDir(d: String): String =
+    eventsDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-events-stream")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile): Unit))
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve("events.parquet"),
+        java.nio.file.Paths.get(d, "events.parquet"))
+      dir.toString
+    })
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // hourly windowed rollup driven THROUGH the stream: same buckets as
+    // the batch q16 aggregate, so the batch SQL is the oracle verbatim
+    // (modulo the window-struct → timestamp_ntz projection)
+    "stream_hourly_rollup" -> ((s, d) => {
+      val scratch = GateScratch.dir("stream_rollup")
+      val data = s"$scratch/data"
+      val q = EventStreams.hourlyRollup(
+          EventStreams.readEvents(s, eventsStreamDir(d)))
+        .writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(data)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // LTZ window start → NTZ wall time (UTC session ⇒ identical instants
+      // to the batch NTZ normalization in CoreQueries.events); sorted so
+      // the dumped gate output is rerun-deterministic
+      s.read.parquet(data)
+        .select(col("hour_start").cast("timestamp_ntz").as("hour_ts"),
+          col("event_type"), col("n_events"),
+          round(col("sum_value"), 2).as("sum_value"))
+        .orderBy("hour_ts", "event_type")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "stream_hourly_rollup" ->
+      """SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+        | count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
+}

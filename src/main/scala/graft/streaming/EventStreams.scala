@@ -15,26 +15,39 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Schema of the events parquet (ts arrives as nanosecond long —
-    * see CoreQueries.events — and is normalized to TIMESTAMP here).
+  /** Schema of the events parquet given a `ts` physical type — the
+    * streaming file source needs a DECLARED schema (no inference), and the
+    * driver's generator has shipped `ts` as both TIMESTAMP(NANOS) (read as
+    * long under nanosAsLong) and TIMESTAMP(MICROS) (read as NTZ) across
+    * rounds, so the type is taken from a one-footer batch peek of the same
+    * dir rather than hard-coded. (Round 8: the hard-coded nanos-long
+    * assumption silently produced /1000 event times on micros files — the
+    * count-only spec never saw it; the driver-oracled stream gate did.)
     */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  def rawSchema(tsType: DataType): StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
   /** File-based event stream with a proper event-time column. `dir` must be
-    * a directory of parquet files (streaming file-source contract).
+    * a directory of parquet files (streaming file-source contract) — at
+    * least one present at call time for the schema peek.
     */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(rawSchema)
-      .parquet(dir)
-      // Watermarks require TIMESTAMP (LTZ) — TIMESTAMP_NTZ is rejected — so
-      // unlike the batch twin (CoreQueries.events, NTZ) window boundaries
-      // here follow the session timezone: run streams with
-      // spark.sql.session.timeZone=UTC (as every session in this project
-      // does) for batch-identical bucketing
-      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp)"))
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    val raw = spark.readStream.schema(rawSchema(tsType)).parquet(dir)
+    // Watermarks require TIMESTAMP (LTZ) — TIMESTAMP_NTZ is rejected — so
+    // unlike the batch twin (CoreQueries.events, NTZ) window boundaries
+    // here follow the session timezone: run streams with
+    // spark.sql.session.timeZone=UTC (as every session in this project
+    // does) for batch-identical bucketing
+    tsType match {
+      case LongType => // TIMESTAMP(NANOS) under nanosAsLong: ns → µs → LTZ
+        raw.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp)"))
+      case _ => // TIMESTAMP(MICROS): NTZ wall time reinterpreted in UTC
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
 
   /** Windowed rollup with late-data handling: 1-hour tumbling windows per
     * event type, 2-hour watermark bounds state.

@@ -859,6 +859,66 @@ object ScaleProbe {
       f"hash-route $hashHotFiles%,d (one straggler task)")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(peDir))
 
+    println(s"== WebDataset shard write -> read at 10M members ==")
+    // the tar writer under pressure (round-8 probe): 5M samples × 2 member
+    // files = 10M tar members across 64 shards, one task streaming each
+    // ~160 MB shard through the Hadoop FS API — the small-file blowup this
+    // guards against is one TAR PER TASK-PARTITION (thousands of tiny
+    // tars) or a member-per-file layout (10M filesystem objects); here the
+    // filesystem sees exactly 64 objects. Read back with the whole-tar
+    // row-local header walk and count members + checksum keys.
+    val wdsN = math.min(n / 4, 5_000_000L)
+    val wdsShards = 64
+    val wdsDocs = spark.range(wdsN).select(col("id"),
+      md5(col("id").cast("string")).as("payload"),
+      md5(concat(col("id").cast("string"), lit(":j"))).as("meta"))
+    val wdsDir = java.nio.file.Files.createTempDirectory("probe_wds").toString
+    time(f"writeShards ($wdsN%,d samples x 2 exts = ${2 * wdsN}%,d members, $wdsShards shards)") {
+      graft.ops.WebDataset.writeShards(wdsDocs, col("id"),
+        Seq("txt" -> col("payload").cast("binary"),
+          "json" -> col("meta").cast("binary")),
+        seed = "probe", nShards = wdsShards, dir = wdsDir)
+    }
+    val wdsTars = new java.io.File(wdsDir).listFiles()
+      .count(_.getName.endsWith(".tar"))
+    val wdsBack = time(f"readShards (full member scan + key checksum)") {
+      graft.ops.WebDataset.readShards(spark, s"$wdsDir/shard-*.tar")
+        .agg(count(lit(1)), sum(col("key").cast("bigint"))).head()
+    }
+    println(f"  tar files: $wdsTars (want $wdsShards); members read " +
+      f"${wdsBack.getLong(0)}%,d (want ${2 * wdsN}%,d), key sum " +
+      f"${wdsBack.getLong(1)}%,d (want ${2 * (wdsN - 1) * wdsN / 2}%,d)")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wdsDir))
+
+    println(s"== ivf_topk through the APPLY surface at 5M vectors ==")
+    // the DTL table-op path (dtl_ann's operator) at scale: 5M dim-16
+    // corpus vectors, 64 md5-seeded IVF cells, 100 queries probing 8 cells
+    // — the corpus never exchanges on assignment (row-local argmin against
+    // broadcast centroids); only the ~nProbe/64 candidate slice joins the
+    // broadcast queries.
+    val annN = math.min(n / 4, 5_000_000L)
+    val annDim = 16
+    def mdVec(idc: org.apache.spark.sql.Column, salt: String) =
+      expr(s"transform(sequence(1, $annDim), k -> " +
+        s"(cast(conv(substring(md5(concat(cast(id as string), '$salt', k)), 1, 6), 16, 10) as double) " +
+        s"/ 8388608.0) - 1.0)")
+    val annCorpus = spark.range(annN)
+      .select(col("id").as("vec_id"), mdVec(col("id"), ":v").as("embedding"))
+    val annQueries = spark.range(100)
+      .select((col("id") + annN).as("vec_id"), mdVec(col("id"), ":q").as("embedding"))
+    val annOut = time(f"APPLY 'ivf_topk' ($annN%,d vectors, C=64, nProbe=8, k=5)") {
+      new graft.dtl.Engine(spark).runSimple(
+        """WITH corpus AS IMPORT 'corpus';
+          |WITH queries AS IMPORT 'queries';
+          |WITH hits AS APPLY 'ivf_topk' TO corpus, queries
+          |  WITH (k = 5, n_centroids = 64, n_probe = 8);
+          |EXPORT hits TO 'hits';""".stripMargin,
+        Map("corpus" -> annCorpus, "queries" -> annQueries))("hits")
+        .agg(count(lit(1)), countDistinct(col("query_id"))).head()
+    }
+    println(f"  hits ${annOut.getLong(0)}%,d (want ${100 * 5}%,d = 100 queries x k), " +
+      f"queries answered ${annOut.getLong(1)}%,d")
+
     spark.stop()
   }
 }

@@ -209,6 +209,38 @@ class MediaDedupSpec extends AnyFunSuite {
       4L -> "too_few_bytes", 5L -> "undecodable"))
   }
 
+  test("image embed: real decode reproduces planted block values exactly") {
+    val id = 42L
+    val bytes = Multimodal.plantedGridBmp(id, grid = 4, cell = 8)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = (0 until 16).map { b =>
+      val hex = md.digest(s"$id:$b".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 256
+    }
+    val got = graft.functions.ImageHash.embedGrid64(bytes, 4).toSeq
+    assert(got == expected, s"embed mismatch: $got vs $expected")
+    // undecodable bytes -> null embedding
+    assert(graft.functions.ImageHash.embedGrid64("junk".getBytes, 4) == null)
+    // the features dispatch: image mime gets the scaled REAL embedding,
+    // non-image mime the hash fallback (both dim 16)
+    val df = Seq((1L, bytes)).toDF("id", "bytes")
+    val real = df.select(Multimodal.features(
+        Multimodal.asMedia(col("bytes"), lit("image/bmp"))).as("f"))
+      .head().getSeq[Double](0)
+    assert(real == expected.map(v => (v - 127.5) / 127.5))
+    val fallback = df.select(Multimodal.features(
+        Multimodal.asMedia(col("bytes"), lit("fake/x"))).as("f"))
+      .head().getSeq[Double](0)
+    assert(fallback.length == 16 && fallback != real)
+    // and the batched typed encoder rides the same real features
+    import graft.ops.Multimodal.MediaRow
+    implicit val s = spark
+    val enc = Multimodal.batchedEncode(
+      Seq(MediaRow(1L, bytes)).toDS()).collect().head
+    assert(enc.features.toSeq == expected.map(v => ((v - 127.5) / 127.5).toFloat))
+  }
+
   test("perceptual hashes reach the SQL surface") {
     graft.functions.GraftFunctions.register(spark)
     Seq((1L, png(3)))

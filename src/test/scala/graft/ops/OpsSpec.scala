@@ -777,7 +777,7 @@ class OpsSpec extends AnyFunSuite {
     val out = df.select(col("id"), media.as("m"))
       .withColumn("d", Multimodal.fakeDecode(col("m")))
       .withColumn("r", Multimodal.resizeMeta(col("d"), 256))
-      .withColumn("f", Multimodal.fakeFeatures(col("m"), dim = 8))
+      .withColumn("f", Multimodal.hashFeatures(col("m"), dim = 8))
       .withColumn("frames", Multimodal.sampleFrames(col("d"), 5))
     val comparable = out.drop("m") // raw bytes compare by identity, not value
     val rows = comparable.collect()

@@ -1,0 +1,53 @@
+package graft.queries
+
+import java.util.concurrent.Executors
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.DurationInt
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkEntry, TestSpark}
+
+/** The three gates that stage filesystem/database artifacts used to share
+  * ONE session-wide location under a documented sequential-execution
+  * assumption — correct for the driver, silently corruptible by any
+  * concurrency change. Round 8 made each execution's artifact unique
+  * (GateScratch generations; a per-execution Derby table), so overlapping
+  * executions of the same gate — and of different gates — must now agree
+  * with the sequential baseline.
+  */
+class GateConcurrencySpec extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+
+  private val gates = Seq("dtl_webdataset", "dtl_partitioned_export", "dtl_jdbc")
+
+  // order-insensitive (count, xor-of-row-hash) content fingerprint
+  private def fingerprint(name: String): (Long, Long) = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    val rowHash =
+      s"bit_xor(xxhash64(${df.columns.sorted.map(c => s"cast(`$c` as string)").mkString(", ")}))"
+    val r = df.select(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.expr(rowHash),
+        org.apache.spark.sql.functions.lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  test("webdataset/partitioned-export/jdbc gates survive concurrent execution") {
+    val baseline = gates.map(g => g -> fingerprint(g)).toMap
+    val pool = Executors.newFixedThreadPool(6)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // 2 overlapping executions per gate, all 6 in flight at once —
+      // exercises both same-gate and cross-gate interleaving
+      val runs = Future.sequence(
+        (gates ++ gates).map(g => Future(g -> fingerprint(g))))
+      val results = Await.result(runs, 10.minutes)
+      results.foreach { case (g, fp) =>
+        assert(fp == baseline(g),
+          s"$g diverged under concurrency: got $fp, sequential baseline ${baseline(g)}")
+      }
+    } finally pool.shutdown()
+  }
+}

@@ -1,0 +1,27 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class StreamingQueriesSpec extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+
+  test("stream_hourly_rollup equals the batch q16 aggregate row-for-row") {
+    val streamed = StreamingQueries.queries("stream_hourly_rollup")(spark, sf)
+    val batch = CoreQueries.queries("q16_events_hourly")(spark, sf)
+      .select(col("hour_ts"), col("event_type"),
+        col("n_events"), col("sum_value"))
+    assert(streamed.count() > 0)
+    val extra = streamed.exceptAll(batch).limit(5).collect().mkString("; ")
+    val missing = batch.exceptAll(streamed).limit(5).collect().mkString("; ")
+    assert(extra.isEmpty && missing.isEmpty,
+      s"stream and batch rollups diverge — stream-only: [$extra] batch-only: [$missing]")
+  }
+
+  test("re-execution is isolated (fresh checkpoint + output per run)") {
+    val a = StreamingQueries.queries("stream_hourly_rollup")(spark, sf).count()
+    val b = StreamingQueries.queries("stream_hourly_rollup")(spark, sf).count()
+    assert(a == b)
+  }
+}
