@@ -97,5 +97,7 @@ object SparkEntry {
     // BENCH_r07 now gets the 5-iteration median + spread
     "pipe_vocab", "pipe_warc_ingest", "pipe_url_dedup", "q05_distinct",
     "pipe_tokenizer_fertility", "q02_filter_project", "q30_json",
-    "q33_resample")
+    "q33_resample",
+    // and the round-8 streaming/embedding gates, >1 s on first contact
+    "stream_hourly_rollup", "pipe_image_embed", "stream_sessionize")
 }

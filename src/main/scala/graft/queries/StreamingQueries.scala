@@ -65,6 +65,41 @@ object StreamingQueries {
           col("event_type"), col("n_events"),
           round(col("sum_value"), 2).as("sum_value"))
         .orderBy("hour_ts", "event_type")
+    }),
+
+    // gap-based sessionization through the STATEFUL path
+    // (flatMapGroupsWithState) as a driver-oracled gate: the stream emits a
+    // session only once a LATER event of the same user proves the 30-min
+    // gap, and the trailing open session per user stays in state (the
+    // documented NoTimeout contract), so the oracle is the batch q19
+    // window sessionization MINUS each user's last session — an exact
+    // relational restatement of "closed", no tolerance anywhere
+    "stream_sessionize" -> ((s, d) => {
+      import s.implicits._
+      val scratch = GateScratch.dir("stream_sess")
+      val data = s"$scratch/data"
+      val evs = EventStreams.readEvents(s, eventsStreamDir(d))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[EventStreams.Event]
+      val q = EventStreams.sessionize(evs, gapMinutes = 30)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[EventStreams.Session],
+            _: Long) =>
+          batch.toDF().write.mode("append").parquet(data)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(data)
+        .select(col("user_id"),
+          col("session_start").cast("timestamp_ntz").as("session_start"),
+          col("session_end").cast("timestamp_ntz").as("session_end"),
+          col("n_events"),
+          round(col("sum_value"), 2).as("sum_value"))
+        .orderBy("user_id", "session_start")
     })
   )
 
@@ -72,6 +107,28 @@ object StreamingQueries {
     "stream_hourly_rollup" ->
       """SELECT date_trunc('hour', ts) AS hour_ts, event_type,
         | count(*) AS n_events, round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // the batch q19 sessionization minus each user's LAST session (the
+    // trailing open session the NoTimeout stream keeps in state)
+    "stream_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |     sess AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM marked),
+        |     s AS (
+        |  SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+        |         count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |  FROM sess GROUP BY user_id, session_id)
+        |SELECT user_id, session_start, session_end, n_events, sum_value
+        |FROM (SELECT s.*, max(session_id) OVER (PARTITION BY user_id) AS last_sid FROM s)
+        |WHERE session_id < last_sid""".stripMargin
   )
 }

@@ -24,4 +24,22 @@ class StreamingQueriesSpec extends AnyFunSuite {
     val b = StreamingQueries.queries("stream_hourly_rollup")(spark, sf).count()
     assert(a == b)
   }
+
+  test("stream_sessionize equals batch sessions minus each user's last") {
+    val streamed = StreamingQueries.queries("stream_sessionize")(spark, sf)
+    // batch q19 sessions, dropping the per-user last session (the trailing
+    // open one the NoTimeout stream keeps in state)
+    val q19 = CoreQueries.queries("q19_sessionize")(spark, sf)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val batch = q19
+      .withColumn("last_sid", max(col("session_id")).over(w))
+      .filter(col("session_id") < col("last_sid"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("sum_value"))
+    assert(streamed.count() > 0)
+    val extra = streamed.exceptAll(batch).limit(3).collect().mkString("; ")
+    val missing = batch.exceptAll(streamed).limit(3).collect().mkString("; ")
+    assert(extra.isEmpty && missing.isEmpty,
+      s"diverge — stream-only: [$extra] batch-only: [$missing]")
+  }
 }
