@@ -102,7 +102,7 @@ object Bench {
           false
       } finally {
         // the result is fully consumed by the noop sink: drain the
-        // iterative ops' surviving result pins NOW so a 223-gate run can
+        // iterative ops' surviving result pins NOW so a full-surface run can
         // never accumulate block-store state across executions (Bench runs
         // gates strictly sequentially, so no in-flight pin can be hit)
         graft.ops.Pinned.releaseAll(): Unit

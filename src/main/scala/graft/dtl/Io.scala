@@ -146,13 +146,29 @@ final class FilesystemExporter(outputDir: String) extends Exporter {
           s"EXPORT '$name': option '$k' lists no columns")
         // Spark resolves columns case-insensitively by default, so accept
         // the same spellings the write itself would — and hand the WRITER
-        // the table's canonical name, not the option's casing
-        names.map { c =>
-          df.columns.find(_ == c) // exact spelling wins if both exist
-            .orElse(df.columns.find(_.equalsIgnoreCase(c)))
-            .getOrElse(throw DtlError(
-              s"EXPORT '$name': $k column '$c' not in table (${df.columns.mkString(", ")})"))
+        // the table's canonical name, not the option's casing. Ambiguity
+        // (two case-variant columns, no exact match) and duplicates after
+        // canonicalization ('A, a' → a, a) fail loudly, like Spark's own
+        // resolver would.
+        val resolved = names.map { c =>
+          df.columns.find(_ == c).getOrElse { // exact spelling wins
+            df.columns.filter(_.equalsIgnoreCase(c)) match {
+              case Array(one) => one
+              case Array() => throw DtlError(
+                s"EXPORT '$name': $k column '$c' not in table (${df.columns.mkString(", ")})")
+              case many => throw DtlError(
+                s"EXPORT '$name': $k column '$c' is ambiguous — matches " +
+                  s"${many.sorted.mkString(", ")}")
+            }
+          }
         }
+        val dupes = resolved.groupBy(identity).collect {
+          case (c, hits) if hits.size > 1 => c
+        }
+        if (dupes.nonEmpty) throw DtlError(
+          s"EXPORT '$name': $k lists column(s) ${dupes.toSeq.sorted.mkString(", ")} " +
+            "more than once after case resolution")
+        resolved
       case Some(other) => throw DtlError(
         s"EXPORT '$name': option '$k' expects a string of column names, got '$other'")
     }

@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   * result so the edge/node work frames release at return — at most two
   * round frames live mid-loop and exactly one frame (the result) outlives
   * the call (PinnedSpec), instead of every round's blocks waiting on a
-  * driver GC that a long 100 TB session (or the 223-gate bench JVM with
+  * driver GC that a long 100 TB session (or the full-surface bench JVM with
   * its pre-touched fixed heap) may never run.
   */
 object Graphs {

@@ -90,13 +90,23 @@ object Pinned {
     var n = 0
     livePins.keySet().forEach { id =>
       val ref = livePins.remove(id)
-      if (ref != null) {
-        Option(ref.get).foreach(free)
+      // count only frames actually freed HERE — a cleared weak ref means
+      // the ContextCleaner already reclaimed that frame
+      if (ref != null && ref.get != null) {
+        free(ref.get)
         n += 1
       }
     }
     n
   }
+
+  // drop entries whose RDD the ContextCleaner already reclaimed, so the
+  // telemetry counters never report phantom pins in sessions that drop
+  // frames without calling release (Verify's concurrent pool)
+  private def purgeCleared(): Unit =
+    livePins.forEach { (id, ref) =>
+      if (ref.get == null) livePins.remove(id, ref): Unit
+    }
 
   private def free(rdd: org.apache.spark.rdd.RDD[_]): Unit = {
     muteUnpersistWarn
@@ -112,7 +122,7 @@ object Pinned {
   }
 
   /** Pinned frames currently live across the whole JVM (test hook). */
-  def liveCount: Int = livePins.size
+  def liveCount: Int = { purgeCleared(); livePins.size }
 
   /** High-water mark of concurrently live pins since the last
     * [[resetHighWater]] (test hook; JVM-global, so meaningful only when a
@@ -120,5 +130,5 @@ object Pinned {
     */
   def highWater: Int = highWaterMark.get
 
-  def resetHighWater(): Unit = highWaterMark.set(livePins.size)
+  def resetHighWater(): Unit = highWaterMark.set(liveCount)
 }

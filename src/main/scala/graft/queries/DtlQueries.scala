@@ -22,14 +22,8 @@ object DtlQueries {
     " \u201CQuoted\u2014text\u201D\u2026 and\u00A0more \u2018x\u2019 \u200Bend"
 
   /** Session-wide embedded-Derby home for dtl_jdbc (see the gate's comment). */
-  private lazy val jdbcDbDir: String = sessionTempDir("graft_jdbc")
+  private lazy val jdbcDbDir: String = GateScratch.tempDir("graft_jdbc").toString
 
-  private def sessionTempDir(prefix: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile): Unit))
-    dir.toString
-  }
 
   private def run(s: SparkSession, dir: String, source: String): DataFrame = {
     val exporter = new InMemoryExporter

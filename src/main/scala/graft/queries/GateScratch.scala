@@ -26,14 +26,34 @@ import java.util.concurrent.atomic.AtomicLong
 object GateScratch {
   private val parents = new ConcurrentHashMap[String, java.nio.file.Path]()
   private val gens = new ConcurrentHashMap[String, AtomicLong]()
+  private val sessionDirs = new ConcurrentHashMap[String, String]()
+
+  /** A temp dir deleted at JVM exit — the one copy of the
+    * createTempDirectory + shutdown-hook pattern every gate fixture used
+    * to hand-roll.
+    */
+  def tempDir(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(p.toFile): Unit))
+    p
+  }
+
+  /** ONE session-scoped dir per `key`, built at most once per JVM by
+    * `init` (computeIfAbsent serializes concurrent builders on the key)
+    * and deleted at exit — the memoized fixture pattern (WET fixture,
+    * events stream-source symlink).
+    */
+  def sessionDir(key: String, prefix: String)(
+      init: java.nio.file.Path => Unit): String =
+    sessionDirs.computeIfAbsent(key, _ => {
+      val p = tempDir(prefix)
+      init(p)
+      p.toString
+    })
 
   def dir(label: String, keep: Int = 4): String = {
-    val parent = parents.computeIfAbsent(label, l => {
-      val p = java.nio.file.Files.createTempDirectory(l)
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        org.apache.commons.io.FileUtils.deleteQuietly(p.toFile): Unit))
-      p
-    })
+    val parent = parents.computeIfAbsent(label, tempDir(_))
     val gen = gens.computeIfAbsent(label, _ => new AtomicLong(0L))
       .incrementAndGet()
     val d = parent.resolve(s"gen-$gen")

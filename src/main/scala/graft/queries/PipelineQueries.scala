@@ -28,13 +28,8 @@ object PipelineQueries {
     * JVM. Executor-local writes are the right shape for a LOCAL fixture;
     * a cluster fixture would target shared storage.
     */
-  private val wetFixtures =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def wetFixture(s: SparkSession, d: String): String =
-    wetFixtures.computeIfAbsent(d, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-wet-gate")
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile): Unit))
+    GateScratch.sessionDir(s"wet-gate:$d", "graft-wet-gate") { dir =>
       val dirStr = dir.toString
       t(s, d, "documents").select(col("doc_id"), col("text"))
         .withColumn("half", (col("doc_id") % 2).cast("int"))
@@ -67,8 +62,7 @@ object PipelineQueries {
               java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
           }
         }
-      dirStr
-    })
+    }
 
   /** Fixed merge table for the pipe_bpe gates — what [[graft.ops.Bpe.train]]
     * learns on the sf0.01 documents at nMerges = 8 (includes the chained

@@ -26,18 +26,12 @@ object StreamingQueries {
     * events.parquet as a single file, so it is symlinked once per
     * (JVM, input dir) into a session-scoped dir (no data copy).
     */
-  private val eventsDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def eventsStreamDir(d: String): String =
-    eventsDirs.computeIfAbsent(d, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-events-stream")
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile): Unit))
+    GateScratch.sessionDir(s"events-stream:$d", "graft-events-stream") { dir =>
       java.nio.file.Files.createSymbolicLink(
         dir.resolve("events.parquet"),
-        java.nio.file.Paths.get(d, "events.parquet"))
-      dir.toString
-    })
+        java.nio.file.Paths.get(d, "events.parquet")): Unit
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // hourly windowed rollup driven THROUGH the stream: same buckets as

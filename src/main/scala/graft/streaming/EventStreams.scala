@@ -288,8 +288,12 @@ object EventStreams {
     * differently). Caught by the round-8 driver-oracled gate
     * (`stream_sessionize`); the count-level spec never saw it.
     */
+  // floorDiv, not /: integer division truncates toward zero, so a
+  // pre-epoch timestamp (getTime < 0 with positive sub-second nanos)
+  // would convert sign-flipped — microsTs already floors, and the round
+  // trip must be symmetric
   private def tsMicros(t: java.sql.Timestamp): Long =
-    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
   private def microsTs(us: Long): java.sql.Timestamp = {
     val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
     t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)

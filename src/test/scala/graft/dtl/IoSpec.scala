@@ -276,5 +276,23 @@ class IoSpec extends AnyFunSuite {
       .getMessage.contains("not '.txt'"))
     assert(attempt("EXPORT t TO 'o.parquet' WITH (max_records_per_file = 0);")
       .getMessage.contains("positive integer"))
+    // case-insensitive resolution (round 8): the write itself resolves
+    // case-insensitively, so the validator accepts 'GRP' for column grp —
+    // but duplicates after canonicalization fail loudly
+    assert(attempt("EXPORT t TO 'o.parquet' WITH (partition_by = 'GRP, grp');")
+      .getMessage.contains("more than once after case resolution"))
+  }
+
+  test("EXPORT partition_by accepts case-variant spellings of a column") {
+    val dir = java.nio.file.Files.createTempDirectory("dtl-layout-ci").toString
+    layoutFixture(dir)
+    val out = java.nio.file.Files.createTempDirectory("dtl-layout-ci-out").toString
+    new Engine(spark).run(
+      """WITH t AS IMPORT 't';
+        |EXPORT t TO 'o.parquet' WITH (partition_by = 'GRP');""".stripMargin,
+      new FilesystemImporter(spark, dir), new FilesystemExporter(out))
+    // the canonical column name reached partitionBy, not the option casing
+    assert(new java.io.File(s"$out/o.parquet").listFiles()
+      .exists(f => f.getName.startsWith("grp=")))
   }
 }
