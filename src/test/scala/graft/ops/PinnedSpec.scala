@@ -68,6 +68,30 @@ class PinnedSpec extends AnyFunSuite {
     assert((persistedIds -- before).isEmpty)
   }
 
+  test("release deletes RELIABLE checkpoint files of superseded rounds") {
+    val ckpt = java.nio.file.Files.createTempDirectory("pinned-ckpt")
+    def rddDirs: Int = {
+      val f = ckpt.toFile.listFiles()
+      if (f == null) 0
+      else f.filter(_.isDirectory).flatMap(_.listFiles())
+        .count(d => d.isDirectory && d.getName.startsWith("rdd-"))
+    }
+    val edges = (0L until 2000L).map(i => (i % 101, (i * 13) % 101))
+      .toDF("src", "dst")
+    val base = Pinned.liveCount
+    val ranks = Graphs.pagerank(edges, col("src"), col("dst"), iters = 6,
+      checkpointDir = Some(ckpt.toString))
+    assert(ranks.count() == 101)
+    // e + nodes + 6 rounds + result = 9 checkpoints were WRITTEN; all but
+    // the result's must be deleted by release (file leak otherwise — at
+    // 100 TB a multi-hour run would fill the checkpoint store)
+    assert(Pinned.liveCount - base == 1)
+    assert(rddDirs == 1, s"$rddDirs checkpoint rdd dirs survive; want 1 (the result)")
+    Pinned.release(ranks)
+    assert(rddDirs == 0, "releasing the result must delete its checkpoint files")
+    org.apache.commons.io.FileUtils.deleteQuietly(ckpt.toFile): Unit
+  }
+
   test("hits, kcore, lpa, clusters, bradleyTerry leave only their result pinned") {
     val edges = (0L until 2000L).map(i => (i % 97, (i * 7) % 97)).toDF("src", "dst")
     val base = Pinned.liveCount
