@@ -99,5 +99,6 @@ object SparkEntry {
     "pipe_tokenizer_fertility", "q02_filter_project", "q30_json",
     "q33_resample",
     // and the round-8 streaming/embedding gates, >1 s on first contact
-    "stream_hourly_rollup", "pipe_image_embed", "stream_sessionize")
+    "stream_hourly_rollup", "pipe_image_embed", "stream_sessionize",
+    "stream_fill_forward")
 }

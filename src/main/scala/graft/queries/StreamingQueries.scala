@@ -94,6 +94,35 @@ object StreamingQueries {
           col("n_events"),
           round(col("sum_value"), 2).as("sum_value"))
         .orderBy("user_id", "session_start")
+    }),
+
+    // O(keys)-state fill-forward through the stream — unlike sessionize,
+    // EVERY observation emits (its latest at-or-before non-NULL value), so
+    // the bounded single-batch replay has no trailing-state asymmetry and
+    // the batch q32 oracle applies VERBATIM; fill values are copied
+    // doubles, so the compare is exact, no rounding anywhere
+    "stream_fill_forward" -> ((s, d) => {
+      import s.implicits._
+      val scratch = GateScratch.dir("stream_ff")
+      val data = s"$scratch/data"
+      val obs = EventStreams.readEvents(s, eventsStreamDir(d))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          when(col("event_type") =!= "click", col("value")).as("value"))
+        .as[EventStreams.Obs]
+      val q = EventStreams.fillForwardStream(obs)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[EventStreams.FilledObs],
+            _: Long) =>
+          batch.toDF().write.mode("append").parquet(data)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(data)
+        .select(col("event_id"), col("user_id"), col("filled"))
+        .orderBy("event_id")
     })
   )
 
@@ -123,6 +152,15 @@ object StreamingQueries {
         |  FROM sess GROUP BY user_id, session_id)
         |SELECT user_id, session_start, session_end, n_events, sum_value
         |FROM (SELECT s.*, max(session_id) OVER (PARTITION BY user_id) AS last_sid FROM s)
-        |WHERE session_id < last_sid""".stripMargin
+        |WHERE session_id < last_sid""".stripMargin,
+
+    // the batch q32 fill-forward verbatim — every streamed observation
+    // emits, so stream and batch answer sets are identical by construction
+    "stream_fill_forward" ->
+      """SELECT event_id, user_id,
+        |  last_value(CASE WHEN event_type <> 'click' THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM events""".stripMargin
   )
 }

@@ -360,7 +360,12 @@ object EventStreams {
       .flatMapGroupsWithState[CarryState, FilledObs](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, batch: Iterator[Obs], state: GroupState[CarryState]) =>
-          val sorted = batch.toSeq.sortBy(o => (o.ts.getTime, o.event_id))
+          // tsMicros, not getTime: millisecond truncation reordered obs
+          // that share a millisecond but differ in microseconds, so a fill
+          // could pick a stale carry where the batch twin (which orders at
+          // full precision) does not — same bug class the sessionize gate
+          // caught (round 8)
+          val sorted = batch.toSeq.sortBy(o => (tsMicros(o.ts), o.event_id))
           val stateCarry = state.getOption
           // in-batch carry SEPARATE from cross-batch state: a newer state
           // must not veto fills within a late cluster that arrived together
@@ -368,7 +373,7 @@ object EventStreams {
           def newest(a: Option[CarryState], b: Option[CarryState]) =
             (a ++ b).reduceOption((x, y) => if (y.ts >= x.ts) y else x)
           val out = sorted.map { o =>
-            val t = o.ts.getTime
+            val t = tsMicros(o.ts)
             val filled = o.value match {
               case Some(v) =>
                 local = Some(CarryState(t, v)) // sorted ⇒ only advances

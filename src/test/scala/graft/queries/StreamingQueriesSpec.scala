@@ -25,6 +25,17 @@ class StreamingQueriesSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("stream_fill_forward equals the batch fill-forward row-for-row") {
+    val streamed = StreamingQueries.queries("stream_fill_forward")(spark, sf)
+    val batch = CoreQueries.queries("q32_fill_forward")(spark, sf)
+      .select(col("event_id"), col("user_id"), col("filled"))
+    assert(streamed.count() > 0)
+    val extra = streamed.exceptAll(batch).limit(3).collect().mkString("; ")
+    val missing = batch.exceptAll(streamed).limit(3).collect().mkString("; ")
+    assert(extra.isEmpty && missing.isEmpty,
+      s"diverge — stream-only: [$extra] batch-only: [$missing]")
+  }
+
   test("stream_sessionize equals batch sessions minus each user's last") {
     val streamed = StreamingQueries.queries("stream_sessionize")(spark, sf)
     // batch q19 sessions, dropping the per-user last session (the trailing
