@@ -558,9 +558,13 @@ object CurationQueries {
     // the data card at 100 TB: corpusReport with count_distinct swapped
     // for the in-pass KMV estimate and exact percentile for the histogram
     // brackets — the whole report in bounded memory, replayed in SQL
+    // sorted: the report is |slices| rows off an ObjectHashAggregate whose
+    // iteration order is JVM-instance noise — the ONE order-only entry in
+    // every determinism snapshot until round 8; sorting a 20-row frame is
+    // free and makes the full-surface rerun compare bit-identical
     "pipe_corpus_report_sketch" -> ((s, d) =>
       graft.ops.Audit.corpusReportSketched(
-        t(s, d, "documents"), col("source"), col("text"))),
+        t(s, d, "documents"), col("source"), col("text")).orderBy("slice")),
 
     // the round-4 cleaning composition as ONE chained oracle: within-doc
     // line collapse (must run FIRST — the later passes fold newlines) ->
