@@ -16,10 +16,15 @@ import org.apache.spark.sql.SparkSession
   * (override with SPARK_GRAFT_BENCH_OUT) so a log-scraping consumer never
   * depends on stdout framing at all.
   *
-  * Per query: 1 warmup at sf0.001 (JIT + codegen cache), then `BENCH_ITERS`
-  * (default 5) timed runs at the target SF. The reported figure is the
-  * MEDIAN — single-run numbers on a shared box moved ±29% round-over-round
-  * on unchanged code — and per-query min/max spread is reported alongside.
+  * Per query: 1 warmup at sf0.001 (JIT + codegen cache) and 1 at the target
+  * SF, then `BENCH_ITERS` (default 5) timed runs at the target SF, taken
+  * ROUND-ROBIN across gates (all gates' iteration 1, then 2, …) so one
+  * transient host episode cannot own a single gate's whole spread. The
+  * reported figure is the MEDIAN — single-run numbers on a shared box moved
+  * ±29% round-over-round on unchanged code — and per-query min/max spread,
+  * median process-CPU seconds, and peak host load are reported alongside:
+  * excess wall with FLAT cpu_med is host contention, inflated cpu_med is a
+  * real regression.
   */
 object Bench {
   // jHiccup-style host-freeze meter: a daemon thread naps 50 ms in a loop;
@@ -70,6 +75,36 @@ object Bench {
     total
   }
 
+  /** CPU time this PROCESS has consumed (driver + all local[N] executor
+    * threads + GC — one JVM in local mode), in nanos. The round-8 verdict's
+    * attribution gap closer: the stall/GC meters see descheduling and
+    * memory but not neighbor processes stealing cycles, which inflates
+    * wall time while this process's CPU time stays FLAT. So per iteration:
+    * flat cpu_sec + inflated wall = host contention; inflated cpu_sec = a
+    * real regression (more work executed).
+    */
+  private def procCpuNanos(): Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
+
+  /** 1-minute host load average (the /proc/loadavg first field) — records
+    * how busy the WHOLE box was around an iteration, i.e. the contention
+    * the process-local meters cannot see directly.
+    */
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+
+  // executor task CPU from the scheduler's own metrics, accumulated by a
+  // listener — the second, Spark-native CPU meter next to procCpuNanos
+  // (task CPU excludes driver-side planning and GC; a gate whose wall sits
+  // in planning shows flat task CPU but real process CPU). Listener events
+  // post asynchronously, so per-iteration deltas can bleed a few ms across
+  // the boundary — fine for 3-6x attribution questions.
+  private val taskCpuNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def main(args: Array[String]): Unit = {
     startStallMeter()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -87,6 +122,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) taskCpuNanos.addAndGet(m.executorCpuTime): Unit
+      }
+    })
 
     // The noop sink consumes fully-computed rows; a count() would let
     // Catalyst prune projected columns and skip the measured work for
@@ -125,74 +167,107 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // JVM/codegen warmup on the smallest SF so measured times are steady-state
     names.foreach { case (n, _) => exec(n, "/root/testdata/sf0.001") }
-    // median of `iters` successful runs; a failed run must not contribute its
-    // (fast) failure duration. A query with no successful run reports -1.
-    val results = names.map { case (name, nIters) =>
-      // one untimed warmup at the TARGET SF: the sf0.001 pass warms JIT and
-      // codegen but not the target-scale path (page cache for the bigger
-      // parquet, AQE's at-scale plan choices, scaled hash tables) — per-
-      // iteration traces showed the max was ALWAYS iteration 1 by 1.5-2x,
-      // i.e. warm-in, not steady-state variance
-      exec(name, sfDir)
-      // an iteration overlapping a detected host freeze (> max(1 s, 20% of
-      // its own duration) of meter-observed stall) is discarded and rerun;
-      // at the attempt cap contaminated runs are kept rather than dropped,
-      // so a genuinely-GC-bound query can never filter itself fast
-      val raw = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // one untimed warmup at the TARGET SF per gate: the sf0.001 pass warms
+    // JIT and codegen but not the target-scale path (page cache for the
+    // bigger parquet, AQE's at-scale plan choices, scaled hash tables) —
+    // per-iteration traces showed the max was ALWAYS iteration 1 by 1.5-2x,
+    // i.e. warm-in, not steady-state variance
+    names.foreach { case (n, _) => exec(n, sfDir) }
+
+    final case class GateRun(name: String, wanted: Int) {
+      val kept = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val cpuKept = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var loadMax = 0.0
       var attempts = 0
-      val maxAttempts = nIters * 2 + 1
-      while (raw.size < nIters && attempts < maxAttempts) {
-        attempts += 1
-        val s0 = stallNanos.get()
-        val m0 = microStallNanos.get()
-        val mc0 = microStalls.get()
-        val g0 = gcMillis()
-        val t0 = System.nanoTime()
-        val ok = exec(name, sfDir)
-        val dur = (System.nanoTime() - t0) / 1e9
-        val stall = (stallNanos.get() - s0) / 1e9
-        val micro = (microStallNanos.get() - m0) / 1e9
-        val microN = microStalls.get() - mc0
-        val gc = (gcMillis() - g0) / 1e3
-        // storage-memory telemetry: accumulated pinned/cached state is the
-        // round-7 anomaly's other hypothesis — a per-iteration snapshot
-        // shows whether block storage creeps across the full-surface run
-        val rddInfos = spark.sparkContext.getRDDStorageInfo
-        val storMb = rddInfos.map(_.memSize).sum / (1024 * 1024)
-        System.err.println(
-          f"[bench] $name iter $attempts: $dur%.2f s (gc $gc%.2f s, " +
-            f"stall $stall%.2f s, micro $micro%.2f s/$microN, " +
-            f"storage $storMb MB in ${rddInfos.length} rdds, " +
-            f"pins ${graft.ops.Pinned.liveCount})")
-        val contaminated = stall > math.max(1.0, dur * 0.2)
-        if (ok && (!contaminated || maxAttempts - attempts < nIters - raw.size))
-          raw += dur
-        else if (ok) System.err.println(
-          f"[bench] $name: discarded $dur%.2f s iteration ($stall%.2f s host stall), rerunning")
-      }
+      def maxAttempts: Int = wanted * 2 + 1
+      def done: Boolean = kept.size >= wanted || attempts >= maxAttempts
+    }
+    val runs = names.map { case (n, w) => GateRun(n, w) }
+    // an iteration overlapping a detected host freeze (> max(1 s, 20% of
+    // its own duration) of meter-observed stall) is discarded and rerun;
+    // at the attempt cap contaminated runs are kept rather than dropped,
+    // so a genuinely-GC-bound query can never filter itself fast
+    def iterate(g: GateRun): Unit = {
+      g.attempts += 1
+      val s0 = stallNanos.get()
+      val m0 = microStallNanos.get()
+      val mc0 = microStalls.get()
+      val g0 = gcMillis()
+      val c0 = procCpuNanos()
+      val tc0 = taskCpuNanos.get()
+      val t0 = System.nanoTime()
+      val ok = exec(g.name, sfDir)
+      val dur = (System.nanoTime() - t0) / 1e9
+      // the attribution meters (round 9): process CPU (flat under host
+      // contention, inflated by a real regression), Spark task CPU, and
+      // 1-min host load around the iteration
+      val cpu = (procCpuNanos() - c0) / 1e9
+      val taskCpu = (taskCpuNanos.get() - tc0) / 1e9
+      val load = loadAvg()
+      val stall = (stallNanos.get() - s0) / 1e9
+      val micro = (microStallNanos.get() - m0) / 1e9
+      val microN = microStalls.get() - mc0
+      val gc = (gcMillis() - g0) / 1e3
+      // storage-memory telemetry: accumulated pinned/cached state is the
+      // round-7 anomaly's other hypothesis — a per-iteration snapshot
+      // shows whether block storage creeps across the full-surface run
+      val rddInfos = spark.sparkContext.getRDDStorageInfo
+      val storMb = rddInfos.map(_.memSize).sum / (1024 * 1024)
+      System.err.println(
+        f"[bench] ${g.name} iter ${g.attempts}: $dur%.2f s (cpu $cpu%.2f s, " +
+          f"task_cpu $taskCpu%.2f s, load $load%.1f, gc $gc%.2f s, " +
+          f"stall $stall%.2f s, micro $micro%.2f s/$microN, " +
+          f"storage $storMb MB in ${rddInfos.length} rdds, " +
+          f"pins ${graft.ops.Pinned.liveCount})")
+      val contaminated = stall > math.max(1.0, dur * 0.2)
+      if (ok && (!contaminated || g.maxAttempts - g.attempts < g.wanted - g.kept.size)) {
+        g.kept += dur
+        g.cpuKept += cpu
+        g.loadMax = math.max(g.loadMax, load)
+      } else if (ok) System.err.println(
+        f"[bench] ${g.name}: discarded $dur%.2f s iteration ($stall%.2f s host stall), rerunning")
+    }
+    // ROUND-ROBIN (round 9, default): all gates' iteration 1, then
+    // iteration 2, … — a transient host episode contaminates one iteration
+    // of MANY gates (visible in the spreads, discarded by each median)
+    // instead of 3 of 5 back-to-back iterations of ONE gate (which skewed
+    // its median 3-6x in the r7/r8 driver runs).
+    // SPARK_GRAFT_BENCH_SEQUENTIAL=true restores back-to-back order for
+    // A/B-ing the harness itself.
+    val sequential =
+      sys.env.get("SPARK_GRAFT_BENCH_SEQUENTIAL").contains("true")
+    if (sequential) runs.foreach { g => while (!g.done) iterate(g) }
+    else while (runs.exists(!_.done))
+      runs.foreach { g => if (!g.done) iterate(g) }
+
+    def median(ts: Seq[Double]): Double =
+      if (ts.isEmpty) -1.0
+      else if (ts.size % 2 == 1) ts(ts.size / 2)
+      else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
+    // a failed run never contributed its (fast) failure duration; a query
+    // with no successful run reports -1
+    val results = runs.map { g =>
       // iteration order on stderr: variance diagnosis needs to see WHICH
       // run was slow (a cold first iteration vs a genuine mid-run outlier)
       System.err.println(
-        s"[bench] $name iters: ${raw.map(t => f"$t%.2f").mkString(" ")}")
-      val times = raw.sorted
-      val median =
-        if (times.isEmpty) -1.0
-        else if (times.size % 2 == 1) times(times.size / 2)
-        else (times(times.size / 2 - 1) + times(times.size / 2)) / 2.0
-      (name, median, times)
+        s"[bench] ${g.name} iters: ${g.kept.map(t => f"$t%.2f").mkString(" ")}" +
+          s" | cpu: ${g.cpuKept.map(t => f"$t%.2f").mkString(" ")}")
+      (g.name, median(g.kept.sorted.toSeq), g.kept.sorted.toSeq,
+        median(g.cpuKept.sorted.toSeq), g.loadMax)
     }
-    val qs = results.map { case (k, med, _) => "\"" + k + f"\":$med%.3f" }
+    val qs = results.map { case (k, med, _, _, _) => "\"" + k + f"\":$med%.3f" }
       .mkString("{", ",", "}")
-    val spread = results.map { case (k, _, ts) =>
+    val spread = results.map { case (k, _, ts, cpuMed, loadMax) =>
       if (ts.isEmpty) "\"" + k + "\":{\"min\":-1,\"max\":-1,\"n\":0}"
-      else "\"" + k + f"""\":{"min":${ts.min}%.3f,"max":${ts.max}%.3f,"n":${ts.size}}"""
+      else "\"" + k + f"""\":{"min":${ts.min}%.3f,"max":${ts.max}%.3f,"n":${ts.size},"cpu_med":$cpuMed%.3f,"load_max":$loadMax%.1f}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val hostStall = stallNanos.get() / 1e9
     val microTotal = microStallNanos.get() / 1e9
     val gcTotal = gcMillis() / 1e3
+    val procCpuTotal = procCpuNanos() / 1e9
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"iters":$iters,"host_stall_sec":$hostStall%.1f,"micro_stall_sec":$microTotal%.1f,"micro_stalls":${microStalls.get()},"gc_sec":$gcTotal%.1f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"iters":$iters,"host_stall_sec":$hostStall%.1f,"micro_stall_sec":$microTotal%.1f,"micro_stalls":${microStalls.get()},"gc_sec":$gcTotal%.1f,"proc_cpu_sec":$procCpuTotal%.1f,"order":"${if (sequential) "sequential" else "round_robin"}","sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.write(Paths.get(outPath), (line + "\n").getBytes(StandardCharsets.UTF_8))
     spark.stop()

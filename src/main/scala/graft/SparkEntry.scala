@@ -100,5 +100,9 @@ object SparkEntry {
     "q33_resample",
     // and the round-8 streaming/embedding gates, >1 s on first contact
     "stream_hourly_rollup", "pipe_image_embed", "stream_sessionize",
-    "stream_fill_forward")
+    "stream_fill_forward",
+    // round 9: the promotion rule applied to BENCH_r08's >1 s n=1 tail,
+    // plus the new bounded-state streaming gate (a full checkpointed
+    // streaming query — >1 s by construction)
+    "dtl_bm25", "dtl_crawl_triage", "stream_neardup")
 }

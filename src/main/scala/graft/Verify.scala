@@ -28,16 +28,26 @@ object Verify {
       else SparkEntry.queries.view.filterKeys(only.toSet).toMap
     val futures = selected.toSeq.map { case (name, fn) =>
       scala.concurrent.Future {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        // pins taken while this gate builds/executes are tagged with the
+        // gate name, so its surviving result pin is freed the moment the
+        // dump is written — gates run concurrently here, so the sequential
+        // harnesses' releaseAll() would free another query's in-flight state
+        try graft.ops.Pinned.withOwner(name) {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        }
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        finally graft.ops.Pinned.releaseOwned(name): Unit
       }
     }
     scala.concurrent.Await.result(
       scala.concurrent.Future.sequence(futures), scala.concurrent.duration.Duration.Inf)
     pool.shutdown()
+    // per-gate release must leave the JVM pin-free — a nonzero count here
+    // means some op pinned outside its owner scope (a leak Soak would hit)
+    System.err.println(s"[verify] live pins after all gates: ${graft.ops.Pinned.liveCount}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -149,10 +149,15 @@ final class FilesystemExporter(outputDir: String) extends Exporter {
         // the table's canonical name, not the option's casing. Ambiguity
         // (two case-variant columns, no exact match) and duplicates after
         // canonicalization ('A, a' → a, a) fail loudly, like Spark's own
-        // resolver would.
+        // resolver would. The fallback follows the SESSION's resolver: with
+        // spark.sql.caseSensitive=true Spark itself would reject 'GRP' for
+        // column grp, so the validator must too, not silently canonicalize.
+        val caseSensitive = df.sparkSession.conf
+          .get("spark.sql.caseSensitive", "false").toBoolean
         val resolved = names.map { c =>
           df.columns.find(_ == c).getOrElse { // exact spelling wins
-            df.columns.filter(_.equalsIgnoreCase(c)) match {
+            (if (caseSensitive) Array.empty[String]
+             else df.columns.filter(_.equalsIgnoreCase(c))) match {
               case Array(one) => one
               case Array() => throw DtlError(
                 s"EXPORT '$name': $k column '$c' not in table (${df.columns.mkString(", ")})")

@@ -291,7 +291,7 @@ object Dedup {
     * filter admits pairs just below t at the 6th decimal, which the
     * candidate-recall guarantees do not cover.
     */
-  private def verifyJaccard(candidates: DataFrame, shingled: DataFrame,
+  private[graft] def verifyJaccard(candidates: DataFrame, shingled: DataFrame,
       threshold: Double): DataFrame =
     candidates
       .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -1204,33 +1204,42 @@ object Dedup {
         least(col("id_a"), col("id_b")).as("lo"))
       .filter(col("hi") =!= col("lo"))
       .distinct())
-    var edgeSig = fingerprint(edges)
-    var i = 0
-    var converged = false
-    while (i < maxIter && !converged) {
-      val next = pin(smallStar(largeStar(edges)))
-      val nextSig = fingerprint(next)
-      converged = nextSig == edgeSig &&
-        next.join(edges, Seq("hi", "lo"), "left_anti").isEmpty
-      // round k−1's blocks are dead here: the anti-join above was its
-      // last reader, and `next` is already materialized
+    try {
+      var edgeSig = fingerprint(edges)
+      var i = 0
+      var converged = false
+      while (i < maxIter && !converged) {
+        val next = pin(smallStar(largeStar(edges)))
+        try {
+          val nextSig = fingerprint(next)
+          converged = nextSig == edgeSig &&
+            next.join(edges, Seq("hi", "lo"), "left_anti").isEmpty
+          edgeSig = nextSig
+        } catch { case t: Throwable => Pinned.release(next); throw t }
+        // round k−1's blocks are dead here: the anti-join above was its
+        // last reader, and `next` is already materialized
+        Pinned.release(edges)
+        edges = next
+        i += 1
+      }
+      // an unconverged exit would silently split real components in two
+      if (!converged) throw new IllegalStateException(
+        s"clusters: star contraction did not converge within $maxIter rounds " +
+          "— raise maxIter (O(log n) rounds suffice for any real graph)")
+      // converged edges are stars leaf→root; roots label themselves. The
+      // O(V) label frame is pinned so the converged edge frame can be
+      // released NOW (see Pinned) — the result is the call's only pin.
+      val labels = pin(edges.select(col("hi").as("id"), col("lo").as("cluster_id"))
+        .union(edges.select(col("lo").as("id"), col("lo").as("cluster_id")))
+        .groupBy("id").agg(min(col("cluster_id")).as("cluster_id")))
       Pinned.release(edges)
-      edges = next
-      edgeSig = nextSig
-      i += 1
+      (labels, i)
+    } catch { case t: Throwable =>
+      // non-convergence (or a mid-round failure) must not leave the
+      // rotating edge frame pinned — release on the error path too
+      Pinned.release(edges)
+      throw t
     }
-    // an unconverged exit would silently split real components in two
-    if (!converged) throw new IllegalStateException(
-      s"clusters: star contraction did not converge within $maxIter rounds " +
-        "— raise maxIter (O(log n) rounds suffice for any real graph)")
-    // converged edges are stars leaf→root; roots label themselves. The
-    // O(V) label frame is pinned so the converged edge frame can be
-    // released NOW (see Pinned) — the result is the call's only pin.
-    val labels = pin(edges.select(col("hi").as("id"), col("lo").as("cluster_id"))
-      .union(edges.select(col("lo").as("id"), col("lo").as("cluster_id")))
-      .groupBy("id").agg(min(col("cluster_id")).as("cluster_id")))
-    Pinned.release(edges)
-    (labels, i)
   }
 
   /** Resolve duplicate clusters to representatives: for each connected

@@ -280,25 +280,34 @@ object Graphs {
     def pin(df: DataFrame): DataFrame = Pinned.pin(df, checkpointDir)
     val ed = pin(bidirectional(undirectedEdges(edges, src, dst)))
     var alivePin = pin(ed.select(col("n").as("node_id")).distinct())
-    var alive = alivePin
-    var aliveCount = alive.count()
-    var round = 0
     var core: DataFrame = null
-    while (core == null) {
-      round += 1
-      require(round <= maxRounds,
-        s"kcore: not converged after $maxRounds rounds; raise maxRounds")
-      val deg = ed
-        .join(alive.select(col("node_id").as("n")), Seq("n"))
-        .join(alive.select(col("node_id").as("m")), Seq("m"))
-        .groupBy(col("n").as("node_id")).agg(count(lit(1)).as("core_deg"))
-      val next = pin(deg.filter(col("core_deg") >= k))
-      val c = next.count()
-      if (c == aliveCount) core = next
-      else { aliveCount = c; alive = next.select("node_id") }
-      // the superseded round's blocks are dead once `next` materialized
+    try {
+      var alive = alivePin
+      var aliveCount = alive.count()
+      var round = 0
+      while (core == null) {
+        round += 1
+        require(round <= maxRounds,
+          s"kcore: not converged after $maxRounds rounds; raise maxRounds")
+        val deg = ed
+          .join(alive.select(col("node_id").as("n")), Seq("n"))
+          .join(alive.select(col("node_id").as("m")), Seq("m"))
+          .groupBy(col("n").as("node_id")).agg(count(lit(1)).as("core_deg"))
+        val next = pin(deg.filter(col("core_deg") >= k))
+        val c = next.count()
+        if (c == aliveCount) core = next
+        else { aliveCount = c; alive = next.select("node_id") }
+        // the superseded round's blocks are dead once `next` materialized
+        Pinned.release(alivePin)
+        alivePin = next
+      }
+    } catch { case t: Throwable =>
+      // the convergence throw (or a mid-round failure) must not leave the
+      // live work frames pinned — exactly the accumulation pin/release
+      // exists to prevent, on the error path
       Pinned.release(alivePin)
-      alivePin = next
+      Pinned.release(ed)
+      throw t
     }
     // `core` IS the final pin — the call's only surviving frame
     Pinned.release(ed)

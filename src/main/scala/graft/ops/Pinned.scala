@@ -29,25 +29,69 @@ import org.apache.spark.sql.execution.LogicalRDD
   * drops it (or immediately via [[release]]).
   */
 object Pinned {
-  // pin()-produced RDDs not yet released, id → weak ref (weak so tracking
-  // never defeats the ContextCleaner for callers who just drop frames) —
-  // release() is idempotent and refuses to touch frames it did not pin, so
-  // a stray call on a lazy frame (or a double release) can never unpersist
-  // shared state
-  private val livePins = new java.util.concurrent.ConcurrentHashMap[
-    Int, java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]]]()
+  private final case class Pin(
+    owner: String, // null when pinned outside any withOwner scope
+    ref: java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]])
+
+  // pin()-produced RDDs not yet released, id → (owner, weak ref) (weak so
+  // tracking never defeats the ContextCleaner for callers who just drop
+  // frames) — release() is idempotent and refuses to touch frames it did
+  // not pin, so a stray call on a lazy frame (or a double release) can
+  // never unpersist shared state
+  private val livePins =
+    new java.util.concurrent.ConcurrentHashMap[Int, Pin]()
   private val highWaterMark = new AtomicInteger(0)
+
+  // Concurrent harnesses (Verify's 4-thread pool) cannot use releaseAll —
+  // it would free another in-flight query's pins — so they tag each query's
+  // pins with an owner token and release per-query on completion. A plain
+  // ThreadLocal is enough: the iterative ops run their driver-side loops on
+  // the thread that invoked the gate function (Spark actions block on it).
+  private val currentOwner = new ThreadLocal[String]
+
+  /** Run `f` with every [[pin]] taken on THIS thread tagged `owner`, so a
+    * concurrent harness can free exactly its own query's surviving pins via
+    * [[releaseOwned]] — including on error paths, where the query's work
+    * frames never reached their explicit release.
+    */
+  def withOwner[T](owner: String)(f: => T): T = {
+    val prev = currentOwner.get()
+    currentOwner.set(owner)
+    try f finally currentOwner.set(prev)
+  }
 
   // Spark WARNs once per unpersist of a locally-checkpointed RDD ("lineage
   // has been truncated and cannot be recomputed") — here that is the
   // DESIGN (released frames are dead by contract), and one WARN per round
-  // per iterative query would drown real warnings in a 221-gate run. The
-  // pinned internal RDD is always a MapPartitionsRDD, so only that logger
-  // is raised; it logs nothing else at WARN in this codebase's paths.
-  private lazy val muteUnpersistWarn: Unit =
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.MapPartitionsRDD",
-      org.apache.logging.log4j.Level.ERROR)
+  // per iterative query would drown real warnings in a 225-gate run. Muted
+  // by MESSAGE (a DENY RegexFilter on the MapPartitionsRDD logger), not by
+  // raising the logger's level: a blanket level change would also swallow
+  // unrelated future WARNs from that class (e.g. block-removal failures).
+  private lazy val muteUnpersistWarn: Unit = {
+    import org.apache.logging.log4j.core.Filter.Result
+    org.apache.logging.log4j.LogManager.getContext(false) match {
+      case ctx: org.apache.logging.log4j.core.LoggerContext =>
+        val cfg = ctx.getConfiguration
+        val name = "org.apache.spark.rdd.MapPartitionsRDD"
+        val filter = org.apache.logging.log4j.core.filter.RegexFilter
+          .createFilter("(?s).*truncated and cannot be recomputed.*",
+            null, java.lang.Boolean.FALSE, Result.DENY, Result.NEUTRAL)
+        val existing = cfg.getLoggerConfig(name)
+        val lc =
+          if (existing.getName == name) existing
+          else {
+            // no config node for this logger yet: add one inheriting the
+            // effective level, additive so events still reach root appenders
+            val created = new org.apache.logging.log4j.core.config.LoggerConfig(
+              name, existing.getLevel, true)
+            cfg.addLogger(name, created)
+            created
+          }
+        lc.addFilter(filter)
+        ctx.updateLoggers()
+      case _ => () // non-core context (shaded/test harness): keep the WARNs
+    }
+  }
 
   /** Materialize `df` with truncated lineage: a RELIABLE checkpoint
     * (survives executor loss — set a dir for multi-hour production runs)
@@ -59,7 +103,8 @@ object Pinned {
     val out = if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     out.queryExecution.analyzed match {
       case lr: LogicalRDD =>
-        livePins.put(lr.rdd.id, new java.lang.ref.WeakReference(lr.rdd))
+        livePins.put(lr.rdd.id,
+          Pin(currentOwner.get(), new java.lang.ref.WeakReference(lr.rdd)))
         val live = livePins.size
         highWaterMark.updateAndGet(m => math.max(m, live)): Unit
       case _ => ()
@@ -80,21 +125,42 @@ object Pinned {
     case _ => ()
   }
 
+  /** Free every live pin taken under [[withOwner]]`(owner)` — the per-query
+    * drain for concurrent harnesses (Verify calls it after each gate's
+    * result is written, Soak between passes). Safe while OTHER queries are
+    * in flight: only this owner's pins are touched. Returns the number
+    * freed.
+    */
+  def releaseOwned(owner: String): Int = {
+    require(owner != null, "releaseOwned(null) would free untagged pins")
+    var n = 0
+    livePins.forEach { (id, pin) =>
+      if (owner == pin.owner && livePins.remove(id, pin)) {
+        val rdd = pin.ref.get
+        if (rdd != null) { free(rdd); n += 1 }
+      }
+    }
+    n
+  }
+
   /** Drain EVERY live pin — for sequential per-query harnesses (Bench)
     * between executions, when all returned frames are fully consumed and
     * the JVM lives on to run hundreds more queries. NOT safe while any
-    * query is in flight (Verify runs gates concurrently — its pins are
-    * left to the JVM exit instead). Returns the number freed.
+    * query is in flight — concurrent harnesses (Verify's 4-thread pool)
+    * use [[withOwner]] + [[releaseOwned]] instead. Returns the number
+    * freed.
     */
   def releaseAll(): Int = {
     var n = 0
     livePins.keySet().forEach { id =>
-      val ref = livePins.remove(id)
+      val pin = livePins.remove(id)
       // count only frames actually freed HERE — a cleared weak ref means
-      // the ContextCleaner already reclaimed that frame
-      if (ref != null && ref.get != null) {
-        free(ref.get)
-        n += 1
+      // the ContextCleaner already reclaimed that frame. Bind the referent
+      // ONCE: a GC between a null-check and a second get() would hand
+      // free() a null.
+      if (pin != null) {
+        val rdd = pin.ref.get
+        if (rdd != null) { free(rdd); n += 1 }
       }
     }
     n
@@ -104,8 +170,8 @@ object Pinned {
   // telemetry counters never report phantom pins in sessions that drop
   // frames without calling release (Verify's concurrent pool)
   private def purgeCleared(): Unit =
-    livePins.forEach { (id, ref) =>
-      if (ref.get == null) livePins.remove(id, ref): Unit
+    livePins.forEach { (id, pin) =>
+      if (pin.ref.get == null) livePins.remove(id, pin): Unit
     }
 
   private def free(rdd: org.apache.spark.rdd.RDD[_]): Unit = {

@@ -33,6 +33,13 @@ object StreamingQueries {
         java.nio.file.Paths.get(d, "events.parquet")): Unit
     }
 
+  private def docsStreamDir(d: String): String =
+    GateScratch.sessionDir(s"docs-stream:$d", "graft-docs-stream") { dir =>
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve("documents.parquet"),
+        java.nio.file.Paths.get(d, "documents.parquet")): Unit
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // hourly windowed rollup driven THROUGH the stream: same buckets as
     // the batch q16 aggregate, so the batch SQL is the oracle verbatim
@@ -123,6 +130,56 @@ object StreamingQueries {
       s.read.parquet(data)
         .select(col("event_id"), col("user_id"), col("filled"))
         .orderBy("event_id")
+    }),
+
+    // BOUNDED-STATE streaming near-dup (flatMapGroupsWithState with capped
+    // per-bucket signature state — the riskiest stateful path: state
+    // eviction semantics) through the round gate. The stream emits LSH
+    // candidates at a PERMISSIVE signature threshold (0.5 — the signature
+    // estimate of a true-0.8 pair is Binomial(64, ≥0.8)/64, so 0.5 sits
+    // >7σ below any true pair and never costs recall), then the gate
+    // batch-verifies candidates against the doc store with EXACT Jaccard
+    // at 0.8 — precisely the batch minhashLsh contract (candidates from
+    // banding, truth from verification), so pipe_dedup_minhash's proven
+    // exact-Jaccard oracle applies VERBATIM. maxPerBucket=4096 means no
+    // bucket overflows at gate scale: any dropped signature would surface
+    // as a missing pair, so the oracle itself polices the state cap.
+    "stream_neardup" -> ((s, d) => {
+      import s.implicits._
+      val scratch = GateScratch.dir("stream_neardup")
+      val data = s"$scratch/data"
+      val docsSchema = s.read.parquet(s"$d/documents.parquet").schema
+      val docs = s.readStream.schema(docsSchema)
+        .parquet(docsStreamDir(d))
+        .select(col("doc_id"), col("text"))
+        .as[graft.streaming.EventStreams.Doc]
+      val q = graft.streaming.EventStreams.nearDupCandidatesStream(
+          docs, shingleSize = 3, numHashes = 64, bands = 16,
+          threshold = 0.5, maxPerBucket = 4096)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[
+             graft.streaming.EventStreams.NearDupCandidate], _: Long) =>
+            batch.toDF().write.mode("append").parquet(data)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // per-band candidate stream → canonical distinct pairs → exact-
+      // Jaccard verification against the doc store (the documented batch
+      // join; stream state stores signatures, never shingle sets)
+      val candidates = s.read.parquet(data)
+        .select(least(col("doc_id"), col("matched_id")).as("id_a"),
+          greatest(col("doc_id"), col("matched_id")).as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      val shingled = CoreQueries.t(s, d, "documents")
+        .select(col("doc_id").as("id"),
+          graft.ops.TextAnalysis.shingles(col("text"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+      graft.ops.Dedup.verifyJaccard(candidates, shingled, threshold = 0.8)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -161,6 +218,14 @@ object StreamingQueries {
         |  last_value(CASE WHEN event_type <> 'click' THEN value END IGNORE NULLS)
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+
+    // pipe_dedup_minhash's exact-Jaccard pair oracle verbatim: the stream
+    // produces LSH candidates (bounded bucket state), the gate verifies
+    // with true Jaccard at 0.8 — same candidates-then-verify contract as
+    // the batch operator, same truth
+    "stream_neardup" ->
+      s"""WITH ${PipelineQueries.duckJaccardPairCtes}
+         |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM jp""".stripMargin
   )
 }

@@ -307,7 +307,10 @@ object EventStreams {
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
-          val events = batch.toSeq.sortBy(e => tsMicros(e.ts))
+          // (tsMicros, event_id) tiebreak, matching fillForwardStream: two
+          // events of one user in the same microsecond would otherwise make
+          // sum_value's float-addition order depend on shuffle arrival
+          val events = batch.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
           var open = state.getOption
           val closed = List.newBuilder[SessionState]
           for (e <- events) {

@@ -244,6 +244,34 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize orders same-microsecond events by event_id (deterministic float sum)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_tie_out")
+      .outputMode("append").start()
+    try {
+      val ts = new java.sql.Timestamp(60000L)
+      // three events in the SAME microsecond: float addition is not
+      // associative ((0.2+0.3)+0.1 == 0.6 but (0.1+0.2)+0.3 != 0.6), so
+      // without the event_id tiebreak the closed session's sum_value would
+      // depend on shuffle-arrival order. Added out of id order on purpose.
+      input.addData(
+        EventStreams.Event(3, ts, 1L, "click", 0.3),
+        EventStreams.Event(1, ts, 1L, "click", 0.1),
+        EventStreams.Event(2, ts, 1L, "click", 0.2),
+        // closes the session: > 30 min later
+        EventStreams.Event(4, new java.sql.Timestamp(60 * 60000L), 1L, "click", 9.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_tie_out").as[EventStreams.Session].collect()
+      assert(sessions.length == 1)
+      val s = sessions.head
+      assert(s.n_events == 3 && s.session_start == ts && s.session_end == ts)
+      // bit-exact: the id-order left fold, not any other association
+      assert(s.sum_value == ((0.1 + 0.2) + 0.3))
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops replays across microbatches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStreams.Event]
