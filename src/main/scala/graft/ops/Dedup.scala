@@ -90,7 +90,9 @@ object Dedup {
     // validate the seen side BEFORE spending a batch-wide job on the bloom
     // (and before the empty-batch return can mask malformed input)
     val seenAll = seenFpFrame(seenFingerprints)
-    val batchDf = if (pinBatch) batch.localCheckpoint() else batch
+    // Pinned (not a bare localCheckpoint) so harness drains free the
+    // materialized batch after the result is consumed
+    val batchDf = if (pinBatch) Pinned.pin(batch, None) else batch
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedBatchItems, fpp)
     val blob = batchDf
@@ -552,12 +554,13 @@ object Dedup {
     // recompute the grams→frequency→window pipeline once per side —
     // measured 2× end-to-end on a prefix-hot corpus. The pin is
     // (q·d+1)·n thin rows, executor-local.
-    val prefixes = grams.join(freq, Seq("g"))
+    val prefixes = Pinned.pin(grams.join(freq, Seq("g"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df").asc, col("g").asc)))
       .filter(col("rn") <= prefixLen)
-      .select(col("g"), col("id"), col("len"))
-      .localCheckpoint(false) // lazy: pin on first action, no job at build
+      .select(col("g"), col("id"), col("len")),
+      None, eager = false) // lazy: pin on first action, no job at build;
+    // registered so harness drains free it without waiting for a driver GC
     val candidates = prefixes.select(col("g"), col("id").as("id_a"), col("len").as("len_a"))
       .join(prefixes.select(col("g"), col("id").as("id_b"), col("len").as("len_b")),
         Seq("g"))

@@ -97,10 +97,16 @@ object Pinned {
     * (survives executor loss — set a dir for multi-hour production runs)
     * when `checkpointDir` is configured on the context, else executor
     * block storage (`localCheckpoint`). The caller owns the frame and
-    * should [[release]] it once superseded.
+    * should [[release]] it once superseded. `eager = false` defers
+    * materialization to the first action (for operators that must not
+    * launch jobs at frame-BUILD time) — the pin is registered either way,
+    * so harness drains free it without waiting for a driver GC.
     */
-  def pin(df: DataFrame, checkpointDir: Option[String]): DataFrame = {
-    val out = if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+  def pin(df: DataFrame, checkpointDir: Option[String],
+      eager: Boolean = true): DataFrame = {
+    val out =
+      if (checkpointDir.isDefined) df.checkpoint(eager)
+      else df.localCheckpoint(eager)
     out.queryExecution.analyzed match {
       case lr: LogicalRDD =>
         livePins.put(lr.rdd.id,
@@ -110,6 +116,22 @@ object Pinned {
       case _ => ()
     }
     out
+  }
+
+  /** Track a raw RDD persisted inside a physical operator
+    * (SegmentedRunsExec pins its sorted input) so harness drains free it
+    * like any pinned frame. Without this, a persist inside `doExecute`
+    * waits for the ContextCleaner — which needs a driver GC the pre-touched
+    * fixed heap rarely runs — the exact accumulation the whole-surface soak
+    * caught (one sorted-input cache surviving per segmented-runs
+    * execution). Unlike [[pin]] frames, these are plain persists (lineage
+    * intact), so a post-drain re-execution recomputes instead of failing.
+    */
+  def pinRdd(rdd: org.apache.spark.rdd.RDD[_]): Unit = {
+    livePins.put(rdd.id,
+      Pin(currentOwner.get(), new java.lang.ref.WeakReference(rdd)))
+    val live = livePins.size
+    highWaterMark.updateAndGet(m => math.max(m, live)): Unit
   }
 
   /** Free a [[pin]]-produced frame's backing blocks (and, for reliable

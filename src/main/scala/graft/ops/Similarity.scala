@@ -252,14 +252,16 @@ object Similarity {
       queries: DataFrame, queryId: Column, queryVec: Column,
       k: Int, nProbe: Int): DataFrame = {
     val q = queries.select(queryId.as("query_id"), queryVec.cast("array<double>").as("qv"))
-    // localCheckpoint: the probe frame feeds BOTH the collected pruning
-    // id-list and the candidate join — materializing it once avoids running
-    // the query scan + centroid argmax twice (it is small: q × nProbe rows)
-    val probes = q.crossJoin(broadcast(centroidArray(centroids)))
+    // Pinned localCheckpoint: the probe frame feeds BOTH the collected
+    // pruning id-list and the candidate join — materializing it once avoids
+    // running the query scan + centroid argmax twice (it is small:
+    // q × nProbe rows); registered so harness drains free it without
+    // waiting for a driver GC
+    val probes = Pinned.pin(q.crossJoin(broadcast(centroidArray(centroids)))
       .select(col("query_id"), col("qv"),
         explode(graft.functions.CentroidMath.nearestCentroids(col("qv"), col("cents"), nProbe))
-          .as("centroid_id"))
-      .localCheckpoint()
+          .as("centroid_id")),
+      None)
     val probeIds = probes.select("centroid_id").distinct()
       .collect().map(_.getLong(0)).sorted
     val assigned = spark.read.parquet(indexPath)

@@ -528,10 +528,11 @@ object TextAnalysis {
           struct(element_at(t, i).as("w1"),
             element_at(t, i + 1).as("w2"))))
       .otherwise(array().cast(bgType))).as("b"))
-    val pairs = bg.groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .agg(count(lit(1)).as("n_pair"))
-      .localCheckpoint(false) // referenced four times below; pin on first
-      // action (lazy: building the frame must not launch jobs)
+    val pairs = Pinned.pin(bg.groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("n_pair")),
+      None, eager = false) // referenced four times below; pin on first
+      // action (lazy: building the frame must not launch jobs); Pinned so
+      // harness drains free it without waiting for a driver GC
     val left = pairs.groupBy("w1").agg(sum("n_pair").as("n_left"))
     val right = pairs.groupBy("w2").agg(sum("n_pair").as("n_right"))
     val total = pairs.agg(sum("n_pair").as("n_total"))

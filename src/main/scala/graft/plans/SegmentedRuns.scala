@@ -76,10 +76,14 @@ case class SegmentedRunsExec(
     // nondeterministic on a real cluster), and the driver offsets from pass 1
     // must describe exactly the sequence pass 2 stamps. The .copy() is
     // required before caching — SparkPlan.execute() iterators reuse one
-    // mutable UnsafeRow per partition. The cache is released by the
-    // ContextCleaner once the result RDD is unreferenced.
+    // mutable UnsafeRow per partition. The cache is registered with Pinned
+    // so harness drains free it between executions (the ContextCleaner
+    // alone needs a driver GC — the whole-surface soak caught one sorted
+    // input surviving per execution); lineage stays intact, so a
+    // post-drain re-execution recomputes rather than fails.
     val input = child.execute().map(_.copy())
     input.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.ops.Pinned.pinRdd(input)
     val childOutput = child.output
     // canonical NaN / -0.0 so bytewise equality matches SQL `<=>`
     val keyExprs = keys.map { k =>

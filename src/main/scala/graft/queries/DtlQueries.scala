@@ -21,8 +21,11 @@ object DtlQueries {
   private val dtlNormalizePlant =
     " \u201CQuoted\u2014text\u201D\u2026 and\u00A0more \u2018x\u2019 \u200Bend"
 
-  /** Session-wide embedded-Derby home for dtl_jdbc (see the gate's comment). */
-  private lazy val jdbcDbDir: String = GateScratch.tempDir("graft_jdbc").toString
+  /** Session-wide embedded-Derby home for dtl_jdbc (see the gate's comment).
+    * `private[graft]` so the soak harness can count staged tables.
+    */
+  private[graft] lazy val jdbcDbDir: String =
+    GateScratch.tempDir("graft_jdbc").toString
 
 
   private def run(s: SparkSession, dir: String, source: String): DataFrame = {

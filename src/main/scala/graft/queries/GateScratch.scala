@@ -70,4 +70,23 @@ object GateScratch {
     */
   def nextGen(label: String): Long =
     gens.computeIfAbsent(label, _ => new AtomicLong(0L)).incrementAndGet()
+
+  /** Soak/test hook: live gen-* dirs per [[dir]] label — the generation
+    * cap's direct observable (each label must hold ≤ keep generations no
+    * matter how many times its gate has executed).
+    */
+  def liveGenerations: Map[String, Int] = {
+    val out = Map.newBuilder[String, Int]
+    parents.forEach { (label, p) =>
+      val n = Option(p.toFile.list())
+        .map(_.count(_.startsWith("gen-"))).getOrElse(0)
+      out += label -> n
+    }
+    out.result()
+  }
+
+  /** Soak/test hook: count of scratch roots (per-label parents + memoized
+    * session dirs). Flat across soak passes = no per-execution root leak.
+    */
+  def rootCount: Int = parents.size + sessionDirs.size
 }

@@ -919,6 +919,54 @@ object ScaleProbe {
     println(f"  hits ${annOut.getLong(0)}%,d (want ${100 * 5}%,d = 100 queries x k), " +
       f"queries answered ${annOut.getLong(1)}%,d")
 
+    // The stateful streaming path at scale: sessionize (flatMapGroupsWithState)
+    // over an AvailableNow replay. State is O(users), but the per-group
+    // closure buffers a user's WHOLE micro-batch (batch.toSeq) before
+    // sorting — so the real limit is the skewed user's per-micro-batch
+    // event count fitting one task's memory, probed here with one user
+    // owning 10% of the corpus (ssN/10 events in a single group, ~60 B an
+    // Event: 2M events ≈ 250 MB transient in that task at the default n).
+    // Sessions are planted exactly: 20 events a minute apart, then a
+    // 32-minute gap — every user closes ceil(k/20)−1 sessions (the trailing
+    // one stays in state by the NoTimeout contract), so the count check is
+    // exact, not statistical.
+    val ssN = math.min(n, 20_000_000L)
+    val ssUsers = 100_000L
+    val ssSkew = ssN / 10
+    println(f"== streaming sessionize at $ssN%,d events (+ skewed user with $ssSkew%,d) ==")
+    val ssDir = java.nio.file.Files.createTempDirectory("graft_ss_probe").toString
+    def ssEvents(ids: org.apache.spark.sql.DataFrame, user: Column, seq: Column) =
+      ids.select(
+        col("id").as("event_id"),
+        timestamp_seconds((seq + (seq / 20) * 31) * 60).as("ts"),
+        user.as("user_id"),
+        lit("e").as("event_type"),
+        lit(1.0).as("value"))
+    ssEvents(spark.range(ssN).toDF(), col("id") % ssUsers, col("id") / ssUsers)
+      .unionByName(ssEvents(spark.range(ssSkew).toDF(), lit(ssUsers), col("id")))
+      .coalesce(32).write.mode("overwrite").parquet(s"$ssDir/in")
+    val ssSchema = spark.read.parquet(s"$ssDir/in").schema
+    val ssClosed = new java.util.concurrent.atomic.AtomicLong(0L)
+    val ssQ = graft.streaming.EventStreams.sessionize(
+        spark.readStream.schema(ssSchema).parquet(s"$ssDir/in")
+          .as[graft.streaming.EventStreams.Event],
+        gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$ssDir/ckpt")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[graft.streaming.EventStreams.Session],
+            _: Long) => ssClosed.addAndGet(b.count()): Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    time(f"sessionize stream (AvailableNow, $ssUsers%,d+1 groups)") {
+      ssQ.awaitTermination()
+    }
+    def ssSessions(k: Long) = (k + 19) / 20 - 1
+    val ssWant = ssUsers * ssSessions(ssN / ssUsers) + ssSessions(ssSkew)
+    println(f"  closed sessions ${ssClosed.get()}%,d (want $ssWant%,d)")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ssDir))
+
     spark.stop()
   }
 }

@@ -1,0 +1,117 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Whole-surface soak: run EVERY registered gate N× in ONE JVM and assert
+  * that per-session state stays bounded between passes — the direct test of
+  * the long-session (100 TB production) posture the round-8 lifecycle work
+  * targets. The per-mechanism specs (PinnedSpec, GateConcurrencySpec)
+  * assert each lifecycle in isolation; this proves the COMPOSITION: a
+  * session that keeps executing the full surface holds flat
+  *
+  *   - live pins (0 between gates — iterative ops release work frames,
+  *     the harness drains result pins),
+  *   - executor block storage (0 MB — no superseded checkpoint blocks),
+  *   - GateScratch generations per label (≤ keep — per-execution scratch
+  *     dirs are reaped),
+  *   - Derby staged tables (≤ keep+1 — dtl_jdbc drops stale generations),
+  *   - scratch-root count (flat — no per-execution root leak).
+  *
+  * Usage: runMain graft.tools.Soak [sfDir] [passes]. Prints one summary
+  * line per pass and `soak OK`/`soak FAILED` at the end; exits 1 on any
+  * violation or gate failure.
+  */
+object Soak {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val passes = args.lift(1).map(_.toInt).getOrElse(3)
+    // trailing names (dev use) restrict the soak to those gates — for
+    // bisecting which gate a violation belongs to
+    val only = args.drop(2).toSet
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val violations = scala.collection.mutable.ArrayBuffer.empty[String]
+    val names = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only.contains(n))
+
+    // the noop sink consumes fully-computed rows (see Bench); strictly
+    // sequential execution makes the releaseAll() drain safe
+    def exec(name: String): Boolean =
+      try {
+        graft.SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        true
+      } catch {
+        case e: Throwable =>
+          violations += s"pass gate $name failed: ${e.getMessage}"
+          false
+      } finally graft.ops.Pinned.releaseAll(): Unit
+
+    def derbyStagedTables(): Int = {
+      // count only once the gate has created the database — connecting with
+      // ;create would boot an empty one and skew nothing but waste time
+      val dir = graft.queries.DtlQueries.jdbcDbDir
+      if (!new java.io.File(s"$dir/db").isDirectory) 0
+      else {
+        val c = java.sql.DriverManager.getConnection(s"jdbc:derby:$dir/db")
+        try {
+          val rs = c.createStatement().executeQuery(
+            "SELECT COUNT(*) FROM SYS.SYSTABLES " +
+              "WHERE TABLETYPE = 'T' AND TABLENAME LIKE 'NATION_G%'")
+          rs.next()
+          rs.getInt(1)
+        } finally c.close()
+      }
+    }
+
+    var rootsAfterFirstPass = -1
+    for (pass <- 1 to passes) {
+      val t0 = System.nanoTime()
+      val failed = names.count(n => !exec(n))
+      val wall = (System.nanoTime() - t0) / 1e9
+
+      val pins = graft.ops.Pinned.liveCount
+      val rddInfos = spark.sparkContext.getRDDStorageInfo
+      val storMb = rddInfos.map(_.memSize).sum / (1024 * 1024)
+      val gens = graft.queries.GateScratch.liveGenerations
+      val gensOver = gens.filter(_._2 > 4)
+      val derby = derbyStagedTables()
+      val roots = graft.queries.GateScratch.rootCount
+      if (rootsAfterFirstPass < 0) rootsAfterFirstPass = roots
+
+      println(f"[soak] pass $pass/$passes: ${names.size} gates in $wall%.1f s " +
+        f"($failed failed) | pins $pins, storage $storMb MB in " +
+        f"${rddInfos.length} rdds, scratch roots $roots, " +
+        f"max gens ${if (gens.isEmpty) 0 else gens.values.max}, " +
+        f"derby staged $derby")
+
+      if (pins != 0) violations += s"pass $pass: $pins live pins (want 0)"
+      if (storMb != 0 || rddInfos.nonEmpty) violations +=
+        s"pass $pass: $storMb MB block storage in ${rddInfos.length} rdds (want 0): " +
+          rddInfos.map(i => s"id=${i.id} '${i.name}'").mkString("; ")
+      if (gensOver.nonEmpty) violations +=
+        s"pass $pass: scratch labels over keep=4: ${gensOver.mkString(", ")}"
+      if (derby > 5) violations +=
+        s"pass $pass: $derby Derby staged tables (want <= 5)"
+      if (roots != rootsAfterFirstPass) violations +=
+        s"pass $pass: scratch-root count $roots != pass-1 count $rootsAfterFirstPass"
+    }
+    spark.stop()
+    if (violations.isEmpty) println(s"soak OK: $passes passes, flat telemetry")
+    else {
+      violations.foreach(v => println(s"soak violation: $v"))
+      println("soak FAILED")
+      sys.exit(1)
+    }
+  }
+}

@@ -92,6 +92,38 @@ class PinnedSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(ckpt.toFile): Unit
   }
 
+  test("releaseOwned frees exactly the owner's pins; error paths release work frames") {
+    val base = Pinned.liveCount
+    val mine = Pinned.withOwner("gate-a") {
+      Pinned.pin((1L to 100L).toDF("x"), None)
+    }
+    val other = Pinned.pin((1L to 50L).toDF("x"), None) // untagged
+    assert(mine.count() == 100 && other.count() == 50)
+    assert(Pinned.liveCount - base == 2)
+    assert(Pinned.releaseOwned("gate-a") == 1)
+    assert(Pinned.liveCount - base == 1,
+      "releaseOwned must not touch pins outside its owner scope")
+    assert(Pinned.releaseOwned("gate-a") == 0, "second drain must be a no-op")
+    Pinned.release(other)
+    assert(Pinned.liveCount == base)
+    // a convergence throw must not leave work frames pinned (kcore peels
+    // this 3-regular-ish graph over several rounds; maxRounds=1 forces the
+    // loud non-convergence error mid-loop)
+    val edges = (0L until 600L).flatMap(i => Seq((i, (i + 1) % 600)))
+      .toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      Graphs.kcore(edges, col("src"), col("dst"), k = 3, maxRounds = 1)
+    }
+    assert(Pinned.liveCount == base,
+      "kcore's non-convergence error leaked its work pins")
+    intercept[IllegalStateException] {
+      Dedup.clustersWithRounds(
+        (0L until 400L).map(i => (i, i + 1)).toDF("id_a", "id_b"), maxIter = 1)
+    }
+    assert(Pinned.liveCount == base,
+      "clusters' non-convergence error leaked its edge pin")
+  }
+
   test("hits, kcore, lpa, clusters, bradleyTerry leave only their result pinned") {
     val edges = (0L until 2000L).map(i => (i % 97, (i * 7) % 97)).toDF("src", "dst")
     val base = Pinned.liveCount
