@@ -108,14 +108,22 @@ object Pinned {
       if (checkpointDir.isDefined) df.checkpoint(eager)
       else df.localCheckpoint(eager)
     out.queryExecution.analyzed match {
-      case lr: LogicalRDD =>
-        livePins.put(lr.rdd.id,
-          Pin(currentOwner.get(), new java.lang.ref.WeakReference(lr.rdd)))
-        val live = livePins.size
-        highWaterMark.updateAndGet(m => math.max(m, live)): Unit
+      case lr: LogicalRDD => register(lr.rdd)
       case _ => ()
     }
     out
+  }
+
+  private def register(rdd: org.apache.spark.rdd.RDD[_]): Unit = {
+    val owner = currentOwner.get()
+    livePins.put(rdd.id, Pin(owner, new java.lang.ref.WeakReference(rdd)))
+    val live = livePins.size
+    highWaterMark.updateAndGet(m => math.max(m, live)): Unit
+    if (owner != null) {
+      val ownedLive = liveOwned(owner)
+      ownerHighWaterMarks.merge(owner, Integer.valueOf(ownedLive),
+        (a, b) => Integer.valueOf(math.max(a, b))): Unit
+    }
   }
 
   /** Track a raw RDD persisted inside a physical operator
@@ -127,12 +135,7 @@ object Pinned {
     * execution). Unlike [[pin]] frames, these are plain persists (lineage
     * intact), so a post-drain re-execution recomputes instead of failing.
     */
-  def pinRdd(rdd: org.apache.spark.rdd.RDD[_]): Unit = {
-    livePins.put(rdd.id,
-      Pin(currentOwner.get(), new java.lang.ref.WeakReference(rdd)))
-    val live = livePins.size
-    highWaterMark.updateAndGet(m => math.max(m, live)): Unit
-  }
+  def pinRdd(rdd: org.apache.spark.rdd.RDD[_]): Unit = register(rdd)
 
   /** Free a [[pin]]-produced frame's backing blocks (and, for reliable
     * checkpoints, its files). No-op on frames not produced by [[pin]] and
@@ -212,9 +215,29 @@ object Pinned {
   /** Pinned frames currently live across the whole JVM (test hook). */
   def liveCount: Int = { purgeCleared(); livePins.size }
 
+  /** Live pins tagged with `owner` — the concurrency-proof observable for
+    * specs and harnesses: other suites/queries pinning in parallel never
+    * move it.
+    */
+  def liveOwned(owner: String): Int = {
+    purgeCleared()
+    var n = 0
+    livePins.forEach { (_, pin) => if (owner == pin.owner) n += 1 }
+    n
+  }
+
+  /** Per-owner high-water of concurrently live pins (test hook) — use a
+    * fresh owner string per measurement; no reset needed.
+    */
+  def ownerHighWater(owner: String): Int =
+    ownerHighWaterMarks.getOrDefault(owner, 0)
+  private val ownerHighWaterMarks =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
   /** High-water mark of concurrently live pins since the last
     * [[resetHighWater]] (test hook; JVM-global, so meaningful only when a
-    * single operator runs at a time — the spec's situation).
+    * single operator runs at a time — prefer [[ownerHighWater]] under
+    * concurrent suites).
     */
   def highWater: Int = highWaterMark.get
 

@@ -938,11 +938,15 @@ object ScaleProbe {
     def ssEvents(ids: org.apache.spark.sql.DataFrame, user: Column, seq: Column) =
       ids.select(
         col("id").as("event_id"),
-        timestamp_seconds((seq + (seq / 20) * 31) * 60).as("ts"),
+        // INTEGER division throughout: Column./ is double division, which
+        // would smear the planted 32-minute gaps into a smooth 2.55-min
+        // ramp (no session would ever close)
+        timestamp_seconds((seq + floor(seq / 20) * 31) * 60).as("ts"),
         user.as("user_id"),
         lit("e").as("event_type"),
         lit(1.0).as("value"))
-    ssEvents(spark.range(ssN).toDF(), col("id") % ssUsers, col("id") / ssUsers)
+    ssEvents(spark.range(ssN).toDF(), col("id") % ssUsers,
+      floor(col("id") / ssUsers))
       .unionByName(ssEvents(spark.range(ssSkew).toDF(), lit(ssUsers), col("id")))
       .coalesce(32).write.mode("overwrite").parquet(s"$ssDir/in")
     val ssSchema = spark.read.parquet(s"$ssDir/in").schema

@@ -6,66 +6,78 @@ import graft.TestSpark
 
 /** Pinned-frame lifecycle: iterative ops must release superseded rounds
   * explicitly instead of waiting for a driver GC + ContextCleaner pass
-  * (with the pre-touched fixed heap, a long 221-gate session may see no
+  * (with the pre-touched fixed heap, a long 226-gate session may see no
   * full GC at all — every superseded round's blocks would pile up).
   * Asserts the invariant the round-7 verdict asked for: at most two round
   * frames live mid-loop, exactly one pin (the result) surviving each call,
   * and the block manager actually giving the memory back.
+  *
+  * All assertions are OWNER-scoped (`Pinned.withOwner` + `liveOwned` /
+  * `ownerHighWater`) or keyed on this test's own RDD ids: suites run
+  * concurrently in one shared session, and since round 9 many operators
+  * register pins (segmented runs, collocations, edit-join prefixes), so a
+  * global liveCount/persistent-RDD-set delta flakes on whatever a parallel
+  * suite happens to pin mid-assert.
   */
 class PinnedSpec extends AnyFunSuite {
   import TestSpark.spark
   import spark.implicits._
 
-  private def persistedIds: Set[Int] =
-    spark.sparkContext.getPersistentRDDs.keySet.toSet
+  /** The pin-backing RDD id of a pin()-produced frame. */
+  private def pinId(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.analyzed
+      .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD].rdd.id
+
+  private def isPersisted(id: Int): Boolean =
+    spark.sparkContext.getPersistentRDDs.contains(id)
 
   test("release frees a localCheckpoint'd frame's blocks") {
-    val before = persistedIds
     val pinned = Pinned.pin((1L to 1000L).toDF("x"), None)
     assert(pinned.count() == 1000)
-    val added = persistedIds -- before
-    assert(added.nonEmpty, "pin() registered no persistent RDD")
+    val id = pinId(pinned)
+    assert(isPersisted(id), "pin() registered no persistent RDD")
     Pinned.release(pinned)
-    assert((persistedIds -- before).isEmpty,
+    assert(!isPersisted(id),
       "release() left the pinned RDD in the persistent-RDD registry")
   }
 
   test("release is idempotent and refuses frames it did not pin") {
-    val before = persistedIds
     // a plain cached frame must NOT be touched by release
     val cached = (1L to 100L).toDF("x").cache()
     assert(cached.count() == 100)
     Pinned.release(cached)
-    assert((persistedIds -- before).nonEmpty, "release() unpersisted a cache() frame")
+    assert(cached.storageLevel.useMemory, "release() unpersisted a cache() frame")
     cached.unpersist(blocking = true)
     // lazy frames are a no-op, double release is a no-op
     val lazyDf = (1L to 10L).toDF("x")
     Pinned.release(lazyDf)
     val pinned = Pinned.pin(lazyDf, None)
+    val id = pinId(pinned)
     Pinned.release(pinned)
     Pinned.release(pinned)
-    assert((persistedIds -- before).isEmpty)
+    assert(!isPersisted(id))
   }
 
   test("pagerank keeps at most 2 rank frames mid-loop and 1 pin after") {
     val edges = (0L until 4000L).map(i => (i % 137, (i * 11) % 137))
       .toDF("src", "dst")
-    val before = persistedIds
-    Pinned.resetHighWater()
-    val base = Pinned.liveCount
-    val ranks = Graphs.pagerank(edges, col("src"), col("dst"), iters = 8)
+    val owner = "spec-pagerank"
+    val ranks = Pinned.withOwner(owner) {
+      Graphs.pagerank(edges, col("src"), col("dst"), iters = 8)
+    }
     assert(ranks.count() == 137)
     // live mid-loop: edges + nodes + rank k + rank k+1 (transient) + the
     // result pin at the very end = 5; a forgotten release shows up as
     // 8 iterations' worth of rank frames (> 10)
-    assert(Pinned.highWater - base <= 5,
-      s"pagerank high-water ${Pinned.highWater - base} pins — a release is missing")
-    assert(Pinned.liveCount - base == 1,
-      s"pagerank left ${Pinned.liveCount - base} live pins; expected only the result")
-    // and the block registry agrees: exactly one new persistent RDD
-    assert((persistedIds -- before).size == 1)
+    assert(Pinned.ownerHighWater(owner) <= 5,
+      s"pagerank high-water ${Pinned.ownerHighWater(owner)} pins — a release is missing")
+    assert(Pinned.liveOwned(owner) == 1,
+      s"pagerank left ${Pinned.liveOwned(owner)} live pins; expected only the result")
+    // and the block registry agrees: the result's backing RDD is persisted
+    val id = pinId(ranks)
+    assert(isPersisted(id))
     Pinned.release(ranks)
-    assert((persistedIds -- before).isEmpty)
+    assert(!isPersisted(id) && Pinned.liveOwned(owner) == 0)
   }
 
   test("release deletes RELIABLE checkpoint files of superseded rounds") {
@@ -78,14 +90,16 @@ class PinnedSpec extends AnyFunSuite {
     }
     val edges = (0L until 2000L).map(i => (i % 101, (i * 13) % 101))
       .toDF("src", "dst")
-    val base = Pinned.liveCount
-    val ranks = Graphs.pagerank(edges, col("src"), col("dst"), iters = 6,
-      checkpointDir = Some(ckpt.toString))
+    val owner = "spec-ckpt-pagerank"
+    val ranks = Pinned.withOwner(owner) {
+      Graphs.pagerank(edges, col("src"), col("dst"), iters = 6,
+        checkpointDir = Some(ckpt.toString))
+    }
     assert(ranks.count() == 101)
     // e + nodes + 6 rounds + result = 9 checkpoints were WRITTEN; all but
     // the result's must be deleted by release (file leak otherwise — at
     // 100 TB a multi-hour run would fill the checkpoint store)
-    assert(Pinned.liveCount - base == 1)
+    assert(Pinned.liveOwned(owner) == 1)
     assert(rddDirs == 1, s"$rddDirs checkpoint rdd dirs survive; want 1 (the result)")
     Pinned.release(ranks)
     assert(rddDirs == 0, "releasing the result must delete its checkpoint files")
@@ -93,58 +107,68 @@ class PinnedSpec extends AnyFunSuite {
   }
 
   test("releaseOwned frees exactly the owner's pins; error paths release work frames") {
-    val base = Pinned.liveCount
-    val mine = Pinned.withOwner("gate-a") {
+    val mine = Pinned.withOwner("spec-gate-a") {
       Pinned.pin((1L to 100L).toDF("x"), None)
     }
-    val other = Pinned.pin((1L to 50L).toDF("x"), None) // untagged
-    assert(mine.count() == 100 && other.count() == 50)
-    assert(Pinned.liveCount - base == 2)
-    assert(Pinned.releaseOwned("gate-a") == 1)
-    assert(Pinned.liveCount - base == 1,
-      "releaseOwned must not touch pins outside its owner scope")
-    assert(Pinned.releaseOwned("gate-a") == 0, "second drain must be a no-op")
-    Pinned.release(other)
-    assert(Pinned.liveCount == base)
-    // a convergence throw must not leave work frames pinned (kcore peels
-    // this 3-regular-ish graph over several rounds; maxRounds=1 forces the
-    // loud non-convergence error mid-loop)
-    val edges = (0L until 600L).flatMap(i => Seq((i, (i + 1) % 600)))
-      .toDF("src", "dst")
-    intercept[IllegalArgumentException] {
-      Graphs.kcore(edges, col("src"), col("dst"), k = 3, maxRounds = 1)
+    val other = Pinned.withOwner("spec-gate-b") {
+      Pinned.pin((1L to 50L).toDF("x"), None)
     }
-    assert(Pinned.liveCount == base,
+    assert(mine.count() == 100 && other.count() == 50)
+    assert(Pinned.liveOwned("spec-gate-a") == 1 && Pinned.liveOwned("spec-gate-b") == 1)
+    assert(Pinned.releaseOwned("spec-gate-a") == 1)
+    assert(Pinned.liveOwned("spec-gate-a") == 0)
+    assert(Pinned.liveOwned("spec-gate-b") == 1,
+      "releaseOwned must not touch pins outside its owner scope")
+    assert(Pinned.releaseOwned("spec-gate-a") == 0, "second drain must be a no-op")
+    Pinned.release(other)
+    assert(Pinned.liveOwned("spec-gate-b") == 0)
+    // a convergence throw must not leave work frames pinned (kcore peels
+    // this ring graph, every node degree 2 < k; maxRounds=1 forces the
+    // loud non-convergence error mid-loop)
+    val edges = (0L until 600L).map(i => (i, (i + 1) % 600)).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      Pinned.withOwner("spec-kcore-err") {
+        Graphs.kcore(edges, col("src"), col("dst"), k = 3, maxRounds = 1)
+      }
+    }
+    assert(Pinned.liveOwned("spec-kcore-err") == 0,
       "kcore's non-convergence error leaked its work pins")
     intercept[IllegalStateException] {
-      Dedup.clustersWithRounds(
-        (0L until 400L).map(i => (i, i + 1)).toDF("id_a", "id_b"), maxIter = 1)
+      Pinned.withOwner("spec-clusters-err") {
+        Dedup.clustersWithRounds(
+          (0L until 400L).map(i => (i, i + 1)).toDF("id_a", "id_b"), maxIter = 1)
+      }
     }
-    assert(Pinned.liveCount == base,
+    assert(Pinned.liveOwned("spec-clusters-err") == 0,
       "clusters' non-convergence error leaked its edge pin")
   }
 
   test("hits, kcore, lpa, clusters, bradleyTerry leave only their result pinned") {
     val edges = (0L until 2000L).map(i => (i % 97, (i * 7) % 97)).toDF("src", "dst")
-    val base = Pinned.liveCount
-    val h = Graphs.hits(edges, col("src"), col("dst"), iters = 4)
-    assert(h.count() > 0 && Pinned.liveCount - base == 1)
-    Pinned.release(h)
-    val kc = Graphs.kcore(edges, col("src"), col("dst"), k = 2)
-    assert(kc.count() > 0 && Pinned.liveCount - base == 1)
-    Pinned.release(kc)
-    val lp = Graphs.labelPropagation(edges, col("src"), col("dst"), iters = 3)
-    assert(lp.count() > 0 && Pinned.liveCount - base == 1)
-    Pinned.release(lp)
-    val pairs = (0L until 300L).map(i => (i, i / 3 * 3)).toDF("id_a", "id_b")
-    val cl = Dedup.clusters(pairs)
-    assert(cl.count() > 0 && Pinned.liveCount - base == 1)
-    Pinned.release(cl)
-    val comps = (0L until 500L).map(i => (i % 13, (i * 3) % 13))
-      .filter(p => p._1 != p._2).toDF("w", "l")
-    val bt = Preferences.bradleyTerry(comps, col("w"), col("l"), iters = 5)
-    assert(bt.count() > 0 && Pinned.liveCount - base == 1)
-    Pinned.release(bt)
-    assert(Pinned.liveCount == base)
+    def onlyResult(owner: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
+      val out = Pinned.withOwner(owner)(f)
+      assert(out.count() > 0 && Pinned.liveOwned(owner) == 1,
+        s"$owner: ${Pinned.liveOwned(owner)} live pins; expected only the result")
+      Pinned.release(out)
+      assert(Pinned.liveOwned(owner) == 0)
+    }
+    onlyResult("spec-hits") {
+      Graphs.hits(edges, col("src"), col("dst"), iters = 4)
+    }
+    onlyResult("spec-kcore") {
+      Graphs.kcore(edges, col("src"), col("dst"), k = 2)
+    }
+    onlyResult("spec-lpa") {
+      Graphs.labelPropagation(edges, col("src"), col("dst"), iters = 3)
+    }
+    onlyResult("spec-clusters") {
+      Dedup.clusters((0L until 300L).map(i => (i, i / 3 * 3)).toDF("id_a", "id_b"))
+    }
+    onlyResult("spec-bt") {
+      Preferences.bradleyTerry(
+        (0L until 500L).map(i => (i % 13, (i * 3) % 13))
+          .filter(p => p._1 != p._2).toDF("w", "l"),
+        col("w"), col("l"), iters = 5)
+    }
   }
 }
