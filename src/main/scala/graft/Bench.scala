@@ -120,6 +120,12 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // round-robin interleaves ~95 gates' stages between one gate's
+      // iterations; the default 100-entry generated-class cache evicts
+      // everything in between, so every iteration would re-compile its
+      // whole-stage code — a fixed +0.05-0.25 s tax that swamps sub-second
+      // gates. Sized to hold the full surface's generated classes.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {

@@ -104,5 +104,7 @@ object SparkEntry {
     // round 9: the promotion rule applied to BENCH_r08's >1 s n=1 tail,
     // plus the new bounded-state streaming gate (a full checkpointed
     // streaming query — >1 s by construction)
-    "dtl_bm25", "dtl_crawl_triage", "stream_neardup")
+    "dtl_bm25", "dtl_crawl_triage", "stream_neardup",
+    // and the round-9 bench's own >1 s n=1 discoveries, promoted same-round
+    "dtl_dedup_lines", "pipe_script_profile")
 }
