@@ -106,5 +106,8 @@ object SparkEntry {
     // streaming query — >1 s by construction)
     "dtl_bm25", "dtl_crawl_triage", "stream_neardup",
     // and the round-9 bench's own >1 s n=1 discoveries, promoted same-round
-    "dtl_dedup_lines", "pipe_script_profile")
+    "dtl_dedup_lines", "pipe_script_profile",
+    // late round 9: two more streaming twins through the driver oracle —
+    // full checkpointed streaming queries, >1 s by construction
+    "stream_decontaminate", "stream_media_neardup")
 }

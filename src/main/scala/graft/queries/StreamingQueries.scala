@@ -180,6 +180,86 @@ object StreamingQueries {
         .filter(size(col("sh")) > 0)
       graft.ops.Dedup.verifyJaccard(candidates, shingled, threshold = 0.8)
         .orderBy("id_a", "id_b")
+    }),
+
+    // the STATELESS broadcast streaming family through the round gate:
+    // ingestion-time benchmark decontamination scores each arriving doc
+    // against the collected-once benchmark shingle set ROW-LOCALLY, and the
+    // operator's contract is exact batch parity — so pipe_decontaminate's
+    // oracle applies verbatim
+    "stream_decontaminate" -> ((s, d) => {
+      import s.implicits._
+      val scratch = GateScratch.dir("stream_decontam")
+      val data = s"$scratch/data"
+      val docsSchema = s.read.parquet(s"$d/documents.parquet").schema
+      val corpus = s.readStream.schema(docsSchema)
+        .parquet(docsStreamDir(d))
+        .filter(col("source") =!= "src0")
+        .select(col("doc_id"), col("text"))
+        .as[graft.streaming.EventStreams.Doc]
+      val benchmark = CoreQueries.t(s, d, "documents")
+        .filter(col("source") === "src0")
+      val q = graft.streaming.EventStreams.decontaminateStream(
+          corpus, benchmark, col("text"), shingleSize = 5, minOverlap = 1)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[
+             graft.streaming.EventStreams.Contam], _: Long) =>
+            batch.toDF().write.mode("append").parquet(data)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(data)
+        .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+          col("contam_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // the SECOND bounded-state eviction path through the round gate:
+    // perceptual-signature near-dup over the 4x16-bit pigeonhole chunks,
+    // per-(chunk_idx, chunk) buckets holding capped signature state.
+    // Recall is EXACT for maxHamming <= 3 while buckets have capacity
+    // (pigeonhole: 4 chunks, <= 3 flipped bits leave >= 1 chunk intact),
+    // and the emitted hamming is computed exactly per candidate — so after
+    // canonical pair dedup the batch gate's full pair oracle applies
+    // verbatim. Signatures are the SAME md5 plant as pipe_media_neardup.
+    "stream_media_neardup" -> ((s, d) => {
+      import s.implicits._
+      val scratch = GateScratch.dir("stream_media")
+      val data = s"$scratch/data"
+      val docsSchema = s.read.parquet(s"$d/documents.parquet").schema
+      val sigs = s.readStream.schema(docsSchema)
+        .parquet(docsStreamDir(d))
+        .select(col("doc_id").as("id"),
+          expr("CAST(conv(substring(md5(CAST(doc_id DIV 8 AS STRING)), 1, 15), 16, 10) AS BIGINT)" +
+            " ^ ((shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 5 AS INT)) - 1)" +
+            " * shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 8 AS INT) * 8))").as("sig"))
+        .as[graft.streaming.EventStreams.MediaSig]
+      val q = graft.streaming.EventStreams.mediaNearDupStream(
+          sigs, maxHamming = 3, maxPerBucket = 4096)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[
+             graft.streaming.EventStreams.MediaDupCandidate], _: Long) =>
+            batch.toDF().write.mode("append").parquet(data)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // a pair sharing several intact chunks emits once per chunk (by
+      // design — the corpus-wide dropDuplicates is the batch's luxury);
+      // the gate dedups to canonical pairs, hamming identical across chunks
+      s.read.parquet(data)
+        .select(least(col("id"), col("matched_id")).as("id_a"),
+          greatest(col("id"), col("matched_id")).as("id_b"),
+          col("hamming"))
+        .dropDuplicates("id_a", "id_b")
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -226,6 +306,14 @@ object StreamingQueries {
     // the batch operator, same truth
     "stream_neardup" ->
       s"""WITH ${PipelineQueries.duckJaccardPairCtes}
-         |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM jp""".stripMargin
+         |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM jp""".stripMargin,
+
+    // exact batch parity is the operator's documented contract, so the
+    // batch gate's oracle applies verbatim
+    "stream_decontaminate" -> CurationQueries.oracle("pipe_decontaminate"),
+
+    // exact-recall pigeonhole candidates + canonical pair dedup == the
+    // batch hammingPairs output, so its full-pair oracle applies verbatim
+    "stream_media_neardup" -> PipelineQueries.oracle("pipe_media_neardup")
   )
 }
