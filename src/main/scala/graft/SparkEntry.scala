@@ -109,5 +109,13 @@ object SparkEntry {
     "dtl_dedup_lines", "pipe_script_profile",
     // late round 9: two more streaming twins through the driver oracle —
     // full checkpointed streaming queries, >1 s by construction
-    "stream_decontaminate", "stream_media_neardup")
+    "stream_decontaminate", "stream_media_neardup",
+    // and the six mechanisms that closed out the streaming-oracle sweep
+    // (stream-stream join, watermarked dedup, tick-state resample, sketch
+    // state, stream-static enrich, binaryFile ingest) — each a full
+    // checkpointed streaming query, promoted on arrival
+    "stream_correlate", "stream_dedup_events", "stream_resample",
+    "stream_kmv", "stream_enrich", "stream_wet_ingest",
+    "stream_lm_score", "stream_wds_ingest", "stream_roc_auc",
+    "stream_calibration", "stream_quantile", "stream_corpus_report")
 }

@@ -28,7 +28,7 @@ object PipelineQueries {
     * JVM. Executor-local writes are the right shape for a LOCAL fixture;
     * a cluster fixture would target shared storage.
     */
-  private def wetFixture(s: SparkSession, d: String): String =
+  private[queries] def wetFixture(s: SparkSession, d: String): String =
     GateScratch.sessionDir(s"wet-gate:$d", "graft-wet-gate") { dir =>
       val dirStr = dir.toString
       t(s, d, "documents").select(col("doc_id"), col("text"))

@@ -260,6 +260,376 @@ object StreamingQueries {
           col("hamming"))
         .dropDuplicates("id_a", "id_b")
         .orderBy("id_a", "id_b")
+    }),
+
+    // STREAM-STREAM interval join through the round gate — the one
+    // streaming join mechanism no earlier gate covers: both sides carry
+    // watermarks and the join bounds event-time distance (±120 min), so
+    // each side's buffered state is evicted as the other's watermark
+    // passes. Inner-join semantics emit exactly the matched pairs, so the
+    // batch interval self-join is the oracle verbatim; every output column
+    // is a COPIED key/timestamp (no arithmetic), keeping the compare exact.
+    "stream_correlate" -> ((s, d) => {
+      val scratch = GateScratch.dir("stream_corr")
+      val data = s"$scratch/data"
+      val evs = EventStreams.readEvents(s, eventsStreamDir(d))
+      val q = EventStreams.correlate(
+          evs.filter(col("event_type") === "click"),
+          evs.filter(col("event_type") === "purchase"),
+          bandMinutes = 120)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(data)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(data)
+        .select(col("user_id"),
+          col("l_event_id"), col("r_event_id"),
+          col("l_ts").cast("timestamp_ntz").as("l_ts"),
+          col("r_ts").cast("timestamp_ntz").as("r_ts"))
+        .orderBy("user_id", "l_event_id", "r_event_id")
+    }),
+
+    // watermarked EXACTLY-ONCE ingestion dedup through the round gate: the
+    // stream replays every 7th event (at-least-once upstream delivery) and
+    // dropDuplicatesWithinWatermark collapses the replays with bounded
+    // state. Replayed rows are BYTE-IDENTICAL copies, so whichever copy
+    // the state keeps, the output set equals the original table — the
+    // oracle is the raw events table verbatim.
+    "stream_dedup_events" -> ((s, d) => {
+      val scratch = GateScratch.dir("stream_dedup")
+      val data = s"$scratch/data"
+      val evs = EventStreams.readEvents(s, eventsStreamDir(d))
+      val replayed = evs.unionByName(evs.filter(col("event_id") % 7 === 0))
+      val q = EventStreams.dedupEvents(replayed)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(data)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(data)
+        .select(col("event_id"), col("ts").cast("timestamp_ntz").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .orderBy("event_id")
+    }),
+
+    // the SECOND flatMapGroupsWithState gate, with tick-emission (not
+    // session) state semantics: per-user hourly resample where a tick is
+    // emitted once a newer-bucket observation proves the series passed it,
+    // and the trailing open tick stays in state. The oracle is the batch
+    // q33 as-of resample restricted to CLOSED ticks — every tick strictly
+    // before the user's last observation's bucket — an exact relational
+    // restatement, no tolerance; carried values are copied doubles.
+    "stream_resample" -> ((s, d) => {
+      import s.implicits._
+      val scratch = GateScratch.dir("stream_resample")
+      val data = s"$scratch/data"
+      val obs = EventStreams.readEvents(s, eventsStreamDir(d))
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        .as[EventStreams.Obs]
+      val q = EventStreams.resampleStream(obs, unit = "hour")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            EventStreams.ResampledTick], _: Long) =>
+          batch.toDF().write.mode("append").parquet(data)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(data)
+        .select(col("user_id"), col("tick").cast("timestamp_ntz").as("tick"),
+          col("value"))
+        .orderBy("user_id", "tick")
+    }),
+
+    // MERGEABLE-SKETCH state inside a streaming aggregation through the
+    // round gate: per-day KMV distinct-users sketch (k=64 — small enough
+    // that every gate day exceeds k and exercises the (k−1)·2⁶⁰/h_k
+    // estimator path, not just exhaustive-exact). State per window is the
+    // ≤k sorted hash array; the oracle replays the k smallest md5-60bit
+    // hashes per day literally, like the batch pipe_sketch_distinct.
+    "stream_kmv" -> ((s, d) => {
+      val scratch = GateScratch.dir("stream_kmv")
+      val data = s"$scratch/data"
+      val q = EventStreams.kmvDistinctStream(
+          EventStreams.readEvents(s, eventsStreamDir(d)),
+          col("user_id"), k = 64, windowLen = "1 day", watermark = "2 hours")
+        .writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(data)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(data)
+        .select(col("window_start").cast("timestamp_ntz").as("day_ts"),
+          col("n_kept"), col("est_distinct"))
+        .orderBy("day_ts")
+    }),
+
+    // stream-STATIC enrichment through the round gate: each arriving event
+    // broadcast-joins the per-type corpus statistics (the static side
+    // re-plans per micro-batch — the standard lookup-join shape, no state,
+    // no watermark). Join keys and payloads are exact; the one derived
+    // double (the type mean) is rounded to integer-millionths on both
+    // sides, the project-wide float-hash discipline.
+    "stream_enrich" -> ((s, d) => {
+      val scratch = GateScratch.dir("stream_enrich")
+      val data = s"$scratch/data"
+      val dim = CoreQueries.t(s, d, "events")
+        .groupBy("event_type")
+        .agg(round(avg(col("value")), 6).as("type_avg_value"),
+          count(lit(1)).as("type_n"))
+      val q = EventStreams.enrich(
+          EventStreams.readEvents(s, eventsStreamDir(d)), dim, "event_type")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(data)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(data)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("type_avg_value"), col("type_n"))
+        .orderBy("event_id")
+    }),
+
+    // LIVE CRAWL INGESTION through the round gate: the binaryFile
+    // streaming source delivers whole WET members (one plain, one gzip —
+    // both decompression paths) and the row-local record parser explodes
+    // them in the reading task — the streaming twin of pipe_warc_ingest
+    // over the SAME executor-built fixture, so its oracle (url/byte-length/
+    // md5 recomputed from the documents table) applies verbatim.
+    "stream_wet_ingest" -> ((s, d) => {
+      val scratch = GateScratch.dir("stream_wet")
+      val data = s"$scratch/data"
+      val q = EventStreams.wetIngestStream(s, PipelineQueries.wetFixture(s, d))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(data)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(data)
+        .select(
+          regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("bigint")
+            .as("doc_id"),
+          col("content_length"),
+          md5(col("text").cast("binary")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // the STATELESS broadcast-model family's second member through the
+    // round gate: ingestion-time bigram-LM quality scoring against the
+    // batch-trained model (LIMIT-bounded tables collected and broadcast —
+    // bounded metadata, not data movement). The operator's contract is
+    // integer features bit-identical to the batch scorer, so
+    // pipe_lm_score's oracle applies verbatim.
+    "stream_lm_score" -> ((s, d) => {
+      import s.implicits._
+      val scratch = GateScratch.dir("stream_lm")
+      val data = s"$scratch/data"
+      val (bm, cm) = graft.ops.LanguageModel.train(
+        CoreQueries.t(s, d, "documents"), col("text"),
+        bigramVocab = 200, contextVocab = 100)
+      val docsSchema = s.read.parquet(s"$d/documents.parquet").schema
+      val docs = s.readStream.schema(docsSchema)
+        .parquet(docsStreamDir(d))
+        .select(col("doc_id"), col("text"))
+        .as[graft.streaming.EventStreams.Doc]
+      val q = graft.streaming.EventStreams.lmScoreStream(
+          docs, bm.select(col("bigram"), col("c_bg")),
+          cm.select(col("prev"), col("c_prev")))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[
+             graft.streaming.EventStreams.LmScored], _: Long) =>
+            batch.toDF().write.mode("append").parquet(data)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(data)
+        .select(col("doc_id"), col("n_bigrams").cast("long").as("n_bigrams"),
+          col("matched_bg").cast("long").as("matched_bg"), col("sum_c_bg"),
+          col("matched_prev").cast("long").as("matched_prev"),
+          col("sum_c_prev"))
+        .orderBy("doc_id")
+    }),
+
+    // live WebDataset ingestion through the round gate: the binaryFile
+    // streaming source delivers whole tar shards, the row-local ustar walk
+    // explodes members in the reading task — the multimodal twin of
+    // stream_wet_ingest over the SAME canonical-bytes shard fixture the
+    // batch pipe_webdataset writes, so its oracle applies verbatim.
+    "stream_wds_ingest" -> ((s, d) => {
+      val scratch = GateScratch.dir("stream_wds")
+      val data = s"$scratch/data"
+      val fixture = GateScratch.sessionDir(s"wds-stream:$d",
+          "graft-wds-stream") { dir =>
+        val docs = CoreQueries.t(s, d, "documents")
+          .select(col("doc_id"), col("text"),
+            concat(lit("{\"id\": "), col("doc_id").cast("string"), lit("}"))
+              .as("meta"))
+        graft.ops.WebDataset.writeShards(docs, col("doc_id"),
+          Seq("txt" -> col("text").cast("binary"),
+            "json" -> col("meta").cast("binary")),
+          seed = "wd", nShards = 4, dir = dir.toString)
+      }
+      val q = graft.streaming.EventStreams.wdsIngestStream(s, fixture)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(data)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(data)
+        .select(col("key").cast("long").as("doc_id"), col("ext"),
+          regexp_extract(col("shard"), "shard-(\\d+)\\.tar", 1)
+            .cast("int").as("shard"),
+          length(col("data")).as("n_bytes"),
+          md5(col("data")).as("fp"))
+        .orderBy("doc_id", "ext")
+    }),
+
+    // live classifier monitoring through the round gate, half 1: per-day
+    // tie-aware ROC AUC via the bounded per-grid-cell class counts (state
+    // ≤ grid entries where exact streaming AUC holds every score). Scores
+    // are 2-decimal fractional parts, so every distinct score owns its own
+    // 10⁻⁶ grid cell and the AUC is EXACT — the oracle replays the same
+    // doubled-integer Mann–Whitney walk over the same grid.
+    "stream_roc_auc" -> ((s, d) => {
+      val scratch = GateScratch.dir("stream_auc")
+      val data = s"$scratch/data"
+      val scored = EventStreams.readEvents(s, eventsStreamDir(d))
+        .select(col("ts"),
+          col("event_type").isin("purchase", "signup").as("y"),
+          round(col("value") - floor(col("value")), 2).as("score"))
+      val q = EventStreams.rocAucStream(scored, resolution = 1000000,
+          windowLen = "1 day", watermark = "2 hours")
+        .writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(data)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(data)
+        .select(col("window_start").cast("timestamp_ntz").as("day_ts"),
+          col("n_pos"), col("n_neg"), col("auc"))
+        .orderBy("day_ts")
+    }),
+
+    // half 2: per-day reliability-diagram bins — a plain windowed
+    // aggregate (nBins counters per window), same clamped equal-width
+    // binning and rounding as the batch calibrationBins
+    "stream_calibration" -> ((s, d) => {
+      val scratch = GateScratch.dir("stream_calib")
+      val data = s"$scratch/data"
+      val scored = EventStreams.readEvents(s, eventsStreamDir(d))
+        .select(col("ts"),
+          col("event_type").isin("purchase", "signup").as("y"),
+          round(col("value") - floor(col("value")), 2).as("score"))
+      val q = EventStreams.calibrationStream(scored, nBins = 10,
+          windowLen = "1 day", watermark = "2 hours")
+        .writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(data)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(data)
+        .select(col("window_start").cast("timestamp_ntz").as("day_ts"),
+          col("bin"), col("n"), col("mean_score"), col("pos_rate"),
+          col("bin_lo"))
+        .orderBy("day_ts", "bin")
+    }),
+
+    // the log-linear-histogram quantile sketch inside a streaming
+    // aggregation: per-day p50 of the truncated event value through the
+    // bounded bucket map (integer-exact bucket arithmetic, so the oracle
+    // rebuilds the identical histogram and cumulative walk per day)
+    "stream_quantile" -> ((s, d) => {
+      val scratch = GateScratch.dir("stream_quant")
+      val data = s"$scratch/data"
+      val q = EventStreams.sketchQuantileStream(
+          EventStreams.readEvents(s, eventsStreamDir(d)),
+          col("value"), q = 0.5, p = 4,
+          windowLen = "1 day", watermark = "2 hours")
+        .writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(data)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(data)
+        .select(col("window_start").cast("timestamp_ntz").as("day_ts"),
+          col("n"), col("q_lo"))
+        .orderBy("day_ts")
+    }),
+
+    // the composed DATA CARD as a stream — the last streaming operator to
+    // reach the driver oracle: per-(day, source) doc/token counts, mean
+    // quality, log-linear p50 length bracket and the KMV exact-dup-rate
+    // estimate, all in ONE windowed aggregation whose per-(window, slice)
+    // state is counters + the ≤k hash array + the bounded bucket map.
+    // Arrival times are synthesized from doc_id arithmetic so the oracle
+    // reconstructs the same day buckets relationally.
+    "stream_corpus_report" -> ((s, d) => {
+      val scratch = GateScratch.dir("stream_report")
+      val data = s"$scratch/data"
+      val docsSchema = s.read.parquet(s"$d/documents.parquet").schema
+      val docs = s.readStream.schema(docsSchema)
+        .parquet(docsStreamDir(d))
+        .select(timestamp_seconds(col("doc_id") * 600).as("ts"),
+          col("source").as("slice"), col("text"))
+      val q = EventStreams.corpusReportStream(docs, k = 256, p = 4,
+          windowLen = "1 day", watermark = "2 hours")
+        .writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(data)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(data)
+        .select(col("window_start").cast("timestamp_ntz").as("day_ts"),
+          col("slice"), col("n_docs"), col("n_tokens"), col("mean_quality"),
+          col("p50_chars"), col("dup_rate_est"))
+        .orderBy("day_ts", "slice")
     })
   )
 
@@ -314,6 +684,200 @@ object StreamingQueries {
 
     // exact-recall pigeonhole candidates + canonical pair dedup == the
     // batch hammingPairs output, so its full-pair oracle applies verbatim
-    "stream_media_neardup" -> PipelineQueries.oracle("pipe_media_neardup")
+    "stream_media_neardup" -> PipelineQueries.oracle("pipe_media_neardup"),
+
+    // inner stream-stream join == the batch interval self-join exactly
+    "stream_correlate" ->
+      """SELECT l.user_id, l.event_id AS l_event_id, r.event_id AS r_event_id,
+        |       l.ts AS l_ts, r.ts AS r_ts
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        | AND r.ts BETWEEN l.ts - INTERVAL 120 MINUTE
+        |               AND l.ts + INTERVAL 120 MINUTE
+        |WHERE l.event_type = 'click' AND r.event_type = 'purchase'""".stripMargin,
+
+    // replayed rows are identical copies, so exactly-once dedup restores
+    // the original table whichever copy the state keeps
+    "stream_dedup_events" ->
+      "SELECT event_id, ts, user_id, event_type, value FROM events",
+
+    // the batch q33 as-of resample restricted to CLOSED ticks: the stream
+    // emits a tick only once a newer-bucket observation proves the series
+    // extends past it, so each user's trailing (max-ts-bucket) tick stays
+    // open in state — tick < date_trunc(hour, max ts) is the exact cut
+    "stream_resample" ->
+      """WITH g AS (
+        |  SELECT user_id AS key,
+        |         unnest(generate_series(date_trunc('hour', min(ts)),
+        |                                date_trunc('hour', max(ts)),
+        |                                INTERVAL 1 HOUR)) AS tick,
+        |         date_trunc('hour', max(ts)) AS last_tick
+        |  FROM events GROUP BY user_id)
+        |SELECT g.key AS user_id, g.tick, o.value
+        |FROM g ASOF LEFT JOIN events o
+        |  ON g.key = o.user_id AND g.tick >= o.ts
+        |WHERE g.tick < g.last_tick""".stripMargin,
+
+    // per-day KMV replay, literally: the k smallest distinct md5-60bit
+    // hashes of the stringified user ids, estimator (k−1)·2⁶⁰/h_k when the
+    // day exceeds k, exhaustive-exact below — same CASE as the operator
+    "stream_kmv" ->
+      """WITH h AS (
+        |  SELECT DISTINCT date_trunc('day', ts) AS day_ts,
+        |    ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS hv
+        |  FROM events),
+        |r AS (SELECT day_ts, hv,
+        |        row_number() OVER (PARTITION BY day_ts ORDER BY hv) AS rn
+        |      FROM h)
+        |SELECT day_ts, CAST(count(*) AS BIGINT) AS n_kept,
+        |       round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+        |             ELSE 63.0 * power(2.0, 60) / CAST(max(hv) AS DOUBLE)
+        |             END, 4) AS est_distinct
+        |FROM r WHERE rn <= 64 GROUP BY day_ts""".stripMargin,
+
+    // the static lookup side replayed as a plain batch join
+    "stream_enrich" ->
+      """WITH dim AS (
+        |  SELECT event_type, round(avg(value), 6) AS type_avg_value,
+        |         count(*) AS type_n
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value,
+        |       dim.type_avg_value, dim.type_n
+        |FROM events e JOIN dim USING (event_type)""".stripMargin,
+
+    // same fixture, same parser, same truth as the batch reader gate
+    "stream_wet_ingest" -> PipelineQueries.oracle("pipe_warc_ingest"),
+
+    // integer features bit-identical to the batch scorer by contract, so
+    // the batch gate's oracle applies verbatim
+    "stream_lm_score" -> PipelineQueries.oracle("pipe_lm_score"),
+
+    // same canonical shard bytes, same member truth as the batch gate
+    "stream_wds_ingest" -> CurationQueries.oracle("pipe_webdataset"),
+
+    // the tie-aware Mann–Whitney walk replayed per day over the same
+    // ⌊score·10⁶⌋ grid the packed-long aggregator bins into (2-decimal
+    // scores are injective into the grid, so the AUC is exact)
+    "stream_roc_auc" ->
+      """WITH s AS (
+        |  SELECT date_trunc('day', ts) AS day_ts,
+        |         CASE WHEN event_type IN ('purchase','signup')
+        |              THEN 1 ELSE 0 END AS p,
+        |         floor(round(value - floor(value), 2) * 1000000) AS g
+        |  FROM events),
+        |ps AS (SELECT day_ts, g, CAST(sum(p) AS BIGINT) AS np,
+        |              CAST(count(*) - sum(p) AS BIGINT) AS nn
+        |       FROM s GROUP BY day_ts, g),
+        |c AS (SELECT day_ts, np, nn,
+        |        CAST(coalesce(sum(nn) OVER (PARTITION BY day_ts ORDER BY g
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) AS negbelow
+        |      FROM ps)
+        |SELECT day_ts, CAST(sum(np) AS BIGINT) AS n_pos,
+        |       CAST(sum(nn) AS BIGINT) AS n_neg,
+        |       CASE WHEN sum(np) = 0 OR sum(nn) = 0 THEN NULL
+        |            ELSE round(CAST(sum(np * (2 * negbelow + nn)) AS DOUBLE)
+        |                   / (2.0 * sum(np) * sum(nn)), 6) END AS auc
+        |FROM c GROUP BY day_ts""".stripMargin,
+
+    // clamped equal-width decile bins per day, same rounding as the op
+    "stream_calibration" ->
+      """WITH s AS (
+        |  SELECT date_trunc('day', ts) AS day_ts,
+        |         CASE WHEN event_type IN ('purchase','signup')
+        |              THEN 1 ELSE 0 END AS p,
+        |         round(value - floor(value), 2) AS sc
+        |  FROM events),
+        |b AS (SELECT day_ts,
+        |        least(9, greatest(0, CAST(floor(sc * 10) AS INTEGER))) AS bin,
+        |        sc, p
+        |      FROM s)
+        |SELECT day_ts, bin, count(*) AS n,
+        |       round(sum(sc) / count(*), 6) AS mean_score,
+        |       round(CAST(sum(p) AS DOUBLE) / count(*), 6) AS pos_rate,
+        |       round(bin / 10.0, 6) AS bin_lo
+        |FROM b GROUP BY day_ts, bin""".stripMargin,
+
+    // the identical integer-exact log-linear histogram rebuilt per day,
+    // cumulative walk to the p50 bucket's low bound
+    "stream_quantile" ->
+      """WITH v AS (
+        |  SELECT date_trunc('day', ts) AS day_ts,
+        |         CAST(trunc(value) AS BIGINT) AS v FROM events),
+        |pwv AS (SELECT day_ts, v,
+        |          CAST(power(2.0, length(bin(v)) - 1 - 4) AS BIGINT) AS pw
+        |        FROM v),
+        |b AS (SELECT day_ts,
+        |        CASE WHEN v < 16 THEN v
+        |             ELSE CAST(floor(CAST(v AS DOUBLE) / CAST(pw AS DOUBLE))
+        |                    AS BIGINT) * pw
+        |        END AS bucket_lo
+        |      FROM pwv),
+        |hg AS (SELECT day_ts, bucket_lo, count(*) AS n
+        |       FROM b GROUP BY day_ts, bucket_lo),
+        |c AS (SELECT day_ts, bucket_lo, n,
+        |        sum(n) OVER (PARTITION BY day_ts ORDER BY bucket_lo) AS cum,
+        |        sum(n) OVER (PARTITION BY day_ts) AS total FROM hg)
+        |SELECT day_ts, CAST(total AS BIGINT) AS n, bucket_lo AS q_lo
+        |FROM c
+        |WHERE cum >= ceil(0.5 * CAST(total AS DOUBLE))
+        |  AND cum - n < ceil(0.5 * CAST(total AS DOUBLE))""".stripMargin,
+
+    // the sketched data card replayed per (day, source): counts and mean
+    // quality relationally, the KMV dup estimate as the k smallest
+    // normalized-text hashes, the p50 bracket as the same histogram walk
+    "stream_corpus_report" ->
+      s"""WITH b AS (
+         |  SELECT date_trunc('day',
+         |      TIMESTAMP '1970-01-01' + to_seconds(doc_id * 600)) AS day_ts,
+         |    source AS slice,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END
+         |      AS BIGINT) AS tok,
+         |    CAST(length(text) AS BIGINT) AS len,
+         |    round(
+         |      least(length(text) / 200.0, 1.0) * 0.4
+         |      + (CASE WHEN length(text)::DOUBLE / greatest(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text),'\\s+')) END, 1) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3
+         |      + (CASE WHEN length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))::DOUBLE / greatest(length(text), 1) < 0.2 THEN 1.0 ELSE 0.3 END) * 0.3
+         |    , 6) AS q,
+         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+         |  FROM documents),
+         |sc AS (SELECT day_ts, slice, count(*) AS n_docs,
+         |         CAST(sum(tok) AS BIGINT) AS n_tokens,
+         |         round(avg(q), 6) AS mean_quality
+         |       FROM b GROUP BY day_ts, slice),
+         |h AS (SELECT DISTINCT day_ts, slice,
+         |        ('0x'||substr(md5(norm),1,15))::BIGINT AS hv FROM b),
+         |r AS (SELECT day_ts, slice, hv, row_number() OVER (
+         |        PARTITION BY day_ts, slice ORDER BY hv) AS rn FROM h),
+         |km AS (SELECT day_ts, slice, count(*) AS n_kept, max(hv) AS kth
+         |       FROM r WHERE rn <= 256 GROUP BY day_ts, slice),
+         |est AS (SELECT day_ts, slice,
+         |          round(CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+         |                ELSE 255.0 * power(2.0, 60) / CAST(kth AS DOUBLE)
+         |                END, 4) AS e FROM km),
+         |pwv AS (SELECT day_ts, slice, len AS v,
+         |          CAST(power(2.0, length(bin(len)) - 1 - 4) AS BIGINT) AS pw
+         |        FROM b),
+         |bk AS (SELECT day_ts, slice,
+         |        CASE WHEN v < 16 THEN v
+         |             ELSE CAST(floor(CAST(v AS DOUBLE) / CAST(pw AS DOUBLE))
+         |                    AS BIGINT) * pw
+         |        END AS lo FROM pwv),
+         |hg AS (SELECT day_ts, slice, lo, count(*) AS n
+         |       FROM bk GROUP BY day_ts, slice, lo),
+         |c AS (SELECT day_ts, slice, lo, n,
+         |        sum(n) OVER (PARTITION BY day_ts, slice ORDER BY lo) AS cum,
+         |        sum(n) OVER (PARTITION BY day_ts, slice) AS total FROM hg),
+         |p50 AS (SELECT day_ts, slice, lo FROM c
+         |        WHERE cum >= ceil(0.5 * CAST(total AS DOUBLE))
+         |          AND cum - n < ceil(0.5 * CAST(total AS DOUBLE)))
+         |SELECT sc.day_ts, sc.slice, sc.n_docs, sc.n_tokens, sc.mean_quality,
+         |       p50.lo AS p50_chars,
+         |       round(1.0 - est.e / CAST(sc.n_docs AS DOUBLE), 6)
+         |         AS dup_rate_est
+         |FROM sc
+         |JOIN est ON est.day_ts = sc.day_ts AND est.slice = sc.slice
+         |JOIN p50 ON p50.day_ts = sc.day_ts AND p50.slice = sc.slice""".stripMargin
   )
 }

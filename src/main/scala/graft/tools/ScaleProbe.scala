@@ -971,6 +971,46 @@ object ScaleProbe {
     println(f"  closed sessions ${ssClosed.get()}%,d (want $ssWant%,d)")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ssDir))
 
+    // The stream-stream join path at scale: correlate (symmetric hash join
+    // with dual watermarks and a ±10-min event-time band) over an
+    // AvailableNow replay. State is BOTH sides' buffered rows until the
+    // other side's watermark passes — the memory shape this probe sizes.
+    // Both sides sit on the same 30-min grid (band < grid step), so each
+    // left row matches EXACTLY its same-slot right row: matched-pair count
+    // equals the side size, exact, not statistical.
+    val ccN = math.min(n / 4, 5_000_000L)
+    val ccUsers = 100_000L
+    println(f"== stream-stream correlate at $ccN%,d x $ccN%,d events ==")
+    val ccDir = java.nio.file.Files.createTempDirectory("graft_cc_probe").toString
+    def ccSide(tag: String, dir: String): Unit =
+      spark.range(ccN).select(
+        col("id").as("event_id"),
+        timestamp_seconds(floor(col("id") / ccUsers) * 1800).as("ts"),
+        (col("id") % ccUsers).as("user_id"),
+        lit(tag).as("event_type"),
+        lit(1.0).as("value"))
+      .coalesce(32).write.mode("overwrite").parquet(dir)
+    ccSide("click", s"$ccDir/l")
+    ccSide("purchase", s"$ccDir/r")
+    val ccSchema = spark.read.parquet(s"$ccDir/l").schema
+    val ccPairs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val ccQ = graft.streaming.EventStreams.correlate(
+        spark.readStream.schema(ccSchema).parquet(s"$ccDir/l"),
+        spark.readStream.schema(ccSchema).parquet(s"$ccDir/r"),
+        bandMinutes = 10)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$ccDir/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        ccPairs.addAndGet(b.count()): Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    time(f"correlate stream (AvailableNow, $ccUsers%,d users, ±10-min band)") {
+      ccQ.awaitTermination()
+    }
+    println(f"  matched pairs ${ccPairs.get()}%,d (want $ccN%,d)")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ccDir))
+
     spark.stop()
   }
 }
