@@ -985,7 +985,11 @@ object ScaleProbe {
     def ccSide(tag: String, dir: String): Unit =
       spark.range(ccN).select(
         col("id").as("event_id"),
-        timestamp_seconds(floor(col("id") / ccUsers) * 1800).as("ts"),
+        // base the grid a day above epoch 0: the initial watermark is 0
+        // and the join treats rows at or below it as already expired, so
+        // a slot AT epoch 0 silently never matches (cost this probe 100k
+        // pairs the first time it ran)
+        timestamp_seconds(lit(86400L) + floor(col("id") / ccUsers) * 1800).as("ts"),
         (col("id") % ccUsers).as("user_id"),
         lit(tag).as("event_type"),
         lit(1.0).as("value"))

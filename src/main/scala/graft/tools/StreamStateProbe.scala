@@ -1,0 +1,148 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Sizes the stateful streaming paths under BOTH state-store providers at
+  * probe scale — the heap-bounded default (HDFSBackedStateStoreProvider)
+  * and the disk-bounded RocksDB provider a 100 TB deployment actually
+  * runs. `RocksDbStateSpec` proves the provider flip is a pure config
+  * change at unit scale; this probe proves the flip HOLDS at millions of
+  * state rows and quantifies its cost, so the README's at-scale posture
+  * claim rests on a measured number instead of an extrapolated one.
+  *
+  * Two legs per provider, the two heaviest state shapes we ship:
+  *  - `sessionize` — flatMapGroupsWithState over `users` groups
+  *    (state rows = users; the skew probe for per-group batch buffering
+  *    lives in ScaleProbe — this one holds group count at 100k and scales
+  *    events);
+  *  - `correlate` — the stream-stream symmetric hash join (4 state stores
+  *    per partition buffering BOTH sides until the other watermark
+  *    passes — the largest state footprint of any operator here).
+  *
+  * Both fixtures plant exact expected outputs (counting, not sampling):
+  * sessionize closes exactly `users * (ceil(k/20) - 1)` sessions;
+  * correlate's 30-min grid with a ±10-min band matches each left row to
+  * exactly its same-slot right row.
+  *
+  * Usage: `runMain graft.tools.StreamStateProbe [nEvents] [provider]`
+  * with provider one of `default`, `rocksdb`, `both` (default `both`).
+  */
+object StreamStateProbe {
+  private val RocksDb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(5_000_000L)
+    val providers = args.lift(1).getOrElse("both") match {
+      case "default" => Seq("default")
+      case "rocksdb" => Seq("rocksdb")
+      case _ => Seq("default", "rocksdb")
+    }
+    val root = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    root.sparkContext.setLogLevel("ERROR")
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    // ---- shared fixtures (written once, replayed per provider leg) ----
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssp").toString
+    val users = 100_000L
+
+    // sessionize: per user, one event per 2.55-min step with a planted
+    // 32-min gap after every 20th — every user closes ceil(k/20)-1
+    // sessions, the trailing one staying open (NoTimeout contract)
+    root.range(n).select(
+        col("id").as("event_id"),
+        timestamp_seconds(
+          lit(86400L) +
+            (floor(col("id") / users) + floor(floor(col("id") / users) / 20) * 31) * 60
+        ).as("ts"),
+        (col("id") % users).as("user_id"),
+        lit("e").as("event_type"),
+        lit(1.0).as("value"))
+      .coalesce(32).write.mode("overwrite").parquet(s"$dir/sess")
+
+    // correlate: both sides on the same 30-min grid (band < grid step), so
+    // each left row matches exactly its same-slot right row
+    val ccN = n / 4
+    def ccSide(tag: String, out: String): Unit =
+      root.range(ccN).select(
+        col("id").as("event_id"),
+        // a day above epoch 0: rows at or below the initial watermark (0)
+        // count as already expired in the stream-stream join
+        timestamp_seconds(lit(86400L) + floor(col("id") / users) * 1800).as("ts"),
+        (col("id") % users).as("user_id"),
+        lit(tag).as("event_type"),
+        lit(1.0).as("value"))
+      .coalesce(32).write.mode("overwrite").parquet(out)
+    ccSide("click", s"$dir/l")
+    ccSide("purchase", s"$dir/r")
+    val schema = root.read.parquet(s"$dir/l").schema
+
+    def sessionsWant(k: Long) = users * ((k + 19) / 20 - 1)
+
+    for (p <- providers) {
+      val s = root.newSession()
+      if (p == "rocksdb") {
+        s.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDb)
+        s.conf.set(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+          "true")
+      }
+      import graft.streaming.EventStreams
+
+      println(f"== [$p] sessionize at $n%,d events, $users%,d users ==")
+      val closed = new java.util.concurrent.atomic.AtomicLong(0L)
+      val ck1 = java.nio.file.Files.createTempDirectory("graft_ssp_ck").toString
+      val q1 = EventStreams.sessionize(
+          s.readStream.schema(schema).parquet(s"$dir/sess")
+            .as[EventStreams.Event](
+              org.apache.spark.sql.Encoders.product[EventStreams.Event]),
+          gapMinutes = 30)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck1)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[EventStreams.Session], _: Long) =>
+            closed.addAndGet(b.count()): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      time(s"  sessionize [$p]")(q1.awaitTermination())
+      println(f"  closed sessions ${closed.get()}%,d (want ${sessionsWant(n / users)}%,d)")
+      require(closed.get() == sessionsWant(n / users), s"sessionize [$p] wrong count")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck1))
+
+      println(f"== [$p] stream-stream correlate at $ccN%,d x $ccN%,d ==")
+      val pairs = new java.util.concurrent.atomic.AtomicLong(0L)
+      val ck2 = java.nio.file.Files.createTempDirectory("graft_ssp_ck").toString
+      val q2 = EventStreams.correlate(
+          s.readStream.schema(schema).parquet(s"$dir/l"),
+          s.readStream.schema(schema).parquet(s"$dir/r"),
+          bandMinutes = 10)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck2)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          pairs.addAndGet(b.count()): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      time(s"  correlate [$p]")(q2.awaitTermination())
+      println(f"  matched pairs ${pairs.get()}%,d (want $ccN%,d)")
+      require(pairs.get() == ccN, s"correlate [$p] wrong count")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck2))
+    }
+
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    root.stop()
+  }
+}
