@@ -117,5 +117,9 @@ object SparkEntry {
     "stream_correlate", "stream_dedup_events", "stream_resample",
     "stream_kmv", "stream_enrich", "stream_wet_ingest",
     "stream_lm_score", "stream_wds_ingest", "stream_roc_auc",
-    "stream_calibration", "stream_quantile", "stream_corpus_report")
+    "stream_calibration", "stream_quantile", "stream_corpus_report",
+    // end of round 9: crossed 1 s at n=1 in the final full-surface reruns
+    // (boundary gates whose singles jitter across 1 s with host state —
+    // promoted together so the rule can't mint a new violation per run)
+    "pipe_embed_quantize", "dtl_partitioned_export", "dtl_readability")
 }
