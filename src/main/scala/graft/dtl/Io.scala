@@ -39,20 +39,31 @@ trait Exporter {
   */
 final class FilesystemImporter(spark: SparkSession, inputDir: String) extends Importer {
   private val cache = mutable.Map.empty[String, DataFrame]
+  /** Columnar/record scans get the same adaptive fan-out as the gate-layer
+    * reader (graft.ops.ScanFanout: single-split files otherwise pin every
+    * row-local DTL pipeline to one task); the archive readers (wet/warc/
+    * tar) keep their one-task-per-member-stream contract untouched.
+    */
+  private def fanned(df: DataFrame, path: String): DataFrame =
+    graft.ops.ScanFanout(spark, df, path)
   def importTable(name: String): DataFrame =
     cache.getOrElseUpdate(name, Io.extensionOf(name) match {
       case Some("csv") =>
-        spark.read.option("header", "true").option("inferSchema", "true")
-          .csv(s"$inputDir/$name")
+        fanned(spark.read.option("header", "true").option("inferSchema", "true")
+          .csv(s"$inputDir/$name"), s"$inputDir/$name")
       case Some("tsv") =>
-        spark.read.option("header", "true").option("inferSchema", "true")
-          .option("sep", "\t").csv(s"$inputDir/$name")
+        fanned(spark.read.option("header", "true").option("inferSchema", "true")
+          .option("sep", "\t").csv(s"$inputDir/$name"), s"$inputDir/$name")
       // Spark's json source IS line-delimited — `.jsonl` (the de-facto
       // training-data interchange format) is the same reader
-      case Some("json") | Some("jsonl") => spark.read.json(s"$inputDir/$name")
-      case Some("orc") => spark.read.orc(s"$inputDir/$name")
-      case Some("parquet") => spark.read.parquet(s"$inputDir/$name")
-      case Some("txt") => spark.read.text(s"$inputDir/$name")
+      case Some("json") | Some("jsonl") =>
+        fanned(spark.read.json(s"$inputDir/$name"), s"$inputDir/$name")
+      case Some("orc") =>
+        fanned(spark.read.orc(s"$inputDir/$name"), s"$inputDir/$name")
+      case Some("parquet") =>
+        fanned(spark.read.parquet(s"$inputDir/$name"), s"$inputDir/$name")
+      case Some("txt") =>
+        fanned(spark.read.text(s"$inputDir/$name"), s"$inputDir/$name")
       // crawl archives: .wet = conversion records as (url, date,
       // content_length, text); .warc = every record with type/offset —
       // the CommonCrawl entry point, one shuffle-free task per member
@@ -61,7 +72,8 @@ final class FilesystemImporter(spark: SparkSession, inputDir: String) extends Im
       // WebDataset shards: one (shard, key, ext, data) row per tar member,
       // one shuffle-free task per shard file
       case Some("tar") => graft.ops.WebDataset.readShards(spark, s"$inputDir/$name")
-      case _ => spark.read.parquet(s"$inputDir/$name.parquet")
+      case _ => fanned(spark.read.parquet(s"$inputDir/$name.parquet"),
+        s"$inputDir/$name.parquet")
     })
 }
 

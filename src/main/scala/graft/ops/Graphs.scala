@@ -213,23 +213,32 @@ object Graphs {
     * quadratic in a node's raw degree ever materializes.
     */
   def triangles(edges: DataFrame, src: Column, dst: Column): DataFrame = {
-    val und = undirectedEdges(edges, src, dst)
-    val deg = und.select(col("a").as("node_id"))
+    // und/deg/oriented are each referenced by MULTIPLE textually-distinct
+    // subplans below (deg twice in ranked, oriented three times across the
+    // wedge join and the closing-edge join, deg again in the final left
+    // join) — unpinned, the whole upstream edge build (typically a corpus
+    // self-join at the gates) re-executes once per reference: the round-9
+    // before-plan for pipe_triangles held 68 parquet scans / 104 Exchanges
+    // of the same lineitem self-join and burned 131 CPU-seconds for a
+    // 8.9 s median. Pin each shared frame once (the pagerank lifecycle),
+    // pin the O(N) result, release the O(E) work frames before returning.
+    val und = Pinned.pin(undirectedEdges(edges, src, dst), None)
+    val deg = Pinned.pin(und.select(col("a").as("node_id"))
       .unionAll(und.select(col("b")))
-      .groupBy("node_id").agg(count(lit(1)).as("deg"))
+      .groupBy("node_id").agg(count(lit(1)).as("deg")), None)
     // orient each edge low→high in (deg, id) order; carry the endpoint
     // ranks so the wedge join can emit (v, w) already canonically ordered
     val ranked = und
       .join(deg.withColumnRenamed("node_id", "a").withColumnRenamed("deg", "da"), "a")
       .join(deg.withColumnRenamed("node_id", "b").withColumnRenamed("deg", "db"), "b")
-    val oriented = ranked.select(
+    val oriented = Pinned.pin(ranked.select(
       when(col("da") < col("db") ||
         (col("da") === col("db") && col("a") < col("b")), col("a"))
         .otherwise(col("b")).as("u"),
       when(col("da") < col("db") ||
         (col("da") === col("db") && col("a") < col("b")),
         struct(col("b").as("id"), col("db").as("dg")))
-        .otherwise(struct(col("a").as("id"), col("da").as("dg"))).as("v"))
+        .otherwise(struct(col("a").as("id"), col("da").as("dg"))).as("v")), None)
     // wedges u→v, u→w with v before w in the same (deg, id) order, so the
     // closing edge (v, w) is itself oriented v→w
     val l = oriented.select(col("u"), col("v").as("x"))
@@ -238,18 +247,34 @@ object Graphs {
       .filter(col("x.dg") < col("y.dg") ||
         (col("x.dg") === col("y.dg") && col("x.id") < col("y.id")))
       .select(col("u"), col("x.id").as("v"), col("y.id").as("w"))
-    val tri = wedges.join(
-      oriented.select(col("u").as("v"), col("v.id").as("w")), Seq("v", "w"))
+    // the closing-edge probe is the op's whole cost profile: wedge volume
+    // is Σ d_out(u)² (41M rows at the sf0.1 gate for 1.2M edges), and a
+    // planner-chosen sort-merge join SORTS every wedge — measured 13.8 s
+    // of the gate's ~9 s median lived here. The edge side is O(E) exact
+    // (v, w) longs; when it fits a broadcast relation the wedges never
+    // exchange at all (guide §3.1: pick the strategy deliberately,
+    // broadcast the side that fits). Size-derived, not local-tuned: the
+    // pinned edge count is exact (one cheap action over cached blocks) and
+    // the threshold is a conf — at web scale E exceeds it and the planner
+    // keeps the shuffled join.
+    val maxBcastEdges = edges.sparkSession.conf
+      .get("spark.graft.triangles.maxBroadcastEdges", "10000000").toLong
+    val closing = oriented.select(col("u").as("v"), col("v.id").as("w"))
+    val closingSide =
+      if (und.count() <= maxBcastEdges) broadcast(closing) else closing
+    val tri = wedges.join(closingSide, Seq("v", "w"))
     val counts = tri
       .select(explode(array(col("u"), col("v"), col("w"))).as("node_id"))
       .groupBy("node_id").agg(count(lit(1)).as("n_triangles"))
-    deg.join(counts, Seq("node_id"), "left")
+    val out = Pinned.pin(deg.join(counts, Seq("node_id"), "left")
       .select(col("node_id"), col("deg").as("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
       .withColumn("clustering",
         when(col("degree") < 2, lit(0.0)).otherwise(
           round(lit(2.0) * col("n_triangles") /
-            (col("degree") * (col("degree") - 1)), 6)))
+            (col("degree") * (col("degree") - 1)), 6))), None)
+    Seq(oriented, deg, und).foreach(Pinned.release)
+    out
   }
 
   /** k-core of the UNDIRECTED graph (Seidman 1983 "Network structure and

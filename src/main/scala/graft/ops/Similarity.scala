@@ -655,20 +655,29 @@ object Similarity {
     */
   def marginFromScores(scored: DataFrame, k: Int,
       threshold: Double): DataFrame = {
+    // `scored` is consumed by THREE textually-distinct subplans (the
+    // forward top-k, the backward top-k, and the margin join), so
+    // ReuseExchange never fires and an unpinned frame recomputes its
+    // upstream — at the gate, the full src×tgt cosine cross product —
+    // once per reference (measured: pipe_bitext_margin cpu_med 11.9 s for
+    // a 3.4 s median before; the pin makes it one pass). Lazy pin: no job
+    // at frame-build time; the harness drains free it after consumption
+    // (the editDistancePairs prefix-pin pattern).
+    val sc = Pinned.pin(scored, None, eager = false)
     val wF = Window.partitionBy(col("src_id"))
       .orderBy(col("ci").desc, col("tgt_id").asc)
     val wB = Window.partitionBy(col("tgt_id"))
       .orderBy(col("ci").desc, col("src_id").asc)
-    val fwd = scored.withColumn("rf", row_number().over(wF))
+    val fwd = sc.withColumn("rf", row_number().over(wF))
       .filter(col("rf") <= k)
       .groupBy("src_id").agg(sum("ci").as("fs"), count(lit(1)).as("fn"))
-    val bwd = scored.withColumn("rb", row_number().over(wB))
+    val bwd = sc.withColumn("rb", row_number().over(wB))
       .filter(col("rb") <= k)
       .groupBy("tgt_id").agg(sum("ci").as("bs"), count(lit(1)).as("bn"))
     // margin = ci / ((fs/fn + bs/bn) / 2); with fn = bn = k this is the
     // exact-integer 2k·ci/(fs+bs), but candidate frames may hold < k
     // neighbors per endpoint, so keep the per-side counts explicit
-    val m = scored.join(fwd, "src_id").join(bwd, "tgt_id")
+    val m = sc.join(fwd, "src_id").join(bwd, "tgt_id")
       .withColumn("margin", round(
         col("ci").cast("double") * 2.0 /
           (col("fs").cast("double") / col("fn").cast("double") +

@@ -18,8 +18,13 @@ import org.apache.spark.sql.expressions.Window
   *    with codegen'd functions, no UDFs.
   */
 object CoreQueries {
-  def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    // single-file single-row-group inputs scan as ONE task; redistribute
+    // across the session's cores when (and only when) the file layout
+    // cannot — see ScanFanout for the scale-adaptive trigger
+    val path = s"$dir/$name.parquet"
+    graft.ops.ScanFanout(s, s.read.parquet(path), path)
+  }
 
   /** events.ts is parquet TIMESTAMP(NANOS) which Spark can only read as long
     * (spark.sql.legacy.parquet.nanosAsLong=true, set in Verify/Bench/tests).

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** ScanFanout: the adaptive fan-out must trigger exactly when the file
+  * layout caps scan parallelism below the session's cores, move rows
+  * without touching values, and stay a no-op for big inputs, tiny inputs
+  * and disabled sessions. Conf-dependent cases run on `newSession()`
+  * clones so the shared test session's conf is never mutated (suites run
+  * concurrently).
+  */
+class ScanFanoutSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  // one ~0.5 MB parquet file (single row group): the degenerate layout the
+  // fan-out exists for — built once, read by every case
+  private lazy val file: String = {
+    import spark.implicits._
+    val dir = graft.queries.GateScratch.tempDir("fanout-spec")
+    val p = s"$dir/one.parquet"
+    (1L to 40000L).toDF("x")
+      .select(org.apache.spark.sql.functions.col("x"),
+        org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.col("x").cast("string")).as("h"))
+      .coalesce(1).write.mode("overwrite").parquet(p)
+    p
+  }
+
+  test("single-split file fans out to the session's cores, values untouched") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.scan.fanout.minBytes", "1k")
+    val raw = s2.read.parquet(file)
+    val fanned = ScanFanout(s2, raw, file)
+    assert(fanned.rdd.getNumPartitions == s2.sparkContext.defaultParallelism,
+      "fan-out did not reach the session's default parallelism")
+    // identical multiset of rows — fan-out moves rows, computes nothing
+    assert(fanned.orderBy("x").collect().toSeq ==
+      raw.orderBy("x").collect().toSeq)
+  }
+
+  test("no-op when the split estimate already reaches the core count") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.scan.fanout.minBytes", "1k")
+    // a 1 KB advisory split makes the ~0.5 MB file worth >= cores splits
+    s2.conf.set("spark.sql.files.maxPartitionBytes", "1k")
+    val raw = s2.read.parquet(file)
+    assert(ScanFanout(s2, raw, file) eq raw,
+      "fan-out fired although the scan can split to the core count itself")
+  }
+
+  test("inputs under minBytes stay single-task (broadcast-sized dims)") {
+    val s2 = spark.newSession() // default minBytes 256k > the ~0.5 MB file? no —
+    s2.conf.set("spark.graft.scan.fanout.minBytes", "1g") // force the floor above it
+    val raw = s2.read.parquet(file)
+    assert(ScanFanout(s2, raw, file) eq raw)
+  }
+
+  test("spark.graft.scan.fanout=false disables it") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.scan.fanout", "false")
+    s2.conf.set("spark.graft.scan.fanout.minBytes", "1k")
+    val raw = s2.read.parquet(file)
+    assert(ScanFanout(s2, raw, file) eq raw)
+  }
+}
