@@ -54,6 +54,27 @@ object Graphs {
     und.select(col("a").as("n"), col("b").as("m"))
       .unionAll(und.select(col("b").as("n"), col("a").as("m")))
 
+  /** Per-round small-side broadcast for the iterative loops. Every round
+    * joins the pinned O(E) edge frame against an O(N) node-state frame
+    * (ranks/labels/alive set), and the planner — seeing only a stats-less
+    * LogicalRDD pin — picks a sort-merge join that re-SORTS the edge side
+    * every round (measured r09: 30-40 process-CPU-seconds per 5-round gate
+    * at sf0.1). The operator KNOWS n exactly (the one bounded count() each
+    * loop already takes), so when the node frame is broadcastable by count
+    * it is broadcast explicitly: the edge pin then streams with zero
+    * per-round exchange or sort, and only aggregation partials cross the
+    * wire (guide §3.1 — pick the join strategy deliberately; broadcast the
+    * side that fits). Size-derived with a conf cap, never unconditional:
+    * past `spark.graft.graph.maxBroadcastNodes` (default 2M rows ≈ tens of
+    * MB framed) the existing exchange-the-small-side plan stands, which is
+    * the right shape for web-scale N.
+    */
+  private def bcastIfSmall(df: DataFrame, rows: Long): DataFrame = {
+    val cap = df.sparkSession.conf
+      .get("spark.graft.graph.maxBroadcastNodes", "2000000").toLong
+    if (rows <= cap) broadcast(df) else df
+  }
+
   /** [[degrees]] over an ALREADY-canonical (src, dst) distinct edge frame —
     * the internal entry point, so operators holding a pinned canonical
     * frame don't pay canonEdges' cast/filter/distinct exchange a second
@@ -153,36 +174,40 @@ object Graphs {
     val eBySrc = pin(canonEdges(edges, src, dst).repartition(col("src")))
     val eByDst = pin(eBySrc.repartition(col("dst")))
     val nodes = pin(degreesOfCanon(eBySrc))
-    require(!eBySrc.isEmpty, "hits: empty graph")
+    val n = nodes.count()
+    require(n > 0, "hits: empty graph")
 
     var hubs = nodes.select(col("node_id"), lit(1.0).as("hub"))
     var auths: DataFrame = null
     for (_ <- 1 to iters) {
+      // per-half-step small-side broadcasts under the n <= cap gate — see
+      // pagerankImpl; both pinned edge layouts stream un-sorted
       // authority half-step: hubs flow along edges src → dst
-      val araw = eBySrc.join(hubs, col("node_id") === col("src"))
+      val araw = eBySrc.join(bcastIfSmall(hubs, n), col("node_id") === col("src"))
         .groupBy(col("dst")).agg(sum(col("hub")).as("s"))
       val anorm = araw.agg(sum(col("s")).as("t"))
       val prevAuths = auths
       auths = pin(nodes.select(col("node_id"))
-        .join(araw, col("node_id") === col("dst"), "left")
+        .join(bcastIfSmall(araw, n), col("node_id") === col("dst"), "left")
         .crossJoin(broadcast(anorm))
         .select(col("node_id"),
           (coalesce(col("s"), lit(0.0)) / col("t")).as("auth")))
       if (prevAuths != null) Pinned.release(prevAuths)
       // hub half-step: authorities flow back dst → src
-      val hraw = eByDst.join(auths, col("node_id") === col("dst"))
+      val hraw = eByDst.join(bcastIfSmall(auths, n), col("node_id") === col("dst"))
         .groupBy(col("src")).agg(sum(col("auth")).as("s"))
       val hnorm = hraw.agg(sum(col("s")).as("t"))
       val prevHubs = hubs
       hubs = pin(nodes.select(col("node_id"))
-        .join(hraw, col("node_id") === col("src"), "left")
+        .join(bcastIfSmall(hraw, n), col("node_id") === col("src"), "left")
         .crossJoin(broadcast(hnorm))
         .select(col("node_id"),
           (coalesce(col("s"), lit(0.0)) / col("t")).as("hub")))
       Pinned.release(prevHubs) // no-op on the lazy round-0 seed
     }
     // pin the O(N) result, release every work frame (see pagerankImpl)
-    val out = pin(nodes.join(auths, Seq("node_id")).join(hubs, Seq("node_id"))
+    val out = pin(nodes.join(bcastIfSmall(auths, n), Seq("node_id"))
+      .join(bcastIfSmall(hubs, n), Seq("node_id"))
       .select(col("node_id"), col("in_deg"), col("out_deg"),
         round(col("auth"), 6).as("auth"), round(col("hub"), 6).as("hub")))
     Seq(auths, hubs, nodes, eBySrc, eByDst).foreach(Pinned.release)
@@ -227,10 +252,16 @@ object Graphs {
       .unionAll(und.select(col("b")))
       .groupBy("node_id").agg(count(lit(1)).as("deg")), None)
     // orient each edge low→high in (deg, id) order; carry the endpoint
-    // ranks so the wedge join can emit (v, w) already canonically ordered
+    // ranks so the wedge join can emit (v, w) already canonically ordered.
+    // The O(N) degree frame broadcasts under the count <= cap gate
+    // (bcastIfSmall) so the pinned edge frame is not re-sorted twice by
+    // stats-blind sort-merge joins
+    val nNodes = deg.count()
     val ranked = und
-      .join(deg.withColumnRenamed("node_id", "a").withColumnRenamed("deg", "da"), "a")
-      .join(deg.withColumnRenamed("node_id", "b").withColumnRenamed("deg", "db"), "b")
+      .join(bcastIfSmall(deg.withColumnRenamed("node_id", "a")
+        .withColumnRenamed("deg", "da"), nNodes), "a")
+      .join(bcastIfSmall(deg.withColumnRenamed("node_id", "b")
+        .withColumnRenamed("deg", "db"), nNodes), "b")
     val oriented = Pinned.pin(ranked.select(
       when(col("da") < col("db") ||
         (col("da") === col("db") && col("a") < col("b")), col("a"))
@@ -266,7 +297,8 @@ object Graphs {
     val counts = tri
       .select(explode(array(col("u"), col("v"), col("w"))).as("node_id"))
       .groupBy("node_id").agg(count(lit(1)).as("n_triangles"))
-    val out = Pinned.pin(deg.join(counts, Seq("node_id"), "left")
+    val out = Pinned.pin(deg.join(bcastIfSmall(counts, nNodes),
+        Seq("node_id"), "left")
       .select(col("node_id"), col("deg").as("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
       .withColumn("clustering",
@@ -314,9 +346,15 @@ object Graphs {
         round += 1
         require(round <= maxRounds,
           s"kcore: not converged after $maxRounds rounds; raise maxRounds")
+        // alive-set broadcasts under the count <= cap gate (bcastIfSmall —
+        // the count is this loop's own convergence observable): the pinned
+        // bidirectional edge frame then streams through both endpoint
+        // filters with zero per-round exchange or sort
         val deg = ed
-          .join(alive.select(col("node_id").as("n")), Seq("n"))
-          .join(alive.select(col("node_id").as("m")), Seq("m"))
+          .join(bcastIfSmall(alive.select(col("node_id").as("n")), aliveCount),
+            Seq("n"))
+          .join(bcastIfSmall(alive.select(col("node_id").as("m")), aliveCount),
+            Seq("m"))
           .groupBy(col("n").as("node_id")).agg(count(lit(1)).as("core_deg"))
         val next = pin(deg.filter(col("core_deg") >= k))
         val c = next.count()
@@ -380,15 +418,20 @@ object Graphs {
     require(n > 0, "weightedPagerank: empty graph")
     var ranks = nodes.select(col("node_id"), lit(1.0 / n).as("rank"))
     for (_ <- 1 to iters) {
-      val withW = ranks.join(nodes.select(col("node_id"), col("out_w")), Seq("node_id"))
+      // per-round small-side broadcasts under the n <= cap gate — see
+      // pagerankImpl; the pinned weighted edge frame streams un-sorted
+      val withW = ranks.join(
+        bcastIfSmall(nodes.select(col("node_id"), col("out_w")), n),
+        Seq("node_id"))
       val dangling = withW.filter(col("out_w") === 0)
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dang"))
-      val contribs = withW.filter(col("out_w") > 0)
-        .join(e, col("node_id") === col("src"))
+      val contribs = e
+        .join(bcastIfSmall(withW.filter(col("out_w") > 0), n),
+          col("node_id") === col("src"))
         .select(col("dst"), (col("rank") * col("w") / col("out_w")).as("c"))
         .groupBy("dst").agg(sum(col("c")).as("inflow"))
       val next = nodes
-        .join(contribs, col("node_id") === col("dst"), "left")
+        .join(bcastIfSmall(contribs, n), col("node_id") === col("dst"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("node_id"),
           (lit((1.0 - damping) / n) +
@@ -399,7 +442,7 @@ object Graphs {
       Pinned.release(prev)
     }
     // pin the O(N) result, release every work frame (see pagerankImpl)
-    val out = pin(nodes.join(ranks, Seq("node_id"))
+    val out = pin(nodes.join(bcastIfSmall(ranks, n), Seq("node_id"))
       .select(col("node_id"), round(col("in_w"), 6).as("in_w"),
         round(col("out_w"), 6).as("out_w"), round(col("rank"), 6).as("rank")))
     Pinned.release(ranks)
@@ -474,9 +517,17 @@ object Graphs {
       .repartition(col("m")))
     var labels = pin(ed.select(col("n").as("node_id")).distinct()
       .select(col("node_id"), col("node_id").as("label")))
+    // the node-set size is fixed across rounds (labels only change value),
+    // so one bounded count gates every round's broadcast decision
+    val n = labels.count()
     for (_ <- 1 to iters) {
+      // label frame broadcast under the n <= cap gate (see pagerankImpl):
+      // the pinned by-neighbor edge layout streams with zero per-round
+      // exchange or sort; past the cap the label frame exchanges onto the
+      // pinned layout exactly as before
       val votes = ed
-        .join(labels.select(col("node_id").as("m"), col("label")), Seq("m"))
+        .join(bcastIfSmall(labels.select(col("node_id").as("m"), col("label")), n),
+          Seq("m"))
         .groupBy(col("n"), col("label")).agg(count(lit(1)).as("cnt"))
       val next = votes.groupBy(col("n").as("node_id"))
         .agg(min(struct((col("cnt") * -1).as("nc"), col("label").as("l"))).as("mx"))
@@ -553,17 +604,22 @@ object Graphs {
 
     var ranks = nodes.select(col("node_id"), init.as("rank"))
     for (_ <- 1 to iters) {
-      val withDeg = ranks.join(outDeg, Seq("node_id"))
+      // every O(N) frame in the round is broadcast when n fits the conf
+      // cap (bcastIfSmall): the pinned edge frame then streams sort- and
+      // exchange-free instead of being re-sorted by a stats-blind SMJ each
+      // round; past the cap the r8 exchange-the-rank-frame shape stands
+      val withDeg = ranks.join(bcastIfSmall(outDeg, n), Seq("node_id"))
       // mass leaving dangling nodes, as a broadcast 1-row frame (kept
       // in-plan; coalesce covers the no-dangling-nodes empty-sum case)
       val dangling = withDeg.filter(col("out_deg") === 0)
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dang"))
-      val contribs = withDeg.filter(col("out_deg") > 0)
-        .join(e, col("node_id") === col("src"))
+      val contribs = e
+        .join(bcastIfSmall(withDeg.filter(col("out_deg") > 0), n),
+          col("node_id") === col("src"))
         .select(col("dst"), (col("rank") / col("out_deg")).as("c"))
         .groupBy("dst").agg(sum(col("c")).as("inflow"))
       val next = nodes
-        .join(contribs, col("node_id") === col("dst"), "left")
+        .join(bcastIfSmall(contribs, n), col("node_id") === col("dst"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("node_id"),
           (teleport +
@@ -581,7 +637,7 @@ object Graphs {
     // pin the O(N) result so every work frame (edges, nodes, final round)
     // can be released NOW instead of lingering until a driver GC — the
     // returned frame is the call's only surviving pin
-    val out = pin(nodes.join(ranks, Seq("node_id"))
+    val out = pin(nodes.join(bcastIfSmall(ranks, n), Seq("node_id"))
       .select(col("node_id"), col("in_deg"), col("out_deg"),
         round(col("rank"), 6).as("rank")))
     Pinned.release(ranks)
