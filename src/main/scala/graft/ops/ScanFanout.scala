@@ -3,6 +3,7 @@ package graft.ops
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, xxhash64}
 
 /** Adaptive scan fan-out for inputs whose FILE LAYOUT caps parallelism
   * below the session's core count (optimization guide §2.5: "input skew —
@@ -24,10 +25,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * cannot reach the session's default parallelism. On a production table
   * (thousands of splits) the estimate exceeds any core count and this is a
   * no-op with zero plan change; the degenerate case is exactly when the
-  * round-robin exchange moves a near-free number of bytes. Round-robin
-  * repartition is retry-safe (spark.sql.execution.sortBeforeRepartition
-  * stays on) and AQE does not coalesce a user-specified partition count,
-  * so the fan-out survives adaptive re-planning.
+  * exchange moves a near-free number of bytes. The partitioning is a hash
+  * of one leading column (value-derived ⇒ retry-deterministic, pruning-
+  * transparent — see the inline note), and AQE does not coalesce a
+  * user-specified partition count, so the fan-out survives adaptive
+  * re-planning.
   *
   * Knobs (parameterised per the round rules, local defaults documented):
   *  - `spark.graft.scan.fanout` (default true) — master switch, for
@@ -76,6 +78,37 @@ object ScanFanout {
     val maxSplit = math.max(1L,
       bytesConf(spark, "spark.sql.files.maxPartitionBytes", "128m"))
     val estSplits = (bytes + maxSplit - 1) / maxSplit
-    if (estSplits >= cores) df else df.repartition(cores)
+    if (estSplits >= cores) df
+    else {
+      // HASH-expression repartition on the FIRST (hashable) column, not
+      // keyless round-robin and not a full-row hash — both measured worse
+      // in the r09 triage bench:
+      //  - keyless repartition(n) local-sorts its whole input first (the
+      //    sortBeforeRepartition retry contract), and that sort runs ON
+      //    the single scan task this helper exists to relieve — a
+      //    +0.3-0.9 s flat tax on every cheap fact-table gate;
+      //  - hashing ALL columns makes the repartition expression reference
+      //    every column, so column pruning cannot reach the scan (q05's
+      //    2-column distinct read all 11 lineitem columns).
+      // Hashing one leading column is value-derived (identical across
+      // retries — the determinism contract holds without the sort), keeps
+      // pruning intact (the scan reads the pruned set plus one column,
+      // and every benchmark table leads with an id-like key), and costs
+      // O(n) with no buffering. A low-cardinality leading column on some
+      // future import merely caps the fan-out at its distinct count —
+      // never wrong, still >= the single task it replaces. MapType cannot
+      // be hashed; an (hypothetical) table with no hashable column falls
+      // back to the sorted round-robin.
+      def hashable(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+        case _: org.apache.spark.sql.types.MapType => false
+        case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+        case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+        case _ => true
+      }
+      df.schema.fields.find(f => hashable(f.dataType)) match {
+        case Some(f) => df.repartition(cores, xxhash64(col(f.name)))
+        case None => df.repartition(cores)
+      }
+    }
   }
 }

@@ -637,13 +637,24 @@ object Similarity {
     */
   def marginMining(src: DataFrame, srcId: Column, srcVec: Column,
       tgt: DataFrame, tgtId: Column, tgtVec: Column,
-      k: Int = 4, threshold: Double = 1.0): DataFrame = {
+      k: Int = 4, threshold: Double = 1.0): DataFrame =
+    marginFromScores(
+      marginScoreMatrix(src, srcId, srcVec, tgt, tgtId, tgtVec), k, threshold)
+
+  /** The gate-scale score matrix alone (broadcast cross product of integer-
+    * millionth cosines) — package-visible so plan-hygiene specs can assert
+    * its broadcast/no-cartesian shape directly: inside [[marginFromScores]]
+    * it now sits behind the pin (a LogicalRDD in the final plan), invisible
+    * to a static explain of the returned frame.
+    */
+  private[graft] def marginScoreMatrix(src: DataFrame, srcId: Column,
+      srcVec: Column, tgt: DataFrame, tgtId: Column,
+      tgtVec: Column): DataFrame = {
     val s = src.select(srcId.as("src_id"), srcVec.cast("array<double>").as("sv"))
     val t = tgt.select(tgtId.as("tgt_id"), tgtVec.cast("array<double>").as("tv"))
-    val scored = s.crossJoin(broadcast(t))
+    s.crossJoin(broadcast(t))
       .select(col("src_id"), col("tgt_id"),
         round(cosine(col("sv"), col("tv")) * 1e6, 0).cast("long").as("ci"))
-    marginFromScores(scored, k, threshold)
   }
 
   /** Margin scoring over a prepared candidate frame (src_id, tgt_id, ci)

@@ -482,11 +482,20 @@ class PlanHygieneSpec extends AnyFunSuite {
   }
 
   test("bitext margin: the score matrix broadcasts the tgt side, never a CartesianProduct") {
-    val p = plan("pipe_bitext_margin")
     // the exact gate-scale form is an explicit broadcast cross (the scale
-    // path feeds marginFromScores from IVF candidates instead); the margin
-    // windows/joins then hash-partition on the endpoint ids
-    assert(p.contains("BroadcastExchange"), "tgt side must broadcast")
+    // path feeds marginFromScores from IVF candidates instead). Since the
+    // r09 pin the score matrix sits behind a LogicalRDD in the gate's
+    // final plan, so the broadcast shape is asserted on the matrix
+    // subtree itself; the gate plan must still never go cartesian.
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val scored = graft.ops.Similarity.marginScoreMatrix(
+      emb.filter(col("vec_id") % 2 === 0), col("vec_id"), col("embedding"),
+      emb.filter(col("vec_id") % 2 === 1), col("vec_id"), col("embedding"))
+    val ps = scored.queryExecution.explainString(FormattedMode)
+    assert(ps.contains("BroadcastExchange"), "tgt side must broadcast")
+    assert(!ps.contains("CartesianProduct"), s"cartesian in score matrix:\n$ps")
+    val p = plan("pipe_bitext_margin")
     assert(!p.contains("CartesianProduct"), s"cartesian in bitext plan:\n$p")
   }
 
