@@ -39,6 +39,7 @@ object ImageHash {
 
   private def decodeImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
     if (bytes == null || bytes.length == 0) return null
+    ImageIoConfig.memoryStreams
     val img =
       try ImageIO.read(new ByteArrayInputStream(bytes))
       catch { case _: Exception => null }

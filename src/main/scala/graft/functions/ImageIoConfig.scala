@@ -1,0 +1,25 @@
+package graft.functions
+
+/** JVM-wide `javax.imageio` tuning for the byte-array media paths.
+  *
+  * ImageIO's default stream factories are disk-backed: with `useCache`
+  * true (the JDK default), every `ImageIO.read(InputStream)` /
+  * `ImageIO.write(..., OutputStream)` call wraps the stream in a
+  * `FileCacheImage{Input,Output}Stream` — one temp-file create, write and
+  * delete per image, allocated under a synchronized factory. For this
+  * repo's media operators the payload is always an in-memory byte array
+  * (tar members, parquet binary cells, planted fixtures), so the file
+  * cache buys nothing and costs a filesystem round trip per row that
+  * serializes a 32-thread decode stage (measured on the image-embed gate:
+  * ~8 ms CPU per 3 KB BMP, dominated by stream setup, not pixel work).
+  *
+  * `setUseCache(false)` switches both factories to the in-memory
+  * `MemoryCacheImage*Stream` variants. Decode OUTPUT is bit-identical —
+  * the cache only buffers the byte transport — so no query result can
+  * change. Executors initialize it too: every decode entry point
+  * references [[memoryStreams]] before its first ImageIO call, so any JVM
+  * that decodes flips the flag exactly once.
+  */
+object ImageIoConfig {
+  lazy val memoryStreams: Unit = javax.imageio.ImageIO.setUseCache(false)
+}

@@ -37,6 +37,7 @@ object ImageMeta {
   /** (width, height, 1, lowercase format name) or null when undecodable. */
   def decode(bytes: Array[Byte]): InternalRow = {
     if (bytes == null || bytes.length == 0) return null
+    ImageIoConfig.memoryStreams
     try {
       val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
       try {

@@ -225,17 +225,25 @@ object Graphs {
     * organic hub. Counts are integer-exact, so the oracle comparison is
     * bitwise on them.
     *
-    * Algorithm — degree-ordered wedge join (the standard distributed
-    * formulation; Suri & Vassilvitskii 2011, "Counting Triangles and the
-    * Curse of the Last Reducer"): orient every undirected edge from its
-    * lower-(degree, id) endpoint to the higher; each triangle then has
-    * exactly one node with two out-edges, so joining wedges (u→v, u→w) with
-    * the oriented edge v→w counts each triangle once. The orientation
-    * bounds every out-degree by O(√E), so wedge volume is O(E^1.5) worst
-    * case instead of Σ deg² — the hot-node (celebrity host) explosion a
-    * naive neighbor join hits at crawl scale. Three hash shuffles total
-    * (degree agg, wedge self-join on u, wedge⨝edge on (v, w)); nothing
-    * quadratic in a node's raw degree ever materializes.
+    * Algorithm — degree-ordered adjacency intersection (the "forward" /
+    * edge-iterator algorithm: Chiba & Nishizeki 1985, Schank & Wagner
+    * 2005; the same degree orientation as Suri & Vassilvitskii 2011's
+    * wedge formulation): orient every undirected edge from its
+    * lower-(degree, id) endpoint to the higher; a triangle u<v<w (in that
+    * order) is then discovered EXACTLY once, at its pivot edge u→v, as
+    * w ∈ N⁺(u) ∩ N⁺(v) — w ∈ N⁺(v) forces v<w, and neither (u,w) nor
+    * (v,w) can rediscover it because v ∉ N⁺(w) and u ∉ N⁺(v)⁻¹. The
+    * orientation bounds every out-degree by O(√E), so the intersection
+    * work is O(E^1.5) worst case — but unlike the r08 wedge SELF-JOIN,
+    * which materialized Σ d⁺² rows (41M wedge rows for the 1.2M-edge
+    * sf0.1 gate, 125 process-CPU-seconds) and probed each against the
+    * closing-edge relation, nothing quadratic in out-degree ever
+    * becomes a ROW: per-node out-neighbor arrays (Σ|N⁺| = E ids total)
+    * join back onto the E oriented edges and the intersection runs as one
+    * codegen'd array op per edge, exploding only the T actual triangles
+    * (962k here). Shuffles: degree agg, adjacency agg, plus the two
+    * adjacency joins — broadcast (zero exchange) under the same
+    * edge-count gate as before, hash joins past it.
     */
   def triangles(edges: DataFrame, src: Column, dst: Column): DataFrame = {
     // und/deg/oriented are each referenced by MULTIPLE textually-distinct
@@ -251,49 +259,45 @@ object Graphs {
     val deg = Pinned.pin(und.select(col("a").as("node_id"))
       .unionAll(und.select(col("b")))
       .groupBy("node_id").agg(count(lit(1)).as("deg")), None)
-    // orient each edge low→high in (deg, id) order; carry the endpoint
-    // ranks so the wedge join can emit (v, w) already canonically ordered.
-    // The O(N) degree frame broadcasts under the count <= cap gate
-    // (bcastIfSmall) so the pinned edge frame is not re-sorted twice by
-    // stats-blind sort-merge joins
+    // orient each edge low→high in (deg, id) order. The O(N) degree frame
+    // broadcasts under the count <= cap gate (bcastIfSmall) so the pinned
+    // edge frame is not re-sorted twice by stats-blind sort-merge joins
     val nNodes = deg.count()
     val ranked = und
       .join(bcastIfSmall(deg.withColumnRenamed("node_id", "a")
         .withColumnRenamed("deg", "da"), nNodes), "a")
       .join(bcastIfSmall(deg.withColumnRenamed("node_id", "b")
         .withColumnRenamed("deg", "db"), nNodes), "b")
+    val lowFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
     val oriented = Pinned.pin(ranked.select(
-      when(col("da") < col("db") ||
-        (col("da") === col("db") && col("a") < col("b")), col("a"))
-        .otherwise(col("b")).as("u"),
-      when(col("da") < col("db") ||
-        (col("da") === col("db") && col("a") < col("b")),
-        struct(col("b").as("id"), col("db").as("dg")))
-        .otherwise(struct(col("a").as("id"), col("da").as("dg"))).as("v")), None)
-    // wedges u→v, u→w with v before w in the same (deg, id) order, so the
-    // closing edge (v, w) is itself oriented v→w
-    val l = oriented.select(col("u"), col("v").as("x"))
-    val r = oriented.select(col("u"), col("v").as("y"))
-    val wedges = l.join(r, Seq("u"))
-      .filter(col("x.dg") < col("y.dg") ||
-        (col("x.dg") === col("y.dg") && col("x.id") < col("y.id")))
-      .select(col("u"), col("x.id").as("v"), col("y.id").as("w"))
-    // the closing-edge probe is the op's whole cost profile: wedge volume
-    // is Σ d_out(u)² (41M rows at the sf0.1 gate for 1.2M edges), and a
-    // planner-chosen sort-merge join SORTS every wedge — measured 13.8 s
-    // of the gate's ~9 s median lived here. The edge side is O(E) exact
-    // (v, w) longs; when it fits a broadcast relation the wedges never
-    // exchange at all (guide §3.1: pick the strategy deliberately,
-    // broadcast the side that fits). Size-derived, not local-tuned: the
-    // pinned edge count is exact (one cheap action over cached blocks) and
-    // the threshold is a conf — at web scale E exceeds it and the planner
-    // keeps the shuffled join.
+      when(lowFirst, col("a")).otherwise(col("b")).as("u"),
+      when(lowFirst, col("b")).otherwise(col("a")).as("v")), None)
+    // per-node out-neighbor arrays: Σ|N⁺| = E ids total, one row per node
+    // with out-edges. array_intersect treats them as sets (they are —
+    // oriented edges are distinct), so the per-edge intersection is exact.
+    val adj = oriented.groupBy(col("u")).agg(collect_list(col("v")).as("nb"))
+    // attach N⁺(u) and N⁺(v) to each oriented edge u→v, then explode the
+    // intersection: only the T triangles ever become rows (the r08 wedge
+    // self-join materialized Σ d⁺² rows here — 41M at the sf0.1 gate —
+    // and probed each against a closing-edge relation; measured 125
+    // process-CPU-seconds, vs E array ops + T rows now). The adjacency
+    // payload is E ids, the same bytes the closing-edge side carried, so
+    // the same size-derived conf gates its broadcast: the pinned edge
+    // count is exact (one cheap action over cached blocks); past the cap
+    // (web scale) both attach joins fall back to hash joins on u / v.id.
+    // The inner join on v drops edges whose head has no out-neighbors —
+    // such an edge can close no triangle.
     val maxBcastEdges = edges.sparkSession.conf
       .get("spark.graft.triangles.maxBroadcastEdges", "10000000").toLong
-    val closing = oriented.select(col("u").as("v"), col("v.id").as("w"))
-    val closingSide =
-      if (und.count() <= maxBcastEdges) broadcast(closing) else closing
-    val tri = wedges.join(closingSide, Seq("v", "w"))
+    val eCount = und.count()
+    def adjSide(keyed: DataFrame): DataFrame =
+      if (eCount <= maxBcastEdges) broadcast(keyed) else keyed
+    val tri = oriented.select(col("u"), col("v"))
+      .join(adjSide(adj.select(col("u"), col("nb").as("nb_u"))), Seq("u"))
+      .join(adjSide(adj.select(col("u").as("v"), col("nb").as("nb_v"))), Seq("v"))
+      .select(col("u"), col("v"),
+        explode(array_intersect(col("nb_u"), col("nb_v"))).as("w"))
     val counts = tri
       .select(explode(array(col("u"), col("v"), col("w"))).as("node_id"))
       .groupBy("node_id").agg(count(lit(1)).as("n_triangles"))

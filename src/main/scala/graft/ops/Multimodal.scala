@@ -246,6 +246,7 @@ object Multimodal {
         img.setRGB(x, y, rgb)
     }
     val baos = new java.io.ByteArrayOutputStream()
+    graft.functions.ImageIoConfig.memoryStreams
     javax.imageio.ImageIO.write(img, "bmp", baos)
     baos.toByteArray
   }
