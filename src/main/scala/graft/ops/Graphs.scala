@@ -29,11 +29,23 @@ object Graphs {
   /** Normalize an edge frame to distinct (src, dst) BIGINT pairs. Parallel
     * edges collapse to one (unweighted PageRank contract); self-loops are
     * kept (a self-link is a legal outlink and the update handles it).
+    *
+    * `clusterBy` lays the result out by that column IN THE SAME EXCHANGE
+    * that dedups it (guide §2.4 — two operations keyed compatibly share
+    * one exchange): hash-partitioning on a SUBSET of the distinct keys
+    * satisfies the dedup's clustering requirement, so
+    * `repartition(src).distinct()` plans ONE exchange where
+    * `distinct().repartition(src)` paid two full passes over E rows
+    * (measured: the double exchange was the pagerank gates' single
+    * biggest stage).
     */
-  private def canonEdges(edges: DataFrame, src: Column, dst: Column): DataFrame =
-    edges.select(src.cast("bigint").as("src"), dst.cast("bigint").as("dst"))
+  private def canonEdges(edges: DataFrame, src: Column, dst: Column,
+      clusterBy: Option[String] = None): DataFrame = {
+    val base = edges
+      .select(src.cast("bigint").as("src"), dst.cast("bigint").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
+    clusterBy.fold(base)(c => base.repartition(col(c))).distinct()
+  }
 
   /** Canonical UNDIRECTED edge set: distinct (a, b) BIGINT pairs with
     * a < b, nulls and self-loops dropped — the shared normalization of
@@ -171,7 +183,7 @@ object Graphs {
     require(iters >= 1, s"need iters >= 1; got $iters")
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     def pin(df: DataFrame): DataFrame = Pinned.pin(df, checkpointDir)
-    val eBySrc = pin(canonEdges(edges, src, dst).repartition(col("src")))
+    val eBySrc = pin(canonEdges(edges, src, dst, clusterBy = Some("src")))
     val eByDst = pin(eBySrc.repartition(col("dst")))
     val nodes = pin(degreesOfCanon(eBySrc))
     val n = nodes.count()
@@ -339,6 +351,11 @@ object Graphs {
       s"need k >= 1, maxRounds >= 1; got $k, $maxRounds")
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     def pin(df: DataFrame): DataFrame = Pinned.pin(df, checkpointDir)
+    // NOT pinned before bidirectional: the union's two branches re-run the
+    // dedup's final aggregate (its exchange is reused), but an A/B bench
+    // showed pin-then-union WORSE here (+1.2 s wall, +3 cpu-s at sf0.1) —
+    // the pin's extra E-row write+double-read costs more than the
+    // duplicated aggregate it saves
     val ed = pin(bidirectional(undirectedEdges(edges, src, dst)))
     var alivePin = pin(ed.select(col("n").as("node_id")).distinct())
     var core: DataFrame = null
@@ -405,13 +422,17 @@ object Graphs {
       s"need iters >= 0, 0 < damping < 1; got $iters, $damping")
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     def pin(df: DataFrame): DataFrame = Pinned.pin(df, checkpointDir)
+    // repartition BEFORE the parallel-edge sum: hash(src) satisfies the
+    // (src, dst) aggregation's clustering requirement, so the layout
+    // exchange and the dedup-sum share ONE pass over E rows instead of two
+    // (guide §2.4; same shape as canonEdges' clusterBy)
     val e = pin(edges
       .select(src.cast("bigint").as("src"), dst.cast("bigint").as("dst"),
         weight.cast("double").as("w"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("w").isNotNull && col("w") > 0)
-      .groupBy("src", "dst").agg(sum("w").as("w"))
-      .repartition(col("src")))
+      .repartition(col("src"))
+      .groupBy("src", "dst").agg(sum("w").as("w")))
     val outW = e.groupBy(col("src").as("node_id")).agg(sum("w").as("out_w"))
     val inW = e.groupBy(col("dst").as("node_id")).agg(sum("w").as("in_w"))
     val nodes = pin(outW.join(inW, Seq("node_id"), "full")
@@ -476,8 +497,14 @@ object Graphs {
       minCount: Long = 1L, maxGroupSize: Long = 10000L): DataFrame = {
     require(minCount >= 1 && maxGroupSize >= 2,
       s"need minCount >= 1, maxGroupSize >= 2; got $minCount, $maxGroupSize")
+    // hash-lay the incidence out by group inside the dedup's own exchange
+    // (guide §2.4): hash(g) satisfies the (g, i) distinct's clustering, and
+    // then the group-size aggregate, the size-cap join AND the pair
+    // self-join below are all already clustered on g — one exchange where
+    // the un-laid-out plan paid one per consumer
     val gi = df.select(group.as("g"), item.cast("bigint").as("i"))
       .filter(col("g").isNotNull && col("i").isNotNull)
+      .repartition(col("g"))
       .distinct()
     val sized = gi.join(
       gi.groupBy("g").agg(count(lit(1)).as("__gs"))
@@ -517,6 +544,8 @@ object Graphs {
     require(iters >= 1, s"need iters >= 1; got $iters")
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     def pin(df: DataFrame): DataFrame = Pinned.pin(df, checkpointDir)
+    // see kcore: pin-before-union measured worse than the duplicated
+    // dedup aggregate the union branches pay
     val ed = pin(bidirectional(undirectedEdges(edges, src, dst))
       .repartition(col("m")))
     var labels = pin(ed.select(col("n").as("node_id")).distinct()
@@ -569,7 +598,7 @@ object Graphs {
     // round after round (asserted in PartitioningSpec; the in-memory
     // analogue of bucketing the edge table by src at 100 TB). Without it
     // each round re-exchanged the O(E) edge side too.
-    val e = pin(canonEdges(edges, src, dst).repartition(col("src")))
+    val e = pin(canonEdges(edges, src, dst, clusterBy = Some("src")))
     val deg = degrees(e, col("src"), col("dst"))
     // N is one scalar action over the pinned degree frame — the same bounded
     // driver fetch the iterative ops already make for convergence tests

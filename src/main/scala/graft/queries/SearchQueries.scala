@@ -82,11 +82,20 @@ object SearchQueries {
     // weighted PageRank over the co-occurrence projection fed in both
     // directions — the composed weighted-host-graph ranking recipe
     "pipe_pagerank_weighted" -> ((s, d) => {
-      val co = Graphs.coOccurrence(t(s, d, "lineitem"),
-        col("l_orderkey"), col("l_partkey"))
+      // pin the projection before the union feeds it in both directions:
+      // the two branches share the aggregate's exchange but would each
+      // re-run its final 1.2M-group aggregate (and the weight filter) —
+      // pinned, both read the materialized rows. weightedPagerank pins its
+      // own edge frame eagerly, so the co pin is dead by the time it
+      // returns and is released here (not leaked to the harness drain).
+      val co = graft.ops.Pinned.pin(Graphs.coOccurrence(t(s, d, "lineitem"),
+        col("l_orderkey"), col("l_partkey")), None)
       val e = co.select(col("a").as("src"), col("b").as("dst"), col("weight"))
         .unionAll(co.select(col("b"), col("a"), col("weight")))
-      Graphs.weightedPagerank(e, col("src"), col("dst"), col("weight"), iters = 5)
+      val out = Graphs.weightedPagerank(
+        e, col("src"), col("dst"), col("weight"), iters = 5)
+      graft.ops.Pinned.release(co)
+      out
     }),
 
     // weighted bipartite projection: parts co-ordered in >= 2 orders,
