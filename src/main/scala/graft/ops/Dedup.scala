@@ -367,8 +367,14 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    // verify candidates with the true Jaccard over the full shingle sets
+    // verify candidates with the true Jaccard over the full shingle sets.
+    // The narrow pair frame is re-spread to the session's configured
+    // shuffle width first: AQE coalesces the dedup exchange by BYTES while
+    // each row costs an array_intersect + array_union over two ~100-string
+    // sets — see containmentPairs for the profiled rationale.
     candidates
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("id_a"), col("id_b"))
       .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
@@ -420,7 +426,19 @@ object Dedup {
       .filter(col("id_a") =!= col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    // Re-spread the candidate pairs to the session's full shuffle width
+    // before verification: AQE coalesces the dedup exchange by BYTES
+    // (702k 16-byte pairs ≈ 6 MB → a handful of partitions), but each row
+    // costs an array_intersect over two ~100-string shingle sets, so the
+    // byte-sized stage serialized ~21 CPU-seconds onto 5 tasks (profiled
+    // at sf0.1). The explicit partition COUNT (the session's configured
+    // shuffle width — conf-derived, tuned per deployment, never a local
+    // constant) pins the width against AQE, which is the point: bytes are
+    // the wrong cost model for this exchange. The extra narrow-row
+    // shuffle is noise next to the verify CPU it spreads.
+    val verifyWidth = df.sparkSession.sessionState.conf.numShufflePartitions
     candidates
+      .repartition(verifyWidth, col("id_a"), col("id_b"))
       .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
