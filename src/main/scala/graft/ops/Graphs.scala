@@ -288,7 +288,12 @@ object Graphs {
     // per-node out-neighbor arrays: Σ|N⁺| = E ids total, one row per node
     // with out-edges. array_intersect treats them as sets (they are —
     // oriented edges are distinct), so the per-edge intersection is exact.
-    val adj = oriented.groupBy(col("u")).agg(collect_list(col("v")).as("nb"))
+    // Pinned: referenced twice below (the nb_u and nb_v attach joins) —
+    // unpinned, the groupBy/collect_list over the pinned oriented frame
+    // would execute twice and build two broadcast relations from scratch
+    // (the operator's own multiply-referenced-subplan policy).
+    val adj = Pinned.pin(
+      oriented.groupBy(col("u")).agg(collect_list(col("v")).as("nb")), None)
     // attach N⁺(u) and N⁺(v) to each oriented edge u→v, then explode the
     // intersection: only the T triangles ever become rows (the r08 wedge
     // self-join materialized Σ d⁺² rows here — 41M at the sf0.1 gate —
@@ -321,7 +326,7 @@ object Graphs {
         when(col("degree") < 2, lit(0.0)).otherwise(
           round(lit(2.0) * col("n_triangles") /
             (col("degree") * (col("degree") - 1)), 6))), None)
-    Seq(oriented, deg, und).foreach(Pinned.release)
+    Seq(adj, oriented, deg, und).foreach(Pinned.release)
     out
   }
 
@@ -425,7 +430,12 @@ object Graphs {
     // repartition BEFORE the parallel-edge sum: hash(src) satisfies the
     // (src, dst) aggregation's clustering requirement, so the layout
     // exchange and the dedup-sum share ONE pass over E rows instead of two
-    // (guide §2.4; same shape as canonEdges' clusterBy)
+    // (guide §2.4; same shape as canonEdges' clusterBy). Multiplicity
+    // assumption: raw parallel-edge rows cross this shuffle UN-reduced —
+    // a win at the measured low-multiplicity gates, but an edge list with
+    // very high parallel-edge multiplicity shuffles multiplicity× more
+    // bytes than a partial-agg-then-exchange plan would; callers with such
+    // inputs should pre-aggregate (src, dst, w) before handing edges in.
     val e = pin(edges
       .select(src.cast("bigint").as("src"), dst.cast("bigint").as("dst"),
         weight.cast("double").as("w"))

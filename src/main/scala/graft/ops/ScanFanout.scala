@@ -39,23 +39,31 @@ import org.apache.spark.sql.functions.{col, xxhash64}
   *    fanning out a 25-row nation table only adds scheduling overhead).
   */
 object ScanFanout {
-  // path → total bytes, memoized: the gate surface re-reads the same ~10
-  // files hundreds of times per bench run and the answer never changes
-  // within a session (test data is immutable by contract)
-  private val sizes = new ConcurrentHashMap[String, java.lang.Long]()
+  // path → (total bytes, file count), memoized: the gate surface re-reads
+  // the same ~10 files hundreds of times per bench run and the answer never
+  // changes within a session (test data is immutable by contract)
+  private val sizes = new ConcurrentHashMap[String, (Long, Long)]()
 
-  private def totalBytes(spark: SparkSession, path: String): Long =
+  private def summary(spark: SparkSession, path: String): (Long, Long) =
     sizes.computeIfAbsent(path, p => {
       try {
         val hp = new org.apache.hadoop.fs.Path(p)
         val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        java.lang.Long.valueOf(fs.getContentSummary(hp).getLength)
+        val cs = fs.getContentSummary(hp)
+        (cs.getLength, cs.getFileCount)
       } catch {
         // unreadable/missing path: let the reader itself surface the real
         // error; fanning out is never load-bearing
-        case _: java.io.IOException => java.lang.Long.valueOf(-1L)
+        case _: java.io.IOException => (-1L, 0L)
       }
-    }).longValue()
+    })
+
+  /** Total bytes under `path` (memoized per session lifetime) — the same
+    * input-volume probe the fan-out trigger uses, shared with the streaming
+    * gates' scale-adaptive state-store width (see StreamingQueries).
+    */
+  def inputBytes(spark: SparkSession, path: String): Long =
+    summary(spark, path)._1
 
   private def bytesConf(spark: SparkSession, key: String, dflt: String): Long =
     org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
@@ -72,12 +80,19 @@ object ScanFanout {
     if (!spark.conf.get("spark.graft.scan.fanout", "true").toBoolean) return df
     val cores = spark.sparkContext.defaultParallelism
     if (cores <= 1) return df
-    val bytes = totalBytes(spark, path)
+    val (bytes, files) = summary(spark, path)
     if (bytes < bytesConf(spark, "spark.graft.scan.fanout.minBytes", "256k"))
       return df
     val maxSplit = math.max(1L,
       bytesConf(spark, "spark.sql.files.maxPartitionBytes", "128m"))
-    val estSplits = (bytes + maxSplit - 1) / maxSplit
+    // achievable scan parallelism: the byte-based split count, OR the file
+    // count when that is higher — Spark's split sizing shrinks toward
+    // bytes/minPartitionNum (default: the session parallelism) for small
+    // inputs, so a directory of >= cores files reaches the core count on
+    // its own (one task per file) and the fan-out must no-op on it exactly
+    // like on a multi-row-group single file
+    val estSplits = math.max((bytes + maxSplit - 1) / maxSplit,
+      math.min(files, cores.toLong))
     if (estSplits >= cores) df
     else {
       // HASH-expression repartition on the FIRST (hashable) column, not

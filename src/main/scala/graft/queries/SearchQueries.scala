@@ -58,7 +58,7 @@ object SearchQueries {
 
     // exact triangle census over the part co-occurrence graph (parts
     // sharing an order are linked) — the link-farm density signal;
-    // degree-ordered wedge join, integer-exact
+    // degree-ordered adjacency intersection, integer-exact
     "pipe_triangles" -> ((s, d) => {
       val li = t(s, d, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -90,12 +90,12 @@ object SearchQueries {
       // returns and is released here (not leaked to the harness drain).
       val co = graft.ops.Pinned.pin(Graphs.coOccurrence(t(s, d, "lineitem"),
         col("l_orderkey"), col("l_partkey")), None)
-      val e = co.select(col("a").as("src"), col("b").as("dst"), col("weight"))
-        .unionAll(co.select(col("b"), col("a"), col("weight")))
-      val out = Graphs.weightedPagerank(
-        e, col("src"), col("dst"), col("weight"), iters = 5)
-      graft.ops.Pinned.release(co)
-      out
+      try {
+        val e = co.select(col("a").as("src"), col("b").as("dst"), col("weight"))
+          .unionAll(co.select(col("b"), col("a"), col("weight")))
+        Graphs.weightedPagerank(
+          e, col("src"), col("dst"), col("weight"), iters = 5)
+      } finally graft.ops.Pinned.release(co)
     }),
 
     // weighted bipartite projection: parts co-ordered in >= 2 orders,

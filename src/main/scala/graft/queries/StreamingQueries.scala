@@ -40,6 +40,75 @@ object StreamingQueries {
         java.nio.file.Paths.get(d, "documents.parquet")): Unit
     }
 
+  /** Scale-adaptive shuffle/state-store width for the bounded streaming
+    * gates (guide §2 — derive partitioning from the input, never a
+    * constant): Structured Streaming FIXES every stateful operator's
+    * state-store partition count to `spark.sql.shuffle.partitions` at the
+    * query's first micro-batch and AQE never re-plans a streaming query,
+    * so the batch session default (one partition per core) hands each
+    * stateful operator `cores` state-store instances — each paying a
+    * per-micro-batch commit + checkpoint-delta round no matter how little
+    * state it holds. Measured (round 9, sf0.1): every one of the 18
+    * stream gates ran FASTER at 8 cores than at 32 (ratios 0.36–0.94) —
+    * the width was pure machinery cost at this input volume, ~25 s of the
+    * 148 s full-surface total. The width is therefore derived from the
+    * gate's input volume — ceil(bytes / targetPartitionBytes) clamped to
+    * [max(1, defaultParallelism/8), defaultParallelism], the ScanFanout
+    * discipline applied to state stores: a 100 TB stream still gets the
+    * full core count, a megabyte bounded replay gets the handful of stores
+    * its state actually needs. The floor is a CORE FRACTION, not a
+    * constant: byte volume under-estimates the width a state-compute-heavy
+    * operator wants (stream_resample's per-group tick interpolation
+    * regressed 1.7→2.1 s at width 1 in the width-1 A/B while every other
+    * gate improved), so an eighth of the session's cores stays available
+    * to per-group compute while the per-batch commit tax still drops 8×.
+    * The floor scales with the session (8 cores → 1, 32 → 4) and is
+    * irrelevant at data scale where bytes drive the width anyway.
+    *
+    * Knobs: `spark.graft.stream.adaptiveWidth` (default true),
+    * `spark.graft.stream.targetPartitionBytes` (default 32m),
+    * `spark.graft.stream.minWidthFraction` (default 8 — floor =
+    * defaultParallelism / fraction).
+    */
+  private def adaptiveStreamWidth(s: SparkSession, inputPath: String): Option[Int] = {
+    if (!s.conf.get("spark.graft.stream.adaptiveWidth", "true").toBoolean) None
+    else {
+      val bytes = graft.ops.ScanFanout.inputBytes(s, inputPath)
+      if (bytes <= 0) None
+      else {
+        val target = math.max(1L,
+          org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+            s.conf.get("spark.graft.stream.targetPartitionBytes", "32m")))
+        val cores = s.sparkContext.defaultParallelism.toLong
+        val frac = math.max(1L,
+          s.conf.get("spark.graft.stream.minWidthFraction", "8").toLong)
+        val floor = math.max(1L, cores / frac)
+        Some(math.max(floor, math.min((bytes + target - 1) / target,
+          cores)).toInt)
+      }
+    }
+  }
+
+  /** Start a bounded stream with the session's shuffle width derived from
+    * `inputPath`'s volume and run it to completion. StreamExecution clones
+    * the session AT START, so the width is captured for the whole query;
+    * the previous width is restored (even on failure) before the gate's
+    * batch verification half builds any plan — batch-side operators that
+    * size work off `numShufflePartitions` (e.g. Dedup's verify re-spread)
+    * keep the session's full width.
+    */
+  private def runStream(s: SparkSession, inputPath: String)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.getOption(key)
+    adaptiveStreamWidth(s, inputPath).foreach(w => s.conf.set(key, w.toString))
+    try start.awaitTermination()
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // hourly windowed rollup driven THROUGH the stream: same buckets as
     // the batch q16 aggregate, so the batch SQL is the oracle verbatim
@@ -47,7 +116,8 @@ object StreamingQueries {
     "stream_hourly_rollup" -> ((s, d) => {
       val scratch = GateScratch.dir("stream_rollup")
       val data = s"$scratch/data"
-      val q = EventStreams.hourlyRollup(
+      runStream(s, s"$d/events.parquet") {
+        EventStreams.hourlyRollup(
           EventStreams.readEvents(s, eventsStreamDir(d)))
         .writeStream
         .outputMode("complete")
@@ -57,7 +127,7 @@ object StreamingQueries {
         }
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      }
       // LTZ window start → NTZ wall time (UTC session ⇒ identical instants
       // to the batch NTZ normalization in CoreQueries.events); sorted so
       // the dumped gate output is rerun-deterministic
@@ -83,7 +153,8 @@ object StreamingQueries {
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
         .as[EventStreams.Event]
-      val q = EventStreams.sessionize(evs, gapMinutes = 30)
+      runStream(s, s"$d/events.parquet") {
+        EventStreams.sessionize(evs, gapMinutes = 30)
         .writeStream
         .outputMode("append")
         .option("checkpointLocation", s"$scratch/ckpt")
@@ -93,7 +164,7 @@ object StreamingQueries {
         }
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      }
       s.read.parquet(data)
         .select(col("user_id"),
           col("session_start").cast("timestamp_ntz").as("session_start"),
@@ -116,7 +187,8 @@ object StreamingQueries {
         .select(col("event_id"), col("ts"), col("user_id"),
           when(col("event_type") =!= "click", col("value")).as("value"))
         .as[EventStreams.Obs]
-      val q = EventStreams.fillForwardStream(obs)
+      runStream(s, s"$d/events.parquet") {
+        EventStreams.fillForwardStream(obs)
         .writeStream
         .outputMode("append")
         .option("checkpointLocation", s"$scratch/ckpt")
@@ -126,7 +198,7 @@ object StreamingQueries {
         }
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      }
       s.read.parquet(data)
         .select(col("event_id"), col("user_id"), col("filled"))
         .orderBy("event_id")
@@ -153,7 +225,8 @@ object StreamingQueries {
         .parquet(docsStreamDir(d))
         .select(col("doc_id"), col("text"))
         .as[graft.streaming.EventStreams.Doc]
-      val q = graft.streaming.EventStreams.nearDupCandidatesStream(
+      runStream(s, s"$d/documents.parquet") {
+        graft.streaming.EventStreams.nearDupCandidatesStream(
           docs, shingleSize = 3, numHashes = 64, bands = 16,
           threshold = 0.5, maxPerBucket = 4096)
         .writeStream
@@ -166,7 +239,7 @@ object StreamingQueries {
         }
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      }
       // per-band candidate stream → canonical distinct pairs → exact-
       // Jaccard verification against the doc store (the documented batch
       // join; stream state stores signatures, never shingle sets)
@@ -199,7 +272,8 @@ object StreamingQueries {
         .as[graft.streaming.EventStreams.Doc]
       val benchmark = CoreQueries.t(s, d, "documents")
         .filter(col("source") === "src0")
-      val q = graft.streaming.EventStreams.decontaminateStream(
+      runStream(s, s"$d/documents.parquet") {
+        graft.streaming.EventStreams.decontaminateStream(
           corpus, benchmark, col("text"), shingleSize = 5, minOverlap = 1)
         .writeStream
         .outputMode("append")
@@ -211,7 +285,7 @@ object StreamingQueries {
         }
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      }
       s.read.parquet(data)
         .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
           col("contam_ratio"))
@@ -238,7 +312,8 @@ object StreamingQueries {
             " ^ ((shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 5 AS INT)) - 1)" +
             " * shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 8 AS INT) * 8))").as("sig"))
         .as[graft.streaming.EventStreams.MediaSig]
-      val q = graft.streaming.EventStreams.mediaNearDupStream(
+      runStream(s, s"$d/documents.parquet") {
+        graft.streaming.EventStreams.mediaNearDupStream(
           sigs, maxHamming = 3, maxPerBucket = 4096)
         .writeStream
         .outputMode("append")
@@ -250,7 +325,7 @@ object StreamingQueries {
         }
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      }
       // a pair sharing several intact chunks emits once per chunk (by
       // design — the corpus-wide dropDuplicates is the batch's luxury);
       // the gate dedups to canonical pairs, hamming identical across chunks
@@ -273,7 +348,8 @@ object StreamingQueries {
       val scratch = GateScratch.dir("stream_corr")
       val data = s"$scratch/data"
       val evs = EventStreams.readEvents(s, eventsStreamDir(d))
-      val q = EventStreams.correlate(
+      runStream(s, s"$d/events.parquet") {
+        EventStreams.correlate(
           evs.filter(col("event_type") === "click"),
           evs.filter(col("event_type") === "purchase"),
           bandMinutes = 120)
@@ -285,7 +361,7 @@ object StreamingQueries {
         }
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      }
       s.read.parquet(data)
         .select(col("user_id"),
           col("l_event_id"), col("r_event_id"),
@@ -305,7 +381,8 @@ object StreamingQueries {
       val data = s"$scratch/data"
       val evs = EventStreams.readEvents(s, eventsStreamDir(d))
       val replayed = evs.unionByName(evs.filter(col("event_id") % 7 === 0))
-      val q = EventStreams.dedupEvents(replayed)
+      runStream(s, s"$d/events.parquet") {
+        EventStreams.dedupEvents(replayed)
         .writeStream
         .outputMode("append")
         .option("checkpointLocation", s"$scratch/ckpt")
@@ -314,7 +391,7 @@ object StreamingQueries {
         }
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      }
       s.read.parquet(data)
         .select(col("event_id"), col("ts").cast("timestamp_ntz").as("ts"),
           col("user_id"), col("event_type"), col("value"))
@@ -335,7 +412,8 @@ object StreamingQueries {
       val obs = EventStreams.readEvents(s, eventsStreamDir(d))
         .select(col("event_id"), col("ts"), col("user_id"), col("value"))
         .as[EventStreams.Obs]
-      val q = EventStreams.resampleStream(obs, unit = "hour")
+      runStream(s, s"$d/events.parquet") {
+        EventStreams.resampleStream(obs, unit = "hour")
         .writeStream
         .outputMode("append")
         .option("checkpointLocation", s"$scratch/ckpt")
@@ -345,7 +423,7 @@ object StreamingQueries {
         }
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      }
       s.read.parquet(data)
         .select(col("user_id"), col("tick").cast("timestamp_ntz").as("tick"),
           col("value"))
@@ -361,7 +439,8 @@ object StreamingQueries {
     "stream_kmv" -> ((s, d) => {
       val scratch = GateScratch.dir("stream_kmv")
       val data = s"$scratch/data"
-      val q = EventStreams.kmvDistinctStream(
+      runStream(s, s"$d/events.parquet") {
+        EventStreams.kmvDistinctStream(
           EventStreams.readEvents(s, eventsStreamDir(d)),
           col("user_id"), k = 64, windowLen = "1 day", watermark = "2 hours")
         .writeStream
@@ -372,7 +451,7 @@ object StreamingQueries {
         }
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      }
       s.read.parquet(data)
         .select(col("window_start").cast("timestamp_ntz").as("day_ts"),
           col("n_kept"), col("est_distinct"))
@@ -392,7 +471,8 @@ object StreamingQueries {
         .groupBy("event_type")
         .agg(round(avg(col("value")), 6).as("type_avg_value"),
           count(lit(1)).as("type_n"))
-      val q = EventStreams.enrich(
+      runStream(s, s"$d/events.parquet") {
+        EventStreams.enrich(
           EventStreams.readEvents(s, eventsStreamDir(d)), dim, "event_type")
         .writeStream
         .outputMode("append")
@@ -402,7 +482,7 @@ object StreamingQueries {
         }
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      }
       s.read.parquet(data)
         .select(col("event_id"), col("event_type"), col("value"),
           col("type_avg_value"), col("type_n"))
@@ -455,7 +535,8 @@ object StreamingQueries {
         .parquet(docsStreamDir(d))
         .select(col("doc_id"), col("text"))
         .as[graft.streaming.EventStreams.Doc]
-      val q = graft.streaming.EventStreams.lmScoreStream(
+      runStream(s, s"$d/documents.parquet") {
+        graft.streaming.EventStreams.lmScoreStream(
           docs, bm.select(col("bigram"), col("c_bg")),
           cm.select(col("prev"), col("c_prev")))
         .writeStream
@@ -468,7 +549,7 @@ object StreamingQueries {
         }
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      }
       s.read.parquet(data)
         .select(col("doc_id"), col("n_bigrams").cast("long").as("n_bigrams"),
           col("matched_bg").cast("long").as("matched_bg"), col("sum_c_bg"),
@@ -528,7 +609,8 @@ object StreamingQueries {
         .select(col("ts"),
           col("event_type").isin("purchase", "signup").as("y"),
           round(col("value") - floor(col("value")), 2).as("score"))
-      val q = EventStreams.rocAucStream(scored, resolution = 1000000,
+      runStream(s, s"$d/events.parquet") {
+        EventStreams.rocAucStream(scored, resolution = 1000000,
           windowLen = "1 day", watermark = "2 hours")
         .writeStream
         .outputMode("complete")
@@ -538,7 +620,7 @@ object StreamingQueries {
         }
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      }
       s.read.parquet(data)
         .select(col("window_start").cast("timestamp_ntz").as("day_ts"),
           col("n_pos"), col("n_neg"), col("auc"))
@@ -555,7 +637,8 @@ object StreamingQueries {
         .select(col("ts"),
           col("event_type").isin("purchase", "signup").as("y"),
           round(col("value") - floor(col("value")), 2).as("score"))
-      val q = EventStreams.calibrationStream(scored, nBins = 10,
+      runStream(s, s"$d/events.parquet") {
+        EventStreams.calibrationStream(scored, nBins = 10,
           windowLen = "1 day", watermark = "2 hours")
         .writeStream
         .outputMode("complete")
@@ -565,7 +648,7 @@ object StreamingQueries {
         }
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      }
       s.read.parquet(data)
         .select(col("window_start").cast("timestamp_ntz").as("day_ts"),
           col("bin"), col("n"), col("mean_score"), col("pos_rate"),
@@ -580,7 +663,8 @@ object StreamingQueries {
     "stream_quantile" -> ((s, d) => {
       val scratch = GateScratch.dir("stream_quant")
       val data = s"$scratch/data"
-      val q = EventStreams.sketchQuantileStream(
+      runStream(s, s"$d/events.parquet") {
+        EventStreams.sketchQuantileStream(
           EventStreams.readEvents(s, eventsStreamDir(d)),
           col("value"), q = 0.5, p = 4,
           windowLen = "1 day", watermark = "2 hours")
@@ -592,7 +676,7 @@ object StreamingQueries {
         }
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      }
       s.read.parquet(data)
         .select(col("window_start").cast("timestamp_ntz").as("day_ts"),
           col("n"), col("q_lo"))
@@ -614,7 +698,8 @@ object StreamingQueries {
         .parquet(docsStreamDir(d))
         .select(timestamp_seconds(col("doc_id") * 600).as("ts"),
           col("source").as("slice"), col("text"))
-      val q = EventStreams.corpusReportStream(docs, k = 256, p = 4,
+      runStream(s, s"$d/documents.parquet") {
+        EventStreams.corpusReportStream(docs, k = 256, p = 4,
           windowLen = "1 day", watermark = "2 hours")
         .writeStream
         .outputMode("complete")
@@ -624,7 +709,7 @@ object StreamingQueries {
         }
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      }
       s.read.parquet(data)
         .select(col("window_start").cast("timestamp_ntz").as("day_ts"),
           col("slice"), col("n_docs"), col("n_tokens"), col("mean_quality"),

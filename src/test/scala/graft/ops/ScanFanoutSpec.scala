@@ -56,6 +56,24 @@ class ScanFanoutSpec extends AnyFunSuite {
     assert(ScanFanout(s2, raw, file) eq raw)
   }
 
+  test("multi-split fixture: a directory of >= cores files never fans out") {
+    // the production no-op path: a real multi-file table (here: one file
+    // per core) already scans at the session's parallelism, so the trigger
+    // must not add an exchange — regardless of total bytes
+    import spark.implicits._
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.scan.fanout.minBytes", "1k")
+    val dir = graft.queries.GateScratch.tempDir("fanout-spec-multi")
+    val p = s"$dir/many.parquet"
+    val cores = s2.sparkContext.defaultParallelism
+    (1L to 40000L).toDF("x")
+      .repartition(cores)
+      .write.mode("overwrite").parquet(p)
+    val raw = s2.read.parquet(p)
+    assert(ScanFanout(s2, raw, p) eq raw,
+      "fan-out fired on a multi-file input that already reaches the core count")
+  }
+
   test("spark.graft.scan.fanout=false disables it") {
     val s2 = spark.newSession()
     s2.conf.set("spark.graft.scan.fanout", "false")
