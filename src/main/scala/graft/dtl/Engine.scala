@@ -20,9 +20,11 @@ final class Engine(
 
   // the engine's optimizer rules ride along with it: a DTL theta join like
   // `ON abs(x - y) <= tol` plans as a bucketed hash join, not a nested loop
-  if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinRewrite))
-    spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations :+ graft.plans.RangeJoinRewrite
+  spark.experimental.synchronized {
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RangeJoinRewrite
+  }
 
   def run(source: String, importer: Importer, exporter: Exporter,
       tracer: Option[Tracer] = None): Unit = {

@@ -3,7 +3,7 @@ package graft.ops
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, xxhash64}
+import org.apache.spark.sql.functions.{col, lit, xxhash64}
 
 /** Adaptive scan fan-out for inputs whose FILE LAYOUT caps parallelism
   * below the session's core count (optimization guide §2.5: "input skew —
@@ -39,6 +39,13 @@ import org.apache.spark.sql.functions.{col, xxhash64}
   *    fanning out a 25-row nation table only adds scheduling overhead).
   */
 object ScanFanout {
+  /** Brand literal hashed into every fan-out's partitioning expression so
+    * [[graft.plans.FanoutPrune]] can match exactly the exchanges this
+    * helper planted (and no user repartition). Hashing one extra constant
+    * is free; the value itself is arbitrary.
+    */
+  val Marker: Long = 0x67726166745f666eL // "graft_fn"
+
   // path → (total bytes, file count), memoized: the gate surface re-reads
   // the same ~10 files hundreds of times per bench run and the answer never
   // changes within a session (test data is immutable by contract)
@@ -120,10 +127,27 @@ object ScanFanout {
         case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
         case _ => true
       }
+      // the prune rule rides along on any session that ever fans out:
+      // read-time blindness about downstream cost is repaired at the end
+      // of logical optimization, where the whole plan is visible
+      registerPrune(spark)
       df.schema.fields.find(f => hashable(f.dataType)) match {
-        case Some(f) => df.repartition(cores, xxhash64(col(f.name)))
+        case Some(f) =>
+          df.repartition(cores, xxhash64(lit(Marker), col(f.name)))
         case None => df.repartition(cores)
       }
     }
   }
+
+  /** Idempotent per-session registration of the downstream-cost repair rule
+    * (see [[graft.plans.FanoutPrune]]). Synchronized on the session's
+    * experimental-methods holder: Verify runs gates concurrently and the
+    * read-modify-write on `extraOptimizations` would otherwise race.
+    */
+  private def registerPrune(spark: SparkSession): Unit =
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraOptimizations.contains(graft.plans.FanoutPrune))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ graft.plans.FanoutPrune
+    }
 }

@@ -1,0 +1,188 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Optimizer rule: drop a [[graft.ops.ScanFanout]] exchange that cannot pay
+  * for itself.
+  *
+  * The fan-out exists to relieve ONE pattern: a single-split (one-file,
+  * one-row-group) scan feeding per-row work heavy enough that running it on
+  * one task starves the session (ROUGE DP, BPE merges, image decode …).
+  * But the fan-out is applied at READ time, before anyone knows what sits
+  * downstream — and the round-9 bench showed the cost of that blindness: 80
+  * cheap gates whose scan feeds straight into an aggregation/window/join
+  * exchange paid a flat +0.2–0.5 s for an exchange that parallelized
+  * nothing (the next operator re-shuffles anyway, and the work in between
+  * was a handful of codegen'd arithmetic ops), +12.6 s across the surface.
+  *
+  * This rule runs at the end of logical optimization (the "User Provided
+  * Optimizers" batch — filters/projects are in final position, set-ops are
+  * already rewritten to joins/aggregates) and removes the fan-out exchange
+  * when BOTH hold:
+  *
+  *  - every operator between the fan-out and the next shuffle boundary
+  *    above it (Aggregate / Window / global Sort / another repartition) —
+  *    or the sink, if no shuffle intervenes — is row-local with provably
+  *    CHEAP expressions (whitelist below), so one serial scan loses
+  *    nothing the following exchange wouldn't re-spread anyway; the
+  *    shuffle operator's own pre-exchange expressions (grouping keys,
+  *    partial-aggregate inputs, window partition keys) must be cheap too,
+  *    because partial aggregation runs below the exchange;
+  *  - everything BELOW the fan-out down to the scan is cheap as well —
+  *    the optimizer pushes filters through the repartition, so an
+  *    expensive pushed predicate (regex, higher-order array op) would run
+  *    on the serial scan task if the fan-out were dropped.
+  *
+  * Anything not on the whitelist — higher-order array functions, regex,
+  * UDFs, explode/Generate, joins (either side), unknown operators — keeps
+  * the fan-out: the failure mode of a miss is the round-9 status quo, never
+  * a new regression. At production scale the fan-out no-ops at the source
+  * (multi-split inputs never fan out), so this rule is only ever active
+  * where the exchange tax is measurable.
+  *
+  * The fan-out brands its hash expression with a marker literal
+  * ([[graft.ops.ScanFanout.Marker]]) so the rule matches exactly the
+  * exchanges ScanFanout planted and no user repartition.
+  *
+  * Registered by ScanFanout itself on any session where a fan-out fires
+  * (`spark.experimental.extraOptimizations`), and via
+  * [[graft.functions.GraftExtensions]]. Disable with
+  * `spark.graft.scan.fanout.prune=false`.
+  */
+object FanoutPrune extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString("spark.graft.scan.fanout.prune", "true").toBoolean) plan
+    else prune(plan, droppable = true)
+
+  private def isFanout(r: RepartitionByExpression): Boolean =
+    r.optNumPartitions.isDefined && (r.partitionExpressions match {
+      case Seq(XxHash64(Seq(Literal(m: Long, _), _), _)) =>
+        m == graft.ops.ScanFanout.Marker
+      case _ => false
+    })
+
+  /** `droppable`: true iff every operator from the nearest shuffle boundary
+    * above (or the root) down to here is cheap row-local work.
+    */
+  private def prune(p: LogicalPlan, droppable: Boolean): LogicalPlan = p match {
+    case r: RepartitionByExpression if isFanout(r) =>
+      if (droppable && subtreeCheap(r.child)) prune(r.child, droppable = true)
+      else r.withNewChildren(Seq(prune(r.child, droppable = false)))
+    case pr: Project =>
+      pr.withNewChildren(Seq(prune(pr.child,
+        droppable && pr.projectList.forall(cheap))))
+    case f: Filter =>
+      f.withNewChildren(Seq(prune(f.child, droppable && cheap(f.condition)))):
+        LogicalPlan
+    case u: Union =>
+      u.withNewChildren(u.children.map(prune(_, droppable)))
+    case a: Aggregate =>
+      // shuffle boundary: partial aggregation evaluates grouping keys and
+      // aggregate inputs BELOW the exchange, so they gate droppability
+      a.withNewChildren(Seq(prune(a.child,
+        (a.groupingExpressions ++ a.aggregateExpressions).forall(cheap))))
+    case e: Expand =>
+      e.withNewChildren(Seq(prune(e.child,
+        droppable && e.projections.forall(_.forall(cheap)))))
+    case w: Window =>
+      // shuffle boundary on the partition spec; the window functions
+      // themselves evaluate above the exchange
+      w.withNewChildren(Seq(prune(w.child,
+        (w.partitionSpec ++ w.orderSpec.map(_.child)).forall(cheap))))
+    case s: Sort if s.global =>
+      // range-exchange boundary
+      s.withNewChildren(Seq(prune(s.child, s.order.map(_.child).forall(cheap))))
+    case s: Sort =>
+      s.withNewChildren(Seq(prune(s.child,
+        droppable && s.order.map(_.child).forall(cheap))))
+    case r: Repartition if r.shuffle =>
+      r.withNewChildren(Seq(prune(r.child, droppable = true)))
+    case r: RepartitionByExpression => // a non-fanout, caller-placed layout
+      r.withNewChildren(Seq(prune(r.child,
+        r.partitionExpressions.forall(cheap))))
+    case _: RebalancePartitions =>
+      p.withNewChildren(p.children.map(prune(_, droppable = true)))
+    case j: Join if j.condition.isDefined && cheap(j.condition.get) =>
+      // a conditioned join with cheap keys passes droppability through:
+      // if it plans shuffled, both sides re-exchange by key and a fan-out
+      // below is pure tax; if it plans broadcast, the probe is a row-local
+      // hash lookup (cheap by definition here) and the build side is
+      // collected — neither pays for a fan-out. Heavy work ABOVE the join
+      // (ROUGE/BLEU scoring of joined pairs) has already cleared
+      // `droppable` to false before we get here, and heavy work BELOW it
+      // fails the fan-out's own subtree check. Condition-less (cross)
+      // joins fall to the conservative default.
+      j.withNewChildren(j.children.map(prune(_, droppable)))
+    case other =>
+      // cross joins, Generate, limits, unknown operators: conservative —
+      // keep any fan-out below them
+      other.withNewChildren(other.children.map(prune(_, droppable = false)))
+  }
+
+  /** Guard for the work the fan-out is directly parallelizing below
+    * itself: the optimizer pushes filters (and pruning projects) through
+    * the repartition, so a heavy pushed predicate would run on the serial
+    * scan task if the fan-out were dropped — those must be cheap. The walk
+    * stops at the first non-Project/Filter operator: a fan-out that ends
+    * up above a join/aggregate (optimizer reordering) is not parallelizing
+    * that operator's own work (its partitioning is governed below), so
+    * nothing further down gates the drop.
+    */
+  private def subtreeCheap(p: LogicalPlan): Boolean = p match {
+    case pr: Project => pr.projectList.forall(cheap) && subtreeCheap(pr.child)
+    case f: Filter => cheap(f.condition) && subtreeCheap(f.child)
+    case _ => true
+  }
+
+  /** Whitelist of expressions cheap enough that serializing their
+    * evaluation onto one scan task is noise next to an exchange: codegen'd
+    * arithmetic/comparison/conditional/cast work, field extraction, fixed
+    * string ops, hashes, and the simple declarative aggregates. Everything
+    * else — higher-order functions, regex, UDFs, json/date parsing, array
+    * building beyond literals — is NOT cheap and keeps the fan-out.
+    */
+  private def cheap(e: Expression): Boolean = e match {
+    case _: Attribute | _: Literal => true
+    case a: Alias => cheap(a.child)
+    case s: SortOrder => cheap(s.child)
+    case ae: AggregateExpression =>
+      (ae.aggregateFunction match {
+        case _: Sum | _: Count | _: Min | _: Max | _: Average => true
+        case _ => false
+      }) && ae.aggregateFunction.children.forall(cheap) &&
+        ae.filter.forall(cheap)
+    case _: Add | _: Subtract | _: Multiply | _: Divide | _: IntegralDivide |
+        _: Remainder | _: Pmod | _: UnaryMinus | _: UnaryPositive | _: Abs |
+        _: Round | _: BRound | _: Floor | _: Ceil | _: Sqrt | _: Exp |
+        _: Log | _: Log2 | _: Log10 | _: Log1p | _: Pow |
+        _: Least | _: Greatest |
+        _: EqualTo | _: EqualNullSafe | _: LessThan | _: LessThanOrEqual |
+        _: GreaterThan | _: GreaterThanOrEqual | _: In | _: InSet |
+        _: And | _: Or | _: Not | _: IsNull | _: IsNotNull | _: IsNaN |
+        _: If | _: CaseWhen | _: Coalesce | _: NaNvl |
+        _: Cast | _: CheckOverflow |
+        _: KnownFloatingPointNormalized |
+        _: org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero |
+        _: Length | _: Upper | _: Lower | _: Substring | _: Concat |
+        _: ConcatWs | _: StringTrim | _: StringTrimLeft | _: StringTrimRight |
+        _: StringInstr | _: StringReplace | _: StringLPad | _: StringRPad |
+        _: StartsWith | _: EndsWith | _: Contains |
+        _: XxHash64 | _: Murmur3Hash | _: Md5 | _: Crc32 | _: Conv |
+        _: Bin | _: Hex | _: Unhex | _: RaiseError |
+        _: BitwiseAnd | _: BitwiseOr | _: BitwiseXor | _: BitwiseNot |
+        _: ShiftLeft | _: ShiftRight | _: ShiftRightUnsigned |
+        _: GetStructField | _: GetArrayItem | _: GetMapValue | _: ElementAt |
+        _: CreateNamedStruct | _: CreateArray | _: CreateMap | _: Size |
+        _: Year | _: Month | _: DayOfMonth | _: DayOfWeek | _: DayOfYear |
+        _: Hour | _: Minute | _: Second | _: Quarter | _: WeekOfYear |
+        _: LastDay | _: DateAdd | _: DateSub | _: DateDiff |
+        _: TruncDate | _: TruncTimestamp | _: MonthsBetween |
+        _: SecondsToTimestamp | _: MillisToTimestamp | _: MicrosToTimestamp =>
+      e.children.forall(cheap)
+    case _ => false
+  }
+}

@@ -1,0 +1,83 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** FanoutPrune: the fan-out exchange must disappear exactly when nothing
+  * between it and the next shuffle boundary (or the sink) needs the
+  * parallelism — and must survive wherever heavy row-local work does.
+  * Results are never affected either way (the fan-out only moves rows);
+  * these cases pin the PLAN shape.
+  */
+class FanoutPruneSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  // one small single-row-group parquet file: always triggers the fan-out
+  private lazy val file: String = {
+    import spark.implicits._
+    val dir = graft.queries.GateScratch.tempDir("fanout-prune-spec")
+    val p = s"$dir/one.parquet"
+    (1L to 30000L).toDF("x")
+      .select(col("x"), concat(lit("w"), col("x").cast("string")).as("s"))
+      .coalesce(1).write.mode("overwrite").parquet(p)
+    p
+  }
+
+  private def fanned(s: org.apache.spark.sql.SparkSession) = {
+    s.conf.set("spark.graft.scan.fanout.minBytes", "1k")
+    graft.ops.ScanFanout(s, s.read.parquet(file), file)
+  }
+
+  private def fanouts(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case r: RepartitionByExpression
+          if r.partitionExpressions.exists(_.exists {
+            case org.apache.spark.sql.catalyst.expressions.Literal(m: Long, _) =>
+              m == graft.ops.ScanFanout.Marker
+            case _ => false
+          }) => r
+    }.size
+
+  test("scan feeding a cheap aggregate loses the fan-out") {
+    val s2 = spark.newSession()
+    val df = fanned(s2).groupBy(col("x") % 7).agg(sum("x"), count(lit(1)))
+    assert(fanouts(df) == 0,
+      "fan-out survived although the aggregate re-shuffles immediately")
+    assert(df.count() == 7)
+  }
+
+  test("cheap projection straight to the sink loses the fan-out") {
+    val s2 = spark.newSession()
+    val df = fanned(s2).select((col("x") * 2 + 1).as("y"), upper(col("s")))
+    assert(fanouts(df) == 0)
+  }
+
+  test("heavy row-local work keeps the fan-out") {
+    val s2 = spark.newSession()
+    // higher-order array op: the whitelist must refuse it
+    val df = fanned(s2)
+      .select(aggregate(split(col("s"), ""), lit(0L),
+        (acc, c) => acc + length(c)).as("n"))
+      .groupBy("n").count()
+    assert(fanouts(df) == 1,
+      "fan-out pruned although a higher-order expression needs the width")
+  }
+
+  test("heavy predicate pushed below the fan-out keeps it") {
+    val s2 = spark.newSession()
+    val df = fanned(s2)
+      .filter(col("s").rlike("w[0-9]+"))
+      .groupBy(col("x") % 3).count()
+    assert(fanouts(df) == 1,
+      "fan-out pruned although the pushed regex filter runs on the scan task")
+  }
+
+  test("spark.graft.scan.fanout.prune=false disables the rule") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.scan.fanout.prune", "false")
+    val df = fanned(s2).groupBy(col("x") % 7).count()
+    assert(fanouts(df) == 1)
+  }
+}
