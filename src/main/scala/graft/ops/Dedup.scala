@@ -342,11 +342,18 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, id: Column, text: Column,
       shingleSize: Int = 3, threshold: Double = 0.8): DataFrame = {
-    // NOT checkpointed: the shingle arrays are wide, and measured at sf0.1
-    // materializing them costs 2x more than recomputing the codegen'd
-    // shingling at each of its uses
-    val shingled = df.select(id.as("id"), TextAnalysis.shingles(text, shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0)
+    // PINNED (r10): the shingle frame feeds five textually distinct
+    // branches (token explode ×3 via freq/prefix/candidates, and the two
+    // verify attach joins), and every branch used to re-run scan+shingling
+    // from scratch. The round-8 measurement that rejected materializing
+    // ("2× the wall") predates the scan fan-out: back then the pin
+    // materialized on ONE task; now shingling is core-wide and the pin
+    // A/B'd faster (containment verify 4.0 → 3.1 s at sf0.1). Released by
+    // the harness drain after the sink consumes the result (Bench
+    // releaseAll / Verify releaseOwned), like every op-surviving pin.
+    val shingled = Pinned.pin(
+      df.select(id.as("id"), TextAnalysis.shingles(text, shingleSize).as("sh"))
+        .filter(size(col("sh")) > 0), None)
     val tokens = shingled.select(col("id"), size(col("sh")).as("n"),
       explode(col("sh")).as("tok"))
     // global token order: ascending document frequency, token as tiebreak
@@ -357,10 +364,10 @@ object Dedup {
         Window.partitionBy(col("id")).orderBy(col("df").asc, col("tok").asc)))
       .filter(col("rn") <= col("n") - ceil(col("n") * threshold) + 1)
       .select(col("tok"), col("id"))
-    // deliberately no persist/localCheckpoint anywhere in this operator:
-    // measured at sf0.1, materializing either the shingle arrays or the
-    // prefix relation doubles the wall time versus recomputing the
-    // codegen'd shingling per use — recompute wins for CPU-cheap wide data
+    // the prefix relation stays UNPINNED: it is referenced twice but is
+    // narrow (tok, id), derives from the pinned shingle frame with one
+    // explode+window, and materializing it measured slower than recompute
+    // in the round-8 A/B (that half of the old measurement still holds)
     // candidates share at least one prefix token
     val candidates = prefixes.select(col("tok"), col("id").as("id_a"))
       .join(prefixes.select(col("tok"), col("id").as("id_b")), Seq("tok"))
@@ -410,9 +417,11 @@ object Dedup {
       shingleSize: Int = 3, threshold: Double = 0.8): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"need 0 < threshold <= 1, got $threshold")
-    val shingled = df.select(id.as("id"),
+    // pinned for the same five-branch reuse as ngramJaccardPairs (see the
+    // rationale there); released by the harness drain
+    val shingled = Pinned.pin(df.select(id.as("id"),
         TextAnalysis.shingles(text, shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0)
+      .filter(size(col("sh")) > 0), None)
     val tokens = shingled.select(col("id"), size(col("sh")).as("n"),
       explode(col("sh")).as("tok"))
     val freq = tokens.groupBy("tok").agg(count(lit(1)).as("df"))
