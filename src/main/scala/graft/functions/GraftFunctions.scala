@@ -153,6 +153,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.HeavyExprRepair)
     ext.injectOptimizerRule(_ => graft.plans.FanoutPrune)
     ext.injectPlannerStrategy(_ => graft.plans.SegmentedRunsStrategy)
   }

@@ -146,8 +146,10 @@ object ScanFanout {
     */
   private def registerPrune(spark: SparkSession): Unit =
     spark.experimental.synchronized {
-      if (!spark.experimental.extraOptimizations.contains(graft.plans.FanoutPrune))
+      val rules = Seq(graft.plans.HeavyExprRepair, graft.plans.FanoutPrune)
+      val missing = rules.filterNot(spark.experimental.extraOptimizations.contains)
+      if (missing.nonEmpty)
         spark.experimental.extraOptimizations =
-          spark.experimental.extraOptimizations :+ graft.plans.FanoutPrune
+          spark.experimental.extraOptimizations ++ missing
     }
 }

@@ -145,7 +145,7 @@ object FanoutPrune extends Rule[LogicalPlan] {
     * else — higher-order functions, regex, UDFs, json/date parsing, array
     * building beyond literals — is NOT cheap and keeps the fan-out.
     */
-  private def cheap(e: Expression): Boolean = e match {
+  private[plans] def cheap(e: Expression): Boolean = e match {
     case _: Attribute | _: Literal => true
     case a: Alias => cheap(a.child)
     case s: SortOrder => cheap(s.child)

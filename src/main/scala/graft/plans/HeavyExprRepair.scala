@@ -1,0 +1,144 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Optimizer rule: undo two pathologies Catalyst's own pushdown creates
+  * around EXPENSIVE row-local expressions (optimization guide §4.4 — the
+  * "filter on a computed column evaluates the computation twice" trap,
+  * here with pure Catalyst expressions instead of Python UDFs).
+  *
+  * The trigger pattern is `SELECT heavy(x) AS c … WHERE pred(c)`:
+  * PushPredicateThroughNonJoin inlines the alias into the predicate and
+  * pushes the filter below the defining project (and below a ScanFanout
+  * repartition), so
+  *
+  *  1. the filter's copy of `heavy` runs on the SERIAL scan task under the
+  *     fan-out exchange (dtl_trained_funcs: the full BPE encode + two LM
+  *     array aggregates per row, below the exchange, one task), and
+  *  2. surviving rows pay for `heavy` AGAIN in the project above.
+  *
+  * Two repairs, applied at the end of logical optimization:
+  *
+  *  - HOIST: an expensive conjunct of a filter sitting directly under a
+  *    ScanFanout repartition moves back above the exchange (cheap
+  *    conjuncts stay below, where they still prune scan rows early). Never
+  *    wrong: the fan-out exists precisely to spread that evaluation.
+  *  - CSE: for `Project(pl, Filter(cond, child))`, any maximal expensive
+  *    deterministic subexpression of `cond` that also occurs in `pl` is
+  *    computed once in a new project below the filter and referenced from
+  *    both — the plan Catalyst would have produced had it not inlined the
+  *    alias. Evaluation count per row drops from 2 to 1.
+  *
+  * "Expensive" is the complement of [[FanoutPrune.cheap]]'s whitelist, so
+  * both rules stay conservative in the same direction: an unknown
+  * expression is treated as heavy, which only ever moves it ABOVE the
+  * exchange and deduplicates it.
+  */
+object HeavyExprRepair extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString("spark.graft.scan.fanout.repair", "true").toBoolean) plan
+    else cseDuplicates(hoistHeavyFilters(plan))
+
+  private def isFanout(r: RepartitionByExpression): Boolean =
+    r.optNumPartitions.isDefined && (r.partitionExpressions match {
+      case Seq(XxHash64(Seq(Literal(m: Long, _), _), _)) =>
+        m == graft.ops.ScanFanout.Marker
+      case _ => false
+    })
+
+  private def hoistHeavyFilters(plan: LogicalPlan): LogicalPlan =
+    plan.transformUp {
+      case r: RepartitionByExpression if isFanout(r) =>
+        r.child match {
+          // pushdown may leave a column-pruning project between the
+          // repartition and the filter; hoist through it when its output
+          // still carries every column the heavy conjuncts reference
+          case Filter(cond, gc) =>
+            hoist(r, cond, below => below, gc, r.outputSet)
+          case prj @ Project(pl, Filter(cond, gc)) if pl.forall(FanoutPrune.cheap) =>
+            hoist(r, cond, below => prj.withNewChildren(Seq(below)), gc,
+              prj.outputSet)
+          case _ => r
+        }
+    }
+
+  private def hoist(
+      r: RepartitionByExpression, cond: Expression,
+      rewrap: LogicalPlan => LogicalPlan, gc: LogicalPlan,
+      visibleAbove: AttributeSet): LogicalPlan = {
+    val (stay, heavyC) = splitConjuncts(cond).partition(c =>
+      FanoutPrune.cheap(c) || !c.references.subsetOf(visibleAbove))
+    if (heavyC.isEmpty) r
+    else {
+      val below =
+        if (stay.isEmpty) gc
+        else Filter(stay.reduce(And), gc)
+      Filter(heavyC.reduce(And), r.withNewChildren(Seq(rewrap(below))))
+    }
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
+    case other => Seq(other)
+  }
+
+  /** Every expensive deterministic subtree of `e` (cheap subtrees have
+    * only cheap descendants — the whitelist is recursive — so descent
+    * stops there). The caller intersects with the project list and then
+    * keeps the maximal shared ones, so nesting is resolved late: a shared
+    * `size(bpe(text))` inside an unshared `size(bpe(text)) >= 5` conjunct
+    * must still be found.
+    */
+  private def heavyCandidates(e: Expression): Seq[Expression] =
+    if (FanoutPrune.cheap(e)) Nil
+    else {
+      val self =
+        if (e.deterministic && e.references.nonEmpty &&
+          !e.isInstanceOf[Unevaluable] && okToExtract(e)) Seq(e)
+        else Nil
+      self ++ e.children.flatMap(heavyCandidates)
+    }
+
+  /** Never extract subqueries, or fragments of a higher-order function's
+    * lambda body (their lambda variables are free outside it — a
+    * SELF-CONTAINED HOF has no free lambda vars in `references` and is
+    * fine to extract).
+    */
+  private def okToExtract(e: Expression): Boolean =
+    !e.exists(_.isInstanceOf[PlanExpression[_]]) &&
+      !e.references.exists(_.isInstanceOf[NamedLambdaVariable])
+
+  private def cseDuplicates(plan: LogicalPlan): LogicalPlan =
+    plan.transformUp {
+      case p @ Project(pl, f @ Filter(cond, child)) =>
+        val candidates = splitConjuncts(cond).flatMap(heavyCandidates)
+          // only expressions computable from the filter's input
+          .filter(_.references.subsetOf(child.outputSet))
+        val shared = candidates.filter(c =>
+          pl.exists(_.exists(_.semanticEquals(c))))
+        // drop candidates nested inside another shared candidate
+        val maximal = shared.filterNot(c =>
+          shared.exists(o => !(o eq c) && !o.semanticEquals(c) &&
+            o.exists(_.semanticEquals(c))))
+        val distinctMax = maximal.foldLeft(Seq.empty[Expression]) {
+          (acc, c) => if (acc.exists(_.semanticEquals(c))) acc else acc :+ c
+        }
+        if (distinctMax.isEmpty) p
+        else {
+          val aliases = distinctMax.zipWithIndex.map { case (c, i) =>
+            Alias(c, s"__graft_cse$i")()
+          }
+          def swap(e: Expression): Expression = e.transformDown {
+            case s if aliases.exists(_.child.semanticEquals(s)) =>
+              aliases.find(_.child.semanticEquals(s)).get.toAttribute
+          }
+          val lower = Project(child.output ++ aliases, child)
+          val newFilter = Filter(swap(cond), lower)
+          Project(pl.map(ne => swap(ne).asInstanceOf[NamedExpression]),
+            newFilter)
+        }
+    }
+}

@@ -14,11 +14,18 @@ object Plans {
       "q02_filter_project", "q14_star_revenue", "q01_pricing_summary",
       "pipe_dedup_minhash", "pipe_embed_topk", "dtl_theta_join",
       "q28_range_join", "q29_run_length", "q30_json")
-    val spark = SparkSession.builder().master("local[8]")
+    val builder = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    // extra session confs for A/B plan dumps, e.g.
+    // SPARK_GRAFT_PLANS_CONFS="spark.graft.scan.fanout.prune=false"
+    sys.env.get("SPARK_GRAFT_PLANS_CONFS").foreach(_.split(",").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      builder.config(k, v)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (n <- names) {
       println(s"\n======== $n ========")

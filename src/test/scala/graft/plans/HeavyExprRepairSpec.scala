@@ -1,0 +1,83 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, RepartitionByExpression}
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** HeavyExprRepair: a heavy filter pushed below the scan fan-out must move
+  * back above the exchange, and a heavy expression shared between a filter
+  * and the project above it must be evaluated exactly once. The rewrites
+  * must never change results.
+  */
+class HeavyExprRepairSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private lazy val file: String = {
+    import spark.implicits._
+    val dir = graft.queries.GateScratch.tempDir("heavy-repair-spec")
+    val p = s"$dir/one.parquet"
+    (1L to 20000L).toDF("x")
+      .select(col("x"), concat_ws(" ", lit("a b c"), col("x").cast("string")).as("s"))
+      .coalesce(1).write.mode("overwrite").parquet(p)
+    p
+  }
+
+  private def heavyScore = expr(
+    "aggregate(split(s, ' '), 0L, (a, w) -> a + length(w))")
+
+  private def fanned(s: org.apache.spark.sql.SparkSession) = {
+    s.conf.set("spark.graft.scan.fanout.minBytes", "1k")
+    graft.ops.ScanFanout(s, s.read.parquet(file), file)
+  }
+
+  private def heavyEvalCount(p: LogicalPlan): Int = {
+    var n = 0
+    p.foreach(_.expressions.foreach(_.foreach {
+      case _: org.apache.spark.sql.catalyst.expressions.ArrayAggregate => n += 1
+      case _ => ()
+    }))
+    n
+  }
+
+  test("shared heavy expression is evaluated once, above the fan-out") {
+    val s2 = spark.newSession()
+    val q = fanned(s2).select(col("x"), heavyScore.as("score"))
+      .filter(col("score") > 5)
+    val opt = q.queryExecution.optimizedPlan
+    assert(heavyEvalCount(opt) == 1,
+      s"expected one ArrayAggregate evaluation, got plan:\n$opt")
+    // the surviving evaluation sits above the fan-out exchange: no Filter
+    // or Project containing it below the RepartitionByExpression
+    val belowFanout = opt.collect { case r: RepartitionByExpression => r.child }
+    assert(belowFanout.nonEmpty && belowFanout.forall(heavyEvalCount(_) == 0),
+      s"heavy work still below the fan-out:\n$opt")
+    // results identical to the un-repaired plan
+    val s3 = spark.newSession()
+    s3.conf.set("spark.graft.scan.fanout.repair", "false")
+    val ref = fanned(s3).select(col("x"), heavyScore.as("score"))
+      .filter(col("score") > 5)
+    assert(q.orderBy("x").collect().toSeq == ref.orderBy("x").collect().toSeq)
+  }
+
+  test("cheap conjuncts stay below the fan-out when a heavy one hoists") {
+    val s2 = spark.newSession()
+    val q = fanned(s2).select(col("x"), heavyScore.as("score"))
+      .filter(col("score") > 5 && col("x") % 2 === 0)
+    val opt = q.queryExecution.optimizedPlan
+    val keptBelow = opt.collect { case r: RepartitionByExpression => r.child }
+      .exists(_.collect { case f: Filter => f }.nonEmpty)
+    assert(keptBelow, s"cheap conjunct was hoisted too:\n$opt")
+    // score = 3 + len(digits of x): x <= 99 scores <= 5, so the 49 even
+    // one/two-digit values drop out of the 10000 evens
+    assert(q.count() == 9951)
+  }
+
+  test("repair can be disabled by conf") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.scan.fanout.repair", "false")
+    val q = fanned(s2).select(col("x"), heavyScore.as("score"))
+      .filter(col("score") > 5)
+    assert(heavyEvalCount(q.queryExecution.optimizedPlan) == 2)
+  }
+}
