@@ -81,10 +81,33 @@ object Graphs {
     * MB framed) the existing exchange-the-small-side plan stands, which is
     * the right shape for web-scale N.
     */
-  private def bcastIfSmall(df: DataFrame, rows: Long): DataFrame = {
-    val cap = df.sparkSession.conf
+  private def bcastIfSmall(df: DataFrame, rows: Long): DataFrame =
+    if (nodeBcastRegime(df, rows)) broadcast(df) else df
+
+  /** True when the O(N) node frames of an iterative op fit the broadcast
+    * cap — the regime decision the per-round joins AND the pinned edge
+    * layout share: under broadcast joins the edge frame's layout is
+    * irrelevant to the join (the build side ships to every task), so the
+    * edge pin should be laid out on the round's AGGREGATE key, making the
+    * per-round O(E) partial-aggregate exchange disappear outright
+    * (HashPartitioning(k) satisfies the aggregate's clustering for any
+    * grouping containing k). Past the cap the join needs the co-partition
+    * layout on the JOIN key — the r8/r9 shape — and the aggregate exchange
+    * is the price of exchanging only O(N) rank rows per round.
+    */
+  private def nodeBcastRegime(df: DataFrame, rows: Long): Boolean =
+    rows <= df.sparkSession.conf
       .get("spark.graft.graph.maxBroadcastNodes", "2000000").toLong
-    if (rows <= cap) broadcast(df) else df
+
+  /** Swap a pinned edge frame onto a new hash layout (one E-row exchange +
+    * re-pin, releasing the old pin) — paid ONCE so that every round's
+    * aggregate runs exchange-free; see [[nodeBcastRegime]].
+    */
+  private def relayout(e: DataFrame, key: String,
+      checkpointDir: Option[String]): DataFrame = {
+    val out = Pinned.pin(e.repartition(col(key)), checkpointDir)
+    Pinned.release(e)
+    out
   }
 
   /** [[degrees]] over an ALREADY-canonical (src, dst) distinct edge frame —
@@ -191,11 +214,18 @@ object Graphs {
 
     var hubs = nodes.select(col("node_id"), lit(1.0).as("hub"))
     var auths: DataFrame = null
+    // layout choice per half-step (see nodeBcastRegime): under broadcast
+    // joins the edge layout serves the AGGREGATE (auth step groups by dst,
+    // hub step by src — zero per-round O(E) exchange); past the cap it
+    // serves the JOIN key co-partition as before
+    val bcastRounds = nodeBcastRegime(nodes, n)
+    val eAuth = if (bcastRounds) eByDst else eBySrc
+    val eHub = if (bcastRounds) eBySrc else eByDst
     for (_ <- 1 to iters) {
       // per-half-step small-side broadcasts under the n <= cap gate — see
       // pagerankImpl; both pinned edge layouts stream un-sorted
       // authority half-step: hubs flow along edges src → dst
-      val araw = eBySrc.join(bcastIfSmall(hubs, n), col("node_id") === col("src"))
+      val araw = eAuth.join(bcastIfSmall(hubs, n), col("node_id") === col("src"))
         .groupBy(col("dst")).agg(sum(col("hub")).as("s"))
       val anorm = araw.agg(sum(col("s")).as("t"))
       val prevAuths = auths
@@ -206,7 +236,7 @@ object Graphs {
           (coalesce(col("s"), lit(0.0)) / col("t")).as("auth")))
       if (prevAuths != null) Pinned.release(prevAuths)
       // hub half-step: authorities flow back dst → src
-      val hraw = eByDst.join(bcastIfSmall(auths, n), col("node_id") === col("dst"))
+      val hraw = eHub.join(bcastIfSmall(auths, n), col("node_id") === col("dst"))
         .groupBy(col("src")).agg(sum(col("auth")).as("s"))
       val hnorm = hraw.agg(sum(col("s")).as("t"))
       val prevHubs = hubs
@@ -361,12 +391,18 @@ object Graphs {
     // showed pin-then-union WORSE here (+1.2 s wall, +3 cpu-s at sf0.1) —
     // the pin's extra E-row write+double-read costs more than the
     // duplicated aggregate it saves
-    val ed = pin(bidirectional(undirectedEdges(edges, src, dst)))
-    var alivePin = pin(ed.select(col("n").as("node_id")).distinct())
+    val ed0 = pin(bidirectional(undirectedEdges(edges, src, dst)))
+    var alivePin = pin(ed0.select(col("n").as("node_id")).distinct())
+    var ed = ed0
     var core: DataFrame = null
     try {
       var alive = alivePin
       var aliveCount = alive.count()
+      // broadcast regime: lay the edges out on the degree-count key (n)
+      // once — both alive-set joins broadcast, so every round's
+      // groupBy(n) degree recount runs exchange-free (see nodeBcastRegime)
+      if (nodeBcastRegime(alivePin, aliveCount))
+        ed = relayout(ed0, "n", checkpointDir)
       var round = 0
       while (core == null) {
         round += 1
@@ -436,21 +472,26 @@ object Graphs {
     // very high parallel-edge multiplicity shuffles multiplicity× more
     // bytes than a partial-agg-then-exchange plan would; callers with such
     // inputs should pre-aggregate (src, dst, w) before handing edges in.
-    val e = pin(edges
+    val e0 = pin(edges
       .select(src.cast("bigint").as("src"), dst.cast("bigint").as("dst"),
         weight.cast("double").as("w"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("w").isNotNull && col("w") > 0)
       .repartition(col("src"))
       .groupBy("src", "dst").agg(sum("w").as("w")))
-    val outW = e.groupBy(col("src").as("node_id")).agg(sum("w").as("out_w"))
-    val inW = e.groupBy(col("dst").as("node_id")).agg(sum("w").as("in_w"))
+    val outW = e0.groupBy(col("src").as("node_id")).agg(sum("w").as("out_w"))
+    val inW = e0.groupBy(col("dst").as("node_id")).agg(sum("w").as("in_w"))
     val nodes = pin(outW.join(inW, Seq("node_id"), "full")
       .select(col("node_id"),
         coalesce(col("in_w"), lit(0.0)).as("in_w"),
         coalesce(col("out_w"), lit(0.0)).as("out_w")))
     val n = nodes.count()
     require(n > 0, "weightedPagerank: empty graph")
+    // broadcast-regime edge relayout onto the aggregate key — see
+    // pagerankImpl / nodeBcastRegime
+    val e =
+      if (nodeBcastRegime(nodes, n)) relayout(e0, "dst", checkpointDir)
+      else e0
     var ranks = nodes.select(col("node_id"), lit(1.0 / n).as("rank"))
     for (_ <- 1 to iters) {
       // per-round small-side broadcasts under the n <= cap gate — see
@@ -556,13 +597,22 @@ object Graphs {
     def pin(df: DataFrame): DataFrame = Pinned.pin(df, checkpointDir)
     // see kcore: pin-before-union measured worse than the duplicated
     // dedup aggregate the union branches pay
-    val ed = pin(bidirectional(undirectedEdges(edges, src, dst))
-      .repartition(col("m")))
-    var labels = pin(ed.select(col("n").as("node_id")).distinct()
+    // pinned UN-LAID first: the layout key depends on the broadcast-regime
+    // decision, which needs the node count, which needs the edge frame —
+    // so materialize once, count, then relayout (one extra E write+read
+    // versus choosing blind)
+    val ed0 = pin(bidirectional(undirectedEdges(edges, src, dst)))
+    var labels = pin(ed0.select(col("n").as("node_id")).distinct()
       .select(col("node_id"), col("node_id").as("label")))
     // the node-set size is fixed across rounds (labels only change value),
     // so one bounded count gates every round's broadcast decision
     val n = labels.count()
+    // broadcast regime: lay the edges out on the VOTE-aggregate key (n) —
+    // the per-round groupBy(n, label) then needs no exchange at all (the
+    // label join is a broadcast on any layout); past the cap, by m, the
+    // join key the exchanged label frame must co-partition with
+    val ed = relayout(ed0,
+      if (nodeBcastRegime(labels, n)) "n" else "m", checkpointDir)
     for (_ <- 1 to iters) {
       // label frame broadcast under the n <= cap gate (see pagerankImpl):
       // the pinned by-neighbor edge layout streams with zero per-round
@@ -608,8 +658,8 @@ object Graphs {
     // round after round (asserted in PartitioningSpec; the in-memory
     // analogue of bucketing the edge table by src at 100 TB). Without it
     // each round re-exchanged the O(E) edge side too.
-    val e = pin(canonEdges(edges, src, dst, clusterBy = Some("src")))
-    val deg = degrees(e, col("src"), col("dst"))
+    val e0 = pin(canonEdges(edges, src, dst, clusterBy = Some("src")))
+    val deg = degrees(e0, col("src"), col("dst"))
     // N is one scalar action over the pinned degree frame — the same bounded
     // driver fetch the iterative ops already make for convergence tests
     // node (and seed) counts are plain bounded actions over the pinned
@@ -627,6 +677,13 @@ object Graphs {
     })
     val n = nodes.count()
     require(n > 0, "pagerank: empty graph")
+    // broadcast regime: the per-round join ships the rank frame to every
+    // task anyway, so swap the edge pin onto the aggregate key (dst) once
+    // and every round's contribution aggregate runs exchange-free; past
+    // the cap keep the src layout the co-partitioned rank join needs
+    val e =
+      if (nodeBcastRegime(nodes, n)) relayout(e0, "dst", checkpointDir)
+      else e0
     // (init rank, teleport term, dangling term) per variant — the uniform
     // arithmetic is kept LITERALLY as published ((1−d)/n and dang/n, not
     // products with a precomputed 1/n) so existing oracle replays stay

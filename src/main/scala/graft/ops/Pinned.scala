@@ -104,6 +104,15 @@ object Pinned {
     */
   def pin(df: DataFrame, checkpointDir: Option[String],
       eager: Boolean = true): DataFrame = {
+    // plan evidence for the audit trail: a pinned frame explains as a bare
+    // `Scan ExistingRDD`, hiding the interesting plan — this dumps the
+    // WORK-FRAME plan (join strategy, exchange count) right before the pin
+    // swallows it. Off by default; the plan-dump tooling flips it.
+    if (df.sparkSession.conf.get("spark.graft.pin.explain", "false").toBoolean)
+      System.err.println(
+        s"[pin-explain owner=${Option(currentOwner.get()).getOrElse("-")}]\n" +
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
     val out =
       if (checkpointDir.isDefined) df.checkpoint(eager)
       else df.localCheckpoint(eager)
