@@ -378,10 +378,14 @@ object Dedup {
     // The narrow pair frame is re-spread to the session's configured
     // shuffle width first: AQE coalesces the dedup exchange by BYTES while
     // each row costs an array_intersect + array_union over two ~100-string
-    // sets — see containmentPairs for the profiled rationale.
+    // sets — see containmentPairs for the profiled rationale. Keyed on the
+    // FIRST join key alone so the layout also SATISFIES that join's
+    // clustering: in the non-broadcast (large-corpus) regime the planner
+    // then reuses this exchange instead of re-exchanging the pairs and
+    // silently discarding the width (r9 advice).
     candidates
       .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
-        col("id_a"), col("id_b"))
+        col("id_a"))
       .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
@@ -445,9 +449,12 @@ object Dedup {
     // constant) pins the width against AQE, which is the point: bytes are
     // the wrong cost model for this exchange. The extra narrow-row
     // shuffle is noise next to the verify CPU it spreads.
+    // keyed on the first join key alone — satisfies the id_a join's
+    // clustering so the width survives a shuffled-join plan too (r9
+    // advice); see ngramJaccardPairs
     val verifyWidth = df.sparkSession.sessionState.conf.numShufflePartitions
     candidates
-      .repartition(verifyWidth, col("id_a"), col("id_b"))
+      .repartition(verifyWidth, col("id_a"))
       .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))

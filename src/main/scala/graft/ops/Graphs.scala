@@ -104,11 +104,16 @@ object Graphs {
     * aggregate runs exchange-free; see [[nodeBcastRegime]].
     */
   private def relayout(e: DataFrame, key: String,
-      checkpointDir: Option[String]): DataFrame = {
-    val out = Pinned.pin(e.repartition(col(key)), checkpointDir)
-    Pinned.release(e)
-    out
-  }
+      checkpointDir: Option[String]): DataFrame =
+    // LAZY pin: an eager relayout is one more blocking job between the
+    // count and round 1 — deferring it folds the exchange into round 1's
+    // job (same blocks every later round). The SOURCE pin must stay live
+    // until this materializes (a localCheckpoint's lineage is truncated —
+    // released blocks are unrecoverable), so callers release BOTH pins at
+    // the end of the op instead of superseding eagerly; in the broadcast
+    // regime both frames together are bounded by the same cap arithmetic
+    // that allowed the relayout at all.
+    Pinned.pin(e.repartition(col(key)), checkpointDir, eager = false)
 
   /** [[degrees]] over an ALREADY-canonical (src, dst) distinct edge frame —
     * the internal entry point, so operators holding a pinned canonical
@@ -323,7 +328,8 @@ object Graphs {
     // would execute twice and build two broadcast relations from scratch
     // (the operator's own multiply-referenced-subplan policy).
     val adj = Pinned.pin(
-      oriented.groupBy(col("u")).agg(collect_list(col("v")).as("nb")), None)
+      oriented.groupBy(col("u")).agg(collect_list(col("v")).as("nb")), None,
+      eager = false)
     // attach N⁺(u) and N⁺(v) to each oriented edge u→v, then explode the
     // intersection: only the T triangles ever become rows (the r08 wedge
     // self-join materialized Σ d⁺² rows here — 41M at the sf0.1 gate —
@@ -432,10 +438,12 @@ object Graphs {
       // exists to prevent, on the error path
       Pinned.release(alivePin)
       Pinned.release(ed)
+      if (ed ne ed0) Pinned.release(ed0)
       throw t
     }
     // `core` IS the final pin — the call's only surviving frame
     Pinned.release(ed)
+    if (ed ne ed0) Pinned.release(ed0)
     core
   }
 
@@ -524,6 +532,7 @@ object Graphs {
     Pinned.release(ranks)
     Pinned.release(nodes)
     Pinned.release(e)
+    if (e ne e0) Pinned.release(e0)
     out
   }
 
@@ -640,6 +649,7 @@ object Graphs {
         coalesce(col("label"), col("node_id")).as("label")))
     Pinned.release(labels)
     Pinned.release(ed)
+    Pinned.release(ed0)
     out
   }
 
@@ -743,6 +753,7 @@ object Graphs {
     Pinned.release(ranks)
     Pinned.release(nodes)
     Pinned.release(e)
+    if (e ne e0) Pinned.release(e0)
     out
   }
 }
