@@ -113,7 +113,7 @@ object Graphs {
     // the end of the op instead of superseding eagerly; in the broadcast
     // regime both frames together are bounded by the same cap arithmetic
     // that allowed the relayout at all.
-    Pinned.pin(e.repartition(col(key)), checkpointDir, eager = false)
+    Pinned.pinLayout(e.repartition(col(key)), checkpointDir, eager = false)
 
   /** [[degrees]] over an ALREADY-canonical (src, dst) distinct edge frame —
     * the internal entry point, so operators holding a pinned canonical
@@ -323,13 +323,15 @@ object Graphs {
     // per-node out-neighbor arrays: Σ|N⁺| = E ids total, one row per node
     // with out-edges. array_intersect treats them as sets (they are —
     // oriented edges are distinct), so the per-edge intersection is exact.
-    // Pinned: referenced twice below (the nb_u and nb_v attach joins) —
-    // unpinned, the groupBy/collect_list over the pinned oriented frame
-    // would execute twice and build two broadcast relations from scratch
-    // (the operator's own multiply-referenced-subplan policy).
-    val adj = Pinned.pin(
-      oriented.groupBy(col("u")).agg(collect_list(col("v")).as("nb")), None,
-      eager = false)
+    // NOT pinned despite being referenced twice (the nb_u and nb_v attach
+    // joins rebuild the groupBy/collect_list over the pinned oriented
+    // frame): both the eager and the lazy pin measured SLOWER at sf0.1
+    // (2.85 s unpinned vs 3.36 eager / 3.73 lazy) — the duplicated
+    // aggregate pipelines inside the two broadcast builds, while a pin
+    // serializes a materialization barrier plus a block read in front of
+    // them. Same verdict as kcore's pin-before-union A/B.
+    val adj =
+      oriented.groupBy(col("u")).agg(collect_list(col("v")).as("nb"))
     // attach N⁺(u) and N⁺(v) to each oriented edge u→v, then explode the
     // intersection: only the T triangles ever become rows (the r08 wedge
     // self-join materialized Σ d⁺² rows here — 41M at the sf0.1 gate —
@@ -362,7 +364,7 @@ object Graphs {
         when(col("degree") < 2, lit(0.0)).otherwise(
           round(lit(2.0) * col("n_triangles") /
             (col("degree") * (col("degree") - 1)), 6))), None)
-    Seq(adj, oriented, deg, und).foreach(Pinned.release)
+    Seq(oriented, deg, und).foreach(Pinned.release)
     out
   }
 

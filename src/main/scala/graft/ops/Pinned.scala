@@ -123,6 +123,29 @@ object Pinned {
     out
   }
 
+  /** [[pin]] for frames whose HASH LAYOUT is the point (the iterative graph
+    * ops' pre-partitioned edge pins): under AQE the checkpoint captures
+    * `UnknownPartitioning` — `AdaptiveSparkPlanExec` hides the final
+    * partitioning at capture time — so every downstream aggregate keyed on
+    * the layout still planned an exchange (measured: a repartition(k)
+    * localCheckpoint followed by groupBy(k) kept 1 exchange with AQE on,
+    * 0 with it off). Planning THIS frame with AQE off makes the
+    * partitioning stick; the consuming queries keep their own AQE.
+    * The conf flip is session-visible for the duration of the (cheap)
+    * checkpoint planning — a concurrently planning query on the same
+    * session (Verify's pool) could plan once without AQE, which changes
+    * no results and at most one untimed plan's shape.
+    */
+  def pinLayout(df: DataFrame, checkpointDir: Option[String],
+      eager: Boolean = true): DataFrame = {
+    val conf = df.sparkSession.conf
+    val key = "spark.sql.adaptive.enabled"
+    val prev = conf.get(key, "true")
+    conf.set(key, "false")
+    try pin(df, checkpointDir, eager)
+    finally conf.set(key, prev)
+  }
+
   private def register(rdd: org.apache.spark.rdd.RDD[_]): Unit = {
     val owner = currentOwner.get()
     livePins.put(rdd.id, Pin(owner, new java.lang.ref.WeakReference(rdd)))
