@@ -379,13 +379,16 @@ object Dedup {
     // shuffle width first: AQE coalesces the dedup exchange by BYTES while
     // each row costs an array_intersect + array_union over two ~100-string
     // sets — see containmentPairs for the profiled rationale. Keyed on the
-    // FIRST join key alone so the layout also SATISFIES that join's
-    // clustering: in the non-broadcast (large-corpus) regime the planner
-    // then reuses this exchange instead of re-exchanging the pairs and
-    // silently discarding the width (r9 advice).
+    // PAIR, not id_a alone: the r9-advice variant (id_a only, so the
+    // layout satisfies the first attach join in a shuffled-join regime)
+    // was tried and measured 2.0 -> 3.8 s on pipe_containment in the
+    // full-surface bench - per-a pair counts are heavy-tailed, so hashing
+    // by id_a alone skews the verify CPU onto few tasks. The pair hash
+    // balances by construction; the non-broadcast regime re-exchange is
+    // the cheaper price.
     candidates
       .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
-        col("id_a"))
+        col("id_a"), col("id_b"))
       .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
@@ -449,12 +452,11 @@ object Dedup {
     // constant) pins the width against AQE, which is the point: bytes are
     // the wrong cost model for this exchange. The extra narrow-row
     // shuffle is noise next to the verify CPU it spreads.
-    // keyed on the first join key alone — satisfies the id_a join's
-    // clustering so the width survives a shuffled-join plan too (r9
-    // advice); see ngramJaccardPairs
+    // keyed on the PAIR - the id_a-only variant skews (see
+    // ngramJaccardPairs)
     val verifyWidth = df.sparkSession.sessionState.conf.numShufflePartitions
     candidates
-      .repartition(verifyWidth, col("id_a"))
+      .repartition(verifyWidth, col("id_a"), col("id_b"))
       .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
