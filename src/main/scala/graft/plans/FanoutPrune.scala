@@ -106,16 +106,22 @@ object FanoutPrune extends Rule[LogicalPlan] {
         r.partitionExpressions.forall(cheap))))
     case _: RebalancePartitions =>
       p.withNewChildren(p.children.map(prune(_, droppable = true)))
-    case j: Join if j.condition.isDefined && cheap(j.condition.get) =>
-      // a conditioned join with cheap keys passes droppability through:
-      // if it plans shuffled, both sides re-exchange by key and a fan-out
-      // below is pure tax; if it plans broadcast, the probe is a row-local
-      // hash lookup (cheap by definition here) and the build side is
-      // collected — neither pays for a fan-out. Heavy work ABOVE the join
-      // (ROUGE/BLEU scoring of joined pairs) has already cleared
-      // `droppable` to false before we get here, and heavy work BELOW it
-      // fails the fan-out's own subtree check. Condition-less (cross)
-      // joins fall to the conservative default.
+    case j: Join if j.condition.isDefined && cheap(j.condition.get) &&
+        (j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi ||
+          j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti) =>
+      // SEMI/ANTI joins with cheap keys pass droppability through: their
+      // output never exceeds the probe input, so the work between the
+      // fan-out and the next shuffle stays bounded by what the cheapness
+      // walk already approved — and whichever strategy the join gets, a
+      // fan-out below is tax (shuffled ⇒ both sides re-exchange by key;
+      // broadcast ⇒ the probe is a row-local hash lookup and the build
+      // side is collected). INNER/OUTER joins deliberately fall through
+      // to the conservative default: they can AMPLIFY rows (the
+      // co-occurrence self-join probe explodes each order into its part
+      // pairs), so the probe-side fan-out is load-bearing even when every
+      // expression in sight is cheap — pruning it serialized
+      // pipe_triangles' and dtl_graph's whole edge build onto the scan
+      // task (+0.5-0.9 s each in the full-surface bench).
       j.withNewChildren(j.children.map(prune(_, droppable)))
     case other =>
       // cross joins, Generate, limits, unknown operators: conservative —
