@@ -849,13 +849,32 @@ object Dedup {
     // nothing joins or shuffles to put the two together
     val c = corpus.select(id.as("vec_id"), vec.cast("array<double>").as("cv"),
       transform(vec.cast("array<double>"), x => round(x * scale)).as("qv"))
-    val assigned = c.crossJoin(broadcast(Similarity.centroidArray(qcents)))
-      .select(col("vec_id"), col("cv"),
-        graft.functions.CentroidMath.nearestCentroidL2(col("qv"), col("cents"))
-          .as("centroid_id"))
+    // pin the assignment ONCE: both self-join sides consume it through
+    // textually-distinct projections, so unpinned each side replayed the
+    // corpus scan + quantize + argmin (guide §2.4). Eager, so the count
+    // gating the broadcast below is a cheap action over cached blocks; the
+    // pin survives the call for the harness drain (marginFromScores
+    // pattern). qcents fed only this build — releasable immediately.
+    val assigned = Pinned.pin(
+      c.crossJoin(broadcast(Similarity.centroidArray(qcents)))
+        .select(col("vec_id"), col("cv"),
+          graft.functions.CentroidMath.nearestCentroidL2(col("qv"), col("cents"))
+            .as("centroid_id")), checkpointDir)
+    val nVecs = assigned.count()
+    Pinned.release(qcents)
     val a = assigned.select(col("centroid_id"), col("vec_id").as("id_a"), col("cv").as("v_a"))
     val b = assigned.select(col("centroid_id"), col("vec_id").as("id_b"), col("cv").as("v_b"))
-    a.join(b, Seq("centroid_id"))
+    // the pairing join is keyed on centroid_id — nClusters distinct values,
+    // usually far fewer than the session's cores, so a shuffled join
+    // serializes the per-cluster cosine verification onto ≤ nClusters tasks
+    // (guide §2.5). Broadcast one side under the same exact-count conf gate
+    // knnGraph uses: zero exchange, and the quadratic within-cluster work
+    // spreads across the probe side's full width. Past the cap the shuffled
+    // join stands (at that scale nClusters is also large).
+    val maxBcast = corpus.sparkSession.conf
+      .get("spark.graft.ann.maxBroadcastVectors", "200000").toLong
+    val bSide = if (nVecs <= maxBcast) broadcast(b) else b
+    a.join(bSide, Seq("centroid_id"))
       .filter(col("id_a") < col("id_b"))
       .filter(graft.ops.Similarity.cosine(col("v_a"), col("v_b")) >= minCosine)
       .select(col("id_a"), col("id_b"),

@@ -48,9 +48,13 @@ object Labels {
     // the IVF-bounded kNN edges, with the label riding both endpoints
     // (Similarity.knnGraph carries payload through the candidate join, so
     // no per-endpoint re-join of the corpus here)
-    val knn = Similarity.knnGraph(df, id, vec, k, nClusters, nProbe,
-      iters, dim, scale, carry = Seq("label" -> label),
-      checkpointDir = checkpointDir)
+    // LAZY pin: the edge frame feeds TWO textually-distinct aggregates
+    // below (majority vote + agreement stats), so unpinned the whole
+    // candidate join + top-k window replayed once per reference (guide
+    // §2.4). Harness-drained (the marginFromScores pattern).
+    val knn = Pinned.pin(Similarity.knnGraph(df, id, vec, k, nClusters,
+      nProbe, iters, dim, scale, carry = Seq("label" -> label),
+      checkpointDir = checkpointDir), checkpointDir, eager = false)
 
     // per-point agreement + deterministic majority label in two group passes
     val votes = knn.groupBy("vec_id", "label", "nb_label")

@@ -56,9 +56,18 @@ object Retrieval {
     */
   def bm25TopK(docs: DataFrame, id: Column, text: Column,
       queries: DataFrame, queryId: Column, queryText: Column,
-      topK: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      topK: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    topKFromScores(
+      bm25Scores(docs, id, text, queries, queryId, queryText, k1, b), topK)
+
+  /** The per-query top-k cut over a prepared (query_id, doc_id, score)
+    * frame — split out of [[bm25TopK]] so a gate that needs SEVERAL cuts of
+    * the same corpus scoring (positives + negatives, ranked + qrels) can
+    * compute [[bm25Scores]] once, pin it, and cut it many ways instead of
+    * re-tokenizing the corpus per cut (guide §2.4 — compute once).
+    */
+  def topKFromScores(scored: DataFrame, topK: Int): DataFrame = {
     require(topK > 0, s"need topK > 0, got $topK")
-    val scored = bm25Scores(docs, id, text, queries, queryId, queryText, k1, b)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -119,9 +128,20 @@ object Retrieval {
   def hardNegatives(docs: DataFrame, id: Column, text: Column,
       queries: DataFrame, queryId: Column, queryText: Column,
       positives: DataFrame, posQueryId: Column, posDocId: Column,
-      topK: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      topK: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    hardNegativesFromScores(
+      bm25Scores(docs, id, text, queries, queryId, queryText, k1, b),
+      positives, posQueryId, posDocId, topK)
+
+  /** [[hardNegatives]] over a prepared score frame — see [[topKFromScores]]
+    * for why the scoring is separable: the gates derive positives AND
+    * negatives from ONE pinned [[bm25Scores]] pass instead of tokenizing
+    * the corpus once per cut.
+    */
+  def hardNegativesFromScores(scored: DataFrame,
+      positives: DataFrame, posQueryId: Column, posDocId: Column,
+      topK: Int): DataFrame = {
     require(topK > 0, s"need topK > 0, got $topK")
-    val scored = bm25Scores(docs, id, text, queries, queryId, queryText, k1, b)
     val pos = positives.select(posQueryId.as("query_id"), posDocId.as("doc_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
@@ -144,9 +164,20 @@ object Retrieval {
   def contrastiveTriples(docs: DataFrame, id: Column, text: Column,
       queries: DataFrame, queryId: Column, queryText: Column,
       positives: DataFrame, posQueryId: Column, posDocId: Column,
-      negsPerPos: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val negs = hardNegatives(docs, id, text, queries, queryId, queryText,
-      positives, posQueryId, posDocId, negsPerPos, k1, b)
+      negsPerPos: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    contrastiveTriplesFromScores(
+      bm25Scores(docs, id, text, queries, queryId, queryText, k1, b),
+      positives, posQueryId, posDocId, negsPerPos)
+
+  /** [[contrastiveTriples]] over a prepared score frame — see
+    * [[topKFromScores]]: one pinned scoring pass feeds positives, negatives
+    * and the triple assembly.
+    */
+  def contrastiveTriplesFromScores(scored: DataFrame,
+      positives: DataFrame, posQueryId: Column, posDocId: Column,
+      negsPerPos: Int): DataFrame = {
+    val negs = hardNegativesFromScores(scored,
+      positives, posQueryId, posDocId, negsPerPos)
     val pos = positives.select(posQueryId.as("query_id"), posDocId.as("pos_id"))
     pos.join(
       negs.select(col("query_id"), col("doc_id").as("neg_id"),

@@ -111,10 +111,16 @@ object Similarity {
     // contract as Dedup.clusters
     checkpointDir.foreach(corpus.sparkSession.sparkContext.setCheckpointDir)
     def pin(df: DataFrame): DataFrame = graft.ops.Pinned.pin(df, checkpointDir)
-    val q = corpus.select(id.as("vec_id"),
+    val q0 = corpus.select(id.as("vec_id"),
       transform(vec.cast("array<double>"), x => round(x * scale)).as("qv"))
-    def assign(cents: DataFrame): DataFrame =
-      q.crossJoin(broadcast(centroidArray(
+    // pin the quantized projection ONCE for the training loop: the seed
+    // sort and every Lloyd round's assignment otherwise each replay the
+    // corpus scan + quantize (iters+1 scans per call; guide §2.4). Released
+    // after the loop — the RETURNED assignment is built over the raw
+    // projection, so no work-frame pin outlives the call.
+    val q = if (iters >= 1) pin(q0) else q0
+    def assign(cents: DataFrame, src: DataFrame): DataFrame =
+      src.crossJoin(broadcast(centroidArray(
           cents.select(col("centroid_id"), col("centroid_vec")))))
         .select(col("vec_id"), col("qv"),
           graft.functions.CentroidMath.nearestCentroidL2(col("qv"), col("cents"))
@@ -126,7 +132,7 @@ object Similarity {
     for (_ <- 1 to iters) {
       val sums = (0 until dim).map(i =>
         sum(element_at(col("qv"), i + 1).cast("long")).as(s"s$i"))
-      val grouped = assign(cents)
+      val grouped = assign(cents, q)
         .groupBy("centroid_id")
         .agg(count(lit(1)).as("n"), sums: _*)
       // Spark floor returns LONG; the centroid contract is array<double>
@@ -148,10 +154,15 @@ object Similarity {
       // on the lazy round-0 seed) — see Pinned for why explicit release
       graft.ops.Pinned.release(prev)
     }
+    // every round's pin is eager, so after the loop nothing references the
+    // training projection — release it now (no-op when iters == 0 left it
+    // a plain lazy frame)
+    if (iters >= 1) graft.ops.Pinned.release(q)
     // the returned assignment is lazy over the FINAL pinned centroid frame
-    // (the call's only surviving pin — callers may Pinned.release(cents)
-    // once both returned frames are consumed)
-    (assign(cents), cents)
+    // and the RAW projection (the call's only surviving pin is cents —
+    // callers may Pinned.release(cents) once both returned frames are
+    // consumed)
+    (assign(cents, q0), cents)
   }
 
   /** Prototypicality pruning — the diversification half of D4 (Tirumala et
@@ -351,9 +362,19 @@ object Similarity {
         transform(vec.cast("array<double>"), x => round(x * scale)).as("qv") +:
         carried): _*)
       .crossJoin(broadcast(centArr))
-    val probed = pts.withColumn("__probes",
+    // pin the probe assignment ONCE: it feeds BOTH candidate-join sides,
+    // and the two projections are textually distinct, so unpinned each side
+    // replayed the corpus scan + quantize + nProbe-argmin (guide §2.4). The
+    // pin is eager — its count below is then a cheap action over cached
+    // blocks — and survives the call for the harness drain (the returned
+    // edge frame is lazy over it; the marginFromScores pattern). qcents fed
+    // only the probe build, so it is releasable as soon as this
+    // materializes.
+    val probed = Pinned.pin(pts.withColumn("__probes",
       graft.functions.CentroidMath.nearestCentroidsL2(
-        col("qv"), col("cents"), nProbe))
+        col("qv"), col("cents"), nProbe)), checkpointDir)
+    val nVecs = probed.count()
+    Pinned.release(qcents)
     val indexSide = probed.select((col("vec_id").as("nb_id") +:
       col("qv").as("nb_qv") +:
       element_at(col("__probes"), 1).as("centroid_id") +:
@@ -361,7 +382,19 @@ object Similarity {
     val querySide = probed.select((col("vec_id") +: col("qv") +:
       explode(col("__probes")).as("centroid_id") +:
       carry.map { case (n, _) => col(n) }): _*)
-    val cand = querySide.join(indexSide, Seq("centroid_id"))
+    // The candidate join is keyed on centroid_id — nClusters distinct
+    // values, typically far fewer than the session's cores, so a shuffled
+    // join serializes the per-cluster distance work onto ≤ nClusters tasks
+    // (guide §2.5: synthetic keys with too few distinct values). When the
+    // index side fits the conf cap (exact count, the corpus is already
+    // pinned), broadcast it: no exchange at all, and the quadratic
+    // per-cluster probe work spreads across the query side's full task
+    // width. Past the cap (web scale, where nClusters is also thousands,
+    // restoring key cardinality) the shuffled join stands.
+    val maxBcast = df.sparkSession.conf
+      .get("spark.graft.ann.maxBroadcastVectors", "200000").toLong
+    val idx = if (nVecs <= maxBcast) broadcast(indexSide) else indexSide
+    val cand = querySide.join(idx, Seq("centroid_id"))
       .filter(col("vec_id") =!= col("nb_id"))
       .withColumn("d2",
         graft.functions.VecMath.squaredDistance(col("qv"), col("nb_qv")))

@@ -127,10 +127,16 @@ object SearchQueries {
     "pipe_hard_negatives" -> ((s, d) => {
       val qdf = s.createDataFrame(bm25Queries).toDF("query_id", "qtext")
       val docs = t(s, d, "documents")
-      val positives = Retrieval.bm25TopK(docs, col("doc_id"), col("text"),
-        qdf, col("query_id"), col("qtext"), topK = 2)
-      Retrieval.hardNegatives(docs, col("doc_id"), col("text"),
-        qdf, col("query_id"), col("qtext"),
+      // ONE corpus scoring pass behind a lazy pin: the positives cut is
+      // consumed through the anti-join's broadcast build AND the negatives
+      // ranking reads the same matrix — unpinned, the full BM25 (tokenize +
+      // postings + score) executed once per cut (guide §2.4; the
+      // marginFromScores pin pattern, drained by the harness)
+      val scored = graft.ops.Pinned.pin(
+        Retrieval.bm25Scores(docs, col("doc_id"), col("text"),
+          qdf, col("query_id"), col("qtext")), None, eager = false)
+      val positives = Retrieval.topKFromScores(scored, topK = 2)
+      Retrieval.hardNegativesFromScores(scored,
         positives, col("query_id"), col("doc_id"), topK = 10)
     }),
 
@@ -138,10 +144,13 @@ object SearchQueries {
     "pipe_contrastive_triples" -> ((s, d) => {
       val qdf = s.createDataFrame(bm25Queries).toDF("query_id", "qtext")
       val docs = t(s, d, "documents")
-      val positives = Retrieval.bm25TopK(docs, col("doc_id"), col("text"),
-        qdf, col("query_id"), col("qtext"), topK = 2)
-      Retrieval.contrastiveTriples(docs, col("doc_id"), col("text"),
-        qdf, col("query_id"), col("qtext"),
+      // one pinned scoring pass feeds positives, negatives and the triple
+      // assembly — see pipe_hard_negatives
+      val scored = graft.ops.Pinned.pin(
+        Retrieval.bm25Scores(docs, col("doc_id"), col("text"),
+          qdf, col("query_id"), col("qtext")), None, eager = false)
+      val positives = Retrieval.topKFromScores(scored, topK = 2)
+      Retrieval.contrastiveTriplesFromScores(scored,
         positives, col("query_id"), col("doc_id"), negsPerPos = 5)
     }),
 
@@ -295,8 +304,12 @@ object SearchQueries {
     "pipe_retrieval_eval" -> ((s, d) => {
       val qdf = s.createDataFrame(bm25Queries).toDF("query_id", "qtext")
       val docs = t(s, d, "documents")
-      val ranked = Retrieval.bm25TopK(docs, col("doc_id"), col("text"),
-        qdf, col("query_id"), col("qtext"), topK = 10)
+      // the ranked cut feeds BOTH the qrels derivation and the metrics —
+      // unpinned, each reference replayed the whole BM25 pass (3 corpus
+      // tokenizations per execution); lazy pin, harness-drained
+      val ranked = graft.ops.Pinned.pin(
+        Retrieval.bm25TopK(docs, col("doc_id"), col("text"),
+          qdf, col("query_id"), col("qtext"), topK = 10), None, eager = false)
       val qrels = ranked.filter(col("rank").between(2, 3))
         .select("query_id", "doc_id")
         .unionByName(docs.select("doc_id")

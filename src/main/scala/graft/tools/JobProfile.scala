@@ -1,0 +1,76 @@
+package graft.tools
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Dev tooling: run one or more SparkEntry queries and print the per-JOB
+  * wall-time breakdown (job id, duration, #stages, #tasks, description) so
+  * gate residuals can be attributed to job-count machinery vs real work —
+  * the local-mode analogue of reading the UI's job timeline (guide §1/§7).
+  *
+  * Usage: runMain graft.tools.JobProfile <sfDir> <query...>
+  */
+object JobProfile {
+  private case class JobRec(id: Int, start: Long, var end: Long = -1L,
+      var desc: String = "", var nStages: Int = 0, var nTasks: Int = 0)
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = args.drop(1).toSeq
+    require(names.nonEmpty, "usage: JobProfile <sfDir> <query...>")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val jobs = new ConcurrentLinkedQueue[JobRec]()
+    val byId = new java.util.concurrent.ConcurrentHashMap[Int, JobRec]()
+    val stageTasks = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit = {
+        val r = JobRec(e.jobId, e.time)
+        r.desc = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .getOrElse("")
+        r.nStages = e.stageIds.size
+        e.stageIds.foreach(sid => stageTasks.put(sid, 0): Unit)
+        jobs.add(r)
+        byId.put(e.jobId, r): Unit
+      }
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+        stageTasks.computeIfPresent(e.stageInfo.stageId,
+          (_, _) => e.stageInfo.numTasks): Unit
+      override def onJobEnd(e: SparkListenerJobEnd): Unit =
+        Option(byId.get(e.jobId)).foreach(_.end = e.time)
+    })
+
+    for (name <- names) {
+      val q = graft.SparkEntry.queries(name)
+      // warm-up (codegen, file listing) then the profiled run
+      q(spark, dir).write.format("noop").mode("overwrite").save()
+      jobs.clear(); byId.clear(); stageTasks.clear()
+      val t0 = System.nanoTime()
+      q(spark, dir).write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // let async listener events drain
+      import scala.jdk.CollectionConverters._
+      val recs = jobs.asScala.toSeq.sortBy(_.start)
+      val jobSum = recs.map(r => math.max(0L, r.end - r.start)).sum / 1e3
+      println(f"== $name wall=$wall%.3f s, jobs=${recs.size}, sum(job)=$jobSum%.3f s ==")
+      var prevEnd = recs.headOption.map(_.start).getOrElse(0L)
+      for (r <- recs) {
+        val gap = (r.start - prevEnd) / 1e3
+        prevEnd = math.max(prevEnd, r.end)
+        val dur = math.max(0L, r.end - r.start) / 1e3
+        val d = if (r.desc.length > 90) r.desc.take(90) + "…" else r.desc
+        println(f"  job ${r.id}%4d ${dur}%7.3f s  gap=${gap}%6.3f  stages=${r.nStages}%2d  $d")
+      }
+    }
+    spark.stop()
+  }
+}
